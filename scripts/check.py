@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local correctness loop: compare Verify output against DuckDB oracles.
+
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+Mimics the driver's compare: sort columns by name, sort rows, compare values.
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+out, sf = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = []
+for name in sorted(oracle):
+    sql = oracle[name]
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"MISSING  {name}: no spark output"); fails.append(name); continue
+    try:
+        got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+    except Exception as e:
+        print(f"READERR  {name}: {e}"); fails.append(name); continue
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"ORAERR   {name}: {e}"); fails.append(name); continue
+    gc, ec = sorted(got.columns), sorted(exp.columns)
+    if gc != ec:
+        print(f"SCHEMA   {name}: spark={gc} duck={ec}"); fails.append(name); continue
+    g = got[gc].sort_values(by=gc, kind="mergesort").reset_index(drop=True)
+    e = exp[ec].sort_values(by=ec, kind="mergesort").reset_index(drop=True)
+    if len(g) != len(e):
+        print(f"ROWS     {name}: spark={len(g)} duck={len(e)}"); fails.append(name); continue
+    bad = None
+    for c in gc:
+        gv, ev = g[c], e[c]
+        if gv.dtype != ev.dtype:
+            try:
+                ev = ev.astype(gv.dtype)
+            except Exception:
+                pass
+        if gv.dtype.kind == "f":
+            eq = (gv.values == ev.values) | (pd.isna(gv.values) & pd.isna(ev.values))
+        else:
+            eq = (gv.astype(str).values == ev.astype(str).values)
+        if not eq.all():
+            i = int(np.argmin(eq))
+            bad = (c, str(gv.iloc[i]), str(ev.iloc[i]), int((~eq).sum()))
+            break
+    if bad:
+        c, a, b, n = bad
+        print(f"VALUE    {name}: col={c} spark={a} duck={b} ({n} diffs / {len(g)} rows)")
+        fails.append(name)
+    else:
+        print(f"OK       {name} ({len(g)} rows)")
+
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} OK")
+sys.exit(1 if fails else 0)

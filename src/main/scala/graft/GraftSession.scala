@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Defaults are sized for the local[32] test harness but every choice is
+  * made for cluster scale: AQE on (runtime re-plan, skew-join splitting,
+  * shuffle coalescing), UTC session time zone (oracle parity), RocksDB
+  * state store for streaming state (parity with the reference's rocksdict
+  * store, /root/reference slipstream/caching.py:67-133).
+  */
+object GraftSession {
+
+  def builder(
+      master: String = "local[32]",
+      shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  def getOrCreate(master: String = "local[32]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,13 @@
+package graft
+
+/** Local smoke: drives SparkEntry.entry the way the driver does. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    df.show(5, truncate = false)
+    println(s"[smoke] entry rows=$n")
+    spark.stop()
+  }
+}

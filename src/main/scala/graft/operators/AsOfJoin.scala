@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch as-of (temporal) join.
+  *
+  * Reproduces the reference's "nearby-join / merge-as-of" semantics
+  * (reference docs/source/cookbook.rst:289-356: each left row matches the
+  * *latest* right row with `right.ts <= left.ts`, per key) as a
+  * shuffle-once, sort-once Spark plan — NOT a cross/range join.
+  *
+  * Plan shape: tag both sides, union, one hash-partition by key, one
+  * in-partition sort by (ts, side), then `last(value, ignoreNulls)` over
+  * an unbounded-preceding running window. Cost class = single sort-merge
+  * join pass; no O(|L|·|R|) blowup, no broadcast requirement, so it
+  * scales to arbitrarily large both-sides (100 TB story: one shuffle on
+  * the join key, AQE handles skew). Right side rows sort before left rows
+  * at equal timestamps (side 0 < side 1) making the match inclusive.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (each row emitted exactly once)
+    * @param right     build side (provides the as-of value columns)
+    * @param leftTs    event-time column on `left`
+    * @param rightTs   event-time column on `right`
+    * @param by        equi-key columns present on both sides
+    * @param rightCols right columns to carry (renamed via `rightPrefix`)
+    * @param tolerance optional max staleness; matches older than
+    *                  `leftTs - tolerance` are nulled (Column interval
+    *                  or numeric, same type algebra as the ts column)
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      by: Seq[String],
+      rightCols: Seq[String],
+      rightPrefix: String = "r_",
+      tolerance: Option[Column] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val rCarry = (rightCols :+ rightTs).distinct
+
+    val rightTagged = right.select(
+      by.map(col) ++ Seq(
+        col(rightTs).cast("timestamp").as("__ts"),
+        lit(0).as("__side"),
+        struct(rCarry.map(col): _*).as("__rval"),
+        lit(null).cast(structCast(left, leftCols)).as("__lrow")): _*)
+
+    val leftTagged = left.select(
+      by.map(col) ++ Seq(
+        col(leftTs).cast("timestamp").as("__ts"),
+        lit(1).as("__side"),
+        lit(null).cast(structCast(right, rCarry)).as("__rval"),
+        struct(leftCols.map(col): _*).as("__lrow")): _*)
+
+    val w = Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = rightTagged
+      .unionByName(leftTagged)
+      .withColumn("__asof", last(col("__rval"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val withTol = tolerance match {
+      case Some(tol) =>
+        matched.withColumn(
+          "__asof",
+          when(col("__asof").isNotNull &&
+            col("__asof")(rightTs) >= col("__ts") - tol, col("__asof")))
+      case None => matched
+    }
+
+    val out = leftCols.map(c => col("__lrow")(c).as(c)) ++
+      rightCols.map(c => col("__asof")(c).as(s"$rightPrefix$c"))
+    withTol.select(out: _*)
+  }
+
+  /** DDL-compatible struct type string for a subset of df's columns. */
+  private def structCast(df: DataFrame, cols: Seq[String]): String = {
+    val fields = df.schema.fields.filter(f => cols.contains(f.name))
+    // preserve requested order
+    val ordered = cols.flatMap(c => fields.find(_.name == c))
+    ordered.map(f => s"`${f.name}` ${f.dataType.sql}").mkString("struct<", ",", ">")
+  }
+}

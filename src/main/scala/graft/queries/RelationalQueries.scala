@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Batch queries covering the reference's operator inventory
+  * (SURVEY.md §2.1-2.7): the handler calculus (map/flatMap/filter),
+  * fold aggregations, window taxonomy, joins (equi + as-of), ordered
+  * scans/limits, set ops, scalar/codec functions.
+  *
+  * Every query has a DuckDB oracle (SparkEntry.oracleSql). Numeric
+  * discipline for hash-exact parity: double sums only over integral
+  * doubles; everything else sums as DECIMAL(18,2/4) (exact, order-
+  * independent) then casts to double. Event timestamps are nanosecond
+  * parquet; Spark reads them at microsecond precision, so oracles
+  * truncate with date_trunc('microseconds', ts) before comparing or
+  * ordering.
+  */
+object RelationalQueries {
+
+  /** Exact order-independent sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  // DuckDB-side equivalents (kept adjacent so the pairing stays in sync)
+  private def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+  private def oSum4(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  /** events with Spark-visible (microsecond) timestamps, for oracles. */
+  private val oEvents = "(SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value, props FROM events)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 fold/reduce aggregation (reference cookbook.rst:213-216): grouped sums/counts.
+    "a1_fold_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // P1 map (reference core.py:633-635): pure projection with scalar exprs.
+    "p1_map_project" -> ((s, dir) => {
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"),
+        upper(col("l_returnflag")).as("flag"))
+    }),
+
+    // P2 filter (yield-0-or-1, reference features.rst:151-180).
+    "p2_filter" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .where(col("event_type") === "purchase" && col("value") > 100.0)
+        .select(col("event_id"), col("user_id"), col("value"))
+    }),
+
+    // P2 flatMap (yield 0..n): one row per token, re-aggregated.
+    "p2_flatmap_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // P5 pairwise pipe (reference cookbook.rst:99-132): consecutive deltas per key.
+    "p5_pairwise" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .select(col("event_id"), col("user_id"), col("prev_value"), col("delta"))
+    }),
+
+    // P5 accumulate pipe: running sum per key (exact decimal, cast back).
+    "p5_accumulate" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("running", sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("running"))
+    }),
+
+    // J2 equi-join enrichment (reference getting_started.rst:118-123):
+    // fact ⋈ small dims — dims broadcast, no shuffle of the fact side.
+    "j2_equijoin" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // J1 as-of join (reference cookbook.rst:289-356): each click matches the
+    // latest purchase by the same user at-or-before its timestamp.
+    "j1_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"), col("value").as("p_value"))
+      AsOfJoin.asOf(
+        clicks, purchases, "ts", "ts", Seq("user_id"),
+        rightCols = Seq("p_event_id", "p_value"), rightPrefix = "")
+        .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+    }),
+
+    // W2 tumbling window (reference cookbook.rst:220).
+    "w2_tumbling" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // W3 hopping window (reference cookbook.rst:221): 1h wide, 30m slide.
+    "w3_hopping" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("n"))
+    }),
+
+    // W4 session window (reference cookbook.rst:223): 30m gap per user.
+    "w4_session" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n"))
+    }),
+
+    // A3 dedup/compaction (reference cookbook.rst:520): keep first record
+    // per (user, type) — deterministic via (ts, event_id) order.
+    "a3_dedup_exact" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+    }),
+
+    // S6 fan-in (union of sources, reference core.py:692-698).
+    "s6_fanin_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.where(col("event_type") === "signup").select(col("event_id"), col("user_id"))
+      val b = ev.where(col("event_type") === "error").select(col("event_id"), col("user_id"))
+      a.unionAll(b).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Set difference (§2.7): (user, day) slots with clicks but no purchases.
+    "setop_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def slots(t: String) = ev.where(col("event_type") === t)
+        .select(col("user_id"), dayofmonth(col("ts")).as("d"))
+      slots("click").except(slots("purchase"))
+    }),
+
+    // Ordered scan + limit / top-k (§2.7, reference cookbook.rst:338-340).
+    "sort_topk" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(dsum(col("value")).as("total"))
+        .orderBy(col("total").desc, col("user_id").asc)
+        .limit(10)
+    }),
+
+    // Prefix/range scan analog of the Cache's key iteration
+    // (reference caching.py:266-351): key-prefix filter + ordered page.
+    "range_prefix_scan" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(col("source").startsWith("src1"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .limit(100)
+    }),
+
+    // Scalar function surface (§2.7: arbitrary per-record expressions).
+    "scalar_fns" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        // no round(): Spark rounds doubles via BigDecimal.valueOf (shortest
+        // decimal string) while DuckDB rounds the binary value — they differ
+        // on ties like 1.265; plain IEEE multiply is bit-identical in both.
+        (col("value") * lit(1.1)).as("boosted"),
+        concat(col("event_type"), lit(":"), col("user_id")).as("tag"))
+    }),
+
+    // Codec surface (reference codecs.py:9-28): JSON decode → project →
+    // re-encode, the JsonCodec round trip.
+    "codec_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("reencoded", concat(lit("{\"k\":"), col("k"), lit("}")))
+        .select(col("event_id"), col("k"), col("reencoded"))
+    }),
+
+    // Wide-column entity surface (reference caching.py:223-247): per-key
+    // attribute columns, as a pivoted per-user event-type profile.
+    "entities_pivot" -> ((s, dir) => {
+      def cnt(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L))
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          cnt("click").as("n_click"), cnt("view").as("n_view"),
+          cnt("purchase").as("n_purchase"), cnt("signup").as("n_signup"),
+          cnt("error").as("n_error"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_fold_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+         |${oSum("l_extendedprice")} AS sum_price,
+         |${oSum4("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |COUNT(*) AS n FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "p1_map_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_extendedprice * (1.0 - l_discount) AS net,
+        |UPPER(l_returnflag) AS flag FROM lineitem""".stripMargin,
+
+    "p2_filter" ->
+      "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase' AND value > 100.0",
+
+    "p2_flatmap_tokens" ->
+      """SELECT word, COUNT(*) AS n FROM
+        |(SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY 1""".stripMargin,
+
+    "p5_pairwise" ->
+      s"""SELECT event_id, user_id, prev_value, value - prev_value AS delta FROM
+         |(SELECT event_id, user_id, value,
+         |lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+         |FROM $oEvents)""".stripMargin,
+
+    "p5_accumulate" ->
+      s"""SELECT event_id, user_id,
+         |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+         |(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+         |FROM $oEvents""".stripMargin,
+
+    "j2_equijoin" ->
+      s"""SELECT r_name, COUNT(*) AS n_cust, ${oSum("c_acctbal")} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey GROUP BY 1""".stripMargin,
+
+    "j1_asof_join" ->
+      s"""SELECT l.event_id, l.user_id, r.event_id AS p_event_id, r.value AS p_value
+         |FROM (SELECT * FROM $oEvents WHERE event_type = 'click') l
+         |ASOF LEFT JOIN (SELECT * FROM $oEvents WHERE event_type = 'purchase') r
+         |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "w2_tumbling" ->
+      s"""SELECT date_trunc('day', ts) AS window_start, event_type,
+         |COUNT(*) AS n, ${oSum("value")} AS sum_value
+         |FROM $oEvents GROUP BY 1, 2""".stripMargin,
+
+    "w3_hopping" ->
+      s"""SELECT window_start, COUNT(*) AS n FROM
+         |(SELECT unnest([b, b - INTERVAL 30 MINUTE]) AS window_start FROM
+         |(SELECT date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+         |THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b FROM $oEvents))
+         |GROUP BY 1""".stripMargin,
+
+    "w4_session" ->
+      s"""WITH e AS (SELECT user_id, ts FROM $oEvents),
+         |b AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL
+         |OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |g AS (SELECT user_id, ts, SUM(brk) OVER
+         |(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n
+         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "a3_dedup_exact" ->
+      s"""SELECT user_id, event_type, event_id FROM
+         |(SELECT user_id, event_type, event_id, row_number() OVER
+         |(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM $oEvents)
+         |WHERE rn = 1""".stripMargin,
+
+    "s6_fanin_union" ->
+      """SELECT user_id, COUNT(*) AS n FROM
+        |(SELECT event_id, user_id FROM events WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, user_id FROM events WHERE event_type = 'error')
+        |GROUP BY 1""".stripMargin,
+
+    "setop_except" ->
+      """SELECT user_id, CAST(day(ts) AS INTEGER) AS d FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id, CAST(day(ts) AS INTEGER) AS d FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "sort_topk" ->
+      s"""SELECT user_id, ${oSum("value")} AS total FROM events
+         |GROUP BY 1 ORDER BY total DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    "range_prefix_scan" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE source LIKE 'src1%' ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "scalar_fns" ->
+      s"""SELECT event_id, CAST(year(ts) AS INTEGER) AS y,
+         |CAST(month(ts) AS INTEGER) AS m, CAST(day(ts) AS INTEGER) AS d,
+         |CAST(hour(ts) AS INTEGER) AS h, value * 1.1 AS boosted,
+         |event_type || ':' || CAST(user_id AS VARCHAR) AS tag FROM $oEvents""".stripMargin,
+
+    "codec_json" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k,
+        |'{"k":' || CAST(props->>'$.k' AS BIGINT) || '}' AS reencoded
+        |FROM events""".stripMargin,
+
+    "entities_pivot" ->
+      """SELECT user_id,
+        |CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        |CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+        |CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+        |CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}
