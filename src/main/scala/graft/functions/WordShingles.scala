@@ -1,0 +1,91 @@
+package graft.functions
+
+import java.util.LinkedHashSet
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `word_shingles(text, n)` — distinct word n-grams of a single-space
+  * tokenized string, as one fused Catalyst expression.
+  *
+  * Semantically identical to
+  * `array_distinct(transform(sequence(0, size(t)-n), i ->
+  *   concat_ws(' ', t[i+1], .., t[i+n])))` over `t = split(text, ' ')`,
+  * but those higher-order functions evaluate interpreted lambdas and
+  * materialize three intermediate arrays per row; this expression does a
+  * single byte-scan pass (split on 0x20 is UTF-8-safe), builds each
+  * shingle with direct byte copies, and dedupes in an insertion-ordered
+  * hash set. ~4× faster on the documents corpus and the dominant cost of
+  * the MinHash/Jaccard dedup pipeline (measured via graft.tools.Profile).
+  *
+  * Returns an empty array for texts with fewer than n tokens (matching
+  * the DuckDB oracle's CASE WHEN len(w) >= n guard).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    // token boundaries: split on single 0x20 (ASCII space never occurs
+    // inside a UTF-8 multi-byte sequence), empty tokens preserved —
+    // exactly split(text, ' ') / string_split semantics.
+    var count = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) count += 1; i += 1 }
+    if (count < n) return new GenericArrayData(Array.empty[Any])
+
+    val starts = new Array[Int](count)
+    val ends = new Array[Int](count)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = bytes.length
+
+    val out = new LinkedHashSet[UTF8String]()
+    var j = 0
+    while (j <= count - n) {
+      var len = n - 1
+      var k = j
+      while (k < j + n) { len += ends(k) - starts(k); k += 1 }
+      val sh = new Array[Byte](len)
+      var pos = 0
+      k = j
+      while (k < j + n) {
+        if (k > j) { sh(pos) = ' '.toByte; pos += 1 }
+        val wl = ends(k) - starts(k)
+        System.arraycopy(bytes, starts(k), sh, pos, wl)
+        pos += wl
+        k += 1
+      }
+      out.add(UTF8String.fromBytes(sh))
+      j += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+/** Column-level function surface of the graft engine. */
+object functions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def word_shingles(c: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
+}

@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Large-scale training-data-pipeline operators over `documents` and
+  * `embeddings`: deduplication (exact / MinHash+LSH / SimHash / n-gram
+  * Jaccard / embedding-cosine), similarity search (brute-force cosine
+  * top-k baseline + LSH-bucketed near-dup), and text analysis (language
+  * ID, quality scoring, token counting, fingerprinting).
+  *
+  * Determinism discipline: every hash is md5-based (identical in Spark
+  * and DuckDB), every float expression keeps the exact same evaluation
+  * tree on both sides (sequential left-fold dot products over
+  * double-cast arrays — verified bit-identical against DuckDB's
+  * list_dot_product), so the driver's hash compare is exact.
+  *
+  * Scale notes (the 100 TB story):
+  * - MinHash/LSH candidate pairs come from a self-equi-join on band
+  *   keys — one shuffle on the band hash, never an O(n²) cross join.
+  * - n-gram Jaccard uses an inverted shingle index join, so only pairs
+  *   that actually share a shingle are scored.
+  * - Embedding near-dup prunes via sign-bit LSH buckets before scoring.
+  * - Brute-force top-k broadcasts only the (small) query set; the big
+  *   side streams through codegen'd expressions, no shuffle at all.
+  */
+object LlmQueries {
+
+  private val SIG_K = 8     // minhash signature length
+  private val BANDS = 4     // LSH bands (rows per band = SIG_K / BANDS)
+  private val ROWS = SIG_K / BANDS
+  private val SIMHASH_BITS = 16
+  private val MOD = 1000000007L
+
+  /** Word tokens of the document text (single-space separated). */
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct 3-word shingles; empty for docs shorter than 3 tokens.
+    * Fused custom expression (graft.functions.WordShingles) — one byte
+    * pass instead of interpreted HOF lambdas. */
+  private def shingles3: Column =
+    graft.functions.functions.word_shingles(col("text"), 3)
+
+  // The minhash family: ONE md5 per shingle, split into 8 independent
+  // 16-bit chunks (4 hex chars each). One hash pass instead of k, and the
+  // signature is a plain groupBy-min aggregation — partial (map-side)
+  // aggregation + whole-stage codegen, the shape that survives 100 TB.
+  // Fixed-width lowercase hex ⇒ lexicographic min == numeric min.
+
+  /** Sequential-fold dot product over double arrays (matches DuckDB's
+    * list_dot_product evaluation order bit-for-bit). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def dvec(c: Column): Column = c.cast("array<double>")
+
+  // ---- DuckDB SQL fragments kept adjacent to their Spark twins ----
+
+  private val oShingles =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+      |list_distinct(list_transform(range(1, len(w) - 1),
+      |i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |ELSE []::VARCHAR[] END AS sh FROM d)""".stripMargin
+
+  private def oMinhash(i: Int): String =
+    s"min(substr(h, ${4 * i + 1}, 4)) AS h$i"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MinHash + LSH near-duplicate candidate pairs: explode shingles →
+    // one md5 each → groupBy-min signature → band keys → band-key
+    // self-join (one shuffle, no cross join).
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(shingles3).as("sh"))
+        .withColumn("h", md5(col("sh")))
+      val sig = hashed.groupBy(col("doc_id")).agg(
+        (0 until SIG_K).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).head,
+        (0 until SIG_K).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).tail: _*)
+      val bandCols = (0 until BANDS).map { b =>
+        concat((0 until ROWS).map(r => col(s"h${b * ROWS + r}")): _*)
+      }
+      val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("bi", "bk")))
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b,
+          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }),
+
+    // SimHash fingerprints + cluster sizes: one token explode, 16 signed
+    // bit-sums per doc (map-side combine keeps the shuffle tiny).
+    "dedup_simhash" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("word"))
+      val sums = (1 to SIMHASH_BITS).map(j =>
+        sum(when(substring(md5(col("word")), j, 1) >= "8", 1L).otherwise(-1L)).as(s"s$j"))
+      val fp = words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"),
+          concat((1 to SIMHASH_BITS).map(j =>
+            when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+      fp.withColumn("cluster_n", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+    }),
+
+    // Exact n-gram Jaccard over an inverted shingle index: only pairs
+    // sharing ≥1 shingle are ever scored.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val ds = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(shingles3).as("sh"))
+      val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val common = ds.as("a")
+        .join(ds.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+        .where(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline): broadcast the small
+    // query set, stream the corpus, rank per query.
+    "sim_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), dvec(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+    }),
+
+    // Embedding near-dup with sign-bit LSH bucketing: candidate pairs
+    // only within a bucket (256 buckets from 8 sign bits), then exact
+    // cosine filter.
+    "sim_embedding_neardup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), dvec(col("embedding")).as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        .withColumn("bucket",
+          concat((1 to 8).map(i =>
+            when(element_at(col("e"), i) >= 0.0, "1").otherwise("0")): _*))
+      val a = emb.as("a"); val b = emb.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+        .where(col("cos") > 0.4)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+    }),
+
+    // Language ID: stopword-lexicon scoring with a fixed tie-break order.
+    "text_langid" -> ((s, dir) => {
+      def score(ws: Seq[String]) =
+        size(filter(toks, t => ws.map(w => t === w).reduce(_ || _))).cast("long")
+      Tables.documents(s, dir)
+        .withColumn("s_en", score(Seq("the", "a", "of", "and")))
+        .withColumn("s_de", score(Seq("der", "die", "das", "und")))
+        .withColumn("s_es", score(Seq("el", "la", "de", "y")))
+        .withColumn("s_fr", score(Seq("le", "les", "des", "et")))
+        .withColumn("pred_lang",
+          when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0, "und")
+            .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .select(col("doc_id"), col("pred_lang"), col("s_en"))
+    }),
+
+    // Quality scoring: length/stopword/token-shape heuristics.
+    "text_quality" -> ((s, dir) => {
+      val t = toks
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(t).cast("long"))
+        .withColumn("n_stop",
+          size(filter(t, x => x === "the" || x === "a" || x === "of")).cast("long"))
+        .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+        .withColumn("avg_token_len",
+          (length(col("text")) - (col("n_tokens") - 1)) / col("n_tokens"))
+        .withColumn("quality_score",
+          least(col("n_tokens") / 100.0, lit(1.0)) * 0.3
+            + (lit(1.0) - col("stop_ratio")) * 0.4
+            + least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3)
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+          col("avg_token_len"), col("quality_score"))
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish regex token count.
+    "text_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("ws_tokens", size(toks))
+        .withColumn("re_tokens",
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")))
+        .select(col("doc_id"), col("ws_tokens"), col("re_tokens"))
+    }),
+
+    // Document fingerprint: rolling polynomial hash over tokens, mod a
+    // 31-bit prime (no overflow ⇒ identical in any engine).
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("fingerprint",
+          aggregate(toks, lit(0L), (acc, x) =>
+            (acc * 131L + (length(x) * 31 + ascii(substring(x, 1, 1))).cast("long")) % MOD))
+        .select(col("doc_id"), col("fingerprint"))
+    }),
+
+    // Multimodal columns: opaque binary payload + deterministic
+    // stub-decoded metadata (md5-derived fake dimensions — the decode
+    // itself is a stub; the Spark-side schema/plumbing is real, see
+    // graft.multimodal).
+    "multimodal_meta" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("n_bytes", length(col("payload")))
+        .withColumn("h", md5(col("payload")))
+        .withColumn("width",
+          (lit(64L) + conv(substring(col("h"), 1, 4), 16, 10).cast("long") % 1216L).cast("long"))
+        .withColumn("height",
+          (lit(64L) + conv(substring(col("h"), 5, 4), 16, 10).cast("long") % 656L).cast("long"))
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> {
+      val bandSelects = (0 until BANDS).map { b =>
+        val k = (0 until ROWS).map(r => s"h${b * ROWS + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS bi, $k AS bk FROM m"
+      }.mkString(" UNION ALL ")
+      s"""$oShingles,
+         |e AS (SELECT doc_id, md5(unnest(sh)) AS h FROM s),
+         |m AS (SELECT doc_id, ${(0 until SIG_K).map(oMinhash).mkString(", ")} FROM e GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val sums = (1 to SIMHASH_BITS).map(j =>
+        s"SUM(CASE WHEN substr(md5(word), $j, 1) >= '8' THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+      val bits = (1 to SIMHASH_BITS).map(j =>
+        s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |sums AS (SELECT doc_id, $sums FROM words GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $bits AS simhash FROM sums)
+         |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS cluster_n FROM fp""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      s"""$oShingles,
+         |e AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, c / (na + nb - c) AS jaccard
+         |FROM common
+         |JOIN (SELECT doc_id AS doc_a, n AS na FROM sizes) USING (doc_a)
+         |JOIN (SELECT doc_id AS doc_b, n AS nb FROM sizes) USING (doc_b)
+         |WHERE c / (na + nb - c) >= 0.8""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM emb WHERE vec_id < 10),
+        |scored AS (SELECT qid, vec_id,
+        |list_dot_product(qe, e) / (qn * nrm) AS cos
+        |FROM emb JOIN q ON vec_id <> qid)
+        |SELECT qid, CAST(row_number() OVER
+        |(PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank, vec_id, cos
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+
+    "sim_embedding_neardup" -> {
+      val bucket = (1 to 8).map(i =>
+        s"CASE WHEN e[$i] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+         |bkt AS (SELECT vec_id, e, nrm, $bucket AS bucket FROM emb)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+         |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.4""".stripMargin
+    },
+
+    "text_langid" -> {
+      def sc(ws: Seq[String]) =
+        "len(list_filter(string_split(text, ' '), t -> t IN (" +
+          ws.map(w => s"'$w'").mkString(", ") + ")))::BIGINT"
+      s"""WITH s AS (SELECT doc_id,
+         |${sc(Seq("the", "a", "of", "and"))} AS s_en,
+         |${sc(Seq("der", "die", "das", "und"))} AS s_de,
+         |${sc(Seq("el", "la", "de", "y"))} AS s_es,
+         |${sc(Seq("le", "les", "des", "et"))} AS s_fr
+         |FROM documents)
+         |SELECT doc_id, CASE
+         |WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+         |WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |WHEN s_es >= s_fr THEN 'es'
+         |ELSE 'fr' END AS pred_lang, s_en FROM s""".stripMargin
+    },
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |len(w)::BIGINT AS n_tokens,
+        |len(list_filter(w, x -> x IN ('the', 'a', 'of')))::BIGINT AS n_stop,
+        |length(text) AS n_len FROM t)
+        |SELECT doc_id, n_tokens,
+        |n_stop / n_tokens AS stop_ratio,
+        |(n_len - (n_tokens - 1)) / n_tokens AS avg_token_len,
+        |least(n_tokens / 100.0, 1.0) * 0.3
+        |+ (1.0 - n_stop / n_tokens) * 0.4
+        |+ least(((n_len - (n_tokens - 1)) / n_tokens) / 8.0, 1.0) * 0.3 AS quality_score
+        |FROM m""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS re_tokens
+        |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |list_reduce(
+         |list_prepend(0::BIGINT,
+         |list_transform(string_split(text, ' '),
+         |x -> (length(x) * 31 + ascii(substr(x, 1, 1)))::BIGINT)),
+         |(acc, x) -> (acc * 131 + x) % $MOD) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1216 AS width,
+        |64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 656 AS height
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+
+/** Ad-hoc stage profiler for heavy queries (local tuning aid). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val dir = "/root/testdata/sf0.1"
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    val t = split(col("text"), " ")
+    val sh = when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+    val docs = Tables.documents(spark, dir)
+    time("warm scan")(docs.count())
+    time("split only")(docs.select(size(t).as("n")).agg(sum("n")).collect())
+    time("shingles")(docs.select(size(sh).as("n")).agg(sum("n")).collect())
+    time("shingles no distinct")(docs.select(size(transform(sequence(lit(0),
+      greatest(size(t) - 3, lit(0))), i => concat_ws(" ", element_at(t, i + 1),
+      element_at(t, i + 2), element_at(t, i + 3)))).as("n")).agg(sum("n")).collect())
+    val exploded = docs.select(col("doc_id"), explode(sh).as("sh"))
+    time("explode count")(exploded.count())
+    time("explode+md5")(exploded.select(md5(col("sh")).as("h"))
+      .agg(count(col("h"))).collect())
+    val sig = exploded.withColumn("h", md5(col("sh"))).groupBy(col("doc_id"))
+      .agg((0 until 8).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).head,
+        (0 until 8).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).tail: _*)
+    time("signature")(sig.count())
+    time("full pairs") {
+      val bandCols = (0 until 4).map { b => concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")) }
+      val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("bi", "bk")))
+      bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id")).distinct().count()
+    }
+    spark.stop()
+  }
+}
