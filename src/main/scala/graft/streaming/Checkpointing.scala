@@ -1,0 +1,186 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Checkpoint/Dependency — the reference's one algorithmically original
+  * operator (/root/reference slipstream/checkpointing.py, 412 LoC):
+  * cross-stream event-time downtime detection and recovery.
+  *
+  * Semantics reproduced:
+  *  - `check_pulse(marker, state)` per dependent message
+  *    (checkpointing.py:313-366): saves the dependent marker + user
+  *    state (canonically partition→offset); initializes unseen
+  *    dependency markers to the first dependent marker; downtime check =
+  *    dependent_marker − dependency_marker > threshold (default 10 min,
+  *    checkpointing.py:53) → emit `downtime` (+`pause` when
+  *    pauseDependent, the reference's Signal.PAUSE to the dependent's
+  *    PausableStream).
+  *  - `heartbeat(marker)` per dependency message
+  *    (checkpointing.py:262-311): saves the dependency marker AND
+  *    snapshots the dependent's current user state (the seek-back
+  *    target); if down, recovery check = dependency marker has
+  *    overtaken the dependent marker (checkpointing.py:113-131); when
+  *    ALL dependencies are up again → `recovery` (carrying the saved
+  *    state for the seek-back correction, cookbook.rst:506-516)
+  *    + `resume`.
+  *
+  * Architecture: a keyed stateful operator over the UNION of marker
+  * streams (dependent pulses tagged vs dependency heartbeats), keyed by
+  * checkpoint name. State lives in the streaming state store (RocksDB
+  * provider) ⇒ restart-safe, the parity of the reference's cache
+  * persistence (checkpointing.py:253-260). "Pause" cannot mutate a
+  * running query from inside an operator, so the operator EMITS
+  * transition events and [[CheckpointManager]] applies them driver-side
+  * (stop query / restart with rewound startingOffsets) — see SURVEY §7.
+  */
+object Checkpointing {
+
+  /** A marker message: dependent pulse (isDependent=true, carrying user
+    * state such as partition→offset) or dependency heartbeat. */
+  case class Marker(
+      checkpoint: String,
+      stream: String,
+      isDependent: Boolean,
+      markerUs: Long,
+      state: Map[String, String] = Map.empty)
+
+  case class DepState(
+      markerUs: Option[Long],
+      isDown: Boolean,
+      savedState: Map[String, String],
+      downSinceUs: Option[Long])
+
+  case class CheckpointState(
+      dependentMarkerUs: Option[Long],
+      userState: Map[String, String],
+      deps: Map[String, DepState])
+
+  object CheckpointState {
+    def empty(dependencies: Seq[String]): CheckpointState =
+      CheckpointState(None, Map.empty,
+        dependencies.map(_ -> DepState(None, isDown = false, Map.empty, None)).toMap)
+  }
+
+  /** Emitted transitions: downtime / pause / recovery / resume.
+    * `savedState` on recovery = the seek-back offsets. */
+  case class Transition(
+      checkpoint: String,
+      kind: String,
+      stream: String,
+      markerUs: Long,
+      downtimeUs: Option[Long],
+      savedState: Map[String, String])
+
+  /** Configuration of one checkpoint (reference
+    * checkpointing.py:225-260). */
+  case class Config(
+      name: String,
+      dependent: String,
+      dependencies: Seq[String],
+      downtimeThresholdUs: Long = 10L * 60 * 1000 * 1000,
+      pauseDependent: Boolean = true)
+
+  /** Pure transition function — one marker against the state. Exactly
+    * mirrors check_pulse/heartbeat; unit-testable without a stream. */
+  def step(cfg: Config, st: CheckpointState, m: Marker): (CheckpointState, Seq[Transition]) = {
+    val out = Seq.newBuilder[Transition]
+    var state = st
+    if (m.isDependent) {
+      // check_pulse: save marker + user state
+      state = state.copy(dependentMarkerUs = Some(m.markerUs),
+        userState = if (m.state.nonEmpty) m.state else state.userState)
+      var anyNewDown = false
+      val deps = state.deps.map { case (name, dep) =>
+        // no heartbeat yet: initialize to first dependent marker
+        // (checkpointing.py:338-343)
+        val marked = if (dep.markerUs.isEmpty) dep.copy(markerUs = Some(m.markerUs)) else dep
+        val lagUs = m.markerUs - marked.markerUs.get
+        if (!marked.isDown && lagUs > cfg.downtimeThresholdUs) {
+          out += Transition(cfg.name, "downtime", name, m.markerUs, Some(lagUs), Map.empty)
+          anyNewDown = true
+          name -> marked.copy(isDown = true, downSinceUs = Some(m.markerUs))
+        } else name -> marked
+      }
+      state = state.copy(deps = deps)
+      if (anyNewDown && cfg.pauseDependent)
+        out += Transition(cfg.name, "pause", cfg.dependent, m.markerUs, None, Map.empty)
+    } else {
+      // heartbeat: save dependency marker + snapshot dependent state
+      state.deps.get(m.stream).foreach { dep =>
+        val updated = dep.copy(markerUs = Some(m.markerUs), savedState = state.userState)
+        val recovered = if (dep.isDown) {
+          // recovery check: dependency overtook the dependent
+          // (checkpointing.py:113-131)
+          val overtaken = state.dependentMarkerUs.forall(m.markerUs >= _)
+          if (overtaken) {
+            val up = updated.copy(isDown = false, downSinceUs = None)
+            out += Transition(cfg.name, "recovery", m.stream, m.markerUs, None, up.savedState)
+            up
+          } else updated
+        } else updated
+        state = state.copy(deps = state.deps.updated(m.stream, recovered))
+        if (dep.isDown && !recovered.isDown && state.deps.values.forall(!_.isDown)
+            && cfg.pauseDependent)
+          out += Transition(cfg.name, "resume", cfg.dependent, m.markerUs, None,
+            recovered.savedState)
+      }
+    }
+    (state, out.result())
+  }
+
+  /** Fold a batch of markers (event-time order) through the state. */
+  def run(cfg: Config, st: CheckpointState, ms: Seq[Marker]): (CheckpointState, Seq[Transition]) =
+    ms.sortBy(m => (m.markerUs, m.isDependent)).foldLeft((st, Seq.empty[Transition])) {
+      case ((s, acc), m) =>
+        val (s2, t) = step(cfg, s, m)
+        (s2, acc ++ t)
+    }
+
+  /** Stateful-stream application over the unioned marker stream. */
+  def transitions(
+      cfg: Config,
+      markers: Dataset[Marker])(implicit spark: SparkSession): Dataset[Transition] = {
+    import spark.implicits._
+    val grouped = markers.filter(_.checkpoint == cfg.name).groupByKey(_.checkpoint)
+    if (markers.isStreaming) {
+      grouped.flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[Marker], state: GroupState[CheckpointState]) =>
+          val st = state.getOption.getOrElse(CheckpointState.empty(cfg.dependencies))
+          val (next, out) = run(cfg, st, it.toSeq)
+          state.update(next)
+          out.iterator
+      }
+    } else {
+      grouped.flatMapGroups { (_, it) =>
+        run(cfg, CheckpointState.empty(cfg.dependencies), it.toSeq)._2.iterator
+      }
+    }
+  }
+}
+
+/** Driver-side reactions to checkpoint transitions — the layer that
+  * owns what an operator cannot do from inside a running query: pausing
+  * the dependent (stop its StreamingQuery) and seek-back recovery
+  * (restart it with rewound startingOffsets from the transition's
+  * savedState). Reference parity: Signal.PAUSE/RESUME into
+  * PausableStream + recovery_callback topic.seek
+  * (core.py:60-131, cookbook.rst:425-433). */
+class CheckpointManager(
+    onPause: Checkpointing.Transition => Unit,
+    onResume: Checkpointing.Transition => Unit,
+    onDowntime: Checkpointing.Transition => Unit = _ => (),
+    onRecovery: Checkpointing.Transition => Unit = _ => ()) extends Serializable {
+
+  def apply(t: Checkpointing.Transition): Unit = t.kind match {
+    case "pause" => onPause(t)
+    case "resume" => onResume(t)
+    case "downtime" => onDowntime(t)
+    case "recovery" => onRecovery(t)
+    case _ => ()
+  }
+
+  /** Attach to a transitions stream (foreach sink). */
+  def sink: FlowSink[Checkpointing.Transition] = FlowSink.foreach(apply)
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Codec surface — parity with the reference's ICodec/JsonCodec
+  * (/root/reference slipstream/interfaces.py:14-25, codecs.py:9-28):
+  * `encode: T => bytes`, `decode: bytes => T`, auto str<->bytes at the
+  * wire boundary.
+  *
+  * Two levels:
+  *  - typed [[Codec]] for Dataset pipelines and foreach sinks;
+  *  - columnar helpers (to_json/from_json — codegen'd, the idiomatic
+  *    Spark path) for DataFrame pipelines.
+  */
+trait Codec[T] extends Serializable {
+  def encode(value: T): Array[Byte]
+  def decode(bytes: Array[Byte]): T
+}
+
+/** UTF-8 string codec (the reference's implicit default: str.encode /
+  * bytes.decode at the Kafka boundary, core.py:462-467). */
+object Utf8Codec extends Codec[String] {
+  def encode(value: String): Array[Byte] = value.getBytes(StandardCharsets.UTF_8)
+  def decode(bytes: Array[Byte]): String = new String(bytes, StandardCharsets.UTF_8)
+}
+
+object Codec {
+  /** DataFrame-level JSON decode: value bytes/string column + schema →
+    * struct column (the JsonCodec.decode analog, codegen'd). */
+  def fromJsonCol(value: Column, schema: DataType): Column =
+    from_json(value.cast("string"), schema)
+
+  /** DataFrame-level JSON encode: struct column → JSON string column. */
+  def toJsonCol(struct: Column): Column = to_json(struct)
+
+  /** Decode a `value: binary` column into typed columns, keeping the
+    * rest of the frame. */
+  def decodeJson(df: DataFrame, valueCol: String, schema: DataType, as: String): DataFrame =
+    df.withColumn(as, fromJsonCol(col(valueCol), schema))
+}

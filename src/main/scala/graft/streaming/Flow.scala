@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, ForeachWriter}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The dataflow surface — parity with the reference's `handle`/`stream`
+  * calculus (/root/reference slipstream/core.py:675-713):
+  *
+  *  - source  = any Dataset (batch or streaming) — the AsyncIterable
+  *  - handler = `T => IterableOnce[U]` — return-one / yield-0..n
+  *    (core.py:616-637: a map is a 1-element yield, a filter a 0-element)
+  *  - pipe    = whole-stream transformer `Dataset[T] => Dataset[U]`
+  *    (core.py:244-255, composed left-to-right)
+  *  - fan-in  = `Flow.from(a, b, ...)` unions sources (core.py:692-698)
+  *  - fan-out = multiple `.to(...)` sinks, each value to every sink
+  *    (core.py:623-635)
+  *
+  * One API for bounded and unbounded data, like the reference: a batch
+  * Dataset executes eagerly on `.to`, a streaming Dataset starts a
+  * StreamingQuery per sink. The reference's single-process asyncio
+  * concurrency maps to Spark partition parallelism; per-message
+  * sequential dispatch within a key maps to per-partition ordering.
+  */
+final class Flow[T] private (val ds: Dataset[T]) extends Serializable {
+
+  /** Handler with flatMap semantics: return 0..n outputs per input. */
+  def via[U: Encoder](handler: T => IterableOnce[U]): Flow[U] =
+    new Flow(ds.flatMap(handler))
+
+  def map[U: Encoder](f: T => U): Flow[U] = new Flow(ds.map(f))
+
+  def filter(p: T => Boolean): Flow[T] = new Flow(ds.filter(p))
+
+  /** Whole-stream transformer (the reference's Pipe). */
+  def pipe[U](f: Dataset[T] => Dataset[U]): Flow[U] = new Flow(ds.transform(f))
+
+  /** Terminal: deliver every element to every sink (multi-sink
+    * fan-out). Returns one handle per sink; batch sinks complete
+    * eagerly and return None. */
+  def to(sinks: FlowSink[T]*): Seq[Option[StreamingQuery]] =
+    sinks.map(_.write(ds))
+
+  def dataset: Dataset[T] = ds
+}
+
+object Flow {
+  /** Fan-in: one handler over the union of several sources. */
+  def from[T](first: Dataset[T], rest: Dataset[T]*): Flow[T] =
+    new Flow(rest.foldLeft(first)(_ unionByName _))
+}
+
+/** A sink — the reference accepts any callable plus special-cased
+  * keyed sinks (core.py:597-613). */
+trait FlowSink[T] extends Serializable {
+  def write(ds: Dataset[T]): Option[StreamingQuery]
+}
+
+object FlowSink {
+
+  /** Arbitrary callable sink (K3): per-element function. */
+  def foreach[T](f: T => Unit): FlowSink[T] = new FlowSink[T] {
+    def write(ds: Dataset[T]): Option[StreamingQuery] =
+      if (ds.isStreaming) {
+        Some(ds.writeStream.foreach(new ForeachWriter[T] {
+          def open(partitionId: Long, epochId: Long): Boolean = true
+          def process(value: T): Unit = f(value)
+          def close(errorOrNull: Throwable): Unit = ()
+        }).start())
+      } else { ds.foreach(f(_)); None }
+  }
+
+  /** Console sink (the reference's `print`). */
+  def console[T](numRows: Int = 20): FlowSink[T] = new FlowSink[T] {
+    def write(ds: Dataset[T]): Option[StreamingQuery] =
+      if (ds.isStreaming) Some(ds.writeStream.format("console").start())
+      else { ds.show(numRows, truncate = false); None }
+  }
+
+  /** Named in-memory sink — the test/demo sink (streaming: memory
+    * format; batch: global temp view). */
+  def memory[T](name: String, trigger: Option[Trigger] = None): FlowSink[T] = new FlowSink[T] {
+    def write(ds: Dataset[T]): Option[StreamingQuery] =
+      if (ds.isStreaming) {
+        val w = ds.writeStream.format("memory").queryName(name)
+        Some(trigger.fold(w)(w.trigger).start())
+      } else { ds.createOrReplaceTempView(name); None }
+  }
+
+  /** Parquet sink with checkpointing (durable K-sink analog). */
+  def parquet[T](path: String, checkpoint: String): FlowSink[T] = new FlowSink[T] {
+    def write(ds: Dataset[T]): Option[StreamingQuery] =
+      if (ds.isStreaming)
+        Some(ds.writeStream.format("parquet")
+          .option("path", path).option("checkpointLocation", checkpoint).start())
+      else { ds.write.mode("append").parquet(path); None }
+  }
+
+  /** Kafka sink (K1): frame must carry `key`/`value` columns — the
+    * tuple contract K5, enforced by the sink's analyzer. `dry` skips
+    * the send (reference core.py:471: dry mode). */
+  def kafka[T](bootstrap: String, topic: String, checkpoint: String,
+      dry: Boolean = false): FlowSink[T] = new FlowSink[T] {
+    def write(ds: Dataset[T]): Option[StreamingQuery] = {
+      val frame = ds.toDF()
+      if (dry) {
+        if (frame.isStreaming)
+          Some(frame.writeStream.format("noop").option("checkpointLocation", checkpoint).start())
+        else { frame.write.format("noop").mode("append").save(); None }
+      } else if (frame.isStreaming) {
+        Some(frame.writeStream.format("kafka")
+          .option("kafka.bootstrap.servers", bootstrap)
+          .option("topic", topic)
+          .option("checkpointLocation", checkpoint).start())
+      } else {
+        frame.write.format("kafka")
+          .option("kafka.bootstrap.servers", bootstrap)
+          .option("topic", topic).save()
+        None
+      }
+    }
+  }
+}

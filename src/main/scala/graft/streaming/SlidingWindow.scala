@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-event sliding window — the reference's W1
+  * (/root/reference docs/source/cookbook.rst:225-280): on EVERY event,
+  * evict entries older than `windowSize` and re-emit the per-key counts
+  * of everything still in the window. Spark's built-in `window()` is
+  * bucketed (fires per bucket, not per element), so this is a custom
+  * stateful operator.
+  *
+  * State per group: the live event list (key, eventTime); events within
+  * a micro-batch are processed in event-time order. Eviction keeps the
+  * state bounded by the window span — at 100 TB scale the state per
+  * group is O(events-in-window), never O(history), and groups
+  * partition across executors.
+  */
+object SlidingWindow {
+
+  /** One input event: grouping key (state scope), counted key, seconds. */
+  case class Timed(group: String, key: String, ts: Double)
+
+  /** Per-event output: the full in-window counts, reference-style. */
+  case class WindowCounts(group: String, ts: Double, counts: Map[String, Long])
+
+  /** Pure per-group step — unit-testable without a stream (mirrors the
+    * reference's MockCache-style tests). */
+  def step(
+      state: Vector[(String, Double)],
+      events: Seq[(String, Double)],
+      windowSize: Double): (Vector[(String, Double)], Seq[(Double, Map[String, Long])]) = {
+    var live = state
+    val out = Seq.newBuilder[(Double, Map[String, Long])]
+    events.sortBy(_._2).foreach { case (k, t) =>
+      live = (live :+ (k, t)).filter { case (_, te) => t - te <= windowSize }
+      out += ((t, live.groupBy(_._1).view.mapValues(_.size.toLong).toMap))
+    }
+    (live, out.result())
+  }
+
+  /** Streaming (or batch) application over a Dataset of [[Timed]]. */
+  def counts(
+      ds: Dataset[Timed],
+      windowSize: Double)(implicit spark: SparkSession): Dataset[WindowCounts] = {
+    import spark.implicits._
+    val grouped = ds.groupByKey(_.group)
+    if (ds.isStreaming) {
+      grouped.flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, it: Iterator[Timed], state: GroupState[Vector[(String, Double)]]) =>
+          val (next, out) =
+            step(state.getOption.getOrElse(Vector.empty), it.toSeq.map(e => (e.key, e.ts)), windowSize)
+          state.update(next)
+          out.iterator.map { case (t, m) => WindowCounts(group, t, m) }
+      }
+    } else {
+      grouped.flatMapGroups { (group, it) =>
+        val (_, out) = step(Vector.empty, it.toSeq.map(e => (e.key, e.ts)), windowSize)
+        out.iterator.map { case (t, m) => WindowCounts(group, t, m) }
+      }
+    }
+  }
+}

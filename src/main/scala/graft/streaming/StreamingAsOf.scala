@@ -1,0 +1,101 @@
+package graft.streaming
+
+import scala.collection.Searching.{Found, InsertionPoint}
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming temporal as-of join — the reference's flagship pattern
+  * (/root/reference docs/source/cookbook.rst:289-356): the right side is
+  * cached keyed by event time; each left event probes for the greatest
+  * right timestamp ≤ its own (the reverse range scan
+  * `cache.values(backwards=True, from_key=ts)`, caching.py:302-317).
+  *
+  * Implementation: union of both sides keyed by the join key, a
+  * stateful operator holding the right side as a time-sorted buffer
+  * per key; within each micro-batch events process in event-time order
+  * (right before left at equal timestamps — inclusive match). State is
+  * bounded: entries older than `retentionUs` behind the max seen right
+  * timestamp are evicted per key (the watermark analog), so per-key
+  * state is O(retention window), not O(history).
+  *
+  * The batch equivalent lives in graft.operators.AsOfJoin (single
+  * shuffle + running window). Cross-batch late RIGHT data does not
+  * retro-correct already-emitted left rows — exactly the staleness the
+  * reference's Checkpoint/Dependency protocol exists to repair (§2.9).
+  */
+object StreamingAsOf {
+
+  /** Unioned wire format: `left` payload xor `right` payload. */
+  case class Input(
+      key: String,
+      tsUs: Long,
+      isLeft: Boolean,
+      leftPayload: String,
+      rightPayload: String)
+
+  case class Joined(
+      key: String,
+      tsUs: Long,
+      leftPayload: String,
+      rightTsUs: Option[Long],
+      rightPayload: Option[String])
+
+  /** Per-key state: right-side buffer sorted by timestamp. */
+  case class Buffer(rights: Vector[(Long, String)])
+
+  /** Pure step: fold one batch of inputs (sorted: ts, right-first)
+    * through the buffer. */
+  def step(
+      st: Buffer,
+      inputs: Seq[Input],
+      retentionUs: Long): (Buffer, Seq[Joined]) = {
+    var rights = st.rights
+    val out = Seq.newBuilder[Joined]
+    inputs.sortBy(i => (i.tsUs, i.isLeft)).foreach { in =>
+      if (!in.isLeft) {
+        // insert keeping sort (usually append: mostly-ordered streams)
+        val idx = rights.search((in.tsUs, in.rightPayload))(
+          Ordering.by[(Long, String), Long](_._1)) match {
+          case Found(i) => i + 1
+          case InsertionPoint(i) => i
+        }
+        rights = (rights.take(idx) :+ (in.tsUs -> in.rightPayload)) ++ rights.drop(idx)
+        val horizon = rights.last._1 - retentionUs
+        // keep one entry at-or-before the horizon so probes still match
+        val cut = rights.lastIndexWhere(_._1 <= horizon)
+        if (cut > 0) rights = rights.drop(cut)
+      } else {
+        // greatest right ts <= probe ts (reverse scan, first hit)
+        val i = rights.lastIndexWhere(_._1 <= in.tsUs)
+        val hit = if (i >= 0) Some(rights(i)) else None
+        out += Joined(in.key, in.tsUs, in.leftPayload, hit.map(_._1), hit.map(_._2))
+      }
+    }
+    (Buffer(rights), out.result())
+  }
+
+  implicit private val bufEnc: Encoder[Buffer] = Encoders.product[Buffer]
+
+  /** Apply over a unioned Dataset[Input] (streaming or batch). */
+  def join(
+      ds: Dataset[Input],
+      retentionUs: Long = Long.MaxValue / 4)(implicit spark: SparkSession): Dataset[Joined] = {
+    import spark.implicits._
+    val grouped = ds.groupByKey(_.key)
+    if (ds.isStreaming) {
+      grouped.flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[Input], state: GroupState[Buffer]) =>
+          val (next, out) =
+            step(state.getOption.getOrElse(Buffer(Vector.empty)), it.toSeq, retentionUs)
+          state.update(next)
+          out.iterator
+      }
+    } else {
+      grouped.flatMapGroups { (_, it) =>
+        step(Buffer(Vector.empty), it.toSeq, retentionUs)._2.iterator
+      }
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.GraftSession
+import graft.streaming._
+import graft.streaming.Checkpointing._
+import graft.streaming.StreamingAsOf.Input
+
+/** End-to-end drive of the streaming layer through the public API: the
+  * reference's weather/activity scenario with downtime and recovery
+  * (cookbook.rst:358-520) running as two real Spark streaming queries —
+  * the as-of enrichment and the checkpoint transition stream — with a
+  * CheckpointManager reacting driver-side. */
+object StreamingDemo {
+  def main(args: Array[String]): Unit = {
+    implicit val spark = GraftSession.getOrCreate("local[4]")
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    def us(h: Int, m: Int = 0): Long = (h * 60L + m) * 60L * 1000000L
+
+    // ---- as-of enrichment flow (Flow + StreamingAsOf) ----
+    val events = MemoryStream[Input]
+    val enriched = Flow.from(events.toDS())
+      .pipe(ds => StreamingAsOf.join(ds))
+      .map(j => s"The weather during ${j.leftPayload} was ${j.rightPayload.getOrElse("?")}")
+    val Seq(Some(q1)) = enriched.to(FlowSink.memory[String]("demo_enriched"))
+
+    // ---- checkpoint transition flow + driver-side manager ----
+    val markers = MemoryStream[Marker]
+    val cfg = Config("demo", "activity", Seq("weather"),
+      downtimeThresholdUs = 3600L * 1000000L)
+    val q2 = Checkpointing.transitions(cfg, markers.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("demo_cp").start()
+
+    def feed(h: Int, m: Int, weather: Option[String], activity: Option[String], offset: Int): Unit = {
+      weather.foreach { w =>
+        events.addData(Input("x", us(h, m), isLeft = false, "", w))
+        markers.addData(Marker("demo", "weather", isDependent = false, us(h, m)))
+      }
+      activity.foreach { a =>
+        events.addData(Input("x", us(h, m), isLeft = true, a, ""))
+        markers.addData(Marker("demo", "activity", isDependent = true, us(h, m),
+          Map("0" -> offset.toString)))
+      }
+      q1.processAllAvailable(); q2.processAllAvailable()
+    }
+
+    feed(10, 0, Some("🌞"), None, -1)
+    feed(10, 30, None, Some("swimming"), 0)
+    feed(11, 0, Some("⛅"), None, -1)
+    feed(11, 30, None, Some("walking home"), 1)
+    // weather stalls; activity keeps flowing -> stale enrichment
+    feed(12, 30, None, Some("shopping"), 2)
+    // weather recovers: the stalled messages catch up (🌦️ then 🌧)
+    feed(12, 0, Some("🌦️"), None, -1)
+    feed(13, 0, Some("🌧"), None, -1)
+    // manager-driven correction: reprocess from saved offsets ({0: 2})
+    val transitions = spark.table("demo_cp").as[Transition].collect().sortBy(_.markerUs)
+    val mgr = new CheckpointManager(
+      onPause = t => println(s"[demo] PAUSE ${t.stream}"),
+      onResume = t => {
+        println(s"[demo] RESUME ${t.stream} seek-back to ${t.savedState}")
+        // replay the corrected activity against the recovered right side
+        events.addData(Input("x", us(12, 30) + 1, isLeft = true, "shopping (corrected)", ""))
+        q1.processAllAvailable()
+      },
+      onDowntime = t => println(s"[demo] DOWNTIME ${t.stream} lag=${t.downtimeUs.get / 1000000}s"))
+    transitions.foreach(mgr(_))
+    feed(13, 10, None, Some("lunch"), 3)
+
+    println("[demo] transitions: " + transitions.map(_.kind).mkString(", "))
+    spark.table("demo_enriched").as[String].collect().foreach(s => println("[demo] " + s))
+    q1.stop(); q2.stop(); spark.stop()
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+import StreamingAsOf.{Input, Joined}
+
+/** F4 fixture (FIXTURES.md / reference cookbook.rst:289-356): the
+  * weather/activity temporal join, asserted against the reference's
+  * printed output strings. */
+class AsOfSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(h: Int, m: Int = 0) = Timestamp.valueOf(f"2023-01-01 $h%02d:$m%02d:00")
+  val weather = Seq(
+    (ts(10), "🌞"), (ts(11), "⛅"), (ts(12), "🌦️"), (ts(13), "🌧"))
+  val activity = Seq(
+    (ts(10, 30), "swimming"), (ts(11, 30), "walking home"),
+    (ts(12, 30), "shopping"), (ts(13, 10), "lunch"))
+  val expected = Seq(
+    "The weather during swimming was 🌞",
+    "The weather during walking home was ⛅",
+    "The weather during shopping was 🌦️",
+    "The weather during lunch was 🌧")
+
+  test("batch as-of join reproduces the cookbook output (cookbook.rst:346-351)") {
+    val w = weather.toDF("wts", "weather").withColumn("k", lit("x"))
+    val a = activity.toDF("ats", "activity").withColumn("k", lit("x"))
+    val joined = AsOfJoin.asOf(a, w, "ats", "wts", Seq("k"), Seq("weather"))
+      .orderBy(col("ats"))
+      .select(concat(lit("The weather during "), col("activity"),
+        lit(" was "), col("r_weather")).as("line"))
+      .as[String].collect().toSeq
+    assert(joined == expected)
+  }
+
+  test("as-of with tolerance nulls out stale matches") {
+    val w = weather.take(2).toDF("wts", "weather").withColumn("k", lit("x"))
+    val a = activity.toDF("ats", "activity").withColumn("k", lit("x"))
+    val joined = AsOfJoin.asOf(a, w, "ats", "wts", Seq("k"), Seq("weather"),
+        tolerance = Some(expr("interval 1 hour")))
+      .orderBy(col("ats"))
+      .select(col("activity"), col("r_weather"))
+      .as[(String, Option[String])].collect().toSeq
+    // shopping (12:30) and lunch (13:10) are >1h past the last weather (11:00)
+    assert(joined == Seq(
+      ("swimming", Some("🌞")), ("walking home", Some("⛅")),
+      ("shopping", None), ("lunch", None)))
+  }
+
+  test("pure streaming step: reverse-scan probe + eviction") {
+    val inputs = Seq(
+      Input("x", 1000L, isLeft = false, "", "🌞"),
+      Input("x", 1500L, isLeft = true, "swimming", ""),
+      Input("x", 2000L, isLeft = false, "", "⛅"),
+      Input("x", 900L, isLeft = true, "before-any", ""))
+    val (buf, out) = StreamingAsOf.step(StreamingAsOf.Buffer(Vector.empty), inputs, 10000L)
+    assert(out == Seq(
+      Joined("x", 900L, "before-any", None, None),
+      Joined("x", 1500L, "swimming", Some(1000L), Some("🌞"))))
+    assert(buf.rights == Vector(1000L -> "🌞", 2000L -> "⛅"))
+  }
+
+  test("streaming as-of across micro-batches (weather cached, activity probes)") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Input]
+    val q = StreamingAsOf.join(src.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_out").start()
+    def us(t: Timestamp) = t.getTime * 1000L
+    // batch 1: two weather updates + two activities
+    src.addData(
+      Input("x", us(ts(10)), isLeft = false, "", "🌞"),
+      Input("x", us(ts(11)), isLeft = false, "", "⛅"),
+      Input("x", us(ts(10, 30)), isLeft = true, "swimming", ""),
+      Input("x", us(ts(11, 30)), isLeft = true, "walking home", ""))
+    q.processAllAvailable()
+    // batch 2: the rest — right-side state must have survived
+    src.addData(
+      Input("x", us(ts(12)), isLeft = false, "", "🌦️"),
+      Input("x", us(ts(13)), isLeft = false, "", "🌧"),
+      Input("x", us(ts(12, 30)), isLeft = true, "shopping", ""),
+      Input("x", us(ts(13, 10)), isLeft = true, "lunch", ""))
+    q.processAllAvailable()
+    val got = spark.table("asof_out").as[Joined].collect()
+      .sortBy(_.tsUs)
+      .map(j => s"The weather during ${j.leftPayload} was ${j.rightPayload.get}").toSeq
+    q.stop()
+    assert(got == expected)
+  }
+
+  test("eviction bounds the right-side buffer") {
+    val inputs = (0 until 100).map(i =>
+      Input("x", i * 1000L, isLeft = false, "", s"w$i"))
+    val (buf, _) = StreamingAsOf.step(StreamingAsOf.Buffer(Vector.empty), inputs, 5000L)
+    assert(buf.rights.size <= 7)
+    // probes at the horizon still match the newest entry at-or-before
+    val (_, out) = StreamingAsOf.step(buf, Seq(Input("x", 99500L, isLeft = true, "p", "")), 5000L)
+    assert(out.head.rightPayload.contains("w99"))
+  }
+}

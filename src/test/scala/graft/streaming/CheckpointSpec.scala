@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import Checkpointing._
+
+/** The reference's flagship scenario (FIXTURES.md F4 downtime variant /
+  * cookbook.rst:358-520, tests/integration/test_kafka_integration.py:48-162):
+  * weather stalls after ⛅ with a 1 h threshold → stale enrichment,
+  * downtime 5400 s detected, dependent paused, recovery after the 🌧
+  * heartbeat, seek-back offsets {0: 2}. Also mirrors the marker-sequence
+  * unit tests of tests/test_checkpointing.py. */
+class CheckpointSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  val cfg = Config(
+    name = "weather_activity",
+    dependent = "activity",
+    dependencies = Seq("weather"),
+    downtimeThresholdUs = 3600L * 1000000L)
+
+  def us(h: Int, m: Int = 0): Long =
+    Timestamp.valueOf(f"2023-01-01 $h%02d:$m%02d:00").getTime * 1000L
+
+  def hb(h: Int, m: Int = 0) =
+    Marker("weather_activity", "weather", isDependent = false, us(h, m))
+  def pulse(h: Int, m: Int, offset: Int) =
+    Marker("weather_activity", "activity", isDependent = true, us(h, m), Map("0" -> offset.toString))
+
+  val scenario = Seq(
+    hb(10), pulse(10, 30, 0),            // 🌞, swimming
+    hb(11), pulse(11, 30, 1),            // ⛅, walking home
+    pulse(12, 30, 2),                    // shopping — weather is stale
+    hb(13))                              // 🌧 recovers
+
+  test("downtime -> pause -> recovery -> resume, seek-back offsets {0: 2}") {
+    val (state, out) = Checkpointing.run(cfg, CheckpointState.empty(cfg.dependencies), scenario)
+    assert(out.map(_.kind) == Seq("downtime", "pause", "recovery", "resume"))
+
+    val down = out(0)
+    assert(down.stream == "weather")
+    assert(down.downtimeUs.contains(5400L * 1000000L)) // "Downtime detected: 1:30:00"
+    assert(out(1).stream == "activity")
+
+    val rec = out(2)
+    assert(rec.stream == "weather")
+    assert(rec.savedState == Map("0" -> "2")) // "going back to offset {'0': 2}"
+    assert(out(3).stream == "activity")
+    assert(state.deps("weather").isDown == false)
+  }
+
+  test("no downtime while dependencies keep pace (test_checkpointing.py:163-186)") {
+    val calm = Seq(hb(10), pulse(10, 30, 0), hb(11), pulse(11, 30, 1), hb(12), pulse(12, 30, 2))
+    val (_, out) = Checkpointing.run(cfg, CheckpointState.empty(cfg.dependencies), calm)
+    assert(out.isEmpty)
+  }
+
+  test("dependency marker initializes from first dependent marker (checkpointing.py:338-343)") {
+    // no heartbeat ever seen: first pulse initializes the marker, so no
+    // immediate false downtime; a later pulse past the threshold fires
+    val (_, out) = Checkpointing.run(cfg, CheckpointState.empty(cfg.dependencies),
+      Seq(pulse(10, 0, 0), pulse(10, 30, 1), pulse(11, 30, 2)))
+    assert(out.map(_.kind) == Seq("downtime", "pause"))
+    assert(out(0).downtimeUs.contains(5400L * 1000000L))
+  }
+
+  test("recovery requires the dependency to overtake the dependent (checkpointing.py:113-131)") {
+    val (st, out) = Checkpointing.run(cfg, CheckpointState.empty(cfg.dependencies),
+      scenario.take(5)) // through the shopping pulse -> down
+    assert(out.map(_.kind) == Seq("downtime", "pause"))
+    assert(st.deps("weather").isDown)
+    // late heartbeat still BEHIND the dependent (12:00 < 12:30): no recovery
+    val (st2, out2) = Checkpointing.run(cfg, st, Seq(hb(12, 0)))
+    assert(out2.isEmpty && st2.deps("weather").isDown)
+    val (_, out3) = Checkpointing.run(cfg, st2, Seq(hb(12, 45))) // overtakes 12:30
+    assert(out3.map(_.kind) == Seq("recovery", "resume"))
+  }
+
+  test("pauseDependent=false emits downtime/recovery but never pause/resume") {
+    val cfg2 = cfg.copy(pauseDependent = false)
+    val (_, out) = Checkpointing.run(cfg2, CheckpointState.empty(cfg2.dependencies), scenario)
+    assert(out.map(_.kind) == Seq("downtime", "recovery"))
+  }
+
+  test("multiple dependencies: resume only when ALL recover (checkpointing.py:294)") {
+    val cfg3 = cfg.copy(dependencies = Seq("weather", "traffic"))
+    def thb(h: Int, m: Int = 0) =
+      Marker("weather_activity", "traffic", isDependent = false, us(h, m))
+    val seq = Seq(
+      hb(10), thb(10), pulse(10, 30, 0),
+      pulse(12, 0, 1),  // both deps stale -> both down, one pause
+      hb(12, 30),       // weather recovers; traffic still down
+      thb(12, 45))      // traffic recovers -> resume
+    val (_, out) = Checkpointing.run(cfg3, CheckpointState.empty(cfg3.dependencies), seq)
+    assert(out.map(_.kind) == Seq("downtime", "downtime", "pause", "recovery", "recovery", "resume"))
+  }
+
+  test("streaming transitions across micro-batches with CheckpointManager") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Marker]
+    val q = transitions(cfg, src.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cp_out").start()
+    src.addData(scenario.take(5): _*) // through the shopping pulse
+    q.processAllAvailable()
+    val afterPause = spark.table("cp_out").as[Transition].collect().map(_.kind).toSeq
+    assert(afterPause == Seq("downtime", "pause"))
+    src.addData(scenario.drop(5): _*) // 🌧 heartbeat in a later batch
+    q.processAllAvailable()
+    val all = spark.table("cp_out").as[Transition].collect().sortBy(_.markerUs)
+    q.stop()
+    assert(all.map(_.kind).toSeq == Seq("downtime", "pause", "recovery", "resume"))
+
+    // driver-side reactions (reference Signal.PAUSE/RESUME + seek)
+    val log = mutable.Buffer[String]()
+    val mgr = new CheckpointManager(
+      onPause = t => log += s"pause:${t.stream}",
+      onResume = t => log += s"resume:${t.stream}:offsets=${t.savedState.toSeq.sorted.mkString(",")}")
+    all.foreach(mgr(_))
+    assert(log == Seq("pause:activity", "resume:activity:offsets=(0,2)"))
+  }
+}

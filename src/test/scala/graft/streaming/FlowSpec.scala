@@ -1,0 +1,107 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+object TestSpark {
+  lazy val spark: SparkSession = GraftSession.getOrCreate("local[4]")
+}
+
+/** F1 fixtures (FIXTURES.md): the reference's emoji smoke tests —
+  * handler map (README.md:26-40), flatMap/filter yield-0-or-more
+  * (features.rst:151-180), fan-in, multi-sink fan-out. */
+class FlowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val emoji = Seq("🏆", "📞", "🐟", "👌")
+
+  test("map handler: Hello <emoji>! (reference README.md:26-40)") {
+    val out = Flow.from(emoji.toDS())
+      .map(s => s"Hello $s!")
+      .dataset.collect().toSeq
+    assert(out == emoji.map(s => s"Hello $s!"))
+  }
+
+  test("flatMap/filter handler: yield zero or more (features.rst:151-180)") {
+    val out = Flow.from(spark.range(0, 5).as[Long])
+      .via { v =>
+        (if (v == 0) Seq(s"zero: $v") else Nil) ++
+          (if (v % 2 == 0) Seq(s"even: $v") else Nil)
+      }
+      .dataset.collect().toSet
+    assert(out == Set("zero: 0", "even: 0", "even: 2", "even: 4"))
+  }
+
+  test("fan-in: one handler over several sources (core.py:692-698)") {
+    val a = Seq("a1", "a2").toDS()
+    val b = Seq("b1").toDS()
+    val out = Flow.from(a, b).map(_.toUpperCase).dataset.collect().toSet
+    assert(out == Set("A1", "A2", "B1"))
+  }
+
+  test("pipe transformer: pairwise via whole-stream transform (cookbook.rst:99-132)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val out = Flow.from(Seq(1, 2, 3, 4).toDS())
+      .pipe { ds =>
+        ds.toDF("v")
+          .withColumn("prev", lag(col("v"), 1).over(Window.orderBy(col("v"))))
+          .where(col("prev").isNotNull)
+          .selectExpr("prev", "v").as[(Int, Int)]
+      }
+      .dataset.collect().toSet
+    assert(out == Set((1, 2), (2, 3), (3, 4)))
+  }
+
+  test("multi-sink fan-out: every value reaches every sink (core.py:623-635)") {
+    val seen1 = mutable.Set[String]()
+    val seen2 = mutable.Set[String]()
+    // batch foreach sinks run eagerly; closures mutate local state via
+    // collect-side effect only in local mode — use collect-based sinks
+    val ds = emoji.toDS()
+    val results = Flow.from(ds).to(
+      new FlowSink[String] {
+        def write(d: org.apache.spark.sql.Dataset[String]) = { seen1 ++= d.collect(); None }
+      },
+      new FlowSink[String] {
+        def write(d: org.apache.spark.sql.Dataset[String]) = { seen2 ++= d.collect(); None }
+      })
+    assert(results == Seq(None, None))
+    assert(seen1 == emoji.toSet && seen2 == emoji.toSet)
+  }
+
+  test("streaming flow: MemoryStream source -> handler -> memory sink") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[String]
+    val q = Flow.from(src.toDS())
+      .map(s => s"Hello $s!")
+      .to(FlowSink.memory[String]("flow_out"))
+      .head.get
+    src.addData(emoji: _*)
+    q.processAllAvailable()
+    val got = spark.table("flow_out").as[String].collect().toSet
+    q.stop()
+    assert(got == emoji.map(s => s"Hello $s!").toSet)
+  }
+
+  test("fold aggregation on a stream: emoji counts (getting_started.rst:84-145)") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val src = MemoryStream[String]
+    val counts = src.toDS().groupBy(col("value").as("emoji")).count()
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("fold_out").start()
+    src.addData(emoji ++ emoji: _*)
+    q.processAllAvailable()
+    val got = spark.table("fold_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(got == emoji.map(_ -> 2L).toMap)
+  }
+}

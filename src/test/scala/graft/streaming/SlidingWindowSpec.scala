@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import SlidingWindow.{Timed, WindowCounts}
+
+/** F3 fixture (FIXTURES.md / reference cookbook.rst:225-280): 3-second
+  * per-event sliding window over timestamped emojis; expected outputs
+  * asserted verbatim from the reference's printed run. */
+class SlidingWindowSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  val events = Seq(
+    ("🏆", 0.0), ("📞", 0.5), ("🐟", 1.0), ("👌", 2.0),
+    ("🏆", 3.5), ("📞", 4.0), ("🐟", 5.0), ("👌", 5.5))
+
+  // cookbook.rst:271-280 — the eight expected window snapshots
+  val expected = Seq(
+    0.0 -> Map("🏆" -> 1L),
+    0.5 -> Map("🏆" -> 1L, "📞" -> 1L),
+    1.0 -> Map("🏆" -> 1L, "📞" -> 1L, "🐟" -> 1L),
+    2.0 -> Map("🏆" -> 1L, "📞" -> 1L, "🐟" -> 1L, "👌" -> 1L),
+    3.5 -> Map("📞" -> 1L, "🐟" -> 1L, "👌" -> 1L, "🏆" -> 1L),
+    4.0 -> Map("🐟" -> 1L, "👌" -> 1L, "🏆" -> 1L, "📞" -> 1L),
+    5.0 -> Map("👌" -> 1L, "🏆" -> 1L, "📞" -> 1L, "🐟" -> 1L),
+    5.5 -> Map("🏆" -> 1L, "📞" -> 1L, "🐟" -> 1L, "👌" -> 1L))
+
+  test("pure step reproduces the reference run exactly") {
+    val (_, out) = SlidingWindow.step(Vector.empty, events, 3.0)
+    assert(out == expected)
+  }
+
+  test("batch dataset application") {
+    val ds = events.map { case (k, t) => Timed("g", k, t) }.toDS()
+    val got = SlidingWindow.counts(ds, 3.0).collect().sortBy(_.ts)
+      .map(w => w.ts -> w.counts).toSeq
+    assert(got == expected)
+  }
+
+  test("streaming application carries state across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Timed]
+    val q = SlidingWindow.counts(src.toDS(), 3.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sliding_out").start()
+    // two micro-batches: state (the 2.0 👌 etc.) must survive the first
+    src.addData(events.take(4).map { case (k, t) => Timed("g", k, t) }: _*)
+    q.processAllAvailable()
+    src.addData(events.drop(4).map { case (k, t) => Timed("g", k, t) }: _*)
+    q.processAllAvailable()
+    val got = spark.table("sliding_out").as[WindowCounts].collect()
+      .sortBy(_.ts).map(w => w.ts -> w.counts).toSeq
+    q.stop()
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cache-surface parity tests (reference tests/test_cache.py): CRUD with
+  * None-on-miss, ordered/reverse/from-key/prefix scans
+  * (test_cache.py:227-325), persistence across reopen, compaction. */
+class StateTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def fresh(): (StateTable, String) = {
+    val dir = Files.createTempDirectory("statetable").toFile.getAbsolutePath + "/t"
+    (new StateTable(spark, dir), dir)
+  }
+
+  test("put/get/delete with miss -> None (interfaces.py:83-90)") {
+    val (t, _) = fresh()
+    t.put(Seq(("a", 1), ("b", 2)).toDF("key", "v"))
+    assert(t.get("a").map(_.getAs[Int]("v")).contains(1))
+    assert(t.get("zzz").isEmpty)
+    t.put(Seq(("a", 10)).toDF("key", "v")) // overwrite = last write wins
+    assert(t.get("a").map(_.getAs[Int]("v")).contains(10))
+    t.delete(Seq(Tuple1("a")).toDF("key"))
+    assert(t.get("a").isEmpty)
+    assert(t.get("b").map(_.getAs[Int]("v")).contains(2))
+  }
+
+  test("ordered, reverse, from-key and prefix scans (caching.py:266-351)") {
+    val (t, _) = fresh()
+    t.put(Seq(("cat1", 1), ("cat2", 2), ("dog1", 3), ("ape1", 4)).toDF("key", "v"))
+    assert(t.scan().select("key").as[String].collect().toSeq ==
+      Seq("ape1", "cat1", "cat2", "dog1"))
+    assert(t.scan(backwards = true).select("key").as[String].collect().toSeq ==
+      Seq("dog1", "cat2", "cat1", "ape1"))
+    // reverse scan from key: greatest key <= from_key first (the as-of probe)
+    assert(t.scan(backwards = true, fromKey = Some("cat9")).select("key")
+      .as[String].collect().toSeq == Seq("cat2", "cat1", "ape1"))
+    assert(t.scan(prefix = Some("cat")).select("key").as[String].collect().toSeq ==
+      Seq("cat1", "cat2"))
+  }
+
+  test("persists across reopen (features.rst:64-66)") {
+    val (t, dir) = fresh()
+    t.put(Seq(("k", 42)).toDF("key", "v"))
+    val reopened = new StateTable(spark, dir)
+    assert(reopened.get("k").map(_.getAs[Int]("v")).contains(42))
+  }
+
+  test("compaction preserves the live view (caching.py:109-133)") {
+    val (t, _) = fresh()
+    t.put(Seq(("a", 1), ("b", 2)).toDF("key", "v"))
+    t.put(Seq(("a", 3)).toDF("key", "v"))
+    t.delete(Seq(Tuple1("b")).toDF("key"))
+    t.compact()
+    assert(t.scan().select("key", "v").as[(String, Int)].collect().toSeq == Seq(("a", 3)))
+  }
+}
