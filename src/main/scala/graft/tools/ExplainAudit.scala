@@ -1,0 +1,21 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Prints formatted physical plans for scale-critical queries so shuffle
+  * counts / pushdown / broadcast choices can be audited. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("a1_fold_agg", "j2_equijoin", "j1_asof_join", "range_prefix_scan",
+        "dedup_minhash_lsh", "sim_cosine_topk")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

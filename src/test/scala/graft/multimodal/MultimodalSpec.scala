@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+import Multimodal._
+
+/** Multimodal plumbing: schema, batch shape, determinism, partition
+  * parallelism. The decode is a stub (no codec libs in the container);
+  * everything around it is real. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  def media(n: Int): Seq[MediaRecord] = (0 until n).map { i =>
+    val mt = Seq("image", "audio", "video")(i % 3)
+    MediaRecord(i.toLong, mt, s"payload-$i".getBytes("UTF-8") ++ Array.fill(i)(i.toByte),
+      Map("source" -> s"s$i"))
+  }
+
+  test("decode+featurize: schema, dims in range, deterministic across runs") {
+    val ds = media(50).toDS().repartition(4)
+    val out1 = decodeAndFeaturize(ds, batchSize = 8).collect().sortBy(_.id)
+    val out2 = decodeAndFeaturize(ds, batchSize = 3).collect().sortBy(_.id)
+    assert(out1.length == 50)
+    assert(out1.forall(d => d.width >= 64 && d.width < 1280 && d.height >= 64 && d.height < 720))
+    assert(out1.forall(_.features.length == 8))
+    // batch size must not change results (pure per-record decode)
+    assert(out1.map(d => (d.id, d.width, d.height, d.nFrames, d.features.toSeq)).toSeq ==
+      out2.map(d => (d.id, d.width, d.height, d.nFrames, d.features.toSeq)).toSeq)
+  }
+
+  test("video frame counting and sampling") {
+    val vids = Seq(
+      MediaRecord(1L, "video", Array.fill(2500)(1.toByte), Map.empty),
+      MediaRecord(2L, "image", Array.fill(2500)(1.toByte), Map.empty))
+    val dec = decodeAndFeaturize(vids.toDS())
+    val frames = dec.collect().map(d => d.id -> d.nFrames).toMap
+    assert(frames == Map(1L -> 3, 2L -> 1))
+    val sampled = sampleFrames(dec, stride = 2).collect().toMap
+    assert(sampled == Map(1L -> Seq(0, 2))) // image filtered out
+  }
+
+  test("payloads survive a parquet round trip as binary columns") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toFile.getAbsolutePath + "/t"
+    media(10).toDS().write.parquet(dir)
+    val back = spark.read.parquet(dir).as[MediaRecord]
+    val out = decodeAndFeaturize(back).collect().sortBy(_.id)
+    val direct = decodeAndFeaturize(media(10).toDS()).collect().sortBy(_.id)
+    assert(out.map(d => (d.id, d.width, d.height)).toSeq ==
+      direct.map(d => (d.id, d.width, d.height)).toSeq)
+  }
+}
