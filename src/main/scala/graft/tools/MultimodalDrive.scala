@@ -1,0 +1,27 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRecord
+object MultimodalDrive {
+  def main(args: Array[String]): Unit = {
+    implicit val spark = GraftSession.getOrCreate()
+    import spark.implicits._
+    val media = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") % 3 === 0, "video").otherwise("image").as("mediaType"),
+        col("text").cast("binary").as("payload"),
+        map(lit("source"), col("source")).as("meta"))
+      .as[MediaRecord]
+    val dec = Multimodal.decodeAndFeaturize(media, batchSize = 32)
+    dec.show(4, truncate = 40)
+    println("[mm] decoded rows=" + dec.count())
+    val frames = Multimodal.sampleFrames(dec, stride = 1)
+    println("[mm] videos frame-sampled=" + frames.count())
+    // probe: empty partition / empty payload
+    val empty = Multimodal.decodeAndFeaturize(
+      Seq(MediaRecord(99L, "image", Array.emptyByteArray, Map.empty)).toDS())
+    empty.show(1, truncate = 30)
+    spark.stop()
+  }
+}
