@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational surface beyond the reference's own operators — free with
+  * Catalyst (SURVEY §2.4/§2.5 "not present" lists) but part of a
+  * complete engine: semi/anti joins, rollup, ranking windows — plus two
+  * scale-technique showcases with exact oracles (salted skew
+  * aggregation, IVF-style cell-probed ANN) and a binary codec round
+  * trip.
+  */
+object ExtendedQueries {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  private def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Semi join: orders having at least one big lineitem (EXISTS).
+    "j_semi" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir).where(col("l_extendedprice") > 50000.0)
+        .select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // Anti join: customers who never ordered (NOT EXISTS).
+    "j_anti" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Rollup: event counts at (type, day), (type), and grand total.
+    "a_rollup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("d", dayofmonth(col("ts")))
+        .rollup(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("d"), lit(-1)).as("d"), col("n"))
+    }),
+
+    // Ranking window: top-3 spenders per event type.
+    "rank_window" -> ((s, dir) => {
+      val totals = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(dsum(col("value")).as("total"))
+      totals
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("total").desc, col("user_id").asc)))
+        .where(col("rnk") <= 3)
+        .select(col("event_type"), col("rnk"), col("user_id"), col("total"))
+    }),
+
+    // Salted skew aggregation: only 5 distinct event types would hash a
+    // 100 TB shuffle onto 5 reducers; salting fans each hot key over 16
+    // partial groups, then re-combines. Decimal sums are associative ⇒
+    // result is EXACTLY the plain groupBy (the oracle proves it).
+    "salted_skew_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("part_sum"),
+          count(lit(1)).as("part_n"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("part_sum")).cast("double").as("total"),
+          sum(col("part_n")).as("n"))
+    }),
+
+    // IVF-style ANN: coarse-quantize vectors into 16 sign-bit cells,
+    // probe only the query's own cell (nprobe=1) — the scale path where
+    // brute force (sim_cosine_topk) is the exact baseline.
+    "sim_ivf_topk" -> ((s, dir) => {
+      val cell = (1 to 4).map(i =>
+        when(element_at(col("e"), i) >= 0.0, "1").otherwise("0"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        .withColumn("cell", concat(cell: _*))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qn"), col("cell").as("qcell"))
+      emb.join(broadcast(q), col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+    }),
+
+    // Binary codec round trip (ICodec over opaque bytes): encode to
+    // base64 wire format, decode back, verify length.
+    "codec_binary_b64" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        // Spark base64 MIME-chunks long output with CRLF every 76 chars;
+        // normalize to the unchunked wire form DuckDB (and RFC 4648) use.
+        .withColumn("wire", regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", ""))
+        .withColumn("decoded_len", length(unbase64(col("wire"))))
+        .select(col("doc_id"), col("wire"), col("decoded_len"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |WHERE l_orderkey = o_orderkey AND l_extendedprice > 50000.0)""".stripMargin,
+
+    "j_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "a_rollup" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |CAST(COALESCE(d, -1) AS INTEGER) AS d, COUNT(*) AS n
+        |FROM (SELECT event_type, CAST(day(ts) AS INTEGER) AS d FROM events)
+        |GROUP BY ROLLUP (event_type, d)""".stripMargin,
+
+    "rank_window" ->
+      s"""WITH totals AS (SELECT event_type, user_id, ${oSum("value")} AS total
+         |FROM events GROUP BY 1, 2)
+         |SELECT event_type,
+         |CAST(row_number() OVER (PARTITION BY event_type
+         |ORDER BY total DESC, user_id ASC) AS INTEGER) AS rnk, user_id, total
+         |FROM totals QUALIFY rnk <= 3""".stripMargin,
+
+    "salted_skew_agg" ->
+      s"""SELECT event_type, ${oSum("value")} AS total, COUNT(*) AS n
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "sim_ivf_topk" -> {
+      val cell = (1 to 4).map(i =>
+        s"CASE WHEN e[$i] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |FROM embeddings),
+         |cells AS (SELECT vec_id, e, nrm, $cell AS cell FROM emb),
+         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, cell AS qcell
+         |FROM cells WHERE vec_id < 10),
+         |scored AS (SELECT qid, vec_id,
+         |list_dot_product(qe, e) / (qn * nrm) AS cos
+         |FROM cells JOIN q ON cell = qcell AND vec_id <> qid)
+         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+         |ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
+         |FROM scored QUALIFY rnk <= 3""".stripMargin
+    },
+
+    "codec_binary_b64" ->
+      """SELECT doc_id, base64(encode(text)) AS wire,
+        |CAST(octet_length(from_base64(base64(encode(text)))) AS INTEGER) AS decoded_len
+        |FROM documents""".stripMargin
+  )
+}

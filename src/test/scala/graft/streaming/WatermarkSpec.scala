@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+
+/** W5 (reference cookbook.rst:282-287): "Watermarks: to determine when a
+  * window is complete despite late events; Late event handling: drop".
+  * Also drives Structured Streaming over the driver's parquet events
+  * table (the S1/S3 file-source path) and checks stream == batch. */
+class WatermarkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("late events beyond the watermark are dropped (append mode)") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String)]
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val agg = src.toDS().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+
+    src.addData((t(1, 10), "a"), (t(1, 20), "b"))
+    q.processAllAvailable()
+    src.addData((t(5, 0), "c")) // watermark -> 04:50, finalizes [01:00, 02:00)
+    q.processAllAvailable()
+    src.addData((t(1, 30), "late")) // behind the watermark: dropped
+    q.processAllAvailable()
+    src.addData((t(9, 0), "d")) // finalizes [05:00, 06:00)
+    q.processAllAvailable()
+
+    val got = spark.table("wm_out").as[(Timestamp, Long)].collect().toMap
+    q.stop()
+    assert(got == Map(t(1, 0) -> 2L, t(5, 0) -> 1L)) // late "a" NOT counted
+  }
+
+  test("file-source streaming over the driver's events table == batch result") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = Tables.eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("fs_out").start()
+    q.processAllAvailable()
+    val got = spark.table("fs_out").as[(Timestamp, String, Long)].collect().toSet
+    q.stop()
+
+    val expected = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+}
