@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.WordShingles
+
+/** SQL surface for the engine's custom Catalyst pieces: registers
+  * `word_shingles(text[, n])` so plain `spark.sql` queries reach the
+  * fused expression. Install at build time
+  * (`SparkSession.builder.withExtensions(new GraftExtensions)`) or at
+  * runtime via [[GraftExtensions.register]]. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction(GraftExtensions.wordShinglesFn)
+}
+
+object GraftExtensions {
+
+  private def build(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(c) => WordShingles(c, 3)
+    case Seq(c, Literal(n: Int, IntegerType)) => WordShingles(c, n)
+    case other =>
+      throw new IllegalArgumentException(
+        s"word_shingles(text[, n]) expects 1-2 args, got ${other.length}")
+  }
+
+  val wordShinglesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    build)
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", build, "built-in")
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.time.Duration
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming._
+
+/** Keyed fold on the modern `transformWithState` API (Spark 4
+  * StatefulProcessor + RocksDB state store) — the reference's canonical
+  * stateful pattern: "incremental updates to a state like count or sum
+  * over all data" held in a Cache keyed by message key
+  * (/root/reference docs/source/cookbook.rst:213-216,
+  * getting_started.rst:118-123).
+  *
+  * A `ttl` bounds per-key state lifetime — the analog of the
+  * reference's FIFO-compaction retention where "oldest records may be
+  * removed" (caching.py:85, features.rst:64-66), here enforced by the
+  * state store's native TTL instead of a compaction side effect.
+  */
+object Fold {
+
+  class FoldProcessor[K, V, B](
+      zero: B,
+      fold: (B, V) => B,
+      bufEnc: Encoder[B],
+      ttl: Option[Duration])
+    extends StatefulProcessor[K, V, (K, B)] {
+
+    @transient private var state: ValueState[B] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+      state = getHandle.getValueState[B]("fold", bufEnc, cfg)
+    }
+
+    override def handleInputRows(
+        key: K, rows: Iterator[V], timerValues: TimerValues): Iterator[(K, B)] = {
+      val start = if (state.exists()) state.get() else zero
+      val next = rows.foldLeft(start)(fold)
+      state.update(next)
+      Iterator.single((key, next))
+    }
+  }
+
+  /** General keyed fold; emits the updated accumulator per key per
+    * micro-batch (update semantics, like the reference emitting the
+    * running value per message). */
+  def apply[K: Encoder, V, B: Encoder](
+      ds: Dataset[V],
+      key: V => K,
+      zero: B,
+      fold: (B, V) => B,
+      ttl: Option[Duration] = None)(
+      implicit spark: SparkSession, kvEnc: Encoder[(K, B)]): Dataset[(K, B)] = {
+    val grouped = ds.groupByKey(key)
+    if (ds.isStreaming)
+      grouped.transformWithState(
+        new FoldProcessor[K, V, B](zero, fold, implicitly[Encoder[B]], ttl),
+        TimeMode.None(), OutputMode.Update())
+    else
+      grouped.mapGroups((k, it) => (k, it.foldLeft(zero)(fold)))
+  }
+
+  /** The emoji running count (reference getting_started.rst:84-145). */
+  def count[V](ds: Dataset[V], key: V => String)(
+      implicit spark: SparkSession): Dataset[(String, Long)] = {
+    implicit val se: Encoder[String] = Encoders.STRING
+    implicit val le: Encoder[Long] = Encoders.scalaLong
+    implicit val kv: Encoder[(String, Long)] = Encoders.tuple(se, le)
+    apply[String, V, Long](ds, key, 0L, (acc, _) => acc + 1L)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.streaming.Fold
+
+/** Streaming throughput benchmark: rows/sec through (a) a stateless
+  * handler pipeline and (b) a keyed stateful fold on transformWithState
+  * + RocksDB — the shapes the reference executes per-message on one
+  * asyncio event loop (SURVEY §3: row-at-a-time, single process; its
+  * Kafka produce path is a synchronous ack per message,
+  * core.py:480-486). Numbers recorded in SURVEY §8.
+  */
+object StreamBench {
+  case class Ev(user_id: Long, event_type: String, value: Double)
+
+  def main(args: Array[String]): Unit = {
+    implicit val spark = GraftSession.getOrCreate()
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val repeat = args.headOption.map(_.toInt).getOrElse(10)
+
+    val base = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("user_id"), col("event_type"), col("value")).as[Ev].collect()
+    val total = base.length.toLong * repeat
+    println(s"[streambench] feeding ${total} rows (${base.length} x $repeat)")
+
+    // (a) stateless handler: map + filter through a streaming query
+    val src1 = MemoryStream[Ev]
+    val q1 = src1.toDS()
+      .filter(_.value > 1.0)
+      .map(e => s"${e.user_id}:${e.event_type}:${e.value * 1.1}")
+      .writeStream.format("noop").start()
+    val t1 = System.nanoTime()
+    (1 to repeat).foreach(_ => src1.addData(base.toIndexedSeq))
+    q1.processAllAvailable()
+    val d1 = (System.nanoTime() - t1) / 1e9
+    q1.stop()
+    println(f"[streambench] stateless: ${total / d1}%.0f rows/s ($d1%.2f s)")
+
+    // (b) stateful keyed fold (transformWithState, RocksDB state store).
+    // State-store commits are per partition per micro-batch — for a
+    // high-frequency trigger, fewer state partitions beat scan
+    // parallelism (state is tiny; the commit fence is the cost).
+    spark.conf.set("spark.sql.shuffle.partitions",
+      args.drop(1).headOption.getOrElse("8"))
+    val src2 = MemoryStream[Ev]
+    val q2 = Fold.count(src2.toDS(), (e: Ev) => e.user_id.toString)
+      .toDF("k", "n").writeStream.outputMode("update").format("noop").start()
+    val t2 = System.nanoTime()
+    (1 to repeat).foreach(_ => src2.addData(base.toIndexedSeq))
+    q2.processAllAvailable()
+    val d2 = (System.nanoTime() - t2) / 1e9
+    q2.stop()
+    println(f"[streambench] stateful fold: ${total / d2}%.0f rows/s ($d2%.2f s)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** SQL registration of custom Catalyst expressions + the modern
+  * transformWithState fold. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("word_shingles is callable from SQL (extensions + runtime registry)") {
+    GraftExtensions.register(spark)
+    val got = spark.sql("SELECT word_shingles('a b c d', 2) AS sh")
+      .as[Seq[String]].collect().head
+    assert(got == Seq("a b", "b c", "c d"))
+    val dflt = spark.sql("SELECT word_shingles('a b c d') AS sh")
+      .as[Seq[String]].collect().head
+    assert(dflt == Seq("a b c", "b c d"))
+    // dedup semantics match array_distinct-of-transform
+    val dup = spark.sql("SELECT word_shingles('x y x y x', 2) AS sh")
+      .as[Seq[String]].collect().head
+    assert(dup == Seq("x y", "y x"))
+    // short text -> empty, not null
+    assert(spark.sql("SELECT word_shingles('one', 3) AS sh")
+      .as[Seq[String]].collect().head.isEmpty)
+  }
+
+  test("SQL expression equals the Column API on real documents") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      "SELECT doc_id, word_shingles(text, 3) AS sh FROM docs_sql")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val viaCol = docs.select(col("doc_id"),
+      explode(graft.functions.functions.word_shingles(col("text"), 3)).as("s"))
+    assert(viaSql.except(viaCol).isEmpty && viaCol.except(viaSql).isEmpty)
+    assert(viaCol.count() > 0)
+  }
+
+  test("transformWithState fold: running emoji counts across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val emoji = Seq("🏆", "📞", "🐟", "👌")
+    val src = MemoryStream[String]
+    val q = graft.streaming.Fold.count(src.toDS(), (s: String) => s)
+      .toDF("emoji", "n")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tws_fold").start()
+    src.addData(emoji: _*)
+    q.processAllAvailable()
+    src.addData(emoji: _*) // second round: counts must reach 2 (F2 fixture)
+    q.processAllAvailable()
+    val latest = spark.table("tws_fold").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    q.stop()
+    assert(latest == emoji.map(_ -> 2L).toMap)
+  }
+
+  test("batch fold matches streaming fold") {
+    val ds = Seq("a", "b", "a", "a").toDS()
+    val got = graft.streaming.Fold.count(ds, (s: String) => s).collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 1L))
+  }
+}
