@@ -108,18 +108,18 @@ object LlmQueries {
     }),
 
     // Exact n-gram Jaccard over an inverted shingle index: only pairs
-    // sharing ≥1 shingle are ever scored.
+    // sharing ≥1 shingle are ever scored. Set sizes ride along via a
+    // per-doc window count so both join sides are the SAME subplan
+    // (exchange reuse) and no separate size joins exist.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val ds = Tables.documents(s, dir)
+      val e = Tables.documents(s, dir)
         .select(col("doc_id"), explode(shingles3).as("sh"))
-      val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val common = ds.as("a")
-        .join(ds.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      e.as("a")
+        .join(e.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
         .agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
         .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
         .where(col("jaccard") >= 0.8)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
