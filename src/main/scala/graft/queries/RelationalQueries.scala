@@ -135,6 +135,20 @@ object RelationalQueries {
           col("w.end").as("session_end"), col("n"))
     }),
 
+    // W1 per-event sliding window, batch twin of streaming.SlidingWindow
+    // (reference cookbook.rst:225-280): every event reports the count of
+    // its user's events in the trailing hour — RANGE frame on event time
+    // (exact µs boundary, inclusive, matching the reference's
+    // `event_time - t <= window` eviction rule).
+    "w1_sliding_perevent" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("n_in_window", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("n_in_window"))
+    }),
+
     // A3 dedup/compaction (reference cookbook.rst:520): keep first record
     // per (user, type) — deterministic via (ts, event_id) order.
     "a3_dedup_exact" -> ((s, dir) => {
@@ -283,6 +297,12 @@ object RelationalQueries {
          |SELECT user_id, MIN(ts) AS session_start,
          |MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n
          |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "w1_sliding_perevent" ->
+      s"""SELECT event_id, user_id, COUNT(*) OVER
+         |(PARTITION BY user_id ORDER BY ts
+         |RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_in_window
+         |FROM $oEvents""".stripMargin,
 
     "a3_dedup_exact" ->
       s"""SELECT user_id, event_type, event_id FROM

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Kafka topic surface — API parity with the reference's `Topic`
+  * (/root/reference slipstream/core.py:292-594): one object is both a
+  * source (async-iterate ≙ readStream) and a sink (call ≙ writeStream),
+  * with offset seeking, codec decode/encode, auto str↔bytes, and a dry
+  * mode that skips the send.
+  *
+  * The kafka message shape is identical in both systems (key, value,
+  * topic, partition, offset, timestamp, headers) — Spark's kafka source
+  * schema matches the reference's ConsumerRecord fields one for one
+  * (core.py:505-516).
+  *
+  * Seek semantics (reference core.py:368-423): absolute offset,
+  * per-partition map, or the sentinels READ_FROM_START / READ_FROM_END
+  * map onto the source's `startingOffsets`; a MID-stream re-seek is a
+  * query restart with a rewound spec — exactly what
+  * [[CheckpointManager]]'s recovery path does with the saved
+  * checkpoint_state (SURVEY §7).
+  */
+final case class KafkaTopic(
+    name: String,
+    bootstrap: String,
+    conf: Map[String, String] = Map.empty,
+    startingOffsets: String = KafkaTopic.ReadFromEnd,
+    dry: Boolean = false) {
+
+  /** Raw source: the full kafka record frame, key/value as binary. */
+  def source(spark: SparkSession): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", name)
+      .option("startingOffsets", startingOffsets)
+    conf.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  /** Decoded source: key as string, value JSON-decoded to `schema`
+    * (the JsonCodec default; reference codecs.py:9-28 + auto
+    * str-decode core.py:507-514). */
+  def sourceDecoded(spark: SparkSession, schema: DataType): DataFrame =
+    source(spark).select(
+      col("key").cast("string").as("key"),
+      Codec.fromJsonCol(col("value"), schema).as("value"),
+      col("topic"), col("partition"), col("offset"),
+      col("timestamp").as("eventTime"))
+
+  /** Sink: frame must expose key/value (the K5 tuple contract). */
+  def sink[T](checkpoint: String): FlowSink[T] =
+    FlowSink.kafka[T](bootstrap, name, checkpoint, dry)
+
+  /** Seek spec for a (re)start: per-partition offsets → startingOffsets
+    * JSON (reference seek dict form, core.py:368-423). */
+  def seek(offsets: Map[Int, Long]): KafkaTopic =
+    copy(startingOffsets = KafkaTopic.offsetsJson(name, offsets))
+
+  def seekToStart: KafkaTopic = copy(startingOffsets = KafkaTopic.ReadFromStart)
+  def seekToEnd: KafkaTopic = copy(startingOffsets = KafkaTopic.ReadFromEnd)
+}
+
+object KafkaTopic {
+  /** Sentinels (reference core.py:53-54: READ_FROM_START=-2 / END=-1). */
+  val ReadFromStart = "earliest"
+  val ReadFromEnd = "latest"
+
+  def offsetsJson(topic: String, offsets: Map[Int, Long]): String =
+    offsets.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }
+      .mkString(s"""{"$topic":{""", ",", "}}")
+
+  /** Recovery seek from a checkpoint transition's saved state
+    * (partition→offset strings, the canonical check_pulse state —
+    * cookbook.rst:477-480). */
+  def fromSavedState(topic: String, savedState: Map[String, String]): String =
+    offsetsJson(topic, savedState.map { case (p, o) => p.toInt -> o.toLong })
+}

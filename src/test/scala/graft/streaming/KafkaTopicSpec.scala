@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Broker-less parity tests for the Topic analog: seek-spec building
+  * (reference core.py:368-423 offset dict protocol) and the recovery
+  * wiring from checkpoint saved state. Live consume/produce needs a
+  * broker this container doesn't have; the plan-level wiring is
+  * covered by the source/sink builders compiling against the kafka
+  * connector's options surface. */
+class KafkaTopicSpec extends AnyFunSuite {
+
+  test("seek spec: per-partition offsets -> startingOffsets json") {
+    val t = KafkaTopic("activity", "broker:9092").seek(Map(0 -> 2L, 1 -> 7L))
+    assert(t.startingOffsets == """{"activity":{"0":2,"1":7}}""")
+  }
+
+  test("sentinel seeks map to earliest/latest (READ_FROM_START/END)") {
+    val t = KafkaTopic("t", "b")
+    assert(t.startingOffsets == "latest")
+    assert(t.seekToStart.startingOffsets == "earliest")
+    assert(t.seekToEnd.startingOffsets == "latest")
+  }
+
+  test("recovery seek from checkpoint saved state (the {0: 2} scenario)") {
+    // the exact savedState emitted in the cookbook downtime scenario
+    val spec = KafkaTopic.fromSavedState("activity", Map("0" -> "2"))
+    assert(spec == """{"activity":{"0":2}}""")
+  }
+
+  test("dry mode routes the sink to noop (core.py:471)") {
+    lazy val spark = TestSpark.spark
+    import spark.implicits._
+    val t = KafkaTopic("t", "b", dry = true)
+    // batch write through the dry sink must complete without a broker
+    val r = t.sink[(String, String)]("/tmp/unused-ckpt")
+      .write(Seq(("k", "v")).toDS())
+    assert(r.isEmpty)
+  }
+}
