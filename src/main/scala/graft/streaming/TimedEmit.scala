@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming._
+
+/** Timer-driven periodic state emission — the reference's A2 pattern
+  * (/root/reference docs/source/getting_started.rst:125-135: a timer
+  * source fires every 3 s and the handler dumps all cache items).
+  *
+  * Event-time variant on transformWithState timers: per key, a running
+  * count accumulates in ValueState and a timer registered on the next
+  * interval boundary emits the snapshot when the WATERMARK passes it —
+  * deterministic under replay (wall-clock timers are not), which is
+  * exactly the watermark upgrade the reference's cookbook prescribes
+  * for production windows (cookbook.rst:282-287).
+  */
+object TimedEmit {
+
+  case class Emitted(key: String, intervalEndMs: Long, count: Long)
+
+  class Processor(intervalMs: Long)
+      extends StatefulProcessor[String, (String, Long), Emitted] {
+
+    @transient private var count: ValueState[Long] = _
+    @transient private var timerArmed: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+      timerArmed = getHandle.getValueState[Boolean]("armed", Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[Emitted] = {
+      var c = if (count.exists()) count.get() else 0L
+      var maxTs = Long.MinValue
+      rows.foreach { case (_, tsMs) => c += 1; if (tsMs > maxTs) maxTs = tsMs }
+      count.update(c)
+      if (!(timerArmed.exists() && timerArmed.get())) {
+        // arm the next interval boundary after the newest event
+        val boundary = (maxTs / intervalMs + 1) * intervalMs
+        getHandle.registerTimer(boundary)
+        timerArmed.update(true)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Emitted] = {
+      timerArmed.update(false)
+      val c = if (count.exists()) count.get() else 0L
+      Iterator.single(Emitted(key, expiredTimerInfo.getExpiryTimeInMs, c))
+    }
+  }
+
+  /** `ds` = (key, eventTimeMs); requires a watermark on the upstream
+    * event-time column to drive timer expiry. */
+  def counts(
+      ds: Dataset[(String, Long)],
+      intervalMs: Long)(implicit spark: SparkSession): Dataset[Emitted] = {
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new Processor(intervalMs), TimeMode.EventTime(), OutputMode.Append())
+  }
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A2 timer-triggered emission (reference getting_started.rst:125-135),
+  * event-time timers on transformWithState: snapshots emit when the
+  * watermark crosses an interval boundary. */
+class TimedEmitSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("interval snapshots fire as the watermark passes boundaries") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(String, Timestamp)]
+    def t(s: Int) = new Timestamp(60_000L + s * 1000L)
+    val withWm = src.toDS().toDF("k", "ts")
+      .withWatermark("ts", "0 seconds")
+      .select(col("k"), (unix_micros(col("ts")) / 1000L).cast("long").as("tsMs"))
+      .as[(String, Long)]
+    val q = TimedEmit.counts(withWm, intervalMs = 3000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("timed_out").start()
+
+    // events in [60s, 62s): timers armed for the 63s boundary
+    src.addData(("🏆", t(0)), ("🏆", t(1)), ("📞", t(2)))
+    q.processAllAvailable()
+    // watermark jumps past 63s: both keys emit their snapshot
+    src.addData(("🐟", t(10)))
+    q.processAllAvailable()
+    // drive the watermark past the 🐟 timer too
+    src.addData(("👌", t(30)))
+    q.processAllAvailable()
+
+    val got = spark.table("timed_out").as[TimedEmit.Emitted].collect()
+      .map(e => (e.key, e.intervalEndMs, e.count)).toSet
+    q.stop()
+    assert(got.contains(("🏆", 63000L, 2L)))
+    assert(got.contains(("📞", 63000L, 1L)))
+    assert(got.contains(("🐟", 72000L, 1L)))
+  }
+}
