@@ -1,0 +1,55 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Lifecycle surface — parity with the reference's `stream()` runtime
+  * (/root/reference slipstream/core.py:193-216, 703-713): start all
+  * registered flows concurrently, block until one terminates, and run
+  * exit hooks exactly once on shutdown — whether that shutdown is
+  * graceful, crash-driven, or interrupt-driven (the reference's
+  * finally-path `_shutdown`). Topic-style resources register their own
+  * cleanup (core.py:576-594) via `addExitHook`.
+  */
+final class FlowRuntime(spark: SparkSession) {
+
+  private val queries = mutable.Buffer[StreamingQuery]()
+  private val exitHooks = mutable.Buffer[() => Unit]()
+  private var shutdownDone = false
+
+  def register(qs: Seq[Option[StreamingQuery]]): this.type = synchronized {
+    queries ++= qs.flatten; this
+  }
+
+  def addExitHook(hook: () => Unit): this.type = synchronized {
+    exitHooks += hook; this
+  }
+
+  def active: Seq[StreamingQuery] = synchronized(queries.filter(_.isActive).toSeq)
+
+  /** Block until any registered query terminates, then shut down —
+    * the reference's `run(stream())` semantics where one failing flow
+    * tears down the app. */
+  def awaitAnyAndShutdown(): Unit =
+    try spark.streams.awaitAnyTermination()
+    finally shutdown()
+
+  /** Idempotent: stop every query, then run hooks in registration
+    * order; hook failures are contained (reference awaits all exit
+    * hooks even when handlers crashed, core.py:202-216). */
+  def shutdown(): Unit = synchronized {
+    if (!shutdownDone) {
+      shutdownDone = true
+      queries.foreach { q =>
+        try if (q.isActive) q.stop()
+        catch { case e: Throwable => System.err.println(s"[runtime] stop failed: ${e.getMessage}") }
+      }
+      exitHooks.foreach { h =>
+        try h()
+        catch { case e: Throwable => System.err.println(s"[runtime] exit hook failed: ${e.getMessage}") }
+      }
+    }
+  }
+}

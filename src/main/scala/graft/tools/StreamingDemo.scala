@@ -72,6 +72,14 @@ object StreamingDemo {
 
     println("[demo] transitions: " + transitions.map(_.kind).mkString(", "))
     spark.table("demo_enriched").as[String].collect().foreach(s => println("[demo] " + s))
-    q1.stop(); q2.stop(); spark.stop()
+
+    // lifecycle: runtime owns both queries; exit hooks run on shutdown
+    // (the reference's stream() finally-path, core.py:202-216)
+    val rt = new FlowRuntime(spark)
+      .register(Seq(Some(q1), Some(q2)))
+      .addExitHook(() => println("[demo] exit hook: consumer stopped"))
+    rt.shutdown()
+    println(s"[demo] active queries after shutdown: ${rt.active.size}")
+    spark.stop()
   }
 }

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2.10 lifecycle: concurrent flows, shutdown stops every query, exit
+  * hooks run once in order and survive hook failures
+  * (reference core.py:193-216). */
+class FlowRuntimeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shutdown stops all queries and runs exit hooks once, in order") {
+    implicit val sql = spark.sqlContext
+    val s1 = MemoryStream[String]
+    val s2 = MemoryStream[String]
+    val rt = new FlowRuntime(spark)
+      .register(Flow.from(s1.toDS()).map(_.toUpperCase).to(FlowSink.memory[String]("rt_a")))
+      .register(Flow.from(s2.toDS()).map(_.length).to(FlowSink.memory[Int]("rt_b")))
+    val log = mutable.Buffer[String]()
+    rt.addExitHook(() => log += "consumer-stop")
+    rt.addExitHook(() => throw new RuntimeException("boom")) // contained
+    rt.addExitHook(() => log += "producer-stop")
+
+    s1.addData("a"); s2.addData("bb")
+    rt.active.foreach(_.processAllAvailable())
+    assert(rt.active.size == 2)
+    assert(spark.table("rt_a").as[String].collect().toSeq == Seq("A"))
+
+    rt.shutdown()
+    assert(rt.active.isEmpty)
+    assert(log == Seq("consumer-stop", "producer-stop"))
+    rt.shutdown() // idempotent: hooks must NOT run again
+    assert(log == Seq("consumer-stop", "producer-stop"))
+  }
+}
