@@ -99,6 +99,37 @@ object ExtendedQueries {
         .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
     }),
 
+    // Distinct aggregation (expand/partial-distinct plan).
+    "a_count_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    // DF-capped n-gram Jaccard — the 100 TB form of the inverted-index
+    // join: shingles occurring in more than `maxDf` docs are dropped
+    // from the index (they carry no discriminating signal but produce
+    // O(df²) candidate pairs). Bounds worst-case join blowup no matter
+    // the corpus; the oracle mirrors the capped shingle universe, so
+    // the approximation itself is hash-checked.
+    "dedup_jaccard_dfcap" -> ((s, dir) => {
+      val maxDf = 20
+      val e = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(graft.functions.functions.word_shingles(col("text"), 3)).as("sh"))
+      val rare = e.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .where(col("df") <= maxDf)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      rare.as("a")
+        .join(rare.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+        .where(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
     // Binary codec round trip (ICodec over opaque bytes): encode to
     // base64 wire format, decode back, verify length.
     "codec_binary_b64" -> ((s, dir) => {
@@ -155,6 +186,26 @@ object ExtendedQueries {
          |ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
          |FROM scored QUALIFY rnk <= 3""".stripMargin
     },
+
+    "a_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1""".stripMargin,
+
+    "dedup_jaccard_dfcap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |list_distinct(list_transform(range(1, len(w) - 1),
+        |i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |ELSE []::VARCHAR[] END AS sh FROM d),
+        |e AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+        |rare AS (SELECT doc_id, sh1, COUNT(*) OVER (PARTITION BY sh1) AS df FROM e
+        |QUALIFY df <= 20),
+        |sized AS (SELECT doc_id, sh1, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM rare)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |COUNT(*) / (a.n + b.n - COUNT(*)) AS jaccard
+        |FROM sized a JOIN sized b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2, a.n, b.n
+        |HAVING COUNT(*) / (a.n + b.n - COUNT(*)) >= 0.8""".stripMargin,
 
     "codec_binary_b64" ->
       """SELECT doc_id, base64(encode(text)) AS wire,
