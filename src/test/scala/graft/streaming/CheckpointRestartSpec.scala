@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import Checkpointing._
+
+/** Restart safety — parity with the reference reloading checkpoint
+  * state from its cache on construction (checkpointing.py:253-260):
+  * the downtime flag and saved offsets must survive a full query
+  * stop/start because they live in the streaming state store, not in
+  * memory. Uses restart-safe endpoints (file source → parquet sink);
+  * the memory sink/MemoryStream pair cannot recover a checkpoint. */
+class CheckpointRestartSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  val cfg = Config("restart_cp", "activity", Seq("weather"),
+    downtimeThresholdUs = 3600L * 1000000L)
+
+  def us(h: Int, m: Int = 0): Long =
+    Timestamp.valueOf(f"2023-01-01 $h%02d:$m%02d:00").getTime * 1000L
+
+  test("downtime state and saved offsets survive a query restart") {
+    val root = Files.createTempDirectory("cp_restart").toFile.getAbsolutePath
+    val srcDir = s"$root/markers"
+    val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+
+    def feed(ms: Marker*): Unit =
+      ms.toSeq.toDS().write.mode("append").parquet(srcDir)
+
+    def runOnce(): Unit = {
+      val markers = spark.readStream
+        .schema(Seq.empty[Marker].toDS().schema).parquet(srcDir).as[Marker]
+      val q = transitions(cfg, markers)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    // run 1: drive into the down state, then stop the query entirely
+    feed(
+      Marker("restart_cp", "weather", isDependent = false, us(10)),
+      Marker("restart_cp", "activity", isDependent = true, us(10, 30), Map("0" -> "0")),
+      Marker("restart_cp", "weather", isDependent = false, us(11)),
+      Marker("restart_cp", "activity", isDependent = true, us(12, 30), Map("0" -> "2")))
+    runOnce()
+    val kinds1 = spark.read.parquet(outDir).as[Transition].collect().map(_.kind).toSeq
+    assert(kinds1.sorted == Seq("downtime", "pause"))
+
+    // run 2: ONLY the recovery heartbeat arrives, brand-new query over
+    // the same checkpoint. If state had not survived the restart, the
+    // operator would see an empty CheckpointState and emit nothing.
+    feed(Marker("restart_cp", "weather", isDependent = false, us(13)))
+    runOnce()
+    val out2 = spark.read.parquet(outDir).as[Transition].collect().sortBy(_.markerUs)
+    assert(out2.map(_.kind).toSeq.sorted == Seq("downtime", "pause", "recovery", "resume"))
+    val rec = out2.find(_.kind == "recovery").get
+    assert(rec.savedState == Map("0" -> "2")) // offsets persisted too
+  }
+}
