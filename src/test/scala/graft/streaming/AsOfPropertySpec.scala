@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingAsOf.{Buffer, Input}
+
+/** Property tests promised by SURVEY §5: the as-of ordering invariant
+  * against a naive O(n²) model, and codec round-trips. ScalaCheck
+  * generators driven by explicit seeds (no scalatestplus bridge in the
+  * offline cache). */
+class AsOfPropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 200)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  val genInputs: Gen[List[Input]] = Gen.listOf(for {
+    key <- Gen.oneOf("a", "b")
+    ts <- Gen.chooseNum(0L, 1000L)
+    isLeft <- Gen.oneOf(true, false)
+    payload <- Gen.alphaNumStr.map(_.take(6))
+  } yield Input(key, ts, isLeft, if (isLeft) payload else "", if (isLeft) "" else payload))
+
+  /** Naive model: every left matches the greatest right ts <= its ts
+    * (ties between equal right timestamps: latest in sorted arrival
+    * order wins, the step's insertion rule). */
+  def model(inputs: Seq[Input]): Map[(String, Long, String), Option[Long]] = {
+    val sorted = inputs.sortBy(i => (i.tsUs, i.isLeft))
+    val rightsSoFar = collection.mutable.Map[String, Vector[Long]]().withDefaultValue(Vector.empty)
+    val out = collection.mutable.Map[(String, Long, String), Option[Long]]()
+    sorted.zipWithIndex.foreach { case (in, idx) =>
+      if (!in.isLeft) rightsSoFar(in.key) :+= in.tsUs
+      else out((in.key, in.tsUs, in.leftPayload + "#" + idx)) =
+        rightsSoFar(in.key).filter(_ <= in.tsUs).maxOption
+    }
+    out.toMap
+  }
+
+  test("streaming step matches the naive as-of model for any input") {
+    forAll(genInputs) { inputs =>
+      // step() is per-key (the operator groups by key upstream)
+      val got = inputs.groupBy(_.key).toSeq.flatMap { case (_, ins) =>
+        StreamingAsOf.step(Buffer(Vector.empty), ins, Long.MaxValue / 4)._2
+      }
+      // compare matched right timestamps per (key, ts) multiset
+      val gotTs = got.map(j => (j.key, j.tsUs) -> j.rightTsUs)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.getOrElse(-1L))).toMap
+      val expTs = model(inputs).toSeq.map { case ((k, t, _), r) => (k, t) -> r }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.getOrElse(-1L))).toMap
+      assert(gotTs == expTs)
+    }
+  }
+
+  test("eviction never changes probe results at-or-after the horizon") {
+    forAll(genInputs) { inputs =>
+      val retention = 200L
+      inputs.groupBy(_.key).foreach { case (_, ins) =>
+        val r = ins.filter(!_.isLeft)
+        val p = ins.filter(_.isLeft)
+        if (r.nonEmpty) {
+          val (buf, _) = StreamingAsOf.step(Buffer(Vector.empty), r, retention)
+          val horizon = r.map(_.tsUs).max - retention
+          val lateProbes = p.filter(_.tsUs >= horizon)
+          val (_, gotOut) = StreamingAsOf.step(buf, lateProbes, retention)
+          val full = model(r ++ lateProbes)
+          gotOut.foreach { j =>
+            val exp = full.collectFirst {
+              case ((k, t, _), rr) if k == j.key && t == j.tsUs => rr }
+            assert(exp.contains(j.rightTsUs), s"probe ${j.key}@${j.tsUs}")
+          }
+        }
+      }
+    }
+  }
+
+  test("utf8 codec round trip") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      assert(Utf8Codec.decode(Utf8Codec.encode(s)) == s)
+    }
+    forAll(Gen.listOf(Gen.chooseNum(0, 0x10FFFF).suchThat(c => !(c >= 0xD800 && c <= 0xDFFF)))) { cps =>
+      val s = cps.map(Character.toChars(_).mkString).mkString
+      assert(Utf8Codec.decode(Utf8Codec.encode(s)) == s)
+    }
+  }
+}
