@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+
+/** Scaling-linearity probe for the dedup pipeline: replicate the
+  * documents corpus k× (doc_ids offset so replicas only near-dup within
+  * their own copy, keeping pair density constant) and time the
+  * MinHash+LSH candidate generation at each size. Near-linear wall
+  * clock across a 16× size sweep is the local evidence that the
+  * explode→md5→groupBy-min→band-join plan has no superlinear term —
+  * the property that must hold at 100 TB. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate()
+    import graft.functions.functions.word_shingles
+
+    def minhashPairs(docs: DataFrame): Long = {
+      val hashed = docs
+        .select(col("doc_id"), col("rep"), explode(word_shingles(col("text"), 3)).as("sh"))
+        // shingles are salted per replica so candidate pairs stay
+        // within a copy (constant pair density as the corpus grows)
+        .withColumn("h", md5(concat(col("rep"), lit(":"), col("sh"))))
+      val sig = hashed.groupBy(col("doc_id")).agg(
+        (0 until 8).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).head,
+        (0 until 8).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).tail: _*)
+      val bandCols = (0 until 4).map(b => concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+      val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("bi", "bk")))
+      bands.as("a").join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    }
+
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text")).cache()
+    val n0 = base.count()
+
+    Seq(1, 4, 16).foreach { k =>
+      val corpus = (0 until k).map(i =>
+          base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+            col("text"), lit(i.toString).as("rep")))
+        .reduce(_ unionByName _)
+      minhashPairs(corpus) // warm
+      val t0 = System.nanoTime()
+      val pairs = minhashPairs(corpus)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] docs=${n0 * k}%7d pairs=$pairs%6d time=$dt%6.2f s  (${n0 * k / dt}%.0f docs/s)")
+    }
+    spark.stop()
+  }
+}
