@@ -87,6 +87,19 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
     df.orderBy(if (backwards) col(keyCol).desc else col(keyCol).asc)
   }
 
+  /** Current log sequence — pass to [[changes]] to tail from here. */
+  def currentSeq: Long = seq
+
+  /** Changelog: every write after `sinceSeq`, in write order — the S4
+    * cache-update stream (reference interfaces.py:97-110: `async for
+    * (k, v) in cache` yields each write performed through the cache;
+    * endpoint recipe cookbook.rst:529-588). `__deleted=true` rows are
+    * tombstones. Pairs with a streaming file/Delta-CDF source when the
+    * log lives on shared storage. */
+  def changes(sinceSeq: Long = 0L): DataFrame =
+    if (!exists()) spark.emptyDataFrame
+    else read().where(col(seqCol) > sinceSeq).orderBy(col(seqCol))
+
   /** Rewrite the log to its live snapshot (FIFO-compaction analog of
     * the reference's 25 MB retention, caching.py:109-133). */
   def compact(): Unit = {

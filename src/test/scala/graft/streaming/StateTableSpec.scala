@@ -49,6 +49,18 @@ class StateTableSpec extends AnyFunSuite {
     assert(reopened.get("k").map(_.getAs[Int]("v")).contains(42))
   }
 
+  test("changelog yields every write after a sequence point (interfaces.py:97-110)") {
+    val (t, _) = fresh()
+    t.put(Seq(("a", 1)).toDF("key", "v"))
+    val mark = t.currentSeq
+    t.put(Seq(("b", 2)).toDF("key", "v"))
+    t.delete(Seq(Tuple1("a")).toDF("key"))
+    val ch = t.changes(mark).select("key", "__deleted").as[(String, Boolean)].collect().toSeq
+    assert(ch == Seq(("b", false), ("a", true)))
+    // full tail from zero sees the first write too
+    assert(t.changes().count() == 3)
+  }
+
   test("compaction preserves the live view (caching.py:109-133)") {
     val (t, _) = fresh()
     t.put(Seq(("a", 1), ("b", 2)).toDF("key", "v"))
