@@ -107,6 +107,32 @@ object LlmQueries {
       fp.withColumn("cluster_n", count(lit(1)).over(Window.partitionBy(col("simhash"))))
     }),
 
+    // SimHash near-dup pairs at hamming distance ≤ 2: band the 16-bit
+    // INTEGER fingerprint into 4 nibbles (a pair within distance 2 must
+    // agree on ≥1 nibble — pigeonhole), join on nibbles, then exact
+    // hamming via xor+popcount (one codegen'd op, not 16 string CASEs);
+    // distinct only after the filter has shrunk the candidates.
+    "dedup_simhash_hamming" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("word"))
+      val sums = (1 to SIMHASH_BITS).map(j =>
+        sum(when(substring(md5(col("word")), j, 1) >= "8", 1L).otherwise(-1L)).as(s"s$j"))
+      val fp = words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"),
+          (1 to SIMHASH_BITS).map(j =>
+            when(col(s"s$j") > 0, 1L << (j - 1)).otherwise(0L)).reduce(_ + _).as("fp"))
+      val chunks = (0 until 4).map(b => shiftright(col("fp"), 4 * b).bitwiseAND(lit(15L)))
+      val bands = fp.select(col("doc_id"), col("fp"),
+        posexplode(array(chunks: _*)).as(Seq("bi", "chunk")))
+      bands.as("a")
+        .join(bands.as("b"), col("a.bi") === col("b.bi") &&
+          col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming", bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long"))
+        .where(col("hamming") <= 2)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+        .distinct()
+    }),
+
     // Exact n-gram Jaccard over an inverted shingle index: only pairs
     // sharing ≥1 shingle are ever scored. Set sizes ride along via a
     // per-doc window count so both join sides are the SAME subplan
@@ -256,6 +282,25 @@ object LlmQueries {
          |sums AS (SELECT doc_id, $sums FROM words GROUP BY doc_id),
          |fp AS (SELECT doc_id, $bits AS simhash FROM sums)
          |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS cluster_n FROM fp""".stripMargin
+    },
+
+    "dedup_simhash_hamming" -> {
+      val sums = (1 to SIMHASH_BITS).map(j =>
+        s"SUM(CASE WHEN substr(md5(word), $j, 1) >= '8' THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+      val fpInt = (1 to SIMHASH_BITS).map(j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << (j - 1)} ELSE 0 END").mkString(" + ")
+      val chunkSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, fp, $b AS bi, (fp >> ${4 * b}) & 15 AS chunk FROM fp")
+        .mkString(" UNION ALL ")
+      s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |sums AS (SELECT doc_id, $sums FROM words GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($fpInt AS BIGINT) AS fp FROM sums),
+         |bands AS ($chunkSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM bands a JOIN bands b
+         |ON a.bi = b.bi AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 2""".stripMargin
     },
 
     "dedup_ngram_jaccard" ->

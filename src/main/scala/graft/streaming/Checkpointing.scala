@@ -140,20 +140,34 @@ object Checkpointing {
   /** Stateful-stream application over the unioned marker stream. */
   def transitions(
       cfg: Config,
+      markers: Dataset[Marker])(implicit spark: SparkSession): Dataset[Transition] =
+    transitionsAll(Seq(cfg), markers)
+
+  /** N checkpoints in ONE stateful query: markers key by checkpoint
+    * name, each key folds against its own config/state. At scale this
+    * is one shuffle and one state store for the whole checkpoint
+    * registry instead of a query per checkpoint (the reference runs
+    * any number of Checkpoint instances inside one process —
+    * checkpointing.py:225-260). */
+  def transitionsAll(
+      cfgs: Seq[Config],
       markers: Dataset[Marker])(implicit spark: SparkSession): Dataset[Transition] = {
     import spark.implicits._
-    val grouped = markers.filter(_.checkpoint == cfg.name).groupByKey(_.checkpoint)
+    val byName = cfgs.map(c => c.name -> c).toMap
+    val grouped = markers.filter(m => byName.contains(m.checkpoint)).groupByKey(_.checkpoint)
     if (markers.isStreaming) {
       grouped.flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, it: Iterator[Marker], state: GroupState[CheckpointState]) =>
+        (name: String, it: Iterator[Marker], state: GroupState[CheckpointState]) =>
+          val cfg = byName(name)
           val st = state.getOption.getOrElse(CheckpointState.empty(cfg.dependencies))
           val (next, out) = run(cfg, st, it.toSeq)
           state.update(next)
           out.iterator
       }
     } else {
-      grouped.flatMapGroups { (_, it) =>
+      grouped.flatMapGroups { (name, it) =>
+        val cfg = byName(name)
         run(cfg, CheckpointState.empty(cfg.dependencies), it.toSeq)._2.iterator
       }
     }

@@ -101,6 +101,29 @@ class CheckpointSpec extends AnyFunSuite {
     assert(out.map(_.kind) == Seq("downtime", "downtime", "pause", "recovery", "recovery", "resume"))
   }
 
+  test("N checkpoints share one stateful query, isolated state per name") {
+    implicit val sql = spark.sqlContext
+    val cfgB = Config("other_cp", "orders", Seq("payments"),
+      downtimeThresholdUs = 3600L * 1000000L)
+    val src = MemoryStream[Marker]
+    val q = transitionsAll(Seq(cfg, cfgB), src.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cp_multi").start()
+    // checkpoint A goes down; checkpoint B stays healthy
+    src.addData(scenario.take(5): _*)
+    src.addData(
+      Marker("other_cp", "payments", isDependent = false, us(10)),
+      Marker("other_cp", "orders", isDependent = true, us(10, 30)),
+      Marker("other_cp", "payments", isDependent = false, us(11)))
+    q.processAllAvailable()
+    src.addData(scenario.drop(5): _*) // A recovers
+    q.processAllAvailable()
+    val all = spark.table("cp_multi").as[Transition].collect()
+    q.stop()
+    assert(all.forall(_.checkpoint == "weather_activity")) // B emitted nothing
+    assert(all.map(_.kind).sorted.toSeq == Seq("downtime", "pause", "recovery", "resume"))
+  }
+
   test("streaming transitions across micro-batches with CheckpointManager") {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[Marker]
