@@ -99,6 +99,25 @@ object ExtendedQueries {
         .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
     }),
 
+    // Cube: all grouping-set combinations of (returnflag, linestatus).
+    "a_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("sum_qty"))
+    }),
+
+    // Exact median (interpolated percentile over integral doubles —
+    // midpoint arithmetic exact in both engines).
+    "a_median" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          count(lit(1)).as("n"))
+    }),
+
     // Distinct aggregation (expand/partial-distinct plan).
     "a_count_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -186,6 +205,16 @@ object ExtendedQueries {
          |ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
          |FROM scored QUALIFY rnk <= 3""".stripMargin
     },
+
+    "a_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "a_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        |COUNT(*) AS n FROM lineitem GROUP BY 1""".stripMargin,
 
     "a_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
