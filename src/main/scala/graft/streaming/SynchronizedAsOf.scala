@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import StreamingAsOf.Input
+
+/** Downtime-synchronized as-of join — the J3 operator
+  * (/root/reference docs/source/cookbook.rst:358-520) as ONE fused
+  * stateful operator: SURVEY §7's "gate-and-buffer" realization of the
+  * pause, complementing the CheckpointManager restart path.
+  *
+  * Semantics per key, exactly the reference scenario:
+  *  - healthy: each left event emits the latest right at-or-before it
+  *    (plain as-of);
+  *  - the right side goes DOWN when left event time leads the newest
+  *    right event time by more than `thresholdUs` (check_pulse's
+  *    downtime check, checkpointing.py:87-111). While down, left
+  *    events still emit a PROVISIONAL (stale) enrichment — the
+  *    reference also enriches stale before the pause lands — and are
+  *    buffered in state ("the stream is paused": nothing final leaves);
+  *  - when the right side OVERTAKES the newest buffered left
+  *    (recovery check, checkpointing.py:113-131), the buffer replays
+  *    against the refreshed right side and emits CORRECTED rows — the
+  *    reference's seek-back reprocessing (cookbook.rst:506-516), here
+  *    without restarting anything because the unprocessed inputs are
+  *    state, not consumed offsets.
+  *
+  * Downstream must compact by (key, tsUs) keeping corrected over
+  * provisional — the same advice the reference gives its users
+  * (cookbook.rst:518-520). State is bounded: the left buffer only grows
+  * while a dependency is down (downtime duration × rate), the right
+  * buffer by retention.
+  */
+object SynchronizedAsOf {
+
+  case class SyncJoined(
+      key: String,
+      tsUs: Long,
+      leftPayload: String,
+      rightTsUs: Option[Long],
+      rightPayload: Option[String],
+      provisional: Boolean,
+      corrected: Boolean)
+
+  case class SyncState(
+      rights: Vector[(Long, String)],
+      pendingLefts: Vector[(Long, String)],
+      maxRightUs: Option[Long],
+      maxLeftUs: Option[Long],
+      isDown: Boolean)
+
+  object SyncState { val empty: SyncState = SyncState(Vector.empty, Vector.empty, None, None, false) }
+
+  def step(
+      st: SyncState,
+      inputs: Seq[Input],
+      thresholdUs: Long,
+      retentionUs: Long): (SyncState, Seq[SyncJoined]) = {
+    var s = st
+    val out = Seq.newBuilder[SyncJoined]
+
+    def probe(ts: Long): Option[(Long, String)] = {
+      val i = s.rights.lastIndexWhere(_._1 <= ts)
+      if (i >= 0) Some(s.rights(i)) else None
+    }
+
+    inputs.sortBy(i => (i.tsUs, i.isLeft)).foreach { in =>
+      if (!in.isLeft) {
+        // right event: insert sorted, evict behind retention
+        val idx = s.rights.indexWhere(_._1 > in.tsUs) match {
+          case -1 => s.rights.size
+          case i => i
+        }
+        var rights = (s.rights.take(idx) :+ (in.tsUs -> in.rightPayload)) ++ s.rights.drop(idx)
+        val horizon = rights.last._1 - retentionUs
+        val cut = rights.lastIndexWhere(_._1 <= horizon)
+        if (cut > 0) rights = rights.drop(cut)
+        s = s.copy(rights = rights,
+          maxRightUs = Some(s.maxRightUs.fold(in.tsUs)(math.max(_, in.tsUs))))
+        // recovery: right side overtook everything we buffered
+        if (s.isDown && s.pendingLefts.forall(_._1 <= in.tsUs)) {
+          s.pendingLefts.foreach { case (lts, lp) =>
+            val hit = probe(lts)
+            out += SyncJoined(in.key, lts, lp, hit.map(_._1), hit.map(_._2),
+              provisional = false, corrected = true)
+          }
+          s = s.copy(pendingLefts = Vector.empty, isDown = false)
+        }
+      } else {
+        s = s.copy(maxLeftUs = Some(s.maxLeftUs.fold(in.tsUs)(math.max(_, in.tsUs))))
+        val lag = in.tsUs - s.maxRightUs.getOrElse(in.tsUs)
+        if (!s.isDown && lag > thresholdUs) s = s.copy(isDown = true)
+        val hit = probe(in.tsUs)
+        if (s.isDown) {
+          // stale enrichment goes out flagged; the event itself is
+          // gated in state awaiting the corrected replay
+          out += SyncJoined(in.key, in.tsUs, in.leftPayload, hit.map(_._1), hit.map(_._2),
+            provisional = true, corrected = false)
+          s = s.copy(pendingLefts = s.pendingLefts :+ (in.tsUs -> in.leftPayload))
+        } else {
+          out += SyncJoined(in.key, in.tsUs, in.leftPayload, hit.map(_._1), hit.map(_._2),
+            provisional = false, corrected = false)
+        }
+      }
+    }
+    (s, out.result())
+  }
+
+  def join(
+      ds: Dataset[Input],
+      thresholdUs: Long,
+      retentionUs: Long = Long.MaxValue / 4)(
+      implicit spark: SparkSession): Dataset[SyncJoined] = {
+    import spark.implicits._
+    val grouped = ds.groupByKey(_.key)
+    if (ds.isStreaming) {
+      grouped.flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[Input], state: GroupState[SyncState]) =>
+          val (next, out) = step(state.getOption.getOrElse(SyncState.empty),
+            it.toSeq, thresholdUs, retentionUs)
+          state.update(next)
+          out.iterator
+      }
+    } else {
+      grouped.flatMapGroups { (_, it) =>
+        step(SyncState.empty, it.toSeq, thresholdUs, retentionUs)._2.iterator
+      }
+    }
+  }
+}

@@ -73,6 +73,28 @@ object StreamingDemo {
     println("[demo] transitions: " + transitions.map(_.kind).mkString(", "))
     spark.table("demo_enriched").as[String].collect().foreach(s => println("[demo] " + s))
 
+    // ---- variant (a): the same scenario through the FUSED operator
+    // (SynchronizedAsOf — gate-and-buffer, corrections without restart)
+    val fusedSrc = MemoryStream[Input]
+    val q3 = SynchronizedAsOf.join(fusedSrc.toDS(), thresholdUs = 3600L * 1000000L)
+      .writeStream.outputMode("append").format("memory").queryName("demo_fused").start()
+    Seq(
+      Input("x", us(10), isLeft = false, "", "🌞"),
+      Input("x", us(10, 30), isLeft = true, "swimming", ""),
+      Input("x", us(11), isLeft = false, "", "⛅"),
+      Input("x", us(11, 30), isLeft = true, "walking home", ""),
+      Input("x", us(12, 30), isLeft = true, "shopping", ""),
+      Input("x", us(12), isLeft = false, "", "🌦️"),
+      Input("x", us(13), isLeft = false, "", "🌧"),
+      Input("x", us(13, 10), isLeft = true, "lunch", "")
+    ).foreach { in => fusedSrc.addData(in); q3.processAllAvailable() }
+    spark.table("demo_fused").as[SynchronizedAsOf.SyncJoined].collect()
+      .sortBy(j => (j.tsUs, j.corrected)).foreach { j =>
+        val tag = if (j.corrected) " [corrected]" else if (j.provisional) " [provisional]" else ""
+        println(s"[demo/fused] The weather during ${j.leftPayload} was ${j.rightPayload.getOrElse("?")}$tag")
+      }
+    q3.stop()
+
     // lifecycle: runtime owns both queries; exit hooks run on shutdown
     // (the reference's stream() finally-path, core.py:202-216)
     val rt = new FlowRuntime(spark)

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import StreamingAsOf.Input
+import SynchronizedAsOf.{SyncJoined, SyncState}
+
+/** The full cookbook synchronization scenario (cookbook.rst:358-520)
+  * inside ONE operator: stale enrichment flagged provisional, gating
+  * while down, corrected replay on recovery — output sequence matches
+  * the reference's printed run message for message. */
+class SynchronizedAsOfSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  val HourUs = 3600L * 1000000L
+  def us(h: Int, m: Int = 0): Long =
+    Timestamp.valueOf(f"2023-01-01 $h%02d:$m%02d:00").getTime * 1000L
+
+  def right(h: Int, v: String) = Input("x", us(h), isLeft = false, "", v)
+  def left(h: Int, m: Int, v: String) = Input("x", us(h, m), isLeft = true, v, "")
+
+  // weather stalls after ⛅; threshold 1h (the cookbook scenario)
+  val scenario = Seq(
+    right(10, "🌞"), left(10, 30, "swimming"),
+    right(11, "⛅"), left(11, 30, "walking home"),
+    left(12, 30, "shopping"),                  // stale: lag 1.5h > 1h
+    right(12, "🌦️"), right(13, "🌧"),          // catch-up + recovery
+    left(13, 10, "lunch"))
+
+  def fmt(j: SyncJoined): String = {
+    val tag = if (j.corrected) " [corrected]" else if (j.provisional) " [provisional]" else ""
+    s"The weather during ${j.leftPayload} was ${j.rightPayload.getOrElse("?")}$tag"
+  }
+
+  // cookbook.rst:500-516 line for line (stale ⛅, then corrected 🌦️)
+  val expected = Seq(
+    "The weather during swimming was 🌞",
+    "The weather during walking home was ⛅",
+    "The weather during shopping was ⛅ [provisional]",
+    "The weather during shopping was 🌦️ [corrected]",
+    "The weather during lunch was 🌧")
+
+  /** Arrival batches matter: within a batch events process in
+    * event-time order, so the late 🌦️ must arrive in a LATER batch
+    * than the shopping probe for the downtime to exist at all. */
+  def runBatches(batches: Seq[Seq[Input]]): (SyncState, Seq[SyncJoined]) =
+    batches.foldLeft((SyncState.empty, Seq.empty[SyncJoined])) {
+      case ((st, acc), b) =>
+        val (st2, out) = SynchronizedAsOf.step(st, b, HourUs, Long.MaxValue / 4)
+        (st2, acc ++ out)
+    }
+
+  test("pure step reproduces the cookbook downtime run") {
+    val (st, out) = runBatches(scenario.map(Seq(_)))
+    assert(out.map(fmt) == expected)
+    assert(!st.isDown && st.pendingLefts.isEmpty)
+  }
+
+  test("streaming, one event per micro-batch (the real arrival pattern)") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Input]
+    val q = SynchronizedAsOf.join(src.toDS(), HourUs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sync_out").start()
+    scenario.foreach { in => src.addData(in); q.processAllAvailable() }
+    val got = spark.table("sync_out").as[SyncJoined].collect()
+      .sortBy(j => (j.tsUs, j.corrected))
+      .map(fmt).toSeq
+    q.stop()
+    assert(got == expected)
+  }
+
+  test("compaction by (key, ts) keeping corrected yields the clean view (cookbook.rst:520)") {
+    val (_, out) = runBatches(scenario.map(Seq(_)))
+    val clean = out.groupBy(j => (j.key, j.tsUs)).values
+      .map(vs => vs.find(_.corrected).getOrElse(vs.head))
+      .toSeq.sortBy(_.tsUs).map(j => j.leftPayload -> j.rightPayload.get)
+    assert(clean == Seq("swimming" -> "🌞", "walking home" -> "⛅",
+      "shopping" -> "🌦️", "lunch" -> "🌧"))
+  }
+
+  test("multiple downtimes: each recovers and corrects independently") {
+    val sc = Seq(
+      right(1, "A"), left(1, 10, "p1"),
+      left(4, 0, "p2"),          // down (lag 3h)
+      right(4, "B"),             // recover -> correct p2 with B
+      left(5, 0, "p3"),          // healthy
+      left(9, 0, "p4"),          // down again
+      right(9, "C"))             // recover -> correct p4 with C
+    val (st, out) = runBatches(sc.map(Seq(_)))
+    val tags = out.map(j => (j.leftPayload, j.rightPayload.get, j.provisional, j.corrected))
+    assert(tags == Seq(
+      ("p1", "A", false, false),
+      ("p2", "A", true, false), ("p2", "B", false, true),
+      ("p3", "B", false, false),
+      ("p4", "B", true, false), ("p4", "C", false, true)))
+    assert(!st.isDown)
+  }
+}
