@@ -16,11 +16,7 @@ import graft.Tables
   */
 object ExtendedQueries {
 
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
-  private def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  import QueryPrimitives._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

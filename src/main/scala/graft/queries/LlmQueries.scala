@@ -50,10 +50,7 @@ object LlmQueries {
   // aggregation + whole-stage codegen, the shape that survives 100 TB.
   // Fixed-width lowercase hex ⇒ lexicographic min == numeric min.
 
-  /** Sequential-fold dot product over double arrays (matches DuckDB's
-    * list_dot_product evaluation order bit-for-bit). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  import QueryPrimitives.dot
 
   private def dvec(c: Column): Column = c.cast("array<double>")
 

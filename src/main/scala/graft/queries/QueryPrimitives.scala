@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared Spark/DuckDB twin primitives for the oracle-checked query
+  * catalogs. These MUST stay bit-identical pairwise (the driver
+  * hash-compares results), which is exactly why they live in one place:
+  * a precision or fold-order change in one copy and not the other would
+  * silently break parity.
+  */
+private[queries] object QueryPrimitives {
+
+  /** Exact order-independent sum of a 2-decimal double column. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+  def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** DuckDB twins of dsum/dsum4. */
+  def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
+  def oSum4(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Sequential-fold dot product over double arrays — bit-identical to
+    * DuckDB's list_dot_product over ::DOUBLE[] casts. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** events with Spark-visible (microsecond) timestamps, for oracles. */
+  val oEvents: String =
+    "(SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value, props FROM events)"
+}

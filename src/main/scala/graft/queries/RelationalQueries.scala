@@ -23,15 +23,7 @@ import graft.operators.AsOfJoin
   */
 object RelationalQueries {
 
-  /** Exact order-independent sum of a 2-decimal double column. */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
-  private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
-
-  // DuckDB-side equivalents (kept adjacent so the pairing stays in sync)
-  private def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
-  private def oSum4(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
-  /** events with Spark-visible (microsecond) timestamps, for oracles. */
-  private val oEvents = "(SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value, props FROM events)"
+  import QueryPrimitives._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 fold/reduce aggregation (reference cookbook.rst:213-216): grouped sums/counts.
@@ -290,7 +282,7 @@ object RelationalQueries {
     "w4_session" ->
       s"""WITH e AS (SELECT user_id, ts FROM $oEvents),
          |b AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL
-         |OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         |OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
          |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          |g AS (SELECT user_id, ts, SUM(brk) OVER
          |(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM b)

@@ -110,9 +110,9 @@ object Checkpointing {
       state.deps.get(m.stream).foreach { dep =>
         val updated = dep.copy(markerUs = Some(m.markerUs), savedState = state.userState)
         val recovered = if (dep.isDown) {
-          // recovery check: dependency overtook the dependent
-          // (checkpointing.py:113-131)
-          val overtaken = state.dependentMarkerUs.forall(m.markerUs >= _)
+          // recovery check: dependency STRICTLY overtook the dependent
+          // (checkpointing.py:131: checkpoint_marker > state_marker)
+          val overtaken = state.dependentMarkerUs.forall(m.markerUs > _)
           if (overtaken) {
             val up = updated.copy(isDown = false, downSinceUs = None)
             out += Transition(cfg.name, "recovery", m.stream, m.markerUs, None, up.savedState)
@@ -195,6 +195,19 @@ class CheckpointManager(
     case _ => ()
   }
 
-  /** Attach to a transitions stream (foreach sink). */
-  def sink: FlowSink[Checkpointing.Transition] = FlowSink.foreach(apply)
+  /** Attach to a transitions stream. foreachBatch runs ON THE DRIVER,
+    * which these reactions require (stopping/restarting queries is a
+    * driver-side act; a per-record foreach sink would serialize the
+    * callbacks to executors where they could neither see nor control
+    * the StreamingQuery objects). Transition volume is control-plane
+    * tiny, so the collect is safe. */
+  def sink: FlowSink[Checkpointing.Transition] = new FlowSink[Checkpointing.Transition] {
+    def write(ds: org.apache.spark.sql.Dataset[Checkpointing.Transition]) =
+      if (ds.isStreaming)
+        Some(ds.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[Checkpointing.Transition], _: Long) =>
+            batch.collect().foreach(apply)
+        }.start())
+      else { ds.collect().foreach(apply); None }
+  }
 }

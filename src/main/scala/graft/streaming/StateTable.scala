@@ -22,17 +22,25 @@ import org.apache.spark.sql.functions._
   * entities (caching.py:223-247) are just extra columns here.
   */
 class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
+  import org.apache.hadoop.fs.Path
 
   private val seqCol = "__seq"
+
+  // Hadoop FS, not java.io: the table path may be hdfs://, s3a://, etc.
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(): Boolean = {
+    val p = new Path(path)
+    val f = fs
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  private def read(): DataFrame = spark.read.parquet(path)
+
   private var seq: Long = loadSeq()
 
   private def loadSeq(): Long =
     if (exists()) read().agg(max(col(seqCol))).collect()(0).getLong(0) else 0L
-
-  private def exists(): Boolean =
-    new java.io.File(path).exists() && new java.io.File(path).list().exists(_.endsWith(".parquet"))
-
-  private def read(): DataFrame = spark.read.parquet(path)
 
   /** Current live state: last write per key, tombstones dropped. */
   def snapshot(): DataFrame =
@@ -56,11 +64,16 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
       .write.mode(SaveMode.Append).parquet(path)
   }
 
-  /** Delete keys (tombstone write, `del cache[key]`). */
+  /** Delete keys (tombstone write, `del cache[key]`). No-op on a table
+    * that was never written — and the tombstone schema comes from the
+    * full log (not the live snapshot, which is empty when everything is
+    * deleted), so tombstone files always carry the value columns and
+    * can never poison the table schema. */
   def delete(keys: DataFrame): Unit = {
+    if (!exists()) return
     seq += 1
-    val tpl = snapshot().limit(0)
-    val cols = tpl.columns.filterNot(_ == keyCol)
+    val tpl = read()
+    val cols = tpl.columns.filterNot(c => c == keyCol || c == seqCol || c == "__deleted")
     val full = cols.foldLeft(keys.select(col(keyCol)))((d, c) =>
       d.withColumn(c, lit(null).cast(tpl.schema(c).dataType)))
     full
@@ -101,15 +114,25 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
     else read().where(col(seqCol) > sinceSeq).orderBy(col(seqCol))
 
   /** Rewrite the log to its live snapshot (FIFO-compaction analog of
-    * the reference's 25 MB retention, caching.py:109-133). */
+    * the reference's 25 MB retention, caching.py:109-133). No-op on an
+    * unwritten table. The swap (delete originals, move compacted in) is
+    * not atomic — a crash mid-swap can require re-running compact();
+    * true atomicity needs a table-format commit protocol, out of scope
+    * for this analog. */
   def compact(): Unit = {
+    if (!exists()) return
     val snap = snapshot().withColumn(seqCol, lit(seq)).withColumn("__deleted", lit(false))
-    val tmp = path + "__compact"
-    snap.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new java.io.File(path)
-    fs.listFiles().foreach(_.delete())
-    new java.io.File(tmp).listFiles().foreach(f =>
-      f.renameTo(new java.io.File(fs, f.getName)))
-    new java.io.File(tmp).delete()
+    val tmpPath = path + "__compact"
+    snap.write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    val f = fs
+    val dir = new Path(path)
+    f.listStatus(dir).foreach(s => f.delete(s.getPath, false))
+    f.listStatus(new Path(tmpPath))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        if (!f.rename(s.getPath, new Path(dir, s.getPath.getName)))
+          throw new java.io.IOException(s"compact: failed to move ${s.getPath}")
+      }
+    f.delete(new Path(tmpPath), true)
   }
 }

@@ -78,8 +78,9 @@ object SynchronizedAsOf {
         if (cut > 0) rights = rights.drop(cut)
         s = s.copy(rights = rights,
           maxRightUs = Some(s.maxRightUs.fold(in.tsUs)(math.max(_, in.tsUs))))
-        // recovery: right side overtook everything we buffered
-        if (s.isDown && s.pendingLefts.forall(_._1 <= in.tsUs)) {
+        // recovery: right side STRICTLY overtook the newest left seen
+        // (the reference's recovery_check, checkpointing.py:131)
+        if (s.isDown && s.maxLeftUs.forall(in.tsUs > _)) {
           s.pendingLefts.foreach { case (lts, lp) =>
             val hit = probe(lts)
             out += SyncJoined(in.key, lts, lp, hit.map(_._1), hit.map(_._2),
@@ -89,7 +90,12 @@ object SynchronizedAsOf {
         }
       } else {
         s = s.copy(maxLeftUs = Some(s.maxLeftUs.fold(in.tsUs)(math.max(_, in.tsUs))))
-        val lag = in.tsUs - s.maxRightUs.getOrElse(in.tsUs)
+        // no right event ever seen: initialize the right-side marker to
+        // the FIRST left marker (checkpointing.py:338-343 parity), so a
+        // right stream that is down from the very start is still
+        // detected once the lag exceeds the threshold
+        if (s.maxRightUs.isEmpty) s = s.copy(maxRightUs = Some(in.tsUs))
+        val lag = in.tsUs - s.maxRightUs.get
         if (!s.isDown && lag > thresholdUs) s = s.copy(isDown = true)
         val hit = probe(in.tsUs)
         if (s.isDown) {

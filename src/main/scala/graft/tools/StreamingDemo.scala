@@ -73,6 +73,25 @@ object StreamingDemo {
     println("[demo] transitions: " + transitions.map(_.kind).mkString(", "))
     spark.table("demo_enriched").as[String].collect().foreach(s => println("[demo] " + s))
 
+    // live driver-side reactions: CheckpointManager.sink (foreachBatch
+    // runs on the driver) attached to a transitions stream over the
+    // same marker history
+    val liveMgr = new CheckpointManager(
+      onPause = t => println(s"[demo/live-sink] PAUSE ${t.stream}"),
+      onResume = t => println(s"[demo/live-sink] RESUME ${t.stream} offsets=${t.savedState}"),
+      onDowntime = t => println(s"[demo/live-sink] DOWNTIME ${t.stream}"))
+    val markers2 = MemoryStream[Marker]
+    val Seq(Some(qLive)) = Flow.from(Checkpointing.transitions(cfg, markers2.toDS()))
+      .to(liveMgr.sink)
+    markers2.addData(
+      Marker("demo", "weather", isDependent = false, us(10)),
+      Marker("demo", "activity", isDependent = true, us(10, 30), Map("0" -> "0")),
+      Marker("demo", "weather", isDependent = false, us(11)),
+      Marker("demo", "activity", isDependent = true, us(12, 30), Map("0" -> "2")))
+    qLive.processAllAvailable()
+    markers2.addData(Marker("demo", "weather", isDependent = false, us(13)))
+    qLive.processAllAvailable(); qLive.stop()
+
     // ---- variant (a): the same scenario through the FUSED operator
     // (SynchronizedAsOf — gate-and-buffer, corrections without restart)
     val fusedSrc = MemoryStream[Input]

@@ -83,21 +83,40 @@ class SynchronizedAsOfSpec extends AnyFunSuite {
       "shopping" -> "🌦️", "lunch" -> "🌧"))
   }
 
-  test("multiple downtimes: each recovers and corrects independently") {
+  test("multiple downtimes: each recovers (strict overtake) and corrects independently") {
+    def l(h: Int, m: Int, v: String) = left(h, m, v)
+    def rAt(h: Int, m: Int, v: String) = Input("x", us(h, m), isLeft = false, "", v)
     val sc = Seq(
-      right(1, "A"), left(1, 10, "p1"),
-      left(4, 0, "p2"),          // down (lag 3h)
-      right(4, "B"),             // recover -> correct p2 with B
-      left(5, 0, "p3"),          // healthy
-      left(9, 0, "p4"),          // down again
-      right(9, "C"))             // recover -> correct p4 with C
+      rAt(1, 0, "A"), l(1, 10, "p1"),
+      l(4, 10, "p2"),            // down (lag 3h10m), provisional A
+      rAt(4, 0, "B"),            // catch-up: 4:00 is NOT > 4:10 -> still down
+      rAt(5, 0, "C"),            // strict overtake -> corrected p2 = B
+      l(5, 30, "p3"),            // healthy -> C
+      l(9, 0, "p4"),             // down again, provisional C
+      rAt(8, 45, "D"),           // late catch-up, still not > 9:00
+      rAt(9, 30, "E"))           // overtake -> corrected p4 = D
     val (st, out) = runBatches(sc.map(Seq(_)))
     val tags = out.map(j => (j.leftPayload, j.rightPayload.get, j.provisional, j.corrected))
     assert(tags == Seq(
       ("p1", "A", false, false),
       ("p2", "A", true, false), ("p2", "B", false, true),
-      ("p3", "B", false, false),
-      ("p4", "B", true, false), ("p4", "C", false, true)))
+      ("p3", "C", false, false),
+      ("p4", "C", true, false), ("p4", "D", false, true)))
+    assert(!st.isDown)
+  }
+
+  test("right side down from the very start is still detected (marker init parity)") {
+    val sc = Seq(
+      left(1, 0, "a"),           // initializes the right marker to 1:00
+      left(2, 30, "b"),          // lag 1.5h > 1h -> down, provisional None
+      right(2, "R1"),            // catch-up (2:00 not > 2:30)
+      right(3, "R2"))            // overtake -> corrected b = R1
+    val (st, out) = runBatches(sc.map(Seq(_)))
+    val tags = out.map(j => (j.leftPayload, j.rightPayload, j.provisional, j.corrected))
+    assert(tags == Seq(
+      ("a", None, false, false),
+      ("b", None, true, false),
+      ("b", Some("R1"), false, true)))
     assert(!st.isDown)
   }
 }
