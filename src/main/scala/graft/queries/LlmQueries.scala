@@ -90,6 +90,38 @@ object LlmQueries {
         .distinct()
     }),
 
+    // The full dedup composition in one plan: MinHash/LSH generates
+    // candidates (cheap, high recall), exact edit distance verifies them
+    // (expensive, only on candidates). This is the shape that makes
+    // near-dedup tractable at 100 TB: the O(len²) verify runs on ~35
+    // pairs, not 125k.
+    "dedup_minhash_verified" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hashed = docs
+        .select(col("doc_id"), explode(shingles3).as("sh"))
+        .withColumn("h", md5(col("sh")))
+      val sig = hashed.groupBy(col("doc_id")).agg(
+        (0 until SIG_K).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).head,
+        (0 until SIG_K).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).tail: _*)
+      val bandCols = (0 until BANDS).map { b =>
+        concat((0 until ROWS).map(r => col(s"h${b * ROWS + r}")): _*)
+      }
+      val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("bi", "bk")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      cand.join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
+        .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+        .withColumn("rel_dist",
+          col("edit_dist") / greatest(length(col("text_a")), length(col("text_b"))))
+        .where(col("rel_dist") <= 0.2)
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+    }),
+
     // SimHash fingerprints + cluster sizes: one token explode, 16 signed
     // bit-sums per doc (map-side combine keeps the shuffle tiny).
     "dedup_simhash" -> ((s, dir) => {
@@ -268,6 +300,27 @@ object LlmQueries {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "dedup_minhash_verified" -> {
+      val bandSelects = (0 until BANDS).map { b =>
+        val k = (0 until ROWS).map(r => s"h${b * ROWS + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS bi, $k AS bk FROM m"
+      }.mkString(" UNION ALL ")
+      s"""$oShingles,
+         |e AS (SELECT doc_id, md5(unnest(sh)) AS h FROM s),
+         |m AS (SELECT doc_id, ${(0 until SIG_K).map(oMinhash).mkString(", ")} FROM e GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+         |FROM cand
+         |JOIN documents ta ON ta.doc_id = doc_a
+         |JOIN documents tb ON tb.doc_id = doc_b
+         |WHERE levenshtein(ta.text, tb.text) /
+         |greatest(length(ta.text), length(tb.text)) <= 0.2""".stripMargin
     },
 
     "dedup_simhash" -> {
