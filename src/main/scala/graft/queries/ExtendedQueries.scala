@@ -95,6 +95,40 @@ object ExtendedQueries {
         .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
     }),
 
+    // Full outer join: customers x orders union of match spaces.
+    "j_full_outer" -> ((s, dir) => {
+      val custTotals = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(dsum(col("o_totalprice")).as("spent"))
+      Tables.customer(s, dir)
+        .join(custTotals, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), lit(-1L)).as("custkey"),
+          coalesce(col("c_mktsegment"), lit("NONE")).as("segment"),
+          coalesce(col("spent"), lit(0.0)).as("spent"))
+    }),
+
+    // Wider scalar-function surface: padding, replace, positions, parts.
+    "scalar_fns2" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        lpad(col("source"), 8, "0").as("padded"),
+        regexp_replace(col("source"), "src", "origin-").as("renamed"),
+        instr(col("text"), "spark").cast("long").as("spark_pos"),
+        element_at(split(col("text"), " "), 1).as("first_word"),
+        reverse(col("source")).as("rsource"),
+        substring_index(col("text"), " ", 3).as("first3"))
+    }),
+
+    // Null-handling semantics: nullif/coalesce/null-safe compare.
+    "null_handling" -> ((s, dir) => {
+      Tables.events(s, dir).select(
+        col("event_id"),
+        nullif(col("event_type"), lit("error")).as("type_or_null"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("suppressed")).as("type_clean"),
+        (col("value") <=> lit(0.0)).as("is_zero_nullsafe"),
+        when(col("value") > 100.0, col("value")).as("big_or_null"))
+    }),
+
     // Cube: all grouping-set combinations of (returnflag, linestatus).
     "a_cube" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -201,6 +235,32 @@ object ExtendedQueries {
          |ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
          |FROM scored QUALIFY rnk <= 3""".stripMargin
     },
+
+    "j_full_outer" ->
+      s"""WITH t AS (SELECT o_custkey, ${oSum("o_totalprice")} AS spent
+         |FROM orders GROUP BY 1)
+         |SELECT COALESCE(c_custkey, -1) AS custkey,
+         |COALESCE(c_mktsegment, 'NONE') AS segment,
+         |COALESCE(spent, 0.0) AS spent
+         |FROM customer FULL OUTER JOIN t ON c_custkey = o_custkey""".stripMargin,
+
+    "scalar_fns2" ->
+      """SELECT doc_id, lpad(source, 8, '0') AS padded,
+        |regexp_replace(source, 'src', 'origin-', 'g') AS renamed,
+        |CAST(strpos(text, 'spark') AS BIGINT) AS spark_pos,
+        |string_split(text, ' ')[1] AS first_word,
+        |reverse(source) AS rsource,
+        |CASE WHEN len(string_split(text, ' ')) <= 3 THEN text
+        |ELSE array_to_string(string_split(text, ' ')[1:3], ' ') END AS first3
+        |FROM documents""".stripMargin,
+
+    "null_handling" ->
+      """SELECT event_id,
+        |nullif(event_type, 'error') AS type_or_null,
+        |COALESCE(nullif(event_type, 'error'), 'suppressed') AS type_clean,
+        |value IS NOT DISTINCT FROM 0.0 AS is_zero_nullsafe,
+        |CASE WHEN value > 100.0 THEN value END AS big_or_null
+        |FROM events""".stripMargin,
 
     "a_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
