@@ -13,8 +13,10 @@ import graft.functions.WordShingles
   * (`SparkSession.builder.withExtensions(new GraftExtensions)`) or at
   * runtime via [[GraftExtensions.register]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.wordShinglesFn)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
+  }
 }
 
 object GraftExtensions {

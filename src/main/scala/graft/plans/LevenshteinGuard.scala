@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: prefix `levenshtein(a, b) <= k` predicates with the
+  * free lower bound `abs(length(a) - length(b)) <= k`.
+  *
+  * Sound because edit distance is at least the length difference (every
+  * edit changes the length by at most 1), and `And` evaluates lazily in
+  * both interpreted and codegen paths — so the O(|a|·|b|) DP is skipped
+  * entirely for pairs whose lengths already rule them out. On a
+  * candidates→verify dedup (LlmQueries.dedup_minhash_verified) this
+  * turns most verify probes into two length reads.
+  *
+  * Installed by [[graft.GraftExtensions]] via injectOptimizerRule —
+  * the Rule[LogicalPlan] leg of the engine's custom-Catalyst surface
+  * (Expression: WordShingles; Rule: this; SQL registration:
+  * GraftExtensions).
+  */
+object LevenshteinGuard extends Rule[LogicalPlan] {
+
+  private def isGuard(e: Expression): Boolean = e match {
+    case LessThanOrEqual(Abs(Subtract(Length(_), Length(_), _), _), _) => true
+    case _ => false
+  }
+
+  private def guard(lev: Levenshtein, k: Expression): Expression =
+    LessThanOrEqual(Abs(Subtract(Length(lev.left), Length(lev.right))), k)
+
+  private def rewrite(e: Expression): Expression = e match {
+    // already guarded: leave untouched (keeps the rule idempotent
+    // under the optimizer's fixpoint batches)
+    case a @ And(g, LessThanOrEqual(_: Levenshtein, _)) if isGuard(g) => a
+    case lte @ LessThanOrEqual(lev: Levenshtein, k) if k.foldable =>
+      And(guard(lev, k), lte)
+    case lt @ LessThan(lev: Levenshtein, k) if k.foldable =>
+      And(LessThan(Abs(Subtract(Length(lev.left), Length(lev.right))), k), lt)
+    case other => other.mapChildren(rewrite)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) =>
+      val rewritten = rewrite(cond)
+      if (rewritten fastEquals cond) f else f.copy(condition = rewritten)
+  }
+}

@@ -114,7 +114,12 @@ object LlmQueries {
         .distinct()
       val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
       val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      // absolute cap first (rel<=0.2 with max 580-char texts implies
+      // edit<=116, so it excludes nothing) — the plans.LevenshteinGuard
+      // optimizer rule rewrites it to a free length-difference
+      // prefilter that skips the O(len²) DP for mismatched pairs
       cand.join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
+        .where(levenshtein(col("text_a"), col("text_b")) <= 116)
         .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
         .withColumn("rel_dist",
           col("edit_dist") / greatest(length(col("text_a")), length(col("text_b"))))
@@ -319,7 +324,8 @@ object LlmQueries {
          |FROM cand
          |JOIN documents ta ON ta.doc_id = doc_a
          |JOIN documents tb ON tb.doc_id = doc_b
-         |WHERE levenshtein(ta.text, tb.text) /
+         |WHERE levenshtein(ta.text, tb.text) <= 116
+         |AND levenshtein(ta.text, tb.text) /
          |greatest(length(ta.text), length(tb.text)) <= 0.2""".stripMargin
     },
 

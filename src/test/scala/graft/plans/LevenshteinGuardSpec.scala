@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** The injected optimizer rule: plan rewrite visible, results
+  * unchanged, idempotent under the fixpoint. */
+class LevenshteinGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // a file-backed source: filters over local Seqs are constant-folded
+  // by ConvertToLocalRelation before injected rules ever see them
+  lazy val pairs = {
+    val dir = java.nio.file.Files.createTempDirectory("lev").toFile.getAbsolutePath + "/t"
+    Seq(
+      ("kitten", "sitting"),   // dist 3
+      ("flaw", "flaws"),       // dist 1
+      ("abc", "abc"),          // dist 0
+      ("a", "abcdefgh"),       // length diff 7 -> prefilter kills it
+      ("spark", "quark"))      // dist 2
+      .toDF("a", "b").write.parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("guard appears in the optimized plan for lev <= k filters") {
+    val q = pairs.where(levenshtein(col("a"), col("b")) <= 2)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("abs((length(") || opt.contains("abs((length("),
+      s"expected length-difference guard in:\n$opt")
+  }
+
+  test("results identical to the unguarded semantics") {
+    val got = pairs.where(levenshtein(col("a"), col("b")) <= 2)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("flaw", "flaws"), ("abc", "abc"), ("spark", "quark")))
+    // strict variant too
+    val lt = pairs.where(levenshtein(col("a"), col("b")) < 1)
+      .as[(String, String)].collect().toSet
+    assert(lt == Set(("abc", "abc")))
+  }
+
+  test("rule is idempotent: one guard, not nested guards") {
+    val q = pairs.where(levenshtein(col("a"), col("b")) <= 2)
+    val opt = q.queryExecution.optimizedPlan.toString
+    // the optimizer runs its batches to fixpoint; a non-idempotent rule
+    // would stack abs(length...) guards
+    assert("abs\\(".r.findAllIn(opt).size == 1, s"guards stacked in:\n$opt")
+  }
+}
