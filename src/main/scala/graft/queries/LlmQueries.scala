@@ -35,6 +35,18 @@ object LlmQueries {
   private val SIMHASH_BITS = 16
   private val MOD = 1000000007L
 
+  // Candidate-generation bounds (the 100 TB discipline, mirrored in the
+  // oracles so the approximation itself is hash-checked):
+  // - LSH_CAP: max cohort size per (band, key) in minhash LSH. A band key
+  //   shared by c docs yields O(c²) pairs; degenerate cohorts (boilerplate,
+  //   empty docs with identical signatures) are dropped — exact dedup
+  //   handles verbatim copies, LSH is for the near-dup tail.
+  // - HAM_CAP / EMB_CAP: same bound for simhash chunk bands and embedding
+  //   sign-LSH buckets.
+  private val LSH_CAP = 20
+  private val HAM_CAP = 20
+  private val EMB_CAP = 50
+
   /** Word tokens of the document text (single-space separated). */
   private def toks: Column = split(col("text"), " ")
 
@@ -70,7 +82,9 @@ object LlmQueries {
 
     // MinHash + LSH near-duplicate candidate pairs: explode shingles →
     // one md5 each → groupBy-min signature → band keys → band-key
-    // self-join (one shuffle, no cross join).
+    // self-join (one shuffle, no cross join). Band-key cohorts above
+    // LSH_CAP are dropped before the join (identical-signature cohorts —
+    // boilerplate, empty docs — would otherwise yield O(c²) pairs).
     "dedup_minhash_lsh" -> ((s, dir) => {
       val hashed = Tables.documents(s, dir)
         .select(col("doc_id"), explode(shingles3).as("sh"))
@@ -82,6 +96,9 @@ object LlmQueries {
         concat((0 until ROWS).map(r => col(s"h${b * ROWS + r}")): _*)
       }
       val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("bi", "bk")))
+        .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("bi"), col("bk"))))
+        .where(col("cohort") <= LSH_CAP)
+        .drop("cohort")
       val a = bands.as("a"); val b = bands.as("b")
       a.join(b,
           col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
@@ -107,6 +124,9 @@ object LlmQueries {
         concat((0 until ROWS).map(r => col(s"h${b * ROWS + r}")): _*)
       }
       val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("bi", "bk")))
+        .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("bi"), col("bk"))))
+        .where(col("cohort") <= LSH_CAP)
+        .drop("cohort")
       val cand = bands.as("a").join(bands.as("b"),
           col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -141,27 +161,40 @@ object LlmQueries {
       fp.withColumn("cluster_n", count(lit(1)).over(Window.partitionBy(col("simhash"))))
     }),
 
-    // SimHash near-dup pairs at hamming distance ≤ 2: band the 16-bit
-    // INTEGER fingerprint into 4 nibbles (a pair within distance 2 must
-    // agree on ≥1 nibble — pigeonhole), join on nibbles, then exact
-    // hamming via xor+popcount (one codegen'd op, not 16 string CASEs);
-    // distinct only after the filter has shrunk the candidates.
+    // SimHash near-dup pairs at hamming distance ≤ 2 over a 64-bit
+    // fingerprint, banded as 4×16-bit chunks (a pair within distance 2
+    // must agree on ≥2 chunks — pigeonhole; any one agreement recalls
+    // it). 65,536 distinct values per band (vs 16 for the old nibble
+    // scheme — THE fix for the r1 band-degeneracy scale-killer), plus a
+    // cohort cap per (band, chunk) so a degenerate key can never produce
+    // O(c²) pairs. The fingerprint lives as 4 small chunk columns — no
+    // 64-bit sign-bit arithmetic anywhere — and hamming is the sum of 4
+    // per-chunk xor popcounts. Bit j of the fingerprint = bit (j mod 4)
+    // of md5 hex nibble (j div 4): 64 independent bits from one md5.
     "dedup_simhash_hamming" -> ((s, dir) => {
       val words = Tables.documents(s, dir)
         .select(col("doc_id"), explode(toks).as("word"))
-      val sums = (1 to SIMHASH_BITS).map(j =>
-        sum(when(substring(md5(col("word")), j, 1) >= "8", 1L).otherwise(-1L)).as(s"s$j"))
-      val fp = words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"),
-          (1 to SIMHASH_BITS).map(j =>
-            when(col(s"s$j") > 0, 1L << (j - 1)).otherwise(0L)).reduce(_ + _).as("fp"))
-      val chunks = (0 until 4).map(b => shiftright(col("fp"), 4 * b).bitwiseAND(lit(15L)))
-      val bands = fp.select(col("doc_id"), col("fp"),
-        posexplode(array(chunks: _*)).as(Seq("bi", "chunk")))
+      val sums = (0 until 64).map { j =>
+        val nib = conv(substring(md5(col("word")), j / 4 + 1, 1), 16, 10).cast("long")
+        sum(when(shiftright(nib, j % 4).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+      }
+      val agg = words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      val chunkCols = (0 until 4).map { c =>
+        (0 until 16).map(k =>
+          when(col(s"s${c * 16 + k}") > 0, lit(1L << k)).otherwise(0L)).reduce(_ + _).as(s"c$c")
+      }
+      val fp = agg.select(col("doc_id") +: chunkCols: _*)
+      val bands = fp.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("bi", "chunk")))
+        .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("bi"), col("chunk"))))
+        .where(col("cohort") <= HAM_CAP)
+        .drop("cohort")
+      val ham = (0 until 4)
+        .map(c => bit_count(col(s"a.c$c").bitwiseXOR(col(s"b.c$c")))).reduce(_ + _)
       bands.as("a")
         .join(bands.as("b"), col("a.bi") === col("b.bi") &&
           col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming", bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long"))
+        .withColumn("hamming", ham.cast("long"))
         .where(col("hamming") <= 2)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
         .distinct()
@@ -202,22 +235,42 @@ object LlmQueries {
         .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
     }),
 
-    // Embedding near-dup with sign-bit LSH bucketing: candidate pairs
-    // only within a bucket (256 buckets from 8 sign bits), then exact
-    // cosine filter.
+    // Embedding near-dup with banded sign-bit LSH whose hyperplane count
+    // SCALES WITH THE CORPUS: nbits = clamp(8, 24, ⌈log₂ N⌉) computed
+    // from a broadcast count (binary-string length, integer-exact in
+    // both engines — no float log), so bucket count tracks corpus size
+    // and per-bucket population stays O(1) instead of the r1 fixed 256
+    // buckets growing O(N). 2 bands (dims 1.. and 25..) for recall —
+    // a pair is a candidate if it agrees on EITHER band — each
+    // band-bucket cohort capped at EMB_CAP, exact cosine verifies.
+    // DISTINCT collapses pairs recalled by both bands (cos is computed
+    // from the same doubles on both rows, so it is bit-identical and
+    // dedups exactly — in DuckDB too).
     "sim_embedding_neardup" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      def bits(off: Int) = concat((1 to 24).map(i =>
+        when(element_at(col("e"), off + i) >= 0.0, "1").otherwise("0")): _*)
+      val embRaw = Tables.embeddings(s, dir)
         .select(col("vec_id"), dvec(col("embedding")).as("e"))
+      val bands = embRaw
+        .crossJoin(broadcast(embRaw.agg(count(lit(1)).as("n_corpus"))))
+        .withColumn("nbits", least(lit(24), greatest(lit(8), length(bin(col("n_corpus"))))))
         .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-        .withColumn("bucket",
-          concat((1 to 8).map(i =>
-            when(element_at(col("e"), i) >= 0.0, "1").otherwise("0")): _*))
-      val a = emb.as("a"); val b = emb.as("b")
-      a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos",
-          dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+        .withColumn("bits0", bits(0))
+        .withColumn("bits1", bits(24))
+        .select(col("vec_id"), col("e"), col("nrm"),
+          posexplode(array(
+            expr("substring(bits0, 1, nbits)"),
+            expr("substring(bits1, 1, nbits)"))).as(Seq("bi", "bucket")))
+        .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("bi"), col("bucket"))))
+        .where(col("cohort") <= EMB_CAP)
+        .drop("cohort")
+      bands.as("a")
+        .join(bands.as("b"), col("a.bi") === col("b.bi") &&
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
         .where(col("cos") > 0.4)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+        .distinct()
     }),
 
     // Language ID: stopword-lexicon scoring with a fixed tie-break order.
@@ -301,9 +354,11 @@ object LlmQueries {
       s"""$oShingles,
          |e AS (SELECT doc_id, md5(unnest(sh)) AS h FROM s),
          |m AS (SELECT doc_id, ${(0 until SIG_K).map(oMinhash).mkString(", ")} FROM e GROUP BY doc_id),
-         |bands AS ($bandSelects)
+         |bands AS ($bandSelects),
+         |capped AS (SELECT * FROM bands
+         |QUALIFY COUNT(*) OVER (PARTITION BY bi, bk) <= $LSH_CAP)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
+         |FROM capped a JOIN capped b
          |ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
     },
 
@@ -316,8 +371,10 @@ object LlmQueries {
          |e AS (SELECT doc_id, md5(unnest(sh)) AS h FROM s),
          |m AS (SELECT doc_id, ${(0 until SIG_K).map(oMinhash).mkString(", ")} FROM e GROUP BY doc_id),
          |bands AS ($bandSelects),
+         |capped AS (SELECT * FROM bands
+         |QUALIFY COUNT(*) OVER (PARTITION BY bi, bk) <= $LSH_CAP),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
+         |FROM capped a JOIN capped b
          |ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
          |CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
@@ -341,22 +398,30 @@ object LlmQueries {
     },
 
     "dedup_simhash_hamming" -> {
-      val sums = (1 to SIMHASH_BITS).map(j =>
-        s"SUM(CASE WHEN substr(md5(word), $j, 1) >= '8' THEN 1 ELSE -1 END) AS s$j").mkString(", ")
-      val fpInt = (1 to SIMHASH_BITS).map(j =>
-        s"CASE WHEN s$j > 0 THEN ${1L << (j - 1)} ELSE 0 END").mkString(" + ")
+      val sums = (0 until 64).map { j =>
+        s"SUM(CASE WHEN ((('0x' || substr(md5(word), ${j / 4 + 1}, 1))::BIGINT >> ${j % 4}) & 1) = 1" +
+          s" THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(", ")
+      val chunks = (0 until 4).map { c =>
+        "CAST(" + (0 until 16).map(k =>
+          s"CASE WHEN s${c * 16 + k} > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ") +
+          s" AS BIGINT) AS c$c"
+      }.mkString(", ")
       val chunkSelects = (0 until 4).map(b =>
-        s"SELECT doc_id, fp, $b AS bi, (fp >> ${4 * b}) & 15 AS chunk FROM fp")
+        s"SELECT doc_id, c0, c1, c2, c3, $b AS bi, c$b AS chunk FROM fp")
         .mkString(" UNION ALL ")
+      val ham = (0 until 4).map(c => s"bit_count(xor(a.c$c, b.c$c))").mkString(" + ")
       s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          |sums AS (SELECT doc_id, $sums FROM words GROUP BY doc_id),
-         |fp AS (SELECT doc_id, CAST($fpInt AS BIGINT) AS fp FROM sums),
-         |bands AS ($chunkSelects)
+         |fp AS (SELECT doc_id, $chunks FROM sums),
+         |bands AS ($chunkSelects),
+         |capped AS (SELECT * FROM bands
+         |QUALIFY COUNT(*) OVER (PARTITION BY bi, chunk) <= $HAM_CAP)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-         |FROM bands a JOIN bands b
+         |CAST($ham AS BIGINT) AS hamming
+         |FROM capped a JOIN capped b
          |ON a.bi = b.bi AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.fp, b.fp)) <= 2""".stripMargin
+         |WHERE $ham <= 2""".stripMargin
     },
 
     "dedup_ngram_jaccard" ->
@@ -384,14 +449,21 @@ object LlmQueries {
         |QUALIFY rank <= 5""".stripMargin,
 
     "sim_embedding_neardup" -> {
-      val bucket = (1 to 8).map(i =>
-        s"CASE WHEN e[$i] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
+      def bits(off: Int) = (1 to 24).map(i =>
+        s"CASE WHEN e[${off + i}] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
+      val bandSelects = (0 until 2).map(b =>
+        s"SELECT vec_id, e, nrm, $b AS bi, substr(${bits(b * 24)}, 1, nbits) AS bucket FROM emb, p")
+        .mkString(" UNION ALL ")
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
          |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
-         |bkt AS (SELECT vec_id, e, nrm, $bucket AS bucket FROM emb)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |p AS (SELECT LEAST(24, GREATEST(8, length(bin(COUNT(*))))) AS nbits FROM embeddings),
+         |bands AS ($bandSelects),
+         |capped AS (SELECT * FROM bands
+         |QUALIFY COUNT(*) OVER (PARTITION BY bi, bucket) <= $EMB_CAP)
+         |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
-         |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM capped a JOIN capped b
+         |ON a.bi = b.bi AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.4""".stripMargin
     },
 

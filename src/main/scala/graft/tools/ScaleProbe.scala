@@ -34,20 +34,58 @@ object ScaleProbe {
         .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
     }
 
+    // SimHash-hamming twin of LlmQueries.dedup_simhash_hamming (64-bit
+    // fingerprint as 4×16-bit chunks, cohort-capped band join). Words are
+    // salted per replica so each copy fingerprints independently —
+    // constant pair density as the corpus grows, so superlinear pair or
+    // wall-clock growth would expose band-key degeneracy (the r1 bug:
+    // 4-bit nibble bands made this O(N²/64); 16-bit chunks + cap keep
+    // both pairs and time ~linear across the 16× sweep).
+    def simhashPairs(docs: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"), col("rep"))
+        .withColumn("word", concat(col("rep"), lit(":"), col("w")))
+      val sums = (0 until 64).map { j =>
+        val nib = conv(substring(md5(col("word")), j / 4 + 1, 1), 16, 10).cast("long")
+        sum(when(shiftright(nib, j % 4).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+      }
+      val agg = words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      val chunkCols = (0 until 4).map { c =>
+        (0 until 16).map(k =>
+          when(col(s"s${c * 16 + k}") > 0, lit(1L << k)).otherwise(0L)).reduce(_ + _).as(s"c$c")
+      }
+      val fp = agg.select(col("doc_id") +: chunkCols: _*)
+      val bands = fp.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          posexplode(array(col("c0"), col("c1"), col("c2"), col("c3"))).as(Seq("bi", "chunk")))
+        .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("bi"), col("chunk"))))
+        .where(col("cohort") <= 20)
+        .drop("cohort")
+      val ham = (0 until 4)
+        .map(c => bit_count(col(s"a.c$c").bitwiseXOR(col(s"b.c$c")))).reduce(_ + _)
+      bands.as("a")
+        .join(bands.as("b"), col("a.bi") === col("b.bi") &&
+          col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+        .where(ham <= 2)
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    }
+
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
       .select(col("doc_id"), col("text")).cache()
     val n0 = base.count()
 
-    Seq(1, 4, 16).foreach { k =>
-      val corpus = (0 until k).map(i =>
-          base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
-            col("text"), lit(i.toString).as("rep")))
-        .reduce(_ unionByName _)
-      minhashPairs(corpus) // warm
-      val t0 = System.nanoTime()
-      val pairs = minhashPairs(corpus)
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] docs=${n0 * k}%7d pairs=$pairs%6d time=$dt%6.2f s  (${n0 * k / dt}%.0f docs/s)")
+    Seq(("minhash", minhashPairs _), ("simhash", simhashPairs _)).foreach { case (name, probe) =>
+      Seq(1, 4, 16).foreach { k =>
+        val corpus = (0 until k).map(i =>
+            base.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+              col("text"), lit(i.toString).as("rep")))
+          .reduce(_ unionByName _)
+        probe(corpus) // warm
+        val t0 = System.nanoTime()
+        val pairs = probe(corpus)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] probe=$name%s docs=${n0 * k}%7d pairs=$pairs%7d time=$dt%6.2f s  (${n0 * k / dt}%.0f docs/s)")
+      }
     }
     spark.stop()
   }
