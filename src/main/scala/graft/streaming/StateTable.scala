@@ -1,68 +1,186 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyed state-table surface — parity with the reference's `Cache`
   * (/root/reference slipstream/caching.py:67-475): a persistent ordered
-  * KV map with get/put/delete, ordered + reverse + from-key + prefix
-  * scans, and a changelog of updates (the S4 cache-update stream).
+  * KV map with get/put/delete, wide-column entities
+  * (caching.py:222-247), ordered + reverse + from-key + prefix scans,
+  * and a changelog of updates (the S4 cache-update stream), batch
+  * ([[changes]]) and live ([[changeStream]]).
   *
   * Where the reference wraps single-node RocksDB, the Spark-native
-  * analog is a keyed parquet table with last-write-wins upsert
-  * compaction — every operation is a distributed plan (predicate
-  * pushdown on key ranges), and operator-internal state uses Spark's
-  * own RocksDB state store (GraftSession sets the provider). The
-  * reference's per-key `transaction(key)` lock pool
-  * (caching.py:161-174) is unnecessary by construction: Spark
-  * partitions keys, one task owns a key at a time.
+  * analog is a keyed parquet log with last-write-wins upsert compaction
+  * — every operation is a distributed plan (predicate pushdown on key
+  * ranges), and operator-internal state uses Spark's own RocksDB state
+  * store (GraftSession sets the provider). The reference's per-key
+  * `transaction(key)` lock pool (caching.py:161-174) is unnecessary by
+  * construction: Spark partitions keys, one task owns a key at a time.
   *
-  * Values are one or more typed columns — the reference's wide-column
-  * entities (caching.py:223-247) are just extra columns here.
+  * == Commit protocol ==
+  *
+  * Readers and writers coordinate through a versioned manifest — the
+  * same optimistic, rename-based protocol table formats use on
+  * rename-atomic filesystems:
+  *
+  *  - data files are append-only under `data/`, named by UUID; a file
+  *    not referenced by a committed manifest is invisible garbage;
+  *  - `_manifest/v<version>.json` lists the live data files and the
+  *    table's max sequence number; the highest parseable version is the
+  *    table state;
+  *  - a write stages its data files first, then commits manifest
+  *    `v+1` by atomic rename-no-overwrite. A concurrent writer that
+  *    lost the race fails the rename, deletes its staged files, and
+  *    retries against the new manifest — so sequence numbers are
+  *    allocated transactionally (the r1 driver-local `seq` var and its
+  *    two-writer race are gone);
+  *  - [[compact]] stages the compacted snapshot, commits, and only then
+  *    garbage-collects unreferenced files — a crash at ANY point leaves
+  *    the last committed manifest fully readable (crash-injection
+  *    spec'd via [[compactImpl]] failpoints).
+  *
+  * Rename-no-overwrite is atomic on HDFS-like filesystems; on local FS
+  * the exists-check preceding the rename is best-effort (the protocol
+  * targets shared cluster storage).
   */
 class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
-  import org.apache.hadoop.fs.Path
 
   private val seqCol = "__seq"
 
   // Hadoop FS, not java.io: the table path may be hdfs://, s3a://, etc.
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def exists(): Boolean = {
-    val p = new Path(path)
-    val f = fs
-    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  private def dataDir = new Path(path, "data")
+  private def manifestDir = new Path(path, "_manifest")
+
+  private case class Manifest(version: Long, seq: Long, files: Seq[String])
+
+  // Minimal fixed-shape JSON (no JSON lib on the offline classpath);
+  // file names are UUID-derived, so no escaping is ever needed.
+  private def renderManifest(m: Manifest): String =
+    s"""{"version":${m.version},"seq":${m.seq},"files":[${m.files.map("\"" + _ + "\"").mkString(",")}]}"""
+
+  private def parseManifest(s: String): Manifest = {
+    def field(name: String) =
+      s.split("\"" + name + "\":")(1).takeWhile(c => c.isDigit || c == '-').toLong
+    val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    Manifest(field("version"), field("seq"), files)
   }
 
-  private def read(): DataFrame = spark.read.parquet(path)
+  private def readFully(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 
-  private var seq: Long = loadSeq()
+  private def writeFile(p: Path, content: String): Unit = {
+    val out = fs.create(p, false)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
-  private def loadSeq(): Long =
-    if (exists()) read().agg(max(col(seqCol))).collect()(0).getLong(0) else 0L
+  /** Highest committed manifest, skipping an unparseable (partially
+    * written) latest — the previous version stays authoritative. */
+  private def latest(): Option[Manifest] = {
+    val f = fs
+    if (!f.exists(manifestDir)) return None
+    val versions = f.listStatus(manifestDir)
+      .map(_.getPath)
+      .filter(_.getName.matches("v\\d+\\.json"))
+      .sortBy(_.getName)
+      .reverse
+    versions.iterator.flatMap { p =>
+      try Some(parseManifest(readFully(p))) catch { case _: Exception => None }
+    }.nextOption()
+  }
+
+  /** Stage a DataFrame's rows as immutable data files; returns their
+    * names (not yet visible — only a manifest commit publishes them). */
+  private def stage(df: DataFrame, targetFiles: Int): Seq[String] = {
+    val f = fs
+    val tmp = new Path(path, ".stage-" + UUID.randomUUID().toString)
+    df.coalesce(math.max(1, targetFiles)).write.parquet(tmp.toString)
+    f.mkdirs(dataDir)
+    val parts = f.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val names = parts.zipWithIndex.map { case (src, i) =>
+      val name = s"${UUID.randomUUID().toString}-$i.parquet"
+      if (!f.rename(src, new Path(dataDir, name)))
+        throw new java.io.IOException(s"stage: failed to move $src")
+      name
+    }.toSeq
+    f.delete(tmp, true)
+    names
+  }
+
+  private def deleteStaged(names: Seq[String]): Unit = {
+    val f = fs
+    names.foreach(n => f.delete(new Path(dataDir, n), false))
+  }
+
+  /** Atomic publish of manifest `version`; false = lost a commit race. */
+  private def commit(m: Manifest): Boolean = {
+    val f = fs
+    f.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, ".tmp-" + UUID.randomUUID().toString)
+    writeFile(tmp, renderManifest(m))
+    val dst = new Path(manifestDir, f"v${m.version}%020d.json")
+    if (f.exists(dst)) { f.delete(tmp, false); false }
+    else if (f.rename(tmp, dst)) true
+    else { f.delete(tmp, false); false }
+  }
+
+  private def read(): Option[DataFrame] =
+    latest().filter(_.files.nonEmpty).map { m =>
+      val paths = m.files.map(n => new Path(dataDir, n).toString)
+      // mergeSchema: plain KV rows and wide-column entity rows coexist
+      // (absent columns read as null), like the reference's single DB
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+
+  /** Optimistic write loop: stage files, commit vN+1, retry on race. */
+  private def append(mkBatch: Option[DataFrame] => DataFrame, targetFiles: Int = 1): Unit = {
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val m = latest().getOrElse(Manifest(0L, 0L, Nil))
+      val newSeq = m.seq + 1
+      val stamped = mkBatch(read())
+        .withColumn(seqCol, lit(newSeq))
+      val names = stage(stamped, targetFiles)
+      if (commit(Manifest(m.version + 1, newSeq, m.files ++ names))) return
+      deleteStaged(names) // lost the race: roll back and re-read
+    }
+    throw new java.io.IOException(s"append: lost $attempts commit races on $path")
+  }
 
   /** Current live state: last write per key, tombstones dropped. */
   def snapshot(): DataFrame =
-    if (!exists()) spark.emptyDataFrame
-    else {
-      val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
-      read()
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1 && !col("__deleted"))
-        .drop("__rn", seqCol, "__deleted")
+    read() match {
+      case None => spark.emptyDataFrame
+      case Some(log) =>
+        val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+        log
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1 && !col("__deleted"))
+          .drop("__rn", seqCol, "__deleted")
     }
 
   /** Upsert a batch of (key, value-columns) rows — the `cache(k, v)`
-    * write path, appended as a new version (compaction via
-    * [[compact]]). */
-  def put(batch: DataFrame): Unit = {
-    seq += 1
-    batch
-      .withColumn(seqCol, lit(seq))
-      .withColumn("__deleted", lit(false))
-      .write.mode(SaveMode.Append).parquet(path)
-  }
+    * write path, appended as a new committed version (compaction via
+    * [[compact]]). `targetFiles` sizes the staged files for large
+    * restores; control-plane puts default to one file. */
+  def put(batch: DataFrame, targetFiles: Int = 1): Unit =
+    append(_ => batch.withColumn("__deleted", lit(false)), targetFiles)
 
   /** Delete keys (tombstone write, `del cache[key]`). No-op on a table
     * that was never written — and the tombstone schema comes from the
@@ -70,20 +188,18 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
     * deleted), so tombstone files always carry the value columns and
     * can never poison the table schema. */
   def delete(keys: DataFrame): Unit = {
-    if (!exists()) return
-    seq += 1
-    val tpl = read()
-    val cols = tpl.columns.filterNot(c => c == keyCol || c == seqCol || c == "__deleted")
-    val full = cols.foldLeft(keys.select(col(keyCol)))((d, c) =>
-      d.withColumn(c, lit(null).cast(tpl.schema(c).dataType)))
-    full
-      .withColumn(seqCol, lit(seq))
-      .withColumn("__deleted", lit(true))
-      .write.mode(SaveMode.Append).parquet(path)
+    if (latest().forall(_.files.isEmpty)) return
+    append { tpl =>
+      val template = tpl.getOrElse(spark.emptyDataFrame)
+      val cols = template.columns.filterNot(c => c == keyCol || c == seqCol || c == "__deleted")
+      cols.foldLeft(keys.select(col(keyCol)))((d, c) =>
+          d.withColumn(c, lit(null).cast(template.schema(c).dataType)))
+        .withColumn("__deleted", lit(true))
+    }
   }
 
   /** Point lookup. */
-  def get(key: Any): Option[org.apache.spark.sql.Row] =
+  def get(key: Any): Option[Row] =
     snapshot().where(col(keyCol) === lit(key)).collect().headOption
 
   /** Ordered scan with the reference's knobs: `backwards`, `fromKey`
@@ -100,39 +216,106 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
     df.orderBy(if (backwards) col(keyCol).desc else col(keyCol).asc)
   }
 
-  /** Current log sequence — pass to [[changes]] to tail from here. */
-  def currentSeq: Long = seq
+  // ---- Wide-column entities (reference caching.py:222-247) ----
+  //
+  // `put_entity(key, names, values)` replaces the key's whole column
+  // set, like RocksDB wide-columns; stored as one array<struct<name,
+  // value>> column riding the normal LWW log, so entities get
+  // versioning, tombstones, changelog and compaction for free. Values
+  // are stringified (the reference stores opaque bytes).
 
-  /** Changelog: every write after `sinceSeq`, in write order — the S4
-    * cache-update stream (reference interfaces.py:97-110: `async for
-    * (k, v) in cache` yields each write performed through the cache;
-    * endpoint recipe cookbook.rst:529-588). `__deleted=true` rows are
-    * tombstones. Pairs with a streaming file/Delta-CDF source when the
-    * log lives on shared storage. */
+  /** Replace `key`'s wide-column set (`cache.put_entity('k', ['a','b'], [1,2])`). */
+  def putEntity(key: String, names: Seq[String], values: Seq[Any]): Unit = {
+    require(names.length == values.length, "names and values must align")
+    import spark.implicits._
+    val cols = names.zip(values.map(String.valueOf)).map((StateTable.EntityColumn.apply _).tupled)
+    put(Seq((key, cols)).toDF(keyCol, "__entity"))
+  }
+
+  /** The key's columns as (name, value) pairs in put order, None on
+    * miss (`cache.get_entity('key')` → `[('a', 1), ('b', 2)]`). */
+  def getEntity(key: String): Option[Seq[(String, String)]] =
+    get(key).filter(_.schema.fieldNames.contains("__entity"))
+      .flatMap(r => Option(r.getAs[scala.collection.Seq[Row]]("__entity")))
+      .map(_.map(e => (e.getString(0), e.getString(1))).toSeq)
+
+  /** Ordered (key, columns) iteration — `cache.entities(prefix=...)`. */
+  def entities(prefix: Option[String] = None, fromKey: Option[Any] = None): DataFrame =
+    scan(fromKey = fromKey, prefix = prefix)
+      .where(col("__entity").isNotNull)
+      .select(col(keyCol), col("__entity").as("entity"))
+
+  /** Ordered (key, column-names) iteration — `cache.columns(prefix=...)`. */
+  def columns(prefix: Option[String] = None): DataFrame =
+    scan(prefix = prefix)
+      .where(col("__entity").isNotNull)
+      .select(col(keyCol), transform(col("__entity"), e => e("name")).as("columns"))
+
+  /** Current committed log sequence — pass to [[changes]] /
+    * [[changeStream]] to tail from here. */
+  def currentSeq: Long = latest().map(_.seq).getOrElse(0L)
+
+  /** Changelog: every committed write after `sinceSeq`, in write order —
+    * the S4 cache-update stream, batch form (reference
+    * interfaces.py:97-110: `async for (k, v) in cache` yields each write
+    * performed through the cache). `__deleted=true` rows are
+    * tombstones. */
   def changes(sinceSeq: Long = 0L): DataFrame =
-    if (!exists()) spark.emptyDataFrame
-    else read().where(col(seqCol) > sinceSeq).orderBy(col(seqCol))
+    read() match {
+      case None      => spark.emptyDataFrame
+      case Some(log) => log.where(col(seqCol) > sinceSeq).orderBy(col(seqCol))
+    }
+
+  /** Live changelog: a STREAMING DataFrame tailing this table's log —
+    * the S4 cache-update stream a second handler chains from (endpoint
+    * recipe cookbook.rst:529-588). File-source over the data dir; each
+    * committed put/delete batch arrives as new rows carrying `__seq`
+    * (order across micro-batches via `__seq`, tombstones via
+    * `__deleted`). Requires at least one committed write (the file
+    * source needs a schema). After a writer crash, staged-but-uncommitted
+    * files may appear in the stream once; compact() garbage-collects
+    * them. */
+  def changeStream(sinceSeq: Long = 0L): DataFrame = {
+    val schema = read().getOrElse(throw new IllegalStateException(
+      s"changeStream: $path has no committed writes to take a schema from")).schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dataDir.toString)
+      .where(col(seqCol) > sinceSeq)
+  }
 
   /** Rewrite the log to its live snapshot (FIFO-compaction analog of
-    * the reference's 25 MB retention, caching.py:109-133). No-op on an
-    * unwritten table. The swap (delete originals, move compacted in) is
-    * not atomic — a crash mid-swap can require re-running compact();
-    * true atomicity needs a table-format commit protocol, out of scope
-    * for this analog. */
-  def compact(): Unit = {
-    if (!exists()) return
-    val snap = snapshot().withColumn(seqCol, lit(seq)).withColumn("__deleted", lit(false))
-    val tmpPath = path + "__compact"
-    snap.write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    * the reference's 25 MB retention, caching.py:109-133), then
+    * garbage-collect unreferenced files. Crash-safe: the manifest
+    * commit is the atomic switch point (see class doc). */
+  def compact(): Unit = compactImpl(None)
+
+  /** [[compact]] with crash injection for the recovery spec: the named
+    * failpoint throws AFTER its stage completes, simulating a process
+    * kill between protocol steps. */
+  private[graft] def compactImpl(failpoint: Option[String]): Unit = {
+    val m = latest().getOrElse(return)
+    val snap = snapshot().withColumn(seqCol, lit(m.seq)).withColumn("__deleted", lit(false))
+    val names = stage(snap, targetFiles = 1)
+    if (failpoint.contains("staged")) throw new RuntimeException("failpoint: staged")
+    if (!commit(Manifest(m.version + 1, m.seq, names))) {
+      deleteStaged(names) // concurrent writer won; their manifest stays
+      return
+    }
+    if (failpoint.contains("committed")) throw new RuntimeException("failpoint: committed")
+    // GC: anything not in the committed manifest — superseded log files
+    // and orphans from earlier crashes alike
+    val live = names.toSet
     val f = fs
-    val dir = new Path(path)
-    f.listStatus(dir).foreach(s => f.delete(s.getPath, false))
-    f.listStatus(new Path(tmpPath))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        if (!f.rename(s.getPath, new Path(dir, s.getPath.getName)))
-          throw new java.io.IOException(s"compact: failed to move ${s.getPath}")
-      }
-    f.delete(new Path(tmpPath), true)
+    f.listStatus(dataDir)
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !live.contains(p.getName))
+      .foreach(p => f.delete(p, false))
   }
+}
+
+object StateTable {
+  /** One wide-column cell (reference `put_entity` name/value pair). */
+  case class EntityColumn(name: String, value: String)
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Cache-surface parity tests (reference tests/test_cache.py): CRUD with
@@ -68,5 +69,83 @@ class StateTableSpec extends AnyFunSuite {
     t.delete(Seq(Tuple1("b")).toDF("key"))
     t.compact()
     assert(t.scan().select("key", "v").as[(String, Int)].collect().toSeq == Seq(("a", 3)))
+  }
+
+  test("wide-column entities: put/get/entities/columns (caching.py:222-247, test_cache.py:270-291)") {
+    val (t, _) = fresh()
+    t.putEntity("user:1", Seq("name", "age"), Seq("alice", 30))
+    t.putEntity("user:2", Seq("name", "age"), Seq("bob", 25))
+    t.putEntity("order:1", Seq("item", "qty"), Seq("book", 2))
+
+    assert(t.getEntity("user:1").contains(Seq("name" -> "alice", "age" -> "30")))
+    assert(t.getEntity("nope").isEmpty)
+
+    // put_entity replaces the whole column set (RocksDB wide-column)
+    t.putEntity("user:1", Seq("name"), Seq("alicia"))
+    assert(t.getEntity("user:1").contains(Seq("name" -> "alicia")))
+
+    val userKeys = t.entities(prefix = Some("user:")).select("key").as[String].collect().toSeq
+    assert(userKeys == Seq("user:1", "user:2"))
+    assert(t.entities(prefix = Some("order:")).count() == 1)
+
+    val cols = t.columns(prefix = Some("user:"))
+      .select("columns").as[Seq[String]].collect().toSeq
+    assert(cols == Seq(Seq("name"), Seq("name", "age")))
+
+    // entities ride the same log: delete + changelog + reopen all work
+    t.delete(Seq(Tuple1("user:2")).toDF("key"))
+    assert(t.getEntity("user:2").isEmpty)
+    assert(t.entities(prefix = Some("user:")).count() == 1)
+  }
+
+  test("crash between stage and manifest commit leaves the table consistent") {
+    val (t, _) = fresh()
+    t.put(Seq(("a", 1), ("b", 2)).toDF("key", "v"))
+    t.put(Seq(("a", 3)).toDF("key", "v"))
+    val before = t.scan().select("key", "v").as[(String, Int)].collect().toSeq
+    intercept[RuntimeException](t.compactImpl(Some("staged")))
+    // staged-but-uncommitted files are invisible; nothing changed
+    assert(t.scan().select("key", "v").as[(String, Int)].collect().toSeq == before)
+    assert(t.changes().count() == 3) // full log intact, no duplicate rows
+    // recovery needs no repair step: the next compact commits and GCs
+    t.compact()
+    assert(t.scan().select("key", "v").as[(String, Int)].collect().toSeq == before)
+    assert(t.changes().count() == 2) // compacted log = live rows only
+  }
+
+  test("crash between manifest commit and GC leaves the table consistent") {
+    val (t, _) = fresh()
+    t.put(Seq(("a", 1)).toDF("key", "v"))
+    t.put(Seq(("a", 2)).toDF("key", "v"))
+    intercept[RuntimeException](t.compactImpl(Some("committed")))
+    // the commit already switched: live view correct, old files orphaned
+    assert(t.scan().select("key", "v").as[(String, Int)].collect().toSeq == Seq(("a", 2)))
+    assert(t.changes().count() == 1)
+    // a put after the crash keeps going on the committed lineage
+    t.put(Seq(("b", 7)).toDF("key", "v"))
+    assert(t.scan().select("key", "v").as[(String, Int)].collect().toSeq ==
+      Seq(("a", 2), ("b", 7)))
+  }
+
+  test("changeStream: a second streaming query observes each committed put (S4, cookbook.rst:529-588)") {
+    val (t, _) = fresh()
+    t.put(Seq(("a", 1)).toDF("key", "v"))
+    // chain the cache-update stream into a downstream Flow, like the
+    // reference's second handler on cache updates
+    val q = Flow.from(t.changeStream())
+      .to(FlowSink.memory("s4_change_feed"))
+      .head.get
+    try {
+      q.processAllAvailable()
+      assert(spark.table("s4_change_feed").select("key").as[String].collect().toSeq == Seq("a"))
+      t.put(Seq(("b", 2)).toDF("key", "v")) // live update observed downstream
+      q.processAllAvailable()
+      assert(spark.table("s4_change_feed").select("key", "v").as[(String, Int)]
+        .collect().toSet == Set(("a", 1), ("b", 2)))
+      t.delete(Seq(Tuple1("a")).toDF("key")) // tombstones flow too
+      q.processAllAvailable()
+      assert(spark.table("s4_change_feed").where(col("__deleted"))
+        .select("key").as[String].collect().toSeq == Seq("a"))
+    } finally q.stop()
   }
 }
