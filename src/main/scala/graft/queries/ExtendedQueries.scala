@@ -179,6 +179,28 @@ object ExtendedQueries {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }),
 
+    // Avro binary codec round trip (the reference's canonical custom
+    // ICodec, cookbook.rst:174-208): record → Avro wire bytes → record,
+    // hand-rolled from the public Avro spec (no spark-avro jar in the
+    // container). No DuckDB oracle (Avro isn't SQL-expressible there) —
+    // the driver's rows-only check applies; golden-bytes exactness is
+    // covered by AvroCodecSpec.
+    "codec_avro" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val sch = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("source", StringType, nullable = true),
+        StructField("text", StringType, nullable = true)))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), struct(col("doc_id"), col("source"), col("text")).as("rec"))
+        .withColumn("wire", graft.streaming.AvroCodec.toAvroCol(col("rec"), sch))
+        .withColumn("dec", graft.streaming.AvroCodec.fromAvroCol(col("wire"), sch))
+        .select(col("doc_id"),
+          length(col("wire")).cast("long").as("n_bytes"),
+          (col("dec.source") <=> col("rec.source") &&
+            col("dec.text") <=> col("rec.text")).as("roundtrip_ok"))
+    }),
+
     // Binary codec round trip (ICodec over opaque bytes): encode to
     // base64 wire format, decode back, verify length.
     "codec_binary_b64" -> ((s, dir) => {

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.api.java.UDF1
+import org.apache.spark.sql.catalyst.expressions.GenericRow
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types._
+
+/** Minimal Avro BINARY codec — parity with the reference's AvroCodec
+  * recipe (/root/reference docs/source/cookbook.rst:174-208, the
+  * canonical custom ICodec, interfaces.py:14-25). The container ships
+  * no spark-avro module, so this implements the Avro 1.x binary
+  * encoding directly from the public specification:
+  *
+  *  - int/long: zigzag varint
+  *  - string/bytes: varint byte-length + bytes
+  *  - float/double: little-endian IEEE 754
+  *  - boolean: one byte
+  *  - nullable field = union ["null", T]: varint branch index (0 =
+  *    null, 1 = value) then the value
+  *  - array: varint item count, items, 0 terminator (single block)
+  *  - record: fields in declaration order, no framing
+  *
+  * Schema-driven from a Spark `StructType` — the Spark-native analog of
+  * the reference parsing an .avsc file: the same StructType that shapes
+  * the DataFrame IS the wire schema. Typed JVM leg ([[AvroCodec]] as a
+  * `Codec[Row]` for Flow/foreach sinks) plus columnar UDF legs
+  * ([[AvroCodec.toAvroCol]]/[[AvroCodec.fromAvroCol]]) for DataFrame
+  * pipelines at the Kafka boundary.
+  */
+class AvroCodec(val schema: StructType) extends Codec[Row] {
+
+  def encode(value: Row): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    writeRecord(out, value, schema)
+    out.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): Row = {
+    val in = new Cursor(bytes)
+    readRecord(in, schema)
+  }
+
+  // ---- encoding ----
+
+  private def writeVarLong(out: ByteArrayOutputStream, n: Long): Unit = {
+    var z = (n << 1) ^ (n >> 63) // zigzag
+    while ((z & ~0x7FL) != 0L) { out.write(((z & 0x7FL) | 0x80L).toInt); z >>>= 7 }
+    out.write(z.toInt)
+  }
+
+  private def writeRecord(out: ByteArrayOutputStream, row: Row, st: StructType): Unit =
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      val v = if (row.isNullAt(i)) null else row.get(i)
+      if (f.nullable) { // union ["null", T]
+        if (v == null) writeVarLong(out, 0L)
+        else { writeVarLong(out, 1L); writeValue(out, v, f.dataType) }
+      } else writeValue(out, v, f.dataType)
+    }
+
+  private def writeValue(out: ByteArrayOutputStream, v: Any, dt: DataType): Unit = dt match {
+    case LongType    => writeVarLong(out, v.asInstanceOf[Long])
+    case IntegerType => writeVarLong(out, v.asInstanceOf[Int].toLong)
+    case StringType =>
+      val b = v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
+      writeVarLong(out, b.length.toLong); out.write(b, 0, b.length)
+    case BinaryType =>
+      val b = v.asInstanceOf[Array[Byte]]
+      writeVarLong(out, b.length.toLong); out.write(b, 0, b.length)
+    case BooleanType => out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case DoubleType =>
+      val bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+      (0 until 8).foreach(i => out.write(((bits >>> (8 * i)) & 0xFF).toInt))
+    case FloatType =>
+      val bits = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
+      (0 until 4).foreach(i => out.write((bits >>> (8 * i)) & 0xFF))
+    case ArrayType(elem, _) =>
+      val xs = v.asInstanceOf[scala.collection.Seq[Any]]
+      if (xs.nonEmpty) {
+        writeVarLong(out, xs.length.toLong)
+        xs.foreach(x => writeValue(out, x, elem))
+      }
+      writeVarLong(out, 0L) // block terminator
+    case st: StructType => writeRecord(out, v.asInstanceOf[Row], st)
+    case other => throw new IllegalArgumentException(s"AvroCodec: unsupported type $other")
+  }
+
+  // ---- decoding ----
+
+  private final class Cursor(val bytes: Array[Byte]) { var pos: Int = 0 }
+
+  private def readVarLong(in: Cursor): Long = {
+    var z = 0L; var shift = 0; var b = 0
+    do {
+      b = in.bytes(in.pos) & 0xFF; in.pos += 1
+      z |= (b & 0x7FL) << shift; shift += 7
+    } while ((b & 0x80) != 0)
+    (z >>> 1) ^ -(z & 1L) // unzigzag
+  }
+
+  private def readRecord(in: Cursor, st: StructType): Row =
+    new GenericRow(st.fields.map { f =>
+      if (f.nullable) {
+        if (readVarLong(in) == 0L) null else readValue(in, f.dataType)
+      } else readValue(in, f.dataType)
+    }.map(_.asInstanceOf[Any]))
+
+  private def readValue(in: Cursor, dt: DataType): Any = dt match {
+    case LongType    => readVarLong(in)
+    case IntegerType => readVarLong(in).toInt
+    case StringType =>
+      val n = readVarLong(in).toInt
+      val s = new String(in.bytes, in.pos, n, StandardCharsets.UTF_8); in.pos += n; s
+    case BinaryType =>
+      val n = readVarLong(in).toInt
+      val b = java.util.Arrays.copyOfRange(in.bytes, in.pos, in.pos + n); in.pos += n; b
+    case BooleanType => val b = in.bytes(in.pos) != 0; in.pos += 1; b
+    case DoubleType =>
+      var bits = 0L
+      (0 until 8).foreach(i => bits |= (in.bytes(in.pos + i) & 0xFFL) << (8 * i))
+      in.pos += 8
+      java.lang.Double.longBitsToDouble(bits)
+    case FloatType =>
+      var bits = 0
+      (0 until 4).foreach(i => bits |= (in.bytes(in.pos + i) & 0xFF) << (8 * i))
+      in.pos += 4
+      java.lang.Float.intBitsToFloat(bits)
+    case ArrayType(elem, _) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var n = readVarLong(in)
+      while (n != 0L) {
+        if (n < 0) n = { readVarLong(in); -n } // block with byte-size prefix
+        (0L until n).foreach(_ => buf += readValue(in, elem))
+        n = readVarLong(in)
+      }
+      buf.toSeq
+    case st: StructType => readRecord(in, st)
+    case other => throw new IllegalArgumentException(s"AvroCodec: unsupported type $other")
+  }
+}
+
+object AvroCodec {
+
+  /** Columnar encode: struct column → Avro binary column. UDF by
+    * necessity (a codec is opaque bytes — nothing for codegen to fuse);
+    * sits at the wire boundary, not in relational hot paths. */
+  def toAvroCol(struct: Column, schema: StructType): Column = {
+    val codec = new AvroCodec(schema)
+    udf(new UDF1[Row, Array[Byte]] {
+      def call(r: Row): Array[Byte] = if (r == null) null else codec.encode(r)
+    }, BinaryType).apply(struct)
+  }
+
+  /** Columnar decode: Avro binary column → struct column. */
+  def fromAvroCol(value: Column, schema: StructType): Column = {
+    val codec = new AvroCodec(schema)
+    udf(new UDF1[Array[Byte], Row] {
+      def call(b: Array[Byte]): Row = if (b == null) null else codec.decode(b)
+    }, schema).apply(value)
+  }
+}
