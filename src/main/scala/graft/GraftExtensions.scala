@@ -9,13 +9,18 @@ import graft.functions.WordShingles
 
 /** SQL surface for the engine's custom Catalyst pieces: registers
   * `word_shingles(text[, n])` so plain `spark.sql` queries reach the
-  * fused expression. Install at build time
+  * fused expression, injects the [[graft.plans.LevenshteinGuard]]
+  * optimizer rule, and injects [[graft.plans.AsOfSqlParser]] so
+  * `spark.sql` accepts the ASOF JOIN grammar and lowers it onto
+  * [[graft.operators.AsOfJoin]]. Install at build time
   * (`SparkSession.builder.withExtensions(new GraftExtensions)`) or at
-  * runtime via [[GraftExtensions.register]]. */
+  * runtime via [[GraftExtensions.register]] (functions only — parser
+  * and rules need builder-time install). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.wordShinglesFn)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
+    e.injectParser((session, delegate) => new graft.plans.AsOfSqlParser(session, delegate))
   }
 }
 

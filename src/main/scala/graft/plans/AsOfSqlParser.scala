@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.operators.AsOfJoin
+
+/** SQL surface for the as-of join (reference capability
+  * cookbook.rst:289-356) — an injected parser that accepts the
+  * Snowflake-style public grammar
+  *
+  * {{{
+  * SELECT <projection>
+  * FROM <leftTable> [AS] l
+  * ASOF JOIN <rightTable> [AS] r
+  * MATCH_CONDITION (l.<ts> >= r.<ts>)
+  * ON l.<k> = r.<k> [AND ...]
+  * }}}
+  *
+  * and lowers it onto [[graft.operators.AsOfJoin]] — the same
+  * shuffle-once window plan the DataFrame surface builds, so SQL and
+  * DataFrame as-of results are plan-identical (SqlSurfaceSpec
+  * hash-equates them; `j1_asof_sql` proves the SQL path against
+  * DuckDB's native `ASOF LEFT JOIN`). Everything else delegates to
+  * Spark's parser untouched.
+  *
+  * Semantics: each left row appears exactly once, matched to the
+  * latest right row with `r.ts <= l.ts` per key (left-outer: unmatched
+  * left rows carry nulls). In the projection, `l.`-qualified columns
+  * resolve to their plain names and `r.`-qualified ones to
+  * `<rightAlias>_`-prefixed names. Supported relation form: a named
+  * table or view per side (derive subqueries as temp views first).
+  */
+class AsOfSqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    AsOfSqlParser.lower(session, sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    AsOfSqlParser.lower(session, sqlText).getOrElse(delegate.parseQuery(sqlText))
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+}
+
+object AsOfSqlParser {
+
+  private val Grammar =
+    ("""(?is)\s*SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+""" +
+      """ASOF\s+JOIN\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+""" +
+      """MATCH_CONDITION\s*\(\s*(\w+)\.(\w+)\s*>=\s*(\w+)\.(\w+)\s*\)\s+""" +
+      """ON\s+(.+?)\s*;?\s*""").r
+
+  private val KeyEq = """(?i)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+
+  /** Recognize the ASOF JOIN grammar; None = not ours, delegate. */
+  def lower(session: SparkSession, sqlText: String): Option[LogicalPlan] = sqlText match {
+    case Grammar(sel, lrel, la, rrel, ra, mcLa, lts, mcRa, rts, on) =>
+      require(mcLa.equalsIgnoreCase(la) && mcRa.equalsIgnoreCase(ra),
+        s"MATCH_CONDITION must compare $la.<ts> >= $ra.<ts>")
+      val keys = on.split("(?i)\\s+AND\\s+").toSeq.map {
+        case KeyEq(a1, k1, a2, k2) if a1.equalsIgnoreCase(la) && a2.equalsIgnoreCase(ra) => (k1, k2)
+        case KeyEq(a1, k1, a2, k2) if a1.equalsIgnoreCase(ra) && a2.equalsIgnoreCase(la) => (k2, k1)
+        case other =>
+          throw new IllegalArgumentException(s"ASOF JOIN ON must be $la.k = $ra.k conjunctions, got: $other")
+      }
+      val left = session.table(lrel)
+      // align right key names with left so the shared-`by` join applies
+      val right = keys.foldLeft(session.table(rrel)) { case (df, (lk, rk)) =>
+        if (lk == rk) df else df.withColumnRenamed(rk, lk)
+      }
+      val by = keys.map(_._1)
+      val rightVals = right.columns.toSeq.filterNot(by.contains)
+      val prefix = ra + "_"
+      val joined = AsOfJoin.asOf(left, right, lts, rts, by, rightVals, prefix)
+      val projected =
+        if (sel.trim == "*") joined
+        else {
+          val items = splitTopLevel(sel).map(
+            _.replaceAll("(?i)\\b" + la + "\\.", "").replaceAll("(?i)\\b" + ra + "\\.", prefix))
+          joined.selectExpr(items: _*)
+        }
+      Some(projected.queryExecution.logical)
+    case _ => None
+  }
+
+  /** Split a projection list on top-level commas only. */
+  private def splitTopLevel(sel: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    sel.foreach {
+      case c @ ('(' | '[') => depth += 1; cur += c
+      case c @ (')' | ']') => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.result().trim
+    out.toSeq.filter(_.nonEmpty)
+  }
+}

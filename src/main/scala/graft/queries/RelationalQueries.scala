@@ -102,6 +102,24 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
     }),
 
+    // J1 via the SQL surface: the injected AsOfSqlParser accepts the
+    // Snowflake-style ASOF JOIN grammar and lowers it onto the SAME
+    // AsOfJoin plan — proven here against DuckDB's native ASOF LEFT
+    // JOIN with the exact oracle j1_asof_join uses.
+    "j1_asof_sql" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "click").createOrReplaceTempView("graft_clicks")
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+        .createOrReplaceTempView("graft_purchases")
+      s.sql("""SELECT l.event_id, l.user_id,
+              |r.p_event_id AS p_event_id, r.p_value AS p_value
+              |FROM graft_clicks l ASOF JOIN graft_purchases r
+              |MATCH_CONDITION (l.ts >= r.ts)
+              |ON l.user_id = r.user_id""".stripMargin)
+    }),
+
     // W2 tumbling window (reference cookbook.rst:220).
     "w2_tumbling" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -262,6 +280,12 @@ object RelationalQueries {
          |JOIN region ON n_regionkey = r_regionkey GROUP BY 1""".stripMargin,
 
     "j1_asof_join" ->
+      s"""SELECT l.event_id, l.user_id, r.event_id AS p_event_id, r.value AS p_value
+         |FROM (SELECT * FROM $oEvents WHERE event_type = 'click') l
+         |ASOF LEFT JOIN (SELECT * FROM $oEvents WHERE event_type = 'purchase') r
+         |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "j1_asof_sql" ->
       s"""SELECT l.event_id, l.user_id, r.event_id AS p_event_id, r.value AS p_value
          |FROM (SELECT * FROM $oEvents WHERE event_type = 'click') l
          |ASOF LEFT JOIN (SELECT * FROM $oEvents WHERE event_type = 'purchase') r

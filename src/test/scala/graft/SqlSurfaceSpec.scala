@@ -41,6 +41,36 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaCol.count() > 0)
   }
 
+  test("ASOF JOIN SQL lowers onto the AsOfJoin plan (cookbook.rst:289-356)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    ev.where(col("event_type") === "click").createOrReplaceTempView("clicks_sql")
+    ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+      .createOrReplaceTempView("purchases_sql")
+    val viaSql = spark.sql(
+      """SELECT l.event_id, l.user_id,
+        |r.p_event_id AS p_event_id, r.p_value AS p_value
+        |FROM clicks_sql l ASOF JOIN purchases_sql r
+        |MATCH_CONDITION (l.ts >= r.ts)
+        |ON l.user_id = r.user_id""".stripMargin)
+    val viaApi = graft.operators.AsOfJoin.asOf(
+        spark.table("clicks_sql"), spark.table("purchases_sql"),
+        "ts", "ts", Seq("user_id"),
+        rightCols = Seq("p_event_id", "p_value"), rightPrefix = "")
+      .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+    assert(viaSql.count() > 0)
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+    // SELECT * carries left columns plain and right columns r_-prefixed
+    val star = spark.sql(
+      """SELECT * FROM clicks_sql l ASOF JOIN purchases_sql r
+        |MATCH_CONDITION (l.ts >= r.ts) ON l.user_id = r.user_id""".stripMargin)
+    assert(star.columns.contains("event_id") && star.columns.contains("r_p_value"))
+    // non-ASOF statements still flow through Spark's own parser
+    assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) == 2)
+  }
+
   test("transformWithState fold: running emoji counts across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
