@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming._
 
 /** Checkpoint/Dependency — the reference's one algorithmically original
   * operator (/root/reference slipstream/checkpointing.py, 412 LoC):
@@ -137,6 +137,30 @@ object Checkpointing {
         (s2, acc ++ t)
     }
 
+  /** transformWithState processor for the checkpoint registry. One
+    * ValueState per checkpoint name: this state is control-plane tiny
+    * (markers + per-dependency flags, no buffers), so a single value
+    * round-trip per micro-batch is the right shape — no ListState
+    * needed. */
+  class CheckpointProcessor(byName: Map[String, Config])
+    extends StatefulProcessor[String, Marker, Transition] {
+
+    @transient private var st: ValueState[CheckpointState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CheckpointState]("ckpt",
+        Encoders.product[CheckpointState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        name: String, rows: Iterator[Marker], timerValues: TimerValues): Iterator[Transition] = {
+      val cfg = byName(name)
+      val cur = if (st.exists()) st.get() else CheckpointState.empty(cfg.dependencies)
+      val (next, out) = run(cfg, cur, rows.toSeq)
+      st.update(next)
+      out.iterator
+    }
+  }
+
   /** Stateful-stream application over the unioned marker stream. */
   def transitions(
       cfg: Config,
@@ -156,15 +180,8 @@ object Checkpointing {
     val byName = cfgs.map(c => c.name -> c).toMap
     val grouped = markers.filter(m => byName.contains(m.checkpoint)).groupByKey(_.checkpoint)
     if (markers.isStreaming) {
-      grouped.flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (name: String, it: Iterator[Marker], state: GroupState[CheckpointState]) =>
-          val cfg = byName(name)
-          val st = state.getOption.getOrElse(CheckpointState.empty(cfg.dependencies))
-          val (next, out) = run(cfg, st, it.toSeq)
-          state.update(next)
-          out.iterator
-      }
+      grouped.transformWithState(
+        new CheckpointProcessor(byName), TimeMode.None(), OutputMode.Append())
     } else {
       grouped.flatMapGroups { (name, it) =>
         val cfg = byName(name)

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming._
 
 /** Per-event sliding window — the reference's W1
   * (/root/reference docs/source/cookbook.rst:225-280): on EVERY event,
@@ -39,6 +39,27 @@ object SlidingWindow {
     (live, out.result())
   }
 
+  /** transformWithState processor: the live-event buffer is a
+    * `ListState` — in-window appends are O(delta) RocksDB merges, and
+    * only an evicting batch rewrites the list (see [[StatefulOps]]). */
+  class SlidingProcessor(windowSize: Double)
+    extends StatefulProcessor[String, Timed, WindowCounts] {
+
+    @transient private var live: ListState[(String, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      live = getHandle.getListState[(String, Double)]("live",
+        Encoders.tuple(Encoders.STRING, Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(
+        group: String, rows: Iterator[Timed], timerValues: TimerValues): Iterator[WindowCounts] = {
+      val prev = live.get().toVector
+      val (next, out) = step(prev, rows.map(e => (e.key, e.ts)).toSeq, windowSize)
+      StatefulOps.persistSorted(live, prev, next)
+      out.iterator.map { case (t, m) => WindowCounts(group, t, m) }
+    }
+  }
+
   /** Streaming (or batch) application over a Dataset of [[Timed]]. */
   def counts(
       ds: Dataset[Timed],
@@ -46,14 +67,8 @@ object SlidingWindow {
     import spark.implicits._
     val grouped = ds.groupByKey(_.group)
     if (ds.isStreaming) {
-      grouped.flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (group: String, it: Iterator[Timed], state: GroupState[Vector[(String, Double)]]) =>
-          val (next, out) =
-            step(state.getOption.getOrElse(Vector.empty), it.toSeq.map(e => (e.key, e.ts)), windowSize)
-          state.update(next)
-          out.iterator.map { case (t, m) => WindowCounts(group, t, m) }
-      }
+      grouped.transformWithState(
+        new SlidingProcessor(windowSize), TimeMode.None(), OutputMode.Append())
     } else {
       grouped.flatMapGroups { (group, it) =>
         val (_, out) = step(Vector.empty, it.toSeq.map(e => (e.key, e.ts)), windowSize)

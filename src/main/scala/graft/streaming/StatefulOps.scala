@@ -1,0 +1,29 @@
+package graft.streaming
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.sql.streaming.ListState
+
+/** Shared persistence for sorted-buffer state on the modern
+  * `transformWithState` API (Spark 4 StatefulProcessor + RocksDB
+  * provider).
+  *
+  * The r1 `flatMapGroupsWithState` operators round-tripped their whole
+  * per-key buffer through a single value each micro-batch; with
+  * `ListState` the dominant case — mostly-ordered streams appending at
+  * the tail — becomes an O(delta) native list append (a RocksDB merge),
+  * and only a head-changing update (eviction, out-of-order insert)
+  * rewrites the list. */
+object StatefulOps {
+
+  /** Write `next` given the previously-read `prev`: append-only deltas
+    * use `appendList`; anything else replaces the list. */
+  def persistSorted[T: ClassTag](ls: ListState[T], prev: Vector[T], next: Vector[T]): Unit =
+    if (next.length >= prev.length && next.startsWith(prev)) {
+      val delta = next.drop(prev.length)
+      if (delta.nonEmpty) ls.appendList(delta.toArray)
+    } else {
+      ls.clear()
+      if (next.nonEmpty) ls.put(next.toArray)
+    }
+}

@@ -2,8 +2,8 @@ package graft.streaming
 
 import scala.collection.Searching.{Found, InsertionPoint}
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming._
 
 /** Streaming temporal as-of join — the reference's flagship pattern
   * (/root/reference docs/source/cookbook.rst:289-356): the right side is
@@ -75,7 +75,27 @@ object StreamingAsOf {
     (Buffer(rights), out.result())
   }
 
-  implicit private val bufEnc: Encoder[Buffer] = Encoders.product[Buffer]
+  /** transformWithState processor: the right-side buffer is a
+    * `ListState` — ordered right arrivals are O(delta) RocksDB list
+    * merges; only eviction or an out-of-order insert rewrites
+    * (see [[StatefulOps]]). */
+  class AsOfProcessor(retentionUs: Long)
+    extends StatefulProcessor[String, Input, Joined] {
+
+    @transient private var rights: ListState[(Long, String)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      rights = getHandle.getListState[(Long, String)]("rights",
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING), TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[Input], timerValues: TimerValues): Iterator[Joined] = {
+      val prev = rights.get().toVector
+      val (next, out) = step(Buffer(prev), rows.toSeq, retentionUs)
+      StatefulOps.persistSorted(rights, prev, next.rights)
+      out.iterator
+    }
+  }
 
   /** Apply over a unioned Dataset[Input] (streaming or batch). */
   def join(
@@ -84,14 +104,8 @@ object StreamingAsOf {
     import spark.implicits._
     val grouped = ds.groupByKey(_.key)
     if (ds.isStreaming) {
-      grouped.flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, it: Iterator[Input], state: GroupState[Buffer]) =>
-          val (next, out) =
-            step(state.getOption.getOrElse(Buffer(Vector.empty)), it.toSeq, retentionUs)
-          state.update(next)
-          out.iterator
-      }
+      grouped.transformWithState(
+        new AsOfProcessor(retentionUs), TimeMode.None(), OutputMode.Append())
     } else {
       grouped.flatMapGroups { (_, it) =>
         step(Buffer(Vector.empty), it.toSeq, retentionUs)._2.iterator

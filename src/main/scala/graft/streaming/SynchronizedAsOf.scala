@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming._
 
 import StreamingAsOf.Input
 
@@ -113,6 +113,40 @@ object SynchronizedAsOf {
     (s, out.result())
   }
 
+  /** Scalar leg of the state (the two buffers live as ListState). */
+  case class SyncMeta(maxRightUs: Option[Long], maxLeftUs: Option[Long], isDown: Boolean)
+
+  /** transformWithState processor: rights and gated lefts are separate
+    * `ListState`s (healthy operation appends — O(delta) RocksDB merges;
+    * only eviction / replay-drain rewrites), scalars a tiny ValueState. */
+  class SyncProcessor(thresholdUs: Long, retentionUs: Long)
+    extends StatefulProcessor[String, Input, SyncJoined] {
+
+    @transient private var rights: ListState[(Long, String)] = _
+    @transient private var pending: ListState[(Long, String)] = _
+    @transient private var meta: ValueState[SyncMeta] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+      rights = getHandle.getListState[(Long, String)]("rights", pairEnc, TTLConfig.NONE)
+      pending = getHandle.getListState[(Long, String)]("pending", pairEnc, TTLConfig.NONE)
+      meta = getHandle.getValueState[SyncMeta]("meta", Encoders.product[SyncMeta], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String, rows: Iterator[Input], timerValues: TimerValues): Iterator[SyncJoined] = {
+      val prevR = rights.get().toVector
+      val prevP = pending.get().toVector
+      val m = if (meta.exists()) meta.get() else SyncMeta(None, None, isDown = false)
+      val st = SyncState(prevR, prevP, m.maxRightUs, m.maxLeftUs, m.isDown)
+      val (next, out) = step(st, rows.toSeq, thresholdUs, retentionUs)
+      StatefulOps.persistSorted(rights, prevR, next.rights)
+      StatefulOps.persistSorted(pending, prevP, next.pendingLefts)
+      meta.update(SyncMeta(next.maxRightUs, next.maxLeftUs, next.isDown))
+      out.iterator
+    }
+  }
+
   def join(
       ds: Dataset[Input],
       thresholdUs: Long,
@@ -121,14 +155,8 @@ object SynchronizedAsOf {
     import spark.implicits._
     val grouped = ds.groupByKey(_.key)
     if (ds.isStreaming) {
-      grouped.flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, it: Iterator[Input], state: GroupState[SyncState]) =>
-          val (next, out) = step(state.getOption.getOrElse(SyncState.empty),
-            it.toSeq, thresholdUs, retentionUs)
-          state.update(next)
-          out.iterator
-      }
+      grouped.transformWithState(
+        new SyncProcessor(thresholdUs, retentionUs), TimeMode.None(), OutputMode.Append())
     } else {
       grouped.flatMapGroups { (_, it) =>
         step(SyncState.empty, it.toSeq, thresholdUs, retentionUs)._2.iterator
