@@ -30,6 +30,13 @@ object GraftSession {
       .config(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: a state-store commit appends the
+      // batch's delta instead of zipping + fsyncing a full RocksDB
+      // snapshot per partition per batch (measured: snapshot save+sync
+      // was >80% of stateful commit time; snapshots move to background
+      // maintenance). At cluster scale this is also the smaller
+      // object-store write amplification.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
 
   def getOrCreate(master: String = "local[32]"): SparkSession = {
     val spark = builder(master).getOrCreate()

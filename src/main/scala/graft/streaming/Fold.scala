@@ -61,12 +61,67 @@ object Fold {
       grouped.mapGroups((k, it) => (k, it.foldLeft(zero)(fold)))
   }
 
-  /** The emoji running count (reference getting_started.rst:84-145). */
+  /** Keyed fold WITH map-side partial aggregation — the stateful-stream
+    * analog of Spark's partial/final hash aggregate, for folds whose
+    * accumulator merges associatively (`merge`). Each micro-batch
+    * partition pre-combines into one accumulator per key
+    * (`fold` over a local hash map), the shuffle then moves only
+    * (key, partial) pairs — O(distinct keys), not O(rows) — and the
+    * state store merges partials. Same observable output as [[apply]]
+    * (one updated accumulator per key per micro-batch); state-op input
+    * and shuffle volume drop by the per-partition key-repetition
+    * factor. */
+  def applyPartial[K: Encoder, V, B: Encoder](
+      ds: Dataset[V],
+      key: V => K,
+      zero: B,
+      fold: (B, V) => B,
+      merge: (B, B) => B,
+      ttl: Option[Duration] = None)(
+      implicit spark: SparkSession, kvEnc: Encoder[(K, B)]): Dataset[(K, B)] = {
+    val partials = ds.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap.empty[K, B]
+      it.foreach { v =>
+        val k = key(v)
+        acc.update(k, fold(acc.getOrElse(k, zero), v))
+      }
+      acc.iterator
+    }
+    val grouped = partials.groupByKey(_._1)
+    if (ds.isStreaming)
+      grouped.transformWithState(
+        new FoldProcessor[K, (K, B), B](zero, (b, kv) => merge(b, kv._2),
+          implicitly[Encoder[B]], ttl),
+        TimeMode.None(), OutputMode.Update())
+    else
+      grouped.mapGroups((k, it) => (k, it.map(_._2).foldLeft(zero)(merge)))
+  }
+
+  /** The emoji running count (reference getting_started.rst:84-145).
+    * Counting is associative, so this rides [[applyPartial]]: each
+    * micro-batch partition combines to one (key, n) pair before the
+    * shuffle and the state store adds partial counts — O(distinct keys)
+    * state-op input per batch instead of O(rows). */
   def count[V](ds: Dataset[V], key: V => String)(
       implicit spark: SparkSession): Dataset[(String, Long)] = {
     implicit val se: Encoder[String] = Encoders.STRING
     implicit val le: Encoder[Long] = Encoders.scalaLong
     implicit val kv: Encoder[(String, Long)] = Encoders.tuple(se, le)
-    apply[String, V, Long](ds, key, 0L, (acc, _) => acc + 1L)
+    applyPartial[String, V, Long](ds, key, 0L, (acc, _) => acc + 1L, _ + _)
+  }
+
+  /** Column-keyed running count: the key projection runs COLUMNAR
+    * (codegen'd select, no per-row object materialization of the input
+    * type) and only the key string crosses into the typed layer, where
+    * [[applyPartial]] pre-combines per partition. Prefer this over
+    * [[count]] when the key is expressible as a Column — the same
+    * "functions, not UDFs" discipline as the relational side. */
+  def countCol(df: org.apache.spark.sql.DataFrame, keyCol: org.apache.spark.sql.Column)(
+      implicit spark: SparkSession): Dataset[(String, Long)] = {
+    implicit val se: Encoder[String] = Encoders.STRING
+    implicit val le: Encoder[Long] = Encoders.scalaLong
+    implicit val kv: Encoder[(String, Long)] = Encoders.tuple(se, le)
+    val keys = df.select(keyCol.cast("string").as("value")).as[String](se)
+    applyPartial[String, String, Long](keys, identity, 0L, (acc, _) => acc + 1L, _ + _)
   }
 }
