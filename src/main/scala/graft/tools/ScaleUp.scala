@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Build a ~k× scale point from the largest driver-provided table set
+  * by replication with key remapping: every key/FK column in replica i
+  * is offset by i·10⁸, so each replica is a self-consistent universe
+  * (joins never cross replicas) and result cardinalities scale ~k×.
+  * Document text is salted with a replica token so near-dup structure
+  * stays within a replica (constant pair density — the property that
+  * makes wall-clock ratios interpretable as scaling behavior).
+  *
+  * Usage: runMain graft.tools.ScaleUp [srcDir] [dstDir] [k]
+  * Default: sf0.1 × 10 → localdata/sf1 (gitignored). The sf1 BENCH run
+  * and per-query ratios vs sf0.1 are recorded in SURVEY §8 — the cheap
+  * local guard against superlinear queries.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.drop(1).headOption.getOrElse("localdata/sf1")
+    val k = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val OFF = 100000000L
+    val keyCols = Set(
+      "c_custkey", "o_custkey", "o_orderkey", "l_orderkey", "l_partkey", "l_suppkey",
+      "s_suppkey", "p_partkey", "s_nationkey", "c_nationkey", "n_nationkey",
+      "n_regionkey", "r_regionkey", "event_id", "user_id", "doc_id", "vec_id")
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+
+    tables.foreach { t =>
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val reps = (0 until k).map { i =>
+        var df = base
+        base.columns.filter(keyCols.contains).foreach(c =>
+          df = df.withColumn(c, col(c) + lit(i * OFF)))
+        // salt EVERY token (not just a prefix): shingles/minhash bands/
+        // inverted-index keys must be disjoint across replicas or
+        // content joins cross-match replicas and pair counts go
+        // quadratic in k (observed: a prefix-only salt made
+        // dedup_minhash_verified 73× at k=10)
+        if (t == "documents")
+          df = df.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"r$i$$1"))
+        df
+      }
+      reps.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t ×$k → $dst/$t.parquet")
+    }
+    spark.stop()
+  }
+}
