@@ -134,13 +134,20 @@ object LlmQueries {
         .distinct()
       val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
       val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-      // absolute cap first (rel<=0.2 with max 580-char texts implies
-      // edit<=116, so it excludes nothing) — the plans.LevenshteinGuard
-      // optimizer rule rewrites it to a free length-difference
-      // prefilter that skips the O(len²) DP for mismatched pairs
-      cand.join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
-        .where(levenshtein(col("text_a"), col("text_b")) <= 116)
+      // Verify stage discipline for expensive-per-row work:
+      //  - explicit repartition BEFORE the verify — the candidate set is
+      //    tiny in rows but O(len²) per row; AQE would coalesce it onto
+      //    one task and serialize the DP across the cluster;
+      //  - free length-difference prefilter (edit distance ≥ length
+      //    gap; the absolute cap 116 = rel 0.2 × max text length, so it
+      //    excludes nothing semantically — same bound LevenshteinGuard
+      //    would inject for a literal threshold);
+      //  - levenshtein computed ONCE as a column, filters on the column.
+      cand.repartition(32, col("doc_a"))
+        .join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
+        .where(abs(length(col("text_a")) - length(col("text_b"))) <= 116)
         .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+        .where(col("edit_dist") <= 116)
         .withColumn("rel_dist",
           col("edit_dist") / greatest(length(col("text_a")), length(col("text_b"))))
         .where(col("rel_dist") <= 0.2)
