@@ -202,6 +202,20 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
   def get(key: Any): Option[Row] =
     snapshot().where(col(keyCol) === lit(key)).collect().headOption
 
+  /** Cheap existence probe (`cache.key_may_exist`, caching.py parity).
+    * Unlike RocksDB's bloom-filter answer this one is exact, but the
+    * plan is the cheap form: key-pushdown + LIMIT 1, no value fetch. */
+  def keyMayExist(key: Any): Boolean =
+    !snapshot().where(col(keyCol) === lit(key)).limit(1).isEmpty
+
+  /** Range tombstone — the `delete_range(from, until)` surface
+    * (caching.py:353-475 family), realized as a predicate delete on
+    * the keyed table: every live key in `[fromKey, untilKey)` gets a
+    * tombstone in ONE committed version. */
+  def deleteRange(fromKey: Any, untilKey: Any): Unit =
+    delete(snapshot().where(col(keyCol) >= lit(fromKey) && col(keyCol) < lit(untilKey))
+      .select(col(keyCol)))
+
   /** Ordered scan with the reference's knobs: `backwards`, `fromKey`
     * (inclusive start in scan direction), `prefix` (string keys). */
   def scan(

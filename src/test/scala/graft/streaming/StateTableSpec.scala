@@ -127,6 +127,41 @@ class StateTableSpec extends AnyFunSuite {
       Seq(("a", 2), ("b", 7)))
   }
 
+  test("keyMayExist and deleteRange (caching.py wide-surface parity)") {
+    val (t, _) = fresh()
+    t.put(Seq(("user:1", 1), ("user:2", 2), ("user:3", 3), ("order:1", 4)).toDF("key", "v"))
+    assert(t.keyMayExist("user:2") && !t.keyMayExist("ghost"))
+    t.deleteRange("user:1", "user:3") // [from, until): user:3 survives
+    assert(t.scan().select("key").as[String].collect().toSeq == Seq("order:1", "user:3"))
+    assert(!t.keyMayExist("user:1"))
+  }
+
+  test("two writers: optimistic commit race resolves, no write lost, seqs strictly increase") {
+    val (_, dir) = fresh()
+    // two INDEPENDENT handles on the same path (the r1 design's broken
+    // case: driver-local seq vars would collide; the manifest protocol
+    // must serialize them via commit-rename races + retry)
+    val w1 = new StateTable(spark, dir)
+    val w2 = new StateTable(spark, dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq((w1, 0), (w2, 100)).map { case (w, base) =>
+      new Thread(() => {
+        try (1 to 8).foreach(i => w.put(Seq((s"k${base + i}", base + i)).toDF("key", "v")))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.getMessage)}")
+    val reader = new StateTable(spark, dir)
+    // all 16 writes visible...
+    assert(reader.snapshot().count() == 16)
+    // ...and the log's seq numbers are exactly 1..16, each version one
+    // committed write (transactional seq allocation, no collisions)
+    val seqs = reader.changes().select("__seq").as[Long].collect().toSeq
+    assert(seqs == (1L to 16L))
+    assert(reader.currentSeq == 16L)
+  }
+
   test("changeStream: a second streaming query observes each committed put (S4, cookbook.rst:529-588)") {
     val (t, _) = fresh()
     t.put(Seq(("a", 1)).toDF("key", "v"))
