@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming._
+
+/** Streaming near-duplicate detection — simhash dedup AT INGESTION
+  * TIME, the streaming twin of the batch `dedup_simhash_hamming` query
+  * (LlmQueries). A training-data pipeline runs the batch form over the
+  * corpus and this form on the intake stream, with the same fingerprint
+  * algebra:
+  *
+  *  - 64-bit simhash per doc (bit j = sign of the ±1 sum over words of
+  *    bit (j mod 4) of md5-hex nibble (j div 4) — md5 hex is identical
+  *    in the JVM, Spark, and DuckDB, so fingerprints agree bit-for-bit
+  *    across all three legs);
+  *  - banded as 4×16-bit chunks; a doc visits its 4 (band, chunk)
+  *    buckets; hamming ≤ maxHamming pairs within a bucket are emitted
+  *    (pigeonhole: distance ≤ 2 ⇒ ≥ 2 of 4 chunks agree);
+  *  - per-bucket state is a ListState capped at `cap` — O(cap) state
+  *    and O(cap) probes per arrival, never O(corpus).
+  *
+  * Cap semantics necessarily differ from batch: the batch form drops a
+  * whole over-cap cohort (it sees the full cohort at once); a stream
+  * cannot retract, so it keeps the FIRST `cap` residents per bucket and
+  * stops admitting after that. On corpora whose cohorts fit the cap the
+  * two emit identical pair sets (spec-checked against the batch query).
+  * Duplicate pairs recalled by multiple bands are emitted once per
+  * band — compact downstream with dropDuplicates, same advice the
+  * reference gives for its correction streams (cookbook.rst:518-520).
+  */
+object StreamingNearDup {
+
+  case class Doc(docId: Long, text: String)
+  case class BandRow(bi: Int, chunk: Long, docId: Long, c0: Long, c1: Long, c2: Long, c3: Long)
+  case class CandPair(docA: Long, docB: Long, hamming: Long)
+
+  /** JVM twin of the columnar 64-bit simhash (same md5-hex nibble/bit
+    * mapping, same single-space tokenization incl. empties). */
+  def simhashChunks(text: String): Array[Long] = {
+    val sums = new Array[Int](64)
+    val md = MessageDigest.getInstance("MD5")
+    text.split(" ", -1).foreach { w =>
+      val hex = md.digest(w.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      var j = 0
+      while (j < 64) {
+        val nibble = Character.digit(hex.charAt(j / 4), 16)
+        if (((nibble >> (j % 4)) & 1) == 1) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+      md.reset()
+    }
+    val chunks = new Array[Long](4)
+    var c = 0
+    while (c < 4) {
+      var v = 0L
+      var k = 0
+      while (k < 16) { if (sums(c * 16 + k) > 0) v |= (1L << k); k += 1 }
+      chunks(c) = v
+      c += 1
+    }
+    chunks
+  }
+
+  def hamming(a: BandRow, b: BandRow): Long =
+    (java.lang.Long.bitCount(a.c0 ^ b.c0) + java.lang.Long.bitCount(a.c1 ^ b.c1) +
+      java.lang.Long.bitCount(a.c2 ^ b.c2) + java.lang.Long.bitCount(a.c3 ^ b.c3)).toLong
+
+  /** Pure per-bucket step (unit-testable): probe residents, admit if
+    * under cap. Returns (newResidents, emittedPairs). */
+  def step(
+      residents: Vector[BandRow],
+      arrivals: Seq[BandRow],
+      cap: Int,
+      maxHamming: Long): (Vector[BandRow], Seq[CandPair]) = {
+    var live = residents
+    val out = Seq.newBuilder[CandPair]
+    arrivals.sortBy(_.docId).foreach { r =>
+      if (!live.exists(_.docId == r.docId)) {
+        live.foreach { o =>
+          val h = hamming(o, r)
+          if (h <= maxHamming) {
+            val (a, b) = if (o.docId < r.docId) (o.docId, r.docId) else (r.docId, o.docId)
+            out += CandPair(a, b, h)
+          }
+        }
+        if (live.size < cap) live = live :+ r
+      }
+    }
+    (live, out.result())
+  }
+
+  class NearDupProcessor(cap: Int, maxHamming: Long)
+    extends StatefulProcessor[(Int, Long), BandRow, CandPair] {
+
+    @transient private var residents: ListState[BandRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      residents = getHandle.getListState[BandRow]("residents",
+        Encoders.product[BandRow], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (Int, Long), rows: Iterator[BandRow], timerValues: TimerValues): Iterator[CandPair] = {
+      val prev = residents.get().toVector
+      val (next, out) = step(prev, rows.toSeq, cap, maxHamming)
+      StatefulOps.persistSorted(residents, prev, next)
+      out.iterator
+    }
+  }
+
+  /** Apply over a Dataset[Doc] (streaming or batch). Emits each
+    * near-dup pair once per agreeing band; dropDuplicates downstream. */
+  def pairs(
+      ds: Dataset[Doc],
+      cap: Int = 20,
+      maxHamming: Long = 2L)(implicit spark: SparkSession): Dataset[CandPair] = {
+    import spark.implicits._
+    val bands = ds.flatMap { d =>
+      val ch = simhashChunks(d.text)
+      (0 until 4).map(b => BandRow(b, ch(b), d.docId, ch(0), ch(1), ch(2), ch(3)))
+    }
+    val grouped = bands.groupByKey(r => (r.bi, r.chunk))
+    if (ds.isStreaming)
+      grouped.transformWithState(
+        new NearDupProcessor(cap, maxHamming), TimeMode.None(), OutputMode.Append())
+    else
+      grouped.flatMapGroups { (_, it) =>
+        step(Vector.empty, it.toSeq, cap, maxHamming)._2.iterator
+      }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import StreamingNearDup._
+
+/** Streaming near-dup = batch dedup_simhash_hamming on the same corpus
+  * (same md5 fingerprint algebra in JVM and Catalyst), plus cap and
+  * incremental-arrival semantics. */
+class StreamingNearDupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pure step: probes residents, admits under cap, emits ordered pairs") {
+    val mk = (id: Long, c0: Long) => BandRow(0, c0, id, c0, 0L, 0L, 0L)
+    val (live, out) = step(Vector(mk(1, 5L)), Seq(mk(3, 5L), mk(2, 4L)), cap = 2, maxHamming = 2L)
+    // doc 2 (c0=4, hamming 1 vs 5) and doc 3 (identical) both pair with 1;
+    // 2 and 3 pair with each other (hamming 1); cap=2 admits only doc 2
+    assert(out.toSet == Set(CandPair(1, 2, 1), CandPair(1, 3, 0), CandPair(2, 3, 1)))
+    assert(live.map(_.docId) == Vector(1, 2))
+    // a later arrival still probes the capped bucket without joining it
+    val (live2, out2) = step(live, Seq(mk(9, 5L)), cap = 2, maxHamming = 2L)
+    assert(out2.toSet == Set(CandPair(1, 9, 0), CandPair(2, 9, 1)))
+    assert(live2.map(_.docId) == Vector(1, 2))
+  }
+
+  test("JVM simhash twin matches the Catalyst expression bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val sums = (0 until 64).map { j =>
+      val nib = conv(substring(md5(col("word")), j / 4 + 1, 1), 16, 10).cast("long")
+      sum(when(shiftright(nib, j % 4).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    val chunkCols = (0 until 4).map { c =>
+      (0 until 16).map(k =>
+        when(col(s"s${c * 16 + k}") > 0, lit(1L << k)).otherwise(0L)).reduce(_ + _).as(s"c$c")
+    }
+    val sparkSide = words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id") +: chunkCols: _*)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, c, d) => id -> Seq(a, b, c, d) }.toMap
+    docs.select("doc_id", "text").as[(Long, String)].collect().foreach { case (id, text) =>
+      assert(simhashChunks(text).toSeq == sparkSide(id), s"doc $id fingerprint mismatch")
+    }
+  }
+
+  test("streaming pairs across micro-batches = batch dedup_simhash_hamming (sf0.001)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => Doc(id, t) }
+    val batchExpected = graft.queries.LlmQueries
+      .queries("dedup_simhash_hamming")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val src = MemoryStream[Doc]
+    val q = pairs(src.toDS()).dropDuplicates("docA", "docB")
+      .writeStream.outputMode("append").format("memory").queryName("neardup_stream").start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      src.addData(first.toIndexedSeq); q.processAllAvailable()
+      src.addData(second.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("neardup_stream").as[(Long, Long, Long)].collect().toSet
+      assert(got == batchExpected, s"stream=${got.size} batch=${batchExpected.size}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+}
