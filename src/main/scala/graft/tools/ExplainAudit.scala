@@ -2,20 +2,99 @@ package graft.tools
 
 import graft.{GraftSession, SparkEntry}
 
-/** Prints formatted physical plans for scale-critical queries so shuffle
-  * counts / pushdown / broadcast choices can be audited. */
+/** Plan audit: ASSERTS the scale-critical physical-plan properties
+  * (shuffle counts, pushdown, broadcast choices, verify-stage
+  * repartition) and exits nonzero on violation; run with query names as
+  * args to just print those formatted plans instead.
+  *
+  * These are the properties that decide 100 TB behavior: a regression
+  * that adds an exchange, loses a pushed filter, or turns a broadcast
+  * into a shuffle join fails this audit before it costs a cluster run.
+  */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate()
     val dir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("a1_fold_agg", "j2_equijoin", "j1_asof_join", "range_prefix_scan",
-        "dedup_minhash_lsh", "sim_cosine_topk")
-    names.foreach { n =>
-      println(s"\n===== $n =====")
-      println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+
+    def plan(n: String): String =
+      SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+
+    if (args.nonEmpty) {
+      args.foreach { n => println(s"\n===== $n ====="); println(plan(n)) }
+      spark.stop(); return
     }
+
+    var failures = 0
+    def audit(name: String, what: String)(check: String => Boolean): Unit = {
+      val p = plan(name)
+      val ok = check(p)
+      if (!ok) failures += 1
+      println(s"[audit] ${if (ok) "PASS" else "FAIL"}  $name: $what")
+      if (!ok) println(p)
+    }
+    // shuffle-reuse decisions are made by AQE at runtime — execute the
+    // query and audit the FINAL adaptive plan for these
+    def auditExecuted(name: String, what: String)(check: String => Boolean): Unit = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      val ok = check(p)
+      if (!ok) failures += 1
+      println(s"[audit] ${if (ok) "PASS" else "FAIL"}  $name: $what")
+      if (!ok) println(p)
+    }
+    def count(p: String, op: String): Int =
+      ("""\(\d+\) """ + op + "\n").r.findAllIn(p).length
+
+    audit("j1_asof_join", "exactly one Exchange (one shuffle as-of)") { p =>
+      count(p, "Exchange") == 1
+    }
+    audit("j1_asof_sql", "SQL surface lowers to the same one-Exchange shape") { p =>
+      count(p, "Exchange") == 1 && count(p, "Window") == 1
+    }
+    audit("j2_equijoin", "broadcast join, no shuffle join") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+    }
+    audit("range_prefix_scan", "prefix filter pushed to the parquet scan") { p =>
+      p.contains("PushedFilters") && p.contains("StringStartsWith")
+    }
+    audit("p1_map_project", "column-pruned ReadSchema (not the full row)") { p =>
+      val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+      read.contains("l_orderkey") && !read.contains("l_comment")
+    }
+    audit("a1_fold_agg", "partial + final hash aggregation") { p =>
+      count(p, "HashAggregate") >= 2
+    }
+    auditExecuted("dedup_minhash_lsh",
+      "cohort-cap window present; candidates from an equi-join (never a cross join)") { p =>
+      p.contains("Window") && !p.contains("CartesianProduct") &&
+        (p.contains("ReusedExchange") || p.contains("BroadcastHashJoin") ||
+          p.contains("SortMergeJoin"))
+    }
+    audit("dedup_minhash_verified", "explicit repartition before the verify; broadcast text joins") { p =>
+      p.contains("REPARTITION_BY_NUM") && p.contains("BroadcastHashJoin")
+    }
+    auditExecuted("dedup_jaccard_dfcap",
+      "df-cap window; shingle self-join equi (no cross join)") { p =>
+      // at sf0.01 AQE broadcasts every leg (nothing left to reuse); the
+      // scale-invariant property is the join kind, not the reuse choice
+      p.contains("Window") && !p.contains("CartesianProduct") &&
+        (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    }
+    auditExecuted("dedup_simhash_hamming",
+      "chunk-band equi-self-join with cohort-cap window (no cross join)") { p =>
+      p.contains("Window") && !p.contains("CartesianProduct")
+    }
+    audit("sim_cosine_topk", "broadcast query set (exact baseline; no shuffle of the corpus)") { p =>
+      p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin")
+    }
+    audit("w2_tumbling", "map-side partial aggregation before the window shuffle") { p =>
+      count(p, "HashAggregate") >= 2
+    }
+
     spark.stop()
+    if (failures > 0) sys.error(s"$failures plan audit failures")
+    println(s"[audit] all checks passed")
   }
 }
