@@ -317,11 +317,14 @@ object LlmQueries {
     }),
 
     // Token counting: whitespace tokens + BPE-ish regex token count.
+    // regexp_count, not size(regexp_extract_all): counting matches must
+    // not materialize a token array per row (the array form was the
+    // worst per-query ratio at the 10× scale point).
     "text_token_count" -> ((s, dir) => {
       Tables.documents(s, dir)
         .withColumn("ws_tokens", size(toks))
         .withColumn("re_tokens",
-          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")))
+          expr("regexp_count(text, '[a-z]+|[0-9]+')").cast("int"))
         .select(col("doc_id"), col("ws_tokens"), col("re_tokens"))
     }),
 

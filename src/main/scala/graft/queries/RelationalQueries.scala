@@ -120,6 +120,22 @@ object RelationalQueries {
               |ON l.user_id = r.user_id""".stripMargin)
     }),
 
+    // J1 with tolerance (max staleness): matches older than 1 hour
+    // behind the probe are nulled, the left row is kept — the
+    // reference's "how stale may the enrichment be" knob.
+    "j1_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      AsOfJoin.asOf(
+        clicks, purchases, "ts", "ts", Seq("user_id"),
+        rightCols = Seq("p_event_id", "p_value"), rightPrefix = "",
+        tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
+    }),
+
     // W2 tumbling window (reference cookbook.rst:220).
     "w2_tumbling" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -287,6 +303,14 @@ object RelationalQueries {
 
     "j1_asof_sql" ->
       s"""SELECT l.event_id, l.user_id, r.event_id AS p_event_id, r.value AS p_value
+         |FROM (SELECT * FROM $oEvents WHERE event_type = 'click') l
+         |ASOF LEFT JOIN (SELECT * FROM $oEvents WHERE event_type = 'purchase') r
+         |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "j1_asof_tolerance" ->
+      s"""SELECT l.event_id, l.user_id,
+         |CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.event_id END AS p_event_id,
+         |CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.value END AS p_value
          |FROM (SELECT * FROM $oEvents WHERE event_type = 'click') l
          |ASOF LEFT JOIN (SELECT * FROM $oEvents WHERE event_type = 'purchase') r
          |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
