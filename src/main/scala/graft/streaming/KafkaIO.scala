@@ -25,9 +25,17 @@ import org.apache.spark.sql.types.DataType
 final case class KafkaTopic(
     name: String,
     bootstrap: String,
-    conf: Map[String, String] = Map.empty,
+    explicitConf: Map[String, String] = Map.empty,
     startingOffsets: String = KafkaTopic.ReadFromEnd,
     dry: Boolean = false) {
+
+  /** Effective configuration: process-wide defaults registered via
+    * [[KafkaConf]] as of THIS topic's construction, overridden by the
+    * topic's own entries — the reference's Conf semantics
+    * (features.rst:118-150: defaults accumulate; each Topic snapshots
+    * them at creation; later Conf() calls don't retrofit old topics;
+    * per-topic conf wins). */
+  val conf: Map[String, String] = KafkaConf.current ++ explicitConf
 
   /** Raw source: the full kafka record frame, key/value as binary. */
   def source(spark: SparkSession): DataFrame = {
@@ -59,6 +67,17 @@ final case class KafkaTopic(
 
   def seekToStart: KafkaTopic = copy(startingOffsets = KafkaTopic.ReadFromStart)
   def seekToEnd: KafkaTopic = copy(startingOffsets = KafkaTopic.ReadFromEnd)
+}
+
+/** Process-wide default kafka configuration — the reference's `Conf`
+  * (features.rst:118-150): successive calls MERGE into the defaults;
+  * topics snapshot the defaults at construction time. */
+object KafkaConf {
+  @volatile private var defaults: Map[String, String] = Map.empty
+  def apply(entries: Map[String, String]): Unit =
+    synchronized { defaults = defaults ++ entries }
+  def current: Map[String, String] = defaults
+  def reset(): Unit = synchronized { defaults = Map.empty }
 }
 
 object KafkaTopic {

@@ -28,6 +28,25 @@ class KafkaTopicSpec extends AnyFunSuite {
     assert(spec == """{"activity":{"0":2}}""")
   }
 
+  test("Conf defaults merge and snapshot at topic creation (features.rst:118-150)") {
+    KafkaConf.reset()
+    try {
+      // the reference's exact scenario, kafka-option spellings adapted
+      KafkaConf(Map("kafka.bootstrap.servers" -> "localhost:29091", "kafka.group.id" -> "default-demo"))
+      val topic1 = KafkaTopic("emoji", "b", Map("kafka.bootstrap.servers" -> "localhost:29092"))
+      KafkaConf(Map("kafka.security.protocol" -> "SASL_SSL", "kafka.sasl.mechanism" -> "PLAIN"))
+      val topic2 = KafkaTopic("conf", "b", Map("kafka.group.id" -> "demo"))
+      // topic1 snapshotted BEFORE the second Conf: own bootstrap wins,
+      // default group id applies, no security keys
+      assert(topic1.conf == Map(
+        "kafka.bootstrap.servers" -> "localhost:29092", "kafka.group.id" -> "default-demo"))
+      // topic2 sees accumulated defaults, its own group id wins
+      assert(topic2.conf == Map(
+        "kafka.bootstrap.servers" -> "localhost:29091", "kafka.group.id" -> "demo",
+        "kafka.security.protocol" -> "SASL_SSL", "kafka.sasl.mechanism" -> "PLAIN"))
+    } finally KafkaConf.reset()
+  }
+
   test("dry mode routes the sink to noop (core.py:471)") {
     lazy val spark = TestSpark.spark
     import spark.implicits._
