@@ -208,18 +208,21 @@ object LlmQueries {
     }),
 
     // Exact n-gram Jaccard over an inverted shingle index: only pairs
-    // sharing ≥1 shingle are ever scored. Set sizes ride along via a
-    // per-doc window count so both join sides are the SAME subplan
-    // (exchange reuse) and no separate size joins exist.
+    // sharing ≥1 shingle are ever scored. Set sizes attach AFTER the
+    // pair aggregation (an agg + join on the small pair set) — a
+    // per-doc window on the index would re-shuffle and re-sort every
+    // exploded shingle before the join (same lesson as
+    // dedup_jaccard_dfcap, 2× at the 10× scale point).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val e = Tables.documents(s, dir)
         .select(col("doc_id"), explode(shingles3).as("sh"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       e.as("a")
         .join(e.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n").as("na"), col("b.n").as("nb"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
         .where(col("jaccard") >= 0.8)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
