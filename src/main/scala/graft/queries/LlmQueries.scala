@@ -283,6 +283,37 @@ object LlmQueries {
         .distinct()
     }),
 
+    // Reproducible stratified sampling — the curation primitive for
+    // mixing a training set: per-stratum rates via md5(doc_id) bucket,
+    // NOT a seeded RNG (hash sampling is deterministic across engines,
+    // partitionings, and reruns — the only form that is auditable at
+    // 100 TB; Spark's sample() draws differ per partitioning). Here:
+    // downsample en to 10%, keep all zh, 40% for the rest.
+    "curate_sample_stratified" -> ((s, dir) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100L).as("bucket")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), bucket)
+        .where((col("lang") === "en" && col("bucket") < 10) ||
+          (col("lang") === "zh") ||
+          (col("lang") =!= "en" && col("lang") =!= "zh" && col("bucket") < 40))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Reproducible train/val/test split (80/10/10) with per-split
+    // per-lang counts — same hash-bucket technique, so membership is a
+    // pure function of doc_id (adding data never reshuffles existing
+    // assignments).
+    "curate_split_counts" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100L
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Language ID: stopword-lexicon scoring with a fixed tie-break order.
     "text_langid" -> ((s, dir) => {
       def score(ws: Seq[String]) =
@@ -479,6 +510,24 @@ object LlmQueries {
          |ON a.bi = b.bi AND a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.4""".stripMargin
     },
+
+    "curate_sample_stratified" ->
+      """WITH b AS (SELECT doc_id, lang, source,
+        |('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |FROM documents)
+        |SELECT doc_id, lang, source FROM b
+        |WHERE (lang = 'en' AND bucket < 10)
+        |OR lang = 'zh'
+        |OR (lang <> 'en' AND lang <> 'zh' AND bucket < 40)""".stripMargin,
+
+    "curate_split_counts" ->
+      """WITH b AS (SELECT lang,
+        |('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |lang, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     "text_langid" -> {
       def sc(ws: Seq[String]) =
