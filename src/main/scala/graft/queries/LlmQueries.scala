@@ -314,6 +314,22 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Sequence packing (concat-and-chunk): assign each doc to the
+    // 2048-token bin its starting offset falls in, per source, in
+    // deterministic doc_id order — the standard pretraining packing
+    // shape as one running-sum window + aggregation (no driver loop,
+    // no UDF; partitioned by source so packing parallelizes across
+    // the corpus).
+    "curate_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", floor((col("cum") - col("n_tokens")) / 2048L))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+    }),
+
     // Language ID: stopword-lexicon scoring with a fixed tie-break order.
     "text_langid" -> ((s, dir) => {
       def score(ws: Seq[String]) =
@@ -528,6 +544,16 @@ object LlmQueries {
         |WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |lang, CAST(COUNT(*) AS BIGINT) AS n
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "curate_pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+        |len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT source, n_tokens,
+        |SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
+        |SELECT source, CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin,
+        |CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "text_langid" -> {
       def sc(ws: Seq[String]) =
