@@ -95,6 +95,37 @@ object ExtendedQueries {
         .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
     }),
 
+    // Multiprobe IVF ANN (nprobe=5): each query probes its own sign-bit
+    // cell plus the 4 hamming-1 neighbor cells — the standard recall
+    // fix over single-probe IVF (sim_ivf_topk) without widening to
+    // brute force. The probe list explodes from the query side (5 rows
+    // per query), the corpus side still partitions by cell: probe
+    // count scales the SMALL side only.
+    "sim_ivf_multiprobe" -> ((s, dir) => {
+      def bit(j: Int, flipped: Boolean): Column = {
+        val one = when(element_at(col("qe"), j) >= 0.0, "1").otherwise("0")
+        val zero = when(element_at(col("qe"), j) >= 0.0, "0").otherwise("1")
+        if (flipped) zero else one
+      }
+      def probeCell(flip: Int): Column =
+        concat((1 to 4).map(j => bit(j, flip == j)): _*)
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        .withColumn("cell",
+          concat((1 to 4).map(i =>
+            when(element_at(col("e"), i) >= 0.0, "1").otherwise("0")): _*))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+        .withColumn("pcell", explode(array((0 to 4).map(probeCell): _*)))
+      emb.join(broadcast(q), col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+    }),
+
     // Full outer join: customers x orders union of match spaces.
     "j_full_outer" -> ((s, dir) => {
       val custTotals = Tables.orders(s, dir)
@@ -246,6 +277,29 @@ object ExtendedQueries {
     "salted_skew_agg" ->
       s"""SELECT event_type, ${oSum("value")} AS total, COUNT(*) AS n
          |FROM events GROUP BY 1""".stripMargin,
+
+    "sim_ivf_multiprobe" -> {
+      def bit(j: Int, flip: Boolean) =
+        if (flip) s"CASE WHEN qe[$j] >= 0.0 THEN '0' ELSE '1' END"
+        else s"CASE WHEN qe[$j] >= 0.0 THEN '1' ELSE '0' END"
+      val probes = (0 to 4).map(f =>
+        (1 to 4).map(j => bit(j, f == j)).mkString(" || ")).mkString(", ")
+      val cell = (1 to 4).map(i =>
+        s"CASE WHEN e[$i] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |FROM embeddings),
+         |cells AS (SELECT vec_id, e, nrm, $cell AS cell FROM emb),
+         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM emb WHERE vec_id < 10),
+         |probes AS (SELECT qid, qe, qn, unnest([$probes]) AS pcell FROM q),
+         |scored AS (SELECT qid, vec_id,
+         |list_dot_product(qe, e) / (qn * nrm) AS cos
+         |FROM cells JOIN probes ON cell = pcell AND vec_id <> qid)
+         |SELECT qid, CAST(row_number() OVER
+         |(PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
+         |FROM scored
+         |QUALIFY rnk <= 3""".stripMargin
+    },
 
     "sim_ivf_topk" -> {
       val cell = (1 to 4).map(i =>
