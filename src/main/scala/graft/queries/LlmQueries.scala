@@ -330,6 +330,33 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
     }),
 
+    // The composed curation pipeline — quality gate → exact dedup by
+    // content fingerprint → reproducible split assignment → per-cohort
+    // stats, ALL IN ONE Catalyst plan (one window for the dedup, one
+    // aggregation; no materialization between stages — the way the
+    // pieces compose at 100 TB, with each stage's pushdown/pruning
+    // intact).
+    "curate_pipeline" -> ((s, dir) => {
+      val t = toks
+      val fingerprint = aggregate(t, lit(0L), (acc, x) =>
+        (acc * 131L + (length(x) * 31 + ascii(substring(x, 1, 1))).cast("long")) % MOD)
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100L
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(t).cast("long"))
+        .withColumn("n_stop",
+          size(filter(t, x => x === "the" || x === "a" || x === "of")).cast("long"))
+        .where(col("n_tokens") >= 5 && col("n_stop") / col("n_tokens") <= 0.5)
+        .withColumn("fp", fingerprint)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)))
+        .where(col("rn") === 1) // exact dedup: first doc per fingerprint
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    }),
+
     // Language ID: stopword-lexicon scoring with a fixed tie-break order.
     "text_langid" -> ((s, dir) => {
       def score(ws: Seq[String]) =
@@ -554,6 +581,26 @@ object LlmQueries {
         |CAST(COUNT(*) AS BIGINT) AS n_docs,
         |CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "curate_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w, text FROM documents),
+         |m AS (SELECT doc_id, source,
+         |len(w)::BIGINT AS n_tokens,
+         |len(list_filter(w, x -> x IN ('the', 'a', 'of')))::BIGINT AS n_stop,
+         |list_reduce(list_prepend(0::BIGINT,
+         |list_transform(w, x -> (length(x) * 31 + ascii(substr(x, 1, 1)))::BIGINT)),
+         |(acc, x) -> (acc * 131 + x) % $MOD) AS fp,
+         |('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+         |FROM t),
+         |gated AS (SELECT * FROM m WHERE n_tokens >= 5 AND n_stop / n_tokens <= 0.5),
+         |deduped AS (SELECT * FROM gated
+         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1)
+         |SELECT source,
+         |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |ELSE 'test' END AS split,
+         |CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM deduped GROUP BY 1, 2""".stripMargin,
 
     "text_langid" -> {
       def sc(ws: Seq[String]) =
