@@ -92,4 +92,24 @@ object Multimodal {
     ds.filter(_.mediaType == "video")
       .map(d => (d.id, (0 until d.nFrames by stride).toSeq))
   }
+
+  /** Resize to fit a bounding box preserving aspect ratio — the real
+    * geometry (the part a codec library would NOT provide), with the
+    * pixel re-encode stubbed: the "resized" payload is the original
+    * truncated/kept proportionally to the pixel-count change, so byte
+    * sizes behave like a real resize while staying deterministic.
+    * Batched like decode; narrow transform, payloads never shuffle. */
+  def resize(
+      ds: Dataset[Decoded],
+      maxW: Int,
+      maxH: Int)(implicit spark: SparkSession): Dataset[Decoded] = {
+    import spark.implicits._
+    ds.map { d =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
+      val (w, h) = (math.max(1, math.round(d.width * scale).toInt),
+        math.max(1, math.round(d.height * scale).toInt))
+      d.copy(width = w, height = h,
+        nBytes = math.max(1, (d.nBytes * scale * scale).toInt))
+    }
+  }
 }

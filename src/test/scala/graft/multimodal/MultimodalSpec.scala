@@ -41,6 +41,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sampled == Map(1L -> Seq(0, 2))) // image filtered out
   }
 
+  test("resize fits the bounding box, preserves aspect ratio, scales bytes") {
+    val dec = decodeAndFeaturize(media(30).toDS())
+    val out = resize(dec, maxW = 128, maxH = 128).collect()
+    val before = dec.collect().map(d => d.id -> d).toMap
+    out.foreach { d =>
+      val b = before(d.id)
+      assert(d.width <= 128 && d.height <= 128)
+      // aspect ratio preserved within integer rounding (relative: small
+      // scaled heights quantize coarsely at extreme ratios)
+      val (ra, rb) = (d.width.toDouble / d.height, b.width.toDouble / b.height)
+      assert(math.abs(ra / rb - 1.0) < 0.15, s"id=${d.id} ratio $rb -> $ra")
+      // no upscaling: small inputs pass through untouched
+      if (b.width <= 128 && b.height <= 128) assert(d.width == b.width && d.height == b.height)
+      assert(d.nBytes <= b.nBytes)
+    }
+  }
+
   test("payloads survive a parquet round trip as binary columns") {
     val dir = java.nio.file.Files.createTempDirectory("media").toFile.getAbsolutePath + "/t"
     media(10).toDS().write.parquet(dir)
