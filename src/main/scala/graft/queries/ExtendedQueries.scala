@@ -126,6 +126,41 @@ object ExtendedQueries {
         .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
     }),
 
+    // Count-min sketch heavy hitters: build a d=4 × w=256 sketch over
+    // the event stream (each event increments one bucket per hash row;
+    // hashes are md5-derived, so the sketch is deterministic and
+    // engine-portable), then read each key's estimate as the min over
+    // its 4 buckets. The sketch is O(d·w) memory regardless of key
+    // cardinality — the structure you ship to a coordinator when the
+    // key space itself doesn't fit; estimates upper-bound true counts
+    // (verified per-row in the output). Heavy hitters = estimate above
+    // threshold.
+    "sketch_countmin" -> ((s, dir) => {
+      val d = 4
+      def bucketOf(keyCol: Column, i: Int): Column =
+        conv(substring(md5(concat(lit(s"$i:"), keyCol)), 1, 8), 16, 10)
+          .cast("long") % 256L
+      val ev = Tables.events(s, dir).select(col("user_id").cast("string").as("k"))
+      // build: one pass, explode each event into its d buckets
+      val sketch = ev
+        .select(posexplode(array((0 until d).map(i => bucketOf(col("k"), i)): _*))
+          .as(Seq("row", "bucket")))
+        .groupBy(col("row"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      // probe: each distinct key reads its d buckets, estimate = min
+      val keys = ev.groupBy(col("k")).agg(count(lit(1)).as("true_n"))
+      val probes = keys
+        .select(col("k"), col("true_n"),
+          posexplode(array((0 until d).map(i => bucketOf(col("k"), i)): _*))
+            .as(Seq("row", "bucket")))
+      probes.join(sketch, Seq("row", "bucket"))
+        .groupBy(col("k"), col("true_n"))
+        .agg(min(col("cnt")).as("est"))
+        .where(col("est") >= 100)
+        .select(col("k"), col("true_n"), col("est"),
+          (col("est") >= col("true_n")).as("upper_bounds"))
+    }),
+
     // Full outer join: customers x orders union of match spaces.
     "j_full_outer" -> ((s, dir) => {
       val custTotals = Tables.orders(s, dir)
@@ -277,6 +312,27 @@ object ExtendedQueries {
     "salted_skew_agg" ->
       s"""SELECT event_type, ${oSum("value")} AS total, COUNT(*) AS n
          |FROM events GROUP BY 1""".stripMargin,
+
+    "sketch_countmin" -> {
+      val d = 4
+      def bucket(key: String, i: Int) =
+        s"('0x' || substr(md5('$i:' || $key), 1, 8))::BIGINT % 256"
+      val buildSel = (0 until d).map(i =>
+        s"SELECT $i AS row, ${bucket("k", i)} AS bucket FROM ev").mkString(" UNION ALL ")
+      val probeSel = (0 until d).map(i =>
+        s"SELECT k, true_n, $i AS row, ${bucket("k", i)} AS bucket FROM keys")
+        .mkString(" UNION ALL ")
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         |sketch AS (SELECT row, bucket, COUNT(*) AS cnt
+         |FROM ($buildSel) GROUP BY 1, 2),
+         |keys AS (SELECT k, COUNT(*) AS true_n FROM ev GROUP BY 1),
+         |probes AS ($probeSel)
+         |SELECT k, CAST(true_n AS BIGINT) AS true_n, CAST(MIN(cnt) AS BIGINT) AS est,
+         |MIN(cnt) >= true_n AS upper_bounds
+         |FROM probes JOIN sketch USING (row, bucket)
+         |GROUP BY k, true_n
+         |HAVING MIN(cnt) >= 100""".stripMargin
+    },
 
     "sim_ivf_multiprobe" -> {
       def bit(j: Int, flip: Boolean) =
