@@ -161,6 +161,40 @@ object ExtendedQueries {
           (col("est") >= col("true_n")).as("upper_bounds"))
     }),
 
+    // HyperLogLog distinct-count sketch, engine-portable: register =
+    // first 2 md5 hex chars (m=256), rho = 1 + leading zeros of the
+    // next 32 hash bits (computed as 33 − bitlength, integer-exact),
+    // registers aggregate as MAX(rho) — the O(m) mergeable state that
+    // replaces exact distinct at 100 TB. The estimate keeps every
+    // float op IEEE-exact: 2^-rho as 1.0/(1L<<rho) (power-of-two
+    // divide), register sum with exponent spread < 53 bits (every
+    // addition exact, order-independent), so even the ESTIMATE
+    // hash-matches the oracle bit-for-bit. Raw HLL (no small-range
+    // correction) compared against the exact distinct in-row.
+    "sketch_hll_distinct" -> ((s, dir) => {
+      val h = md5(col("event_id").cast("string"))
+      val suffix = conv(substring(h, 3, 8), 16, 10).cast("long")
+      val rho = (lit(33) - length(bin(col("suffix")))).cast("int")
+      val regs = Tables.events(s, dir)
+        .select(conv(substring(h, 1, 2), 16, 10).cast("long").as("reg"),
+          suffix.as("suffix"))
+        .withColumn("rho", when(col("suffix") === 0L, lit(33)).otherwise(rho))
+        .groupBy(col("reg")).agg(max(col("rho")).as("r"))
+      // all 256 registers, empties at rho 0 (2^-0 = 1 in the sum)
+      val allRegs = Tables.events(s, dir).sparkSession.range(256)
+        .select(col("id").as("reg"))
+        .join(regs, Seq("reg"), "left")
+        .select(coalesce(col("r"), lit(0)).as("r"))
+      val est = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+        lit(256.0) * lit(256.0) /
+        sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), r)").cast("double"))
+      val exact = Tables.events(s, dir)
+        .agg(countDistinct(col("event_id")).as("exact_distinct"))
+      allRegs.agg(est.as("hll_estimate")).crossJoin(exact)
+        .select(col("hll_estimate"), col("exact_distinct"),
+          (col("hll_estimate") / col("exact_distinct")).as("ratio"))
+    }),
+
     // Full outer join: customers x orders union of match spaces.
     "j_full_outer" -> ((s, dir) => {
       val custTotals = Tables.orders(s, dir)
@@ -312,6 +346,23 @@ object ExtendedQueries {
     "salted_skew_agg" ->
       s"""SELECT event_type, ${oSum("value")} AS total, COUNT(*) AS n
          |FROM events GROUP BY 1""".stripMargin,
+
+    "sketch_hll_distinct" ->
+      """WITH ev AS (SELECT md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+        |rows_ AS (SELECT ('0x' || substr(h, 1, 2))::BIGINT AS reg,
+        |('0x' || substr(h, 3, 8))::BIGINT AS suffix FROM ev),
+        |regs AS (SELECT reg,
+        |MAX(CASE WHEN suffix = 0 THEN 33
+        |ELSE 33 - length(bin(suffix)) END) AS r
+        |FROM rows_ GROUP BY reg),
+        |allregs AS (SELECT COALESCE(r, 0) AS r
+        |FROM generate_series(0, 255) g(reg) LEFT JOIN regs USING (reg)),
+        |e AS (SELECT (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |SUM(1.0 / CAST(1::BIGINT << r AS DOUBLE)) AS hll_estimate FROM allregs),
+        |x AS (SELECT COUNT(DISTINCT event_id) AS exact_distinct FROM events)
+        |SELECT hll_estimate, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+        |hll_estimate / exact_distinct AS ratio
+        |FROM e, x""".stripMargin,
 
     "sketch_countmin" -> {
       val d = 4
