@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+/** Streaming distinct-count via a mergeable HyperLogLog accumulator —
+  * the streaming twin of the batch `sketch_hll_distinct` query, with
+  * the SAME register algebra (md5 register index + 32-bit rank, m=256)
+  * so a stream's final estimate equals the batch estimate on the same
+  * data bit-for-bit (spec-asserted).
+  *
+  * Rides [[Fold.applyPartial]]: each micro-batch partition folds its
+  * rows into a local register array, the shuffle moves ONE register
+  * array per group per partition (O(m), never O(rows)), and the state
+  * store merges arrays by element-wise max — HLL's merge IS max, which
+  * is what makes the sketch distributable and restart-safe for free.
+  * Registers live as a 256-byte array (rho ≤ 33 fits a byte; BINARY
+  * encodes without collection-encoder machinery in the state store).
+  */
+object DistinctSketch {
+
+  val M = 256
+  private val Alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+
+  /** Fold one key into the registers, copy-on-write (md5-hex algebra
+    * identical to the Catalyst/DuckDB legs). */
+  def update(regs: Array[Byte], key: String): Array[Byte] = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val reg = Integer.parseInt(hex.substring(0, 2), 16)
+    val suffix = java.lang.Long.parseLong(hex.substring(2, 10), 16)
+    val rho = if (suffix == 0L) 33 else 33 - (64 - java.lang.Long.numberOfLeadingZeros(suffix))
+    if (rho > regs(reg)) { val out = regs.clone(); out(reg) = rho.toByte; out }
+    else regs
+  }
+
+  /** HLL merge = element-wise max (associative + commutative). */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Array.tabulate(M)(i => math.max(a(i), b(i)).toByte)
+
+  /** Raw HLL estimate — power-of-two-only float ops, identical to the
+    * SQL estimator. */
+  def estimate(regs: Array[Byte]): Double =
+    Alpha * M.toDouble * M.toDouble /
+      regs.map(r => 1.0 / (1L << r).toDouble).sum
+
+  /** Per-group streaming (or batch) distinct-count estimates; emits the
+    * updated estimate per group per micro-batch. */
+  def estimates[V](
+      ds: Dataset[V],
+      group: V => String,
+      key: V => String)(implicit spark: SparkSession): Dataset[(String, Double)] = {
+    implicit val se: Encoder[String] = Encoders.STRING
+    implicit val be: Encoder[Array[Byte]] = Encoders.BINARY
+    implicit val kv: Encoder[(String, Array[Byte])] = Encoders.tuple(se, be)
+    implicit val out: Encoder[(String, Double)] =
+      Encoders.tuple(se, Encoders.scalaDouble)
+    Fold.applyPartial[String, V, Array[Byte]](
+        ds, group, new Array[Byte](M), (regs, v) => update(regs, key(v)), merge)
+      .map { case (g, regs) => (g, estimate(regs)) }
+  }
+}

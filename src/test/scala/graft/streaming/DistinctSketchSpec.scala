@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming HLL = batch HLL: same register algebra, same estimator,
+  * merge = max — so the stream's final estimate equals the batch
+  * query's estimate on the same data bit-for-bit. */
+class DistinctSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("merge is associative/commutative and update is order-independent") {
+    val keys = (1 to 500).map(i => s"k$i")
+    val (a, b) = keys.splitAt(200)
+    def z = new Array[Byte](DistinctSketch.M)
+    val whole = keys.foldLeft(z)(DistinctSketch.update)
+    val merged = DistinctSketch.merge(
+      a.foldLeft(z)(DistinctSketch.update),
+      b.reverse.foldLeft(z)(DistinctSketch.update))
+    assert(whole.toSeq == merged.toSeq)
+    assert(DistinctSketch.estimate(whole) == DistinctSketch.estimate(merged))
+  }
+
+  test("streaming estimate across micro-batches equals the batch sketch_hll_distinct query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val batchEst = graft.queries.ExtendedQueries
+      .queries("sketch_hll_distinct")(spark, "/root/testdata/sf0.001")
+      .select("hll_estimate").as[Double].collect().head
+
+    val ids = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id").as[Long].collect()
+    val src = MemoryStream[Long]
+    val q = DistinctSketch.estimates[Long](src.toDS(), _ => "all", _.toString)
+      .toDF("g", "est")
+      .writeStream.outputMode("update").format("memory").queryName("hll_stream").start()
+    try {
+      val (first, second) = ids.splitAt(ids.length / 2)
+      src.addData(first.toIndexedSeq); q.processAllAvailable()
+      src.addData(second.toIndexedSeq); q.processAllAvailable()
+      val estimates = spark.table("hll_stream").as[(String, Double)].collect()
+      // the LAST update (full data folded through state) = batch estimate
+      assert(estimates.last._2 == batchEst,
+        s"stream ${estimates.last._2} != batch $batchEst")
+      // and the mid-stream estimate is a valid partial (less or equal keys seen)
+      assert(estimates.head._2 <= estimates.last._2 * 1.001)
+    } finally q.stop()
+  }
+}
