@@ -195,6 +195,30 @@ object ExtendedQueries {
           (col("hll_estimate") / col("exact_distinct")).as("ratio"))
     }),
 
+    // Z-order layout key: interleave the low 16 bits of user_id with
+    // (day, hour) of the event time — the space-filling-curve sort key
+    // that clusters BOTH dimensions into the same files, so min/max
+    // footer pruning serves user_id-range AND time-range predicates
+    // from one layout (the data-layout lever at 100 TB: write
+    // `.repartitionByRange(col("z")).sortWithinPartitions("z")` and
+    // both access paths prune). The demo proves the clustering: per
+    // 2^24 z-bucket, the spans of both dimensions stay narrow.
+    "layout_zorder" -> ((s, dir) => {
+      val a = col("user_id").bitwiseAND(lit(0xFFFFL))
+      val b = (dayofmonth(col("ts")) * 24 + hour(col("ts"))).cast("long")
+      val z = (0 until 16).map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables.events(s, dir)
+        .withColumn("z", z)
+        .groupBy(floor(col("z") / lit(65536L)).cast("long").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("user_id")) - min(col("user_id"))).as("user_span"),
+          (max(dayofmonth(col("ts")) * 24 + hour(col("ts"))) -
+            min(dayofmonth(col("ts")) * 24 + hour(col("ts")))).cast("long").as("time_span"))
+    }),
+
     // Full outer join: customers x orders union of match spaces.
     "j_full_outer" -> ((s, dir) => {
       val custTotals = Tables.orders(s, dir)
@@ -346,6 +370,20 @@ object ExtendedQueries {
     "salted_skew_agg" ->
       s"""SELECT event_type, ${oSum("value")} AS total, COUNT(*) AS n
          |FROM events GROUP BY 1""".stripMargin,
+
+    "layout_zorder" -> {
+      val z = (0 until 16).map(i =>
+        s"((((user_id & 65535) >> $i) & 1) << ${2 * i}) + " +
+          s"((((day(ts) * 24 + hour(ts)) >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT user_id, ts FROM $oEvents),
+         |zed AS (SELECT user_id, day(ts) * 24 + hour(ts) AS th, ($z) AS z FROM e)
+         |SELECT CAST(FLOOR(z / 65536) AS BIGINT) AS zbucket,
+         |COUNT(*) AS n,
+         |MAX(user_id) - MIN(user_id) AS user_span,
+         |CAST(MAX(th) - MIN(th) AS BIGINT) AS time_span
+         |FROM zed GROUP BY 1""".stripMargin
+    },
 
     "sketch_hll_distinct" ->
       """WITH ev AS (SELECT md5(CAST(event_id AS VARCHAR)) AS h FROM events),
