@@ -301,14 +301,17 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
 
   /** Rewrite the log to its live snapshot (FIFO-compaction analog of
     * the reference's 25 MB retention, caching.py:109-133), then
-    * garbage-collect unreferenced files. Crash-safe: the manifest
-    * commit is the atomic switch point (see class doc). */
+    * garbage-collect dead files. Crash-safe: the manifest commit is the
+    * atomic switch point (see class doc). */
   def compact(): Unit = compactImpl(None)
 
   /** [[compact]] with crash injection for the recovery spec: the named
     * failpoint throws AFTER its stage completes, simulating a process
-    * kill between protocol steps. */
-  private[graft] def compactImpl(failpoint: Option[String]): Unit = {
+    * kill between protocol steps. `orphanGraceMs` bounds how young an
+    * unreferenced file may be and still survive the sweep. */
+  private[graft] def compactImpl(
+      failpoint: Option[String],
+      orphanGraceMs: Long = 60L * 60 * 1000): Unit = {
     val m = latest().getOrElse(return)
     val snap = snapshot().withColumn(seqCol, lit(m.seq)).withColumn("__deleted", lit(false))
     val names = stage(snap, targetFiles = 1)
@@ -318,14 +321,22 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
       return
     }
     if (failpoint.contains("committed")) throw new RuntimeException("failpoint: committed")
-    // GC: anything not in the committed manifest — superseded log files
-    // and orphans from earlier crashes alike
-    val live = names.toSet
+    // GC: ONLY files the superseded manifest referenced (provably dead
+    // — the new manifest replaced them). A blanket "not in the new
+    // manifest" sweep would also delete files a CONCURRENT writer has
+    // staged but not yet committed, corrupting its commit. True
+    // orphans (staged by a writer that crashed before committing) are
+    // unreferenced forever; sweep those only past a grace period no
+    // in-flight stage can span.
     val f = fs
+    m.files.toSet.diff(names.toSet)
+      .foreach(n => f.delete(new Path(dataDir, n), false))
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    val referenced = names.toSet
     f.listStatus(dataDir)
-      .map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !live.contains(p.getName))
-      .foreach(p => f.delete(p, false))
+      .filter(s => s.getPath.getName.endsWith(".parquet") &&
+        !referenced.contains(s.getPath.getName) && s.getModificationTime < cutoff)
+      .foreach(s => f.delete(s.getPath, false))
   }
 }
 

@@ -162,6 +162,25 @@ class StateTableSpec extends AnyFunSuite {
     assert(reader.currentSeq == 16L)
   }
 
+  test("compact GC spares a concurrent writer's staged-but-uncommitted files") {
+    val (t, dir) = fresh()
+    t.put(Seq(("a", 1)).toDF("key", "v"))
+    t.put(Seq(("a", 2)).toDF("key", "v"))
+    // simulate another writer mid-put: a data file staged (present in
+    // data/) but not yet referenced by any manifest
+    val staged = new java.io.File(dir, "data/in-flight-from-other-writer.parquet")
+    java.nio.file.Files.write(staged.toPath, Array[Byte](1, 2, 3))
+    t.compact()
+    // superseded log files are gone (live view compacted to one row)...
+    assert(t.changes().count() == 1)
+    // ...but the in-flight file survived: deleting it would corrupt the
+    // other writer's imminent manifest commit
+    assert(staged.exists())
+    // a later compact past the orphan grace period sweeps it
+    t.compactImpl(None, orphanGraceMs = 0L)
+    assert(!staged.exists())
+  }
+
   test("changeStream: a second streaming query observes each committed put (S4, cookbook.rst:529-588)") {
     val (t, _) = fresh()
     t.put(Seq(("a", 1)).toDF("key", "v"))
