@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+/** Streaming heavy hitters via a mergeable count-min sketch — the
+  * streaming twin of the batch `sketch_countmin` query, same d=4 ×
+  * w=256 md5-derived hash family. Count-min merges by element-wise SUM
+  * (each bucket is a plain counter), so like the HLL sketch it rides
+  * [[Fold.applyPartial]]: partitions pre-fold their rows into a local
+  * sketch, one 8 KB sketch per group per partition crosses the shuffle,
+  * state merges by vector add. Estimates upper-bound true counts; probe
+  * with [[HeavyHitterSketch.estimate]].
+  *
+  * Counters pack into an Array[Byte] (longs via ByteBuffer) — primitive
+  * BINARY encoding for the state store, no collection-encoder
+  * machinery.
+  */
+object HeavyHitterSketch {
+
+  val D = 4
+  val W = 256
+
+  def empty: Array[Byte] = new Array[Byte](D * W * 8)
+
+  private def get(sk: Array[Byte], row: Int, bucket: Int): Long =
+    ByteBuffer.wrap(sk).getLong((row * W + bucket) * 8)
+
+  private def put(sk: Array[Byte], row: Int, bucket: Int, v: Long): Unit =
+    ByteBuffer.wrap(sk).putLong((row * W + bucket) * 8, v)
+
+  private def bucketOf(key: String, row: Int): Int = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$row:$key".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16) % W).toInt
+  }
+
+  /** Fold one key occurrence in, copy-on-write. */
+  def update(sk: Array[Byte], key: String): Array[Byte] = {
+    val out = sk.clone()
+    var r = 0
+    while (r < D) { val b = bucketOf(key, r); put(out, r, b, get(out, r, b) + 1); r += 1 }
+    out
+  }
+
+  /** Merge = element-wise sum (counters are additive). */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = empty
+    var i = 0
+    while (i < D * W) {
+      ByteBuffer.wrap(out).putLong(i * 8,
+        ByteBuffer.wrap(a).getLong(i * 8) + ByteBuffer.wrap(b).getLong(i * 8))
+      i += 1
+    }
+    out
+  }
+
+  /** Point estimate for a key: min over its D buckets (≥ true count). */
+  def estimate(sk: Array[Byte], key: String): Long =
+    (0 until D).map(r => get(sk, r, bucketOf(key, r))).min
+
+  /** Per-group streaming (or batch) sketches; emits the updated packed
+    * sketch per group per micro-batch (probe with [[estimate]]). */
+  def sketches[V](
+      ds: Dataset[V],
+      group: V => String,
+      key: V => String)(implicit spark: SparkSession): Dataset[(String, Array[Byte])] = {
+    implicit val se: Encoder[String] = Encoders.STRING
+    implicit val be: Encoder[Array[Byte]] = Encoders.BINARY
+    implicit val kv: Encoder[(String, Array[Byte])] = Encoders.tuple(se, be)
+    Fold.applyPartial[String, V, Array[Byte]](
+      ds, group, empty, (sk, v) => update(sk, key(v)), merge)
+  }
+}

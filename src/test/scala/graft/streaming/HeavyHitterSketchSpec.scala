@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming count-min = batch count-min: same hash family, merge =
+  * sum, estimates upper-bound true counts and match the batch query's
+  * estimates exactly on the same data. */
+class HeavyHitterSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("merge is associative and estimates upper-bound true counts") {
+    val keys = (1 to 300).map(i => s"k${i % 40}") // 40 keys, skewed none
+    val (a, b) = keys.splitAt(100)
+    val whole = keys.foldLeft(HeavyHitterSketch.empty)(HeavyHitterSketch.update)
+    val merged = HeavyHitterSketch.merge(
+      a.foldLeft(HeavyHitterSketch.empty)(HeavyHitterSketch.update),
+      b.foldLeft(HeavyHitterSketch.empty)(HeavyHitterSketch.update))
+    assert(whole.toSeq == merged.toSeq)
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong)
+    truth.foreach { case (k, n) =>
+      assert(HeavyHitterSketch.estimate(whole, k) >= n)
+    }
+  }
+
+  test("streaming sketch across micro-batches matches the batch sketch_countmin estimates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    // batch query's (key, est) on sf0.001 — threshold filtered
+    val batchEst = graft.queries.ExtendedQueries
+      .queries("sketch_countmin")(spark, "/root/testdata/sf0.01")
+      .select("k", "est").as[(String, Long)].collect().toMap
+
+    val users = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select("user_id").as[Long].collect().map(_.toString)
+    val src = MemoryStream[String]
+    val q = HeavyHitterSketch.sketches[String](src.toDS(), _ => "all", identity)
+      .toDF("g", "sk")
+      .writeStream.outputMode("update").format("memory").queryName("cm_stream").start()
+    try {
+      val (first, second) = users.splitAt(users.length / 2)
+      src.addData(first.toIndexedSeq); q.processAllAvailable()
+      src.addData(second.toIndexedSeq); q.processAllAvailable()
+      val sk = spark.table("cm_stream").as[(String, Array[Byte])].collect().last._2
+      assert(batchEst.nonEmpty)
+      batchEst.foreach { case (k, est) =>
+        assert(HeavyHitterSketch.estimate(sk, k) == est,
+          s"key $k: stream ${HeavyHitterSketch.estimate(sk, k)} != batch $est")
+      }
+    } finally q.stop()
+  }
+}
