@@ -42,6 +42,30 @@ class WatermarkSpec extends AnyFunSuite {
     assert(got == Map(t(1, 0) -> 2L, t(5, 0) -> 1L)) // late "a" NOT counted
   }
 
+  test("streaming session windows: gap splits sessions, watermark finalizes (W4)") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Timestamp, String)]
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val agg = src.toDS().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("k"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), col("session_window.start").as("ss"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sw_out").start()
+
+    // k=a: events at 01:00, 01:20 chain one session; 02:30 starts a new one
+    src.addData((t(1, 0), "a"), (t(1, 20), "a"), (t(2, 30), "a"))
+    q.processAllAvailable()
+    src.addData((t(9, 0), "z")) // watermark far ahead: finalizes a's sessions
+    q.processAllAvailable()
+
+    val got = spark.table("sw_out").where(col("k") === "a")
+      .as[(String, Timestamp, Long)].collect().map { case (_, s, n) => s -> n }.toMap
+    q.stop()
+    assert(got == Map(t(1, 0) -> 2L, t(2, 30) -> 1L))
+  }
+
   test("file-source streaming over the driver's events table == batch result") {
     val dir = "/root/testdata/sf0.001"
     val stream = Tables.eventsStream(spark, dir)
