@@ -11,16 +11,22 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * `mapInPandas` batch UDF: payloads stream through in bounded batches,
   * never materializing a partition in memory).
   *
-  * The decode itself is a STUB — the image/audio codec libraries are
-  * not in this container — implemented as a deterministic md5-derived
-  * fake, clearly marked below. Everything Spark-side is real and
-  * tested: the record schema, the batch shape, the partition-parallel
-  * execution, the feature vector plumbing. Swapping `StubCodec` for a
-  * JNI/ffmpeg-backed codec changes no plan shape.
+  * IMAGE decode is REAL: the JDK ships `javax.imageio` readers for
+  * PNG/JPEG/BMP/GIF/WBMP, so image payloads decode to actual pixels
+  * (real dimensions, real luminance-grid features). AUDIO/VIDEO codecs
+  * are genuinely absent from this container, so those fall back to
+  * `StubCodec`, a deterministic md5-derived fake — as does any image
+  * payload ImageIO cannot parse (truncated/unknown format), which is
+  * also the production-correct posture: a 100 TB crawl always contains
+  * undecodable bytes and a task that throws on them loses the whole
+  * partition. Swapping the stub for a JNI/ffmpeg codec changes no plan
+  * shape.
   *
   * Scale notes: payload bytes never shuffle (all transforms are
-  * narrow); batch size bounds peak memory per task; feature extraction
-  * output (small vectors) is what flows into downstream joins/ANN.
+  * narrow); batch size bounds peak memory per task; ImageIO's disk
+  * cache is disabled (no per-decode temp-file I/O on executors);
+  * feature extraction output (small vectors) is what flows into
+  * downstream joins/ANN.
   */
 object Multimodal {
 
@@ -40,9 +46,54 @@ object Multimodal {
       nBytes: Int,
       features: Array[Float])
 
-  /** ??? in spirit — deterministic fake standing in for the real codec.
-    * Derives stable pseudo-properties from the payload digest so tests
-    * are exact and reruns reproducible. */
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF/WBMP —
+    * no external jar). Returns None for bytes no installed reader can
+    * parse; callers fall back to StubCodec so undecodable payloads
+    * degrade instead of failing the task. */
+  object ImageCodec {
+    // One-time: never spill decode buffers to executor-local temp files.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+
+    /** Real pixel-level features: mean luminance over a 4×2 grid,
+      * normalized to [-1, 1) — the deterministic stand-in for a model
+      * embedding, computed from actual decoded pixels. Pixels are
+      * strided so cost is bounded (≤ ~32×32 samples/cell) regardless
+      * of image size. */
+    def features(img: java.awt.image.BufferedImage, dim: Int = 8): Array[Float] = {
+      val (gw, gh) = (4, dim / 4)
+      val (w, h) = (img.getWidth, img.getHeight)
+      Array.tabulate(dim) { i =>
+        val (cx, cy) = (i % gw, i / gw)
+        val (x0, x1) = (cx * w / gw, math.max(cx * w / gw + 1, (cx + 1) * w / gw))
+        val (y0, y1) = (cy * h / gh, math.max(cy * h / gh + 1, (cy + 1) * h / gh))
+        val (sx, sy) = (math.max(1, (x1 - x0) / 32), math.max(1, (y1 - y0) / 32))
+        var (sum, n) = (0L, 0L)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            // integer ITU-R 601 luma: (299R + 587G + 114B) / 1000
+            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            n += 1
+            x += sx
+          }
+          y += sy
+        }
+        ((sum.toDouble / n) - 128.0).toFloat / 128.0f
+      }
+    }
+  }
+
+  /** Deterministic fake standing in for the codecs genuinely absent
+    * from this container (audio/video), and the degradation path for
+    * undecodable image bytes. Derives stable pseudo-properties from the
+    * payload digest so tests are exact and reruns reproducible. */
   object StubCodec {
     private def digest(payload: Array[Byte]): Array[Byte] =
       MessageDigest.getInstance("MD5").digest(payload)
@@ -74,10 +125,18 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val (w, h) = StubCodec.decodeDims(r.payload)
-          Decoded(r.id, r.mediaType, w, h,
-            StubCodec.frameCount(r.payload, r.mediaType),
-            r.payload.length, StubCodec.features(r.payload))
+          val real =
+            if (r.mediaType == "image") ImageCodec.decode(r.payload) else None
+          real match {
+            case Some(img) =>
+              Decoded(r.id, r.mediaType, img.getWidth, img.getHeight, 1,
+                r.payload.length, ImageCodec.features(img))
+            case None =>
+              val (w, h) = StubCodec.decodeDims(r.payload)
+              Decoded(r.id, r.mediaType, w, h,
+                StubCodec.frameCount(r.payload, r.mediaType),
+                r.payload.length, StubCodec.features(r.payload))
+          }
         }
       }
     }

@@ -134,24 +134,29 @@ object ExtendedQueries {
     // cardinality — the structure you ship to a coordinator when the
     // key space itself doesn't fit; estimates upper-bound true counts
     // (verified per-row in the output). Heavy hitters = estimate above
-    // threshold.
+    // threshold. All 4 row-hashes come from ONE md5: the 32 hex chars
+    // split into four independent 8-char (32-bit) slices — 1 hash per
+    // event instead of 4 (this was the slowest query in the bench
+    // before; the slicing is the same trick dedup_minhash_lsh uses).
     "sketch_countmin" -> ((s, dir) => {
       val d = 4
-      def bucketOf(keyCol: Column, i: Int): Column =
-        conv(substring(md5(concat(lit(s"$i:"), keyCol)), 1, 8), 16, 10)
-          .cast("long") % 256L
-      val ev = Tables.events(s, dir).select(col("user_id").cast("string").as("k"))
+      def bucketOf(hashCol: Column, i: Int): Column =
+        conv(substring(hashCol, 8 * i + 1, 8), 16, 10).cast("long") % 256L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("k"))
+        .withColumn("h", md5(col("k")))
       // build: one pass, explode each event into its d buckets
       val sketch = ev
-        .select(posexplode(array((0 until d).map(i => bucketOf(col("k"), i)): _*))
+        .select(posexplode(array((0 until d).map(i => bucketOf(col("h"), i)): _*))
           .as(Seq("row", "bucket")))
         .groupBy(col("row"), col("bucket"))
         .agg(count(lit(1)).as("cnt"))
       // probe: each distinct key reads its d buckets, estimate = min
       val keys = ev.groupBy(col("k")).agg(count(lit(1)).as("true_n"))
+        .withColumn("h", md5(col("k")))
       val probes = keys
         .select(col("k"), col("true_n"),
-          posexplode(array((0 until d).map(i => bucketOf(col("k"), i)): _*))
+          posexplode(array((0 until d).map(i => bucketOf(col("h"), i)): _*))
             .as(Seq("row", "bucket")))
       probes.join(sketch, Seq("row", "bucket"))
         .groupBy(col("k"), col("true_n"))
@@ -404,14 +409,15 @@ object ExtendedQueries {
 
     "sketch_countmin" -> {
       val d = 4
-      def bucket(key: String, i: Int) =
-        s"('0x' || substr(md5('$i:' || $key), 1, 8))::BIGINT % 256"
+      def bucket(hash: String, i: Int) =
+        s"('0x' || substr($hash, ${8 * i + 1}, 8))::BIGINT % 256"
       val buildSel = (0 until d).map(i =>
-        s"SELECT $i AS row, ${bucket("k", i)} AS bucket FROM ev").mkString(" UNION ALL ")
+        s"SELECT $i AS row, ${bucket("h", i)} AS bucket FROM ev").mkString(" UNION ALL ")
       val probeSel = (0 until d).map(i =>
-        s"SELECT k, true_n, $i AS row, ${bucket("k", i)} AS bucket FROM keys")
+        s"SELECT k, true_n, $i AS row, ${bucket("md5(k)", i)} AS bucket FROM keys")
         .mkString(" UNION ALL ")
-      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k,
+         |md5(CAST(user_id AS VARCHAR)) AS h FROM events),
          |sketch AS (SELECT row, bucket, COUNT(*) AS cnt
          |FROM ($buildSel) GROUP BY 1, 2),
          |keys AS (SELECT k, COUNT(*) AS true_n FROM ev GROUP BY 1),

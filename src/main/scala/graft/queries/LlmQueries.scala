@@ -416,9 +416,10 @@ object LlmQueries {
     }),
 
     // Multimodal columns: opaque binary payload + deterministic
-    // stub-decoded metadata (md5-derived fake dimensions — the decode
-    // itself is a stub; the Spark-side schema/plumbing is real, see
-    // graft.multimodal).
+    // metadata. These payloads are text bytes (not parseable images),
+    // so this exercises the StubCodec degradation path — md5-derived
+    // fake dimensions, oracle-exact. Real image payloads decode through
+    // JDK ImageIO (see graft.multimodal.ImageCodec + MultimodalSpec).
     "multimodal_meta" -> ((s, dir) => {
       Tables.documents(s, dir)
         .withColumn("payload", col("text").cast("binary"))

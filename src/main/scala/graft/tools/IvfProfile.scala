@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{GraftSession, SparkEntry}
+
+/** Profile harness for the sim_ivf_* pair (VERDICT r2 #4): times each
+  * query N times under (a) the full GraftSession (parser + rule
+  * injection) and (b) a bare SparkSession with identical confs but no
+  * extensions, to separate plan cost from any analysis tax the
+  * injected extensions add to every query.
+  */
+object IvfProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = Seq("sim_ivf_topk", "sim_ivf_multiprobe", "sim_cosine_topk")
+    val reps = 5
+
+    def run(spark: SparkSession, label: String): Unit = {
+      spark.sparkContext.setLogLevel("WARN")
+      // warm-up
+      SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      for (n <- names) {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[$label] $n%-22s min=${times.min}%.3f med=${times.sorted.apply(reps / 2)}%.3f max=${times.max}%.3f")
+      }
+      spark.stop()
+    }
+
+    def bare(): SparkSession = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-bare")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+    // Interleave sessions so JVM-wide JIT warm-up doesn't bias the
+    // first label measured: ext, bare, ext, bare.
+    run(GraftSession.builder("local[32]").getOrCreate(), "with-ext-1")
+    run(bare(), "no-ext-1  ")
+    run(GraftSession.builder("local[32]").getOrCreate(), "with-ext-2")
+    run(bare(), "no-ext-2  ")
+  }
+}

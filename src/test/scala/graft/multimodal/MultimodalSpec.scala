@@ -6,8 +6,9 @@ import graft.streaming.TestSpark
 import Multimodal._
 
 /** Multimodal plumbing: schema, batch shape, determinism, partition
-  * parallelism. The decode is a stub (no codec libs in the container);
-  * everything around it is real. */
+  * parallelism — plus REAL image decode through JDK ImageIO (PNG bytes
+  * → actual width/height/pixel features). Audio/video and undecodable
+  * image bytes take the deterministic StubCodec path. */
 class MultimodalSpec extends AnyFunSuite {
   lazy implicit val spark = TestSpark.spark
   import spark.implicits._
