@@ -32,19 +32,32 @@ object HeavyHitterSketch {
   private def put(sk: Array[Byte], row: Int, bucket: Int, v: Long): Unit =
     ByteBuffer.wrap(sk).putLong((row * W + bucket) * 8, v)
 
-  private def bucketOf(key: String, row: Int): Int = {
+  /** All D row-buckets from ONE md5 of the key: the 32 hex chars split
+    * into four independent 8-char (32-bit) slices — the exact family
+    * the batch `sketch_countmin` query and its DuckDB oracle use
+    * (`conv(substring(md5(k), 8*i+1, 8), 16, 10) % 256`), so streamed
+    * estimates across micro-batches equal the batch query's exactly. */
+  private def rowBuckets(key: String): Array[Int] = {
     val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$row:$key".getBytes(StandardCharsets.UTF_8))
+    val hex = md.digest(key.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex.substring(0, 8), 16) % W).toInt
+    Array.tabulate(D)(r =>
+      (java.lang.Long.parseLong(hex.substring(8 * r, 8 * r + 8), 16) % W).toInt)
   }
 
   /** Fold one key occurrence in, copy-on-write. */
   def update(sk: Array[Byte], key: String): Array[Byte] = {
     val out = sk.clone()
-    var r = 0
-    while (r < D) { val b = bucketOf(key, r); put(out, r, b, get(out, r, b) + 1); r += 1 }
+    updateInPlace(out, key)
     out
+  }
+
+  /** Mutating fold for accumulators the caller owns (partition-local
+    * fold state) — avoids the O(rows·d·w) clone of copy-on-write. */
+  def updateInPlace(sk: Array[Byte], key: String): Unit = {
+    val bs = rowBuckets(key)
+    var r = 0
+    while (r < D) { val b = bs(r); put(sk, r, b, get(sk, r, b) + 1); r += 1 }
   }
 
   /** Merge = element-wise sum (counters are additive). */
@@ -60,8 +73,10 @@ object HeavyHitterSketch {
   }
 
   /** Point estimate for a key: min over its D buckets (≥ true count). */
-  def estimate(sk: Array[Byte], key: String): Long =
-    (0 until D).map(r => get(sk, r, bucketOf(key, r))).min
+  def estimate(sk: Array[Byte], key: String): Long = {
+    val bs = rowBuckets(key)
+    (0 until D).map(r => get(sk, r, bs(r))).min
+  }
 
   /** Per-group streaming (or batch) sketches; emits the updated packed
     * sketch per group per micro-batch (probe with [[estimate]]). */
@@ -72,7 +87,17 @@ object HeavyHitterSketch {
     implicit val se: Encoder[String] = Encoders.STRING
     implicit val be: Encoder[Array[Byte]] = Encoders.BINARY
     implicit val kv: Encoder[(String, Array[Byte])] = Encoders.tuple(se, be)
+    // The partition-local fold owns every accumulator EXCEPT the shared
+    // zero (applyPartial hands the same `zero` to every first-touch), so
+    // clone exactly once per key per partition, then mutate in place.
+    val zero = empty
     Fold.applyPartial[String, V, Array[Byte]](
-      ds, group, empty, (sk, v) => update(sk, key(v)), merge)
+      ds, group, zero,
+      (sk, v) => {
+        val own = if (sk eq zero) sk.clone() else sk
+        updateInPlace(own, key(v))
+        own
+      },
+      merge)
   }
 }
