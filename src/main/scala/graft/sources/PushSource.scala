@@ -8,9 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,6 +22,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * producers call [[PushSource.push]], each micro-batch drains the
   * unread suffix by offset range, replay within a run is exact (offsets
   * index into the retained buffer).
+  *
+  * Offsets are ABSOLUTE and monotonic for the lifetime of a channel:
+  * [[PushSource.clear]] advances a base watermark instead of rebasing
+  * indices, so a query running across a clear() skips the dropped
+  * history rather than silently re-reading wrong rows (Kafka's
+  * log-retention contract: offsets never move, old ones just stop
+  * resolving).
+  *
+  * Reader options (Kafka-parity, used by the seek-back recovery loop —
+  * reference tests/integration/test_kafka_integration.py:108-111 where
+  * `recovery_callback` calls `topic.seek(offsets)`):
+  *  - `startingOffset`: absolute offset the query's FIRST batch starts
+  *    from (default 0) — the `startingOffsets` lever a restart-based
+  *    seek-back rewinds with.
+  *  - `maxPerBatch`: admission control; at most this many rows per
+  *    micro-batch (Kafka's `maxOffsetsPerTrigger`).
+  *  - `includeOffset`: prepend each row's absolute offset as a LONG
+  *    column, the reference's `msg.offset` that `check_pulse` records.
   *
   * This is the PUBLIC connector surface (TableProvider → Table →
   * ScanBuilder → Scan → MicroBatchStream → PartitionReader), i.e. the
@@ -39,28 +57,49 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object PushSource {
   val schema: StructType = StructType(Seq(StructField("value", StringType, nullable = false)))
+  val schemaWithOffset: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
 
-  private val channels = new java.util.concurrent.ConcurrentHashMap[String, ArrayBuffer[String]]()
-  private def buf(ch: String): ArrayBuffer[String] =
-    channels.computeIfAbsent(ch, _ => ArrayBuffer.empty[String])
+  private final class Channel {
+    var base: Long = 0L // absolute offset of buf(0); grows on clear()
+    val buf: ArrayBuffer[String] = ArrayBuffer.empty[String]
+  }
+
+  private val channels = new java.util.concurrent.ConcurrentHashMap[String, Channel]()
+  private def chan(ch: String): Channel =
+    channels.computeIfAbsent(ch, _ => new Channel)
 
   /** Producer side: append values to a channel (the aiohttp handler's
     * `yield`). */
   def push(channel: String, values: String*): Unit = {
-    val b = buf(channel); b.synchronized { b ++= values }
+    val c = chan(channel); c.synchronized { c.buf ++= values }
   }
 
+  /** Absolute high-water mark (next offset to be assigned). */
   private[sources] def size(channel: String): Long = {
-    val b = buf(channel); b.synchronized(b.size.toLong)
+    val c = chan(channel); c.synchronized(c.base + c.buf.size)
   }
 
-  private[sources] def slice(channel: String, from: Long, until: Long): Array[String] = {
-    val b = buf(channel); b.synchronized(b.slice(from.toInt, until.toInt).toArray)
+  /** Rows in the absolute offset range [from, until) that are still
+    * retained, as (absoluteOffset, value). Offsets below the base
+    * (dropped by clear) resolve to nothing — never to wrong rows. */
+  private[sources] def slice(channel: String, from: Long, until: Long): Array[(Long, String)] = {
+    val c = chan(channel)
+    c.synchronized {
+      val lo = math.max(from, c.base)
+      val hi = math.min(until, c.base + c.buf.size)
+      if (hi <= lo) Array.empty
+      else (lo until hi).map(i => (i, c.buf((i - c.base).toInt))).toArray
+    }
   }
 
-  /** Drop a channel's retained history (tests / bounded memory). */
+  /** Drop a channel's retained history (tests / bounded memory). The
+    * offset base advances monotonically — previously assigned offsets
+    * are never reused (a running query's next batch reads nothing
+    * instead of silently re-reading reassigned rows). */
   def clear(channel: String): Unit = {
-    val b = buf(channel); b.synchronized(b.clear())
+    val c = chan(channel); c.synchronized { c.base += c.buf.size; c.buf.clear() }
   }
 }
 
@@ -72,35 +111,66 @@ private[sources] case class PushOffset(n: Long) extends Offset {
   * META-INF/services; the fully-qualified class name works too). */
 class PushDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-push"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = PushSource.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (options.getBoolean("includeOffset", false)) PushSource.schemaWithOffset
+    else PushSource.schema
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PushTable(properties.getOrDefault("channel", "default"))
+    new PushTable(
+      properties.getOrDefault("channel", "default"),
+      properties.getOrDefault("startingOffset", "0").toLong,
+      properties.getOrDefault("maxPerBatch", "0").toLong,
+      properties.getOrDefault("includeOffset", "false").toBoolean)
 }
 
-private[sources] class PushTable(channel: String) extends Table with SupportsRead {
+private[sources] class PushTable(
+    channel: String,
+    startingOffset: Long,
+    maxPerBatch: Long,
+    includeOffset: Boolean) extends Table with SupportsRead {
   override def name(): String = s"graft-push:$channel"
-  override def schema(): StructType = PushSource.schema
+  override def schema(): StructType =
+    if (includeOffset) PushSource.schemaWithOffset else PushSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = PushSource.schema
+        override def readSchema(): StructType = PushTable.this.schema()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new PushMicroBatchStream(channel)
+          new PushMicroBatchStream(channel, startingOffset, maxPerBatch, includeOffset)
       }
     }
 }
 
-private[sources] class PushMicroBatchStream(channel: String) extends MicroBatchStream {
-  override def initialOffset(): Offset = PushOffset(0L)
+private[sources] class PushMicroBatchStream(
+    channel: String,
+    startingOffset: Long,
+    maxPerBatch: Long,
+    includeOffset: Boolean) extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = PushOffset(startingOffset)
   override def latestOffset(): Offset = PushOffset(PushSource.size(channel))
   override def deserializeOffset(json: String): Offset = PushOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  // Admission control (Kafka's maxOffsetsPerTrigger): cap each
+  // micro-batch at maxPerBatch rows so one large backlog (a seek-back
+  // replay, say) drains in bounded batches instead of one giant one.
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerBatch > 0) ReadLimit.maxRows(maxPerBatch) else ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[PushOffset].n
+    val avail = PushSource.size(channel)
+    limit match {
+      case r: ReadMaxRows => PushOffset(math.min(avail, s + r.maxRows()))
+      case _ => PushOffset(avail)
+    }
+  }
+  override def reportLatestOffset(): Offset = PushOffset(PushSource.size(channel))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[PushOffset].n
@@ -111,17 +181,27 @@ private[sources] class PushMicroBatchStream(channel: String) extends MicroBatchS
     Array(PushPartition(PushSource.slice(channel, s, e)))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
-    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-      val rows = p.asInstanceOf[PushPartition].values
-      new PartitionReader[InternalRow] {
-        private var i = -1
-        override def next(): Boolean = { i += 1; i < rows.length }
-        override def get(): InternalRow = InternalRow(UTF8String.fromString(rows(i)))
-        override def close(): Unit = ()
+  override def createReaderFactory(): PartitionReaderFactory =
+    PushReaderFactory(includeOffset)
+}
+
+/** Standalone (serializable) factory — must not capture the
+  * driver-side MicroBatchStream. */
+private[sources] case class PushReaderFactory(includeOffset: Boolean)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[PushPartition].values
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val (off, v) = rows(i)
+        if (includeOffset) InternalRow(off, UTF8String.fromString(v))
+        else InternalRow(UTF8String.fromString(v))
       }
+      override def close(): Unit = ()
     }
   }
 }
 
-private[sources] case class PushPartition(values: Array[String]) extends InputPartition
+private[sources] case class PushPartition(values: Array[(Long, String)]) extends InputPartition

@@ -228,3 +228,72 @@ class CheckpointManager(
       else { ds.collect().foreach(apply); None }
   }
 }
+
+/** A dependent flow as a series of restartable query incarnations — the
+  * driver-side piece that closes the reference's flagship loop
+  * (tests/integration/test_kafka_integration.py:48-162: downtime →
+  * Signal.PAUSE on the PausableStream → recovery_callback does
+  * `topic.seek(saved_offsets)` → Signal.RESUME → corrected replay).
+  *
+  * A running Spark StreamingQuery cannot be rewound in place, so the
+  * Spark shape of `seek` is stop + start a NEW incarnation whose source
+  * begins at the saved offsets (Kafka `startingOffsets` JSON;
+  * graft-push `startingOffset`) under a fresh checkpoint. `start` is
+  * the incarnation factory: it receives the seek-back offsets
+  * (partition → offset, the Transition's `savedState`; empty on first
+  * launch) and must return a STARTED query reading from them.
+  *
+  * [[manager]] wires the loop: checkpoint `pause` transitions stop the
+  * current incarnation, `resume` transitions launch the next one from
+  * the transition's saved offsets. The [[journal]] records every
+  * lifecycle act for observability (the reference logs the same
+  * transitions — checkpointing.py:362-366).
+  */
+final class RestartableQuery(start: Map[String, String] => StreamingQuery) {
+  @volatile private var current: Option[StreamingQuery] = None
+  private val acts = scala.collection.mutable.Buffer.empty[String]
+
+  private def fmt(offsets: Map[String, String]): String =
+    offsets.toSeq.sortBy(_._1).map { case (p, o) => s"$p=$o" }.mkString(",")
+
+  /** The live incarnation, if not paused. */
+  def running: Option[StreamingQuery] = current
+
+  /** Lifecycle journal: start(...), pause, resume(...) in order. */
+  def journal: Seq[String] = synchronized(acts.toList)
+
+  /** First launch (offset 0 / the source's defaults unless given). */
+  def launch(offsets: Map[String, String] = Map.empty): StreamingQuery = synchronized {
+    val q = start(offsets)
+    current = Some(q)
+    acts += s"start(${fmt(offsets)})"
+    q
+  }
+
+  /** Stop the current incarnation (the reference's Signal.PAUSE). */
+  def pause(): Unit = synchronized {
+    current.foreach { q => q.stop(); acts += "pause" }
+    current = None
+  }
+
+  /** Seek-back resume: next incarnation starts from `offsets` (the
+    * reference's recovery_callback `topic.seek` + Signal.RESUME). */
+  def resumeFrom(offsets: Map[String, String]): StreamingQuery = synchronized {
+    current.foreach(_.stop())
+    val q = start(offsets)
+    current = Some(q)
+    acts += s"resume(${fmt(offsets)})"
+    q
+  }
+
+  /** The CheckpointManager that closes the loop on this query; extra
+    * observers see the downtime/recovery transitions (logging, alerts). */
+  def manager(
+      onDowntime: Checkpointing.Transition => Unit = _ => (),
+      onRecovery: Checkpointing.Transition => Unit = _ => ()): CheckpointManager =
+    new CheckpointManager(
+      onPause = _ => pause(),
+      onResume = t => { resumeFrom(t.savedState); () },
+      onDowntime = onDowntime,
+      onRecovery = onRecovery)
+}

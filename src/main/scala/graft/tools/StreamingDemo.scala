@@ -1,17 +1,29 @@
 package graft.tools
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 import graft.GraftSession
+import graft.operators.AsOfJoin
+import graft.sources.PushSource
 import graft.streaming._
 import graft.streaming.Checkpointing._
 import graft.streaming.StreamingAsOf.Input
 
 /** End-to-end drive of the streaming layer through the public API: the
   * reference's weather/activity scenario with downtime and recovery
-  * (cookbook.rst:358-520) running as two real Spark streaming queries —
-  * the as-of enrichment and the checkpoint transition stream — with a
-  * CheckpointManager reacting driver-side. */
+  * (cookbook.rst:358-520) running as real Spark streaming queries.
+  *
+  * Two variants of the recovery semantics, mirroring SURVEY §7:
+  *  1. the MANAGER loop (reference test_kafka_integration.py:48-162):
+  *     downtime pauses the dependent query, recovery restarts it from
+  *     the checkpoint's saved offsets over `graft-push`, and the
+  *     connector replays the wrongly-enriched message — fully
+  *     automated, no hand-injected corrections;
+  *  2. the FUSED operator (SynchronizedAsOf): gate-and-buffer inside
+  *     one stateful operator, corrections without restart.
+  */
 object StreamingDemo {
   def main(args: Array[String]): Unit = {
     implicit val spark = GraftSession.getOrCreate("local[4]")
@@ -19,80 +31,76 @@ object StreamingDemo {
     implicit val sql = spark.sqlContext
 
     def us(h: Int, m: Int = 0): Long = (h * 60L + m) * 60L * 1000000L
+    def tsCol(c: String) = (col(c) / lit(1000000.0)).cast("timestamp")
 
-    // ---- as-of enrichment flow (Flow + StreamingAsOf) ----
-    val events = MemoryStream[Input]
-    val enriched = Flow.from(events.toDS())
-      .pipe(ds => StreamingAsOf.join(ds))
-      .map(j => s"The weather during ${j.leftPayload} was ${j.rightPayload.getOrElse("?")}")
-    val Seq(Some(q1)) = enriched.to(FlowSink.memory[String]("demo_enriched"))
-
-    // ---- checkpoint transition flow + driver-side manager ----
+    // ---- variant 1: the manager-driven closed loop over graft-push ----
+    val ch = "demo_activity"
+    PushSource.clear(ch)
+    val weather = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     val markers = MemoryStream[Marker]
     val cfg = Config("demo", "activity", Seq("weather"),
       downtimeThresholdUs = 3600L * 1000000L)
-    val q2 = Checkpointing.transitions(cfg, markers.toDS())
-      .writeStream.outputMode("append").format("memory").queryName("demo_cp").start()
 
-    def feed(h: Int, m: Int, weather: Option[String], activity: Option[String], offset: Int): Unit = {
-      weather.foreach { w =>
-        events.addData(Input("x", us(h, m), isLeft = false, "", w))
-        markers.addData(Marker("demo", "weather", isDependent = false, us(h, m)))
-      }
-      activity.foreach { a =>
-        events.addData(Input("x", us(h, m), isLeft = true, a, ""))
-        markers.addData(Marker("demo", "activity", isDependent = true, us(h, m),
-          Map("0" -> offset.toString)))
-      }
-      q1.processAllAvailable(); q2.processAllAvailable()
+    val dep = new RestartableQuery(offsets => {
+      val startAt = offsets.get("0").map(_.toLong).getOrElse(0L)
+      spark.readStream.format("graft-push")
+        .option("channel", ch).option("startingOffset", startAt)
+        .option("includeOffset", "true").load()
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          val acts = batch.collect()
+            .map { r => val Array(t, p) = r.getString(1).split('|'); (r.getLong(0), t.toLong, p) }
+            .sortBy(_._1)
+          if (acts.nonEmpty) {
+            val wsnap = weather.synchronized(weather.toList)
+            val l = acts.toSeq.toDF("off", "ts_us", "payload")
+              .withColumn("ts", tsCol("ts_us")).withColumn("k", lit("x"))
+            val r = wsnap.toDF("wts_us", "wval")
+              .withColumn("wts", tsCol("wts_us")).withColumn("k", lit("x"))
+            AsOfJoin.asOf(l, r, "ts", "wts", Seq("k"), Seq("wval"))
+              .select("off", "ts_us", "payload", "r_wval")
+              .collect().sortBy(_.getLong(0)).foreach { row =>
+                println(s"[demo] The weather during ${row.getString(2)} was ${Option(row.getString(3)).getOrElse("?")}")
+                markers.addData(Marker("demo", "activity", isDependent = true,
+                  row.getLong(1), Map("0" -> row.getLong(0).toString)))
+              }
+          }
+        }.start()
+    })
+
+    val mgr = dep.manager(
+      onDowntime = t => println(s"[demo] DOWNTIME ${t.stream} lag=${t.downtimeUs.get / 1000000}s -> pausing dependent"),
+      onRecovery = t => println(s"[demo] RECOVERY ${t.stream} -> seek-back to offsets ${t.savedState}"))
+    val Seq(Some(cpQ)) = Flow.from(transitions(cfg, markers.toDS())).to(mgr.sink)
+
+    def feedWeather(h: Int, m: Int, v: String): Unit = {
+      weather.synchronized(weather += ((us(h, m), v)))
+      markers.addData(Marker("demo", "weather", isDependent = false, us(h, m)))
+      cpQ.processAllAvailable()
+    }
+    def feedActivity(h: Int, m: Int, v: String): Unit = {
+      PushSource.push(ch, s"${us(h, m)}|$v")
+      dep.running.foreach(_.processAllAvailable())
+      cpQ.processAllAvailable()
     }
 
-    feed(10, 0, Some("🌞"), None, -1)
-    feed(10, 30, None, Some("swimming"), 0)
-    feed(11, 0, Some("⛅"), None, -1)
-    feed(11, 30, None, Some("walking home"), 1)
-    // weather stalls; activity keeps flowing -> stale enrichment
-    feed(12, 30, None, Some("shopping"), 2)
-    // weather recovers: the stalled messages catch up (🌦️ then 🌧)
-    feed(12, 0, Some("🌦️"), None, -1)
-    feed(13, 0, Some("🌧"), None, -1)
-    // manager-driven correction: reprocess from saved offsets ({0: 2})
-    val transitions = spark.table("demo_cp").as[Transition].collect().sortBy(_.markerUs)
-    val mgr = new CheckpointManager(
-      onPause = t => println(s"[demo] PAUSE ${t.stream}"),
-      onResume = t => {
-        println(s"[demo] RESUME ${t.stream} seek-back to ${t.savedState}")
-        // replay the corrected activity against the recovered right side
-        events.addData(Input("x", us(12, 30) + 1, isLeft = true, "shopping (corrected)", ""))
-        q1.processAllAvailable()
-      },
-      onDowntime = t => println(s"[demo] DOWNTIME ${t.stream} lag=${t.downtimeUs.get / 1000000}s"))
-    transitions.foreach(mgr(_))
-    feed(13, 10, None, Some("lunch"), 3)
+    dep.launch()
+    feedWeather(10, 0, "🌞")
+    feedActivity(10, 30, "swimming")
+    feedWeather(11, 0, "⛅")
+    feedActivity(11, 30, "walking home")
+    // weather stalls; the stale enrichment escapes, then the checkpoint
+    // pauses the dependent (a real StreamingQuery.stop)
+    feedActivity(12, 30, "shopping")
+    println(s"[demo] dependent running after downtime: ${dep.running.nonEmpty}")
+    // weather recovers and overtakes -> the manager restarts the
+    // dependent from offset 2; graft-push replays "shopping" corrected
+    feedWeather(12, 0, "🌦️")
+    feedWeather(13, 0, "🌧")
+    dep.running.foreach(_.processAllAvailable()); cpQ.processAllAvailable()
+    feedActivity(13, 10, "lunch")
+    println(s"[demo] lifecycle journal: ${dep.journal.mkString(" -> ")}")
 
-    println("[demo] transitions: " + transitions.map(_.kind).mkString(", "))
-    spark.table("demo_enriched").as[String].collect().foreach(s => println("[demo] " + s))
-
-    // live driver-side reactions: CheckpointManager.sink (foreachBatch
-    // runs on the driver) attached to a transitions stream over the
-    // same marker history
-    val liveMgr = new CheckpointManager(
-      onPause = t => println(s"[demo/live-sink] PAUSE ${t.stream}"),
-      onResume = t => println(s"[demo/live-sink] RESUME ${t.stream} offsets=${t.savedState}"),
-      onDowntime = t => println(s"[demo/live-sink] DOWNTIME ${t.stream}"))
-    val markers2 = MemoryStream[Marker]
-    val Seq(Some(qLive)) = Flow.from(Checkpointing.transitions(cfg, markers2.toDS()))
-      .to(liveMgr.sink)
-    markers2.addData(
-      Marker("demo", "weather", isDependent = false, us(10)),
-      Marker("demo", "activity", isDependent = true, us(10, 30), Map("0" -> "0")),
-      Marker("demo", "weather", isDependent = false, us(11)),
-      Marker("demo", "activity", isDependent = true, us(12, 30), Map("0" -> "2")))
-    qLive.processAllAvailable()
-    markers2.addData(Marker("demo", "weather", isDependent = false, us(13)))
-    qLive.processAllAvailable(); qLive.stop()
-
-    // ---- variant (a): the same scenario through the FUSED operator
+    // ---- variant 2: the same scenario through the FUSED operator
     // (SynchronizedAsOf — gate-and-buffer, corrections without restart)
     val fusedSrc = MemoryStream[Input]
     val q3 = SynchronizedAsOf.join(fusedSrc.toDS(), thresholdUs = 3600L * 1000000L)
@@ -114,10 +122,10 @@ object StreamingDemo {
       }
     q3.stop()
 
-    // lifecycle: runtime owns both queries; exit hooks run on shutdown
+    // lifecycle: runtime owns the queries; exit hooks run on shutdown
     // (the reference's stream() finally-path, core.py:202-216)
     val rt = new FlowRuntime(spark)
-      .register(Seq(Some(q1), Some(q2)))
+      .register(Seq(dep.running, Some(cpQ)))
       .addExitHook(() => println("[demo] exit hook: consumer stopped"))
     rt.shutdown()
     println(s"[demo] active queries after shutdown: ${rt.active.size}")

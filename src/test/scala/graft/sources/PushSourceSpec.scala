@@ -50,4 +50,52 @@ class PushSourceSpec extends AnyFunSuite {
       assert(spark.table("push_b").as[String].collect().toSet == Set("y", "z"))
     } finally qb.stop()
   }
+
+  test("clear() keeps offsets monotonic: a running query never re-reads reassigned rows") {
+    PushSource.clear("mono")
+    PushSource.push("mono", "a", "b")
+    val q = spark.readStream.format("graft-push").option("channel", "mono").load()
+      .writeStream.format("memory").queryName("push_mono").start()
+    try {
+      q.processAllAvailable()
+      // drop history mid-run; offsets 0-1 stop resolving, they are NOT
+      // reassigned to the next pushes (the old bug: clear() rebased
+      // indices so "c" would silently replay as offsets 0-1)
+      PushSource.clear("mono")
+      PushSource.push("mono", "c")
+      q.processAllAvailable()
+      assert(spark.table("push_mono").as[String].collect().toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("startingOffset seeks and includeOffset exposes absolute offsets") {
+    PushSource.clear("seek")
+    PushSource.push("seek", "m0", "m1", "m2", "m3")
+    // a consumer seeking back to offset 2 (the recovery replay path)
+    val q = spark.readStream.format("graft-push")
+      .option("channel", "seek").option("startingOffset", 2)
+      .option("includeOffset", "true").load()
+      .writeStream.format("memory").queryName("push_seek").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("push_seek").as[(Long, String)].collect().toSeq ==
+        Seq((2L, "m2"), (3L, "m3")))
+    } finally q.stop()
+  }
+
+  test("maxPerBatch bounds each micro-batch (Kafka maxOffsetsPerTrigger parity)") {
+    PushSource.clear("cap")
+    PushSource.push("cap", (1 to 7).map(i => s"v$i"): _*)
+    val batchSizes = scala.collection.mutable.Buffer.empty[Long]
+    val q = spark.readStream.format("graft-push")
+      .option("channel", "cap").option("maxPerBatch", 3).load()
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes += b.count(); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // 7 rows drain in ceil(7/3) bounded batches, order preserved
+      assert(batchSizes.filter(_ > 0).toSeq == Seq(3L, 3L, 1L))
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+import graft.sources.PushSource
+import Checkpointing._
+
+/** The reference's FLAGSHIP closed loop, end-to-end and fully automated
+  * (tests/integration/test_kafka_integration.py:48-162): a dependent
+  * activity stream enriched as-of against a weather dependency; the
+  * weather stream stalls → stale enrichment escapes → checkpoint
+  * detects downtime and PAUSES the dependent (stops its query) → the
+  * weather stream recovers and overtakes → checkpoint emits recovery
+  * with the saved offsets → the manager RESUMES the dependent from
+  * those offsets (seek-back = new incarnation of the `graft-push`
+  * query with rewound `startingOffset`) → the wrongly-enriched message
+  * replays with corrected enrichment.
+  *
+  * Nothing here is hand-injected: the pause is a real
+  * `StreamingQuery.stop()` and the corrected replay comes from the
+  * connector re-serving offset 2 to the restarted query. The dependent
+  * consumes message-for-message the same sequence as the reference
+  * test (there all activities sit in Kafka upfront and the consumer
+  * polls one at a time between heartbeats; here the channel receives
+  * them at the equivalent points — consumption order is identical).
+  */
+class SeekBackLoopSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  def us(h: Int, m: Int = 0): Long = (h * 60L + m) * 60L * 1000000L
+  private def tsCol(c: String) = (col(c) / lit(1000000.0)).cast("timestamp")
+
+  test("flagship: downtime pauses the dependent; recovery seeks back and replays corrected") {
+    implicit val sql = spark.sqlContext
+    val ch = "seekback_activity"
+    PushSource.clear(ch)
+
+    // the weather Cache (reference cookbook.rst:358-520) — driver-side
+    // here; each heartbeat appends (tsUs, value)
+    val weather = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    // enriched output in emission order, across incarnations
+    val out = new java.util.concurrent.CopyOnWriteArrayList[String]()
+
+    val markers = MemoryStream[Marker]
+    val cfg = Config("flagship", "activity", Seq("weather"),
+      downtimeThresholdUs = 3600L * 1000000L)
+
+    // ---- the dependent flow factory: one incarnation per (re)start,
+    // reading graft-push from the given offsets ----
+    val dep = new RestartableQuery(offsets => {
+      val startAt = offsets.get("0").map(_.toLong).getOrElse(0L)
+      spark.readStream.format("graft-push")
+        .option("channel", ch)
+        .option("startingOffset", startAt)
+        .option("includeOffset", "true") // the reference's msg.offset
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // rows: (offset, "tsUs|payload"); enrich as-of against the
+          // current weather cache, then pulse the checkpoint with this
+          // message's offset — exactly next_activity() in the
+          // reference test (check_pulse(ts, {partition: offset}))
+          val acts = batch.collect()
+            .map { r =>
+              val Array(ts, p) = r.getString(1).split('|')
+              (r.getLong(0), ts.toLong, p)
+            }
+            .sortBy(_._1)
+          if (acts.nonEmpty) {
+            val wsnap = weather.synchronized(weather.toList)
+            val l = acts.toSeq.toDF("off", "ts_us", "payload")
+              .withColumn("ts", tsCol("ts_us")).withColumn("k", lit("x"))
+            val enriched =
+              if (wsnap.isEmpty) acts.toSeq.map { case (o, t, p) => (o, t, p, "?") }
+              else {
+                val r = wsnap.toDF("wts_us", "wval")
+                  .withColumn("wts", tsCol("wts_us")).withColumn("k", lit("x"))
+                AsOfJoin.asOf(l, r, "ts", "wts", Seq("k"), Seq("wval"))
+                  .select("off", "ts_us", "payload", "r_wval")
+                  .collect().toSeq
+                  .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getString(2),
+                    Option(r0.getString(3)).getOrElse("?")))
+                  .sortBy(_._1)
+              }
+            enriched.foreach { case (off, tsUs, payload, wval) =>
+              out.add(s"The weather during $payload was $wval")
+              markers.addData(Marker("flagship", "activity", isDependent = true,
+                tsUs, Map("0" -> off.toString)))
+            }
+          }
+        }
+        .start()
+    })
+
+    // ---- checkpoint transition stream, manager closing the loop ----
+    val arc = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val mgr = dep.manager(
+      onDowntime = t => arc.add(s"downtime(${t.stream},lag=${t.downtimeUs.get / 1000000}s)"),
+      onRecovery = t => arc.add(s"recovery(offsets=${t.savedState.getOrElse("0", "?")})"))
+    val Seq(Some(cpQ)) = Flow.from(transitions(cfg, markers.toDS())).to(mgr.sink)
+
+    def pushWeather(h: Int, m: Int, v: String): Unit = {
+      weather.synchronized(weather += ((us(h, m), v)))
+      markers.addData(Marker("flagship", "weather", isDependent = false, us(h, m)))
+      cpQ.processAllAvailable()
+    }
+    def pushActivity(h: Int, m: Int, v: String): Unit = {
+      PushSource.push(ch, s"${us(h, m)}|$v")
+      dep.running.foreach(_.processAllAvailable())
+      cpQ.processAllAvailable() // markers emitted by the batch → transitions → manager
+    }
+
+    dep.launch()
+    try {
+      pushWeather(10, 0, "sun")
+      pushActivity(10, 30, "swimming") // (sun, swimming)
+      pushWeather(11, 0, "clouds")
+      pushActivity(11, 30, "walking home") // (clouds, walking home)
+      // weather stalls; activity keeps flowing → STALE enrichment, then
+      // the checkpoint detects 5400 s downtime and pauses the dependent
+      pushActivity(12, 30, "shopping") // (clouds, shopping) ← wrong
+      assert(dep.running.isEmpty, "downtime must stop the dependent query")
+      assert(out.size == 3) // the stale row escaped before the pause — like the reference
+
+      // weather recovers: 12:00 has not overtaken the dependent (12:30)…
+      pushWeather(12, 0, "drizzle")
+      assert(dep.running.isEmpty)
+      // …13:00 has → recovery(savedState={0:2}) + resume: the manager
+      // restarts the dependent from offset 2 and the connector replays
+      // "shopping", now enriched with the recovered weather
+      pushWeather(13, 0, "rain")
+      assert(dep.running.nonEmpty, "recovery must restart the dependent query")
+      dep.running.get.processAllAvailable() // drain the seek-back replay
+      cpQ.processAllAvailable()
+
+      pushActivity(13, 10, "lunch") // (rain, lunch)
+
+      assert(out.toArray.toSeq == Seq(
+        "The weather during swimming was sun",
+        "The weather during walking home was clouds",
+        "The weather during shopping was clouds", // stale, pre-pause
+        "The weather during shopping was drizzle", // corrected replay
+        "The weather during lunch was rain"))
+
+      // the restart is visible in the lifecycle journal…
+      assert(dep.journal == Seq("start()", "pause", "resume(0=2)"))
+      // …and the downtime/recovery arc matches the reference's
+      // (5400 s detected lag; seek-back offsets {0: 2})
+      assert(arc.toArray.toSeq == Seq(
+        "downtime(weather,lag=5400s)", "recovery(offsets=2)"))
+      // the replayed pulse at offset 2 emitted no new transitions
+      // (all dependencies are up again) and the new incarnation lives
+      assert(dep.running.get.isActive)
+    } finally {
+      dep.pause()
+      cpQ.stop()
+    }
+  }
+}
