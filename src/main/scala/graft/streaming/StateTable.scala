@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   *
   *  - data files are append-only under `data/`, named by UUID; a file
   *    not referenced by a committed manifest is invisible garbage;
-  *  - `_manifest/v<version>.json` lists the live data files and the
-  *    table's max sequence number; the highest parseable version is the
-  *    table state;
+  *  - `_manifest/v<version>.json` lists the live data files — each
+  *    with its key min/max stats, so point lookups and range scans
+  *    prune to the files whose range can match (the manifest-level
+  *    analog of RocksDB SST ranges / Iceberg column bounds) — and the
+  *    table's max sequence number; the highest parseable version is
+  *    the table state;
   *  - a write stages its data files first, then commits manifest
   *    `v+1` by atomic rename-no-overwrite. A concurrent writer that
   *    lost the race fails the rename, deletes its staged files, and
@@ -57,18 +60,78 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
 
   private def dataDir = new Path(path, "data")
   private def manifestDir = new Path(path, "_manifest")
+  private def changelogDir = new Path(path, "_changelog")
 
-  private case class Manifest(version: Long, seq: Long, files: Seq[String])
+  /** One committed data file + its key-range stats (min/max of `keyCol`
+    * over the file, base64 of the string form; `ktype` identifies the
+    * comparison algebra: "s" string, "l" integral, "d" floating).
+    * Stats let point lookups and range scans prune the manifest to the
+    * files whose range may contain the probe — the manifest-level
+    * analog of RocksDB's per-SST key range / Iceberg's column bounds.
+    * Entries parsed from pre-stats manifests have no stats and are
+    * never pruned. */
+  private case class FileEntry(
+      name: String, ktype: String, kmin: Option[String], kmax: Option[String]) {
+
+    private def decode(s: String): String =
+      new String(java.util.Base64.getDecoder.decode(s), java.nio.charset.StandardCharsets.UTF_8)
+
+    private def cmp(probe: Any, bound: String): Option[Int] = (ktype, probe) match {
+      case ("s", p: String) => Some(p.compareTo(decode(bound)))
+      case ("l", p: Number) => Some(java.lang.Long.compare(p.longValue, decode(bound).toLong))
+      case ("d", p: Number) => Some(java.lang.Double.compare(p.doubleValue, decode(bound).toDouble))
+      case _                => None // unknown algebra: never prune
+    }
+
+    /** May this file contain `key`? (false only when provably outside
+      * the file's [min, max] range) */
+    def mayContain(key: Any): Boolean =
+      kmin.flatMap(cmp(key, _)).forall(_ >= 0) && kmax.flatMap(cmp(key, _)).forall(_ <= 0)
+
+    /** May this file contain a key `>= from` (forward) / `<= from`
+      * (backwards)? */
+    def mayReach(from: Any, backwards: Boolean): Boolean =
+      if (backwards) kmin.flatMap(cmp(from, _)).forall(_ >= 0)
+      else kmax.flatMap(cmp(from, _)).forall(_ <= 0)
+
+    /** May this file contain a key with string prefix `p`? */
+    def mayHavePrefix(p: String): Boolean = {
+      val geP = kmax.flatMap(cmp(p, _)).forall(_ <= 0) // max >= p
+      val ltUpper = StateTable.prefixUpper(p) match {
+        case Some(up) => kmin.flatMap(cmp(up, _)).forall(_ > 0) // min < upper
+        case None     => true
+      }
+      geP && ltUpper
+    }
+  }
+
+  private case class Manifest(version: Long, seq: Long, files: Seq[FileEntry])
 
   // Minimal fixed-shape JSON (no JSON lib on the offline classpath);
-  // file names are UUID-derived, so no escaping is ever needed.
-  private def renderManifest(m: Manifest): String =
-    s"""{"version":${m.version},"seq":${m.seq},"files":[${m.files.map("\"" + _ + "\"").mkString(",")}]}"""
+  // names are UUID-derived and stats are base64, so no escaping is
+  // ever needed.
+  private def renderManifest(m: Manifest): String = {
+    val fs = m.files.map { e =>
+      s"""{"name":"${e.name}","ktype":"${e.ktype}","kmin":"${e.kmin.getOrElse("")}","kmax":"${e.kmax.getOrElse("")}"}"""
+    }
+    s"""{"version":${m.version},"seq":${m.seq},"files":[${fs.mkString(",")}]}"""
+  }
+
+  private val entryRe =
+    """\{"name":"([^"]+)","ktype":"([^"]*)","kmin":"([^"]*)","kmax":"([^"]*)"\}""".r
 
   private def parseManifest(s: String): Manifest = {
     def field(name: String) =
       s.split("\"" + name + "\":")(1).takeWhile(c => c.isDigit || c == '-').toLong
-    val files = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    val entries = entryRe.findAllMatchIn(s).map { m =>
+      FileEntry(m.group(1), m.group(2),
+        Option(m.group(3)).filter(_.nonEmpty), Option(m.group(4)).filter(_.nonEmpty))
+    }.toSeq
+    val files =
+      if (entries.nonEmpty) entries
+      else // pre-stats manifest: bare name list, no pruning possible
+        "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(s)
+          .map(m => FileEntry(m.group(1), "", None, None)).toSeq
     Manifest(field("version"), field("seq"), files)
   }
 
@@ -105,8 +168,12 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
   }
 
   /** Stage a DataFrame's rows as immutable data files; returns their
-    * names (not yet visible — only a manifest commit publishes them). */
-  private def stage(df: DataFrame, targetFiles: Int): Seq[String] = {
+    * entries with key-range stats (not yet visible — only a manifest
+    * commit publishes them). Stats come from one read-back aggregation
+    * over the freshly staged files (a production impl against real
+    * object storage would lift them from the parquet footers instead —
+    * same numbers, one less scan). */
+  private def stage(df: DataFrame, targetFiles: Int): Seq[FileEntry] = {
     val f = fs
     val tmp = new Path(path, ".stage-" + UUID.randomUUID().toString)
     df.coalesce(math.max(1, targetFiles)).write.parquet(tmp.toString)
@@ -119,12 +186,43 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
       name
     }.toSeq
     f.delete(tmp, true)
-    names
+    withStats(names)
   }
 
-  private def deleteStaged(names: Seq[String]): Unit = {
+  /** Key-range stats per staged file. */
+  private def withStats(names: Seq[String]): Seq[FileEntry] = {
+    val paths = names.map(n => new Path(dataDir, n).toString)
+    val staged = spark.read.parquet(paths: _*)
+    import org.apache.spark.sql.types._
+    val ktype = staged.schema.find(_.name == keyCol).map(_.dataType) match {
+      case Some(StringType) => "s"
+      case Some(ByteType | ShortType | IntegerType | LongType) => "l"
+      case Some(DoubleType | FloatType) => "d"
+      case _ => ""
+    }
+    if (ktype.isEmpty) return names.map(FileEntry(_, "", None, None))
+    def enc(s: String): String = java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val stats = staged
+      .groupBy(input_file_name().as("__f"))
+      // min/max in the key's NATIVE ordering, stringified after (a
+      // lexicographic min over string-cast numerics would be wrong)
+      .agg(min(col(keyCol)).cast("string").as("__min"),
+        max(col(keyCol)).cast("string").as("__max"))
+      .collect()
+      .map(r => (r.getString(0), (Option(r.getString(1)), Option(r.getString(2)))))
+      .toMap
+    names.map { n =>
+      stats.collectFirst { case (f, (mn, mx)) if f.endsWith(n) => (mn, mx) } match {
+        case Some((mn, mx)) => FileEntry(n, ktype, mn.map(enc), mx.map(enc))
+        case None           => FileEntry(n, ktype, None, None) // empty file
+      }
+    }
+  }
+
+  private def deleteStaged(entries: Seq[FileEntry]): Unit = {
     val f = fs
-    names.foreach(n => f.delete(new Path(dataDir, n), false))
+    entries.foreach(e => f.delete(new Path(dataDir, e.name), false))
   }
 
   /** Atomic publish of manifest `version`; false = lost a commit race. */
@@ -139,15 +237,23 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
     else { f.delete(tmp, false); false }
   }
 
-  private def read(): Option[DataFrame] =
-    latest().filter(_.files.nonEmpty).map { m =>
-      val paths = m.files.map(n => new Path(dataDir, n).toString)
+  private def readEntries(entries: Seq[FileEntry]): Option[DataFrame] =
+    if (entries.isEmpty) None
+    else {
+      val paths = entries.map(e => new Path(dataDir, e.name).toString)
       // mergeSchema: plain KV rows and wide-column entity rows coexist
       // (absent columns read as null), like the reference's single DB
-      spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
     }
 
-  /** Optimistic write loop: stage files, commit vN+1, retry on race. */
+  private def read(): Option[DataFrame] =
+    latest().map(_.files).flatMap(readEntries)
+
+  /** Optimistic write loop: stage files, commit vN+1, retry on race.
+    * After a successful commit the staged bytes are also published to
+    * `_changelog/` (a cheap byte copy, no recompute) — the feed
+    * [[changeStream]] tails, so only COMMITTED writes ever reach a
+    * live change consumer. */
   private def append(mkBatch: Option[DataFrame] => DataFrame, targetFiles: Int = 1): Unit = {
     var attempts = 0
     while (attempts < 10) {
@@ -156,16 +262,38 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
       val newSeq = m.seq + 1
       val stamped = mkBatch(read())
         .withColumn(seqCol, lit(newSeq))
-      val names = stage(stamped, targetFiles)
-      if (commit(Manifest(m.version + 1, newSeq, m.files ++ names))) return
-      deleteStaged(names) // lost the race: roll back and re-read
+      val entries = stage(stamped, targetFiles)
+      if (commit(Manifest(m.version + 1, newSeq, m.files ++ entries))) {
+        publishChangelog(entries)
+        return
+      }
+      deleteStaged(entries) // lost the race: roll back and re-read
     }
     throw new java.io.IOException(s"append: lost $attempts commit races on $path")
   }
 
+  /** Byte-copy freshly COMMITTED files into the changelog feed. Runs
+    * strictly after the manifest commit: a writer that loses the race
+    * never reaches here, so the feed carries no phantoms. A crash in
+    * the window between commit and copy loses that commit's changelog
+    * entries (the batch [[changes]] view, being manifest-driven, still
+    * has them) — the same at-most-once window as the reference's
+    * in-process change callbacks dying with the process. */
+  private def publishChangelog(entries: Seq[FileEntry]): Unit = {
+    val f = fs
+    f.mkdirs(changelogDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    entries.foreach { e =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        f, new Path(dataDir, e.name), f, new Path(changelogDir, e.name), false, conf)
+    }
+  }
+
   /** Current live state: last write per key, tombstones dropped. */
-  def snapshot(): DataFrame =
-    read() match {
+  def snapshot(): DataFrame = snapshotOver(read())
+
+  private def snapshotOver(log: Option[DataFrame]): DataFrame =
+    log match {
       case None => spark.emptyDataFrame
       case Some(log) =>
         val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
@@ -198,15 +326,32 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
     }
   }
 
-  /** Point lookup. */
-  def get(key: Any): Option[Row] =
-    snapshot().where(col(keyCol) === lit(key)).collect().headOption
+  /** Files whose key range may contain `key` (test/observability hook
+    * for the pruning). LWW stays exact under pruning: every version of
+    * a key — including its tombstones — carries the key, so every file
+    * holding one is inside the retained set. */
+  private[graft] def filesForKey(key: Any): Seq[String] =
+    latest().map(_.files.filter(_.mayContain(key)).map(_.name)).getOrElse(Nil)
+
+  /** Point lookup — prunes to the manifest's stats-matching files
+    * (O(matching files) read, not O(table); the distributed analog of
+    * the reference's O(1) RocksDB `cache[key]`, caching.py:142-159). */
+  def get(key: Any): Option[Row] = {
+    val pruned = latest().map(_.files.filter(_.mayContain(key))).getOrElse(Nil)
+    if (pruned.isEmpty) None
+    else snapshotOver(readEntries(pruned))
+      .where(col(keyCol) === lit(key)).collect().headOption
+  }
 
   /** Cheap existence probe (`cache.key_may_exist`, caching.py parity).
     * Unlike RocksDB's bloom-filter answer this one is exact, but the
-    * plan is the cheap form: key-pushdown + LIMIT 1, no value fetch. */
-  def keyMayExist(key: Any): Boolean =
-    !snapshot().where(col(keyCol) === lit(key)).limit(1).isEmpty
+    * plan is the cheap form: manifest-stats file pruning + key-pushdown
+    * + LIMIT 1, no value fetch. */
+  def keyMayExist(key: Any): Boolean = {
+    val pruned = latest().map(_.files.filter(_.mayContain(key))).getOrElse(Nil)
+    pruned.nonEmpty &&
+      !snapshotOver(readEntries(pruned)).where(col(keyCol) === lit(key)).limit(1).isEmpty
+  }
 
   /** Range tombstone — the `delete_range(from, until)` surface
     * (caching.py:353-475 family), realized as a predicate delete on
@@ -217,17 +362,31 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
       .select(col(keyCol)))
 
   /** Ordered scan with the reference's knobs: `backwards`, `fromKey`
-    * (inclusive start in scan direction), `prefix` (string keys). */
+    * (inclusive start in scan direction), `prefix` (string keys).
+    * `fromKey`/`prefix` prune the manifest by file key-range before any
+    * file is opened (caveat for LWW correctness: pruning by a RANGE is
+    * safe exactly like point pruning — a key inside the range has all
+    * its versions in range-overlapping files). */
   def scan(
       backwards: Boolean = false,
       fromKey: Option[Any] = None,
       prefix: Option[String] = None): DataFrame = {
-    var df = snapshot()
+    val entries0 = latest().map(_.files).getOrElse(Nil)
+    val entries1 = prefix.foldLeft(entries0)((es, p) => es.filter(_.mayHavePrefix(p)))
+    val entries = fromKey.foldLeft(entries1)((es, k) => es.filter(_.mayReach(k, backwards)))
+    // all files pruned away on a non-empty table: keep one for the
+    // schema, emit no rows (predicates below still need the columns)
+    val (readSet, emptied) =
+      if (entries.isEmpty && entries0.nonEmpty) (entries0.take(1), true) else (entries, false)
+    var df = snapshotOver(readEntries(readSet))
+    if (emptied) df = df.limit(0)
     prefix.foreach(p => df = df.where(col(keyCol).startsWith(p)))
     fromKey.foreach { k =>
       df = if (backwards) df.where(col(keyCol) <= lit(k)) else df.where(col(keyCol) >= lit(k))
     }
-    df.orderBy(if (backwards) col(keyCol).desc else col(keyCol).asc)
+    if (df.columns.contains(keyCol))
+      df.orderBy(if (backwards) col(keyCol).desc else col(keyCol).asc)
+    else df
   }
 
   // ---- Wide-column entities (reference caching.py:222-247) ----
@@ -280,23 +439,43 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
       case Some(log) => log.where(col(seqCol) > sinceSeq).orderBy(col(seqCol))
     }
 
-  /** Live changelog: a STREAMING DataFrame tailing this table's log —
-    * the S4 cache-update stream a second handler chains from (endpoint
-    * recipe cookbook.rst:529-588). File-source over the data dir; each
-    * committed put/delete batch arrives as new rows carrying `__seq`
-    * (order across micro-batches via `__seq`, tombstones via
-    * `__deleted`). Requires at least one committed write (the file
-    * source needs a schema). After a writer crash, staged-but-uncommitted
-    * files may appear in the stream once; compact() garbage-collects
-    * them. */
+  /** Live changelog: a STREAMING DataFrame tailing this table's
+    * COMMITTED writes — the S4 cache-update stream a second handler
+    * chains from (endpoint recipe cookbook.rst:529-588). File-source
+    * over `_changelog/`, which [[append]] populates strictly AFTER each
+    * successful manifest commit, so the semantics are manifest-driven:
+    *  - a writer that loses the commit race never publishes — no
+    *    phantom rows, no FileNotFoundException from rolled-back stages;
+    *  - [[compact]] rewrites the data log but never the changelog — a
+    *    running (or late-starting) stream sees each logical write
+    *    exactly once, not a post-compact full-table replay;
+    *  - rows carry `__seq` (order across micro-batches) and
+    *    `__deleted` (tombstones).
+    * Requires at least one committed write (the file source needs a
+    * schema). The changelog retains full write history until
+    * [[truncateChangelog]]; a crash between a commit and its changelog
+    * copy drops that one commit from the live feed (the batch
+    * [[changes]] view still has it — see [[publishChangelog]]). */
   def changeStream(sinceSeq: Long = 0L): DataFrame = {
     val schema = read().getOrElse(throw new IllegalStateException(
       s"changeStream: $path has no committed writes to take a schema from")).schema
+    fs.mkdirs(changelogDir)
     spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "*.parquet")
-      .parquet(dataDir.toString)
+      .parquet(changelogDir.toString)
       .where(col(seqCol) > sinceSeq)
+  }
+
+  /** Drop retained changelog history (bounded storage; the FIFO
+    * retention analog on the feed). Safe for RUNNING streams — the file
+    * source tracks processed files by name and never re-lists them —
+    * but a stream started later only sees writes after the truncation
+    * point. */
+  def truncateChangelog(): Unit = {
+    val f = fs
+    if (f.exists(changelogDir))
+      f.listStatus(changelogDir).foreach(s => f.delete(s.getPath, false))
   }
 
   /** Rewrite the log to its live snapshot (FIFO-compaction analog of
@@ -314,12 +493,16 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
       orphanGraceMs: Long = 60L * 60 * 1000): Unit = {
     val m = latest().getOrElse(return)
     val snap = snapshot().withColumn(seqCol, lit(m.seq)).withColumn("__deleted", lit(false))
-    val names = stage(snap, targetFiles = 1)
+    val entries = stage(snap, targetFiles = 1)
     if (failpoint.contains("staged")) throw new RuntimeException("failpoint: staged")
-    if (!commit(Manifest(m.version + 1, m.seq, names))) {
-      deleteStaged(names) // concurrent writer won; their manifest stays
+    if (!commit(Manifest(m.version + 1, m.seq, entries))) {
+      deleteStaged(entries) // concurrent writer won; their manifest stays
       return
     }
+    // NOTE: compaction does NOT publish to the changelog — it rewrites
+    // physical layout, not logical content, so change consumers see
+    // nothing (the post-compact-replay bug of the data-dir-tailing
+    // design is gone by construction).
     if (failpoint.contains("committed")) throw new RuntimeException("failpoint: committed")
     // GC: ONLY files the superseded manifest referenced (provably dead
     // — the new manifest replaced them). A blanket "not in the new
@@ -329,13 +512,13 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
     // unreferenced forever; sweep those only past a grace period no
     // in-flight stage can span.
     val f = fs
-    m.files.toSet.diff(names.toSet)
+    val names = entries.map(_.name).toSet
+    m.files.map(_.name).toSet.diff(names)
       .foreach(n => f.delete(new Path(dataDir, n), false))
     val cutoff = System.currentTimeMillis() - orphanGraceMs
-    val referenced = names.toSet
     f.listStatus(dataDir)
       .filter(s => s.getPath.getName.endsWith(".parquet") &&
-        !referenced.contains(s.getPath.getName) && s.getModificationTime < cutoff)
+        !names.contains(s.getPath.getName) && s.getModificationTime < cutoff)
       .foreach(s => f.delete(s.getPath, false))
   }
 }
@@ -343,4 +526,12 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
 object StateTable {
   /** One wide-column cell (reference `put_entity` name/value pair). */
   case class EntityColumn(name: String, value: String)
+
+  /** Smallest string strictly greater than every string with prefix
+    * `p`, if one exists (all-￿ prefixes have none). */
+  private[streaming] def prefixUpper(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+    if (i < 0) None else Some(p.substring(0, i) + (p(i) + 1).toChar)
+  }
 }

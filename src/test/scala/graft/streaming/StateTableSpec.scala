@@ -181,6 +181,33 @@ class StateTableSpec extends AnyFunSuite {
     assert(!staged.exists())
   }
 
+  test("manifest key-range stats: a point get reads only range-matching files") {
+    val (t, _) = fresh()
+    // three puts with disjoint key ranges = three committed files
+    t.put(Seq(("a1", 1), ("a9", 2)).toDF("key", "v"))
+    t.put(Seq(("m1", 3), ("m9", 4)).toDF("key", "v"))
+    t.put(Seq(("z1", 5), ("z9", 6)).toDF("key", "v"))
+    assert(t.filesForKey("m5").size == 1, "one range-matching file for a point probe")
+    assert(t.filesForKey("zz").isEmpty, "out-of-range probe prunes everything")
+    assert(t.get("m1").map(_.getAs[Int]("v")).contains(3))
+    assert(t.get("m5").isEmpty && t.get("zz").isEmpty)
+    assert(t.keyMayExist("z9") && !t.keyMayExist("b0"))
+    // LWW stays exact when a key's versions span files: both retained
+    t.put(Seq(("m1", 30)).toDF("key", "v"))
+    assert(t.filesForKey("m1").size == 2)
+    assert(t.get("m1").map(_.getAs[Int]("v")).contains(30))
+    // range scans prune too: a from-key past two files keeps one
+    assert(t.scan(fromKey = Some("z0")).select("key").as[String].collect().toSeq ==
+      Seq("z1", "z9"))
+    assert(t.scan(prefix = Some("a")).select("key").as[String].collect().toSeq ==
+      Seq("a1", "a9"))
+    // numeric keys use numeric ordering for the stats ("10" < "9" trap)
+    val (n, _) = fresh()
+    n.put(Seq((9L, "x"), (10L, "y")).toDF("key", "v"))
+    assert(n.get(10L).map(_.getAs[String]("v")).contains("y"))
+    assert(n.filesForKey(11L).isEmpty)
+  }
+
   test("changeStream: a second streaming query observes each committed put (S4, cookbook.rst:529-588)") {
     val (t, _) = fresh()
     t.put(Seq(("a", 1)).toDF("key", "v"))
@@ -201,5 +228,49 @@ class StateTableSpec extends AnyFunSuite {
       assert(spark.table("s4_change_feed").where(col("__deleted"))
         .select("key").as[String].collect().toSeq == Seq("a"))
     } finally q.stop()
+  }
+
+  test("changeStream is manifest-driven: no phantoms from lost stages, no post-compact replay") {
+    val (t, _) = fresh()
+    t.put(Seq(("a", 1)).toDF("key", "v"))
+    val q = Flow.from(t.changeStream())
+      .to(FlowSink.memory("s4_committed_feed"))
+      .head.get
+    try {
+      q.processAllAvailable()
+      assert(spark.table("s4_committed_feed").count() == 1)
+      // a writer stages real parquet files but dies before the manifest
+      // commit (the lost-race / crash shape): the stream must NOT emit
+      // those rows — under the old data-dir-tailing design it did
+      intercept[RuntimeException](t.compactImpl(Some("staged")))
+      q.processAllAvailable()
+      assert(spark.table("s4_committed_feed").count() == 1, "no phantom rows from uncommitted stage")
+      // compaction rewrites the physical log; the change feed is about
+      // LOGICAL writes and must stay silent
+      t.put(Seq(("b", 2)).toDF("key", "v"))
+      q.processAllAvailable()
+      t.compact()
+      q.processAllAvailable()
+      assert(spark.table("s4_committed_feed").select("key").as[String].collect().toSet ==
+        Set("a", "b"), "no post-compact replay")
+    } finally q.stop()
+    // a LATE stream still sees the per-write history (the changelog
+    // retains it independently of compaction), while the batch view is
+    // compacted — and truncation bounds the retained feed
+    val q2 = Flow.from(t.changeStream()).to(FlowSink.memory("s4_late_feed")).head.get
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("s4_late_feed").count() == 2)
+      assert(t.changes().count() == 2) // batch view post-compact: live rows
+    } finally q2.stop()
+    t.truncateChangelog()
+    val q3 = Flow.from(t.changeStream()).to(FlowSink.memory("s4_trunc_feed")).head.get
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("s4_trunc_feed").count() == 0)
+      t.put(Seq(("c", 3)).toDF("key", "v"))
+      q3.processAllAvailable()
+      assert(spark.table("s4_trunc_feed").select("key").as[String].collect().toSeq == Seq("c"))
+    } finally q3.stop()
   }
 }
