@@ -19,8 +19,10 @@ import graft.functions.WordShingles
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.wordShinglesFn)
+    e.injectFunction(GraftExtensions.asOfMarkerFn)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     e.injectParser((session, delegate) => new graft.plans.AsOfSqlParser(session, delegate))
+    e.injectResolutionRule(session => graft.plans.ResolveAsOfJoin(session))
   }
 }
 
@@ -38,6 +40,18 @@ object GraftExtensions {
     FunctionIdentifier("word_shingles"),
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
     build)
+
+  /** The ASOF match-condition marker `__graft_asof(greater, lesser)` —
+    * emitted only by [[graft.plans.AsOfSqlParser]]'s rewrite, consumed
+    * by [[graft.plans.ResolveAsOfJoin]]. */
+  val asOfMarkerFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(graft.plans.AsOfSqlParser.MarkerFn),
+    new ExpressionInfo(classOf[graft.plans.AsOfMatch].getName, graft.plans.AsOfSqlParser.MarkerFn),
+    (exprs: Seq[Expression]) => exprs match {
+      case Seq(a, b) => graft.plans.AsOfMatch(a, b)
+      case other => throw new IllegalArgumentException(
+        s"${graft.plans.AsOfSqlParser.MarkerFn} expects 2 args, got ${other.length}")
+    })
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

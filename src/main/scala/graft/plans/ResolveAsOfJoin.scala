@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Last
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DataType, StructField, StructType, TimestampType}
+
+/** The ASOF match-condition marker: parsed from
+  * `__graft_asof(greater, lesser)` (injected function), carried inside
+  * the rewritten LEFT JOIN's ON condition until [[ResolveAsOfJoin]]
+  * consumes it. Unevaluable — if a marked join ever escapes the rule,
+  * execution fails loudly instead of silently mis-joining. */
+case class AsOfMatch(left: Expression, right: Expression)
+  extends BinaryExpression with Unevaluable {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def sql: String = s"${left.sql} >= ${right.sql}"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Replaces each LEFT JOIN whose condition carries an [[AsOfMatch]]
+  * marker with the shuffle-once union+window as-of plan — the LOGICAL
+  * twin of [[graft.operators.AsOfJoin.asOf]] (same plan shape, same
+  * cost class: one hash partitioning on the keys, one in-partition
+  * sort, no O(|L|·|R|) blowup).
+  *
+  * Because the expansion's output reuses the join's own attribute ids
+  * (left attributes pass through the union positionally; right values
+  * are re-exposed from the packed as-of struct under their original
+  * ids and qualifiers), everything already resolved against the join —
+  * outer projections, WHERE clauses, CTE consumers — keeps working
+  * untouched. Extra non-equi ON predicates become a post-match filter.
+  */
+case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case Join(left, right, LeftOuter, Some(cond), _)
+        if left.resolved && right.resolved && cond.resolved &&
+          cond.exists(_.isInstanceOf[AsOfMatch]) =>
+      expand(left, right, cond)
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100",
+      messageParameters = Map("message" -> s"ASOF JOIN: $msg"))
+
+  private def expand(left: LogicalPlan, right: LogicalPlan, cond: Expression): LogicalPlan = {
+    val conjuncts = splitConjuncts(cond)
+    val markers = conjuncts.collect { case m: AsOfMatch => m }
+    if (markers.size != 1) fail("exactly one MATCH_CONDITION comparison is supported")
+    val marker = markers.head
+
+    // orient the match condition: greater-side on the probe (left) =
+    // backward as-of (latest right <= left); greater-side on the build
+    // (right) = forward as-of (earliest right >= left)
+    val (probeTs, buildTs, backward) =
+      if (marker.left.references.subsetOf(left.outputSet) &&
+        marker.right.references.subsetOf(right.outputSet))
+        (marker.left, marker.right, true)
+      else if (marker.left.references.subsetOf(right.outputSet) &&
+        marker.right.references.subsetOf(left.outputSet))
+        (marker.right, marker.left, false)
+      else fail("MATCH_CONDITION must compare one expression per side")
+
+    // equi conjuncts become the as-of keys; anything else is applied as
+    // a filter over the matched output
+    val (keys, extra) = conjuncts.filterNot(_ eq marker).foldLeft(
+      (Seq.empty[(Expression, Expression)], Seq.empty[Expression])) {
+      case ((ks, ex), EqualTo(a, b))
+          if a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet) =>
+        (ks :+ (a -> b), ex)
+      case ((ks, ex), EqualTo(a, b))
+          if b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet) =>
+        (ks :+ (b -> a), ex)
+      case ((ks, ex), e) => (ks, ex :+ e)
+    }
+    if (keys.isEmpty) fail("ON must carry at least one left-key = right-key equality")
+
+    // order on the native type when both sides agree, else via timestamp
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val (probeOrd, buildOrd) =
+      if (probeTs.dataType == buildTs.dataType) (probeTs, buildTs)
+      else (Cast(probeTs, TimestampType, tz), Cast(buildTs, TimestampType, tz))
+
+    // union schema: [left cols][__rval struct][keys][__ts][__side]
+    val rvalType = StructType(right.output.map(a => StructField(a.name, a.dataType, a.nullable)))
+    val leftTagged = Project(
+      left.output ++
+        Seq(Alias(Literal(null, rvalType), "__rval")()) ++
+        keys.zipWithIndex.map { case ((lk, _), i) => Alias(lk, s"__gk$i")() } ++
+        Seq(Alias(probeOrd, "__ts")(), Alias(Literal(1), "__side")()),
+      left)
+    val rightTagged = Project(
+      left.output.map(a => Alias(Literal(null, a.dataType), a.name)()) ++
+        Seq(Alias(CreateStruct(right.output), "__rval")()) ++
+        keys.zipWithIndex.map { case ((_, rk), i) => Alias(rk, s"__gk$i")() } ++
+        Seq(Alias(buildOrd, "__ts")(), Alias(Literal(0), "__side")()),
+      right)
+    val union = Union(Seq(leftTagged, rightTagged))
+
+    val nL = left.output.size
+    val out = union.output
+    val rvalAttr = out(nL)
+    val gkAttrs: Seq[Expression] = (0 until keys.size).map(i => out(nL + 1 + i))
+    val tsAttr = out(nL + 1 + keys.size)
+    val sideAttr = out(nL + 2 + keys.size)
+
+    // running last-right-value: ts asc for backward; ts desc for
+    // forward (the "latest" in scan order is then the earliest >=
+    // probe). Right rows sort before left at equal ts — inclusive match
+    val dir = if (backward) Ascending else Descending
+    val orderSpec = Seq(SortOrder(tsAttr, dir), SortOrder(sideAttr, Ascending))
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val asofAlias = Alias(
+      WindowExpression(Last(rvalAttr, ignoreNulls = true).toAggregateExpression(),
+        WindowSpecDefinition(gkAttrs, orderSpec, frame)),
+      "__asof")()
+    val win = Window(Seq(asofAlias), gkAttrs, orderSpec, union, None)
+    val probesOnly = Filter(EqualTo(sideAttr, Literal(1)), win)
+
+    // re-expose: left attrs pass through under their own ids; right
+    // values unpack from the struct under their ORIGINAL ids/qualifiers
+    val asofAttr = asofAlias.toAttribute
+    val restored = Project(
+      probesOnly.output.take(nL).map(a => a: NamedExpression) ++
+        right.output.zipWithIndex.map { case (a, j) =>
+          Alias(GetStructField(asofAttr, j, Some(a.name)), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        },
+      probesOnly)
+
+    if (extra.isEmpty) restored
+    else Filter(extra.reduce(And), restored)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other     => Seq(other)
+  }
+}

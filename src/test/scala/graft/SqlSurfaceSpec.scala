@@ -62,13 +62,73 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .select(col("event_id"), col("user_id"), col("p_event_id"), col("p_value"))
     assert(viaSql.count() > 0)
     assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
-    // SELECT * carries left columns plain and right columns r_-prefixed
+    // SELECT * is standard join output: left and right columns under
+    // their own names (qualify with the aliases to disambiguate)
     val star = spark.sql(
       """SELECT * FROM clicks_sql l ASOF JOIN purchases_sql r
         |MATCH_CONDITION (l.ts >= r.ts) ON l.user_id = r.user_id""".stripMargin)
-    assert(star.columns.contains("event_id") && star.columns.contains("r_p_value"))
+    assert(star.columns.contains("event_id") && star.columns.contains("p_value"))
+    assert(star.columns.count(_ == "user_id") == 2)
     // non-ASOF statements still flow through Spark's own parser
     assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) == 2)
+  }
+
+  test("ASOF JOIN composes: CTEs, string literals, extra predicates, forward matches") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    ev.where(col("event_type") === "click").createOrReplaceTempView("clicks_sql")
+    ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+      .createOrReplaceTempView("purchases_sql")
+
+    // inside a CTE, wrapped by an outer aggregate — the old
+    // whole-statement grammar could not parse this shape at all
+    val cte = spark.sql(
+      """WITH enriched AS (
+        |  SELECT l.event_id, l.user_id, r.p_value AS p_value
+        |  FROM clicks_sql l ASOF JOIN purchases_sql r
+        |  MATCH_CONDITION (l.ts >= r.ts)
+        |  ON l.user_id = r.user_id
+        |)
+        |SELECT count(*) AS n, count(p_value) AS matched FROM enriched
+        |WHERE event_id IS NOT NULL""".stripMargin).collect().head
+    assert(cte.getLong(0) > 0 && cte.getLong(1) > 0)
+
+    // a string literal containing the grammar keywords must NOT be
+    // rewritten (the old alias-rewrite corrupted literals)
+    val lit = spark.sql(
+      """SELECT l.event_id, 'r.p_value ASOF JOIN MATCH_CONDITION (x >= y) ON' AS note
+        |FROM clicks_sql l ASOF JOIN purchases_sql r
+        |MATCH_CONDITION (l.ts >= r.ts) ON l.user_id = r.user_id""".stripMargin)
+    assert(lit.select("note").distinct().collect().head.getString(0) ==
+      "r.p_value ASOF JOIN MATCH_CONDITION (x >= y) ON")
+
+    // an extra non-equi ON predicate filters the matched output
+    val extra = spark.sql(
+      """SELECT l.event_id, r.p_value AS p_value
+        |FROM clicks_sql l ASOF JOIN purchases_sql r
+        |MATCH_CONDITION (l.ts >= r.ts)
+        |ON l.user_id = r.user_id AND r.p_value > 50.0""".stripMargin)
+    val vals = extra.select("p_value").as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .collect()
+    assert(vals.nonEmpty && vals.forall(_ > 50.0))
+
+    // forward as-of: <= matches the EARLIEST right at-or-after the left
+    val fwd = spark.sql(
+      """SELECT l.event_id, l.ts AS lts, r.ts AS rts
+        |FROM clicks_sql l ASOF JOIN purchases_sql r
+        |MATCH_CONDITION (l.ts <= r.ts)
+        |ON l.user_id = r.user_id""".stripMargin)
+    val rows = fwd.where(col("rts").isNotNull)
+      .select(col("lts").cast("long"), col("rts").cast("long")).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(0) <= r.getLong(1)))
+
+    // near-miss (no MATCH_CONDITION) falls back to Spark's own error
+    val err = intercept[Exception](spark.sql(
+      "SELECT * FROM clicks_sql l ASOF JOIN purchases_sql r ON l.user_id = r.user_id"))
+    assert(err.getMessage.toLowerCase.contains("syntax error") ||
+      err.getMessage.toUpperCase.contains("PARSE"))
   }
 
   test("transformWithState fold: running emoji counts across micro-batches") {
