@@ -6,13 +6,18 @@ package graft
   *
   * Methodology: each query materializes fully through the `noop` sink
   * (a bare count() lets Catalyst prune the very work being measured);
-  * one untimed warm-up query first (JIT + filesystem cache), then every
-  * query once in sorted name order.
+  * one untimed warm-up query first (JIT + filesystem cache), then the
+  * whole catalog SPARK_GRAFT_REPS times (default 3) in sorted name
+  * order, reporting each query's MEDIAN and total = sum of medians.
+  * Medians are the point: single-shot runs swung sub-second queries
+  * 4× between rounds on JIT/run-order noise, which made a real 3×
+  * regression on a small query indistinguishable from jitter.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = GraftSession.builder(s"local[$cpus]", shufflePartitions = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,11 +33,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0
+      else {
+        val s = ok.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+    }
+
     // warm-up: JIT the scan/agg/codegen paths once, untimed
     exec("a1_fold_agg")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> exec(n))
+    val samples = (1 to math.max(1, reps)).map(_ => names.map(n => n -> exec(n)).toMap)
+    val results = names.map(n => n -> median(samples.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
