@@ -54,9 +54,37 @@ object Multimodal {
     // One-time: never spill decode buffers to executor-local temp files.
     javax.imageio.ImageIO.setUseCache(false)
 
+    /** Decompression-bomb cap: a crafted header declaring huge
+      * dimensions would make a naive ImageIO.read allocate the full
+      * w×h raster and kill the executor with OOM rather than degrade.
+      * Header dims are read BEFORE pixel decode; anything above this
+      * (or undeclarable) degrades to the stub path. 64M pixels ≈ a
+      * 256 MB ARGB raster, far above any sane crawl image. */
+    val MaxPixels: Long = 64L * 1024 * 1024
+
     def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-      catch { case _: Exception => None }
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              // header-only probe — no raster allocation yet
+              val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+              if (w <= 0 || h <= 0 || w * h > MaxPixels) None
+              else Option(reader.read(0))
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch {
+        // NonFatal: never swallow InterruptedException/OOM — a task
+        // cancel must still cancel, a real OOM must still surface
+        case scala.util.control.NonFatal(_) => None
+      }
 
     /** Real pixel-level features: mean luminance over a 4×2 grid,
       * normalized to [-1, 1) — the deterministic stand-in for a model
@@ -64,6 +92,7 @@ object Multimodal {
       * strided so cost is bounded (≤ ~32×32 samples/cell) regardless
       * of image size. */
     def features(img: java.awt.image.BufferedImage, dim: Int = 8): Array[Float] = {
+      require(dim >= 4 && dim % 4 == 0, s"feature dim must be a positive multiple of 4, got $dim")
       val (gw, gh) = (4, dim / 4)
       val (w, h) = (img.getWidth, img.getHeight)
       Array.tabulate(dim) { i =>

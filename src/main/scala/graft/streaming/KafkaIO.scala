@@ -27,15 +27,18 @@ final case class KafkaTopic(
     bootstrap: String,
     explicitConf: Map[String, String] = Map.empty,
     startingOffsets: String = KafkaTopic.ReadFromEnd,
-    dry: Boolean = false) {
+    dry: Boolean = false,
+    defaultsSnapshot: Map[String, String] = KafkaConf.current) {
 
   /** Effective configuration: process-wide defaults registered via
     * [[KafkaConf]] as of THIS topic's construction, overridden by the
     * topic's own entries — the reference's Conf semantics
     * (features.rst:118-150: defaults accumulate; each Topic snapshots
     * them at creation; later Conf() calls don't retrofit old topics;
-    * per-topic conf wins). */
-  val conf: Map[String, String] = KafkaConf.current ++ explicitConf
+    * per-topic conf wins). The snapshot is a FIELD, not a recomputed
+    * val, so `copy(...)` derivatives keep the original topic's
+    * snapshot instead of silently re-reading later defaults. */
+  val conf: Map[String, String] = defaultsSnapshot ++ explicitConf
 
   /** Raw source: the full kafka record frame, key/value as binary. */
   def source(spark: SparkSession): DataFrame = {

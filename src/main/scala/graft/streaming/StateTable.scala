@@ -47,9 +47,10 @@ import org.apache.spark.sql.functions._
   *    the last committed manifest fully readable (crash-injection
   *    spec'd via [[compactImpl]] failpoints).
   *
-  * Rename-no-overwrite is atomic on HDFS-like filesystems; on local FS
-  * the exists-check preceding the rename is best-effort (the protocol
-  * targets shared cluster storage).
+  * Manifest publish is atomic per filesystem class: rename-no-overwrite
+  * on HDFS-like filesystems, O_EXCL exclusive create on local ones
+  * (POSIX rename overwrites, so exists-check + rename is NOT a lock
+  * there — see [[commit]]).
   */
 class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
 
@@ -121,6 +122,11 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
     """\{"name":"([^"]+)","ktype":"([^"]*)","kmin":"([^"]*)","kmax":"([^"]*)"\}""".r
 
   private def parseManifest(s: String): Manifest = {
+    // terminator check: a partially written manifest (torn read during
+    // an in-flight direct-create commit) must parse as INVALID, never
+    // as a valid manifest with fewer files. "]}"  occurs only at the
+    // true end of the fixed-shape render.
+    require(s.trim.endsWith("]}"), "truncated manifest")
     def field(name: String) =
       s.split("\"" + name + "\":")(1).takeWhile(c => c.isDigit || c == '-').toLong
     val entries = entryRe.findAllMatchIn(s).map { m =>
@@ -225,16 +231,39 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
     entries.foreach(e => f.delete(new Path(dataDir, e.name), false))
   }
 
-  /** Atomic publish of manifest `version`; false = lost a commit race. */
+  /** Atomic publish of manifest `version`; false = lost a commit race.
+    *
+    * Local filesystems get a true O_EXCL exclusive create (POSIX
+    * rename(2) silently OVERWRITES an existing destination, so the
+    * exists-check + rename pair has a window where two same-version
+    * committers both "win" and one manifest is lost — observed as a
+    * rare two-writer race flake). A torn concurrent read of the
+    * directly written file is rejected by the parse-time terminator
+    * check, so readers fall back to the previous version. HDFS-like
+    * filesystems keep the tmp + rename-no-overwrite protocol, which IS
+    * atomic on a namenode. */
   private def commit(m: Manifest): Boolean = {
     val f = fs
     f.mkdirs(manifestDir)
-    val tmp = new Path(manifestDir, ".tmp-" + UUID.randomUUID().toString)
-    writeFile(tmp, renderManifest(m))
     val dst = new Path(manifestDir, f"v${m.version}%020d.json")
-    if (f.exists(dst)) { f.delete(tmp, false); false }
-    else if (f.rename(tmp, dst)) true
-    else { f.delete(tmp, false); false }
+    if (f.getScheme == "file") {
+      val p = java.nio.file.Paths.get(dst.toUri.getPath)
+      try {
+        val ch = java.nio.file.Files.newByteChannel(p,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap(
+          renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        finally ch.close()
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      val tmp = new Path(manifestDir, ".tmp-" + UUID.randomUUID().toString)
+      writeFile(tmp, renderManifest(m))
+      if (f.exists(dst)) { f.delete(tmp, false); false }
+      else if (f.rename(tmp, dst)) true
+      else { f.delete(tmp, false); false }
+    }
   }
 
   private def readEntries(entries: Seq[FileEntry]): Option[DataFrame] =

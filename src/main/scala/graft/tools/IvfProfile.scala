@@ -6,9 +6,17 @@ import graft.{GraftSession, SparkEntry}
 
 /** Profile harness for the sim_ivf_* pair (VERDICT r2 #4): times each
   * query N times under (a) the full GraftSession (parser + rule
-  * injection) and (b) a bare SparkSession with identical confs but no
-  * extensions, to separate plan cost from any analysis tax the
-  * injected extensions add to every query.
+  * injection) and (b) a bare SparkSession with the same BATCH confs
+  * but no extensions, to separate plan cost from any analysis tax the
+  * injected extensions add to every query. The bare session
+  * deliberately drops GraftSession's streaming-only confs (RocksDB
+  * state-store provider, changelog checkpointing) — inert for these
+  * batch queries, so conf parity holds where it matters.
+  *
+  * Verdict (2-round interleaved run at sf0.1, recorded in SURVEY §8):
+  * with-ext medians sit within jitter of bare once JIT warms — the r2
+  * "regression" was run-order noise; extension tax ≤ ~0.05 s constant
+  * analysis time per query.
   */
 object IvfProfile {
   def main(args: Array[String]): Unit = {

@@ -19,6 +19,62 @@ class MultimodalSpec extends AnyFunSuite {
       Map("source" -> s"s$i"))
   }
 
+  private def pngBytes(w: Int, h: Int)(paint: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, paint(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("real PNG payloads decode to actual pixels with deterministic grid features") {
+    // left half dark, right half bright — pins the 4x2 luma grid cells
+    val png = pngBytes(64, 32)((x, _) => if (x < 32) 0x101010 else 0xF0F0F0)
+    val out = decodeAndFeaturize(Seq(MediaRecord(1L, "image", png, Map.empty)).toDS())
+      .collect().head
+    assert(out.width == 64 && out.height == 32, "REAL header dims, not stub hash dims")
+    val fs = out.features
+    assert(fs.length == 8)
+    // luma 0x10 -> (16-128)/128 = -0.875; 0xF0 -> +0.875, per grid half
+    Seq(0, 1, 4, 5).foreach(i => assert(fs(i) < -0.8f, s"cell $i should be dark"))
+    Seq(2, 3, 6, 7).foreach(i => assert(fs(i) > 0.8f, s"cell $i should be bright"))
+    // deterministic across runs
+    val again = decodeAndFeaturize(Seq(MediaRecord(1L, "image", png, Map.empty)).toDS())
+      .collect().head
+    assert(again.features.toSeq == fs.toSeq)
+    // a truncated PNG degrades to the StubCodec path, not a task failure
+    val trunc = png.take(20)
+    val tout = decodeAndFeaturize(Seq(MediaRecord(2L, "image", trunc, Map.empty)).toDS())
+      .collect().head
+    val (sw, sh) = StubCodec.decodeDims(trunc)
+    assert(tout.width == sw && tout.height == sh)
+    // feature grid shape is guarded
+    intercept[IllegalArgumentException](
+      ImageCodec.features(new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB), 6))
+  }
+
+  test("a decompression-bomb header degrades to the stub before any raster allocation") {
+    // take a real 8x8 PNG and rewrite its IHDR to declare 20000x20000
+    // (400M pixels >> ImageCodec.MaxPixels), with a valid chunk CRC so
+    // the header parses and only the pixel cap can reject it
+    val bomb = pngBytes(8, 8)((_, _) => 0x808080).clone()
+    def put32(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    put32(16, 20000) // IHDR width  (offset: 8 sig + 4 len + 4 type)
+    put32(20, 20000) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 4 + 13) // chunk type + 13 IHDR data bytes
+    put32(29, crc.getValue.toInt)
+    val out = decodeAndFeaturize(Seq(MediaRecord(3L, "image", bomb, Map.empty)).toDS())
+      .collect().head
+    val (sw, sh) = StubCodec.decodeDims(bomb)
+    assert(out.width == sw && out.height == sh, "capped decode must fall back to the stub")
+    assert(out.width != 20000 && out.height != 20000)
+  }
+
   test("decode+featurize: schema, dims in range, deterministic across runs") {
     val ds = media(50).toDS().repartition(4)
     val out1 = decodeAndFeaturize(ds, batchSize = 8).collect().sortBy(_.id)

@@ -44,6 +44,10 @@ class KafkaTopicSpec extends AnyFunSuite {
       assert(topic2.conf == Map(
         "kafka.bootstrap.servers" -> "localhost:29091", "kafka.group.id" -> "demo",
         "kafka.security.protocol" -> "SASL_SSL", "kafka.sasl.mechanism" -> "PLAIN"))
+      // a copy() derivative keeps the ORIGINAL snapshot — it must not
+      // silently re-read defaults registered after topic1's creation
+      val derived = topic1.copy(startingOffsets = KafkaTopic.ReadFromStart)
+      assert(derived.conf == topic1.conf)
     } finally KafkaConf.reset()
   }
 
