@@ -2,18 +2,29 @@ package graft.streaming
 
 import scala.reflect.ClassTag
 
-import org.apache.spark.sql.streaming.ListState
+import org.apache.spark.sql.streaming.{ListState, MapState}
 
 /** Shared persistence for sorted-buffer state on the modern
   * `transformWithState` API (Spark 4 StatefulProcessor + RocksDB
   * provider).
   *
-  * The r1 `flatMapGroupsWithState` operators round-tripped their whole
-  * per-key buffer through a single value each micro-batch; with
-  * `ListState` the dominant case — mostly-ordered streams appending at
-  * the tail — becomes an O(delta) native list append (a RocksDB merge),
-  * and only a head-changing update (eviction, out-of-order insert)
-  * rewrites the list. */
+  * Two shapes:
+  *
+  *  - [[persistSorted]] — a plain ListState written by diff: append-only
+  *    deltas use the native O(delta) list append (RocksDB merge),
+  *    anything else rewrites the list. Right for buffers that either
+  *    grow at the tail or drain wholesale (gated-event queues).
+  *
+  *  - time-bucketed [[MapState]] ([[toBuckets]] / [[fromBuckets]] /
+  *    [[persistTimeBuckets]]) — the retention window splits into
+  *    timestamp-prefixed buckets, each a map entry. A steady-state
+  *    micro-batch touches only the bucket(s) it appended to, and
+  *    EVICTION is a range delete of whole expired buckets — no
+  *    touching, rewriting, or even reading of the surviving middle
+  *    buckets at write time. This is the fix for the r1/r2 shape where
+  *    head eviction rewrote the entire per-key list every batch: commit
+  *    cost is O(changed buckets), flat in the buffer size.
+  */
 object StatefulOps {
 
   /** Write `next` given the previously-read `prev`: append-only deltas
@@ -26,4 +37,43 @@ object StatefulOps {
       ls.clear()
       if (next.nonEmpty) ls.put(next.toArray)
     }
+
+  /** One timestamp bucket of (ts, payload) entries, sorted by ts —
+    * columnar arrays so the state-store encoder stays primitive. */
+  case class Bucket(ts: Array[Long], payloads: Array[String])
+
+  /** Bucket width for a retention window: ~`n` live buckets per key.
+    * Clamped so the unbounded-retention default maps to one bucket. */
+  def bucketWidth(retentionUs: Long, n: Int = 16): Long =
+    math.max(1L, retentionUs / n)
+
+  def bucketOf(tsUs: Long, widthUs: Long): Long =
+    tsUs - java.lang.Math.floorMod(tsUs, widthUs)
+
+  /** Split a sorted buffer into its timestamp buckets. */
+  def toBuckets(entries: Vector[(Long, String)], widthUs: Long): Map[Long, Bucket] =
+    entries.groupBy(e => bucketOf(e._1, widthUs)).map { case (b, es) =>
+      b -> Bucket(es.map(_._1).toArray, es.map(_._2).toArray)
+    }
+
+  /** Reassemble the sorted buffer from the store's buckets. */
+  def fromBuckets(it: Iterator[(Long, Bucket)]): Vector[(Long, String)] =
+    it.toVector.sortBy(_._1).flatMap { case (_, b) => b.ts.zip(b.payloads) }
+
+  /** Diff-write the bucket map: expired buckets are REMOVED (the range
+    * delete), and only buckets whose content changed are rewritten —
+    * untouched middle buckets cost nothing at commit. */
+  def persistTimeBuckets(
+      ms: MapState[Long, Bucket],
+      prev: Map[Long, Bucket],
+      next: Map[Long, Bucket]): Unit = {
+    prev.keysIterator.filterNot(next.contains).foreach(ms.removeKey)
+    next.foreach { case (k, b) =>
+      prev.get(k) match {
+        case Some(p) if java.util.Arrays.equals(p.ts, b.ts) &&
+          p.payloads.sameElements(b.payloads) => () // untouched
+        case _ => ms.updateValue(k, b)
+      }
+    }
+  }
 }

@@ -75,24 +75,29 @@ object StreamingAsOf {
     (Buffer(rights), out.result())
   }
 
-  /** transformWithState processor: the right-side buffer is a
-    * `ListState` — ordered right arrivals are O(delta) RocksDB list
-    * merges; only eviction or an out-of-order insert rewrites
-    * (see [[StatefulOps]]). */
+  /** transformWithState processor: the right-side buffer lives as
+    * TIMESTAMP-BUCKETED MapState (see [[StatefulOps]]) — a steady-state
+    * batch appends into one bucket and EVICTION is a range delete of
+    * whole expired buckets, so commit cost is O(changed buckets), flat
+    * in buffer size (the r1/r2 list shape rewrote the entire per-key
+    * buffer on every evicting batch). */
   class AsOfProcessor(retentionUs: Long)
     extends StatefulProcessor[String, Input, Joined] {
 
-    @transient private var rights: ListState[(Long, String)] = _
+    private val widthUs = StatefulOps.bucketWidth(retentionUs)
+    @transient private var rights: MapState[Long, StatefulOps.Bucket] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      rights = getHandle.getListState[(Long, String)]("rights",
-        Encoders.tuple(Encoders.scalaLong, Encoders.STRING), TTLConfig.NONE)
+      rights = getHandle.getMapState[Long, StatefulOps.Bucket]("rights",
+        Encoders.scalaLong, Encoders.product[StatefulOps.Bucket], TTLConfig.NONE)
 
     override def handleInputRows(
         key: String, rows: Iterator[Input], timerValues: TimerValues): Iterator[Joined] = {
-      val prev = rights.get().toVector
+      val prevBuckets = rights.iterator().map(kv => kv._1 -> kv._2).toMap
+      val prev = StatefulOps.fromBuckets(prevBuckets.iterator)
       val (next, out) = step(Buffer(prev), rows.toSeq, retentionUs)
-      StatefulOps.persistSorted(rights, prev, next.rights)
+      StatefulOps.persistTimeBuckets(rights, prevBuckets,
+        StatefulOps.toBuckets(next.rights, widthUs))
       out.iterator
     }
   }

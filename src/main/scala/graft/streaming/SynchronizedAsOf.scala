@@ -116,31 +116,38 @@ object SynchronizedAsOf {
   /** Scalar leg of the state (the two buffers live as ListState). */
   case class SyncMeta(maxRightUs: Option[Long], maxLeftUs: Option[Long], isDown: Boolean)
 
-  /** transformWithState processor: rights and gated lefts are separate
-    * `ListState`s (healthy operation appends — O(delta) RocksDB merges;
-    * only eviction / replay-drain rewrites), scalars a tiny ValueState. */
+  /** transformWithState processor: the right buffer is TIMESTAMP-
+    * BUCKETED MapState (eviction = range delete of expired buckets,
+    * commit flat in buffer size — see [[StatefulOps]]); the gated-left
+    * queue stays a ListState (it appends while down and drains
+    * WHOLESALE on replay, so list append + clear are its natural ops);
+    * scalars a tiny ValueState. */
   class SyncProcessor(thresholdUs: Long, retentionUs: Long)
     extends StatefulProcessor[String, Input, SyncJoined] {
 
-    @transient private var rights: ListState[(Long, String)] = _
+    private val widthUs = StatefulOps.bucketWidth(retentionUs)
+    @transient private var rights: MapState[Long, StatefulOps.Bucket] = _
     @transient private var pending: ListState[(Long, String)] = _
     @transient private var meta: ValueState[SyncMeta] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
-      rights = getHandle.getListState[(Long, String)]("rights", pairEnc, TTLConfig.NONE)
+      rights = getHandle.getMapState[Long, StatefulOps.Bucket]("rights",
+        Encoders.scalaLong, Encoders.product[StatefulOps.Bucket], TTLConfig.NONE)
       pending = getHandle.getListState[(Long, String)]("pending", pairEnc, TTLConfig.NONE)
       meta = getHandle.getValueState[SyncMeta]("meta", Encoders.product[SyncMeta], TTLConfig.NONE)
     }
 
     override def handleInputRows(
         key: String, rows: Iterator[Input], timerValues: TimerValues): Iterator[SyncJoined] = {
-      val prevR = rights.get().toVector
+      val prevBuckets = rights.iterator().map(kv => kv._1 -> kv._2).toMap
+      val prevR = StatefulOps.fromBuckets(prevBuckets.iterator)
       val prevP = pending.get().toVector
       val m = if (meta.exists()) meta.get() else SyncMeta(None, None, isDown = false)
       val st = SyncState(prevR, prevP, m.maxRightUs, m.maxLeftUs, m.isDown)
       val (next, out) = step(st, rows.toSeq, thresholdUs, retentionUs)
-      StatefulOps.persistSorted(rights, prevR, next.rights)
+      StatefulOps.persistTimeBuckets(rights, prevBuckets,
+        StatefulOps.toBuckets(next.rights, widthUs))
       StatefulOps.persistSorted(pending, prevP, next.pendingLefts)
       meta.update(SyncMeta(next.maxRightUs, next.maxLeftUs, next.isDown))
       out.iterator

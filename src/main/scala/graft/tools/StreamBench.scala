@@ -89,4 +89,58 @@ object StreamBench {
     println(f"[streambench] $label: ${total / d}%.0f rows/s sustained " +
       f"($d%.2f s; cold ${total / dWarm}%.0f rows/s, $batches batches total)")
   }
+
+  /** Steady-eviction commit-cost probe (VERDICT r2 #7 datapoint): a
+    * single hot key holds a buffer of ~`retentionUs` entries (1 ts
+    * unit per event); every timed batch appends `perBatch` rows at the
+    * tail AND evicts the same amount past the horizon. With the
+    * time-bucketed MapState the per-batch time must stay ~flat as the
+    * buffer grows 25x; the old list shape rewrote the whole buffer per
+    * batch (O(buffer) commit). Median per-batch ms is the datapoint. */
+  def asofEvictionLeg(
+      spark: org.apache.spark.sql.SparkSession,
+      retentionUs: Long,
+      perBatch: Int = 500,
+      timedBatches: Int = 20): Double = {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingAsOf
+    import graft.streaming.StreamingAsOf.Input
+    val src = MemoryStream[Input]
+    val q = StreamingAsOf.join(src.toDS(), retentionUs)
+      .writeStream.format("noop").start()
+    var ts = 0L
+    def feed(n: Int): Unit = {
+      src.addData((0 until n).map { _ =>
+        ts += 1; Input("hot", ts, isLeft = false, "", s"v$ts")
+      })
+      q.processAllAvailable()
+    }
+    // fill to steady state (buffer ≈ retention entries), in chunks
+    while (ts < retentionUs) feed(math.min(perBatch * 4, (retentionUs - ts).toInt))
+    val times = (1 to timedBatches).map { _ =>
+      val t0 = System.nanoTime()
+      feed(perBatch)
+      (System.nanoTime() - t0) / 1e6
+    }
+    q.stop()
+    val med = times.sorted.apply(timedBatches / 2)
+    println(f"[streambench] asof steady-eviction: buffer≈$retentionUs%d entries, " +
+      f"$perBatch/batch -> median ${med}%.1f ms/batch")
+    med
+  }
+}
+
+/** Standalone runner for the eviction datapoint (small vs 25x buffer). */
+object StreamBenchEviction {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val small = StreamBench.asofEvictionLeg(spark, retentionUs = 2000L)
+    val large = StreamBench.asofEvictionLeg(spark, retentionUs = 50000L)
+    println(f"[streambench] eviction commit-cost ratio (25x buffer): ${large / small}%.2f x")
+    spark.stop()
+  }
 }
