@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** The ≥30× dedup-family scale point (VERDICT r2 #8 / r3 #7): time the
+  * dedup/ANN catalog queries on the base corpus and on a ScaleUp-built
+  * k× replica (key-remapped + token-salted, so pair density is constant
+  * and ratios read as scaling behavior), print per-query medians and
+  * the wall ratio as ONE JSON line — saved as a BENCH sidecar.
+  *
+  * Interpretation: ratio ≈ k means linear; ratio >> k on a query whose
+  * cohorts are uncapped (dedup_ngram_jaccard is the predicted one)
+  * confirms the latent O(c²) and argues for its capped sibling at
+  * scale.
+  *
+  * Usage: runMain graft.tools.ScaleRatios [baseDir] [bigDir] [k]
+  */
+object ScaleRatios {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val big = args.drop(1).headOption.getOrElse("localdata/sf3x30")
+    val k = args.drop(2).headOption.map(_.toInt).getOrElse(30)
+    val reps = 3
+    val names = Seq(
+      "a3_dedup_exact", "dedup_minhash_lsh", "dedup_minhash_verified",
+      "dedup_simhash", "dedup_simhash_hamming", "dedup_ngram_jaccard",
+      "dedup_jaccard_dfcap", "sim_embedding_neardup")
+
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    // warm both paths once
+    time("a3_dedup_exact", base); time("a3_dedup_exact", big)
+    val rows = names.map { n =>
+      val b = median((1 to reps).map(_ => time(n, base)))
+      val g = median((1 to reps).map(_ => time(n, big)))
+      println(f"[scaleratios] $n%-24s base=${b}%.2f s  ${k}x=${g}%.2f s  ratio=${g / b}%.1f")
+      (n, b, g)
+    }
+    val qs = rows.map { case (n, b, g) =>
+      f"""\"$n\":{\"base\":$b%.3f,\"big\":$g%.3f,\"ratio\":${g / b}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale${k}x","k":$k,"base":"$base","big":"$big","queries":$qs}""")
+    spark.stop()
+  }
+}
