@@ -405,6 +405,62 @@ object LlmQueries {
         .select(col("doc_id"), col("ws_tokens"), col("re_tokens"))
     }),
 
+    // Repetition-based quality stats (the Gopher/C4 filter family):
+    // type-token ratio and duplicate-2gram fraction per document, plus
+    // the keep/drop gate. Pure higher-order functions over the token
+    // array — narrow, zero-shuffle, whole-stage codegen; no per-doc
+    // explode and nothing quadratic in document length.
+    "curate_repetition" -> ((s, dir) => {
+      val t = toks
+      val g2 = zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(t).cast("long"))
+        .withColumn("distinct_ratio", size(array_distinct(t)) / size(t))
+        .withColumn("dup_2gram_frac",
+          when(size(t) > 1, lit(1.0) - size(array_distinct(g2)) / size(g2))
+            .otherwise(lit(0.0)))
+        .withColumn("keep",
+          col("distinct_ratio") > 0.3 && col("dup_2gram_frac") < 0.2)
+        .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"),
+          col("dup_2gram_frac"), col("keep"))
+    }),
+
+    // PII scrubbing: replace emails and URLs with sentinels and count
+    // them (the redaction pass every crawl corpus goes through before
+    // training). The corpus is synthetic word-salad, so the PII is
+    // DERIVED deterministically from each row (doc_id-stamped email +
+    // URL appended) — the operator then has real matches to find.
+    // Patterns stick to RE2-safe classes so Spark (Java regex) and the
+    // DuckDB oracle (RE2) agree byte-for-byte.
+    "curate_scrub_pii" -> ((s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val url = "https?://[^ ]+"
+      Tables.documents(s, dir)
+        .withColumn("raw", concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or https://ex.org/d/"),
+          col("doc_id").cast("string"), lit(" end")))
+        .withColumn("n_emails", expr(s"regexp_count(raw, '$email')").cast("int"))
+        .withColumn("n_urls", expr(s"regexp_count(raw, '$url')").cast("int"))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"), url, "<URL>"))
+        .select(col("doc_id"), col("n_emails"), col("n_urls"), col("scrubbed"))
+    }),
+
+    // Text normalization: case-fold, strip non-alphanumerics, collapse
+    // whitespace — the canonicalization pass ahead of dedup/tokenize.
+    // Exercised on a derived mixed-case suffix (the corpus itself is
+    // already lowercase).
+    "text_normalize" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("raw", concat(col("text"), lit(" The QUICK brown FOX!! 123,456.")))
+        .withColumn("norm", trim(regexp_replace(
+          regexp_replace(lower(col("raw")), "[^a-z0-9 ]", ""), " +", " ")))
+        .withColumn("n_chars", length(col("norm")).cast("int"))
+        .select(col("doc_id"), col("norm"), col("n_chars"))
+    }),
+
     // Document fingerprint: rolling polynomial hash over tokens, mod a
     // 31-bit prime (no overflow ⇒ identical in any engine).
     "text_fingerprint" -> ((s, dir) => {
@@ -649,6 +705,44 @@ object LlmQueries {
          |x -> (length(x) * 31 + ascii(substr(x, 1, 1)))::BIGINT)),
          |(acc, x) -> (acc * 131 + x) % $MOD) AS fingerprint
          |FROM documents""".stripMargin,
+
+    "curate_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |len(w)::BIGINT AS n_tokens,
+        |len(list_distinct(w)) / len(w) AS distinct_ratio,
+        |CASE WHEN len(w) > 1 THEN
+        |1.0 - len(list_distinct(list_transform(range(1, len(w)),
+        |i -> w[i] || ' ' || w[i+1]))) / (len(w) - 1)
+        |ELSE 0.0 END AS dup_2gram_frac,
+        |(len(list_distinct(w)) / len(w) > 0.3 AND
+        |(CASE WHEN len(w) > 1 THEN
+        |1.0 - len(list_distinct(list_transform(range(1, len(w)),
+        |i -> w[i] || ' ' || w[i+1]))) / (len(w) - 1)
+        |ELSE 0.0 END) < 0.2) AS keep
+        |FROM t""".stripMargin,
+
+    "curate_scrub_pii" ->
+      """WITH r AS (SELECT doc_id,
+        |text || ' contact user' || doc_id || '@example.com or https://ex.org/d/' || doc_id || ' end' AS raw
+        |FROM documents)
+        |SELECT doc_id,
+        |CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |CAST(len(regexp_extract_all(raw, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+        |regexp_replace(regexp_replace(raw,
+        |'[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |'https?://[^ ]+', '<URL>', 'g') AS scrubbed
+        |FROM r""".stripMargin,
+
+    "text_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |text || ' The QUICK brown FOX!! 123,456.' AS raw FROM documents)
+        |SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(lower(raw), '[^a-z0-9 ]', '', 'g'),
+        |' +', ' ', 'g')) AS norm,
+        |CAST(length(trim(regexp_replace(regexp_replace(lower(raw), '[^a-z0-9 ]', '', 'g'),
+        |' +', ' ', 'g'))) AS INTEGER) AS n_chars
+        |FROM r""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,
