@@ -461,6 +461,26 @@ object LlmQueries {
         .select(col("doc_id"), col("norm"), col("n_chars"))
     }),
 
+    // Weighted sampling (Efraimidis-Spirakis A-ES, the corpus-mix
+    // sampler: pick documents with probability proportional to a
+    // weight — here document length). Made deterministic and
+    // engine-portable: u = md5-derived uniform in (0,1], selection key
+    // = ln(u)/w (monotone of u^(1/w)), global top-k by key. One
+    // shuffle (the top-k window); at 100 TB the same key feeds a
+    // per-partition top-k + merge instead of a global sort.
+    "curate_weighted_sample" -> ((s, dir) => {
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double") + 1.0) / 4294967296.0
+      val d = Tables.documents(s, dir)
+        .withColumn("w", size(split(col("text"), " ")).cast("double"))
+        .withColumn("prio", log(u) / col("w"))
+      d.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("prio").desc, col("doc_id"))))
+        .where(col("rn") <= 25)
+        .select(col("doc_id"), col("w").cast("long").as("n_tokens"))
+    }),
+
     // Document fingerprint: rolling polynomial hash over tokens, mod a
     // 31-bit prime (no overflow ⇒ identical in any engine).
     "text_fingerprint" -> ((s, dir) => {
@@ -705,6 +725,16 @@ object LlmQueries {
          |x -> (length(x) * 31 + ascii(substr(x, 1, 1)))::BIGINT)),
          |(acc, x) -> (acc * 131 + x) % $MOD) AS fingerprint
          |FROM documents""".stripMargin,
+
+    "curate_weighted_sample" ->
+      """WITH p AS (SELECT doc_id,
+        |len(string_split(text, ' '))::DOUBLE AS w,
+        |(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1.0) / 4294967296.0 AS u
+        |FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_tokens
+        |FROM (SELECT doc_id, w,
+        |row_number() OVER (ORDER BY ln(u) / w DESC, doc_id) AS rn FROM p)
+        |WHERE rn <= 25""".stripMargin,
 
     "curate_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
