@@ -173,6 +173,45 @@ object ExtendedQueries {
     // replaces exact distinct at 100 TB. The estimate keeps every
     // float op IEEE-exact: 2^-rho as 1.0/(1L<<rho) (power-of-two
     // divide), register sum with exponent spread < 53 bits (every
+    // Mergeable QUANTILE sketch (the third classic after count-min and
+    // HLL): a deterministic hash-sampled digest. level = smallest L
+    // with n <= cap·2^L (integer CASE chain — no float log, so every
+    // engine agrees), retained sample = rows whose 32-bit md5 prefix
+    // ≡ 0 (mod 2^L) — a pure function of the data multiset, so stream
+    // and batch legs agree exactly and merge = refilter + concat. The
+    // retained set is ≤ ~2·cap values REGARDLESS of n: that bounded
+    // set is what crosses the network to a single reducer (the
+    // "sketch you ship to a coordinator"). Quantiles interpolate over
+    // the sorted sample with shared arithmetic (r=(m−1)p), so even the
+    // double-valued estimates hash-match the oracle.
+    "sketch_quantile" -> ((s, dir) => {
+      val cap = 4096L
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_id").cast("string").as("id"), col("value"))
+      val levelCol = (1 to 12).foldLeft(when(col("n") <= cap, 0)) { (w, l) =>
+        w.when(col("n") <= cap * (1L << l), l)
+      }.otherwise(12)
+      val withN = ev.crossJoin(
+        broadcast(ev.agg(count(lit(1)).as("n")).withColumn("level", levelCol)))
+      val sampled = withN.where(
+        conv(substring(md5(col("id")), 1, 8), 16, 10).cast("long")
+          % expr("shiftleft(CAST(1 AS BIGINT), level)") === 0L)
+      val agg = sampled.groupBy(col("n"), col("level"))
+        .agg(sort_array(collect_list(col("value"))).as("v"))
+        .withColumn("m", size(col("v")).cast("long"))
+      def q(p: Double): Column = {
+        val r = (col("m") - 1).cast("double") * p
+        val lo = floor(r).cast("int")
+        val frac = r - lo.cast("double")
+        val vlo = element_at(col("v"), lo + 1)
+        val vhi = element_at(col("v"), least(lo + 2, col("m").cast("int")))
+        vlo + frac * (vhi - vlo)
+      }
+      agg.select(col("n"), col("level"), col("m").as("sample_n"),
+        q(0.5).as("p50"), q(0.95).as("p95"), q(0.99).as("p99"))
+    }),
+
     // addition exact, order-independent), so even the ESTIMATE
     // hash-matches the oracle bit-for-bit. Raw HLL (no small-range
     // correction) compared against the exact distinct in-row.
@@ -388,6 +427,29 @@ object ExtendedQueries {
          |MAX(user_id) - MIN(user_id) AS user_span,
          |CAST(MAX(th) - MIN(th) AS BIGINT) AS time_span
          |FROM zed GROUP BY 1""".stripMargin
+    },
+
+    "sketch_quantile" -> {
+      val cases = (0 to 12).map(l => s"WHEN n <= ${4096L * (1L << l)} THEN $l").mkString(" ")
+      // CAST(p AS DOUBLE): a bare 0.99 literal is DECIMAL in DuckDB and
+      // decimal interpolation drifts from Spark's double math by ulps
+      def q(p: Double): String = {
+        val r = s"((m - 1)::DOUBLE * CAST($p AS DOUBLE))"
+        s"""v[CAST(floor($r) AS BIGINT) + 1]
+           | + ($r - floor($r))
+           | * (v[least(CAST(floor($r) AS BIGINT) + 2, m)]
+           |    - v[CAST(floor($r) AS BIGINT) + 1])""".stripMargin
+      }
+      s"""WITH c AS (SELECT COUNT(*)::BIGINT AS n FROM events WHERE value IS NOT NULL),
+         |lv AS (SELECT n, (CASE $cases ELSE 12 END)::INTEGER AS level FROM c),
+         |s AS (SELECT e.value FROM events e, lv
+         |WHERE e.value IS NOT NULL AND
+         |('0x' || substr(md5(e.event_id::VARCHAR), 1, 8))::BIGINT
+         |% (1::BIGINT << lv.level) = 0),
+         |arr AS (SELECT list_sort(list(value)) AS v, COUNT(*)::BIGINT AS m FROM s)
+         |SELECT lv.n, lv.level, arr.m AS sample_n,
+         |${q(0.5)} AS p50, ${q(0.95)} AS p95, ${q(0.99)} AS p99
+         |FROM arr, lv""".stripMargin
     },
 
     "sketch_hll_distinct" ->

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+/** Streaming quantiles via a mergeable hash-sampled digest — the
+  * streaming twin of the batch `sketch_quantile` query, completing the
+  * sketch family (count-min = frequencies, HLL = distincts, this =
+  * quantiles).
+  *
+  * The retained sample is a PURE FUNCTION of the data multiset:
+  * level = smallest L with n ≤ cap·2^L, sample = values whose 32-bit
+  * md5(id) prefix ≡ 0 (mod 2^L). That determinism is what makes the
+  * digest mergeable (merge = sum counts, recompute level, refilter,
+  * concat — refiltering only ever drops, never resurrects) and makes
+  * streamed estimates across micro-batches equal the batch query's
+  * exactly, interpolation arithmetic included. State is O(cap) per
+  * group regardless of stream length; like the other sketches it rides
+  * [[Fold.applyPartial]], so one ≤~2·cap-value digest per group per
+  * partition crosses the shuffle.
+  */
+object QuantileSketch {
+
+  val Cap = 4096L
+
+  /** (n, level, retained (hash, value) pairs). Hashes ride along so a
+    * level bump can refilter without re-seeing the data. */
+  case class QSketch(n: Long, level: Int, hashes: Seq[Long], values: Seq[Double])
+
+  def empty: QSketch = QSketch(0L, 0, Vector.empty, Vector.empty)
+
+  /** First 32 md5 bits of the row id — the same
+    * `conv(substring(md5(id),1,8),16,10)` the batch query and its
+    * DuckDB oracle compute. */
+  def hash32(id: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(id.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Smallest L with n ≤ Cap·2^L — the batch query's integer CASE
+    * chain (capped at 12, matching its `otherwise`). */
+  def levelFor(n: Long): Int = {
+    var l = 0
+    while (l < 12 && n > (Cap << l)) l += 1
+    l
+  }
+
+  private def refilter(sk: QSketch, level: Int): QSketch =
+    if (level == sk.level) sk
+    else {
+      val mask = (1L << level) - 1
+      val kept = sk.hashes.zip(sk.values).filter { case (h, _) => (h & mask) == 0L }
+      QSketch(sk.n, level, kept.map(_._1), kept.map(_._2))
+    }
+
+  /** Fold one (id, value) row in. */
+  def update(sk: QSketch, id: String, value: Double): QSketch = {
+    val n = sk.n + 1
+    val bumped = refilter(sk.copy(n = n), levelFor(n))
+    val h = hash32(id)
+    if ((h & ((1L << bumped.level) - 1)) == 0L)
+      bumped.copy(hashes = bumped.hashes :+ h, values = bumped.values :+ value)
+    else bumped
+  }
+
+  /** Merge: counts add; level recomputes from the merged n (monotone,
+    * so ≥ both inputs' levels); both sides refilter and concatenate. */
+  def merge(a: QSketch, b: QSketch): QSketch = {
+    val n = a.n + b.n
+    val l = math.max(levelFor(n), math.max(a.level, b.level))
+    val (ra, rb) = (refilter(a.copy(n = n), l), refilter(b, l))
+    QSketch(n, l, ra.hashes ++ rb.hashes, ra.values ++ rb.values)
+  }
+
+  /** Interpolated quantile over the sorted sample — the exact
+    * arithmetic of the batch query (`r = (m-1)·p`, linear between the
+    * two neighbors), so estimates compare bit-for-bit. */
+  def estimate(sk: QSketch, p: Double): Double = {
+    val v = sk.values.sorted
+    val m = v.length
+    require(m > 0, "empty sketch")
+    val r = (m - 1).toDouble * p
+    val lo = math.floor(r).toInt
+    val frac = r - lo.toDouble
+    val vlo = v(lo)
+    val vhi = v(math.min(lo + 1, m - 1))
+    vlo + frac * (vhi - vlo)
+  }
+
+  /** Per-group streaming (or batch) digests; emits the updated sketch
+    * per group per micro-batch (probe with [[estimate]]). */
+  def sketches[V](
+      ds: Dataset[V],
+      group: V => String,
+      id: V => String,
+      value: V => Double)(implicit spark: SparkSession): Dataset[(String, QSketch)] = {
+    implicit val se: Encoder[String] = Encoders.STRING
+    implicit val qe: Encoder[QSketch] = Encoders.product[QSketch]
+    implicit val kv: Encoder[(String, QSketch)] = Encoders.tuple(se, qe)
+    Fold.applyPartial[String, V, QSketch](
+      ds, group, empty, (sk, v) => update(sk, id(v), value(v)), merge)
+  }
+}

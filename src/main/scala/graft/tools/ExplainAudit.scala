@@ -66,6 +66,9 @@ object ExplainAudit {
     audit("a1_fold_agg", "partial + final hash aggregation") { p =>
       count(p, "HashAggregate") >= 2
     }
+    audit("curate_repetition", "repetition stats are narrow HOFs: ZERO shuffles") { p =>
+      count(p, "Exchange") == 0 && !p.contains("Generate")
+    }
     auditExecuted("dedup_minhash_lsh",
       "cohort-cap window present; candidates from an equi-join (never a cross join)") { p =>
       p.contains("Window") && !p.contains("CartesianProduct") &&

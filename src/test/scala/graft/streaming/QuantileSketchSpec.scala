@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+
+/** The quantile-sketch twin guarantee: estimates from the digest
+  * streamed across micro-batches equal the batch `sketch_quantile`
+  * query's — bit-for-bit, interpolation arithmetic included — because
+  * the retained sample is a pure function of the data multiset
+  * (deterministic hash sampling at a count-derived level). Also pins
+  * order-independence: chunking and arrival order must not matter. */
+class QuantileSketchSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming digest across micro-batches equals the batch sketch_quantile exactly") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val batch = graft.SparkEntry.queries("sketch_quantile")(spark, dir).collect().head
+    val rows = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_id").cast("string"), col("value"))
+      .as[(String, Double)].collect()
+
+    def run(data: Seq[(String, Double)], chunk: Int): QuantileSketch.QSketch = {
+      @volatile var last: QuantileSketch.QSketch = null
+      val src = MemoryStream[(String, Double)]
+      val q = QuantileSketch.sketches[(String, Double)](src.toDS(),
+          _ => "all", _._1, _._2)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, QuantileSketch.QSketch)], _: Long) =>
+          b.collect().foreach { case (g, sk) => if (g == "all") last = sk }
+        }.start()
+      try {
+        data.grouped(chunk).foreach { c => src.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      last
+    }
+
+    val sk = run(rows.toSeq, 2500)
+    assert(sk.n == rows.length && sk.n == batch.getAs[Long]("n"))
+    assert(sk.level == batch.getAs[Int]("level") && sk.level > 0, "sampling must engage at 10k rows")
+    assert(sk.values.length.toLong == batch.getAs[Long]("sample_n"))
+    assert(QuantileSketch.estimate(sk, 0.5) == batch.getAs[Double]("p50"))
+    assert(QuantileSketch.estimate(sk, 0.95) == batch.getAs[Double]("p95"))
+    assert(QuantileSketch.estimate(sk, 0.99) == batch.getAs[Double]("p99"))
+
+    // order- and chunking-independence: reversed arrival, odd batches
+    val sk2 = run(rows.reverse.toSeq, 1777)
+    assert(sk2.level == sk.level && sk2.values.sorted == sk.values.sorted)
+    assert(QuantileSketch.estimate(sk2, 0.95) == QuantileSketch.estimate(sk, 0.95))
+  }
+}
