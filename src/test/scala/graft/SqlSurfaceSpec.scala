@@ -129,6 +129,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT * FROM clicks_sql l ASOF JOIN purchases_sql r ON l.user_id = r.user_id"))
     assert(err.getMessage.toLowerCase.contains("syntax error") ||
       err.getMessage.toUpperCase.contains("PARSE"))
+
+    // a derived-table (subquery) right side parses through untouched
+    val sub = spark.sql(
+      """SELECT l.event_id, r.p_value AS p_value
+        |FROM clicks_sql l
+        |ASOF JOIN (SELECT user_id, ts, p_value FROM purchases_sql WHERE p_value > 10.0) r
+        |MATCH_CONDITION (l.ts >= r.ts)
+        |ON l.user_id = r.user_id""".stripMargin)
+    assert(sub.count() > 0)
+    val subVals = sub.where(col("p_value").isNotNull)
+      .select("p_value").as[Double](org.apache.spark.sql.Encoders.scalaDouble).collect()
+    assert(subVals.nonEmpty && subVals.forall(_ > 10.0))
+
+    // TWO asof joins in one statement (chained enrichment) — each
+    // lowers to its own one-shuffle window plan
+    val twice = spark.sql(
+      """SELECT l.event_id, r1.p_value AS a, r2.p_event_id AS b
+        |FROM clicks_sql l
+        |ASOF JOIN purchases_sql r1 MATCH_CONDITION (l.ts >= r1.ts) ON l.user_id = r1.user_id
+        |ASOF JOIN purchases_sql r2 MATCH_CONDITION (l.ts >= r2.ts) ON l.user_id = r2.user_id""".stripMargin)
+    val tr = twice.where(col("a").isNotNull).collect()
+    assert(tr.nonEmpty && twice.count() == spark.table("clicks_sql").count())
   }
 
   test("transformWithState fold: running emoji counts across micro-batches") {
