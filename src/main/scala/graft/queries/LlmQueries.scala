@@ -465,19 +465,18 @@ object LlmQueries {
     // sampler: pick documents with probability proportional to a
     // weight — here document length). Made deterministic and
     // engine-portable: u = md5-derived uniform in (0,1], selection key
-    // = ln(u)/w (monotone of u^(1/w)), global top-k by key. One
-    // shuffle (the top-k window); at 100 TB the same key feeds a
-    // per-partition top-k + merge instead of a global sort.
+    // = ln(u)/w (monotone of u^(1/w)). The top-k is orderBy+limit —
+    // Spark compiles that to TakeOrderedAndProject (per-partition
+    // top-k, merge of k-element heaps), NOT a single-partition global
+    // window, so it holds at any corpus size.
     "curate_weighted_sample" -> ((s, dir) => {
       val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long").cast("double") + 1.0) / 4294967296.0
-      val d = Tables.documents(s, dir)
+      Tables.documents(s, dir)
         .withColumn("w", size(split(col("text"), " ")).cast("double"))
         .withColumn("prio", log(u) / col("w"))
-      d.withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("prio").desc, col("doc_id"))))
-        .where(col("rn") <= 25)
+        .orderBy(col("prio").desc, col("doc_id"))
+        .limit(25)
         .select(col("doc_id"), col("w").cast("long").as("n_tokens"))
     }),
 

@@ -69,6 +69,9 @@ object ExplainAudit {
     audit("curate_repetition", "repetition stats are narrow HOFs: ZERO shuffles") { p =>
       count(p, "Exchange") == 0 && !p.contains("Generate")
     }
+    audit("curate_weighted_sample", "weighted top-k = TakeOrderedAndProject, no global-window sort") { p =>
+      p.contains("TakeOrderedAndProject") && count(p, "Window") == 0
+    }
     auditExecuted("dedup_minhash_lsh",
       "cohort-cap window present; candidates from an equi-join (never a cross join)") { p =>
       p.contains("Window") && !p.contains("CartesianProduct") &&
