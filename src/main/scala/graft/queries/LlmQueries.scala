@@ -143,7 +143,10 @@ object LlmQueries {
       //    excludes nothing semantically — same bound LevenshteinGuard
       //    would inject for a literal threshold);
       //  - levenshtein computed ONCE as a column, filters on the column.
-      cand.repartition(32, col("doc_a"))
+      //    The fan-out width follows the session's parallelism instead
+      //    of a hardcoded local[32] constant, so the same query spreads
+      //    the DP across however many slots the cluster has.
+      cand.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_a"))
         .join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
         .where(abs(length(col("text_a")) - length(col("text_b"))) <= 116)
         .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
