@@ -212,6 +212,40 @@ object ExtendedQueries {
         q(0.5).as("p50"), q(0.95).as("p95"), q(0.99).as("p99"))
     }),
 
+    // Per-GROUP quantile digests — the "p95 per service" shape. Each
+    // group gets its own count-derived level, so every group's retained
+    // sample is bounded by ~2·cap regardless of its size, and skewed
+    // groups self-tune (a 100× hotter group samples 100× harder).
+    // Same deterministic hash-sample ⇒ same engine-exact estimates.
+    "sketch_quantile_grouped" -> ((s, dir) => {
+      val cap = 4096L
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("g"),
+          col("event_id").cast("string").as("id"), col("value"))
+      val levelCol = (1 to 12).foldLeft(when(col("n") <= cap, 0)) { (w, l) =>
+        w.when(col("n") <= cap * (1L << l), l)
+      }.otherwise(12)
+      val lv = ev.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .withColumn("level", levelCol)
+      val sampled = ev.join(broadcast(lv), "g")
+        .where(conv(substring(md5(col("id")), 1, 8), 16, 10).cast("long")
+          % expr("shiftleft(CAST(1 AS BIGINT), level)") === 0L)
+      val agg = sampled.groupBy(col("g"), col("n"), col("level"))
+        .agg(sort_array(collect_list(col("value"))).as("v"))
+        .withColumn("m", size(col("v")).cast("long"))
+      def q(p: Double): Column = {
+        val r = (col("m") - 1).cast("double") * p
+        val lo = floor(r).cast("int")
+        val frac = r - lo.cast("double")
+        val vlo = element_at(col("v"), lo + 1)
+        val vhi = element_at(col("v"), least(lo + 2, col("m").cast("int")))
+        vlo + frac * (vhi - vlo)
+      }
+      agg.select(col("g"), col("n"), col("level"), col("m").as("sample_n"),
+        q(0.5).as("p50"), q(0.95).as("p95"), q(0.99).as("p99"))
+    }),
+
     // addition exact, order-independent), so even the ESTIMATE
     // hash-matches the oracle bit-for-bit. Raw HLL (no small-range
     // correction) compared against the exact distinct in-row.
@@ -450,6 +484,29 @@ object ExtendedQueries {
          |SELECT lv.n, lv.level, arr.m AS sample_n,
          |${q(0.5)} AS p50, ${q(0.95)} AS p95, ${q(0.99)} AS p99
          |FROM arr, lv""".stripMargin
+    },
+
+    "sketch_quantile_grouped" -> {
+      val cases = (0 to 12).map(l => s"WHEN n <= ${4096L * (1L << l)} THEN $l").mkString(" ")
+      def q(p: Double): String = {
+        val r = s"((m - 1)::DOUBLE * CAST($p AS DOUBLE))"
+        s"""v[CAST(floor($r) AS BIGINT) + 1]
+           | + ($r - floor($r))
+           | * (v[least(CAST(floor($r) AS BIGINT) + 2, m)]
+           |    - v[CAST(floor($r) AS BIGINT) + 1])""".stripMargin
+      }
+      s"""WITH c AS (SELECT event_type AS g, COUNT(*)::BIGINT AS n
+         |FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |lv AS (SELECT g, n, (CASE $cases ELSE 12 END)::INTEGER AS level FROM c),
+         |s AS (SELECT e.event_type AS g, e.value FROM events e JOIN lv ON e.event_type = lv.g
+         |WHERE e.value IS NOT NULL AND
+         |('0x' || substr(md5(e.event_id::VARCHAR), 1, 8))::BIGINT
+         |% (1::BIGINT << lv.level) = 0),
+         |arr AS (SELECT g, list_sort(list(value)) AS v, COUNT(*)::BIGINT AS m
+         |FROM s GROUP BY 1)
+         |SELECT lv.g, lv.n, lv.level, arr.m AS sample_n,
+         |${q(0.5)} AS p50, ${q(0.95)} AS p95, ${q(0.99)} AS p99
+         |FROM arr JOIN lv ON arr.g = lv.g""".stripMargin
     },
 
     "sketch_hll_distinct" ->
