@@ -160,10 +160,13 @@ object LlmQueries {
     // SimHash fingerprints + cluster sizes: one token explode, 16 signed
     // bit-sums per doc (map-side combine keeps the shuffle tiny).
     "dedup_simhash" -> ((s, dir) => {
+      // one md5 per word, hoisted ahead of the aggregate (the bit-sums
+      // read substrings of the projected hash, not 16 fresh hashes)
       val words = Tables.documents(s, dir)
         .select(col("doc_id"), explode(toks).as("word"))
+        .select(col("doc_id"), md5(col("word")).as("h"))
       val sums = (1 to SIMHASH_BITS).map(j =>
-        sum(when(substring(md5(col("word")), j, 1) >= "8", 1L).otherwise(-1L)).as(s"s$j"))
+        sum(when(substring(col("h"), j, 1) >= "8", 1L).otherwise(-1L)).as(s"s$j"))
       val fp = words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
         .select(col("doc_id"),
           concat((1 to SIMHASH_BITS).map(j =>
@@ -182,11 +185,18 @@ object LlmQueries {
     // per-chunk xor popcounts. Bit j of the fingerprint = bit (j mod 4)
     // of md5 hex nibble (j div 4): 64 independent bits from one md5.
     "dedup_simhash_hamming" -> ((s, dir) => {
+      // md5 ONCE per word and each hex nibble ONCE per row, projected
+      // ahead of the aggregate — the 64 bit-sums then read cheap
+      // pre-computed nibble columns instead of each re-hashing the word
+      // (64 md5s per row was the query's dominant cost).
       val words = Tables.documents(s, dir)
         .select(col("doc_id"), explode(toks).as("word"))
+        .withColumn("h", md5(col("word")))
+        .select(col("doc_id") +: (0 until 16).map(i =>
+          conv(substring(col("h"), i + 1, 1), 16, 10).cast("long").as(s"n$i")): _*)
       val sums = (0 until 64).map { j =>
-        val nib = conv(substring(md5(col("word")), j / 4 + 1, 1), 16, 10).cast("long")
-        sum(when(shiftright(nib, j % 4).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+        sum(when(shiftright(col(s"n${j / 4}"), j % 4).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"s$j")
       }
       val agg = words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
       val chunkCols = (0 until 4).map { c =>
