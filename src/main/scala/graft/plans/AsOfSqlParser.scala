@@ -142,8 +142,14 @@ object AsOfSqlParser {
       if (geIdx >= 0) (inner.substring(0, geIdx), inner.substring(geIdx + 2))
       else if (leIdx >= 0) (inner.substring(leIdx + 2), inner.substring(0, leIdx))
       else return None
-    // the ON keyword following the match condition
+    // the ON keyword following the match condition — and it must be
+    // the NEXT clause keyword: if another JOIN/WHERE/etc. intervenes
+    // (e.g. the unsupported `USING` form), bail to the delegate's
+    // native error rather than attach the marker to a LATER join's ON
     val onM = OnRe.findFirstMatchIn(masked.substring(parenClose + 1)).getOrElse(return None)
+    val intervening = """(?i)\b(JOIN|USING|WHERE|GROUP|ORDER|HAVING|UNION|LIMIT|QUALIFY)\b""".r
+      .findFirstMatchIn(masked.substring(parenClose + 1, parenClose + 1 + onM.start))
+    if (intervening.nonEmpty) return None
     val onEnd = parenClose + 1 + onM.end
     val marker = s" $MarkerFn(${greater.trim}, ${lesser.trim}) AND"
     val out = new StringBuilder

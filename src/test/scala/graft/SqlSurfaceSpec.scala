@@ -130,6 +130,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("syntax error") ||
       err.getMessage.toUpperCase.contains("PARSE"))
 
+    // the unsupported USING form must ERROR (delegate's native parse
+    // error), never silently attach the match to a later join's ON
+    val usingErr = intercept[Exception](spark.sql(
+      """SELECT * FROM clicks_sql l
+        |ASOF JOIN purchases_sql r MATCH_CONDITION (l.ts >= r.ts) USING (user_id)
+        |JOIN purchases_sql p2 ON l.user_id = p2.user_id""".stripMargin))
+    assert(usingErr.getMessage.toUpperCase.contains("PARSE") ||
+      usingErr.getMessage.toLowerCase.contains("syntax error"))
+
     // a derived-table (subquery) right side parses through untouched
     val sub = spark.sql(
       """SELECT l.event_id, r.p_value AS p_value
