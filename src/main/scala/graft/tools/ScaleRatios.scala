@@ -24,7 +24,8 @@ object ScaleRatios {
     val names = Seq(
       "a3_dedup_exact", "dedup_minhash_lsh", "dedup_minhash_verified",
       "dedup_simhash", "dedup_simhash_hamming", "dedup_ngram_jaccard",
-      "dedup_jaccard_dfcap", "sim_embedding_neardup")
+      "dedup_jaccard_dfcap", "sim_embedding_neardup",
+      "curate_repetition", "curate_weighted_sample", "sketch_quantile")
 
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
