@@ -48,9 +48,9 @@ object GraftExtensions {
     FunctionIdentifier(graft.plans.AsOfSqlParser.MarkerFn),
     new ExpressionInfo(classOf[graft.plans.AsOfMatch].getName, graft.plans.AsOfSqlParser.MarkerFn),
     (exprs: Seq[Expression]) => exprs match {
-      case Seq(a, b) => graft.plans.AsOfMatch(a, b)
+      case es if es.length >= 2 => graft.plans.AsOfMatch(es)
       case other => throw new IllegalArgumentException(
-        s"${graft.plans.AsOfSqlParser.MarkerFn} expects 2 args, got ${other.length}")
+        s"${graft.plans.AsOfSqlParser.MarkerFn} expects >= 2 args, got ${other.length}")
     })
 
   /** Runtime registration on an existing session. */

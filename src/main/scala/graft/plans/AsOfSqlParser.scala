@@ -13,10 +13,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * {{{
   * ... <leftRel> [AS] l
   * ASOF JOIN <rightRel> [AS] r
-  * MATCH_CONDITION (l.<ts> >= r.<ts>)   -- or <= for a forward as-of
+  * MATCH_CONDITION (l.<ts> >= r.<ts> [AND <bound> ...])
   * ON l.<k> = r.<k> [AND ...]
   * ...
   * }}}
+  *
+  * `<=` in the comparison gives a forward as-of. Extra conjuncts
+  * INSIDE MATCH_CONDITION are tolerance bounds evaluated against the
+  * matched right row — when one fails the match is nulled and the left
+  * row kept (e.g. `r.ts >= l.ts - INTERVAL 1 HOUR` = the DataFrame
+  * API's max-staleness knob) — whereas extra conjuncts in ON filter
+  * rows out.
   *
   * anywhere a regular join may appear: inside CTEs, subqueries, under
   * WHERE/GROUP BY, several per statement, with extra non-equi ON
@@ -97,6 +104,29 @@ object AsOfSqlParser {
   private val AsOfRe = """(?i)\bASOF\s+JOIN\b""".r
   private val McRe = """(?i)\bMATCH_CONDITION\s*\(""".r
   private val OnRe = """(?i)\bON\b""".r
+  private val AndRe = """(?i)\bAND\b""".r
+
+  /** Split `orig` at its top-level (paren-depth-0) ANDs, using the
+    * masked twin to find them; yields (maskedPart, origPart) pairs. */
+  private def splitTopLevelAnd(masked: String, orig: String): Seq[(String, String)] = {
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (start, end) of AND
+    var depth = 0
+    val ms = AndRe.findAllMatchIn(masked).toSeq
+    // recompute depth at each AND position by scanning once
+    val depthAt = new Array[Int](masked.length + 1)
+    var d = 0
+    var i = 0
+    while (i < masked.length) {
+      depthAt(i) = d
+      masked(i) match { case '(' => d += 1; case ')' => d -= 1; case _ => }
+      i += 1
+    }
+    ms.foreach(m => if (depthAt(m.start) == 0) cuts += ((m.start, m.end)))
+    val bounds = ((0, 0) +: cuts.toSeq :+ ((orig.length, orig.length)))
+    bounds.sliding(2).map { case Seq((_, s), (e, _)) =>
+      (masked.substring(s, e), orig.substring(s, e))
+    }.toSeq
+  }
 
   /** Rewrite every `ASOF JOIN … MATCH_CONDITION (a >= b) ON …` segment
     * into `LEFT JOIN … ON __graft_asof(a, b) AND …` (marker args always
@@ -135,13 +165,18 @@ object AsOfSqlParser {
     val parenClose = i - 1
     val innerMasked = masked.substring(parenOpen + 1, parenClose)
     val inner = sql.substring(parenOpen + 1, parenClose)
-    // split the match condition on its (single, top-level) comparator
-    val geIdx = innerMasked.indexOf(">=")
-    val leIdx = innerMasked.indexOf("<=")
+    // the match condition is `cmp [AND bound ...]`: the FIRST top-level
+    // conjunct is the as-of comparison; the rest become tolerance
+    // bounds (null the match when they fail — marker args 3..n)
+    val parts = splitTopLevelAnd(innerMasked, inner)
+    val (primMasked, prim) = parts.head
+    val geIdx = primMasked.indexOf(">=")
+    val leIdx = primMasked.indexOf("<=")
     val (greater, lesser) =
-      if (geIdx >= 0) (inner.substring(0, geIdx), inner.substring(geIdx + 2))
-      else if (leIdx >= 0) (inner.substring(leIdx + 2), inner.substring(0, leIdx))
+      if (geIdx >= 0) (prim.substring(0, geIdx), prim.substring(geIdx + 2))
+      else if (leIdx >= 0) (prim.substring(leIdx + 2), prim.substring(0, leIdx))
       else return None
+    val bounds = parts.tail.map(_._2.trim)
     // the ON keyword following the match condition — and it must be
     // the NEXT clause keyword: if another JOIN/WHERE/etc. intervenes
     // (e.g. the unsupported `USING` form), bail to the delegate's
@@ -151,7 +186,8 @@ object AsOfSqlParser {
       .findFirstMatchIn(masked.substring(parenClose + 1, parenClose + 1 + onM.start))
     if (intervening.nonEmpty) return None
     val onEnd = parenClose + 1 + onM.end
-    val marker = s" $MarkerFn(${greater.trim}, ${lesser.trim}) AND"
+    val markerArgs = (Seq(greater.trim, lesser.trim) ++ bounds).mkString(", ")
+    val marker = s" $MarkerFn($markerArgs) AND"
     val out = new StringBuilder
     out ++= sql.substring(0, asofStart)
     out ++= "LEFT JOIN"

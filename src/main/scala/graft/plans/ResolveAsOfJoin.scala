@@ -10,18 +10,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DataType, StructField, StructType, TimestampType}
 
 /** The ASOF match-condition marker: parsed from
-  * `__graft_asof(greater, lesser)` (injected function), carried inside
-  * the rewritten LEFT JOIN's ON condition until [[ResolveAsOfJoin]]
-  * consumes it. Unevaluable — if a marked join ever escapes the rule,
+  * `__graft_asof(greater, lesser[, bound...])` (injected function),
+  * carried inside the rewritten LEFT JOIN's ON condition until
+  * [[ResolveAsOfJoin]] consumes it. `bound` conjuncts are the
+  * MATCH_CONDITION's extra predicates — TOLERANCE semantics (null the
+  * match, keep the left row), unlike extra ON conjuncts which filter
+  * rows. Unevaluable — if a marked join ever escapes the rule,
   * execution fails loudly instead of silently mis-joining. */
-case class AsOfMatch(left: Expression, right: Expression)
-  extends BinaryExpression with Unevaluable {
+case class AsOfMatch(children: Seq[Expression]) extends Expression with Unevaluable {
+  def greater: Expression = children(0)
+  def lesser: Expression = children(1)
+  def bounds: Seq[Expression] = children.drop(2)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
-  override def sql: String = s"${left.sql} >= ${right.sql}"
+  override def sql: String =
+    (s"${greater.sql} >= ${lesser.sql}" +: bounds.map(_.sql)).mkString(" AND ")
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
 /** Replaces each LEFT JOIN whose condition carries an [[AsOfMatch]]
@@ -61,12 +66,12 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     // backward as-of (latest right <= left); greater-side on the build
     // (right) = forward as-of (earliest right >= left)
     val (probeTs, buildTs, backward) =
-      if (marker.left.references.subsetOf(left.outputSet) &&
-        marker.right.references.subsetOf(right.outputSet))
-        (marker.left, marker.right, true)
-      else if (marker.left.references.subsetOf(right.outputSet) &&
-        marker.right.references.subsetOf(left.outputSet))
-        (marker.right, marker.left, false)
+      if (marker.greater.references.subsetOf(left.outputSet) &&
+        marker.lesser.references.subsetOf(right.outputSet))
+        (marker.greater, marker.lesser, true)
+      else if (marker.greater.references.subsetOf(right.outputSet) &&
+        marker.lesser.references.subsetOf(left.outputSet))
+        (marker.lesser, marker.greater, false)
       else fail("MATCH_CONDITION must compare one expression per side")
 
     // equi conjuncts become the as-of keys; anything else is applied as
@@ -125,16 +130,34 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     val win = Window(Seq(asofAlias), gkAttrs, orderSpec, union, None)
     val probesOnly = Filter(EqualTo(sideAttr, Literal(1)), win)
 
+    // tolerance: extra MATCH_CONDITION conjuncts null the match (keep
+    // the left row) when they fail — right-side references evaluate
+    // against the MATCHED row, i.e. the as-of struct's fields
+    val asofAttr0 = asofAlias.toAttribute
+    val rightIdx = right.output.zipWithIndex.map { case (a, j) => a.exprId -> (j, a.name) }.toMap
+    val (matchSrc, asofAttr) =
+      if (marker.bounds.isEmpty) (probesOnly: LogicalPlan, asofAttr0)
+      else {
+        val cond = marker.bounds.map(_.transform {
+          case a: AttributeReference if rightIdx.contains(a.exprId) =>
+            val (j, nm) = rightIdx(a.exprId)
+            GetStructField(asofAttr0, j, Some(nm))
+        }).reduce[Expression](And)
+        val guard = Alias(
+          If(And(IsNotNull(asofAttr0), cond), asofAttr0, Literal(null, asofAttr0.dataType)),
+          "__asofg")()
+        (Project(probesOnly.output :+ guard, probesOnly): LogicalPlan, guard.toAttribute)
+      }
+
     // re-expose: left attrs pass through under their own ids; right
     // values unpack from the struct under their ORIGINAL ids/qualifiers
-    val asofAttr = asofAlias.toAttribute
     val restored = Project(
-      probesOnly.output.take(nL).map(a => a: NamedExpression) ++
+      matchSrc.output.take(nL).map(a => a: NamedExpression) ++
         right.output.zipWithIndex.map { case (a, j) =>
           Alias(GetStructField(asofAttr, j, Some(a.name)), a.name)(
             exprId = a.exprId, qualifier = a.qualifier)
         },
-      probesOnly)
+      matchSrc)
 
     if (extra.isEmpty) restored
     else Filter(extra.reduce(And), restored)

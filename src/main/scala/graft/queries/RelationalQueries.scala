@@ -120,6 +120,24 @@ object RelationalQueries {
               |ON l.user_id = r.user_id""".stripMargin)
     }),
 
+    // J1 tolerance via SQL: extra MATCH_CONDITION conjuncts are
+    // tolerance bounds (match nulled when they fail, left row kept) —
+    // unlike extra ON conjuncts, which filter rows. Same semantics as
+    // the DataFrame tolerance knob, proven against the same oracle.
+    "j1_asof_sql_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "click").createOrReplaceTempView("graft_clicks")
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+        .createOrReplaceTempView("graft_purchases")
+      s.sql("""SELECT l.event_id, l.user_id,
+              |r.p_event_id AS p_event_id, r.p_value AS p_value
+              |FROM graft_clicks l ASOF JOIN graft_purchases r
+              |MATCH_CONDITION (l.ts >= r.ts AND r.ts >= l.ts - INTERVAL 1 HOUR)
+              |ON l.user_id = r.user_id""".stripMargin)
+    }),
+
     // J1 with tolerance (max staleness): matches older than 1 hour
     // behind the probe are nulled, the left row is kept — the
     // reference's "how stale may the enrichment be" knob.
@@ -308,6 +326,14 @@ object RelationalQueries {
          |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "j1_asof_tolerance" ->
+      s"""SELECT l.event_id, l.user_id,
+         |CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.event_id END AS p_event_id,
+         |CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.value END AS p_value
+         |FROM (SELECT * FROM $oEvents WHERE event_type = 'click') l
+         |ASOF LEFT JOIN (SELECT * FROM $oEvents WHERE event_type = 'purchase') r
+         |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "j1_asof_sql_tolerance" ->
       s"""SELECT l.event_id, l.user_id,
          |CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.event_id END AS p_event_id,
          |CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR THEN r.value END AS p_value
