@@ -53,6 +53,9 @@ object ExplainAudit {
     audit("j1_asof_sql", "SQL surface lowers to the same one-Exchange shape") { p =>
       count(p, "Exchange") == 1 && count(p, "Window") == 1
     }
+    audit("j1_asof_sql_tolerance", "tolerance bound adds no shuffle to the as-of") { p =>
+      count(p, "Exchange") == 1 && count(p, "Window") == 1
+    }
     audit("j2_equijoin", "broadcast join, no shuffle join") { p =>
       p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
     }
