@@ -53,4 +53,37 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(sk2.level == sk.level && sk2.values.sorted == sk.values.sorted)
     assert(QuantileSketch.estimate(sk2, 0.95) == QuantileSketch.estimate(sk, 0.95))
   }
+
+  test("per-group streaming digests equal the grouped batch query") {
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val batch = graft.SparkEntry.queries("sketch_quantile_grouped")(spark, dir)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sample_n"),
+          r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val rows = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id").cast("string"), col("value"))
+      .as[(String, String, Double)].collect()
+
+    val last = scala.collection.concurrent.TrieMap.empty[String, QuantileSketch.QSketch]
+    val src = MemoryStream[(String, String, Double)]
+    val q = QuantileSketch.sketches[(String, String, Double)](src.toDS(),
+        _._1, _._2, _._3)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, QuantileSketch.QSketch)], _: Long) =>
+        b.collect().foreach { case (g, sk) => last(g) = sk }
+      }.start()
+    try {
+      rows.grouped(3000).foreach { c => src.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+
+    assert(last.keySet == batch.keySet)
+    batch.foreach { case (g, (n, sampleN, p50, p95)) =>
+      val sk = last(g)
+      assert(sk.n == n && sk.values.length.toLong == sampleN, s"group $g digest shape")
+      assert(QuantileSketch.estimate(sk, 0.5) == p50, s"group $g p50")
+      assert(QuantileSketch.estimate(sk, 0.95) == p95, s"group $g p95")
+    }
+  }
 }
