@@ -4,8 +4,8 @@ import java.util.LinkedHashSet
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,18 +22,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * hash set. ~4× faster on the documents corpus and the dominant cost of
   * the MinHash/Jaccard dedup pipeline (measured via graft.tools.Profile).
   *
+  * Codegen: `doGenCode` emits a direct static call into [[WordShingles
+  * .compute]], so the surrounding projection stays one whole-stage
+  * compiled loop — no CodegenFallback boxing of the input row and no
+  * interpreted expression dispatch per row.
+  *
   * Returns an empty array for texts with fewer than n tokens (matching
   * the DuckDB oracle's CASE WHEN len(w) >= n guard).
   */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+
+  /** The fused shingle scan — called from generated code (static
+    * forwarder) and from interpreted eval alike. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     // token boundaries: split on single 0x20 (ASCII space never occurs
     // inside a UTF-8 multi-byte sequence), empty tokens preserved —
@@ -75,11 +95,6 @@ case class WordShingles(child: Expression, n: Int)
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
-
-  override def prettyName: String = "word_shingles"
 }
 
 /** Column-level function surface of the graft engine. */
