@@ -194,14 +194,29 @@ object LlmQueries {
         .withColumn("h", md5(col("word")))
         .select(col("doc_id") +: (0 until 16).map(i =>
           conv(substring(col("h"), i + 1, 1), 16, 10).cast("long").as(s"n$i")): _*)
-      val sums = (0 until 64).map { j =>
-        sum(when(shiftright(col(s"n${j / 4}"), j % 4).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L)).as(s"s$j")
+      // The 64 per-bit ±1 sums collapse to 13 packed accumulators:
+      // each long carries 5 lanes of 12 bits counting the ONES of its
+      // bits (non-negative, so lanes never borrow into each other up
+      // to 4095 words/doc — far above this corpus; longer docs would
+      // need the unpacked 64-sum form). The signed sum recovers as
+      // s_j = 2·ones_j − W, so bit j of the fingerprint = 2·ones_j > W.
+      // Aggregation state shrinks 64 → 14 columns.
+      def bit(j: Int) = shiftright(col(s"n${j / 4}"), j % 4).bitwiseAND(lit(1L))
+      val packs = (0 until 13).map { g =>
+        sum((0 until 5).flatMap { l =>
+          val j = g * 5 + l
+          if (j < 64) Some(bit(j) * lit(1L << (12 * l))) else None
+        }.reduce(_ + _)).as(s"p$g")
       }
-      val agg = words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      val agg = words.groupBy(col("doc_id"))
+        .agg(packs.head, (packs.tail :+ count(lit(1)).as("W")): _*)
+      def ones(j: Int) =
+        shiftright(col(s"p${j / 5}"), 12 * (j % 5)).bitwiseAND(lit(0xfffL))
       val chunkCols = (0 until 4).map { c =>
-        (0 until 16).map(k =>
-          when(col(s"s${c * 16 + k}") > 0, lit(1L << k)).otherwise(0L)).reduce(_ + _).as(s"c$c")
+        (0 until 16).map { k =>
+          val j = c * 16 + k
+          when(ones(j) * 2 > col("W"), lit(1L << k)).otherwise(0L)
+        }.reduce(_ + _).as(s"c$c")
       }
       val fp = agg.select(col("doc_id") +: chunkCols: _*)
       val bands = fp.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
