@@ -165,12 +165,25 @@ object LlmQueries {
       val words = Tables.documents(s, dir)
         .select(col("doc_id"), explode(toks).as("word"))
         .select(col("doc_id"), md5(col("word")).as("h"))
-      val sums = (1 to SIMHASH_BITS).map(j =>
-        sum(when(substring(col("h"), j, 1) >= "8", 1L).otherwise(-1L)).as(s"s$j"))
-      val fp = words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      // same lane-packing as the hamming variant: count ONES per bit in
+      // 12-bit lanes (5 per long), recover the ±1 sum's sign as
+      // 2·ones > W — identical fingerprint, 16 aggregates become 4+1
+      val nPacks = (SIMHASH_BITS + 4) / 5
+      val packs = (0 until nPacks).map { g =>
+        sum((0 until 5).flatMap { l =>
+          val j = g * 5 + l
+          if (j < SIMHASH_BITS)
+            Some(when(substring(col("h"), j + 1, 1) >= "8", lit(1L << (12 * l))).otherwise(0L))
+          else None
+        }.reduce(_ + _)).as(s"p$g")
+      }
+      def ones(j: Int) =
+        shiftright(col(s"p${j / 5}"), 12 * (j % 5)).bitwiseAND(lit(0xfffL))
+      val fp = words.groupBy(col("doc_id"))
+        .agg(packs.head, (packs.tail :+ count(lit(1)).as("W")): _*)
         .select(col("doc_id"),
-          concat((1 to SIMHASH_BITS).map(j =>
-            when(col(s"s$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+          concat((0 until SIMHASH_BITS).map(j =>
+            when(ones(j) * 2 > col("W"), "1").otherwise("0")): _*).as("simhash"))
       fp.withColumn("cluster_n", count(lit(1)).over(Window.partitionBy(col("simhash"))))
     }),
 
