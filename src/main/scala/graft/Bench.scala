@@ -33,21 +33,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def median(xs: Seq[Double]): Double = {
-      val ok = xs.filter(_ >= 0)
-      if (ok.isEmpty) -1.0
-      else {
-        val s = ok.sorted
-        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      }
-    }
-
     // warm-up: JIT the scan/agg/codegen paths once, untimed
     exec("a1_fold_agg")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = (1 to math.max(1, reps)).map(_ => names.map(n => n -> exec(n)).toMap)
-    val results = names.map(n => n -> median(samples.map(_(n))))
+    val results = names.map(n => n -> Stats.median(samples.map(_(n)).filter(_ >= 0)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

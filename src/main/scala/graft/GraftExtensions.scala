@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.wordShinglesFn)
     e.injectFunction(GraftExtensions.asOfMarkerFn)
+    e.injectFunction(GraftExtensions.asOfStrictMarkerFn)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     e.injectParser((session, delegate) => new graft.plans.AsOfSqlParser(session, delegate))
     e.injectResolutionRule(session => graft.plans.ResolveAsOfJoin(session))
@@ -51,6 +52,17 @@ object GraftExtensions {
       case es if es.length >= 2 => graft.plans.AsOfMatch(es)
       case other => throw new IllegalArgumentException(
         s"${graft.plans.AsOfSqlParser.MarkerFn} expects >= 2 args, got ${other.length}")
+    })
+
+  /** Strict (`>`/`<`) variant — equal timestamps do not match. */
+  val asOfStrictMarkerFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(graft.plans.AsOfSqlParser.StrictMarkerFn),
+    new ExpressionInfo(classOf[graft.plans.AsOfMatch].getName,
+      graft.plans.AsOfSqlParser.StrictMarkerFn),
+    (exprs: Seq[Expression]) => exprs match {
+      case es if es.length >= 2 => graft.plans.AsOfMatch(es, strict = true)
+      case other => throw new IllegalArgumentException(
+        s"${graft.plans.AsOfSqlParser.StrictMarkerFn} expects >= 2 args, got ${other.length}")
     })
 
   /** Runtime registration on an existing session. */

@@ -1,0 +1,14 @@
+package graft
+
+/** Shared bench statistics (one definition — Bench, ScaleRatios and
+  * StreamBench previously each hand-rolled a median with subtly
+  * different even-size semantics). */
+private[graft] object Stats {
+  /** Median with averaged middle for even sizes; -1 on empty input. */
+  def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) -1.0
+    else {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+}

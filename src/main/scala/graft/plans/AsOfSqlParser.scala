@@ -76,6 +76,7 @@ class AsOfSqlParser(session: SparkSession, delegate: ParserInterface) extends Pa
 object AsOfSqlParser {
 
   val MarkerFn = "__graft_asof"
+  val StrictMarkerFn = "__graft_asof_strict"
 
   /** `sql` with every non-literal, non-comment character preserved and
     * the contents of '…'/"…"/`…` literals and comments blanked — the
@@ -88,17 +89,63 @@ object AsOfSqlParser {
       while (i < out.length && !sql.startsWith(close, i)) { out(i) = ' '; i += 1 }
       i += (if (i < out.length) close.length else 0)
     }
+    // quote-aware: '' / "" / `` doubling and backslash escapes inside
+    // string literals must NOT terminate the blanking — a flipped mask
+    // would let the rewrite edit literal text (or skip real grammar)
+    def blankQuoted(quote: Char, backslash: Boolean): Unit = {
+      i += 1 // opening quote stays visible
+      var done = false
+      while (i < out.length && !done) {
+        val c = sql(i)
+        if (backslash && c == '\\' && i + 1 < out.length) {
+          out(i) = ' '; out(i + 1) = ' '; i += 2
+        } else if (c == quote) {
+          if (i + 1 < out.length && sql(i + 1) == quote) {
+            out(i) = ' '; out(i + 1) = ' '; i += 2 // doubled = escaped
+          } else { i += 1; done = true } // real closing quote
+        } else { out(i) = ' '; i += 1 }
+      }
+    }
     while (i < out.length) {
       sql(i) match {
-        case '\'' => blankUntil("'", 1)
-        case '"'  => blankUntil("\"", 1)
-        case '`'  => blankUntil("`", 1)
+        case '\'' => blankQuoted('\'', backslash = true)
+        case '"'  => blankQuoted('"', backslash = true)
+        case '`'  => blankQuoted('`', backslash = false)
         case '-' if sql.startsWith("--", i) => blankUntil("\n", 2)
         case '/' if sql.startsWith("/*", i) => blankUntil("*/", 2)
         case _ => i += 1
       }
     }
     new String(out)
+  }
+
+  /** Strip balanced outer parentheses from an aligned (masked, orig)
+    * pair — `MATCH_CONDITION ((l.ts >= r.ts))` must split like the
+    * unparenthesized form. */
+  private def stripOuterParens(masked0: String, orig0: String): (String, String) = {
+    var s = 0
+    var e = masked0.length
+    def trimRange(): Unit = {
+      while (s < e && masked0(s).isWhitespace) s += 1
+      while (e > s && masked0(e - 1).isWhitespace) e -= 1
+    }
+    trimRange()
+    var changed = true
+    while (changed) {
+      changed = false
+      if (s < e && masked0(s) == '(' && masked0(e - 1) == ')') {
+        var d = 0
+        var i = s
+        var ok = true
+        while (i < e - 1) {
+          if (masked0(i) == '(') d += 1
+          else if (masked0(i) == ')') { d -= 1; if (d == 0) ok = false }
+          i += 1
+        }
+        if (ok) { s += 1; e -= 1; trimRange(); changed = true }
+      }
+    }
+    (masked0.substring(s, e), orig0.substring(s, e))
   }
 
   private val AsOfRe = """(?i)\bASOF\s+JOIN\b""".r
@@ -169,13 +216,21 @@ object AsOfSqlParser {
     // conjunct is the as-of comparison; the rest become tolerance
     // bounds (null the match when they fail — marker args 3..n)
     val parts = splitTopLevelAnd(innerMasked, inner)
-    val (primMasked, prim) = parts.head
+    val (primMasked, prim) = stripOuterParens(parts.head._1, parts.head._2)
     val geIdx = primMasked.indexOf(">=")
     val leIdx = primMasked.indexOf("<=")
-    val (greater, lesser) =
-      if (geIdx >= 0) (prim.substring(0, geIdx), prim.substring(geIdx + 2))
-      else if (leIdx >= 0) (prim.substring(leIdx + 2), prim.substring(0, leIdx))
-      else return None
+    // >=/<= checked first (a bare '>' search would also hit '>=');
+    // bare >/< are the STRICT forms (exclude equal timestamps)
+    val (greater, lesser, strict) =
+      if (geIdx >= 0) (prim.substring(0, geIdx), prim.substring(geIdx + 2), false)
+      else if (leIdx >= 0) (prim.substring(leIdx + 2), prim.substring(0, leIdx), false)
+      else {
+        val gIdx = primMasked.indexOf('>')
+        val lIdx = primMasked.indexOf('<')
+        if (gIdx >= 0) (prim.substring(0, gIdx), prim.substring(gIdx + 1), true)
+        else if (lIdx >= 0) (prim.substring(lIdx + 1), prim.substring(0, lIdx), true)
+        else return None
+      }
     val bounds = parts.tail.map(_._2.trim)
     // the ON keyword following the match condition — and it must be
     // the NEXT clause keyword: if another JOIN/WHERE/etc. intervenes
@@ -187,7 +242,8 @@ object AsOfSqlParser {
     if (intervening.nonEmpty) return None
     val onEnd = parenClose + 1 + onM.end
     val markerArgs = (Seq(greater.trim, lesser.trim) ++ bounds).mkString(", ")
-    val marker = s" $MarkerFn($markerArgs) AND"
+    val fn = if (strict) StrictMarkerFn else MarkerFn
+    val marker = s" $fn($markerArgs) AND"
     val out = new StringBuilder
     out ++= sql.substring(0, asofStart)
     out ++= "LEFT JOIN"

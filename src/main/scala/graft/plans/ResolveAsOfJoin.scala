@@ -17,14 +17,16 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructField, StructTyp
   * match, keep the left row), unlike extra ON conjuncts which filter
   * rows. Unevaluable — if a marked join ever escapes the rule,
   * execution fails loudly instead of silently mis-joining. */
-case class AsOfMatch(children: Seq[Expression]) extends Expression with Unevaluable {
+case class AsOfMatch(children: Seq[Expression], strict: Boolean = false)
+  extends Expression with Unevaluable {
   def greater: Expression = children(0)
   def lesser: Expression = children(1)
   def bounds: Seq[Expression] = children.drop(2)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def sql: String =
-    (s"${greater.sql} >= ${lesser.sql}" +: bounds.map(_.sql)).mkString(" AND ")
+    (s"${greater.sql} ${if (strict) ">" else ">="} ${lesser.sql}" +: bounds.map(_.sql))
+      .mkString(" AND ")
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
@@ -102,12 +104,19 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         keys.zipWithIndex.map { case ((lk, _), i) => Alias(lk, s"__gk$i")() } ++
         Seq(Alias(probeOrd, "__ts")(), Alias(Literal(1), "__side")()),
       left)
+    // SQL join-equality semantics: a NULL key matches nothing, but the
+    // window's partitionBy groups NULLs together — so null-keyed build
+    // rows are filtered out (they could match no probe), and null-keyed
+    // probe rows then sit in partitions with no build rows and emit
+    // NULL matches, exactly like the LEFT JOIN they replaced
+    val rightNonNull = keys.map(k => IsNotNull(k._2): Expression)
+      .reduceOption(And).map(Filter(_, right)).getOrElse(right)
     val rightTagged = Project(
       left.output.map(a => Alias(Literal(null, a.dataType), a.name)()) ++
         Seq(Alias(CreateStruct(right.output), "__rval")()) ++
         keys.zipWithIndex.map { case ((_, rk), i) => Alias(rk, s"__gk$i")() } ++
         Seq(Alias(buildOrd, "__ts")(), Alias(Literal(0), "__side")()),
-      right)
+      rightNonNull)
     val union = Union(Seq(leftTagged, rightTagged))
 
     val nL = left.output.size
@@ -119,9 +128,11 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // running last-right-value: ts asc for backward; ts desc for
     // forward (the "latest" in scan order is then the earliest >=
-    // probe). Right rows sort before left at equal ts — inclusive match
+    // probe). At equal ts, right rows sort BEFORE left for inclusive
+    // (>=/<=) matches and AFTER for strict (>/<) ones
     val dir = if (backward) Ascending else Descending
-    val orderSpec = Seq(SortOrder(tsAttr, dir), SortOrder(sideAttr, Ascending))
+    val sideDir = if (marker.strict) Descending else Ascending
+    val orderSpec = Seq(SortOrder(tsAttr, dir), SortOrder(sideAttr, sideDir))
     val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
     val asofAlias = Alias(
       WindowExpression(Last(rvalAttr, ignoreNulls = true).toAggregateExpression(),

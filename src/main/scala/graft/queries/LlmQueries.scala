@@ -166,21 +166,24 @@ object LlmQueries {
         .select(col("doc_id"), explode(toks).as("word"))
         .select(col("doc_id"), md5(col("word")).as("h"))
       // same lane-packing as the hamming variant: count ONES per bit in
-      // 12-bit lanes (5 per long), recover the ±1 sum's sign as
-      // 2·ones > W — identical fingerprint, 16 aggregates become 4+1
-      val nPacks = (SIMHASH_BITS + 4) / 5
+      // 16-bit lanes (4 per long), recover the ±1 sum's sign as
+      // 2·ones > W — identical fingerprint, 16 aggregates become 4+1;
+      // docs past 65535 tokens raise instead of silently corrupting
+      val nPacks = (SIMHASH_BITS + 3) / 4
       val packs = (0 until nPacks).map { g =>
-        sum((0 until 5).flatMap { l =>
-          val j = g * 5 + l
+        sum((0 until 4).flatMap { l =>
+          val j = g * 4 + l
           if (j < SIMHASH_BITS)
-            Some(when(substring(col("h"), j + 1, 1) >= "8", lit(1L << (12 * l))).otherwise(0L))
+            Some(when(substring(col("h"), j + 1, 1) >= "8", lit(1L << (16 * l))).otherwise(0L))
           else None
         }.reduce(_ + _)).as(s"p$g")
       }
       def ones(j: Int) =
-        shiftright(col(s"p${j / 5}"), 12 * (j % 5)).bitwiseAND(lit(0xfffL))
+        shiftright(col(s"p${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xffffL))
       val fp = words.groupBy(col("doc_id"))
-        .agg(packs.head, (packs.tail :+ count(lit(1)).as("W")): _*)
+        .agg(packs.head, (packs.tail :+ count(lit(1)).as("W0")): _*)
+        .withColumn("W", when(col("W0") < 65536L, col("W0"))
+          .otherwise(expr("raise_error('simhash lane overflow: document exceeds 65535 tokens')").cast("long")))
         .select(col("doc_id"),
           concat((0 until SIMHASH_BITS).map(j =>
             when(ones(j) * 2 > col("W"), "1").otherwise("0")): _*).as("simhash"))
@@ -207,24 +210,25 @@ object LlmQueries {
         .withColumn("h", md5(col("word")))
         .select(col("doc_id") +: (0 until 16).map(i =>
           conv(substring(col("h"), i + 1, 1), 16, 10).cast("long").as(s"n$i")): _*)
-      // The 64 per-bit ±1 sums collapse to 13 packed accumulators:
-      // each long carries 5 lanes of 12 bits counting the ONES of its
+      // The 64 per-bit ±1 sums collapse to 16 packed accumulators:
+      // each long carries 4 lanes of 16 bits counting the ONES of its
       // bits (non-negative, so lanes never borrow into each other up
-      // to 4095 words/doc — far above this corpus; longer docs would
-      // need the unpacked 64-sum form). The signed sum recovers as
-      // s_j = 2·ones_j − W, so bit j of the fingerprint = 2·ones_j > W.
-      // Aggregation state shrinks 64 → 14 columns.
+      // to 65535 words/doc; beyond that the guard below raises instead
+      // of silently corrupting fingerprints). The signed sum recovers
+      // as s_j = 2·ones_j − W, so fingerprint bit j = 2·ones_j > W.
+      // Aggregation state shrinks 64 → 17 columns.
       def bit(j: Int) = shiftright(col(s"n${j / 4}"), j % 4).bitwiseAND(lit(1L))
-      val packs = (0 until 13).map { g =>
-        sum((0 until 5).flatMap { l =>
-          val j = g * 5 + l
-          if (j < 64) Some(bit(j) * lit(1L << (12 * l))) else None
+      val packs = (0 until 16).map { g =>
+        sum((0 until 4).map { l =>
+          bit(g * 4 + l) * lit(1L << (16 * l))
         }.reduce(_ + _)).as(s"p$g")
       }
       val agg = words.groupBy(col("doc_id"))
-        .agg(packs.head, (packs.tail :+ count(lit(1)).as("W")): _*)
+        .agg(packs.head, (packs.tail :+ count(lit(1)).as("W0")): _*)
+        .withColumn("W", when(col("W0") < 65536L, col("W0"))
+          .otherwise(expr("raise_error('simhash lane overflow: document exceeds 65535 tokens')").cast("long")))
       def ones(j: Int) =
-        shiftright(col(s"p${j / 5}"), 12 * (j % 5)).bitwiseAND(lit(0xfffL))
+        shiftright(col(s"p${j / 4}"), 16 * (j % 4)).bitwiseAND(lit(0xffffL))
       val chunkCols = (0 until 4).map { c =>
         (0 until 16).map { k =>
           val j = c * 16 + k

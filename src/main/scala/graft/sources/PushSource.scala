@@ -117,12 +117,17 @@ class PushDataSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // options arrive case-sensitively here but case-insensitively in
+    // inferSchema — normalize, or a differently-cased includeOffset
+    // would declare a 2-column schema while the reader emits 1 column
+    val opts = new CaseInsensitiveStringMap(properties)
     new PushTable(
-      properties.getOrDefault("channel", "default"),
-      properties.getOrDefault("startingOffset", "0").toLong,
-      properties.getOrDefault("maxPerBatch", "0").toLong,
-      properties.getOrDefault("includeOffset", "false").toBoolean)
+      opts.getOrDefault("channel", "default"),
+      opts.getLong("startingOffset", 0L),
+      opts.getLong("maxPerBatch", 0L),
+      opts.getBoolean("includeOffset", false))
+  }
 }
 
 private[sources] class PushTable(

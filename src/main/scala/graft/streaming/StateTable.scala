@@ -77,10 +77,32 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
     private def decode(s: String): String =
       new String(java.util.Base64.getDecoder.decode(s), java.nio.charset.StandardCharsets.UTF_8)
 
+    // Strings compare in UNSIGNED UTF-8 BYTE order — the ordering
+    // Spark's min/max computed the stats in (UTF8String.compareTo).
+    // Java String.compareTo is UTF-16 code-unit order, which disagrees
+    // for supplementary characters vs U+E000..U+FFFF and would prune a
+    // file that actually holds the key.
+    private def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+
     private def cmp(probe: Any, bound: String): Option[Int] = (ktype, probe) match {
-      case ("s", p: String) => Some(p.compareTo(decode(bound)))
+      case ("s", p: String) => Some(utf8Cmp(p, decode(bound)))
       case ("l", p: Number) => Some(java.lang.Long.compare(p.longValue, decode(bound).toLong))
       case ("d", p: Number) => Some(java.lang.Double.compare(p.doubleValue, decode(bound).toDouble))
+      // float bounds re-parse as FLOATS: widening the probe to double
+      // against a string-round-tripped float bound mis-orders near the
+      // bound (0.1f.doubleValue > "0.1".toDouble) and wrongly prunes
+      case ("f", p: Number) => Some(java.lang.Float.compare(p.floatValue, decode(bound).toFloat))
       case _                => None // unknown algebra: never prune
     }
 
@@ -203,7 +225,8 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
     val ktype = staged.schema.find(_.name == keyCol).map(_.dataType) match {
       case Some(StringType) => "s"
       case Some(ByteType | ShortType | IntegerType | LongType) => "l"
-      case Some(DoubleType | FloatType) => "d"
+      case Some(DoubleType) => "d"
+      case Some(FloatType) => "f"
       case _ => ""
     }
     if (ktype.isEmpty) return names.map(FileEntry(_, "", None, None))
@@ -233,30 +256,45 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
 
   /** Atomic publish of manifest `version`; false = lost a commit race.
     *
-    * Local filesystems get a true O_EXCL exclusive create (POSIX
-    * rename(2) silently OVERWRITES an existing destination, so the
-    * exists-check + rename pair has a window where two same-version
-    * committers both "win" and one manifest is lost — observed as a
-    * rare two-writer race flake). A torn concurrent read of the
-    * directly written file is rejected by the parse-time terminator
-    * check, so readers fall back to the previous version. HDFS-like
-    * filesystems keep the tmp + rename-no-overwrite protocol, which IS
-    * atomic on a namenode. */
+    * Local filesystems: the manifest is fully written to a tmp file,
+    * then CLAIMED at its final path with an atomic hard link —
+    * link(2) fails EEXIST if the destination exists (a true
+    * no-overwrite lock, unlike POSIX rename which silently overwrites
+    * — the exists+rename pair was an observed two-writer race), and
+    * the destination appears fully written or not at all (no torn
+    * manifest can ever sit at a version path and wedge that version —
+    * a crash mid-write only ever leaves a tmp file). Filesystems
+    * without hard links fall back to O_EXCL direct write; the
+    * parse-time terminator check makes a torn file invisible to
+    * readers there. HDFS-like filesystems keep tmp +
+    * rename-no-overwrite, which IS atomic on a namenode. */
   private def commit(m: Manifest): Boolean = {
     val f = fs
     f.mkdirs(manifestDir)
     val dst = new Path(manifestDir, f"v${m.version}%020d.json")
+    val bytes = renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (f.getScheme == "file") {
-      val p = java.nio.file.Paths.get(dst.toUri.getPath)
+      val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
+      val tmpP = dstP.resolveSibling(".tmp-" + UUID.randomUUID().toString)
+      java.nio.file.Files.write(tmpP, bytes)
       try {
-        val ch = java.nio.file.Files.newByteChannel(p,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        try ch.write(java.nio.ByteBuffer.wrap(
-          renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        finally ch.close()
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        try {
+          java.nio.file.Files.createLink(dstP, tmpP)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // no hard links (exotic local fs): O_EXCL direct write;
+            // readers reject a torn file via the terminator check
+            try {
+              val ch = java.nio.file.Files.newByteChannel(dstP,
+                java.nio.file.StandardOpenOption.CREATE_NEW,
+                java.nio.file.StandardOpenOption.WRITE)
+              try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+              true
+            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmpP)
     } else {
       val tmp = new Path(manifestDir, ".tmp-" + UUID.randomUUID().toString)
       writeFile(tmp, renderManifest(m))

@@ -35,7 +35,7 @@ object ScaleRatios {
       SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def median(xs: Seq[Double]): Double = graft.Stats.median(xs)
 
     // warm both paths once
     time("a3_dedup_exact", base); time("a3_dedup_exact", big)

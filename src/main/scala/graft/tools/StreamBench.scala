@@ -125,7 +125,7 @@ object StreamBench {
       (System.nanoTime() - t0) / 1e6
     }
     q.stop()
-    val med = times.sorted.apply(timedBatches / 2)
+    val med = graft.Stats.median(times)
     println(f"[streambench] asof steady-eviction: buffer≈$retentionUs%d entries, " +
       f"$perBatch/batch -> median ${med}%.1f ms/batch")
     med

@@ -124,11 +124,54 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .select(col("lts").cast("long"), col("rts").cast("long")).collect()
     assert(rows.nonEmpty && rows.forall(r => r.getLong(0) <= r.getLong(1)))
 
+    // strict vs inclusive at EQUAL timestamps, and SQL NULL-key
+    // semantics, on controlled data
+    Seq((Some(1L), 100L, "c1"), (Some(2L), 200L, "c2"), (Option.empty[Long], 300L, "c3"))
+      .toDF("k", "tsu", "pay")
+      .selectExpr("k", "CAST(tsu / 1.0 AS TIMESTAMP) AS ts", "pay")
+      .createOrReplaceTempView("strict_l")
+    Seq((Some(1L), 100L, "r_eq"), (Some(1L), 50L, "r_old"),
+      (Option.empty[Long], 60L, "r_nullkey"))
+      .toDF("k", "tsu", "rpay")
+      .selectExpr("k", "CAST(tsu / 1.0 AS TIMESTAMP) AS ts", "rpay")
+      .createOrReplaceTempView("strict_r")
+    def q(op: String) = spark.sql(
+      s"""SELECT l.pay, r.rpay AS rpay FROM strict_l l ASOF JOIN strict_r r
+         |MATCH_CONDITION (l.ts $op r.ts) ON l.k = r.k""".stripMargin)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val inc = q(">=")
+    assert(inc("c1") == Some("r_eq"), "inclusive: equal-ts right row matches")
+    val strict = q(">")
+    assert(strict("c1") == Some("r_old"), "strict: equal-ts right row excluded")
+    // NULL keys: null-keyed left rows match nothing; the null-keyed
+    // right row matches nothing (a real LEFT JOIN would do the same)
+    assert(inc("c3").isEmpty && strict("c3").isEmpty)
+    assert(inc("c2").isEmpty, "no same-key right row for k=2")
+
     // near-miss (no MATCH_CONDITION) falls back to Spark's own error
     val err = intercept[Exception](spark.sql(
       "SELECT * FROM clicks_sql l ASOF JOIN purchases_sql r ON l.user_id = r.user_id"))
     assert(err.getMessage.toLowerCase.contains("syntax error") ||
       err.getMessage.toUpperCase.contains("PARSE"))
+
+    // escaped quotes ('' doubling) must not flip the literal mask: the
+    // second literal contains the whole grammar and must pass through
+    // byte-identical while the REAL asof join still lowers
+    val esc = spark.sql(
+      """SELECT 'it''s', 'keep ASOF JOIN x MATCH_CONDITION (a >= b) ON here' AS note,
+        |r.p_value AS p_value
+        |FROM clicks_sql l ASOF JOIN purchases_sql r
+        |MATCH_CONDITION (l.ts >= r.ts) ON l.user_id = r.user_id""".stripMargin)
+    assert(esc.select("note").distinct().collect().head.getString(0) ==
+      "keep ASOF JOIN x MATCH_CONDITION (a >= b) ON here")
+    assert(esc.count() > 0)
+
+    // parenthesized match conditions split like the bare form
+    val paren = spark.sql(
+      """SELECT l.event_id, r.p_value AS p_value
+        |FROM clicks_sql l ASOF JOIN purchases_sql r
+        |MATCH_CONDITION ((l.ts >= r.ts)) ON l.user_id = r.user_id""".stripMargin)
+    assert(paren.count() > 0)
 
     // the unsupported USING form must ERROR (delegate's native parse
     // error), never silently attach the match to a later join's ON

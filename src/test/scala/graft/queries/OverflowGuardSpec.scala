@@ -1,0 +1,36 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** The simhash lane-packing overflow guard: a document past 65535
+  * tokens would overflow a 16-bit ones-count lane into its neighbor
+  * and silently corrupt fingerprints — the queries must RAISE instead
+  * (correct-or-loud, never silently wrong). Two loud paths exist:
+  * the explicit `W < 65536` guard, or — when the overflowing bits sit
+  * in the TOP lane, whose per-row contribution is 2^48 — Spark's own
+  * ANSI addExact fires first on the packed long sum. Either is a
+  * correct refusal; the test accepts both. */
+class OverflowGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash queries raise loudly past 65535 tokens per document") {
+    val dir = Files.createTempDirectory("ovf").toFile.getAbsolutePath
+    val giant = Seq.fill(70000)("w").mkString(" ")
+    Seq((0L, giant), (1L, "a small document"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    Seq("dedup_simhash", "dedup_simhash_hamming").foreach { q =>
+      val e = intercept[Exception] {
+        graft.SparkEntry.queries(q)(spark, dir).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.toLowerCase.contains("overflow")),
+        s"$q must raise a lane-overflow or ANSI-overflow error, got: ${messages(e)}")
+    }
+  }
+}

@@ -83,6 +83,23 @@ class PushSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("reader options are case-insensitive end to end") {
+    PushSource.clear("ci")
+    PushSource.push("ci", "a", "b", "c")
+    // all-lowercase spellings: schema (includeoffset) and seek
+    // (startingoffset) must still take effect — a case mismatch
+    // between inferSchema and getTable used to desync schema and rows
+    val q = spark.readStream.format("graft-push")
+      .option("channel", "ci").option("startingoffset", 1)
+      .option("includeoffset", "true").load()
+      .writeStream.format("memory").queryName("push_ci").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("push_ci").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "b"), (2L, "c")))
+    } finally q.stop()
+  }
+
   test("maxPerBatch bounds each micro-batch (Kafka maxOffsetsPerTrigger parity)") {
     PushSource.clear("cap")
     PushSource.push("cap", (1 to 7).map(i => s"v$i"): _*)

@@ -206,6 +206,18 @@ class StateTableSpec extends AnyFunSuite {
     n.put(Seq((9L, "x"), (10L, "y")).toDF("key", "v"))
     assert(n.get(10L).map(_.getAs[String]("v")).contains("y"))
     assert(n.filesForKey(11L).isEmpty)
+    // float keys compare as FLOATS (a probe widened to double sits
+    // above the string-round-tripped bound and used to prune its file)
+    val (fl, _) = fresh()
+    fl.put(Seq((0.1f, "a"), (0.3f, "b")).toDF("key", "v"))
+    assert(fl.get(0.1f).map(_.getAs[String]("v")).contains("a"))
+    assert(fl.get(0.3f).map(_.getAs[String]("v")).contains("b"))
+    // string stats compare in UTF-8 byte order (Spark's), not UTF-16:
+    // U+E000 < U+10000 in UTF-8 but not in UTF-16 code units
+    val (u, _) = fresh()
+    u.put(Seq(("\uE000", 1), (new String(Character.toChars(0x1F600)), 2)).toDF("key", "v"))
+    assert(u.get("\uE000").map(_.getAs[Int]("v")).contains(1))
+    assert(u.get(new String(Character.toChars(0x1F600))).map(_.getAs[Int]("v")).contains(2))
   }
 
   test("changeStream: a second streaming query observes each committed put (S4, cookbook.rst:529-588)") {
