@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.AsOfJoin
-import graft.queries.{ExtendedQueries, LlmQueries, RelationalQueries}
+import graft.queries.{CorpusQueries, ExtendedQueries, LlmQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,8 +30,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ LlmQueries.queries ++ ExtendedQueries.queries
+    RelationalQueries.queries ++ LlmQueries.queries ++ ExtendedQueries.queries ++
+      CorpusQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ LlmQueries.oracles ++ ExtendedQueries.oracles
+    RelationalQueries.oracles ++ LlmQueries.oracles ++ ExtendedQueries.oracles ++
+      CorpusQueries.oracles
 }

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Corpus-level curation operators that close the loop AFTER pairwise
+  * candidates exist: cluster resolution (which docs are the same
+  * document?), benchmark-contamination scanning (is my eval set in the
+  * training corpus?), per-group cardinality sketches, and BM25 ranked
+  * retrieval. Reference scope: slipstream has no batch curation story;
+  * these extend its pipe/aggregate vocabulary (slipstream/operations.py)
+  * to the corpus jobs a training-data pipeline runs at 100 TB.
+  *
+  * Scale design:
+  * - dedup_clusters: min-label propagation over the CAPPED candidate
+  *   edge list. Cohort caps bound every component's size (≤ BANDS ×
+  *   LSH_CAP docs) and therefore its diameter, so the driver loop runs
+  *   O(diameter) ≤ ~tens of joins, each a shuffle on doc_id with
+  *   map-side combine — never a whole-graph driver collect. (At
+  *   planetary graph sizes the same loop swaps min-propagation for
+  *   large-star/small-star, which converges in O(log n) rounds; with
+  *   capped components the simple form is already bounded.) Lineage is
+  *   truncated per round with localCheckpoint so the plan doesn't grow
+  *   with the iteration count.
+  * - contaminate_ngrams: the eval set is tiny (benchmarks are MBs; the
+  *   corpus is TBs), so its shingle fingerprints broadcast and the
+  *   corpus streams through a map-side hash join — zero corpus shuffle
+  *   before the (hits-only) aggregation.
+  * - sketch_hll_grouped: fixed 256 longs of state per group cross the
+  *   shuffle, never the values.
+  * - text_bm25_topk: term postings are filtered to the query's terms
+  *   BEFORE any join (the inverted-index access path), so the score
+  *   join touches |terms| × |matching docs| rows, not the corpus.
+  */
+object CorpusQueries {
+
+  import LlmQueries.{lshCandidatePairs, oLshCand, oShingles, shingles3, toks}
+
+  /** Docs whose id is ≡ 0 mod EVAL_MOD play the held-out benchmark. */
+  private val EVAL_MOD = 97
+  /** Min shared distinct 3-shingles to flag a contamination hit. */
+  private val CONTAM_MIN = 3
+  /** BM25 free parameters (standard Robertson defaults). */
+  private val BM25_K1 = 1.2
+  private val BM25_B = 0.75
+  private val BM25_TERMS = Seq("spark", "vector", "merge")
+  private val TOPK = 10
+
+  /** Connected components of the LSH candidate graph by iterative
+    * min-label propagation; converges when the (monotone non-increasing)
+    * label sum stops moving. Labels only ever decrease, so an unchanged
+    * sum proves a fixpoint, for the cost of one scalar agg per round. */
+  private[queries] def components(edgesIn: DataFrame): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val edges = edgesIn.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edgesIn.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      iter += 1
+      if (iter > 64)
+        // caps bound component diameter; hitting this means the cap
+        // contract broke upstream — refuse loudly, never loop forever
+        throw new IllegalStateException(
+          s"dedup_clusters: no fixpoint after 64 rounds (uncapped component?)")
+      val prop = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, labels("node") === prop("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("label"))).first().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+    }
+    labels
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Near-dup cluster resolution: candidate pairs → connected
+    // components → canonical representative (min doc_id). The "keep"
+    // column is the dedup decision a pipeline acts on; singleton docs
+    // (no candidate edge) are implicitly kept and not re-listed.
+    "dedup_clusters" -> ((s, dir) => {
+      val labels = components(lshCandidatePairs(s, dir))
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+    }),
+
+    // Benchmark-contamination scan: corpus docs sharing ≥ CONTAM_MIN
+    // distinct 3-shingles with any eval-set doc. The eval side is
+    // broadcast; shared counts are exact integers.
+    "contaminate_ngrams" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalG = docs.where(col("doc_id") % EVAL_MOD === 0)
+        .select(col("doc_id").as("bench_id"), explode(shingles3).as("sh"))
+      val corpG = docs.where(col("doc_id") % EVAL_MOD =!= 0)
+        .select(col("doc_id"), explode(shingles3).as("sh"))
+      corpG.join(broadcast(evalG), "sh")
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("shared_ngrams"))
+        .where(col("shared_ngrams") >= CONTAM_MIN)
+    }),
+
+    // Per-group HLL: the global sketch_hll_distinct keyed by event_type.
+    // All 2^8 registers per group (empties at rho 0); the register sum
+    // is a sum of powers of two spanning 33 bits < the 53-bit mantissa,
+    // so it is EXACT and order-independent — hash-safe on both engines.
+    "sketch_hll_grouped" -> ((s, dir) => {
+      val h = md5(col("event_id").cast("string"))
+      val suffix = conv(substring(h, 3, 8), 16, 10).cast("long")
+      val rho = (lit(33) - length(bin(col("suffix")))).cast("int")
+      val regs = Tables.events(s, dir)
+        .select(col("event_type"),
+          conv(substring(h, 1, 2), 16, 10).cast("long").as("reg"),
+          suffix.as("suffix"))
+        .withColumn("rho", when(col("suffix") === 0L, lit(33)).otherwise(rho))
+        .groupBy(col("event_type"), col("reg")).agg(max(col("rho")).as("r"))
+      val types = Tables.events(s, dir).select(col("event_type")).distinct()
+      val allRegs = types.crossJoin(s.range(256).select(col("id").as("reg")))
+        .join(regs, Seq("event_type", "reg"), "left")
+        .select(col("event_type"), coalesce(col("r"), lit(0)).as("r"))
+      val est = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+        lit(256.0) * lit(256.0) /
+        sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), r)").cast("double"))
+      val exact = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("event_id")).as("exact_distinct"))
+      allRegs.groupBy(col("event_type")).agg(est.as("hll_estimate"))
+        .join(exact, "event_type")
+        .select(col("event_type"), col("hll_estimate"), col("exact_distinct"),
+          (col("hll_estimate") / col("exact_distinct")).as("ratio"))
+    }),
+
+    // BM25 ranked retrieval for a fixed term set. Postings are filtered
+    // to the query terms before any join; per-term partial scores are
+    // summed in FIXED term order (each term contributes ≤ 1 row per
+    // doc), and the score is rounded through DECIMAL(18,8) BEFORE the
+    // ordering so a sub-1e-8 ln() ULP difference between engines can
+    // neither flip the hash nor the top-k boundary.
+    "text_bm25_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toksDf = docs.select(col("doc_id"), explode(toks).as("word"))
+      val dl = toksDf.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      val tf = toksDf.where(col("word").isin(BM25_TERMS: _*))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val w = tf.join(broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("avgdl", col("tot").cast("double") / col("n_docs"))
+        .withColumn("w",
+          col("idf") * (col("tf") * lit(BM25_K1 + 1.0)) /
+            (col("tf") + lit(BM25_K1) *
+              (lit(1.0 - BM25_B) + lit(BM25_B) * col("dl") / col("avgdl"))))
+      val scored = w.groupBy(col("doc_id")).agg(
+        BM25_TERMS.map(t =>
+          coalesce(sum(when(col("word") === t, col("w"))), lit(0.0)))
+          .reduce(_ + _).as("score0"))
+      scored
+        .select(col("doc_id"),
+          col("score0").cast(DecimalType(18, 8)).cast("double").as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(TOPK)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "dedup_clusters" -> {
+      val withRec = oShingles.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$withRec,
+         |$oLshCand,
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM cand
+         |UNION SELECT doc_b, doc_a FROM cand),
+         |r(node, lab) AS (
+         |SELECT s, s FROM edges
+         |UNION
+         |SELECT e2.t, r.lab FROM r JOIN edges e2 ON e2.s = r.node),
+         |assign AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM r GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         |COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |doc_id = cluster_id AS keep
+         |FROM assign""".stripMargin
+    },
+
+    "contaminate_ngrams" ->
+      s"""$oShingles,
+         |ev AS (SELECT doc_id AS bench_id, unnest(sh) AS g FROM s
+         |WHERE doc_id % $EVAL_MOD = 0),
+         |cg AS (SELECT doc_id, unnest(sh) AS g FROM s
+         |WHERE doc_id % $EVAL_MOD <> 0)
+         |SELECT cg.doc_id, ev.bench_id, COUNT(*) AS shared_ngrams
+         |FROM cg JOIN ev ON cg.g = ev.g
+         |GROUP BY cg.doc_id, ev.bench_id
+         |HAVING COUNT(*) >= $CONTAM_MIN""".stripMargin,
+
+    "sketch_hll_grouped" ->
+      """WITH ev AS (SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+        |rows_ AS (SELECT event_type, ('0x' || substr(h, 1, 2))::BIGINT AS reg,
+        |('0x' || substr(h, 3, 8))::BIGINT AS suffix FROM ev),
+        |regs AS (SELECT event_type, reg,
+        |MAX(CASE WHEN suffix = 0 THEN 33
+        |ELSE 33 - length(bin(suffix)) END) AS r
+        |FROM rows_ GROUP BY event_type, reg),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |allregs AS (SELECT types.event_type, COALESCE(r, 0) AS r
+        |FROM types CROSS JOIN generate_series(0, 255) g(reg)
+        |LEFT JOIN regs ON regs.event_type = types.event_type AND regs.reg = g.reg),
+        |e AS (SELECT event_type, (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |SUM(1.0 / CAST(1::BIGINT << r AS DOUBLE)) AS hll_estimate
+        |FROM allregs GROUP BY event_type),
+        |x AS (SELECT event_type, COUNT(DISTINCT event_id) AS exact_distinct
+        |FROM events GROUP BY event_type)
+        |SELECT e.event_type, hll_estimate, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+        |hll_estimate / exact_distinct AS ratio
+        |FROM e JOIN x ON e.event_type = x.event_type""".stripMargin,
+
+    "text_bm25_topk" -> {
+      val termList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+      val termSum = BM25_TERMS.map(t =>
+        s"COALESCE(SUM(CASE WHEN word = '$t' THEN w END), 0.0)").mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tk
+         |WHERE word IN ($termList) GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+         |wt AS (SELECT tf.doc_id, tf.word,
+         |ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+         |(tf * ${BM25_K1 + 1.0}) /
+         |(tf + $BM25_K1 * (${1.0 - BM25_B} + $BM25_B * dl /
+         |(CAST(tot AS DOUBLE) / n_docs))) AS w
+         |FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |scored AS (SELECT doc_id, $termSum AS score0 FROM wt GROUP BY doc_id)
+         |SELECT doc_id,
+         |CAST(CAST(score0 AS DECIMAL(18,8)) AS DOUBLE) AS score
+         |FROM scored ORDER BY score DESC, doc_id LIMIT $TOPK""".stripMargin
+    }
+  )
+}

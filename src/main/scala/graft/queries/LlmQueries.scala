@@ -48,12 +48,12 @@ object LlmQueries {
   private val EMB_CAP = 50
 
   /** Word tokens of the document text (single-space separated). */
-  private def toks: Column = split(col("text"), " ")
+  private[queries] def toks: Column = split(col("text"), " ")
 
   /** Distinct 3-word shingles; empty for docs shorter than 3 tokens.
     * Fused custom expression (graft.functions.WordShingles) — one byte
     * pass instead of interpreted HOF lambdas. */
-  private def shingles3: Column =
+  private[queries] def shingles3: Column =
     graft.functions.functions.word_shingles(col("text"), 3)
 
   // The minhash family: ONE md5 per shingle, split into 8 independent
@@ -68,7 +68,7 @@ object LlmQueries {
 
   // ---- DuckDB SQL fragments kept adjacent to their Spark twins ----
 
-  private val oShingles =
+  private[queries] val oShingles =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
       |list_distinct(list_transform(range(1, len(w) - 1),
@@ -78,6 +78,47 @@ object LlmQueries {
   private def oMinhash(i: Int): String =
     s"min(substr(h, ${4 * i + 1}, 4)) AS h$i"
 
+  /** MinHash+LSH candidate pairs (doc_a < doc_b) — the shared front end
+    * of dedup_minhash_lsh / dedup_minhash_verified / dedup_clusters.
+    * One shuffle on band keys; cohorts over LSH_CAP dropped. */
+  private[queries] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles3).as("sh"))
+      .withColumn("h", md5(col("sh")))
+    val sig = hashed.groupBy(col("doc_id")).agg(
+      (0 until SIG_K).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).head,
+      (0 until SIG_K).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).tail: _*)
+    val bandCols = (0 until BANDS).map { b =>
+      concat((0 until ROWS).map(r => col(s"h${b * ROWS + r}")): _*)
+    }
+    val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("bi", "bk")))
+      .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("bi"), col("bk"))))
+      .where(col("cohort") <= LSH_CAP)
+      .drop("cohort")
+    bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB twin of [[lshCandidatePairs]]: CTE chain ending in
+    * `cand(doc_a, doc_b)`. Prepend after the shingle CTEs. */
+  private[queries] val oLshCand: String = {
+    val bandSelects = (0 until BANDS).map { b =>
+      val k = (0 until ROWS).map(r => s"h${b * ROWS + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS bi, $k AS bk FROM m"
+    }.mkString(" UNION ALL ")
+    s"""e AS (SELECT doc_id, md5(unnest(sh)) AS h FROM s),
+       |m AS (SELECT doc_id, ${(0 until SIG_K).map(oMinhash).mkString(", ")} FROM e GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |capped AS (SELECT * FROM bands
+       |QUALIFY COUNT(*) OVER (PARTITION BY bi, bk) <= $LSH_CAP),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM capped a JOIN capped b
+       |ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // MinHash + LSH near-duplicate candidate pairs: explode shingles →
@@ -85,27 +126,7 @@ object LlmQueries {
     // self-join (one shuffle, no cross join). Band-key cohorts above
     // LSH_CAP are dropped before the join (identical-signature cohorts —
     // boilerplate, empty docs — would otherwise yield O(c²) pairs).
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      val hashed = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(shingles3).as("sh"))
-        .withColumn("h", md5(col("sh")))
-      val sig = hashed.groupBy(col("doc_id")).agg(
-        (0 until SIG_K).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).head,
-        (0 until SIG_K).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).tail: _*)
-      val bandCols = (0 until BANDS).map { b =>
-        concat((0 until ROWS).map(r => col(s"h${b * ROWS + r}")): _*)
-      }
-      val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("bi", "bk")))
-        .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("bi"), col("bk"))))
-        .where(col("cohort") <= LSH_CAP)
-        .drop("cohort")
-      val a = bands.as("a"); val b = bands.as("b")
-      a.join(b,
-          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-    }),
+    "dedup_minhash_lsh" -> ((s, dir) => lshCandidatePairs(s, dir)),
 
     // The full dedup composition in one plan: MinHash/LSH generates
     // candidates (cheap, high recall), exact edit distance verifies them
@@ -114,24 +135,7 @@ object LlmQueries {
     // pairs, not 125k.
     "dedup_minhash_verified" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val hashed = docs
-        .select(col("doc_id"), explode(shingles3).as("sh"))
-        .withColumn("h", md5(col("sh")))
-      val sig = hashed.groupBy(col("doc_id")).agg(
-        (0 until SIG_K).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).head,
-        (0 until SIG_K).map(i => min(substring(col("h"), 4 * i + 1, 4)).as(s"h$i")).tail: _*)
-      val bandCols = (0 until BANDS).map { b =>
-        concat((0 until ROWS).map(r => col(s"h${b * ROWS + r}")): _*)
-      }
-      val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("bi", "bk")))
-        .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("bi"), col("bk"))))
-        .where(col("cohort") <= LSH_CAP)
-        .drop("cohort")
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val cand = lshCandidatePairs(s, dir)
       val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
       val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
       // Verify stage discipline for expensive-per-row work:
@@ -554,36 +558,14 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "dedup_minhash_lsh" -> {
-      val bandSelects = (0 until BANDS).map { b =>
-        val k = (0 until ROWS).map(r => s"h${b * ROWS + r}").mkString(" || ")
-        s"SELECT doc_id, $b AS bi, $k AS bk FROM m"
-      }.mkString(" UNION ALL ")
+    "dedup_minhash_lsh" ->
       s"""$oShingles,
-         |e AS (SELECT doc_id, md5(unnest(sh)) AS h FROM s),
-         |m AS (SELECT doc_id, ${(0 until SIG_K).map(oMinhash).mkString(", ")} FROM e GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |capped AS (SELECT * FROM bands
-         |QUALIFY COUNT(*) OVER (PARTITION BY bi, bk) <= $LSH_CAP)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM capped a JOIN capped b
-         |ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
-    },
+         |$oLshCand
+         |SELECT doc_a, doc_b FROM cand""".stripMargin,
 
-    "dedup_minhash_verified" -> {
-      val bandSelects = (0 until BANDS).map { b =>
-        val k = (0 until ROWS).map(r => s"h${b * ROWS + r}").mkString(" || ")
-        s"SELECT doc_id, $b AS bi, $k AS bk FROM m"
-      }.mkString(" UNION ALL ")
+    "dedup_minhash_verified" ->
       s"""$oShingles,
-         |e AS (SELECT doc_id, md5(unnest(sh)) AS h FROM s),
-         |m AS (SELECT doc_id, ${(0 until SIG_K).map(oMinhash).mkString(", ")} FROM e GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |capped AS (SELECT * FROM bands
-         |QUALIFY COUNT(*) OVER (PARTITION BY bi, bk) <= $LSH_CAP),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM capped a JOIN capped b
-         |ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |$oLshCand
          |SELECT doc_a, doc_b,
          |CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
          |FROM cand
@@ -591,8 +573,7 @@ object LlmQueries {
          |JOIN documents tb ON tb.doc_id = doc_b
          |WHERE levenshtein(ta.text, tb.text) <= 116
          |AND levenshtein(ta.text, tb.text) /
-         |greatest(length(ta.text), length(tb.text)) <= 0.2""".stripMargin
-    },
+         |greatest(length(ta.text), length(tb.text)) <= 0.2""".stripMargin,
 
     "dedup_simhash" -> {
       val sums = (1 to SIMHASH_BITS).map(j =>

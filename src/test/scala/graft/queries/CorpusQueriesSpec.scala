@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** The cluster-resolution fixpoint loop in isolation: a path graph
+  * forces the min label to propagate one hop per round, so convergence
+  * genuinely exercises the iterate-until-stable logic (not just a
+  * single join), and the label-sum fixpoint test must not stop early. */
+class CorpusQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("components: min-label propagation over a path graph + disjoint pair") {
+    // 1-2-3-4-5 chain (diameter 4 → several rounds) and isolated 10-11
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val labels = CorpusQueries.components(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("components: converges on a cycle (no infinite loop on cyclic graphs)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("doc_a", "doc_b")
+    val labels = CorpusQueries.components(edges).as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
