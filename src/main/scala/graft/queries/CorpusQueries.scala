@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -42,6 +42,15 @@ object CorpusQueries {
 
   /** Docs whose id is ≡ 0 mod EVAL_MOD play the held-out benchmark. */
   private val EVAL_MOD = 97
+  /** k-means: clusters, dimensions, Lloyd rounds, fixed-point scale. */
+  private val KM_K = 8
+  private val KM_D = 64
+  private val KM_ITERS = 2
+  private val KM_SCALE = 1048576.0 // 2^20 — float→int quantization
+  /** Domain mix: per-lang target shares and the target corpus size. */
+  private val MIX_W = Seq("de" -> 0.2, "en" -> 0.3, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
+  private val MIX_T = 300.0
+  private val MIX_MOD = 1000000L
   /** Min shared distinct 3-shingles to flag a contamination hit. */
   private val CONTAM_MIN = 3
   /** BM25 free parameters (standard Robertson defaults). */
@@ -86,7 +95,93 @@ object CorpusQueries {
     labels
   }
 
+  // ---- fixed-point k-means plumbing (exact integer arithmetic) ----
+  //
+  // Embeddings are quantized to 2^20 fixed point ONCE (floor of an
+  // identical IEEE product on both engines), after which every
+  // distance, comparison, and tie-break is exact integer math — no
+  // float order-dependence anywhere, so stream≡batch≡DuckDB down to
+  // the hash. Ties in argmin resolve to the first (lowest-index)
+  // centroid on both engines (array_position/list_position semantics).
+
+  /** Exact integer squared distance between two quantized vectors. */
+  private def sqdist(x: Column, c: Column): Column =
+    aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Collapse the (j, c) centroid table to one row holding the
+    * centroid list in j order — the broadcast side of assignment. */
+  private def centsRow(cents: DataFrame): DataFrame =
+    cents.groupBy().agg(sort_array(collect_list(struct(col("j"), col("c")))).as("jc"))
+      .select(transform(col("jc"), s => s.getField("c")).as("cents"))
+
+  /** Assign each vector to its nearest centroid (1-based index). */
+  private def kmAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centsRow(cents)))
+      .withColumn("dists", transform(col("cents"), c => sqdist(col("x"), c)))
+      .withColumn("cluster",
+        array_position(col("dists"), array_min(col("dists"))).cast("long"))
+
+  /** One Lloyd update: per-cluster floored integer means; clusters that
+    * lost all members keep their previous centroid. */
+  private def kmUpdate(assigned: DataFrame, cents: DataFrame): DataFrame = {
+    val sums = (0 until KM_D).map(d => sum(element_at(col("x"), d + 1)).as(s"s$d"))
+    val means = assigned.groupBy(col("cluster"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+      .select(col("cluster").as("jm"),
+        array((0 until KM_D).map(d =>
+          floor(col(s"s$d").cast("double") / col("n")).cast("long")): _*).as("cm"))
+    cents.join(means, cents("j") === means("jm"), "left")
+      .select(col("j"), coalesce(col("cm"), col("c")).as("c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic k-means over the embeddings table: quantized Lloyd
+    // iterations (KM_ITERS rounds, init = first KM_K vectors). The scale
+    // shape is the canonical one — centroids broadcast (k×d numbers),
+    // the corpus streams through codegen'd distance expressions, and
+    // the update is a map-side-combining groupBy of d integer sums; the
+    // corpus is never shuffled except by cluster id for the means.
+    "cluster_kmeans" -> ((s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"), v =>
+            floor(v * lit(KM_SCALE)).cast("long")).as("x"))
+      val c0 = vecs.where(col("vec_id") < KM_K)
+        .select((col("vec_id") + 1).as("j"), col("x").as("c"))
+      var cents = c0
+      for (_ <- 1 to KM_ITERS) cents = kmUpdate(kmAssign(vecs, cents), cents)
+      kmAssign(vecs, cents)
+        .select(col("vec_id"), col("cluster"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    }),
+
+    // Domain-mix rebalancing: given target LANGUAGE shares, compute each
+    // language's deterministic acceptance threshold (min(1, w·T/n) as an
+    // integer md5 cutoff — no float membership test) and report the
+    // achieved sample. The per-doc accept is a pure function of doc_id,
+    // so the same doc is kept on every engine, every run, at any
+    // parallelism — the property that makes the sample reproducible
+    // across a 1000-executor rerun.
+    "curate_domain_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_orig"))
+      val wExpr = MIX_W.foldRight(lit(0.0)) { case ((l, w), acc) =>
+        when(col("lang") === l, lit(w)).otherwise(acc)
+      }
+      val rates = counts.withColumn("thr",
+        floor(least(lit(1.0), wExpr * lit(MIX_T) / col("n_orig")) * lit(MIX_MOD.toDouble))
+          .cast("long"))
+      docs.join(broadcast(rates), "lang")
+        .withColumn("u", conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % MIX_MOD)
+        .groupBy(col("lang")).agg(
+          first(col("n_orig")).as("n_orig"),
+          first(col("thr")).as("thr"),
+          sum(when(col("u") < col("thr"), 1L).otherwise(0L)).as("n_sampled"))
+    }),
 
     // Near-dup cluster resolution: candidate pairs → connected
     // components → canonical representative (min doc_id). The "keep"
@@ -183,6 +278,55 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "cluster_kmeans" -> {
+      val sq = s"CAST(list_sum(list_transform(range(1, ${KM_D + 1}), " +
+        "i -> (x[i]-c[i])*(x[i]-c[i]))) AS BIGINT)"
+      def assignCte(a: String, l: String) =
+        s"""$a AS (SELECT vec_id, x,
+           |CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cluster
+           |FROM (SELECT vec_id, x, list_transform(cents, c -> $sq) AS dists
+           |FROM v CROSS JOIN $l))""".stripMargin
+      def meanCte(m: String, a: String) = {
+        val sums = (0 until KM_D).map(d => s"SUM(x[${d + 1}]) AS s$d").mkString(", ")
+        s"$m AS (SELECT cluster, COUNT(*) AS n, $sums FROM $a GROUP BY cluster)"
+      }
+      def centCte(cn: String, cp: String, m: String) = {
+        val floors = (0 until KM_D)
+          .map(d => s"CAST(FLOOR(CAST(s$d AS DOUBLE)/n) AS BIGINT)").mkString(", ")
+        s"""$cn AS (SELECT $cp.j,
+           |CASE WHEN $m.cluster IS NULL THEN $cp.c ELSE list_value($floors) END AS c
+           |FROM $cp LEFT JOIN $m ON $m.cluster = $cp.j)""".stripMargin
+      }
+      val rounds = (1 to KM_ITERS).map { r =>
+        s"""l${r - 1} AS (SELECT list(c ORDER BY j) AS cents FROM c${r - 1}),
+           |${assignCte(s"a$r", s"l${r - 1}")},
+           |${meanCte(s"m$r", s"a$r")},
+           |${centCte(s"c$r", s"c${r - 1}", s"m$r")}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         |e -> CAST(FLOOR(e * $KM_SCALE) AS BIGINT)) AS x FROM embeddings),
+         |c0 AS (SELECT vec_id + 1 AS j, x AS c FROM v WHERE vec_id < $KM_K),
+         |$rounds,
+         |lf AS (SELECT list(c ORDER BY j) AS cents FROM c$KM_ITERS),
+         |${assignCte("af", "lf")}
+         |SELECT vec_id, cluster,
+         |COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+         |FROM af""".stripMargin
+    },
+
+    "curate_domain_mix" -> {
+      val caseW = MIX_W.map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+      s"""WITH counts AS (SELECT lang, COUNT(*) AS n_orig FROM documents GROUP BY lang),
+         |rates AS (SELECT lang, n_orig,
+         |CAST(FLOOR(LEAST(1.0, CASE lang $caseW ELSE 0.0 END * $MIX_T / n_orig)
+         |* ${MIX_MOD.toDouble}) AS BIGINT) AS thr FROM counts)
+         |SELECT d.lang, MIN(n_orig) AS n_orig, MIN(thr) AS thr,
+         |CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |% $MIX_MOD < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents d JOIN rates USING (lang)
+         |GROUP BY d.lang""".stripMargin
+    },
 
     "dedup_clusters" -> {
       val withRec = oShingles.replaceFirst("WITH ", "WITH RECURSIVE ")
