@@ -101,6 +101,18 @@ object ExplainAudit {
     audit("w2_tumbling", "map-side partial aggregation before the window shuffle") { p =>
       count(p, "HashAggregate") >= 2
     }
+    audit("contaminate_ngrams", "eval-set fingerprints broadcast; corpus side never shuffle-joined") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+    }
+    audit("text_bm25_topk", "top-k is TakeOrderedAndProject (never a global sort)") { p =>
+      p.contains("TakeOrderedAndProject")
+    }
+    audit("cluster_kmeans", "centroid list broadcast to the corpus scan (no cross-shuffle)") { p =>
+      p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
+    }
+    audit("curate_domain_mix", "per-language thresholds broadcast back onto the corpus") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+    }
 
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
