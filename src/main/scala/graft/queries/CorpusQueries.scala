@@ -148,10 +148,19 @@ object CorpusQueries {
         .select(col("vec_id"),
           transform(col("embedding").cast("array<double>"), v =>
             floor(v * lit(KM_SCALE)).cast("long")).as("x"))
+        // quantize ONCE: every Lloyd round re-reads the vectors (3
+        // assignment passes + per-round means), so materializing the
+        // quantized table beats re-scanning parquet + re-running the
+        // HOF each time. On a cluster this is persist()/a temp table.
+        .localCheckpoint()
       val c0 = vecs.where(col("vec_id") < KM_K)
         .select((col("vec_id") + 1).as("j"), col("x").as("c"))
       var cents = c0
-      for (_ <- 1 to KM_ITERS) cents = kmUpdate(kmAssign(vecs, cents), cents)
+      // materialize the k-row centroid table between rounds — without
+      // this every round's broadcast subtree re-executes ALL previous
+      // rounds (the nested-plan blowup, ~2x per extra iteration)
+      for (_ <- 1 to KM_ITERS)
+        cents = kmUpdate(kmAssign(vecs, cents), cents).localCheckpoint()
       kmAssign(vecs, cents)
         .select(col("vec_id"), col("cluster"))
         .withColumn("cluster_size",

@@ -1,0 +1,22 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Warm steady-state probe: runs the named catalog queries (default:
+  * the iterative corpus pair) four times each in one JVM, separating
+  * first-run JIT/broadcast warmup from the per-execution cost that
+  * actually scales with data. Bench medians absorb the warmup; this
+  * shows the split explicitly. */
+object KmProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("cluster_kmeans", "dedup_clusters")
+    for (n <- names; i <- 1 to 4) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, dir).write.mode("overwrite").format("noop").save()
+      println(f"[km] $n run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
