@@ -408,36 +408,23 @@ object LlmQueries {
 
     // Language ID: stopword-lexicon scoring with a fixed tie-break order.
     "text_langid" -> ((s, dir) => {
-      def score(ws: Seq[String]) =
-        size(filter(toks, t => ws.map(w => t === w).reduce(_ || _))).cast("long")
-      Tables.documents(s, dir)
-        .withColumn("s_en", score(Seq("the", "a", "of", "and")))
-        .withColumn("s_de", score(Seq("der", "die", "das", "und")))
-        .withColumn("s_es", score(Seq("el", "la", "de", "y")))
-        .withColumn("s_fr", score(Seq("le", "les", "des", "et")))
-        .withColumn("pred_lang",
-          when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0, "und")
-            .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
+      // signals shared verbatim with streaming IngestCuration
+      val scored = TextSignals.langScores.foldLeft(Tables.documents(s, dir)) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
+      scored.withColumn("pred_lang", TextSignals.predLang)
         .select(col("doc_id"), col("pred_lang"), col("s_en"))
     }),
 
     // Quality scoring: length/stopword/token-shape heuristics.
     "text_quality" -> ((s, dir) => {
-      val t = toks
+      // signals shared verbatim with streaming IngestCuration
       Tables.documents(s, dir)
-        .withColumn("n_tokens", size(t).cast("long"))
-        .withColumn("n_stop",
-          size(filter(t, x => x === "the" || x === "a" || x === "of")).cast("long"))
-        .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
-        .withColumn("avg_token_len",
-          (length(col("text")) - (col("n_tokens") - 1)) / col("n_tokens"))
-        .withColumn("quality_score",
-          least(col("n_tokens") / 100.0, lit(1.0)) * 0.3
-            + (lit(1.0) - col("stop_ratio")) * 0.4
-            + least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3)
+        .withColumn("n_tokens", TextSignals.nTokens)
+        .withColumn("n_stop", TextSignals.nStop)
+        .withColumn("stop_ratio", TextSignals.stopRatio)
+        .withColumn("avg_token_len", TextSignals.avgTokenLen)
+        .withColumn("quality_score", TextSignals.qualityScore)
         .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
           col("avg_token_len"), col("quality_score"))
     }),

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The per-document curation signals as reusable Column builders —
+  * pure functions of the row, so the SAME Catalyst expressions serve
+  * the batch catalog queries (oracle-checked) and ingest-time
+  * streaming curation (graft.streaming.IngestCuration): zero
+  * logic drift between the offline pipeline and the stream.
+  *
+  * Every builder closes over `col("text")`, matching the documents
+  * schema; callers select/alias the results.
+  */
+object TextSignals {
+
+  private def toks: Column = split(col("text"), " ")
+
+  private def stopScore(ws: Seq[String]): Column =
+    size(filter(toks, t => ws.map(w => t === w).reduce(_ || _))).cast("long")
+
+  /** Stopword-profile language ID over the fixed 4-language bank. */
+  def langScores: Seq[(String, Column)] = Seq(
+    "s_en" -> stopScore(Seq("the", "a", "of", "and")),
+    "s_de" -> stopScore(Seq("der", "die", "das", "und")),
+    "s_es" -> stopScore(Seq("el", "la", "de", "y")),
+    "s_fr" -> stopScore(Seq("le", "les", "des", "et")))
+
+  /** Language decision given the four score columns are in scope. */
+  def predLang: Column =
+    when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0, "und")
+      .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+        col("s_en") >= col("s_fr"), "en")
+      .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+      .when(col("s_es") >= col("s_fr"), "es")
+      .otherwise("fr")
+
+  def nTokens: Column = size(toks).cast("long")
+
+  def nStop: Column =
+    size(filter(toks, x => x === "the" || x === "a" || x === "of")).cast("long")
+
+  /** Composite quality score; expects n_tokens/stop_ratio/avg_token_len
+    * columns (as built here) in scope. */
+  def stopRatio: Column = col("n_stop") / col("n_tokens")
+  def avgTokenLen: Column =
+    (length(col("text")) - (col("n_tokens") - 1)) / col("n_tokens")
+  def qualityScore: Column =
+    least(col("n_tokens") / 100.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - col("stop_ratio")) * 0.4 +
+      least(col("avg_token_len") / 8.0, lit(1.0)) * 0.3
+
+  /** Contamination flag: ≥ `minShared` distinct 3-shingles in common
+    * with the benchmark fingerprint set. The set ships to executors as
+    * a literal/broadcast (benchmarks are MBs against a TB corpus); at
+    * a scale where the exact set no longer broadcasts, swap in a Bloom
+    * filter of the shingle hashes — the column contract is unchanged. */
+  def contaminated(benchShingles: Seq[String], minShared: Int): Column =
+    size(array_intersect(LlmQueries.shingles3,
+      typedLit(benchShingles))) >= minShared
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextSignals
+
+/** Ingest-time curation: the batch catalog's per-document signals
+  * (language ID, quality score, benchmark-contamination flag) applied
+  * at stream time — the SAME Catalyst expressions as the oracle-checked
+  * batch queries (graft.queries.TextSignals), so an ingest gate and an
+  * offline sweep can never disagree.
+  *
+  * Reference analog: slipstream curates per-message inside async
+  * handlers (slipstream/operations.py pipes); here the curation is a
+  * declarative projection, so it runs unchanged over a batch DataFrame
+  * or a readStream — Spark's batch/stream unification doing the work.
+  * Everything is stateless per-row (no watermark, no state store), so
+  * throughput is scan-bound.
+  */
+object IngestCuration {
+
+  /** Append curation columns to a documents-shaped frame (doc_id,
+    * text, ...): lang scores, pred_lang, token/quality stats,
+    * contaminated, and the final keep gate.
+    *
+    * @param benchShingles distinct 3-shingles of the held-out
+    *   benchmark set (ships to executors as a literal; at a scale
+    *   where the exact set no longer broadcasts, a Bloom filter of
+    *   shingle hashes keeps the same column contract)
+    */
+  def curate(docs: DataFrame, benchShingles: Seq[String],
+      minShared: Int = 3, minQuality: Double = 0.5): DataFrame = {
+    val scored = TextSignals.langScores.foldLeft(docs) {
+      case (df, (n, c)) => df.withColumn(n, c)
+    }
+    scored
+      .withColumn("pred_lang", TextSignals.predLang)
+      .withColumn("n_tokens", TextSignals.nTokens)
+      .withColumn("n_stop", TextSignals.nStop)
+      .withColumn("stop_ratio", TextSignals.stopRatio)
+      .withColumn("avg_token_len", TextSignals.avgTokenLen)
+      .withColumn("quality_score", TextSignals.qualityScore)
+      .withColumn("contaminated",
+        TextSignals.contaminated(benchShingles, minShared))
+      .withColumn("keep",
+        !col("contaminated") && col("pred_lang") =!= "und" &&
+          col("quality_score") >= minQuality)
+      .drop("s_de", "s_es", "s_fr", "n_stop")
+  }
+}

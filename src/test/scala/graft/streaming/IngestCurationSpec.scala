@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream ≡ batch for ingest-time curation: the same TextSignals
+  * expressions over a MemoryStream must produce row-identical output
+  * to the batch projection on the same documents — including the
+  * contamination flag against a benchmark shingle set and the final
+  * keep gate. */
+class IngestCurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val bench = Seq(
+    "the quick fox", "quick fox jumps", "fox jumps high")
+
+  private val docs = Seq(
+    // contaminated: shares all 3 benchmark shingles
+    (1L, "the quick fox jumps high over all of the fences today"),
+    // clean English, long enough to pass quality
+    (2L, "the cat sat of the mat and the dog slept near a warm fire " +
+      "while the wind blew over the hills and a river ran past the town"),
+    // German
+    (3L, "der hund und die katze und das haus und der baum"),
+    // unknown language
+    (4L, "zzz qqq www rrr"),
+    // junk: single repeated stopword (quality gate)
+    (5L, "the the the the the the"))
+
+  test("curate over a stream equals curate over the same batch") {
+    val batch = IngestCuration
+      .curate(docs.toDF("doc_id", "text"), bench, minQuality = 0.4)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = IngestCuration
+      .curate(src.toDF().toDF("doc_id", "text"), bench, minQuality = 0.4)
+      .writeStream.format("memory").queryName("ingest_curation").start()
+    try {
+      // two micro-batches to prove no cross-batch coupling
+      src.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_curation")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+
+    // semantic spot checks on the batch result
+    def row(id: Long) = batch(id)
+    val cols = IngestCuration.curate(docs.toDF("doc_id", "text"), bench, minQuality = 0.4).columns
+    def at(id: Long, c: String) = row(id)(cols.indexOf(c))
+    assert(at(1L, "contaminated") == true)
+    assert(at(2L, "contaminated") == false)
+    assert(at(2L, "pred_lang") == "en" && at(2L, "keep") == true)
+    assert(at(3L, "pred_lang") == "de")
+    assert(at(4L, "pred_lang") == "und" && at(4L, "keep") == false)
+    assert(at(5L, "keep") == false)
+    assert(at(1L, "keep") == false)
+  }
+}
