@@ -25,7 +25,9 @@ object ScaleRatios {
       "a3_dedup_exact", "dedup_minhash_lsh", "dedup_minhash_verified",
       "dedup_simhash", "dedup_simhash_hamming", "dedup_ngram_jaccard",
       "dedup_jaccard_dfcap", "sim_embedding_neardup",
-      "curate_repetition", "curate_weighted_sample", "sketch_quantile")
+      "curate_repetition", "curate_weighted_sample", "sketch_quantile",
+      "dedup_clusters", "cluster_kmeans", "contaminate_ngrams",
+      "text_bm25_topk")
 
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
