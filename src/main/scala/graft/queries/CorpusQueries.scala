@@ -116,7 +116,7 @@ object CorpusQueries {
       .select(transform(col("jc"), s => s.getField("c")).as("cents"))
 
   /** Assign each vector to its nearest centroid (1-based index). */
-  private def kmAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+  private[queries] def kmAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centsRow(cents)))
       .withColumn("dists", transform(col("cents"), c => sqdist(col("x"), c)))
       .withColumn("cluster",
@@ -124,7 +124,7 @@ object CorpusQueries {
 
   /** One Lloyd update: per-cluster floored integer means; clusters that
     * lost all members keep their previous centroid. */
-  private def kmUpdate(assigned: DataFrame, cents: DataFrame): DataFrame = {
+  private[queries] def kmUpdate(assigned: DataFrame, cents: DataFrame): DataFrame = {
     val sums = (0 until KM_D).map(d => sum(element_at(col("x"), d + 1)).as(s"s$d"))
     val means = assigned.groupBy(col("cluster"))
       .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)

@@ -27,4 +27,19 @@ class CorpusQueriesSpec extends AnyFunSuite {
     val labels = CorpusQueries.components(edges).as[(Long, Long)].collect().toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("kmUpdate: floored integer means; an emptied cluster keeps its centroid") {
+    import org.apache.spark.sql.functions._
+    def vec(head: Long*): Seq[Long] = head ++ Seq.fill(64 - head.size)(0L)
+    // both rows assigned to cluster 1; cluster 2 has no members
+    val assigned = Seq((vec(1L, -3L), 1L), (vec(2L, -4L), 1L))
+      .toDF("x", "cluster")
+    val cents = Seq((1L, vec(100L)), (2L, vec(9L, 9L))).toDF("j", "c")
+    val out = CorpusQueries.kmUpdate(assigned, cents)
+      .orderBy(col("j")).as[(Long, Seq[Long])].collect()
+    assert(out(0)._1 == 1L)
+    assert(out(0)._2.take(2) == Seq(1L, -4L)) // floor(1.5)=1, floor(-3.5)=-4
+    assert(out(0)._2.drop(2).forall(_ == 0L))
+    assert(out(1) == (2L, vec(9L, 9L))) // untouched old centroid
+  }
 }
