@@ -53,6 +53,10 @@ object CorpusQueries {
   private val MIX_MOD = 1000000L
   /** Min shared distinct 3-shingles to flag a contamination hit. */
   private val CONTAM_MIN = 3
+  /** Substring-run dedup: gram width, per-gram cohort cap, min run. */
+  private val GRAM_N = 5
+  private val GRAM_CAP = 20
+  private val MIN_RUN = 6
   /** BM25 free parameters (standard Robertson defaults). */
   private val BM25_K1 = 1.2
   private val BM25_B = 0.75
@@ -204,6 +208,41 @@ object CorpusQueries {
         .withColumn("keep", col("doc_id") === col("cluster_id"))
     }),
 
+    // Substring-level duplication (the "dedup exact substrings, not
+    // just whole documents" discipline): position-indexed 5-gram
+    // hashes, capped inverted-index self-join, then ALIGNED runs via
+    // the islands trick — within a (pair, alignment offset) group,
+    // consecutive positions share pa - row_number, so a group count is
+    // the exact length of a maximal shared word run. A run of g grams
+    // = g + GRAM_N - 1 shared consecutive words. All integer math; the
+    // only shuffles are the gram join and the run grouping, both on
+    // hit rows only.
+    "dedup_substring_runs" -> ((s, dir) => {
+      val t = toks
+      val gramStruct = transform(sequence(lit(0), size(t) - GRAM_N), i =>
+        struct(i.as("pos"), md5(concat_ws(" ",
+          (0 until GRAM_N).map(o => element_at(t, i + o + 1)): _*)).as("h")))
+      val grams = Tables.documents(s, dir).where(size(t) >= GRAM_N)
+        .select(col("doc_id"), explode(gramStruct).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      val capped = grams
+        .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .where(col("cohort") <= GRAM_CAP).drop("cohort")
+      val pairs = capped.as("a").join(capped.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"))
+      pairs.withColumn("diff", col("pa") - col("pb"))
+        .withColumn("grp", col("pa") - row_number().over(
+          Window.partitionBy(col("doc_a"), col("doc_b"), col("diff"))
+            .orderBy(col("pa"))))
+        .groupBy(col("doc_a"), col("doc_b"), col("diff"), col("grp"))
+        .agg(count(lit(1)).as("run_grams"), min(col("pa")).as("start_a"))
+        .where(col("run_grams") >= MIN_RUN)
+        .select(col("doc_a"), col("doc_b"), col("start_a"),
+          (col("run_grams") + (GRAM_N - 1)).as("run_words"))
+    }),
+
     // Benchmark-contamination scan: corpus docs sharing ≥ CONTAM_MIN
     // distinct 3-shingles with any eval-set doc. The eval side is
     // broadcast; shared counts are exact integers.
@@ -352,6 +391,27 @@ object CorpusQueries {
          |COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |doc_id = cluster_id AS keep
          |FROM assign""".stripMargin
+    },
+
+    "dedup_substring_runs" -> {
+      val gramExpr = (0 until GRAM_N).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos, md5($gramExpr) AS h
+         |FROM d, UNNEST(range(1, len(w) - ${GRAM_N - 2})) t(i)
+         |WHERE len(w) >= $GRAM_N),
+         |capped AS (SELECT * FROM g
+         |QUALIFY COUNT(*) OVER (PARTITION BY h) <= $GRAM_CAP),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |a.pos AS pa, b.pos AS pb
+         |FROM capped a JOIN capped b
+         |ON a.h = b.h AND a.doc_id < b.doc_id),
+         |runs AS (SELECT doc_a, doc_b, pa - pb AS diff,
+         |pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp,
+         |pa FROM pairs)
+         |SELECT doc_a, doc_b, MIN(pa) AS start_a,
+         |COUNT(*) + ${GRAM_N - 1} AS run_words
+         |FROM runs GROUP BY doc_a, doc_b, diff, grp
+         |HAVING COUNT(*) >= $MIN_RUN""".stripMargin
     },
 
     "contaminate_ngrams" ->
