@@ -49,7 +49,71 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 }
 
+/** `word_grams(text, n)` — ALL word n-grams in positional order (no
+  * dedupe): the positional sibling of [[WordShingles]], for operators
+  * that need gram positions (substring-run detection pairs it with
+  * `posexplode`). Same fused single-pass byte scan and codegen shape. */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"gram size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.computeAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles.computeAll($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_grams"
+}
+
 object WordShingles {
+
+  /** Ordered non-distinct variant backing [[WordGrams]]. */
+  def computeAll(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    var count = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) count += 1; i += 1 }
+    if (count < n) return new GenericArrayData(Array.empty[Any])
+
+    val starts = new Array[Int](count)
+    val ends = new Array[Int](count)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = bytes.length
+
+    val out = new Array[AnyRef](count - n + 1)
+    var j = 0
+    while (j <= count - n) {
+      var len = n - 1
+      var k = j
+      while (k < j + n) { len += ends(k) - starts(k); k += 1 }
+      val sh = new Array[Byte](len)
+      var pos = 0
+      k = j
+      while (k < j + n) {
+        if (k > j) { sh(pos) = ' '.toByte; pos += 1 }
+        val wl = ends(k) - starts(k)
+        System.arraycopy(bytes, starts(k), sh, pos, wl)
+        pos += wl
+        k += 1
+      }
+      out(j) = UTF8String.fromBytes(sh)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** The fused shingle scan — called from generated code (static
     * forwarder) and from interpreted eval alike. */
@@ -103,4 +167,7 @@ object functions {
 
   def word_shingles(c: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
+
+  def word_grams(c: Column, n: Int): Column =
+    ColumnBridge.column(WordGrams(ColumnBridge.expression(c), n))
 }

@@ -218,13 +218,14 @@ object CorpusQueries {
     // only shuffles are the gram join and the run grouping, both on
     // hit rows only.
     "dedup_substring_runs" -> ((s, dir) => {
-      val t = toks
-      val gramStruct = transform(sequence(lit(0), size(t) - GRAM_N), i =>
-        struct(i.as("pos"), md5(concat_ws(" ",
-          (0 until GRAM_N).map(o => element_at(t, i + o + 1)): _*)).as("h")))
-      val grams = Tables.documents(s, dir).where(size(t) >= GRAM_N)
-        .select(col("doc_id"), explode(gramStruct).as("g"))
-        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      // word_grams = fused codegen'd positional gram scan (the HOF
+      // sequence/transform/struct form evaluated interpreted lambdas —
+      // 3x slower on this, the heaviest scan of the catalog)
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.functions.word_grams(col("text"), GRAM_N))
+            .as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
       val capped = grams
         .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("h"))))
         .where(col("cohort") <= GRAM_CAP).drop("cohort")

@@ -28,6 +28,23 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("word_grams: positional, non-distinct, HOF-equivalent (incl. edge cases)") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("a b a b a", "x", "", "a  b", "uno dos tres cuatro", "日本 語 テスト")
+    val df = texts.toDF("text")
+    val fused = df.select(graft.functions.functions.word_grams(col("text"), 2).as("g"))
+      .as[Seq[String]].collect()
+    // reference semantics: all 2-grams of split(text, ' ') in order
+    val t = split(col("text"), " ")
+    val hof = df.select(
+      when(size(t) >= 2, transform(sequence(lit(0), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>")).as("g"))
+      .as[Seq[String]].collect()
+    assert(fused.toSeq == hof.toSeq)
+    assert(fused(0) == Seq("a b", "b a", "a b", "b a")) // duplicates kept, in order
+  }
+
   test("kmUpdate: floored integer means; an emptied cluster keeps its centroid") {
     import org.apache.spark.sql.functions._
     def vec(head: Long*): Seq[Long] = head ++ Seq.fill(64 - head.size)(0L)
