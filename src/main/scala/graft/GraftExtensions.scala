@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.WordShingles
+import graft.functions.{WordGrams, WordShingles}
 
 /** SQL surface for the engine's custom Catalyst pieces: registers
   * `word_shingles(text[, n])` so plain `spark.sql` queries reach the
@@ -19,6 +19,7 @@ import graft.functions.WordShingles
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.wordShinglesFn)
+    e.injectFunction(GraftExtensions.wordGramsFn)
     e.injectFunction(GraftExtensions.asOfMarkerFn)
     e.injectFunction(GraftExtensions.asOfStrictMarkerFn)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
@@ -41,6 +42,19 @@ object GraftExtensions {
     FunctionIdentifier("word_shingles"),
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
     build)
+
+  private def buildGrams(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(c) => WordGrams(c, 3)
+    case Seq(c, Literal(n: Int, IntegerType)) => WordGrams(c, n)
+    case other =>
+      throw new IllegalArgumentException(
+        s"word_grams(text[, n]) expects 1-2 args, got ${other.length}")
+  }
+
+  val wordGramsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_grams"),
+    new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+    buildGrams)
 
   /** The ASOF match-condition marker `__graft_asof(greater, lesser)` —
     * emitted only by [[graft.plans.AsOfSqlParser]]'s rewrite, consumed

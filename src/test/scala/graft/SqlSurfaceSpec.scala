@@ -19,6 +19,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .as[Seq[String]].collect().head
     assert(dflt == Seq("a b c", "b c d"))
     // dedup semantics match array_distinct-of-transform
+    val grams = spark.sql("SELECT word_grams('x y x y x', 2) AS g")
+      .as[Seq[String]].collect().head
+    assert(grams == Seq("x y", "y x", "x y", "y x")) // positional, dup-keeping
+
     val dup = spark.sql("SELECT word_shingles('x y x y x', 2) AS sh")
       .as[Seq[String]].collect().head
     assert(dup == Seq("x y", "y x"))
