@@ -78,11 +78,13 @@ object LlmQueries {
   private def oMinhash(i: Int): String =
     s"min(substr(h, ${4 * i + 1}, 4)) AS h$i"
 
-  /** MinHash+LSH candidate pairs (doc_a < doc_b) — the shared front end
-    * of dedup_minhash_lsh / dedup_minhash_verified / dedup_clusters.
-    * One shuffle on band keys; cohorts over LSH_CAP dropped. */
-  private[queries] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val hashed = Tables.documents(s, dir)
+  /** MinHash band keys (doc_id, bi, bk) of a documents-shaped frame —
+    * the signature/banding stage alone, uncapped. Also the write side
+    * of an INCREMENTAL dedup index: persist these per band key and
+    * probe new batches against the stored cohorts instead of
+    * re-banding the whole corpus (IncrementalDedupSpec). */
+  private[queries] def lshBands(docs: DataFrame): DataFrame = {
+    val hashed = docs
       .select(col("doc_id"), explode(shingles3).as("sh"))
       .withColumn("h", md5(col("sh")))
     val sig = hashed.groupBy(col("doc_id")).agg(
@@ -91,7 +93,14 @@ object LlmQueries {
     val bandCols = (0 until BANDS).map { b =>
       concat((0 until ROWS).map(r => col(s"h${b * ROWS + r}")): _*)
     }
-    val bands = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("bi", "bk")))
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("bi", "bk")))
+  }
+
+  /** MinHash+LSH candidate pairs (doc_a < doc_b) — the shared front end
+    * of dedup_minhash_lsh / dedup_minhash_verified / dedup_clusters.
+    * One shuffle on band keys; cohorts over LSH_CAP dropped. */
+  private[queries] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(Tables.documents(s, dir))
       .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("bi"), col("bk"))))
       .where(col("cohort") <= LSH_CAP)
       .drop("cohort")

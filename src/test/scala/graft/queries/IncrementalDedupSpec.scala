@@ -1,0 +1,79 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{StateTable, TestSpark}
+
+/** The incremental-ingestion dedup path: a persisted StateTable holds
+  * the corpus's MinHash band index (band key → capped doc cohort); a
+  * NEW batch probes the index with its own band keys instead of
+  * re-banding the whole corpus — at 100 TB the daily batch joins
+  * against a stats-pruned keyed table, not a full-corpus self-join.
+  * The spec proves probe results equal the batch LSH truth restricted
+  * to pairs that touch the new docs, and that the index updates
+  * incrementally (upsert of the merged cohorts).
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old mill"),
+    (1L, "a completely different document about streaming engines and state"),
+    (2L, "rivers run through quiet valleys carrying cold water to the sea"),
+    (3L, "numbers tables rows columns aggregates windows joins and shuffles"))
+
+  private val fresh = Seq(
+    // near-dup of doc 0 (one word changed -> most shingles shared)
+    (100L, "the quick brown fox jumps over the lazy cat near the old mill"),
+    // novel content: no candidates expected
+    (101L, "entirely new prose sharing no phrases with anything stored before"))
+
+  test("probing the persisted band index equals batch LSH on corpus+new") {
+    // batch truth over the union corpus
+    val dir = Files.createTempDirectory("incdedup").toFile.getAbsolutePath
+    (corpus ++ fresh).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val truth = LlmQueries.lshCandidatePairs(spark, dir)
+      .where(col("doc_a") >= 100L || col("doc_b") >= 100L)
+      .as[(Long, Long)].collect().toSet
+
+    // index the corpus: band key -> sorted doc cohort
+    val tablePath = Files.createTempDirectory("incdedup_tbl").toFile.getAbsolutePath
+    val table = new StateTable(spark, tablePath, "key")
+    def keyed(docs: Seq[(Long, String)]) =
+      LlmQueries.lshBands(docs.toDF("doc_id", "text"))
+        .select(concat(col("bi"), lit(":"), col("bk")).as("key"), col("doc_id"))
+    table.put(keyed(corpus).groupBy(col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs")))
+
+    // probe: new docs' band keys against the stored cohorts, plus
+    // new-new pairs within the probe batch itself
+    val probe = keyed(fresh)
+    val vsIndex = probe.join(table.snapshot(), "key")
+      .select(col("doc_id"), explode(col("docs")).as("old_id"))
+      .select(least(col("doc_id"), col("old_id")).as("doc_a"),
+        greatest(col("doc_id"), col("old_id")).as("doc_b"))
+    val within = probe.as("a").join(probe.as("b"),
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val found = vsIndex.union(within).distinct().as[(Long, Long)].collect().toSet
+
+    assert(found == truth)
+    assert(found.contains((0L, 100L)), "near-dup of doc 0 must surface")
+    assert(!found.exists(p => p._1 == 101L || p._2 == 101L), "novel doc is clean")
+
+    // incremental index update: merge the new batch's cohorts in
+    val merged = keyed(corpus ++ fresh).groupBy(col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+    table.put(merged)
+    val k0 = keyed(fresh).where(col("doc_id") === 100L)
+      .select(col("key")).as[String].head()
+    assert(table.get(k0).map(_.getAs[scala.collection.Seq[Long]]("docs"))
+      .exists(_.contains(100L)),
+      "updated cohort visible via point lookup")
+  }
+}
