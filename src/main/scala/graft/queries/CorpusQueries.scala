@@ -68,9 +68,12 @@ object CorpusQueries {
     * label sum stops moving. Labels only ever decrease, so an unchanged
     * sum proves a fixpoint, for the cost of one scalar agg per round. */
   private[queries] def components(edgesIn: DataFrame): DataFrame = {
-    val spark = edgesIn.sparkSession
-    val edges = edgesIn.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edgesIn.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // materialize the pair list BEFORE symmetrizing: the union's two
+    // branches would otherwise each re-execute the (expensive)
+    // candidate-generation subtree
+    val pairs = edgesIn.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
