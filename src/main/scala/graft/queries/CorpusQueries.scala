@@ -78,7 +78,13 @@ object CorpusQueries {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
+    // label sum as DECIMAL(38,0): a long sum overflows once
+    // node-count × id magnitude nears 2^63 (reachable at corpus scale),
+    // and a wrapped sum could fake a fixpoint
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).first()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged) {
@@ -94,8 +100,8 @@ object CorpusQueries {
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      val s = next.agg(sum(col("label"))).first().getLong(0)
-      converged = s == prevSum
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
     }
