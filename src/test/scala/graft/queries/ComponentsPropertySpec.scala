@@ -1,0 +1,46 @@
+package graft.queries
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** Property check: the distributed min-label fixpoint equals a
+  * reference union-find on random graphs — dense, sparse, chains,
+  * self-loops, duplicate edges. Seeds are fixed for reproducibility. */
+class ComponentsPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  test("components equals union-find over 30 random graphs") {
+    for (seed <- 0 until 30) {
+      val rnd = new Random(seed)
+      val n = 2 + rnd.nextInt(30)
+      val m = 1 + rnd.nextInt(2 * n)
+      val edges = (0 until m).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2) // drop self-loops (no candidate pairs itself)
+      if (edges.nonEmpty) {
+        val got = CorpusQueries.components(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        val want = unionFind(n, edges)
+        assert(got == want, s"seed=$seed n=$n m=$m edges=$edges")
+      }
+    }
+  }
+}
