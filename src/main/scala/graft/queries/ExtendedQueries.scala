@@ -95,6 +95,39 @@ object ExtendedQueries {
         .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
     }),
 
+    // Symmetric k-NN graph (k=3) — the input structure of graph-based
+    // ANN and embedding-cluster dedup: every vector ranks its sign-cell
+    // mates by cosine. Cell width is CORPUS-SCALED (the
+    // sim_embedding_neardup discipline): nbits ≈ log2(n) - 5 keeps
+    // ~32 vectors per cell at any corpus size, so the within-cell
+    // self-join stays O(n·cellsize) — a fixed 4-bit cell would make
+    // every cell, and the join, grow linearly with the corpus. The
+    // 200-cohort cap remains as a skew backstop only.
+    "sim_knn_graph" -> ((s, dir) => {
+      val embRaw = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val emb = embRaw
+        .crossJoin(broadcast(embRaw.agg(count(lit(1)).as("n_corpus"))))
+        .withColumn("nbits",
+          least(lit(16), greatest(lit(4), length(bin(col("n_corpus"))) - 5)))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        .withColumn("bits", concat((1 to 16).map(i =>
+          when(element_at(col("e"), i) >= 0.0, "1").otherwise("0")): _*))
+        .withColumn("cell", expr("substring(bits, 1, nbits)"))
+        .drop("bits", "nbits", "n_corpus")
+        .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("cell"))))
+        .where(col("cohort") <= 200)
+        .drop("cohort")
+      emb.as("a").join(emb.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("cos", dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("a.vec_id"))
+          .orderBy(col("cos").desc, col("b.vec_id").asc)))
+        .where(col("rnk") <= 3)
+        .select(col("a.vec_id").as("src"), col("rnk"),
+          col("b.vec_id").as("dst"), col("cos"))
+    }),
+
     // Multiprobe IVF ANN (nprobe=5): each query probes its own sign-bit
     // cell plus the 4 hamming-1 neighbor cells — the standard recall
     // fix over single-probe IVF (sim_ivf_topk) without widening to
@@ -569,6 +602,28 @@ object ExtendedQueries {
          |(PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
          |FROM scored
          |QUALIFY rnk <= 3""".stripMargin
+    },
+
+    "sim_knn_graph" -> {
+      val bits = (1 to 16).map(i =>
+        s"CASE WHEN e[$i] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |FROM embeddings),
+         |n AS (SELECT COUNT(*) AS n_corpus FROM emb),
+         |cells AS (SELECT vec_id, e, nrm,
+         |substr($bits, 1,
+         |LEAST(16, GREATEST(4, length(bin(n_corpus)) - 5))) AS cell
+         |FROM emb CROSS JOIN n),
+         |capped AS (SELECT * FROM cells
+         |QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 200),
+         |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+         |FROM capped a JOIN capped b
+         |ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |SELECT src, CAST(row_number() OVER (PARTITION BY src
+         |ORDER BY cos DESC, dst ASC) AS INTEGER) AS rnk, dst, cos
+         |FROM scored QUALIFY rnk <= 3""".stripMargin
     },
 
     "sim_ivf_topk" -> {

@@ -113,6 +113,9 @@ object ExplainAudit {
     audit("curate_domain_mix", "per-language thresholds broadcast back onto the corpus") { p =>
       p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
     }
+    audit("sim_knn_graph", "corpus-scaled cell equi-self-join with cohort backstop (no cross join)") { p =>
+      p.contains("Window") && !p.contains("CartesianProduct")
+    }
 
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
