@@ -253,6 +253,21 @@ object CorpusQueries {
           (col("run_grams") + (GRAM_N - 1)).as("run_words"))
     }),
 
+    // Semantic dedup clusters (SemDeDup shape): connected components
+    // over the embedding near-dup pairs — groups of vectors whose
+    // sign-LSH buckets AND cosine agree they encode the same content,
+    // with the canonical keep decision. Same bounded CC loop as
+    // dedup_clusters (EMB_CAP bounds component size/diameter).
+    "cluster_embeddings" -> ((s, dir) => {
+      val pairs = LlmQueries.queries("sim_embedding_neardup")(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      components(pairs)
+        .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .withColumn("keep", col("vec_id") === col("cluster_id"))
+    }),
+
     // Benchmark-contamination scan: corpus docs sharing ≥ CONTAM_MIN
     // distinct 3-shingles with any eval-set doc. The eval side is
     // broadcast; shared counts are exact integers.
@@ -423,6 +438,20 @@ object CorpusQueries {
          |FROM runs GROUP BY doc_a, doc_b, diff, grp
          |HAVING COUNT(*) >= $MIN_RUN""".stripMargin
     },
+
+    "cluster_embeddings" ->
+      s"""WITH RECURSIVE ${LlmQueries.oEmbPairsCte},
+         |edges AS (SELECT vec_a AS s, vec_b AS t FROM epairs
+         |UNION SELECT vec_b, vec_a FROM epairs),
+         |r(node, lab) AS (
+         |SELECT s, s FROM edges
+         |UNION
+         |SELECT e2.t, r.lab FROM r JOIN edges e2 ON e2.s = r.node),
+         |assign AS (SELECT node AS vec_id, MIN(lab) AS cluster_id FROM r GROUP BY node)
+         |SELECT vec_id, cluster_id,
+         |COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |vec_id = cluster_id AS keep
+         |FROM assign""".stripMargin,
 
     "contaminate_ngrams" ->
       s"""$oShingles,

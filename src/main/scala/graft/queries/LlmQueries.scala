@@ -111,6 +111,29 @@ object LlmQueries {
       .distinct()
   }
 
+  /** DuckDB CTE chain ending in `epairs(vec_a, vec_b, cos)` — the
+    * sign-LSH embedding near-dup pair generator, shared by the
+    * sim_embedding_neardup oracle and cluster_embeddings' recursive
+    * component oracle. */
+  private[queries] val oEmbPairsCte: String = {
+    def bits(off: Int) = (1 to 24).map(i =>
+      s"CASE WHEN e[${off + i}] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
+    val bandSelects = (0 until 2).map(b =>
+      s"SELECT vec_id, e, nrm, $b AS bi, substr(${bits(b * 24)}, 1, nbits) AS bucket FROM emb, p")
+      .mkString(" UNION ALL ")
+    s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
+       |p AS (SELECT LEAST(24, GREATEST(8, length(bin(COUNT(*))))) AS nbits FROM embeddings),
+       |bands AS ($bandSelects),
+       |capped AS (SELECT * FROM bands
+       |QUALIFY COUNT(*) OVER (PARTITION BY bi, bucket) <= $EMB_CAP),
+       |epairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+       |FROM capped a JOIN capped b
+       |ON a.bi = b.bi AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.4)""".stripMargin
+  }
+
   /** DuckDB twin of [[lshCandidatePairs]]: CTE chain ending in
     * `cand(doc_a, doc_b)`. Prepend after the shingle CTEs. */
   private[queries] val oLshCand: String = {
@@ -633,24 +656,9 @@ object LlmQueries {
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
 
-    "sim_embedding_neardup" -> {
-      def bits(off: Int) = (1 to 24).map(i =>
-        s"CASE WHEN e[${off + i}] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
-      val bandSelects = (0 until 2).map(b =>
-        s"SELECT vec_id, e, nrm, $b AS bi, substr(${bits(b * 24)}, 1, nbits) AS bucket FROM emb, p")
-        .mkString(" UNION ALL ")
-      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),
-         |p AS (SELECT LEAST(24, GREATEST(8, length(bin(COUNT(*))))) AS nbits FROM embeddings),
-         |bands AS ($bandSelects),
-         |capped AS (SELECT * FROM bands
-         |QUALIFY COUNT(*) OVER (PARTITION BY bi, bucket) <= $EMB_CAP)
-         |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
-         |FROM capped a JOIN capped b
-         |ON a.bi = b.bi AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.4""".stripMargin
-    },
+    "sim_embedding_neardup" ->
+      s"""WITH $oEmbPairsCte
+         |SELECT vec_a, vec_b, cos FROM epairs""".stripMargin,
 
     "curate_sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang, source,
