@@ -30,6 +30,9 @@ object AsOfJoin {
     * @param tolerance optional max staleness; matches older than
     *                  `leftTs - tolerance` are nulled (Column interval
     *                  or numeric, same type algebra as the ts column)
+    * @param inner     drop unmatched left rows instead of carrying
+    *                  nulls (DuckDB `ASOF JOIN` vs `ASOF LEFT JOIN`);
+    *                  a tolerance-nulled match counts as unmatched
     */
   def asOf(
       left: DataFrame,
@@ -39,17 +42,23 @@ object AsOfJoin {
       by: Seq[String],
       rightCols: Seq[String],
       rightPrefix: String = "r_",
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      inner: Boolean = false): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val rCarry = (rightCols :+ rightTs).distinct
 
+    // a NULL comparison never matches, but a null __ts build row would
+    // sort to the partition head and be picked by last(ignoreNulls)
+    // whenever no real match exists — filter post-cast so rows whose
+    // timestamp cast nulls out are dropped too
     val rightTagged = right.select(
       by.map(col) ++ Seq(
         col(rightTs).cast("timestamp").as("__ts"),
         lit(0).as("__side"),
         struct(rCarry.map(col): _*).as("__rval"),
         lit(null).cast(structCast(left, leftCols)).as("__lrow")): _*)
+      .where(col("__ts").isNotNull)
 
     val leftTagged = left.select(
       by.map(col) ++ Seq(
@@ -76,10 +85,11 @@ object AsOfJoin {
             col("__asof")(rightTs) >= col("__ts") - tol, col("__asof")))
       case None => matched
     }
+    val kept = if (inner) withTol.where(col("__asof").isNotNull) else withTol
 
     val out = leftCols.map(c => col("__lrow")(c).as(c)) ++
       rightCols.map(c => col("__asof")(c).as(s"$rightPrefix$c"))
-    withTol.select(out: _*)
+    kept.select(out: _*)
   }
 
   /** DDL-compatible struct type string for a subset of df's columns. */

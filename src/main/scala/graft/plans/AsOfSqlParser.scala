@@ -148,7 +148,9 @@ object AsOfSqlParser {
     (masked0.substring(s, e), orig0.substring(s, e))
   }
 
-  private val AsOfRe = """(?i)\bASOF\s+JOIN\b""".r
+  // `ASOF JOIN` = left-outer (Snowflake parity); `ASOF INNER JOIN`
+  // drops unmatched left rows (DuckDB's default ASOF JOIN semantics)
+  private val AsOfRe = """(?i)\bASOF\s+(INNER\s+)?JOIN\b""".r
   private val McRe = """(?i)\bMATCH_CONDITION\s*\(""".r
   private val OnRe = """(?i)\bON\b""".r
   private val AndRe = """(?i)\bAND\b""".r
@@ -193,6 +195,7 @@ object AsOfSqlParser {
 
   private def rewriteOne(sql: String, masked: String, asofStart: Int): Option[String] = {
     val asofM = AsOfRe.findFirstMatchIn(masked.substring(asofStart)).getOrElse(return None)
+    val innerJoin = asofM.group(1) != null
     val asofEnd = asofStart + asofM.end
     // MATCH_CONDITION ( … ) with balanced parens, scanned on the mask
     val mcM = McRe.findFirstMatchIn(masked.substring(asofEnd)).getOrElse(return None)
@@ -246,7 +249,10 @@ object AsOfSqlParser {
     val marker = s" $fn($markerArgs) AND"
     val out = new StringBuilder
     out ++= sql.substring(0, asofStart)
-    out ++= "LEFT JOIN"
+    // the rewritten join TYPE carries the variant: ResolveAsOfJoin
+    // matches marked LeftOuter joins (null-padding) and marked Inner
+    // joins (drop unmatched left rows)
+    out ++= (if (innerJoin) "INNER JOIN" else "LEFT JOIN")
     out ++= sql.substring(asofEnd, mcStart) // relation + alias, untouched
     out ++= sql.substring(parenClose + 1, onEnd) // up to and incl. ON
     out ++= marker

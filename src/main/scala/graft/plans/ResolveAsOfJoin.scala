@@ -4,7 +4,7 @@ import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.Last
-import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DataType, StructField, StructType, TimestampType}
@@ -42,7 +42,8 @@ case class AsOfMatch(children: Seq[Expression], strict: Boolean = false)
   * are re-exposed from the packed as-of struct under their original
   * ids and qualifiers), everything already resolved against the join —
   * outer projections, WHERE clauses, CTE consumers — keeps working
-  * untouched. Extra non-equi ON predicates become a post-match filter.
+  * untouched. Non-equality ON predicates are rejected at analysis time
+  * (Snowflake parity — see the loud failure in [[expand]]).
   */
 case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -50,7 +51,13 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     case Join(left, right, LeftOuter, Some(cond), _)
         if left.resolved && right.resolved && cond.resolved &&
           cond.exists(_.isInstanceOf[AsOfMatch]) =>
-      expand(left, right, cond)
+      expand(left, right, cond, inner = false)
+    // `ASOF INNER JOIN` rewrites to a marked INNER join — same plan,
+    // plus a drop of left rows whose (post-tolerance) match is null
+    case Join(left, right, Inner, Some(cond), _)
+        if left.resolved && right.resolved && cond.resolved &&
+          cond.exists(_.isInstanceOf[AsOfMatch]) =>
+      expand(left, right, cond, inner = true)
   }
 
   private def fail(msg: String): Nothing =
@@ -58,7 +65,8 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       errorClass = "_LEGACY_ERROR_TEMP_3100",
       messageParameters = Map("message" -> s"ASOF JOIN: $msg"))
 
-  private def expand(left: LogicalPlan, right: LogicalPlan, cond: Expression): LogicalPlan = {
+  private def expand(
+      left: LogicalPlan, right: LogicalPlan, cond: Expression, inner: Boolean): LogicalPlan = {
     val conjuncts = splitConjuncts(cond)
     val markers = conjuncts.collect { case m: AsOfMatch => m }
     if (markers.size != 1) fail("exactly one MATCH_CONDITION comparison is supported")
@@ -89,6 +97,15 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       case ((ks, ex), e) => (ks, ex :+ e)
     }
     if (keys.isEmpty) fail("ON must carry at least one left-key = right-key equality")
+    // Snowflake parity: ON accepts only equality conjuncts. Silently
+    // giving extra predicates WHERE semantics (drop the left row) or
+    // tolerance semantics (null the latest match) would both diverge
+    // from a true as-of join, which would match the latest ELIGIBLE
+    // right row — a different plan we do not build. Reject loudly.
+    if (extra.nonEmpty) fail(
+      "only equality predicates are allowed in ON; move row filters to WHERE, " +
+        "staleness bounds into MATCH_CONDITION, or pre-filter the right side " +
+        s"in a subquery (got: ${extra.map(_.sql).mkString(", ")})")
 
     // order on the native type when both sides agree, else via timestamp
     val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
@@ -108,9 +125,15 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     // window's partitionBy groups NULLs together — so null-keyed build
     // rows are filtered out (they could match no probe), and null-keyed
     // probe rows then sit in partitions with no build rows and emit
-    // NULL matches, exactly like the LEFT JOIN they replaced
-    val rightNonNull = keys.map(k => IsNotNull(k._2): Expression)
-      .reduceOption(And).map(Filter(_, right)).getOrElse(right)
+    // NULL matches, exactly like the LEFT JOIN they replaced. Same for
+    // a NULL build timestamp: MATCH_CONDITION is a comparison, and a
+    // NULL comparison never matches — without this filter a null-__ts
+    // build row sorts to the partition head (NullsFirst) and last(...,
+    // ignoreNulls) would return it whenever no real match exists.
+    // Filtering on the ORDER expression (post-cast) also drops rows
+    // whose cast to timestamp nulls out.
+    val rightNonNull = (keys.map(k => IsNotNull(k._2): Expression) :+ IsNotNull(buildOrd))
+      .reduce(And) match { case f => Filter(f, right) }
     val rightTagged = Project(
       left.output.map(a => Alias(Literal(null, a.dataType), a.name)()) ++
         Seq(Alias(CreateStruct(right.output), "__rval")()) ++
@@ -160,18 +183,21 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         (Project(probesOnly.output :+ guard, probesOnly): LogicalPlan, guard.toAttribute)
       }
 
+    // inner variant: drop left rows with no surviving match (a
+    // tolerance-nulled match counts as unmatched, like the DataFrame
+    // API's inner + tolerance combination)
+    val kept: LogicalPlan =
+      if (inner) Filter(IsNotNull(asofAttr), matchSrc) else matchSrc
+
     // re-expose: left attrs pass through under their own ids; right
     // values unpack from the struct under their ORIGINAL ids/qualifiers
-    val restored = Project(
-      matchSrc.output.take(nL).map(a => a: NamedExpression) ++
+    Project(
+      kept.output.take(nL).map(a => a: NamedExpression) ++
         right.output.zipWithIndex.map { case (a, j) =>
           Alias(GetStructField(asofAttr, j, Some(a.name)), a.name)(
             exprId = a.exprId, qualifier = a.qualifier)
         },
-      matchSrc)
-
-    if (extra.isEmpty) restored
-    else Filter(extra.reduce(And), restored)
+      kept)
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

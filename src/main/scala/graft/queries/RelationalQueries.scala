@@ -138,6 +138,23 @@ object RelationalQueries {
               |ON l.user_id = r.user_id""".stripMargin)
     }),
 
+    // J1 inner variant via SQL: `ASOF INNER JOIN` drops unmatched left
+    // rows instead of null-padding them — DuckDB's default ASOF JOIN
+    // semantics, proven against exactly that.
+    "j1_asof_inner" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "click").createOrReplaceTempView("graft_clicks")
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+        .createOrReplaceTempView("graft_purchases")
+      s.sql("""SELECT l.event_id, l.user_id,
+              |r.p_event_id AS p_event_id, r.p_value AS p_value
+              |FROM graft_clicks l ASOF INNER JOIN graft_purchases r
+              |MATCH_CONDITION (l.ts >= r.ts)
+              |ON l.user_id = r.user_id""".stripMargin)
+    }),
+
     // J1 with tolerance (max staleness): matches older than 1 hour
     // behind the probe are nulled, the left row is kept — the
     // reference's "how stale may the enrichment be" knob.
@@ -323,6 +340,12 @@ object RelationalQueries {
       s"""SELECT l.event_id, l.user_id, r.event_id AS p_event_id, r.value AS p_value
          |FROM (SELECT * FROM $oEvents WHERE event_type = 'click') l
          |ASOF LEFT JOIN (SELECT * FROM $oEvents WHERE event_type = 'purchase') r
+         |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "j1_asof_inner" ->
+      s"""SELECT l.event_id, l.user_id, r.event_id AS p_event_id, r.value AS p_value
+         |FROM (SELECT * FROM $oEvents WHERE event_type = 'click') l
+         |ASOF JOIN (SELECT * FROM $oEvents WHERE event_type = 'purchase') r
          |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "j1_asof_tolerance" ->

@@ -17,20 +17,39 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
   *
   * Counters pack into an Array[Byte] (longs via ByteBuffer) — primitive
   * BINARY encoding for the state store, no collection-encoder
-  * machinery.
+  * machinery. Byte 0 is a FORMAT VERSION tag: the hash family changed
+  * once already (per-row md5("row:key") -> four slices of one md5(key)),
+  * and a sketch built under one family probed under another silently
+  * returns wrong counts — so every operation validates the tag and
+  * rejects untagged/old-format bytes loudly. Sketch state persisted in
+  * checkpoints or StateTables from before the tag must be discarded.
   */
 object HeavyHitterSketch {
 
   val D = 4
   val W = 256
 
-  def empty: Array[Byte] = new Array[Byte](D * W * 8)
+  /** Format version: 2 = one-md5 slice family with this header byte.
+    * (1 = the r3 per-row md5 family, untagged 8192-byte arrays.) */
+  val Version: Byte = 2
+  private val Size = 1 + D * W * 8
+
+  def empty: Array[Byte] = {
+    val a = new Array[Byte](Size)
+    a(0) = Version
+    a
+  }
+
+  private def check(sk: Array[Byte]): Unit =
+    require(sk.length == Size && sk(0) == Version,
+      s"count-min sketch format mismatch (len=${sk.length}, tag=${if (sk.isEmpty) -1 else sk(0)}): " +
+        "state persisted under an older hash family cannot be read; discard and rebuild it")
 
   private def get(sk: Array[Byte], row: Int, bucket: Int): Long =
-    ByteBuffer.wrap(sk).getLong((row * W + bucket) * 8)
+    ByteBuffer.wrap(sk).getLong(1 + (row * W + bucket) * 8)
 
   private def put(sk: Array[Byte], row: Int, bucket: Int, v: Long): Unit =
-    ByteBuffer.wrap(sk).putLong((row * W + bucket) * 8, v)
+    ByteBuffer.wrap(sk).putLong(1 + (row * W + bucket) * 8, v)
 
   /** All D row-buckets from ONE md5 of the key: the 32 hex chars split
     * into four independent 8-char (32-bit) slices — the exact family
@@ -55,6 +74,7 @@ object HeavyHitterSketch {
   /** Mutating fold for accumulators the caller owns (partition-local
     * fold state) — avoids the O(rows·d·w) clone of copy-on-write. */
   def updateInPlace(sk: Array[Byte], key: String): Unit = {
+    check(sk)
     val bs = rowBuckets(key)
     var r = 0
     while (r < D) { val b = bs(r); put(sk, r, b, get(sk, r, b) + 1); r += 1 }
@@ -62,11 +82,12 @@ object HeavyHitterSketch {
 
   /** Merge = element-wise sum (counters are additive). */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    check(a); check(b)
     val out = empty
     var i = 0
     while (i < D * W) {
-      ByteBuffer.wrap(out).putLong(i * 8,
-        ByteBuffer.wrap(a).getLong(i * 8) + ByteBuffer.wrap(b).getLong(i * 8))
+      ByteBuffer.wrap(out).putLong(1 + i * 8,
+        ByteBuffer.wrap(a).getLong(1 + i * 8) + ByteBuffer.wrap(b).getLong(1 + i * 8))
       i += 1
     }
     out
@@ -74,6 +95,7 @@ object HeavyHitterSketch {
 
   /** Point estimate for a key: min over its D buckets (≥ true count). */
   def estimate(sk: Array[Byte], key: String): Long = {
+    check(sk)
     val bs = rowBuckets(key)
     (0 until D).map(r => get(sk, r, bs(r))).min
   }

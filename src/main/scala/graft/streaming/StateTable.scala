@@ -117,14 +117,32 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
       if (backwards) kmin.flatMap(cmp(from, _)).forall(_ >= 0)
       else kmax.flatMap(cmp(from, _)).forall(_ <= 0)
 
-    /** May this file contain a key with string prefix `p`? */
+    /** May this file contain a key with string prefix `p`? Decided in
+      * UTF-8 BYTE space with no "increment the last char" upper bound —
+      * the old char-space increment could land on an unpaired surrogate
+      * (U+D7FF -> U+D800), which getBytes(UTF_8) encodes as '?' (0x3F),
+      * collapsing the bound and wrongly pruning files that DO hold
+      * matching keys. Instead: byte truncation is monotone in byte
+      * order, so any key with byte-prefix p satisfies
+      * truncate(min,|p|) <= p <= truncate(max,|p|); outside that, prune.
+      * One caveat: a prefix ENDING in a high surrogate pairs with the
+      * key's next char and changes its own encoding — never prune then. */
     def mayHavePrefix(p: String): Boolean = {
-      val geP = kmax.flatMap(cmp(p, _)).forall(_ <= 0) // max >= p
-      val ltUpper = StateTable.prefixUpper(p) match {
-        case Some(up) => kmin.flatMap(cmp(up, _)).forall(_ > 0) // min < upper
-        case None     => true
+      if (ktype != "s" || kmin.isEmpty || kmax.isEmpty) return true
+      if (p.nonEmpty && Character.isHighSurrogate(p.last)) return true
+      val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      def truncCmp(bound: String): Int = {
+        val b = decode(bound).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(pb.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = (b(i) & 0xff) - (pb(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        b.length.min(pb.length) - pb.length // truncated bound vs p
       }
-      geP && ltUpper
+      truncCmp(kmin.get) <= 0 && truncCmp(kmax.get) >= 0
     }
   }
 
@@ -535,10 +553,14 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
   }
 
   /** Drop retained changelog history (bounded storage; the FIFO
-    * retention analog on the feed). Safe for RUNNING streams — the file
-    * source tracks processed files by name and never re-lists them —
-    * but a stream started later only sees writes after the truncation
-    * point. */
+    * retention analog on the feed). Safe BETWEEN micro-batches: the
+    * file source never re-lists files it has already processed, but a
+    * file it has LISTED for the current in-flight batch and not yet
+    * read would fail that batch with FileNotFoundException — so call
+    * this while dependent streams are stopped or provably idle (or
+    * prefer an age-based sweep with a grace period longer than the
+    * trigger interval). A stream started later only sees writes after
+    * the truncation point. */
   def truncateChangelog(): Unit = {
     val f = fs
     if (f.exists(changelogDir))
@@ -594,11 +616,4 @@ object StateTable {
   /** One wide-column cell (reference `put_entity` name/value pair). */
   case class EntityColumn(name: String, value: String)
 
-  /** Smallest string strictly greater than every string with prefix
-    * `p`, if one exists (all-￿ prefixes have none). */
-  private[streaming] def prefixUpper(p: String): Option[String] = {
-    var i = p.length - 1
-    while (i >= 0 && p(i) == Char.MaxValue) i -= 1
-    if (i < 0) None else Some(p.substring(0, i) + (p(i) + 1).toChar)
-  }
 }

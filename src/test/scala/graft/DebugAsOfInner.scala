@@ -1,0 +1,77 @@
+package graft
+
+object DebugAsOfInner {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.streaming.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    def mkViews(): Unit = {
+      Seq((Some(1L), 100L, "c1"), (Some(2L), 200L, "c2"), (Option.empty[Long], 300L, "c3"))
+        .toDF("k", "tsu", "pay")
+        .selectExpr("k", "CAST(tsu / 1.0 AS TIMESTAMP) AS ts", "pay")
+        .createOrReplaceTempView("strict_l")
+      Seq((Some(1L), 100L, "r_eq"), (Some(1L), 50L, "r_old"),
+        (Option.empty[Long], 60L, "r_nullkey"))
+        .toDF("k", "tsu", "rpay")
+        .selectExpr("k", "CAST(tsu / 1.0 AS TIMESTAMP) AS ts", "rpay")
+        .createOrReplaceTempView("strict_r")
+    }
+
+    def inner(): Map[String, String] = spark.sql(
+      """SELECT l.pay, r.rpay AS rpay FROM strict_l l ASOF INNER JOIN strict_r r
+        |MATCH_CONDITION (l.ts >= r.ts) ON l.k = r.k""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    mkViews()
+    println("FRESH: " + inner())
+
+    // replicate the spec's prior strict queries
+    def q(op: String) = spark.sql(
+      s"""SELECT l.pay, r.rpay AS rpay FROM strict_l l ASOF JOIN strict_r r
+         |MATCH_CONDITION (l.ts $op r.ts) ON l.k = r.k""".stripMargin)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    println("q>= : " + q(">="))
+    println("q>  : " + q(">"))
+    println("AFTER STRICT: " + inner())
+
+    Seq((Some(1L), Option(40L), "r_nullts_ctl"), (Some(2L), Option.empty[Long], "r_nullts"))
+      .toDF("k", "tsu", "rpay")
+      .selectExpr("k", "CAST(tsu / 1.0 AS TIMESTAMP) AS ts", "rpay")
+      .createOrReplaceTempView("nullts_r")
+    val nullTs = spark.sql(
+      """SELECT l.pay, r.rpay AS rpay FROM strict_l l ASOF JOIN nullts_r r
+        |MATCH_CONDITION (l.ts >= r.ts) ON l.k = r.k""".stripMargin)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    println("nullTs: " + nullTs)
+    println("AFTER NULLTS: " + inner())
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    ev.where(col("event_type") === "click").createOrReplaceTempView("clicks_sql")
+    ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+      .createOrReplaceTempView("purchases_sql")
+    try {
+      spark.sql(
+        """SELECT l.event_id, r.p_value AS p_value
+          |FROM clicks_sql l ASOF JOIN purchases_sql r
+          |MATCH_CONDITION (l.ts >= r.ts)
+          |ON l.user_id = r.user_id AND r.p_value > 50.0""".stripMargin).collect()
+      println("extraErr: NO ERROR (unexpected)")
+    } catch { case e: Exception => println("extraErr: " + e.getMessage.take(60)) }
+    println("AFTER EXTRAERR: " + inner())
+
+    val cte = spark.sql(
+      """WITH enriched AS (
+        |  SELECT l.event_id, l.user_id, r.p_value AS p_value
+        |  FROM clicks_sql l ASOF JOIN purchases_sql r
+        |  MATCH_CONDITION (l.ts >= r.ts)
+        |  ON l.user_id = r.user_id
+        |)
+        |SELECT count(*) AS n, count(p_value) AS matched FROM enriched
+        |WHERE event_id IS NOT NULL""".stripMargin).collect().head
+    println("cte: " + cte)
+    println("AFTER CTE: " + inner())
+  }
+}

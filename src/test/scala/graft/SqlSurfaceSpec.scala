@@ -108,15 +108,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(lit.select("note").distinct().collect().head.getString(0) ==
       "r.p_value ASOF JOIN MATCH_CONDITION (x >= y) ON")
 
-    // an extra non-equi ON predicate filters the matched output
-    val extra = spark.sql(
+    // a non-equi ON predicate is REJECTED at analysis (Snowflake
+    // parity): a true as-of would match the latest ELIGIBLE right row,
+    // so silently giving it WHERE or tolerance semantics would both be
+    // wrong answers — the error points at the supported spellings
+    val extraErr = intercept[Exception](spark.sql(
       """SELECT l.event_id, r.p_value AS p_value
         |FROM clicks_sql l ASOF JOIN purchases_sql r
         |MATCH_CONDITION (l.ts >= r.ts)
-        |ON l.user_id = r.user_id AND r.p_value > 50.0""".stripMargin)
-    val vals = extra.select("p_value").as[Double](org.apache.spark.sql.Encoders.scalaDouble)
-      .collect()
-    assert(vals.nonEmpty && vals.forall(_ > 50.0))
+        |ON l.user_id = r.user_id AND r.p_value > 50.0""".stripMargin).collect())
+    assert(extraErr.getMessage.contains("only equality predicates"))
+    // ...and the subquery spelling of the same intent works (below)
 
     // forward as-of: <= matches the EARLIEST right at-or-after the left
     val fwd = spark.sql(
@@ -151,6 +153,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // right row matches nothing (a real LEFT JOIN would do the same)
     assert(inc("c3").isEmpty && strict("c3").isEmpty)
     assert(inc("c2").isEmpty, "no same-key right row for k=2")
+
+    // a NULL build-side timestamp never matches (NULL comparisons are
+    // never true): without the IsNotNull(buildTs) filter the null-__ts
+    // row sorts to the partition head and would be returned whenever no
+    // real match exists
+    Seq((Some(1L), Option(40L), "r_nullts_ctl"), (Some(2L), Option.empty[Long], "r_nullts"))
+      .toDF("k", "tsu", "rpay")
+      .selectExpr("k", "CAST(tsu / 1.0 AS TIMESTAMP) AS ts", "rpay")
+      .createOrReplaceTempView("nullts_r")
+    val nullTs = spark.sql(
+      """SELECT l.pay, r.rpay AS rpay FROM strict_l l ASOF JOIN nullts_r r
+        |MATCH_CONDITION (l.ts >= r.ts) ON l.k = r.k""".stripMargin)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(nullTs("c1") == Some("r_nullts_ctl") && nullTs("c2").isEmpty)
+
+    // ASOF INNER JOIN drops the unmatched left rows entirely (DuckDB's
+    // default ASOF semantics) instead of null-padding them
+    val innerRows = spark.sql(
+      """SELECT l.pay, r.rpay AS rpay FROM strict_l l ASOF INNER JOIN strict_r r
+        |MATCH_CONDITION (l.ts >= r.ts) ON l.k = r.k""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(innerRows == Map("c1" -> "r_eq"), "inner keeps only matched left rows")
+    // DataFrame twin: same data, same answer
+    val innerApi = graft.operators.AsOfJoin.asOf(
+        spark.table("strict_l"), spark.table("strict_r"), "ts", "ts", Seq("k"),
+        rightCols = Seq("rpay"), rightPrefix = "", inner = true)
+      .select("pay", "rpay").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(innerApi == Map("c1" -> "r_eq"))
 
     // near-miss (no MATCH_CONDITION) falls back to Spark's own error
     val err = intercept[Exception](spark.sql(

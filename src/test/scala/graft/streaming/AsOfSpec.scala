@@ -53,6 +53,24 @@ class AsOfSpec extends AnyFunSuite {
       ("shopping", None), ("lunch", None)))
   }
 
+  test("a NULL right timestamp never matches (SQL comparison semantics)") {
+    // the null-ts right row would sort to the partition head; without
+    // the right-side filter it gets picked whenever no real match exists
+    val w = Seq((Option(ts(12)), "late"), (Option.empty[Timestamp], "phantom"))
+      .toDF("wts", "weather").withColumn("k", lit("x"))
+    val a = Seq((ts(10, 30), "early"), (ts(12, 30), "after"))
+      .toDF("ats", "activity").withColumn("k", lit("x"))
+    val got = AsOfJoin.asOf(a, w, "ats", "wts", Seq("k"), Seq("weather"))
+      .select(col("activity"), col("r_weather"))
+      .as[(String, Option[String])].collect().toMap
+    assert(got == Map("early" -> None, "after" -> Some("late")))
+    // inner variant drops the unmatched probe instead
+    val inner = AsOfJoin.asOf(a, w, "ats", "wts", Seq("k"), Seq("weather"), inner = true)
+      .select(col("activity"), col("r_weather"))
+      .as[(String, Option[String])].collect().toMap
+    assert(inner == Map("after" -> Some("late")))
+  }
+
   test("pure streaming step: reverse-scan probe + eviction") {
     val inputs = Seq(
       Input("x", 1000L, isLeft = false, "", "🌞"),

@@ -23,6 +23,17 @@ class HeavyHitterSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("old-format (untagged) sketch bytes are rejected, not silently misread") {
+    // the hash family changed once (per-row md5 -> one-md5 slices); a
+    // sketch restored from pre-tag checkpoint state must fail loudly
+    val oldFormat = new Array[Byte](HeavyHitterSketch.D * HeavyHitterSketch.W * 8)
+    intercept[IllegalArgumentException](HeavyHitterSketch.estimate(oldFormat, "k"))
+    intercept[IllegalArgumentException](
+      HeavyHitterSketch.merge(HeavyHitterSketch.empty, oldFormat))
+    intercept[IllegalArgumentException](HeavyHitterSketch.update(oldFormat, "k"))
+    assert(HeavyHitterSketch.empty.head == HeavyHitterSketch.Version)
+  }
+
   test("streaming sketch across micro-batches matches the batch sketch_countmin estimates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val s = spark

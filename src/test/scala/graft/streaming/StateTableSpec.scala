@@ -218,6 +218,17 @@ class StateTableSpec extends AnyFunSuite {
     u.put(Seq(("\uE000", 1), (new String(Character.toChars(0x1F600)), 2)).toDF("key", "v"))
     assert(u.get("\uE000").map(_.getAs[Int]("v")).contains(1))
     assert(u.get(new String(Character.toChars(0x1F600))).map(_.getAs[Int]("v")).contains(2))
+    // prefix pruning at the surrogate boundary: the old char-increment
+    // upper bound turned U+D7FF+1 into an unpaired surrogate that
+    // UTF-8-encodes as '?', collapsing the bound and silently pruning
+    // the file that holds the matching keys
+    val (sg, _) = fresh()
+    sg.put(Seq(("\uD7FFalpha", 1), ("\uD7FFbeta", 2)).toDF("key", "v"))
+    sg.put(Seq(("zz", 3)).toDF("key", "v"))
+    assert(sg.scan(prefix = Some("\uD7FF")).select("key").as[String].collect().toSeq ==
+      Seq("\uD7FFalpha", "\uD7FFbeta"))
+    // ...while a non-matching prefix still prunes to zero rows
+    assert(sg.scan(prefix = Some("q")).count() == 0)
   }
 
   test("changeStream: a second streaming query observes each committed put (S4, cookbook.rst:529-588)") {
