@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 /** Benchmark main — driver contract: run the query catalog on
   * SPARK_GRAFT_SF_DIR and print ONE JSON line
   * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`.
@@ -12,12 +15,20 @@ package graft
   * Medians are the point: single-shot runs swung sub-second queries
   * 4× between rounds on JIT/run-order noise, which made a real 3×
   * regression on a small query indistinguishable from jitter.
+  *
+  * Artifact hygiene: the full-precision result (per-query
+  * min/median/max across reps) is WRITTEN TO `bench_out.json` — log
+  * capture windows truncate long stdout lines, which made two rounds
+  * of bench artifacts unparseable. The stdout contract line is kept
+  * but rounded to ms precision so it fits a 2000-char tail capture,
+  * and is printed last, after the SparkSession stops.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = GraftSession.builder(s"local[$cpus]", shufflePartitions = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,10 +49,27 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = (1 to math.max(1, reps)).map(_ => names.map(n => n -> exec(n)).toMap)
-    val results = names.map(n => n -> Stats.median(samples.map(_(n)).filter(_ >= 0)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def ok(n: String) = samples.map(_(n)).filter(_ >= 0)
+    val results = names.map(n => n -> Stats.median(ok(n)))
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val qsCompact = results
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val statsJson = names.map { n =>
+      val s = ok(n)
+      val (mn, md, mx) =
+        if (s.isEmpty) (-1.0, -1.0, -1.0) else (s.min, Stats.median(s), s.max)
+      "\"" + n + "\":{\"min\":" + mn + ",\"median\":" + md + ",\"max\":" + mx + "}"
+    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":$cpus,""" +
+      s""""queries":$qsFull,"stats":$statsJson,"sf":"$sfDir"}"""
+    Files.write(Paths.get(outPath), (full + "\n").getBytes(StandardCharsets.UTF_8))
+
     spark.stop()
+    // last line of stdout, compact (ms precision) so a tail-capture parses it
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","statsFile":"$outPath"}""")
   }
 }

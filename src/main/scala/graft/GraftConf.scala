@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-conf-driven engine parameters.
+  *
+  * The reference makes every knob configurable (`Conf`,
+  * /root/reference/slipstream/core.py:134-187); graft mirrors that
+  * posture through Spark's own conf surface: any `graft.*` key can be
+  * set via `spark.conf.set(...)`, `--conf` at submit time, or a JVM
+  * system property (lowest precedence before the built-in default).
+  *
+  * Both surfaces read through here — the DataFrame queries AND the
+  * emitted DuckDB oracle SQL — so changing a cap changes the candidate
+  * set identically in both engines; the hash-compare then verifies the
+  * approximation at the configured operating point, not just the
+  * default one. Resolution is at query/oracle BUILD time (the catalogs
+  * expose `def`s, not cached `val`s), so a conf change applies to the
+  * next query without a new session.
+  *
+  * Defaults are the sf0.01–0.1 test operating points; a 100 TB
+  * deployment raises the caps with the cluster, not with a recompile.
+  */
+object GraftConf {
+
+  private def raw(key: String): Option[String] =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption(key))
+      .orElse(sys.props.get(key))
+
+  def int(key: String, default: Int): Int =
+    raw(key).map(_.trim.toInt).getOrElse(default)
+
+  def double(key: String, default: Double): Double =
+    raw(key).map(_.trim.toDouble).getOrElse(default)
+
+  def string(key: String, default: String): String =
+    raw(key).getOrElse(default)
+
+  /** `"a:0.2,b:0.3"` → `Seq("a" -> 0.2, "b" -> 0.3)`. */
+  def weights(key: String, default: Seq[(String, Double)]): Seq[(String, Double)] =
+    raw(key).map(_.split(",").toSeq.map { kv =>
+      val Array(k, v) = kv.split(":")
+      k.trim -> v.trim.toDouble
+    }).getOrElse(default)
+
+  /** Comma-separated list. */
+  def strings(key: String, default: Seq[String]): Seq[String] =
+    raw(key).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(default)
+}

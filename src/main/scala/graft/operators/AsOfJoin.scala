@@ -48,17 +48,22 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val rCarry = (rightCols :+ rightTs).distinct
 
-    // a NULL comparison never matches, but a null __ts build row would
-    // sort to the partition head and be picked by last(ignoreNulls)
-    // whenever no real match exists — filter post-cast so rows whose
-    // timestamp cast nulls out are dropped too
+    // a NULL comparison never matches under SQL `=` semantics, but the
+    // window's partitionBy groups NULL keys into one partition — so a
+    // null-keyed build row would wrongly match null-keyed probe rows,
+    // and a null __ts build row would sort to the partition head and be
+    // picked by last(ignoreNulls) whenever no real match exists. Filter
+    // BOTH post-cast (rows whose timestamp cast nulls out drop too),
+    // mirroring ResolveAsOfJoin's IsNotNull(key) AND IsNotNull(buildOrd).
+    // Null-keyed probe rows then share their partition with zero build
+    // rows: outer carries NULL, inner drops them — SQL-correct both ways.
     val rightTagged = right.select(
       by.map(col) ++ Seq(
         col(rightTs).cast("timestamp").as("__ts"),
         lit(0).as("__side"),
         struct(rCarry.map(col): _*).as("__rval"),
         lit(null).cast(structCast(left, leftCols)).as("__lrow")): _*)
-      .where(col("__ts").isNotNull)
+      .where((col("__ts").isNotNull +: by.map(col(_).isNotNull)).reduce(_ && _))
 
     val leftTagged = left.select(
       by.map(col) ++ Seq(

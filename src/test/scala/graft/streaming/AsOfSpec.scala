@@ -71,6 +71,28 @@ class AsOfSpec extends AnyFunSuite {
     assert(inner == Map("after" -> Some("late")))
   }
 
+  test("a NULL by-key never matches (regression: window partitionBy groups NULLs)") {
+    // SQL `=` semantics: NULL = NULL is not true, so a null-keyed build
+    // row must match nothing and a null-keyed probe row must match
+    // nothing. Without the build-side key filter the window's
+    // partitionBy puts both in one NULL partition and they wrongly pair
+    // (the exact bug SqlSurfaceSpec caught on the SQL-vs-DataFrame twin).
+    val w = Seq((Option("x"), ts(10), "real"), (Option.empty[String], ts(10), "phantom"))
+      .toDF("k", "wts", "weather")
+    val a = Seq((Option("x"), ts(11), "keyed"), (Option.empty[String], ts(11), "nullkey"))
+      .toDF("k", "ats", "activity")
+    // OUTER: null-keyed probe row survives but carries a NULL match
+    val outer = AsOfJoin.asOf(a, w, "ats", "wts", Seq("k"), Seq("weather"))
+      .select(col("activity"), col("r_weather"))
+      .as[(String, Option[String])].collect().toMap
+    assert(outer == Map("keyed" -> Some("real"), "nullkey" -> None))
+    // INNER: null-keyed probe row is dropped entirely
+    val inner = AsOfJoin.asOf(a, w, "ats", "wts", Seq("k"), Seq("weather"), inner = true)
+      .select(col("activity"), col("r_weather"))
+      .as[(String, Option[String])].collect().toMap
+    assert(inner == Map("keyed" -> Some("real")))
+  }
+
   test("pure streaming step: reverse-scan probe + eviction") {
     val inputs = Seq(
       Input("x", 1000L, isLeft = false, "", "🌞"),
