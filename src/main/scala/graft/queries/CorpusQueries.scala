@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.Tables
+import graft.{GraftConf, Tables}
 
 /** Corpus-level curation operators that close the loop AFTER pairwise
   * candidates exist: cluster resolution (which docs are the same
@@ -40,28 +40,36 @@ object CorpusQueries {
 
   import LlmQueries.{lshCandidatePairs, oLshCand, oShingles, shingles3, toks}
 
+  // Engine parameters — conf-driven through GraftConf (reference analog:
+  // Conf's everything-configurable posture, core.py:134-187). Each is
+  // read at query/oracle BUILD time, so `spark.conf.set("graft...", v)`
+  // reaches the Spark plan AND the emitted DuckDB oracle SQL together —
+  // the hash-compare verifies the configured operating point. Defaults
+  // are the sf0.01–0.1 test points.
   /** Docs whose id is ≡ 0 mod EVAL_MOD play the held-out benchmark. */
-  private val EVAL_MOD = 97
-  /** k-means: clusters, dimensions, Lloyd rounds, fixed-point scale. */
-  private val KM_K = 8
-  private val KM_D = 64
-  private val KM_ITERS = 2
+  private def EVAL_MOD = GraftConf.int("graft.contam.evalMod", 97)
+  /** k-means: clusters, dimensions, max Lloyd rounds, fixed-point scale. */
+  private def KM_K = GraftConf.int("graft.kmeans.k", 8)
+  private def KM_D = GraftConf.int("graft.kmeans.dim", 64)
+  private def KM_ITERS = GraftConf.int("graft.kmeans.iters", 2)
   private val KM_SCALE = 1048576.0 // 2^20 — float→int quantization
   /** Domain mix: per-lang target shares and the target corpus size. */
-  private val MIX_W = Seq("de" -> 0.2, "en" -> 0.3, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
-  private val MIX_T = 300.0
+  private def MIX_W = GraftConf.weights("graft.mix.weights",
+    Seq("de" -> 0.2, "en" -> 0.3, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1))
+  private def MIX_T = GraftConf.double("graft.mix.target", 300.0)
   private val MIX_MOD = 1000000L
   /** Min shared distinct 3-shingles to flag a contamination hit. */
-  private val CONTAM_MIN = 3
+  private def CONTAM_MIN = GraftConf.int("graft.contam.minShared", 3)
   /** Substring-run dedup: gram width, per-gram cohort cap, min run. */
-  private val GRAM_N = 5
-  private val GRAM_CAP = 20
-  private val MIN_RUN = 6
+  private def GRAM_N = GraftConf.int("graft.grams.n", 5)
+  private def GRAM_CAP = GraftConf.int("graft.grams.cohortCap", 20)
+  private def MIN_RUN = GraftConf.int("graft.grams.minRun", 6)
   /** BM25 free parameters (standard Robertson defaults). */
-  private val BM25_K1 = 1.2
-  private val BM25_B = 0.75
-  private val BM25_TERMS = Seq("spark", "vector", "merge")
-  private val TOPK = 10
+  private def BM25_K1 = GraftConf.double("graft.bm25.k1", 1.2)
+  private def BM25_B = GraftConf.double("graft.bm25.b", 0.75)
+  private def BM25_TERMS = GraftConf.strings("graft.bm25.terms",
+    Seq("spark", "vector", "merge"))
+  private def TOPK = GraftConf.int("graft.topk", 10)
 
   /** Connected components of the LSH candidate graph by iterative
     * min-label propagation; converges when the (monotone non-increasing)
@@ -350,7 +358,7 @@ object CorpusQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
 
     "cluster_kmeans" -> {
       val sq = s"CAST(list_sum(list_transform(range(1, ${KM_D + 1}), " +

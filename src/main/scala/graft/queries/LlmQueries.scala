@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{GraftConf, Tables}
 
 /** Large-scale training-data-pipeline operators over `documents` and
   * `embeddings`: deduplication (exact / MinHash+LSH / SimHash / n-gram
@@ -43,9 +43,13 @@ object LlmQueries {
   //   handles verbatim copies, LSH is for the near-dup tail.
   // - HAM_CAP / EMB_CAP: same bound for simhash chunk bands and embedding
   //   sign-LSH buckets.
-  private val LSH_CAP = 20
-  private val HAM_CAP = 20
-  private val EMB_CAP = 50
+  // Conf-driven (GraftConf): read at query/oracle build time so a
+  // `spark.conf.set` reaches the Spark plan and the DuckDB oracle SQL
+  // together. Defaults are the sf0.01–0.1 operating points; a cluster
+  // deployment raises them with `--conf graft.dedup.*`.
+  private def LSH_CAP = GraftConf.int("graft.dedup.lshCap", 20)
+  private def HAM_CAP = GraftConf.int("graft.dedup.hamCap", 20)
+  private def EMB_CAP = GraftConf.int("graft.dedup.embCap", 50)
 
   /** Word tokens of the document text (single-space separated). */
   private[queries] def toks: Column = split(col("text"), " ")
@@ -115,7 +119,7 @@ object LlmQueries {
     * sign-LSH embedding near-dup pair generator, shared by the
     * sim_embedding_neardup oracle and cluster_embeddings' recursive
     * component oracle. */
-  private[queries] val oEmbPairsCte: String = {
+  private[queries] def oEmbPairsCte: String = {
     def bits(off: Int) = (1 to 24).map(i =>
       s"CASE WHEN e[${off + i}] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
     val bandSelects = (0 until 2).map(b =>
@@ -136,7 +140,7 @@ object LlmQueries {
 
   /** DuckDB twin of [[lshCandidatePairs]]: CTE chain ending in
     * `cand(doc_a, doc_b)`. Prepend after the shingle CTEs. */
-  private[queries] val oLshCand: String = {
+  private[queries] def oLshCand: String = {
     val bandSelects = (0 until BANDS).map { b =>
       val k = (0 until ROWS).map(r => s"h${b * ROWS + r}").mkString(" || ")
       s"SELECT doc_id, $b AS bi, $k AS bk FROM m"
@@ -576,7 +580,7 @@ object LlmQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
       s"""$oShingles,
          |$oLshCand

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.streaming.TestSpark
+
+/** The cap/constant surface is session-conf-driven (GraftConf) and a
+  * non-default value must reach BOTH engines: the Spark plan and the
+  * emitted DuckDB oracle SQL the driver hash-compares against. A cap
+  * that changed only one side would silently turn the oracle gate into
+  * a comparison of two different operating points. */
+class GraftConfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def withConf[A](kvs: (String, String)*)(body: => A): A =
+    try {
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+
+  test("a non-default LSH cap changes the candidate set AND the oracle SQL together") {
+    val q = SparkEntry.queries("dedup_minhash_lsh")
+    val defaults = q(spark, dir).collect().map(_.toSeq).toSet
+    assert(defaults.nonEmpty, "sf0.001 must yield some candidate pairs at the default cap")
+    assert(SparkEntry.oracleSql("dedup_minhash_lsh").contains("<= 20"),
+      "default oracle embeds the default cap")
+
+    withConf("graft.dedup.lshCap" -> "1") {
+      // a cohort cap of 1 admits no pair at all — the strongest
+      // observable change the cap can make
+      assert(q(spark, dir).count() == 0L)
+      assert(SparkEntry.oracleSql("dedup_minhash_lsh").contains("<= 1"),
+        "oracle SQL must interpolate the live conf value")
+    }
+    withConf("graft.dedup.lshCap" -> "5") {
+      val capped = q(spark, dir).collect().map(_.toSeq).toSet
+      assert(capped.subsetOf(defaults),
+        "a tighter cap can only drop candidates, never invent them")
+      assert(SparkEntry.oracleSql("dedup_minhash_lsh").contains("<= 5"))
+    }
+    // conf restored: the default operating point is back
+    assert(q(spark, dir).collect().map(_.toSeq).toSet == defaults)
+  }
+
+  test("BM25 parameters flow to plan and oracle together") {
+    withConf("graft.bm25.terms" -> "spark", "graft.bm25.k1" -> "2.0") {
+      val sql = SparkEntry.oracleSql("text_bm25_topk")
+      assert(sql.contains("'spark'") && !sql.contains("'vector'"))
+      assert(sql.contains("2.0"), "k1 interpolates")
+      // the Spark side scores only the configured term: every returned
+      // score must come from docs containing 'spark'
+      val rows = SparkEntry.queries("text_bm25_topk")(spark, dir)
+      assert(rows.count() > 0)
+    }
+  }
+
+  test("k-means k is conf-driven on both surfaces") {
+    withConf("graft.kmeans.k" -> "3") {
+      val res = SparkEntry.queries("cluster_kmeans")(spark, dir)
+      val clusters = res.select("cluster").distinct().count()
+      assert(clusters <= 3, s"at most 3 clusters, got $clusters")
+      assert(SparkEntry.oracleSql("cluster_kmeans").contains("vec_id < 3"))
+    }
+  }
+}
