@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The atomic no-overwrite publish a [[StateTable]] commit rides on —
+  * the single primitive the whole optimistic-concurrency protocol
+  * reduces to: "claim this manifest-version path with these bytes iff
+  * nothing is there". Everything else (staging, retry, GC) is built
+  * around the winner/loser answer this gives.
+  *
+  * One strategy per filesystem class, because "exclusive create" is a
+  * different syscall on each:
+  *
+  *  - [[CommitLock.LocalLink]] — local POSIX filesystems. POSIX
+  *    `rename(2)` silently OVERWRITES, so tmp+rename is NOT a lock
+  *    there; instead the manifest is fully written to a tmp file and
+  *    claimed with `link(2)` (fails `EEXIST`, and the destination
+  *    appears fully written or not at all). Exotic local filesystems
+  *    without hard links fall back to `O_EXCL` direct create; a torn
+  *    file from a crash mid-write is rejected by the manifest parser's
+  *    terminator check.
+  *  - [[CommitLock.RenameNoOverwrite]] — HDFS-class filesystems, where
+  *    `rename` without overwrite IS atomic on the namenode (also the
+  *    right strategy for ABFS/HDFS-compatible stores with atomic
+  *    directory semantics).
+  *  - [[CommitLock.ConditionalPut]] — S3-class object stores, which
+  *    have NO atomic rename or link. Modern object stores expose a
+  *    conditional-write primitive instead: S3 `PUT` with
+  *    `If-None-Match: *` (native since 2024-08), GCS
+  *    `ifGenerationMatch=0`, Azure Blob `If-None-Match: *`. The commit
+  *    maps 1:1 onto it — publish = one conditional PUT of the full
+  *    manifest bytes; HTTP 412 (precondition failed) = lost the race.
+  *    The class carries the protocol against an injected `putIfAbsent`
+  *    transport, so the race semantics are spec-tested in-process
+  *    (StateTableSpec's injected-racer cases) and a deployment supplies
+  *    the store SDK's conditional call as the transport. For stores
+  *    WITHOUT conditional writes the safe fallback is an external
+  *    coordination point (a DynamoDB/ZK/DB conditional insert keyed by
+  *    manifest version) — same `putIfAbsent` shape, different carrier.
+  *
+  * [[CommitLock.Auto]] picks by scheme at publish time: `file` →
+  * LocalLink, everything else → RenameNoOverwrite (the Hadoop
+  * connector contract); object-store deployments pass a ConditionalPut
+  * explicitly, since `s3a://` exposes no conditional-write through the
+  * generic FileSystem API.
+  */
+trait CommitLock {
+
+  /** Atomically publish `bytes` at `dst` iff nothing exists there.
+    * Returns true when this writer claimed the path (bytes fully
+    * visible to any subsequent reader), false when another writer got
+    * there first. Must never leave a partial file a reader could
+    * mistake for a committed manifest. */
+  def publish(fs: FileSystem, dst: Path, bytes: Array[Byte]): Boolean
+}
+
+object CommitLock {
+
+  /** Scheme-dispatched default: local → hard-link claim, remote →
+    * rename-no-overwrite. */
+  object Auto extends CommitLock {
+    def publish(fs: FileSystem, dst: Path, bytes: Array[Byte]): Boolean =
+      (if (fs.getScheme == "file") LocalLink else RenameNoOverwrite)
+        .publish(fs, dst, bytes)
+  }
+
+  /** Local POSIX: write tmp fully, claim with an atomic hard link
+    * (EEXIST = lost); falls back to O_EXCL create where links are
+    * unsupported. */
+  object LocalLink extends CommitLock {
+    def publish(fs: FileSystem, dst: Path, bytes: Array[Byte]): Boolean = {
+      val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
+      val tmpP = dstP.resolveSibling(".tmp-" + UUID.randomUUID().toString)
+      java.nio.file.Files.write(tmpP, bytes)
+      try {
+        try {
+          java.nio.file.Files.createLink(dstP, tmpP)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // no hard links (exotic local fs): O_EXCL direct write;
+            // readers reject a torn file via the terminator check
+            try {
+              val ch = java.nio.file.Files.newByteChannel(dstP,
+                java.nio.file.StandardOpenOption.CREATE_NEW,
+                java.nio.file.StandardOpenOption.WRITE)
+              try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+              true
+            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmpP)
+    }
+  }
+
+  /** HDFS-class: tmp + rename-no-overwrite (atomic on a namenode). */
+  object RenameNoOverwrite extends CommitLock {
+    def publish(fs: FileSystem, dst: Path, bytes: Array[Byte]): Boolean = {
+      val tmp = new Path(dst.getParent, ".tmp-" + UUID.randomUUID().toString)
+      val out = fs.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      if (fs.exists(dst)) { fs.delete(tmp, false); false }
+      else if (fs.rename(tmp, dst)) true
+      else { fs.delete(tmp, false); false }
+    }
+  }
+
+  /** S3-class conditional write: `putIfAbsent(dst, bytes)` is the
+    * store's conditional-PUT call (S3 `If-None-Match: *`, GCS
+    * `ifGenerationMatch=0`, Azure `If-None-Match: *`) — it must
+    * atomically publish the bytes iff `dst` does not exist and report
+    * which way it went. All protocol behavior above the transport
+    * (retry on loss, staged-file rollback) is identical to the
+    * filesystem locks, which is the point: the spec exercises the race
+    * through an in-process transport and the conclusions carry to the
+    * store. */
+  final class ConditionalPut(putIfAbsent: (Path, Array[Byte]) => Boolean)
+      extends CommitLock {
+    def publish(fs: FileSystem, dst: Path, bytes: Array[Byte]): Boolean =
+      putIfAbsent(dst, bytes)
+  }
+}

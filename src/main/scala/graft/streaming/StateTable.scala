@@ -37,8 +37,8 @@ import org.apache.spark.sql.functions._
   *    table's max sequence number; the highest parseable version is
   *    the table state;
   *  - a write stages its data files first, then commits manifest
-  *    `v+1` by atomic rename-no-overwrite. A concurrent writer that
-  *    lost the race fails the rename, deletes its staged files, and
+  *    `v+1` by atomic no-overwrite publish. A concurrent writer that
+  *    lost the race fails the publish, deletes its staged files, and
   *    retries against the new manifest — so sequence numbers are
   *    allocated transactionally (the r1 driver-local `seq` var and its
   *    two-writer race are gone);
@@ -47,12 +47,19 @@ import org.apache.spark.sql.functions._
   *    the last committed manifest fully readable (crash-injection
   *    spec'd via [[compactImpl]] failpoints).
   *
-  * Manifest publish is atomic per filesystem class: rename-no-overwrite
-  * on HDFS-like filesystems, O_EXCL exclusive create on local ones
-  * (POSIX rename overwrites, so exists-check + rename is NOT a lock
-  * there — see [[commit]]).
+  * The atomic publish itself is a [[CommitLock]], one strategy per
+  * filesystem class: hard-link claim on local POSIX (rename overwrites
+  * there, so tmp+rename is NOT a lock), rename-no-overwrite on
+  * HDFS-class, and conditional PUT (`If-None-Match: *` /
+  * `ifGenerationMatch=0`) on S3-class object stores — see the
+  * [[CommitLock]] scaladoc for the full design. Tests inject a lock to
+  * race two writers deterministically.
   */
-class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
+class StateTable(
+    spark: SparkSession,
+    path: String,
+    keyCol: String = "key",
+    lock: CommitLock = CommitLock.Auto) {
 
   private val seqCol = "__seq"
 
@@ -192,12 +199,6 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
     } finally in.close()
   }
 
-  private def writeFile(p: Path, content: String): Unit = {
-    val out = fs.create(p, false)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
   /** Highest committed manifest, skipping an unparseable (partially
     * written) latest — the previous version stays authoritative. */
   private def latest(): Option[Manifest] = {
@@ -273,53 +274,14 @@ class StateTable(spark: SparkSession, path: String, keyCol: String = "key") {
   }
 
   /** Atomic publish of manifest `version`; false = lost a commit race.
-    *
-    * Local filesystems: the manifest is fully written to a tmp file,
-    * then CLAIMED at its final path with an atomic hard link —
-    * link(2) fails EEXIST if the destination exists (a true
-    * no-overwrite lock, unlike POSIX rename which silently overwrites
-    * — the exists+rename pair was an observed two-writer race), and
-    * the destination appears fully written or not at all (no torn
-    * manifest can ever sit at a version path and wedge that version —
-    * a crash mid-write only ever leaves a tmp file). Filesystems
-    * without hard links fall back to O_EXCL direct write; the
-    * parse-time terminator check makes a torn file invisible to
-    * readers there. HDFS-like filesystems keep tmp +
-    * rename-no-overwrite, which IS atomic on a namenode. */
+    * The mechanics live in the injected [[CommitLock]] (hard-link claim
+    * locally, rename-no-overwrite on HDFS-class, conditional PUT on
+    * S3-class); this method only names the version path. */
   private def commit(m: Manifest): Boolean = {
     val f = fs
     f.mkdirs(manifestDir)
     val dst = new Path(manifestDir, f"v${m.version}%020d.json")
-    val bytes = renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    if (f.getScheme == "file") {
-      val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
-      val tmpP = dstP.resolveSibling(".tmp-" + UUID.randomUUID().toString)
-      java.nio.file.Files.write(tmpP, bytes)
-      try {
-        try {
-          java.nio.file.Files.createLink(dstP, tmpP)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case _: UnsupportedOperationException =>
-            // no hard links (exotic local fs): O_EXCL direct write;
-            // readers reject a torn file via the terminator check
-            try {
-              val ch = java.nio.file.Files.newByteChannel(dstP,
-                java.nio.file.StandardOpenOption.CREATE_NEW,
-                java.nio.file.StandardOpenOption.WRITE)
-              try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
-              true
-            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        }
-      } finally java.nio.file.Files.deleteIfExists(tmpP)
-    } else {
-      val tmp = new Path(manifestDir, ".tmp-" + UUID.randomUUID().toString)
-      writeFile(tmp, renderManifest(m))
-      if (f.exists(dst)) { f.delete(tmp, false); false }
-      else if (f.rename(tmp, dst)) true
-      else { f.delete(tmp, false); false }
-    }
+    lock.publish(f, dst, renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private def readEntries(entries: Seq[FileEntry]): Option[DataFrame] =

@@ -162,6 +162,111 @@ class StateTableSpec extends AnyFunSuite {
     assert(reader.currentSeq == 16L)
   }
 
+  /** In-process stand-in for an object store's conditional PUT (S3
+    * `If-None-Match: *`, GCS `ifGenerationMatch=0`): the claim set IS
+    * the store's server-side atomicity; bytes land after a successful
+    * claim exactly as the store would publish them. Records attempts
+    * and wins per manifest path so specs can prove the race actually
+    * happened rather than the threads accidentally serializing. */
+  class CondStore {
+    val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    private val claims = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // synchronized: a real conditional PUT is ONE atomic server-side op —
+    // a loser's 412 implies the winner's object is already fully
+    // readable. Without this, a loser could observe "lost the race" yet
+    // re-read the table BEFORE the winner's bytes land, see the old
+    // version, and burn its retries re-attempting the claimed path.
+    def putIfAbsent(dst: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean =
+      synchronized {
+        attempts.merge(dst.getName, 1, (a: Integer, b: Integer) => a + b)
+        if (!claims.add(dst.toString)) false
+        else {
+          val p = java.nio.file.Paths.get(dst.toUri.getPath)
+          val tmp = p.resolveSibling(".put-" + java.util.UUID.randomUUID())
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        }
+      }
+  }
+
+  test("conditional-put commit (S3-class): forced collision on one version — exactly one wins, loser retries") {
+    val (_, dir) = fresh()
+    val store = new CondStore
+    // barrier ensures BOTH writers publish the SAME version before
+    // either can win: the race is forced, not left to thread timing
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    class BarrierLock extends CommitLock {
+      private var first = true
+      def publish(fs: org.apache.hadoop.fs.FileSystem,
+          dst: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean = {
+        if (first) { first = false; barrier.await() }
+        store.putIfAbsent(dst, bytes)
+      }
+    }
+    val w1 = new StateTable(spark, dir, "key", new BarrierLock)
+    val w2 = new StateTable(spark, dir, "key", new BarrierLock)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq((w1, "a", 1), (w2, "b", 2)).map { case (w, k, v) =>
+      new Thread(() => {
+        try w.put(Seq((k, v)).toDF("key", "v"))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.getMessage)}")
+    // both writes visible; sequence allocation stayed transactional
+    val reader = new StateTable(spark, dir)
+    assert(reader.snapshot().count() == 2)
+    assert(reader.changes().select("__seq").as[Long].collect().toSeq == Seq(1L, 2L))
+    // the collision happened AND resolved: version 1 got exactly two
+    // conditional-put attempts, one winner; the loser re-read and
+    // committed version 2 uncontested
+    val v1 = f"v${1L}%020d.json"
+    val v2 = f"v${2L}%020d.json"
+    assert(store.attempts.get(v1) == 2, s"expected a forced collision on $v1")
+    assert(store.attempts.get(v2) == 1)
+    // loser rolled back its staged file before retrying: exactly one
+    // data file per committed version remains
+    val dataFiles = new java.io.File(dir, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.length == 2,
+      s"staged-file rollback failed: ${dataFiles.map(_.getName).mkString(", ")}")
+  }
+
+  test("injected racer: a competitor committing mid-append forces publish=false and a clean retry") {
+    val (_, dir) = fresh()
+    val store = new CondStore
+    val condLock = new CommitLock.ConditionalPut(store.putIfAbsent)
+    val competitor = new StateTable(spark, dir, "key", condLock)
+    // the victim's lock lets the competitor commit FIRST the moment the
+    // victim reaches its own publish — a deterministic interleaving of
+    // the read-manifest → stage → publish window
+    @volatile var raced = false
+    val racingLock = new CommitLock {
+      def publish(fs: org.apache.hadoop.fs.FileSystem,
+          dst: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Boolean = {
+        if (!raced) {
+          raced = true
+          competitor.put(Seq(("theirs", 1)).toDF("key", "v"))
+        }
+        condLock.publish(fs, dst, bytes)
+      }
+    }
+    val victim = new StateTable(spark, dir, "key", racingLock)
+    victim.put(Seq(("mine", 2)).toDF("key", "v"))
+    val reader = new StateTable(spark, dir)
+    // no write lost; the victim's retry landed AFTER the competitor
+    val rows = reader.snapshot().select("key", "v").as[(String, Int)].collect().toMap
+    assert(rows == Map("theirs" -> 1, "mine" -> 2))
+    assert(reader.changes().select("__seq").as[Long].collect().toSeq == Seq(1L, 2L))
+    // v1: victim attempted and lost (competitor's direct commit claimed
+    // it first); v2: victim's retry, uncontested
+    assert(store.attempts.get(f"v${1L}%020d.json") == 2)
+    assert(store.attempts.get(f"v${2L}%020d.json") == 1)
+  }
+
   test("compact GC spares a concurrent writer's staged-but-uncommitted files") {
     val (t, dir) = fresh()
     t.put(Seq(("a", 1)).toDF("key", "v"))
