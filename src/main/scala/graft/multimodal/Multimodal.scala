@@ -13,14 +13,17 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *
   * IMAGE decode is REAL: the JDK ships `javax.imageio` readers for
   * PNG/JPEG/BMP/GIF/WBMP, so image payloads decode to actual pixels
-  * (real dimensions, real luminance-grid features). AUDIO/VIDEO codecs
-  * are genuinely absent from this container, so those fall back to
-  * `StubCodec`, a deterministic md5-derived fake — as does any image
-  * payload ImageIO cannot parse (truncated/unknown format), which is
-  * also the production-correct posture: a 100 TB crawl always contains
-  * undecodable bytes and a task that throws on them loses the whole
-  * partition. Swapping the stub for a JNI/ffmpeg codec changes no plan
-  * shape.
+  * (real dimensions, real luminance-grid features). AUDIO decode is
+  * REAL for RIFF/WAVE: the format is a public byte spec needing no
+  * codec, so `RiffCodec` parses geometry (channels/rate/frames) and
+  * extracts amplitude features from the PCM samples. Compressed audio
+  * (MP3/AAC) and VIDEO codecs are genuinely absent from this
+  * container, so those fall back to `StubCodec`, a deterministic
+  * md5-derived fake — as does any payload the real parsers cannot read
+  * (truncated/unknown format), which is also the production-correct
+  * posture: a 100 TB crawl always contains undecodable bytes and a
+  * task that throws on them loses the whole partition. Swapping the
+  * stub for a JNI/ffmpeg codec changes no plan shape.
   *
   * Scale notes: payload bytes never shuffle (all transforms are
   * narrow); batch size bounds peak memory per task; ImageIO's disk
@@ -119,10 +122,105 @@ object Multimodal {
     }
   }
 
+  /** Real audio header + sample decode for RIFF/WAVE payloads, pure JDK
+    * byte parsing (the container has no audio libs, but WAV needs none:
+    * the format is a public spec — RIFF magic, little-endian chunk
+    * list, `fmt ` geometry, `data` PCM samples). Returns None for
+    * non-WAV/torn/non-PCM bytes; callers degrade to [[StubCodec]], same
+    * posture as images. Compressed formats (MP3/AAC/...) genuinely need
+    * external codecs and stay on the stub. */
+  object RiffCodec {
+
+    /** Decoded WAV geometry: `frames` = sample frames (all channels),
+      * duration in milliseconds (integer floor — exact, no float). */
+    case class WavInfo(
+        channels: Int,
+        sampleRate: Int,
+        bitsPerSample: Int,
+        frames: Int,
+        durationMs: Long,
+        dataOffset: Int,
+        dataLength: Int)
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Header walk: RIFF....WAVE, then chunks until both `fmt ` and
+      * `data` are seen. Only uncompressed integer PCM (audioFormat 1)
+      * decodes — that's what a feature extractor can read samples from
+      * without a codec. */
+    def decode(payload: Array[Byte]): Option[WavInfo] =
+      try {
+        if (payload.length < 44 || tag(payload, 0) != "RIFF" || tag(payload, 8) != "WAVE")
+          return None
+        var pos = 12
+        var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+        var data: Option[(Int, Int)] = None          // offset, length
+        while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+          val id = tag(payload, pos)
+          val size = le32(payload, pos + 4)
+          if (size < 0 || pos + 8 + size > payload.length) return None
+          if (id == "fmt " && size >= 16)
+            fmt = Some((le16(payload, pos + 8), le16(payload, pos + 10),
+              le32(payload, pos + 12), le16(payload, pos + 22)))
+          else if (id == "data")
+            data = Some((pos + 8, size))
+          pos += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        for {
+          (format, ch, rate, bits) <- fmt
+          (off, len) <- data
+          if format == 1 && ch > 0 && rate > 0 && (bits == 8 || bits == 16)
+        } yield {
+          val blockAlign = ch * bits / 8
+          val frames = len / blockAlign
+          WavInfo(ch, rate, bits, frames, frames.toLong * 1000L / rate, off, len)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Real sample-level features: mean |amplitude| over `dim` equal
+      * time segments, channel-mixed, normalized to [0, 1) — the audio
+      * analog of the image luminance grid. Samples are strided so the
+      * cost is bounded (≤ ~4096 frames per segment) regardless of clip
+      * length; all arithmetic is integer until the final divide. */
+    def features(payload: Array[Byte], info: WavInfo, dim: Int = 8): Array[Float] = {
+      val bytesPerSample = info.bitsPerSample / 8
+      val blockAlign = info.channels * bytesPerSample
+      val full = 1 << (info.bitsPerSample - 1) // 128 or 32768
+      Array.tabulate(dim) { seg =>
+        val f0 = seg.toLong * info.frames / dim
+        val f1 = math.max(f0 + 1, (seg + 1).toLong * info.frames / dim)
+        val stride = math.max(1L, (f1 - f0) / 4096L)
+        var sum = 0L
+        var n = 0L
+        var f = f0
+        while (f < f1 && f < info.frames) {
+          var c = 0
+          while (c < info.channels) {
+            val i = info.dataOffset + (f * blockAlign).toInt + c * bytesPerSample
+            val v =
+              if (bytesPerSample == 2) le16(payload, i).toShort.toInt
+              else (payload(i) & 0xff) - 128 // 8-bit WAV is unsigned
+            sum += math.abs(v.toLong)
+            n += 1
+            c += 1
+          }
+          f += stride
+        }
+        if (n == 0) 0.0f else (sum.toDouble / n).toFloat / full
+      }
+    }
+  }
+
   /** Deterministic fake standing in for the codecs genuinely absent
-    * from this container (audio/video), and the degradation path for
-    * undecodable image bytes. Derives stable pseudo-properties from the
-    * payload digest so tests are exact and reruns reproducible. */
+    * from this container (compressed audio, video), and the degradation
+    * path for undecodable image/WAV bytes. Derives stable
+    * pseudo-properties from the payload digest so tests are exact and
+    * reruns reproducible. */
   object StubCodec {
     private def digest(payload: Array[Byte]): Array[Byte] =
       MessageDigest.getInstance("MD5").digest(payload)
@@ -146,7 +244,12 @@ object Multimodal {
 
   /** Batched partition-local decode+featurize. `batchSize` mirrors a
     * batch UDF's arrow-batch bound: a grouped iterator keeps at most
-    * one batch of payloads decoded at a time. */
+    * one batch of payloads decoded at a time.
+    *
+    * Audio rows map the geometry fields as: `width` = sample rate,
+    * `height` = channels, `nFrames` = sample frames (so duration =
+    * nFrames / width) — the schema stays one flat struct across
+    * modalities, which is what keeps the downstream plan shared. */
   def decodeAndFeaturize(
       ds: Dataset[MediaRecord],
       batchSize: Int = 64)(implicit spark: SparkSession): Dataset[Decoded] = {
@@ -154,13 +257,19 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val real =
+          val image =
             if (r.mediaType == "image") ImageCodec.decode(r.payload) else None
-          real match {
-            case Some(img) =>
+          val audio =
+            if (r.mediaType == "audio") RiffCodec.decode(r.payload) else None
+          (image, audio) match {
+            case (Some(img), _) =>
               Decoded(r.id, r.mediaType, img.getWidth, img.getHeight, 1,
                 r.payload.length, ImageCodec.features(img))
-            case None =>
+            case (_, Some(wav)) =>
+              Decoded(r.id, r.mediaType, wav.sampleRate, wav.channels,
+                wav.frames, r.payload.length,
+                RiffCodec.features(r.payload, wav))
+            case _ =>
               val (w, h) = StubCodec.decodeDims(r.payload)
               Decoded(r.id, r.mediaType, w, h,
                 StubCodec.frameCount(r.payload, r.mediaType),

@@ -75,6 +75,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.width != 20000 && out.height != 20000)
   }
 
+  /** Real WAV bytes through the JDK's own writer (javax.sound.sampled
+    * is core java.desktop — the generator is independent of the parser
+    * under test). 16-bit signed little-endian PCM. */
+  private def wavBytes(rate: Float, channels: Int, frames: Int)(
+      sample: (Int, Int) => Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val data = new Array[Byte](frames * channels * 2)
+    for (f <- 0 until frames; c <- 0 until channels) {
+      val s = sample(f, c)
+      val i = (f * channels + c) * 2
+      data(i) = (s & 0xff).toByte
+      data(i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("real WAV payloads decode geometry and amplitude features from actual PCM samples") {
+    // 1 second mono @ 8 kHz: quiet first half (|1000|), loud second
+    // half (|30000|) — pins the 8 time-segment amplitude features to
+    // exact constants (stride 1 at this length, integer mean is exact)
+    val wav = wavBytes(8000f, 1, 8000)((f, _) =>
+      if (f < 4000) { if (f % 2 == 0) 1000 else -1000 }
+      else { if (f % 2 == 0) 30000 else -30000 })
+    val info = Multimodal.RiffCodec.decode(wav).get
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.bitsPerSample == 16)
+    assert(info.frames == 8000 && info.durationMs == 1000L)
+    val fs = Multimodal.RiffCodec.features(wav, info)
+    (0 to 3).foreach(i => assert(fs(i) == 1000.0f / 32768, s"quiet segment $i: ${fs(i)}"))
+    (4 to 7).foreach(i => assert(fs(i) == 30000.0f / 32768, s"loud segment $i: ${fs(i)}"))
+
+    // the Dataset path: audio rows carry (sampleRate, channels, frames)
+    // through the flat (width, height, nFrames) geometry fields
+    val out = decodeAndFeaturize(Seq(MediaRecord(7L, "audio", wav, Map.empty)).toDS())
+      .collect().head
+    assert(out.width == 8000 && out.height == 1 && out.nFrames == 8000)
+    assert(out.features.toSeq == fs.toSeq)
+
+    // stereo: channel-mixed amplitude (|1000| + |3000|) / 2
+    val st = wavBytes(4000f, 2, 4000)((_, c) => if (c == 0) 1000 else -3000)
+    val si = Multimodal.RiffCodec.decode(st).get
+    assert(si.channels == 2 && si.frames == 4000 && si.durationMs == 1000L)
+    val sf = Multimodal.RiffCodec.features(st, si)
+    sf.foreach(v => assert(v == 2000.0f / 32768, s"stereo mix: $v"))
+
+    // truncated/not-a-WAV bytes degrade to the stub, never a task failure
+    val trunc = wav.take(30)
+    val tout = decodeAndFeaturize(Seq(MediaRecord(8L, "audio", trunc, Map.empty)).toDS())
+      .collect().head
+    val (sw, sh) = StubCodec.decodeDims(trunc)
+    assert(tout.width == sw && tout.height == sh, "torn WAV must take the stub path")
+    // malformed chunk walk must simply return None (no throw)
+    assert(Multimodal.RiffCodec.decode(
+      "RIFFxxxxWAVE".getBytes("US-ASCII") ++ Array.fill(40)(0.toByte)).isEmpty)
+  }
+
   test("decode+featurize: schema, dims in range, deterministic across runs") {
     val ds = media(50).toDS().repartition(4)
     val out1 = decodeAndFeaturize(ds, batchSize = 8).collect().sortBy(_.id)
