@@ -86,8 +86,9 @@ object LlmQueries {
     * the signature/banding stage alone, uncapped. Also the write side
     * of an INCREMENTAL dedup index: persist these per band key and
     * probe new batches against the stored cohorts instead of
-    * re-banding the whole corpus (IncrementalDedupSpec). */
-  private[queries] def lshBands(docs: DataFrame): DataFrame = {
+    * re-banding the whole corpus (streaming.IncrementalDedup runs that
+    * loop per micro-batch; IncrementalDedupSpec proves the batch form). */
+  private[graft] def lshBands(docs: DataFrame): DataFrame = {
     val hashed = docs
       .select(col("doc_id"), explode(shingles3).as("sh"))
       .withColumn("h", md5(col("sh")))

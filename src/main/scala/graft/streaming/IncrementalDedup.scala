@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.GraftConf
+
+/** Streaming incremental MinHash/LSH dedup — ONE query that, per
+  * micro-batch, PROBES the persisted corpus band index and UPSERTS the
+  * batch back into it, so the index is always the cumulative corpus and
+  * every arriving document is checked against everything ingested
+  * before it. This unifies the two halves that existed separately: the
+  * StateTable band index (the batch probe shape, IncrementalDedupSpec)
+  * and the at-ingestion pairing loop (StreamingNearDup's admission
+  * semantics), with the SAME signature algebra as the batch
+  * `dedup_minhash_lsh` query — md5 shingle minhash, 4 banded 16-bit
+  * chunk pairs — so stream-ingested results are comparable to the
+  * batch truth by construction.
+  *
+  * Reference analog: the cache-enrichment recipe (slipstream
+  * cookbook.rst:529-588) — a handler that reads AND writes a persistent
+  * cache per element; here the element is a micro-batch and the cache a
+  * distributed [[StateTable]].
+  *
+  * Per micro-batch (all DataFrame plans, nothing per-row on the driver):
+  *  1. band the batch with the batch query's own `lshBands` (one md5
+  *     per shingle, groupBy-min signature — map-side combined);
+  *  2. probe: left-join batch band keys against the stored cohorts —
+  *     a keyed equi-join against a stats-pruned table, NOT a corpus
+  *     self-join (the 100 TB point: daily-batch × index, never
+  *     corpus × corpus);
+  *  3. emit candidate pairs: new-vs-stored for every probing doc, plus
+  *     new-vs-new within the batch (a new doc pairs with an earlier
+  *     same-key doc only if that doc was ADMITTED — arrival order =
+  *     doc_id order, mirroring StreamingNearDup.step);
+  *  4. upsert: cohorts extended with admitted docs write back through
+  *     the StateTable's optimistic commit (LWW per band key).
+  *
+  * Admission mirrors the streaming cap semantics: a cohort keeps the
+  * FIRST `cap` residents (a stream cannot retract), so state is
+  * O(distinct band keys × cap) — O(corpus bands), never O(corpus²).
+  * On corpora whose cohorts fit the cap, the emitted pair set equals
+  * the batch LSH candidate set on the cumulative corpus
+  * (IncrementalStreamSpec proves it batch-boundary-independently).
+  * Re-ingested doc_ids (at-least-once delivery) are dropped at the
+  * probe, so duplicate delivery cannot duplicate pairs or cohorts.
+  */
+object IncrementalDedup {
+
+  case class Doc(docId: Long, text: String)
+
+  private def cap: Int = GraftConf.int("graft.dedup.lshCap", 20)
+
+  /** One micro-batch of the probe-and-upsert loop (batch-callable for
+    * specs; [[start]] wires it behind foreachBatch). `batch` needs
+    * (docId, text). */
+  def processBatch(
+      batch: DataFrame,
+      tablePath: String,
+      pairsDir: String)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    val table = new StateTable(spark, tablePath, "key")
+    val stored =
+      if (table.currentSeq == 0L) Seq.empty[(String, Seq[Long])].toDF("key", "docs")
+      else table.snapshot()
+    val bands = graft.queries.LlmQueries.lshBands(
+        batch.select(col("docId").as("doc_id"), col("text")))
+      .select(concat(col("bi"), lit(":"), col("bk")).as("key"), col("doc_id"))
+    val probed = bands
+      .join(stored.select(col("key"), col("docs")), Seq("key"), "left")
+      .withColumn("stored", coalesce(col("docs"), array().cast("array<long>")))
+      // at-least-once tolerance: a re-delivered doc is already resident
+      // in its cohorts — drop it from the probe so duplicate delivery
+      // can never duplicate pairs or cohort entries
+      .where(!array_contains(col("stored"), col("doc_id")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("key")).orderBy(col("doc_id"))))
+      .withColumn("admitted", col("rn") + size(col("stored")) <= cap)
+      .persist()
+    try {
+      // every probing doc pairs against the full stored cohort;
+      // within-batch pairs require the EARLIER doc to have been
+      // admitted (StreamingNearDup.step's arrival-order semantics)
+      val vsStored = probed
+        .select(col("doc_id"), explode(col("stored")).as("old_id"))
+        .select(least(col("doc_id"), col("old_id")).as("doc_a"),
+          greatest(col("doc_id"), col("old_id")).as("doc_b"))
+      val vsNew = probed.as("a")
+        .join(probed.as("b"),
+          col("a.key") === col("b.key") && col("a.admitted") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      vsStored.union(vsNew).distinct()
+        .write.mode("append").parquet(pairsDir)
+      // upsert only the keys that actually grew
+      val merged = probed.where(col("admitted"))
+        .groupBy(col("key"))
+        .agg(first(col("stored")).as("stored"),
+          sort_array(collect_list(col("doc_id"))).as("fresh"))
+        .select(col("key"), sort_array(concat(col("stored"), col("fresh"))).as("docs"))
+      if (!merged.isEmpty) table.put(merged)
+    } finally probed.unpersist()
+  }
+
+  /** Start the unified streaming query: probe + emit + upsert per
+    * micro-batch. Pairs land as parquet under `pairsDir` (append). */
+  def start(
+      docs: Dataset[Doc],
+      tablePath: String,
+      pairsDir: String,
+      checkpointDir: String)(implicit spark: SparkSession): StreamingQuery =
+    docs.toDF().writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, tablePath, pairsDir)
+      }
+      .start()
+}

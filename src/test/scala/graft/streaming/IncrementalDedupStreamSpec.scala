@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The unified streaming incremental-dedup loop: one query that probes
+  * AND upserts the persisted band index per micro-batch. Proves
+  * stream-ingested ≡ batch LSH on the cumulative corpus (batch-boundary
+  * independence), that duplicate delivery is absorbed, and that state
+  * is O(corpus bands) — one StateTable row per distinct band key. */
+class IncrementalDedupStreamSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming probe+upsert = batch LSH on the cumulative corpus; state O(corpus bands); redelivery absorbed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+
+    // corpus = sf0.001 documents + exact copies of the first 5 (every
+    // band agrees -> guaranteed pairs) + one-word mutations of the next
+    // 5 (pair or not, both engines must agree). Copies get ids past the
+    // originals so they arrive in a LATER micro-batch — the pair can
+    // only be found through the persisted index, not within a batch.
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val copies = base.take(5).map { case (id, t) => (10000L + id, t) }
+    val mutants = base.slice(5, 10).map { case (id, t) =>
+      val w = t.split(" "); w(w.length / 2) = "zqmutant"
+      (20000L + id, w.mkString(" "))
+    }
+    val corpus = base ++ copies ++ mutants
+
+    val tmp = Files.createTempDirectory("incstream").toFile.getAbsolutePath
+    corpus.toSeq.toDF("doc_id", "text")
+      .write.parquet(s"$tmp/corpus/documents.parquet")
+    val expected = graft.queries.LlmQueries
+      .queries("dedup_minhash_lsh")(spark, s"$tmp/corpus")
+      .as[(Long, Long)].collect().toSet
+
+    val (tablePath, pairsDir, ckpt) = (s"$tmp/index", s"$tmp/pairs", s"$tmp/ckpt")
+    val src = MemoryStream[IncrementalDedup.Doc]
+    val q = IncrementalDedup.start(src.toDS(), tablePath, pairsDir, ckpt)
+    try {
+      // three micro-batches in id order: originals, then copies+mutants
+      // last — every copy's partner is already in the index when it
+      // arrives
+      val docs = corpus.sortBy(_._1).map { case (id, t) => IncrementalDedup.Doc(id, t) }
+      val third = (docs.length + 2) / 3
+      docs.grouped(third).foreach { b =>
+        src.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.read.parquet(pairsDir)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"stream=${got.size} batch=${expected.size}")
+      copies.foreach { case (cid, _) =>
+        assert(got.contains((cid - 10000L, cid)), s"cross-batch pair for copy $cid")
+      }
+
+      // state size: one cohort row per distinct band key — O(corpus bands)
+      val nKeys = graft.queries.LlmQueries.lshBands(
+          spark.read.parquet(s"$tmp/corpus/documents.parquet"))
+        .select(concat(col("bi"), lit(":"), col("bk"))).distinct().count()
+      val table = new StateTable(spark, tablePath, "key")
+      assert(table.snapshot().count() == nKeys,
+        "index must hold exactly one row per distinct band key")
+
+      // at-least-once delivery: replaying the first batch changes nothing
+      src.addData(docs.take(third).toIndexedSeq); q.processAllAvailable()
+      val again = spark.read.parquet(pairsDir)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(again == expected, "duplicate delivery must not duplicate pairs")
+      assert(table.snapshot().count() == nKeys)
+    } finally q.stop()
+  }
+}
