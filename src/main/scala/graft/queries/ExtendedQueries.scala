@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.Tables
+import graft.{GraftConf, Tables}
 
 /** Relational surface beyond the reference's own operators — free with
   * Catalyst (SURVEY §2.4/§2.5 "not present" lists) but part of a
@@ -398,7 +398,9 @@ object ExtendedQueries {
     // the corpus; the oracle mirrors the capped shingle universe, so
     // the approximation itself is hash-checked.
     "dedup_jaccard_dfcap" -> ((s, dir) => {
-      val maxDf = 20
+      // conf-driven like the rest of the cap surface (GraftConf): the
+      // oracle below interpolates the same value
+      val maxDf = GraftConf.int("graft.dedup.maxDf", 20)
       val e = Tables.documents(s, dir)
         .select(col("doc_id"), explode(graft.functions.functions.word_shingles(col("text"), 3)).as("sh"))
       val rare = e.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
@@ -684,14 +686,14 @@ object ExtendedQueries {
         |COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1""".stripMargin,
 
     "dedup_jaccard_dfcap" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
         |list_distinct(list_transform(range(1, len(w) - 1),
         |i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
         |ELSE []::VARCHAR[] END AS sh FROM d),
         |e AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
         |rare AS (SELECT doc_id, sh1, COUNT(*) OVER (PARTITION BY sh1) AS df FROM e
-        |QUALIFY df <= 20),
+        |QUALIFY df <= ${GraftConf.int("graft.dedup.maxDf", 20)}),
         |sized AS (SELECT doc_id, sh1, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM rare)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |COUNT(*) / (a.n + b.n - COUNT(*)) AS jaccard

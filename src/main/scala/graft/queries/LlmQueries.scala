@@ -104,7 +104,7 @@ object LlmQueries {
   /** MinHash+LSH candidate pairs (doc_a < doc_b) — the shared front end
     * of dedup_minhash_lsh / dedup_minhash_verified / dedup_clusters.
     * One shuffle on band keys; cohorts over LSH_CAP dropped. */
-  private[queries] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     val bands = lshBands(Tables.documents(s, dir))
       .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("bi"), col("bk"))))
       .where(col("cohort") <= LSH_CAP)
@@ -299,6 +299,13 @@ object LlmQueries {
     // per-doc window on the index would re-shuffle and re-sort every
     // exploded shingle before the join (same lesson as
     // dedup_jaccard_dfcap, 2× at the 10× scale point).
+    //
+    // SMALL-CORPUS DIAGNOSTIC ONLY (demoted r6): the uncapped index is
+    // O(c²) in the largest shingle cohort — tools.CohortProbe measured
+    // 50M candidate pairs / 11.7 s at a 10k-doc shared-shingle cohort
+    // (BENCH_cohort_r06.json) vs flat for dedup_jaccard_dfcap and
+    // dedup_minhash_lsh. At 100 TB, boilerplate cohorts reach 10⁶ docs;
+    // ship the df-capped or LSH form.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val e = Tables.documents(s, dir)
         .select(col("doc_id"), explode(shingles3).as("sh"))

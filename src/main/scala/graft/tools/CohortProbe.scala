@@ -1,0 +1,104 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftConf, GraftSession, SparkEntry, Stats, Tables}
+
+/** Adversarial cohort-growth probe — the failure mode the replica-salted
+  * ScaleUp sidecar CANNOT produce (its salting holds cohort density
+  * constant by construction): a single hot shingle shared by c
+  * documents. An inverted-index join then yields O(c²) candidate pairs
+  * per shared shingle, which is the latent scale-killer of the uncapped
+  * `dedup_ngram_jaccard` baseline; the capped forms
+  * (`dedup_jaccard_dfcap` via the shingle df cap, `dedup_minhash_lsh`
+  * via the band cohort cap) must stay flat on the same corpus.
+  *
+  * For each c ∈ args (default 100 / 1000 / 10000): build sf0.01's 500
+  * documents + c adversarial docs sharing exactly two 3-shingles
+  * ("hot alpha beta", "alpha beta gamma") with 28 per-doc-unique filler
+  * words (so jaccard stays ≈0.03 — the OUTPUT is tiny, the wall
+  * measures candidate generation), run the three catalog queries
+  * SPARK_GRAFT_REPS (default 3) times each, and count each query's
+  * candidate-pair frontier structurally. Writes one JSON object to
+  * SPARK_GRAFT_COHORT_OUT (default `bench_cohort_out.json`) and prints
+  * it as the last stdout line.
+  */
+object CohortProbe {
+  def main(args: Array[String]): Unit = {
+    val cs = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(100, 1000, 10000)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_COHORT_OUT", "bench_cohort_out.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", shufflePartitions = cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val names = Seq("dedup_ngram_jaccard", "dedup_jaccard_dfcap", "dedup_minhash_lsh")
+    val maxDf = GraftConf.int("graft.dedup.maxDf", 20)
+
+    def shingleIndex(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"),
+        explode(graft.functions.functions.word_shingles(col("text"), 3)).as("sh"))
+
+    /** Distinct share-≥1-shingle pairs — the frontier the jaccard
+      * scorer must aggregate over (its cost driver). */
+    def pairCount(e: DataFrame): Long =
+      e.as("a").join(e.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+
+    val points = cs.map { c =>
+      val dir = s"localdata/cohort/c$c"
+      val adv = spark.range(c).map { i =>
+        val fill = (0 until 28).map(j => s"u${i}w$j").mkString(" ")
+        (1000000L + i, s"hot alpha beta gamma $fill", "xx", "adv")
+      }.toDF("doc_id", "text", "lang", "source")
+      Tables.documents(spark, "/root/testdata/sf0.01")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .unionByName(adv)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      // structural frontier sizes (what each query's join must chew)
+      val eAll = shingleIndex(Tables.documents(spark, dir))
+      val eCap = eAll
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .where(col("df") <= maxDf).drop("df")
+      val frontiers = Map(
+        "dedup_ngram_jaccard" -> pairCount(eAll),
+        "dedup_jaccard_dfcap" -> pairCount(eCap),
+        "dedup_minhash_lsh" ->
+          graft.queries.LlmQueries.lshCandidatePairs(spark, dir).count())
+
+      // walls: full catalog queries through the noop sink, median of reps
+      val walls = names.map { n =>
+        val samples = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, dir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        n -> (samples.min, Stats.median(samples), samples.max)
+      }
+      val fields = names.map { n =>
+        val (mn, md, mx) = walls.find(_._1 == n).get._2
+        s""""$n":{"cand_pairs":${frontiers(n)},"wall_min":$mn,"wall_median":$md,"wall_max":$mx}"""
+      }.mkString(",")
+      println(s"[cohort] c=$c done: " + walls.map { case (n, (_, md, _)) =>
+        f"$n=$md%.2fs/${frontiers(n)} pairs" }.mkString(", "))
+      s"""{"c":$c,$fields}"""
+    }
+
+    val json =
+      s"""{"metric":"cohort_growth","unit":"sec","reps":$reps,"cpus":$cpus,""" +
+        s""""queries":[${names.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""points":[${points.mkString(",")}]}"""
+    Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    spark.stop()
+    println(json)
+  }
+}
