@@ -16,14 +16,18 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * (real dimensions, real luminance-grid features). AUDIO decode is
   * REAL for RIFF/WAVE: the format is a public byte spec needing no
   * codec, so `RiffCodec` parses geometry (channels/rate/frames) and
-  * extracts amplitude features from the PCM samples. Compressed audio
-  * (MP3/AAC) and VIDEO codecs are genuinely absent from this
-  * container, so those fall back to `StubCodec`, a deterministic
-  * md5-derived fake — as does any payload the real parsers cannot read
-  * (truncated/unknown format), which is also the production-correct
-  * posture: a 100 TB crawl always contains undecodable bytes and a
-  * task that throws on them loses the whole partition. Swapping the
-  * stub for a JNI/ffmpeg codec changes no plan shape.
+  * extracts amplitude features from the PCM samples. VIDEO decode is
+  * REAL for MJPEG-in-AVI: AVI is RIFF again (`AviCodec` walks the
+  * chunk list for geometry and frame positions) and MJPEG frames are
+  * plain JPEGs ImageIO decodes, so video features are temporal means
+  * of real per-frame luminance grids. Codecs that genuinely need
+  * external libraries (MP3/AAC, H.264) fall back to `StubCodec`, a
+  * deterministic md5-derived fake — as does any payload the real
+  * parsers cannot read (truncated/unknown format), which is also the
+  * production-correct posture: a 100 TB crawl always contains
+  * undecodable bytes and a task that throws on them loses the whole
+  * partition. Swapping the stub for a JNI/ffmpeg codec changes no
+  * plan shape.
   *
   * Scale notes: payload bytes never shuffle (all transforms are
   * narrow); batch size bounds peak memory per task; ImageIO's disk
@@ -216,11 +220,95 @@ object Multimodal {
     }
   }
 
+  /** Real video decode for MJPEG-in-AVI payloads, pure JDK: AVI is a
+    * RIFF container (same public byte spec family as WAV — nested LIST
+    * chunks walked with the same little-endian arithmetic), and MJPEG
+    * frames are ordinary JPEGs, which `javax.imageio` already decodes.
+    * So geometry (width/height/frame count/frame duration) comes from
+    * the `avih` header, frame payloads from the `movi` list, and
+    * features from ACTUAL decoded pixels — a temporal mean of the
+    * image luminance grid over a bounded sample of frames. Codecs that
+    * genuinely need external libraries (H.264 etc.) still fall back to
+    * [[StubCodec]]. */
+  object AviCodec {
+
+    /** AVI geometry + the (offset, length) of each video frame chunk
+      * (`00dc`/`00db`) inside the payload. */
+    case class AviInfo(
+        width: Int,
+        height: Int,
+        frames: Int,
+        usPerFrame: Int,
+        frameChunks: Seq[(Int, Int)])
+
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Recursive chunk walk: RIFF....AVI , LISTs descended, `avih`
+      * header + frame chunk positions collected. Any overrunning chunk
+      * invalidates the whole parse (torn payloads degrade, never
+      * half-decode). */
+    def decode(payload: Array[Byte]): Option[AviInfo] =
+      try {
+        if (payload.length < 24 || tag(payload, 0) != "RIFF" || tag(payload, 8) != "AVI ")
+          return None
+        var avih: Option[(Int, Int, Int, Int)] = None // usPerFrame, total, w, h
+        val chunks = Seq.newBuilder[(Int, Int)]
+        var ok = true
+        def walk(start: Int, end: Int): Unit = {
+          var pos = start
+          while (ok && pos + 8 <= end) {
+            val id = tag(payload, pos)
+            val size = le32(payload, pos + 4)
+            if (size < 0 || pos + 8 + size > end) { ok = false; return }
+            if (id == "LIST" && size >= 4) walk(pos + 12, pos + 8 + size)
+            else if (id == "avih" && size >= 40)
+              avih = Some((le32(payload, pos + 8), le32(payload, pos + 24),
+                le32(payload, pos + 40), le32(payload, pos + 44)))
+            else if ((id == "00dc" || id == "00db") && size > 0)
+              chunks += ((pos + 8, size))
+            pos += 8 + size + (size & 1) // word-aligned
+          }
+        }
+        walk(12, math.min(payload.length, 8 + le32(payload, 4)))
+        val frameChunks = chunks.result()
+        for {
+          (us, total, w, h) <- avih
+          if ok && w > 0 && h > 0 && us > 0 && w.toLong * h <= ImageCodec.MaxPixels
+        } yield AviInfo(w, h, if (total > 0) total else frameChunks.size, us, frameChunks)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Temporal-mean luminance grid over ≤ `maxSampled` frames, evenly
+      * sampled — REAL pixels through ImageIO per sampled MJPEG frame.
+      * None when no sampled frame decodes (payload needs a true codec);
+      * callers degrade to the stub. Bounded: decode cost is maxSampled
+      * frames regardless of clip length. */
+    def features(
+        payload: Array[Byte],
+        info: AviInfo,
+        dim: Int = 8,
+        maxSampled: Int = 4): Option[Array[Float]] = {
+      val n = info.frameChunks.size
+      if (n == 0) return None
+      val step = math.max(1, n / maxSampled)
+      val sampled = info.frameChunks.indices.by(step).take(maxSampled)
+        .map(info.frameChunks)
+        .flatMap { case (off, len) =>
+          ImageCodec.decode(java.util.Arrays.copyOfRange(payload, off, off + len))
+        }
+        .map(ImageCodec.features(_, dim))
+      if (sampled.isEmpty) None
+      else Some(Array.tabulate(dim)(i => sampled.map(_(i)).sum / sampled.size))
+    }
+  }
+
   /** Deterministic fake standing in for the codecs genuinely absent
-    * from this container (compressed audio, video), and the degradation
-    * path for undecodable image/WAV bytes. Derives stable
-    * pseudo-properties from the payload digest so tests are exact and
-    * reruns reproducible. */
+    * from this container (compressed audio like MP3/AAC, compressed
+    * video like H.264), and the degradation path for undecodable
+    * image/WAV/AVI bytes. Derives stable pseudo-properties from the
+    * payload digest so tests are exact and reruns reproducible. */
   object StubCodec {
     private def digest(payload: Array[Byte]): Array[Byte] =
       MessageDigest.getInstance("MD5").digest(payload)
@@ -261,14 +349,20 @@ object Multimodal {
             if (r.mediaType == "image") ImageCodec.decode(r.payload) else None
           val audio =
             if (r.mediaType == "audio") RiffCodec.decode(r.payload) else None
-          (image, audio) match {
-            case (Some(img), _) =>
+          val video =
+            if (r.mediaType == "video") AviCodec.decode(r.payload) else None
+          val videoFeats = video.flatMap(AviCodec.features(r.payload, _))
+          (image, audio, video) match {
+            case (Some(img), _, _) =>
               Decoded(r.id, r.mediaType, img.getWidth, img.getHeight, 1,
                 r.payload.length, ImageCodec.features(img))
-            case (_, Some(wav)) =>
+            case (_, Some(wav), _) =>
               Decoded(r.id, r.mediaType, wav.sampleRate, wav.channels,
                 wav.frames, r.payload.length,
                 RiffCodec.features(r.payload, wav))
+            case (_, _, Some(avi)) if videoFeats.isDefined =>
+              Decoded(r.id, r.mediaType, avi.width, avi.height,
+                avi.frames, r.payload.length, videoFeats.get)
             case _ =>
               val (w, h) = StubCodec.decodeDims(r.payload)
               Decoded(r.id, r.mediaType, w, h,

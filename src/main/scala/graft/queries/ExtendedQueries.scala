@@ -456,7 +456,10 @@ object ExtendedQueries {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: conf-driven parameters (graft.dedup.maxDf) must be
+  // read at oracle BUILD time so a session conf change reaches the
+  // emitted SQL (same contract as LlmQueries/CorpusQueries.oracles)
+  def oracles: Map[String, String] = Map(
     "j_semi" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem

@@ -585,6 +585,56 @@ object LlmQueries {
         .withColumn("height",
           (lit(64L) + conv(substring(col("h"), 5, 4), 16, 10).cast("long") % 656L).cast("long"))
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+    }),
+
+    // The REAL audio codec exercised at catalog level with an exact
+    // oracle: each row synthesizes a canonical RIFF/WAVE payload on the
+    // executor (hand-rolled 44-byte header + square-wave PCM, a pure
+    // function of doc_id), decodes it back through RiffCodec — the same
+    // parser multimodal ingestion uses — and emits the recovered
+    // geometry plus the first amplitude feature. The oracle recomputes
+    // every field arithmetically from doc_id, so a parser that misreads
+    // one header field or sample breaks the hash. amp/2^15 is exactly
+    // representable in float AND double (amp < 2^15), so the feature
+    // compares exactly. Narrow partition-local transform, no shuffle.
+    "multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      def synthWav(channels: Int, rate: Int, frames: Int, amp: Int): Array[Byte] = {
+        val dataLen = frames * channels * 2
+        val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
+        b.put("RIFF".getBytes(ascii)); b.putInt(36 + dataLen); b.put("WAVE".getBytes(ascii))
+        b.put("fmt ".getBytes(ascii)); b.putInt(16); b.putShort(1)
+        b.putShort(channels.toShort); b.putInt(rate); b.putInt(rate * channels * 2)
+        b.putShort((channels * 2).toShort); b.putShort(16)
+        b.put("data".getBytes(ascii)); b.putInt(dataLen)
+        var f = 0
+        while (f < frames) {
+          var c = 0
+          while (c < channels) {
+            b.putShort((if (f % 2 == 0) amp else -amp).toShort); c += 1
+          }
+          f += 1
+        }
+        b.array()
+      }
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val channels = 1 + (id % 2).toInt
+            val frames = (800 + (id % 100) * 8).toInt
+            val amp = (500 + (id * 37) % 30000).toInt
+            val wav = synthWav(channels, 8000, frames, amp)
+            val info = graft.multimodal.Multimodal.RiffCodec.decode(wav)
+              .getOrElse(throw new IllegalStateException(s"doc $id: synthesized WAV failed to parse"))
+            val feats = graft.multimodal.Multimodal.RiffCodec.features(wav, info)
+            (id, info.channels, info.sampleRate, info.frames,
+              info.durationMs, wav.length, feats(0).toDouble)
+          }
+        }
+        .toDF("doc_id", "channels", "sample_rate", "frames",
+          "duration_ms", "n_bytes", "amp0")
     })
   )
 
@@ -820,6 +870,18 @@ object LlmQueries {
         |CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1216 AS width,
         |64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 656 AS height
+        |FROM documents""".stripMargin,
+
+    // duration = frames·1000/8000 with frames = 800 + 8k simplifies to
+    // 100 + k exactly (integer); amp/32768 is exact in float and double
+    "multimodal_audio" ->
+      """SELECT doc_id,
+        |CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |CAST(8000 AS INTEGER) AS sample_rate,
+        |CAST(800 + (doc_id % 100) * 8 AS INTEGER) AS frames,
+        |CAST(100 + doc_id % 100 AS BIGINT) AS duration_ms,
+        |CAST(44 + (800 + (doc_id % 100) * 8) * (1 + doc_id % 2) * 2 AS INTEGER) AS n_bytes,
+        |CAST(500 + (doc_id * 37) % 30000 AS DOUBLE) / 32768 AS amp0
         |FROM documents""".stripMargin
   )
 }

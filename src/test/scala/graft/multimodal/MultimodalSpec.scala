@@ -135,6 +135,77 @@ class MultimodalSpec extends AnyFunSuite {
       "RIFFxxxxWAVE".getBytes("US-ASCII") ++ Array.fill(40)(0.toByte)).isEmpty)
   }
 
+  /** Minimal canonical MJPEG-in-AVI writer (public AVI spec: RIFF +
+    * hdrl(avih, strl(strh, strf)) + movi(00dc...)) — independent of the
+    * parser under test; frames are real ImageIO-encoded JPEGs. */
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  private def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes(ascii) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, data: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes(ascii) ++ data)
+    val maxLen = frames.map(_.length).max
+    val avih = le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(frames.size) ++ le32(0) ++ le32(1) ++ le32(maxLen) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = "vids".getBytes(ascii) ++ "MJPG".getBytes(ascii) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+      le32(frames.size) ++ le32(maxLen) ++ le32(-1) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ Array[Byte](1, 0, 24, 0) ++
+      "MJPG".getBytes(ascii) ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes(ascii) ++ hdrl ++ movi
+    "RIFF".getBytes(ascii) ++ le32(body.length) ++ body
+  }
+
+  test("real MJPEG-AVI payloads decode geometry and temporal luminance features from actual frames") {
+    val bright = jpegBytes(32, 16, 0xF0F0F0)
+    val dark = jpegBytes(32, 16, 0x101010)
+    val avi = aviBytes(Seq(bright, bright, bright), 32, 16, fps = 10)
+    val info = Multimodal.AviCodec.decode(avi).get
+    assert(info.width == 32 && info.height == 16, "REAL avih dims, not stub hash dims")
+    assert(info.frames == 3 && info.usPerFrame == 100000)
+    assert(info.frameChunks.size == 3)
+
+    val out = decodeAndFeaturize(Seq(MediaRecord(9L, "video", avi, Map.empty)).toDS())
+      .collect().head
+    assert(out.width == 32 && out.height == 16 && out.nFrames == 3)
+    // all-bright frames: every temporal-mean luminance cell ~ +0.875
+    // (JPEG decode is lossy by a couple of levels, hence the band)
+    out.features.foreach(v => assert(v > 0.8f, s"bright video cell: $v"))
+    val dout = decodeAndFeaturize(
+      Seq(MediaRecord(10L, "video", aviBytes(Seq(dark, dark), 32, 16, 10), Map.empty)).toDS())
+      .collect().head
+    dout.features.foreach(v => assert(v < -0.8f, s"dark video cell: $v"))
+
+    // frame sampling now runs on the REAL frame count
+    val sampled = sampleFrames(
+      decodeAndFeaturize(Seq(MediaRecord(9L, "video", avi, Map.empty)).toDS()),
+      stride = 2).collect().toMap
+    assert(sampled == Map(9L -> Seq(0, 2)))
+
+    // torn AVI degrades to the stub, never a task failure
+    val torn = avi.take(60)
+    val tout = decodeAndFeaturize(Seq(MediaRecord(11L, "video", torn, Map.empty)).toDS())
+      .collect().head
+    val (sw, sh) = StubCodec.decodeDims(torn)
+    assert(tout.width == sw && tout.height == sh, "torn AVI must take the stub path")
+  }
+
   test("decode+featurize: schema, dims in range, deterministic across runs") {
     val ds = media(50).toDS().repartition(4)
     val out1 = decodeAndFeaturize(ds, batchSize = 8).collect().sortBy(_.id)

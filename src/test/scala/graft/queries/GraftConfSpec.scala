@@ -56,6 +56,19 @@ class GraftConfSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard df cap is conf-driven on both surfaces") {
+    val q = SparkEntry.queries("dedup_jaccard_dfcap")
+    val defaults = q(spark, dir).collect().map(_.toSeq).toSet
+    assert(SparkEntry.oracleSql("dedup_jaccard_dfcap").contains("df <= 20"))
+    withConf("graft.dedup.maxDf" -> "1") {
+      // df cap 1 keeps only shingles unique to one doc — no pair can
+      // share one, so the candidate set (and result) must be empty
+      assert(q(spark, dir).count() == 0L)
+      assert(SparkEntry.oracleSql("dedup_jaccard_dfcap").contains("df <= 1"))
+    }
+    assert(q(spark, dir).collect().map(_.toSeq).toSet == defaults)
+  }
+
   test("k-means k is conf-driven on both surfaces") {
     withConf("graft.kmeans.k" -> "3") {
       val res = SparkEntry.queries("cluster_kmeans")(spark, dir)
