@@ -302,6 +302,38 @@ object Multimodal {
       if (sampled.isEmpty) None
       else Some(Array.tabulate(dim)(i => sampled.map(_(i)).sum / sampled.size))
     }
+
+    /** Encode direction: a canonical minimal MJPEG-in-AVI container
+      * (RIFF + hdrl(avih, strl(strh, strf)) + movi(00dc…)) around
+      * already-JPEG-encoded frames. The catalog's `multimodal_video`
+      * oracle round-trips this through [[decode]]/[[features]]; tests
+      * keep their own independent writer so the parser is never graded
+      * against its own inverse. */
+    def encode(jpegFrames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Int): Array[Byte] = {
+      require(jpegFrames.nonEmpty && w > 0 && h > 0 && usPerFrame > 0)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+      def chunk(id: String, data: Array[Byte]): Array[Byte] =
+        id.getBytes(ascii) ++ le32(data.length) ++ data ++
+          (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+      def list(typ: String, data: Array[Byte]): Array[Byte] =
+        chunk("LIST", typ.getBytes(ascii) ++ data)
+      val maxLen = jpegFrames.map(_.length).max
+      val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+        le32(jpegFrames.size) ++ le32(0) ++ le32(1) ++ le32(maxLen) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strh = "vids".getBytes(ascii) ++ "MJPG".getBytes(ascii) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(usPerFrame) ++ le32(1000000) ++ le32(0) ++
+        le32(jpegFrames.size) ++ le32(maxLen) ++ le32(-1) ++ le32(0) ++ le32(0) ++ le32(0)
+      val strf = le32(40) ++ le32(w) ++ le32(h) ++ Array[Byte](1, 0, 24, 0) ++
+        "MJPG".getBytes(ascii) ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi", jpegFrames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = "AVI ".getBytes(ascii) ++ hdrl ++ movi
+      "RIFF".getBytes(ascii) ++ le32(body.length) ++ body
+    }
   }
 
   /** Deterministic fake standing in for the codecs genuinely absent

@@ -635,6 +635,54 @@ object LlmQueries {
         }
         .toDF("doc_id", "channels", "sample_rate", "frames",
           "duration_ms", "n_bytes", "amp0")
+    }),
+
+    // The REAL video codec at catalog level: each row synthesizes a
+    // canonical MJPEG-in-AVI clip (solid bright/dark JPEG frames, all
+    // geometry a pure function of doc_id), decodes it back through
+    // AviCodec — the same RIFF walk + ImageIO path multimodal
+    // ingestion uses — and emits the recovered header geometry plus
+    // the SIGN of the temporal-mean luminance. Geometry is exact
+    // arithmetic for DuckDB; the feature crosses JPEG's lossy decode,
+    // so the oracle checks the sign (bright gray 0xF0 decodes ≈ +0.88,
+    // dark 0x10 ≈ −0.88 — a huge margin, and any parser bug that
+    // samples the wrong bytes lands on the stub path and flips rows).
+    // JPEG encodes are memoized per partition (few distinct dims×shade
+    // combos); decode cost is bounded by the frame-sample cap. Narrow,
+    // no shuffle.
+    "multimodal_video" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val jpegMemo = scala.collection.mutable.Map.empty[(Int, Int, Int), Array[Byte]]
+          def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] =
+            jpegMemo.getOrElseUpdate((w, h, rgb), {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "jpg", baos)
+              baos.toByteArray
+            })
+          it.map { id =>
+            val w = 16 + (id % 5).toInt * 4
+            val h = 8 + (id % 3).toInt * 4
+            val nFrames = 2 + (id % 3).toInt
+            val usPerFrame = 40000 + (id % 10).toInt * 1000
+            val bright = id % 2 == 0
+            val frame = jpeg(w, h, if (bright) 0xF0F0F0 else 0x101010)
+            val avi = graft.multimodal.Multimodal.AviCodec
+              .encode(Seq.fill(nFrames)(frame), w, h, usPerFrame)
+            val info = graft.multimodal.Multimodal.AviCodec.decode(avi)
+              .getOrElse(throw new IllegalStateException(s"doc $id: synthesized AVI failed to parse"))
+            val feats = graft.multimodal.Multimodal.AviCodec.features(avi, info)
+              .getOrElse(throw new IllegalStateException(s"doc $id: no frame decoded"))
+            (id, info.width, info.height, info.frames, info.usPerFrame,
+              feats.sum / feats.length > 0f)
+          }
+        }
+        .toDF("doc_id", "width", "height", "frames", "us_per_frame", "bright")
     })
   )
 
@@ -882,6 +930,18 @@ object LlmQueries {
         |CAST(100 + doc_id % 100 AS BIGINT) AS duration_ms,
         |CAST(44 + (800 + (doc_id % 100) * 8) * (1 + doc_id % 2) * 2 AS INTEGER) AS n_bytes,
         |CAST(500 + (doc_id * 37) % 30000 AS DOUBLE) / 32768 AS amp0
+        |FROM documents""".stripMargin,
+
+    // geometry is exact header arithmetic; `bright` is the luminance
+    // SIGN of the decoded frames (gray 0xF0 vs 0x10 — JPEG loss is a
+    // couple of levels, the sign margin is ~112 levels)
+    "multimodal_video" ->
+      """SELECT doc_id,
+        |CAST(16 + (doc_id % 5) * 4 AS INTEGER) AS width,
+        |CAST(8 + (doc_id % 3) * 4 AS INTEGER) AS height,
+        |CAST(2 + doc_id % 3 AS INTEGER) AS frames,
+        |CAST(40000 + (doc_id % 10) * 1000 AS INTEGER) AS us_per_frame,
+        |doc_id % 2 = 0 AS bright
         |FROM documents""".stripMargin
   )
 }

@@ -206,6 +206,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(tout.width == sw && tout.height == sh, "torn AVI must take the stub path")
   }
 
+  test("AviCodec.encode round-trips through the independent-writer-validated parser") {
+    // the parser is proven against THIS spec's own writer above; here
+    // the main-code encoder must agree with that parser byte-for-byte
+    // on geometry and frame recovery
+    val f1 = jpegBytes(20, 12, 0xF0F0F0)
+    val f2 = jpegBytes(20, 12, 0x101010)
+    val avi = Multimodal.AviCodec.encode(Seq(f1, f2, f1), 20, 12, usPerFrame = 50000)
+    val info = Multimodal.AviCodec.decode(avi).get
+    assert(info.width == 20 && info.height == 12)
+    assert(info.frames == 3 && info.usPerFrame == 50000)
+    assert(info.frameChunks.size == 3)
+    // recovered frame payloads are the exact input JPEGs
+    val recovered = info.frameChunks.map { case (off, len) =>
+      java.util.Arrays.copyOfRange(avi, off, off + len).toSeq
+    }
+    assert(recovered == Seq(f1.toSeq, f2.toSeq, f1.toSeq))
+  }
+
   test("decode+featurize: schema, dims in range, deterministic across runs") {
     val ds = media(50).toDS().repartition(4)
     val out1 = decodeAndFeaturize(ds, batchSize = 8).collect().sortBy(_.id)
