@@ -199,6 +199,26 @@ object CorpusQueries {
       vecs.where(col("vec_id") < k).select(col("vec_id"), col("x")).collect()
         .foreach(r => cents(r.getLong(0).toInt) = r.getSeq[Long](1).toArray)
       require(cents.forall(_ != null), s"cluster_kmeans: need vec_ids 0..${k - 1} for init")
+      // The Lloyd inner loop runs as one treeAggregate per round over a
+      // cached RDD of the quantized vectors — the shape MLlib's KMeans
+      // uses, and the one place RDD beats DataFrame: an iterative loop
+      // re-running an IDENTICAL plan with only the k×d centroid array
+      // changing. The DataFrame form re-analyzed, re-planned and
+      // re-shuffled that plan every round (~0.29 s/round of fixed
+      // local-mode overhead — 8.8 s at sf0.1's 30 rounds); here the
+      // vectors deserialize ONCE, each round is a single action whose
+      // task closure captures the centroids (k×d longs, ~4 KB), and the
+      // per-cluster integer sums combine associatively up the tree onto
+      // the driver with NO shuffle — payload k×(d+1) longs, bounded by
+      // conf, not data. Arithmetic is bit-identical to the old plan:
+      // quantization stays on the Catalyst expressions above, distances
+      // are the same long sums of squares (|x| ≤ 2^20 ⇒ d·diff² < 2^48,
+      // no overflow), assignment takes the FIRST minimum (the
+      // array_position(array_min) tie-break), and the update is the
+      // same IEEE double divide + floor the DuckDB oracle runs.
+      import s.implicits._
+      val xs = vecs.select(col("x")).as[Array[Long]].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var rounds = 0
       var converged = false
       while (!converged) {
@@ -209,32 +229,57 @@ object CorpusQueries {
           throw new IllegalStateException(
             s"cluster_kmeans: no fixpoint after $KM_MAX Lloyd rounds " +
               "(raise graft.kmeans.maxIters or inspect the data)")
-        val centsCol = typedLit(cents.map(_.toSeq).toSeq)
-        val sums = (0 until d).map(i => sum(element_at(col("x"), i + 1)).as(s"s$i"))
-        val stats = vecs
-          .withColumn("dists", transform(centsCol, c => sqdist(col("x"), c)))
-          .withColumn("cluster",
-            array_position(col("dists"), array_min(col("dists"))))
-          .groupBy(col("cluster"))
-          .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
-          .collect()
+        val localCents = cents
+        val (sums, counts) = xs.treeAggregate(
+          (Array.fill(k, d)(0L), Array.fill(k)(0L)))(
+          seqOp = { case (acc @ (sAcc, nAcc), x) =>
+            var best = 0
+            var bestDist = Long.MaxValue
+            var j = 0
+            while (j < k) {
+              val c = localCents(j)
+              var dist = 0L
+              var i = 0
+              while (i < d) { val t = x(i) - c(i); dist += t * t; i += 1 }
+              if (dist < bestDist) { bestDist = dist; best = j }
+              j += 1
+            }
+            val sBest = sAcc(best)
+            var i = 0
+            while (i < d) { sBest(i) += x(i); i += 1 }
+            nAcc(best) += 1
+            acc
+          },
+          combOp = { case (acc @ (s1, n1), (s2, n2)) =>
+            var j = 0
+            while (j < k) {
+              val (a, b) = (s1(j), s2(j))
+              var i = 0
+              while (i < d) { a(i) += b(i); i += 1 }
+              n1(j) += n2(j)
+              j += 1
+            }
+            acc
+          })
         val next = cents.map(_.clone)
-        stats.foreach { r =>
-          val j = r.getLong(0).toInt
-          val n = r.getLong(d + 1)
-          var i = 0
-          while (i < d) {
-            // same IEEE double divide + floor as the DuckDB oracle
-            next(j - 1)(i) = math.floor(r.getLong(i + 1).toDouble / n).toLong
-            i += 1
+        var j = 0
+        while (j < k) {
+          if (counts(j) > 0) {
+            var i = 0
+            while (i < d) {
+              // same IEEE double divide + floor as the DuckDB oracle
+              next(j)(i) = math.floor(sums(j)(i).toDouble / counts(j)).toLong
+              i += 1
+            }
           }
+          j += 1
         }
         converged = next.zip(cents).forall { case (a, b) => java.util.Arrays.equals(a, b) }
         cents = next
       }
+      xs.unpersist(blocking = false)
       // final assignment through the audited broadcast-join plan (the
       // k-row centroid table broadcast to the corpus scan)
-      import s.implicits._
       val centsDf = cents.toSeq.zipWithIndex
         .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toDF("j", "c")
       kmAssign(vecs, centsDf)
