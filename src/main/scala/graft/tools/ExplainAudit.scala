@@ -116,6 +116,12 @@ object ExplainAudit {
     audit("sim_knn_graph", "corpus-scaled cell equi-self-join with cohort backstop (no cross join)") { p =>
       p.contains("Window") && !p.contains("CartesianProduct")
     }
+    audit("multimodal_audio", "codec synth+decode is a narrow partition-local pass: ZERO shuffles") { p =>
+      !p.contains("Exchange")
+    }
+    audit("multimodal_video", "codec synth+decode is a narrow partition-local pass: ZERO shuffles") { p =>
+      !p.contains("Exchange")
+    }
 
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")

@@ -224,6 +224,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(recovered == Seq(f1.toSeq, f2.toSeq, f1.toSeq))
   }
 
+  test("decodeAndFeaturize is streaming-safe: micro-batched output equals batch, all codec paths") {
+    // the ingest transform is a narrow mapPartitions, so it must drop
+    // into readStream→writeStream unchanged — the 100 TB posture is
+    // one decode pipeline for backfill AND live crawl ingest
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val recs = media(30) ++ Seq(
+      MediaRecord(100L, "image", pngBytes(16, 8)((_, _) => 0xE0E0E0), Map.empty),
+      MediaRecord(101L, "video",
+        Multimodal.AviCodec.encode(Seq(jpegBytes(16, 8, 0xF0F0F0)), 16, 8, 40000), Map.empty))
+    val batch = decodeAndFeaturize(recs.toDS()).collect().sortBy(_.id)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[Decoded]
+    val src = MemoryStream[MediaRecord]
+    val q = decodeAndFeaturize(src.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Decoded], _: Long) =>
+        got ++= b.collect(); ()
+      }.start()
+    try {
+      recs.grouped(7).foreach { c => src.addData(c.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // value comparison: Array fields compare by reference in case classes
+    def norm(d: Decoded): Seq[Any] =
+      d.productIterator.map { case a: Array[Float] => a.toSeq; case x => x }.toSeq
+    assert(got.sortBy(_.id).map(norm).toSeq == batch.map(norm).toSeq)
+  }
+
   test("decode+featurize: schema, dims in range, deterministic across runs") {
     val ds = media(50).toDS().repartition(4)
     val out1 = decodeAndFeaturize(ds, batchSize = 8).collect().sortBy(_.id)

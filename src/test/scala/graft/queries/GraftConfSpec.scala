@@ -77,4 +77,13 @@ class GraftConfSpec extends AnyFunSuite {
       assert(SparkEntry.oracleSql("cluster_kmeans").contains("vec_id < 3"))
     }
   }
+
+  test("k-means refuses loudly at the round cap instead of spinning or returning unconverged") {
+    withConf("graft.kmeans.maxIters" -> "1") {
+      val e = intercept[IllegalStateException] {
+        SparkEntry.queries("cluster_kmeans")(spark, dir).collect()
+      }
+      assert(e.getMessage.contains("no fixpoint"), e.getMessage)
+    }
+  }
 }
