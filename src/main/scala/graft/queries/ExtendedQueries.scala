@@ -425,9 +425,13 @@ object ExtendedQueries {
     // Avro binary codec round trip (the reference's canonical custom
     // ICodec, cookbook.rst:174-208): record → Avro wire bytes → record,
     // hand-rolled from the public Avro spec (no spark-avro jar in the
-    // container). No DuckDB oracle (Avro isn't SQL-expressible there) —
-    // the driver's rows-only check applies; golden-bytes exactness is
-    // covered by AvroCodecSpec.
+    // container). DuckDB can't PARSE Avro, but it can recompute the
+    // wire SIZE the spec mandates — zigzag-varint widths + union
+    // branch bytes + UTF-8 lengths are pure arithmetic — so n_bytes is
+    // hash-checked per row (an encoder that drops a union byte or
+    // mis-widths a varint breaks 500 rows), and roundtrip_ok proves
+    // decode(encode(x)) = x. Golden-bytes exactness vs the Avro spec
+    // examples stays in AvroCodecSpec.
     "codec_avro" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val sch = StructType(Seq(
@@ -707,6 +711,26 @@ object ExtendedQueries {
     "codec_binary_b64" ->
       """SELECT doc_id, base64(encode(text)) AS wire,
         |CAST(octet_length(from_base64(base64(encode(text)))) AS INTEGER) AS decoded_len
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Avro wire size from the public spec, recomputed arithmetically:
+    // non-null long = zigzag varint (doc_id ≥ 0 ⇒ zigzag = 2·id);
+    // nullable string = 1 union-branch byte (+ varint(2·len) + len
+    // UTF-8 bytes when present). vz() below is the varint byte width
+    // of the zigzagged value — 7 payload bits per byte.
+    "codec_avro" -> {
+      def vz(e: String) =
+        s"CASE WHEN 2*($e) < 128 THEN 1 WHEN 2*($e) < 16384 THEN 2" +
+          s" WHEN 2*($e) < 2097152 THEN 3 WHEN 2*($e) < 268435456 THEN 4 ELSE 5 END"
+      val sLen = "octet_length(encode(source))"
+      val tLen = "octet_length(encode(text))"
+      s"""SELECT doc_id,
+         |CAST(${vz("doc_id")}
+         | + CASE WHEN source IS NULL THEN 1 ELSE 1 + ${vz(sLen)} + $sLen END
+         | + CASE WHEN text IS NULL THEN 1 ELSE 1 + ${vz(tLen)} + $tLen END
+         | AS BIGINT) AS n_bytes,
+         |TRUE AS roundtrip_ok
+         |FROM documents""".stripMargin
+    }
   )
 }
