@@ -68,6 +68,10 @@ object CorpusQueries {
   /** Substring-run dedup: gram width, per-gram cohort cap, min run. */
   private def GRAM_N = GraftConf.int("graft.grams.n", 5)
   private def GRAM_CAP = GraftConf.int("graft.grams.cohortCap", 20)
+  /** Span dedup: words per span (the C4 "three-sentence span" analog —
+    * this corpus has no sentence boundaries, so spans are fixed-width
+    * word windows). */
+  private def SPAN_W = GraftConf.int("graft.curate.spanWords", 12)
   private def MIN_RUN = GraftConf.int("graft.grams.minRun", 6)
   /** BM25 free parameters (standard Robertson defaults). */
   private def BM25_K1 = GraftConf.double("graft.bm25.k1", 1.2)
@@ -286,6 +290,41 @@ object CorpusQueries {
         .select(col("vec_id"), col("cluster"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    }),
+
+    // C4-style corpus-level span dedup (Raffel et al.: "we discard all
+    // but one of any three-sentence span occurring more than once";
+    // spans here are SPAN_W-word windows — this corpus has no sentence
+    // boundaries): every doc splits into fixed-width word spans, the
+    // FIRST corpus-wide occurrence of each distinct span survives
+    // (keep-first under the total order (doc_id, pos) — deterministic
+    // at any parallelism), and survivors reassemble in position order.
+    // An exact-duplicate doc loses every span to the earlier copy and
+    // vanishes — whole-doc dedup falls out of the same pass. Scale:
+    // one shuffle on span for the keep-first window (partition size =
+    // span frequency — a sort, never a pair blowup, so boilerplate
+    // cohorts degrade linearly), one shuffle back on doc_id for
+    // reassembly. The rewrite (not just the flag) is the point: this
+    // is the first catalog op that RECONSTRUCTS document text from a
+    // positional decomposition.
+    "curate_span_dedup" -> ((s, dir) => {
+      val w = SPAN_W
+      val spans = Tables.documents(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), (ceil(size(col("ws")) / lit(w.toDouble)) - 1).cast("int")),
+            i => array_join(slice(col("ws"), i * w + 1, lit(w)), " "))))
+        .toDF("doc_id", "pos", "span")
+      spans
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("span")).orderBy(col("doc_id"), col("pos"))))
+        .where(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+              s => s.getField("span")), " ").as("text_clean"))
     }),
 
     // Domain-mix rebalancing: given target LANGUAGE shares, compute each
@@ -511,6 +550,25 @@ object CorpusQueries {
          |SELECT vec_id, cluster,
          |COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
          |FROM af""".stripMargin
+    },
+
+    // same keep-first total order (doc_id, pos) and the same SPAN_W;
+    // count and string_agg(ORDER BY pos) mirror the Spark reassembly
+    "curate_span_dedup" -> {
+      val w = SPAN_W
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |spans AS (
+         |SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |array_to_string(ws[i*$w+1 : i*$w+$w], ' ') AS span
+         |FROM (SELECT doc_id, ws,
+         |unnest(range(CAST(ceil(len(ws) / $w.0) AS BIGINT))) AS i FROM sp)),
+         |kept AS (
+         |SELECT doc_id, pos, span,
+         |row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+         |FROM spans)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |string_agg(span, ' ' ORDER BY pos) AS text_clean
+         |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin
     },
 
     "curate_domain_mix" -> {

@@ -78,6 +78,19 @@ class GraftConfSpec extends AnyFunSuite {
     }
   }
 
+  test("span-dedup width is conf-driven on both surfaces") {
+    val q = SparkEntry.queries("curate_span_dedup")
+    val d12 = q(spark, dir).agg(org.apache.spark.sql.functions.sum("n_kept")).head.getLong(0)
+    withConf("graft.curate.spanWords" -> "4") {
+      val d4 = q(spark, dir).agg(org.apache.spark.sql.functions.sum("n_kept")).head.getLong(0)
+      // narrower spans = more spans total AND more cross-doc collisions;
+      // the count must move, and the oracle must carry the same width
+      assert(d4 != d12, s"span width must change the kept-span count ($d4)")
+      assert(SparkEntry.oracleSql("curate_span_dedup").contains("i*4+1"))
+    }
+    assert(SparkEntry.oracleSql("curate_span_dedup").contains("i*12+1"))
+  }
+
   test("k-means refuses loudly at the round cap instead of spinning or returning unconverged") {
     withConf("graft.kmeans.maxIters" -> "1") {
       val e = intercept[IllegalStateException] {
