@@ -152,6 +152,29 @@ object CorpusQueries {
       .withColumn("cluster",
         array_position(col("dists"), array_min(col("dists"))).cast("long"))
 
+  /** Fixed-width word-span decomposition — (doc_id, pos, span) —
+    * shared by `curate_span_dedup` and the streaming ingest twin
+    * ([[graft.streaming.IncrementalSpanDedup]]) so both sides run the
+    * identical span algebra by construction. */
+  private[graft] def spanize(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (ceil(size(col("ws")) / lit(w.toDouble)) - 1).cast("int")),
+          i => array_join(slice(col("ws"), i * w + 1, lit(w)), " "))))
+      .toDF("doc_id", "pos", "span")
+
+  /** Positional reassembly of surviving spans into cleaned text:
+    * (doc_id, n_kept, text_clean). Docs whose every span lost are
+    * absent — whole-doc dedup falls out of span dedup. */
+  private[graft] def rebuildDocs(kept: DataFrame): DataFrame =
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+            s => s.getField("span")), " ").as("text_clean"))
+
   /** One Lloyd update: per-cluster floored integer means; clusters that
     * lost all members keep their previous centroid. */
   private[queries] def kmUpdate(assigned: DataFrame, cents: DataFrame): DataFrame = {
@@ -308,23 +331,11 @@ object CorpusQueries {
     // is the first catalog op that RECONSTRUCTS document text from a
     // positional decomposition.
     "curate_span_dedup" -> ((s, dir) => {
-      val w = SPAN_W
-      val spans = Tables.documents(s, dir)
-        .withColumn("ws", split(col("text"), " "))
-        .select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0), (ceil(size(col("ws")) / lit(w.toDouble)) - 1).cast("int")),
-            i => array_join(slice(col("ws"), i * w + 1, lit(w)), " "))))
-        .toDF("doc_id", "pos", "span")
-      spans
+      spanize(Tables.documents(s, dir), SPAN_W)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("span")).orderBy(col("doc_id"), col("pos"))))
         .where(col("rn") === 1)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          array_join(
-            transform(array_sort(collect_list(struct(col("pos"), col("span")))),
-              s => s.getField("span")), " ").as("text_clean"))
+        .transform(rebuildDocs)
     }),
 
     // Domain-mix rebalancing: given target LANGUAGE shares, compute each

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.GraftConf
+
+/** Streaming incremental span dedup — the ingest twin of the batch
+  * `curate_span_dedup` (C4's "discard all but one of any repeated
+  * span"), same probe-and-upsert shape as [[IncrementalDedup]]: ONE
+  * query that, per micro-batch, PROBES the persisted span-claim index
+  * and CLAIMS the spans that are new, so every arriving document is
+  * deduplicated against everything ingested before it — the production
+  * posture for a crawl that arrives continuously rather than as a
+  * one-shot corpus.
+  *
+  * Reference analog: the cache-enrichment recipe (slipstream
+  * cookbook.rst:529-588) — a handler that reads AND writes a persistent
+  * cache per element; the cache here is the span-claim [[StateTable]].
+  *
+  * Per micro-batch (all DataFrame plans, nothing per-row on the driver):
+  *  1. decompose with the batch op's OWN
+  *     [[graft.queries.CorpusQueries.spanize]] (identical span algebra
+  *     by construction; width from the same `graft.curate.spanWords`);
+  *  2. probe: span md5 keys left-join the stored claims — a keyed
+  *     equi-join against a stats-pruned table (the 100 TB point:
+  *     batch × index, never corpus × corpus; the index is one 16-byte
+  *     digest + owner per distinct span, the same sharded-hash-set
+  *     shape production line-dedup systems persist);
+  *  3. keep-first: spans already claimed lose; within the batch the
+  *     (doc_id, pos) minimum wins — with doc_id-ordered arrival this
+  *     is EXACTLY the batch query's global keep-first order;
+  *  4. emit: survivors reassemble positionally
+  *     ([[graft.queries.CorpusQueries.rebuildDocs]]) and append to
+  *     `outDir`; a doc whose every span lost emits nothing;
+  *  5. claim: new winners upsert through the StateTable's optimistic
+  *     commit.
+  *
+  * At-least-once tolerance: a re-delivered doc finds all its spans
+  * already claimed (by itself) and is absorbed — it emits nothing and
+  * claims nothing, so duplicate delivery cannot duplicate output rows
+  * or index entries. (This is the one divergence from the batch
+  * result, which emits each surviving doc exactly once — the stream
+  * emits it on FIRST delivery only; the cumulative output is
+  * identical.)
+  */
+object IncrementalSpanDedup {
+
+  case class Doc(docId: Long, text: String)
+
+  private def w: Int = GraftConf.int("graft.curate.spanWords", 12)
+
+  /** One micro-batch of the probe-and-claim loop (batch-callable for
+    * specs; [[start]] wires it behind foreachBatch). `batch` needs
+    * (docId, text). */
+  def processBatch(
+      batch: DataFrame,
+      tablePath: String,
+      outDir: String)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    val table = new StateTable(spark, tablePath, "key")
+    val stored =
+      if (table.currentSeq == 0L) Seq.empty[(String, Long)].toDF("key", "owner")
+      else table.snapshot()
+    val probed = graft.queries.CorpusQueries
+      .spanize(batch.select(col("docId").as("doc_id"), col("text")), w)
+      .withColumn("key", md5(col("span")))
+      .join(stored.select(col("key"), col("owner")), Seq("key"), "left")
+      .where(col("owner").isNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("doc_id"), col("pos"))))
+      .where(col("rn") === 1)
+      .persist()
+    try {
+      graft.queries.CorpusQueries.rebuildDocs(probed)
+        .write.mode("append").parquet(outDir)
+      val claims = probed.select(col("key"), col("doc_id").as("owner"))
+      if (!claims.isEmpty) table.put(claims)
+    } finally probed.unpersist()
+  }
+
+  /** Start the unified streaming query: probe + emit + claim per
+    * micro-batch. Cleaned docs land as parquet under `outDir`. */
+  def start(
+      docs: Dataset[Doc],
+      tablePath: String,
+      outDir: String,
+      checkpointDir: String)(implicit spark: SparkSession): StreamingQuery =
+    docs.toDF().writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, tablePath, outDir)
+      }
+      .start()
+}

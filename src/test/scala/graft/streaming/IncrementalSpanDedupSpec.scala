@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming ingest twin of curate_span_dedup: one query that
+  * probes AND claims the persisted span index per micro-batch. Proves
+  * stream-ingested ≡ the batch rewrite on the cumulative corpus
+  * (batch-boundary independence), that a cross-batch duplicate doc is
+  * fully absorbed by the earlier copy's claims, that re-delivery emits
+  * nothing, and that state is one row per distinct span. */
+class IncrementalSpanDedupSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming probe+claim = batch span dedup on the cumulative corpus; redelivery absorbed; state O(distinct spans)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+
+    // corpus = sf0.001 documents + exact copies of the first 5 with ids
+    // past the originals, so each copy arrives in a LATER micro-batch
+    // than its partner — absorption can only come from the persisted
+    // claims, not from a within-batch window
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val copies = base.take(5).map { case (id, t) => (10000L + id, t) }
+    val corpus = base ++ copies
+
+    val tmp = Files.createTempDirectory("spanstream").toFile.getAbsolutePath
+    corpus.toSeq.toDF("doc_id", "text")
+      .write.parquet(s"$tmp/corpus/documents.parquet")
+    val expected = graft.queries.CorpusQueries
+      .queries("curate_span_dedup")(spark, s"$tmp/corpus")
+      .as[(Long, Long, String)].collect().toSet
+
+    val (tablePath, outDir, ckpt) = (s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
+    val src = MemoryStream[IncrementalSpanDedup.Doc]
+    val q = IncrementalSpanDedup.start(src.toDS(), tablePath, outDir, ckpt)
+    try {
+      // three micro-batches in id order — the batch query's global
+      // keep-first order (doc_id, pos) equals arrival order
+      val docs = corpus.sortBy(_._1).map { case (id, t) => IncrementalSpanDedup.Doc(id, t) }
+      val third = (docs.length + 2) / 3
+      docs.grouped(third).foreach { b =>
+        src.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.read.parquet(outDir)
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == expected, s"stream=${got.size} batch=${expected.size}")
+      // the cross-batch duplicate docs were fully absorbed
+      copies.foreach { case (cid, _) =>
+        assert(!got.exists(_._1 == cid), s"copy $cid must vanish")
+      }
+
+      // state: exactly one claim per distinct span of the corpus
+      val nSpans = graft.queries.CorpusQueries
+        .spanize(spark.read.parquet(s"$tmp/corpus/documents.parquet"), 12)
+        .select("span").distinct().count()
+      val table = new StateTable(spark, tablePath, "key")
+      assert(table.snapshot().count() == nSpans,
+        "index must hold exactly one claim per distinct span")
+
+      // at-least-once delivery: replaying the first batch emits nothing
+      src.addData(docs.take(third).toIndexedSeq); q.processAllAvailable()
+      val again = spark.read.parquet(outDir)
+        .as[(Long, Long, String)].collect().toSet
+      assert(again == expected, "duplicate delivery must not duplicate docs")
+      assert(table.snapshot().count() == nSpans)
+    } finally q.stop()
+  }
+}
