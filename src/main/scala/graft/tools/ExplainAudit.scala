@@ -116,6 +116,9 @@ object ExplainAudit {
     audit("sim_knn_graph", "corpus-scaled cell equi-self-join with cohort backstop (no cross join)") { p =>
       p.contains("Window") && !p.contains("CartesianProduct")
     }
+    audit("curate_span_dedup", "exactly two shuffles: keep-first window on span, reassembly on doc_id") { p =>
+      count(p, "Exchange") == 2 && p.contains("Window") && !p.contains("CartesianProduct")
+    }
     audit("multimodal_audio", "codec synth+decode is a narrow partition-local pass: ZERO shuffles") { p =>
       !p.contains("Exchange")
     }

@@ -27,7 +27,8 @@ object ScaleRatios {
       "dedup_jaccard_dfcap", "sim_embedding_neardup",
       "curate_repetition", "curate_weighted_sample", "sketch_quantile",
       "dedup_clusters", "cluster_kmeans", "contaminate_ngrams",
-      "text_bm25_topk", "dedup_substring_runs", "sim_knn_graph")
+      "text_bm25_topk", "dedup_substring_runs", "sim_knn_graph",
+      "curate_span_dedup")
 
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
