@@ -27,6 +27,14 @@ import graft.{GraftConf, GraftSession, SparkEntry, Stats, Tables}
   * candidate-pair frontier structurally. Writes one JSON object to
   * SPARK_GRAFT_COHORT_OUT (default `bench_cohort_out.json`) and prints
   * it as the last stdout line.
+  *
+  * SPARK_GRAFT_COHORT_SPAN=1 adds `curate_span_dedup` with ITS
+  * adversarial shape: the shared prefix widens to a full span width
+  * (12 identical leading words), so all c docs collide in ONE span
+  * cohort — the keep-first window's worst case. Expected: flat-ish
+  * wall (a c-row sort inside one partition), because the window SORTS
+  * cohorts, it never PAIRS them — the structural frontier column
+  * records cohort mass (span instances in shared cohorts), not pairs.
   */
 object CohortProbe {
   def main(args: Array[String]): Unit = {
@@ -39,8 +47,11 @@ object CohortProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val names = Seq("dedup_ngram_jaccard", "dedup_jaccard_dfcap", "dedup_minhash_lsh")
+    val spanMode = sys.env.get("SPARK_GRAFT_COHORT_SPAN").contains("1")
+    val names = Seq("dedup_ngram_jaccard", "dedup_jaccard_dfcap", "dedup_minhash_lsh") ++
+      (if (spanMode) Seq("curate_span_dedup") else Nil)
     val maxDf = GraftConf.int("graft.dedup.maxDf", 20)
+    val spanW = GraftConf.int("graft.curate.spanWords", 12)
 
     def shingleIndex(docs: DataFrame): DataFrame =
       docs.select(col("doc_id"),
@@ -56,8 +67,16 @@ object CohortProbe {
     val points = cs.map { c =>
       val dir = s"localdata/cohort/c$c"
       val adv = spark.range(c).map { i =>
-        val fill = (0 until 28).map(j => s"u${i}w$j").mkString(" ")
-        (1000000L + i, s"hot alpha beta gamma $fill", "xx", "adv")
+        if (spanMode) {
+          // 12 identical leading words = ONE shared span cohort of
+          // size c, then unique filler
+          val common = "hot alpha beta gamma " + (0 until 8).map(j => s"c$j").mkString(" ")
+          val fill = (0 until 20).map(j => s"u${i}w$j").mkString(" ")
+          (1000000L + i, s"$common $fill", "xx", "adv")
+        } else {
+          val fill = (0 until 28).map(j => s"u${i}w$j").mkString(" ")
+          (1000000L + i, s"hot alpha beta gamma $fill", "xx", "adv")
+        }
       }.toDF("doc_id", "text", "lang", "source")
       Tables.documents(spark, "/root/testdata/sf0.01")
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -73,7 +92,15 @@ object CohortProbe {
         "dedup_ngram_jaccard" -> pairCount(eAll),
         "dedup_jaccard_dfcap" -> pairCount(eCap),
         "dedup_minhash_lsh" ->
-          graft.queries.LlmQueries.lshCandidatePairs(spark, dir).count())
+          graft.queries.LlmQueries.lshCandidatePairs(spark, dir).count()) ++
+        (if (spanMode) Map(
+          // cohort MASS, not pairs: span instances inside shared
+          // cohorts — what the keep-first window must sort
+          "curate_span_dedup" -> graft.queries.CorpusQueries
+            .spanize(Tables.documents(spark, dir), spanW)
+            .groupBy(col("span")).agg(count(lit(1)).as("n"))
+            .where(col("n") > 1).agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0))
+        else Map.empty)
 
       // walls: full catalog queries through the noop sink, median of reps
       val walls = names.map { n =>
@@ -94,7 +121,7 @@ object CohortProbe {
     }
 
     val json =
-      s"""{"metric":"cohort_growth","unit":"sec","reps":$reps,"cpus":$cpus,""" +
+      s"""{"metric":"cohort_growth","unit":"sec","reps":$reps,"cpus":$cpus,"span_mode":$spanMode,""" +
         s""""queries":[${names.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""points":[${points.mkString(",")}]}"""
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
