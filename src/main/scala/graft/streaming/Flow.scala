@@ -36,9 +36,33 @@ final class Flow[T] private (val ds: Dataset[T]) extends Serializable {
 
   /** Terminal: deliver every element to every sink (multi-sink
     * fan-out). Returns one handle per sink; batch sinks complete
-    * eagerly and return None. */
+    * eagerly and return None. Each streaming sink runs as its OWN
+    * query with independent progress — a slow sink does not pace the
+    * others (use [[toLockstep]] for the reference's pacing). */
   def to(sinks: FlowSink[T]*): Seq[Option[StreamingQuery]] =
     sinks.map(_.write(ds))
+
+  /** Terminal, lock-step fan-out: ONE streaming query delivers every
+    * micro-batch to every consumer IN DECLARATION ORDER before the
+    * next batch is pulled — the reference's
+    * `AsyncSynchronizedGenerator` semantic (utils.py:116-200: every
+    * lock-step copy must consume element i before i+1 is produced;
+    * "slow handlers delay all", cookbook.rst:83-97) at micro-batch
+    * granularity. The slowest consumer paces the whole fan-out and no
+    * consumer can run ahead — backpressure included, since the next
+    * batch's admission waits for the previous foreachBatch to return.
+    * The batch is persisted once so N consumers don't recompute the
+    * lineage N times. Per-MESSAGE lock-step is intentionally not
+    * offered: micro-batch is Spark's admission unit (SURVEY §2.3). */
+  def toLockstep(checkpoint: String)(consumers: ((Dataset[T], Long) => Unit)*): StreamingQuery =
+    ds.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[T], id: Long) =>
+        b.persist()
+        try consumers.foreach(f => f(b, id))
+        finally { b.unpersist(); () }
+      }
+      .start()
 
   def dataset: Dataset[T] = ds
 }

@@ -90,6 +90,35 @@ class FlowSpec extends AnyFunSuite {
     assert(got == emoji.map(s => s"Hello $s!").toSet)
   }
 
+  test("lock-step fan-out: every consumer sees batch i before anyone sees i+1 (utils.py:116-200)") {
+    implicit val sql = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("lockstep").toFile.getAbsolutePath
+    // a shared interleaving log: (consumer, batchId, items); the slow
+    // consumer sleeps so any run-ahead by the fast one WOULD surface
+    val log = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, Long, Set[String])]())
+    val src = MemoryStream[String]
+    val q = Flow.from(src.toDS()).toLockstep(s"$tmp/ckpt")(
+      (b, id) => { Thread.sleep(50); log.add(("slow", id, b.collect().toSet)); () },
+      (b, id) => { log.add(("fast", id, b.collect().toSet)); () })
+    try {
+      emoji.grouped(2).foreach { chunk =>
+        src.addData(chunk: _*); q.processAllAvailable()
+      }
+      val entries = scala.jdk.CollectionConverters.ListHasAsScala(log).asScala.toList
+      val batches = entries.map(_._2).distinct
+      // per batch: slow strictly before fast, identical content
+      batches.foreach { id =>
+        val batch = entries.filter(_._2 == id)
+        assert(batch.map(_._1) == List("slow", "fast"), s"order in batch $id: $batch")
+        assert(batch.map(_._3).distinct.size == 1, "both consumers must see the same batch")
+      }
+      // batch-major global order: nobody starts i+1 before i is fully fanned out
+      assert(entries.map(_._2) == entries.map(_._2).sorted, s"run-ahead: $entries")
+      assert(entries.flatMap(_._3).toSet == emoji.toSet)
+    } finally q.stop()
+  }
+
   test("fold aggregation on a stream: emoji counts (getting_started.rst:84-145)") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions._
