@@ -1,0 +1,64 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** Property check for curate_span_dedup against a naive sequential
+  * model: corpora are built from a small pool of span-width word
+  * blocks (guaranteed heavy span collisions, the interesting regime)
+  * plus a random partial tail (the clamped-slice path), and the
+  * distributed keep-first rewrite must equal a driver-side fold that
+  * walks docs in (doc_id, pos) order claiming spans into a set.
+  * ScalaCheck generators with explicit seeds, same harness as
+  * AsOfPropertySpec (no scalatestplus bridge in the offline cache). */
+class SpanDedupPropertySpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val W = 12 // default graft.curate.spanWords
+
+  private def forAll[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  // a doc = 0-5 whole blocks from a 6-block pool + 0-11 tail words;
+  // whole blocks align exactly to spans, the tail exercises the
+  // partial final span
+  private val pool: Vector[String] =
+    Vector.tabulate(6)(b => (0 until W).map(j => s"b${b}w$j").mkString(" "))
+  private val genDoc: Gen[String] = for {
+    nBlocks <- Gen.chooseNum(0, 5)
+    blocks <- Gen.listOfN(nBlocks, Gen.chooseNum(0, pool.size - 1))
+    nTail <- Gen.chooseNum(0, W - 1)
+    tail <- Gen.listOfN(nTail, Gen.oneOf("t0", "t1", "t2"))
+  } yield (blocks.map(pool) ++ (if (tail.isEmpty) Nil else Seq(tail.mkString(" "))))
+    .mkString(" ")
+  private val genCorpus: Gen[List[String]] = Gen.chooseNum(1, 12).flatMap(Gen.listOfN(_, genDoc))
+
+  /** Driver-side model: claim spans into a set walking (doc_id, pos). */
+  private def model(docs: Seq[(Long, String)]): Set[(Long, Long, String)] = {
+    val claimed = collection.mutable.Set[String]()
+    docs.sortBy(_._1).flatMap { case (id, text) =>
+      val kept = text.split(" ").grouped(W).map(_.mkString(" "))
+        .filter(claimed.add).toSeq
+      if (kept.isEmpty) None else Some((id, kept.size.toLong, kept.mkString(" ")))
+    }.toSet
+  }
+
+  test("distributed keep-first rewrite equals the sequential claim model on block corpora") {
+    val q = graft.SparkEntry.queries("curate_span_dedup")
+    forAll(genCorpus, n = 15) { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val tmp = Files.createTempDirectory("spanprop").toFile.getAbsolutePath
+      docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+      val got = q(spark, tmp).as[(Long, Long, String)].collect().toSet
+      assert(got == model(docs), s"corpus=$docs")
+    }
+  }
+}
