@@ -375,6 +375,22 @@ object CorpusQueries {
         .withColumn("keep", col("doc_id") === col("cluster_id"))
     }),
 
+    // The dedup story's final materialization: candidates → connected
+    // components → THE KEPT CORPUS. Each near-dup cluster keeps its
+    // canonical member (the min doc_id — the component label by
+    // construction); docs in no cluster pass through untouched. One
+    // left-anti join of the corpus against the (tiny) drop list — at
+    // 100 TB the drop list is cluster members only, broadcastable in
+    // the common case, and the corpus is never shuffled.
+    "dedup_keep_canonical" -> ((s, dir) => {
+      val labels = components(lshCandidatePairs(s, dir))
+      val drop = labels.where(col("node") =!= col("label"))
+        .select(col("node").as("doc_id"))
+      Tables.documents(s, dir)
+        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // Substring-level duplication (the "dedup exact substrings, not
     // just whole documents" discipline): position-indexed 5-gram
     // hashes, capped inverted-index self-join, then ALIGNED runs via
@@ -610,6 +626,24 @@ object CorpusQueries {
          |COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |doc_id = cluster_id AS keep
          |FROM assign""".stripMargin
+    },
+
+    // same recursive CC as dedup_clusters, then the corpus minus
+    // non-canonical cluster members
+    "dedup_keep_canonical" -> {
+      val withRec = oShingles.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$withRec,
+         |$oLshCand,
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM cand
+         |UNION SELECT doc_b, doc_a FROM cand),
+         |r(node, lab) AS (
+         |SELECT s, s FROM edges
+         |UNION
+         |SELECT e2.t, r.lab FROM r JOIN edges e2 ON e2.s = r.node),
+         |assign AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM r GROUP BY node)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN
+         |(SELECT doc_id FROM assign WHERE doc_id <> cluster_id)""".stripMargin
     },
 
     "dedup_substring_runs" -> {
