@@ -541,6 +541,33 @@ object LlmQueries {
         .select(col("doc_id"), col("norm"), col("n_chars"))
     }),
 
+    // HTML boilerplate extraction (the first step of every web-crawl
+    // curation pipeline — trafilatura/jusText territory, here the
+    // deterministic regex core): each row wraps its text in a
+    // synthesized page (script block, title, nav div, entities — a
+    // pure function of doc_id, the multimodal-synth pattern), then
+    // extracts: script/style blocks DROPPED WITH CONTENT, remaining
+    // tags stripped to whitespace, the four standard entities decoded,
+    // whitespace collapsed. Patterns are chosen to mean the same thing
+    // in Java regex and RE2 ([\s\S]*? instead of (?s).*?) so the
+    // DuckDB oracle runs the identical chain. Narrow, zero shuffle.
+    "text_extract_html" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><script type=\"text/javascript\">var nav = 1;</script><title>Doc "),
+        col("doc_id"), lit(" &amp; friends</title></head><body><p>"),
+        col("text"),
+        lit("</p><div class=\"nav\">&lt;home&gt; | &quot;about&quot;</div></body></html>"))
+      val noScript = regexp_replace(page,
+        "<(script|style)[^>]*>[\\s\\S]*?</(script|style)>", " ")
+      val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+      val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"")
+        .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+      val clean = trim(regexp_replace(decoded, "\\s+", " "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), clean.as("content"),
+          length(clean).cast("int").as("n_chars"))
+    }),
+
     // Weighted sampling (Efraimidis-Spirakis A-ES, the corpus-mix
     // sampler: pick documents with probability proportional to a
     // weight — here document length). Made deterministic and
@@ -902,6 +929,24 @@ object LlmQueries {
         |'[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |'https?://[^ ]+', '<URL>', 'g') AS scrubbed
         |FROM r""".stripMargin,
+
+    // same synthesized page, same regex chain in the same order (RE2
+    // and java.util.regex agree on every pattern used)
+    "text_extract_html" ->
+      """WITH p AS (SELECT doc_id,
+        |'<html><head><script type="text/javascript">var nav = 1;</script><title>Doc '
+        | || doc_id || ' &amp; friends</title></head><body><p>' || text ||
+        |'</p><div class="nav">&lt;home&gt; | &quot;about&quot;</div></body></html>' AS page
+        |FROM documents),
+        |e AS (SELECT doc_id, trim(regexp_replace(
+        |regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |regexp_replace(regexp_replace(page,
+        |'<(script|style)[^>]*>[\s\S]*?</(script|style)>', ' ', 'g'),
+        |'<[^>]*>', ' ', 'g'),
+        |'&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |'\s+', ' ', 'g')) AS content FROM p)
+        |SELECT doc_id, content, CAST(length(content) AS INTEGER) AS n_chars
+        |FROM e""".stripMargin,
 
     "text_normalize" ->
       """WITH r AS (SELECT doc_id,
