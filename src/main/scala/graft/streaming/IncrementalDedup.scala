@@ -55,16 +55,30 @@ object IncrementalDedup {
 
   /** One micro-batch of the probe-and-upsert loop (batch-callable for
     * specs; [[start]] wires it behind foreachBatch). `batch` needs
-    * (docId, text). */
+    * (docId, text).
+    *
+    * Exactly-once across foreachBatch RETRIES (batchId is stable on
+    * restart): pairs go to a per-batch directory with overwrite, and a
+    * `__batch:<id>` marker row commits ATOMICALLY with the cohort
+    * upsert (one StateTable put). Crash before the put → the retry
+    * finds no marker and unchanged cohorts, recomputes, overwrites the
+    * same bytes. Crash after the put → the retry finds the marker and
+    * SKIPS: without it, the batch's own residents would be dropped at
+    * the probe and the overwrite would wipe the batch's already-
+    * written pairs. */
   def processBatch(
       batch: DataFrame,
       tablePath: String,
-      pairsDir: String)(implicit spark: SparkSession): Unit = {
+      pairsDir: String,
+      batchId: Long)(implicit spark: SparkSession): Unit = {
     import spark.implicits._
     val table = new StateTable(spark, tablePath, "key")
+    val marker = s"__batch:$batchId"
+    val emptyTable = table.currentSeq == 0L
+    if (!emptyTable && table.get(marker).isDefined) return
     val stored =
-      if (table.currentSeq == 0L) Seq.empty[(String, Seq[Long])].toDF("key", "docs")
-      else table.snapshot()
+      if (emptyTable) Seq.empty[(String, Seq[Long])].toDF("key", "docs")
+      else table.snapshot().where(!col("key").startsWith("__batch:"))
     val bands = graft.queries.LlmQueries.lshBands(
         batch.select(col("docId").as("doc_id"), col("text")))
       .select(concat(col("bi"), lit(":"), col("bk")).as("key"), col("doc_id"))
@@ -93,19 +107,21 @@ object IncrementalDedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       vsStored.union(vsNew).distinct()
-        .write.mode("append").parquet(pairsDir)
-      // upsert only the keys that actually grew
+        .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+      // upsert the keys that grew + the batch marker, in ONE commit
       val merged = probed.where(col("admitted"))
         .groupBy(col("key"))
         .agg(first(col("stored")).as("stored"),
           sort_array(collect_list(col("doc_id"))).as("fresh"))
         .select(col("key"), sort_array(concat(col("stored"), col("fresh"))).as("docs"))
-      if (!merged.isEmpty) table.put(merged)
+        .unionByName(Seq((marker, Seq.empty[Long])).toDF("key", "docs"))
+      table.put(merged)
     } finally probed.unpersist()
   }
 
   /** Start the unified streaming query: probe + emit + upsert per
-    * micro-batch. Pairs land as parquet under `pairsDir` (append). */
+    * micro-batch. Pairs land as parquet under `pairsDir` (one
+    * `batch_id=<n>` partition per micro-batch). */
   def start(
       docs: Dataset[Doc],
       tablePath: String,
@@ -113,8 +129,8 @@ object IncrementalDedup {
       checkpointDir: String)(implicit spark: SparkSession): StreamingQuery =
     docs.toDF().writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, tablePath, pairsDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch, tablePath, pairsDir, id)
       }
       .start()
 }

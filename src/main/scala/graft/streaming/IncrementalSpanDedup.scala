@@ -54,16 +54,30 @@ object IncrementalSpanDedup {
 
   /** One micro-batch of the probe-and-claim loop (batch-callable for
     * specs; [[start]] wires it behind foreachBatch). `batch` needs
-    * (docId, text). */
+    * (docId, text).
+    *
+    * Exactly-once across foreachBatch RETRIES (batchId is stable on
+    * restart): output goes to a per-batch directory with overwrite,
+    * and a `__batch:<id>` marker row commits ATOMICALLY with the
+    * claims (one StateTable put). Crash before the put → the retry
+    * finds no marker and no claims, recomputes, overwrites the same
+    * bytes. Crash after the put → the retry finds the marker and
+    * SKIPS: without it, the batch's own claims would absorb every
+    * span and the overwrite would wipe the batch's already-written
+    * output. */
   def processBatch(
       batch: DataFrame,
       tablePath: String,
-      outDir: String)(implicit spark: SparkSession): Unit = {
+      outDir: String,
+      batchId: Long)(implicit spark: SparkSession): Unit = {
     import spark.implicits._
     val table = new StateTable(spark, tablePath, "key")
+    val marker = s"__batch:$batchId"
+    val empty = table.currentSeq == 0L
+    if (!empty && table.get(marker).isDefined) return
     val stored =
-      if (table.currentSeq == 0L) Seq.empty[(String, Long)].toDF("key", "owner")
-      else table.snapshot()
+      if (empty) Seq.empty[(String, Long)].toDF("key", "owner")
+      else table.snapshot().where(!col("key").startsWith("__batch:"))
     val probed = graft.queries.CorpusQueries
       .spanize(batch.select(col("docId").as("doc_id"), col("text")), w)
       .withColumn("key", md5(col("span")))
@@ -75,14 +89,16 @@ object IncrementalSpanDedup {
       .persist()
     try {
       graft.queries.CorpusQueries.rebuildDocs(probed)
-        .write.mode("append").parquet(outDir)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       val claims = probed.select(col("key"), col("doc_id").as("owner"))
-      if (!claims.isEmpty) table.put(claims)
+        .unionByName(Seq((marker, -1L)).toDF("key", "owner"))
+      table.put(claims)
     } finally probed.unpersist()
   }
 
   /** Start the unified streaming query: probe + emit + claim per
-    * micro-batch. Cleaned docs land as parquet under `outDir`. */
+    * micro-batch. Cleaned docs land as parquet under `outDir`
+    * (one `batch_id=<n>` partition per micro-batch). */
   def start(
       docs: Dataset[Doc],
       tablePath: String,
@@ -90,8 +106,8 @@ object IncrementalSpanDedup {
       checkpointDir: String)(implicit spark: SparkSession): StreamingQuery =
     docs.toDF().writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, tablePath, outDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch, tablePath, outDir, id)
       }
       .start()
 }

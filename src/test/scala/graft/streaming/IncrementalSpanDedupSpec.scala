@@ -46,6 +46,7 @@ class IncrementalSpanDedupSpec extends AnyFunSuite {
         src.addData(b.toIndexedSeq); q.processAllAvailable()
       }
       val got = spark.read.parquet(outDir)
+        .select("doc_id", "n_kept", "text_clean")
         .as[(Long, Long, String)].collect().toSet
       assert(got == expected, s"stream=${got.size} batch=${expected.size}")
       // the cross-batch duplicate docs were fully absorbed
@@ -58,15 +59,40 @@ class IncrementalSpanDedupSpec extends AnyFunSuite {
         .spanize(spark.read.parquet(s"$tmp/corpus/documents.parquet"), 12)
         .select("span").distinct().count()
       val table = new StateTable(spark, tablePath, "key")
-      assert(table.snapshot().count() == nSpans,
+      assert(table.snapshot().where(!org.apache.spark.sql.functions.col("key").startsWith("__batch:")).count() == nSpans,
         "index must hold exactly one claim per distinct span")
 
       // at-least-once delivery: replaying the first batch emits nothing
       src.addData(docs.take(third).toIndexedSeq); q.processAllAvailable()
       val again = spark.read.parquet(outDir)
+        .select("doc_id", "n_kept", "text_clean")
         .as[(Long, Long, String)].collect().toSet
       assert(again == expected, "duplicate delivery must not duplicate docs")
-      assert(table.snapshot().count() == nSpans)
+      assert(table.snapshot().where(!org.apache.spark.sql.functions.col("key").startsWith("__batch:")).count() == nSpans)
     } finally q.stop()
+  }
+
+  test("foreachBatch RETRY with the same batchId is exactly-once: marker skip preserves the batch's output") {
+    val tmp = Files.createTempDirectory("spanretry").toFile.getAbsolutePath
+    val (tablePath, outDir) = (s"$tmp/index", s"$tmp/out")
+    val b = Seq((1L, "a b c d e f g h i j k l"), (2L, "a b c d e f g h i j k l"))
+      .toDF("docId", "text")
+    IncrementalSpanDedup.processBatch(b, tablePath, outDir, batchId = 0L)
+    val once = spark.read.parquet(outDir)
+      .select("doc_id", "n_kept", "text_clean").collect().toSet
+    assert(once.map(_.getLong(0)) == Set(1L), "doc 2 is a dup of doc 1 in-batch")
+    // a retry after the full commit (write + claims + marker) must
+    // SKIP — replaying the probe would absorb everything and wipe the
+    // batch's own output with an empty overwrite
+    IncrementalSpanDedup.processBatch(b, tablePath, outDir, batchId = 0L)
+    val twice = spark.read.parquet(outDir)
+      .select("doc_id", "n_kept", "text_clean").collect().toSet
+    assert(twice == once, "retry with the same batchId must be a no-op")
+    // the NEXT batch still dedups against batch 0's claims
+    IncrementalSpanDedup.processBatch(
+      Seq((3L, "a b c d e f g h i j k l")).toDF("docId", "text"),
+      tablePath, outDir, batchId = 1L)
+    val all = spark.read.parquet(outDir).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L), "doc 3's only span is claimed by batch 0")
   }
 }
