@@ -119,6 +119,13 @@ object ExplainAudit {
     audit("curate_span_dedup", "exactly two shuffles: keep-first window on span, reassembly on doc_id") { p =>
       count(p, "Exchange") == 2 && p.contains("Window") && !p.contains("CartesianProduct")
     }
+    audit("dedup_keep_canonical", "drop list broadcast LEFT ANTI; the corpus itself never shuffle-joined") { p =>
+      p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
+        !p.contains("SortMergeJoin LeftAnti")
+    }
+    audit("text_extract_html", "regex extraction is a narrow projection: ZERO shuffles") { p =>
+      !p.contains("Exchange")
+    }
     audit("multimodal_audio", "codec synth+decode is a narrow partition-local pass: ZERO shuffles") { p =>
       !p.contains("Exchange")
     }
