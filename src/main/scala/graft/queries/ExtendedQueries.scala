@@ -95,6 +95,52 @@ object ExtendedQueries {
         .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
     }),
 
+    // Product-quantization ANN (the missing ANN family member next to
+    // brute force and IVF): vectors quantize to integers (the k-means
+    // discipline — exact arithmetic on both engines), split into 8
+    // 8-dim subspaces, and encode as 8 small codes against a SAMPLED
+    // codebook (subvectors of the first 16 corpus vectors — the
+    // encode/ADC shape is the point here; a trained codebook would
+    // reuse the cluster_kmeans fixpoint loop per subspace). Queries
+    // score the corpus by ASYMMETRIC distance: exact query subvector
+    // vs the corpus vector's CODEWORD — the corpus side is 8 bytes per
+    // vector at scan time, which is the 100 TB win (64 doubles → 8
+    // codes, memory-bandwidth-bound scan). Codebook broadcast as a
+    // literal; first-minimum tie-breaks; integer distances, so the
+    // DuckDB oracle reproduces every score bit-for-bit.
+    "sim_pq_topk" -> ((s, dir) => {
+      val M = 8; val SUB = 8; val K = 16
+      val quant = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"), v =>
+            floor(v * lit(1048576.0)).cast("long")).as("x"))
+      val cws = quant.where(col("vec_id") < K)
+        .orderBy(col("vec_id")).collect()
+        .map(_.getSeq[Long](1))
+      require(cws.length == K, s"sim_pq_topk: need vec_ids 0..${K - 1} for the codebook")
+      val cbLit = typedLit(cws.toSeq)
+      def subDist(a: Column, b: Column, m: Int): Column =
+        aggregate(zip_with(
+          slice(a, m * SUB + 1, SUB), slice(b, m * SUB + 1, SUB),
+          (p, q) => (p - q) * (p - q)), lit(0L), (acc, v) => acc + v)
+      val codeCols = (0 until M).map { m =>
+        val d = transform(cbLit, cw => subDist(col("x"), cw, m))
+        array_position(d, array_min(d)).cast("int")
+      }
+      val encoded = quant.withColumn("code", array(codeCols: _*))
+      val q = quant.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("x").as("qx"))
+      val adc = (0 until M).map(m =>
+        subDist(col("qx"), element_at(cbLit, element_at(col("code"), m + 1)), m))
+        .reduce(_ + _)
+      encoded.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("score", adc)
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").asc, col("vec_id").asc)))
+        .where(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("score"))
+    }),
+
     // Symmetric k-NN graph (k=3) — the input structure of graph-based
     // ANN and embedding-cluster dedup: every vector ranks its sign-cell
     // mates by cosine. Cell width is CORPUS-SCALED (the
@@ -649,6 +695,33 @@ object ExtendedQueries {
          |FROM cells JOIN q ON cell = qcell AND vec_id <> qid)
          |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
          |ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
+         |FROM scored QUALIFY rnk <= 3""".stripMargin
+    },
+
+    // same sampled codebook, same integer subspace distances, same
+    // first-min encode and ADC lookup — every score exact
+    "sim_pq_topk" -> {
+      val M = 8; val SUB = 8; val K = 16
+      def dist(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${SUB + 1}), i -> " +
+          s"($a[m*$SUB+i] - $b[m*$SUB+i]) * ($a[m*$SUB+i] - $b[m*$SUB+i])))"
+      val distsExpr = s"list_transform(cws, cw -> ${dist("x", "cw")})"
+      s"""WITH v AS (SELECT vec_id,
+         |list_transform(embedding, e -> CAST(FLOOR(e * 1048576.0) AS BIGINT)) AS x
+         |FROM embeddings),
+         |cb AS (SELECT list(x ORDER BY vec_id) AS cws FROM v WHERE vec_id < $K),
+         |enc AS (SELECT vec_id, x,
+         |list_transform(range($M), m ->
+         |CAST(list_position($distsExpr, list_min($distsExpr)) AS INTEGER)) AS code
+         |FROM v CROSS JOIN cb),
+         |scored AS (SELECT q.vec_id AS qid, e.vec_id,
+         |CAST(list_sum(list_transform(range($M), m ->
+         |${dist("qx", "cws[code[m+1]]")})) AS BIGINT) AS score
+         |FROM enc e CROSS JOIN cb
+         |JOIN (SELECT vec_id, x AS qx FROM v WHERE vec_id < 10) q
+         |ON e.vec_id <> q.vec_id)
+         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+         |ORDER BY score ASC, vec_id ASC) AS INTEGER) AS rnk, vec_id, score
          |FROM scored QUALIFY rnk <= 3""".stripMargin
     },
 

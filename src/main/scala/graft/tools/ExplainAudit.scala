@@ -126,6 +126,9 @@ object ExplainAudit {
     audit("text_extract_html", "regex extraction is a narrow projection: ZERO shuffles") { p =>
       !p.contains("Exchange")
     }
+    audit("sim_pq_topk", "codebook is a literal; query side broadcast; corpus never shuffle-joined") { p =>
+      p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin")
+    }
     audit("multimodal_audio", "codec synth+decode is a narrow partition-local pass: ZERO shuffles") { p =>
       !p.contains("Exchange")
     }
