@@ -74,4 +74,26 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       assert(table.snapshot().where(!org.apache.spark.sql.functions.col("key").startsWith("__batch:")).count() == nKeys)
     } finally q.stop()
   }
+
+  test("foreachBatch RETRY with the same batchId is exactly-once: marker skip preserves the batch's pairs") {
+    val tmp = Files.createTempDirectory("dedupretry").toFile.getAbsolutePath
+    val (tablePath, pairsDir) = (s"$tmp/index", s"$tmp/pairs")
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).take(5)
+    // batch 0 = originals, batch 1 = an exact copy -> one cross-batch pair
+    IncrementalDedup.processBatch(
+      base.toSeq.toDF("docId", "text"), tablePath, pairsDir, batchId = 0L)
+    IncrementalDedup.processBatch(
+      Seq((9999L, base.head._2)).toDF("docId", "text"), tablePath, pairsDir, batchId = 1L)
+    val once = spark.read.parquet(pairsDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(once.contains((base.head._1, 9999L)), "cross-batch pair found")
+    // retry batch 1 after its full commit: without the marker, doc 9999
+    // is resident and the overwrite would wipe the pair it emitted
+    IncrementalDedup.processBatch(
+      Seq((9999L, base.head._2)).toDF("docId", "text"), tablePath, pairsDir, batchId = 1L)
+    val twice = spark.read.parquet(pairsDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(twice == once, "retry with the same batchId must be a no-op")
+  }
 }
