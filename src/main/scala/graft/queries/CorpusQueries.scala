@@ -493,6 +493,44 @@ object CorpusQueries {
     // doc), and the score is rounded through DECIMAL(18,8) BEFORE the
     // ordering so a sub-1e-8 ln() ULP difference between engines can
     // neither flip the hash nor the top-k boundary.
+    // Bigram language-model quality score (the CCNet/Gopher-style
+    // perplexity proxy, trained ON the corpus itself — the classic
+    // "score each doc by how typical its text is" filter): add-one
+    // smoothed P(b|a) = (c(a,b)+1) / (c(a)+V), doc score = mean ln P
+    // over the doc's bigrams. Cross-engine float parity: each ln term
+    // rounds through DECIMAL(18,6) BEFORE summing — decimal addition
+    // is exact and associative, so the per-doc sum is independent of
+    // partition order on BOTH engines (the BM25 fixed-order trick
+    // generalized to terms that can't be enumerated), and the final
+    // divide is one IEEE op on identical operands. Scale: two count
+    // shuffles to train (bigram, first-word), a broadcast vocab size,
+    // and one shuffle joining docs' bigrams to the model — linear in
+    // corpus bigrams, no pair blowup.
+    "text_lm_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tokenized = docs
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 2)
+      val bi = tokenized.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+            struct(element_at(col("ws"), i).as("a"),
+              element_at(col("ws"), i + 1).as("b")))).as("bg"))
+        .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+      val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      val ca = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      bi.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("term",
+          log((col("c_ab") + lit(1)).cast("double") /
+            (col("c_a") + col("v")).cast("double")).cast(DecimalType(18, 6)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("ssum").cast("double") / col("n_bigrams").cast("double")).as("lm_score"))
+    }),
+
     "text_bm25_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val toksDf = docs.select(col("doc_id"), explode(toks).as("word"))
@@ -525,6 +563,25 @@ object CorpusQueries {
   )
 
   def oracles: Map[String, String] = Map(
+
+    // identical smoothing arithmetic; each ln term rounds through
+    // DECIMAL(18,6) before the exact decimal sum, so partition order
+    // cannot move the hash on either engine
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+        |FROM t, UNNEST(range(1, len(ws))) u(i)),
+        |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+        |ca AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY 1),
+        |vv AS (SELECT COUNT(DISTINCT w) AS v FROM
+        |(SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        |terms AS (SELECT doc_id,
+        |CAST(ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v AS DOUBLE)) AS DECIMAL(18,6)) AS term
+        |FROM bi JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |CAST(SUM(term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+        |FROM terms GROUP BY doc_id""".stripMargin,
 
     "cluster_kmeans" -> {
       // Recursive-CTE Lloyd to the SAME fixpoint as the Spark loop: the

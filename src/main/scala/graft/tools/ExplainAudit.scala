@@ -129,6 +129,9 @@ object ExplainAudit {
     audit("sim_pq_topk", "codebook is a literal; query side broadcast; corpus never shuffle-joined") { p =>
       p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin")
     }
+    audit("text_lm_score", "LM training is map-side-combined counts; vocab broadcast; no cartesian") { p =>
+      p.contains("partial_count") && !p.contains("CartesianProduct")
+    }
     audit("multimodal_audio", "codec synth+decode is a narrow partition-local pass: ZERO shuffles") { p =>
       !p.contains("Exchange")
     }
