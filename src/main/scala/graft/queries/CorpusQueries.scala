@@ -175,17 +175,28 @@ object CorpusQueries {
           transform(array_sort(collect_list(struct(col("pos"), col("span")))),
             s => s.getField("span")), " ").as("text_clean"))
 
-  /** One Lloyd update: per-cluster floored integer means; clusters that
-    * lost all members keep their previous centroid. */
-  private[queries] def kmUpdate(assigned: DataFrame, cents: DataFrame): DataFrame = {
-    val sums = (0 until KM_D).map(d => sum(element_at(col("x"), d + 1)).as(s"s$d"))
-    val means = assigned.groupBy(col("cluster"))
-      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
-      .select(col("cluster").as("jm"),
-        array((0 until KM_D).map(d =>
-          floor(col(s"s$d").cast("double") / col("n")).cast("long")): _*).as("cm"))
-    cents.join(means, cents("j") === means("jm"), "left")
-      .select(col("j"), coalesce(col("cm"), col("c")).as("c"))
+  /** One Lloyd update from per-cluster integer sums/counts: floored
+    * integer means (same IEEE double divide + floor as the DuckDB
+    * oracle); clusters that lost all members keep their previous
+    * centroid. THE update rule of the treeAggregate loop — extracted
+    * so the spec and the live loop share one implementation. */
+  private[queries] def kmUpdate(
+      cents: Array[Array[Long]],
+      sums: Array[Array[Long]],
+      counts: Array[Long]): Array[Array[Long]] = {
+    val next = cents.map(_.clone)
+    var j = 0
+    while (j < cents.length) {
+      if (counts(j) > 0) {
+        var i = 0
+        while (i < next(j).length) {
+          next(j)(i) = math.floor(sums(j)(i).toDouble / counts(j)).toLong
+          i += 1
+        }
+      }
+      j += 1
+    }
+    next
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -226,6 +237,12 @@ object CorpusQueries {
       vecs.where(col("vec_id") < k).select(col("vec_id"), col("x")).collect()
         .foreach(r => cents(r.getLong(0).toInt) = r.getSeq[Long](1).toArray)
       require(cents.forall(_ != null), s"cluster_kmeans: need vec_ids 0..${k - 1} for init")
+      // refuse a mis-set dim LOUDLY on the driver — inside the tasks it
+      // would be an opaque ArrayIndexOutOfBounds after 4 retries (too
+      // wide), or a silent prefix-clustering that still hash-verifies
+      // (too narrow, since the oracle runs the same prefix)
+      require(cents.forall(_.length == d),
+        s"cluster_kmeans: graft.kmeans.dim=$d but embeddings are ${cents.head.length}-wide")
       // The Lloyd inner loop runs as one treeAggregate per round over a
       // cached RDD of the quantized vectors — the shape MLlib's KMeans
       // uses, and the one place RDD beats DataFrame: an iterative loop
@@ -248,7 +265,7 @@ object CorpusQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var rounds = 0
       var converged = false
-      while (!converged) {
+      try while (!converged) {
         rounds += 1
         if (rounds > KM_MAX)
           // quantized integer means are not provably monotone; a
@@ -288,23 +305,11 @@ object CorpusQueries {
             }
             acc
           })
-        val next = cents.map(_.clone)
-        var j = 0
-        while (j < k) {
-          if (counts(j) > 0) {
-            var i = 0
-            while (i < d) {
-              // same IEEE double divide + floor as the DuckDB oracle
-              next(j)(i) = math.floor(sums(j)(i).toDouble / counts(j)).toLong
-              i += 1
-            }
-          }
-          j += 1
-        }
+        val next = kmUpdate(cents, sums, counts)
         converged = next.zip(cents).forall { case (a, b) => java.util.Arrays.equals(a, b) }
         cents = next
-      }
-      xs.unpersist(blocking = false)
+      } finally xs.unpersist(blocking = false) // also on the KM_MAX throw — a leaked
+      // cached corpus would pin executor storage for the session lifetime
       // final assignment through the audited broadcast-join plan (the
       // k-row centroid table broadcast to the corpus scan)
       val centsDf = cents.toSeq.zipWithIndex

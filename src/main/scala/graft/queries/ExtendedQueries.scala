@@ -792,9 +792,14 @@ object ExtendedQueries {
     // UTF-8 bytes when present). vz() below is the varint byte width
     // of the zigzagged value — 7 payload bits per byte.
     "codec_avro" -> {
-      def vz(e: String) =
-        s"CASE WHEN 2*($e) < 128 THEN 1 WHEN 2*($e) < 16384 THEN 2" +
-          s" WHEN 2*($e) < 2097152 THEN 3 WHEN 2*($e) < 268435456 THEN 4 ELSE 5 END"
+      // varint byte width of zigzag(e) for e >= 0: zigzag = 2e, so
+      // compare e against HALVED powers of 2^7 (2e would overflow
+      // BIGINT for e >= 2^62); full 1..10-byte range, not a truncation
+      def vz(e: String) = {
+        val cases = (1 to 9)
+          .map(k => s"WHEN ($e) < ${1L << (7 * k - 1)} THEN $k").mkString(" ")
+        s"CASE $cases ELSE 10 END"
+      }
       val sLen = "octet_length(encode(source))"
       val tLen = "octet_length(encode(text))"
       s"""SELECT doc_id,

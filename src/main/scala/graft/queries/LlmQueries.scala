@@ -549,8 +549,10 @@ object LlmQueries {
     // extracts: script/style blocks DROPPED WITH CONTENT, remaining
     // tags stripped to whitespace, the four standard entities decoded,
     // whitespace collapsed. Patterns are chosen to mean the same thing
-    // in Java regex and RE2 ([\s\S]*? instead of (?s).*?) so the
-    // DuckDB oracle runs the identical chain. Narrow, zero shuffle.
+    // in Java regex and RE2: [\s\S]*? instead of (?s).*?, and an
+    // EXPLICIT whitespace class instead of \s (Java's \s includes
+    // \x0B vertical tab, RE2's does not — a document containing VT
+    // would hash-diverge). Narrow, zero shuffle.
     "text_extract_html" -> ((s, dir) => {
       val page = concat(
         lit("<html><head><script type=\"text/javascript\">var nav = 1;</script><title>Doc "),
@@ -562,7 +564,7 @@ object LlmQueries {
       val noTags = regexp_replace(noScript, "<[^>]*>", " ")
       val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"")
         .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
-      val clean = trim(regexp_replace(decoded, "\\s+", " "))
+      val clean = trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
       Tables.documents(s, dir)
         .select(col("doc_id"), clean.as("content"),
           length(clean).cast("int").as("n_chars"))
@@ -944,7 +946,7 @@ object LlmQueries {
         |'<(script|style)[^>]*>[\s\S]*?</(script|style)>', ' ', 'g'),
         |'<[^>]*>', ' ', 'g'),
         |'&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
-        |'\s+', ' ', 'g')) AS content FROM p)
+        |'[ \t\n\r\f]+', ' ', 'g')) AS content FROM p)
         |SELECT doc_id, content, CAST(length(content) AS INTEGER) AS n_chars
         |FROM e""".stripMargin,
 

@@ -45,7 +45,10 @@ import graft.GraftConf
   * the batch LSH candidate set on the cumulative corpus
   * (IncrementalStreamSpec proves it batch-boundary-independently).
   * Re-ingested doc_ids (at-least-once delivery) are dropped at the
-  * probe, so duplicate delivery cannot duplicate pairs or cohorts.
+  * door via per-doc `__doc:<id>` claims — NOT via cohort residency,
+  * which would miss docs the cap never admitted — so duplicate
+  * delivery cannot duplicate pairs or cohorts. The table compacts
+  * every 32 batches so probe cost tracks live state, not stream age.
   */
 object IncrementalDedup {
 
@@ -76,18 +79,28 @@ object IncrementalDedup {
     val marker = s"__batch:$batchId"
     val emptyTable = table.currentSeq == 0L
     if (!emptyTable && table.get(marker).isDefined) return
-    val stored =
-      if (emptyTable) Seq.empty[(String, Seq[Long])].toDF("key", "docs")
-      else table.snapshot().where(!col("key").startsWith("__batch:"))
-    val bands = graft.queries.LlmQueries.lshBands(
-        batch.select(col("docId").as("doc_id"), col("text")))
+    val snap = if (emptyTable) None else Some(table.snapshot().persist())
+    val stored = snap
+      .map(_.where(!col("key").startsWith("__")).select(col("key"), col("docs")))
+      .getOrElse(Seq.empty[(String, Seq[Long])].toDF("key", "docs"))
+    // at-least-once tolerance must not depend on cohort RESIDENCY: a
+    // redelivered doc that was never admitted (cap overflow) is absent
+    // from every cohort, and its vs-stored pairs would re-emit. Every
+    // processed doc therefore leaves a `__doc:<id>` claim (committed
+    // atomically with the cohorts), and redelivered docs drop at the
+    // door regardless of admission.
+    val seenDocs = snap
+      .map(_.where(col("key").startsWith("__doc:"))
+        .select(expr(s"CAST(substring(key, ${"__doc:".length + 1}) AS BIGINT)").as("doc_id")))
+      .getOrElse(Seq.empty[Long].toDF("doc_id"))
+    val freshDocs = batch.select(col("docId").cast("long").as("doc_id"), col("text"))
+      .join(seenDocs, Seq("doc_id"), "left_anti")
+      .persist()
+    val bands = graft.queries.LlmQueries.lshBands(freshDocs)
       .select(concat(col("bi"), lit(":"), col("bk")).as("key"), col("doc_id"))
     val probed = bands
-      .join(stored.select(col("key"), col("docs")), Seq("key"), "left")
+      .join(stored, Seq("key"), "left")
       .withColumn("stored", coalesce(col("docs"), array().cast("array<long>")))
-      // at-least-once tolerance: a re-delivered doc is already resident
-      // in its cohorts — drop it from the probe so duplicate delivery
-      // can never duplicate pairs or cohort entries
       .where(!array_contains(col("stored"), col("doc_id")))
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("key")).orderBy(col("doc_id"))))
@@ -114,9 +127,20 @@ object IncrementalDedup {
         .agg(first(col("stored")).as("stored"),
           sort_array(collect_list(col("doc_id"))).as("fresh"))
         .select(col("key"), sort_array(concat(col("stored"), col("fresh"))).as("docs"))
+        .unionByName(freshDocs.select(
+          concat(lit("__doc:"), col("doc_id")).as("key"),
+          array().cast("array<long>").as("docs")))
         .unionByName(Seq((marker, Seq.empty[Long])).toDF("key", "docs"))
       table.put(merged)
-    } finally probed.unpersist()
+      // bound the manifest/file count: without this, every micro-batch
+      // adds a version + >=1 file and the per-batch snapshot() read
+      // grows with stream AGE rather than with live state
+      if (batchId % 32 == 31) table.compact()
+    } finally {
+      probed.unpersist()
+      freshDocs.unpersist()
+      snap.foreach(_.unpersist())
+    }
   }
 
   /** Start the unified streaming query: probe + emit + upsert per

@@ -93,6 +93,10 @@ object IncrementalSpanDedup {
       val claims = probed.select(col("key"), col("doc_id").as("owner"))
         .unionByName(Seq((marker, -1L)).toDF("key", "owner"))
       table.put(claims)
+      // bound the manifest/file count: without this, every micro-batch
+      // adds a version + >=1 file and the per-batch snapshot() read
+      // grows with stream AGE rather than with live state
+      if (batchId % 32 == 31) table.compact()
     } finally probed.unpersist()
   }
 

@@ -46,17 +46,14 @@ class CorpusQueriesSpec extends AnyFunSuite {
   }
 
   test("kmUpdate: floored integer means; an emptied cluster keeps its centroid") {
-    import org.apache.spark.sql.functions._
-    def vec(head: Long*): Seq[Long] = head ++ Seq.fill(64 - head.size)(0L)
-    // both rows assigned to cluster 1; cluster 2 has no members
-    val assigned = Seq((vec(1L, -3L), 1L), (vec(2L, -4L), 1L))
-      .toDF("x", "cluster")
-    val cents = Seq((1L, vec(100L)), (2L, vec(9L, 9L))).toDF("j", "c")
-    val out = CorpusQueries.kmUpdate(assigned, cents)
-      .orderBy(col("j")).as[(Long, Seq[Long])].collect()
-    assert(out(0)._1 == 1L)
-    assert(out(0)._2.take(2) == Seq(1L, -4L)) // floor(1.5)=1, floor(-3.5)=-4
-    assert(out(0)._2.drop(2).forall(_ == 0L))
-    assert(out(1) == (2L, vec(9L, 9L))) // untouched old centroid
+    def vec(head: Long*): Array[Long] = (head ++ Seq.fill(64 - head.size)(0L)).toArray
+    // cluster 0 absorbed two members (sums 1+2, -3-4); cluster 1 lost all
+    val out = CorpusQueries.kmUpdate(
+      cents = Array(vec(100L), vec(9L, 9L)),
+      sums = Array(vec(3L, -7L), vec()),
+      counts = Array(2L, 0L))
+    assert(out(0).take(2).toSeq == Seq(1L, -4L)) // floor(1.5)=1, floor(-3.5)=-4
+    assert(out(0).drop(2).forall(_ == 0L))
+    assert(out(1).toSeq == vec(9L, 9L).toSeq) // untouched old centroid
   }
 }

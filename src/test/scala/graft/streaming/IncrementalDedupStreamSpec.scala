@@ -63,7 +63,7 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
           spark.read.parquet(s"$tmp/corpus/documents.parquet"))
         .select(concat(col("bi"), lit(":"), col("bk"))).distinct().count()
       val table = new StateTable(spark, tablePath, "key")
-      assert(table.snapshot().where(!org.apache.spark.sql.functions.col("key").startsWith("__batch:")).count() == nKeys,
+      assert(table.snapshot().where(!org.apache.spark.sql.functions.col("key").startsWith("__")).count() == nKeys,
         "index must hold exactly one row per distinct band key")
 
       // at-least-once delivery: replaying the first batch changes nothing
@@ -71,7 +71,7 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       val again = spark.read.parquet(pairsDir)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       assert(again == expected, "duplicate delivery must not duplicate pairs")
-      assert(table.snapshot().where(!org.apache.spark.sql.functions.col("key").startsWith("__batch:")).count() == nKeys)
+      assert(table.snapshot().where(!org.apache.spark.sql.functions.col("key").startsWith("__")).count() == nKeys)
     } finally q.stop()
   }
 
@@ -95,5 +95,27 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
     val twice = spark.read.parquet(pairsDir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(twice == once, "retry with the same batchId must be a no-op")
+  }
+
+  test("redelivery of a doc the cap never ADMITTED is still absorbed (doc claims, not cohort residency)") {
+    val tmp = Files.createTempDirectory("dedupunadmitted").toFile.getAbsolutePath
+    val (tablePath, pairsDir) = (s"$tmp/index", s"$tmp/pairs")
+    spark.conf.set("graft.dedup.lshCap", "1")
+    try {
+      val text = "alpha beta gamma delta epsilon zeta eta theta"
+      // A and B share every band key; cap=1 admits only A, B probes
+      // (emitting pair A-B) but never becomes resident in any cohort
+      IncrementalDedup.processBatch(
+        Seq((1L, text), (2L, text)).toDF("docId", "text"), tablePath, pairsDir, 0L)
+      val rows0 = spark.read.parquet(pairsDir).count()
+      assert(rows0 == 1L, s"one A-B pair expected, got $rows0")
+      // the source redelivers B in a LATER batch (new batchId, so the
+      // batch marker doesn't apply): residency can't catch it — only
+      // the __doc claim can. Without it the A-B pair re-emits as a row.
+      IncrementalDedup.processBatch(
+        Seq((2L, text)).toDF("docId", "text"), tablePath, pairsDir, 1L)
+      assert(spark.read.parquet(pairsDir).count() == rows0,
+        "unadmitted redelivered doc must not re-emit its vs-stored pairs")
+    } finally spark.conf.unset("graft.dedup.lshCap")
   }
 }
