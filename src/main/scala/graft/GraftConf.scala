@@ -32,6 +32,9 @@ object GraftConf {
   def int(key: String, default: Int): Int =
     raw(key).map(_.trim.toInt).getOrElse(default)
 
+  def long(key: String, default: Long): Long =
+    raw(key).map(_.trim.toLong).getOrElse(default)
+
   def double(key: String, default: Double): Double =
     raw(key).map(_.trim.toDouble).getOrElse(default)
 

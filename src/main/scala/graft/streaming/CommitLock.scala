@@ -41,10 +41,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    manifest version) — same `putIfAbsent` shape, different carrier.
   *
   * [[CommitLock.Auto]] picks by scheme at publish time: `file` →
-  * LocalLink, everything else → RenameNoOverwrite (the Hadoop
-  * connector contract); object-store deployments pass a ConditionalPut
-  * explicitly, since `s3a://` exposes no conditional-write through the
-  * generic FileSystem API.
+  * LocalLink, HDFS-class → RenameNoOverwrite (the Hadoop connector
+  * contract), and known object-store schemes (s3a, gs, abfs, ...) FAIL
+  * FAST — their rename is copy+delete, neither atomic nor
+  * no-overwrite, so silently accepting them would let two writers both
+  * "win" one manifest version. Object-store deployments pass a
+  * ConditionalPut explicitly, since `s3a://` exposes no
+  * conditional-write through the generic FileSystem API.
   */
 trait CommitLock {
 
@@ -58,12 +61,29 @@ trait CommitLock {
 
 object CommitLock {
 
-  /** Scheme-dispatched default: local → hard-link claim, remote →
-    * rename-no-overwrite. */
+  /** Known object-store schemes, where rename is a client-side
+    * copy+delete — neither atomic nor no-overwrite. Auto REFUSES these
+    * rather than silently running RenameNoOverwrite (two writers could
+    * both "win" one manifest version — a lost update, the one failure
+    * the whole protocol exists to prevent). */
+  private val objectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos")
+
+  /** Scheme-dispatched default: local → hard-link claim, HDFS-class →
+    * rename-no-overwrite, object stores → fail fast (pass a
+    * [[ConditionalPut]] explicitly; the generic FileSystem API exposes
+    * no conditional write). */
   object Auto extends CommitLock {
-    def publish(fs: FileSystem, dst: Path, bytes: Array[Byte]): Boolean =
-      (if (fs.getScheme == "file") LocalLink else RenameNoOverwrite)
+    def publish(fs: FileSystem, dst: Path, bytes: Array[Byte]): Boolean = {
+      val scheme = Option(fs.getScheme).map(_.toLowerCase).getOrElse("")
+      require(!objectStoreSchemes.contains(scheme),
+        s"CommitLock.Auto: rename on '$scheme' is not atomic-no-overwrite; " +
+          "commits would be lost under races. Construct the StateTable with " +
+          "CommitLock.ConditionalPut over the store's conditional write " +
+          "(S3 If-None-Match:*, GCS ifGenerationMatch=0).")
+      (if (scheme == "file") LocalLink else RenameNoOverwrite)
         .publish(fs, dst, bytes)
+    }
   }
 
   /** Local POSIX: write tmp fully, claim with an atomic hard link

@@ -53,7 +53,14 @@ final class Flow[T] private (val ds: Dataset[T]) extends Serializable {
     * batch's admission waits for the previous foreachBatch to return.
     * The batch is persisted once so N consumers don't recompute the
     * lineage N times. Per-MESSAGE lock-step is intentionally not
-    * offered: micro-batch is Spark's admission unit (SURVEY §2.3). */
+    * offered: micro-batch is Spark's admission unit (SURVEY §2.3).
+    *
+    * Failure semantics: if ANY consumer throws (or the query restarts
+    * mid-fan-out), the whole foreachBatch retries and EVERY consumer
+    * re-sees that micro-batch — at-least-once per consumer, a
+    * divergence from the reference generator's one-delivery-per-copy.
+    * Consumers must be idempotent (keyed upserts, overwrite-by-batchId
+    * like the incremental dedup loops) to absorb the redelivery. */
   def toLockstep(checkpoint: String)(consumers: ((Dataset[T], Long) => Unit)*): StreamingQuery =
     ds.writeStream
       .option("checkpointLocation", checkpoint)

@@ -39,16 +39,31 @@ import graft.GraftConf
   *     the StateTable's optimistic commit (LWW per band key).
   *
   * Admission mirrors the streaming cap semantics: a cohort keeps the
-  * FIRST `cap` residents (a stream cannot retract), so state is
-  * O(distinct band keys × cap) — O(corpus bands), never O(corpus²).
+  * FIRST `cap` residents (a stream cannot retract), so COHORT state is
+  * O(distinct band keys × cap); adding the per-doc claims below, total
+  * table state is O(docs ingested + bands) — linear in the corpus,
+  * never O(corpus²), and the per-batch probe joins batch × index (the
+  * join's build side is the batch, so probe cost is one pass over the
+  * index, not a growing self-join).
   * On corpora whose cohorts fit the cap, the emitted pair set equals
   * the batch LSH candidate set on the cumulative corpus
   * (IncrementalStreamSpec proves it batch-boundary-independently).
+  * OVER the cap the stream is a documented SUPERSET of the batch
+  * result: batch LSH drops an over-cap cohort entirely (zero pairs,
+  * the skew guard), while the stream keeps the cohort's first `cap`
+  * residents and pairs each later arrival against them — at ingestion
+  * there is no retraction, so the first-cap residents are the stream's
+  * best truth (StreamingNearDup semantics). Size the cap identically
+  * in both if set-equality on over-cap corpora matters.
   * Re-ingested doc_ids (at-least-once delivery) are dropped at the
   * door via per-doc `__doc:<id>` claims — NOT via cohort residency,
   * which would miss docs the cap never admitted — so duplicate
-  * delivery cannot duplicate pairs or cohorts. The table compacts
-  * every 32 batches so probe cost tracks live state, not stream age.
+  * delivery cannot duplicate pairs or cohorts. Every batch runs
+  * [[StateTable.maintain]] — size-tiered incremental compaction that
+  * merges only small-file cohorts (bytes rewritten per step bounded by
+  * the tier, never the table) — so file count stays O(log table) while
+  * the cumulative compaction cost stays O(n log n) over the stream's
+  * life, not the O(n²) a fixed-cadence full rewrite costs.
   */
 object IncrementalDedup {
 
@@ -68,7 +83,14 @@ object IncrementalDedup {
     * same bytes. Crash after the put → the retry finds the marker and
     * SKIPS: without it, the batch's own residents would be dropped at
     * the probe and the overwrite would wipe the batch's already-
-    * written pairs. */
+    * written pairs.
+    *
+    * Dirty-read window: batch N's pairs land in pairsDir BEFORE the
+    * state commit, so a concurrent reader can observe output of a
+    * batch that subsequently crashes and recomputes. Consumers that
+    * need committed-only reads must filter to batch_ids whose
+    * `__batch:<id>` marker exists in the table — the marker IS the
+    * commit point. */
   def processBatch(
       batch: DataFrame,
       tablePath: String,
@@ -132,10 +154,12 @@ object IncrementalDedup {
           array().cast("array<long>").as("docs")))
         .unionByName(Seq((marker, Seq.empty[Long])).toDF("key", "docs"))
       table.put(merged)
-      // bound the manifest/file count: without this, every micro-batch
-      // adds a version + >=1 file and the per-batch snapshot() read
-      // grows with stream AGE rather than with live state
-      if (batchId % 32 == 31) table.compact()
+      // bound the file count incrementally: every micro-batch adds a
+      // version + >=1 file; size-tiered maintenance merges only
+      // small-file cohorts (never the whole table — the r6
+      // fixed-cadence full compact made cumulative compaction cost
+      // quadratic in stream age and serialized it onto one task)
+      table.maintain()
     } finally {
       probed.unpersist()
       freshDocs.unpersist()

@@ -64,7 +64,12 @@ object IncrementalSpanDedup {
     * bytes. Crash after the put → the retry finds the marker and
     * SKIPS: without it, the batch's own claims would absorb every
     * span and the overwrite would wipe the batch's already-written
-    * output. */
+    * output.
+    *
+    * Dirty-read window: batch N's output lands in outDir BEFORE the
+    * state commit; committed-only consumers must filter to batch_ids
+    * whose `__batch:<id>` marker exists in the table — the marker IS
+    * the commit point. */
   def processBatch(
       batch: DataFrame,
       tablePath: String,
@@ -93,10 +98,11 @@ object IncrementalSpanDedup {
       val claims = probed.select(col("key"), col("doc_id").as("owner"))
         .unionByName(Seq((marker, -1L)).toDF("key", "owner"))
       table.put(claims)
-      // bound the manifest/file count: without this, every micro-batch
-      // adds a version + >=1 file and the per-batch snapshot() read
-      // grows with stream AGE rather than with live state
-      if (batchId % 32 == 31) table.compact()
+      // bound the file count incrementally: size-tiered maintenance
+      // merges only small-file cohorts (bytes rewritten per step
+      // bounded by the tier, never the table — the r6 fixed-cadence
+      // full compact cost O(table) on one task every 32 batches)
+      table.maintain()
     } finally probed.unpersist()
   }
 

@@ -219,11 +219,25 @@ class StateTable(
     * commit publishes them). Stats come from one read-back aggregation
     * over the freshly staged files (a production impl against real
     * object storage would lift them from the parquet footers instead —
-    * same numbers, one less scan). */
+    * same numbers, one less scan).
+    *
+    * Multi-file stages RANGE-partition and sort by the key, so each
+    * staged file covers a DISJOINT key range — the manifest's min/max
+    * stats then prune point gets and range scans to exactly one file
+    * (the leveled-SST layout, reached through Spark's own
+    * repartitionByRange rather than a hand-built bucket map; a hash
+    * bucketing would leave every file's range [global-min, global-max]
+    * and defeat the stats). */
   private def stage(df: DataFrame, targetFiles: Int): Seq[FileEntry] = {
     val f = fs
     val tmp = new Path(path, ".stage-" + UUID.randomUUID().toString)
-    df.coalesce(math.max(1, targetFiles)).write.parquet(tmp.toString)
+    val n = math.max(1, targetFiles)
+    val shaped =
+      if (n == 1) df.coalesce(1)
+      else if (df.columns.contains(keyCol))
+        df.repartitionByRange(n, col(keyCol)).sortWithinPartitions(col(keyCol))
+      else df.repartition(n)
+    shaped.write.parquet(tmp.toString)
     f.mkdirs(dataDir)
     val parts = f.listStatus(tmp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
     val names = parts.zipWithIndex.map { case (src, i) =>
@@ -544,7 +558,13 @@ class StateTable(
       orphanGraceMs: Long = 60L * 60 * 1000): Unit = {
     val m = latest().getOrElse(return)
     val snap = snapshot().withColumn(seqCol, lit(m.seq)).withColumn("__deleted", lit(false))
-    val entries = stage(snap, targetFiles = 1)
+    // data-proportional output: one task per targetFileBytes of input
+    // (the pre-compaction byte total bounds the live snapshot), instead
+    // of the r6 coalesce(1) that serialized a whole 100 TB table onto
+    // one core and one file
+    val tf = math.max(1L, math.min(4096L,
+      sizesOf(m.files).map(_._2).sum / targetFileBytes + 1L)).toInt
+    val entries = stage(snap, targetFiles = tf)
     if (failpoint.contains("staged")) throw new RuntimeException("failpoint: staged")
     if (!commit(Manifest(m.version + 1, m.seq, entries))) {
       deleteStaged(entries) // concurrent writer won; their manifest stays
@@ -572,6 +592,111 @@ class StateTable(
         !names.contains(s.getPath.getName) && s.getModificationTime < cutoff)
       .foreach(s => f.delete(s.getPath, false))
   }
+
+  // ---- Size-tiered incremental compaction ----
+  //
+  // [[compact]] is the FULL rewrite — O(table) every call, tombstones
+  // purged. A streaming writer that appends a small file per
+  // micro-batch must NOT pay that: invoked at a fixed cadence its
+  // cumulative cost grows quadratically in ingested data (the r6
+  // scale-killer). [[maintain]] is the log-structured answer: merge
+  // only same-sized cohorts of files, so any byte is rewritten
+  // O(log(table/tier)) times over the table's whole life and one
+  // maintenance step touches at most compactMaxFiles small files —
+  // never the table.
+
+  private def targetFileBytes: Long =
+    graft.GraftConf.long("graft.state.targetFileBytes", 128L * 1024 * 1024)
+
+  /** (entry, bytes) for each manifest file still on disk. O(files)
+    * driver-side metadata calls — control plane, like the listing the
+    * manifest read already does. */
+  private def sizesOf(entries: Seq[FileEntry]): Seq[(FileEntry, Long)] = {
+    val f = fs
+    entries.flatMap { e =>
+      val p = new Path(dataDir, e.name)
+      try Some((e, f.getFileStatus(p).getLen)) catch { case _: Exception => None }
+    }
+  }
+
+  /** Size tier of a file: tier 0 is `[0, tierBytes)`, each tier above
+    * spans 4x the previous — the geometric bands of size-tiered LSM
+    * compaction. */
+  private def tierOf(bytes: Long, tierBytes: Long): Int = {
+    var t = 0
+    var bound = tierBytes
+    while (bytes >= bound && t < 20) { t += 1; bound *= 4 }
+    t
+  }
+
+  /** One incremental maintenance pass: if some size tier holds >=
+    * `graft.state.compactMinFiles` files, merge the smallest <=
+    * `graft.state.compactMaxFiles` of them into range-partitioned
+    * file(s) one tier up and GC the merged inputs. Returns bytes
+    * rewritten (0 = nothing qualified or a concurrent writer won the
+    * commit race — both fine, the next call retries).
+    *
+    * Correctness under partial merge: within the merged subset,
+    * versions shadowed by a NEWER in-subset version of the same key
+    * are dropped (safe — the shadowing version survives, so global
+    * last-write-wins resolves identically), but tombstones are KEPT:
+    * a tombstone here may shadow a live row in a file OUTSIDE the
+    * merge. Only the full [[compact]] may purge tombstones, because
+    * only it proves no older version exists anywhere. Per-row `__seq`
+    * values are preserved as-is (a merged file holds many versions).
+    *
+    * Cost bound (the 100 TB contract): one call rewrites at most
+    * compactMaxFiles files of ONE tier — proportional to that tier's
+    * band, never to the table. File count stays O(minFiles * #tiers)
+    * = O(minFiles * log(table/tierBytes)), so reads touch a bounded
+    * file set without any read ever paying an O(table) rewrite. */
+  def maintain(maxMerges: Int = 4): Long = {
+    var total = 0L
+    var i = 0
+    var last = -1L
+    while (i < maxMerges && last != 0L) {
+      last = maintainOnce()
+      total += math.max(0L, last)
+      i += 1
+    }
+    total
+  }
+
+  private def maintainOnce(): Long = {
+    val m = latest().getOrElse(return 0L)
+    val minN = graft.GraftConf.int("graft.state.compactMinFiles", 8)
+    val maxN = graft.GraftConf.int("graft.state.compactMaxFiles", 32)
+    val tierBytes = graft.GraftConf.long("graft.state.tierBytes", 32L * 1024 * 1024)
+    val byTier = sizesOf(m.files).groupBy { case (_, sz) => tierOf(sz, tierBytes) }
+    val qualifying = byTier.filter(_._2.size >= minN)
+    if (qualifying.isEmpty) return 0L
+    val (_, cohort) = qualifying.minBy(_._1)
+    val picked = cohort.sortBy(_._2).take(maxN)
+    val bytes = picked.map(_._2).sum
+    val names = picked.map(_._1.name).toSet
+    val subset = readEntries(picked.map(_._1)).getOrElse(return 0L)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    val merged = subset
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+    val tf = math.max(1L, math.min(4096L, bytes / targetFileBytes + 1L)).toInt
+    val entries = stage(merged, tf)
+    val keep = m.files.filterNot(e => names.contains(e.name))
+    if (!commit(Manifest(m.version + 1, m.seq, keep ++ entries))) {
+      deleteStaged(entries) // concurrent writer won; retry next call
+      return 0L
+    }
+    // merged inputs are provably dead: only the superseded manifest
+    // referenced them (same GC rule as compactImpl — never touch files
+    // a concurrent writer may have staged)
+    val f = fs
+    names.foreach(n => f.delete(new Path(dataDir, n), false))
+    bytes
+  }
+
+  /** Committed data-file count (observability / spec hook). */
+  private[graft] def fileCount: Int = latest().map(_.files.size).getOrElse(0)
 }
 
 object StateTable {

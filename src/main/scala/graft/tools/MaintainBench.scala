@@ -1,0 +1,61 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Stats}
+import graft.streaming.StateTable
+
+/** Maintenance-cost datapoint for the incremental-ingest story
+  * (VERDICT r6 #1): per-batch wall of the StateTable write path
+  * (put + size-tiered maintain) as the table grows 10x.
+  *
+  * The r6 design full-compacted every 32 batches — O(table) work on a
+  * coalesce(1) single task at a fixed cadence, so the per-batch cost
+  * envelope grew linearly with stream age (cumulative cost quadratic).
+  * Size-tiered maintenance merges only small-file cohorts; the
+  * datapoint is the ratio of late-window to early-window median
+  * per-batch wall, with the table ~10x bigger in the late window —
+  * flat (≈1x) means maintenance cost is decoupled from table size.
+  *
+  * Also prints the max bytes any single maintenance step rewrote and
+  * the worst single-batch wall, which under the old scheme was the
+  * full-table rewrite spike.
+  */
+object MaintainBench {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val batches = args.headOption.map(_.toInt).getOrElse(130)
+    val rowsPerBatch = args.drop(1).headOption.map(_.toInt).getOrElse(500)
+    // test-scale tiers so tiering engages on KB-sized files
+    spark.conf.set("graft.state.tierBytes", "65536")
+    spark.conf.set("graft.state.compactMinFiles", "6")
+    spark.conf.set("graft.state.compactMaxFiles", "16")
+
+    val dir = Files.createTempDirectory("maintainbench").toFile.getAbsolutePath + "/t"
+    val t = new StateTable(spark, dir)
+    val rnd = new scala.util.Random(42)
+    var maxStepBytes = 0L
+    val walls = (0 until batches).map { b =>
+      val lo = b.toLong * rowsPerBatch
+      val rows = (0 until rowsPerBatch)
+        .map(i => (f"k${lo + i}%012d", rnd.alphanumeric.take(48).mkString))
+      val t0 = System.nanoTime()
+      t.put(rows.toDF("key", "v"))
+      maxStepBytes = math.max(maxStepBytes, t.maintain())
+      (System.nanoTime() - t0) / 1e6
+    }
+    def window(from: Int, until: Int) = Stats.median(walls.slice(from, until))
+    val early = window(8, 18)   // table ~ 10 batches
+    val late = window(batches - 22, batches - 2) // table ~ 10x that
+    println(f"[maintainbench] $batches batches x $rowsPerBatch rows: " +
+      f"early median ${early}%.0f ms/batch, late (10x table) ${late}%.0f ms/batch, " +
+      f"ratio ${late / early}%.2f x; worst batch ${walls.max}%.0f ms; " +
+      f"max single maintain rewrite ${maxStepBytes / 1024} KiB; " +
+      f"files ${t.fileCount}, rows ${t.snapshot().count()}")
+    spark.stop()
+  }
+}

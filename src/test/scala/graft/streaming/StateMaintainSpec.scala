@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Size-tiered incremental compaction ([[StateTable.maintain]]) — the
+  * streaming-ingest maintenance path that replaced the r6 fixed-cadence
+  * full rewrite. Proves:
+  *  - partial merges preserve last-write-wins ACROSS the merge
+  *    boundary: a tombstone in the small tier keeps shadowing a live
+  *    row in a big un-merged file, and in-subset shadowed versions drop
+  *    while cross-file ones survive;
+  *  - per-maintenance cost is bounded by the small-file tier, not the
+  *    table: across 96 writer batches a large resident file is NEVER
+  *    rewritten and no single step touches bytes anywhere near it;
+  *  - full [[StateTable.compact]] sizes its output to the data
+  *    (range-partitioned files the manifest stats then prune to one
+  *    per point probe), instead of the r6 coalesce(1).
+  */
+class StateMaintainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): (StateTable, String) = {
+    val dir = Files.createTempDirectory("maintain").toFile.getAbsolutePath + "/t"
+    (new StateTable(spark, dir), dir)
+  }
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    try {
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  private def dataBytes(dir: String): Long =
+    Option(new java.io.File(dir, "data").listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
+      .getOrElse(0L)
+
+  test("maintain merges small files with LWW + tombstones intact across the merge boundary") {
+    val (t, dir) = fresh()
+    withConf(
+      "graft.state.tierBytes" -> "4096",
+      "graft.state.compactMinFiles" -> "2",
+      "graft.state.compactMaxFiles" -> "8") {
+      // big resident file: keys b000..b499 with incompressible payload,
+      // well above tierBytes -> a high tier maintain must never touch
+      val rnd = new scala.util.Random(7)
+      def pay() = rnd.alphanumeric.take(64).mkString
+      val big = (0 until 500).map(i => (f"b$i%03d", pay()))
+      t.put(big.toDF("key", "v"))
+      val bigBytes = dataBytes(dir)
+      val bigFiles = t.filesForKey("b000")
+      assert(bigFiles.size == 1)
+      // small tier: a live row, an in-subset shadowed pair, and a
+      // tombstone for a key whose LIVE row is in the BIG file
+      t.put(Seq(("k1", "x")).toDF("key", "v"))
+      t.put(Seq(("k2", "old")).toDF("key", "v"))
+      t.put(Seq(("k2", "new")).toDF("key", "v"))
+      t.delete(Seq(Tuple1("b007")).toDF("key"))
+      assert(t.fileCount == 5)
+      val rewritten = t.maintain()
+      assert(rewritten > 0, "small tier should have qualified for a merge")
+      // the merge touched only the small tier: bytes rewritten are far
+      // below the big file, and the big file's manifest entry survived
+      // probe b000: BELOW every small-tier key, so the merged small
+      // file's range can never cover it — membership is stable iff the
+      // big file itself is untouched
+      assert(t.filesForKey("b000") == bigFiles)
+      assert(rewritten < bigBytes / 2,
+        s"merge rewrote $rewritten bytes (big file: $bigBytes) — small tier only, never the table")
+      // correctness across the merge boundary:
+      assert(t.get("k1").map(_.getAs[String]("v")).contains("x"))
+      assert(t.get("k2").map(_.getAs[String]("v")).contains("new"), "in-subset LWW")
+      assert(t.get("b007").isEmpty,
+        "tombstone merged from the small tier must keep shadowing the big file's live row")
+      assert(t.get("b008").map(_.getAs[String]("v")).contains(big(8)._2))
+      assert(t.snapshot().count() == 500 + 2 - 1)
+      // full compact still purges the tombstone entirely
+      t.compact()
+      assert(t.snapshot().count() == 501)
+      assert(t.get("b007").isEmpty)
+    }
+  }
+
+  test("96 batches: per-step cost bounded by the small tier — the big file is never rewritten") {
+    val (t, dir) = fresh()
+    withConf(
+      "graft.state.tierBytes" -> "4096",
+      "graft.state.compactMinFiles" -> "4",
+      "graft.state.compactMaxFiles" -> "8") {
+      val rnd = new scala.util.Random(11)
+      t.put((0 until 2000).map(i => (f"b$i%04d", rnd.alphanumeric.take(64).mkString)).toDF("key", "v"))
+      val bigName = t.filesForKey("b1000")
+      assert(bigName.size == 1)
+      val bigBytes = dataBytes(dir)
+      var maxStep = 0L
+      var maxFiles = 0
+      (1 to 96).foreach { i =>
+        t.put(Seq((f"k$i%04d", s"v$i")).toDF("key", "v"))
+        maxStep = math.max(maxStep, t.maintain())
+        maxFiles = math.max(maxFiles, t.fileCount)
+      }
+      // maintenance engaged continuously: the file count never grew
+      // toward O(batches) (96 appends, bounded live set)
+      assert(maxFiles <= 24, s"file count reached $maxFiles — tiering did not engage")
+      assert(t.fileCount <= 16)
+      // the large resident was NEVER part of a merge: identical
+      // manifest entry after 96 maintenance passes, and no single step
+      // rewrote bytes on its scale
+      assert(t.filesForKey("b1000") == bigName, "big file must never be rewritten by maintain")
+      assert(maxStep < bigBytes / 2,
+        s"a maintenance step rewrote $maxStep bytes (big file: $bigBytes) — not tier-bounded")
+      // all writes live
+      assert(t.snapshot().count() == 2000 + 96)
+      assert(t.get("k0042").map(_.getAs[String]("v")).contains("v42"))
+    }
+  }
+
+  test("full compact sizes output to the data: range-partitioned files, point probe prunes to one") {
+    val (t, _) = fresh()
+    withConf("graft.state.targetFileBytes" -> "8192") {
+      val rnd = new scala.util.Random(13)
+      t.put((0 until 3000).map(i => (f"k$i%04d", rnd.alphanumeric.take(48).mkString)).toDF("key", "v"))
+      t.put(Seq(("k0100", "updated")).toDF("key", "v"))
+      t.compact()
+      // data-proportional: ~tens of KB at 8 KiB target -> several files
+      assert(t.fileCount > 1, "compact must not serialize the table into one file")
+      // range partitioning makes the manifest stats tight: a point get
+      // reads exactly one of them
+      assert(t.filesForKey("k1500").size == 1)
+      assert(t.get("k0100").map(_.getAs[String]("v")).contains("updated"))
+      assert(t.snapshot().count() == 3000)
+    }
+  }
+}
