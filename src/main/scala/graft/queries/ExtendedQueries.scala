@@ -95,46 +95,133 @@ object ExtendedQueries {
         .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
     }),
 
-    // Product-quantization ANN (the missing ANN family member next to
-    // brute force and IVF): vectors quantize to integers (the k-means
+    // Product-quantization ANN (the ANN family member next to brute
+    // force and IVF): vectors quantize to integers (the k-means
     // discipline — exact arithmetic on both engines), split into 8
-    // 8-dim subspaces, and encode as 8 small codes against a SAMPLED
-    // codebook (subvectors of the first 16 corpus vectors — the
-    // encode/ADC shape is the point here; a trained codebook would
-    // reuse the cluster_kmeans fixpoint loop per subspace). Queries
-    // score the corpus by ASYMMETRIC distance: exact query subvector
-    // vs the corpus vector's CODEWORD — the corpus side is 8 bytes per
-    // vector at scan time, which is the 100 TB win (64 doubles → 8
-    // codes, memory-bandwidth-bound scan). Codebook broadcast as a
-    // literal; first-minimum tie-breaks; integer distances, so the
-    // DuckDB oracle reproduces every score bit-for-bit.
+    // 8-dim subspaces, and encode against a TRAINED codebook — per
+    // subspace, a Lloyd loop run to the integer-centroid fixpoint
+    // (the cluster_kmeans discipline: one treeAggregate per round over
+    // a cached RDD, all 8 subspaces advancing in the SAME pass since a
+    // converged subspace is a fixpoint of its own update; init = the
+    // first K vectors' subvectors; floored integer means; empty
+    // codewords keep their previous value). Queries score the corpus
+    // by ASYMMETRIC distance: exact query subvector vs the corpus
+    // vector's CODEWORD — the corpus side is 8 bytes per vector at
+    // scan time, which is the 100 TB win (64 doubles → 8 codes, a
+    // memory-bandwidth-bound scan) — then exact-re-ranks the top
+    // `graft.pq.rerank` ADC candidates (full vectors fetched for R
+    // rows per query, not the corpus: the IVF-PQ production shape).
+    // Vectors are NORMALIZED before quantization, so integer L2 ranks
+    // like cosine and recall is measured against the same truth as
+    // IVF (AnnRecall tool; SURVEY §8.2). Codebooks broadcast as
+    // literals (M×K×SUB longs — conf-sized, not data-sized);
+    // first-minimum tie-breaks; integer distances, so the DuckDB
+    // oracle reruns the SAME training recursion (recursive CTE over
+    // (m, round, cents)) and reproduces every code and score
+    // bit-for-bit.
     "sim_pq_topk" -> ((s, dir) => {
       val M = 8; val SUB = 8; val K = 16
+      val maxIters = GraftConf.int("graft.pq.maxIters", 64)
+      val R = GraftConf.int("graft.pq.rerank", 32)
+      import s.implicits._
       val quant = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        // unit-normalize THEN quantize — identical op order in the
+        // oracle (v / nrm * 2^20), so the floors agree bit-for-bit
         .select(col("vec_id"),
-          transform(col("embedding").cast("array<double>"), v =>
-            floor(v * lit(1048576.0)).cast("long")).as("x"))
-      val cws = quant.where(col("vec_id") < K)
-        .orderBy(col("vec_id")).collect()
-        .map(_.getSeq[Long](1))
-      require(cws.length == K, s"sim_pq_topk: need vec_ids 0..${K - 1} for the codebook")
-      val cbLit = typedLit(cws.toSeq)
-      def subDist(a: Column, b: Column, m: Int): Column =
+          transform(col("e"), v =>
+            floor(v / col("nrm") * lit(1048576.0)).cast("long")).as("x"))
+        .localCheckpoint() // re-read once per training round
+      val init = quant.where(col("vec_id") < K)
+        .orderBy(col("vec_id")).select(col("x")).as[Array[Long]].collect()
+      require(init.length == K, s"sim_pq_topk: need vec_ids 0..${K - 1} for codebook init")
+      var cbs: Array[Array[Array[Long]]] =
+        Array.tabulate(M, K)((m, j) => init(j).slice(m * SUB, m * SUB + SUB))
+      val xs = quant.select(col("x")).as[Array[Long]].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var rounds = 0
+      var converged = false
+      try while (!converged) {
+        rounds += 1
+        if (rounds > maxIters)
+          // quantized integer means are not provably monotone; refuse
+          // loudly rather than spin (the cluster_kmeans discipline)
+          throw new IllegalStateException(
+            s"sim_pq_topk: no codebook fixpoint after $maxIters Lloyd rounds " +
+              "(raise graft.pq.maxIters or inspect the data)")
+        val local = cbs
+        val (sums, counts) = xs.treeAggregate(
+          (Array.fill(M, K, SUB)(0L), Array.fill(M, K)(0L)))(
+          seqOp = { case (acc @ (sAcc, nAcc), x) =>
+            var m = 0
+            while (m < M) {
+              val off = m * SUB
+              var best = 0
+              var bestDist = Long.MaxValue
+              var j = 0
+              while (j < K) {
+                val c = local(m)(j)
+                var dist = 0L
+                var i = 0
+                while (i < SUB) { val t = x(off + i) - c(i); dist += t * t; i += 1 }
+                if (dist < bestDist) { bestDist = dist; best = j }
+                j += 1
+              }
+              val sBest = sAcc(m)(best)
+              var i = 0
+              while (i < SUB) { sBest(i) += x(off + i); i += 1 }
+              nAcc(m)(best) += 1
+              m += 1
+            }
+            acc
+          },
+          combOp = { case (acc @ (s1, n1), (s2, n2)) =>
+            var m = 0
+            while (m < M) {
+              var j = 0
+              while (j < K) {
+                val (a, b) = (s1(m)(j), s2(m)(j))
+                var i = 0
+                while (i < SUB) { a(i) += b(i); i += 1 }
+                n1(m)(j) += n2(m)(j)
+                j += 1
+              }
+              m += 1
+            }
+            acc
+          })
+        val next = Array.tabulate(M)(m => CorpusQueries.kmUpdate(cbs(m), sums(m), counts(m)))
+        converged = (0 until M).forall(m =>
+          next(m).zip(cbs(m)).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+        cbs = next
+      } finally xs.unpersist(blocking = false)
+      val cbLits = (0 until M).map(m => typedLit(cbs(m).map(_.toSeq).toSeq))
+      def subDist(vec: Column, cw: Column, m: Int): Column =
         aggregate(zip_with(
-          slice(a, m * SUB + 1, SUB), slice(b, m * SUB + 1, SUB),
+          slice(vec, m * SUB + 1, SUB), cw,
           (p, q) => (p - q) * (p - q)), lit(0L), (acc, v) => acc + v)
       val codeCols = (0 until M).map { m =>
-        val d = transform(cbLit, cw => subDist(col("x"), cw, m))
+        val d = transform(cbLits(m), cw => subDist(col("x"), cw, m))
         array_position(d, array_min(d)).cast("int")
       }
       val encoded = quant.withColumn("code", array(codeCols: _*))
       val q = quant.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("x").as("qx"))
       val adc = (0 until M).map(m =>
-        subDist(col("qx"), element_at(cbLit, element_at(col("code"), m + 1)), m))
+        subDist(col("qx"), element_at(cbLits(m), element_at(col("code"), m + 1)), m))
         .reduce(_ + _)
-      encoded.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("score", adc)
+      // stage 1: ADC candidate scan (codes only); stage 2: exact
+      // integer re-rank of the R survivors per query
+      val cand = encoded.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("adc", adc)
+        .withColumn("rnk_adc", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("adc").asc, col("vec_id").asc)))
+        .where(col("rnk_adc") <= R)
+      cand
+        .withColumn("score", aggregate(
+          zip_with(col("qx"), col("x"), (p, v) => (p - v) * (p - v)),
+          lit(0L), (acc, v) => acc + v))
         .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("score").asc, col("vec_id").asc)))
         .where(col("rnk") <= 3)
@@ -698,28 +785,83 @@ object ExtendedQueries {
          |FROM scored QUALIFY rnk <= 3""".stripMargin
     },
 
-    // same sampled codebook, same integer subspace distances, same
-    // first-min encode and ADC lookup — every score exact
+    // the SAME per-subspace Lloyd training rerun as a recursive CTE
+    // over (m, round, cents) — one working row per subspace, each
+    // advancing until its own integer fixpoint (the cluster_kmeans
+    // oracle discipline: floored double means, empty codewords keep
+    // their previous value, first-minimum assignment) — then the same
+    // integer encode and ADC lookup: every code and score exact
     "sim_pq_topk" -> {
       val M = 8; val SUB = 8; val K = 16
-      def dist(a: String, b: String) =
+      val maxIters = GraftConf.int("graft.pq.maxIters", 64)
+      val R = GraftConf.int("graft.pq.rerank", 32)
+      // 8-dim codeword distance against subvector m of a full vector
+      def dist(a: String, cw: String) =
         s"list_sum(list_transform(range(1, ${SUB + 1}), i -> " +
-          s"($a[m*$SUB+i] - $b[m*$SUB+i]) * ($a[m*$SUB+i] - $b[m*$SUB+i])))"
-      val distsExpr = s"list_transform(cws, cw -> ${dist("x", "cw")})"
-      s"""WITH v AS (SELECT vec_id,
-         |list_transform(embedding, e -> CAST(FLOOR(e * 1048576.0) AS BIGINT)) AS x
-         |FROM embeddings),
-         |cb AS (SELECT list(x ORDER BY vec_id) AS cws FROM v WHERE vec_id < $K),
+          s"($a[m*$SUB+i] - $cw[i]) * ($a[m*$SUB+i] - $cw[i])))"
+      val sq = s"CAST(list_sum(list_transform(range(1, ${SUB + 1}), " +
+        "i -> (sx[i]-c[i])*(sx[i]-c[i]))) AS BIGINT)"
+      val sums = (0 until SUB).map(d => s"SUM(sx[${d + 1}]) AS s$d").mkString(", ")
+      val floors = (0 until SUB)
+        .map(d => s"CAST(FLOOR(CAST(s$d AS DOUBLE)/n) AS BIGINT)").mkString(", ")
+      val nextCents =
+        s"""list_transform(range(1, ${K + 1}), j ->
+           |CASE WHEN list_position(cls, j) IS NULL THEN cents[j]
+           |ELSE cs[list_position(cls, j)] END)""".stripMargin
+      val encDists = s"list_transform(cbs[m+1], cw -> ${dist("x", "cw")})"
+      s"""WITH RECURSIVE v AS (SELECT vec_id,
+         |list_transform(e, v -> CAST(FLOOR(v / nrm * 1048576.0) AS BIGINT)) AS x
+         |FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |FROM embeddings)),
+         |it(m, round, cents) AS (
+         |SELECT m, 0 AS round,
+         |list(x[m*$SUB+1 : m*$SUB+$SUB] ORDER BY vec_id) AS cents
+         |FROM range($M) t(m) CROSS JOIN (SELECT vec_id, x FROM v WHERE vec_id < $K)
+         |GROUP BY m
+         |UNION ALL
+         |SELECT m, round + 1, $nextCents AS new_cents
+         |FROM (
+         |SELECT m, round, cents,
+         |list(cluster ORDER BY cluster) AS cls,
+         |list(c ORDER BY cluster) AS cs
+         |FROM (
+         |SELECT m, round, cents, cluster, list_value($floors) AS c
+         |FROM (
+         |SELECT m, round, cents, cluster, COUNT(*) AS n, $sums
+         |FROM (
+         |SELECT m, round, cents, sx,
+         |CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cluster
+         |FROM (SELECT it.m, it.round, it.cents,
+         |v.x[it.m*$SUB+1 : it.m*$SUB+$SUB] AS sx,
+         |list_transform(it.cents, c -> $sq) AS dists
+         |FROM it CROSS JOIN v)
+         |) GROUP BY m, round, cents, cluster
+         |)
+         |) GROUP BY m, round, cents
+         |)
+         |WHERE $nextCents <> cents AND round < $maxIters
+         |),
+         |final AS (SELECT m, cents FROM
+         |(SELECT m, cents, row_number() OVER (PARTITION BY m ORDER BY round DESC) AS rn
+         |FROM it) WHERE rn = 1),
+         |cb AS (SELECT list(cents ORDER BY m) AS cbs FROM final),
          |enc AS (SELECT vec_id, x,
          |list_transform(range($M), m ->
-         |CAST(list_position($distsExpr, list_min($distsExpr)) AS INTEGER)) AS code
+         |CAST(list_position($encDists, list_min($encDists)) AS INTEGER)) AS code
          |FROM v CROSS JOIN cb),
-         |scored AS (SELECT q.vec_id AS qid, e.vec_id,
+         |cand AS (SELECT qid, vec_id, x, qx,
+         |row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk_adc
+         |FROM (SELECT q.vec_id AS qid, e.vec_id, e.x, q.qx,
          |CAST(list_sum(list_transform(range($M), m ->
-         |${dist("qx", "cws[code[m+1]]")})) AS BIGINT) AS score
+         |${dist("qx", "cbs[m+1][code[m+1]]")})) AS BIGINT) AS adc
          |FROM enc e CROSS JOIN cb
          |JOIN (SELECT vec_id, x AS qx FROM v WHERE vec_id < 10) q
-         |ON e.vec_id <> q.vec_id)
+         |ON e.vec_id <> q.vec_id)),
+         |scored AS (SELECT qid, vec_id,
+         |CAST(list_sum(list_transform(range(1, ${M * SUB + 1}), i ->
+         |(qx[i]-x[i])*(qx[i]-x[i]))) AS BIGINT) AS score
+         |FROM cand WHERE rnk_adc <= $R)
          |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
          |ORDER BY score ASC, vec_id ASC) AS INTEGER) AS rnk, vec_id, score
          |FROM scored QUALIFY rnk <= 3""".stripMargin

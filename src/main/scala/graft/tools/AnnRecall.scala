@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, SparkEntry}
+
+/** ANN recall evidence (VERDICT r6 #3): recall@3 of each approximate
+  * family member — IVF single-probe, IVF multiprobe (nprobe=5), and
+  * trained-codebook PQ — against the exact brute-force baseline
+  * (sim_cosine_topk), on the same 10 query vectors the catalog queries
+  * use. Run at sf0.01 and the 30x replica point (localdata/sf3x30);
+  * numbers recorded in SURVEY §8.2.
+  *
+  * recall@3 = |top-3(approx) ∩ top-3(exact)| / (3 × #queries).
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val truth = SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("vec_id")).persist()
+    val denom = truth.count().toDouble
+
+    Seq("sim_ivf_topk", "sim_ivf_multiprobe", "sim_pq_topk").foreach { n =>
+      val t0 = System.nanoTime()
+      val got = SparkEntry.queries(n)(spark, sfDir).select(col("qid"), col("vec_id"))
+      val hits = got.join(truth, Seq("qid", "vec_id")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[annrecall] $sfDir $n%-20s recall@3 = $hits/${denom.toLong} " +
+        f"= ${hits / denom}%.2f  (${secs}%.1f s)")
+    }
+    truth.unpersist()
+    spark.stop()
+  }
+}
