@@ -396,6 +396,32 @@ object CorpusQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // The dedup pipeline END-TO-END as one op (the shape a real corpus
+    // run executes, vs the per-stage catalog entries that each stand
+    // alone): LSH candidates → connected components → keep-canonical →
+    // C4 span rewrite of the kept corpus. The LSH front-end and the CC
+    // loop run ONCE — `components` materializes its fixpoint via
+    // localCheckpoint, so the drop list is a cached k-row table, the
+    // corpus passes through one broadcast left-anti join (never
+    // shuffled by the dedup decision), and only the KEPT docs pay the
+    // span decomposition. Whole-doc near-dups are removed by the
+    // cluster stage; residual boilerplate spans among survivors by the
+    // rewrite stage — the two-level dedup production recipe
+    // (Lee et al. "Deduplicating Training Data", composition per
+    // SURVEY §2.11).
+    "dedup_corpus" -> ((s, dir) => {
+      val labels = components(lshCandidatePairs(s, dir))
+      val drop = labels.where(col("node") =!= col("label"))
+        .select(col("node").as("doc_id"))
+      val kept = Tables.documents(s, dir)
+        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      spanize(kept, SPAN_W)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("span")).orderBy(col("doc_id"), col("pos"))))
+        .where(col("rn") === 1)
+        .transform(rebuildDocs)
+    }),
+
     // Substring-level duplication (the "dedup exact substrings, not
     // just whole documents" discipline): position-indexed 5-gram
     // hashes, capped inverted-index self-join, then ALIGNED runs via
@@ -706,6 +732,39 @@ object CorpusQueries {
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id NOT IN
          |(SELECT doc_id FROM assign WHERE doc_id <> cluster_id)""".stripMargin
+    },
+
+    // same CC chain as dedup_keep_canonical, then the curate_span_dedup
+    // algebra restricted to the kept docs — identical keep-first total
+    // order (doc_id, pos), identical SPAN_W
+    "dedup_corpus" -> {
+      val withRec = oShingles.replaceFirst("WITH ", "WITH RECURSIVE ")
+      val w = SPAN_W
+      s"""$withRec,
+         |$oLshCand,
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM cand
+         |UNION SELECT doc_b, doc_a FROM cand),
+         |r(node, lab) AS (
+         |SELECT s, s FROM edges
+         |UNION
+         |SELECT e2.t, r.lab FROM r JOIN edges e2 ON e2.s = r.node),
+         |assign AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM r GROUP BY node),
+         |kept_docs AS (SELECT d.doc_id, d.text FROM documents d
+         |WHERE d.doc_id NOT IN
+         |(SELECT doc_id FROM assign WHERE doc_id <> cluster_id)),
+         |sp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept_docs),
+         |spans AS (
+         |SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |array_to_string(ws[i*$w+1 : i*$w+$w], ' ') AS span
+         |FROM (SELECT doc_id, ws,
+         |unnest(range(CAST(ceil(len(ws) / $w.0) AS BIGINT))) AS i FROM sp)),
+         |kept_spans AS (
+         |SELECT doc_id, pos, span,
+         |row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+         |FROM spans)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |string_agg(span, ' ' ORDER BY pos) AS text_clean
+         |FROM kept_spans WHERE rn = 1 GROUP BY doc_id""".stripMargin
     },
 
     "dedup_substring_runs" -> {
