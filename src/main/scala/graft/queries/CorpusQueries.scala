@@ -175,6 +175,54 @@ object CorpusQueries {
           transform(array_sort(collect_list(struct(col("pos"), col("span")))),
             s => s.getField("span")), " ").as("text_clean"))
 
+  /** Bigram decomposition shared by the batch LM query and the
+    * streaming ingest scoring leg — one algebra, zero drift. */
+  private[graft] def lmBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("a"),
+            element_at(col("ws"), i + 1).as("b")))).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+
+  /** Train the bigram LM: (bigram counts c_ab, first-word counts c_a,
+    * vocab size). Two count shuffles + one exact distinct — the
+    * "model" is two keyed count tables and a scalar, the shape that
+    * freezes and broadcasts/joins at ingest time. */
+  private[graft] def lmTrain(docs: DataFrame): (DataFrame, DataFrame, Long) = {
+    val bi = lmBigrams(docs)
+    val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val v = docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w"))).first().getLong(0)
+    (cab, ca, v)
+  }
+
+  /** Score a documents frame against a trained model — identical
+    * smoothing + DECIMAL(18,6) term rounding as the oracle. LEFT
+    * joins + coalesce(0): a bigram the model never saw scores the
+    * smoothed floor 1/(c_a+V) instead of silently dropping — on the
+    * self-trained corpus (the batch query) every join hits, so this
+    * is row-identical to the inner-join form there. `docs` may be a
+    * readStream: the model joins are stream-static and the per-doc
+    * aggregation runs in update mode (a doc's bigrams never span
+    * micro-batches — one row in, its whole bigram set in the same
+    * batch). */
+  private[graft] def lmScore(
+      docs: DataFrame, cab: DataFrame, ca: DataFrame, v: Long): DataFrame =
+    lmBigrams(docs)
+      .join(cab, Seq("a", "b"), "left")
+      .join(ca, Seq("a"), "left")
+      .withColumn("term",
+        log((coalesce(col("c_ab"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("c_a"), lit(0L)) + lit(v)).cast("double"))
+          .cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("ssum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("ssum").cast("double") / col("n_bigrams").cast("double")).as("lm_score"))
+
   /** One Lloyd update from per-cluster integer sums/counts: floored
     * integer means (same IEEE double divide + floor as the DuckDB
     * oracle); clusters that lost all members keep their previous
@@ -538,28 +586,13 @@ object CorpusQueries {
     // and one shuffle joining docs' bigrams to the model — linear in
     // corpus bigrams, no pair blowup.
     "text_lm_score" -> ((s, dir) => {
+      // train + score factored through lmTrain/lmScore — the SAME
+      // pieces the streaming ingest leg uses against a frozen model
+      // (IngestCuration.lmScore), so offline sweep and ingest gate
+      // cannot drift
       val docs = Tables.documents(s, dir)
-      val tokenized = docs
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= 2)
-      val bi = tokenized.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
-            struct(element_at(col("ws"), i).as("a"),
-              element_at(col("ws"), i + 1).as("b")))).as("bg"))
-        .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
-      val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-      val ca = bi.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
-      val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
-        .agg(countDistinct(col("w")).as("v"))
-      bi.join(cab, Seq("a", "b")).join(ca, Seq("a"))
-        .crossJoin(broadcast(vocab))
-        .withColumn("term",
-          log((col("c_ab") + lit(1)).cast("double") /
-            (col("c_a") + col("v")).cast("double")).cast(DecimalType(18, 6)))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("ssum"))
-        .select(col("doc_id"), col("n_bigrams"),
-          (col("ssum").cast("double") / col("n_bigrams").cast("double")).as("lm_score"))
+      val (cab, ca, v) = lmTrain(docs)
+      lmScore(docs, cab, ca, v)
     }),
 
     "text_bm25_topk" -> ((s, dir) => {

@@ -554,17 +554,16 @@ object LlmQueries {
     // \x0B vertical tab, RE2's does not — a document containing VT
     // would hash-diverge). Narrow, zero shuffle.
     "text_extract_html" -> ((s, dir) => {
+      // page synthesized per doc (no HTML column in the test corpus);
+      // the extraction itself is the shared TextSignals.htmlContent
+      // Column — the SAME expression the streaming ingest leg applies
+      // (IngestCuration.extractHtml), so batch and stream can't drift
       val page = concat(
         lit("<html><head><script type=\"text/javascript\">var nav = 1;</script><title>Doc "),
         col("doc_id"), lit(" &amp; friends</title></head><body><p>"),
         col("text"),
         lit("</p><div class=\"nav\">&lt;home&gt; | &quot;about&quot;</div></body></html>"))
-      val noScript = regexp_replace(page,
-        "<(script|style)[^>]*>[\\s\\S]*?</(script|style)>", " ")
-      val noTags = regexp_replace(noScript, "<[^>]*>", " ")
-      val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"")
-        .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
-      val clean = trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+      val clean = TextSignals.htmlContent(page)
       Tables.documents(s, dir)
         .select(col("doc_id"), clean.as("content"),
           length(clean).cast("int").as("n_chars"))

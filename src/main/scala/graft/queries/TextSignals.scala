@@ -58,4 +58,21 @@ object TextSignals {
   def contaminated(benchShingles: Seq[String], minShared: Int): Column =
     size(array_intersect(LlmQueries.shingles3,
       typedLit(benchShingles))) >= minShared
+
+  /** Boilerplate extraction from a raw-HTML column (the deterministic
+    * regex core of the trafilatura/jusText step): script/style blocks
+    * dropped WITH content, tags stripped, the four standard entities
+    * decoded, whitespace collapsed. Patterns mean the same thing in
+    * java.util.regex and RE2 ([\s\S]*? instead of (?s).*?; explicit
+    * whitespace class — Java's \s includes \x0B, RE2's does not).
+    * Pure per-row Column → identical over a batch scan or a
+    * readStream. */
+  def htmlContent(page: Column): Column = {
+    val noScript = regexp_replace(page,
+      "<(script|style)[^>]*>[\\s\\S]*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"")
+      .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+  }
 }

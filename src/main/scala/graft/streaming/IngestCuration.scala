@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.queries.TextSignals
+import graft.queries.{CorpusQueries, TextSignals}
 
 /** Ingest-time curation: the batch catalog's per-document signals
   * (language ID, quality score, benchmark-contamination flag) applied
@@ -47,5 +47,32 @@ object IngestCuration {
         !col("contaminated") && col("pred_lang") =!= "und" &&
           col("quality_score") >= minQuality)
       .drop("s_de", "s_es", "s_fr", "n_stop")
+  }
+
+  /** Boilerplate extraction at ingest: append a cleaned-content
+    * column from a raw-HTML column — the SAME
+    * [[TextSignals.htmlContent]] expression the batch
+    * `text_extract_html` query runs, stateless per-row, so it applies
+    * unchanged to a readStream (IngestCurationSpec proves stream ≡
+    * batch row-identically). */
+  def extractHtml(docs: DataFrame, page: Column): DataFrame = {
+    val clean = TextSignals.htmlContent(page)
+    docs.withColumn("content", clean)
+      .withColumn("n_chars", length(col("content")).cast("int"))
+  }
+
+  /** Frozen-model LM quality scoring at ingest: train the bigram LM
+    * once on a reference corpus (batch side — two count tables + a
+    * vocab scalar), then score every arriving document against it.
+    * The stream side is the SAME [[CorpusQueries.lmScore]] the batch
+    * `text_lm_score` query runs: model joins are stream-static, the
+    * per-doc aggregation runs in update mode (a doc's bigrams never
+    * span micro-batches), and unseen bigrams score the smoothed
+    * 1/(c_a+V) floor. On docs drawn from the training corpus the
+    * stream output is row-identical to the batch query
+    * (IngestCurationSpec). */
+  def lmScore(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    val (cab, ca, v) = CorpusQueries.lmTrain(corpus)
+    CorpusQueries.lmScore(stream, cab, ca, v)
   }
 }

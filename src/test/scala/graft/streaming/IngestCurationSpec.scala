@@ -61,4 +61,68 @@ class IngestCurationSpec extends AnyFunSuite {
     assert(at(5L, "keep") == false)
     assert(at(1L, "keep") == false)
   }
+
+  test("html extraction over a stream equals the batch projection (r6 verdict #6)") {
+    import org.apache.spark.sql.functions._
+    // raw-HTML pages with script/style bombs, entities, nav chrome
+    val pages = Seq(
+      (1L, "<html><head><style>p{color:red}</style><title>T1 &amp; co</title></head>" +
+        "<body><p>alpha beta</p><div class=\"nav\">&lt;home&gt;</div></body></html>"),
+      (2L, "<html><script>var x = \"<p>not content</p>\";</script>" +
+        "<body>gamma &quot;delta&quot;\n\tepsilon</body></html>"))
+    def page = col("page")
+    val batch = IngestCuration.extractHtml(pages.toDF("doc_id", "page"), page)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = IngestCuration.extractHtml(src.toDF().toDF("doc_id", "page"), page)
+      .writeStream.format("memory").queryName("ingest_html").start()
+    try {
+      src.addData(pages.head)
+      q.processAllAvailable()
+      src.addData(pages(1))
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_html")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+
+    // semantic spot checks: script/style content gone, entities decoded
+    val c1 = batch(1L)(2).toString
+    assert(c1 == "T1 & co alpha beta <home>")
+    val c2 = batch(2L)(2).toString
+    assert(c2 == "gamma \"delta\" epsilon" && !c2.contains("not content"))
+  }
+
+  test("frozen-model LM scoring over a stream equals the batch text_lm_score (r6 verdict #6)") {
+    // corpus = the spec docs; batch truth = the catalog query's own
+    // train+score pieces on the full corpus
+    val corpus = docs.toDF("doc_id", "text")
+    val batch = IngestCuration.lmScore(corpus, corpus)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = IngestCuration.lmScore(src.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ingest_lm").start()
+    try {
+      // two micro-batches: the model is frozen, so batch boundaries
+      // cannot move any score
+      src.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_lm")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+
+    // a doc of entirely unseen bigrams still scores (smoothed floor),
+    // rather than dropping out of the model join
+    val unseen = Seq((99L, "totally novel bigram stream here")).toDF("doc_id", "text")
+    val scored = IngestCuration.lmScore(unseen, corpus).collect()
+    assert(scored.length == 1 && scored.head.getLong(1) == 4L)
+  }
 }
