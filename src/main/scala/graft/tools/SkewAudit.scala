@@ -1,0 +1,55 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+import graft.{GraftSession, SparkEntry, Stats}
+
+/** Per-task skew audit (VERDICT r6 #5): run a catalog query with a
+  * task-end listener and report, for every stage with meaningful
+  * work, the max/median task-duration ratio — the direct measurement
+  * of whether one hot partition serializes a stage. Target:
+  * max/median < 4 on the band-join stages of `dedup_simhash_hamming`
+  * at the 30x point (HAM_CAP bounds cohort SIZE, but many capped
+  * cohorts of one hot chunk value could still co-locate under the
+  * hash partitioner).
+  *
+  * Usage: runMain graft.tools.SkewAudit [query] [sfDir]
+  */
+object SkewAudit {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("dedup_simhash_hamming")
+    val sfDir = args.drop(1).headOption.getOrElse("localdata/sf3x30")
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val byStage = mutable.Map[Int, mutable.ArrayBuffer[Double]]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+        byStage.getOrElseUpdate(t.stageId, mutable.ArrayBuffer())
+          .append(t.taskInfo.duration.toDouble)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // warm-up rep (JIT, fs cache), then the audited rep
+    SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+    byStage.clear()
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+
+    println(f"[skewaudit] $name on $sfDir: wall ${wall}%.1f s")
+    byStage.toSeq.sortBy(_._1).foreach { case (sid, ds) =>
+      val med = Stats.median(ds.toSeq)
+      val mx = ds.max
+      // ignore trivial stages where every task is sub-50ms noise
+      if (mx >= 50 && ds.size > 1)
+        println(f"[skewaudit]   stage $sid%4d: tasks ${ds.size}%3d  " +
+          f"median ${med}%7.0f ms  max ${mx}%7.0f ms  max/med ${mx / math.max(med, 1.0)}%5.2f" +
+          (if (mx / math.max(med, 1.0) >= 4.0) "  <-- SKEW" else ""))
+    }
+    spark.stop()
+  }
+}
