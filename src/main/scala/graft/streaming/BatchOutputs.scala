@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Retention for per-micro-batch output directories
+  * (`<dir>/batch_id=<n>`, the exactly-once layout of
+  * [[IncrementalDedup]] / [[IncrementalSpanDedup]]).
+  *
+  * The exactly-once design writes one directory per micro-batch
+  * forever — a year-long stream would hold millions of directories
+  * and an O(stream age) listing cost. `graft.stream.retainBatches`
+  * bounds it: when > 0, each committed batch prunes directories whose
+  * batch_id is more than that many batches behind. 0 (the default)
+  * retains everything — the backfill/audit posture.
+  *
+  * Interplay with exactly-once: pruning runs strictly AFTER the
+  * state-table commit and only touches ids <= current - retain; a
+  * foreachBatch retry re-delivers only the CURRENT batch id, so a
+  * pruned directory is never re-requested. Consumers needing the full
+  * history set retention to 0 or drain within the window (the same
+  * contract as Kafka topic retention).
+  */
+object BatchOutputs {
+
+  private val BatchDir = "batch_id=(\\d+)".r
+
+  /** Delete `dir/batch_id=<n>` for every n <= upTo. No-op when the
+    * directory does not exist yet. */
+  def prune(dir: String, upTo: Long)(implicit spark: SparkSession): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case BatchDir(n) if n.toLong <= upTo => fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Retention-aware post-commit hook: prunes when
+    * `graft.stream.retainBatches` > 0. */
+  def retain(dir: String, batchId: Long)(implicit spark: SparkSession): Unit = {
+    val keep = graft.GraftConf.int("graft.stream.retainBatches", 0)
+    if (keep > 0) prune(dir, batchId - keep)
+  }
+}

@@ -160,6 +160,10 @@ object IncrementalDedup {
       // fixed-cadence full compact made cumulative compaction cost
       // quadratic in stream age and serialized it onto one task)
       table.maintain()
+      // bound the output-directory count (graft.stream.retainBatches;
+      // 0 = keep all): post-commit, so a retry never re-requests a
+      // pruned batch
+      BatchOutputs.retain(pairsDir, batchId)
     } finally {
       probed.unpersist()
       freshDocs.unpersist()

@@ -103,6 +103,10 @@ object IncrementalSpanDedup {
       // bounded by the tier, never the table — the r6 fixed-cadence
       // full compact cost O(table) on one task every 32 batches)
       table.maintain()
+      // bound the output-directory count (graft.stream.retainBatches;
+      // 0 = keep all): post-commit, so a retry never re-requests a
+      // pruned batch
+      BatchOutputs.retain(outDir, batchId)
     } finally probed.unpersist()
   }
 
