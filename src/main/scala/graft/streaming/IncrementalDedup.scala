@@ -101,20 +101,26 @@ object IncrementalDedup {
     val marker = s"__batch:$batchId"
     val emptyTable = table.currentSeq == 0L
     if (!emptyTable && table.get(marker).isDefined) return
-    val snap = if (emptyTable) None else Some(table.snapshot().persist())
-    val stored = snap
-      .map(_.where(!col("key").startsWith("__")).select(col("key"), col("docs")))
-      .getOrElse(Seq.empty[(String, Seq[Long])].toDF("key", "docs"))
+    // sliced probes, not one full snapshot: band-cohort keys ("0:".."3:")
+    // sort entirely below "__", so the cohort probe's file set prunes
+    // away the `__doc:` claim files — which grow O(docs ingested) and
+    // dominate the table — and the doc probe prunes away the cohort
+    // files, once maintenance has range-partitioned the data (the
+    // manifest's per-file key stats carry the split)
+    val stored =
+      if (emptyTable) Seq.empty[(String, Seq[Long])].toDF("key", "docs")
+      else table.snapshotSlice(untilKey = Some("__"))
+        .select(col("key"), col("docs"))
     // at-least-once tolerance must not depend on cohort RESIDENCY: a
     // redelivered doc that was never admitted (cap overflow) is absent
     // from every cohort, and its vs-stored pairs would re-emit. Every
     // processed doc therefore leaves a `__doc:<id>` claim (committed
     // atomically with the cohorts), and redelivered docs drop at the
     // door regardless of admission.
-    val seenDocs = snap
-      .map(_.where(col("key").startsWith("__doc:"))
-        .select(expr(s"CAST(substring(key, ${"__doc:".length + 1}) AS BIGINT)").as("doc_id")))
-      .getOrElse(Seq.empty[Long].toDF("doc_id"))
+    val seenDocs =
+      if (emptyTable) Seq.empty[Long].toDF("doc_id")
+      else table.snapshotSlice(prefix = Some("__doc:"))
+        .select(expr(s"CAST(substring(key, ${"__doc:".length + 1}) AS BIGINT)").as("doc_id"))
     val freshDocs = batch.select(col("docId").cast("long").as("doc_id"), col("text"))
       .join(seenDocs, Seq("doc_id"), "left_anti")
       .persist()
@@ -167,7 +173,6 @@ object IncrementalDedup {
     } finally {
       probed.unpersist()
       freshDocs.unpersist()
-      snap.foreach(_.unpersist())
     }
   }
 

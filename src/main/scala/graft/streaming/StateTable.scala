@@ -450,6 +450,49 @@ class StateTable(
     else df
   }
 
+  /** Live snapshot restricted to a key slice — `[fromKey, untilKey)`
+    * and/or a string `prefix` — with the manifest's per-file stats
+    * pruning the read set BEFORE any file opens. Unlike [[scan]] this
+    * imposes NO ordering: it is the join-input form, the read a keyed
+    * probe wants. After [[maintain]]/[[compact]] range-partition the
+    * data files, one key family costs only its own files — e.g.
+    * [[IncrementalDedup]]'s band-cohort probe skips the `__doc:`
+    * claim files (which grow O(docs) and dominate the table) and vice
+    * versa. LWW stays exact under slice pruning: every version of an
+    * in-slice key carries the key, so every file holding one overlaps
+    * the slice and is retained. */
+  def snapshotSlice(
+      fromKey: Option[Any] = None,
+      untilKey: Option[Any] = None,
+      prefix: Option[String] = None): DataFrame = {
+    val entries0 = latest().map(_.files).getOrElse(Nil)
+    val e1 = prefix.foldLeft(entries0)((es, p) => es.filter(_.mayHavePrefix(p)))
+    val e2 = fromKey.foldLeft(e1)((es, k) => es.filter(_.mayReach(k, backwards = false)))
+    // until is EXCLUSIVE; mayReach's inclusive bound keeps a boundary
+    // file — a safe superset, the row predicate below is exact
+    val entries = untilKey.foldLeft(e2)((es, k) => es.filter(_.mayReach(k, backwards = true)))
+    val (readSet, emptied) =
+      if (entries.isEmpty && entries0.nonEmpty) (entries0.take(1), true) else (entries, false)
+    var df = snapshotOver(readEntries(readSet))
+    if (emptied) df = df.limit(0)
+    prefix.foreach(p => df = df.where(col(keyCol).startsWith(p)))
+    fromKey.foreach(k => df = df.where(col(keyCol) >= lit(k)))
+    untilKey.foreach(k => df = df.where(col(keyCol) < lit(k)))
+    df
+  }
+
+  /** The file names [[snapshotSlice]] would read (spec/observability
+    * hook for the pruning). */
+  private[graft] def filesForSlice(
+      fromKey: Option[Any] = None,
+      untilKey: Option[Any] = None,
+      prefix: Option[String] = None): Seq[String] = {
+    val entries0 = latest().map(_.files).getOrElse(Nil)
+    val e1 = prefix.foldLeft(entries0)((es, p) => es.filter(_.mayHavePrefix(p)))
+    val e2 = fromKey.foldLeft(e1)((es, k) => es.filter(_.mayReach(k, backwards = false)))
+    untilKey.foldLeft(e2)((es, k) => es.filter(_.mayReach(k, backwards = true))).map(_.name)
+  }
+
   // ---- Wide-column entities (reference caching.py:222-247) ----
   //
   // `put_entity(key, names, values)` replaces the key's whole column

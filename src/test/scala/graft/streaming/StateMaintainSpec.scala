@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Size-tiered incremental compaction ([[StateTable.maintain]]) — the
@@ -116,6 +117,39 @@ class StateMaintainSpec extends AnyFunSuite {
       // all writes live
       assert(t.snapshot().count() == 2000 + 96)
       assert(t.get("k0042").map(_.getAs[String]("v")).contains("v42"))
+    }
+  }
+
+  test("snapshotSlice prunes key families to their own files after range-partitioned compaction") {
+    val (t, _) = fresh()
+    withConf("graft.state.targetFileBytes" -> "8192") {
+      val rnd = new scala.util.Random(17)
+      // the IncrementalDedup table shape: band cohorts ("0:".."3:")
+      // plus O(docs) __doc: claims that dominate the table's mass
+      val cohorts = (0 until 200).map(i => (s"${i % 4}:h$i", rnd.alphanumeric.take(40).mkString))
+      val claims = (0 until 2000).map(i => (f"__doc:$i%08d", rnd.alphanumeric.take(40).mkString))
+      t.put((cohorts ++ claims).toDF("key", "v"))
+      t.compact()
+      assert(t.fileCount > 3, "need several range-partitioned files for pruning to mean anything")
+      val all = t.fileCount
+      val cohortFiles = t.filesForSlice(untilKey = Some("__"))
+      val claimFiles = t.filesForSlice(prefix = Some("__doc:"))
+      // each family reads a PROPER subset, and they overlap in at most
+      // one boundary file — the cohort probe no longer pays for the
+      // O(docs) claim mass
+      assert(cohortFiles.size < all && claimFiles.size < all)
+      assert(cohortFiles.toSet.intersect(claimFiles.toSet).size <= 1,
+        s"families should split across files: cohorts=$cohortFiles claims=$claimFiles")
+      // slice contents are exact
+      assert(t.snapshotSlice(untilKey = Some("__")).count() == 200)
+      assert(t.snapshotSlice(prefix = Some("__doc:")).count() == 2000)
+      // LWW across a slice boundary stays exact: update one cohort key
+      // post-compact (new small file spans nothing else), slice still
+      // resolves to the latest version
+      t.put(Seq(("0:h0", "updated")).toDF("key", "v"))
+      val row = t.snapshotSlice(untilKey = Some("__"))
+        .where(col("key") === "0:h0").select("v").as[String].collect()
+      assert(row.toSeq == Seq("updated"))
     }
   }
 
