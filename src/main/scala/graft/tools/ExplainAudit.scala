@@ -126,6 +126,13 @@ object ExplainAudit {
     audit("text_extract_html", "regex extraction is a narrow projection: ZERO shuffles") { p =>
       !p.contains("Exchange")
     }
+    audit("dedup_corpus",
+      "end-to-end pipeline: drop list broadcast LEFT ANTI (corpus never shuffled " +
+        "by the dedup decision), one keep-first span window, no cartesian") { p =>
+      p.contains("BroadcastHashJoin") && p.contains("LeftAnti") &&
+        !p.contains("SortMergeJoin LeftAnti") && !p.contains("CartesianProduct") &&
+        count(p, "Window") == 1
+    }
     audit("sim_pq_topk", "codebook is a literal; query side broadcast; corpus never shuffle-joined") { p =>
       p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin")
     }
