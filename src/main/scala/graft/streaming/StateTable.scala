@@ -466,6 +466,9 @@ class StateTable(
       untilKey: Option[Any] = None,
       prefix: Option[String] = None): DataFrame = {
     val entries0 = latest().map(_.files).getOrElse(Nil)
+    // never-written table: schemaless empty frame, like snapshot()
+    // (the key predicates below would otherwise fail to resolve)
+    if (entries0.isEmpty) return spark.emptyDataFrame
     val e1 = prefix.foldLeft(entries0)((es, p) => es.filter(_.mayHavePrefix(p)))
     val e2 = fromKey.foldLeft(e1)((es, k) => es.filter(_.mayReach(k, backwards = false)))
     // until is EXCLUSIVE; mayReach's inclusive bound keeps a boundary
