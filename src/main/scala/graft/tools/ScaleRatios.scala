@@ -28,7 +28,10 @@ object ScaleRatios {
       "curate_repetition", "curate_weighted_sample", "sketch_quantile",
       "dedup_clusters", "cluster_kmeans", "contaminate_ngrams",
       "text_bm25_topk", "dedup_substring_runs", "sim_knn_graph",
-      "curate_span_dedup")
+      "curate_span_dedup",
+      // r7 additions: the composed pipeline, the trained-codebook PQ
+      // (data-dependent training rounds), and the corpus-trained LM
+      "dedup_corpus", "sim_pq_topk", "text_lm_score")
 
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
