@@ -56,6 +56,35 @@ object MaintainBench {
       f"ratio ${late / early}%.2f x; worst batch ${walls.max}%.0f ms; " +
       f"max single maintain rewrite ${maxStepBytes / 1024} KiB; " +
       f"files ${t.fileCount}, rows ${t.snapshot().count()}")
+
+    // Leg 2: the REAL ingest loop — IncrementalSpanDedup.processBatch
+    // (spanize + probe + keep-first + rebuild + claim + maintain) fed
+    // unique-text batches, per-batch wall early vs late as the claim
+    // table grows ~10x. Under the r6 fixed-cadence full compact the
+    // late window carried O(table) rewrite spikes; with size-tiered
+    // maintenance it must stay flat.
+    val spanBatches = args.drop(2).headOption.map(_.toInt).getOrElse(110)
+    val docsPerBatch = 100
+    val sdir = Files.createTempDirectory("maintainbench-span").toFile.getAbsolutePath
+    implicit val sp = spark
+    val sWalls = (0 until spanBatches).map { b =>
+      val docs = (0 until docsPerBatch).map { i =>
+        val id = b.toLong * docsPerBatch + i
+        (id, (0 until 24).map(w => s"w${id}x$w").mkString(" "))
+      }
+      val t0 = System.nanoTime()
+      graft.streaming.IncrementalSpanDedup.processBatch(
+        docs.toDF("docId", "text"), s"$sdir/claims", s"$sdir/out", b.toLong)
+      (System.nanoTime() - t0) / 1e6
+    }
+    def sWindow(from: Int, until: Int) = Stats.median(sWalls.slice(from, until))
+    val sEarly = sWindow(8, 18)
+    val sLate = sWindow(spanBatches - 22, spanBatches - 2)
+    val claims = new graft.streaming.StateTable(spark, s"$sdir/claims", "key")
+    println(f"[maintainbench] span-dedup loop, $spanBatches batches x $docsPerBatch docs: " +
+      f"early median ${sEarly}%.0f ms/batch, late (~10x claims) ${sLate}%.0f ms/batch, " +
+      f"ratio ${sLate / sEarly}%.2f x; worst batch ${sWalls.max}%.0f ms; " +
+      f"claim files ${claims.fileCount}")
     spark.stop()
   }
 }
