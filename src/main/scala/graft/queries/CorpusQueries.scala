@@ -223,6 +223,85 @@ object CorpusQueries {
       .select(col("doc_id"), col("n_bigrams"),
         (col("ssum").cast("double") / col("n_bigrams").cast("double")).as("lm_score"))
 
+  /** Lloyd iteration to the integer-centroid fixpoint over a
+    * quantized vector frame (vec_id, x: array<long>) — the engine's
+    * ONE k-means trainer, shared by `cluster_kmeans` and the trained
+    * IVF coarse quantizer (`sim_ivf_trained`). Init = the first k
+    * vectors; each round is one treeAggregate over a cached RDD (the
+    * MLlib KMeans shape — vectors deserialize once, the task closure
+    * carries k×d longs, per-cluster integer sums combine
+    * associatively with NO shuffle; the DataFrame-resident loop paid
+    * ~0.29 s/round of replanning overhead). Arithmetic is the oracle
+    * contract: long sums of squares (|x| ≤ 2^20 ⇒ d·diff² < 2^48, no
+    * overflow), FIRST-minimum assignment (the
+    * array_position(array_min) tie-break), [[kmUpdate]]'s IEEE
+    * double-divide + floor means, exact-equality stop. */
+  private[queries] def kmFit(
+      vecs: DataFrame, k: Int, d: Int, maxIters: Int, who: String)(
+      s: SparkSession): Array[Array[Long]] = {
+    import s.implicits._
+    var cents: Array[Array[Long]] = new Array(k)
+    vecs.where(col("vec_id") < k).select(col("vec_id"), col("x")).collect()
+      .foreach(r => cents(r.getLong(0).toInt) = r.getSeq[Long](1).toArray)
+    require(cents.forall(_ != null), s"$who: need vec_ids 0..${k - 1} for init")
+    // refuse a mis-set dim LOUDLY on the driver — inside the tasks it
+    // would be an opaque ArrayIndexOutOfBounds after 4 retries (too
+    // wide), or a silent prefix-clustering that still hash-verifies
+    // (too narrow, since the oracle runs the same prefix)
+    require(cents.forall(_.length == d),
+      s"$who: dim=$d but embeddings are ${cents.head.length}-wide")
+    val xs = vecs.select(col("x")).as[Array[Long]].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rounds = 0
+    var converged = false
+    try while (!converged) {
+      rounds += 1
+      if (rounds > maxIters)
+        // quantized integer means are not provably monotone; a
+        // pathological oscillation must refuse loudly, never spin
+        throw new IllegalStateException(
+          s"$who: no fixpoint after $maxIters Lloyd rounds " +
+            "(raise the iteration cap or inspect the data)")
+      val localCents = cents
+      val (sums, counts) = xs.treeAggregate(
+        (Array.fill(k, d)(0L), Array.fill(k)(0L)))(
+        seqOp = { case (acc @ (sAcc, nAcc), x) =>
+          var best = 0
+          var bestDist = Long.MaxValue
+          var j = 0
+          while (j < k) {
+            val c = localCents(j)
+            var dist = 0L
+            var i = 0
+            while (i < d) { val t = x(i) - c(i); dist += t * t; i += 1 }
+            if (dist < bestDist) { bestDist = dist; best = j }
+            j += 1
+          }
+          val sBest = sAcc(best)
+          var i = 0
+          while (i < d) { sBest(i) += x(i); i += 1 }
+          nAcc(best) += 1
+          acc
+        },
+        combOp = { case (acc @ (s1, n1), (s2, n2)) =>
+          var j = 0
+          while (j < k) {
+            val (a, b) = (s1(j), s2(j))
+            var i = 0
+            while (i < d) { a(i) += b(i); i += 1 }
+            n1(j) += n2(j)
+            j += 1
+          }
+          acc
+        })
+      val next = kmUpdate(cents, sums, counts)
+      converged = next.zip(cents).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+      cents = next
+    } finally xs.unpersist(blocking = false) // also on the cap throw — a leaked
+    // cached corpus would pin executor storage for the session lifetime
+    cents
+  }
+
   /** One Lloyd update from per-cluster integer sums/counts: floored
     * integer means (same IEEE double divide + floor as the DuckDB
     * oracle); clusters that lost all members keep their previous
@@ -279,85 +358,8 @@ object CorpusQueries {
       // fixpoint test are driver arithmetic — free, no per-round
       // checkpoint/join churn (the DataFrame-resident loop cost ~0.5 s
       // of fixed overhead per round).
-      val k = KM_K
-      val d = KM_D
-      var cents: Array[Array[Long]] = new Array(k)
-      vecs.where(col("vec_id") < k).select(col("vec_id"), col("x")).collect()
-        .foreach(r => cents(r.getLong(0).toInt) = r.getSeq[Long](1).toArray)
-      require(cents.forall(_ != null), s"cluster_kmeans: need vec_ids 0..${k - 1} for init")
-      // refuse a mis-set dim LOUDLY on the driver — inside the tasks it
-      // would be an opaque ArrayIndexOutOfBounds after 4 retries (too
-      // wide), or a silent prefix-clustering that still hash-verifies
-      // (too narrow, since the oracle runs the same prefix)
-      require(cents.forall(_.length == d),
-        s"cluster_kmeans: graft.kmeans.dim=$d but embeddings are ${cents.head.length}-wide")
-      // The Lloyd inner loop runs as one treeAggregate per round over a
-      // cached RDD of the quantized vectors — the shape MLlib's KMeans
-      // uses, and the one place RDD beats DataFrame: an iterative loop
-      // re-running an IDENTICAL plan with only the k×d centroid array
-      // changing. The DataFrame form re-analyzed, re-planned and
-      // re-shuffled that plan every round (~0.29 s/round of fixed
-      // local-mode overhead — 8.8 s at sf0.1's 30 rounds); here the
-      // vectors deserialize ONCE, each round is a single action whose
-      // task closure captures the centroids (k×d longs, ~4 KB), and the
-      // per-cluster integer sums combine associatively up the tree onto
-      // the driver with NO shuffle — payload k×(d+1) longs, bounded by
-      // conf, not data. Arithmetic is bit-identical to the old plan:
-      // quantization stays on the Catalyst expressions above, distances
-      // are the same long sums of squares (|x| ≤ 2^20 ⇒ d·diff² < 2^48,
-      // no overflow), assignment takes the FIRST minimum (the
-      // array_position(array_min) tie-break), and the update is the
-      // same IEEE double divide + floor the DuckDB oracle runs.
       import s.implicits._
-      val xs = vecs.select(col("x")).as[Array[Long]].rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var rounds = 0
-      var converged = false
-      try while (!converged) {
-        rounds += 1
-        if (rounds > KM_MAX)
-          // quantized integer means are not provably monotone; a
-          // pathological oscillation must refuse loudly, never spin
-          throw new IllegalStateException(
-            s"cluster_kmeans: no fixpoint after $KM_MAX Lloyd rounds " +
-              "(raise graft.kmeans.maxIters or inspect the data)")
-        val localCents = cents
-        val (sums, counts) = xs.treeAggregate(
-          (Array.fill(k, d)(0L), Array.fill(k)(0L)))(
-          seqOp = { case (acc @ (sAcc, nAcc), x) =>
-            var best = 0
-            var bestDist = Long.MaxValue
-            var j = 0
-            while (j < k) {
-              val c = localCents(j)
-              var dist = 0L
-              var i = 0
-              while (i < d) { val t = x(i) - c(i); dist += t * t; i += 1 }
-              if (dist < bestDist) { bestDist = dist; best = j }
-              j += 1
-            }
-            val sBest = sAcc(best)
-            var i = 0
-            while (i < d) { sBest(i) += x(i); i += 1 }
-            nAcc(best) += 1
-            acc
-          },
-          combOp = { case (acc @ (s1, n1), (s2, n2)) =>
-            var j = 0
-            while (j < k) {
-              val (a, b) = (s1(j), s2(j))
-              var i = 0
-              while (i < d) { a(i) += b(i); i += 1 }
-              n1(j) += n2(j)
-              j += 1
-            }
-            acc
-          })
-        val next = kmUpdate(cents, sums, counts)
-        converged = next.zip(cents).forall { case (a, b) => java.util.Arrays.equals(a, b) }
-        cents = next
-      } finally xs.unpersist(blocking = false) // also on the KM_MAX throw — a leaked
-      // cached corpus would pin executor storage for the session lifetime
+      val cents = kmFit(vecs, KM_K, KM_D, KM_MAX, "cluster_kmeans")(s)
       // final assignment through the audited broadcast-join plan (the
       // k-row centroid table broadcast to the corpus scan)
       val centsDf = cents.toSeq.zipWithIndex
@@ -626,6 +628,60 @@ object CorpusQueries {
     })
   )
 
+  /** Recursive-CTE Lloyd to the SAME fixpoint as [[kmFit]] — the
+    * oracle half of the trainer, parameterized so `cluster_kmeans`
+    * (k=KM_K) and the trained IVF coarse quantizer (k=nlist) share
+    * one builder. The working row carries (round, cents); each
+    * recursive step computes the next centroid list and emits it ONLY
+    * if it changed, so the recursion terminates exactly when Spark's
+    * loop does (the round guard mirrors the cap — past it the oracle
+    * just stops, while Spark raises, surfacing divergence loudly).
+    * Empty clusters keep their previous centroid via the
+    * list_position lookup. Emits CTEs `v` (quantized vectors),
+    * `it` (the recursion), `final` (fixpoint centroids), `af`
+    * (per-vector cluster assignment). */
+  private[queries] def oKmeansCte(k: Int, d: Int, maxIters: Int): String = {
+    val sq = s"CAST(list_sum(list_transform(range(1, ${d + 1}), " +
+      "i -> (x[i]-c[i])*(x[i]-c[i]))) AS BIGINT)"
+    val sums = (0 until d).map(i => s"SUM(x[${i + 1}]) AS s$i").mkString(", ")
+    val floors = (0 until d)
+      .map(i => s"CAST(FLOOR(CAST(s$i AS DOUBLE)/n) AS BIGINT)").mkString(", ")
+    val nextCents =
+      s"""list_transform(range(1, ${k + 1}), j ->
+         |CASE WHEN list_position(cls, j) IS NULL THEN cents[j]
+         |ELSE cs[list_position(cls, j)] END)""".stripMargin
+    s"""v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |e -> CAST(FLOOR(e * $KM_SCALE) AS BIGINT)) AS x FROM embeddings),
+       |it(round, cents) AS (
+       |SELECT 0, (SELECT list(x ORDER BY vec_id) FROM v WHERE vec_id < $k)
+       |UNION ALL
+       |SELECT round + 1, $nextCents AS new_cents
+       |FROM (
+       |SELECT round, cents,
+       |list(cluster ORDER BY cluster) AS cls,
+       |list(c ORDER BY cluster) AS cs
+       |FROM (
+       |SELECT round, cents, cluster, list_value($floors) AS c
+       |FROM (
+       |SELECT round, cents, cluster, COUNT(*) AS n, $sums
+       |FROM (
+       |SELECT round, cents, x,
+       |CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cluster
+       |FROM (SELECT it.round, it.cents, v.x,
+       |list_transform(it.cents, c -> $sq) AS dists
+       |FROM it CROSS JOIN v)
+       |) GROUP BY round, cents, cluster
+       |)
+       |) GROUP BY round, cents
+       |)
+       |WHERE $nextCents <> cents AND round < $maxIters
+       |),
+       |final AS (SELECT cents FROM it ORDER BY round DESC LIMIT 1),
+       |af AS (SELECT vec_id, CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cluster
+       |FROM (SELECT vec_id, list_transform(cents, c -> $sq) AS dists
+       |FROM v CROSS JOIN final))""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
 
     // identical smoothing arithmetic; each ln term rounds through
@@ -647,58 +703,11 @@ object CorpusQueries {
         |CAST(SUM(term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
         |FROM terms GROUP BY doc_id""".stripMargin,
 
-    "cluster_kmeans" -> {
-      // Recursive-CTE Lloyd to the SAME fixpoint as the Spark loop: the
-      // working row carries (round, cents); each recursive step computes
-      // the next centroid list and emits it ONLY if it changed, so the
-      // recursion terminates exactly when Spark's loop does (and the
-      // round guard mirrors KM_MAX — past the cap the oracle just stops,
-      // while Spark raises, surfacing the divergence loudly). Empty
-      // clusters keep their previous centroid via the list_position
-      // lookup (clusters absent from the aggregated (cls, cs) lists).
-      val sq = s"CAST(list_sum(list_transform(range(1, ${KM_D + 1}), " +
-        "i -> (x[i]-c[i])*(x[i]-c[i]))) AS BIGINT)"
-      val sums = (0 until KM_D).map(d => s"SUM(x[${d + 1}]) AS s$d").mkString(", ")
-      val floors = (0 until KM_D)
-        .map(d => s"CAST(FLOOR(CAST(s$d AS DOUBLE)/n) AS BIGINT)").mkString(", ")
-      val nextCents =
-        s"""list_transform(range(1, ${KM_K + 1}), j ->
-           |CASE WHEN list_position(cls, j) IS NULL THEN cents[j]
-           |ELSE cs[list_position(cls, j)] END)""".stripMargin
-      s"""WITH RECURSIVE v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-         |e -> CAST(FLOOR(e * $KM_SCALE) AS BIGINT)) AS x FROM embeddings),
-         |it(round, cents) AS (
-         |SELECT 0, (SELECT list(x ORDER BY vec_id) FROM v WHERE vec_id < $KM_K)
-         |UNION ALL
-         |SELECT round + 1, $nextCents AS new_cents
-         |FROM (
-         |SELECT round, cents,
-         |list(cluster ORDER BY cluster) AS cls,
-         |list(c ORDER BY cluster) AS cs
-         |FROM (
-         |SELECT round, cents, cluster, list_value($floors) AS c
-         |FROM (
-         |SELECT round, cents, cluster, COUNT(*) AS n, $sums
-         |FROM (
-         |SELECT round, cents, x,
-         |CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cluster
-         |FROM (SELECT it.round, it.cents, v.x,
-         |list_transform(it.cents, c -> $sq) AS dists
-         |FROM it CROSS JOIN v)
-         |) GROUP BY round, cents, cluster
-         |)
-         |) GROUP BY round, cents
-         |)
-         |WHERE $nextCents <> cents AND round < $KM_MAX
-         |),
-         |final AS (SELECT cents FROM it ORDER BY round DESC LIMIT 1),
-         |af AS (SELECT vec_id, CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cluster
-         |FROM (SELECT vec_id, list_transform(cents, c -> $sq) AS dists
-         |FROM v CROSS JOIN final))
+    "cluster_kmeans" ->
+      s"""WITH RECURSIVE ${oKmeansCte(KM_K, KM_D, KM_MAX)}
          |SELECT vec_id, cluster,
          |COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
-         |FROM af""".stripMargin
-    },
+         |FROM af""".stripMargin,
 
     // same keep-first total order (doc_id, pos) and the same SPAN_W;
     // count and string_agg(ORDER BY pos) mirror the Spark reassembly

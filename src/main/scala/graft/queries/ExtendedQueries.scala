@@ -292,6 +292,47 @@ object ExtendedQueries {
         .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
     }),
 
+    // IVF with a TRAINED coarse quantizer — the production IVF shape
+    // (FAISS IndexIVFFlat): cells are k-means centroids over the
+    // corpus (the same kmFit fixpoint loop cluster_kmeans runs, k =
+    // graft.ivf.nlist), not the sign-bit toy cells of sim_ivf_topk.
+    // Query probes its own (nearest-centroid) cell; exact cosine
+    // within the cell. Centroids broadcast (k×d longs); the corpus
+    // partitions by cell — at 100 TB the cell assignment is one
+    // broadcast-join pass and each probe touches corpus/nlist
+    // vectors. The DuckDB oracle reruns the identical training
+    // recursion (CorpusQueries.oKmeansCte) — cells, cosines, and
+    // ranks all bit-exact.
+    "sim_ivf_trained" -> ((s, dir) => {
+      val k = GraftConf.int("graft.ivf.nlist", 16)
+      val d = GraftConf.int("graft.kmeans.dim", 64)
+      val maxIters = GraftConf.int("graft.kmeans.maxIters", 48)
+      import s.implicits._
+      val quant = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"), v =>
+            floor(v * lit(1048576.0)).cast("long")).as("x"))
+        .localCheckpoint()
+      val cents = CorpusQueries.kmFit(quant, k, d, maxIters, "sim_ivf_trained")(s)
+      val centsDf = cents.toSeq.zipWithIndex
+        .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toDF("j", "c")
+      val cells = CorpusQueries.kmAssign(quant, centsDf)
+        .select(col("vec_id"), col("cluster").as("cell"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        .join(cells, Seq("vec_id"))
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qn"), col("cell").as("qcell"))
+      emb.join(broadcast(q), col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+    }),
+
     // Count-min sketch heavy hitters: build a d=4 × w=256 sketch over
     // the event stream (each event increments one bucket per hash row;
     // hashes are md5-derived, so the sketch is deterministic and
@@ -780,6 +821,27 @@ object ExtendedQueries {
          |scored AS (SELECT qid, vec_id,
          |list_dot_product(qe, e) / (qn * nrm) AS cos
          |FROM cells JOIN q ON cell = qcell AND vec_id <> qid)
+         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+         |ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
+         |FROM scored QUALIFY rnk <= 3""".stripMargin
+    },
+
+    // identical training recursion (shared CTE builder), then the
+    // same cell join + exact cosine + rank
+    "sim_ivf_trained" -> {
+      val k = GraftConf.int("graft.ivf.nlist", 16)
+      val d = GraftConf.int("graft.kmeans.dim", 64)
+      val maxIters = GraftConf.int("graft.kmeans.maxIters", 48)
+      s"""WITH RECURSIVE ${CorpusQueries.oKmeansCte(k, d, maxIters)},
+         |emb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+         |sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+         |af.cluster AS cell
+         |FROM embeddings e JOIN af ON e.vec_id = af.vec_id),
+         |q AS (SELECT vec_id AS qid, ev AS qe, nrm AS qn, cell AS qcell
+         |FROM emb WHERE vec_id < 10),
+         |scored AS (SELECT qid, vec_id,
+         |list_dot_product(qe, ev) / (qn * nrm) AS cos
+         |FROM emb JOIN q ON cell = qcell AND vec_id <> qid)
          |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
          |ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
          |FROM scored QUALIFY rnk <= 3""".stripMargin

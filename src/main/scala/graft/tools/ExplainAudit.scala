@@ -136,6 +136,11 @@ object ExplainAudit {
     audit("sim_pq_topk", "codebook is a literal; query side broadcast; corpus never shuffle-joined") { p =>
       p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin")
     }
+    audit("sim_ivf_trained",
+      "trained cells: centroids broadcast to the corpus scan; query probe broadcast") { p =>
+      p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastHashJoin") &&
+        !p.contains("CartesianProduct")
+    }
     audit("text_lm_score", "LM training is map-side-combined counts; vocab broadcast; no cartesian") { p =>
       p.contains("partial_count") && !p.contains("CartesianProduct")
     }
