@@ -597,6 +597,93 @@ object CorpusQueries {
       lmScore(docs, cab, ca, v)
     }),
 
+    // Trained multinomial Naive Bayes text classifier — the
+    // fastText/CCNet role in an LLM data pipeline: distill a cheap
+    // labeling rule into a learned model, then gate every incoming doc
+    // against the frozen model. Reference scope: slipstream has no
+    // model surface; this adds the classifier-gate shape (label →
+    // count-train → broadcast model → score) that real corpus curation
+    // runs at 100 TB. The label is the integer-exact stopword-density
+    // rule (n_stop·16 ≥ n_tokens → 'dense' — the text_quality signal
+    // recast so the target is engine-portable and balanced ~50/50 on
+    // this corpus); training docs are the md5-bucket 80% split (the
+    // curate_split_counts discipline), scoring covers ALL docs, so the
+    // held-out rows measure real generalization — the stopword-
+    // frequency signal IS in the unigram distribution NB models.
+    // Add-one smoothing: P(c) = docs_c/docs, P(w|c) =
+    // (cnt_wc+1)/(toks_c+V); every ln term rounds through
+    // DECIMAL(18,6) before the exact decimal sum (the text_lm_score
+    // float discipline); OOV tokens score the per-class floor
+    // ln(1/(toks_c+V)) via an exact (n_tokens − n_matched)·floor
+    // product — never a silently dropped row. Scale: the model is two
+    // count shuffles (the V·C word-class grid + a C-row class table);
+    // scoring is ONE token join against the model and one
+    // doc_id-keyed agg — linear in corpus tokens, zero pair blowup;
+    // argmax is a C-rows-per-doc window with a deterministic
+    // (score desc, cls asc) tie-break.
+    "text_classify_nb" -> ((s, dir) => {
+      val labeled = Tables.documents(s, dir)
+        .withColumn("n_tokens", TextSignals.nTokens)
+        .withColumn("n_stop", TextSignals.nStop)
+        .withColumn("cls",
+          when(col("n_stop") * 16 >= col("n_tokens"), lit("dense"))
+            .otherwise(lit("sparse")))
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100L)
+        .withColumn("split",
+          when(col("bucket") < 80, "train").otherwise("test"))
+      val train = labeled.where(col("split") === "train")
+      val trainToks = train.select(col("cls"), explode(toks).as("w"))
+      val wc = trainToks.groupBy(col("w"), col("cls"))
+        .agg(count(lit(1)).as("cnt"))
+      val clsTab = train.groupBy(col("cls")).agg(count(lit(1)).as("n_docs"))
+        .join(trainToks.groupBy(col("cls")).agg(count(lit(1)).as("n_toks")),
+          Seq("cls"))
+      // two driver scalars — control-plane, the lmTrain posture
+      val v = trainToks.agg(countDistinct(col("w"))).first().getLong(0)
+      val nTrain = train.count()
+      // complete V×C term grid: a word the class never saw still gets
+      // its smoothed term, so scoring needs no per-class null logic
+      val wterm = wc.select(col("w")).distinct()
+        .crossJoin(broadcast(clsTab))
+        .join(wc, Seq("w", "cls"), "left")
+        .withColumn("term",
+          log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
+            (col("n_toks") + lit(v)).cast("double"))
+            .cast(DecimalType(18, 6)))
+        .select(col("w"), col("cls"), col("term"))
+      val clsConst = clsTab
+        .withColumn("floor_t",
+          log(lit(1.0) / (col("n_toks") + lit(v)).cast("double"))
+            .cast(DecimalType(18, 6)))
+        .withColumn("prior",
+          log(col("n_docs").cast("double") / lit(nTrain.toDouble))
+            .cast(DecimalType(18, 6)))
+        .select(col("cls"), col("floor_t"), col("prior"))
+      val matched = labeled.select(col("doc_id"), explode(toks).as("w"))
+        .join(wterm, Seq("w"))
+        .groupBy(col("doc_id"), col("cls"))
+        .agg(sum(col("term")).as("t_sum"), count(lit(1)).as("n_matched"))
+      labeled
+        .select(col("doc_id"), col("split"), col("cls").as("true_cls"),
+          col("n_tokens"))
+        .crossJoin(broadcast(clsConst))
+        .join(matched, Seq("doc_id", "cls"), "left")
+        .withColumn("score",
+          col("prior") + coalesce(col("t_sum"),
+            lit(0).cast(DecimalType(18, 6))) +
+            (col("n_tokens") - coalesce(col("n_matched"), lit(0L))) *
+              col("floor_t"))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cls").asc)))
+        .where(col("rnk") === 1)
+        .select(col("doc_id"), col("split"), col("true_cls"),
+          col("cls").as("pred_cls"),
+          (col("cls") === col("true_cls")).as("correct"),
+          col("score").cast("double").as("score"))
+    }),
+
     "text_bm25_topk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val toksDf = docs.select(col("doc_id"), explode(toks).as("word"))
@@ -708,6 +795,50 @@ object CorpusQueries {
          |SELECT vec_id, cluster,
          |COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
          |FROM af""".stripMargin,
+
+    // identical NB pipeline: same label rule, same md5 split, same
+    // add-one arithmetic with DECIMAL(18,6) term rounding, same
+    // (score desc, cls asc) argmax tie-break
+    "text_classify_nb" ->
+      """WITH l2 AS (SELECT doc_id, ws,
+        |len(ws)::BIGINT AS n_tokens,
+        |CASE WHEN len(list_filter(ws, x -> x IN ('the', 'a', 'of'))) * 16
+        |>= len(ws) THEN 'dense' ELSE 'sparse' END AS cls,
+        |CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |% 100 < 80 THEN 'train' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |ttoks AS (SELECT cls, unnest(ws) AS w FROM l2 WHERE split = 'train'),
+        |wc AS (SELECT w, cls, COUNT(*) AS cnt FROM ttoks GROUP BY 1, 2),
+        |clstab AS (SELECT d.cls, d.n_docs, t.n_toks FROM
+        |(SELECT cls, COUNT(*) AS n_docs FROM l2 WHERE split = 'train' GROUP BY 1) d
+        |JOIN (SELECT cls, COUNT(*) AS n_toks FROM ttoks GROUP BY 1) t USING (cls)),
+        |vv AS (SELECT COUNT(DISTINCT w) AS v FROM ttoks),
+        |nt AS (SELECT COUNT(*) AS n_train FROM l2 WHERE split = 'train'),
+        |wterm AS (SELECT vw.w, ct.cls,
+        |CAST(ln(CAST(COALESCE(wc.cnt, 0) + 1 AS DOUBLE)
+        |/ CAST(ct.n_toks + vv.v AS DOUBLE)) AS DECIMAL(18,6)) AS term
+        |FROM (SELECT DISTINCT w FROM wc) vw
+        |CROSS JOIN clstab ct CROSS JOIN vv
+        |LEFT JOIN wc ON wc.w = vw.w AND wc.cls = ct.cls),
+        |clsconst AS (SELECT cls,
+        |CAST(ln(1.0 / CAST(n_toks + v AS DOUBLE)) AS DECIMAL(18,6)) AS floor_t,
+        |CAST(ln(CAST(n_docs AS DOUBLE) / CAST(n_train AS DOUBLE)) AS DECIMAL(18,6)) AS prior
+        |FROM clstab CROSS JOIN vv CROSS JOIN nt),
+        |mt AS (SELECT t.doc_id, wt.cls, SUM(wt.term) AS t_sum,
+        |COUNT(*) AS n_matched
+        |FROM (SELECT doc_id, unnest(ws) AS w FROM l2) t
+        |JOIN wterm wt ON wt.w = t.w
+        |GROUP BY 1, 2),
+        |scored AS (SELECT l.doc_id, l.split, l.cls AS true_cls, c.cls,
+        |c.prior + COALESCE(mt.t_sum, CAST(0 AS DECIMAL(18,6)))
+        |+ (l.n_tokens - COALESCE(mt.n_matched, 0)) * c.floor_t AS score
+        |FROM l2 l CROSS JOIN clsconst c
+        |LEFT JOIN mt ON mt.doc_id = l.doc_id AND mt.cls = c.cls)
+        |SELECT doc_id, split, true_cls, cls AS pred_cls,
+        |(cls = true_cls) AS correct, CAST(score AS DOUBLE) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |ORDER BY score DESC, cls ASC) AS rnk FROM scored)
+        |WHERE rnk = 1""".stripMargin,
 
     // same keep-first total order (doc_id, pos) and the same SPAN_W;
     // count and string_agg(ORDER BY pos) mirror the Spark reassembly
