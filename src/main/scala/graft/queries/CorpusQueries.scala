@@ -727,7 +727,8 @@ object CorpusQueries {
     * list_position lookup. Emits CTEs `v` (quantized vectors),
     * `it` (the recursion), `final` (fixpoint centroids), `af`
     * (per-vector cluster assignment). */
-  private[queries] def oKmeansCte(k: Int, d: Int, maxIters: Int): String = {
+  private[queries] def oKmeansCte(
+      k: Int, d: Int, maxIters: Int, vSelect: String = ""): String = {
     val sq = s"CAST(list_sum(list_transform(range(1, ${d + 1}), " +
       "i -> (x[i]-c[i])*(x[i]-c[i]))) AS BIGINT)"
     val sums = (0 until d).map(i => s"SUM(x[${i + 1}]) AS s$i").mkString(", ")
@@ -737,8 +738,13 @@ object CorpusQueries {
       s"""list_transform(range(1, ${k + 1}), j ->
          |CASE WHEN list_position(cls, j) IS NULL THEN cents[j]
          |ELSE cs[list_position(cls, j)] END)""".stripMargin
-    s"""v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-       |e -> CAST(FLOOR(e * $KM_SCALE) AS BIGINT)) AS x FROM embeddings),
+    // callers may swap the vector source (e.g. the IVF-PQ coarse
+    // trainer feeds UNIT-NORMALIZED quantized vectors); the default is
+    // the raw 2^20 quantization cluster_kmeans trains on
+    val vBody = if (vSelect.nonEmpty) vSelect
+      else s"""SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |e -> CAST(FLOOR(e * $KM_SCALE) AS BIGINT)) AS x FROM embeddings""".stripMargin
+    s"""v AS ($vBody),
        |it(round, cents) AS (
        |SELECT 0, (SELECT list(x ORDER BY vec_id) FROM v WHERE vec_id < $k)
        |UNION ALL

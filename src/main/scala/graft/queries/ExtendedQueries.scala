@@ -18,6 +18,167 @@ object ExtendedQueries {
 
   import QueryPrimitives._
 
+  /** Per-subspace Lloyd to the integer-centroid fixpoint over a
+    * quantized vector frame (vec_id, x: array<long> of m·sub dims) —
+    * the engine's ONE product-quantization trainer, shared by
+    * `sim_pq_topk` (codebooks over the vectors themselves) and
+    * `sim_ivfpq_topk` (codebooks over coarse-cell residuals). All m
+    * subspaces advance in the SAME treeAggregate pass each round — a
+    * converged subspace is a fixpoint of its own update, so joint
+    * iteration is exact. Init = the first k vectors' subvectors;
+    * floored integer means via [[CorpusQueries.kmUpdate]]; empty
+    * codewords keep their previous value. Stop rule: fixpoint, or the
+    * round cap. `cappedOk = false` (sim_pq_topk) treats hitting the
+    * cap as an error — quantized integer means are not provably
+    * monotone; refuse loudly, never spin. `cappedOk = true`
+    * (sim_ivfpq_topk) accepts the codebook after exactly maxIters
+    * updates — the FAISS posture (ProductQuantizer trains a FIXED 25
+    * rounds): integer Lloyd on near-zero residuals measurably 2-cycles
+    * at sf0.1, and the capped run aligns round-for-round with the
+    * oracle recursion's own `round < maxIters` stop, so the engines
+    * still agree bit-for-bit. Returns codebooks[m][k][sub]. */
+  private[queries] def pqFit(
+      vecs: DataFrame, m: Int, sub: Int, k: Int, maxIters: Int, who: String,
+      cappedOk: Boolean = false)(
+      s: SparkSession): Array[Array[Array[Long]]] = {
+    import s.implicits._
+    val init = vecs.where(col("vec_id") < k)
+      .orderBy(col("vec_id")).select(col("x")).as[Array[Long]].collect()
+    require(init.length == k, s"$who: need vec_ids 0..${k - 1} for codebook init")
+    var cbs: Array[Array[Array[Long]]] =
+      Array.tabulate(m, k)((mi, j) => init(j).slice(mi * sub, mi * sub + sub))
+    val xs = vecs.select(col("x")).as[Array[Long]].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rounds = 0
+    var converged = false
+    try while (!converged && rounds < maxIters) {
+      rounds += 1
+      val local = cbs
+      val (sums, counts) = xs.treeAggregate(
+        (Array.fill(m, k, sub)(0L), Array.fill(m, k)(0L)))(
+        seqOp = { case (acc @ (sAcc, nAcc), x) =>
+          var mi = 0
+          while (mi < m) {
+            val off = mi * sub
+            var best = 0
+            var bestDist = Long.MaxValue
+            var j = 0
+            while (j < k) {
+              val c = local(mi)(j)
+              var dist = 0L
+              var i = 0
+              while (i < sub) { val t = x(off + i) - c(i); dist += t * t; i += 1 }
+              if (dist < bestDist) { bestDist = dist; best = j }
+              j += 1
+            }
+            val sBest = sAcc(mi)(best)
+            var i = 0
+            while (i < sub) { sBest(i) += x(off + i); i += 1 }
+            nAcc(mi)(best) += 1
+            mi += 1
+          }
+          acc
+        },
+        combOp = { case (acc @ (s1, n1), (s2, n2)) =>
+          var mi = 0
+          while (mi < m) {
+            var j = 0
+            while (j < k) {
+              val (a, b) = (s1(mi)(j), s2(mi)(j))
+              var i = 0
+              while (i < sub) { a(i) += b(i); i += 1 }
+              n1(mi)(j) += n2(mi)(j)
+              j += 1
+            }
+            mi += 1
+          }
+          acc
+        })
+      val next = Array.tabulate(m)(mi => CorpusQueries.kmUpdate(cbs(mi), sums(mi), counts(mi)))
+      converged = (0 until m).forall(mi =>
+        next(mi).zip(cbs(mi)).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+      cbs = next
+    } finally xs.unpersist(blocking = false)
+    if (!converged && !cappedOk)
+      throw new IllegalStateException(
+        s"$who: no codebook fixpoint after $maxIters Lloyd rounds " +
+          "(raise the iteration cap or inspect the data)")
+    cbs
+  }
+
+  /** 8-dim integer L2 between subspace `m` of a full vector column and
+    * a codeword column — the ADC/encode primitive shared by the PQ
+    * family. */
+  private[queries] def pqSubDist(vec: Column, cw: Column, m: Int, sub: Int): Column =
+    aggregate(zip_with(
+      slice(vec, m * sub + 1, sub), cw,
+      (p, q) => (p - q) * (p - q)), lit(0L), (acc, v) => acc + v)
+
+  /** `sub`-dim codeword distance against subspace `m` (SQL lambda var
+    * `m` in scope) of full vector `a` — oracle twin of [[pqSubDist]]. */
+  private[queries] def oPqDist(sub: Int)(a: String, cw: String): String =
+    s"list_sum(list_transform(range(1, ${sub + 1}), i -> " +
+      s"($a[m*$sub+i] - $cw[i]) * ($a[m*$sub+i] - $cw[i])))"
+
+  /** DuckDB half of the PQ trainer — the SAME per-subspace Lloyd
+    * recursion as [[pqFit]], over CTE `src`(vec_id, x), one working
+    * row per subspace each recursing to its own integer fixpoint.
+    * Emits CTEs `pit` (the recursion), `pfinal` (fixpoint codebook per
+    * subspace), `cb` (single codebooks row) and `enc` (vec_id, x,
+    * code). Caller must open WITH RECURSIVE. Shared by the
+    * `sim_pq_topk` oracle (src = the quantized vectors) and the
+    * `sim_ivfpq_topk` oracle (src = coarse-cell residuals). */
+  private[queries] def oPqCte(
+      m: Int, sub: Int, k: Int, maxIters: Int, src: String): String = {
+    val dist = oPqDist(sub) _
+    val sq = s"CAST(list_sum(list_transform(range(1, ${sub + 1}), " +
+      "i -> (sx[i]-c[i])*(sx[i]-c[i]))) AS BIGINT)"
+    val sums = (0 until sub).map(d => s"SUM(sx[${d + 1}]) AS s$d").mkString(", ")
+    val floors = (0 until sub)
+      .map(d => s"CAST(FLOOR(CAST(s$d AS DOUBLE)/n) AS BIGINT)").mkString(", ")
+    val nextCents =
+      s"""list_transform(range(1, ${k + 1}), j ->
+         |CASE WHEN list_position(cls, j) IS NULL THEN cents[j]
+         |ELSE cs[list_position(cls, j)] END)""".stripMargin
+    val encDists = s"list_transform(cbs[m+1], cw -> ${dist("x", "cw")})"
+    s"""pit(m, round, cents) AS (
+       |SELECT m, 0 AS round,
+       |list(x[m*$sub+1 : m*$sub+$sub] ORDER BY vec_id) AS cents
+       |FROM range($m) t(m) CROSS JOIN (SELECT vec_id, x FROM $src WHERE vec_id < $k)
+       |GROUP BY m
+       |UNION ALL
+       |SELECT m, round + 1, $nextCents AS new_cents
+       |FROM (
+       |SELECT m, round, cents,
+       |list(cluster ORDER BY cluster) AS cls,
+       |list(c ORDER BY cluster) AS cs
+       |FROM (
+       |SELECT m, round, cents, cluster, list_value($floors) AS c
+       |FROM (
+       |SELECT m, round, cents, cluster, COUNT(*) AS n, $sums
+       |FROM (
+       |SELECT m, round, cents, sx,
+       |CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cluster
+       |FROM (SELECT pit.m, pit.round, pit.cents,
+       |$src.x[pit.m*$sub+1 : pit.m*$sub+$sub] AS sx,
+       |list_transform(pit.cents, c -> $sq) AS dists
+       |FROM pit CROSS JOIN $src)
+       |) GROUP BY m, round, cents, cluster
+       |)
+       |) GROUP BY m, round, cents
+       |)
+       |WHERE $nextCents <> cents AND round < $maxIters
+       |),
+       |pfinal AS (SELECT m, cents FROM
+       |(SELECT m, cents, row_number() OVER (PARTITION BY m ORDER BY round DESC) AS rn
+       |FROM pit) WHERE rn = 1),
+       |cb AS (SELECT list(cents ORDER BY m) AS cbs FROM pfinal),
+       |enc AS (SELECT vec_id, x,
+       |list_transform(range($m), m ->
+       |CAST(list_position($encDists, list_min($encDists)) AS INTEGER)) AS code
+       |FROM $src CROSS JOIN cb)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Semi join: orders having at least one big lineitem (EXISTS).
@@ -133,74 +294,10 @@ object ExtendedQueries {
           transform(col("e"), v =>
             floor(v / col("nrm") * lit(1048576.0)).cast("long")).as("x"))
         .localCheckpoint() // re-read once per training round
-      val init = quant.where(col("vec_id") < K)
-        .orderBy(col("vec_id")).select(col("x")).as[Array[Long]].collect()
-      require(init.length == K, s"sim_pq_topk: need vec_ids 0..${K - 1} for codebook init")
-      var cbs: Array[Array[Array[Long]]] =
-        Array.tabulate(M, K)((m, j) => init(j).slice(m * SUB, m * SUB + SUB))
-      val xs = quant.select(col("x")).as[Array[Long]].rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var rounds = 0
-      var converged = false
-      try while (!converged) {
-        rounds += 1
-        if (rounds > maxIters)
-          // quantized integer means are not provably monotone; refuse
-          // loudly rather than spin (the cluster_kmeans discipline)
-          throw new IllegalStateException(
-            s"sim_pq_topk: no codebook fixpoint after $maxIters Lloyd rounds " +
-              "(raise graft.pq.maxIters or inspect the data)")
-        val local = cbs
-        val (sums, counts) = xs.treeAggregate(
-          (Array.fill(M, K, SUB)(0L), Array.fill(M, K)(0L)))(
-          seqOp = { case (acc @ (sAcc, nAcc), x) =>
-            var m = 0
-            while (m < M) {
-              val off = m * SUB
-              var best = 0
-              var bestDist = Long.MaxValue
-              var j = 0
-              while (j < K) {
-                val c = local(m)(j)
-                var dist = 0L
-                var i = 0
-                while (i < SUB) { val t = x(off + i) - c(i); dist += t * t; i += 1 }
-                if (dist < bestDist) { bestDist = dist; best = j }
-                j += 1
-              }
-              val sBest = sAcc(m)(best)
-              var i = 0
-              while (i < SUB) { sBest(i) += x(off + i); i += 1 }
-              nAcc(m)(best) += 1
-              m += 1
-            }
-            acc
-          },
-          combOp = { case (acc @ (s1, n1), (s2, n2)) =>
-            var m = 0
-            while (m < M) {
-              var j = 0
-              while (j < K) {
-                val (a, b) = (s1(m)(j), s2(m)(j))
-                var i = 0
-                while (i < SUB) { a(i) += b(i); i += 1 }
-                n1(m)(j) += n2(m)(j)
-                j += 1
-              }
-              m += 1
-            }
-            acc
-          })
-        val next = Array.tabulate(M)(m => CorpusQueries.kmUpdate(cbs(m), sums(m), counts(m)))
-        converged = (0 until M).forall(m =>
-          next(m).zip(cbs(m)).forall { case (a, b) => java.util.Arrays.equals(a, b) })
-        cbs = next
-      } finally xs.unpersist(blocking = false)
+      val cbs = pqFit(quant, M, SUB, K, maxIters, "sim_pq_topk")(s)
       val cbLits = (0 until M).map(m => typedLit(cbs(m).map(_.toSeq).toSeq))
       def subDist(vec: Column, cw: Column, m: Int): Column =
-        aggregate(zip_with(
-          slice(vec, m * SUB + 1, SUB), cw,
-          (p, q) => (p - q) * (p - q)), lit(0L), (acc, v) => acc + v)
+        pqSubDist(vec, cw, m, SUB)
       val codeCols = (0 until M).map { m =>
         val d = transform(cbLits(m), cw => subDist(col("x"), cw, m))
         array_position(d, array_min(d)).cast("int")
@@ -331,6 +428,99 @@ object ExtendedQueries {
           .orderBy(col("cos").desc, col("vec_id").asc)))
         .where(col("rnk") <= 3)
         .select(col("qid"), col("rnk"), col("vec_id"), col("cos"))
+    }),
+
+    // IVF-PQ — the composed production ANN index (FAISS IndexIVFPQ),
+    // assembled from the two trainers already in the family: a TRAINED
+    // coarse quantizer (kmFit, k = graft.ivf.nlist) partitions the
+    // corpus into cells, and a product-quantization codebook (pqFit)
+    // is trained on the CELL RESIDUALS x − centroid[cell] — residuals
+    // concentrate near zero, which is why PQ-on-residuals is the
+    // standard pairing. At 100 TB the per-vector index state is ONE
+    // cell id + M code bytes (not d floats); a query probes its
+    // graft.ivf.nprobe nearest cells (corpus/nlist × nprobe vectors,
+    // not the corpus), scans 8-byte codes by asymmetric distance
+    // against its own per-cell residual, and exact-re-ranks only the
+    // top graft.pq.rerank survivors (R full-vector fetches per query).
+    // Every stage is integer arithmetic on 2^20-quantized
+    // unit-normalized vectors (integer L2 ranks like cosine), so the
+    // DuckDB oracle — coarse recursion (oKmeansCte over the normalized
+    // source), residual computation, per-subspace PQ recursion
+    // (oPqCte), probe, ADC, re-rank — reproduces every code and score
+    // bit-for-bit. Probe tie-break (cell dist asc, cell asc); ADC and
+    // re-rank tie-breaks (dist asc, vec_id asc).
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val M = 8; val SUB = 8; val K = 16
+      val nlist = GraftConf.int("graft.ivf.nlist", 16)
+      val d = GraftConf.int("graft.kmeans.dim", 64)
+      val kmMax = GraftConf.int("graft.kmeans.maxIters", 48)
+      val pqMax = GraftConf.int("graft.pq.maxIters", 64)
+      val nprobe = GraftConf.int("graft.ivf.nprobe", 4)
+      val R = GraftConf.int("graft.pq.rerank", 32)
+      import s.implicits._
+      val quant = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        .select(col("vec_id"),
+          transform(col("e"), v =>
+            floor(v / col("nrm") * lit(1048576.0)).cast("long")).as("x"))
+        .localCheckpoint() // scanned by BOTH trainers' fixpoint loops
+      val cents = CorpusQueries.kmFit(quant, nlist, d, kmMax, "sim_ivfpq_topk")(s)
+      val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+      val centsDf = cents.toSeq.zipWithIndex
+        .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toDF("j", "c")
+      val cells = CorpusQueries.kmAssign(quant, centsDf)
+        .select(col("vec_id"), col("x"), col("cluster").as("cell"))
+      val resid = cells
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("x"), element_at(centsLit, col("cell").cast("int")),
+            (a, b) => a - b).as("x"))
+        .localCheckpoint() // PQ training re-reads this every round
+      val cbs = pqFit(resid, M, SUB, K, pqMax, "sim_ivfpq_topk", cappedOk = true)(s)
+      val cbLits = (0 until M).map(m => typedLit(cbs(m).map(_.toSeq).toSeq))
+      val codeCols = (0 until M).map { m =>
+        val dts = transform(cbLits(m), cw => pqSubDist(col("x"), cw, m, SUB))
+        array_position(dts, array_min(dts)).cast("int")
+      }
+      // the shipped index rows: cell id + M small codes per vector
+      val enc = resid.withColumn("code", array(codeCols: _*))
+        .select(col("vec_id"), col("cell"), col("code"))
+      val q = quant.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("x").as("qx"))
+      val cellDists = transform(centsLit, c =>
+        aggregate(zip_with(col("qx"), c, (p, cc) => (p - cc) * (p - cc)),
+          lit(0L), (acc, v2) => acc + v2))
+      val probed = q
+        .select(col("qid"), col("qx"), posexplode(cellDists).as(Seq("j0", "cd")))
+        .withColumn("pcell", (col("j0") + 1).cast("long"))
+        .withColumn("prnk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cd").asc, col("pcell").asc)))
+        .where(col("prnk") <= nprobe)
+        .select(col("qid"), col("qx"), col("pcell"))
+      val adc = (0 until M).map(m =>
+        pqSubDist(col("qr"), element_at(cbLits(m), element_at(col("code"), m + 1)),
+          m, SUB)).reduce(_ + _)
+      val cand = enc
+        .join(broadcast(probed),
+          col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+        // the query's residual wrt the CANDIDATE's cell — ADC compares
+        // like with like inside each probed cell
+        .withColumn("qr",
+          zip_with(col("qx"), element_at(centsLit, col("cell").cast("int")),
+            (a, b) => a - b))
+        .withColumn("adc", adc)
+        .withColumn("rnk_adc", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("adc").asc, col("vec_id").asc)))
+        .where(col("rnk_adc") <= R)
+      cand.select(col("qid"), col("vec_id"), col("qx"))
+        .join(quant.select(col("vec_id"), col("x").as("cx")), Seq("vec_id"))
+        .withColumn("score", aggregate(
+          zip_with(col("qx"), col("cx"), (p, v2) => (p - v2) * (p - v2)),
+          lit(0L), (acc, v2) => acc + v2))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").asc, col("vec_id").asc)))
+        .where(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("vec_id"), col("score"))
     }),
 
     // Nearest-class-centroid classifier over the embedding column (the
@@ -902,6 +1092,62 @@ object ExtendedQueries {
          |FROM scored QUALIFY rnk <= 3""".stripMargin
     },
 
+    // the full composed recursion: coarse k-means over the NORMALIZED
+    // quantized source, integer residuals, per-subspace PQ recursion
+    // over the residuals, then the same probe + ADC + exact re-rank
+    "sim_ivfpq_topk" -> {
+      val M = 8; val SUB = 8; val K = 16
+      val nlist = GraftConf.int("graft.ivf.nlist", 16)
+      val d = GraftConf.int("graft.kmeans.dim", 64)
+      val kmMax = GraftConf.int("graft.kmeans.maxIters", 48)
+      val pqMax = GraftConf.int("graft.pq.maxIters", 64)
+      val nprobe = GraftConf.int("graft.ivf.nprobe", 4)
+      val R = GraftConf.int("graft.pq.rerank", 32)
+      val dist = oPqDist(SUB) _
+      val vNorm =
+        s"""SELECT vec_id, list_transform(ev,
+           |e -> CAST(FLOOR(e / nrm * 1048576.0) AS BIGINT)) AS x
+           |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+           |sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+           |CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)""".stripMargin
+      val cellDist =
+        s"CAST(list_sum(list_transform(range(1, ${d + 1}), " +
+          "i -> (q.qx[i]-f.cents[t.j][i])*(q.qx[i]-f.cents[t.j][i]))) AS BIGINT)"
+      s"""WITH RECURSIVE ${CorpusQueries.oKmeansCte(nlist, d, kmMax, vNorm)},
+         |r AS (SELECT v.vec_id,
+         |list_transform(range(1, ${d + 1}), i -> v.x[i] - f.cents[af.cluster][i]) AS x
+         |FROM v JOIN af USING (vec_id) CROSS JOIN final f),
+         |${oPqCte(M, SUB, K, pqMax, "r")},
+         |q AS (SELECT vec_id AS qid, x AS qx FROM v WHERE vec_id < 10),
+         |probed AS (SELECT qid, qx, cell FROM (
+         |SELECT qid, qx, j AS cell,
+         |row_number() OVER (PARTITION BY qid ORDER BY cd ASC, j ASC) AS prnk
+         |FROM (SELECT q.qid, q.qx, t.j, $cellDist AS cd
+         |FROM q CROSS JOIN final f, UNNEST(range(1, ${nlist + 1})) t(j)))
+         |WHERE prnk <= $nprobe),
+         |cand0 AS (SELECT p.qid, e.vec_id, e.code, p.qx, af.cluster AS cell
+         |FROM enc e JOIN af ON e.vec_id = af.vec_id
+         |JOIN probed p ON af.cluster = p.cell AND e.vec_id <> p.qid),
+         |cand1 AS (SELECT qid, vec_id, code,
+         |list_transform(range(1, ${d + 1}), i -> qx[i] - f.cents[cell][i]) AS qr
+         |FROM cand0 CROSS JOIN final f),
+         |cand AS (SELECT qid, vec_id,
+         |row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk_adc
+         |FROM (SELECT qid, vec_id,
+         |CAST(list_sum(list_transform(range($M), m ->
+         |${dist("qr", "cbs[m+1][code[m+1]]")})) AS BIGINT) AS adc
+         |FROM cand1 CROSS JOIN cb)),
+         |scored AS (SELECT c.qid, c.vec_id,
+         |CAST(list_sum(list_transform(range(1, ${d + 1}), i ->
+         |(qv.x[i]-cv.x[i])*(qv.x[i]-cv.x[i]))) AS BIGINT) AS score
+         |FROM cand c JOIN v qv ON qv.vec_id = c.qid
+         |JOIN v cv ON cv.vec_id = c.vec_id
+         |WHERE c.rnk_adc <= $R)
+         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+         |ORDER BY score ASC, vec_id ASC) AS INTEGER) AS rnk, vec_id, score
+         |FROM scored QUALIFY rnk <= 3""".stripMargin
+    },
+
     // identical pipeline: same quantization, same md5 split, same
     // floored-mean centroids, same integer L2 + first-minimum argmin
     "sim_classify_centroid" -> {
@@ -940,61 +1186,13 @@ object ExtendedQueries {
       val M = 8; val SUB = 8; val K = 16
       val maxIters = GraftConf.int("graft.pq.maxIters", 64)
       val R = GraftConf.int("graft.pq.rerank", 32)
-      // 8-dim codeword distance against subvector m of a full vector
-      def dist(a: String, cw: String) =
-        s"list_sum(list_transform(range(1, ${SUB + 1}), i -> " +
-          s"($a[m*$SUB+i] - $cw[i]) * ($a[m*$SUB+i] - $cw[i])))"
-      val sq = s"CAST(list_sum(list_transform(range(1, ${SUB + 1}), " +
-        "i -> (sx[i]-c[i])*(sx[i]-c[i]))) AS BIGINT)"
-      val sums = (0 until SUB).map(d => s"SUM(sx[${d + 1}]) AS s$d").mkString(", ")
-      val floors = (0 until SUB)
-        .map(d => s"CAST(FLOOR(CAST(s$d AS DOUBLE)/n) AS BIGINT)").mkString(", ")
-      val nextCents =
-        s"""list_transform(range(1, ${K + 1}), j ->
-           |CASE WHEN list_position(cls, j) IS NULL THEN cents[j]
-           |ELSE cs[list_position(cls, j)] END)""".stripMargin
-      val encDists = s"list_transform(cbs[m+1], cw -> ${dist("x", "cw")})"
+      val dist = oPqDist(SUB) _
       s"""WITH RECURSIVE v AS (SELECT vec_id,
          |list_transform(e, v -> CAST(FLOOR(v / nrm * 1048576.0) AS BIGINT)) AS x
          |FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
          |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
          |FROM embeddings)),
-         |it(m, round, cents) AS (
-         |SELECT m, 0 AS round,
-         |list(x[m*$SUB+1 : m*$SUB+$SUB] ORDER BY vec_id) AS cents
-         |FROM range($M) t(m) CROSS JOIN (SELECT vec_id, x FROM v WHERE vec_id < $K)
-         |GROUP BY m
-         |UNION ALL
-         |SELECT m, round + 1, $nextCents AS new_cents
-         |FROM (
-         |SELECT m, round, cents,
-         |list(cluster ORDER BY cluster) AS cls,
-         |list(c ORDER BY cluster) AS cs
-         |FROM (
-         |SELECT m, round, cents, cluster, list_value($floors) AS c
-         |FROM (
-         |SELECT m, round, cents, cluster, COUNT(*) AS n, $sums
-         |FROM (
-         |SELECT m, round, cents, sx,
-         |CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cluster
-         |FROM (SELECT it.m, it.round, it.cents,
-         |v.x[it.m*$SUB+1 : it.m*$SUB+$SUB] AS sx,
-         |list_transform(it.cents, c -> $sq) AS dists
-         |FROM it CROSS JOIN v)
-         |) GROUP BY m, round, cents, cluster
-         |)
-         |) GROUP BY m, round, cents
-         |)
-         |WHERE $nextCents <> cents AND round < $maxIters
-         |),
-         |final AS (SELECT m, cents FROM
-         |(SELECT m, cents, row_number() OVER (PARTITION BY m ORDER BY round DESC) AS rn
-         |FROM it) WHERE rn = 1),
-         |cb AS (SELECT list(cents ORDER BY m) AS cbs FROM final),
-         |enc AS (SELECT vec_id, x,
-         |list_transform(range($M), m ->
-         |CAST(list_position($encDists, list_min($encDists)) AS INTEGER)) AS code
-         |FROM v CROSS JOIN cb),
+         |${oPqCte(M, SUB, K, maxIters, "v")},
          |cand AS (SELECT qid, vec_id, x, qx,
          |row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk_adc
          |FROM (SELECT q.vec_id AS qid, e.vec_id, e.x, q.qx,

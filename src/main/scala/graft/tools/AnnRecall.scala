@@ -25,7 +25,8 @@ object AnnRecall {
       .select(col("qid"), col("vec_id")).persist()
     val denom = truth.count().toDouble
 
-    Seq("sim_ivf_topk", "sim_ivf_multiprobe", "sim_ivf_trained", "sim_pq_topk").foreach { n =>
+    Seq("sim_ivf_topk", "sim_ivf_multiprobe", "sim_ivf_trained", "sim_pq_topk",
+      "sim_ivfpq_topk").foreach { n =>
       val t0 = System.nanoTime()
       val got = SparkEntry.queries(n)(spark, sfDir).select(col("qid"), col("vec_id"))
       val hits = got.join(truth, Seq("qid", "vec_id")).count()
