@@ -223,6 +223,80 @@ object CorpusQueries {
       .select(col("doc_id"), col("n_bigrams"),
         (col("ssum").cast("double") / col("n_bigrams").cast("double")).as("lm_score"))
 
+  /** The NB label rule — integer-exact stopword density (n_stop·16 ≥
+    * n_tokens → 'dense'): the text_quality signal recast so the
+    * classification target is engine-portable. Shared by the batch
+    * catalog query and the streaming ingest gate. */
+  private[graft] def nbCls: Column =
+    when(TextSignals.nStop * 16 >= TextSignals.nTokens, lit("dense"))
+      .otherwise(lit("sparse"))
+
+  /** Train the multinomial NB model over a labeled frame (text, cls):
+    * returns (wterm, clsConst) — the complete V×C word-class term grid
+    * (a word the class never saw still gets its add-one smoothed term,
+    * so scoring needs no per-class null logic) and the C-row class
+    * table (per-class OOV floor ln(1/(toks_c+V)) and prior
+    * ln(docs_c/docs)). Every ln rounds through DECIMAL(18,6) — the
+    * text_lm_score float discipline — so any summation order
+    * reproduces the same score bit-for-bit. Two count shuffles + two
+    * driver scalars (control-plane, the lmTrain posture). */
+  private[graft] def nbTrain(train: DataFrame): (DataFrame, DataFrame) = {
+    val trainToks = train.select(col("cls"), explode(toks).as("w"))
+    val wc = trainToks.groupBy(col("w"), col("cls"))
+      .agg(count(lit(1)).as("cnt"))
+    val clsTab = train.groupBy(col("cls")).agg(count(lit(1)).as("n_docs"))
+      .join(trainToks.groupBy(col("cls")).agg(count(lit(1)).as("n_toks")),
+        Seq("cls"))
+    val v = trainToks.agg(countDistinct(col("w"))).first().getLong(0)
+    val nTrain = train.count()
+    val wterm = wc.select(col("w")).distinct()
+      .crossJoin(broadcast(clsTab))
+      .join(wc, Seq("w", "cls"), "left")
+      .withColumn("term",
+        log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
+          (col("n_toks") + lit(v)).cast("double"))
+          .cast(DecimalType(18, 6)))
+      .select(col("w"), col("cls"), col("term"))
+    val clsConst = clsTab
+      .withColumn("floor_t",
+        log(lit(1.0) / (col("n_toks") + lit(v)).cast("double"))
+          .cast(DecimalType(18, 6)))
+      .withColumn("prior",
+        log(col("n_docs").cast("double") / lit(nTrain.toDouble))
+          .cast(DecimalType(18, 6)))
+      .select(col("cls"), col("floor_t"), col("prior"))
+    (wterm, clsConst)
+  }
+
+  /** Score a documents frame (doc_id, text) against a trained NB
+    * model via the join-aggregate path: one token join against the
+    * V×C term grid, one doc_id-keyed aggregation, OOV tokens scored
+    * as an exact (n_tokens − n_matched)·floor product, then the
+    * (score desc, cls asc) argmax. Returns (doc_id, pred_cls, score).
+    * Decimal addition is exact and associative, so this reproduces
+    * the streaming gate's sequential token fold
+    * ([[graft.streaming.IngestCuration.nbClassify]]) bit-for-bit —
+    * IngestCurationSpec asserts the two paths agree. */
+  private[graft] def nbScore(
+      docs: DataFrame, wterm: DataFrame, clsConst: DataFrame): DataFrame = {
+    val matched = docs.select(col("doc_id"), explode(toks).as("w"))
+      .join(wterm, Seq("w"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("term")).as("t_sum"), count(lit(1)).as("n_matched"))
+    docs.select(col("doc_id"), TextSignals.nTokens.as("n_tokens"))
+      .crossJoin(broadcast(clsConst))
+      .join(matched, Seq("doc_id", "cls"), "left")
+      .withColumn("score",
+        col("prior") + coalesce(col("t_sum"), lit(0).cast(DecimalType(18, 6))) +
+          (col("n_tokens") - coalesce(col("n_matched"), lit(0L))) *
+            col("floor_t"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cls").asc)))
+      .where(col("rnk") === 1)
+      .select(col("doc_id"), col("cls").as("pred_cls"),
+        col("score").cast("double").as("score"))
+  }
+
   /** Lloyd iteration to the integer-centroid fixpoint over a
     * quantized vector frame (vec_id, x: array<long>) — the engine's
     * ONE k-means trainer, shared by `cluster_kmeans` and the trained
@@ -624,64 +698,25 @@ object CorpusQueries {
     "text_classify_nb" -> ((s, dir) => {
       val labeled = Tables.documents(s, dir)
         .withColumn("n_tokens", TextSignals.nTokens)
-        .withColumn("n_stop", TextSignals.nStop)
-        .withColumn("cls",
-          when(col("n_stop") * 16 >= col("n_tokens"), lit("dense"))
-            .otherwise(lit("sparse")))
+        .withColumn("cls", nbCls)
         .withColumn("bucket",
           conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
             .cast("long") % 100L)
         .withColumn("split",
           when(col("bucket") < 80, "train").otherwise("test"))
       val train = labeled.where(col("split") === "train")
-      val trainToks = train.select(col("cls"), explode(toks).as("w"))
-      val wc = trainToks.groupBy(col("w"), col("cls"))
-        .agg(count(lit(1)).as("cnt"))
-      val clsTab = train.groupBy(col("cls")).agg(count(lit(1)).as("n_docs"))
-        .join(trainToks.groupBy(col("cls")).agg(count(lit(1)).as("n_toks")),
-          Seq("cls"))
-      // two driver scalars — control-plane, the lmTrain posture
-      val v = trainToks.agg(countDistinct(col("w"))).first().getLong(0)
-      val nTrain = train.count()
-      // complete V×C term grid: a word the class never saw still gets
-      // its smoothed term, so scoring needs no per-class null logic
-      val wterm = wc.select(col("w")).distinct()
-        .crossJoin(broadcast(clsTab))
-        .join(wc, Seq("w", "cls"), "left")
-        .withColumn("term",
-          log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
-            (col("n_toks") + lit(v)).cast("double"))
-            .cast(DecimalType(18, 6)))
-        .select(col("w"), col("cls"), col("term"))
-      val clsConst = clsTab
-        .withColumn("floor_t",
-          log(lit(1.0) / (col("n_toks") + lit(v)).cast("double"))
-            .cast(DecimalType(18, 6)))
-        .withColumn("prior",
-          log(col("n_docs").cast("double") / lit(nTrain.toDouble))
-            .cast(DecimalType(18, 6)))
-        .select(col("cls"), col("floor_t"), col("prior"))
-      val matched = labeled.select(col("doc_id"), explode(toks).as("w"))
-        .join(wterm, Seq("w"))
-        .groupBy(col("doc_id"), col("cls"))
-        .agg(sum(col("term")).as("t_sum"), count(lit(1)).as("n_matched"))
-      labeled
-        .select(col("doc_id"), col("split"), col("cls").as("true_cls"),
-          col("n_tokens"))
-        .crossJoin(broadcast(clsConst))
-        .join(matched, Seq("doc_id", "cls"), "left")
-        .withColumn("score",
-          col("prior") + coalesce(col("t_sum"),
-            lit(0).cast(DecimalType(18, 6))) +
-            (col("n_tokens") - coalesce(col("n_matched"), lit(0L))) *
-              col("floor_t"))
-        .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("cls").asc)))
-        .where(col("rnk") === 1)
+      // train + score factored through nbTrain/nbScore — the SAME
+      // model and arithmetic the streaming ingest gate freezes
+      // (IngestCuration.nbClassify), so offline sweep and ingest gate
+      // cannot drift
+      val (wterm, clsConst) = nbTrain(train)
+      nbScore(labeled, wterm, clsConst)
+        .join(labeled.select(col("doc_id"), col("split"),
+          col("cls").as("true_cls")), Seq("doc_id"))
         .select(col("doc_id"), col("split"), col("true_cls"),
-          col("cls").as("pred_cls"),
-          (col("cls") === col("true_cls")).as("correct"),
-          col("score").cast("double").as("score"))
+          col("pred_cls"),
+          (col("pred_cls") === col("true_cls")).as("correct"),
+          col("score"))
     }),
 
     "text_bm25_topk" -> ((s, dir) => {

@@ -75,4 +75,51 @@ object IngestCuration {
     val (cab, ca, v) = CorpusQueries.lmTrain(corpus)
     CorpusQueries.lmScore(stream, cab, ca, v)
   }
+
+  /** Frozen-model Naive Bayes classification at ingest: train the
+    * batch catalog's NB model (CorpusQueries.nbTrain — same label
+    * rule, same DECIMAL(18,6) term arithmetic) on a reference corpus,
+    * then classify every arriving document in ONE stateless
+    * projection: the model collects to a word → per-class-term map
+    * literal that ships in the task closure (V×C decimals — the
+    * benchShingles posture: at a vocabulary where the exact map no
+    * longer broadcasts, a feature-hashed table keeps the contract),
+    * and each doc's per-class score is a single fold over its tokens
+    * — matched tokens read the map, OOV tokens add the per-class
+    * floor. Decimal addition is exact and associative, so the
+    * sequential fold reproduces the batch query's join-aggregate
+    * score BIT-FOR-BIT (IngestCurationSpec proves it), while needing
+    * no join, no shuffle and no chained streaming aggregation —
+    * scan-bound ingest gating. Argmax = array_min over
+    * (−score, cls) structs: score desc, cls asc, the batch
+    * tie-break. */
+  def nbClassify(stream: DataFrame, trainDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val train = trainDocs.withColumn("cls", CorpusQueries.nbCls)
+    val (wterm, clsConst) = CorpusQueries.nbTrain(train)
+    val cls = clsConst.orderBy(col("cls")).collect()
+    val clsNames = cls.map(_.getString(0)).toSeq
+    val floors = cls.map(_.getDecimal(1))
+    val priors = cls.map(_.getDecimal(2))
+    val model: Map[String, Seq[java.math.BigDecimal]] = wterm.collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rows) =>
+        val byCls = rows.map(r => r.getString(1) -> r.getDecimal(2)).toMap
+        w -> clsNames.map(byCls(_))
+      }
+    val mapLit = typedLit(model)
+    val toks = split(col("text"), " ")
+    def scoreFor(i: Int): Column =
+      aggregate(toks, lit(priors(i)).cast(DecimalType(28, 6)),
+        (acc, w) => (acc + coalesce(
+          element_at(element_at(mapLit, w), i + 1).cast(DecimalType(18, 6)),
+          lit(floors(i)).cast(DecimalType(18, 6)))).cast(DecimalType(28, 6)))
+    val ranked = clsNames.indices.map(i =>
+      struct((scoreFor(i) * lit(-1)).as("ns"), lit(clsNames(i)).as("cls"),
+        scoreFor(i).cast("double").as("score")))
+    stream
+      .withColumn("best", array_min(array(ranked: _*)))
+      .select(col("doc_id"), col("best.cls").as("pred_cls"),
+        col("best.score").as("score"))
+  }
 }

@@ -125,4 +125,54 @@ class IngestCurationSpec extends AnyFunSuite {
     val scored = IngestCuration.lmScore(unseen, corpus).collect()
     assert(scored.length == 1 && scored.head.getLong(1) == 4L)
   }
+
+  test("frozen-model NB classification over a stream equals the batch fold") {
+    import org.apache.spark.sql.functions._
+    val corpus = docs.toDF("doc_id", "text")
+    // batch truth: the SAME nbClassify projection over a batch frame
+    // (decimal-fold scoring), which IS the catalog query's score — the
+    // oracle-checked text_classify_nb computes the identical
+    // prior + Σ term + OOV·floor decimal sum via join+aggregate
+    val batch = IngestCuration.nbClassify(corpus, corpus)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = IngestCuration.nbClassify(src.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("ingest_nb").start()
+    try {
+      // two micro-batches: the model is frozen, so batch boundaries
+      // cannot move any prediction or score
+      src.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_nb")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+
+    // semantic checks: doc 5 ("the the the ...") is pure stopwords →
+    // 'dense'; every prediction carries a finite negative score
+    val preds = batch.map { case (id, s) => id -> s(1).toString }
+    assert(preds(5L) == "dense")
+    assert(batch.values.forall(s => s(2).asInstanceOf[Double] < 0.0))
+
+    // the frozen model classifies a doc with OOV tokens via the
+    // per-class floor rather than dropping it
+    val unseen = Seq((99L, "wholly unknown tokens only")).toDF("doc_id", "text")
+    val out = IngestCuration.nbClassify(unseen, corpus).collect()
+    assert(out.length == 1 && out.head.getDouble(2) < 0.0)
+
+    // fold ≡ join-aggregate: the ingest gate's sequential token fold
+    // must reproduce the batch catalog's join+aggregate scoring path
+    // (graft.queries.CorpusQueries.nbScore — what text_classify_nb
+    // runs) bit-for-bit, decimal addition being exact and associative
+    import graft.queries.CorpusQueries
+    val train = corpus.withColumn("cls", CorpusQueries.nbCls)
+    val (wterm, clsConst) = CorpusQueries.nbTrain(train)
+    val joined = CorpusQueries.nbScore(corpus, wterm, clsConst)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(joined == batch)
+  }
 }
