@@ -150,6 +150,22 @@ object ExplainAudit {
     audit("multimodal_video", "codec synth+decode is a narrow partition-local pass: ZERO shuffles") { p =>
       !p.contains("Exchange")
     }
+    audit("sim_ivfpq_topk",
+      "IVF-PQ: centroids+codebooks are literals; probe list broadcast; no cartesian") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")
+    }
+    audit("sim_classify_centroid",
+      "centroid routing is a literal-model projection: ZERO joins on the scoring scan") { p =>
+      !p.contains("Join") && !p.contains("CartesianProduct")
+    }
+    // the doc_id-keyed score join is corpus×corpus — a shuffle join is
+    // the CORRECT plan for it at 100 TB; what must never appear is a
+    // cartesian, and the token→model join must stay broadcast
+    audit("text_classify_nb",
+      "NB token→model join broadcast; class table broadcast; no cartesian") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+    }
 
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
