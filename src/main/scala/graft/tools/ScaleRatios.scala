@@ -31,7 +31,10 @@ object ScaleRatios {
       "curate_span_dedup",
       // r7 additions: the composed pipeline, the trained-codebook PQ
       // (data-dependent training rounds), and the corpus-trained LM
-      "dedup_corpus", "sim_pq_topk", "text_lm_score")
+      "dedup_corpus", "sim_pq_topk", "text_lm_score",
+      // r7 second batch: the composed IVF-PQ index (both trainers),
+      // the trained NB classifier gate, the centroid router
+      "sim_ivfpq_topk", "text_classify_nb", "sim_classify_centroid")
 
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
