@@ -21,6 +21,10 @@ object ScaleRatios {
     val big = args.drop(1).headOption.getOrElse("localdata/sf3x30")
     val k = args.drop(2).headOption.map(_.toInt).getOrElse(30)
     val reps = 3
+    // optional 4th arg: comma-separated subset (the 100× run times only
+    // the ship-path operators; the full list is the 30× default)
+    val only = args.drop(3).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = Seq(
       "a3_dedup_exact", "dedup_minhash_lsh", "dedup_minhash_verified",
       "dedup_simhash", "dedup_simhash_hamming", "dedup_ngram_jaccard",
@@ -35,6 +39,7 @@ object ScaleRatios {
       // r7 second batch: the composed IVF-PQ index (both trainers),
       // the trained NB classifier gate, the centroid router
       "sim_ivfpq_topk", "text_classify_nb", "sim_classify_centroid")
+      .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
