@@ -583,6 +583,50 @@ object ExtendedQueries {
           array_min(col("dists")).as("dist"))
     }),
 
+    // Bloom-filter membership sketch — the fourth classic mergeable
+    // sketch (after count-min, HLL, quantile): the "have I already
+    // seen this id" structure an incremental-ingest pipeline ships to
+    // its coordinator instead of the id set itself. Build: the member
+    // set (here the 'error' event ids — a deterministic subset) maps
+    // each key to d=4 bit positions (four independent 32-bit slices of
+    // ONE md5, the countmin trick) in an m = graft.bloom.bits (64Ki)
+    // bit space; the filter is the DISTINCT set-bit list — ≤ m rows
+    // after a map-side-combined distinct, O(m) to ship regardless of
+    // member count. Probe: every event id recomputes its 4 positions
+    // and broadcast-joins the set-bit table; hit = all 4 present. The
+    // Bloom contract is checked PER ROW in the output: no false
+    // negatives ever (no_false_negative must be universally true —
+    // the oracle hash proves it), false positives measurable as
+    // bloom_hit ∧ ¬true_member (rate rises with load factor: ~0% at
+    // sf0.01's ~2k members, visibly nonzero at sf0.1's ~20k — the
+    // m-vs-n trade the conf key exposes).
+    "sketch_bloom" -> ((s, dir) => {
+      val m = GraftConf.int("graft.bloom.bits", 65536)
+      val d = 4
+      def bitOf(hashCol: Column, i: Int): Column =
+        conv(substring(hashCol, 8 * i + 1, 8), 16, 10).cast("long") % m
+      val members = Tables.events(s, dir)
+        .where(col("event_type") === "error")
+        .select(col("event_id").cast("string").as("k")).distinct()
+        .withColumn("h", md5(col("k")))
+      val setBits = members
+        .select(explode(array((0 until d).map(i => bitOf(col("h"), i)): _*))
+          .as("pos"))
+        .distinct()
+      val probes = Tables.events(s, dir)
+        .groupBy(col("event_id").cast("string").as("k"))
+        .agg(max(when(col("event_type") === "error", 1).otherwise(0)).as("tm"))
+        .withColumn("h", md5(col("k")))
+        .select(col("k"), (col("tm") === 1).as("true_member"),
+          explode(array((0 until d).map(i => bitOf(col("h"), i)): _*)).as("pos"))
+      probes
+        .join(broadcast(setBits.withColumn("hit", lit(1))), Seq("pos"), "left")
+        .groupBy(col("k"), col("true_member"))
+        .agg((count(col("hit")) === d).as("bloom_hit"))
+        .select(col("k"), col("true_member"), col("bloom_hit"),
+          (col("bloom_hit") || !col("true_member")).as("no_false_negative"))
+    }),
+
     // Count-min sketch heavy hitters: build a d=4 × w=256 sketch over
     // the event stream (each event increments one bucket per hash row;
     // hashes are md5-derived, so the sketch is deterministic and
@@ -1095,6 +1139,29 @@ object ExtendedQueries {
          |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
          |ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
          |FROM scored QUALIFY rnk <= 3""".stripMargin
+    },
+
+    // identical pipeline: same md5 bit positions, same distinct
+    // set-bit filter, same all-d-present membership rule
+    "sketch_bloom" -> {
+      val m = GraftConf.int("graft.bloom.bits", 65536)
+      s"""WITH members AS (SELECT DISTINCT CAST(event_id AS VARCHAR) AS k
+         |FROM events WHERE event_type = 'error'),
+         |setbits AS (SELECT DISTINCT
+         |('0x' || substr(md5(k), 8*i+1, 8))::BIGINT % $m AS pos
+         |FROM members, UNNEST(range(0, 4)) t(i)),
+         |users AS (SELECT CAST(event_id AS VARCHAR) AS k,
+         |MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1 AS true_member
+         |FROM events GROUP BY 1),
+         |probes AS (SELECT k, true_member,
+         |('0x' || substr(md5(k), 8*i+1, 8))::BIGINT % $m AS pos
+         |FROM users, UNNEST(range(0, 4)) t(i)),
+         |hits AS (SELECT p.k, p.true_member, COUNT(s.pos) = 4 AS bloom_hit
+         |FROM probes p LEFT JOIN setbits s ON s.pos = p.pos
+         |GROUP BY 1, 2)
+         |SELECT k, true_member, bloom_hit,
+         |(bloom_hit OR NOT true_member) AS no_false_negative
+         |FROM hits""".stripMargin
     },
 
     // the full composed recursion: coarse k-means over the NORMALIZED

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming Bloom = batch Bloom: same md5 bit algebra, merge = OR —
+  * a stream-built filter answers every membership probe exactly as
+  * the batch `sketch_bloom` query on the same member keys. */
+class BloomSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("merge is associative/commutative and update is order-independent") {
+    val keys = (1 to 500).map(i => s"k$i")
+    val (a, b) = keys.splitAt(200)
+    def z = new Array[Byte](65536 / 8)
+    val whole = keys.foldLeft(z)(BloomSketch.update)
+    val merged = BloomSketch.merge(
+      a.foldLeft(z)(BloomSketch.update),
+      b.reverse.foldLeft(z)(BloomSketch.update))
+    assert(whole.toSeq == merged.toSeq)
+    // the contract: every inserted key is a member, regardless of path
+    assert(keys.forall(BloomSketch.contains(whole, _)))
+    assert(keys.forall(BloomSketch.contains(merged, _)))
+  }
+
+  test("stream-built filter across micro-batches answers like the batch sketch_bloom query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    // batch truth: per-event-id (true_member, bloom_hit) at sf0.001
+    val batch = graft.queries.ExtendedQueries
+      .queries("sketch_bloom")(spark, "/root/testdata/sf0.001")
+      .select("k", "true_member", "bloom_hit")
+      .as[(String, Boolean, Boolean)].collect()
+    assert(batch.nonEmpty)
+
+    // stream the SAME member keys (error event ids) through the fold
+    val memberIds = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .where(org.apache.spark.sql.functions.col("event_type") === "error")
+      .select("event_id").as[Long].collect().map(_.toString).distinct
+    val src = MemoryStream[String]
+    val q = BloomSketch.filters[String](src.toDS(), _ => "all", identity)
+      .toDF("g", "bits")
+      .writeStream.outputMode("update").format("memory").queryName("bloom_stream").start()
+    val bits =
+      try {
+        val (first, second) = memberIds.splitAt(memberIds.length / 2)
+        src.addData(first.toIndexedSeq); q.processAllAvailable()
+        src.addData(second.toIndexedSeq); q.processAllAvailable()
+        spark.table("bloom_stream").as[(String, Array[Byte])].collect().last._2
+      } finally q.stop()
+
+    // the stream filter reproduces the batch query's verdict for
+    // EVERY probe key — members and false positives alike
+    batch.foreach { case (k, _, hit) =>
+      assert(BloomSketch.contains(bits, k) == hit, s"key $k")
+    }
+    // and the Bloom contract holds: every member hits
+    assert(batch.filter(_._2).forall(_._3))
+  }
+}
