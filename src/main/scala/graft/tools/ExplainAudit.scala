@@ -159,6 +159,11 @@ object ExplainAudit {
       "centroid routing is a literal-model projection: ZERO joins on the scoring scan") { p =>
       !p.contains("Join") && !p.contains("CartesianProduct")
     }
+    audit("sketch_bloom",
+      "set-bit table broadcast to the probe side; map-side partial distinct") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        p.contains("partial_count")
+    }
     // the doc_id-keyed score join is corpus×corpus — a shuffle join is
     // the CORRECT plan for it at 100 TB; what must never appear is a
     // cartesian, and the token→model join must stay broadcast

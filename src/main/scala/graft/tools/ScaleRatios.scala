@@ -38,7 +38,8 @@ object ScaleRatios {
       "dedup_corpus", "sim_pq_topk", "text_lm_score",
       // r7 second batch: the composed IVF-PQ index (both trainers),
       // the trained NB classifier gate, the centroid router
-      "sim_ivfpq_topk", "text_classify_nb", "sim_classify_centroid")
+      "sim_ivfpq_topk", "text_classify_nb", "sim_classify_centroid",
+      "sketch_bloom")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
