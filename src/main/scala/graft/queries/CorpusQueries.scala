@@ -79,6 +79,11 @@ object CorpusQueries {
   private def BM25_TERMS = GraftConf.strings("graft.bm25.terms",
     Seq("spark", "vector", "merge"))
   private def TOPK = GraftConf.int("graft.topk", 10)
+  /** DSIR importance resampling: hashed-feature bucket count, target
+    * language, and how many docs the Gumbel-top-k draw keeps. */
+  private def DSIR_B = GraftConf.int("graft.dsir.buckets", 256)
+  private def DSIR_LANG = GraftConf.string("graft.dsir.targetLang", "en")
+  private def DSIR_KEEP = GraftConf.int("graft.dsir.keep", 100)
 
   /** Connected components of the LSH candidate graph by iterative
     * min-label propagation; converges when the (monotone non-increasing)
@@ -747,6 +752,57 @@ object CorpusQueries {
           col("score0").cast(DecimalType(18, 8)).cast("double").as("score"))
         .orderBy(desc("score"), col("doc_id"))
         .limit(TOPK)
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — the public method
+    // behind domain-targeted pretraining mixes): hash every token into
+    // DSIR_B feature buckets, estimate the target bucket distribution
+    // p̂ from the DSIR_LANG slice and the raw distribution q̂ from the
+    // whole corpus (add-one smoothing over B buckets), score each doc
+    // with its log importance weight Σ_tokens ln(p̂_b/q̂_b), and keep
+    // DSIR_KEEP docs by a Gumbel-top-k draw — equivalent to sampling
+    // without replacement with probability ∝ exp(logw), the paper's
+    // resampling step. Determinism: the Gumbel uniform is md5-derived
+    // (the curate_weighted_sample discipline) and every transcendental
+    // rounds through DECIMAL(18,6) before the exact decimal sum, so
+    // both engines rank identically. Scale: the bucket table is O(B)
+    // rows built by one map-side-combined token shuffle, it broadcasts
+    // back onto the token stream, per-doc sums shuffle on doc_id, and
+    // the selection is orderBy+limit → TakeOrderedAndProject (per-
+    // partition heaps, never a global single-partition sort). The
+    // corpus is never pairwise-joined: cost is O(corpus tokens).
+    "curate_dsir" -> ((s, dir) => {
+      val b = DSIR_B
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("lang") === lit(DSIR_LANG)).as("tgt"),
+          explode(toks).as("w"))
+        .withColumn("bkt",
+          conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % b)
+      val dist = tok.groupBy(col("bkt")).agg(
+        count(lit(1)).as("cq"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("cp"))
+      val tot = tok.agg(count(lit(1)).as("nq"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("np"))
+      val term = dist.crossJoin(broadcast(tot))
+        .withColumn("t",
+          (log((col("cp") + lit(1)).cast("double") /
+              (col("np") + lit(b)).cast("double")) -
+            log((col("cq") + lit(1)).cast("double") /
+              (col("nq") + lit(b)).cast("double")))
+            .cast(DecimalType(18, 6)))
+        .select(col("bkt"), col("t"))
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double") + 1.0) / 4294967296.0
+      tok.join(broadcast(term), Seq("bkt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("t")).as("logw"))
+        .withColumn("g", (-log(-log(u))).cast(DecimalType(18, 6)))
+        .withColumn("gkey", col("logw") + col("g"))
+        .orderBy(col("gkey").desc, col("doc_id"))
+        .limit(DSIR_KEEP)
+        .select(col("doc_id"), col("n_tokens"),
+          col("logw").cast("double").as("logw"))
     })
   )
 
@@ -1068,6 +1124,33 @@ object CorpusQueries {
          |SELECT doc_id,
          |CAST(CAST(score0 AS DECIMAL(18,8)) AS DOUBLE) AS score
          |FROM scored ORDER BY score DESC, doc_id LIMIT $TOPK""".stripMargin
-    }
+    },
+
+    // identical hashed-bucket estimation, DECIMAL(18,6)-rounded ln
+    // terms, exact decimal sums, and the same md5-derived Gumbel key —
+    // so the top-k frontier is engine-identical
+    "curate_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, lang = '$DSIR_LANG' AS tgt,
+         |('0x' || substr(md5(w), 1, 8))::BIGINT % $DSIR_B AS bkt
+         |FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |FROM documents)),
+         |dist AS (SELECT bkt, COUNT(*) AS cq,
+         |SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS cp FROM tok GROUP BY bkt),
+         |tot AS (SELECT COUNT(*) AS nq,
+         |SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS np FROM tok),
+         |term AS (SELECT bkt,
+         |CAST(ln((cp + 1.0) / (np + ${DSIR_B}.0)) -
+         |ln((cq + 1.0) / (nq + ${DSIR_B}.0)) AS DECIMAL(18,6)) AS t
+         |FROM dist CROSS JOIN tot),
+         |docw AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(t) AS logw
+         |FROM tok JOIN term USING (bkt) GROUP BY doc_id),
+         |keyed AS (SELECT doc_id, n_tokens, logw,
+         |logw + CAST(-ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+         | + 1.0) / 4294967296.0)) AS DECIMAL(18,6)) AS gkey
+         |FROM docw)
+         |SELECT doc_id, n_tokens, CAST(logw AS DOUBLE) AS logw
+         |FROM (SELECT doc_id, n_tokens, logw,
+         |row_number() OVER (ORDER BY gkey DESC, doc_id) AS rn FROM keyed)
+         |WHERE rn <= $DSIR_KEEP""".stripMargin
   )
 }

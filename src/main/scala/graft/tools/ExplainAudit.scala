@@ -171,6 +171,14 @@ object ExplainAudit {
       "NB token→model join broadcast; class table broadcast; no cartesian") { p =>
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
     }
+    // the O(B)-row bucket table must broadcast back onto the token
+    // stream (never shuffle-join the corpus tokens), and the final
+    // keep-k must be a per-partition top-k heap, not a global sort
+    audit("curate_dsir",
+      "bucket distribution broadcast onto tokens; Gumbel top-k = TakeOrderedAndProject") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        p.contains("TakeOrderedAndProject") && count(p, "Window") == 0
+    }
 
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")

@@ -56,4 +56,31 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(out(0).drop(2).forall(_ == 0L))
     assert(out(1).toSeq == vec(9L, 9L).toSeq) // untouched old centroid
   }
+
+  test("curate_dsir: importance weights discriminate the target slice; " +
+    "top-k is exact and deterministic") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val q = CorpusQueries.queries("curate_dsir")
+    // default: exactly DSIR_KEEP survivors, twice the same frontier
+    val kept = q(spark, dir).collect()
+    assert(kept.length == 100)
+    assert(q(spark, dir).collect().toSeq == kept.toSeq, "rerun-stable")
+    // widen keep to the whole corpus: the log importance weight must
+    // rank the target language above the rest ON AVERAGE — the whole
+    // point of DSIR's p̂/q̂ estimation (bucket hashing blurs
+    // individual docs, the slice-level signal must survive)
+    try {
+      spark.conf.set("graft.dsir.keep", "100000")
+      val all = q(spark, dir)
+        .join(spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val m = all.groupBy(col("lang") === "en")
+        .agg(avg(col("logw"))).collect()
+        .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      assert(m(true) > m(false),
+        s"mean logw en=${m(true)} must exceed non-en=${m(false)}")
+      assert(all.count() == 500L, "keep wider than corpus returns every doc")
+    } finally spark.conf.unset("graft.dsir.keep")
+  }
 }

@@ -91,6 +91,15 @@ class GraftConfSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("curate_span_dedup").contains("i*12+1"))
   }
 
+  test("dsir target language and keep flow to plan and oracle together") {
+    withConf("graft.dsir.targetLang" -> "zh", "graft.dsir.keep" -> "7") {
+      val sql = SparkEntry.oracleSql("curate_dsir")
+      assert(sql.contains("lang = 'zh'") && sql.contains("rn <= 7"))
+      assert(SparkEntry.queries("curate_dsir")(spark, dir).count() == 7L)
+    }
+    assert(SparkEntry.oracleSql("curate_dsir").contains("lang = 'en'"))
+  }
+
   test("k-means refuses loudly at the round cap instead of spinning or returning unconverged") {
     withConf("graft.kmeans.maxIters" -> "1") {
       val e = intercept[IllegalStateException] {
