@@ -79,6 +79,8 @@ object CorpusQueries {
   private def BM25_TERMS = GraftConf.strings("graft.bm25.terms",
     Seq("spark", "vector", "merge"))
   private def TOPK = GraftConf.int("graft.topk", 10)
+  /** BPE merge training: how many merge rules to learn. */
+  private def BPE_MERGES = GraftConf.int("graft.bpe.merges", 8)
   /** DSIR importance resampling: hashed-feature bucket count, target
     * language, and how many docs the Gumbel-top-k draw keeps. */
   private def DSIR_B = GraftConf.int("graft.dsir.buckets", 256)
@@ -403,6 +405,67 @@ object CorpusQueries {
       j += 1
     }
     next
+  }
+
+  /** BPE merge training (Sennrich et al. 2016, the tokenizer-training
+    * algorithm): learn up to `nMerges` merge rules over the corpus word
+    * frequency table. Each round counts adjacent symbol pairs weighted
+    * by word frequency, picks the most frequent (tiebreak: pair
+    * lexicographic — deterministic at any parallelism), and applies the
+    * merge greedily left-to-right inside every word.
+    *
+    * Engine-portable merge application: a word's symbol sequence is
+    * encoded as the string ⟨US sym RS⟩* (US=U+001F, RS=U+001E, neither
+    * occurs in corpus text), so "merge pair (a,b) greedily leftmost,
+    * non-overlapping" is EXACTLY `replace(enc, USaRS·USbRS, USabRS)` —
+    * both Spark's UTF8String.replace and DuckDB's replace scan left to
+    * right and resume after each replacement, and the per-symbol
+    * wrapping means no occurrence can straddle a replacement boundary.
+    *
+    * Scale shape (the kmFit posture): the distributed state is the word
+    * frequency table (one corpus token shuffle, built once); each round
+    * is ONE map-side-combined pair-count shuffle over it plus a 1-row
+    * argmax collect (TakeOrderedAndProject) — control-plane bytes on
+    * the driver, never data. The merge rules accumulate as a nested
+    * replace expression (depth ≤ nMerges), so round r's scan applies
+    * all r-1 previous merges in one codegen'd pass: no per-round
+    * materialization of the word table. Stops early when no adjacent
+    * pairs remain. */
+  private[graft] def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val S1 = "\u001f"; val S2 = "\u001e"
+    val wf = docs
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("enc", regexp_replace(col("w"), "(.)", s"$S1$$1$S2"))
+      .localCheckpoint() // bounded: O(distinct words); persist() on a cluster
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var enc: Column = col("enc")
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val syms = transform(
+        filter(split(enc, S2), x => x =!= lit("")),
+        x => substring(x, 2, 1 << 30))
+      val top = wf.select(col("freq"), syms.as("sy"))
+        .where(size(col("sy")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("sy")) - 1), i =>
+            struct(element_at(col("sy"), i).as("a"),
+              element_at(col("sy"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, pf) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((merges.size + 1L, a, b, pf))
+        enc = replace(enc, lit(S1 + a + S2 + S1 + b + S2), lit(S1 + a + b + S2))
+      }
+    }
+    merges.toSeq.toDF("rank", "sym_a", "sym_b", "pair_freq")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -803,7 +866,14 @@ object CorpusQueries {
         .limit(DSIR_KEEP)
         .select(col("doc_id"), col("n_tokens"),
           col("logw").cast("double").as("logw"))
-    })
+    }),
+
+    // Tokenizer training: the BPE merge-rule table learned from the
+    // corpus (see bpeTrain for algorithm + scale notes). The output IS
+    // the model — rank-ordered merge rules with their pair frequencies,
+    // the artifact a tokenizer build step would freeze and ship.
+    "text_bpe_train" -> ((s, dir) =>
+      bpeTrain(Tables.documents(s, dir), BPE_MERGES))
   )
 
   /** Recursive-CTE Lloyd to the SAME fixpoint as [[kmFit]] — the
@@ -1151,6 +1221,50 @@ object CorpusQueries {
          |SELECT doc_id, n_tokens, CAST(logw AS DOUBLE) AS logw
          |FROM (SELECT doc_id, n_tokens, logw,
          |row_number() OVER (ORDER BY gkey DESC, doc_id) AS rn FROM keyed)
-         |WHERE rn <= $DSIR_KEEP""".stripMargin
+         |WHERE rn <= $DSIR_KEEP""".stripMargin,
+
+    // the recursive CTE replays the merge loop in lockstep: same
+    // greedy-leftmost replace() on the same US/RS symbol encoding,
+    // same (freq DESC, pair lexicographic) argmax — integer counts
+    // only, so the merge sequence is engine-identical
+    "text_bpe_train" ->
+      s"""WITH RECURSIVE wf AS (
+         |SELECT w, COUNT(*) AS freq,
+         |regexp_replace(w, '(.)', chr(31) || '\\1' || chr(30), 'g') AS enc
+         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |GROUP BY w),
+         |it(round, merges, freqs) AS (
+         |SELECT 0, []::VARCHAR[], []::BIGINT[]
+         |UNION ALL
+         |SELECT round + 1, list_append(merges, pat),
+         |list_append(freqs, CAST(pf AS BIGINT))
+         |FROM (
+         |SELECT round, merges, freqs,
+         |first(chr(31) || a || chr(30) || chr(31) || b || chr(30)
+         |ORDER BY pf0 DESC, a, b) AS pat,
+         |MAX(pf0) AS pf
+         |FROM (
+         |SELECT round, merges, freqs, a, b, SUM(freq) AS pf0
+         |FROM (
+         |SELECT round, merges, freqs, freq, syms[i] AS a, syms[i+1] AS b
+         |FROM (
+         |SELECT it.round, it.merges, it.freqs, wf.freq,
+         |list_transform(list_filter(string_split(
+         |list_reduce(list_prepend(wf.enc, it.merges),
+         |(acc, m) -> replace(acc, m, replace(m, chr(30) || chr(31), ''))),
+         |chr(30)), s -> s <> ''), s -> s[2:]) AS syms
+         |FROM it, wf
+         |), UNNEST(range(1, len(syms))) u(i)
+         |) GROUP BY round, merges, freqs, a, b
+         |) GROUP BY round, merges, freqs
+         |) WHERE round < $BPE_MERGES
+         |),
+         |fin AS (SELECT merges, freqs FROM it ORDER BY round DESC LIMIT 1),
+         |flat AS (SELECT unnest(range(1, len(merges) + 1)) AS rank,
+         |unnest(merges) AS m, unnest(freqs) AS pair_freq FROM fin)
+         |SELECT CAST(rank AS BIGINT) AS rank,
+         |(string_split(m, chr(30))[1])[2:] AS sym_a,
+         |(string_split(m, chr(30))[2])[2:] AS sym_b,
+         |pair_freq FROM flat""".stripMargin
   )
 }

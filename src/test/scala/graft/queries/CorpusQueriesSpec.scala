@@ -57,6 +57,29 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(out(1).toSeq == vec(9L, 9L).toSeq) // untouched old centroid
   }
 
+  test("bpeTrain: hand-checked merge sequence, greedy-leftmost application, " +
+    "early stop when no pairs remain") {
+    // corpus tokens: abab ×2, abc ×1
+    //   round 1: (a,b) freq 5  → ab      (beats (b,a)=2, (b,c)=1)
+    //   round 2: (ab,ab) freq 2 (the greedy-leftmost non-overlap count)
+    //   round 3: (ab,c) freq 1
+    //   round 4: no adjacent pairs left → stops at 3 rules, not nMerges
+    val docs = Seq((1L, "abab abab"), (2L, "abc")).toDF("doc_id", "text")
+    val got = CorpusQueries.bpeTrain(docs, 8)
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", "b", 5L), (2L, "ab", "ab", 2L),
+      (3L, "ab", "c", 1L)))
+  }
+
+  test("bpeTrain: pair frequencies are non-increasing across ranks on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val f = CorpusQueries.bpeTrain(docs, 6)
+      .orderBy("rank").select("pair_freq").as[Long].collect().toSeq
+    assert(f.size == 6)
+    assert(f.zip(f.tail).forall { case (x, y) => x >= y },
+      s"merge frequencies must be non-increasing: $f")
+  }
+
   test("curate_dsir: importance weights discriminate the target slice; " +
     "top-k is exact and deterministic") {
     import org.apache.spark.sql.functions._

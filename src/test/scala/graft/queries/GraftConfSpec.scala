@@ -100,6 +100,14 @@ class GraftConfSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("curate_dsir").contains("lang = 'en'"))
   }
 
+  test("bpe merge budget flows to plan and oracle together") {
+    withConf("graft.bpe.merges" -> "2") {
+      assert(SparkEntry.oracleSql("text_bpe_train").contains("round < 2"))
+      assert(SparkEntry.queries("text_bpe_train")(spark, dir).count() == 2L)
+    }
+    assert(SparkEntry.oracleSql("text_bpe_train").contains("round < 8"))
+  }
+
   test("k-means refuses loudly at the round cap instead of spinning or returning unconverged") {
     withConf("graft.kmeans.maxIters" -> "1") {
       val e = intercept[IllegalStateException] {
