@@ -81,6 +81,12 @@ object CorpusQueries {
   private def TOPK = GraftConf.int("graft.topk", 10)
   /** BPE merge training: how many merge rules to learn. */
   private def BPE_MERGES = GraftConf.int("graft.bpe.merges", 8)
+  /** Perplexity bucketing: equal-width histogram bin count over the
+    * per-doc LM score, and the first bucket index that survives the
+    * quality gate (higher bucket = higher mean log-prob = lower
+    * perplexity). */
+  private def PPL_NB = GraftConf.int("graft.ppl.buckets", 10)
+  private def PPL_KEEP_FROM = GraftConf.int("graft.ppl.keepFrom", 5)
   /** DSIR importance resampling: hashed-feature bucket count, target
     * language, and how many docs the Gumbel-top-k draw keeps. */
   private def DSIR_B = GraftConf.int("graft.dsir.buckets", 256)
@@ -873,8 +879,58 @@ object CorpusQueries {
     // the model — rank-ordered merge rules with their pair frequencies,
     // the artifact a tokenizer build step would freeze and ship.
     "text_bpe_train" -> ((s, dir) =>
-      bpeTrain(Tables.documents(s, dir), BPE_MERGES))
+      bpeTrain(Tables.documents(s, dir), BPE_MERGES)),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020: score every
+    // doc with a small LM, split the corpus into quality buckets, keep
+    // the low-perplexity slice). Scored by the SAME bigram LM as
+    // text_lm_score (lmTrain/lmScore — one algebra, zero drift), then
+    // binned into PPL_NB equal-width buckets over [min,max] of the
+    // score. Deliberately NOT ntile: a rank-based decile needs a global
+    // sort of the corpus (single-partition window — a 100 TB
+    // scale-killer); equal-width edges need only a 2-value min/max agg
+    // that broadcasts back, keeping the assignment a zero-shuffle
+    // projection. Bucketing on lm_score IS perplexity bucketing: ppl =
+    // exp(-lm_score) is monotone, so the bucket partition is identical
+    // and no transcendental enters the hashed output. keep mirrors
+    // CCNet's head/middle cut: buckets ≥ PPL_KEEP_FROM (lower ppl).
+    "curate_ppl_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (cab, ca, v) = lmTrain(docs)
+      val scored = lmScore(docs, cab, ca, v)
+      val nb = PPL_NB
+      val mm = scored.agg(min(col("lm_score")).as("lo"),
+        max(col("lm_score")).as("hi"))
+      scored.crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          when(col("hi") === col("lo"), lit(0))
+            .otherwise(least(lit(nb - 1),
+              floor((col("lm_score") - col("lo")) * nb /
+                (col("hi") - col("lo"))).cast("int"))))
+        .withColumn("keep", col("bucket") >= PPL_KEEP_FROM)
+        .select(col("doc_id"), col("lm_score"), col("bucket"), col("keep"))
+    })
   )
+
+  /** The bigram-LM scoring chain as DuckDB CTEs ending in
+    * `scored(doc_id, n_bigrams, lm_score)` — the oracle twin of
+    * [[lmTrain]]+[[lmScore]], shared by text_lm_score and the
+    * perplexity-bucketing query so the two oracles cannot drift. */
+  private def oLmScored: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+      |FROM t, UNNEST(range(1, len(ws))) u(i)),
+      |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
+      |ca AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY 1),
+      |vv AS (SELECT COUNT(DISTINCT w) AS v FROM
+      |(SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+      |terms AS (SELECT doc_id,
+      |CAST(ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v AS DOUBLE)) AS DECIMAL(18,6)) AS term
+      |FROM bi JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv),
+      |scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |CAST(SUM(term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
+      |FROM terms GROUP BY doc_id)""".stripMargin
 
   /** Recursive-CTE Lloyd to the SAME fixpoint as [[kmFit]] — the
     * oracle half of the trainer, parameterized so `cluster_kmeans`
@@ -942,20 +998,8 @@ object CorpusQueries {
     // DECIMAL(18,6) before the exact decimal sum, so partition order
     // cannot move the hash on either engine
     "text_lm_score" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |WHERE len(string_split(text, ' ')) >= 2),
-        |bi AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b
-        |FROM t, UNNEST(range(1, len(ws))) u(i)),
-        |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY 1, 2),
-        |ca AS (SELECT a, COUNT(*) AS c_a FROM bi GROUP BY 1),
-        |vv AS (SELECT COUNT(DISTINCT w) AS v FROM
-        |(SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
-        |terms AS (SELECT doc_id,
-        |CAST(ln(CAST(c_ab + 1 AS DOUBLE) / CAST(c_a + v AS DOUBLE)) AS DECIMAL(18,6)) AS term
-        |FROM bi JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |CAST(SUM(term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lm_score
-        |FROM terms GROUP BY doc_id""".stripMargin,
+      s"""WITH $oLmScored
+        |SELECT doc_id, n_bigrams, lm_score FROM scored""".stripMargin,
 
     "cluster_kmeans" ->
       s"""WITH RECURSIVE ${oKmeansCte(KM_K, KM_D, KM_MAX)}
@@ -1265,6 +1309,19 @@ object CorpusQueries {
          |SELECT CAST(rank AS BIGINT) AS rank,
          |(string_split(m, chr(30))[1])[2:] AS sym_a,
          |(string_split(m, chr(30))[2])[2:] AS sym_b,
-         |pair_freq FROM flat""".stripMargin
+         |pair_freq FROM flat""".stripMargin,
+
+    // same scored chain as text_lm_score (shared oLmScored CTEs), same
+    // left-associative double arithmetic for the bin edges — bucket
+    // indices are engine-identical
+    "curate_ppl_buckets" ->
+      s"""WITH $oLmScored,
+         |mm AS (SELECT MIN(lm_score) AS lo, MAX(lm_score) AS hi FROM scored)
+         |SELECT doc_id, lm_score, bucket, bucket >= $PPL_KEEP_FROM AS keep
+         |FROM (SELECT doc_id, lm_score,
+         |CASE WHEN hi = lo THEN 0 ELSE
+         |LEAST(${PPL_NB - 1}, CAST(FLOOR((lm_score - lo) * $PPL_NB /
+         |(hi - lo)) AS INTEGER)) END AS bucket
+         |FROM scored CROSS JOIN mm)""".stripMargin
   )
 }

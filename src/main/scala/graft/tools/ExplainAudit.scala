@@ -179,6 +179,14 @@ object ExplainAudit {
       p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         p.contains("TakeOrderedAndProject") && count(p, "Window") == 0
     }
+    // equal-width binning, NOT ntile: no Window anywhere (a rank-based
+    // decile would be a single-partition global sort), min/max edges
+    // broadcast back as a nested-loop join of a 1-row relation
+    audit("curate_ppl_buckets",
+      "bucket edges from a broadcast 1-row min/max agg; NO global-sort window") { p =>
+      count(p, "Window") == 0 && p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")
+    }
 
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")

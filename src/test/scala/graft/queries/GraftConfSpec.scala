@@ -108,6 +108,19 @@ class GraftConfSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("text_bpe_train").contains("round < 8"))
   }
 
+  test("ppl bucket count and keep threshold flow to plan and oracle together") {
+    withConf("graft.ppl.buckets" -> "4", "graft.ppl.keepFrom" -> "2") {
+      val sql = SparkEntry.oracleSql("curate_ppl_buckets")
+      assert(sql.contains("LEAST(3") && sql.contains(">= 2 AS keep"))
+      val rows = SparkEntry.queries("curate_ppl_buckets")(spark, dir)
+        .select("bucket", "keep").collect()
+      assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 3))
+      assert(rows.forall(r => r.getBoolean(1) == (r.getInt(0) >= 2)))
+      // every doc with ≥2 tokens lands in exactly one bucket
+      assert(rows.length > 0)
+    }
+  }
+
   test("k-means refuses loudly at the round cap instead of spinning or returning unconverged") {
     withConf("graft.kmeans.maxIters" -> "1") {
       val e = intercept[IllegalStateException] {
