@@ -627,6 +627,33 @@ object ExtendedQueries {
           (col("bloom_hit") || !col("true_member")).as("no_false_negative"))
     }),
 
+    // SpaceSaving / Misra-Gries heavy hitters — the fifth classic
+    // sketch. The incremental algorithm's counter table is stream-
+    // order-dependent, so the CATALOG query emits its canonical
+    // order-independent form: the offline MG summary f'(x) =
+    // max(0, f(x) − d) with d = the (k+1)-th largest frequency — the
+    // summary every merge/update path converges to within the d error
+    // bound, which is what makes it exact-oracle-able. Per row the MG
+    // guarantee is explicit: true f ∈ [guaranteed_count,
+    // guaranteed_count + max_error], and ≤ k rows survive. Scale: ONE
+    // map-side-combined count shuffle + a TakeOrdered(k+1) for d (a
+    // 1-row driver scalar, control plane); the incremental/mergeable
+    // streaming twin with O(cap) state is streaming.SpaceSavingSketch
+    // (spec proves it brackets these exact counts and captures every
+    // heavy hitter emitted here).
+    "sketch_spacesaving" -> ((s, dir) => {
+      val k = GraftConf.int("graft.sketch.mgK", 16)
+      val counts = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("w")).limit(k + 1)
+        .agg(count(lit(1)).as("n"), min(col("cnt")).as("m")).collect()(0)
+      val d = if (top.getLong(0) >= k + 1) top.getLong(1) else 0L
+      counts.where(col("cnt") > d)
+        .select(col("w").as("word"), col("cnt").as("exact_count"),
+          (col("cnt") - d).as("guaranteed_count"), lit(d).as("max_error"))
+    }),
+
     // Count-min sketch heavy hitters: build a d=4 × w=256 sketch over
     // the event stream (each event increments one bucket per hash row;
     // hashes are md5-derived, so the sketch is deterministic and
@@ -1162,6 +1189,22 @@ object ExtendedQueries {
          |SELECT k, true_member, bloom_hit,
          |(bloom_hit OR NOT true_member) AS no_false_negative
          |FROM hits""".stripMargin
+    },
+
+    // same canonical MG compression: d = (k+1)-th largest count,
+    // survivors are counts strictly above d
+    "sketch_spacesaving" -> {
+      val k = GraftConf.int("graft.sketch.mgK", 16)
+      s"""WITH c AS (SELECT w, COUNT(*) AS cnt FROM
+         |(SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |GROUP BY w),
+         |dd AS (SELECT CASE WHEN COUNT(*) >= ${k + 1}
+         |THEN MIN(cnt) ELSE 0 END AS d
+         |FROM (SELECT cnt FROM c ORDER BY cnt DESC LIMIT ${k + 1}))
+         |SELECT w AS word, CAST(cnt AS BIGINT) AS exact_count,
+         |CAST(cnt - d AS BIGINT) AS guaranteed_count,
+         |CAST(d AS BIGINT) AS max_error
+         |FROM c CROSS JOIN dd WHERE cnt > d""".stripMargin
     },
 
     // the full composed recursion: coarse k-means over the NORMALIZED

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+/** Streaming heavy-hitter summary — the SpaceSaving/Misra-Gries family
+  * (Metwally et al. 2005; Misra-Gries 1982) in its MERGEABLE form
+  * (Agarwal et al., "Mergeable Summaries", PODS 2012): at most `cap`
+  * counters plus one scalar deficit `d`, with the invariant
+  *
+  *   c(x) ≤ f(x) ≤ c(x) + d        for every key x (absent ⇒ c = 0)
+  *
+  * held by BOTH the per-item update (classic MG: increment if tracked,
+  * insert if room, else decrement-all-and-drop-zeros, d += 1) and the
+  * summary merge (pointwise sum, subtract the (cap+1)-th largest,
+  * d := d_a + d_b + subtracted) — so partials folded per partition and
+  * merged across partitions/micro-batches keep the guarantee no matter
+  * how the stream interleaves. Every key with f > n/(cap+1) is
+  * guaranteed tracked. State is O(cap) per group — the coordinator
+  * ships `cap` counters, never the key space; this is the top-k
+  * front line an ingest pipeline runs next to [[BloomSketch]] and the
+  * count-min estimates.
+  *
+  * The batch catalog twin (`sketch_spacesaving`) emits the CANONICAL
+  * offline summary (exact counts compressed by the (k+1)-th largest —
+  * the order-independent fixpoint this incremental form approximates),
+  * which is what makes it exact-oracle-able; the spec proves this
+  * incremental summary brackets the exact counts and captures every
+  * canonical heavy hitter.
+  *
+  * Reference scope: slipstream's fold/aggregate vocabulary
+  * (slipstream/operations.py) has no sketch story; this extends it
+  * the same way the other four sketches do.
+  */
+object SpaceSavingSketch {
+
+  /** (counters, deficit). */
+  type Summary = (Map[String, Long], Long)
+
+  val empty: Summary = (Map.empty, 0L)
+
+  /** Classic MG update, copy-on-write. O(cap) on the (rare) decrement
+    * path; the SpaceSaving O(1)-eviction variant trades the same
+    * bound — the MG form is used because its merge is the proven one. */
+  def update(state: Summary, key: String, cap: Int): Summary = {
+    val (m, d) = state
+    if (m.contains(key)) (m.updated(key, m(key) + 1), d)
+    else if (m.size < cap) (m.updated(key, 1L), d)
+    else {
+      val dec = m.iterator
+        .map { case (k, c) => k -> (c - 1) }.filter(_._2 > 0).toMap
+      (dec, d + 1)
+    }
+  }
+
+  /** Mergeable-summaries MG merge: pointwise sum, then compress back
+    * to ≤ cap counters by subtracting the (cap+1)-th largest combined
+    * count from every counter (dropping the non-positive). */
+  def merge(a: Summary, b: Summary, cap: Int): Summary = {
+    val sum = (a._1.keySet ++ b._1.keySet).iterator
+      .map(k => k -> (a._1.getOrElse(k, 0L) + b._1.getOrElse(k, 0L))).toMap
+    if (sum.size <= cap) (sum, a._2 + b._2)
+    else {
+      val d = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(cap)
+      val kept = sum.collect { case (k, c) if c > d => k -> (c - d) }
+      (kept, a._2 + b._2 + d)
+    }
+  }
+
+  /** Per-group streaming (or batch) summaries over [[Fold.applyPartial]]:
+    * each partition folds its rows into a local O(cap) summary, the
+    * shuffle moves summaries (never rows), the state store merges. */
+  def summaries[V](
+      ds: Dataset[V],
+      group: V => String,
+      key: V => String,
+      cap: Int = 16)(implicit spark: SparkSession): Dataset[(String, Summary)] = {
+    import spark.implicits._
+    implicit val kv: Encoder[(String, Summary)] =
+      newProductEncoder[(String, (Map[String, Long], Long))]
+    Fold.applyPartial[String, V, Summary](
+      ds, group, empty, (s, v) => update(s, key(v), cap), merge(_, _, cap))
+  }
+}

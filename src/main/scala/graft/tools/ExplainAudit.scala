@@ -179,6 +179,14 @@ object ExplainAudit {
       p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         p.contains("TakeOrderedAndProject") && count(p, "Window") == 0
     }
+    // the survivor filter runs against a driver-scalar d (the builder's
+    // TakeOrdered(k+1) already executed): the emitted plan must be the
+    // one count shuffle with map-side partials and nothing else
+    audit("sketch_spacesaving",
+      "one map-side-combined count shuffle; no window, no join") { p =>
+      p.contains("partial_count") && count(p, "Window") == 0 &&
+        !p.contains("Join") && count(p, "Exchange") <= 1
+    }
     // equal-width binning, NOT ntile: no Window anywhere (a rank-based
     // decile would be a single-partition global sort), min/max edges
     // broadcast back as a nested-loop join of a 1-row relation

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MG/SpaceSaving invariant c(x) ≤ f(x) ≤ c(x) + d must hold for
+  * every update order and every merge tree, and the stream-built
+  * summary must capture every heavy hitter the canonical batch
+  * `sketch_spacesaving` summary emits. */
+class SpaceSavingSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val CAP = 16
+
+  private def exact(keys: Seq[String]): Map[String, Long] =
+    keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def assertInvariant(
+      s: SpaceSavingSketch.Summary, keys: Seq[String]): Unit = {
+    val f = exact(keys)
+    val (c, d) = s
+    assert(c.size <= CAP, s"at most $CAP counters, got ${c.size}")
+    f.foreach { case (k, fx) =>
+      val cx = c.getOrElse(k, 0L)
+      assert(cx <= fx && fx <= cx + d,
+        s"key $k: counter $cx, true $fx, deficit $d")
+    }
+    // the MG capture guarantee: f > n/(cap+1) ⇒ tracked
+    val n = keys.size.toLong
+    f.collect { case (k, fx) if fx * (CAP + 1) > n => k }
+      .foreach(k => assert(c.contains(k), s"heavy hitter $k untracked"))
+  }
+
+  test("update invariant holds for adversarial orders; merge invariant for any split") {
+    // skewed multiset: k1 ×120, k2 ×60, k3 ×30, 100 distinct singletons
+    val keys = Seq.fill(120)("k1") ++ Seq.fill(60)("k2") ++
+      Seq.fill(30)("k3") ++ (1 to 100).map(i => s"s$i")
+    val orders = Seq(keys, keys.reverse, keys.sorted,
+      keys.grouped(7).toSeq.reverse.flatten)
+    orders.foreach { o =>
+      val s = o.foldLeft(SpaceSavingSketch.empty)(
+        (acc, k) => SpaceSavingSketch.update(acc, k, CAP))
+      assertInvariant(s, keys)
+    }
+    // merges at several split points, including merging empty
+    Seq(0, 1, 31, 155, keys.size).foreach { cut =>
+      val (a, b) = keys.splitAt(cut)
+      val sa = a.foldLeft(SpaceSavingSketch.empty)(
+        (acc, k) => SpaceSavingSketch.update(acc, k, CAP))
+      val sb = b.reverse.foldLeft(SpaceSavingSketch.empty)(
+        (acc, k) => SpaceSavingSketch.update(acc, k, CAP))
+      assertInvariant(SpaceSavingSketch.merge(sa, sb, CAP), keys)
+    }
+  }
+
+  test("stream-built summary brackets exact counts and captures every " +
+    "canonical batch heavy hitter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val words = graft.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .as[String].collect().toSeq
+    val src = MemoryStream[String]
+    val q = SpaceSavingSketch.summaries[String](src.toDS(), _ => "all", identity, CAP)
+      .toDF("g", "s")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ss_stream").start()
+    val summary =
+      try {
+        val (first, second) = words.splitAt(words.length / 3)
+        src.addData(first.toIndexedSeq); q.processAllAvailable()
+        src.addData(second.toIndexedSeq); q.processAllAvailable()
+        spark.table("ss_stream")
+          .as[(String, (Map[String, Long], Long))].collect().last._2
+      } finally q.stop()
+    assertInvariant(summary, words)
+    // every word the canonical batch summary emits with a nonzero
+    // guarantee above the MG threshold must be tracked by the stream
+    val batch = graft.queries.ExtendedQueries
+      .queries("sketch_spacesaving")(spark, dir)
+      .select("word", "exact_count").as[(String, Long)].collect()
+    assert(batch.nonEmpty)
+    val n = words.size.toLong
+    batch.filter { case (_, f) => f * (CAP + 1) > n }
+      .foreach { case (w, _) =>
+        assert(summary._1.contains(w), s"batch heavy hitter $w untracked")
+      }
+  }
+}
