@@ -881,6 +881,35 @@ object CorpusQueries {
     "text_bpe_train" -> ((s, dir) =>
       bpeTrain(Tables.documents(s, dir), BPE_MERGES)),
 
+    // Tokenizer application: encode the corpus with the rules
+    // text_bpe_train just learned and report per-doc token accounting
+    // (words, chars, BPE tokens — the compression the tokenizer buys).
+    // The rule list is control-plane (≤ BPE_MERGES rows collected from
+    // the trainer's LocalRelation); application compiles it into ONE
+    // nested replace chain per word — a zero-shuffle narrow projection
+    // over the corpus, then a single doc_id count shuffle. This is the
+    // billable unit of a training-data pipeline: token counts per doc
+    // at 100 TB cost one pass, not a tokenizer microservice.
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rules = bpeTrain(docs, BPE_MERGES)
+        .orderBy("rank").select("sym_a", "sym_b")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val S1 = "\u001f"; val S2 = "\u001e"
+      val encoded = rules.foldLeft(
+        regexp_replace(col("w"), "(.)", s"$S1$$1$S2")) {
+        case (e, (a, b)) =>
+          replace(e, lit(S1 + a + S2 + S1 + b + S2), lit(S1 + a + b + S2))
+      }
+      docs.select(col("doc_id"), explode(toks).as("w"))
+        .withColumn("n_sym",
+          size(filter(split(encoded, S2), x => x =!= lit(""))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).as("n_chars"),
+          sum(col("n_sym")).as("n_bpe_tokens"))
+    }),
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020: score every
     // doc with a small LM, split the corpus into quality buckets, keep
     // the low-perplexity slice). Scored by the SAME bigram LM as
@@ -911,6 +940,44 @@ object CorpusQueries {
         .select(col("doc_id"), col("lm_score"), col("bucket"), col("keep"))
     })
   )
+
+  /** The BPE merge-training loop as DuckDB CTEs ending in
+    * `fin(merges, freqs)` — the oracle twin of [[bpeTrain]], shared by
+    * text_bpe_train and text_bpe_encode so trainer and encoder oracles
+    * learn the identical rule list. */
+  private def oBpeCte: String =
+    s"""wf AS (
+       |SELECT w, COUNT(*) AS freq,
+       |regexp_replace(w, '(.)', chr(31) || '\\1' || chr(30), 'g') AS enc
+       |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |GROUP BY w),
+       |it(round, merges, freqs) AS (
+       |SELECT 0, []::VARCHAR[], []::BIGINT[]
+       |UNION ALL
+       |SELECT round + 1, list_append(merges, pat),
+       |list_append(freqs, CAST(pf AS BIGINT))
+       |FROM (
+       |SELECT round, merges, freqs,
+       |first(chr(31) || a || chr(30) || chr(31) || b || chr(30)
+       |ORDER BY pf0 DESC, a, b) AS pat,
+       |MAX(pf0) AS pf
+       |FROM (
+       |SELECT round, merges, freqs, a, b, SUM(freq) AS pf0
+       |FROM (
+       |SELECT round, merges, freqs, freq, syms[i] AS a, syms[i+1] AS b
+       |FROM (
+       |SELECT it.round, it.merges, it.freqs, wf.freq,
+       |list_transform(list_filter(string_split(
+       |list_reduce(list_prepend(wf.enc, it.merges),
+       |(acc, m) -> replace(acc, m, replace(m, chr(30) || chr(31), ''))),
+       |chr(30)), s -> s <> ''), s -> s[2:]) AS syms
+       |FROM it, wf
+       |), UNNEST(range(1, len(syms))) u(i)
+       |) GROUP BY round, merges, freqs, a, b
+       |) GROUP BY round, merges, freqs
+       |) WHERE round < $BPE_MERGES
+       |),
+       |fin AS (SELECT merges, freqs FROM it ORDER BY round DESC LIMIT 1)""".stripMargin
 
   /** The bigram-LM scoring chain as DuckDB CTEs ending in
     * `scored(doc_id, n_bigrams, lm_score)` — the oracle twin of
@@ -1272,44 +1339,33 @@ object CorpusQueries {
     // same (freq DESC, pair lexicographic) argmax — integer counts
     // only, so the merge sequence is engine-identical
     "text_bpe_train" ->
-      s"""WITH RECURSIVE wf AS (
-         |SELECT w, COUNT(*) AS freq,
-         |regexp_replace(w, '(.)', chr(31) || '\\1' || chr(30), 'g') AS enc
-         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |GROUP BY w),
-         |it(round, merges, freqs) AS (
-         |SELECT 0, []::VARCHAR[], []::BIGINT[]
-         |UNION ALL
-         |SELECT round + 1, list_append(merges, pat),
-         |list_append(freqs, CAST(pf AS BIGINT))
-         |FROM (
-         |SELECT round, merges, freqs,
-         |first(chr(31) || a || chr(30) || chr(31) || b || chr(30)
-         |ORDER BY pf0 DESC, a, b) AS pat,
-         |MAX(pf0) AS pf
-         |FROM (
-         |SELECT round, merges, freqs, a, b, SUM(freq) AS pf0
-         |FROM (
-         |SELECT round, merges, freqs, freq, syms[i] AS a, syms[i+1] AS b
-         |FROM (
-         |SELECT it.round, it.merges, it.freqs, wf.freq,
-         |list_transform(list_filter(string_split(
-         |list_reduce(list_prepend(wf.enc, it.merges),
-         |(acc, m) -> replace(acc, m, replace(m, chr(30) || chr(31), ''))),
-         |chr(30)), s -> s <> ''), s -> s[2:]) AS syms
-         |FROM it, wf
-         |), UNNEST(range(1, len(syms))) u(i)
-         |) GROUP BY round, merges, freqs, a, b
-         |) GROUP BY round, merges, freqs
-         |) WHERE round < $BPE_MERGES
-         |),
-         |fin AS (SELECT merges, freqs FROM it ORDER BY round DESC LIMIT 1),
+      s"""WITH RECURSIVE $oBpeCte,
          |flat AS (SELECT unnest(range(1, len(merges) + 1)) AS rank,
          |unnest(merges) AS m, unnest(freqs) AS pair_freq FROM fin)
          |SELECT CAST(rank AS BIGINT) AS rank,
          |(string_split(m, chr(30))[1])[2:] AS sym_a,
          |(string_split(m, chr(30))[2])[2:] AS sym_b,
          |pair_freq FROM flat""".stripMargin,
+
+    // retrains via the SAME recursive CTE, then applies the learned
+    // rule list to every word with the identical list_reduce/replace
+    // chain the trainer uses internally — integer outputs only
+    "text_bpe_encode" ->
+      s"""WITH RECURSIVE $oBpeCte,
+         |tok AS (SELECT doc_id, w,
+         |regexp_replace(w, '(.)', chr(31) || '\\1' || chr(30), 'g') AS enc
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |FROM documents)),
+         |seg AS (SELECT doc_id, length(w) AS wlen,
+         |len(list_filter(string_split(
+         |list_reduce(list_prepend(enc, (SELECT merges FROM fin)),
+         |(acc, m) -> replace(acc, m, replace(m, chr(30) || chr(31), ''))),
+         |chr(30)), s -> s <> '')) AS n_sym
+         |FROM tok)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |CAST(SUM(wlen) AS BIGINT) AS n_chars,
+         |CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM seg GROUP BY doc_id""".stripMargin,
 
     // same scored chain as text_lm_score (shared oLmScored CTEs), same
     // left-associative double arithmetic for the bin edges — bucket

@@ -179,6 +179,14 @@ object ExplainAudit {
       p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         p.contains("TakeOrderedAndProject") && count(p, "Window") == 0
     }
+    // the learned rules are literals compiled into one nested replace
+    // chain (the trainer already ran): encoding must be a zero-join
+    // narrow pass with only the doc_id accounting shuffle
+    audit("text_bpe_encode",
+      "rule chain is literal; one map-side-combined doc_id shuffle; no join") { p =>
+      !p.contains("Join") && count(p, "Window") == 0 &&
+        p.contains("partial_count")
+    }
     // the survivor filter runs against a driver-scalar d (the builder's
     // TakeOrdered(k+1) already executed): the emitted plan must be the
     // one count shuffle with map-side partials and nothing else

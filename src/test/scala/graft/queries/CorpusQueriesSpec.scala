@@ -80,6 +80,29 @@ class CorpusQueriesSpec extends AnyFunSuite {
       s"merge frequencies must be non-increasing: $f")
   }
 
+  test("text_bpe_encode: token accounting invariants; zero merges = chars") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val q = CorpusQueries.queries("text_bpe_encode")
+    val rows = q(spark, dir)
+      .as[(Long, Long, Long, Long)].collect() // doc_id, n_words, n_chars, n_bpe
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nw, nc, nb) =>
+      assert(nb <= nc, s"doc $id: merges can only shrink ($nb > $nc)")
+      assert(nb >= nw, s"doc $id: every word is at least one symbol")
+    }
+    // at least one doc must actually compress (the corpus repeats words)
+    assert(rows.exists { case (_, _, nc, nb) => nb < nc })
+    try {
+      spark.conf.set("graft.bpe.merges", "0")
+      // an untrained tokenizer segments every word into its characters
+      q(spark, dir).as[(Long, Long, Long, Long)].collect()
+        .foreach { case (id, _, nc, nb) =>
+          assert(nb == nc, s"doc $id: zero merges must give chars ($nb != $nc)")
+        }
+    } finally spark.conf.unset("graft.bpe.merges")
+  }
+
   test("curate_dsir: importance weights discriminate the target slice; " +
     "top-k is exact and deterministic") {
     import org.apache.spark.sql.functions._
