@@ -413,6 +413,55 @@ object CorpusQueries {
     next
   }
 
+  /** Token → DSIR feature bucket (md5-uniform, mod DSIR_B) — one
+    * algebra for the batch query, the oracle, and the ingest leg. */
+  private[graft] def dsirBucket(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long") % DSIR_B
+
+  /** The corpus exploded to DSIR feature rows (doc_id, tgt, w, bkt). */
+  private[graft] def dsirTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), (col("lang") === lit(DSIR_LANG)).as("tgt"),
+      explode(toks).as("w"))
+      .withColumn("bkt", dsirBucket(col("w")))
+
+  /** Train the DSIR model: the O(B)-row bucket table of
+    * DECIMAL(18,6)-rounded ln(p̂_b/q̂_b) terms, plus the smoothed
+    * floor term for a bucket the training corpus never populated
+    * (what an unseen ingest-time token scores). The token totals
+    * collect as two driver scalars (control plane); the per-bucket
+    * counts are one map-side-combined shuffle. */
+  private[graft] def dsirTrain(docs: DataFrame): (DataFrame, java.math.BigDecimal) = {
+    val b = DSIR_B
+    val tok = dsirTokens(docs)
+    val tot = tok.agg(count(lit(1)),
+      sum(when(col("tgt"), 1L).otherwise(0L))).collect()(0)
+    val (nq, np) = (tot.getLong(0), tot.getLong(1))
+    val term = tok.groupBy(col("bkt")).agg(
+      count(lit(1)).as("cq"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("cp"))
+      .withColumn("t",
+        (log((col("cp") + lit(1)).cast("double") / lit((np + b).toDouble)) -
+          log((col("cq") + lit(1)).cast("double") / lit((nq + b).toDouble)))
+          .cast(DecimalType(18, 6)))
+      .select(col("bkt"), col("t"))
+    val oov = new java.math.BigDecimal(
+      math.log(1.0 / (np + b)) - math.log(1.0 / (nq + b)))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    (term, oov)
+  }
+
+  /** Score docs against a trained term table: per-doc token count and
+    * exact-decimal log importance weight — the broadcast-join +
+    * map-side-combined doc_id aggregation form (the 100 TB shape when
+    * the corpus streams past a frozen O(B) model). The ingest twin
+    * (IngestCuration.dsirScore) folds the SAME decimals through a map
+    * literal with zero joins; decimal addition is associative, so the
+    * two are row-identical on any input (spec-proven). */
+  private[graft] def dsirScored(docs: DataFrame, term: DataFrame): DataFrame =
+    dsirTokens(docs).join(broadcast(term), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("t")).as("logw"))
+
   /** BPE merge training (Sennrich et al. 2016, the tokenizer-training
     * algorithm): learn up to `nMerges` merge rules over the corpus word
     * frequency table. Each round counts adjacent symbol pairs weighted
@@ -842,30 +891,11 @@ object CorpusQueries {
     // partition heaps, never a global single-partition sort). The
     // corpus is never pairwise-joined: cost is O(corpus tokens).
     "curate_dsir" -> ((s, dir) => {
-      val b = DSIR_B
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), (col("lang") === lit(DSIR_LANG)).as("tgt"),
-          explode(toks).as("w"))
-        .withColumn("bkt",
-          conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % b)
-      val dist = tok.groupBy(col("bkt")).agg(
-        count(lit(1)).as("cq"),
-        sum(when(col("tgt"), 1L).otherwise(0L)).as("cp"))
-      val tot = tok.agg(count(lit(1)).as("nq"),
-        sum(when(col("tgt"), 1L).otherwise(0L)).as("np"))
-      val term = dist.crossJoin(broadcast(tot))
-        .withColumn("t",
-          (log((col("cp") + lit(1)).cast("double") /
-              (col("np") + lit(b)).cast("double")) -
-            log((col("cq") + lit(1)).cast("double") /
-              (col("nq") + lit(b)).cast("double")))
-            .cast(DecimalType(18, 6)))
-        .select(col("bkt"), col("t"))
+      val docs = Tables.documents(s, dir)
+      val (term, _) = dsirTrain(docs)
       val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long").cast("double") + 1.0) / 4294967296.0
-      tok.join(broadcast(term), Seq("bkt"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("t")).as("logw"))
+      dsirScored(docs, term)
         .withColumn("g", (-log(-log(u))).cast(DecimalType(18, 6)))
         .withColumn("gkey", col("logw") + col("g"))
         .orderBy(col("gkey").desc, col("doc_id"))

@@ -93,6 +93,35 @@ object IngestCuration {
     * scan-bound ingest gating. Argmax = array_min over
     * (−score, cls) structs: score desc, cls asc, the batch
     * tie-break. */
+  /** Frozen-model DSIR importance scoring at ingest: train the bucket
+    * table once on a reference corpus (CorpusQueries.dsirTrain — the
+    * same model the batch `curate_dsir` resampler ranks with), then
+    * weight every arriving document in ONE stateless projection: the
+    * O(B) term table collects to a bucket → decimal map literal in the
+    * task closure, and each doc's log importance weight is a single
+    * fold over its tokens (trained buckets read the map, never-trained
+    * buckets add the smoothed OOV floor). Decimal addition is exact
+    * and associative, so the fold reproduces the batch broadcast-join
+    * aggregation BIT-FOR-BIT on any input (IngestCurationSpec) — no
+    * join, no shuffle, scan-bound admission scoring. */
+  def dsirScore(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (termDf, oov) = CorpusQueries.dsirTrain(corpus)
+    val model: Map[Long, scala.math.BigDecimal] = termDf.collect()
+      .map(r => r.getLong(0) -> scala.math.BigDecimal(r.getDecimal(1))).toMap
+    val mapLit = typedLit(model)
+    val toks = split(col("text"), " ")
+    val logw = aggregate(toks, lit(0).cast(DecimalType(28, 6)),
+      (acc, w) => (acc + coalesce(
+        element_at(mapLit, CorpusQueries.dsirBucket(w))
+          .cast(DecimalType(18, 6)),
+        lit(oov).cast(DecimalType(18, 6)))).cast(DecimalType(28, 6)))
+    stream
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("logw", logw)
+      .select(col("doc_id"), col("n_tokens"), col("logw"))
+  }
+
   def nbClassify(stream: DataFrame, trainDocs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val train = trainDocs.withColumn("cls", CorpusQueries.nbCls)

@@ -126,6 +126,43 @@ class IngestCurationSpec extends AnyFunSuite {
     assert(scored.length == 1 && scored.head.getLong(1) == 4L)
   }
 
+  test("frozen-model DSIR scoring over a stream equals the batch " +
+    "broadcast-join aggregation") {
+    val cdocs = Seq(
+      (1L, "alpha beta gamma alpha", "en"),
+      (2L, "beta beta delta", "en"),
+      (3L, "uno dos tres uno dos", "es"),
+      (4L, "alpha dos gamma", "es"),
+      (5L, "epsilon zeta eta theta", "de"))
+    val corpus = cdocs.toDF("doc_id", "text", "lang")
+    val (term, _) = graft.queries.CorpusQueries.dsirTrain(corpus)
+    val batch = graft.queries.CorpusQueries.dsirScored(corpus, term)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(batch.size == cdocs.size)
+
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = IngestCuration.dsirScore(src.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("ingest_dsir").start()
+    try {
+      val rows = cdocs.map { case (id, text, _) => (id, text) }
+      src.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      src.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_dsir")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(streamed == batch,
+        "stateless map-literal fold must equal the batch join-aggregate")
+    } finally q.stop()
+
+    // unseen tokens hit the smoothed OOV floor instead of dropping
+    val unseen = Seq((99L, "qqq zzz www")).toDF("doc_id", "text")
+    val scored = IngestCuration.dsirScore(unseen, corpus).collect()
+    assert(scored.length == 1 && scored.head.getLong(1) == 3L)
+    assert(scored.head.get(2) != null)
+  }
+
   test("frozen-model NB classification over a stream equals the batch fold") {
     import org.apache.spark.sql.functions._
     val corpus = docs.toDF("doc_id", "text")
