@@ -904,6 +904,34 @@ object CorpusQueries {
           col("logw").cast("double").as("logw"))
     }),
 
+    // Per-doc n-gram novelty — the memorization/duplication-risk
+    // signal (the diagnostic RefinedWeb/Gopher-style curation reads
+    // before deciding how hard to dedup): what fraction of a doc's
+    // distinct GRAM_N-grams appears in NO other document. Build the
+    // corpus gram DF table once (map-side-combined count shuffle over
+    // doc-distinct grams), then join it back to each doc's grams.
+    // The join is size-adaptive by design: Catalyst broadcasts the DF
+    // table while it fits (as at test SF) and falls back to a
+    // hash-partitioned shuffle join when both sides are corpus-sized
+    // — the correct 100 TB plan, with AQE absorbing the skewed
+    // boilerplate grams. novelty = integral-double division, exact
+    // in both engines. Docs shorter than GRAM_N words have no grams
+    // and drop out (same as the oracle's empty range).
+    "text_novelty" -> ((s, dir) => {
+      val dgrams = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.functions.word_grams(col("text"), GRAM_N))
+            .as("g"))
+        .distinct()
+      val dfTab = dgrams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      dgrams.join(dfTab, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_grams").cast("double"))
+    }),
+
     // Tokenizer training: the BPE merge-rule table learned from the
     // corpus (see bpeTrain for algorithm + scale notes). The output IS
     // the model — rank-ordered merge rules with their pair frequencies,
@@ -1363,6 +1391,24 @@ object CorpusQueries {
          |FROM (SELECT doc_id, n_tokens, logw,
          |row_number() OVER (ORDER BY gkey DESC, doc_id) AS rn FROM keyed)
          |WHERE rn <= $DSIR_KEEP""".stripMargin,
+
+    // same doc-distinct positional grams, same df table, same
+    // integral-double ratio
+    "text_novelty" -> {
+      val n = GRAM_N
+      val gram = (1 until n).foldLeft("ws[i]")((acc, j) =>
+        s"$acc || ' ' || ws[i+$j]")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |FROM documents),
+         |g0 AS (SELECT DISTINCT doc_id, $gram AS g
+         |FROM t, UNNEST(range(1, len(ws) - ${n - 2})) u(i)),
+         |dfx AS (SELECT g, COUNT(*) AS df FROM g0 GROUP BY g)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |CAST(COUNT(*) AS DOUBLE) AS novelty
+         |FROM g0 JOIN dfx USING (g) GROUP BY doc_id""".stripMargin
+    },
 
     // the recursive CTE replays the merge loop in lockstep: same
     // greedy-leftmost replace() on the same US/RS symbol encoding,

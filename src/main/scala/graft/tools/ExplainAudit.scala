@@ -179,6 +179,13 @@ object ExplainAudit {
       p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         p.contains("TakeOrderedAndProject") && count(p, "Window") == 0
     }
+    // gram df-table join is equi (broadcast while small, shuffle at
+    // scale) — never a cartesian; all aggs map-side combined
+    audit("text_novelty",
+      "df-table equi-join, map-side-combined counts, no cartesian") { p =>
+      !p.contains("CartesianProduct") && p.contains("partial_count") &&
+        (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    }
     // the learned rules are literals compiled into one nested replace
     // chain (the trainer already ran): encoding must be a zero-join
     // narrow pass with only the doc_id accounting shuffle
