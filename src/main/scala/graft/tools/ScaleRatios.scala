@@ -39,7 +39,11 @@ object ScaleRatios {
       // r7 second batch: the composed IVF-PQ index (both trainers),
       // the trained NB classifier gate, the centroid router
       "sim_ivfpq_topk", "text_classify_nb", "sim_classify_centroid",
-      "sketch_bloom")
+      "sketch_bloom",
+      // r7 third batch: DSIR resampler, BPE trainer+encoder, ppl
+      // bucketing, the MG heavy-hitter summary, n-gram novelty
+      "curate_dsir", "text_bpe_train", "text_bpe_encode",
+      "curate_ppl_buckets", "sketch_spacesaving", "text_novelty")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
