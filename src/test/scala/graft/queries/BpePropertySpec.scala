@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** Property check for bpeTrain against a naive sequential BPE model:
+  * random corpora over a tiny alphabet (maximum pair collisions — the
+  * regime where greedy-leftmost application and tiebreaks actually
+  * matter), and the distributed trainer (string-encoded replace chain,
+  * distributed pair counts, argmax collect) must produce the IDENTICAL
+  * merge-rule sequence, frequencies included, as a driver-side
+  * symbol-list fold. Same seeded-Gen harness as SpanDedupPropertySpec
+  * (no scalatestplus bridge in the offline cache). */
+class BpePropertySpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private val genWord: Gen[String] = for {
+    len <- Gen.chooseNum(1, 6)
+    cs <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+  } yield cs.mkString
+  private val genCorpus: Gen[List[String]] =
+    Gen.chooseNum(1, 30).flatMap(Gen.listOfN(_, genWord))
+
+  /** Sequential reference: symbol lists, overlapping pair counts
+    * weighted by word frequency, (freq desc, pair lexicographic)
+    * argmax, greedy-leftmost non-overlapping merge. */
+  private def model(words: Seq[String], n: Int): Seq[(Long, String, String, Long)] = {
+    def mergeOne(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          buf += (a + b); i += 2
+        } else { buf += syms(i); i += 1 }
+      }
+      buf.result()
+    }
+    var wf: Map[Vector[String], Long] = words.groupBy(identity)
+      .map { case (w, ws) => w.map(_.toString).toVector -> ws.size.toLong }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= n && !done) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      wf.foreach { case (syms, f) =>
+        syms.indices.dropRight(1).foreach { i =>
+          val k = (syms(i), syms(i + 1)); pc(k) = pc.getOrElse(k, 0L) + f
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), pf) = pc.minBy { case ((a, b), f) => (-f, a, b) }
+        out += ((rank, a, b, pf))
+        wf = wf.map { case (syms, f) => mergeOne(syms, a, b) -> f }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("distributed merge training equals the sequential symbol-list model") {
+    forAll(genCorpus, n = 12) { words =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = CorpusQueries.bpeTrain(docs, 6)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      val want = model(words, 6)
+      assert(got == want, s"corpus=${words.mkString(" ")}")
+    }
+  }
+
+  test("multi-doc corpora: frequencies aggregate across documents") {
+    forAll(Gen.zip(genCorpus, genCorpus), n = 8) { case (w1, w2) =>
+      val docs = Seq((1L, w1.mkString(" ")), (2L, w2.mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = CorpusQueries.bpeTrain(docs, 4)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == model(w1 ++ w2, 4))
+    }
+  }
+}
