@@ -654,6 +654,35 @@ object ExtendedQueries {
           (col("cnt") - d).as("guaranteed_count"), lit(d).as("max_error"))
     }),
 
+    // Grouped SpaceSaving/MG — per-group heavy hitters (top users per
+    // event type), the per-key twin of sketch_spacesaving the same way
+    // sketch_hll_grouped twins sketch_hll_distinct. The per-group
+    // compression threshold d_g ((k+1)-th largest count WITHIN the
+    // group) comes from a row_number window over the COUNT table — a
+    // sort over distinct (group, user) pairs, which is already the
+    // aggregated cardinality, never the raw event stream; groups with
+    // ≤ k users take d_g = 0 via the left join. One count shuffle +
+    // one count-table window + a broadcast-sized d join: ≤ k rows
+    // survive per group with the MG bracket explicit per row.
+    "sketch_spacesaving_grouped" -> ((s, dir) => {
+      val k = GraftConf.int("graft.sketch.mgK", 16)
+      val counts = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val rn = row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("cnt").desc, col("user_id")))
+      val dTab = counts.withColumn("rn", rn)
+        .where(col("rn") === k + 1)
+        .select(col("event_type"), col("cnt").as("d"))
+      counts.join(broadcast(dTab), Seq("event_type"), "left")
+        .withColumn("d0", coalesce(col("d"), lit(0L)))
+        .where(col("cnt") > col("d0"))
+        .select(col("event_type"), col("user_id"),
+          col("cnt").as("exact_count"),
+          (col("cnt") - col("d0")).as("guaranteed_count"),
+          col("d0").as("max_error"))
+    }),
+
     // Count-min sketch heavy hitters: build a d=4 × w=256 sketch over
     // the event stream (each event increments one bucket per hash row;
     // hashes are md5-derived, so the sketch is deterministic and
@@ -1205,6 +1234,24 @@ object ExtendedQueries {
          |CAST(cnt - d AS BIGINT) AS guaranteed_count,
          |CAST(d AS BIGINT) AS max_error
          |FROM c CROSS JOIN dd WHERE cnt > d""".stripMargin
+    },
+
+    // same per-group (k+1)-th-largest compression, same row_number
+    // tiebreak on user_id
+    "sketch_spacesaving_grouped" -> {
+      val k = GraftConf.int("graft.sketch.mgK", 16)
+      s"""WITH c AS (SELECT event_type, user_id, COUNT(*) AS cnt
+         |FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type, user_id, cnt,
+         |row_number() OVER (PARTITION BY event_type
+         |ORDER BY cnt DESC, user_id) AS rn FROM c),
+         |dd AS (SELECT event_type, cnt AS d FROM r WHERE rn = ${k + 1})
+         |SELECT c.event_type, c.user_id,
+         |CAST(c.cnt AS BIGINT) AS exact_count,
+         |CAST(c.cnt - COALESCE(d, 0) AS BIGINT) AS guaranteed_count,
+         |CAST(COALESCE(d, 0) AS BIGINT) AS max_error
+         |FROM c LEFT JOIN dd USING (event_type)
+         |WHERE c.cnt > COALESCE(d, 0)""".stripMargin
     },
 
     // the full composed recursion: coarse k-means over the NORMALIZED

@@ -194,6 +194,14 @@ object ExplainAudit {
       !p.contains("Join") && count(p, "Window") == 0 &&
         p.contains("partial_count")
     }
+    // the per-group threshold window sorts the aggregated COUNT table
+    // (distinct group×user), never raw events; the d table joins back
+    // broadcast; one map-side-combined count shuffle feeds it all
+    audit("sketch_spacesaving_grouped",
+      "window over the count table; broadcast d join; map-side partials") { p =>
+      count(p, "Window") == 1 && p.contains("BroadcastHashJoin") &&
+        p.contains("partial_count") && !p.contains("CartesianProduct")
+    }
     // the survivor filter runs against a driver-scalar d (the builder's
     // TakeOrdered(k+1) already executed): the emitted plan must be the
     // one count shuffle with map-side partials and nothing else
