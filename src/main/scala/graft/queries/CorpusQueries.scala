@@ -81,6 +81,15 @@ object CorpusQueries {
   private def TOPK = GraftConf.int("graft.topk", 10)
   /** BPE merge training: how many merge rules to learn. */
   private def BPE_MERGES = GraftConf.int("graft.bpe.merges", 8)
+  /** Data-mixing plan: per-source weight parts ("src:parts" pairs),
+    * the part every unlisted source gets, and the total token budget
+    * (0 = recycle the corpus's own token count). */
+  private def MIX_WEIGHTS: Map[String, Int] =
+    GraftConf.strings("graft.mix.weights", Seq("src0:3", "src1:2"))
+      .map { kv => val Array(k, v) = kv.split(":", 2); k -> v.trim.toInt }
+      .toMap
+  private def MIX_DEFAULT_PART = GraftConf.int("graft.mix.defaultPart", 1)
+  private def MIX_BUDGET = GraftConf.int("graft.mix.budgetTokens", 0)
   /** Perplexity bucketing: equal-width histogram bin count over the
     * per-doc LM score, and the first bucket index that survives the
     * quality gate (higher bucket = higher mean log-prob = lower
@@ -968,6 +977,39 @@ object CorpusQueries {
           sum(col("n_sym")).as("n_bpe_tokens"))
     }),
 
+    // The data-mixing plan — the table every pretraining run computes
+    // before sampling (GPT-3/LLaMA-style source weighting): per-source
+    // doc/token inventory, conf-driven weight parts, each source's
+    // token target out of the total budget (integer floor division —
+    // no float in the allocation), the sampling rate vs what the
+    // source actually has, and the epoch count (ceil) when the target
+    // oversubscribes the source. One map-side-combined shuffle over
+    // the corpus + a broadcast 1-row totals join; the plan itself is
+    // O(sources) — the artifact a mixing dashboard freezes.
+    "curate_token_budget_mix" -> ((s, dir) => {
+      val parts = MIX_WEIGHTS; val dflt = MIX_DEFAULT_PART
+      val partCol = parts.foldLeft(lit(dflt)) { case (e, (k, v)) =>
+        when(col("source") === k, lit(v)).otherwise(e)
+      }
+      val bySrc = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("part", partCol.cast("long"))
+      val tot = bySrc.agg(sum(col("n_tokens")).as("tot"),
+        sum(col("part")).as("sum_parts"))
+      val bud = if (MIX_BUDGET > 0) lit(MIX_BUDGET.toLong) else col("tot")
+      bySrc.crossJoin(broadcast(tot))
+        .withColumn("bud", bud)
+        .withColumn("target_tokens", expr("(bud * part) div sum_parts"))
+        .withColumn("rate",
+          col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("epochs",
+          expr("(target_tokens + n_tokens - 1) div n_tokens"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("part"),
+          col("target_tokens"), col("rate"), col("epochs"))
+    }),
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020: score every
     // doc with a small LM, split the corpus into quality buckets, keep
     // the low-perplexity slice). Scored by the SAME bigram LM as
@@ -1442,6 +1484,28 @@ object CorpusQueries {
          |CAST(SUM(wlen) AS BIGINT) AS n_chars,
          |CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
          |FROM seg GROUP BY doc_id""".stripMargin,
+
+    // same integer floor-division allocation, same CASE part mapping
+    "curate_token_budget_mix" -> {
+      val partCase = MIX_WEIGHTS.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN source = '$k' THEN $v" }
+        .mkString("CASE ", " ", s" ELSE $MIX_DEFAULT_PART END")
+      val bud = if (MIX_BUDGET > 0) MIX_BUDGET.toString else "tot"
+      s"""WITH s AS (SELECT source, COUNT(*) AS n_docs,
+         |SUM(len(string_split(text, ' '))) AS n_tokens
+         |FROM documents GROUP BY 1),
+         |p AS (SELECT *, $partCase AS part FROM s),
+         |t AS (SELECT SUM(n_tokens) AS tot, SUM(part) AS sum_parts FROM p)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |CAST(n_tokens AS BIGINT) AS n_tokens,
+         |CAST(part AS BIGINT) AS part,
+         |CAST(($bud * part) // sum_parts AS BIGINT) AS target_tokens,
+         |CAST(($bud * part) // sum_parts AS DOUBLE) /
+         |CAST(n_tokens AS DOUBLE) AS rate,
+         |CAST((($bud * part) // sum_parts + n_tokens - 1) // n_tokens
+         |AS BIGINT) AS epochs
+         |FROM p CROSS JOIN t""".stripMargin
+    },
 
     // same scored chain as text_lm_score (shared oLmScored CTEs), same
     // left-associative double arithmetic for the bin edges — bucket

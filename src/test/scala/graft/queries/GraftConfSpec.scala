@@ -121,6 +121,21 @@ class GraftConfSpec extends AnyFunSuite {
     }
   }
 
+  test("mix weights and budget flow to plan and oracle together") {
+    import org.apache.spark.sql.functions._
+    withConf("graft.mix.weights" -> "src2:5", "graft.mix.budgetTokens" -> "1000") {
+      val sql = SparkEntry.oracleSql("curate_token_budget_mix")
+      assert(sql.contains("WHEN source = 'src2' THEN 5") && sql.contains("1000 * part"))
+      val rows = SparkEntry.queries("curate_token_budget_mix")(spark, dir)
+        .select("source", "part", "target_tokens").collect()
+      // 20 sources: src2 carries 5 parts, the rest default 1 → 24 parts
+      assert(rows.length == 20)
+      val bySrc = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(bySrc("src2") == ((5L, 1000L * 5 / 24)))
+      assert(bySrc("src0") == ((1L, 1000L / 24)))
+    }
+  }
+
   test("k-means refuses loudly at the round cap instead of spinning or returning unconverged") {
     withConf("graft.kmeans.maxIters" -> "1") {
       val e = intercept[IllegalStateException] {
