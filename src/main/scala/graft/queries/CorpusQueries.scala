@@ -977,6 +977,34 @@ object CorpusQueries {
           sum(col("n_sym")).as("n_bpe_tokens"))
     }),
 
+    // Tokenizer fertility by language — the standard tokenizer-equity
+    // metric (mean BPE tokens per word, per language): a tokenizer
+    // trained on a skewed corpus over-fragments under-represented
+    // languages, and this is the table that shows it. Same control-
+    // plane rule chain as text_bpe_encode, aggregated per lang instead
+    // of per doc — zero joins, one map-side-combined shuffle over
+    // O(languages) groups. fertility = integral-double division.
+    "text_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rules = bpeTrain(docs, BPE_MERGES)
+        .orderBy("rank").select("sym_a", "sym_b")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val S1 = "\u001f"; val S2 = "\u001e"
+      val encoded = rules.foldLeft(
+        regexp_replace(col("w"), "(.)", s"$S1$$1$S2")) {
+        case (e, (a, b)) =>
+          replace(e, lit(S1 + a + S2 + S1 + b + S2), lit(S1 + a + b + S2))
+      }
+      docs.select(col("lang"), explode(toks).as("w"))
+        .withColumn("n_sym",
+          size(filter(split(encoded, S2), x => x =!= lit(""))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sym").cast("long")).as("n_bpe_tokens"))
+        .withColumn("fertility",
+          col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+    }),
+
     // The data-mixing plan — the table every pretraining run computes
     // before sampling (GPT-3/LLaMA-style source weighting): per-source
     // doc/token inventory, conf-driven weight parts, each source's
@@ -1484,6 +1512,25 @@ object CorpusQueries {
          |CAST(SUM(wlen) AS BIGINT) AS n_chars,
          |CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
          |FROM seg GROUP BY doc_id""".stripMargin,
+
+    // retrains through the shared CTE and applies the same chain,
+    // keyed by lang
+    "text_bpe_fertility" ->
+      s"""WITH RECURSIVE $oBpeCte,
+         |tok AS (SELECT lang, w,
+         |regexp_replace(w, '(.)', chr(31) || '\\1' || chr(30), 'g') AS enc
+         |FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |FROM documents)),
+         |seg AS (SELECT lang,
+         |len(list_filter(string_split(
+         |list_reduce(list_prepend(enc, (SELECT merges FROM fin)),
+         |(acc, m) -> replace(acc, m, replace(m, chr(30) || chr(31), ''))),
+         |chr(30)), s -> s <> '')) AS n_sym
+         |FROM tok)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+         |CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+         |FROM seg GROUP BY lang""".stripMargin,
 
     // same integer floor-division allocation, same CASE part mapping
     "curate_token_budget_mix" -> {
