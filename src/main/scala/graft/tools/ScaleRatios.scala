@@ -43,7 +43,9 @@ object ScaleRatios {
       // r7 third batch: DSIR resampler, BPE trainer+encoder, ppl
       // bucketing, the MG heavy-hitter summary, n-gram novelty
       "curate_dsir", "text_bpe_train", "text_bpe_encode",
-      "curate_ppl_buckets", "sketch_spacesaving", "text_novelty")
+      "curate_ppl_buckets", "sketch_spacesaving", "text_novelty",
+      "sketch_spacesaving_grouped", "curate_token_budget_mix",
+      "text_bpe_fertility")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
