@@ -101,6 +101,9 @@ object CorpusQueries {
   private def DSIR_B = GraftConf.int("graft.dsir.buckets", 256)
   private def DSIR_LANG = GraftConf.string("graft.dsir.targetLang", "en")
   private def DSIR_KEEP = GraftConf.int("graft.dsir.keep", 100)
+  /** Feature order: 1 = hashed unigrams; 2 adds hashed bigrams (the
+    * paper's n-gram feature space). */
+  private def DSIR_N = GraftConf.int("graft.dsir.ngram", 1)
 
   /** Connected components of the LSH candidate graph by iterative
     * min-label propagation; converges when the (monotone non-increasing)
@@ -427,10 +430,17 @@ object CorpusQueries {
   private[graft] def dsirBucket(w: Column): Column =
     conv(substring(md5(w), 1, 8), 16, 10).cast("long") % DSIR_B
 
+  /** A doc's DSIR feature strings: unigrams, plus the fused
+    * positional n-grams up to DSIR_N (the paper's hashed n-gram
+    * feature space) — one algebra for batch, oracle, and ingest. */
+  private[graft] def dsirFeatures: Column =
+    (2 to DSIR_N).foldLeft(toks)((e, n) =>
+      concat(e, graft.functions.functions.word_grams(col("text"), n)))
+
   /** The corpus exploded to DSIR feature rows (doc_id, tgt, w, bkt). */
   private[graft] def dsirTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), (col("lang") === lit(DSIR_LANG)).as("tgt"),
-      explode(toks).as("w"))
+      explode(dsirFeatures).as("w"))
       .withColumn("bkt", dsirBucket(col("w")))
 
   /** Train the DSIR model: the O(B)-row bucket table of
@@ -1438,11 +1448,16 @@ object CorpusQueries {
     // identical hashed-bucket estimation, DECIMAL(18,6)-rounded ln
     // terms, exact decimal sums, and the same md5-derived Gumbel key —
     // so the top-k frontier is engine-identical
-    "curate_dsir" ->
+    "curate_dsir" -> {
+      val feats = (2 to DSIR_N).foldLeft("ws")((e, n) =>
+        s"list_concat($e, list_transform(range(1, len(ws) - ${n - 2}), " +
+          s"i -> ${(0 until n).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+            .mkString(" || ' ' || ")}))")
       s"""WITH tok AS (SELECT doc_id, lang = '$DSIR_LANG' AS tgt,
          |('0x' || substr(md5(w), 1, 8))::BIGINT % $DSIR_B AS bkt
-         |FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-         |FROM documents)),
+         |FROM (SELECT doc_id, lang, unnest($feats) AS w
+         |FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+         |FROM documents))),
          |dist AS (SELECT bkt, COUNT(*) AS cq,
          |SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS cp FROM tok GROUP BY bkt),
          |tot AS (SELECT COUNT(*) AS nq,
@@ -1460,7 +1475,8 @@ object CorpusQueries {
          |SELECT doc_id, n_tokens, CAST(logw AS DOUBLE) AS logw
          |FROM (SELECT doc_id, n_tokens, logw,
          |row_number() OVER (ORDER BY gkey DESC, doc_id) AS rn FROM keyed)
-         |WHERE rn <= $DSIR_KEEP""".stripMargin,
+         |WHERE rn <= $DSIR_KEEP""".stripMargin
+    },
 
     // same doc-distinct positional grams, same df table, same
     // integral-double ratio

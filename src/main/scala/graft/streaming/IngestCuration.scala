@@ -110,14 +110,14 @@ object IngestCuration {
     val model: Map[Long, scala.math.BigDecimal] = termDf.collect()
       .map(r => r.getLong(0) -> scala.math.BigDecimal(r.getDecimal(1))).toMap
     val mapLit = typedLit(model)
-    val toks = split(col("text"), " ")
-    val logw = aggregate(toks, lit(0).cast(DecimalType(28, 6)),
+    val feats = CorpusQueries.dsirFeatures
+    val logw = aggregate(feats, lit(0).cast(DecimalType(28, 6)),
       (acc, w) => (acc + coalesce(
         element_at(mapLit, CorpusQueries.dsirBucket(w))
           .cast(DecimalType(18, 6)),
         lit(oov).cast(DecimalType(18, 6)))).cast(DecimalType(28, 6)))
     stream
-      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_tokens", size(feats).cast("long"))
       .withColumn("logw", logw)
       .select(col("doc_id"), col("n_tokens"), col("logw"))
   }

@@ -100,6 +100,21 @@ class GraftConfSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("curate_dsir").contains("lang = 'en'"))
   }
 
+  test("dsir bigram feature order flows to plan and oracle together") {
+    assert(!SparkEntry.oracleSql("curate_dsir").contains("list_concat"),
+      "default is unigram features")
+    withConf("graft.dsir.ngram" -> "2", "graft.dsir.keep" -> "9") {
+      val sql = SparkEntry.oracleSql("curate_dsir")
+      assert(sql.contains("list_concat") && sql.contains("ws[i] || ' ' || ws[i+1]"))
+      val rows = SparkEntry.queries("curate_dsir")(spark, dir).collect()
+      assert(rows.length == 9)
+      // bigram features roughly double the per-doc feature count vs
+      // unigrams: n_tokens = words + (words - 1)
+      val nt = rows.map(_.getLong(1))
+      assert(nt.forall(_ >= 3), s"feature counts look unigram-only: ${nt.toSeq}")
+    }
+  }
+
   test("bpe merge budget flows to plan and oracle together") {
     withConf("graft.bpe.merges" -> "2") {
       assert(SparkEntry.oracleSql("text_bpe_train").contains("round < 2"))

@@ -161,6 +161,20 @@ class IngestCurationSpec extends AnyFunSuite {
     val scored = IngestCuration.dsirScore(unseen, corpus).collect()
     assert(scored.length == 1 && scored.head.getLong(1) == 3L)
     assert(scored.head.get(2) != null)
+
+    // the bigram feature space (paper-faithful ngram=2) keeps the
+    // fold ≡ join-aggregate identity
+    try {
+      spark.conf.set("graft.dsir.ngram", "2")
+      val (term2, _) = graft.queries.CorpusQueries.dsirTrain(corpus)
+      val batch2 = graft.queries.CorpusQueries.dsirScored(corpus, term2)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      val fold2 = IngestCuration.dsirScore(corpus, corpus)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(fold2 == batch2)
+      // unigrams + bigrams: 4 words → 7 features
+      assert(batch2(1L)(1) == 7L)
+    } finally spark.conf.unset("graft.dsir.ngram")
   }
 
   test("frozen-model NB classification over a stream equals the batch fold") {
