@@ -36,12 +36,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // erroring queries must be LOUD in the committed artifact (r8 lesson:
+    // 31 queries silently vanished from the correctness file) — record the
+    // first failure message per query and emit a "failed" map in the JSON
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failures.getOrElseUpdate(name, String.valueOf(e.getMessage).take(300))
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
@@ -71,13 +76,19 @@ object Bench {
       "\"" + n + "\":{\"min\":" + mn + ",\"median\":" + md + ",\"max\":" + mx + "}"
     }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val failedJson = failures.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","reps":$reps,"cpus":$cpus,""" +
-      s""""queries":$qsFull,"stats":$statsJson,"sf":"$sfDir"}"""
+      s""""queries":$qsFull,"stats":$statsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     Files.write(Paths.get(outPath), (full + "\n").getBytes(StandardCharsets.UTF_8))
 
     spark.stop()
     // last line of stdout, compact (ms precision) so a tail-capture parses it
-    println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","statsFile":"$outPath"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","failed_n":${failures.size},"queries":$qsCompact,"sf":"$sfDir","statsFile":"$outPath"}""")
   }
 }

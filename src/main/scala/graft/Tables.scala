@@ -23,27 +23,41 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects outright. Read nanos as long (legacy conf,
-    * runtime-settable) and truncate to Spark's native microsecond
-    * timestamps — `ts div 1000` (integral division: no double-precision
-    * loss on 1.7e18-scale nanos, floor semantics matching DuckDB's
-    * date_trunc('microseconds')). */
+  /** `events.parquet` has shipped with two physical `ts` encodings across
+    * driver regenerations: TIMESTAMP(NANOS) (which Spark's parquet reader
+    * only accepts as a raw long via the legacy `nanosAsLong` conf) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read natively as
+    * TIMESTAMP_NTZ). Branch on the read schema so both work:
+    *   - LongType  → nanos-as-long: `timestamp_micros(ts div 1000)`
+    *     (integral division — no double-precision loss on 1.7e18-scale
+    *     nanos, floor semantics matching DuckDB).
+    *   - Timestamp(_NTZ) → cast to session-TZ TimestampType; every session
+    *     here pins `spark.sql.session.timeZone=UTC`, so the cast is
+    *     value-preserving and downstream types match the historical ones. */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   /** Streaming read of the same events table (file source) — S3/S1
-    * analog over the driver's data; same ns→µs normalization. */
+    * analog over the driver's data; same ts normalization. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the file source requires a directory; glob-filter to the one table
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

@@ -1061,23 +1061,28 @@ object CorpusQueries {
     // exp(-lm_score) is monotone, so the bucket partition is identical
     // and no transcendental enters the hashed output. keep mirrors
     // CCNet's head/middle cut: buckets ≥ PPL_KEEP_FROM (lower ppl).
-    "curate_ppl_buckets" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val (cab, ca, v) = lmTrain(docs)
-      val scored = lmScore(docs, cab, ca, v)
-      val nb = PPL_NB
-      val mm = scored.agg(min(col("lm_score")).as("lo"),
-        max(col("lm_score")).as("hi"))
-      scored.crossJoin(broadcast(mm))
-        .withColumn("bucket",
-          when(col("hi") === col("lo"), lit(0))
-            .otherwise(least(lit(nb - 1),
-              floor((col("lm_score") - col("lo")) * nb /
-                (col("hi") - col("lo"))).cast("int"))))
-        .withColumn("keep", col("bucket") >= PPL_KEEP_FROM)
-        .select(col("doc_id"), col("lm_score"), col("bucket"), col("keep"))
-    })
+    "curate_ppl_buckets" -> ((s, dir) => pplBuckets(Tables.documents(s, dir)))
   )
+
+  /** The curate_ppl_buckets body factored out so the streaming ingest
+    * gate ([[graft.streaming.IngestCuration.pplBucket]]) and its parity
+    * spec exercise the IDENTICAL batch algebra — the lmTrain/lmScore
+    * one-algebra posture. */
+  private[graft] def pplBuckets(docs: DataFrame): DataFrame = {
+    val (cab, ca, v) = lmTrain(docs)
+    val scored = lmScore(docs, cab, ca, v)
+    val nb = PPL_NB
+    val mm = scored.agg(min(col("lm_score")).as("lo"),
+      max(col("lm_score")).as("hi"))
+    scored.crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(nb - 1),
+            floor((col("lm_score") - col("lo")) * nb /
+              (col("hi") - col("lo"))).cast("int"))))
+      .withColumn("keep", col("bucket") >= PPL_KEEP_FROM)
+      .select(col("doc_id"), col("lm_score"), col("bucket"), col("keep"))
+  }
 
   /** The BPE merge-training loop as DuckDB CTEs ending in
     * `fin(merges, freqs)` — the oracle twin of [[bpeTrain]], shared by

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.GraftConf
 import graft.queries.{CorpusQueries, TextSignals}
 
 /** Ingest-time curation: the batch catalog's per-document signals
@@ -74,6 +75,38 @@ object IngestCuration {
   def lmScore(stream: DataFrame, corpus: DataFrame): DataFrame = {
     val (cab, ca, v) = CorpusQueries.lmTrain(corpus)
     CorpusQueries.lmScore(stream, cab, ca, v)
+  }
+
+  /** Frozen-edges CCNet perplexity gate at ingest (the batch
+    * `curate_ppl_buckets` query stream-side): train the bigram LM once
+    * on a reference corpus AND freeze the equal-width bucket edges
+    * [lo,hi] from that corpus's score range (two driver scalars — the
+    * nbClassify frozen-model posture), then score + bucket every
+    * arriving document: [[CorpusQueries.lmScore]]'s stream-static model
+    * joins and update-mode per-doc aggregation, followed by a STATELESS
+    * bucket/keep projection against the frozen literal edges — no
+    * global min/max over the stream, which would be a second chained
+    * streaming aggregation and, at 100 TB/day, a moving gate no two
+    * ingest workers would agree on. On documents drawn from the
+    * training corpus the output is row-identical to the batch query
+    * (IngestCurationSpec). Out-of-range stream docs clamp into the edge
+    * buckets (greatest/least — identity on in-range scores, so parity
+    * is unaffected). */
+  def pplBucket(stream: DataFrame, corpus: DataFrame,
+      nb: Int = GraftConf.int("graft.ppl.buckets", 10),
+      keepFrom: Int = GraftConf.int("graft.ppl.keepFrom", 5)): DataFrame = {
+    val (cab, ca, v) = CorpusQueries.lmTrain(corpus)
+    val mm = CorpusQueries.lmScore(corpus, cab, ca, v)
+      .agg(min(col("lm_score")), max(col("lm_score"))).first()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val bucket =
+      if (hi == lo) lit(0)
+      else greatest(lit(0), least(lit(nb - 1),
+        floor((col("lm_score") - lit(lo)) * nb / lit(hi - lo)).cast("int")))
+    CorpusQueries.lmScore(stream, cab, ca, v)
+      .withColumn("bucket", bucket)
+      .withColumn("keep", col("bucket") >= keepFrom)
+      .select(col("doc_id"), col("lm_score"), col("bucket"), col("keep"))
   }
 
   /** Frozen-model Naive Bayes classification at ingest: train the

@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+
+/** Round-start sanity gate (r8 post-mortem): the driver regenerates
+  * `/root/testdata` between rounds, and a silent schema flip there broke
+  * 31/96 catalog queries for a whole round. Run this FIRST each round —
+  * it loads every table in `Tables.names` at every SF present and runs
+  * one trivial-but-schema-touching query per table (count over a
+  * full-width projection, so analysis actually resolves every column),
+  * printing one OK line per table and exiting nonzero with the failing
+  * table+SF on the first error.
+  *
+  * Usage: `sbt "runMain graft.tools.Preflight [sfDir ...]"`; no args =
+  * all of /root/testdata/sf* that exist.
+  */
+object Preflight {
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("0.001", "0.01", "0.1").map(sf => s"/root/testdata/sf$sf")
+        .filter(d => new java.io.File(d).isDirectory)
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var failed = false
+    for (dir <- dirs; name <- Tables.names) {
+      try {
+        val df = Tables.load(spark, dir, name)
+        // select * then count: forces full analysis of every column's
+        // type mapping (a bare count() would let Catalyst prune the very
+        // schema mismatch this gate exists to catch)
+        val n = df.select(df.columns.map(org.apache.spark.sql.functions.col): _*)
+          .count()
+        println(f"[preflight] OK   $dir%-26s $name%-12s rows=$n  schema=${df.schema.simpleString.take(120)}")
+      } catch {
+        case e: Throwable =>
+          failed = true
+          println(s"[preflight] FAIL $dir $name: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" | ")}")
+      }
+    }
+    spark.stop()
+    if (failed) { println("[preflight] FAILED"); sys.exit(1) }
+    println("[preflight] all tables green")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** The driver regenerates `/root/testdata` between rounds and has already
+  * shipped `events.ts` in two physical encodings: TIMESTAMP(NANOS) (which
+  * Spark only reads as a raw int64 under `nanosAsLong`) and
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read natively as
+  * TIMESTAMP_NTZ). Round 8 lost 31/96 catalog queries to the flip; this
+  * spec pins the contract: `Tables.events` must load EITHER encoding to
+  * identical session-TZ (UTC) microsecond timestamps, forever. */
+class TablesSchemaSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  // one fixed instant, expressed three ways
+  private val microsUtc = 1700000000123456L               // 2023-11-14T22:13:20.123456Z
+  private val nanos     = microsUtc * 1000L + 789L        // sub-µs digits must truncate (floor)
+  private val expected  = new Timestamp(microsUtc / 1000)
+  private def writeDir(): String =
+    Files.createTempDirectory("tables-schema").toString
+
+  private def loadTs(dir: String): Seq[Long] =
+    Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us")).as[Long].collect().toSeq
+
+  test("int64-nanos encoding (legacy nanosAsLong shape) loads via div-1000") {
+    val dir = writeDir()
+    // a raw BIGINT ts column is exactly what the nanosAsLong conf hands the
+    // loader for a TIMESTAMP(NANOS) file: LongType in the read schema
+    Seq((1L, nanos)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(loadTs(dir) == Seq(microsUtc))
+  }
+
+  test("timestamp-micros NTZ encoding passes through with a value-preserving cast") {
+    val dir = writeDir()
+    val rows = java.util.List.of(org.apache.spark.sql.Row(1L,
+      java.time.LocalDateTime.ofEpochSecond(
+        microsUtc / 1000000L, ((microsUtc % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType)))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(loadTs(dir) == Seq(microsUtc))
+  }
+
+  test("timestamp-micros LTZ encoding passes through untouched") {
+    val dir = writeDir()
+    Seq((1L, expected)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(loadTs(dir) == Seq((microsUtc / 1000) * 1000))
+    assert(Tables.events(spark, dir).schema("ts").dataType == TimestampType)
+  }
+
+  test("both encodings load to the identical TimestampType column") {
+    val d1 = writeDir(); val d2 = writeDir()
+    Seq((1L, nanos)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$d1/events.parquet")
+    val rows = java.util.List.of(org.apache.spark.sql.Row(1L,
+      java.time.LocalDateTime.ofEpochSecond(
+        microsUtc / 1000000L, ((microsUtc % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType)))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val a = Tables.events(spark, d1); val b = Tables.events(spark, d2)
+    assert(a.schema("ts").dataType == TimestampType)
+    assert(b.schema("ts").dataType == TimestampType)
+    assert(a.select(unix_micros(col("ts"))).as[Long].head ==
+           b.select(unix_micros(col("ts"))).as[Long].head)
+  }
+}

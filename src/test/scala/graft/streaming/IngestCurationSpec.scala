@@ -226,4 +226,44 @@ class IngestCurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
     assert(joined == batch)
   }
+
+  test("frozen-edges perplexity bucketing over a stream equals the batch " +
+    "curate_ppl_buckets") {
+    import org.apache.spark.sql.functions._
+    val corpus = docs.toDF("doc_id", "text")
+    // batch truth: the catalog query's own factored body on the corpus
+    val batch = graft.queries.CorpusQueries.pplBuckets(corpus)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(batch.size == docs.size)
+
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = IngestCuration.pplBucket(src.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ingest_ppl").start()
+    try {
+      // two micro-batches: model AND bucket edges are frozen, so batch
+      // boundaries cannot move any score, bucket, or keep decision
+      src.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_ppl")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(streamed == batch,
+        "frozen-edge stream bucketing must equal the batch min/max bucketing")
+    } finally q.stop()
+
+    // buckets partition [0, nb) and keep is the threshold gate
+    val nb = 10
+    assert(batch.values.forall { s =>
+      val b = s(2).asInstanceOf[Int]; b >= 0 && b < nb &&
+        s(3).asInstanceOf[Boolean] == (b >= 5)
+    })
+    // an out-of-range stream doc (entirely unseen bigrams → score below
+    // the corpus lo) clamps into bucket 0 instead of going negative
+    val unseen = Seq((99L, "qq ww ee rr tt yy uu ii oo pp")).toDF("doc_id", "text")
+    val out = IngestCuration.pplBucket(unseen, corpus).collect()
+    assert(out.length == 1 && out.head.getInt(2) >= 0)
+  }
 }
