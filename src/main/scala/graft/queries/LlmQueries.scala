@@ -507,6 +507,78 @@ object LlmQueries {
           col("dup_2gram_frac"), col("keep"))
     }),
 
+    // Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+    // appendix A — the published document-level filter battery): word
+    // count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    // ratio (# / ellipsis) < 0.1, ≥80% of words alphabetic, and at
+    // least 2 distinct words from the paper's 8-stopword set. Pure
+    // per-row HOFs — narrow, zero-shuffle, whole-stage codegen; the
+    // exact filter a 100 TB crawl sweep runs as its first pass.
+    // The synthetic vocab carries only one of the 8 stopwords, so the
+    // stopword rule is exercised on a DERIVED page (the
+    // curate_scrub_pii posture): every 3rd doc gets a deterministic
+    // stopword-bearing tail, making the rule — and the composite
+    // keep — discriminate instead of constant-false.
+    "curate_gopher_rules" -> ((s, dir) => {
+      val t = split(col("page"), " ")
+      Tables.documents(s, dir)
+        .withColumn("page", concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" and that have with of the"))
+            .otherwise(lit(""))))
+        .withColumn("n_words", size(t).cast("long"))
+        .withColumn("mean_word_len",
+          (length(col("page")) - (col("n_words") - 1)) / col("n_words"))
+        .withColumn("symbol_ratio",
+          expr("regexp_count(page, '#|\\\\.\\\\.\\\\.')").cast("long") / col("n_words"))
+        .withColumn("alpha_ratio",
+          size(filter(t, x => x.rlike("[a-z]"))) / col("n_words"))
+        .withColumn("n_stop_distinct",
+          size(array_intersect(array_distinct(t), typedLit(
+            Seq("the", "be", "to", "of", "and", "that", "have", "with")))).cast("int"))
+        .withColumn("keep",
+          col("n_words") >= 50 && col("n_words") <= 100000 &&
+            col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+            col("symbol_ratio") < 0.1 && col("alpha_ratio") > 0.8 &&
+            col("n_stop_distinct") >= 2)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("alpha_ratio"), col("n_stop_distinct"),
+          col("keep"))
+    }),
+
+    // C4-style cleaning (Raffel et al. 2020 §2.2): line-level filter
+    // (keep lines with ≥5 words ending in terminal punctuation) plus
+    // the document-level drops (lorem-ipsum placeholder, curly brace =
+    // leaked code, <3 sentences after cleaning). The corpus is
+    // single-line word-salad, so the multi-line page is DERIVED
+    // deterministically per row (the curate_scrub_pii posture): a
+    // terminal-punctuated body line, a two-sentence filler line, a
+    // doc_id-conditional lorem line (every 7th) and brace line (every
+    // 5th), and a too-short line the filter must drop.
+    "curate_c4_filters" -> ((s, dir) => {
+      val raw = concat(col("text"), lit("."),
+        lit("\nthis synthetic line holds enough words to pass. indeed it clears the bar."),
+        when(col("doc_id") % 7 === 0, lit("\nlorem ipsum dolor sit.")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\nvar x = {javascript};")).otherwise(lit("")),
+        lit("\ntoo short."))
+      Tables.documents(s, dir)
+        .withColumn("raw", raw)
+        .withColumn("lines", split(col("raw"), "\n"))
+        .withColumn("kept", filter(col("lines"),
+          l => size(split(l, " ")) >= 5 && l.rlike("[.!?]$")))
+        .withColumn("n_lines", size(col("lines")).cast("int"))
+        .withColumn("n_kept_lines", size(col("kept")).cast("int"))
+        .withColumn("cleaned", array_join(col("kept"), "\n"))
+        .withColumn("has_lorem", col("raw").contains("lorem ipsum"))
+        .withColumn("has_brace", col("raw").contains("{"))
+        .withColumn("n_sentences",
+          expr("regexp_count(cleaned, '[.!?]')").cast("int"))
+        .withColumn("keep",
+          !col("has_lorem") && !col("has_brace") && col("n_sentences") >= 3)
+        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+          col("cleaned"), col("has_lorem"), col("has_brace"),
+          col("n_sentences"), col("keep"))
+    }),
+
     // PII scrubbing: replace emails and URLs with sentinels and count
     // them (the redaction pass every crawl corpus goes through before
     // training). The corpus is synthetic word-salad, so the PII is
@@ -918,6 +990,51 @@ object LlmQueries {
         |i -> w[i] || ' ' || w[i+1]))) / (len(w) - 1)
         |ELSE 0.0 END) < 0.2) AS keep
         |FROM t""".stripMargin,
+
+    "curate_gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+        |text || CASE WHEN doc_id % 3 = 0 THEN ' and that have with of the' ELSE '' END AS page,
+        |string_split(text || CASE WHEN doc_id % 3 = 0 THEN ' and that have with of the' ELSE '' END, ' ') AS w
+        |FROM documents),
+        |m AS (SELECT doc_id,
+        |len(w)::BIGINT AS n_words,
+        |(length(page) - (len(w)::BIGINT - 1)) / len(w)::BIGINT AS mean_word_len,
+        |len(regexp_extract_all(page, '#|\.\.\.'))::BIGINT / len(w)::BIGINT AS symbol_ratio,
+        |len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w)::BIGINT AS alpha_ratio,
+        |CAST(len(list_intersect(list_distinct(w),
+        |['the','be','to','of','and','that','have','with'])) AS INTEGER) AS n_stop_distinct
+        |FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+        |n_stop_distinct,
+        |(n_words >= 50 AND n_words <= 100000 AND
+        |mean_word_len >= 3 AND mean_word_len <= 10 AND
+        |symbol_ratio < 0.1 AND alpha_ratio > 0.8 AND
+        |n_stop_distinct >= 2) AS keep
+        |FROM m""".stripMargin,
+
+    "curate_c4_filters" ->
+      """WITH r AS (SELECT doc_id,
+        |text || '.' ||
+        |chr(10) || 'this synthetic line holds enough words to pass. indeed it clears the bar.' ||
+        |CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END ||
+        |CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'var x = {javascript};' ELSE '' END ||
+        |chr(10) || 'too short.' AS raw
+        |FROM documents),
+        |f AS (SELECT doc_id, raw,
+        |string_split(raw, chr(10)) AS ls,
+        |list_filter(string_split(raw, chr(10)),
+        |l -> len(string_split(l, ' ')) >= 5 AND regexp_matches(l, '[.!?]$')) AS kept
+        |FROM r)
+        |SELECT doc_id,
+        |CAST(len(ls) AS INTEGER) AS n_lines,
+        |CAST(len(kept) AS INTEGER) AS n_kept_lines,
+        |array_to_string(kept, chr(10)) AS cleaned,
+        |contains(raw, 'lorem ipsum') AS has_lorem,
+        |contains(raw, '{') AS has_brace,
+        |CAST(len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) AS INTEGER) AS n_sentences,
+        |(NOT contains(raw, 'lorem ipsum') AND NOT contains(raw, '{') AND
+        |len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3) AS keep
+        |FROM f""".stripMargin,
 
     "curate_scrub_pii" ->
       """WITH r AS (SELECT doc_id,

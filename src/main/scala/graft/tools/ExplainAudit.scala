@@ -72,6 +72,12 @@ object ExplainAudit {
     audit("curate_repetition", "repetition stats are narrow HOFs: ZERO shuffles") { p =>
       count(p, "Exchange") == 0 && !p.contains("Generate")
     }
+    audit("curate_gopher_rules", "Gopher rule battery is a per-row projection: ZERO shuffles, no explode") { p =>
+      count(p, "Exchange") == 0 && !p.contains("Generate")
+    }
+    audit("curate_c4_filters", "C4 line filter is a per-row projection: ZERO shuffles, no explode") { p =>
+      count(p, "Exchange") == 0 && !p.contains("Generate")
+    }
     audit("curate_weighted_sample", "weighted top-k = TakeOrderedAndProject, no global-window sort") { p =>
       p.contains("TakeOrderedAndProject") && count(p, "Window") == 0
     }
