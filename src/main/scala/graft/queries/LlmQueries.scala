@@ -70,6 +70,53 @@ object LlmQueries {
 
   private def dvec(c: Column): Column = c.cast("array<double>")
 
+  /** The Gopher appendix-A rule battery over a frame carrying
+    * (doc_id, page) — a stateless per-row projection, so it runs
+    * unchanged over a batch scan or a readStream (the
+    * IngestCuration posture; parity by spec). */
+  private[graft] def gopherRules(docs: DataFrame): DataFrame = {
+    val t = split(col("page"), " ")
+    docs
+      .withColumn("n_words", size(t).cast("long"))
+      .withColumn("mean_word_len",
+        (length(col("page")) - (col("n_words") - 1)) / col("n_words"))
+      .withColumn("symbol_ratio",
+        expr("regexp_count(page, '#|\\\\.\\\\.\\\\.')").cast("long") / col("n_words"))
+      .withColumn("alpha_ratio",
+        size(filter(t, x => x.rlike("[a-z]"))) / col("n_words"))
+      .withColumn("n_stop_distinct",
+        size(array_intersect(array_distinct(t), typedLit(
+          Seq("the", "be", "to", "of", "and", "that", "have", "with")))).cast("int"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("symbol_ratio") < 0.1 && col("alpha_ratio") > 0.8 &&
+          col("n_stop_distinct") >= 2)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_ratio"), col("n_stop_distinct"),
+        col("keep"))
+  }
+
+  /** The C4 §2.2 line/document filters over a frame carrying
+    * (doc_id, raw) — stateless per-row, batch ≡ stream. */
+  private[graft] def c4Filters(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("lines", split(col("raw"), "\n"))
+      .withColumn("kept", filter(col("lines"),
+        l => size(split(l, " ")) >= 5 && l.rlike("[.!?]$")))
+      .withColumn("n_lines", size(col("lines")).cast("int"))
+      .withColumn("n_kept_lines", size(col("kept")).cast("int"))
+      .withColumn("cleaned", array_join(col("kept"), "\n"))
+      .withColumn("has_lorem", col("raw").contains("lorem ipsum"))
+      .withColumn("has_brace", col("raw").contains("{"))
+      .withColumn("n_sentences",
+        expr("regexp_count(cleaned, '[.!?]')").cast("int"))
+      .withColumn("keep",
+        !col("has_lorem") && !col("has_brace") && col("n_sentences") >= 3)
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        col("cleaned"), col("has_lorem"), col("has_brace"),
+        col("n_sentences"), col("keep"))
+
   // ---- DuckDB SQL fragments kept adjacent to their Spark twins ----
 
   private[queries] val oShingles =
@@ -519,31 +566,11 @@ object LlmQueries {
     // curate_scrub_pii posture): every 3rd doc gets a deterministic
     // stopword-bearing tail, making the rule — and the composite
     // keep — discriminate instead of constant-false.
-    "curate_gopher_rules" -> ((s, dir) => {
-      val t = split(col("page"), " ")
-      Tables.documents(s, dir)
+    "curate_gopher_rules" -> ((s, dir) =>
+      gopherRules(Tables.documents(s, dir)
         .withColumn("page", concat(col("text"),
           when(col("doc_id") % 3 === 0, lit(" and that have with of the"))
-            .otherwise(lit(""))))
-        .withColumn("n_words", size(t).cast("long"))
-        .withColumn("mean_word_len",
-          (length(col("page")) - (col("n_words") - 1)) / col("n_words"))
-        .withColumn("symbol_ratio",
-          expr("regexp_count(page, '#|\\\\.\\\\.\\\\.')").cast("long") / col("n_words"))
-        .withColumn("alpha_ratio",
-          size(filter(t, x => x.rlike("[a-z]"))) / col("n_words"))
-        .withColumn("n_stop_distinct",
-          size(array_intersect(array_distinct(t), typedLit(
-            Seq("the", "be", "to", "of", "and", "that", "have", "with")))).cast("int"))
-        .withColumn("keep",
-          col("n_words") >= 50 && col("n_words") <= 100000 &&
-            col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
-            col("symbol_ratio") < 0.1 && col("alpha_ratio") > 0.8 &&
-            col("n_stop_distinct") >= 2)
-        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-          col("symbol_ratio"), col("alpha_ratio"), col("n_stop_distinct"),
-          col("keep"))
-    }),
+            .otherwise(lit(""))))) ),
 
     // C4-style cleaning (Raffel et al. 2020 §2.2): line-level filter
     // (keep lines with ≥5 words ending in terminal punctuation) plus
@@ -554,30 +581,13 @@ object LlmQueries {
     // terminal-punctuated body line, a two-sentence filler line, a
     // doc_id-conditional lorem line (every 7th) and brace line (every
     // 5th), and a too-short line the filter must drop.
-    "curate_c4_filters" -> ((s, dir) => {
-      val raw = concat(col("text"), lit("."),
-        lit("\nthis synthetic line holds enough words to pass. indeed it clears the bar."),
-        when(col("doc_id") % 7 === 0, lit("\nlorem ipsum dolor sit.")).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, lit("\nvar x = {javascript};")).otherwise(lit("")),
-        lit("\ntoo short."))
-      Tables.documents(s, dir)
-        .withColumn("raw", raw)
-        .withColumn("lines", split(col("raw"), "\n"))
-        .withColumn("kept", filter(col("lines"),
-          l => size(split(l, " ")) >= 5 && l.rlike("[.!?]$")))
-        .withColumn("n_lines", size(col("lines")).cast("int"))
-        .withColumn("n_kept_lines", size(col("kept")).cast("int"))
-        .withColumn("cleaned", array_join(col("kept"), "\n"))
-        .withColumn("has_lorem", col("raw").contains("lorem ipsum"))
-        .withColumn("has_brace", col("raw").contains("{"))
-        .withColumn("n_sentences",
-          expr("regexp_count(cleaned, '[.!?]')").cast("int"))
-        .withColumn("keep",
-          !col("has_lorem") && !col("has_brace") && col("n_sentences") >= 3)
-        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
-          col("cleaned"), col("has_lorem"), col("has_brace"),
-          col("n_sentences"), col("keep"))
-    }),
+    "curate_c4_filters" -> ((s, dir) =>
+      c4Filters(Tables.documents(s, dir)
+        .withColumn("raw", concat(col("text"), lit("."),
+          lit("\nthis synthetic line holds enough words to pass. indeed it clears the bar."),
+          when(col("doc_id") % 7 === 0, lit("\nlorem ipsum dolor sit.")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\nvar x = {javascript};")).otherwise(lit("")),
+          lit("\ntoo short.")))) ),
 
     // PII scrubbing: replace emails and URLs with sentinels and count
     // them (the redaction pass every crawl corpus goes through before

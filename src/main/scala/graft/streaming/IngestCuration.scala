@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.GraftConf
-import graft.queries.{CorpusQueries, TextSignals}
+import graft.queries.{CorpusQueries, LlmQueries, TextSignals}
 
 /** Ingest-time curation: the batch catalog's per-document signals
   * (language ID, quality score, benchmark-contamination flag) applied
@@ -61,6 +61,16 @@ object IngestCuration {
     docs.withColumn("content", clean)
       .withColumn("n_chars", length(col("content")).cast("int"))
   }
+
+  /** The Gopher appendix-A rule battery at ingest — the SAME
+    * [[LlmQueries.gopherRules]] projection the oracle-checked batch
+    * query runs, stateless per-row over a (doc_id, page) stream. */
+  def gopherRules(docs: DataFrame): DataFrame = LlmQueries.gopherRules(docs)
+
+  /** The C4 §2.2 line/document filters at ingest — the SAME
+    * [[LlmQueries.c4Filters]] projection, stateless per-row over a
+    * (doc_id, raw) stream. */
+  def c4Filters(docs: DataFrame): DataFrame = LlmQueries.c4Filters(docs)
 
   /** Frozen-model LM quality scoring at ingest: train the bigram LM
     * once on a reference corpus (batch side — two count tables + a

@@ -266,4 +266,62 @@ class IngestCurationSpec extends AnyFunSuite {
     val out = IngestCuration.pplBucket(unseen, corpus).collect()
     assert(out.length == 1 && out.head.getInt(2) >= 0)
   }
+
+  test("Gopher and C4 filter batteries over a stream equal the batch projections") {
+    import org.apache.spark.sql.functions._
+    // pages with rule variety: stopword-rich long page, short page,
+    // symbol-heavy page, non-alpha page
+    val longBody = (1 to 60).map(i => "word" + (i % 9)).mkString(" ")
+    val pages = Seq(
+      (1L, longBody + " the and that have with of"),
+      (2L, "too short for the word count rule"),
+      (3L, longBody + " ### ... ### ... ### ... ### ... the and"),
+      (4L, (1 to 60).map(_ => "123").mkString(" ") + " the and"))
+    val rawsC4 = Seq(
+      (1L, "a good line with enough words here.\nanother proper sentence line for the doc. and one more here.\nshort one."),
+      (2L, "lorem ipsum dolor sit amet consectetur.\nthis line is long enough to pass the filter."),
+      (3L, "code leaked { into } the page somehow today.\nthis line is long enough to pass the filter."),
+      (4L, "only one proper sentence line lives here today."))
+
+    for ((name, make, data) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, Seq[(Long, String)])](
+        ("gopher", (df: org.apache.spark.sql.DataFrame) =>
+          IngestCuration.gopherRules(df.withColumnRenamed("payload", "page")), pages),
+        ("c4", (df: org.apache.spark.sql.DataFrame) =>
+          IngestCuration.c4Filters(df.withColumnRenamed("payload", "raw")), rawsC4))) {
+      val batch = make(data.toDF("doc_id", "payload"))
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+
+      implicit val sql = spark.sqlContext
+      val src = MemoryStream[(Long, String)]
+      val q = make(src.toDF().toDF("doc_id", "payload"))
+        .writeStream.format("memory").queryName(s"ingest_$name").start()
+      try {
+        src.addData(data.take(2): _*)
+        q.processAllAvailable()
+        src.addData(data.drop(2): _*)
+        q.processAllAvailable()
+        val streamed = spark.table(s"ingest_$name")
+          .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+        assert(streamed == batch, s"$name: stream must equal batch")
+      } finally q.stop()
+    }
+
+    // semantic spot checks on the batch truths
+    val g = IngestCuration.gopherRules(pages.toDF("doc_id", "page"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getBoolean(6), "long stopword-rich page passes all rules")
+    assert(!g(2L).getBoolean(6), "short page fails the word-count rule")
+    assert(!g(3L).getBoolean(6) && g(3L).getDouble(3) >= 0.1,
+      "symbol-heavy page fails the symbol-ratio rule")
+    assert(!g(4L).getBoolean(6) && g(4L).getDouble(4) < 0.8,
+      "numeric page fails the alphabetic-word rule")
+
+    val c = IngestCuration.c4Filters(rawsC4.toDF("doc_id", "raw"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(c(1L).getBoolean(7) && c(1L).getInt(2) == 2,
+      "doc 1: short line dropped, 3 sentences survive -> keep")
+    assert(!c(2L).getBoolean(7) && c(2L).getBoolean(4), "lorem ipsum drops the doc")
+    assert(!c(3L).getBoolean(7) && c(3L).getBoolean(5), "curly brace drops the doc")
+    assert(!c(4L).getBoolean(7) && c(4L).getInt(6) < 3, "under 3 sentences drops the doc")
+  }
 }
