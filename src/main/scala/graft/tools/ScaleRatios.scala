@@ -45,7 +45,16 @@ object ScaleRatios {
       "curate_dsir", "text_bpe_train", "text_bpe_encode",
       "curate_ppl_buckets", "sketch_spacesaving", "text_novelty",
       "sketch_spacesaving_grouped", "curate_token_budget_mix",
-      "text_bpe_fertility")
+      "text_bpe_fertility",
+      // r9 additions: the two published-filter batteries (zero-shuffle
+      // per-row projections — expected ~linear in corpus size)
+      "curate_gopher_rules", "curate_c4_filters",
+      // r9 events family (use the 4th-arg subset to run separately):
+      // the queries harness-blocked in r8 never had a post-r6 scale
+      // point — windows, as-of, fan-in, top-k, and the events sketches
+      "j1_asof_join", "w2_tumbling", "w3_hopping", "w4_session",
+      "s6_fanin_union", "sort_topk", "p5_accumulate",
+      "sketch_countmin", "sketch_hll_grouped", "sketch_quantile_grouped")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
