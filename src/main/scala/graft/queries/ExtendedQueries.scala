@@ -927,17 +927,32 @@ object ExtendedQueries {
       val maxDf = GraftConf.int("graft.dedup.maxDf", 20)
       val e = Tables.documents(s, dir)
         .select(col("doc_id"), explode(graft.functions.functions.word_shingles(col("text"), 3)).as("sh"))
-      val rare = e.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-        .where(col("df") <= maxDf).drop("df")
-      // doc sizes attach AFTER the pair aggregation: a second window
-      // (partition by doc_id) would re-shuffle + re-sort the whole
-      // capped index before the join — joining the small aggregated
-      // pair set against the sizes table instead measured 2.1× faster
-      // at the 10× scale point, same exchange-reused self-join
+      // df via hash AGGREGATION, not a count window: the window form
+      // sort-shuffled the entire exploded index (the catalog's worst
+      // 30× ratio, 22.7×); a count groupBy is map-side-combined and
+      // skew-safe even on boilerplate shingles with huge df
+      val rareSh = e.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select(col("sh"))
+      // shuffle-hash join back onto the index (both sides hash(sh) —
+      // the index exchange is reused; no sort anywhere)
+      val rare = e.join(rareSh.hint("shuffle_hash"), "sh")
+      // doc sizes attach AFTER the pair aggregation: joining the small
+      // aggregated pair set against the sizes table measured 2.1×
+      // faster than a doc_id window at the 10× scale point
       val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      rare.as("a")
-        .join(rare.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // pair generation WITHOUT a self-join: post-cap postings are
+      // ≤ maxDf docs, so collecting them per shingle is O(cap) memory
+      // and in-row combinatorics emit the doc_a < doc_b pairs directly
+      // (sorted list ⇒ ordered pairs). Kills the second full-index
+      // shuffle AND the join build side.
+      val pairs = rare.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+      pairs
+        .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("c"))
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")

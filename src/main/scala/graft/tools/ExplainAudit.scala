@@ -91,11 +91,15 @@ object ExplainAudit {
       p.contains("REPARTITION_BY_NUM") && p.contains("BroadcastHashJoin")
     }
     auditExecuted("dedup_jaccard_dfcap",
-      "df-cap window; shingle self-join equi (no cross join)") { p =>
-      // at sf0.01 AQE broadcasts every leg (nothing left to reuse); the
-      // scale-invariant property is the join kind, not the reuse choice
-      p.contains("Window") && !p.contains("CartesianProduct") &&
-        (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+      "df via hash agg (no sort-window over the index); in-row pair combinatorics (no self-join, no cartesian)") { p =>
+      // r9 restructure: the count window sort-shuffled the whole
+      // exploded index (worst 30× ratio in the catalog, 22.7×); now df
+      // is a map-side-combined count agg joined back (shuffle-hash at
+      // scale, broadcast at sf0.01 — AQE's call), and pairs come from
+      // post-cap posting-list combinatorics instead of a second
+      // full-index self-join: ~2.9× at the 30× point
+      !p.contains("Window") && !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin")
     }
     auditExecuted("dedup_simhash_hamming",
       "chunk-band equi-self-join with cohort-cap window (no cross join)") { p =>
