@@ -104,6 +104,13 @@ object CorpusQueries {
   /** Feature order: 1 = hashed unigrams; 2 adds hashed bigrams (the
     * paper's n-gram feature space). */
   private def DSIR_N = GraftConf.int("graft.dsir.ngram", 1)
+  /** Temperature-scaled language sampling (Conneau & Lample 2019 §3.1;
+    * α = 0.3 is the mT5/mC4 operating point) and its token budget. */
+  private def TEMP_ALPHA = GraftConf.double("graft.mix.temperature", 0.3)
+  private def TEMP_BUDGET = GraftConf.int("graft.mix.tokenBudget", 1000000)
+  /** Balanced shard assignment: histogram buckets and output shards. */
+  private def SHARD_B = GraftConf.int("graft.shard.buckets", 256)
+  private def N_SHARDS = GraftConf.int("graft.shard.n", 8)
 
   /** Connected components of the LSH candidate graph by iterative
     * min-label propagation; converges when the (monotone non-increasing)
@@ -632,6 +639,79 @@ object CorpusQueries {
           first(col("n_orig")).as("n_orig"),
           first(col("thr")).as("thr"),
           sum(when(col("u") < col("thr"), 1L).otherwise(0L)).as("n_sampled"))
+    }),
+
+    // Temperature-scaled language sampling (Conneau & Lample 2019,
+    // "Cross-lingual Language Model Pretraining" §3.1 — the α-scaled
+    // multinomial behind every multilingual pretraining mix; mT5/mC4
+    // run α = 0.3): p_l = tokens_l / Σ, q_l ∝ p_l^α renormalized, and
+    // the per-language token draw under a fixed budget. Unlike
+    // curate_domain_mix (given target weights), the weights here are
+    // LEARNED from the corpus histogram — the tail languages upsample,
+    // the head downsamples; `boost` is the resulting sampling-rate
+    // multiplier. Float discipline: p_raw is an IEEE division of exact
+    // integrals; the pow() transcendental rounds through DECIMAL(18,6)
+    // (the text_lm_score rule) so both engines normalize identical
+    // operands; the normalizer is an exact decimal sum; the final
+    // divisions are IEEE ops on identical doubles. Scale: one
+    // map-side-combined groupBy(lang) → O(languages) rows; the two
+    // normalizing scalars ride broadcast crossJoins — the corpus is
+    // scanned once and never shuffled wide.
+    "curate_temperature_mix" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .withColumn("n_toks", size(toks).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      val tot = counts.agg(sum(col("n_tokens")).as("tot"))
+      val weighted = counts.crossJoin(broadcast(tot))
+        .withColumn("p_raw",
+          col("n_tokens").cast("double") / col("tot").cast("double"))
+        .withColumn("w",
+          pow(col("p_raw"), lit(TEMP_ALPHA)).cast(DecimalType(18, 6)))
+      val norm = weighted.agg(sum(col("w")).as("sw"))
+      weighted.crossJoin(broadcast(norm))
+        .withColumn("p_temp",
+          col("w").cast("double") / col("sw").cast("double"))
+        .withColumn("boost", col("p_temp") / col("p_raw"))
+        .withColumn("tokens_drawn",
+          floor(lit(TEMP_BUDGET) * col("p_temp")).cast("long"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("p_raw"),
+          col("p_temp"), col("boost"), col("tokens_drawn"))
+    }),
+
+    // Balanced output-shard assignment — the writer stage of a
+    // training pipeline: N_SHARDS shards of ~equal TOKEN mass (not doc
+    // count), assigned deterministically. The scalable shape is the
+    // RangePartitioner discipline: histogram the corpus into SHARD_B
+    // md5(doc_id) buckets (one map-side-combined O(B)-group shuffle),
+    // prefix-sum the O(B)-row bucket table to cut shard boundaries at
+    // multiples of tot/N (a single-partition window over B rows —
+    // control-plane, the codebook-collect posture), and broadcast the
+    // bucket→shard map back onto the corpus: the data itself is
+    // scanned once and moved only by its own output partitioning.
+    // Every step is integral arithmetic or an IEEE division of
+    // integral-derived doubles, so both engines cut identical
+    // boundaries at any parallelism.
+    "curate_shard_balance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % SHARD_B)
+      val hist = docs.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btoks"))
+      val tot = hist.agg(sum(col("btoks")).as("tot"))
+      val cumW = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mapping = hist.crossJoin(broadcast(tot))
+        .withColumn("cum_before",
+          coalesce(sum(col("btoks")).over(cumW), lit(0L)))
+        .withColumn("shard",
+          least(floor(col("cum_before").cast("double") /
+            (col("tot").cast("double") / N_SHARDS)),
+            lit(N_SHARDS - 1).cast("long")).cast("int"))
+        .select(col("bucket"), col("shard"))
+      docs.join(broadcast(mapping), "bucket")
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("shard"))
     }),
 
     // Near-dup cluster resolution: candidate pairs → connected
@@ -1292,6 +1372,42 @@ object CorpusQueries {
          |FROM documents d JOIN rates USING (lang)
          |GROUP BY d.lang""".stripMargin
     },
+
+    // same α, same DECIMAL(18,6) rounding of the pow() term, same
+    // exact-decimal normalizer, same IEEE final divisions
+    "curate_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY lang),
+         |t AS (SELECT SUM(n_tokens) AS tot FROM c),
+         |w AS (SELECT lang, n_docs, n_tokens,
+         |CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p_raw,
+         |CAST(pow(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), $TEMP_ALPHA)
+         |AS DECIMAL(18,6)) AS w FROM c CROSS JOIN t),
+         |s AS (SELECT SUM(w) AS sw FROM w)
+         |SELECT lang, n_docs, n_tokens, p_raw,
+         |CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) AS p_temp,
+         |(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) / p_raw AS boost,
+         |CAST(FLOOR($TEMP_BUDGET * (CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)))
+         |AS BIGINT) AS tokens_drawn
+         |FROM w CROSS JOIN s""".stripMargin,
+
+    // same md5 bucketing, same prefix-sum boundary cut
+    "curate_shard_balance" ->
+      s"""WITH d AS (SELECT doc_id,
+         |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $SHARD_B AS bucket
+         |FROM documents),
+         |h AS (SELECT bucket, SUM(n_tokens) AS btoks FROM d GROUP BY bucket),
+         |t AS (SELECT SUM(btoks) AS tot FROM h),
+         |m AS (SELECT bucket,
+         |COALESCE(SUM(btoks) OVER (ORDER BY bucket
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before, tot
+         |FROM h CROSS JOIN t),
+         |a AS (SELECT bucket, CAST(LEAST(FLOOR(CAST(cum_before AS DOUBLE) /
+         |(CAST(tot AS DOUBLE) / $N_SHARDS)), $N_SHARDS - 1) AS INTEGER) AS shard
+         |FROM m)
+         |SELECT doc_id, n_tokens, bucket, shard FROM d JOIN a USING (bucket)""".stripMargin,
 
     "dedup_clusters" -> {
       val withRec = oShingles.replaceFirst("WITH ", "WITH RECURSIVE ")

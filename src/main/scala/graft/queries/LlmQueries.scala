@@ -117,6 +117,37 @@ object LlmQueries {
         col("cleaned"), col("has_lorem"), col("has_brace"),
         col("n_sentences"), col("keep"))
 
+  /** The FineWeb line-level battery (Penedo et al. 2024, "The FineWeb
+    * Datasets" §3.4 — the three filters FineWeb added beyond C4/Gopher)
+    * over a frame carrying (doc_id, page): drop documents whose
+    * fraction of punctuation-terminated lines is ≤ 0.12, whose fraction
+    * of characters in duplicated lines is ≥ 0.1 (each repeat beyond a
+    * line's first occurrence counts its characters), or whose fraction
+    * of short lines (< 30 chars) is ≥ 0.67. Stateless per-row HOFs —
+    * batch ≡ stream; dup accounting folds over the distinct lines of
+    * ONE row (O(lines²) per doc, lines are dozens), never a shuffle. */
+  private[graft] def finewebLines(docs: DataFrame): DataFrame = {
+    val lines = col("lines")
+    docs
+      .withColumn("lines", split(col("page"), "\n"))
+      .withColumn("n_lines", size(lines).cast("int"))
+      .withColumn("punct_line_ratio",
+        size(filter(lines, l => l.rlike("[.!?]$"))) / col("n_lines"))
+      .withColumn("tot_chars",
+        aggregate(lines, lit(0L), (a, l) => a + length(l)))
+      .withColumn("dup_chars",
+        aggregate(array_distinct(lines), lit(0L), (a, l) =>
+          a + ((size(filter(lines, x => x === l)) - 1) * length(l)).cast("long")))
+      .withColumn("dup_line_char_frac", col("dup_chars") / col("tot_chars"))
+      .withColumn("short_line_frac",
+        size(filter(lines, l => length(l) < 30)) / col("n_lines"))
+      .withColumn("keep",
+        col("punct_line_ratio") > 0.12 && col("dup_line_char_frac") < 0.1 &&
+          col("short_line_frac") < 0.67)
+      .select(col("doc_id"), col("n_lines"), col("punct_line_ratio"),
+        col("dup_line_char_frac"), col("short_line_frac"), col("keep"))
+  }
+
   // ---- DuckDB SQL fragments kept adjacent to their Spark twins ----
 
   private[queries] val oShingles =
@@ -589,6 +620,30 @@ object LlmQueries {
           when(col("doc_id") % 5 === 0, lit("\nvar x = {javascript};")).otherwise(lit("")),
           lit("\ntoo short.")))) ),
 
+    // FineWeb line-level battery (Penedo et al. 2024 §3.4 — the three
+    // filters FineWeb added on top of C4/Gopher): punctuated-line
+    // ratio ≤ 0.12 drop, ≥ 10% of characters in duplicated lines drop,
+    // ≥ 67% short (< 30 char) lines drop. Pure per-row HOFs — narrow,
+    // zero-shuffle, whole-stage codegen. The corpus is single-line, so
+    // the multi-line page is DERIVED per row (the curate_c4_filters
+    // posture): punctuated body + a short nav line always; every 2nd
+    // doc a twice-repeated 45-char boilerplate footer — docs shorter
+    // than ~357 chars then cross the 10% dup-char threshold, so the
+    // rule discriminates ON the corpus length distribution (median
+    // 306); every 9th doc seven short unpunctuated link lines (punct
+    // ratio 1/9 ≤ 0.12 AND short ratio ≥ 0.67 both fire).
+    "curate_fineweb_lines" -> ((s, dir) =>
+      finewebLines(Tables.documents(s, dir)
+        .withColumn("page", concat(col("text"), lit("."),
+          lit("\nnav"),
+          when(col("doc_id") % 2 === 0,
+            lit("\ncopyright footer boilerplate repeated notice." +
+              "\ncopyright footer boilerplate repeated notice."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit("\nlink a\nlink b\nlink c\nlink d\nlink e\nlink f\nlink g"))
+            .otherwise(lit("")))))),
+
     // PII scrubbing: replace emails and URLs with sentinels and count
     // them (the redaction pass every crawl corpus goes through before
     // training). The corpus is synthetic word-salad, so the PII is
@@ -1045,6 +1100,36 @@ object LlmQueries {
         |(NOT contains(raw, 'lorem ipsum') AND NOT contains(raw, '{') AND
         |len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3) AS keep
         |FROM f""".stripMargin,
+
+    // same derived page, same integral counts; every ratio is an
+    // int/int IEEE division in both engines
+    "curate_fineweb_lines" ->
+      """WITH r AS (SELECT doc_id,
+        |text || '.' || chr(10) || 'nav' ||
+        |CASE WHEN doc_id % 2 = 0 THEN
+        |chr(10) || 'copyright footer boilerplate repeated notice.' ||
+        |chr(10) || 'copyright footer boilerplate repeated notice.' ELSE '' END ||
+        |CASE WHEN doc_id % 9 = 0 THEN
+        |chr(10) || 'link a' || chr(10) || 'link b' || chr(10) || 'link c' ||
+        |chr(10) || 'link d' || chr(10) || 'link e' || chr(10) || 'link f' ||
+        |chr(10) || 'link g' ELSE '' END AS page
+        |FROM documents),
+        |f AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM r),
+        |m AS (SELECT doc_id,
+        |CAST(len(ls) AS INTEGER) AS n_lines,
+        |len(list_filter(ls, l -> regexp_matches(l, '[.!?]$'))) AS n_punct,
+        |CAST(list_sum(list_transform(ls, l -> length(l))) AS BIGINT) AS tot_chars,
+        |CAST(list_sum(list_transform(list_distinct(ls),
+        |l -> (len(list_filter(ls, x -> x = l)) - 1) * length(l))) AS BIGINT) AS dup_chars,
+        |len(list_filter(ls, l -> length(l) < 30)) AS n_short
+        |FROM f)
+        |SELECT doc_id, n_lines,
+        |n_punct / n_lines AS punct_line_ratio,
+        |dup_chars / tot_chars AS dup_line_char_frac,
+        |n_short / n_lines AS short_line_frac,
+        |(n_punct / n_lines > 0.12 AND dup_chars / tot_chars < 0.1 AND
+        |n_short / n_lines < 0.67) AS keep
+        |FROM m""".stripMargin,
 
     "curate_scrub_pii" ->
       """WITH r AS (SELECT doc_id,

@@ -72,6 +72,11 @@ object IngestCuration {
     * (doc_id, raw) stream. */
   def c4Filters(docs: DataFrame): DataFrame = LlmQueries.c4Filters(docs)
 
+  /** The FineWeb line-level battery at ingest — the SAME
+    * [[LlmQueries.finewebLines]] projection, stateless per-row over a
+    * (doc_id, page) stream. */
+  def finewebLines(docs: DataFrame): DataFrame = LlmQueries.finewebLines(docs)
+
   /** Frozen-model LM quality scoring at ingest: train the bigram LM
     * once on a reference corpus (batch side — two count tables + a
     * vocab scalar), then score every arriving document against it.

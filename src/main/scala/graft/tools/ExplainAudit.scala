@@ -78,6 +78,19 @@ object ExplainAudit {
     audit("curate_c4_filters", "C4 line filter is a per-row projection: ZERO shuffles, no explode") { p =>
       count(p, "Exchange") == 0 && !p.contains("Generate")
     }
+    audit("curate_fineweb_lines", "FineWeb line battery is a per-row projection: ZERO shuffles, no explode") { p =>
+      count(p, "Exchange") == 0 && !p.contains("Generate")
+    }
+    audit("curate_temperature_mix",
+      "O(langs) agg normalized via broadcast scalars: broadcast joins, never a shuffle join") { p =>
+      p.contains("BroadcastNestedLoopJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("ShuffledHashJoin")
+    }
+    audit("curate_shard_balance",
+      "bucket map broadcasts back onto the corpus; corpus itself shuffles only into the O(B) histogram") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("ShuffledHashJoin")
+    }
     audit("curate_weighted_sample", "weighted top-k = TakeOrderedAndProject, no global-window sort") { p =>
       p.contains("TakeOrderedAndProject") && count(p, "Window") == 0
     }

@@ -282,12 +282,23 @@ class IngestCurationSpec extends AnyFunSuite {
       (2L, "lorem ipsum dolor sit amet consectetur.\nthis line is long enough to pass the filter."),
       (3L, "code leaked { into } the page somehow today.\nthis line is long enough to pass the filter."),
       (4L, "only one proper sentence line lives here today."))
+    // fineweb pages: clean keeper, dup-line-heavy, unpunctuated-heavy
+    // (1 punct / 9 lines = 0.111 ≤ 0.12), short-line-heavy (3/4 ≥ 0.67)
+    val dupLine = "repeated boilerplate line that is long enough here."
+    val pagesFw = Seq(
+      (1L, "this is a fine long line of prose that ends well.\nanother properly terminated line of content here.\na third distinct punctuated line closes the doc."),
+      (2L, s"$dupLine\n$dupLine\n$dupLine\na single distinct punctuated line of content here."),
+      (3L, "the only terminated line in this page sits here.\n" +
+        (1 to 8).map(i => s"an unterminated navigation chrome line number $i").mkString("\n")),
+      (4L, "a proper punctuated line that is long enough to pass.\nnav\nmenu\nhome"))
 
     for ((name, make, data) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, Seq[(Long, String)])](
         ("gopher", (df: org.apache.spark.sql.DataFrame) =>
           IngestCuration.gopherRules(df.withColumnRenamed("payload", "page")), pages),
         ("c4", (df: org.apache.spark.sql.DataFrame) =>
-          IngestCuration.c4Filters(df.withColumnRenamed("payload", "raw")), rawsC4))) {
+          IngestCuration.c4Filters(df.withColumnRenamed("payload", "raw")), rawsC4),
+        ("fineweb", (df: org.apache.spark.sql.DataFrame) =>
+          IngestCuration.finewebLines(df.withColumnRenamed("payload", "page")), pagesFw))) {
       val batch = make(data.toDF("doc_id", "payload"))
         .collect().map(r => r.getLong(0) -> r.toSeq).toMap
 
@@ -323,5 +334,15 @@ class IngestCurationSpec extends AnyFunSuite {
     assert(!c(2L).getBoolean(7) && c(2L).getBoolean(4), "lorem ipsum drops the doc")
     assert(!c(3L).getBoolean(7) && c(3L).getBoolean(5), "curly brace drops the doc")
     assert(!c(4L).getBoolean(7) && c(4L).getInt(6) < 3, "under 3 sentences drops the doc")
+
+    val fw = IngestCuration.finewebLines(pagesFw.toDF("doc_id", "page"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(fw(1L).getBoolean(5), "clean multi-line page passes all three rules")
+    assert(!fw(2L).getBoolean(5) && fw(2L).getDouble(3) >= 0.1,
+      "repeated-line page fails the dup-char rule (2 of 3 repeats count)")
+    assert(!fw(3L).getBoolean(5) && fw(3L).getDouble(2) <= 0.12,
+      "unpunctuated page fails the punct-line-ratio rule")
+    assert(!fw(4L).getBoolean(5) && fw(4L).getDouble(4) >= 0.67,
+      "short-line page fails the short-line rule")
   }
 }
