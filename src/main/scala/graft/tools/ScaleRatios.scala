@@ -46,9 +46,12 @@ object ScaleRatios {
       "curate_ppl_buckets", "sketch_spacesaving", "text_novelty",
       "sketch_spacesaving_grouped", "curate_token_budget_mix",
       "text_bpe_fertility",
-      // r9 additions: the two published-filter batteries (zero-shuffle
-      // per-row projections — expected ~linear in corpus size)
-      "curate_gopher_rules", "curate_c4_filters",
+      // r9 additions: the published-filter batteries (zero-shuffle
+      // per-row projections — expected ~linear in corpus size), the
+      // temperature mix (O(langs) agg), and the shard balancer
+      // (O(B) histogram + broadcast map-back)
+      "curate_gopher_rules", "curate_c4_filters", "curate_fineweb_lines",
+      "curate_temperature_mix", "curate_shard_balance",
       // r9 events family (use the 4th-arg subset to run separately):
       // the queries harness-blocked in r8 never had a post-r6 scale
       // point — windows, as-of, fan-in, top-k, and the events sketches
