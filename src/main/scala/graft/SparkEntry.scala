@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.AsOfJoin
-import graft.queries.{CorpusQueries, ExtendedQueries, LlmQueries, RelationalQueries}
+import graft.queries.{CorpusQueries, ExtendedQueries, LlmQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,9 +31,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ LlmQueries.queries ++ ExtendedQueries.queries ++
-      CorpusQueries.queries
+      CorpusQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ LlmQueries.oracles ++ ExtendedQueries.oracles ++
-      CorpusQueries.oracles
+      CorpusQueries.oracles ++ PipelineQueries.oracles
 }

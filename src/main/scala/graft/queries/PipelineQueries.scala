@@ -1,0 +1,442 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{GraftConf, Tables}
+
+/** Round-9 pipeline-QA batch: the operators a production training-data
+  * pipeline runs AROUND the dedup/filter core — credential scrubbing,
+  * budget-driven mixture allocation (UniMax), split-drift monitoring
+  * (KL over hashed token buckets), embedding-space benchmark
+  * decontamination, corpus-statistics diagnostics (Zipf fit,
+  * readability), and pretraining sequence chunking. Reference scope:
+  * slipstream's pipe vocabulary (slipstream/operations.py) has no
+  * corpus-QA story; these extend it with the published recipes
+  * (Chung et al. 2023 UniMax; Xie et al. 2023 DSIR's hashed-bucket
+  * feature space, reused here for drift; Kincaid 1975 readability;
+  * GPT-3 appendix-C decontamination moved to embedding space).
+  *
+  * Scale posture (every query):
+  * - scrub_secrets / readability: stateless per-row projections —
+  *   zero shuffle, whole-stage codegen, the streaming-ingest shape.
+  * - unimax_mix: one map-side-combined O(languages) aggregation; the
+  *   allocation recurrence collapses to a closed form over prefix
+  *   sums on the O(L)-row table (control plane).
+  * - split_kl: one map-side-combined token shuffle into O(B) buckets;
+  *   the corpus is never joined or re-shuffled.
+  * - contaminate_embedding: the eval set broadcasts (benchmarks are
+  *   MBs, the corpus TBs); the corpus streams through one broadcast
+  *   join — no corpus shuffle at all before the per-vector top-1.
+  * - word_zipf: word-frequency agg + TakeOrdered top-N; the OLS fit
+  *   runs on the N-row control-plane table.
+  * - chunk_overlap: per-row explode of O(tokens/stride) chunks — the
+  *   output is the big thing, not any shuffle.
+  */
+object PipelineQueries {
+
+  import LlmQueries.toks
+  import QueryPrimitives.dot
+
+  // --- conf-driven operating points (see GraftConf) ------------------
+  /** UniMax: per-language epoch cap and budget as a multiple of the
+    * corpus token count (self-scaling across SFs). */
+  private def UNIMAX_E = GraftConf.int("graft.mix.unimaxEpochs", 4)
+  private def UNIMAX_RATIO = GraftConf.double("graft.mix.unimaxRatio", 2.0)
+  /** Drift monitor: hashed feature buckets + train split percent. */
+  private def KL_B = GraftConf.int("graft.drift.buckets", 256)
+  private def TRAIN_PCT = GraftConf.int("graft.drift.trainPct", 80)
+  /** Embedding decontamination: eval-member rule + cosine floor. */
+  private def EVAL_MOD = GraftConf.int("graft.contam.evalMod", 97)
+  private def CONTAM_COS = GraftConf.double("graft.contam.cosMin", 0.8)
+  /** Zipf fit: how many head words enter the OLS regression. */
+  private def ZIPF_N = GraftConf.int("graft.zipf.topn", 1000)
+  /** Sequence chunking: window width and stride, in tokens. */
+  private def CHUNK_W = GraftConf.int("graft.chunk.width", 64)
+  private def CHUNK_S = GraftConf.int("graft.chunk.stride", 48)
+
+  // Secret-pattern battery (portable Java-regex ∩ RE2 subset: no
+  // backrefs, no lookaround — both engines scan leftmost-greedy
+  // non-overlapping, so counts and redactions agree exactly).
+  private val R_AWS = "AKIA[0-9A-Z]{16}"
+  private val R_TOK = "(token|secret|apikey)[=:][0-9a-f]{16,}"
+  private val R_HEX = "[0-9a-f]{32}"
+
+  // The synthetic corpus carries no credentials, so the battery is
+  // exercised the scrub_pii way: a deterministic md5-derived tail
+  // appended to a doc_id-keyed subset — same derivation in the oracle,
+  // so the hash-compare checks DISCRIMINATION (seeded docs flagged and
+  // rewritten, the rest untouched), not just plumbing.
+  private def secretText = concat(
+    col("text"),
+    when(col("doc_id") % 13 === 0,
+      concat(lit(" AKIA"), upper(substring(md5(col("doc_id").cast("string")), 1, 16))))
+      .otherwise(lit("")),
+    when(col("doc_id") % 17 === 0,
+      concat(lit(" token:"), substring(md5(concat(lit("t"), col("doc_id").cast("string"))), 1, 24)))
+      .otherwise(lit("")),
+    when(col("doc_id") % 19 === 0,
+      concat(lit(" "), substring(md5(concat(lit("h"), col("doc_id").cast("string"))), 1, 32)))
+      .otherwise(lit("")))
+
+  private val oSecretText =
+    """text ||
+      |CASE WHEN doc_id % 13 = 0 THEN ' AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) ELSE '' END ||
+      |CASE WHEN doc_id % 17 = 0 THEN ' token:' || substr(md5('t' || CAST(doc_id AS VARCHAR)), 1, 24) ELSE '' END ||
+      |CASE WHEN doc_id % 19 = 0 THEN ' ' || substr(md5('h' || CAST(doc_id AS VARCHAR)), 1, 32) ELSE '' END"""
+      .stripMargin.replace("\n", " ")
+
+  // Derived sentence structure for the readability battery (the corpus
+  // has no punctuation): a period after every 11th word + a terminal
+  // period. Global leftmost non-overlapping replace — identical
+  // sentence boundaries in both engines.
+  private val SENT_PAT = "(([^ ]+ ){10}[^ ]+) "
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Credential/secret scrubbing (the ingest-time sibling of
+    // curate_scrub_pii): count and redact AWS access-key ids,
+    // `token:`/`secret:`-prefixed credentials, and bare 32-hex
+    // digests. Stateless per-row projection — zero shuffle; at 100 TB
+    // this runs inside the ingest scan, never as its own pass.
+    "curate_scrub_secrets" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("t2", secretText)
+        .withColumn("n_aws", size(regexp_extract_all(col("t2"), lit(R_AWS), lit(0))))
+        .withColumn("n_token", size(regexp_extract_all(col("t2"), lit(R_TOK), lit(0))))
+        .withColumn("n_hex32", size(regexp_extract_all(col("t2"), lit(R_HEX), lit(0))))
+        .withColumn("is_flagged", (col("n_aws") + col("n_token") + col("n_hex32")) > 0)
+        .withColumn("text_clean",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t2"), R_AWS, "<AWS_KEY>"),
+              R_TOK, "<TOKEN>"),
+            R_HEX, "<HEX32>"))
+        .select(col("doc_id"), col("n_aws"), col("n_token"), col("n_hex32"),
+          col("is_flagged"), col("text_clean"))
+    }),
+
+    // UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    // More Effective Language Sampling"): give every language up to E
+    // epochs of its data; languages whose E epochs don't fit the
+    // remaining budget split it equally. The sequential water-filling
+    // recurrence has a closed form over the size-ascending order —
+    // langs before the break index t take their full E·n_l, langs from
+    // t on take an equal share of what remains — so the whole
+    // allocation is prefix sums + one scalar, never an iterative loop.
+    // All comparisons are exact BIGINT arithmetic; the only division
+    // is the final equal share (identical IEEE on both engines).
+    "curate_unimax_mix" -> ((s, dir) => {
+      val e = lit(UNIMAX_E.toLong)
+      val c = Tables.documents(s, dir)
+        .withColumn("n_toks", size(toks).cast("long"))
+        .groupBy(col("lang")).agg(sum(col("n_toks")).as("n_tokens"))
+      val sc = c.agg(count(lit(1)).as("nl"), sum(col("n_tokens")).as("tot"))
+        .withColumn("budget", floor(col("tot").cast("double") * lit(UNIMAX_RATIO)).cast("long"))
+      val ord = Window.orderBy(col("n_tokens").asc, col("lang").asc)
+      val r = c.crossJoin(broadcast(sc))
+        .withColumn("i", row_number().over(ord).cast("long"))
+        .withColumn("full_cap", e * col("n_tokens"))
+        .withColumn("pfull_before", coalesce(
+          sum(e * col("n_tokens")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("can_full",
+          col("full_cap") * (col("nl") - col("i") + 1L) <= col("budget") - col("pfull_before"))
+      val brk = r.agg(
+        min(when(!col("can_full"), col("i"))).as("t"),
+        min(when(!col("can_full"), col("pfull_before"))).as("pf_t"))
+      r.crossJoin(broadcast(brk))
+        .withColumn("is_full", col("t").isNull || col("i") < col("t"))
+        .withColumn("alloc_tokens", when(col("is_full"), col("full_cap"))
+          .otherwise(floor((col("budget") - col("pf_t")).cast("double") /
+            (col("nl") - col("t") + 1L).cast("double")).cast("long")))
+        .withColumn("epochs",
+          col("alloc_tokens").cast("double") / col("n_tokens").cast("double"))
+        .select(col("lang"), col("n_tokens"), col("i").as("size_rank"),
+          col("full_cap"), col("is_full"), col("alloc_tokens"), col("epochs"))
+    }),
+
+    // Train/valid distribution drift — the split-health monitor a
+    // pipeline reads before trusting its validation loss: KL
+    // contributions (both directions) between the two splits' hashed
+    // token-bucket distributions (the DSIR feature space), +1
+    // smoothed, over ALL B buckets including empty ones. One
+    // map-side-combined token shuffle into O(B) groups; each ln rounds
+    // through DECIMAL(18,6) (the text_lm_score rule) so both engines
+    // report identical contributions.
+    "curate_split_kl" -> ((s, dir) => {
+      val b = KL_B
+      val tok = Tables.documents(s, dir)
+        .withColumn("u100",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100)
+        .withColumn("is_train", col("u100") < TRAIN_PCT)
+        .select(col("is_train"), explode(toks).as("w"))
+        .withColumn("bkt",
+          conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % b)
+      val counts = tok.groupBy(col("bkt")).agg(
+        sum(when(col("is_train"), 1L).otherwise(0L)).as("c_train"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("c_valid"))
+      val full = s.range(b).select(col("id").as("bkt"))
+        .join(counts, Seq("bkt"), "left")
+        .na.fill(0L, Seq("c_train", "c_valid"))
+      val tot = counts.agg(sum(col("c_train")).as("nt"), sum(col("c_valid")).as("nv"))
+      full.crossJoin(broadcast(tot))
+        .withColumn("p_train",
+          (col("c_train") + 1L).cast("double") / (col("nt") + b).cast("double"))
+        .withColumn("p_valid",
+          (col("c_valid") + 1L).cast("double") / (col("nv") + b).cast("double"))
+        .withColumn("kl_pq",
+          (col("p_train") * (log(col("p_train")) - log(col("p_valid"))))
+            .cast(DecimalType(18, 6)))
+        .withColumn("kl_qp",
+          (col("p_valid") * (log(col("p_valid")) - log(col("p_train"))))
+            .cast(DecimalType(18, 6)))
+        .select(col("bkt"), col("c_train"), col("c_valid"),
+          col("p_train"), col("p_valid"), col("kl_pq"), col("kl_qp"))
+    }),
+
+    // Benchmark decontamination in embedding space (the GPT-3
+    // appendix-C n-gram scan moved to semantic similarity, the
+    // modern-eval-suite posture): flag corpus vectors whose cosine
+    // against any eval-set member clears the floor, reporting the
+    // best-matching eval anchor. The synthetic corpus has no true
+    // contamination (background max cos ≈ 0.47), so planted
+    // near-copies — each eval vector shifted by +0.05 per component,
+    // landing at cos ≈ 0.93 — are unioned in under derived ids; the
+    // oracle plants identically, so the hash-compare checks that
+    // EXACTLY the planted rows are flagged at their anchors.
+    "contaminate_embedding" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val eval = emb.where(col("vec_id") % EVAL_MOD === 0)
+      val planted = eval.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("e"), x => x + lit(0.05)).as("e"))
+      val corpus = emb.unionByName(planted)
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val q = eval.select(col("vec_id").as("eval_id"), col("e").as("qe"))
+        .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      corpus.join(broadcast(q), col("vec_id") =!= col("eval_id"))
+        .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .where(col("cos") >= CONTAM_COS)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("eval_id").asc)))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("eval_id"), col("cos"))
+    }),
+
+    // Zipf-fit corpus diagnostic: OLS slope/intercept of ln(freq) on
+    // ln(rank) over the top-N words — the one-row corpus-health
+    // statistic (natural text runs slope ≈ −1; a pipeline bug that
+    // duplicates or truncates text moves it). Word counts are one
+    // map-side-combined shuffle; the top-N is TakeOrdered (per-
+    // partition heaps); the regression runs on the N-row table with
+    // each ln rounded through DECIMAL(18,6) and decimal-exact sums,
+    // so both engines fit identical lines.
+    "text_word_zipf" -> ((s, dir) => {
+      val n = ZIPF_N
+      val wf = Tables.documents(s, dir)
+        .select(explode(toks).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(n)
+      val ranked = wf
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("c").desc, col("w").asc)).cast("long"))
+        .withColumn("lx", log(col("r").cast("double")).cast(DecimalType(18, 6)))
+        .withColumn("ly", log(col("c").cast("double")).cast(DecimalType(18, 6)))
+      ranked.agg(
+        count(lit(1)).as("n_words"),
+        sum(col("lx")).cast("double").as("sx"),
+        sum(col("ly")).cast("double").as("sy"),
+        sum(col("lx") * col("ly")).cast("double").as("sxy"),
+        sum(col("lx") * col("lx")).cast("double").as("sxx"))
+        .withColumn("slope",
+          (col("n_words").cast("double") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_words").cast("double") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("intercept",
+          (col("sy") - col("slope") * col("sx")) / col("n_words").cast("double"))
+        .select(col("n_words"), col("slope"), col("intercept"))
+    }),
+
+    // Pretraining sequence chunking: fixed-width token windows with
+    // overlap (width W, stride S — the context-window prep step every
+    // LM pipeline runs between curation and tokenization). Pure
+    // per-row explode: O(tokens/stride) chunks, zero shuffle — the
+    // output volume is the cost, not any exchange.
+    "curate_chunk_overlap" -> ((s, dir) => {
+      val (w, st) = (CHUNK_W, CHUNK_S)
+      Tables.documents(s, dir)
+        .withColumn("tk", toks)
+        .withColumn("n", size(col("tk")))
+        .select(col("doc_id"), col("tk"), col("n"),
+          explode(sequence(lit(1), col("n"), lit(st))).as("start"))
+        .withColumn("chunk_id",
+          floor((col("start") - 1).cast("double") / st).cast("long") + 1L)
+        .withColumn("chunk_len", least(lit(w), col("n") - col("start") + 1))
+        .withColumn("chunk_text", array_join(slice(col("tk"), col("start"), lit(w)), " "))
+        .select(col("doc_id"), col("chunk_id"), col("start"),
+          col("chunk_len"), col("chunk_text"))
+    }),
+
+    // Flesch–Kincaid readability (Kincaid et al. 1975) — the cheap
+    // quality prior quality-filter stacks report alongside the Gopher
+    // battery. Sentence boundaries are derived (period after every
+    // 11th word, see SENT_PAT) since the synthetic corpus has none;
+    // syllables ≈ vowel groups (the standard regex proxy). Stateless
+    // per-row math on exact integer counts — zero shuffle, identical
+    // IEEE arithmetic both engines.
+    "text_readability" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("t2",
+          concat(regexp_replace(col("text"), SENT_PAT, "$1. "), lit(".")))
+        .withColumn("n_words", size(toks))
+        .withColumn("n_sentences",
+          greatest(lit(1), size(regexp_extract_all(col("t2"), lit("[.!?]"), lit(0)))))
+        .withColumn("n_syllables",
+          size(regexp_extract_all(lower(col("t2")), lit("[aeiouy]+"), lit(0))))
+        .withColumn("wps", col("n_words").cast("double") / col("n_sentences").cast("double"))
+        .withColumn("spw", col("n_syllables").cast("double") / col("n_words").cast("double"))
+        .withColumn("fk_grade",
+          lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59))
+        .withColumn("flesch_ease",
+          lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("fk_grade"), col("flesch_ease"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    // same derived tails, same pattern battery, same redaction order
+    "curate_scrub_secrets" ->
+      s"""WITH t AS (SELECT doc_id, $oSecretText AS t2 FROM documents)
+         |SELECT doc_id,
+         |CAST(len(regexp_extract_all(t2, '$R_AWS')) AS INTEGER) AS n_aws,
+         |CAST(len(regexp_extract_all(t2, '$R_TOK')) AS INTEGER) AS n_token,
+         |CAST(len(regexp_extract_all(t2, '$R_HEX')) AS INTEGER) AS n_hex32,
+         |(len(regexp_extract_all(t2, '$R_AWS')) + len(regexp_extract_all(t2, '$R_TOK'))
+         | + len(regexp_extract_all(t2, '$R_HEX'))) > 0 AS is_flagged,
+         |regexp_replace(regexp_replace(regexp_replace(t2,
+         |  '$R_AWS', '<AWS_KEY>', 'g'), '$R_TOK', '<TOKEN>', 'g'),
+         |  '$R_HEX', '<HEX32>', 'g') AS text_clean
+         |FROM t""".stripMargin,
+
+    // same closed-form water-filling over the size-ascending order
+    "curate_unimax_mix" ->
+      s"""WITH c AS (SELECT lang,
+         |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY lang),
+         |sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl, SUM(n_tokens) AS tot,
+         |CAST(FLOOR(CAST(SUM(n_tokens) AS DOUBLE) * $UNIMAX_RATIO) AS BIGINT) AS budget FROM c),
+         |r AS (SELECT lang, n_tokens, nl, budget,
+         |CAST(row_number() OVER (ORDER BY n_tokens ASC, lang ASC) AS BIGINT) AS i,
+         |$UNIMAX_E * n_tokens AS full_cap,
+         |COALESCE(SUM($UNIMAX_E * n_tokens) OVER (ORDER BY n_tokens ASC, lang ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfull_before
+         |FROM c CROSS JOIN sc),
+         |r2 AS (SELECT *,
+         |full_cap * (nl - i + 1) <= budget - pfull_before AS can_full FROM r),
+         |brk AS (SELECT min(CASE WHEN NOT can_full THEN i END) AS t,
+         |min(CASE WHEN NOT can_full THEN pfull_before END) AS pf_t FROM r2)
+         |SELECT lang, n_tokens, i AS size_rank, full_cap,
+         |(t IS NULL OR i < t) AS is_full,
+         |CASE WHEN t IS NULL OR i < t THEN full_cap
+         |ELSE CAST(FLOOR(CAST(budget - pf_t AS DOUBLE) / CAST(nl - t + 1 AS DOUBLE)) AS BIGINT)
+         |END AS alloc_tokens,
+         |CAST(CASE WHEN t IS NULL OR i < t THEN full_cap
+         |ELSE CAST(FLOOR(CAST(budget - pf_t AS DOUBLE) / CAST(nl - t + 1 AS DOUBLE)) AS BIGINT)
+         |END AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+         |FROM r2 CROSS JOIN brk""".stripMargin,
+
+    // same md5 split, same hashed buckets, same +1 smoothing, same
+    // DECIMAL(18,6) rounding of each KL contribution
+    "curate_split_kl" ->
+      s"""WITH tok AS (SELECT
+         |('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < $TRAIN_PCT AS is_train,
+         |unnest(string_split(text, ' ')) AS w FROM documents),
+         |tb AS (SELECT is_train, ('0x' || substr(md5(w), 1, 8))::BIGINT % $KL_B AS bkt FROM tok),
+         |counts AS (SELECT bkt,
+         |SUM(CASE WHEN is_train THEN 1 ELSE 0 END)::BIGINT AS c_train,
+         |SUM(CASE WHEN NOT is_train THEN 1 ELSE 0 END)::BIGINT AS c_valid
+         |FROM tb GROUP BY bkt),
+         |fb AS (SELECT f.bkt, COALESCE(c_train, 0) AS c_train, COALESCE(c_valid, 0) AS c_valid
+         |FROM (SELECT unnest(range(0, $KL_B))::BIGINT AS bkt) f LEFT JOIN counts USING (bkt)),
+         |tot AS (SELECT SUM(c_train) AS nt, SUM(c_valid) AS nv FROM counts)
+         |SELECT bkt, c_train, c_valid,
+         |CAST(c_train + 1 AS DOUBLE) / CAST(nt + $KL_B AS DOUBLE) AS p_train,
+         |CAST(c_valid + 1 AS DOUBLE) / CAST(nv + $KL_B AS DOUBLE) AS p_valid,
+         |CAST((CAST(c_train + 1 AS DOUBLE) / CAST(nt + $KL_B AS DOUBLE)) *
+         |  (ln(CAST(c_train + 1 AS DOUBLE) / CAST(nt + $KL_B AS DOUBLE)) -
+         |   ln(CAST(c_valid + 1 AS DOUBLE) / CAST(nv + $KL_B AS DOUBLE))) AS DECIMAL(18,6)) AS kl_pq,
+         |CAST((CAST(c_valid + 1 AS DOUBLE) / CAST(nv + $KL_B AS DOUBLE)) *
+         |  (ln(CAST(c_valid + 1 AS DOUBLE) / CAST(nv + $KL_B AS DOUBLE)) -
+         |   ln(CAST(c_train + 1 AS DOUBLE) / CAST(nt + $KL_B AS DOUBLE))) AS DECIMAL(18,6)) AS kl_qp
+         |FROM fb CROSS JOIN tot""".stripMargin,
+
+    // same planted near-copies, same cosine floor, same top-1 rule
+    "contaminate_embedding" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |ev AS (SELECT * FROM emb WHERE vec_id % $EVAL_MOD = 0),
+         |planted AS (SELECT vec_id + 1000000 AS vec_id,
+         |list_transform(e, x -> x + 0.05) AS e FROM ev),
+         |corpus AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+         |FROM (SELECT * FROM emb UNION ALL SELECT * FROM planted)),
+         |q AS (SELECT vec_id AS eval_id, e AS qe, sqrt(list_dot_product(e, e)) AS qn FROM ev),
+         |scored AS (SELECT vec_id, eval_id,
+         |list_dot_product(qe, e) / (qn * nrm) AS cos
+         |FROM corpus JOIN q ON vec_id <> eval_id)
+         |SELECT vec_id, eval_id, cos FROM scored
+         |WHERE cos >= $CONTAM_COS
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id ASC) = 1"""
+        .stripMargin,
+
+    // same top-N, same DECIMAL(18,6) ln rounding, same OLS closed form
+    "text_word_zipf" ->
+      s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |GROUP BY w ORDER BY c DESC, w ASC LIMIT $ZIPF_N),
+         |ranked AS (SELECT c,
+         |CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT) AS r FROM wf),
+         |lg AS (SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(18,6)) AS lx,
+         |CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6)) AS ly FROM ranked),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+         |CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+         |CAST(SUM(lx * ly) AS DOUBLE) AS sxy, CAST(SUM(lx * lx) AS DOUBLE) AS sxx FROM lg)
+         |SELECT n_words,
+         |(CAST(n_words AS DOUBLE) * sxy - sx * sy) / (CAST(n_words AS DOUBLE) * sxx - sx * sx) AS slope,
+         |(sy - ((CAST(n_words AS DOUBLE) * sxy - sx * sy) / (CAST(n_words AS DOUBLE) * sxx - sx * sx)) * sx)
+         | / CAST(n_words AS DOUBLE) AS intercept
+         |FROM s""".stripMargin,
+
+    // same stride grid, same list slicing, same reassembly
+    "curate_chunk_overlap" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk,
+         |len(string_split(text, ' ')) AS n FROM documents),
+         |st AS (SELECT doc_id, tk, n, unnest(range(1, n + 1, $CHUNK_S)) AS start FROM d)
+         |SELECT doc_id,
+         |CAST(FLOOR(CAST(start - 1 AS DOUBLE) / $CHUNK_S) AS BIGINT) + 1 AS chunk_id,
+         |CAST(start AS INTEGER) AS start,
+         |CAST(least($CHUNK_W, n - start + 1) AS INTEGER) AS chunk_len,
+         |array_to_string(list_slice(tk, start, start + $CHUNK_W - 1), ' ') AS chunk_text
+         |FROM st""".stripMargin,
+
+    // same derived sentences, same vowel-group syllable proxy, same
+    // FK/Flesch constants in the same evaluation order
+    "text_readability" ->
+      s"""WITH t AS (SELECT doc_id,
+         |regexp_replace(text, '$SENT_PAT', '\\1. ', 'g') || '.' AS t2,
+         |len(string_split(text, ' ')) AS n_words FROM documents),
+         |m AS (SELECT doc_id, n_words,
+         |greatest(1, len(regexp_extract_all(t2, '[.!?]'))) AS n_sentences,
+         |len(regexp_extract_all(lower(t2), '[aeiouy]+')) AS n_syllables FROM t),
+         |x AS (SELECT *,
+         |CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+         |CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw FROM m)
+         |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+         |CAST(n_sentences AS INTEGER) AS n_sentences,
+         |CAST(n_syllables AS INTEGER) AS n_syllables,
+         |0.39 * wps + 11.8 * spw - 15.59 AS fk_grade,
+         |206.835 - 1.015 * wps - 84.6 * spw AS flesch_ease
+         |FROM x""".stripMargin)
+}

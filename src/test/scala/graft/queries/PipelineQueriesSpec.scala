@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** Semantic invariants for the round-9 pipeline-QA batch, beyond the
+  * driver's oracle hash-compare: discrimination (seeded rows flagged,
+  * clean rows untouched), the UniMax water-filling shape, KL
+  * non-negativity and probability mass, chunk coverage, and the derived
+  * sentence arithmetic. Runs on the real sf0.001 tables — the same
+  * loader path the catalog uses. */
+class PipelineQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("curate_scrub_secrets: seeded docs redacted, clean docs byte-identical") {
+    val out = PipelineQueries.queries("curate_scrub_secrets")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4), r.getString(5))).toSeq
+    val texts = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, nAws, nTok, nHex, flagged, clean) =>
+      if (id % 13 == 0) {
+        assert(nAws == 1 && clean.contains("<AWS_KEY>"), s"doc $id aws")
+        assert(!clean.matches(".*AKIA[0-9A-Z]{16}.*"), s"doc $id leak")
+      }
+      if (id % 17 == 0) assert(nTok == 1 && clean.contains("<TOKEN>"), s"doc $id tok")
+      if (id % 19 == 0) assert(nHex == 1 && clean.contains("<HEX32>"), s"doc $id hex")
+      if (id % 13 != 0 && id % 17 != 0 && id % 19 != 0) {
+        assert(!flagged && clean == texts(id), s"doc $id should be untouched")
+      }
+      assert(flagged == (nAws + nTok + nHex > 0))
+    }
+  }
+
+  test("curate_unimax_mix: water-filling shape — ascending full-take prefix, " +
+    "equal shares after the break, caps and budget respected") {
+    // sf0.001 is small enough that the default budget ratio leaves no
+    // full-takers; raise it so the break index is interior and BOTH
+    // regimes of the closed form are exercised
+    spark.conf.set("graft.mix.unimaxRatio", "3.0")
+    val rows =
+      try PipelineQueries.queries("curate_unimax_mix")(spark, dir)
+        .orderBy(col("size_rank")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getLong(5), r.getDouble(6))).toSeq
+      finally spark.conf.unset("graft.mix.unimaxRatio")
+    val tot = rows.map(_._2).sum
+    val budget = math.floor(tot.toDouble * 3.0).toLong
+    // ascending order by size
+    assert(rows.map(_._2) == rows.map(_._2).sorted)
+    // is_full is a prefix of the ascending order
+    val fulls = rows.map(_._5)
+    assert(!fulls.zip(fulls.tail).exists { case (a, b) => !a && b }, "full-take must be a prefix")
+    rows.foreach { case (lang, n, _, cap, isFull, alloc, epochs) =>
+      assert(cap == 4L * n)
+      assert(alloc <= cap, s"$lang over epoch cap")
+      assert(math.abs(epochs - alloc.toDouble / n) < 1e-12)
+      if (isFull) assert(alloc == cap, s"$lang full-taker must take its cap")
+    }
+    val shared = rows.filter(!_._5).map(_._6)
+    assert(shared.distinct.size <= 1, "non-full langs must get the identical equal share")
+    assert(rows.map(_._6).sum <= budget, "allocation must fit the budget")
+    // the break is genuine at the default operating point: both kinds exist
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+  }
+
+  test("curate_split_kl: full support, unit probability mass, KL >= 0 up to rounding") {
+    val rows = PipelineQueries.queries("curate_split_kl")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDecimal(5).doubleValue, r.getDecimal(6).doubleValue)).toSeq
+    assert(rows.size == 256 && rows.map(_._1).toSet == (0L until 256L).toSet)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, "p_train must sum to 1")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9, "p_valid must sum to 1")
+    // each contribution rounds to 6 dp, so the sums can dip at most 256*5e-7
+    assert(rows.map(_._6).sum >= -2e-4, "KL(p||q) must be non-negative")
+    assert(rows.map(_._7).sum >= -2e-4, "KL(q||p) must be non-negative")
+    assert(rows.exists(r => r._2 > 0 || r._3 > 0))
+  }
+
+  test("contaminate_embedding: exactly the planted near-copies flag, at their anchors") {
+    val rows = PipelineQueries.queries("contaminate_embedding")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val nEval = graft.Tables.embeddings(spark, dir)
+      .where(col("vec_id") % 97 === 0).count()
+    assert(rows.size == nEval, "every planted copy and nothing else must flag")
+    rows.foreach { case (vid, eid, cos) =>
+      assert(vid >= 1000000L, s"original corpus vector $vid wrongly flagged")
+      assert(vid - 1000000L == eid, "planted copy must match its own anchor")
+      assert(cos >= 0.8 && cos < 1.0)
+    }
+  }
+
+  test("text_word_zipf: one-row fit with negative slope and positive intercept") {
+    val r = PipelineQueries.queries("text_word_zipf")(spark, dir).collect()
+    assert(r.length == 1)
+    val (n, slope, icept) = (r(0).getLong(0), r(0).getDouble(1), r(0).getDouble(2))
+    val vocab = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " "))).distinct().count()
+    assert(n == math.min(1000L, vocab), "fit must cover min(topN, vocabulary)")
+    assert(slope < 0.0, s"zipf slope must be negative, got $slope")
+    assert(icept > 0.0)
+  }
+
+  test("curate_chunk_overlap: stride grid, tail coverage, first-chunk alignment") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = PipelineQueries.queries("curate_chunk_overlap")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .groupBy(_._1)
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id).size
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == sorted.indices.map(1 + _ * 48), "starts on the stride grid")
+      assert(sorted.size == math.ceil(n / 48.0).toInt)
+      val last = sorted.last
+      assert(last._3 + last._4 - 1 == n, "last chunk must reach the final token")
+      assert(sorted.head._5 == docs(id).take(math.min(64, n)).mkString(" "))
+    }
+  }
+
+  test("text_readability: derived sentence count matches floor((w-1)/11)+1; " +
+    "formulas recompute") {
+    val rows = PipelineQueries.queries("text_readability")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, w, s, syl, fk, ease) =>
+      assert(s == (w - 1) / 11 + 1, s"sentence derivation for $w words")
+      assert(syl > 0)
+      val wps = w.toDouble / s; val spw = syl.toDouble / w
+      assert(math.abs(fk - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-9)
+      assert(math.abs(ease - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-9)
+    }
+  }
+}
