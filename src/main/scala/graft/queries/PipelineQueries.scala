@@ -130,9 +130,13 @@ object PipelineQueries {
     // is the final equal share (identical IEEE on both engines).
     "curate_unimax_mix" -> ((s, dir) => {
       val e = lit(UNIMAX_E.toLong)
+      // the O(languages) histogram is referenced by three downstream
+      // branches (scalars, ranks, break index) — materialize it once so
+      // the corpus token scan runs exactly ONCE, not per branch
       val c = Tables.documents(s, dir)
         .withColumn("n_toks", size(toks).cast("long"))
         .groupBy(col("lang")).agg(sum(col("n_toks")).as("n_tokens"))
+        .localCheckpoint()
       val sc = c.agg(count(lit(1)).as("nl"), sum(col("n_tokens")).as("tot"))
         .withColumn("budget", floor(col("tot").cast("double") * lit(UNIMAX_RATIO)).cast("long"))
       val ord = Window.orderBy(col("n_tokens").asc, col("lang").asc)
@@ -179,11 +183,15 @@ object PipelineQueries {
       val counts = tok.groupBy(col("bkt")).agg(
         sum(when(col("is_train"), 1L).otherwise(0L)).as("c_train"),
         sum(when(!col("is_train"), 1L).otherwise(0L)).as("c_valid"))
-      val full = s.range(b).select(col("id").as("bkt"))
+      // totals ride a whole-frame window over the O(B)-row bucket table
+      // (control plane) instead of a second aggregation of the token
+      // stream — the corpus is scanned and shuffled exactly ONCE
+      val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      s.range(b).select(col("id").as("bkt"))
         .join(counts, Seq("bkt"), "left")
         .na.fill(0L, Seq("c_train", "c_valid"))
-      val tot = counts.agg(sum(col("c_train")).as("nt"), sum(col("c_valid")).as("nv"))
-      full.crossJoin(broadcast(tot))
+        .withColumn("nt", sum(col("c_train")).over(whole))
+        .withColumn("nv", sum(col("c_valid")).over(whole))
         .withColumn("p_train",
           (col("c_train") + 1L).cast("double") / (col("nt") + b).cast("double"))
         .withColumn("p_valid",

@@ -242,6 +242,39 @@ object ExplainAudit {
         !p.contains("CartesianProduct")
     }
 
+    audit("curate_scrub_secrets",
+      "secret battery is a per-row projection: ZERO shuffles, no explode") { p =>
+      count(p, "Exchange") == 0 && !p.contains("Generate")
+    }
+    audit("text_readability",
+      "readability is a per-row projection: ZERO shuffles, no explode") { p =>
+      count(p, "Exchange") == 0 && !p.contains("Generate")
+    }
+    audit("curate_split_kl",
+      "ONE corpus token shuffle; totals ride the O(B) control-plane window") { p =>
+      count(p, "Generate") == 1 && count(p, "Window") >= 1 &&
+        !p.contains("CartesianProduct")
+    }
+    audit("contaminate_embedding",
+      "eval set broadcast (BNLJ); only the flagged survivors shuffle for top-1") { p =>
+      p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
+        count(p, "Exchange") == 1
+    }
+    audit("text_word_zipf",
+      "top-N head via TakeOrderedAndProject; OLS on the control-plane table") { p =>
+      p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct")
+    }
+    audit("curate_chunk_overlap",
+      "chunking is a narrow explode: ZERO shuffles") { p =>
+      count(p, "Exchange") == 0
+    }
+    audit("curate_unimax_mix",
+      "corpus histogram materialized once (no repeated corpus scan); " +
+        "control-plane windows only") { p =>
+      !p.contains("Scan parquet") && !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")
