@@ -94,6 +94,24 @@ object PipelineQueries {
   // sentence boundaries in both engines.
   private val SENT_PAT = "(([^ ]+ ){10}[^ ]+) "
 
+  /** The secret battery over a (doc_id, t2) frame — a stateless
+    * per-row projection shared verbatim by the batch catalog query and
+    * the streaming ingest leg (IngestCuration.scrubSecrets), so the
+    * two surfaces cannot drift. */
+  private[graft] def scrubSecretsBody(in: DataFrame): DataFrame =
+    in.withColumn("n_aws", size(regexp_extract_all(col("t2"), lit(R_AWS), lit(0))))
+      .withColumn("n_token", size(regexp_extract_all(col("t2"), lit(R_TOK), lit(0))))
+      .withColumn("n_hex32", size(regexp_extract_all(col("t2"), lit(R_HEX), lit(0))))
+      .withColumn("is_flagged", (col("n_aws") + col("n_token") + col("n_hex32")) > 0)
+      .withColumn("text_clean",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t2"), R_AWS, "<AWS_KEY>"),
+            R_TOK, "<TOKEN>"),
+          R_HEX, "<HEX32>"))
+      .select(col("doc_id"), col("n_aws"), col("n_token"), col("n_hex32"),
+        col("is_flagged"), col("text_clean"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Credential/secret scrubbing (the ingest-time sibling of
@@ -101,22 +119,8 @@ object PipelineQueries {
     // `token:`/`secret:`-prefixed credentials, and bare 32-hex
     // digests. Stateless per-row projection — zero shuffle; at 100 TB
     // this runs inside the ingest scan, never as its own pass.
-    "curate_scrub_secrets" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .withColumn("t2", secretText)
-        .withColumn("n_aws", size(regexp_extract_all(col("t2"), lit(R_AWS), lit(0))))
-        .withColumn("n_token", size(regexp_extract_all(col("t2"), lit(R_TOK), lit(0))))
-        .withColumn("n_hex32", size(regexp_extract_all(col("t2"), lit(R_HEX), lit(0))))
-        .withColumn("is_flagged", (col("n_aws") + col("n_token") + col("n_hex32")) > 0)
-        .withColumn("text_clean",
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("t2"), R_AWS, "<AWS_KEY>"),
-              R_TOK, "<TOKEN>"),
-            R_HEX, "<HEX32>"))
-        .select(col("doc_id"), col("n_aws"), col("n_token"), col("n_hex32"),
-          col("is_flagged"), col("text_clean"))
-    }),
+    "curate_scrub_secrets" -> ((s, dir) =>
+      scrubSecretsBody(Tables.documents(s, dir).withColumn("t2", secretText))),
 
     // UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     // More Effective Language Sampling"): give every language up to E

@@ -72,6 +72,14 @@ object IngestCuration {
     * (doc_id, raw) stream. */
   def c4Filters(docs: DataFrame): DataFrame = LlmQueries.c4Filters(docs)
 
+  /** Credential/secret scrubbing at ingest — the SAME per-row battery
+    * the batch catalog runs (PipelineQueries.scrubSecretsBody over a
+    * (doc_id, t2) frame): pattern counts, the flag, and the redacted
+    * text. Stateless projection, so it runs unchanged over a
+    * readStream micro-batch — spec-proven row-identical to batch. */
+  def scrubSecrets(docs: DataFrame): DataFrame =
+    graft.queries.PipelineQueries.scrubSecretsBody(docs)
+
   /** The FineWeb line-level battery at ingest — the SAME
     * [[LlmQueries.finewebLines]] projection, stateless per-row over a
     * (doc_id, page) stream. */

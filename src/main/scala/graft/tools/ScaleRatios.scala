@@ -57,7 +57,13 @@ object ScaleRatios {
       // point — windows, as-of, fan-in, top-k, and the events sketches
       "j1_asof_join", "w2_tumbling", "w3_hopping", "w4_session",
       "s6_fanin_union", "sort_topk", "p5_accumulate",
-      "sketch_countmin", "sketch_hll_grouped", "sketch_quantile_grouped")
+      "sketch_countmin", "sketch_hll_grouped", "sketch_quantile_grouped",
+      // r9 pipeline-QA batch: per-row batteries (secrets, readability,
+      // chunking), control-plane fits (unimax, zipf), the one-shuffle
+      // drift monitor, and the broadcast decontamination scan
+      "curate_scrub_secrets", "curate_unimax_mix", "curate_split_kl",
+      "contaminate_embedding", "text_word_zipf", "curate_chunk_overlap",
+      "text_readability")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
