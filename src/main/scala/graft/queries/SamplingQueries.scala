@@ -1,0 +1,335 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{GraftConf, Tables}
+
+/** Round-9 reproducible-sampling batch: the operators that decide
+  * WHICH rows of a 100 TB corpus ship, in a way that is deterministic,
+  * re-runnable, and auditable — plus two corpus-diagnostic signals and
+  * a set-operation sketch. Reference scope: slipstream's handler
+  * calculus (slipstream/operations.py) filters per-message but has no
+  * corpus-level sampling story; these extend it with the published
+  * recipes (GPT-3 appendix-A score-proportional rejection sampling,
+  * Brown et al. 2020; language-balanced subsampling as run by every
+  * multilingual corpus build; KMV/theta distinct-intersection sketches,
+  * Beyer et al. 2007 / Dasgupta et al. 2016).
+  *
+  * Determinism posture (shared with curate_weighted_sample /
+  * curate_dsir): randomness is md5 of the row key — the same doc keeps
+  * the same fate across re-runs, partitionings, and engines; keep/drop
+  * decisions compare INTEGERS exactly (u·n < t·2^32 in BIGINT, micro-
+  * scaled scores), never floats, so a 1000-executor re-run of the same
+  * snapshot emits the identical sample.
+  *
+  * Scale posture (every query):
+  * - sample_balanced: one O(langs) map-side-combined count agg; the
+  *   rate table broadcasts back; the corpus is scanned once and never
+  *   shuffled — the only way to sample 100 TB.
+  * - rejection_sample: stateless per-row projection (score and coin
+  *   both derived from the row) — zero shuffle, the ingest shape.
+  * - winsorize: one O(langs) exact-percentile agg (the oracle-exact
+  *   form; at 100 TB swap approx_percentile — same broadcast-back
+  *   plan shape) + a broadcast join; no corpus shuffle.
+  * - char_entropy: zero-shuffle per-row fold over a fixed 27-symbol
+  *   alphabet — 28 codegen'd replace/length terms, no explode, no
+  *   per-row map allocation.
+  * - url_filters: stateless per-row regex battery, zero shuffle.
+  * - theta_intersection: the corpus-side work is one DISTINCT over
+  *   (type, user) — already the aggregated cardinality; the window
+  *   ranks THAT table, and everything after is O(k) control plane.
+  */
+object SamplingQueries {
+
+  /** KMV sketch size (k-th-minimum-value theta sketch). */
+  private def KMV_K = GraftConf.int("graft.sketch.kmvK", 32)
+  /** Winsorize clip quantiles. */
+  private def W_LO = GraftConf.double("graft.winsor.lo", 0.05)
+  private def W_HI = GraftConf.double("graft.winsor.hi", 0.95)
+
+  private val TWO32 = 4294967296L
+
+  /** Uniform deterministic coin in [0, 2^32): md5 of the salted key. */
+  private def u32(salt: String): Column =
+    conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+  private def oU32(salt: String): String =
+    s"('0x' || substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+  // --- char-entropy alphabet (fixed order: the decimal-armored terms
+  // sum in this order in BOTH engines) -------------------------------
+  private val ALPHABET: Seq[Char] = ('a' to 'z') :+ ' '
+
+  // --- derived URLs for the filter battery --------------------------
+  // The synthetic corpus has no URL column, so one is derived
+  // deterministically from the row key (the scrub_pii/scrub_secrets
+  // posture): md5-fragment host and path, with doc_id-keyed subsets
+  // carrying a spam keyword segment, a flagged TLD, or a tracking
+  // query string. Same derivation in the oracle — the hash-compare
+  // checks DISCRIMINATION (seeded rows flagged, the rest kept).
+  private def urlCol: Column = concat(
+    lit("https://www."), col("source"), lit("-"),
+    substring(md5(col("doc_id").cast("string")), 1, 6),
+    when(col("doc_id") % 7 === 0, lit(".xyz")).otherwise(lit(".com")),
+    lit("/"),
+    when(col("doc_id") % 11 === 0, lit("casino-bonus/")).otherwise(lit("")),
+    substring(md5(concat(lit("p"), col("doc_id").cast("string"))), 1, 12),
+    when(col("doc_id") % 5 === 0,
+      concat(lit("?session="), substring(md5(concat(lit("q"), col("doc_id").cast("string"))), 1, 10)))
+      .otherwise(lit("")))
+
+  private val oUrl =
+    """'https://www.' || source || '-' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) ||
+      |CASE WHEN doc_id % 7 = 0 THEN '.xyz' ELSE '.com' END || '/' ||
+      |CASE WHEN doc_id % 11 = 0 THEN 'casino-bonus/' ELSE '' END ||
+      |substr(md5('p' || CAST(doc_id AS VARCHAR)), 1, 12) ||
+      |CASE WHEN doc_id % 5 = 0 THEN '?session=' || substr(md5('q' || CAST(doc_id AS VARCHAR)), 1, 10) ELSE '' END"""
+      .stripMargin.replace("\n", " ")
+
+  private val BLOCKWORDS = Seq("casino", "bonus", "lottery", "viagra")
+  private val BADTLDS = Seq(".xyz", ".top", ".loan")
+
+  // --- shared batch/stream bodies (the IngestCuration seam: stateless
+  // per-row projections factored out so the oracle-checked batch query
+  // and the streaming ingest leg run the IDENTICAL expressions) -------
+
+  /** Score-proportional rejection sampling over a (doc_id, text) frame. */
+  private[graft] def rejectionSampleBody(in: DataFrame): DataFrame =
+    in.withColumn("n_tokens", TextSignals.nTokens)
+      .withColumn("n_stop", TextSignals.nStop)
+      .withColumn("stop_ratio", TextSignals.stopRatio)
+      .withColumn("avg_token_len", TextSignals.avgTokenLen)
+      .withColumn("q_micro",
+        floor(TextSignals.qualityScore * lit(1000000.0)).cast("long"))
+      .withColumn("kept", (u32("rej") % lit(1000000L)) < col("q_micro"))
+      .select(col("doc_id"), col("q_micro"), col("kept"))
+
+  /** Char-distribution entropy over a (doc_id, text) frame. */
+  private[graft] def charEntropyBody(in: DataFrame): DataFrame = {
+    val withCounts = ALPHABET.zipWithIndex.foldLeft(
+      in.withColumn("n", length(col("text")).cast("long"))) { case (df, (c, i)) =>
+      df.withColumn(s"c_$i",
+        (col("n") - expr(s"length(replace(text, '$c', ''))")).cast("long"))
+    }
+    val known = ALPHABET.indices.map(i => col(s"c_$i")).reduce(_ + _)
+    val ln2 = lit(0.6931471805599453)
+    def term(cnt: Column): Column = {
+      val p = cnt.cast("double") / col("n").cast("double")
+      when(cnt > 0, (-(p) * log(p) / ln2).cast(DecimalType(18, 6)))
+        .otherwise(lit(0).cast(DecimalType(18, 6)))
+    }
+    val allTerms = ALPHABET.indices.map(i => term(col(s"c_$i"))) :+ term(col("other"))
+    withCounts
+      .withColumn("other", col("n") - known)
+      .withColumn("entropy_bits", allTerms.reduce(_ + _))
+      .select(col("doc_id"), col("n").as("n_chars_total"),
+        col("other").as("n_other"), col("entropy_bits"))
+  }
+
+  /** URL filter battery over a (doc_id, source) frame. */
+  private[graft] def urlFiltersBody(in: DataFrame): DataFrame = {
+    val blockHit = BLOCKWORDS.map(w => col("url").contains(w)).reduce(_ || _)
+    val tldHit = BADTLDS.map(t =>
+      regexp_extract(col("url"), "^https://([^/]+)/", 1).endsWith(t)).reduce(_ || _)
+    in.withColumn("url", urlCol)
+      .withColumn("f_blockword", blockHit)
+      .withColumn("f_tld", tldHit)
+      .withColumn("f_query", col("url").contains("?"))
+      .withColumn("f_long", length(col("url")) > 60)
+      .withColumn("keep",
+        !(col("f_blockword") || col("f_tld") || col("f_query") || col("f_long")))
+      .select(col("doc_id"), col("url"), col("f_blockword"), col("f_tld"),
+        col("f_query"), col("f_long"), col("keep"))
+  }
+
+  /** Balanced-sample rate table learned from a reference corpus: one
+    * row per lang with (n_lang, n_min) — O(langs), broadcast-sized. */
+  private[graft] def balancedRates(corpus: DataFrame): DataFrame = {
+    val counts = corpus.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    counts.crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
+  }
+
+  /** The balanced-sample keep decision given the rate table in scope
+    * (exact BIGINT compare on the md5 coin). */
+  private[graft] def balancedKeep(in: DataFrame, rates: DataFrame): DataFrame =
+    in.join(broadcast(rates), "lang")
+      .withColumn("u", u32("bal"))
+      .where(col("u") * col("n_lang") < col("n_min") * lit(TWO32))
+      .select(col("doc_id"), col("lang"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Language-balanced subsample: downsample every language to the
+    // size of the smallest (the "balanced" point of the temperature-
+    // sampling family — what you run before training a language-ID or
+    // quality model so the head language cannot dominate). Rates are
+    // LEARNED (one O(langs) count agg), the keep decision is the exact
+    // integer comparison u·n_lang < n_min·2^32 on the md5 coin — no
+    // float thresholds, no RNG state, reproducible under any
+    // partitioning.
+    "curate_sample_balanced" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      balancedKeep(docs, balancedRates(docs))
+    }),
+
+    // Score-proportional rejection sampling (GPT-3's CommonCrawl
+    // gate, Brown et al. 2020 appendix A: documents kept with
+    // probability proportional to the quality-classifier score). The
+    // score is the shared TextSignals composite; the acceptance test
+    // is exact integer arithmetic — coin (u mod 10^6) against the
+    // micro-scaled score floor(q·10^6) — so both engines and every
+    // re-run keep the identical set. Stateless per-row projection.
+    "curate_rejection_sample" -> ((s, dir) =>
+      rejectionSampleBody(Tables.documents(s, dir))),
+
+    // Robust outlier clipping (winsorization) of the length signal,
+    // per language: exact p05/p95 via the sort-based percentile (the
+    // oracle-exact operating point; the 100 TB swap is
+    // approx_percentile with identical plan shape), broadcast back
+    // onto the corpus. The clip itself is least/greatest on the raw
+    // values — no arithmetic, so float parity is structural.
+    "curate_winsorize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pcts = docs.groupBy(col("lang")).agg(
+        expr(s"percentile(n_chars, ${W_LO})").as("p_lo"),
+        expr(s"percentile(n_chars, ${W_HI})").as("p_hi"))
+      docs.join(broadcast(pcts), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          least(greatest(col("n_chars").cast("double"), col("p_lo")), col("p_hi"))
+            .cast(DecimalType(18, 6)).as("n_chars_wins"),
+          (col("n_chars").cast("double") < col("p_lo") ||
+            col("n_chars").cast("double") > col("p_hi")).as("is_clipped"))
+    }),
+
+    // Character-distribution entropy — the compression-ratio proxy in
+    // the quality-filter family (a near-zero-entropy doc is boilerplate
+    // or repetition; near-uniform is noise/base64). Counts come from
+    // 27 codegen'd length(replace(...)) terms over the fixed alphabet
+    // (no explode, no per-row map); each -p·ln(p)/ln(2) term rounds
+    // through DECIMAL(18,6) (the nbClassify float armor) and the terms
+    // sum in fixed alphabet order, so the decimal total is exact in
+    // both engines. Zero shuffle.
+    "text_char_entropy" -> ((s, dir) =>
+      charEntropyBody(Tables.documents(s, dir))),
+
+    // URL filter battery (the RefinedWeb §3.1 / UT1-blocklist step
+    // every web corpus runs before content filtering): spam-keyword
+    // substring hit, flagged TLD, tracking query string, over-long
+    // URL. Rules flag independently; keep = none fired. Stateless
+    // per-row battery over the derived URL (see urlCol).
+    "curate_url_filters" -> ((s, dir) =>
+      urlFiltersBody(Tables.documents(s, dir))),
+
+    // KMV/theta distinct-intersection sketch (Beyer et al. 2007; the
+    // theta-sketch set algebra of Dasgupta et al. 2016): estimate
+    // |users who click ∩ users who purchase| from the k smallest
+    // md5 values per side — the mergeable way to intersect distinct
+    // sets across 1000 executors without ever co-shuffling the raw
+    // streams. theta = min over sides of the k-th minimum (a side
+    // with < k distinct values contributes exactly, theta = 2^32);
+    // est = |below-theta hashes present on both sides| · 2^32 / theta.
+    // The exact intersection rides along for the error audit. All
+    // post-DISTINCT work is O(distinct users) then O(k).
+    "sketch_theta_intersection" -> ((s, dir) => {
+      val k = KMV_K
+      val pairs = Tables.events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id")).distinct()
+      val hashed = pairs.withColumn("u",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"))
+      val ranked = hashed.withColumn("rn",
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("u"), col("user_id"))))
+      val theta = ranked.where(col("rn") === k)
+        .agg(coalesce(min(col("u")), lit(TWO32)).as("theta_u"))
+      val kept = hashed.crossJoin(broadcast(theta))
+        .where(col("u") < col("theta_u"))
+      val nBelow = kept.groupBy(col("user_id")).agg(count(lit(1)).as("nt"))
+        .where(col("nt") === 2).agg(count(lit(1)).as("n_below"))
+      val exact = pairs.groupBy(col("user_id")).agg(count(lit(1)).as("nt"))
+        .where(col("nt") === 2).agg(count(lit(1)).as("exact_common"))
+      nBelow.crossJoin(broadcast(theta)).crossJoin(broadcast(exact))
+        .select(lit(k).as("k"), col("theta_u"), col("n_below"),
+          (col("n_below").cast("double") * lit(TWO32.toDouble) / col("theta_u").cast("double"))
+            .cast(DecimalType(18, 6)).as("est_common"),
+          col("exact_common"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    "curate_sample_balanced" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+         |t AS (SELECT MIN(n_lang) AS n_min FROM c)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN c USING (lang) CROSS JOIN t
+         |WHERE ${oU32("bal")} * c.n_lang < t.n_min * $TWO32""".stripMargin,
+
+    // identical signal arithmetic to text_quality, micro-scaled
+    "curate_rejection_sample" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |len(w)::BIGINT AS n_tokens,
+         |len(list_filter(w, x -> x IN ('the', 'a', 'of')))::BIGINT AS n_stop,
+         |length(text) AS n_len FROM t),
+         |q AS (SELECT doc_id,
+         |CAST(floor((least(n_tokens / 100.0, 1.0) * 0.3
+         |+ (1.0 - n_stop / n_tokens) * 0.4
+         |+ least(((n_len - (n_tokens - 1)) / n_tokens) / 8.0, 1.0) * 0.3) * 1000000.0) AS BIGINT) AS q_micro
+         |FROM m)
+         |SELECT doc_id, q_micro, (${oU32("rej")} % 1000000) < q_micro AS kept FROM q""".stripMargin,
+
+    "curate_winsorize" ->
+      s"""WITH p AS (SELECT lang,
+         |quantile_cont(n_chars, ${W_LO}) AS p_lo,
+         |quantile_cont(n_chars, ${W_HI}) AS p_hi FROM documents GROUP BY 1)
+         |SELECT d.doc_id, d.lang, d.n_chars,
+         |CAST(least(greatest(CAST(d.n_chars AS DOUBLE), p.p_lo), p.p_hi) AS DECIMAL(18,6)) AS n_chars_wins,
+         |(CAST(d.n_chars AS DOUBLE) < p.p_lo OR CAST(d.n_chars AS DOUBLE) > p.p_hi) AS is_clipped
+         |FROM documents d JOIN p USING (lang)""".stripMargin,
+
+    "text_char_entropy" -> {
+      val cnts = ALPHABET.zipWithIndex.map { case (c, i) =>
+        val lit = if (c == ' ') " " else c.toString
+        s"length(text) - length(replace(text, '$lit', '')) AS c_$i"
+      }.mkString(", ")
+      val known = ALPHABET.indices.map(i => s"c_$i").mkString(" + ")
+      def oTerm(cnt: String): String =
+        s"CASE WHEN $cnt > 0 THEN CAST(-(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE)) / 0.6931471805599453 AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END"
+      val terms = (ALPHABET.indices.map(i => oTerm(s"c_$i")) :+ oTerm("other")).mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, length(text)::BIGINT AS n, $cnts FROM documents),
+         |o AS (SELECT *, n - ($known) AS other FROM h)
+         |SELECT doc_id, n AS n_chars_total, other AS n_other,
+         |$terms AS entropy_bits FROM o""".stripMargin
+    },
+
+    "curate_url_filters" -> {
+      val block = BLOCKWORDS.map(w => s"contains(url, '$w')").mkString(" OR ")
+      val tld = BADTLDS.map(t => s"ends_with(regexp_extract(url, '^https://([^/]+)/', 1), '$t')").mkString(" OR ")
+      s"""WITH u AS (SELECT doc_id, $oUrl AS url FROM documents),
+         |f AS (SELECT doc_id, url,
+         |($block) AS f_blockword,
+         |($tld) AS f_tld,
+         |contains(url, '?') AS f_query,
+         |length(url) > 60 AS f_long FROM u)
+         |SELECT doc_id, url, f_blockword, f_tld, f_query, f_long,
+         |NOT (f_blockword OR f_tld OR f_query OR f_long) AS keep FROM f""".stripMargin
+    },
+
+    "sketch_theta_intersection" ->
+      s"""WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events
+         |WHERE event_type IN ('click', 'purchase')),
+         |h AS (SELECT event_type, user_id,
+         |('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS u FROM pairs),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u, user_id) AS rn FROM h),
+         |th AS (SELECT COALESCE(MIN(u), $TWO32) AS theta_u FROM r WHERE rn = $KMV_K),
+         |kept AS (SELECT h.user_id FROM h CROSS JOIN th WHERE h.u < th.theta_u),
+         |nb AS (SELECT COUNT(*) AS n_below FROM
+         |(SELECT user_id FROM kept GROUP BY user_id HAVING COUNT(*) = 2)),
+         |ex AS (SELECT COUNT(*) AS exact_common FROM
+         |(SELECT user_id FROM pairs GROUP BY user_id HAVING COUNT(*) = 2))
+         |SELECT $KMV_K AS k, th.theta_u, nb.n_below,
+         |CAST(CAST(nb.n_below AS DOUBLE) * ${TWO32.toDouble} / CAST(th.theta_u AS DOUBLE) AS DECIMAL(18,6)) AS est_common,
+         |ex.exact_common FROM nb CROSS JOIN th CROSS JOIN ex""".stripMargin)
+}

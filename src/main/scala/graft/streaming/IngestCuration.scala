@@ -85,6 +85,32 @@ object IngestCuration {
     * (doc_id, page) stream. */
   def finewebLines(docs: DataFrame): DataFrame = LlmQueries.finewebLines(docs)
 
+  /** GPT-3-style score-proportional rejection sampling at ingest — the
+    * SAME SamplingQueries body (quality score + exact integer coin),
+    * stateless per-row over a (doc_id, text) stream. */
+  def rejectionSample(docs: DataFrame): DataFrame =
+    graft.queries.SamplingQueries.rejectionSampleBody(docs)
+
+  /** Char-distribution entropy at ingest — the SAME decimal-armored
+    * 27-symbol fold, stateless per-row over a (doc_id, text) stream. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    graft.queries.SamplingQueries.charEntropyBody(docs)
+
+  /** URL filter battery at ingest — the SAME derived-URL rule set,
+    * stateless per-row over a (doc_id, source) stream. */
+  def urlFilters(docs: DataFrame): DataFrame =
+    graft.queries.SamplingQueries.urlFiltersBody(docs)
+
+  /** Language-balanced subsampling at ingest: rates are FROZEN from a
+    * reference corpus (the nbClassify/pplBucket frozen-model pattern —
+    * one O(langs) batch agg, broadcast-sized), then each arriving doc
+    * keeps or drops by the exact BIGINT coin comparison. On docs drawn
+    * from the training corpus the stream output is row-identical to
+    * the batch `curate_sample_balanced` query (IngestCurationSpec). */
+  def sampleBalanced(stream: DataFrame, corpus: DataFrame): DataFrame =
+    graft.queries.SamplingQueries.balancedKeep(stream,
+      graft.queries.SamplingQueries.balancedRates(corpus))
+
   /** Frozen-model LM quality scoring at ingest: train the bigram LM
     * once on a reference corpus (batch side — two count tables + a
     * vocab scalar), then score every arriving document against it.

@@ -275,6 +275,33 @@ object ExplainAudit {
         !p.contains("SortMergeJoin")
     }
 
+    audit("curate_sample_balanced",
+      "rate table broadcast back; the corpus is scanned once and never shuffled") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct")
+    }
+    audit("curate_rejection_sample",
+      "score + coin are one narrow projection: ZERO shuffles") { p =>
+      count(p, "Exchange") == 0
+    }
+    audit("curate_winsorize",
+      "percentile table broadcast back; no corpus shuffle join") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
+    }
+    audit("text_char_entropy",
+      "27-symbol fold is a narrow projection: ZERO shuffles") { p =>
+      count(p, "Exchange") == 0
+    }
+    audit("curate_url_filters",
+      "URL battery is a narrow projection: ZERO shuffles") { p =>
+      count(p, "Exchange") == 0
+    }
+    audit("sketch_theta_intersection",
+      "theta + counts broadcast (nested-loop on 1-row sides only); " +
+        "no shuffle-join of the raw stream") { p =>
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

@@ -364,4 +364,92 @@ class IngestCurationSpec extends AnyFunSuite {
     assert(sec(3L).getInt(2) == 1 && sec(3L).getString(5).contains("<TOKEN>") &&
       !sec(3L).getString(5).contains("0123456789abcdef"), "token counted and redacted")
   }
+
+  test("rejection sampling, char entropy, and URL filters stream equal batch") {
+    import org.apache.spark.sql.DataFrame
+    val texts = Seq(
+      (1L, "the cat sat of the mat and the dog slept near a warm fire " +
+        "while the wind blew over the hills and a river ran past the town"),
+      (2L, "aaaa aaaa aaaa aaaa"),
+      (3L, "zq wv kx jy pf gd mb"),
+      (4L, "the the the the the the"))
+    // doc_ids chosen to fire each derived-URL rule: 35 (%7 and %5 —
+    // bad TLD + query), 22 (%11 — blockword path), 10 (%5 — query),
+    // 3 (clean)
+    val sources = Seq((35L, "src1"), (22L, "src2"), (10L, "src3"), (3L, "src4"))
+
+    for ((name, make, data) <- Seq[(String, DataFrame => DataFrame, Seq[(Long, String)])](
+        ("rejection", (df: DataFrame) =>
+          IngestCuration.rejectionSample(df.withColumnRenamed("payload", "text")), texts),
+        ("entropy", (df: DataFrame) =>
+          IngestCuration.charEntropy(df.withColumnRenamed("payload", "text")), texts),
+        ("urlfilters", (df: DataFrame) =>
+          IngestCuration.urlFilters(df.withColumnRenamed("payload", "source")), sources))) {
+      val batch = make(data.toDF("doc_id", "payload"))
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+
+      implicit val sql = spark.sqlContext
+      val src = MemoryStream[(Long, String)]
+      val q = make(src.toDF().toDF("doc_id", "payload"))
+        .writeStream.format("memory").queryName(s"ingest2_$name").start()
+      try {
+        src.addData(data.take(2): _*)
+        q.processAllAvailable()
+        src.addData(data.drop(2): _*)
+        q.processAllAvailable()
+        val streamed = spark.table(s"ingest2_$name")
+          .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+        assert(streamed == batch, s"$name: stream must equal batch")
+      } finally q.stop()
+    }
+
+    // semantic spot checks on the batch truths
+    val ent = IngestCuration.charEntropy(texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // "aaaa aaaa aaaa aaaa": 16 a's + 3 spaces of 19 chars -> H well
+    // under 1 bit; the prose doc sits in the natural-language 3.5-4.5
+    // bit band; both strictly below log2(28)
+    assert(ent(2L).getDecimal(3).doubleValue < 1.0, "repetition is low-entropy")
+    assert(ent(1L).getDecimal(3).doubleValue > 3.0 &&
+      ent(1L).getDecimal(3).doubleValue < 4.8, "prose sits in the NL band")
+
+    val uf = IngestCuration.urlFilters(sources.toDF("doc_id", "source"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!uf(35L).getBoolean(6) && uf(35L).getBoolean(3) && uf(35L).getBoolean(4),
+      "doc 35: bad TLD + tracking query -> dropped")
+    assert(!uf(22L).getBoolean(6) && uf(22L).getBoolean(2),
+      "doc 22: blockword path segment -> dropped")
+    assert(!uf(10L).getBoolean(6) && uf(10L).getBoolean(4), "doc 10: query -> dropped")
+    assert(uf(3L).getBoolean(6), "doc 3: clean URL -> kept")
+  }
+
+  test("balanced sampling at ingest freezes rates and equals the batch decision") {
+    // skewed corpus: 150 en / 50 fr -> fr (the min lang) keeps ALL
+    // rows (u*50 < 50*2^32 always), en downsamples to ~a third
+    val corpus = (1L to 200L)
+      .map(i => (i, if (i % 4 == 0) "fr" else "en")).toDF("doc_id", "lang")
+    val batch = IngestCuration.sampleBalanced(corpus, corpus)
+      .collect().map(r => r.getLong(0)).toSet
+
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = IngestCuration
+      .sampleBalanced(src.toDF().toDF("doc_id", "lang"), corpus)
+      .writeStream.format("memory").queryName("ingest2_balanced").start()
+    try {
+      val rows = (1L to 200L).map(i => (i, if (i % 4 == 0) "fr" else "en"))
+      src.addData(rows.take(90): _*)
+      q.processAllAvailable()
+      src.addData(rows.drop(90): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest2_balanced")
+        .collect().map(r => r.getLong(0)).toSet
+      assert(streamed == batch, "stream sample must equal the batch sample")
+    } finally q.stop()
+
+    val frIds = (1L to 200L).filter(_ % 4 == 0).toSet
+    assert(frIds.subsetOf(batch), "the min language keeps every row")
+    val enKept = batch.size - frIds.size
+    assert(enKept < 150 && enKept > 10, "the head language downsamples")
+  }
 }
