@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import QueryPrimitives.oEvents
+
+/** Round-9 event-analytics batch: the session/funnel/cohort family a
+  * production event pipeline runs downstream of ingestion — the
+  * reference's windowed-aggregation vocabulary (cookbook.rst:225-356,
+  * slipstream/operations.py window helpers) extended to the three
+  * classic product-analytics shapes.
+  *
+  * Scale posture:
+  * - funnel: ONE shuffle (groupBy user) + a per-user sorted fold — the
+  *   staged-conversion state machine runs as a zero-shuffle HOF over
+  *   each user's event list, never as N self-joins (the SQL-textbook
+  *   form the oracle uses; results identical, plans not). A user's
+  *   history fits in memory by construction (events/user is bounded);
+  *   1000 executors each fold their users independently.
+  * - retention: two O(users·weeks) aggs + one equi-join on user_id —
+  *   both sides hash-partition on the same key, AQE co-locates; output
+  *   is the O(weeks²) cohort matrix, control-plane sized.
+  * - sessionize: ONE exchange on user_id; both windows (the gap-break
+  *   running sum and the session-size peer count) sort within the same
+  *   partitioning — no second shuffle (plan-audited).
+  */
+object EventsQueries {
+
+  private val GAP_US = 1800L * 1000000L // 30 min, matching w4_session
+  private val FUNNEL_W_US = 86400L * 1000000L // 24 h per-step conversion window
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Staged conversion funnel view → click → purchase with a
+    // per-step conversion window: per user, the first view, the first
+    // click within (t_view, t_view + W], the first purchase within
+    // (t_click, t_click + W], and the stage reached. The fold runs
+    // once over the user's time-sorted events; the strict-> state
+    // machine makes tie handling order-independent (an event at
+    // exactly t1 never advances the funnel, whichever sort tiebreak
+    // put it first), and the window bound is what makes the stage
+    // distribution discriminate — without it every active user
+    // eventually converts.
+    "events_funnel" -> ((s, dir) => {
+      val w = FUNNEL_W_US
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_type"))
+      val nullT = lit(null).cast("long")
+      val folded = evs.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("tsu"), col("event_type")))).as("seq"))
+        .withColumn("st", aggregate(
+          col("seq"),
+          struct(nullT.as("t1"), nullT.as("t2"), nullT.as("t3")),
+          (acc, e) => {
+            val t1 = when(acc("t1").isNull && e("event_type") === "view",
+              e("tsu")).otherwise(acc("t1"))
+            val t2 = when(acc("t2").isNull && acc("t1").isNotNull &&
+              e("event_type") === "click" && e("tsu") > acc("t1") &&
+              e("tsu") <= acc("t1") + lit(w),
+              e("tsu")).otherwise(acc("t2"))
+            val t3 = when(acc("t3").isNull && acc("t2").isNotNull &&
+              e("event_type") === "purchase" && e("tsu") > acc("t2") &&
+              e("tsu") <= acc("t2") + lit(w),
+              e("tsu")).otherwise(acc("t3"))
+            struct(t1.as("t1"), t2.as("t2"), t3.as("t3"))
+          }))
+      folded.select(col("user_id"),
+        timestamp_micros(col("st.t1")).as("t_view"),
+        timestamp_micros(col("st.t2")).as("t_click"),
+        timestamp_micros(col("st.t3")).as("t_purchase"),
+        when(col("st.t3").isNotNull, 3)
+          .when(col("st.t2").isNotNull, 2)
+          .when(col("st.t1").isNotNull, 1)
+          .otherwise(0).as("stage"))
+    }),
+
+    // Daily purchase-cohort retention: cohort = the user's first
+    // purchase day; one row per (cohort_day, day_offset) with the
+    // count of cohort users purchasing that day — the standard
+    // retention triangle, at the granularity where the synthetic
+    // corpus actually churns (≈2.6 purchases/user/week → day-level
+    // activity is sparse and the triangle discriminates).
+    "events_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+      val days = ev.select(col("user_id"),
+        date_trunc("day", col("ts")).as("d")).distinct()
+      days.join(first, "user_id")
+        .withColumn("day_offset", expr("CAST(datediff(d, cohort_day) AS INT)"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Gap-based sessionization, per-EVENT output (w4_session emits the
+    // per-session aggregate; this emits each event's session sequence
+    // number and its session's size — the enrichment shape downstream
+    // per-event features join against). Same 30-minute gap rule.
+    "events_sessionize" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(wOrd)
+      val brk = when(prev.isNull ||
+        unix_micros(col("ts")) - unix_micros(prev) >= GAP_US, 1).otherwise(0)
+      // peer-count window: same user_id partitioning as the running
+      // sum, ordered by the computed session_seq with a peers-only
+      // frame — counts the session WITHOUT a (user, session) exchange
+      val wPeers = Window.partitionBy(col("user_id"))
+        .orderBy(col("session_seq")).rangeBetween(0, 0)
+      Tables.events(s, dir)
+        .withColumn("brk", brk)
+        .withColumn("session_seq", sum(col("brk"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n_in_session", count(lit(1)).over(wPeers))
+        .select(col("event_id"), col("user_id"), col("session_seq"),
+          col("n_in_session"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    // the SQL-textbook 3-stage form: same strict-inequality staged
+    // minima, algebraically identical to the fold
+    "events_funnel" ->
+      s"""WITH e AS (SELECT user_id, ts, event_type FROM $oEvents),
+         |s1 AS (SELECT user_id,
+         |MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view FROM e GROUP BY 1),
+         |s2 AS (SELECT e.user_id,
+         |MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+         |AND e.ts <= s1.t_view + INTERVAL 24 HOUR THEN e.ts END) AS t_click
+         |FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1),
+         |s3 AS (SELECT e.user_id,
+         |MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+         |AND e.ts <= s2.t_click + INTERVAL 24 HOUR THEN e.ts END) AS t_purchase
+         |FROM e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1)
+         |SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+         |CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+         |WHEN s2.t_click IS NOT NULL THEN 2
+         |WHEN s1.t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+         |FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+         |JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    "events_retention" ->
+      s"""WITH e AS (SELECT user_id, ts FROM $oEvents WHERE event_type = 'purchase'),
+         |f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+         |FROM e GROUP BY 1),
+         |d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM e)
+         |SELECT f.cohort_day,
+         |CAST(datediff('day', f.cohort_day, d.d) AS INTEGER) AS day_offset,
+         |COUNT(*) AS n_users
+         |FROM d JOIN f ON d.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts FROM $oEvents),
+         |b AS (SELECT event_id, user_id, ts,
+         |CASE WHEN lag(ts) OVER w IS NULL
+         |OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (SELECT event_id, user_id,
+         |CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM b)
+         |SELECT event_id, user_id, session_seq,
+         |COUNT(*) OVER (PARTITION BY user_id, session_seq) AS n_in_session
+         |FROM g""".stripMargin)
+}

@@ -302,6 +302,20 @@ object ExplainAudit {
       !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
     }
 
+    audit("events_funnel",
+      "ONE shuffle (groupBy user); the staged fold is a projection, no self-joins") { p =>
+      count(p, "Exchange") == 1 && !p.contains("SortMergeJoin") &&
+        !p.contains("BroadcastHashJoin")
+    }
+    audit("events_sessionize",
+      "ONE exchange on user_id; both windows sort within the same partitioning") { p =>
+      count(p, "Exchange") == 1 && count(p, "Window") >= 2
+    }
+    audit("events_retention",
+      "no cartesian; cohort join is an equi-join on user_id") { p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

@@ -1,0 +1,104 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** Hand-computed truths for the event-analytics batch (the oracle
+  * checks engine parity on the driver corpus; these pin the SEMANTICS
+  * on adversarial micro-cases: funnel tie/window edges, session gap
+  * boundary, single-cohort retention). */
+class EventsQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val HOUR = 3600L * 1000000L
+
+  /** Write a tiny events.parquet the Tables loader can read. */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String)]): String = {
+    val dir = Files.createTempDirectory("evq").toString
+    rows.map { case (id, us, user, ty) =>
+      (id, new Timestamp(us / 1000), user, ty, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel state machine: anchor, strict ties, window bounds") {
+    val base = 1704067200L * 1000000L // 2024-01-01 00:00:00 UTC in µs
+    val dir = eventsDir(Seq(
+      // user 1: full conversion inside the 24 h windows
+      (1L, base, 1L, "view"),
+      (2L, base + HOUR, 1L, "click"),
+      (3L, base + 2 * HOUR, 1L, "purchase"),
+      // user 2: click at EXACTLY t_view (strict > excludes), later
+      // click converts; purchase 25 h after the click — outside the
+      // 24 h step window -> stage 2
+      (4L, base, 2L, "view"),
+      (5L, base, 2L, "click"),
+      (6L, base + HOUR, 2L, "click"),
+      (7L, base + 26 * HOUR, 2L, "purchase"),
+      // user 3: purchase BEFORE any view -> only stage 1 (anchor is
+      // the first view; nothing after it)
+      (8L, base, 3L, "purchase"),
+      (9L, base + HOUR, 3L, "view"),
+      // user 4: no view at all -> stage 0
+      (10L, base, 4L, "click"),
+      (11L, base + HOUR, 4L, "purchase"),
+      // user 5: click at exactly t_view + 24 h (inclusive bound) ->
+      // converts to stage 2
+      (12L, base, 5L, "view"),
+      (13L, base + 24 * HOUR, 5L, "click")))
+
+    val out = EventsQueries.queries("events_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(4) == 3)
+    assert(out(2L).getInt(4) == 2 &&
+      out(2L).getTimestamp(2).getTime == (base + HOUR) / 1000,
+      "tie click excluded; the later click anchors stage 2")
+    assert(out(3L).getInt(4) == 1, "pre-view purchase never counts")
+    assert(out(4L).getInt(4) == 0)
+    assert(out(5L).getInt(4) == 2, "the step window bound is inclusive")
+  }
+
+  test("sessionize: 30-minute gap boundary starts a new session") {
+    val base = 1704067200L * 1000000L
+    val min = 60L * 1000000L
+    val dir = eventsDir(Seq(
+      (1L, base, 1L, "view"),
+      (2L, base + 29 * min, 1L, "view"),       // 29 min gap: same session
+      (3L, base + 59 * min, 1L, "view"),       // exactly 30 min: NEW session
+      (4L, base + 60 * min, 1L, "view"),       // 1 min gap: same session
+      (5L, base, 2L, "view")))                 // other user independent
+    val out = EventsQueries.queries("events_sessionize")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (1L, 2L) && out(2L) == (1L, 2L))
+    assert(out(3L) == (2L, 2L) && out(4L) == (2L, 2L),
+      "a gap of exactly the threshold breaks the session (>= rule)")
+    assert(out(5L) == (1L, 1L))
+  }
+
+  test("retention triangle counts cohort users by purchase-day offset") {
+    val base = 1704067200L * 1000000L
+    val day = 24L * HOUR
+    val dir = eventsDir(Seq(
+      // user 1 purchases day 0 and day 2; user 2 purchases day 0 only;
+      // user 3 first purchases day 1; views never count
+      (1L, base, 1L, "purchase"),
+      (2L, base + 2 * day, 1L, "purchase"),
+      (3L, base + 2 * day + HOUR, 1L, "purchase"), // same day, one credit
+      (4L, base, 2L, "purchase"),
+      (5L, base + day, 2L, "view"),
+      (6L, base + day, 3L, "purchase")))
+    val out = EventsQueries.queries("events_retention")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getInt(1)) -> r.getLong(2)).toMap
+    val d0 = base / 1000
+    assert(out((d0, 0)) == 2L, "day-0 cohort has two users at offset 0")
+    assert(out((d0, 2)) == 1L, "one day-0 user returns on day 2, once")
+    assert(out((d0 + day / 1000, 0)) == 1L, "day-1 cohort is user 3")
+    assert(out.size == 3)
+  }
+}
