@@ -170,4 +170,7 @@ object functions {
 
   def word_grams(c: Column, n: Int): Column =
     ColumnBridge.column(WordGrams(ColumnBridge.expression(c), n))
+
+  def zlib_len(c: Column): Column =
+    ColumnBridge.column(ZlibLen(ColumnBridge.expression(c)))
 }

@@ -1,0 +1,73 @@
+package graft.functions
+
+import java.util.zip.Deflater
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `zlib_len(text)` — the DEFLATE-compressed byte length of a string's
+  * UTF-8 bytes, as a fused Catalyst expression.
+  *
+  * This backs the compression-ratio quality signal (the Dolma /
+  * RedPajama-v2 `ccnet_length`-family heuristic: near-duplicate
+  * boilerplate and character-level repetition compress far below
+  * natural prose, base64/noise barely compresses at all). There is no
+  * SQL-builtin equivalent in either engine, so this is the honest
+  * custom-Expression case: per-row scalar, no state, codegen-friendly.
+  *
+  * Determinism: fixed level (6), fixed strategy (default), no
+  * dictionary, `finish()` before draining — the DEFLATE output for a
+  * given byte string is a pure function of the input under a fixed
+  * JDK zlib, so the column is stable across partitions, re-runs, and
+  * executor counts (ZlibLenSpec pins known values and golden parity
+  * with a direct Deflater reference).
+  *
+  * Codegen: `doGenCode` emits a static call into [[ZlibLen.compute]],
+  * keeping the surrounding projection one whole-stage compiled loop.
+  * A thread-local Deflater is reset and reused per row — no per-row
+  * allocation of the 64 KB zlib workspace.
+  */
+case class ZlibLen(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    ZlibLen.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ZlibLen.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ZlibLen =
+    copy(child = newChild)
+
+  override def prettyName: String = "zlib_len"
+}
+
+object ZlibLen {
+
+  private val LEVEL = 6
+
+  private val deflaters = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater = new Deflater(LEVEL)
+  }
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
+  /** Compressed byte length of the UTF-8 bytes of `s`. */
+  def compute(s: UTF8String): Int = {
+    val in = s.getBytes
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(in)
+    d.finish()
+    val buf = scratch.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+}

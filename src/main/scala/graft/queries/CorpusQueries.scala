@@ -450,6 +450,61 @@ object CorpusQueries {
       explode(dsirFeatures).as("w"))
       .withColumn("bkt", dsirBucket(col("w")))
 
+  /** BM25 per-doc scores for the fixed query-term set, decimal-armored
+    * — factored out of text_bm25_topk so the hybrid RRF fusion
+    * (sim_hybrid_rrf) ranks with the IDENTICAL lexical scorer. Plan:
+    * token-count shuffles + broadcast df/stats; the corpus is never
+    * pairwise-joined. */
+  private[queries] def bm25Scored(docs: DataFrame): DataFrame = {
+    val toksDf = docs.select(col("doc_id"), explode(toks).as("word"))
+    val dl = toksDf.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tf = toksDf.where(col("word").isin(BM25_TERMS: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = tf.join(broadcast(dfreq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("avgdl", col("tot").cast("double") / col("n_docs"))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(BM25_K1 + 1.0)) /
+          (col("tf") + lit(BM25_K1) *
+            (lit(1.0 - BM25_B) + lit(BM25_B) * col("dl") / col("avgdl"))))
+    w.groupBy(col("doc_id")).agg(
+        BM25_TERMS.map(t =>
+          coalesce(sum(when(col("word") === t, col("w"))), lit(0.0)))
+          .reduce(_ + _).as("score0"))
+      .select(col("doc_id"),
+        col("score0").cast(DecimalType(18, 8)).cast("double").as("score"))
+  }
+
+  /** The bm25Scored CTE chain as oracle SQL, ending in a `lexscore`
+    * relation (doc_id, score) — shared by the text_bm25_topk and
+    * sim_hybrid_rrf oracles. */
+  private[queries] def oBm25Cte: String = {
+    val termList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+    val termSum = BM25_TERMS.map(t =>
+      s"COALESCE(SUM(CASE WHEN word = '$t' THEN w END), 0.0)").mkString(" + ")
+    s"""tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tk
+       |WHERE word IN ($termList) GROUP BY doc_id, word),
+       |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+       |wt AS (SELECT tf.doc_id, tf.word,
+       |ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+       |(tf * ${BM25_K1 + 1.0}) /
+       |(tf + $BM25_K1 * (${1.0 - BM25_B} + $BM25_B * dl /
+       |(CAST(tot AS DOUBLE) / n_docs))) AS w
+       |FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |scored AS (SELECT doc_id, $termSum AS score0 FROM wt GROUP BY doc_id),
+       |lexscore AS (SELECT doc_id,
+       |CAST(CAST(score0 AS DECIMAL(18,8)) AS DOUBLE) AS score FROM scored)""".stripMargin
+  }
+
   /** Train the DSIR model: the O(B)-row bucket table of
     * DECIMAL(18,6)-rounded ln(p̂_b/q̂_b) terms, plus the smoothed
     * floor term for a bucket the training corpus never populated
@@ -941,35 +996,10 @@ object CorpusQueries {
           col("score"))
     }),
 
-    "text_bm25_topk" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val toksDf = docs.select(col("doc_id"), explode(toks).as("word"))
-      val dl = toksDf.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
-      val tf = toksDf.where(col("word").isin(BM25_TERMS: _*))
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val w = tf.join(broadcast(dfreq), "word")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)))
-        .withColumn("avgdl", col("tot").cast("double") / col("n_docs"))
-        .withColumn("w",
-          col("idf") * (col("tf") * lit(BM25_K1 + 1.0)) /
-            (col("tf") + lit(BM25_K1) *
-              (lit(1.0 - BM25_B) + lit(BM25_B) * col("dl") / col("avgdl"))))
-      val scored = w.groupBy(col("doc_id")).agg(
-        BM25_TERMS.map(t =>
-          coalesce(sum(when(col("word") === t, col("w"))), lit(0.0)))
-          .reduce(_ + _).as("score0"))
-      scored
-        .select(col("doc_id"),
-          col("score0").cast(DecimalType(18, 8)).cast("double").as("score"))
+    "text_bm25_topk" -> ((s, dir) =>
+      bm25Scored(Tables.documents(s, dir))
         .orderBy(desc("score"), col("doc_id"))
-        .limit(TOPK)
-    }),
+        .limit(TOPK)),
 
     // DSIR importance resampling (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling" — the public method
@@ -1544,27 +1574,10 @@ object CorpusQueries {
         |hll_estimate / exact_distinct AS ratio
         |FROM e JOIN x ON e.event_type = x.event_type""".stripMargin,
 
-    "text_bm25_topk" -> {
-      val termList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
-      val termSum = BM25_TERMS.map(t =>
-        s"COALESCE(SUM(CASE WHEN word = '$t' THEN w END), 0.0)").mkString(" + ")
-      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
-         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM dl),
-         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tk
-         |WHERE word IN ($termList) GROUP BY doc_id, word),
-         |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
-         |wt AS (SELECT tf.doc_id, tf.word,
-         |ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
-         |(tf * ${BM25_K1 + 1.0}) /
-         |(tf + $BM25_K1 * (${1.0 - BM25_B} + $BM25_B * dl /
-         |(CAST(tot AS DOUBLE) / n_docs))) AS w
-         |FROM tf JOIN dfreq USING (word) JOIN dl USING (doc_id) CROSS JOIN stats),
-         |scored AS (SELECT doc_id, $termSum AS score0 FROM wt GROUP BY doc_id)
-         |SELECT doc_id,
-         |CAST(CAST(score0 AS DECIMAL(18,8)) AS DOUBLE) AS score
-         |FROM scored ORDER BY score DESC, doc_id LIMIT $TOPK""".stripMargin
-    },
+    "text_bm25_topk" ->
+      s"""WITH $oBm25Cte
+         |SELECT doc_id, score
+         |FROM lexscore ORDER BY score DESC, doc_id LIMIT $TOPK""".stripMargin,
 
     // identical hashed-bucket estimation, DECIMAL(18,6)-rounded ln
     // terms, exact decimal sums, and the same md5-derived Gumbel key —

@@ -44,8 +44,17 @@ import graft.{GraftConf, Tables}
   */
 object SamplingQueries {
 
+  import QueryPrimitives.dot
+
   /** KMV sketch size (k-th-minimum-value theta sketch). */
   private def KMV_K = GraftConf.int("graft.sketch.kmvK", 32)
+  /** Hybrid retrieval: RRF constant, query count, candidate depth. */
+  private def RRF_K = GraftConf.int("graft.rrf.k", 60)
+  private def HY_NQ = GraftConf.int("graft.rrf.queries", 5)
+  private def HY_CAND = GraftConf.int("graft.rrf.cand", 50)
+  private def HY_TOPK = GraftConf.int("graft.topk", 10)
+  /** URL-canonical dedup: docs per mirror cohort = corpus/mod. */
+  private def MIRROR_MOD = GraftConf.int("graft.urldedup.mod", 250)
   /** Winsorize clip quantiles. */
   private def W_LO = GraftConf.double("graft.winsor.lo", 0.05)
   private def W_HI = GraftConf.double("graft.winsor.hi", 0.95)
@@ -145,6 +154,15 @@ object SamplingQueries {
         col("f_query"), col("f_long"), col("keep"))
   }
 
+  /** Compression-ratio signal over a (doc_id, text) frame. */
+  private[graft] def compressRatioBody(in: DataFrame): DataFrame =
+    in.withColumn("n_bytes", expr("octet_length(text)"))
+      .withColumn("zlib_bytes", graft.functions.functions.zlib_len(col("text")))
+      .withColumn("ratio",
+        (col("zlib_bytes").cast("double") / col("n_bytes").cast("double"))
+          .cast(DecimalType(18, 6)))
+      .select(col("doc_id"), col("n_bytes"), col("zlib_bytes"), col("ratio"))
+
   /** Balanced-sample rate table learned from a reference corpus: one
     * row per lang with (n_lang, n_min) — O(langs), broadcast-sized. */
   private[graft] def balancedRates(corpus: DataFrame): DataFrame = {
@@ -222,6 +240,89 @@ object SamplingQueries {
     // per-row battery over the derived URL (see urlCol).
     "curate_url_filters" -> ((s, dir) =>
       urlFiltersBody(Tables.documents(s, dir))),
+
+    // Compression-ratio quality signal (the Dolma / RedPajama-v2
+    // heuristic: boilerplate and repetition deflate far below prose;
+    // base64/noise barely compresses). zlib_len is a custom Catalyst
+    // Expression (graft.functions.ZlibLen) with doGenCode — neither
+    // engine has a SQL builtin, so this entry has NO DuckDB oracle
+    // (driver records the rows-only check); ZlibLenSpec pins known
+    // values, golden Deflater parity, and determinism instead.
+    // Stateless per-row projection, zero shuffle.
+    "text_compress_ratio" -> ((s, dir) =>
+      compressRatioBody(Tables.documents(s, dir))),
+
+    // URL-canonicalization dedup (the first dedup pass of every web
+    // corpus build: mirror hosts, www/casing variants, and tracking
+    // query strings all name the same page). Mirror URLs derive from
+    // doc_id mod MIRROR_MOD (cohorts of corpus/mod docs share a page;
+    // casing/www/query vary per doc — the derived-data posture);
+    // canonicalization lowercases, strips the query, and folds www.
+    // One map-side-combined agg on the canonical key, min-doc-id
+    // canonical representative — the a3_dedup_exact shape with the
+    // normalization doing the work.
+    "dedup_url_canonical" -> ((s, dir) => {
+      val m = (col("doc_id") % lit(MIRROR_MOD.toLong)).cast("string")
+      val hostfrag = substring(md5(concat(lit("h"), m)), 1, 8)
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, upper(hostfrag)).otherwise(hostfrag),
+        lit(".com/"), substring(md5(concat(lit("p"), m)), 1, 12),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("?utm="), substring(md5(concat(lit("q"), col("doc_id").cast("string"))), 1, 8)))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .withColumn("canonical_url",
+          regexp_replace(regexp_replace(lower(url), "\\?.*$", ""),
+            "^https://www\\.", "https://"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+    }),
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    // 2009 — the standard way to combine a lexical and a semantic
+    // ranker without score calibration): BM25 top-CAND (the SAME
+    // factored scorer text_bm25_topk ranks with) fused per query
+    // vector with cosine top-CAND; rrf = Σ 1/(K + rank), missing list
+    // membership contributes 0; top-10 per query by fused score.
+    // Determinism: both rank lists are integer ranks over decimal-
+    // armored scores, and 1/(K+r) on identical ints is the identical
+    // double in both engines. Scale: the lexical list is global
+    // (control-plane, CAND rows, broadcast); the semantic side is the
+    // brute-force broadcast scan (swap the IVF-PQ index at scale —
+    // the fusion algebra is unchanged); candidates are O(NQ·CAND).
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      val lex = CorpusQueries.bm25Scored(Tables.documents(s, dir))
+        .orderBy(desc("score"), col("doc_id")).limit(HY_CAND)
+        .withColumn("r_lex",
+          row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+        .select(col("doc_id"), col("r_lex"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val q = emb.where(col("vec_id") < HY_NQ)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val sem = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .withColumn("r_sem", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("r_sem") <= HY_CAND)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("r_sem"))
+      val candTab = q.select(col("qid")).crossJoin(broadcast(lex))
+        .select(col("qid"), col("doc_id"))
+        .union(sem.select(col("qid"), col("doc_id"))).distinct()
+      candTab
+        .join(broadcast(lex), Seq("doc_id"), "left")
+        .join(broadcast(sem), Seq("qid", "doc_id"), "left")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RRF_K) + col("r_lex")).cast("double"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RRF_K) + col("r_sem")).cast("double"), lit(0.0)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))))
+        .where(col("rank") <= HY_TOPK)
+        .select(col("qid"), col("rank"), col("doc_id"), col("r_lex"),
+          col("r_sem"), col("rrf"))
+    }),
 
     // KMV/theta distinct-intersection sketch (Beyer et al. 2007; the
     // theta-sketch set algebra of Dasgupta et al. 2016): estimate
@@ -316,6 +417,54 @@ object SamplingQueries {
          |SELECT doc_id, url, f_blockword, f_tld, f_query, f_long,
          |NOT (f_blockword OR f_tld OR f_query OR f_long) AS keep FROM f""".stripMargin
     },
+
+    // text_compress_ratio: deliberately NO oracle — DEFLATE has no
+    // DuckDB builtin; correctness rides ZlibLenSpec (known-answer +
+    // golden parity) and the driver's rows-only check.
+
+    "dedup_url_canonical" ->
+      s"""WITH u AS (SELECT doc_id,
+         |'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+         |CASE WHEN doc_id % 3 = 0
+         |THEN upper(substr(md5('h' || CAST(doc_id % $MIRROR_MOD AS VARCHAR)), 1, 8))
+         |ELSE substr(md5('h' || CAST(doc_id % $MIRROR_MOD AS VARCHAR)), 1, 8) END ||
+         |'.com/' || substr(md5('p' || CAST(doc_id % $MIRROR_MOD AS VARCHAR)), 1, 12) ||
+         |CASE WHEN doc_id % 5 = 0
+         |THEN '?utm=' || substr(md5('q' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |ELSE '' END AS url FROM documents),
+         |c AS (SELECT doc_id,
+         |regexp_replace(regexp_replace(lower(url), '\\?.*$$', ''),
+         |'^https://www\\.', 'https://') AS canonical_url FROM u)
+         |SELECT canonical_url, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc
+         |FROM c GROUP BY 1""".stripMargin,
+
+    // same factored BM25 CTE chain as text_bm25_topk, same cosine
+    // scan as sim_cosine_topk, integer-rank fusion
+    "sim_hybrid_rrf" ->
+      s"""WITH ${CorpusQueries.oBm25Cte},
+         |lexr AS (SELECT doc_id,
+         |CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS r_lex
+         |FROM (SELECT * FROM lexscore ORDER BY score DESC, doc_id LIMIT $HY_CAND) t),
+         |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |FROM embeddings),
+         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM emb WHERE vec_id < $HY_NQ),
+         |semr AS (SELECT qid, vec_id AS doc_id, CAST(rn AS INTEGER) AS r_sem FROM
+         |(SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |ORDER BY list_dot_product(qe, e) / (qn * nrm) DESC, vec_id) AS rn
+         |FROM emb JOIN q ON vec_id <> qid) t WHERE rn <= $HY_CAND),
+         |cand AS (SELECT qid, doc_id FROM (SELECT qid FROM q) a
+         |CROSS JOIN (SELECT doc_id FROM lexr) b
+         |UNION SELECT qid, doc_id FROM semr),
+         |f AS (SELECT cand.qid, cand.doc_id, lexr.r_lex, semr.r_sem,
+         |COALESCE(1.0 / CAST($RRF_K + lexr.r_lex AS DOUBLE), 0.0) +
+         |COALESCE(1.0 / CAST($RRF_K + semr.r_sem AS DOUBLE), 0.0) AS rrf
+         |FROM cand LEFT JOIN lexr ON cand.doc_id = lexr.doc_id
+         |LEFT JOIN semr ON cand.qid = semr.qid AND cand.doc_id = semr.doc_id)
+         |SELECT qid, rank, doc_id, r_lex, r_sem, rrf FROM
+         |(SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM f) t
+         |WHERE rank <= $HY_TOPK""".stripMargin,
 
     "sketch_theta_intersection" ->
       s"""WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events

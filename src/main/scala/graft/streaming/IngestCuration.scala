@@ -96,6 +96,12 @@ object IngestCuration {
   def charEntropy(docs: DataFrame): DataFrame =
     graft.queries.SamplingQueries.charEntropyBody(docs)
 
+  /** zlib compression-ratio signal at ingest — the SAME custom
+    * ZlibLen expression, stateless per-row over a (doc_id, text)
+    * stream. */
+  def compressRatio(docs: DataFrame): DataFrame =
+    graft.queries.SamplingQueries.compressRatioBody(docs)
+
   /** URL filter battery at ingest — the SAME derived-URL rule set,
     * stateless per-row over a (doc_id, source) stream. */
   def urlFilters(docs: DataFrame): DataFrame =

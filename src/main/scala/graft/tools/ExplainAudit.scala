@@ -315,6 +315,20 @@ object ExplainAudit {
       "no cartesian; cohort join is an equi-join on user_id") { p =>
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
     }
+    audit("text_compress_ratio",
+      "custom zlib_len expression rides whole-stage codegen (starred " +
+        "Project), ZERO shuffles") { p =>
+      count(p, "Exchange") == 0 && p.contains("* Project")
+    }
+    audit("dedup_url_canonical",
+      "one map-side-combined agg on the canonical key; no joins at all") { p =>
+      count(p, "Exchange") == 1 && !p.contains("Join")
+    }
+    audit("sim_hybrid_rrf",
+      "both rank lists broadcast back onto candidates; corpus never shuffle-joined") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct")
+    }
 
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")

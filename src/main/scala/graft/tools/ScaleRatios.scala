@@ -63,7 +63,16 @@ object ScaleRatios {
       // drift monitor, and the broadcast decontamination scan
       "curate_scrub_secrets", "curate_unimax_mix", "curate_split_kl",
       "contaminate_embedding", "text_word_zipf", "curate_chunk_overlap",
-      "text_readability")
+      "text_readability",
+      // r9 sampling batch: broadcast-back samplers, per-row signals
+      // (entropy/zlib/URL), the percentile clip, the canonical-URL
+      // dedup agg, and the RRF fusion (control-plane candidates)
+      "curate_sample_balanced", "curate_rejection_sample",
+      "curate_winsorize", "text_char_entropy", "curate_url_filters",
+      "text_compress_ratio", "dedup_url_canonical", "sim_hybrid_rrf",
+      // r9 events-analytics batch (events replica subset)
+      "events_funnel", "events_retention", "events_sessionize",
+      "sketch_theta_intersection")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

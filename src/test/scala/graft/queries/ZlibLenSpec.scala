@@ -1,0 +1,75 @@
+package graft.queries
+
+import java.util.zip.Deflater
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.functions.zlib_len
+import graft.streaming.TestSpark
+
+/** The compression-ratio signal has no SQL oracle (no DEFLATE builtin
+  * in DuckDB), so this spec carries its correctness: golden parity
+  * with a direct Deflater reference, determinism across repeated
+  * evaluation and partitionings, and the semantic ordering the quality
+  * filter relies on (repetition ≪ prose < noise). */
+class ZlibLenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference implementation: independent Deflater, same level. */
+  private def ref(s: String): Int = {
+    val d = new Deflater(6)
+    d.setInput(s.getBytes("UTF-8"))
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    n
+  }
+
+  private val samples = Seq(
+    "",
+    "a",
+    "a" * 1000,
+    "the quick brown fox jumps over the lazy dog " * 10,
+    "7f3a9c1e5b8d2046" * 16,
+    "zq wv kx jy pf gd mb unrepeating words entirely here today")
+
+  test("zlib_len matches a direct Deflater reference (golden parity)") {
+    val out = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+      .select(col("id"), zlib_len(col("text")).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(out(i.toLong) == ref(s), s"sample $i")
+    }
+  }
+
+  test("deterministic across partitionings and repeated evaluation") {
+    val df = (1 to 500).map(i => (i.toLong, s"doc $i " + ("x" * (i % 40))))
+    val one = df.toDF("id", "text").repartition(1)
+      .select(col("id"), zlib_len(col("text")).as("z")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val many = df.toDF("id", "text").repartition(13)
+      .select(col("id"), zlib_len(col("text")).as("z")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one == many)
+  }
+
+  test("ratio separates repetition from prose and noise (the filter signal)") {
+    def ratio(s: String): Double = ref(s).toDouble / s.getBytes("UTF-8").length
+    val rep = ratio("boilerplate line here. " * 50)
+    val prose = ratio("the cat sat on the mat while a river ran past the " +
+      "town and the wind blew over the quiet hills toward evening light")
+    // md5 hex noise: high-entropy over a 16-symbol alphabet — Huffman
+    // still shaves it (~0.55), but it stays far above repetition
+    val noise = ratio((1 to 40).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString).mkString)
+    assert(rep < 0.1, s"boilerplate must collapse (got $rep)")
+    assert(prose > 0.3 && prose < 1.1, s"prose sits mid-band (got $prose)")
+    assert(noise > 0.4 && rep < noise, s"noise stays high (got $noise)")
+  }
+}

@@ -384,7 +384,9 @@ class IngestCurationSpec extends AnyFunSuite {
         ("entropy", (df: DataFrame) =>
           IngestCuration.charEntropy(df.withColumnRenamed("payload", "text")), texts),
         ("urlfilters", (df: DataFrame) =>
-          IngestCuration.urlFilters(df.withColumnRenamed("payload", "source")), sources))) {
+          IngestCuration.urlFilters(df.withColumnRenamed("payload", "source")), sources),
+        ("compress", (df: DataFrame) =>
+          IngestCuration.compressRatio(df.withColumnRenamed("payload", "text")), texts))) {
       val batch = make(data.toDF("doc_id", "payload"))
         .collect().map(r => r.getLong(0) -> r.toSeq).toMap
 
