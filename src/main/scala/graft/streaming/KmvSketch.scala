@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+/** Streaming KMV/theta distinct-value summary (Beyer et al. 2007; the
+  * theta-sketch set algebra of Dasgupta et al. 2016) in its MERGEABLE
+  * form: the k smallest distinct hash values seen, ascending. Partials
+  * fold per partition, the shuffle moves O(k) summaries (never rows),
+  * and the state store merges across micro-batches — the same
+  * [[Fold.applyPartial]] spine as the other five sketches.
+  *
+  * The intersection estimator mirrors the batch catalog query
+  * (`sketch_theta_intersection`, SamplingQueries.scala) EXACTLY, and
+  * not just approximately: θ = min over sides of the k-th minimum
+  * (a side with < k distinct values contributes exactly, θ = 2^32),
+  * and every hash below θ is — by the k-smallest invariant — present
+  * in BOTH summaries whenever it is present in both streams. So the
+  * stream-built summaries reproduce the batch query's (θ, n_below,
+  * estimate) bit-for-bit on the same data (KmvSketchSpec), which is
+  * what makes a 1000-executor union-then-intersect plan safe: sketches
+  * built independently per shard/stream merge into the same answer as
+  * a global scan.
+  */
+object KmvSketch {
+
+  /** Distinct hash values, ascending, size ≤ k. */
+  type Summary = Vector[Long]
+
+  val empty: Summary = Vector.empty
+
+  val TWO32 = 4294967296L
+
+  /** Insert one hash value, keeping the k smallest distinct. */
+  def update(s: Summary, u: Long, k: Int): Summary =
+    if (s.length == k && u >= s.last) s
+    else {
+      val i = search(s, u)
+      if (i < s.length && s(i) == u) s
+      else ((s.take(i) :+ u) ++ s.drop(i)).take(k)
+    }
+
+  /** Sorted-merge of two summaries, k smallest distinct kept. */
+  def merge(a: Summary, b: Summary, k: Int): Summary = {
+    val out = Vector.newBuilder[Long]
+    var i = 0; var j = 0; var n = 0
+    while (n < k && (i < a.length || j < b.length)) {
+      val x =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val v = a(i); i += 1; v }
+        else { val v = b(j); j += 1; v }
+      while (i < a.length && a(i) == x) i += 1
+      while (j < b.length && b(j) == x) j += 1
+      out += x; n += 1
+    }
+    out.result()
+  }
+
+  /** θ in raw hash units: the k-th minimum, or 2^32 exact mode. */
+  def thetaU(s: Summary, k: Int): Long =
+    if (s.length < k) TWO32 else s.last
+
+  /** Distinct-count estimate of one summary. */
+  def estimate(s: Summary, k: Int): Double =
+    if (s.length < k) s.length.toDouble
+    else (k - 1).toDouble * TWO32 / s.last
+
+  /** Intersection estimate — the batch catalog query's algebra:
+    * (θ, n_below, est = n_below·2^32/θ). */
+  def intersect(a: Summary, b: Summary, k: Int): (Long, Long, Double) = {
+    val t = math.min(thetaU(a, k), thetaU(b, k))
+    val common = a.toSet.intersect(b.toSet).count(_ < t).toLong
+    (t, common, common.toDouble * TWO32.toDouble / t.toDouble)
+  }
+
+  private def search(s: Summary, u: Long): Int = {
+    var lo = 0; var hi = s.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (s(mid) < u) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Per-group streaming (or batch) summaries over [[Fold.applyPartial]]. */
+  def summaries[V](
+      ds: Dataset[V],
+      group: V => String,
+      hash: V => Long,
+      k: Int = 32)(implicit spark: SparkSession): Dataset[(String, Summary)] = {
+    import spark.implicits._
+    implicit val kv: Encoder[(String, Summary)] =
+      newProductEncoder[(String, Vector[Long])]
+    Fold.applyPartial[String, V, Summary](
+      ds, group, empty, (s, v) => update(s, hash(v), k), merge(_, _, k))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming KMV = batch theta: summaries built per-partition /
+  * per-micro-batch merge into EXACTLY the batch catalog query's
+  * (θ, n_below, estimate) — the mergeable-summaries guarantee that
+  * makes sketch-per-shard → union → intersect safe at 1000 executors. */
+object KmvSketchSpec {
+  /** Serializable hash (matches the catalog query's md5-prefix u32). */
+  def u32(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+}
+
+class KmvSketchSpec extends AnyFunSuite {
+  import KmvSketchSpec.u32
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val K = 32
+
+  test("update/merge are order-independent and hold the k-smallest invariant") {
+    val us = (1 to 400).map(i => u32(s"v$i")).distinct
+    val whole = us.foldLeft(KmvSketch.empty)(KmvSketch.update(_, _, K))
+    val (a, b) = us.splitAt(137)
+    val merged = KmvSketch.merge(
+      a.reverse.foldLeft(KmvSketch.empty)(KmvSketch.update(_, _, K)),
+      b.foldLeft(KmvSketch.empty)(KmvSketch.update(_, _, K)), K)
+    assert(whole == merged)
+    assert(whole == us.distinct.sorted.take(K).toVector,
+      "the summary IS the k smallest distinct hashes")
+    // duplicates never inflate the summary
+    val dup = (us ++ us).foldLeft(KmvSketch.empty)(KmvSketch.update(_, _, K))
+    assert(dup == whole)
+    // estimate sanity: within 40% on 400 distinct values at k=32
+    val est = KmvSketch.estimate(whole, K)
+    assert(est > us.length * 0.6 && est < us.length * 1.4, s"est $est")
+  }
+
+  test("stream-built summaries reproduce the batch theta-intersection row exactly") {
+    // batch truth: the catalog query's single row at sf0.001
+    val row = graft.queries.SamplingQueries
+      .queries("sketch_theta_intersection")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (bTheta, bBelow) = (row.getLong(1), row.getLong(2))
+
+    // stream the same (event_type, user_id) pairs through the fold in
+    // two micro-batches with duplicates left in
+    val pairs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .where(org.apache.spark.sql.functions.col("event_type")
+        .isin("click", "purchase"))
+      .select("event_type", "user_id").as[(String, Long)].collect()
+
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(String, Long)]
+    val q = KmvSketch.summaries[(String, Long)](
+        src.toDS(), _._1, p => u32(p._2.toString), K)
+      .toDF("g", "summary")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kmv_stream").start()
+    val summaries =
+      try {
+        val (first, second) = pairs.splitAt(pairs.length / 2)
+        src.addData(first.toIndexedSeq); q.processAllAvailable()
+        src.addData(second.toIndexedSeq); q.processAllAvailable()
+        spark.table("kmv_stream").as[(String, Vector[Long])].collect()
+          .groupBy(_._1).map { case (g, rows) => g -> rows.last._2 }
+      } finally q.stop()
+
+    val (theta, below, est) =
+      KmvSketch.intersect(summaries("click"), summaries("purchase"), K)
+    assert(theta == bTheta, "stream θ equals the batch query's θ")
+    assert(below == bBelow, "stream n_below equals the batch query's")
+    assert(math.abs(est - row.getDecimal(3).doubleValue) < 1e-6,
+      "stream estimate equals the batch query's (decimal-rounded)")
+  }
+}
