@@ -435,4 +435,101 @@ object Multimodal {
         nBytes = math.max(1, (d.nBytes * scale * scale).toInt))
     }
   }
+
+  /** Perceptual average-hash over a real decoded image: 8×8 cell grid,
+    * per-cell integer mean luminance, bit k = (mean_k · 64 > Σ means)
+    * — all-integer so the threshold is exact (no float mean). Returns
+    * the 64-bit hash as a '0'/'1' string, row-major. This is the
+    * image near-dup key every multimodal pipeline dedups on before
+    * embedding-level semantic dedup. */
+  object AHash {
+    def of(img: java.awt.image.BufferedImage): String = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val means = Array.tabulate(64) { k =>
+        val (cx, cy) = (k % 8, k / 8)
+        val (x0, x1) = (cx * w / 8, math.max(cx * w / 8 + 1, (cx + 1) * w / 8))
+        val (y0, y1) = (cy * h / 8, math.max(cy * h / 8 + 1, (cy + 1) * h / 8))
+        var (sum, n) = (0L, 0L)
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        sum / n
+      }
+      val tot = means.sum
+      means.map(m => if (m * 64 > tot) '1' else '0').mkString
+    }
+  }
+
+  /** The full synth→decode→hash round trip for one doc id, a pure
+    * function of (id, mod): cell grays are md5-derived from the
+    * mirror cohort id (id % mod), odd variants (id / mod odd) bump
+    * one cohort-chosen cell by +96 (mod 256) — so cohorts share a base pattern
+    * with small per-variant perturbations, the shape an image-dedup
+    * stage actually sees. The hash is computed from REAL decoded
+    * pixels (ImageIO BMP reader), never from the recipe — the
+    * catalog oracle recomputes the recipe arithmetically, so a codec
+    * that misreads one pixel breaks the hash compare. */
+  def ahashForId(id: Long, mod: Int): String = {
+    val m = id % mod
+    val variant = (id / mod) % 2 == 1
+    val md = MessageDigest.getInstance("MD5")
+    val cells = Array.tabulate(64) { k =>
+      val hex = md.digest(s"$m:$k".getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      md.reset()
+      val g = Integer.parseInt(hex, 16)
+      if (variant && k == (m % 64).toInt) (g + 96) % 256 else g
+    }
+    val img = ImageCodec.decode(synthBlockBmp(cells)).getOrElse(
+      throw new IllegalStateException("synthesized BMP must decode"))
+    AHash.of(img)
+  }
+
+  /** Canonical uncompressed 24-bit BMP of an 8×8 block pattern: cell
+    * (k = row-major 0..63) is filled with the constant gray `cells(k)`
+    * (R = G = B), each cell `cellPx`×`cellPx` pixels. BI_RGB rows are
+    * 4-byte aligned by construction (width·3 divisible by 4 for
+    * cellPx·8 a multiple of 4). A pure function of `cells` — the
+    * synthesis side of the exact-oracle image-dedup catalog entry. */
+  def synthBlockBmp(cells: Array[Int], cellPx: Int = 8): Array[Byte] = {
+    require(cells.length == 64, "64 cells (8x8)")
+    val side = cellPx * 8
+    val rowBytes = side * 3
+    require(rowBytes % 4 == 0, "row padding-free by construction")
+    val dataSize = rowBytes * side
+    val fileSize = 54 + dataSize
+    val out = new Array[Byte](fileSize)
+    def putLE(off: Int, v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) { out(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLE(2, fileSize, 4); putLE(10, 54, 4)
+    putLE(14, 40, 4); putLE(18, side, 4); putLE(22, side, 4)
+    putLE(26, 1, 2); putLE(28, 24, 2); putLE(30, 0, 4)
+    putLE(34, dataSize, 4); putLE(38, 2835, 4); putLE(42, 2835, 4)
+    var y = 0
+    while (y < side) {
+      // BMP stores rows bottom-up; the pattern is y-symmetric per cell
+      // row anyway, but keep the mapping explicit
+      val imgY = side - 1 - y
+      val cy = imgY / cellPx
+      var x = 0
+      while (x < side) {
+        val g = cells(cy * 8 + x / cellPx)
+        val off = 54 + y * rowBytes + x * 3
+        out(off) = g.toByte; out(off + 1) = g.toByte; out(off + 2) = g.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 }

@@ -95,6 +95,41 @@ object EventsQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Bucketed range join — the non-equi interval join done the way it
+    // survives 100 TB: each error event opens a [ts, ts+1h) window;
+    // count the SAME USER's views landing inside it. The NAIVE Spark
+    // plan for `v.user = e.user AND v.ts BETWEEN e.ts AND e.ts+1h`
+    // would at best shuffle on user alone (hot users = hot tasks);
+    // instead both sides bucket to the hour (each window spans exactly
+    // two hour buckets → the interval side explodes ×2), the join
+    // becomes an EQUI-join on (user, bucket) with the range predicate
+    // as a residual filter, and each matching pair meets in exactly
+    // one bucket (the view's own hour) so no dedup is needed. The
+    // (user, hour) composite key also keeps pair density CONSTANT as
+    // the corpus grows — more users widen the key space rather than
+    // deepening each bucket. The oracle runs the textbook non-equi
+    // LEFT JOIN — same result, plan worlds apart (plan-audited).
+    "j_range_bucketed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("ets"), date_trunc("hour", col("ts")).as("b0"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"),
+          date_trunc("hour", col("ts")).as("bkt"))
+      val exploded = errors.withColumn("bkt",
+        explode(array(col("b0"), col("b0") + expr("INTERVAL 1 HOUR"))))
+      val matched = exploded.join(views, Seq("user_id", "bkt"))
+        .where(col("vts") >= col("ets") &&
+          col("vts") < col("ets") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("error_id")).agg(
+          count(lit(1)).as("n_views"), min(col("vts")).as("first_view_ts"))
+      errors.select(col("error_id"), col("ets").as("error_ts"))
+        .join(matched, Seq("error_id"), "left")
+        .select(col("error_id"), col("error_ts"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"), col("first_view_ts"))
+    }),
+
     // Gap-based sessionization, per-EVENT output (w4_session emits the
     // per-session aggregate; this emits each event's session sequence
     // number and its session's size — the enrichment shape downstream
@@ -150,6 +185,18 @@ object EventsQueries {
          |CAST(datediff('day', f.cohort_day, d.d) AS INTEGER) AS day_offset,
          |COUNT(*) AS n_users
          |FROM d JOIN f ON d.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+
+    // textbook non-equi form — DuckDB's IEJoin handles it; result
+    // identical to the bucketed equi-join + residual plan
+    "j_range_bucketed" ->
+      s"""WITH e AS (SELECT event_id AS error_id, user_id, ts AS ets FROM $oEvents
+         |WHERE event_type = 'error'),
+         |v AS (SELECT user_id, ts AS vts FROM $oEvents WHERE event_type = 'view')
+         |SELECT e.error_id, e.ets AS error_ts,
+         |COUNT(v.vts) AS n_views, MIN(v.vts) AS first_view_ts
+         |FROM e LEFT JOIN v ON v.user_id = e.user_id AND v.vts >= e.ets
+         |AND v.vts < e.ets + INTERVAL 1 HOUR
+         |GROUP BY 1, 2""".stripMargin,
 
     "events_sessionize" ->
       s"""WITH e AS (SELECT event_id, user_id, ts FROM $oEvents),

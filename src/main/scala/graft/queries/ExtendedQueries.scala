@@ -18,6 +18,61 @@ object ExtendedQueries {
 
   import QueryPrimitives._
 
+  /** PageRank power iterations over the k-NN graph. */
+  private def PR_ITER = GraftConf.int("graft.pagerank.iters", 3)
+
+  /** The k-NN oracle CTE chain, ending in `knn` (src, rnk, dst, cos)
+    * — shared by the sim_knn_graph and sim_graph_pagerank oracles. */
+  private[queries] def oKnnChain: String = {
+    val bits = (1 to 16).map(i =>
+      s"CASE WHEN e[$i] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |FROM embeddings),
+       |n AS (SELECT COUNT(*) AS n_corpus FROM emb),
+       |cells AS (SELECT vec_id, e, nrm,
+       |substr($bits, 1,
+       |LEAST(16, GREATEST(4, length(bin(n_corpus)) - 5))) AS cell
+       |FROM emb CROSS JOIN n),
+       |capped AS (SELECT * FROM cells
+       |QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 200),
+       |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+       |FROM capped a JOIN capped b
+       |ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |knn AS (SELECT src, CAST(row_number() OVER (PARTITION BY src
+       |ORDER BY cos DESC, dst ASC) AS INTEGER) AS rnk, dst, cos
+       |FROM scored QUALIFY rnk <= 3)""".stripMargin
+  }
+
+  /** Symmetric k-NN edge builder (corpus-scaled sign-LSH cells, cohort
+    * cap, top-3 by cosine) — factored so sim_knn_graph and
+    * sim_graph_pagerank build the IDENTICAL edge set. */
+  private[queries] def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val embRaw = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val emb = embRaw
+      .crossJoin(broadcast(embRaw.agg(count(lit(1)).as("n_corpus"))))
+      .withColumn("nbits",
+        least(lit(16), greatest(lit(4), length(bin(col("n_corpus"))) - 5)))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      .withColumn("bits", concat((1 to 16).map(i =>
+        when(element_at(col("e"), i) >= 0.0, "1").otherwise("0")): _*))
+      .withColumn("cell", expr("substring(bits, 1, nbits)"))
+      .drop("bits", "nbits", "n_corpus")
+      .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .where(col("cohort") <= 200)
+      .drop("cohort")
+    emb.as("a").join(emb.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("a.vec_id"))
+        .orderBy(col("cos").desc, col("b.vec_id").asc)))
+      .where(col("rnk") <= 3)
+      .select(col("a.vec_id").as("src"), col("rnk"),
+        col("b.vec_id").as("dst"), col("cos"))
+  }
+
   /** Per-subspace Lloyd to the integer-centroid fixpoint over a
     * quantized vector frame (vec_id, x: array<long> of m·sub dims) —
     * the engine's ONE product-quantization trainer, shared by
@@ -333,29 +388,55 @@ object ExtendedQueries {
     // self-join stays O(n·cellsize) — a fixed 4-bit cell would make
     // every cell, and the join, grow linearly with the corpus. The
     // 200-cohort cap remains as a skew backstop only.
-    "sim_knn_graph" -> ((s, dir) => {
-      val embRaw = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val emb = embRaw
-        .crossJoin(broadcast(embRaw.agg(count(lit(1)).as("n_corpus"))))
-        .withColumn("nbits",
-          least(lit(16), greatest(lit(4), length(bin(col("n_corpus"))) - 5)))
-        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-        .withColumn("bits", concat((1 to 16).map(i =>
-          when(element_at(col("e"), i) >= 0.0, "1").otherwise("0")): _*))
-        .withColumn("cell", expr("substring(bits, 1, nbits)"))
-        .drop("bits", "nbits", "n_corpus")
-        .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("cell"))))
-        .where(col("cohort") <= 200)
-        .drop("cohort")
-      emb.as("a").join(emb.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-        .withColumn("cos", dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
-        .withColumn("rnk", row_number().over(Window.partitionBy(col("a.vec_id"))
-          .orderBy(col("cos").desc, col("b.vec_id").asc)))
-        .where(col("rnk") <= 3)
-        .select(col("a.vec_id").as("src"), col("rnk"),
-          col("b.vec_id").as("dst"), col("cos"))
+    "sim_knn_graph" -> ((s, dir) => knnGraph(s, dir)),
+
+    // PageRank over the k-NN similarity graph — the graph-centrality
+    // signal (central = prototypical, peripheral = outlier/noise) a
+    // curation pipeline ranks cluster representatives with. Fixed
+    // PR_ITER power iterations, d = 0.85; nodes = every endpoint of
+    // the capped k-NN edge set; dst-only nodes hold rank but emit
+    // nothing (leaky dangling mass — deterministic and identical in
+    // both engines, documented rather than redistributed). Float
+    // armor: each edge contribution rank/out_deg rounds through
+    // DECIMAL(18,12) and the in-neighbor sum is EXACT decimal (order-
+    // independent — a raw double sum over a shuffle would not be);
+    // the damping update runs on identical doubles then re-rounds.
+    // Scale: per iteration one edges⋈rank co-partitioned join (both
+    // hash on src) + one dst agg; the edge table is O(3n) — never a
+    // pairwise corpus product. The iteration count is fixed, so the
+    // whole plan is ITER chained joins Catalyst pipelines end-to-end.
+    "sim_graph_pagerank" -> ((s, dir) => {
+      val edges = knnGraph(s, dir).select(col("src"), col("dst"))
+      val nodes = edges.select(col("src").as("vec_id"))
+        .union(edges.select(col("dst").as("vec_id"))).distinct()
+      val nTab = nodes.agg(count(lit(1)).as("n"))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // ranks live in integer PICO-units (1e12 = total mass 1.0):
+      // every rounding is floor(x + 0.5) on doubles derived from exact
+      // integers — bit-identical in both engines, unlike a decimal
+      // cast whose half-tie rule differs (Spark HALF_UP vs DuckDB
+      // half-even bit the DECIMAL(18,12) form at 46/500 rows)
+      var rank = nodes.crossJoin(broadcast(nTab))
+        .select(col("vec_id"),
+          floor(lit(1e12) / col("n").cast("double") + lit(0.5))
+            .cast("long").as("rp"))
+      for (_ <- 1 to PR_ITER) {
+        val contrib = edges
+          .join(deg, "src")
+          .join(rank.withColumnRenamed("vec_id", "src"), "src")
+          .withColumn("c",
+            floor(col("rp").cast("double") / col("deg").cast("double") + lit(0.5))
+              .cast("long"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+        rank = nodes
+          .join(contrib, col("vec_id") === col("dst"), "left")
+          .crossJoin(broadcast(nTab))
+          .select(col("vec_id"),
+            floor(lit(1.5e11) / col("n").cast("double") +
+              lit(0.85) * coalesce(col("csum"), lit(0L)).cast("double") + lit(0.5))
+              .cast("long").as("rp"))
+      }
+      rank.select(col("vec_id"), col("rp").as("pagerank_pico"))
     }),
 
     // Multiprobe IVF ANN (nprobe=5): each query probes its own sign-bit
@@ -1152,26 +1233,38 @@ object ExtendedQueries {
          |QUALIFY rnk <= 3""".stripMargin
     },
 
-    "sim_knn_graph" -> {
-      val bits = (1 to 16).map(i =>
-        s"CASE WHEN e[$i] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |FROM embeddings),
-         |n AS (SELECT COUNT(*) AS n_corpus FROM emb),
-         |cells AS (SELECT vec_id, e, nrm,
-         |substr($bits, 1,
-         |LEAST(16, GREATEST(4, length(bin(n_corpus)) - 5))) AS cell
-         |FROM emb CROSS JOIN n),
-         |capped AS (SELECT * FROM cells
-         |QUALIFY COUNT(*) OVER (PARTITION BY cell) <= 200),
-         |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-         |list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
-         |FROM capped a JOIN capped b
-         |ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-         |SELECT src, CAST(row_number() OVER (PARTITION BY src
-         |ORDER BY cos DESC, dst ASC) AS INTEGER) AS rnk, dst, cos
-         |FROM scored QUALIFY rnk <= 3""".stripMargin
+    "sim_knn_graph" ->
+      s"""WITH $oKnnChain
+         |SELECT src, rnk, dst, cos FROM knn""".stripMargin,
+
+    // same factored edge chain; 3 unrolled power iterations with the
+    // identical decimal-armored contribution rounding
+    "sim_graph_pagerank" -> {
+      val iters = (1 to PR_ITER).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (SELECT e.dst,
+           |CAST(SUM(CAST(floor(CAST(r.rp AS DOUBLE) / CAST(d.deg AS DOUBLE) + 0.5)
+           |AS BIGINT)) AS BIGINT) AS csum
+           |FROM pedges e JOIN pdeg d ON e.src = d.src
+           |JOIN $prev r ON e.src = r.vec_id GROUP BY 1),
+           |r$i AS (SELECT n0.vec_id,
+           |CAST(floor(1.5e11 / CAST(nn.n AS DOUBLE)
+           |+ CAST(0.85 AS DOUBLE) * CAST(COALESCE(c$i.csum, 0) AS DOUBLE) + 0.5)
+           |AS BIGINT) AS rp
+           |FROM pnodes n0 CROSS JOIN nn LEFT JOIN c$i ON n0.vec_id = c$i.dst)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $oKnnChain,
+         |pedges AS (SELECT src, dst FROM knn),
+         |pnodes AS (SELECT DISTINCT vec_id FROM
+         |(SELECT src AS vec_id FROM pedges UNION SELECT dst FROM pedges) u),
+         |nn AS (SELECT COUNT(*) AS n FROM pnodes),
+         |pdeg AS (SELECT src, COUNT(*) AS deg FROM pedges GROUP BY 1),
+         |r0 AS (SELECT vec_id,
+         |CAST(floor(1e12 / CAST(nn.n AS DOUBLE) + 0.5) AS BIGINT) AS rp
+         |FROM pnodes CROSS JOIN nn),
+         |$iters
+         |SELECT vec_id, rp AS pagerank_pico FROM r$PR_ITER""".stripMargin
     },
 
     "sim_ivf_topk" -> {

@@ -50,6 +50,8 @@ object LlmQueries {
   private def LSH_CAP = GraftConf.int("graft.dedup.lshCap", 20)
   private def HAM_CAP = GraftConf.int("graft.dedup.hamCap", 20)
   private def EMB_CAP = GraftConf.int("graft.dedup.embCap", 50)
+  /** Image aHash dedup: docs per mirror cohort = corpus / mod. */
+  private def AHASH_MOD = GraftConf.int("graft.dedup.ahashMod", 100)
 
   /** Word tokens of the document text (single-space separated). */
   private[queries] def toks: Column = split(col("text"), " ")
@@ -848,6 +850,29 @@ object LlmQueries {
           }
         }
         .toDF("doc_id", "width", "height", "frames", "us_per_frame", "bright")
+    }),
+
+    // Image near-dup by perceptual average-hash — the dedup key every
+    // multimodal pipeline computes before embedding-level semantic
+    // dedup. Each row synthesizes a canonical 64×64 BMP (8×8 block
+    // pattern, cell grays md5-derived per mirror cohort = doc_id mod
+    // AHASH_MOD, odd variants perturb one cell), decodes it through
+    // the REAL ImageIO reader, and hashes the decoded pixels: 8×8 cell
+    // integer mean luminance, bit = mean·64 > Σ means (all-integer
+    // threshold — exact). The oracle recomputes the recipe
+    // arithmetically (never touching pixels), so a codec that misreads
+    // one pixel or row order breaks the hash compare. Narrow per-row
+    // synth+decode (no payload shuffle); ONE agg on the 64-bit key —
+    // the a3_dedup_exact shape with a perceptual key.
+    "dedup_image_ahash" -> ((s, dir) => {
+      import s.implicits._
+      val mod = AHASH_MOD
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, graft.multimodal.Multimodal.ahashForId(id, mod))))
+        .toDF("doc_id", "ahash")
+        .groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
     })
   )
 
@@ -1200,6 +1225,26 @@ object LlmQueries {
         |CAST(2 + doc_id % 3 AS INTEGER) AS frames,
         |CAST(40000 + (doc_id % 10) * 1000 AS INTEGER) AS us_per_frame,
         |doc_id % 2 = 0 AS bright
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // arithmetic recompute of the synthesis recipe — cell grays from
+    // md5, variant bump, all-integer threshold — never touching pixels;
+    // the Spark side hashes REAL decoded pixels, so the compare proves
+    // the whole BMP encode→ImageIO decode→mean pipeline bit-exact
+    "dedup_image_ahash" ->
+      s"""WITH cells AS (SELECT doc_id, k,
+         |CASE WHEN (doc_id // $AHASH_MOD) % 2 = 1 AND (doc_id % $AHASH_MOD) % 64 = k
+         |THEN (('0x' || substr(md5(CAST(doc_id % $AHASH_MOD AS VARCHAR)
+         ||| ':' || CAST(k AS VARCHAR)), 1, 2))::INT + 96) % 256
+         |ELSE ('0x' || substr(md5(CAST(doc_id % $AHASH_MOD AS VARCHAR)
+         ||| ':' || CAST(k AS VARCHAR)), 1, 2))::INT END AS g
+         |FROM documents, UNNEST(range(0, 64)) t(k)),
+         |tot AS (SELECT doc_id, SUM(g) AS tot FROM cells GROUP BY 1),
+         |bits AS (SELECT c.doc_id,
+         |string_agg(CASE WHEN c.g * 64 > t.tot THEN '1' ELSE '0' END, ''
+         |ORDER BY c.k) AS ahash
+         |FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+         |SELECT ahash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc
+         |FROM bits GROUP BY 1""".stripMargin
   )
 }

@@ -89,6 +89,56 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
     }),
 
+    // TPC-H Q3 shape (shipping priority): the canonical two-fact +
+    // selective-dim star join. The plan the 100 TB grade wants: the
+    // segment filter prunes customer BEFORE it broadcasts; both date
+    // filters push to the parquet scans; lineitem⋈orders co-partition
+    // on the order key (the only real shuffle); the top-10 is
+    // TakeOrderedAndProject. Revenue sums per-item DECIMAL(18,4)
+    // roundings of price·(1−discount) — exact decimal addition, then
+    // one cast to double.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val d = lit("1998-01-01").cast("timestamp")
+      val cust = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir).where(col("o_orderdate") < d)
+      val li = Tables.lineitem(s, dir).where(col("l_shipdate") > d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev0"))
+        .select(col("l_orderkey"), col("rev0").cast("double").as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): the 6-table star with
+    // the supplier-nation = customer-nation equality folded into the
+    // join. Region filter prunes nation before anything broadcasts;
+    // every dim side broadcasts; the fact tables meet in ONE
+    // co-partitioned shuffle; output is the O(nations) control plane.
+    "q5_local_supplier" -> ((s, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val nat = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev0"))
+        .select(col("n_name"), col("rev0").cast("double").as("revenue"))
+    }),
+
     // J1 as-of join (reference cookbook.rst:289-356): each click matches the
     // latest purchase by the same user at-or-before its timestamp.
     "j1_asof_join" -> ((s, dir) => {
@@ -329,6 +379,31 @@ object RelationalQueries {
       s"""SELECT r_name, COUNT(*) AS n_cust, ${oSum("c_acctbal")} AS sum_bal
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey GROUP BY 1""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |${oSum4("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |o_orderdate, o_orderpriority
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |AND o_orderdate < TIMESTAMP '1998-01-01'
+         |AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 3, 4
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |${oSum4("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1""".stripMargin,
 
     "j1_asof_join" ->
       s"""SELECT l.event_id, l.user_id, r.event_id AS p_event_id, r.value AS p_value

@@ -329,6 +329,38 @@ object ExplainAudit {
       p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         !p.contains("CartesianProduct")
     }
+    audit("j_range_bucketed",
+      "interval join lowered to bucket EQUI-join + residual — " +
+        "NEVER a nested-loop scan") { p =>
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
+    }
+    audit("dedup_image_ahash",
+      "synth+decode+hash is partition-local; ONE agg on the hash key") { p =>
+      count(p, "Exchange") == 1 && !p.contains("Join")
+    }
+    audit("q3_shipping_priority",
+      "date/segment filters pushed to the scans; dim broadcast; " +
+        "top-10 is TakeOrderedAndProject, never a global sort") { p =>
+      p.contains("PushedFilters: [IsNotNull") &&
+        p.contains("BroadcastHashJoin") &&
+        p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct")
+    }
+    audit("q5_local_supplier",
+      "all dims broadcast; ONE fact-fact co-partitioned join; no cartesian") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        count(p, "Exchange") <= 3
+    }
+
+    // SMJ is the CORRECT join here: edges⋈deg⋈rank co-partition on src
+    // each round and the graph outgrows broadcast at scale — assert the
+    // iteration structure (3 equi-joins per round, 3 rounds), no
+    // cartesian, and nested-loop only on the 1-row scalar sides
+    audit("sim_graph_pagerank",
+      "power iterations are co-partitioned equi-joins (3 per round); " +
+        "never a cartesian") { p =>
+      !p.contains("CartesianProduct") &&
+        "SortMergeJoin|BroadcastHashJoin".r.findAllIn(p).length >= 9
+    }
 
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")

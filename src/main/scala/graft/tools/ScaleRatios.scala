@@ -72,7 +72,10 @@ object ScaleRatios {
       "text_compress_ratio", "dedup_url_canonical", "sim_hybrid_rrf",
       // r9 events-analytics batch (events replica subset)
       "events_funnel", "events_retention", "events_sessionize",
-      "sketch_theta_intersection")
+      "sketch_theta_intersection",
+      // r9 sixth batch: bucketed range join, image aHash dedup,
+      // k-NN-graph PageRank
+      "j_range_bucketed", "dedup_image_ahash", "sim_graph_pagerank")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
