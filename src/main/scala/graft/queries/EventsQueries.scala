@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import QueryPrimitives.oEvents
@@ -151,6 +152,43 @@ object EventsQueries {
         .withColumn("n_in_session", count(lit(1)).over(wPeers))
         .select(col("event_id"), col("user_id"), col("session_seq"),
           col("n_in_session"))
+    }),
+
+    // Rate anomaly detection — the ops-analytics z-score monitor: per
+    // (event_type, hour), how unusual is this hour's event count
+    // against the trailing 24 closed hours? The anomaly VERDICT is
+    // all-integer — (x·c − s)²·(c−1) > 9·c·(c·ss − s²) is z² > 3²
+    // cleared of every division — so the flag is exact in any engine;
+    // the z value itself is reported through the decimal armor (sqrt
+    // is correctly-rounded IEEE, inputs are exact integer-derived
+    // doubles). Zero-variance windows yield z = NULL, never a NaN.
+    // One O(types·hours) agg; the window runs on the aggregated
+    // control-plane table, never the raw stream.
+    "events_rate_anomaly" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-24, -1)
+      val withStats = hourly
+        .withColumn("c", count(lit(1)).over(w))
+        .withColumn("s", sum(col("n")).over(w))
+        .withColumn("ss", sum(col("n") * col("n")).over(w))
+        .where(col("c") >= 8)
+      val varInt = col("c") * col("ss") - col("s") * col("s")
+      val dev = col("n") * col("c") - col("s")
+      withStats
+        .withColumn("is_anomaly",
+          dev * dev * (col("c") - 1) > lit(9) * col("c") * varInt)
+        .withColumn("z",
+          when(varInt === 0, lit(null).cast(DecimalType(18, 6)))
+            .otherwise(
+              ((col("n").cast("double") - col("s").cast("double") / col("c").cast("double")) /
+                sqrt((col("ss").cast("double") - col("s").cast("double") * col("s").cast("double") / col("c").cast("double")) /
+                  (col("c") - 1).cast("double")))
+                .cast(DecimalType(18, 6))))
+        .select(col("event_type"), col("h"), col("n"), col("c"),
+          col("z"), col("is_anomaly"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -185,6 +223,24 @@ object EventsQueries {
          |CAST(datediff('day', f.cohort_day, d.d) AS INTEGER) AS day_offset,
          |COUNT(*) AS n_users
          |FROM d JOIN f ON d.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+
+    // identical integer verdict + armored z over the same window frame
+    "events_rate_anomaly" ->
+      s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+         |COUNT(*) AS n FROM $oEvents GROUP BY 1, 2),
+         |st AS (SELECT event_type, h, n,
+         |CAST(COUNT(*) OVER w AS BIGINT) AS c,
+         |CAST(SUM(n) OVER w AS BIGINT) AS s,
+         |CAST(SUM(n * n) OVER w AS BIGINT) AS ss
+         |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h
+         |ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, h, n, c,
+         |CASE WHEN c * ss - s * s = 0 THEN NULL
+         |ELSE CAST((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) /
+         |sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) /
+         |CAST(c - 1 AS DOUBLE)) AS DECIMAL(18,6)) END AS z,
+         |(n * c - s) * (n * c - s) * (c - 1) > 9 * c * (c * ss - s * s) AS is_anomaly
+         |FROM st WHERE c >= 8""".stripMargin,
 
     // textbook non-equi form — DuckDB's IEJoin handles it; result
     // identical to the bucketed equi-join + residual plan

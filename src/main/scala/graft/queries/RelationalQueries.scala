@@ -126,10 +126,14 @@ object RelationalQueries {
           col("n_regionkey") === col("r_regionkey"))
       val ord = Tables.orders(s, dir)
         .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      // customer/supplier carry NO broadcast hint: they broadcast at
+      // these SFs by size estimate, and at a scale where they outgrow
+      // the threshold AQE falls back to the co-partitioned shuffle —
+      // the correct plan then. nation⋈region is always dim-tiny.
       Tables.lineitem(s, dir)
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, dir)),
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir),
           col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))

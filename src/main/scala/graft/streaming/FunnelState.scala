@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.streaming._
+
+/** Streaming staged-conversion funnel — the batch `events_funnel`
+  * state machine (EventsQueries.scala) held per user in the state
+  * store, advancing as events arrive: first view anchors, first click
+  * in (t1, t1+W] converts, first purchase in (t2, t2+W] completes.
+  *
+  * Ordering contract: the fold is ORDER-SENSITIVE (a funnel is), so
+  * each micro-batch's rows are sorted by (event time, type) before
+  * folding, and micro-batches are assumed event-time-ordered per user
+  * — the normal shape of an ingest stream. Under that contract the
+  * stream output is row-identical to the batch fold on the same
+  * events (FunnelStateSpec proves it against the oracle-checked batch
+  * catalog query at sf0.001). Out-of-order streams are the
+  * watermark/seek-back machinery's job (StreamingAsOf), not a funnel
+  * re-derivation: a LATE view cannot retract an anchored funnel
+  * without replay.
+  *
+  * State is three longs per user (O(1)); the shuffle moves raw events
+  * once, keyed by user — the same single-exchange shape as the batch
+  * plan.
+  */
+object FunnelState {
+
+  /** (t1, t2, t3) in µs; -1 = unset. */
+  type St = (Long, Long, Long)
+  val empty: St = (-1L, -1L, -1L)
+
+  /** One event through the staged state machine — the literal batch
+    * fold rules (strict >, inclusive window bound). */
+  def step(st: St, tsu: Long, ty: String, w: Long): St = {
+    val (t1, t2, t3) = st
+    if (t1 < 0 && ty == "view") (tsu, t2, t3)
+    else if (t1 >= 0 && t2 < 0 && ty == "click" && tsu > t1 && tsu <= t1 + w)
+      (t1, tsu, t3)
+    else if (t2 >= 0 && t3 < 0 && ty == "purchase" && tsu > t2 && tsu <= t2 + w)
+      (t1, t2, tsu)
+    else st
+  }
+
+  def stage(st: St): Int =
+    if (st._3 >= 0) 3 else if (st._2 >= 0) 2 else if (st._1 >= 0) 1 else 0
+
+  class Proc(w: Long, stEnc: Encoder[St])
+    extends StatefulProcessor[Long, (Long, Long, String), (Long, Long, Long, Long, Int)] {
+
+    @transient private var state: ValueState[St] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[St]("funnel", stEnc, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, String)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Int)] = {
+      val start = if (state.exists()) state.get() else empty
+      // micro-batch iterator order is unspecified — impose event-time
+      // order (ties by type) before the order-sensitive fold
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      val next = sorted.foldLeft(start)((st, r) => step(st, r._2, r._3, w))
+      state.update(next)
+      Iterator.single((key, next._1, next._2, next._3, stage(next)))
+    }
+  }
+
+  /** Per-user funnel over a (user_id, tsu, event_type) stream (or
+    * batch frame — same fold, mapGroups). Emits the updated
+    * (user_id, t1, t2, t3, stage) per user per micro-batch. */
+  def stages(
+      ds: Dataset[(Long, Long, String)],
+      windowUs: Long)(implicit spark: SparkSession): Dataset[(Long, Long, Long, Long, Int)] = {
+    import spark.implicits._
+    val grouped = ds.groupByKey(_._1)
+    if (ds.isStreaming)
+      grouped.transformWithState(
+        new Proc(windowUs, implicitly[Encoder[St]]),
+        TimeMode.None(), OutputMode.Update())
+    else
+      grouped.mapGroups { (k, it) =>
+        val st = it.toArray.sortBy(r => (r._2, r._3))
+          .foldLeft(empty)((s, r) => step(s, r._2, r._3, windowUs))
+        (k, st._1, st._2, st._3, stage(st))
+      }
+  }
+}

@@ -338,6 +338,12 @@ object ExplainAudit {
       "synth+decode+hash is partition-local; ONE agg on the hash key") { p =>
       count(p, "Exchange") == 1 && !p.contains("Join")
     }
+    audit("events_rate_anomaly",
+      "window stats run on the aggregated hourly table, never the raw " +
+        "stream; one raw-event shuffle") { p =>
+      count(p, "Window") >= 1 && !p.contains("Join") &&
+        count(p, "Exchange") <= 2
+    }
     audit("q3_shipping_priority",
       "date/segment filters pushed to the scans; dim broadcast; " +
         "top-10 is TakeOrderedAndProject, never a global sort") { p =>

@@ -74,8 +74,9 @@ object ScaleRatios {
       "events_funnel", "events_retention", "events_sessionize",
       "sketch_theta_intersection",
       // r9 sixth batch: bucketed range join, image aHash dedup,
-      // k-NN-graph PageRank
-      "j_range_bucketed", "dedup_image_ahash", "sim_graph_pagerank")
+      // k-NN-graph PageRank, rate anomaly, TPC-H star joins
+      "j_range_bucketed", "dedup_image_ahash", "sim_graph_pagerank",
+      "events_rate_anomaly", "q3_shipping_priority", "q5_local_supplier")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream funnel ≡ batch funnel: the per-user state machine fed
+  * event-time-ordered micro-batches lands every user on the same
+  * (t1, t2, t3, stage) as the oracle-checked batch catalog query. */
+class FunnelStateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val W = 86400L * 1000000L // the batch query's 24 h window
+
+  test("step follows the batch rules on the adversarial edges") {
+    val t0 = 1000L
+    // tie click never advances; later click does
+    var st = FunnelState.step(FunnelState.empty, t0, "view", W)
+    assert(FunnelState.step(st, t0, "click", W) == st)
+    st = FunnelState.step(st, t0 + 1, "click", W)
+    assert(FunnelState.stage(st) == 2)
+    // purchase at exactly t2 + W converts (inclusive bound)
+    val done = FunnelState.step(st, t0 + 1 + W, "purchase", W)
+    assert(FunnelState.stage(done) == 3)
+    // purchase one past the bound does not
+    assert(FunnelState.step(st, t0 + 2 + W, "purchase", W) == st)
+    // pre-view events never count
+    assert(FunnelState.step(FunnelState.empty, t0, "purchase", W) == FunnelState.empty)
+  }
+
+  test("stream across event-time-ordered micro-batches equals the batch catalog query") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.EventsQueries.queries("events_funnel")(spark, dir)
+      .select(col("user_id"),
+        coalesce(unix_micros(col("t_view")), lit(-1L)),
+        coalesce(unix_micros(col("t_click")), lit(-1L)),
+        coalesce(unix_micros(col("t_purchase")), lit(-1L)),
+        col("stage"))
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // the same events, globally ordered by time — three micro-batches
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_type"))
+      .orderBy(col("tsu"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Long, String)]
+    val q = FunnelState.stages(src.toDS(), W)
+      .toDF("user_id", "t1", "t2", "t3", "stage")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_stream").start()
+    val streamed =
+      try {
+        val third = rows.length / 3
+        src.addData(rows.take(third).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+        // update mode: the LAST row per user is the final state
+        spark.table("funnel_stream")
+          .withColumn("rn", monotonically_increasing_id())
+          .as[(Long, Long, Long, Long, Int, Long)].collect()
+          .groupBy(_._1)
+          .map { case (u, rs) =>
+            val last = rs.maxBy(_._6)
+            u -> ((u, last._2, last._3, last._4, last._5))
+          }
+      } finally q.stop()
+
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, st) =>
+      assert(st == batch(u), s"user $u: stream $st vs batch ${batch(u)}")
+    }
+  }
+}
