@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{WordGrams, WordShingles}
+import graft.functions.{WordGrams, WordShingles, ZlibLen}
 
 /** SQL surface for the engine's custom Catalyst pieces: registers
   * `word_shingles(text[, n])` so plain `spark.sql` queries reach the
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.wordShinglesFn)
     e.injectFunction(GraftExtensions.wordGramsFn)
+    e.injectFunction(GraftExtensions.zlibLenFn)
     e.injectFunction(GraftExtensions.asOfMarkerFn)
     e.injectFunction(GraftExtensions.asOfStrictMarkerFn)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
@@ -55,6 +56,18 @@ object GraftExtensions {
     FunctionIdentifier("word_grams"),
     new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
     buildGrams)
+
+  private def buildZlib(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(c) => ZlibLen(c)
+    case other =>
+      throw new IllegalArgumentException(
+        s"zlib_len(text) expects 1 arg, got ${other.length}")
+  }
+
+  val zlibLenFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zlib_len"),
+    new ExpressionInfo(classOf[ZlibLen].getName, "zlib_len"),
+    buildZlib)
 
   /** The ASOF match-condition marker `__graft_asof(greater, lesser)` —
     * emitted only by [[graft.plans.AsOfSqlParser]]'s rewrite, consumed

@@ -31,6 +31,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .as[Seq[String]].collect().head.isEmpty)
   }
 
+  test("zlib_len is callable from SQL and equals the Column API") {
+    import org.apache.spark.sql.functions._
+    // injected via GraftExtensions at session build
+    val viaSql = spark.sql("SELECT zlib_len('aaaaaaaaaaaaaaaaaaaa') AS z")
+      .collect().head.getInt(0)
+    assert(viaSql > 0 && viaSql < 20, "repetition compresses below raw length")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("docs_zlib")
+    val sqlSide = spark.sql("SELECT doc_id, zlib_len(text) AS z FROM docs_zlib")
+    val colSide = docs.select(col("doc_id"),
+      graft.functions.functions.zlib_len(col("text")).as("z"))
+    assert(sqlSide.except(colSide).isEmpty && colSide.except(sqlSide).isEmpty)
+  }
+
   test("SQL expression equals the Column API on real documents") {
     import org.apache.spark.sql.functions._
     GraftExtensions.register(spark)
