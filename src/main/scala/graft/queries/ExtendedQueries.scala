@@ -979,6 +979,18 @@ object ExtendedQueries {
           col("n"), col("sum_qty"))
     }),
 
+    // Explicit GROUPING SETS (the general form rollup/cube sugar over)
+    // through the SQL surface — the three marginal tables in ONE scan
+    // + one shuffle, where three separate GROUP BYs would scan thrice.
+    "a_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("li_gs")
+      s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
     // Exact median (interpolated percentile over integral doubles —
     // midpoint arithmetic exact in both engines).
     "a_median" -> ((s, dir) => {
@@ -1511,6 +1523,13 @@ object ExtendedQueries {
         |COALESCE(l_linestatus, 'ALL') AS l_linestatus,
         |COUNT(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "a_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
     "a_median" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -324,6 +324,31 @@ object SamplingQueries {
           col("r_sem"), col("rrf"))
     }),
 
+    // Hard-negative mining for contrastive training (the batch-mining
+    // step of every embedding-model pipeline: for each anchor, the
+    // most similar vectors of a DIFFERENT class are the negatives
+    // worth training on). Same broadcast-scan shape as sim_cosine_topk
+    // with the label inequality folded into the join — the corpus
+    // streams through once; swap the IVF-PQ index at scale, the
+    // mining algebra is unchanged.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val q = emb.where(col("vec_id") < HY_NQ)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("e").as("qe"), col("nrm").as("qn"))
+      emb.join(broadcast(q),
+          col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+        .withColumn("cos", dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+        .where(col("rank") <= HY_TOPK)
+        .select(col("qid"), col("qlabel"), col("rank"),
+          col("vec_id").as("neg_id"), col("label").as("neg_label"), col("cos"))
+    }),
+
     // KMV/theta distinct-intersection sketch (Beyer et al. 2007; the
     // theta-sketch set algebra of Dasgupta et al. 2016): estimate
     // |users who click ∩ users who purchase| from the k smallest
@@ -465,6 +490,21 @@ object SamplingQueries {
          |(SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM f) t
          |WHERE rank <= $HY_TOPK""".stripMargin,
+
+    "sim_hard_negatives" ->
+      s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe, nrm AS qn
+         |FROM emb WHERE vec_id < $HY_NQ),
+         |scored AS (SELECT qid, qlabel, vec_id, label,
+         |list_dot_product(qe, e) / (qn * nrm) AS cos
+         |FROM emb JOIN q ON vec_id <> qid AND label <> qlabel)
+         |SELECT qid, qlabel,
+         |CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+         |AS INTEGER) AS rank,
+         |vec_id AS neg_id, label AS neg_label, cos
+         |FROM scored QUALIFY rank <= $HY_TOPK""".stripMargin,
 
     "sketch_theta_intersection" ->
       s"""WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events

@@ -338,6 +338,17 @@ object ExplainAudit {
       "synth+decode+hash is partition-local; ONE agg on the hash key") { p =>
       count(p, "Exchange") == 1 && !p.contains("Join")
     }
+    audit("sim_hard_negatives",
+      "anchors broadcast; the corpus streams through one scan — " +
+        "no shuffle join, no cartesian") { p =>
+      !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+    }
+    audit("a_grouping_sets",
+      "three marginal tables from ONE scan: a single Expand + one " +
+        "aggregate exchange") { p =>
+      count(p, "Expand") == 1 && count(p, "Exchange") == 1 &&
+        count(p, "Scan parquet") <= 1
+    }
     audit("events_rate_anomaly",
       "window stats run on the aggregated hourly table, never the raw " +
         "stream; one raw-event shuffle") { p =>
