@@ -173,4 +173,7 @@ object functions {
 
   def zlib_len(c: Column): Column =
     ColumnBridge.column(ZlibLen(ColumnBridge.expression(c)))
+
+  def ascii_counts(c: Column): Column =
+    ColumnBridge.column(AsciiCounts(ColumnBridge.expression(c)))
 }

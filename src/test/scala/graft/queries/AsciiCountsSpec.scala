@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.functions.ascii_counts
+import graft.streaming.TestSpark
+
+/** The fused one-pass counter must agree exactly with the 27×
+  * length(replace(...)) form it replaced — including on multibyte
+  * text, where ASCII targets must come from the byte scan and the
+  * total from codepoints. */
+class AsciiCountsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ALPHABET: Seq[Char] = ('a' to 'z') :+ ' '
+
+  test("fused counts equal the replace form on multilingual text") {
+    val samples = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""),
+      (3L, "aaaa bbbb    cccc"),
+      (4L, "数据 处理 引擎 zh text with ascii aussi"),   // multibyte CJK
+      (5L, "ÄÖÜ über straße déjà vu naïve"),            // accented latin
+      (6L, "MiXeD CaSe STAYS uncounted except lower"))
+    val df = samples.toDF("id", "text")
+    val viaExpr = df.select(col("id"), ascii_counts(col("text")).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    samples.foreach { case (id, text) =>
+      val expected = ALPHABET.map(ch => text.count(_ == ch).toLong) :+
+        text.codePointCount(0, text.length).toLong
+      assert(viaExpr(id) == expected, s"id $id")
+    }
+    // the replace-form equivalence on the real corpus
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val replaceForm = ALPHABET.zipWithIndex.foldLeft(
+      docs.withColumn("n", length(col("text")).cast("long"))) { case (d, (c, i)) =>
+      d.withColumn(s"c_$i", (col("n") - expr(s"length(replace(text, '$c', ''))")).cast("long"))
+    }.select(col("doc_id"),
+      array((ALPHABET.indices.map(i => col(s"c_$i")) :+ col("n")): _*).as("c"))
+    val fused = docs.select(col("doc_id"), ascii_counts(col("text")).as("c"))
+    assert(fused.except(replaceForm).isEmpty && replaceForm.except(fused).isEmpty)
+  }
+}
