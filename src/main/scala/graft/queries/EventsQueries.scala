@@ -154,6 +154,27 @@ object EventsQueries {
           col("n_in_session"))
     }),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences — the user-behavior model product analytics fits
+    // (where do users go after a view?). Each user's time-ordered
+    // event chain yields (from, to) bigrams via lag; counts aggregate
+    // globally; the row-conditional probability divides two exact
+    // integers (identical double in both engines) and rides the
+    // decimal armor. ONE shuffle (user window) + one O(types²) agg.
+    "events_markov_transitions" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val bigrams = Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = bigrams.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      bigrams.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double"))
+            .cast(DecimalType(18, 6)).as("p"))
+    }),
+
     // Rate anomaly detection — the ops-analytics z-score monitor: per
     // (event_type, hour), how unusual is this hour's event count
     // against the trailing 24 closed hours? The anomaly VERDICT is
@@ -168,28 +189,37 @@ object EventsQueries {
       val hourly = Tables.events(s, dir)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-        .rowsBetween(-24, -1)
-      val withStats = hourly
-        .withColumn("c", count(lit(1)).over(w))
-        .withColumn("s", sum(col("n")).over(w))
-        .withColumn("ss", sum(col("n") * col("n")).over(w))
-        .where(col("c") >= 8)
-      val varInt = col("c") * col("ss") - col("s") * col("s")
-      val dev = col("n") * col("c") - col("s")
-      withStats
-        .withColumn("is_anomaly",
-          dev * dev * (col("c") - 1) > lit(9) * col("c") * varInt)
-        .withColumn("z",
-          when(varInt === 0, lit(null).cast(DecimalType(18, 6)))
-            .otherwise(
-              ((col("n").cast("double") - col("s").cast("double") / col("c").cast("double")) /
-                sqrt((col("ss").cast("double") - col("s").cast("double") * col("s").cast("double") / col("c").cast("double")) /
-                  (col("c") - 1).cast("double")))
-                .cast(DecimalType(18, 6))))
-        .select(col("event_type"), col("h"), col("n"), col("c"),
-          col("z"), col("is_anomaly"))
+      anomalyBody(hourly)
     }))
+
+  /** The trailing-24h z-score algebra over an (event_type, h, n)
+    * hourly-count frame — factored so the batch catalog query and the
+    * streaming rate monitor (graft.streaming.RateMonitor, which
+    * maintains the hourly table incrementally in the state store)
+    * flag with IDENTICAL arithmetic. */
+  private[graft] def anomalyBody(hourly: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    val withStats = hourly
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .where(col("c") >= 8)
+    val varInt = col("c") * col("ss") - col("s") * col("s")
+    val dev = col("n") * col("c") - col("s")
+    withStats
+      .withColumn("is_anomaly",
+        dev * dev * (col("c") - 1) > lit(9) * col("c") * varInt)
+      .withColumn("z",
+        when(varInt === 0, lit(null).cast(DecimalType(18, 6)))
+          .otherwise(
+            ((col("n").cast("double") - col("s").cast("double") / col("c").cast("double")) /
+              sqrt((col("ss").cast("double") - col("s").cast("double") * col("s").cast("double") / col("c").cast("double")) /
+                (col("c") - 1).cast("double")))
+              .cast(DecimalType(18, 6))))
+      .select(col("event_type"), col("h"), col("n"), col("c"),
+        col("z"), col("is_anomaly"))
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -223,6 +253,17 @@ object EventsQueries {
          |CAST(datediff('day', f.cohort_day, d.d) AS INTEGER) AS day_offset,
          |COUNT(*) AS n_users
          |FROM d JOIN f ON d.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+
+    "events_markov_transitions" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts, event_type FROM $oEvents),
+         |b AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+         |ORDER BY ts, event_id) AS from_type, event_type AS to_type FROM e),
+         |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM b
+         |WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+         |SELECT c.from_type, c.to_type, c.n,
+         |CAST(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS DECIMAL(18,6)) AS p
+         |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin,
 
     // identical integer verdict + armored z over the same window frame
     "events_rate_anomaly" ->

@@ -143,6 +143,49 @@ object RelationalQueries {
         .select(col("n_name"), col("rev0").cast("double").as("revenue"))
     }),
 
+    // TPC-H Q18 shape (large-volume orders): the HAVING-driven
+    // semi-join — aggregate lineitem once, keep the ~1% of orders
+    // whose total quantity clears the threshold, then enrich. The
+    // qualifying set is tiny BY CONSTRUCTION (the point of the
+    // query), so it broadcasts into the orders join instead of
+    // shuffling the fact table against it.
+    "q18_large_orders" -> ((s, dir) => {
+      val qty = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 250.0)
+      Tables.orders(s, dir)
+        .join(broadcast(qty), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+    }),
+
+    // RFM segmentation (recency / frequency / monetary — the classic
+    // customer-value cut): per user over purchase events, days since
+    // last purchase, purchase count, and 2-decimal money total; each
+    // dimension scored 1-3 by fixed thresholds, concatenated into the
+    // segment code. ONE shuffle (user agg); scoring is a projection.
+    "events_rfm" -> ((s, dir) => {
+      val asOf = lit("2024-02-01").cast("timestamp")
+      val per = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("frequency"),
+          sum(col("value").cast(DecimalType(18, 2))).as("monetary0"))
+        .withColumn("recency_days", datediff(asOf, col("last_ts")))
+        .withColumn("monetary", col("monetary0").cast("double"))
+      per
+        .withColumn("r_score",
+          when(col("recency_days") <= 2, 3).when(col("recency_days") <= 7, 2).otherwise(1))
+        .withColumn("f_score",
+          when(col("frequency") >= 20, 3).when(col("frequency") >= 10, 2).otherwise(1))
+        .withColumn("m_score",
+          when(col("monetary") >= 1000.0, 3).when(col("monetary") >= 300.0, 2).otherwise(1))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+    }),
+
     // J1 as-of join (reference cookbook.rst:289-356): each click matches the
     // latest purchase by the same user at-or-before its timestamp.
     "j1_asof_join" -> ((s, dir) => {
@@ -395,6 +438,27 @@ object RelationalQueries {
          |AND l_shipdate > TIMESTAMP '1998-01-01'
          |GROUP BY 1, 3, 4
          |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH qty AS (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250)
+        |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders JOIN qty ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "events_rfm" ->
+      s"""WITH p AS (SELECT user_id, MAX(ts) AS last_ts,
+         |COUNT(*) AS frequency,
+         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+         |FROM $oEvents WHERE event_type = 'purchase' GROUP BY 1),
+         |sc AS (SELECT user_id,
+         |CAST(datediff('day', last_ts, TIMESTAMP '2024-02-01') AS INTEGER) AS recency_days,
+         |frequency, monetary FROM p)
+         |SELECT user_id, recency_days, frequency, monetary,
+         |CAST(CASE WHEN recency_days <= 2 THEN 3 WHEN recency_days <= 7 THEN 2 ELSE 1 END AS VARCHAR) ||
+         |CAST(CASE WHEN frequency >= 20 THEN 3 WHEN frequency >= 10 THEN 2 ELSE 1 END AS VARCHAR) ||
+         |CAST(CASE WHEN monetary >= 1000.0 THEN 3 WHEN monetary >= 300.0 THEN 2 ELSE 1 END AS VARCHAR)
+         |AS segment FROM sc""".stripMargin,
 
     "q5_local_supplier" ->
       s"""SELECT n_name,

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming leg of the rate-anomaly monitor: the (event_type, hour)
+  * count table maintained incrementally in the state store — counts
+  * are the textbook mergeable summary, so [[Fold.applyPartial]]
+  * pre-combines per partition and the shuffle moves O(types·hours)
+  * partials, never raw events. The z-score battery itself is the
+  * FACTORED batch algebra ([[graft.queries.EventsQueries.anomalyBody]])
+  * applied over the streamed table — one algebra, two ingestion modes,
+  * so stream-maintained counts flag exactly like the oracle-checked
+  * batch query on the same events (RateMonitorSpec). */
+object RateMonitor {
+
+  /** Incremental hourly counts over a (event_type, ts) stream (or
+    * batch frame — same fold). Emits ((type, hourMs), count) updates. */
+  def hourlyCounts(
+      ds: Dataset[(String, Timestamp)])(
+      implicit spark: SparkSession): Dataset[((String, Long), Long)] = {
+    import spark.implicits._
+    Fold.applyPartial[(String, Long), (String, Timestamp), Long](
+      ds,
+      v => (v._1, v._2.getTime - Math.floorMod(v._2.getTime, 3600000L)),
+      0L, (b, _) => b + 1L, _ + _)
+  }
+
+  /** The batch anomaly battery over a streamed count table. */
+  def anomalies(counts: DataFrame): DataFrame =
+    graft.queries.EventsQueries.anomalyBody(
+      counts.select(col("event_type"),
+        timestamp_millis(col("hour_ms")).as("h"), col("n")))
+}

@@ -338,6 +338,12 @@ object ExplainAudit {
       "synth+decode+hash is partition-local; ONE agg on the hash key") { p =>
       count(p, "Exchange") == 1 && !p.contains("Join")
     }
+    audit("events_markov_transitions",
+      "ONE raw-event shuffle (user window); totals broadcast back " +
+        "onto the O(types squared) bigram table") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct")
+    }
     audit("sim_hard_negatives",
       "anchors broadcast; the corpus streams through one scan — " +
         "no shuffle join, no cartesian") { p =>

@@ -76,7 +76,9 @@ object ScaleRatios {
       // r9 sixth batch: bucketed range join, image aHash dedup,
       // k-NN-graph PageRank, rate anomaly, TPC-H star joins
       "j_range_bucketed", "dedup_image_ahash", "sim_graph_pagerank",
-      "events_rate_anomaly", "q3_shipping_priority", "q5_local_supplier")
+      "events_rate_anomaly", "q3_shipping_priority", "q5_local_supplier",
+      "sim_hard_negatives", "a_grouping_sets", "events_markov_transitions",
+      "q18_large_orders", "events_rfm")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
