@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.streaming._
+
+/** Streaming gap-based sessionization — the per-EVENT enrichment twin
+  * of the batch `events_sessionize` catalog query: every arriving
+  * event is stamped with its user's session sequence number (30 min
+  * gap rule, `ts − last ≥ gap` starts a new session). State is two
+  * longs per user (last event time, session counter).
+  *
+  * Ordering contract (the FunnelState discipline): rows are sorted by
+  * event time within each micro-batch before the order-sensitive
+  * fold, and micro-batches are assumed event-time-ordered per user.
+  * Under that contract the emitted session_seq is row-identical to
+  * the batch window query (SessionizeStateSpec). The session SIZE is
+  * deliberately not emitted — future events can extend an open
+  * session, so a size column is only final at session close; the
+  * batch query owns that retrospective view.
+  */
+object SessionizeState {
+
+  /** (lastTsUs, seq); (-1, 0) = no history. */
+  type St = (Long, Long)
+  val empty: St = (-1L, 0L)
+
+  def step(st: St, tsu: Long, gapUs: Long): (St, Long) = {
+    val (last, seq) = st
+    val newSeq = if (last < 0 || tsu - last >= gapUs) seq + 1 else seq
+    ((tsu, newSeq), newSeq)
+  }
+
+  class Proc(gapUs: Long, stEnc: Encoder[St])
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
+
+    @transient private var state: ValueState[St] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[St]("session", stEnc, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var st = if (state.exists()) state.get() else empty
+      // (event_id, tsu, user) sorted by event time, ties by event id
+      val out = rows.toArray.sortBy(r => (r._2, r._1)).map { r =>
+        val (next, seq) = step(st, r._2, gapUs)
+        st = next
+        (r._1, key, seq)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** Per-event session stamping over an (event_id, tsu, user_id)
+    * stream (or batch frame — same fold). Emits (event_id, user_id,
+    * session_seq) per input row. */
+  def assign(
+      ds: Dataset[(Long, Long, Long)],
+      gapUs: Long = 1800L * 1000000L)(
+      implicit spark: SparkSession): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    val grouped = ds.groupByKey(_._3)
+    if (ds.isStreaming)
+      grouped.transformWithState(
+        new Proc(gapUs, implicitly[Encoder[St]]),
+        TimeMode.None(), OutputMode.Append())
+    else
+      grouped.flatMapGroups { (k, it) =>
+        var st = empty
+        it.toArray.sortBy(r => (r._2, r._1)).map { r =>
+          val (next, seq) = step(st, r._2, gapUs)
+          st = next
+          (r._1, k, seq)
+        }.iterator
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streamed per-event session stamps ≡ the batch window query's
+  * session_seq on the same events, across micro-batch splits. */
+class SessionizeStateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("gap boundary semantics on the step function") {
+    val gap = 1800L * 1000000L
+    val (s1, q1) = SessionizeState.step(SessionizeState.empty, 1000L, gap)
+    assert(q1 == 1L)
+    val (s2, q2) = SessionizeState.step(s1, 1000L + gap - 1, gap)
+    assert(q2 == 1L, "one µs under the gap stays in-session")
+    val (_, q3) = SessionizeState.step(s2, 1000L + gap - 1 + gap, gap)
+    assert(q3 == 2L, "a gap of exactly the threshold starts a new session")
+  }
+
+  test("stream session stamps equal the batch events_sessionize query") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.EventsQueries.queries("events_sessionize")(spark, dir)
+      .select(col("event_id"), col("session_seq"))
+      .as[(Long, Long)].collect().toMap
+
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"), col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Long, Long)]
+    val q = SessionizeState.assign(src.toDS())
+      .toDF("event_id", "user_id", "session_seq")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream").start()
+    val streamed =
+      try {
+        val third = rows.length / 3
+        src.addData(rows.take(third).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+        spark.table("sess_stream")
+          .select(col("event_id"), col("session_seq"))
+          .as[(Long, Long)].collect().toMap
+      } finally q.stop()
+
+    assert(streamed.size == batch.size, "one stamp per event")
+    streamed.foreach { case (id, seq) =>
+      assert(seq == batch(id), s"event $id")
+    }
+  }
+}
