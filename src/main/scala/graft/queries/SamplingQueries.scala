@@ -330,6 +330,35 @@ object SamplingQueries {
           col("r_sem"), col("rrf"))
     }),
 
+    // Per-document TF-IDF keyterm extraction — the keyword tagger
+    // (distinct from text_bm25_topk, which ranks DOCS for a fixed
+    // query; this ranks TERMS within each doc): tf from one token
+    // agg, df from the aggregated (doc, word) table, idf =
+    // ln((N+1)/(df+1)) through the decimal armor, score = tf · idf
+    // exact-decimal, top-3 per doc by (score, word). Shuffles: tokens
+    // by (doc, word), df by word on the ALREADY-aggregated table, df
+    // broadcast back, final window partitions by doc — no pairwise
+    // joins, cost O(corpus tokens).
+    "text_tfidf_keyterms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .withColumn("idf",
+          log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0))
+            .cast(DecimalType(18, 8)))
+      tf.join(broadcast(df.select(col("word"), col("df"), col("idf"))), "word")
+        .withColumn("score", col("tf").cast(DecimalType(10, 0)) * col("idf"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("word"))))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("word"), col("tf"),
+          col("df"), col("score"))
+    }),
+
     // Hard-negative mining for contrastive training (the batch-mining
     // step of every embedding-model pipeline: for each anchor, the
     // most similar vectors of a DIFFERENT class are the negatives
@@ -496,6 +525,22 @@ object SamplingQueries {
          |(SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM f) t
          |WHERE rank <= $HY_TOPK""".stripMargin,
+
+    "text_tfidf_keyterms" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |df AS (SELECT word, COUNT(*) AS df,
+         |CAST(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(COUNT(*) AS DOUBLE) + 1.0))
+         |AS DECIMAL(18,8)) AS idf
+         |FROM tf CROSS JOIN n GROUP BY word, n_docs),
+         |scored AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         |tf.tf * df.idf AS score FROM tf JOIN df USING (word))
+         |SELECT doc_id, rank, word, tf, df, score FROM
+         |(SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |ORDER BY score DESC, word) AS INTEGER) AS rank FROM scored) t
+         |WHERE rank <= 3""".stripMargin,
 
     "sim_hard_negatives" ->
       s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
