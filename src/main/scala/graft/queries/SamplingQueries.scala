@@ -336,9 +336,11 @@ object SamplingQueries {
     // agg, df from the aggregated (doc, word) table, idf =
     // ln((N+1)/(df+1)) through the decimal armor, score = tf · idf
     // exact-decimal, top-3 per doc by (score, word). Shuffles: tokens
-    // by (doc, word), df by word on the ALREADY-aggregated table, df
-    // broadcast back, final window partitions by doc — no pairwise
-    // joins, cost O(corpus tokens).
+    // by (doc, word), df by word on the ALREADY-aggregated table, the
+    // df join UNHINTED (AQE broadcasts the small-SF vocabulary and
+    // falls back to the co-partitioned shuffle when the vocabulary
+    // outgrows it — at web scale it always does), final window
+    // partitions by doc — no pairwise joins, cost O(corpus tokens).
     "text_tfidf_keyterms" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -349,7 +351,7 @@ object SamplingQueries {
         .withColumn("idf",
           log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0))
             .cast(DecimalType(18, 8)))
-      tf.join(broadcast(df.select(col("word"), col("df"), col("idf"))), "word")
+      tf.join(df.select(col("word"), col("df"), col("idf")), "word")
         .withColumn("score", col("tf").cast(DecimalType(10, 0)) * col("idf"))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("doc_id"))
