@@ -159,8 +159,11 @@ object EventsQueries {
     // (where do users go after a view?). Each user's time-ordered
     // event chain yields (from, to) bigrams via lag; counts aggregate
     // globally; the row-conditional probability divides two exact
-    // integers (identical double in both engines) and rides the
-    // decimal armor. ONE shuffle (user window) + one O(types²) agg.
+    // integers (identical double in both engines) and is reported in
+    // integer MICRO-units via floor(x·1e6 + 0.5) — the pagerank
+    // pico-unit pattern, chosen over a DECIMAL cast whose half-tie
+    // rounding rule proved engine-version-dependent (r9 driver
+    // hash-fail). ONE shuffle (user window) + one O(types²) agg.
     "events_markov_transitions" -> ((s, dir) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val bigrams = Tables.events(s, dir)
@@ -171,8 +174,8 @@ object EventsQueries {
       val totals = bigrams.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
       bigrams.join(broadcast(totals), "from_type")
         .select(col("from_type"), col("to_type"), col("n"),
-          (col("n").cast("double") / col("tot").cast("double"))
-            .cast(DecimalType(18, 6)).as("p"))
+          floor(col("n").cast("double") / col("tot").cast("double") * lit(1e6) + lit(0.5))
+            .cast("long").as("p_micro"))
     }),
 
     // Rate anomaly detection — the ops-analytics z-score monitor: per
@@ -180,9 +183,12 @@ object EventsQueries {
     // against the trailing 24 closed hours? The anomaly VERDICT is
     // all-integer — (x·c − s)²·(c−1) > 9·c·(c·ss − s²) is z² > 3²
     // cleared of every division — so the flag is exact in any engine;
-    // the z value itself is reported through the decimal armor (sqrt
-    // is correctly-rounded IEEE, inputs are exact integer-derived
-    // doubles). Zero-variance windows yield z = NULL, never a NaN.
+    // the z value itself is reported in integer MICRO-units via
+    // floor(z·1e6 + 0.5) (sqrt is correctly-rounded IEEE, inputs are
+    // exact integer-derived doubles, and floor of a double is
+    // engine-independent where a DECIMAL cast's half-tie rule is
+    // not — r9 driver hash-fail). Zero-variance windows yield
+    // z_micro = NULL, never a NaN.
     // One O(types·hours) agg; the window runs on the aggregated
     // control-plane table, never the raw stream.
     "events_rate_anomaly" -> ((s, dir) => {
@@ -210,15 +216,15 @@ object EventsQueries {
     withStats
       .withColumn("is_anomaly",
         dev * dev * (col("c") - 1) > lit(9) * col("c") * varInt)
-      .withColumn("z",
-        when(varInt === 0, lit(null).cast(DecimalType(18, 6)))
+      .withColumn("z_micro",
+        when(varInt === 0, lit(null).cast("long"))
           .otherwise(
-            ((col("n").cast("double") - col("s").cast("double") / col("c").cast("double")) /
+            floor((col("n").cast("double") - col("s").cast("double") / col("c").cast("double")) /
               sqrt((col("ss").cast("double") - col("s").cast("double") * col("s").cast("double") / col("c").cast("double")) /
-                (col("c") - 1).cast("double")))
-              .cast(DecimalType(18, 6))))
+                (col("c") - 1).cast("double")) * lit(1e6) + lit(0.5))
+              .cast("long")))
       .select(col("event_type"), col("h"), col("n"), col("c"),
-        col("z"), col("is_anomaly"))
+        col("z_micro"), col("is_anomaly"))
   }
 
   def oracles: Map[String, String] = Map(
@@ -262,10 +268,10 @@ object EventsQueries {
          |WHERE from_type IS NOT NULL GROUP BY 1, 2),
          |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
          |SELECT c.from_type, c.to_type, c.n,
-         |CAST(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS DECIMAL(18,6)) AS p
+         |CAST(FLOOR(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS p_micro
          |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin,
 
-    // identical integer verdict + armored z over the same window frame
+    // identical integer verdict + micro-unit z over the same window frame
     "events_rate_anomaly" ->
       s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
          |COUNT(*) AS n FROM $oEvents GROUP BY 1, 2),
@@ -277,9 +283,9 @@ object EventsQueries {
          |ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
          |SELECT event_type, h, n, c,
          |CASE WHEN c * ss - s * s = 0 THEN NULL
-         |ELSE CAST((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) /
+         |ELSE CAST(FLOOR((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) /
          |sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) /
-         |CAST(c - 1 AS DOUBLE)) AS DECIMAL(18,6)) END AS z,
+         |CAST(c - 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) END AS z_micro,
          |(n * c - s) * (n * c - s) * (c - 1) > 9 * c * (c * ss - s * s) AS is_anomaly
          |FROM st WHERE c >= 8""".stripMargin,
 

@@ -171,9 +171,10 @@ object PipelineQueries {
     // contributions (both directions) between the two splits' hashed
     // token-bucket distributions (the DSIR feature space), +1
     // smoothed, over ALL B buckets including empty ones. One
-    // map-side-combined token shuffle into O(B) groups; each ln rounds
-    // through DECIMAL(18,6) (the text_lm_score rule) so both engines
-    // report identical contributions.
+    // map-side-combined token shuffle into O(B) groups; each KL
+    // contribution is floored to integer NANO-units (the pagerank
+    // pattern — r9's DECIMAL(18,6) cast was a driver hash-fail) so
+    // both engines report identical contributions.
     "curate_split_kl" -> ((s, dir) => {
       val b = KL_B
       val tok = Tables.documents(s, dir)
@@ -200,14 +201,14 @@ object PipelineQueries {
           (col("c_train") + 1L).cast("double") / (col("nt") + b).cast("double"))
         .withColumn("p_valid",
           (col("c_valid") + 1L).cast("double") / (col("nv") + b).cast("double"))
-        .withColumn("kl_pq",
-          (col("p_train") * (log(col("p_train")) - log(col("p_valid"))))
-            .cast(DecimalType(18, 6)))
-        .withColumn("kl_qp",
-          (col("p_valid") * (log(col("p_valid")) - log(col("p_train"))))
-            .cast(DecimalType(18, 6)))
+        .withColumn("kl_pq_nano",
+          floor(col("p_train") * (log(col("p_train")) - log(col("p_valid")))
+            * lit(1e9) + lit(0.5)).cast("long"))
+        .withColumn("kl_qp_nano",
+          floor(col("p_valid") * (log(col("p_valid")) - log(col("p_train")))
+            * lit(1e9) + lit(0.5)).cast("long"))
         .select(col("bkt"), col("c_train"), col("c_valid"),
-          col("p_train"), col("p_valid"), col("kl_pq"), col("kl_qp"))
+          col("p_train"), col("p_valid"), col("kl_pq_nano"), col("kl_qp_nano"))
     }),
 
     // Benchmark decontamination in embedding space (the GPT-3
@@ -362,7 +363,7 @@ object PipelineQueries {
          |FROM r2 CROSS JOIN brk""".stripMargin,
 
     // same md5 split, same hashed buckets, same +1 smoothing, same
-    // DECIMAL(18,6) rounding of each KL contribution
+    // nano-unit flooring of each KL contribution
     "curate_split_kl" ->
       s"""WITH tok AS (SELECT
          |('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < $TRAIN_PCT AS is_train,
@@ -378,12 +379,12 @@ object PipelineQueries {
          |SELECT bkt, c_train, c_valid,
          |CAST(c_train + 1 AS DOUBLE) / CAST(nt + $KL_B AS DOUBLE) AS p_train,
          |CAST(c_valid + 1 AS DOUBLE) / CAST(nv + $KL_B AS DOUBLE) AS p_valid,
-         |CAST((CAST(c_train + 1 AS DOUBLE) / CAST(nt + $KL_B AS DOUBLE)) *
+         |CAST(FLOOR((CAST(c_train + 1 AS DOUBLE) / CAST(nt + $KL_B AS DOUBLE)) *
          |  (ln(CAST(c_train + 1 AS DOUBLE) / CAST(nt + $KL_B AS DOUBLE)) -
-         |   ln(CAST(c_valid + 1 AS DOUBLE) / CAST(nv + $KL_B AS DOUBLE))) AS DECIMAL(18,6)) AS kl_pq,
-         |CAST((CAST(c_valid + 1 AS DOUBLE) / CAST(nv + $KL_B AS DOUBLE)) *
+         |   ln(CAST(c_valid + 1 AS DOUBLE) / CAST(nv + $KL_B AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) AS kl_pq_nano,
+         |CAST(FLOOR((CAST(c_valid + 1 AS DOUBLE) / CAST(nv + $KL_B AS DOUBLE)) *
          |  (ln(CAST(c_valid + 1 AS DOUBLE) / CAST(nv + $KL_B AS DOUBLE)) -
-         |   ln(CAST(c_train + 1 AS DOUBLE) / CAST(nt + $KL_B AS DOUBLE))) AS DECIMAL(18,6)) AS kl_qp
+         |   ln(CAST(c_train + 1 AS DOUBLE) / CAST(nt + $KL_B AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) AS kl_qp_nano
          |FROM fb CROSS JOIN tot""".stripMargin,
 
     // same planted near-copies, same cosine floor, same top-1 rule

@@ -123,7 +123,10 @@ object SamplingQueries {
     * corpus at sf0.1 and 30×; AsciiCountsSpec pins count-equality
     * against the replace form, multibyte included). The entropy terms and their fixed summation order are
     * unchanged, so the oracle — which still computes the replace way —
-    * stays bit-identical. */
+    * stays bit-identical. Each -p·ln(p)/ln(2) term is floored to
+    * integer MICRO-bits (floor(x·1e6 + 0.5), the pagerank pattern)
+    * and the terms sum as exact longs — a per-term DECIMAL cast was
+    * r9's driver hash-fail (engine-version-dependent half-tie rule). */
   private[graft] def charEntropyBody(in: DataFrame): DataFrame = {
     val withCounts = in
       .withColumn("cnts", graft.functions.functions.ascii_counts(col("text")))
@@ -132,16 +135,16 @@ object SamplingQueries {
     val ln2 = lit(0.6931471805599453)
     def term(cnt: Column): Column = {
       val p = cnt.cast("double") / col("n").cast("double")
-      when(cnt > 0, (-(p) * log(p) / ln2).cast(DecimalType(18, 6)))
-        .otherwise(lit(0).cast(DecimalType(18, 6)))
+      when(cnt > 0, floor(-(p) * log(p) / ln2 * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L))
     }
     val allTerms =
       ALPHABET.indices.map(i => term(element_at(col("cnts"), i + 1))) :+ term(col("other"))
     withCounts
       .withColumn("other", col("n") - known)
-      .withColumn("entropy_bits", allTerms.reduce(_ + _))
+      .withColumn("entropy_micro_bits", allTerms.reduce(_ + _))
       .select(col("doc_id"), col("n").as("n_chars_total"),
-        col("other").as("n_other"), col("entropy_bits"))
+        col("other").as("n_other"), col("entropy_micro_bits"))
   }
 
   /** URL filter battery over a (doc_id, source) frame. */
@@ -214,7 +217,10 @@ object SamplingQueries {
     // oracle-exact operating point; the 100 TB swap is
     // approx_percentile with identical plan shape), broadcast back
     // onto the corpus. The clip itself is least/greatest on the raw
-    // values — no arithmetic, so float parity is structural.
+    // values — no arithmetic — and the clipped value is reported in
+    // integer MICRO-units via floor(x·1e6 + 0.5) (the pagerank
+    // pattern; the interpolated-percentile double was r9's driver
+    // hash-fail when routed through a DECIMAL cast).
     "curate_winsorize" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pcts = docs.groupBy(col("lang")).agg(
@@ -222,8 +228,8 @@ object SamplingQueries {
         expr(s"percentile(n_chars, ${W_HI})").as("p_hi"))
       docs.join(broadcast(pcts), "lang")
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          least(greatest(col("n_chars").cast("double"), col("p_lo")), col("p_hi"))
-            .cast(DecimalType(18, 6)).as("n_chars_wins"),
+          floor(least(greatest(col("n_chars").cast("double"), col("p_lo")), col("p_hi"))
+            * lit(1e6) + lit(0.5)).cast("long").as("wins_micro"),
           (col("n_chars").cast("double") < col("p_lo") ||
             col("n_chars").cast("double") > col("p_hi")).as("is_clipped"))
     }),
@@ -334,8 +340,10 @@ object SamplingQueries {
     // (distinct from text_bm25_topk, which ranks DOCS for a fixed
     // query; this ranks TERMS within each doc): tf from one token
     // agg, df from the aggregated (doc, word) table, idf =
-    // ln((N+1)/(df+1)) through the decimal armor, score = tf · idf
-    // exact-decimal, top-3 per doc by (score, word). Shuffles: tokens
+    // ln((N+1)/(df+1)) floored to integer NANO-units (the pagerank
+    // pattern; the r9 DECIMAL-cast idf was a driver hash-fail),
+    // score = tf · idf_nano in exact BIGINT, top-3 per doc by
+    // (score_nano, word). Shuffles: tokens
     // by (doc, word), df by word on the ALREADY-aggregated table, the
     // df join UNHINTED (AQE broadcasts the small-SF vocabulary and
     // falls back to the co-partitioned shuffle when the vocabulary
@@ -348,17 +356,17 @@ object SamplingQueries {
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(n))
-        .withColumn("idf",
-          log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0))
-            .cast(DecimalType(18, 8)))
-      tf.join(df.select(col("word"), col("df"), col("idf")), "word")
-        .withColumn("score", col("tf").cast(DecimalType(10, 0)) * col("idf"))
+        .withColumn("idf_nano",
+          floor(log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0))
+            * lit(1e9) + lit(0.5)).cast("long"))
+      tf.join(df.select(col("word"), col("df"), col("idf_nano")), "word")
+        .withColumn("score_nano", col("tf") * col("idf_nano"))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("doc_id"))
-            .orderBy(col("score").desc, col("word"))))
+            .orderBy(col("score_nano").desc, col("word"))))
         .where(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("word"), col("tf"),
-          col("df"), col("score"))
+          col("df"), col("score_nano"))
     }),
 
     // Hard-negative mining for contrastive training (the batch-mining
@@ -448,7 +456,7 @@ object SamplingQueries {
          |quantile_cont(n_chars, ${W_LO}) AS p_lo,
          |quantile_cont(n_chars, ${W_HI}) AS p_hi FROM documents GROUP BY 1)
          |SELECT d.doc_id, d.lang, d.n_chars,
-         |CAST(least(greatest(CAST(d.n_chars AS DOUBLE), p.p_lo), p.p_hi) AS DECIMAL(18,6)) AS n_chars_wins,
+         |CAST(FLOOR(least(greatest(CAST(d.n_chars AS DOUBLE), p.p_lo), p.p_hi) * 1000000.0 + 0.5) AS BIGINT) AS wins_micro,
          |(CAST(d.n_chars AS DOUBLE) < p.p_lo OR CAST(d.n_chars AS DOUBLE) > p.p_hi) AS is_clipped
          |FROM documents d JOIN p USING (lang)""".stripMargin,
 
@@ -459,12 +467,12 @@ object SamplingQueries {
       }.mkString(", ")
       val known = ALPHABET.indices.map(i => s"c_$i").mkString(" + ")
       def oTerm(cnt: String): String =
-        s"CASE WHEN $cnt > 0 THEN CAST(-(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE)) / 0.6931471805599453 AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END"
+        s"CASE WHEN $cnt > 0 THEN CAST(FLOOR(-(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE)) / 0.6931471805599453 * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END"
       val terms = (ALPHABET.indices.map(i => oTerm(s"c_$i")) :+ oTerm("other")).mkString(" + ")
       s"""WITH h AS (SELECT doc_id, length(text)::BIGINT AS n, $cnts FROM documents),
          |o AS (SELECT *, n - ($known) AS other FROM h)
          |SELECT doc_id, n AS n_chars_total, other AS n_other,
-         |$terms AS entropy_bits FROM o""".stripMargin
+         |$terms AS entropy_micro_bits FROM o""".stripMargin
     },
 
     "curate_url_filters" -> {
@@ -534,14 +542,14 @@ object SamplingQueries {
          |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
          |n AS (SELECT COUNT(*) AS n_docs FROM documents),
          |df AS (SELECT word, COUNT(*) AS df,
-         |CAST(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(COUNT(*) AS DOUBLE) + 1.0))
-         |AS DECIMAL(18,8)) AS idf
+         |CAST(FLOOR(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(COUNT(*) AS DOUBLE) + 1.0))
+         |* 1000000000.0 + 0.5) AS BIGINT) AS idf_nano
          |FROM tf CROSS JOIN n GROUP BY word, n_docs),
          |scored AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
-         |tf.tf * df.idf AS score FROM tf JOIN df USING (word))
-         |SELECT doc_id, rank, word, tf, df, score FROM
+         |tf.tf * df.idf_nano AS score_nano FROM tf JOIN df USING (word))
+         |SELECT doc_id, rank, word, tf, df, score_nano FROM
          |(SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
-         |ORDER BY score DESC, word) AS INTEGER) AS rank FROM scored) t
+         |ORDER BY score_nano DESC, word) AS INTEGER) AS rank FROM scored) t
          |WHERE rank <= 3""".stripMargin,
 
     "sim_hard_negatives" ->

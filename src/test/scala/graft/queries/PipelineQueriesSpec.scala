@@ -72,13 +72,13 @@ class PipelineQueriesSpec extends AnyFunSuite {
   test("curate_split_kl: full support, unit probability mass, KL >= 0 up to rounding") {
     val rows = PipelineQueries.queries("curate_split_kl")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-        r.getDouble(4), r.getDecimal(5).doubleValue, r.getDecimal(6).doubleValue)).toSeq
+        r.getDouble(4), r.getLong(5) / 1e9, r.getLong(6) / 1e9)).toSeq
     assert(rows.size == 256 && rows.map(_._1).toSet == (0L until 256L).toSet)
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, "p_train must sum to 1")
     assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9, "p_valid must sum to 1")
-    // each contribution rounds to 6 dp, so the sums can dip at most 256*5e-7
-    assert(rows.map(_._6).sum >= -2e-4, "KL(p||q) must be non-negative")
-    assert(rows.map(_._7).sum >= -2e-4, "KL(q||p) must be non-negative")
+    // each contribution floors to nano-units, so the sums can dip at most 256*1e-9
+    assert(rows.map(_._6).sum >= -1e-6, "KL(p||q) must be non-negative")
+    assert(rows.map(_._7).sum >= -1e-6, "KL(q||p) must be non-negative")
     assert(rows.exists(r => r._2 > 0 || r._3 > 0))
   }
 

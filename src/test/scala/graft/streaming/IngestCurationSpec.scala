@@ -411,9 +411,9 @@ class IngestCurationSpec extends AnyFunSuite {
     // "aaaa aaaa aaaa aaaa": 16 a's + 3 spaces of 19 chars -> H well
     // under 1 bit; the prose doc sits in the natural-language 3.5-4.5
     // bit band; both strictly below log2(28)
-    assert(ent(2L).getDecimal(3).doubleValue < 1.0, "repetition is low-entropy")
-    assert(ent(1L).getDecimal(3).doubleValue > 3.0 &&
-      ent(1L).getDecimal(3).doubleValue < 4.8, "prose sits in the NL band")
+    assert(ent(2L).getLong(3) / 1e6 < 1.0, "repetition is low-entropy")
+    assert(ent(1L).getLong(3) / 1e6 > 3.0 &&
+      ent(1L).getLong(3) / 1e6 < 4.8, "prose sits in the NL band")
 
     val uf = IngestCuration.urlFilters(sources.toDF("doc_id", "source"))
       .collect().map(r => r.getLong(0) -> r).toMap
