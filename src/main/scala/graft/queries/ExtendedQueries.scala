@@ -405,10 +405,16 @@ object ExtendedQueries {
     // hash on src) + one dst agg; the edge table is O(3n) — never a
     // pairwise corpus product. The iteration count is fixed, so the
     // whole plan is ITER chained joins Catalyst pipelines end-to-end.
+    // The edge set is localCheckpoint()ed before the loop (the
+    // dedup_clusters discipline): without it every power iteration —
+    // plus nodes and deg — re-runs the LSH self-join that builds the
+    // graph, multiplying the most expensive stage by ITER+3.
     "sim_graph_pagerank" -> ((s, dir) => {
       val edges = knnGraph(s, dir).select(col("src"), col("dst"))
+        .localCheckpoint()
       val nodes = edges.select(col("src").as("vec_id"))
         .union(edges.select(col("dst").as("vec_id"))).distinct()
+        .localCheckpoint()
       val nTab = nodes.agg(count(lit(1)).as("n"))
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       // ranks live in integer PICO-units (1e12 = total mass 1.0):
