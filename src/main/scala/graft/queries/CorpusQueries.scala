@@ -300,6 +300,20 @@ object CorpusQueries {
     (wterm, clsConst)
   }
 
+  /** Top-K vocabulary selector for the frozen-model ingest gate: the
+    * K highest-count training words (count desc, word asc — a
+    * deterministic global top-K, i.e. a distributed TakeOrdered, never
+    * a single-partition window). Words outside the cap score through
+    * the per-class OOV floor exactly like never-seen words, so capping
+    * degrades scores smoothly instead of failing — the fastText
+    * bucket-bound posture. Shared by the streaming gate and the spec
+    * that proves fold ≡ join-aggregate on the SAME capped model. */
+  private[graft] def nbTopWords(train: DataFrame, k: Int): DataFrame =
+    train.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(k)
+      .select(col("w"))
+
   /** Score a documents frame (doc_id, text) against a trained NB
     * model via the join-aggregate path: one token join against the
     * V×C term grid, one doc_id-keyed aggregation, OOV tokens scored

@@ -44,14 +44,25 @@ object EventsQueries {
     // exactly t1 never advances the funnel, whichever sort tiebreak
     // put it first), and the window bound is what makes the stage
     // distribution discriminate — without it every active user
-    // eventually converts.
+    // eventually converts. The per-user list is O(events/user) task
+    // memory on ONE row, so a pathological user (a bot id, a null-ish
+    // default key) is guarded LOUDLY: past graft.funnel.maxEvents the
+    // row raises instead of silently OOMing an executor — the simhash
+    // 65535-token lane-guard posture.
     "events_funnel" -> ((s, dir) => {
       val w = FUNNEL_W_US
+      val maxEv = graft.GraftConf.long("graft.funnel.maxEvents", 1000000L)
       val evs = Tables.events(s, dir)
         .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_type"))
       val nullT = lit(null).cast("long")
       val folded = evs.groupBy(col("user_id"))
-        .agg(sort_array(collect_list(struct(col("tsu"), col("event_type")))).as("seq"))
+        .agg(sort_array(collect_list(struct(col("tsu"), col("event_type")))).as("seq0"),
+          count(lit(1)).as("n_ev"))
+        .withColumn("seq", when(col("n_ev") <= maxEv, col("seq0"))
+          .otherwise(expr(s"raise_error('events_funnel: a user exceeds " +
+            s"graft.funnel.maxEvents = $maxEv events — bot/default-key " +
+            s"skew; raise the cap or pre-filter the key')")
+            .cast("array<struct<tsu:bigint,event_type:string>>")))
         .withColumn("st", aggregate(
           col("seq"),
           struct(nullT.as("t1"), nullT.as("t2"), nullT.as("t3")),

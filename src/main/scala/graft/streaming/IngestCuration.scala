@@ -169,16 +169,23 @@ object IngestCuration {
     * rule, same DECIMAL(18,6) term arithmetic) on a reference corpus,
     * then classify every arriving document in ONE stateless
     * projection: the model collects to a word → per-class-term map
-    * literal that ships in the task closure (V×C decimals — the
-    * benchShingles posture: at a vocabulary where the exact map no
-    * longer broadcasts, a feature-hashed table keeps the contract),
-    * and each doc's per-class score is a single fold over its tokens
-    * — matched tokens read the map, OOV tokens add the per-class
-    * floor. Decimal addition is exact and associative, so the
-    * sequential fold reproduces the batch query's join-aggregate
-    * score BIT-FOR-BIT (IngestCurationSpec proves it), while needing
-    * no join, no shuffle and no chained streaming aggregation —
-    * scan-bound ingest gating. Argmax = array_min over
+    * literal that ships in the task closure, and each doc's per-class
+    * score is a single fold over its tokens — matched tokens read the
+    * map, OOV tokens add the per-class floor. The collected model is
+    * BOUNDED: only the top `graft.nb.topk` training words by count
+    * (default 65536, CorpusQueries.nbTopWords) enter the literal, so
+    * the driver/plan cost is O(K·C) decimals no matter how far the
+    * corpus vocabulary grows — at web scale an uncapped V×C collect
+    * is a driver OOM (the trap the TF-IDF df join documents). Words
+    * past the cap score through the same per-class OOV floor as
+    * never-seen words (the fastText bucket-bound posture), so the
+    * gate's scores equal the batch sweep's exactly whenever V ≤ K
+    * and degrade smoothly — never structurally — beyond it
+    * (IngestCurationSpec pins both regimes). Decimal addition is
+    * exact and associative, so the sequential fold reproduces the
+    * join-aggregate score on the SAME capped model BIT-FOR-BIT,
+    * while needing no join, no shuffle and no chained streaming
+    * aggregation — scan-bound ingest gating. Argmax = array_min over
     * (−score, cls) structs: score desc, cls asc, the batch
     * tie-break. */
   /** Frozen-model DSIR importance scoring at ingest: train the bucket
@@ -210,7 +217,8 @@ object IngestCuration {
       .select(col("doc_id"), col("n_tokens"), col("logw"))
   }
 
-  def nbClassify(stream: DataFrame, trainDocs: DataFrame): DataFrame = {
+  def nbClassify(stream: DataFrame, trainDocs: DataFrame,
+      topK: Int = GraftConf.int("graft.nb.topk", 65536)): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val train = trainDocs.withColumn("cls", CorpusQueries.nbCls)
     val (wterm, clsConst) = CorpusQueries.nbTrain(train)
@@ -218,7 +226,11 @@ object IngestCuration {
     val clsNames = cls.map(_.getString(0)).toSeq
     val floors = cls.map(_.getDecimal(1))
     val priors = cls.map(_.getDecimal(2))
-    val model: Map[String, Seq[java.math.BigDecimal]] = wterm.collect()
+    // cap the frozen model BEFORE it ever reaches the driver: the
+    // top-K join runs distributed, and only ≤ K·C terms collect
+    val capped = wterm.join(
+      broadcast(CorpusQueries.nbTopWords(train, topK)), Seq("w"))
+    val model: Map[String, Seq[java.math.BigDecimal]] = capped.collect()
       .groupBy(_.getString(0))
       .map { case (w, rows) =>
         val byCls = rows.map(r => r.getString(1) -> r.getDecimal(2)).toMap

@@ -62,6 +62,19 @@ class EventsQueriesSpec extends AnyFunSuite {
     assert(out(3L).getInt(4) == 1, "pre-view purchase never counts")
     assert(out(4L).getInt(4) == 0)
     assert(out(5L).getInt(4) == 2, "the step window bound is inclusive")
+
+    // the per-user lane guard fires LOUDLY past the conf'd cap (user 2
+    // has 4 events) and never silently truncates
+    spark.conf.set("graft.funnel.maxEvents", "3")
+    try {
+      val e = intercept[Exception] {
+        EventsQueries.queries("events_funnel")(spark, dir).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("graft.funnel.maxEvents")),
+        s"guard must name the knob, got: $e")
+    } finally spark.conf.unset("graft.funnel.maxEvents")
   }
 
   test("sessionize: 30-minute gap boundary starts a new session") {

@@ -227,6 +227,53 @@ class IngestCurationSpec extends AnyFunSuite {
     assert(joined == batch)
   }
 
+  test("nb model cap bounds the frozen literal; stream ≡ batch holds on the capped model") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.CorpusQueries
+    val corpus = docs.toDF("doc_id", "text")
+    val train = corpus.withColumn("cls", CorpusQueries.nbCls)
+    val vocab = train.select(explode(split(col("text"), " "))).distinct().count()
+    val k = 3
+    assert(vocab > k, "the cap must actually bite in this fixture")
+
+    // the selector is the bound: exactly K words survive, by count
+    val top = CorpusQueries.nbTopWords(train, k).collect().map(_.getString(0))
+    assert(top.length == k)
+
+    // capped fold over a stream ≡ capped fold over the batch frame
+    val batch = IngestCuration.nbClassify(corpus, corpus, topK = k)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = IngestCuration.nbClassify(src.toDF().toDF("doc_id", "text"), corpus, topK = k)
+      .writeStream.format("memory").queryName("ingest_nb_cap").start()
+    try {
+      src.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      src.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_nb_cap")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+
+    // fold ≡ join-aggregate on the SAME capped model: out-of-cap words
+    // must ride the per-class floor identically on both paths
+    val (wterm, clsConst) = CorpusQueries.nbTrain(train)
+    val capped = wterm.join(CorpusQueries.nbTopWords(train, k), Seq("w"))
+    val joined = CorpusQueries.nbScore(corpus, capped, clsConst)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(joined == batch)
+
+    // the conf key drives the same bound (default path reads it)
+    spark.conf.set("graft.nb.topk", k.toString)
+    try {
+      val viaConf = IngestCuration.nbClassify(corpus, corpus)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(viaConf == batch)
+    } finally spark.conf.unset("graft.nb.topk")
+  }
+
   test("frozen-edges perplexity bucketing over a stream equals the batch " +
     "curate_ppl_buckets") {
     import org.apache.spark.sql.functions._
