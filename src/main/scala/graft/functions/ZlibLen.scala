@@ -49,6 +49,13 @@ case class ZlibLen(child: Expression) extends UnaryExpression {
 
 object ZlibLen {
 
+  /** The exact byte length is a function of the JRE's BUNDLED zlib:
+    * a JDK upgrade may legitimately shift it. Contract for consumers:
+    * never persist concrete zlib_len values as golden data — derive
+    * them at check time from a reference [[Deflater]] at the same
+    * LEVEL (ZlibLenSpec's posture). Determinism is guaranteed only
+    * within one JVM runtime, which is all the per-run filter signal
+    * (text_compress_ratio, rows-only driver check) requires. */
   private val LEVEL = 6
 
   private val deflaters = new ThreadLocal[Deflater] {

@@ -173,18 +173,31 @@ object SamplingQueries {
       .select(col("doc_id"), col("n_bytes"), col("zlib_bytes"), col("ratio"))
 
   /** Balanced-sample rate table learned from a reference corpus: one
-    * row per lang with (n_lang, n_min) — O(langs), broadcast-sized. */
+    * row per lang with (n_lang, n_min, keep_below) — O(langs),
+    * broadcast-sized. keep_below = (n_min·2^32 − 1) div n_lang is the
+    * keep decision u·n_lang < n_min·2^32 solved for u ONCE per lang in
+    * exact DECIMAL(38) arithmetic: the per-row form multiplies a
+    * 32-bit coin by a corpus count, and with n_lang past ~2^31 (a real
+    * 100 TB language size) the non-ANSI BIGINT product wraps silently
+    * in Spark while the oracle engine raises — the engines would
+    * diverge exactly where the exactness claim matters. The threshold
+    * never exceeds 2^32, so the per-row compare stays overflow-free
+    * 64-bit at ANY corpus size. */
   private[graft] def balancedRates(corpus: DataFrame): DataFrame = {
     val counts = corpus.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
     counts.crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
+      .withColumn("keep_below", expr(
+        s"CAST((CAST(n_min AS DECIMAL(38,0)) * $TWO32 - 1) div n_lang AS BIGINT)"))
   }
 
-  /** The balanced-sample keep decision given the rate table in scope
-    * (exact BIGINT compare on the md5 coin). */
+  /** The balanced-sample keep decision given the rate table in scope:
+    * u ≤ keep_below ⟺ u·n_lang < n_min·2^32 for integer u — the same
+    * exact md5-coin rule, precomputed into the O(langs) control
+    * plane. */
   private[graft] def balancedKeep(in: DataFrame, rates: DataFrame): DataFrame =
     in.join(broadcast(rates), "lang")
       .withColumn("u", u32("bal"))
-      .where(col("u") * col("n_lang") < col("n_min") * lit(TWO32))
+      .where(col("u") <= col("keep_below"))
       .select(col("doc_id"), col("lang"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -399,26 +412,35 @@ object SamplingQueries {
     // |users who click ∩ users who purchase| from the k smallest
     // md5 values per side — the mergeable way to intersect distinct
     // sets across 1000 executors without ever co-shuffling the raw
-    // streams. theta = min over sides of the k-th minimum (a side
-    // with < k distinct values contributes exactly, theta = 2^32);
-    // est = |below-theta hashes present on both sides| · 2^32 / theta.
-    // The exact intersection rides along for the error audit. All
-    // post-DISTINCT work is O(distinct users) then O(k).
+    // streams. The whole estimator runs in HASH space — per-side
+    // DISTINCT hash sets, theta = min over sides of the k-th smallest
+    // distinct hash (a side with < k contributes exactly, theta =
+    // 2^32), est = |below-theta hashes on both sides| · 2^32 / theta —
+    // because that is what a mergeable summary can see: the streaming
+    // twin (graft.streaming.KmvSketch) reproduces this row bit-for-bit
+    // at ANY collision rate, where a user-space n_below would diverge
+    // the moment two user_ids share an md5 prefix across sides. The
+    // exact USER-space intersection rides along as the error audit
+    // (collisions are part of the sketch's error, and the audit
+    // column is where they show). All post-DISTINCT work is
+    // O(distinct users) then O(k).
     "sketch_theta_intersection" -> ((s, dir) => {
       val k = KMV_K
       val pairs = Tables.events(s, dir)
         .where(col("event_type").isin("click", "purchase"))
         .select(col("event_type"), col("user_id")).distinct()
-      val hashed = pairs.withColumn("u",
-        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"))
+      val hashed = pairs
+        .withColumn("u",
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"))
+        .select(col("event_type"), col("u")).distinct()
       val ranked = hashed.withColumn("rn",
         row_number().over(Window.partitionBy(col("event_type"))
-          .orderBy(col("u"), col("user_id"))))
+          .orderBy(col("u"))))
       val theta = ranked.where(col("rn") === k)
         .agg(coalesce(min(col("u")), lit(TWO32)).as("theta_u"))
       val kept = hashed.crossJoin(broadcast(theta))
         .where(col("u") < col("theta_u"))
-      val nBelow = kept.groupBy(col("user_id")).agg(count(lit(1)).as("nt"))
+      val nBelow = kept.groupBy(col("u")).agg(count(lit(1)).as("nt"))
         .where(col("nt") === 2).agg(count(lit(1)).as("n_below"))
       val exact = pairs.groupBy(col("user_id")).agg(count(lit(1)).as("nt"))
         .where(col("nt") === 2).agg(count(lit(1)).as("exact_common"))
@@ -433,9 +455,11 @@ object SamplingQueries {
 
     "curate_sample_balanced" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
-         |t AS (SELECT MIN(n_lang) AS n_min FROM c)
-         |SELECT d.doc_id, d.lang FROM documents d JOIN c USING (lang) CROSS JOIN t
-         |WHERE ${oU32("bal")} * c.n_lang < t.n_min * $TWO32""".stripMargin,
+         |t AS (SELECT MIN(n_lang) AS n_min FROM c),
+         |r AS (SELECT lang, CAST((CAST(n_min AS HUGEINT) * $TWO32 - 1) // n_lang AS BIGINT)
+         |AS keep_below FROM c CROSS JOIN t)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         |WHERE ${oU32("bal")} <= r.keep_below""".stripMargin,
 
     // identical signal arithmetic to text_quality, micro-scaled
     "curate_rejection_sample" ->
@@ -570,13 +594,13 @@ object SamplingQueries {
     "sketch_theta_intersection" ->
       s"""WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events
          |WHERE event_type IN ('click', 'purchase')),
-         |h AS (SELECT event_type, user_id,
+         |h AS (SELECT DISTINCT event_type,
          |('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS u FROM pairs),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u, user_id) AS rn FROM h),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn FROM h),
          |th AS (SELECT COALESCE(MIN(u), $TWO32) AS theta_u FROM r WHERE rn = $KMV_K),
-         |kept AS (SELECT h.user_id FROM h CROSS JOIN th WHERE h.u < th.theta_u),
+         |kept AS (SELECT h.u FROM h CROSS JOIN th WHERE h.u < th.theta_u),
          |nb AS (SELECT COUNT(*) AS n_below FROM
-         |(SELECT user_id FROM kept GROUP BY user_id HAVING COUNT(*) = 2)),
+         |(SELECT u FROM kept GROUP BY u HAVING COUNT(*) = 2)),
          |ex AS (SELECT COUNT(*) AS exact_common FROM
          |(SELECT user_id FROM pairs GROUP BY user_id HAVING COUNT(*) = 2))
          |SELECT $KMV_K AS k, th.theta_u, nb.n_below,

@@ -19,7 +19,16 @@ import org.apache.spark.sql.streaming._
   * re-derivation: a LATE view cannot retract an anchored funnel
   * without replay.
   *
-  * State is three longs per user (O(1)); the shuffle moves raw events
+  * Contract violations are OBSERVABLE, never silent: the state tracks
+  * the max event time already folded, every arriving row older than
+  * that counts as late, and the cumulative `n_late` rides in each
+  * emitted row — a monitor alerting on n_late > 0 knows the stage
+  * columns for that user may disagree with a batch replay, instead of
+  * discovering it in an audit months later. Late rows are still
+  * folded (the batch rules make a stale event a no-op in most states),
+  * matching the previous behavior exactly when n_late = 0.
+  *
+  * State is five longs per user (O(1)); the shuffle moves raw events
   * once, keyed by user — the same single-exchange shape as the batch
   * plan.
   */
@@ -44,44 +53,57 @@ object FunnelState {
   def stage(st: St): Int =
     if (st._3 >= 0) 3 else if (st._2 >= 0) 2 else if (st._1 >= 0) 1 else 0
 
-  class Proc(w: Long, stEnc: Encoder[St])
-    extends StatefulProcessor[Long, (Long, Long, String), (Long, Long, Long, Long, Int)] {
+  /** Stored state: (t1, t2, t3, maxTs, nLate) — the funnel triple plus
+    * the ordering-contract monitor. */
+  type Full = (Long, Long, Long, Long, Long)
+  val emptyFull: Full = (-1L, -1L, -1L, -1L, 0L)
 
-    @transient private var state: ValueState[St] = _
+  class Proc(w: Long, stEnc: Encoder[Full])
+    extends StatefulProcessor[Long, (Long, Long, String), (Long, Long, Long, Long, Int, Long)] {
+
+    @transient private var state: ValueState[Full] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[St]("funnel", stEnc, TTLConfig.NONE)
+      state = getHandle.getValueState[Full]("funnel", stEnc, TTLConfig.NONE)
 
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, Long, String)],
-        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Int)] = {
-      val start = if (state.exists()) state.get() else empty
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Int, Long)] = {
+      val full = if (state.exists()) state.get() else emptyFull
+      val start: St = (full._1, full._2, full._3)
       // micro-batch iterator order is unspecified — impose event-time
       // order (ties by type) before the order-sensitive fold
       val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      // rows older than anything a PREVIOUS batch already folded
+      // violate the cross-batch ordering contract — count them loudly
+      val nLate = full._5 + sorted.count(_._2 < full._4)
       val next = sorted.foldLeft(start)((st, r) => step(st, r._2, r._3, w))
-      state.update(next)
-      Iterator.single((key, next._1, next._2, next._3, stage(next)))
+      val maxTs = if (sorted.isEmpty) full._4 else math.max(full._4, sorted.last._2)
+      state.update((next._1, next._2, next._3, maxTs, nLate))
+      Iterator.single((key, next._1, next._2, next._3, stage(next), nLate))
     }
   }
 
   /** Per-user funnel over a (user_id, tsu, event_type) stream (or
     * batch frame — same fold, mapGroups). Emits the updated
-    * (user_id, t1, t2, t3, stage) per user per micro-batch. */
+    * (user_id, t1, t2, t3, stage, n_late) per user per micro-batch;
+    * n_late is the cumulative count of rows that arrived older than
+    * an already-folded batch (0 under the ordering contract; the
+    * batch path is one sorted fold, so always 0 there). */
   def stages(
       ds: Dataset[(Long, Long, String)],
-      windowUs: Long)(implicit spark: SparkSession): Dataset[(Long, Long, Long, Long, Int)] = {
+      windowUs: Long)(implicit spark: SparkSession): Dataset[(Long, Long, Long, Long, Int, Long)] = {
     import spark.implicits._
     val grouped = ds.groupByKey(_._1)
     if (ds.isStreaming)
       grouped.transformWithState(
-        new Proc(windowUs, implicitly[Encoder[St]]),
+        new Proc(windowUs, implicitly[Encoder[Full]]),
         TimeMode.None(), OutputMode.Update())
     else
       grouped.mapGroups { (k, it) =>
         val st = it.toArray.sortBy(r => (r._2, r._3))
           .foldLeft(empty)((s, r) => step(s, r._2, r._3, windowUs))
-        (k, st._1, st._2, st._3, stage(st))
+        (k, st._1, st._2, st._3, stage(st), 0L)
       }
   }
 }

@@ -11,15 +11,21 @@ import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
   *
   * The intersection estimator mirrors the batch catalog query
   * (`sketch_theta_intersection`, SamplingQueries.scala) EXACTLY, and
-  * not just approximately: θ = min over sides of the k-th minimum
-  * (a side with < k distinct values contributes exactly, θ = 2^32),
-  * and every hash below θ is — by the k-smallest invariant — present
-  * in BOTH summaries whenever it is present in both streams. So the
-  * stream-built summaries reproduce the batch query's (θ, n_below,
-  * estimate) bit-for-bit on the same data (KmvSketchSpec), which is
-  * what makes a 1000-executor union-then-intersect plan safe: sketches
-  * built independently per shard/stream merge into the same answer as
-  * a global scan.
+  * not just approximately — because BOTH sides work in hash space:
+  * the batch query takes per-side DISTINCT 32-bit hash sets, θ = min
+  * over sides of the k-th smallest distinct hash (a side with < k
+  * distinct values contributes exactly, θ = 2^32), n_below = distinct
+  * hashes below θ present on both sides; the summary holds the k
+  * smallest distinct hashes, so every below-θ hash is — by the
+  * k-smallest invariant — in the summary iff it occurred on that
+  * side. Stream ≡ batch therefore holds at ANY hash-collision rate
+  * (KmvSketchSpec): a colliding pair of user_ids is one hash on both
+  * paths. Collisions surface only against the TRUE user-space
+  * intersection — that error lives in the batch query's
+  * `exact_common` audit column, not between the two engines. This is
+  * what makes a 1000-executor union-then-intersect plan safe:
+  * sketches built independently per shard/stream merge into the same
+  * answer as a global scan.
   */
 object KmvSketch {
 

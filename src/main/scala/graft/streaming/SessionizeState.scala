@@ -13,10 +13,14 @@ import org.apache.spark.sql.streaming._
   * event time within each micro-batch before the order-sensitive
   * fold, and micro-batches are assumed event-time-ordered per user.
   * Under that contract the emitted session_seq is row-identical to
-  * the batch window query (SessionizeStateSpec). The session SIZE is
-  * deliberately not emitted — future events can extend an open
-  * session, so a size column is only final at session close; the
-  * batch query owns that retrospective view.
+  * the batch window query (SessionizeStateSpec). Violations are
+  * OBSERVABLE, never silent: an event older than the user's
+  * already-committed last event time is stamped `is_late = true` —
+  * its seq (and its successors') may disagree with a batch replay,
+  * and a monitor can count the flags instead of trusting blindly.
+  * The session SIZE is deliberately not emitted — future events can
+  * extend an open session, so a size column is only final at session
+  * close; the batch query owns that retrospective view.
   */
 object SessionizeState {
 
@@ -31,7 +35,7 @@ object SessionizeState {
   }
 
   class Proc(gapUs: Long, stEnc: Encoder[St])
-    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Boolean)] {
 
     @transient private var state: ValueState[St] = _
 
@@ -40,13 +44,17 @@ object SessionizeState {
 
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, Long, Long)],
-        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
       var st = if (state.exists()) state.get() else empty
+      // anything older than the state's committed last event time
+      // violates the cross-batch ordering contract — flag, don't hide
+      val committed = st._1
       // (event_id, tsu, user) sorted by event time, ties by event id
       val out = rows.toArray.sortBy(r => (r._2, r._1)).map { r =>
+        val late = r._2 < committed
         val (next, seq) = step(st, r._2, gapUs)
         st = next
-        (r._1, key, seq)
+        (r._1, key, seq, late)
       }
       state.update(st)
       out.iterator
@@ -55,11 +63,13 @@ object SessionizeState {
 
   /** Per-event session stamping over an (event_id, tsu, user_id)
     * stream (or batch frame — same fold). Emits (event_id, user_id,
-    * session_seq) per input row. */
+    * session_seq, is_late) per input row; is_late marks an event that
+    * arrived older than a previously-committed micro-batch (always
+    * false under the ordering contract, and on the batch path). */
   def assign(
       ds: Dataset[(Long, Long, Long)],
       gapUs: Long = 1800L * 1000000L)(
-      implicit spark: SparkSession): Dataset[(Long, Long, Long)] = {
+      implicit spark: SparkSession): Dataset[(Long, Long, Long, Boolean)] = {
     import spark.implicits._
     val grouped = ds.groupByKey(_._3)
     if (ds.isStreaming)
@@ -72,7 +82,7 @@ object SessionizeState {
         it.toArray.sortBy(r => (r._2, r._1)).map { r =>
           val (next, seq) = step(st, r._2, gapUs)
           st = next
-          (r._1, k, seq)
+          (r._1, k, seq, false)
         }.iterator
       }
   }

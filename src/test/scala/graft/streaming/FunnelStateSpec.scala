@@ -50,7 +50,7 @@ class FunnelStateSpec extends AnyFunSuite {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[(Long, Long, String)]
     val q = FunnelState.stages(src.toDS(), W)
-      .toDF("user_id", "t1", "t2", "t3", "stage")
+      .toDF("user_id", "t1", "t2", "t3", "stage", "n_late")
       .writeStream.outputMode("update").format("memory")
       .queryName("funnel_stream").start()
     val streamed =
@@ -62,17 +62,42 @@ class FunnelStateSpec extends AnyFunSuite {
         // update mode: the LAST row per user is the final state
         spark.table("funnel_stream")
           .withColumn("rn", monotonically_increasing_id())
-          .as[(Long, Long, Long, Long, Int, Long)].collect()
+          .as[(Long, Long, Long, Long, Int, Long, Long)].collect()
           .groupBy(_._1)
           .map { case (u, rs) =>
-            val last = rs.maxBy(_._6)
-            u -> ((u, last._2, last._3, last._4, last._5))
+            val last = rs.maxBy(_._7)
+            u -> ((u, last._2, last._3, last._4, last._5, last._6))
           }
       } finally q.stop()
 
     assert(streamed.keySet == batch.keySet)
     streamed.foreach { case (u, st) =>
-      assert(st == batch(u), s"user $u: stream $st vs batch ${batch(u)}")
+      assert((st._1, st._2, st._3, st._4, st._5) == batch(u),
+        s"user $u: stream $st vs batch ${batch(u)}")
+      assert(st._6 == 0L, s"user $u: ordered micro-batches must report 0 late events")
     }
+  }
+
+  test("a cross-batch late event is counted, never silently folded") {
+    val base = 1704067200L * 1000000L
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Long, String)]
+    val q = FunnelState.stages(src.toDS(), W)
+      .toDF("user_id", "t1", "t2", "t3", "stage", "n_late")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_late").start()
+    try {
+      src.addData((7L, base + 3600L * 1000000L, "view"))
+      q.processAllAvailable()
+      // older than the committed max — violates the contract
+      src.addData((7L, base, "view"), (7L, base + 7200L * 1000000L, "click"))
+      q.processAllAvailable()
+      val last = spark.table("funnel_late")
+        .withColumn("rn", monotonically_increasing_id())
+        .as[(Long, Long, Long, Long, Int, Long, Long)].collect().maxBy(_._7)
+      assert(last._6 == 1L, s"exactly the one late row must count, got ${last._6}")
+      assert(last._5 == 2, "the in-order click still advances the funnel")
+    } finally q.stop()
   }
 }

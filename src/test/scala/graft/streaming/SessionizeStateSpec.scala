@@ -35,7 +35,7 @@ class SessionizeStateSpec extends AnyFunSuite {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[(Long, Long, Long)]
     val q = SessionizeState.assign(src.toDS())
-      .toDF("event_id", "user_id", "session_seq")
+      .toDF("event_id", "user_id", "session_seq", "is_late")
       .writeStream.outputMode("append").format("memory")
       .queryName("sess_stream").start()
     val streamed =
@@ -45,13 +45,38 @@ class SessionizeStateSpec extends AnyFunSuite {
         src.addData(rows.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
         src.addData(rows.drop(2 * third).toIndexedSeq); q.processAllAvailable()
         spark.table("sess_stream")
-          .select(col("event_id"), col("session_seq"))
-          .as[(Long, Long)].collect().toMap
+          .select(col("event_id"), col("session_seq"), col("is_late"))
+          .as[(Long, Long, Boolean)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
       } finally q.stop()
 
     assert(streamed.size == batch.size, "one stamp per event")
-    streamed.foreach { case (id, seq) =>
+    streamed.foreach { case (id, (seq, late)) =>
       assert(seq == batch(id), s"event $id")
+      assert(!late, s"event $id: ordered micro-batches must never flag late")
     }
+  }
+
+  test("a cross-batch late event is flagged is_late, in-order peers are not") {
+    val base = 1704067200L * 1000000L
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Long, Long)]
+    val q = SessionizeState.assign(src.toDS())
+      .toDF("event_id", "user_id", "session_seq", "is_late")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late").start()
+    try {
+      src.addData((1L, base + 60L * 1000000L, 9L))
+      q.processAllAvailable()
+      // event 2 is OLDER than committed state; event 3 is in order
+      src.addData((2L, base, 9L), (3L, base + 120L * 1000000L, 9L))
+      q.processAllAvailable()
+      val flags = spark.table("sess_late")
+        .select(col("event_id"), col("is_late"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(flags(2L), "the out-of-order event must flag")
+      assert(!flags(1L) && !flags(3L), "in-order events must not flag")
+    } finally q.stop()
   }
 }
