@@ -55,9 +55,11 @@ object SamplingQueries {
   private def HY_TOPK = GraftConf.int("graft.topk", 10)
   /** URL-canonical dedup: docs per mirror cohort = corpus/mod. */
   private def MIRROR_MOD = GraftConf.int("graft.urldedup.mod", 250)
-  /** Winsorize clip quantiles. */
-  private def W_LO = GraftConf.double("graft.winsor.lo", 0.05)
-  private def W_HI = GraftConf.double("graft.winsor.hi", 0.95)
+  /** Winsorize clip quantiles in basis points (500 = p05). Integer by
+    * design: the clip bounds are exact order statistics, so every
+    * number in the query is a BIGINT — no engine can disagree. */
+  private def W_LO_BP = GraftConf.int("graft.winsor.loBp", 500)
+  private def W_HI_BP = GraftConf.int("graft.winsor.hiBp", 9500)
 
   private val TWO32 = 4294967296L
 
@@ -226,25 +228,39 @@ object SamplingQueries {
       rejectionSampleBody(Tables.documents(s, dir))),
 
     // Robust outlier clipping (winsorization) of the length signal,
-    // per language: exact p05/p95 via the sort-based percentile (the
-    // oracle-exact operating point; the 100 TB swap is
-    // approx_percentile with identical plan shape), broadcast back
-    // onto the corpus. The clip itself is least/greatest on the raw
-    // values — no arithmetic — and the clipped value is reported in
-    // integer MICRO-units via floor(x·1e6 + 0.5) (the pagerank
-    // pattern; the interpolated-percentile double was r9's driver
-    // hash-fail when routed through a DECIMAL cast).
+    // per language: clip bounds are EXACT ORDER STATISTICS (type-1
+    // quantiles — the smallest value whose cumulative count reaches
+    // ceil(q·n)) computed from a value histogram, so the whole query
+    // is BIGINT end-to-end: no interpolation, no doubles, nothing an
+    // engine version can round differently (the r9 hash-fail was the
+    // interpolated-percentile double; the r10 first fix floored it,
+    // this removes it). The histogram form is also the 100 TB shape:
+    // one map-side-combined (lang, n_chars) agg — Spark's sort-based
+    // `percentile` buffers every raw value per group — then the
+    // cumulative scan runs on the O(langs·distinct-lengths)
+    // control-plane table (the rate_anomaly posture), and the O(langs)
+    // bounds broadcast back onto the corpus.
     "curate_winsorize" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pcts = docs.groupBy(col("lang")).agg(
-        expr(s"percentile(n_chars, ${W_LO})").as("p_lo"),
-        expr(s"percentile(n_chars, ${W_HI})").as("p_hi"))
-      docs.join(broadcast(pcts), "lang")
+      val hist = docs.groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val bounds = hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .withColumn("k_lo", expr(s"(n * $W_LO_BP + 9999) div 10000"))
+        .withColumn("k_hi", expr(s"(n * $W_HI_BP + 9999) div 10000"))
+        .groupBy(col("lang")).agg(
+          min(when(col("cum") >= col("k_lo"), col("n_chars"))).as("p_lo"),
+          min(when(col("cum") >= col("k_hi"), col("n_chars"))).as("p_hi"))
+      docs.join(broadcast(bounds), "lang")
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          floor(least(greatest(col("n_chars").cast("double"), col("p_lo")), col("p_hi"))
-            * lit(1e6) + lit(0.5)).cast("long").as("wins_micro"),
-          (col("n_chars").cast("double") < col("p_lo") ||
-            col("n_chars").cast("double") > col("p_hi")).as("is_clipped"))
+          least(greatest(col("n_chars"), col("p_lo")), col("p_hi"))
+            .as("n_chars_wins"),
+          (col("n_chars") < col("p_lo") ||
+            col("n_chars") > col("p_hi")).as("is_clipped"))
     }),
 
     // Character-distribution entropy — the compression-ratio proxy in
@@ -475,14 +491,22 @@ object SamplingQueries {
          |FROM m)
          |SELECT doc_id, q_micro, (${oU32("rej")} % 1000000) < q_micro AS kept FROM q""".stripMargin,
 
+    // the same explicit cumulative-histogram order statistics — NOT
+    // quantile_cont, whose interpolation arithmetic is the engine's own
     "curate_winsorize" ->
-      s"""WITH p AS (SELECT lang,
-         |quantile_cont(n_chars, ${W_LO}) AS p_lo,
-         |quantile_cont(n_chars, ${W_HI}) AS p_hi FROM documents GROUP BY 1)
+      s"""WITH hist AS (SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+         |w AS (SELECT lang, n_chars,
+         |CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_chars
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n FROM hist),
+         |b AS (SELECT lang,
+         |MIN(CASE WHEN cum >= (n * ${W_LO_BP} + 9999) // 10000 THEN n_chars END) AS p_lo,
+         |MIN(CASE WHEN cum >= (n * ${W_HI_BP} + 9999) // 10000 THEN n_chars END) AS p_hi
+         |FROM w GROUP BY 1)
          |SELECT d.doc_id, d.lang, d.n_chars,
-         |CAST(FLOOR(least(greatest(CAST(d.n_chars AS DOUBLE), p.p_lo), p.p_hi) * 1000000.0 + 0.5) AS BIGINT) AS wins_micro,
-         |(CAST(d.n_chars AS DOUBLE) < p.p_lo OR CAST(d.n_chars AS DOUBLE) > p.p_hi) AS is_clipped
-         |FROM documents d JOIN p USING (lang)""".stripMargin,
+         |least(greatest(d.n_chars, b.p_lo), b.p_hi) AS n_chars_wins,
+         |(d.n_chars < b.p_lo OR d.n_chars > b.p_hi) AS is_clipped
+         |FROM documents d JOIN b USING (lang)""".stripMargin,
 
     "text_char_entropy" -> {
       val cnts = ALPHABET.zipWithIndex.map { case (c, i) =>
