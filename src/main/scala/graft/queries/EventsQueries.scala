@@ -89,6 +89,41 @@ object EventsQueries {
           .otherwise(0).as("stage"))
     }),
 
+    // The funnel's staged-min twin — the SAME answer (spec-pinned
+    // equal to events_funnel row-for-row) through three conditional
+    // min-aggregations instead of a per-user list fold: min view, min
+    // qualifying click after it, min qualifying purchase after that.
+    // Aggregation state is O(1) per user — NO per-user collect_list —
+    // so this is the form to reach for when a key's event count is
+    // genuinely unbounded (the fold's lane guard would fire); the
+    // price is three passes over the events (all joins co-partitioned
+    // on user_id, AQE reuses the exchange). The fold stays the
+    // default: one scan, one shuffle.
+    "events_funnel_windowed" -> ((s, dir) => {
+      val w = FUNNEL_W_US
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_type"))
+      val s1 = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("tsu"))).as("t1"))
+      val s2 = e.join(s1, "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "click" && col("tsu") > col("t1") &&
+          col("tsu") <= col("t1") + lit(w), col("tsu"))).as("t2"))
+      val s3 = e.join(s2, "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "purchase" && col("tsu") > col("t2") &&
+          col("tsu") <= col("t2") + lit(w), col("tsu"))).as("t3"))
+      s1.join(s2, "user_id").join(s3, "user_id")
+        .select(col("user_id"),
+          timestamp_micros(col("t1")).as("t_view"),
+          timestamp_micros(col("t2")).as("t_click"),
+          timestamp_micros(col("t3")).as("t_purchase"),
+          when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1)
+            .otherwise(0).as("stage"))
+    }),
+
     // Daily purchase-cohort retention: cohort = the user's first
     // purchase day; one row per (cohort_day, day_offset) with the
     // count of cohort users purchasing that day — the standard
@@ -238,28 +273,32 @@ object EventsQueries {
         col("z_micro"), col("is_anomaly"))
   }
 
+  // the SQL-textbook 3-stage form: same strict-inequality staged
+  // minima, algebraically identical to the fold — and LITERALLY the
+  // windowed twin's algorithm, so both catalog entries share it
+  private val funnelOracle: String =
+    s"""WITH e AS (SELECT user_id, ts, event_type FROM $oEvents),
+       |s1 AS (SELECT user_id,
+       |MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view FROM e GROUP BY 1),
+       |s2 AS (SELECT e.user_id,
+       |MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+       |AND e.ts <= s1.t_view + INTERVAL 24 HOUR THEN e.ts END) AS t_click
+       |FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1),
+       |s3 AS (SELECT e.user_id,
+       |MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+       |AND e.ts <= s2.t_click + INTERVAL 24 HOUR THEN e.ts END) AS t_purchase
+       |FROM e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1)
+       |SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+       |CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+       |WHEN s2.t_click IS NOT NULL THEN 2
+       |WHEN s1.t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+       |FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+       |JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
 
-    // the SQL-textbook 3-stage form: same strict-inequality staged
-    // minima, algebraically identical to the fold
-    "events_funnel" ->
-      s"""WITH e AS (SELECT user_id, ts, event_type FROM $oEvents),
-         |s1 AS (SELECT user_id,
-         |MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view FROM e GROUP BY 1),
-         |s2 AS (SELECT e.user_id,
-         |MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
-         |AND e.ts <= s1.t_view + INTERVAL 24 HOUR THEN e.ts END) AS t_click
-         |FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1),
-         |s3 AS (SELECT e.user_id,
-         |MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
-         |AND e.ts <= s2.t_click + INTERVAL 24 HOUR THEN e.ts END) AS t_purchase
-         |FROM e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1)
-         |SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
-         |CASE WHEN s3.t_purchase IS NOT NULL THEN 3
-         |WHEN s2.t_click IS NOT NULL THEN 2
-         |WHEN s1.t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
-         |FROM s1 JOIN s2 ON s1.user_id = s2.user_id
-         |JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    "events_funnel" -> funnelOracle,
+    "events_funnel_windowed" -> funnelOracle,
 
     "events_retention" ->
       s"""WITH e AS (SELECT user_id, ts FROM $oEvents WHERE event_type = 'purchase'),

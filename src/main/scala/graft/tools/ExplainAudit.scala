@@ -338,6 +338,12 @@ object ExplainAudit {
       "synth+decode+hash is partition-local; ONE agg on the hash key") { p =>
       count(p, "Exchange") == 1 && !p.contains("Join")
     }
+    audit("events_funnel_windowed",
+      "staged-min twin: O(1) agg state — no per-user collect_list, " +
+        "all joins user_id-equi, never nested-loop") { p =>
+      !p.contains("collect_list") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")
+    }
     audit("events_markov_transitions",
       "ONE raw-event shuffle (user window); totals broadcast back " +
         "onto the O(types squared) bigram table") { p =>

@@ -78,7 +78,9 @@ object ScaleRatios {
       "j_range_bucketed", "dedup_image_ahash", "sim_graph_pagerank",
       "events_rate_anomaly", "q3_shipping_priority", "q5_local_supplier",
       "sim_hard_negatives", "a_grouping_sets", "events_markov_transitions",
-      "q18_large_orders", "events_rfm", "text_tfidf_keyterms")
+      "q18_large_orders", "events_rfm", "text_tfidf_keyterms",
+      // r10: the funnel's staged-min twin (unbounded-cardinality path)
+      "events_funnel_windowed")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

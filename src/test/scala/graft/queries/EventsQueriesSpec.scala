@@ -63,6 +63,16 @@ class EventsQueriesSpec extends AnyFunSuite {
     assert(out(4L).getInt(4) == 0)
     assert(out(5L).getInt(4) == 2, "the step window bound is inclusive")
 
+    // the windowed staged-min twin — O(1) aggregation state per user,
+    // for keys where the fold's list would be unbounded — lands every
+    // user on the identical row, ties and window bounds included
+    val twin = EventsQueries.queries("events_funnel_windowed")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(twin.keySet == out.keySet)
+    twin.foreach { case (u, row) =>
+      assert(row == out(u).toSeq, s"user $u: twin $row vs fold ${out(u).toSeq}")
+    }
+
     // the per-user lane guard fires LOUDLY past the conf'd cap (user 2
     // has 4 events) and never silently truncates
     spark.conf.set("graft.funnel.maxEvents", "3")
@@ -74,6 +84,11 @@ class EventsQueriesSpec extends AnyFunSuite {
         if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains("graft.funnel.maxEvents")),
         s"guard must name the knob, got: $e")
+      // the twin is exactly what the guard points to: it has no
+      // per-user list, so the same cap leaves it untouched
+      assert(EventsQueries.queries("events_funnel_windowed")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap == twin,
+        "the windowed twin must be cap-independent")
     } finally spark.conf.unset("graft.funnel.maxEvents")
   }
 
