@@ -735,12 +735,15 @@ object CorpusQueries {
       val weighted = counts.crossJoin(broadcast(tot))
         .withColumn("p_raw",
           col("n_tokens").cast("double") / col("tot").cast("double"))
-        .withColumn("w",
-          pow(col("p_raw"), lit(TEMP_ALPHA)).cast(DecimalType(18, 6)))
-      val norm = weighted.agg(sum(col("w")).as("sw"))
+        // p^alpha floored to integer nano-units (the r10 float-parity
+        // rule): the normalizing sum is then an exact long in both
+        // engines, where a DECIMAL cast's half-tie rounding is not
+        .withColumn("w_nano",
+          floor(pow(col("p_raw"), lit(TEMP_ALPHA)) * lit(1e9) + lit(0.5)).cast("long"))
+      val norm = weighted.agg(sum(col("w_nano")).as("sw"))
       weighted.crossJoin(broadcast(norm))
         .withColumn("p_temp",
-          col("w").cast("double") / col("sw").cast("double"))
+          col("w_nano").cast("double") / col("sw").cast("double"))
         .withColumn("boost", col("p_temp") / col("p_raw"))
         .withColumn("tokens_drawn",
           floor(lit(TEMP_BUDGET) * col("p_temp")).cast("long"))
@@ -1025,9 +1028,10 @@ object CorpusQueries {
     // DSIR_KEEP docs by a Gumbel-top-k draw — equivalent to sampling
     // without replacement with probability ∝ exp(logw), the paper's
     // resampling step. Determinism: the Gumbel uniform is md5-derived
-    // (the curate_weighted_sample discipline) and every transcendental
-    // rounds through DECIMAL(18,6) before the exact decimal sum, so
-    // both engines rank identically. Scale: the bucket table is O(B)
+    // (the curate_weighted_sample discipline); the per-bucket terms
+    // round through DECIMAL(18,6) before the exact decimal sum, and
+    // the Gumbel key compares as a raw double (identical bits both
+    // engines), so both engines rank identically. Scale: the bucket table is O(B)
     // rows built by one map-side-combined token shuffle, it broadcasts
     // back onto the token stream, per-doc sums shuffle on doc_id, and
     // the selection is orderBy+limit → TakeOrderedAndProject (per-
@@ -1039,8 +1043,12 @@ object CorpusQueries {
       val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long").cast("double") + 1.0) / 4294967296.0
       dsirScored(docs, term)
-        .withColumn("g", (-log(-log(u))).cast(DecimalType(18, 6)))
-        .withColumn("gkey", col("logw") + col("g"))
+        // the Gumbel key only ORDERS — compare it as a raw double
+        // (identical bits in both engines: exact-decimal logw widened
+        // exactly, md5-derived u through the same ln chain) instead
+        // of routing another transcendental through a DECIMAL cast
+        .withColumn("g", -log(-log(u)))
+        .withColumn("gkey", col("logw").cast("double") + col("g"))
         .orderBy(col("gkey").desc, col("doc_id"))
         .limit(DSIR_KEEP)
         .select(col("doc_id"), col("n_tokens"),
@@ -1426,13 +1434,13 @@ object CorpusQueries {
          |t AS (SELECT SUM(n_tokens) AS tot FROM c),
          |w AS (SELECT lang, n_docs, n_tokens,
          |CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p_raw,
-         |CAST(pow(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), $TEMP_ALPHA)
-         |AS DECIMAL(18,6)) AS w FROM c CROSS JOIN t),
-         |s AS (SELECT SUM(w) AS sw FROM w)
+         |CAST(FLOOR(pow(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), $TEMP_ALPHA)
+         |* 1000000000.0 + 0.5) AS BIGINT) AS w_nano FROM c CROSS JOIN t),
+         |s AS (SELECT CAST(SUM(w_nano) AS BIGINT) AS sw FROM w)
          |SELECT lang, n_docs, n_tokens, p_raw,
-         |CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) AS p_temp,
-         |(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) / p_raw AS boost,
-         |CAST(FLOOR($TEMP_BUDGET * (CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)))
+         |CAST(w_nano AS DOUBLE) / CAST(sw AS DOUBLE) AS p_temp,
+         |(CAST(w_nano AS DOUBLE) / CAST(sw AS DOUBLE)) / p_raw AS boost,
+         |CAST(FLOOR($TEMP_BUDGET * (CAST(w_nano AS DOUBLE) / CAST(sw AS DOUBLE)))
          |AS BIGINT) AS tokens_drawn
          |FROM w CROSS JOIN s""".stripMargin,
 
@@ -1617,8 +1625,8 @@ object CorpusQueries {
          |docw AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(t) AS logw
          |FROM tok JOIN term USING (bkt) GROUP BY doc_id),
          |keyed AS (SELECT doc_id, n_tokens, logw,
-         |logw + CAST(-ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-         | + 1.0) / 4294967296.0)) AS DECIMAL(18,6)) AS gkey
+         |CAST(logw AS DOUBLE) + -ln(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+         | + 1.0) / 4294967296.0)) AS gkey
          |FROM docw)
          |SELECT doc_id, n_tokens, CAST(logw AS DOUBLE) AS logw
          |FROM (SELECT doc_id, n_tokens, logw,

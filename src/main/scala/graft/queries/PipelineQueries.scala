@@ -246,8 +246,11 @@ object PipelineQueries {
     // duplicates or truncates text moves it). Word counts are one
     // map-side-combined shuffle; the top-N is TakeOrdered (per-
     // partition heaps); the regression runs on the N-row table with
-    // each ln rounded through DECIMAL(18,6) and decimal-exact sums,
-    // so both engines fit identical lines.
+    // each ln floored to integer micro-units and EXACT long sums (the
+    // r10 float-parity rule — a DECIMAL cast's half-tie rounding is
+    // engine-version-dependent), so both engines fit identical lines.
+    // Long-sum headroom: |ln| ≤ ~21 even at 10^9 words → products
+    // ≤ 4.4e14 micro², ×N=1000 rows ≈ 4.4e17 < 2^63.
     "text_word_zipf" -> ((s, dir) => {
       val n = ZIPF_N
       val wf = Tables.documents(s, dir)
@@ -257,14 +260,18 @@ object PipelineQueries {
       val ranked = wf
         .withColumn("r", row_number().over(
           Window.orderBy(col("c").desc, col("w").asc)).cast("long"))
-        .withColumn("lx", log(col("r").cast("double")).cast(DecimalType(18, 6)))
-        .withColumn("ly", log(col("c").cast("double")).cast(DecimalType(18, 6)))
+        .withColumn("lxm", floor(log(col("r").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+        .withColumn("lym", floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
       ranked.agg(
         count(lit(1)).as("n_words"),
-        sum(col("lx")).cast("double").as("sx"),
-        sum(col("ly")).cast("double").as("sy"),
-        sum(col("lx") * col("ly")).cast("double").as("sxy"),
-        sum(col("lx") * col("lx")).cast("double").as("sxx"))
+        sum(col("lxm")).as("sxm"),
+        sum(col("lym")).as("sym"),
+        sum(col("lxm") * col("lym")).as("sxym"),
+        sum(col("lxm") * col("lxm")).as("sxxm"))
+        .withColumn("sx", col("sxm").cast("double") / lit(1e6))
+        .withColumn("sy", col("sym").cast("double") / lit(1e6))
+        .withColumn("sxy", col("sxym").cast("double") / lit(1e12))
+        .withColumn("sxx", col("sxxm").cast("double") / lit(1e12))
         .withColumn("slope",
           (col("n_words").cast("double") * col("sxy") - col("sx") * col("sy")) /
             (col("n_words").cast("double") * col("sxx") - col("sx") * col("sx")))
@@ -411,11 +418,15 @@ object PipelineQueries {
          |GROUP BY w ORDER BY c DESC, w ASC LIMIT $ZIPF_N),
          |ranked AS (SELECT c,
          |CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT) AS r FROM wf),
-         |lg AS (SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(18,6)) AS lx,
-         |CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,6)) AS ly FROM ranked),
-         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
-         |CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
-         |CAST(SUM(lx * ly) AS DOUBLE) AS sxy, CAST(SUM(lx * lx) AS DOUBLE) AS sxx FROM lg)
+         |lg AS (SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lxm,
+         |CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lym FROM ranked),
+         |s0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+         |CAST(SUM(lxm) AS BIGINT) AS sxm, CAST(SUM(lym) AS BIGINT) AS sym,
+         |CAST(SUM(lxm * lym) AS BIGINT) AS sxym, CAST(SUM(lxm * lxm) AS BIGINT) AS sxxm FROM lg),
+         |s AS (SELECT n_words,
+         |CAST(sxm AS DOUBLE) / 1000000.0 AS sx, CAST(sym AS DOUBLE) / 1000000.0 AS sy,
+         |CAST(sxym AS DOUBLE) / 1000000000000.0 AS sxy,
+         |CAST(sxxm AS DOUBLE) / 1000000000000.0 AS sxx FROM s0)
          |SELECT n_words,
          |(CAST(n_words AS DOUBLE) * sxy - sx * sy) / (CAST(n_words AS DOUBLE) * sxx - sx * sx) AS slope,
          |(sy - ((CAST(n_words AS DOUBLE) * sxy - sx * sy) / (CAST(n_words AS DOUBLE) * sxx - sx * sx)) * sx)

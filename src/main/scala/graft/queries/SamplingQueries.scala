@@ -462,8 +462,8 @@ object SamplingQueries {
         .where(col("nt") === 2).agg(count(lit(1)).as("exact_common"))
       nBelow.crossJoin(broadcast(theta)).crossJoin(broadcast(exact))
         .select(lit(k).as("k"), col("theta_u"), col("n_below"),
-          (col("n_below").cast("double") * lit(TWO32.toDouble) / col("theta_u").cast("double"))
-            .cast(DecimalType(18, 6)).as("est_common"),
+          floor(col("n_below").cast("double") * lit(TWO32.toDouble) / col("theta_u").cast("double")
+            * lit(1e6) + lit(0.5)).cast("long").as("est_common_micro"),
           col("exact_common"))
     }))
 
@@ -628,6 +628,6 @@ object SamplingQueries {
          |ex AS (SELECT COUNT(*) AS exact_common FROM
          |(SELECT user_id FROM pairs GROUP BY user_id HAVING COUNT(*) = 2))
          |SELECT $KMV_K AS k, th.theta_u, nb.n_below,
-         |CAST(CAST(nb.n_below AS DOUBLE) * ${TWO32.toDouble} / CAST(th.theta_u AS DOUBLE) AS DECIMAL(18,6)) AS est_common,
+         |CAST(FLOOR(CAST(nb.n_below AS DOUBLE) * ${TWO32.toDouble} / CAST(th.theta_u AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS est_common_micro,
          |ex.exact_common FROM nb CROSS JOIN th CROSS JOIN ex""".stripMargin)
 }

@@ -78,7 +78,7 @@ class KmvSketchSpec extends AnyFunSuite {
       KmvSketch.intersect(summaries("click"), summaries("purchase"), K)
     assert(theta == bTheta, "stream θ equals the batch query's θ")
     assert(below == bBelow, "stream n_below equals the batch query's")
-    assert(math.abs(est - row.getDecimal(3).doubleValue) < 1e-6,
-      "stream estimate equals the batch query's (decimal-rounded)")
+    assert(math.floor(est * 1e6 + 0.5).toLong == row.getLong(3),
+      "stream estimate equals the batch query's (micro-floored)")
   }
 }
