@@ -91,6 +91,20 @@ class GraftConfSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("curate_span_dedup").contains("i*12+1"))
   }
 
+  test("winsorize basis-point quantiles flow to plan and oracle together") {
+    // tighter clip → strictly more clipped rows; the oracle SQL must
+    // carry the same integer thresholds
+    def clipped(): Long = SparkEntry.queries("curate_winsorize")(spark, dir)
+      .where(org.apache.spark.sql.functions.col("is_clipped")).count()
+    val base = clipped()
+    withConf("graft.winsor.loBp" -> "2500", "graft.winsor.hiBp" -> "7500") {
+      val sql = SparkEntry.oracleSql("curate_winsorize")
+      assert(sql.contains("* 2500 + 9999") && sql.contains("* 7500 + 9999"))
+      assert(clipped() > base, "a tighter clip must flag more rows")
+    }
+    assert(SparkEntry.oracleSql("curate_winsorize").contains("* 500 + 9999"))
+  }
+
   test("dsir target language and keep flow to plan and oracle together") {
     withConf("graft.dsir.targetLang" -> "zh", "graft.dsir.keep" -> "7") {
       val sql = SparkEntry.oracleSql("curate_dsir")

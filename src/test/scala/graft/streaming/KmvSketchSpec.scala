@@ -43,6 +43,38 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(est > us.length * 0.6 && est < us.length * 1.4, s"est $est")
   }
 
+  test("a real md5-32 cross-side collision is ONE common hash — the hash-space semantics") {
+    // find two distinct keys sharing the 32-bit md5 prefix (birthday:
+    // expected ~80k trials; deterministic scan so the pair is stable)
+    var seen = Map.empty[Long, String]
+    var pair: Option[(String, String)] = None
+    var i = 0
+    while (pair.isEmpty) {
+      val s = s"user$i"
+      val h = u32(s)
+      seen.get(h) match {
+        case Some(prev) => pair = Some((prev, s))
+        case None => seen += h -> s
+      }
+      i += 1
+    }
+    val (ua, ub) = pair.get
+    assert(ua != ub && u32(ua) == u32(ub))
+    // ua only on side A, ub only on side B: DISTINCT USERS never
+    // intersect, but in hash space both sides hold the same value —
+    // the summaries (and, since r10, the batch query) agree it is one
+    // common hash; the discrepancy vs user-space truth is exactly what
+    // the batch query's exact_common audit column is for
+    val K2 = 8
+    val a = Seq(u32(ua), u32("a1"), u32("a2"))
+      .foldLeft(KmvSketch.empty)(KmvSketch.update(_, _, K2))
+    val b = Seq(u32(ub), u32("b1"), u32("b2"))
+      .foldLeft(KmvSketch.empty)(KmvSketch.update(_, _, K2))
+    val (theta, common, _) = KmvSketch.intersect(a, b, K2)
+    assert(theta == KmvSketch.TWO32, "exact mode: both sides < k distinct")
+    assert(common == 1L, "the colliding pair must count as one common hash")
+  }
+
   test("stream-built summaries reproduce the batch theta-intersection row exactly") {
     // batch truth: the catalog query's single row at sf0.001
     val row = graft.queries.SamplingQueries
