@@ -242,6 +242,71 @@ object EventsQueries {
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n"))
       anomalyBody(hourly)
+    }),
+
+    // Multi-touch attribution (linear model): every purchase splits its
+    // value equally across the user's clicks inside the lookback
+    // window (pts−W, pts] — the marketing-analytics credit assignment
+    // run downstream of sessionization. ONE real exchange pair (the
+    // user_id equi-join): the per-purchase fan-out count rides a
+    // Window keyed (p_user, p_id) and the final per-click agg groups
+    // (user_id, event_id) — both clusterings are SUPERSETS of the
+    // join's user_id hash-partitioning, so neither adds a shuffle
+    // (plan-audited). Money parity: value → exact cents via
+    // floor(v·100+0.5); per-pair credit is INTEGER division
+    // (cents·10⁴) div n_clicks in 10⁻⁶-dollar units; per-click totals
+    // are exact long sums. Purchases with no in-window click carry no
+    // credit row (unattributed — the report is per-click).
+    "events_attribution" -> ((s, dir) => {
+      val w = ATTR_W_US
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("cts"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("pts"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      clicks.join(purch,
+        col("user_id") === col("p_user") &&
+          col("cts") <= col("pts") && col("cts") > col("pts") - w)
+        .withColumn("n_clicks",
+          count(lit(1)).over(Window.partitionBy(col("p_user"), col("p_id"))))
+        .withColumn("credit_u", expr("(cents * 10000) div n_clicks"))
+        .groupBy(col("user_id"), col("event_id"))
+        .agg(count(lit(1)).as("n_credits"), sum(col("credit_u")).as("credit_micro"))
+    }),
+
+    // Session-path mining (sequential-pattern lite): the top-N event-
+    // type paths users walk inside a session, with how many of those
+    // sessions convert — the "what do users do before buying" table.
+    // Reuses the sessionize gap rule verbatim; each session's path is
+    // the ORDERED event-type chain capped at the first PATH_CAP events
+    // (bounded per-group state — the funnel lane-guard posture; the
+    // conversion flag still reads the FULL session). Two exchanges
+    // (user window; path agg) + TakeOrdered top-N; path counting is
+    // map-side combined. Tie order (ts, event_id) makes every path
+    // string deterministic across engines and partitionings.
+    "events_path_mining" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(wOrd)
+      val brk = when(prev.isNull ||
+        unix_micros(col("ts")) - unix_micros(prev) >= GAP_US, 1).otherwise(0)
+      val sess = Tables.events(s, dir)
+        .withColumn("brk", brk)
+        .withColumn("session_seq", sum(col("brk"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          array_join(
+            slice(transform(
+              sort_array(collect_list(struct(
+                unix_micros(col("ts")).as("tsu"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")), 1, PATH_CAP), ">").as("path"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(PATH_TOPN)
     }))
 
   /** The trailing-24h z-score algebra over an (event_type, h, n)
@@ -272,6 +337,14 @@ object EventsQueries {
       .select(col("event_type"), col("h"), col("n"), col("c"),
         col("z_micro"), col("is_anomaly"))
   }
+
+  /** Attribution lookback window, micros (conf: hours). */
+  private def ATTR_W_US =
+    graft.GraftConf.long("graft.attr.windowHours", 24L) * 3600L * 1000000L
+
+  /** Path mining: per-path event cap and top-N output size. */
+  private def PATH_CAP = graft.GraftConf.int("graft.path.maxEvents", 20)
+  private def PATH_TOPN = graft.GraftConf.int("graft.path.topn", 50)
 
   // the SQL-textbook 3-stage form: same strict-inequality staged
   // minima, algebraically identical to the fold — and LITERALLY the
@@ -362,5 +435,38 @@ object EventsQueries {
          |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM b)
          |SELECT event_id, user_id, session_seq,
          |COUNT(*) OVER (PARTITION BY user_id, session_seq) AS n_in_session
-         |FROM g""".stripMargin)
+         |FROM g""".stripMargin,
+
+    // same window join, same exact-cents credit, same integer division
+    "events_attribution" ->
+      s"""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS cts
+         |FROM $oEvents WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS p_id, user_id AS p_user, epoch_us(ts) AS pts,
+         |CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+         |FROM $oEvents WHERE event_type = 'purchase'),
+         |j AS (SELECT c.event_id, c.user_id, p.p_id, p.cents FROM c JOIN p
+         |ON c.user_id = p.p_user AND c.cts <= p.pts AND c.cts > p.pts - ${ATTR_W_US}),
+         |n AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT)
+         |AS n_clicks FROM j)
+         |SELECT user_id, event_id, CAST(COUNT(*) AS BIGINT) AS n_credits,
+         |CAST(SUM((cents * 10000) // n_clicks) AS BIGINT) AS credit_micro
+         |FROM n GROUP BY 1, 2""".stripMargin,
+
+    // same gap rule, same (ts, event_id) tie order, same path cap
+    "events_path_mining" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts, event_type FROM $oEvents),
+         |b AS (SELECT event_id, user_id, ts, event_type,
+         |CASE WHEN lag(ts) OVER w IS NULL
+         |OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |ROWS UNBOUNDED PRECEDING) AS session_seq FROM b),
+         |sp AS (SELECT user_id, session_seq,
+         |array_to_string(list(event_type ORDER BY ts, event_id)[1:$PATH_CAP], '>') AS path,
+         |MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         |FROM g GROUP BY 1, 2)
+         |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |CAST(SUM(converted) AS BIGINT) AS n_converted
+         |FROM sp GROUP BY 1
+         |ORDER BY n_sessions DESC, path ASC LIMIT $PATH_TOPN""".stripMargin)
 }

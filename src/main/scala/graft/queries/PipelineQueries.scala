@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -34,6 +34,13 @@ import graft.{GraftConf, Tables}
   *   runs on the N-row control-plane table.
   * - chunk_overlap: per-row explode of O(tokens/stride) chunks — the
   *   output is the big thing, not any shuffle.
+  * - pmi_collocations: two map-side-combined aggs over the token
+  *   stream, both localCheckpoint-pinned (each feeds two consumers);
+  *   the bounded candidate set broadcasts into the vocab enrichment —
+  *   the vocab table is never shuffle-joined.
+  * - bitext_margin: sign-band LSH candidates (capped cohorts), never
+  *   the A×B brute product; the margin windows share the candidate
+  *   table's two per-side exchanges.
   */
 object PipelineQueries {
 
@@ -53,6 +60,15 @@ object PipelineQueries {
   private def CONTAM_COS = GraftConf.double("graft.contam.cosMin", 0.8)
   /** Zipf fit: how many head words enter the OLS regression. */
   private def ZIPF_N = GraftConf.int("graft.zipf.topn", 1000)
+  /** PMI collocations: bigram support floor, candidate cap, output k. */
+  private def PMI_MINC = GraftConf.int("graft.pmi.minCount", 5)
+  private def PMI_CAND = GraftConf.int("graft.pmi.cand", 10000)
+  private def PMI_TOPK = GraftConf.int("graft.pmi.topk", 50)
+  /** Bitext margin mining: neighborhood size, margin floor (micro),
+    * and the per-band-bucket candidate cohort cap. */
+  private def BT_K = GraftConf.int("graft.bitext.k", 4)
+  private def BT_MARGIN = GraftConf.int("graft.bitext.minMicro", 1000000)
+  private def BT_CAP = GraftConf.int("graft.bitext.cap", 50)
   /** Sequence chunking: window width and stride, in tokens. */
   private def CHUNK_W = GraftConf.int("graft.chunk.width", 64)
   private def CHUNK_S = GraftConf.int("graft.chunk.stride", 48)
@@ -324,6 +340,125 @@ object PipelineQueries {
           lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
         .select(col("doc_id"), col("n_words"), col("n_sentences"),
           col("n_syllables"), col("fk_grade"), col("flesch_ease"))
+    }),
+
+    // PMI collocations (Church & Hanks 1990): the top-k bigram
+    // associations a tokenizer-vocabulary or stopword-list build reads
+    // first. Two map-side-combined aggs over the token stream (bigram
+    // counts, unigram counts) and NOTHING else touches the corpus; the
+    // candidate set is explicitly bounded (support floor c12 ≥ MINC,
+    // then the top-CAND bigrams by count) so the unigram enrichment is
+    // a broadcast join against the hash-partitioned vocab table — the
+    // vocab is never re-shuffled and the PMI math runs on a
+    // control-plane table. Float parity: every ln() is floored to
+    // integer micro-units per term, then combined with EXACT long
+    // arithmetic (the text_word_zipf posture) — pmi_micro =
+    // ln(c12) − ln(N2) − ln(cw1) − ln(cw2) + 2·ln(N1), all in µ-nats.
+    // Docs with fewer than 2 tokens carry no bigram and are excluded
+    // from every count (same filter both engines).
+    "text_pmi_collocations" -> ((s, dir) => {
+      val tk = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .where(size(col("tk")) >= 2)
+      val big = tk.select(explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      // the two aggregated tables are vocab-sized (orders smaller than
+      // the corpus) and each feeds TWO consumers (enrichment + totals);
+      // localCheckpoint pins them so the corpus is scanned exactly
+      // twice — without it Spark recomputes each agg per consumer
+      // (measured: 5 scans), the pagerank-class redundancy
+      val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .localCheckpoint()
+      val uni = tk.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        .localCheckpoint()
+      // corpus totals DERIVED from the aggregated tables (Σcw = Σlen(tk),
+      // Σc12 = Σ(len(tk)−1) exactly) — never a third scan for scalars
+      val totals = uni.agg(sum(col("cw")).as("n1"))
+        .crossJoin(bc.agg(sum(col("c12")).as("n2")))
+      val cand = bc.where(col("c12") >= PMI_MINC)
+        .orderBy(col("c12").desc, col("w1").asc, col("w2").asc).limit(PMI_CAND)
+      val e1 = uni.join(broadcast(cand), col("w") === col("w1"))
+        .select(col("w1"), col("w2"), col("c12"), col("cw").as("cw1"))
+      val e2 = uni.join(broadcast(e1), col("w") === col("w2"))
+        .select(col("w1"), col("w2"), col("c12"), col("cw1"), col("cw").as("cw2"))
+      def lnMicro(c: Column): Column =
+        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+      e2.crossJoin(broadcast(totals))
+        .withColumn("pmi_micro",
+          lnMicro(col("c12")) - lnMicro(col("n2")) - lnMicro(col("cw1")) -
+            lnMicro(col("cw2")) + lit(2L) * lnMicro(col("n1")))
+        .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+        .limit(PMI_TOPK)
+        .select(col("w1"), col("w2"), col("c12"), col("cw1"), col("cw2"),
+          col("pmi_micro"))
+    }),
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019): align two
+    // embedding shards (side A = even vec_id, side B = odd — the
+    // lang-pair split of a real crawl) by ratio margin
+    // cos(x,y) / mean(kNN-cos of x, kNN-cos of y), the score LASER/
+    // CCMatrix mine parallel corpora with. Candidates come from the
+    // sign-bit band LSH sim_embedding_neardup uses (nbits scales with
+    // ⌈log₂N⌉, 2 bands, per-bucket cohorts capped) restricted to
+    // CROSS-side pairs — never the A×B brute product, which grows
+    // quadratically while the banded table grows ~linearly (CCMatrix
+    // runs exactly this shape over faiss buckets). Neighborhoods are
+    // the candidate top-k (the ANN-mined neighborhood, as published).
+    // Float parity: per-pair cosine is a deterministic sequential
+    // fold, floored ONCE to integer nano-units (band duplicates dedup
+    // exactly — both copies carry the identical long); neighborhood
+    // sums are exact long sums, and the margin is INTEGER division
+    // (cos_nano·2k·10⁶) div (Σa+Σb) on positive operands — no
+    // cross-row float accumulation anywhere.
+    "sim_bitext_margin" -> ((s, dir) => {
+      val k = BT_K
+      def bits(off: Int) = concat((1 to 24).map(i =>
+        when(element_at(col("e"), off + i) >= 0.0, "1").otherwise("0")): _*)
+      val embRaw = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val bands = embRaw
+        .crossJoin(broadcast(embRaw.agg(count(lit(1)).as("n_corpus"))))
+        .withColumn("nbits", least(lit(24), greatest(lit(8), length(bin(col("n_corpus"))))))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        .withColumn("bits0", bits(0))
+        .withColumn("bits1", bits(24))
+        .select(col("vec_id"), col("e"), col("nrm"),
+          posexplode(array(
+            expr("substring(bits0, 1, nbits)"),
+            expr("substring(bits1, 1, nbits)"))).as(Seq("bi", "bucket")))
+        .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("bi"), col("bucket"))))
+        .where(col("cohort") <= BT_CAP)
+        .drop("cohort")
+      val pairs = bands.where(col("vec_id") % 2 === 0).as("a")
+        .join(bands.where(col("vec_id") % 2 === 1).as("b"),
+          col("a.bi") === col("b.bi") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          floor(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")) *
+            lit(1000000000.0) + lit(0.5)).cast("long").as("cos_nano"))
+        .distinct()
+      // ONE materialization of the pair table: rank + neighborhood sum
+      // ride the SAME exchange per side (rank's sort satisfies the
+      // unbounded-frame sum), so the plan is exactly two pair-table
+      // shuffles and zero joins — never a recompute of the N²·d cosines
+      val wa = Window.partitionBy(col("a_id"))
+      val wb = Window.partitionBy(col("b_id"))
+      val t = pairs
+        .withColumn("ra", row_number().over(
+          wa.orderBy(col("cos_nano").desc, col("b_id").asc)))
+        .withColumn("suma",
+          sum(when(col("ra") <= k, col("cos_nano"))).over(wa))
+        .withColumn("rb", row_number().over(
+          wb.orderBy(col("cos_nano").desc, col("a_id").asc)))
+        .withColumn("sumb",
+          sum(when(col("rb") <= k, col("cos_nano"))).over(wb))
+      t.where(col("ra") === 1)
+        .where(col("cos_nano") > 0 && (col("suma") + col("sumb")) > 0)
+        .withColumn("margin_micro",
+          expr(s"(cos_nano * ${2L * k * 1000000L}) div (suma + sumb)"))
+        .where(col("margin_micro") >= BT_MARGIN)
+        .select(col("a_id"), col("b_id"), col("cos_nano"), col("margin_micro"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -462,5 +597,65 @@ object PipelineQueries {
          |CAST(n_syllables AS INTEGER) AS n_syllables,
          |0.39 * wps + 11.8 * spw - 15.59 AS fk_grade,
          |206.835 - 1.015 * wps - 84.6 * spw AS flesch_ease
-         |FROM x""".stripMargin)
+         |FROM x""".stripMargin,
+
+    // same ≥2-token filter, same support floor, same candidate cap,
+    // same µ-nat ln flooring, same exact long combine
+    "text_pmi_collocations" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+         |WHERE len(string_split(text, ' ')) >= 2),
+         |b AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+         |FROM t, LATERAL UNNEST(generate_series(1, len(tk)-1)) AS g(i)),
+         |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+         |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+         |FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS n1,
+         |CAST(SUM(len(tk) - 1) AS BIGINT) AS n2 FROM t),
+         |cand AS (SELECT * FROM bc WHERE c12 >= $PMI_MINC
+         |ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT $PMI_CAND),
+         |e AS (SELECT cand.w1, cand.w2, cand.c12, u1.cw AS cw1, u2.cw AS cw2
+         |FROM cand JOIN uni u1 ON u1.w = cand.w1 JOIN uni u2 ON u2.w = cand.w2),
+         |p AS (SELECT w1, w2, c12, cw1, cw2,
+         |CAST(FLOOR(ln(CAST(c12 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |- CAST(FLOOR(ln(CAST(n2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |- CAST(FLOOR(ln(CAST(cw1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |- CAST(FLOOR(ln(CAST(cw2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |+ 2 * CAST(FLOOR(ln(CAST(n1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+         |FROM e CROSS JOIN tot)
+         |SELECT w1, w2, c12, cw1, cw2, pmi_micro FROM p
+         |ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT $PMI_TOPK""".stripMargin,
+
+    // same band LSH (nbits, caps), same parity split, same nano-unit
+    // cosine, same exact-long neighborhood sums, same integer margin
+    "sim_bitext_margin" -> {
+      def oBits(off: Int) = (1 to 24).map(i =>
+        s"CASE WHEN e[${off + i}] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
+      val bandSelects = (0 until 2).map(b =>
+        s"SELECT vec_id, e, nrm, $b AS bi, substr(${oBits(b * 24)}, 1, nbits) AS bucket FROM emb, p")
+        .mkString(" UNION ALL ")
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |FROM embeddings),
+         |p AS (SELECT LEAST(24, GREATEST(8, length(bin(COUNT(*))))) AS nbits FROM embeddings),
+         |bands AS ($bandSelects),
+         |capped AS (SELECT * FROM bands
+         |QUALIFY COUNT(*) OVER (PARTITION BY bi, bucket) <= $BT_CAP),
+         |pairs AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+         |CAST(FLOOR(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 1000000000.0 + 0.5) AS BIGINT)
+         |AS cos_nano FROM capped a JOIN capped b
+         |ON a.bi = b.bi AND a.bucket = b.bucket
+         |AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+         |t AS (SELECT a_id, b_id, cos_nano,
+         |row_number() OVER (PARTITION BY a_id ORDER BY cos_nano DESC, b_id ASC) AS ra,
+         |row_number() OVER (PARTITION BY b_id ORDER BY cos_nano DESC, a_id ASC) AS rb
+         |FROM pairs),
+         |sa AS (SELECT a_id, CAST(SUM(cos_nano) AS BIGINT) AS suma FROM t WHERE ra <= $BT_K GROUP BY 1),
+         |sb AS (SELECT b_id, CAST(SUM(cos_nano) AS BIGINT) AS sumb FROM t WHERE rb <= $BT_K GROUP BY 1)
+         |SELECT t.a_id, t.b_id, t.cos_nano,
+         |(t.cos_nano * ${2L * BT_K * 1000000L}) // (suma + sumb) AS margin_micro
+         |FROM t JOIN sa ON t.a_id = sa.a_id JOIN sb ON t.b_id = sb.b_id
+         |WHERE t.ra = 1 AND t.cos_nano > 0 AND suma + sumb > 0
+         |AND (t.cos_nano * ${2L * BT_K * 1000000L}) // (suma + sumb) >= $BT_MARGIN"""
+        .stripMargin
+    })
 }

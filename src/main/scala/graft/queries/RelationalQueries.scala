@@ -160,6 +160,33 @@ object RelationalQueries {
           col("o_totalprice"), col("sum_qty"))
     }),
 
+    // TPC-H Q10 shape (returned-item revenue): the churn report — which
+    // customers returned the most value last quarter. Both selective
+    // filters (quarter window on orders, R-flag on lineitem) push to
+    // the parquet scans; lineitem⋈orders co-partition on the order key
+    // (the one fact shuffle); the customer join re-keys on custkey —
+    // the same exchange the groupBy needs, so Spark reuses the
+    // partitioning; nation is dim-tiny and broadcasts. Revenue is the
+    // q3/q5 exact-DECIMAL sum; the top-20 is TakeOrderedAndProject.
+    "q10_returned_items" -> ((s, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val li = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).as("rev0"))
+        .select(col("c_custkey"), col("c_name"),
+          col("rev0").cast("double").as("revenue"), col("c_acctbal"), col("n_name"))
+        .orderBy(desc("revenue"), col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // RFM segmentation (recency / frequency / monetary — the classic
     // customer-value cut): per user over purchase events, days since
     // last purchase, purchase count, and 2-decimal money total; each
@@ -445,6 +472,19 @@ object RelationalQueries {
         |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
         |FROM orders JOIN qty ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name,
+         |${oSum4("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |c_acctbal, n_name
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |AND o_orderdate < TIMESTAMP '1997-04-01'
+         |GROUP BY 1, 2, 4, 5
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     "events_rfm" ->
       s"""WITH p AS (SELECT user_id, MAX(ts) AS last_ts,

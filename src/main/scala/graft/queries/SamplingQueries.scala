@@ -60,6 +60,8 @@ object SamplingQueries {
     * number in the query is a BIGINT — no engine can disagree. */
   private def W_LO_BP = GraftConf.int("graft.winsor.loBp", 500)
   private def W_HI_BP = GraftConf.int("graft.winsor.hiBp", 9500)
+  /** k-center diversity sample size. */
+  private def KC_K = GraftConf.int("graft.kcenter.k", 8)
 
   private val TWO32 = 4294967296L
 
@@ -465,6 +467,48 @@ object SamplingQueries {
           floor(col("n_below").cast("double") * lit(TWO32.toDouble) / col("theta_u").cast("double")
             * lit(1e6) + lit(0.5)).cast("long").as("est_common_micro"),
           col("exact_common"))
+    }),
+
+    // Greedy k-center diversity sampling (Gonzalez 1985's 2-approx —
+    // the coreset/data-selection shape: pick the k points that COVER
+    // the embedding space, maximin). Seed = min vec_id; each round
+    // adds the point maximizing its min squared distance to the
+    // selected set (tie → min vec_id). The k−1 rounds are the
+    // MLlib/kmeans control-plane shape: one argmax agg per round over
+    // the localCheckpoint-pinned corpus (never rescanned from parquet),
+    // centers live on the driver as O(k·d) literals. At web scale the
+    // same loop runs over a uniform pre-sample (the standard coreset
+    // recipe) — the per-round plan is unchanged. Float parity: d2 =
+    // xx − 2·x·c + cc in fixed order from identical sequential-fold
+    // dots, argmax compares doubles EXACTLY (no accumulation across
+    // rows), and the reported d2 floors to nano-units once.
+    "sim_diversity_kcenter" -> ((s, dir) => {
+      import s.implicits._
+      val k = KC_K
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("xx", dot(col("e"), col("e")))
+        .localCheckpoint()
+      val seed = emb.orderBy(col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("e"), col("xx")).head()
+      var centers = Vector(
+        (seed.getLong(0), seed.getSeq[Double](1), seed.getDouble(2)))
+      val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
+        (1, seed.getLong(0), 0L))
+      for (r <- 2 to k) {
+        val dcols = centers.map { case (_, ce, cxx) =>
+          col("xx") - lit(2.0) * dot(col("e"), typedLit(ce)) + lit(cxx)
+        }
+        val minD2 = if (dcols.size == 1) dcols.head else least(dcols: _*)
+        val top = emb.withColumn("d2", minD2)
+          .orderBy(col("d2").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id"), col("e"), col("xx"), col("d2")).head()
+        picks += ((r, top.getLong(0),
+          math.floor(top.getDouble(3) * 1.0e9 + 0.5).toLong))
+        centers = centers :+
+          ((top.getLong(0), top.getSeq[Double](1), top.getDouble(2)))
+      }
+      picks.toSeq.toDF("round", "vec_id", "d2_nano")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -629,5 +673,35 @@ object SamplingQueries {
          |(SELECT user_id FROM pairs GROUP BY user_id HAVING COUNT(*) = 2))
          |SELECT $KMV_K AS k, th.theta_u, nb.n_below,
          |CAST(FLOOR(CAST(nb.n_below AS DOUBLE) * ${TWO32.toDouble} / CAST(th.theta_u AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS est_common_micro,
-         |ex.exact_common FROM nb CROSS JOIN th CROSS JOIN ex""".stripMargin)
+         |ex.exact_common FROM nb CROSS JOIN th CROSS JOIN ex""".stripMargin,
+
+    // the greedy recurrence UNROLLED to k chained CTE stages (standard
+    // SQL forbids aggregates in a recursive term): stage r takes the
+    // argmax of LEAST over the r−1 selected 1-row center CTEs — the
+    // same fixed-order d2 expression, the same DESC/vec_id tiebreak
+    "sim_diversity_kcenter" -> {
+      val k = KC_K
+      val sb = new StringBuilder
+      sb ++= "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS xx FROM embeddings),\n"
+      sb ++= "c1 AS (SELECT vec_id, e, xx FROM emb ORDER BY vec_id ASC LIMIT 1),\n"
+      sb ++= "s1 AS (SELECT 1 AS round, vec_id, CAST(0 AS BIGINT) AS d2_nano FROM c1)"
+      for (r <- 2 to k) {
+        val terms = (1 until r).map(j =>
+          s"(emb.xx - 2.0 * list_dot_product(emb.e, c$j.e) + c$j.xx)")
+        val minExpr =
+          if (terms.size == 1) terms.head else s"LEAST(${terms.mkString(", ")})"
+        val froms = (1 until r).map(j => s"c$j").mkString(", ")
+        sb ++= s",\nm$r AS (SELECT emb.vec_id, emb.e, emb.xx, $minExpr AS d2 " +
+          s"FROM emb, $froms)"
+        sb ++= s",\nc$r AS (SELECT vec_id, e, xx, d2 FROM m$r " +
+          "ORDER BY d2 DESC, vec_id ASC LIMIT 1)"
+        sb ++= s",\ns$r AS (SELECT $r AS round, vec_id, " +
+          s"CAST(FLOOR(d2 * 1000000000.0 + 0.5) AS BIGINT) AS d2_nano FROM c$r)"
+      }
+      sb ++= "\n" + (1 to k).map(r =>
+        s"SELECT CAST(round AS INTEGER) AS round, vec_id, d2_nano FROM s$r")
+        .mkString(" UNION ALL ")
+      sb.toString
+    })
 }

@@ -21,7 +21,18 @@ object ExplainAudit {
         org.apache.spark.sql.execution.FormattedMode)
 
     if (args.nonEmpty) {
-      args.foreach { n => println(s"\n===== $n ====="); println(plan(n)) }
+      // --exec: run the query and print the FINAL adaptive plan (the
+      // one with AQE's exchange/subquery reuse applied) instead of the
+      // static pre-execution plan
+      val exec = args.contains("--exec")
+      args.filterNot(_ == "--exec").foreach { n =>
+        println(s"\n===== $n =====")
+        if (exec) {
+          val df = SparkEntry.queries(n)(spark, dir)
+          df.count()
+          println(df.queryExecution.executedPlan.toString)
+        } else println(plan(n))
+      }
       spark.stop(); return
     }
 
@@ -389,6 +400,44 @@ object ExplainAudit {
         "never a cartesian") { p =>
       !p.contains("CartesianProduct") &&
         "SortMergeJoin|BroadcastHashJoin".r.findAllIn(p).length >= 9
+    }
+    audit("q10_returned_items",
+      "R-flag + quarter filters pushed to the scans; top-20 is " +
+        "TakeOrderedAndProject; never a cartesian") { p =>
+      p.contains("EqualTo(l_returnflag,R)") &&
+        p.contains("GreaterThanOrEqual(o_orderdate") &&
+        p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct")
+    }
+    audit("text_pmi_collocations",
+      "bounded candidate set broadcasts into the vocab enrichment " +
+        "(never a vocab shuffle-join); PMI math on the control plane") { p =>
+      count(p, "BroadcastHashJoin") >= 2 && !p.contains("SortMergeJoin") &&
+        p.contains("TakeOrderedAndProject")
+    }
+    audit("sim_bitext_margin",
+      "banded LSH candidates (never A×B brute): the cross-side join is " +
+        "an equi-join on (band,bucket); nested-loop only against the " +
+        "1-row nbits scalar; rank + neighborhood sum share each side's " +
+        "exchange (6 windows total: 2 cohort caps + 4 margin)") { p =>
+      !p.contains("CartesianProduct") && count(p, "Window") == 6 &&
+        count(p, "BroadcastNestedLoopJoin") == 2 &&
+        (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    }
+
+    audit("events_attribution",
+      "user_id equi-join with range residual (never a cartesian); " +
+        "fan-out count and per-click agg add at most the two pair-table " +
+        "exchanges (SMJ regime: both reuse the join partitioning)") { p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        count(p, "Exchange") <= 2 && count(p, "Window") == 1
+    }
+
+    audit("events_path_mining",
+      "session path agg REUSES the user-window partitioning (grouping " +
+        "keys are a superset): exactly two exchanges; top-N is " +
+        "TakeOrderedAndProject; no join anywhere") { p =>
+      count(p, "Exchange") == 2 && p.contains("TakeOrderedAndProject") &&
+        !p.contains("Join")
     }
 
     spark.stop()

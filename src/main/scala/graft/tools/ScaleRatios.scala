@@ -80,7 +80,12 @@ object ScaleRatios {
       "sim_hard_negatives", "a_grouping_sets", "events_markov_transitions",
       "q18_large_orders", "events_rfm", "text_tfidf_keyterms",
       // r10: the funnel's staged-min twin (unbounded-cardinality path)
-      "events_funnel_windowed")
+      "events_funnel_windowed",
+      // r10 second batch: PMI collocations (two token aggs + broadcast
+      // enrichment), banded bitext margin mining, TPC-H Q10, linear
+      // attribution (one exchange pair), greedy k-center selection
+      "text_pmi_collocations", "sim_bitext_margin", "q10_returned_items",
+      "events_attribution", "sim_diversity_kcenter", "events_path_mining")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -105,6 +105,81 @@ class GraftConfSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("curate_winsorize").contains("* 500 + 9999"))
   }
 
+  test("PMI support floor and top-k flow to plan and oracle together") {
+    val q = SparkEntry.queries("text_pmi_collocations")
+    val defaults = q(spark, dir).collect().map(_.toSeq)
+    assert(defaults.size == 50, "default top-50 collocations")
+    assert(SparkEntry.oracleSql("text_pmi_collocations").contains("c12 >= 5"))
+    withConf("graft.pmi.minCount" -> "50", "graft.pmi.topk" -> "10") {
+      val rows = q(spark, dir).collect()
+      assert(rows.length <= 10, "top-k caps the output")
+      // a 10x support floor admits only high-count bigrams
+      assert(rows.forall(_.getLong(2) >= 50L), "support floor enforced")
+      val sql = SparkEntry.oracleSql("text_pmi_collocations")
+      assert(sql.contains("c12 >= 50") && sql.contains("LIMIT 10"))
+    }
+  }
+
+  test("bitext margin neighborhood k and floor flow to plan and oracle together") {
+    val q = SparkEntry.queries("sim_bitext_margin")
+    val base = q(spark, dir).count()
+    assert(base > 0, "default margin floor must mine some pairs")
+    withConf("graft.bitext.minMicro" -> "2000000") {
+      // margin ≥ 2.0: strictly harder than ≥ 1.0 — the mined set shrinks
+      assert(q(spark, dir).count() < base)
+      assert(SparkEntry.oracleSql("sim_bitext_margin").contains(">= 2000000"))
+    }
+    withConf("graft.bitext.k" -> "1") {
+      // k=1: each neighborhood sum is exactly the top-1 cos; margin of
+      // the top-1 pair vs itself-and-partner stays computable and the
+      // oracle carries the matching 2k multiplier (2*1*10^6)
+      assert(SparkEntry.oracleSql("sim_bitext_margin").contains("* 2000000) //"))
+      assert(q(spark, dir).count() > 0)
+    }
+  }
+
+  test("attribution lookback window flows to plan and oracle together") {
+    val q = SparkEntry.queries("events_attribution")
+    val base = q(spark, dir).agg(
+      org.apache.spark.sql.functions.sum("n_credits")).head.getLong(0)
+    withConf("graft.attr.windowHours" -> "1") {
+      val tight = q(spark, dir).agg(
+        org.apache.spark.sql.functions.sum("n_credits")).head.getLong(0)
+      // a 1h lookback admits strictly fewer click→purchase pairs than 24h
+      assert(tight < base, s"tighter window must shed credits ($tight vs $base)")
+      assert(SparkEntry.oracleSql("events_attribution").contains("- 3600000000"),
+        "oracle carries the 1h window in micros")
+    }
+    assert(SparkEntry.oracleSql("events_attribution").contains("- 86400000000"))
+  }
+
+  test("k-center k flows to plan and oracle together; maximin radii never increase") {
+    withConf("graft.kcenter.k" -> "4") {
+      val rows = SparkEntry.queries("sim_diversity_kcenter")(spark, dir)
+        .orderBy("round").collect()
+      assert(rows.length == 4)
+      // greedy maximin: each added center's radius is ≤ the previous
+      val d2 = rows.map(_.getLong(2)).drop(1)
+      assert(d2.zip(d2.tail).forall { case (a, b) => b <= a },
+        s"radii must be non-increasing: ${d2.mkString(",")}")
+      val sql = SparkEntry.oracleSql("sim_diversity_kcenter")
+      assert(sql.contains("FROM s4") && !sql.contains("s5"))
+    }
+  }
+
+  test("path-mining cap and top-n flow to plan and oracle together") {
+    val q = SparkEntry.queries("events_path_mining")
+    withConf("graft.path.maxEvents" -> "1", "graft.path.topn" -> "5") {
+      val rows = q(spark, dir).collect()
+      assert(rows.length <= 5)
+      // a 1-event cap collapses every path to a single event type
+      assert(rows.forall(!_.getString(0).contains(">")), "capped paths are single steps")
+      val sql = SparkEntry.oracleSql("events_path_mining")
+      assert(sql.contains("[1:1]") && sql.contains("LIMIT 5"))
+    }
+    assert(SparkEntry.oracleSql("events_path_mining").contains("[1:20]"))
+  }
+
   test("dsir target language and keep flow to plan and oracle together") {
     withConf("graft.dsir.targetLang" -> "zh", "graft.dsir.keep" -> "7") {
       val sql = SparkEntry.oracleSql("curate_dsir")
