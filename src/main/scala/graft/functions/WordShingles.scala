@@ -176,4 +176,7 @@ object functions {
 
   def ascii_counts(c: Column): Column =
     ColumnBridge.column(AsciiCounts(ColumnBridge.expression(c)))
+
+  def winnow_stats(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowStats(ColumnBridge.expression(c), k, w))
 }

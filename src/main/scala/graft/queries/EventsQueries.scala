@@ -307,6 +307,96 @@ object EventsQueries {
         .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
         .orderBy(col("n_sessions").desc, col("path").asc)
         .limit(PATH_TOPN)
+    }),
+
+    // Kaplan-Meier survival over user lifetimes (the retention-curve
+    // estimator behind every churn analysis): lifetime = days between
+    // a user's first and last event; at each observed lifetime t the
+    // at-risk count n_t is the suffix sum of the death histogram and
+    // the survival curve is the running product Π(1 − d/n) — reported
+    // as ln S(t) in exact µ-nat units: each ln() of an INTEGER count
+    // is floored to µ-nats once, then combined by exact long prefix
+    // sums (the PMI/zipf posture — no cross-row float accumulation).
+    // ONE corpus shuffle (user agg); the histogram and both windows
+    // run on the O(days) control-plane table (deliberate
+    // single-partition window, the zipf-OLS posture). The final row
+    // (n = d, survival 0) carries NULL — ln 0 is not a number in
+    // either engine.
+    "events_survival_km" -> ((s, dir) => {
+      val life = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("t"))
+      val hist = life.groupBy(col("t")).agg(count(lit(1)).as("n_death"))
+      val wOrd = Window.orderBy(col("t"))
+      def lnMicro(c: org.apache.spark.sql.Column) =
+        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+      hist
+        .withColumn("n_risk", sum(col("n_death"))
+          .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("term",
+          when(col("n_risk") === col("n_death"), lit(null).cast("long"))
+            .otherwise(lnMicro(col("n_risk") - col("n_death")) - lnMicro(col("n_risk"))))
+        .withColumn("ln_s_micro",
+          when(col("n_risk") === col("n_death"), lit(null).cast("long"))
+            .otherwise(sum(col("term"))
+              .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+        .select(col("t"), col("n_death"), col("n_risk"), col("ln_s_micro"))
+    }),
+
+    // Cohort LTV (lifetime-value matrix — the monetization twin of
+    // events_retention): users cohorted by first purchase day; per
+    // (cohort, day-offset) cell, that day's revenue and the running
+    // cumulative, normalized per cohort user. Money parity: exact
+    // cents via floor(v·100+0.5), exact long sums, per-user LTV as
+    // INTEGER division in 10⁻⁶-dollar units. Scale: purchase scan →
+    // user agg (the one corpus shuffle) → join-back co-partitioned on
+    // user_id (reuses the agg's partitioning) → O(cohorts·offsets)
+    // cell agg; the cumulative window and the cohort-size join run on
+    // the control-plane matrix (AQE broadcasts the size table).
+    "events_cohort_ltv" -> ((s, dir) => {
+      val p = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("d"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      val first = p.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      val sized = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_users"))
+      val daily = p.join(first, "user_id")
+        .withColumn("day_offset", expr("CAST(datediff(d, cohort_day) AS INT)"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val wc = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      daily.join(sized, "cohort_day")
+        .withColumn("cum_cents", sum(col("rev_cents"))
+          .over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ltv_micro", expr("(cum_cents * 10000) div cohort_users"))
+        .select(col("cohort_day"), col("day_offset"), col("cohort_users"),
+          col("rev_cents"), col("cum_cents"), col("ltv_micro"))
+    }),
+
+    // DAU/WAU stickiness (the engagement ratio every product
+    // dashboard leads with): daily active users over trailing-window
+    // weekly actives, as integer micro-units. The (day, user) distinct
+    // table is the big intermediate (linear in the corpus, already
+    // day-deduped ≪ raw events) and feeds BOTH the DAU and WAU legs —
+    // localCheckpoint pins it so the corpus is scanned and deduped
+    // exactly once (without the pin Spark plans the distinct twice and
+    // reuses neither exchange — measured). Downstream: DAU agg, ×W day
+    // fan-out (linear) + its distinct, WAU agg — three exchanges; the
+    // final O(days)⋈O(days) DAU⋈WAU join broadcasts.
+    "events_stickiness" -> ((s, dir) => {
+      val wd = STICKY_DAYS
+      val du = Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+        .localCheckpoint()
+      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(explode(expr(
+          s"sequence(day, day + INTERVAL ${wd - 1} DAYS, INTERVAL 1 DAY)")).as("wday"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("wday")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, col("day") === col("wday"))
+        .withColumn("stickiness_micro", expr("(dau * 1000000) div wau"))
+        .select(col("day"), col("dau"), col("wau"), col("stickiness_micro"))
     }))
 
   /** The trailing-24h z-score algebra over an (event_type, h, n)
@@ -345,6 +435,9 @@ object EventsQueries {
   /** Path mining: per-path event cap and top-N output size. */
   private def PATH_CAP = graft.GraftConf.int("graft.path.maxEvents", 20)
   private def PATH_TOPN = graft.GraftConf.int("graft.path.topn", 50)
+
+  /** Stickiness: trailing active window, days (7 = DAU/WAU). */
+  private def STICKY_DAYS = graft.GraftConf.int("graft.stickiness.days", 7)
 
   // the SQL-textbook 3-stage form: same strict-inequality staged
   // minima, algebraically identical to the fold — and LITERALLY the
@@ -468,5 +561,58 @@ object EventsQueries {
          |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
          |CAST(SUM(converted) AS BIGINT) AS n_converted
          |FROM sp GROUP BY 1
-         |ORDER BY n_sessions DESC, path ASC LIMIT $PATH_TOPN""".stripMargin)
+         |ORDER BY n_sessions DESC, path ASC LIMIT $PATH_TOPN""".stripMargin,
+
+    // same day-granular lifetimes, same µ-nat per-term flooring, same
+    // exact long prefix sums; suffix-sum at-risk counts
+    "events_survival_km" ->
+      s"""WITH life AS (SELECT user_id,
+         |CAST(datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS INTEGER) AS t
+         |FROM $oEvents GROUP BY 1),
+         |h AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_death FROM life GROUP BY 1),
+         |r AS (SELECT t, n_death, CAST(SUM(n_death) OVER
+         |(ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+         |FROM h),
+         |tm AS (SELECT t, n_death, n_risk,
+         |CASE WHEN n_risk = n_death THEN NULL ELSE
+         |CAST(FLOOR(ln(CAST(n_risk - n_death AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |- CAST(FLOOR(ln(CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |END AS term FROM r)
+         |SELECT t, n_death, n_risk,
+         |CASE WHEN n_risk = n_death THEN NULL ELSE
+         |CAST(SUM(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |END AS ln_s_micro FROM tm""".stripMargin,
+
+    // same exact-cents money, same day-offset arithmetic, same
+    // integer micro-unit normalization
+    "events_cohort_ltv" ->
+      s"""WITH p AS (SELECT user_id, date_trunc('day', ts) AS d,
+         |CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+         |FROM $oEvents WHERE event_type = 'purchase'),
+         |f AS (SELECT user_id, MIN(d) AS cohort_day FROM p GROUP BY 1),
+         |s AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
+         |FROM f GROUP BY 1),
+         |dly AS (SELECT cohort_day,
+         |CAST(datediff('day', cohort_day, d) AS INTEGER) AS day_offset,
+         |CAST(SUM(cents) AS BIGINT) AS rev_cents
+         |FROM p JOIN f USING (user_id) GROUP BY 1, 2),
+         |c AS (SELECT cohort_day, day_offset, rev_cents,
+         |CAST(SUM(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_offset
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents FROM dly)
+         |SELECT c.cohort_day, c.day_offset, s.cohort_users, c.rev_cents,
+         |c.cum_cents, (cum_cents * 10000) // cohort_users AS ltv_micro
+         |FROM c JOIN s USING (cohort_day)""".stripMargin,
+
+    // same (day, user) distinct base, same ×W fan-out, same integer
+    // micro-unit division
+    "events_stickiness" ->
+      s"""WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+         |FROM $oEvents),
+         |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+         |w AS (SELECT DISTINCT g.wday, du.user_id FROM du,
+         |LATERAL UNNEST(generate_series(day, day + INTERVAL ${STICKY_DAYS - 1} DAY,
+         |INTERVAL 1 DAY)) AS g(wday)),
+         |wau AS (SELECT wday, CAST(COUNT(*) AS BIGINT) AS wau FROM w GROUP BY 1)
+         |SELECT day, dau, wau, (dau * 1000000) // wau AS stickiness_micro
+         |FROM dau JOIN wau ON day = wday""".stripMargin)
 }

@@ -52,6 +52,12 @@ object LlmQueries {
   private def EMB_CAP = GraftConf.int("graft.dedup.embCap", 50)
   /** Image aHash dedup: docs per mirror cohort = corpus / mod. */
   private def AHASH_MOD = GraftConf.int("graft.dedup.ahashMod", 100)
+  /** Winnowing (Schleimer et al. 2003): k-gram size and window width. */
+  private def WIN_K = GraftConf.int("graft.winnow.k", 8)
+  private def WIN_W = GraftConf.int("graft.winnow.window", 4)
+  /** Containment report floor, micro-units (0.5 = half of the smaller
+    * doc's shingles are shared). */
+  private def CONT_MIN = GraftConf.int("graft.contain.minMicro", 500000)
 
   /** Word tokens of the document text (single-space separated). */
   private[queries] def toks: Column = split(col("text"), " ")
@@ -76,7 +82,7 @@ object LlmQueries {
     * (doc_id, page) — a stateless per-row projection, so it runs
     * unchanged over a batch scan or a readStream (the
     * IngestCuration posture; parity by spec). */
-  private[graft] def gopherRules(docs: DataFrame): DataFrame = {
+  private[graft] def gopherRules(docs: DataFrame, passThrough: Seq[String] = Nil): DataFrame = {
     val t = split(col("page"), " ")
     docs
       .withColumn("n_words", size(t).cast("long"))
@@ -94,14 +100,14 @@ object LlmQueries {
           col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
           col("symbol_ratio") < 0.1 && col("alpha_ratio") > 0.8 &&
           col("n_stop_distinct") >= 2)
-      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+      .select(Seq(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("symbol_ratio"), col("alpha_ratio"), col("n_stop_distinct"),
-        col("keep"))
+        col("keep")) ++ passThrough.map(col): _*)
   }
 
   /** The C4 §2.2 line/document filters over a frame carrying
     * (doc_id, raw) — stateless per-row, batch ≡ stream. */
-  private[graft] def c4Filters(docs: DataFrame): DataFrame =
+  private[graft] def c4Filters(docs: DataFrame, passThrough: Seq[String] = Nil): DataFrame =
     docs
       .withColumn("lines", split(col("raw"), "\n"))
       .withColumn("kept", filter(col("lines"),
@@ -115,9 +121,9 @@ object LlmQueries {
         expr("regexp_count(cleaned, '[.!?]')").cast("int"))
       .withColumn("keep",
         !col("has_lorem") && !col("has_brace") && col("n_sentences") >= 3)
-      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+      .select(Seq(col("doc_id"), col("n_lines"), col("n_kept_lines"),
         col("cleaned"), col("has_lorem"), col("has_brace"),
-        col("n_sentences"), col("keep"))
+        col("n_sentences"), col("keep")) ++ passThrough.map(col): _*)
 
   /** The FineWeb line-level battery (Penedo et al. 2024, "The FineWeb
     * Datasets" §3.4 — the three filters FineWeb added beyond C4/Gopher)
@@ -128,7 +134,7 @@ object LlmQueries {
     * of short lines (< 30 chars) is ≥ 0.67. Stateless per-row HOFs —
     * batch ≡ stream; dup accounting folds over the distinct lines of
     * ONE row (O(lines²) per doc, lines are dozens), never a shuffle. */
-  private[graft] def finewebLines(docs: DataFrame): DataFrame = {
+  private[graft] def finewebLines(docs: DataFrame, passThrough: Seq[String] = Nil): DataFrame = {
     val lines = col("lines")
     docs
       .withColumn("lines", split(col("page"), "\n"))
@@ -146,8 +152,9 @@ object LlmQueries {
       .withColumn("keep",
         col("punct_line_ratio") > 0.12 && col("dup_line_char_frac") < 0.1 &&
           col("short_line_frac") < 0.67)
-      .select(col("doc_id"), col("n_lines"), col("punct_line_ratio"),
-        col("dup_line_char_frac"), col("short_line_frac"), col("keep"))
+      .select(Seq(col("doc_id"), col("n_lines"), col("punct_line_ratio"),
+        col("dup_line_char_frac"), col("short_line_frac"), col("keep")) ++
+        passThrough.map(col): _*)
   }
 
   // ---- DuckDB SQL fragments kept adjacent to their Spark twins ----
@@ -276,6 +283,34 @@ object LlmQueries {
           col("edit_dist") / greatest(length(col("text_a")), length(col("text_b"))))
         .where(col("rel_dist") <= 0.2)
         .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+    }),
+
+    // Shingle containment over LSH candidates (Broder 1997's second
+    // resemblance measure — |A∩B|/|A|, the doc-INCLUSION detector:
+    // jaccard misses a small doc quoted inside a big one, containment
+    // doesn't). Exact intersection counted ONLY on the capped LSH
+    // candidate pairs (the verified posture — never an all-pairs
+    // shingle join): the tiny pair table broadcasts into the shingle
+    // stream twice, so the corpus-sized side never shuffles. Both
+    // directional containments are INTEGER division in micro-units.
+    "text_minhash_containment" -> ((s, dir) => {
+      val cand = lshCandidatePairs(s, dir)
+      val sh = Tables.documents(s, dir).select(col("doc_id"), explode(shingles3).as("g"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = cand.join(sh.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      val inter = a.join(
+        sh.select(col("doc_id").as("b_id"), col("g").as("g_b")),
+        col("doc_b") === col("b_id") && col("g") === col("g_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("containment_a_micro", expr("(c * 1000000) div na"))
+        .withColumn("containment_b_micro", expr("(c * 1000000) div nb"))
+        .where(greatest(col("containment_a_micro"), col("containment_b_micro"))
+          >= CONT_MIN)
+        .select(col("doc_a"), col("doc_b"), col("c"), col("na"), col("nb"),
+          col("containment_a_micro"), col("containment_b_micro"))
     }),
 
     // SimHash fingerprints + cluster sizes: one token explode, 16 signed
@@ -646,6 +681,48 @@ object LlmQueries {
             lit("\nlink a\nlink b\nlink c\nlink d\nlink e\nlink f\nlink g"))
             .otherwise(lit("")))))),
 
+    // Quality ensemble (the FineWeb/Dolma production posture: no
+    // single filter battery ships alone — documents are kept by
+    // majority vote across independent batteries). Composes the
+    // published Gopher, C4, and FineWeb rule sets — each on ITS OWN
+    // derived page (identical to the standalone catalog queries, so
+    // the per-battery keep bits here cross-check those entries) — in
+    // ONE scan: the batteries are stateless per-row projections, so
+    // they CHAIN through pass-through columns instead of re-scanning
+    // and joining (three scans + two corpus-sized shuffles saved;
+    // zero exchanges in the whole plan).
+    "curate_quality_ensemble" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .withColumn("page", concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" and that have with of the"))
+            .otherwise(lit(""))))
+        .withColumn("raw", concat(col("text"), lit("."),
+          lit("\nthis synthetic line holds enough words to pass. indeed it clears the bar."),
+          when(col("doc_id") % 7 === 0, lit("\nlorem ipsum dolor sit.")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\nvar x = {javascript};")).otherwise(lit("")),
+          lit("\ntoo short.")))
+        .withColumn("fpage", concat(col("text"), lit("."),
+          lit("\nnav"),
+          when(col("doc_id") % 2 === 0,
+            lit("\ncopyright footer boilerplate repeated notice." +
+              "\ncopyright footer boilerplate repeated notice."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            lit("\nlink a\nlink b\nlink c\nlink d\nlink e\nlink f\nlink g"))
+            .otherwise(lit(""))))
+      val g = gopherRules(base, Seq("raw", "fpage"))
+        .select(col("doc_id"), col("keep").as("gopher_keep"), col("raw"), col("fpage"))
+      val c = c4Filters(g, Seq("gopher_keep", "fpage"))
+        .select(col("doc_id"), col("gopher_keep"), col("keep").as("c4_keep"),
+          col("fpage").as("page"))
+      finewebLines(c, Seq("gopher_keep", "c4_keep"))
+        .select(col("doc_id"), col("gopher_keep"), col("c4_keep"),
+          col("keep").as("fineweb_keep"))
+        .withColumn("votes", col("gopher_keep").cast("int") +
+          col("c4_keep").cast("int") + col("fineweb_keep").cast("int"))
+        .withColumn("keep", col("votes") >= 2)
+    }),
+
     // PII scrubbing: replace emails and URLs with sentinels and count
     // them (the redaction pass every crawl corpus goes through before
     // training). The corpus is synthetic word-salad, so the PII is
@@ -735,6 +812,33 @@ object LlmQueries {
           aggregate(toks, lit(0L), (acc, x) =>
             (acc * 131L + (length(x) * 31 + ascii(substring(x, 1, 1))).cast("long")) % MOD))
         .select(col("doc_id"), col("fingerprint"))
+    }),
+
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    // MOSS local document fingerprinting algorithm, the plagiarism/
+    // near-dup selection standard): character k-gram Horner hashes mod
+    // a 31-bit prime, then each sliding window of W hashes selects its
+    // minimum (ties → RIGHTMOST, the paper's robust-winnowing rule),
+    // and the fingerprint set is the distinct selected positions —
+    // guaranteeing a shared fingerprint for any match ≥ k+W−1 chars.
+    // Zero-shuffle per-row projection via the fused
+    // graft.functions.winnow_stats expression (one O(len·k) pass +
+    // monotonic-deque window minima, whose ≥-popping discipline IS the
+    // rightmost-min rule; the interpreted HOF-lambda form of the same
+    // math measured 19 s at sf0.1, the fusion sub-second — the
+    // ascii_counts posture). Integer-only parity: Horner sums stay
+    // < 2⁶³ by construction (ASCII codes, k=8 ⇒ < 3.5·10¹⁷) so both
+    // engines take ONE exact mod; the oracle expresses the rightmost
+    // tie-break as reverse + first-position; WinnowStatsSpec pins the
+    // expression against an independent reference AND the HOF-SQL
+    // formulation it replaced.
+    "text_winnowing" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("ws",
+          graft.functions.functions.winnow_stats(col("text"), WIN_K, WIN_W))
+        .select(col("doc_id"), col("ws.n_kgrams").as("n_kgrams"),
+          col("ws.n_selected").as("n_selected"),
+          col("ws.fp_min").as("fp_min"), col("ws.fp_sum").as("fp_sum"))
     }),
 
     // Multimodal columns: opaque binary payload + deterministic
@@ -893,6 +997,25 @@ object LlmQueries {
          |WHERE levenshtein(ta.text, tb.text) <= 116
          |AND levenshtein(ta.text, tb.text) /
          |greatest(length(ta.text), length(tb.text)) <= 0.2""".stripMargin,
+
+    // same LSH candidates, same exact shingle intersection, same
+    // directional integer micro-divisions
+    "text_minhash_containment" ->
+      s"""$oShingles,
+         |$oLshCand,
+         |sz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM s),
+         |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |i AS (SELECT cand.doc_a, cand.doc_b, CAST(COUNT(*) AS BIGINT) AS c
+         |FROM cand JOIN x a ON a.doc_id = cand.doc_a
+         |JOIN x b ON b.doc_id = cand.doc_b AND b.g = a.g
+         |GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, c, sa.n AS na, sb.n AS nb,
+         |(c * 1000000) // sa.n AS containment_a_micro,
+         |(c * 1000000) // sb.n AS containment_b_micro
+         |FROM i JOIN sz sa ON sa.doc_id = i.doc_a
+         |JOIN sz sb ON sb.doc_id = i.doc_b
+         |WHERE GREATEST((c * 1000000) // sa.n, (c * 1000000) // sb.n)
+         |>= $CONT_MIN""".stripMargin,
 
     "dedup_simhash" -> {
       val sums = (1 to SIMHASH_BITS).map(j =>
@@ -1055,6 +1178,31 @@ object LlmQueries {
          |(acc, x) -> (acc * 131 + x) % $MOD) AS fingerprint
          |FROM documents""".stripMargin,
 
+    // same unrolled Horner k-gram hash, same rightmost-min selection
+    // (reverse + first position), same exact long summaries
+    "text_winnowing" -> {
+      val k = WIN_K
+      val w = WIN_W
+      val horner = (0 until k).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+        s"($acc * 131 + ascii(text[i + $j]))")
+      s"""WITH h AS (SELECT doc_id,
+         |CASE WHEN length(text) >= $k THEN
+         |list_transform(range(1, length(text) - $k + 2), i -> $horner % 2147483647)
+         |ELSE []::BIGINT[] END AS hs FROM documents),
+         |s AS (SELECT doc_id, hs,
+         |CASE WHEN len(hs) >= $w THEN
+         |list_distinct(list_transform(range(1, len(hs) - $w + 2), i ->
+         |CAST(i + $w - list_position(list_reverse(hs[i:i+${w - 1}]),
+         |list_min(hs[i:i+${w - 1}])) AS INTEGER)))
+         |ELSE []::INTEGER[] END AS sel FROM h),
+         |f AS (SELECT doc_id, hs, sel, list_transform(sel, p -> hs[p]) AS fps FROM s)
+         |SELECT doc_id, CAST(len(hs) AS INTEGER) AS n_kgrams,
+         |CAST(len(sel) AS INTEGER) AS n_selected,
+         |CASE WHEN len(sel) > 0 THEN CAST(list_min(fps) AS BIGINT) END AS fp_min,
+         |CASE WHEN len(sel) > 0 THEN CAST(list_sum(fps) AS BIGINT) END AS fp_sum
+         |FROM f""".stripMargin
+    },
+
     "curate_weighted_sample" ->
       """WITH p AS (SELECT doc_id,
         |len(string_split(text, ' '))::DOUBLE AS w,
@@ -1155,6 +1303,67 @@ object LlmQueries {
         |(n_punct / n_lines > 0.12 AND dup_chars / tot_chars < 0.1 AND
         |n_short / n_lines < 0.67) AS keep
         |FROM m""".stripMargin,
+
+    // the three batteries verbatim (same derived pages, same rule
+    // expressions as their standalone oracles), majority vote
+    "curate_quality_ensemble" ->
+      """WITH gp AS (SELECT doc_id,
+        |text || CASE WHEN doc_id % 3 = 0 THEN ' and that have with of the' ELSE '' END AS page
+        |FROM documents),
+        |gm AS (SELECT doc_id, page, string_split(page, ' ') AS w FROM gp),
+        |g AS (SELECT doc_id,
+        |(len(w)::BIGINT >= 50 AND len(w)::BIGINT <= 100000 AND
+        |(length(page) - (len(w)::BIGINT - 1)) / len(w)::BIGINT >= 3 AND
+        |(length(page) - (len(w)::BIGINT - 1)) / len(w)::BIGINT <= 10 AND
+        |len(regexp_extract_all(page, '#|\.\.\.'))::BIGINT / len(w)::BIGINT < 0.1 AND
+        |len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w)::BIGINT > 0.8 AND
+        |len(list_intersect(list_distinct(w),
+        |['the','be','to','of','and','that','have','with'])) >= 2) AS gopher_keep
+        |FROM gm),
+        |cr AS (SELECT doc_id,
+        |text || '.' ||
+        |chr(10) || 'this synthetic line holds enough words to pass. indeed it clears the bar.' ||
+        |CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END ||
+        |CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'var x = {javascript};' ELSE '' END ||
+        |chr(10) || 'too short.' AS raw
+        |FROM documents),
+        |cc AS (SELECT doc_id, raw,
+        |list_filter(string_split(raw, chr(10)),
+        |l -> len(string_split(l, ' ')) >= 5 AND regexp_matches(l, '[.!?]$')) AS kept
+        |FROM cr),
+        |c AS (SELECT doc_id,
+        |(NOT contains(raw, 'lorem ipsum') AND NOT contains(raw, '{') AND
+        |len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3) AS c4_keep
+        |FROM cc),
+        |fr AS (SELECT doc_id,
+        |text || '.' || chr(10) || 'nav' ||
+        |CASE WHEN doc_id % 2 = 0 THEN
+        |chr(10) || 'copyright footer boilerplate repeated notice.' ||
+        |chr(10) || 'copyright footer boilerplate repeated notice.' ELSE '' END ||
+        |CASE WHEN doc_id % 9 = 0 THEN
+        |chr(10) || 'link a' || chr(10) || 'link b' || chr(10) || 'link c' ||
+        |chr(10) || 'link d' || chr(10) || 'link e' || chr(10) || 'link f' ||
+        |chr(10) || 'link g' ELSE '' END AS page
+        |FROM documents),
+        |ff AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM fr),
+        |fm AS (SELECT doc_id,
+        |CAST(len(ls) AS INTEGER) AS n_lines,
+        |len(list_filter(ls, l -> regexp_matches(l, '[.!?]$'))) AS n_punct,
+        |CAST(list_sum(list_transform(ls, l -> length(l))) AS BIGINT) AS tot_chars,
+        |CAST(list_sum(list_transform(list_distinct(ls),
+        |l -> (len(list_filter(ls, x -> x = l)) - 1) * length(l))) AS BIGINT) AS dup_chars,
+        |len(list_filter(ls, l -> length(l) < 30)) AS n_short
+        |FROM ff),
+        |f AS (SELECT doc_id,
+        |(n_punct / n_lines > 0.12 AND dup_chars / tot_chars < 0.1 AND
+        |n_short / n_lines < 0.67) AS fineweb_keep
+        |FROM fm),
+        |v AS (SELECT g.doc_id, gopher_keep, c4_keep, fineweb_keep,
+        |CAST(gopher_keep AS INTEGER) + CAST(c4_keep AS INTEGER) +
+        |CAST(fineweb_keep AS INTEGER) AS votes
+        |FROM g JOIN c ON g.doc_id = c.doc_id JOIN f ON g.doc_id = f.doc_id)
+        |SELECT doc_id, gopher_keep, c4_keep, fineweb_keep, votes,
+        |votes >= 2 AS keep FROM v""".stripMargin,
 
     "curate_scrub_pii" ->
       """WITH r AS (SELECT doc_id,

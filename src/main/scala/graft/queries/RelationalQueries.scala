@@ -187,6 +187,86 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q6 shape (forecast revenue change): the pure pushed-
+    // predicate scan — no join, no wide shuffle, just three filters
+    // that must reach the parquet reader (date window, discount band,
+    // quantity cap) and a map-side-combined global sum. At 100 TB this
+    // is THE scan-efficiency probe: the whole query is I/O bound and
+    // row-group pruning on l_shipdate does the real work. Revenue is
+    // the exact-DECIMAL sum posture; n_items pins the selectivity.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(dsum4(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q14 shape (promotion effect): fact⋈dim join where the dim
+    // (part) is NOT hinted — it broadcasts at these SFs by size
+    // estimate, and at the scale where 10⁹ parts outgrow the threshold
+    // AQE falls back to the co-partitioned shuffle, the correct plan
+    // then. The promo share is reported representation-independently:
+    // both revenue legs are exact DECIMAL(18,4) sums scaled to integer
+    // ten-thousandths, and the percentage is INTEGER division in
+    // micro-units — no double division crosses the hash.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val lo = lit("1997-09-01").cast("timestamp")
+      val hi = lit("1997-10-01").cast("timestamp")
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 4))))
+            .as("promo0"),
+          sum(rev).as("total0"))
+        .select(
+          (col("promo0") * lit(10000)).cast("long").as("promo_units"),
+          (col("total0") * lit(10000)).cast("long").as("total_units"))
+        .withColumn("promo_micro",
+          expr("(promo_units * 1000000) div total_units"))
+    }),
+
+    // TPC-H Q7 shape (volume shipping): the two-nation bilateral trade
+    // report — the star join where BOTH fact-adjacent dims carry a
+    // selective filter (supplier and customer each restricted to the
+    // two nations, 2/25 of rows) that must prune BEFORE the fact
+    // joins. nation broadcasts hinted (always dim-tiny); supplier/
+    // customer joins unhinted — they broadcast at these SFs by size
+    // and AQE falls back to co-partitioned shuffles at the scale where
+    // they outgrow the threshold (the q5 posture). Both trade
+    // directions come from one symmetric filter (supp ≠ cust over the
+    // two-nation restriction), not a plan-doubling OR of joins.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val lo = lit("1995-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val nat = Tables.nation(s, dir)
+        .where(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(nat.select(col("n_nationkey").as("sk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(nat.select(col("n_nationkey").as("ck"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
+        .select(col("c_custkey"), col("cust_nation"))
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    }),
+
     // RFM segmentation (recency / frequency / monetary — the classic
     // customer-value cut): per user over purchase events, days since
     // last purchase, purchase count, and 2-decimal money total; each
@@ -485,6 +565,45 @@ object RelationalQueries {
          |AND o_orderdate < TIMESTAMP '1997-04-01'
          |GROUP BY 1, 2, 4, 5
          |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      s"""SELECT ${oSum4("l_extendedprice * l_discount")} AS revenue,
+         |COUNT(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |AND l_shipdate < TIMESTAMP '1998-01-01'
+         |AND l_discount >= 0.05 AND l_discount <= 0.07
+         |AND l_quantity < 24.0""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """WITH a AS (SELECT
+        |SUM(CASE WHEN p_type = 'PROMO'
+        |THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo0,
+        |SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total0
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |AND l_shipdate < TIMESTAMP '1997-10-01'),
+        |u AS (SELECT CAST(promo0 * 10000 AS BIGINT) AS promo_units,
+        |CAST(total0 * 10000 AS BIGINT) AS total_units FROM a)
+        |SELECT promo_units, total_units,
+        |(promo_units * 1000000) // total_units AS promo_micro FROM u""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |${oSum4("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+         |AND n2.n_name IN ('NATION_1', 'NATION_2')
+         |AND n1.n_name <> n2.n_name
+         |AND l_shipdate >= TIMESTAMP '1995-01-01'
+         |AND l_shipdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "events_rfm" ->
       s"""WITH p AS (SELECT user_id, MAX(ts) AS last_ts,

@@ -62,6 +62,10 @@ object SamplingQueries {
   private def W_HI_BP = GraftConf.int("graft.winsor.hiBp", 9500)
   /** k-center diversity sample size. */
   private def KC_K = GraftConf.int("graft.kcenter.k", 8)
+  /** MMR re-rank: output size, candidate pool, λ as integer percent. */
+  private def MMR_K = GraftConf.int("graft.mmr.k", 5)
+  private def MMR_C = GraftConf.int("graft.mmr.cand", 25)
+  private def MMR_LAM = GraftConf.int("graft.mmr.lambdaPct", 70)
 
   private val TWO32 = 4294967296L
 
@@ -509,6 +513,56 @@ object SamplingQueries {
           ((top.getLong(0), top.getSeq[Double](1), top.getDouble(2)))
       }
       picks.toSeq.toDF("round", "vec_id", "d2_nano")
+    }),
+
+    // MMR re-ranking (Carbonell & Goldstein 1998 — maximal marginal
+    // relevance, the relevance-vs-redundancy greedy every retrieval
+    // stack runs between ANN recall and the final context): from the
+    // top-C candidates by query cosine, greedily pick k maximizing
+    // λ·rel(x) − (1−λ)·max_{s∈S} sim(x,s). Same control-plane shape
+    // as k-center: candidates localCheckpoint-pinned, selected vectors
+    // are O(k·d) driver literals, one argmax agg per round. Float
+    // parity: every cosine floors ONCE to µ-units per pair; the greedy
+    // compares only integers (λ as integer percent — score in
+    // 10⁻²·µ units), tie → min vec_id; round 1 is the empty-set case
+    // (maxsim = 0 ⇒ pure relevance).
+    "sim_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val k = MMR_K
+      val lam = MMR_LAM
+      def cosMicro(e2: Seq[Double], n2: Double) =
+        floor(dot(col("e"), typedLit(e2)) / (col("nrm") * lit(n2)) *
+          lit(1000000.0) + lit(0.5)).cast("long")
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+      val qRow = emb.orderBy(col("vec_id").asc).limit(1).head()
+      val (qid, qe, qn) =
+        (qRow.getLong(0), qRow.getSeq[Double](1), qRow.getDouble(2))
+      val cand = emb.where(col("vec_id") =!= qid)
+        .withColumn("rel_micro", cosMicro(qe, qn))
+        .orderBy(col("rel_micro").desc, col("vec_id").asc).limit(MMR_C)
+        .select(col("vec_id"), col("e"), col("nrm"), col("rel_micro"))
+        .localCheckpoint()
+      var selected = Vector.empty[(Long, Seq[Double], Double)]
+      val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+      for (r <- 1 to k) {
+        val scored =
+          if (selected.isEmpty) cand.withColumn("mmr_score", lit(lam) * col("rel_micro"))
+          else {
+            val sims = selected.map { case (_, se, sn) => cosMicro(se, sn) }
+            val maxsim = if (sims.size == 1) sims.head else greatest(sims: _*)
+            cand.where(!col("vec_id").isin(selected.map(_._1): _*))
+              .withColumn("mmr_score",
+                lit(lam) * col("rel_micro") - lit(100 - lam) * maxsim)
+          }
+        val top = scored.orderBy(col("mmr_score").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id"), col("e"), col("nrm"), col("rel_micro"),
+            col("mmr_score")).head()
+        picks += ((r, top.getLong(0), top.getLong(3), top.getLong(4)))
+        selected :+= ((top.getLong(0), top.getSeq[Double](1), top.getDouble(2)))
+      }
+      picks.toSeq.toDF("round", "vec_id", "rel_micro", "mmr_score")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -702,6 +756,40 @@ object SamplingQueries {
       sb ++= "\n" + (1 to k).map(r =>
         s"SELECT CAST(round AS INTEGER) AS round, vec_id, d2_nano FROM s$r")
         .mkString(" UNION ALL ")
+      sb.toString
+    },
+
+    // the same greedy recurrence unrolled to k chained CTE stages (the
+    // k-center posture); same µ-unit cosine floors, same integer score
+    "sim_mmr_rerank" -> {
+      val k = MMR_K
+      val lam = MMR_LAM
+      def cosM(a: String, b: String) =
+        s"CAST(FLOOR(list_dot_product($a.e, $b.e) / ($a.nrm * $b.nrm) * 1000000.0 + 0.5) AS BIGINT)"
+      val sb = new StringBuilder
+      sb ++= "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings),\n"
+      sb ++= "q AS (SELECT vec_id, e, nrm FROM emb ORDER BY vec_id ASC LIMIT 1),\n"
+      sb ++= s"cand AS (SELECT emb.vec_id, emb.e, emb.nrm, ${cosM("emb", "q")} AS rel " +
+        s"FROM emb, q WHERE emb.vec_id <> q.vec_id ORDER BY rel DESC, emb.vec_id ASC LIMIT $MMR_C),\n"
+      sb ++= s"c1 AS (SELECT vec_id, e, nrm, rel, $lam * rel AS score " +
+        "FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),\n"
+      sb ++= "s1 AS (SELECT 1 AS round, vec_id, rel, score FROM c1)"
+      for (r <- 2 to k) {
+        val sims = (1 until r).map(j => cosM("cand", s"c$j"))
+        val maxsim =
+          if (sims.size == 1) sims.head else s"GREATEST(${sims.mkString(", ")})"
+        val froms = (1 until r).map(j => s"c$j").mkString(", ")
+        val notIn = (1 until r).map(j => s"cand.vec_id <> c$j.vec_id").mkString(" AND ")
+        sb ++= s",\nm$r AS (SELECT cand.vec_id, cand.e, cand.nrm, cand.rel, " +
+          s"$lam * cand.rel - ${100 - lam} * $maxsim AS score FROM cand, $froms WHERE $notIn)"
+        sb ++= s",\nc$r AS (SELECT vec_id, e, nrm, rel, score FROM m$r " +
+          "ORDER BY score DESC, vec_id ASC LIMIT 1)"
+        sb ++= s",\ns$r AS (SELECT $r AS round, vec_id, rel, score FROM c$r)"
+      }
+      sb ++= "\n" + (1 to k).map(r =>
+        s"SELECT CAST(round AS INTEGER) AS round, vec_id, rel AS rel_micro, " +
+          s"score AS mmr_score FROM s$r").mkString(" UNION ALL ")
       sb.toString
     })
 }

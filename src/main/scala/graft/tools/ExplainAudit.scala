@@ -440,6 +440,65 @@ object ExplainAudit {
         !p.contains("Join")
     }
 
+    audit("q6_forecast_revenue",
+      "all three predicates (date window, discount band, quantity cap) " +
+        "pushed to the parquet scan; partial+final agg; one exchange; " +
+        "no join") { p =>
+      p.contains("GreaterThanOrEqual(l_shipdate") &&
+        p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+        p.contains("LessThan(l_quantity,24.0)") &&
+        count(p, "Exchange") == 1 && !p.contains("Join")
+    }
+    audit("q14_promo_revenue",
+      "ship-window pushed to the fact scan; unhinted part join " +
+        "broadcasts at this SF; one agg exchange; never a cartesian") { p =>
+      p.contains("GreaterThanOrEqual(l_shipdate") &&
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        count(p, "Exchange") == 1
+    }
+    audit("curate_quality_ensemble",
+      "three chained batteries are pure projections: ZERO exchanges, " +
+        "no join (the one-scan composition, not scan×3 + join×2)") { p =>
+      count(p, "Exchange") == 0 && !p.contains("Join")
+    }
+    audit("text_winnowing",
+      "per-row winnowing is a pure projection: zero exchanges, no join") { p =>
+      count(p, "Exchange") == 0 && !p.contains("Join")
+    }
+    audit("events_survival_km",
+      "one corpus exchange (user agg) + O(days) control-plane: " +
+        "t-histogram exchange and the deliberate single-partition " +
+        "window pair — three exchanges total, no join") { p =>
+      count(p, "Exchange") == 3 && count(p, "Window") == 2 && !p.contains("Join")
+    }
+    audit("events_stickiness",
+      "the (day,user) distinct is localCheckpoint-pinned and feeds " +
+        "both legs: DAU agg + ×W fan-out distinct + WAU agg = three " +
+        "exchanges past the pin; the O(days) DAU⋈WAU join broadcasts") { p =>
+      count(p, "Exchange") == 3 && p.contains("BroadcastHashJoin") &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+    }
+
+    audit("q7_volume_shipping",
+      "two-nation filter pushed to BOTH nation scans; ship window " +
+        "pushed to the fact scan; dims broadcast; never a cartesian " +
+        "(the symmetric filter, not an OR of join plans)") { p =>
+      """In\(n_name, \[NATION_1,NATION_2\]\)""".r.findAllIn(p).length == 2 &&
+        p.contains("GreaterThanOrEqual(l_shipdate") &&
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+    }
+    audit("events_cohort_ltv",
+      "purchase filter pushed to the scan; one cumulative window on " +
+        "the control-plane matrix; never a cartesian") { p =>
+      p.contains("EqualTo(event_type,purchase)") &&
+        count(p, "Window") == 1 && !p.contains("CartesianProduct")
+    }
+    audit("text_minhash_containment",
+      "the capped candidate pair table broadcasts into the shingle " +
+        "stream (corpus side never shuffle-joins); never a cartesian") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

@@ -85,7 +85,16 @@ object ScaleRatios {
       // enrichment), banded bitext margin mining, TPC-H Q10, linear
       // attribution (one exchange pair), greedy k-center selection
       "text_pmi_collocations", "sim_bitext_margin", "q10_returned_items",
-      "events_attribution", "sim_diversity_kcenter", "events_path_mining")
+      "events_attribution", "sim_diversity_kcenter", "events_path_mining",
+      // r10 third batch: the pushed-predicate scan probe, the unhinted
+      // fact⋈dim join, the one-scan filter ensemble, per-row winnowing,
+      // and the two events control-plane reducers
+      "q6_forecast_revenue", "q14_promo_revenue", "curate_quality_ensemble",
+      "text_winnowing", "events_survival_km", "events_stickiness",
+      // r10 fourth batch: the two-nation star, the cohort-LTV matrix,
+      // containment over LSH candidates, and the MMR control-plane loop
+      "q7_volume_shipping", "events_cohort_ltv", "text_minhash_containment",
+      "sim_mmr_rerank")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

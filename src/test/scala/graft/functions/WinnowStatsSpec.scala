@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** The fused winnow_stats expression must compute EXACTLY the portable
+  * SQL formulation the DuckDB oracle runs. Pinned three ways: an
+  * independent naive reference (explicit rightmost-min window scan),
+  * the HOF-SQL formulation the fusion replaced (run via Spark SQL on
+  * the real corpus), and hand-built tie/edge cases. */
+class WinnowStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** Naive reference: recompute each window minimum by scanning and
+    * keeping the RIGHTMOST position attaining it. */
+  private def reference(s: String, k: Int, w: Int): (Int, Int, Option[Long], Option[Long]) = {
+    val cps = s.codePoints().toArray
+    val n = math.max(0, cps.length - k + 1)
+    if (n == 0) return (0, 0, None, None)
+    val hs = Array.tabulate(n) { i =>
+      var acc = 0L
+      (0 until k).foreach(j => acc = acc * 131L + cps(i + j))
+      acc % 2147483647L
+    }
+    if (n < w) return (n, 0, None, None)
+    val sel = scala.collection.mutable.SortedSet[Int]()
+    for (i <- 0 to n - w) {
+      var best = i
+      for (j <- i until i + w) if (hs(j) <= hs(best)) best = j
+      sel += best
+    }
+    val fps = sel.toSeq.map(hs)
+    (n, sel.size, Some(fps.min), Some(fps.sum))
+  }
+
+  private def fused(s: String, k: Int, w: Int): (Int, Int, Option[Long], Option[Long]) = {
+    val r = WinnowStats.compute(UTF8String.fromString(s), k, w)
+    (r.getInt(0), r.getInt(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))
+  }
+
+  test("fused expression matches the naive reference on edge and tie cases") {
+    val cases = Seq(
+      "", "a", "abcdefg", "abcdefgh", "abcdefghi",
+      "aaaaaaaaaaaaaaaaaaaa",           // all k-grams equal — pure tie chain
+      "abababababababab",               // period-2 ties
+      "the quick brown fox jumps over the lazy dog",
+      "xyxyxyxy zz xyxyxyxy zz",        // repeated block ⇒ shared fingerprints
+      "café au lait avec du café et encore")  // multibyte path
+    for (s <- cases; k <- Seq(3, 8); w <- Seq(2, 4)) {
+      assert(fused(s, k, w) == reference(s, k, w), s"k=$k w=$w text='$s'")
+    }
+  }
+
+  test("fused expression matches the naive reference on the sf0.001 corpus") {
+    val texts = graft.Tables.documents(spark, dir)
+      .select(col("text")).collect().map(_.getString(0))
+    assert(texts.nonEmpty)
+    texts.foreach { t =>
+      assert(fused(t, 8, 4) == reference(t, 8, 4))
+    }
+  }
+
+  test("fused expression matches the HOF-SQL formulation it replaced, on the corpus") {
+    val k = 8
+    val w = 4
+    val horner = (0 until k).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+      s"($acc * 131 + ascii(substr(text, i + $j, 1)))")
+    val hof = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        s"""CASE WHEN length(text) >= $k THEN
+           |transform(sequence(1, length(text) - ${k - 1}), i -> $horner % 2147483647)
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END AS hs""".stripMargin)
+      .selectExpr("doc_id", "hs",
+        s"""CASE WHEN size(hs) >= $w THEN
+           |array_distinct(transform(sequence(1, size(hs) - ${w - 1}), i ->
+           |CAST(i + $w - array_position(reverse(slice(hs, i, $w)),
+           |array_min(slice(hs, i, $w))) AS INT)))
+           |ELSE CAST(array() AS ARRAY<INT>) END AS sel""".stripMargin)
+      .selectExpr("doc_id", "size(hs) AS n_kgrams", "size(sel) AS n_selected",
+        "IF(size(sel) > 0, array_min(transform(sel, p -> element_at(hs, p))), NULL) AS fp_min",
+        "IF(size(sel) > 0, aggregate(transform(sel, p -> element_at(hs, p)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x), NULL) AS fp_sum")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val fusedRows = graft.SparkEntry.queries("text_winnowing")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(fusedRows.keySet == hof.keySet)
+    fusedRows.foreach { case (id, v) => assert(v == hof(id), s"doc $id") }
+  }
+}

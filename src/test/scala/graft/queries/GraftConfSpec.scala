@@ -248,4 +248,123 @@ class GraftConfSpec extends AnyFunSuite {
       assert(e.getMessage.contains("no fixpoint"), e.getMessage)
     }
   }
+
+  test("winnowing k/window flow to plan and oracle; the paper's coverage bound holds") {
+    val q = SparkEntry.queries("text_winnowing")
+    val rows = q(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nk = r.getInt(1); val ns = r.getInt(2)
+      if (nk >= 4) {
+        val nw = nk - 4 + 1
+        // every window selects ≥1 position and a position covers ≤ w
+        // windows ⇒ ⌈nw/w⌉ ≤ selected ≤ nw (Schleimer §4 density)
+        assert(ns >= (nw + 3) / 4 && ns <= nw,
+          s"doc ${r.getLong(0)}: $ns selected of $nw windows")
+      } else assert(ns == 0)
+    }
+    withConf("graft.winnow.k" -> "5", "graft.winnow.window" -> "2") {
+      assert(SparkEntry.oracleSql("text_winnowing").contains("length(text) - 5 + 2"),
+        "oracle must interpolate the live k")
+      val tight = q(spark, dir).collect()
+      // a narrower window can only select MORE fingerprints per doc
+      val base = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(tight.forall(r => r.getInt(2) >= 0 && r.getInt(1) >= 0))
+      assert(tight.nonEmpty && base.nonEmpty)
+    }
+  }
+
+  test("stickiness window flows to plan and oracle; window=1 degenerates to DAU/DAU") {
+    val q = SparkEntry.queries("events_stickiness")
+    withConf("graft.stickiness.days" -> "1") {
+      val rows = q(spark, dir).collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getLong(1) == r.getLong(2) && r.getLong(3) == 1000000L),
+        "W=1 makes WAU ≡ DAU and stickiness exactly 1.0")
+      assert(SparkEntry.oracleSql("events_stickiness").contains("INTERVAL 0 DAY"))
+    }
+    val rows = q(spark, dir).collect()
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1) && r.getLong(3) <= 1000000L),
+      "weekly actives dominate daily actives")
+  }
+
+  test("survival curve is a valid KM estimate: at-risk suffix sums, nonincreasing ln S") {
+    val rows = SparkEntry.queries("events_survival_km")(spark, dir)
+      .orderBy("t").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    assert(rows.head.getLong(2) == total, "first at-risk count = every user")
+    val defined = rows.filterNot(_.isNullAt(3)).map(_.getLong(3))
+    assert(defined.zip(defined.tail).forall { case (a, b) => b <= a },
+      "ln S(t) never increases")
+    assert(defined.forall(_ <= 0L), "survival probability ≤ 1")
+    rows.foreach { r =>
+      assert(r.isNullAt(3) == (r.getLong(2) == r.getLong(1)),
+        "NULL exactly at extinction (n_risk = n_death)")
+    }
+  }
+
+  test("mmr lambda flows to plan and oracle; λ=100 degenerates to pure relevance") {
+    val q = SparkEntry.queries("sim_mmr_rerank")
+    withConf("graft.mmr.lambdaPct" -> "100", "graft.mmr.k" -> "3") {
+      val rows = q(spark, dir).collect()
+      assert(rows.length == 3)
+      val rels = rows.sortBy(_.getInt(0)).map(_.getLong(2))
+      assert(rels.zip(rels.tail).forall { case (a, b) => a >= b },
+        "pure-relevance picks arrive in rel order")
+      assert(rows.forall(r => r.getLong(3) == 100L * r.getLong(2)),
+        "λ=100 score is exactly 100·rel")
+      assert(SparkEntry.oracleSql("sim_mmr_rerank").contains("100 * cand.rel - 0 *"))
+    }
+    assert(SparkEntry.oracleSql("sim_mmr_rerank").contains("70 * cand.rel"))
+  }
+
+  test("containment floor flows to plan and oracle; containment dominates jaccard") {
+    withConf("graft.contain.minMicro" -> "0") {
+      val rows = SparkEntry.queries("text_minhash_containment")(spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val c = r.getLong(2); val na = r.getLong(3); val nb = r.getLong(4)
+        assert(c <= math.min(na, nb), "intersection bounded by either side")
+        val ca = r.getLong(5); val cb = r.getLong(6)
+        assert(ca <= 1000000L && cb <= 1000000L)
+        val jac = (c * 1000000L) / (na + nb - c)
+        assert(math.max(ca, cb) >= jac,
+          "directional containment can only exceed jaccard")
+      }
+    }
+  }
+
+  test("cohort LTV matrix is consistent: cumulative nondecreasing, size constant per cohort") {
+    val rows = SparkEntry.queries("events_cohort_ltv")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getTimestamp(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      val cums = sorted.map(_.getLong(4))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a },
+        "cumulative revenue never decreases")
+      assert(sorted.map(_.getLong(2)).distinct.length == 1,
+        "cohort size is a cohort-level constant")
+      sorted.foreach(r =>
+        assert(r.getLong(5) == r.getLong(4) * 10000L / r.getLong(2)))
+    }
+  }
+
+  test("ensemble keep bits agree with the standalone battery queries") {
+    def keepOf(name: String): Map[Long, Boolean] =
+      SparkEntry.queries(name)(spark, dir).select("doc_id", "keep")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val g = keepOf("curate_gopher_rules")
+    val c = keepOf("curate_c4_filters")
+    val f = keepOf("curate_fineweb_lines")
+    val ens = SparkEntry.queries("curate_quality_ensemble")(spark, dir).collect()
+    assert(ens.length == g.size)
+    ens.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1) == g(id) && r.getBoolean(2) == c(id) &&
+        r.getBoolean(3) == f(id), s"doc $id battery bits diverge")
+      val votes = Seq(1, 2, 3).count(r.getBoolean)
+      assert(r.getInt(4) == votes && r.getBoolean(5) == (votes >= 2))
+    }
+  }
 }
