@@ -390,6 +390,25 @@ object ExtendedQueries {
     // 200-cohort cap remains as a skew backstop only.
     "sim_knn_graph" -> ((s, dir) => knnGraph(s, dir)),
 
+    // Reciprocal (mutual) kNN edges — the stricter near-dup/alignment
+    // criterion retrieval pipelines apply on top of a kNN graph: keep
+    // (a,b) only when a is in b's top-k AND b is in a's top-k (kills
+    // hub nodes that appear in everyone's neighbor list without being
+    // close to anything). One self-join of the O(N·k) edge table —
+    // localCheckpoint-pinned so the LSH build runs once, not twice;
+    // the cosine is emitted from one side only (the sequential-fold
+    // dot is exactly commutative, so both directions carry identical
+    // doubles — no recompute, no divergence).
+    "sim_reciprocal_knn" -> ((s, dir) => {
+      val edges = knnGraph(s, dir).localCheckpoint()
+      edges.as("x").join(edges.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+            col("x.src") < col("x.dst"))
+        .select(col("x.src").as("src"), col("x.dst").as("dst"),
+          col("x.cos").as("cos"), col("x.rnk").as("rank_fwd"),
+          col("y.rnk").as("rank_rev"))
+    }),
+
     // PageRank over the k-NN similarity graph — the graph-centrality
     // signal (central = prototypical, peripheral = outlier/noise) a
     // curation pipeline ranks cluster representatives with. Fixed
@@ -1254,6 +1273,13 @@ object ExtendedQueries {
     "sim_knn_graph" ->
       s"""WITH $oKnnChain
          |SELECT src, rnk, dst, cos FROM knn""".stripMargin,
+
+    // same factored edge chain; mutual-pair self-join, one-side cosine
+    "sim_reciprocal_knn" ->
+      s"""WITH $oKnnChain
+         |SELECT x.src, x.dst, x.cos, x.rnk AS rank_fwd, y.rnk AS rank_rev
+         |FROM knn x JOIN knn y
+         |ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst""".stripMargin,
 
     // same factored edge chain; 3 unrolled power iterations with the
     // identical decimal-armored contribution rounding

@@ -20,6 +20,19 @@ private[queries] object QueryPrimitives {
   def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
   def oSum4(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** Exact ⌊p·10⁶/t⌋ on BIGINT without the 64-bit product: quotient
+    * ×10⁶ plus two ×10³ remainder steps. The naive (p·10⁶) div t wraps
+    * silently (Spark) or raises (DuckDB/ANSI) once p passes 2⁶³/10⁶ —
+    * the q14 30×-replica failure; this form is overflow-free while
+    * t < 2⁶³/10³. Spark (`div`/`%`) and DuckDB (`//`/`%`) twins —
+    * positive operands, so floor == truncate in both. */
+  def microShareSpark(p: String, t: String): String =
+    s"($p div $t) * 1000000 + ((($p % $t) * 1000) div $t) * 1000" +
+      s" + (((($p % $t) * 1000) % $t) * 1000) div $t"
+  def microShareDuck(p: String, t: String): String =
+    s"($p // $t) * 1000000 + ((($p % $t) * 1000) // $t) * 1000" +
+      s" + (((($p % $t) * 1000) % $t) * 1000) // $t"
+
   /** Sequential-fold dot product over double arrays — bit-identical to
     * DuckDB's list_dot_product over ::DOUBLE[] casts. */
   def dot(a: Column, b: Column): Column =

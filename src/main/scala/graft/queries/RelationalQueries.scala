@@ -212,7 +212,13 @@ object RelationalQueries {
     // then. The promo share is reported representation-independently:
     // both revenue legs are exact DECIMAL(18,4) sums scaled to integer
     // ten-thousandths, and the percentage is INTEGER division in
-    // micro-units — no double division crosses the hash.
+    // micro-units — no double division crosses the hash. The naive
+    // (promo·10⁶) div total wraps silently once corpus revenue passes
+    // 2⁶³/10⁶ in units (the 30× replica CAUGHT this as an ANSI
+    // overflow), so the micro share is computed by exact remainder
+    // division — q·10⁶ + two ×10³ remainder steps — which is
+    // overflow-free while total_units < 2⁶³/10³ (≈ $9·10¹⁴ in the
+    // window; document-bounded, not data-bounded).
     "q14_promo_revenue" -> ((s, dir) => {
       val lo = lit("1997-09-01").cast("timestamp")
       val hi = lit("1997-10-01").cast("timestamp")
@@ -229,7 +235,7 @@ object RelationalQueries {
           (col("promo0") * lit(10000)).cast("long").as("promo_units"),
           (col("total0") * lit(10000)).cast("long").as("total_units"))
         .withColumn("promo_micro",
-          expr("(promo_units * 1000000) div total_units"))
+          expr(microShareSpark("promo_units", "total_units")))
     }),
 
     // TPC-H Q7 shape (volume shipping): the two-nation bilateral trade
@@ -265,6 +271,107 @@ object RelationalQueries {
           year(col("l_shipdate")).as("l_year"))
         .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
+    }),
+
+    // TPC-H Q8 shape (national market share): of all PROMO-part volume
+    // sold into one region's market over two years, what share did one
+    // supplier nation take, per year. Every dim filter prunes before
+    // the fact joins (region → nation broadcast chain, p_type pushed);
+    // the share is the q14 overflow-free remainder division on exact
+    // DECIMAL-derived integer units — by-year control-plane output.
+    "q8_market_share" -> ((s, dir) => {
+      val lo = lit("1995-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))
+      val marketNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("mk"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(marketNations), col("c_nationkey") === col("mk"))
+        .select(col("c_custkey"))
+      val supNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).where(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).as("target0"),
+          sum(rev).as("total0"))
+        .select(col("o_year"),
+          (col("target0") * lit(10000)).cast("long").as("target_units"),
+          (col("total0") * lit(10000)).cast("long").as("total_units"))
+        .withColumn("share_micro",
+          expr(microShareSpark("target_units", "total_units")))
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): the LEFT
+    // join that must keep zero-order customers, folded to a two-level
+    // aggregation — both aggs map-side combined; the second one runs
+    // on the O(customers) per-customer table and emits the O(max
+    // orders-per-customer) histogram.
+    "q13_custdist" -> ((s, dir) => {
+      val perCust = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): per-supplier quarter revenue,
+    // then the suppliers achieving the maximum — the classic
+    // agg + scalar-subquery pattern. The per-supplier table is one
+    // map-side-combined agg, localCheckpoint-pinned because it feeds
+    // TWO consumers (itself and its max) — without the pin Spark
+    // scans the fact table twice (measured); its 1-row max broadcasts
+    // back (never a sort of the whole table for one max); revenue
+    // crosses the hash as exact integer ten-thousandths.
+    "q15_top_supplier" -> ((s, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      val rev = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey"))
+        .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))) * lit(10000)).cast("long").as("revenue_units"))
+        .localCheckpoint()
+      val mx = rev.agg(max(col("revenue_units")).as("mx"))
+      rev.join(broadcast(mx), col("revenue_units") === col("mx"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue_units"))
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, the disjunctive-predicate
+    // probe): three brand/size/quantity conjunction arms OR-ed
+    // together across the lineitem⋈part join. The grade here is what
+    // the optimizer does with the disjunction: the quantity bounds
+    // (≥ min-arm, ≤ max-arm) and size bound are derivable and the
+    // join stays a single hash join with the OR as residual — never
+    // three plan copies unioned.
+    "q19_brand_quantity" -> ((s, dir) => {
+      val arm1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(1.0, 11.0)
+      val arm2 = col("p_brand") === "Brand#21" &&
+        col("p_size").between(1, 25) && col("l_quantity").between(10.0, 20.0)
+      val arm3 = col("p_brand") === "Brand#3" &&
+        col("p_size").between(1, 35) && col("l_quantity").between(20.0, 30.0)
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .where(arm1 || arm2 || arm3)
+        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
     }),
 
     // RFM segmentation (recency / frequency / monetary — the classic
@@ -576,7 +683,7 @@ object RelationalQueries {
          |AND l_quantity < 24.0""".stripMargin,
 
     "q14_promo_revenue" ->
-      """WITH a AS (SELECT
+      ("""WITH a AS (SELECT
         |SUM(CASE WHEN p_type = 'PROMO'
         |THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
         |ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo0,
@@ -587,7 +694,9 @@ object RelationalQueries {
         |u AS (SELECT CAST(promo0 * 10000 AS BIGINT) AS promo_units,
         |CAST(total0 * 10000 AS BIGINT) AS total_units FROM a)
         |SELECT promo_units, total_units,
-        |(promo_units * 1000000) // total_units AS promo_micro FROM u""".stripMargin,
+        |""".stripMargin
+        + microShareDuck("promo_units", "total_units")
+        + " AS promo_micro FROM u"),
 
     "q7_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -604,6 +713,62 @@ object RelationalQueries {
          |AND l_shipdate >= TIMESTAMP '1995-01-01'
          |AND l_shipdate < TIMESTAMP '1997-01-01'
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      (s"""WITH a AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |SUM(CASE WHEN sn.n_name = 'NATION_3'
+         |THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+         |ELSE CAST(0 AS DECIMAL(18,4)) END) AS target0,
+         |SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total0
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+         |AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1),
+         |u AS (SELECT o_year, CAST(target0 * 10000 AS BIGINT) AS target_units,
+         |CAST(total0 * 10000 AS BIGINT) AS total_units FROM a)
+         |SELECT o_year, target_units, total_units,
+         |""".stripMargin
+        + microShareDuck("target_units", "total_units")
+        + " AS share_micro FROM u"),
+
+    "q13_custdist" ->
+      """WITH pc AS (SELECT c_custkey,
+        |CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |* 10000 AS BIGINT) AS revenue_units
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |AND l_shipdate < TIMESTAMP '1997-04-01'
+        |GROUP BY 1)
+        |SELECT s_suppkey, s_name, revenue_units
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue_units = (SELECT MAX(revenue_units) FROM rev)""".stripMargin,
+
+    "q19_brand_quantity" ->
+      s"""SELECT ${oSum4("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |AND l_quantity BETWEEN 1.0 AND 11.0)
+         |OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 25
+         |AND l_quantity BETWEEN 10.0 AND 20.0)
+         |OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         |AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
 
     "events_rfm" ->
       s"""WITH p AS (SELECT user_id, MAX(ts) AS last_ts,

@@ -499,6 +499,41 @@ object ExplainAudit {
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
     }
 
+    audit("q19_brand_quantity",
+      "the disjunction stays ONE hash join with the OR as residual " +
+        "(never three unioned plan copies); the derivable quantity and " +
+        "size envelopes push to both scans") { p =>
+      count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") == 1 &&
+        p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)") &&
+        p.contains("GreaterThanOrEqual(p_size,1)") &&
+        !p.contains("Union") && !p.contains("CartesianProduct")
+    }
+    audit("q13_custdist",
+      "zero-order customers survive (LeftOuter), two map-side-combined " +
+        "aggregation levels, no cartesian") { p =>
+      p.contains("LeftOuter") && count(p, "Exchange") == 2 &&
+        !p.contains("CartesianProduct")
+    }
+    audit("q15_top_supplier",
+      "the pinned per-supplier agg feeds both itself and its max: ONE " +
+        "fact scan past the pin, the 1-row max broadcasts back, no " +
+        "global sort") { p =>
+      count(p, "Exchange") <= 1 && p.contains("BroadcastHashJoin") &&
+        count(p, "Sort") == 0 && !p.contains("CartesianProduct")
+    }
+    audit("q8_market_share",
+      "region→nation chain and p_type pushed ahead of the fact joins; " +
+        "by-year control-plane output; never a cartesian") { p =>
+      p.contains("EqualTo(p_type,PROMO)") &&
+        p.contains("EqualTo(r_name,ASIA)") && !p.contains("CartesianProduct")
+    }
+    audit("sim_reciprocal_knn",
+      "one self-join of the pinned edge table (the LSH build runs " +
+        "once, not twice); never a cartesian") { p =>
+      !p.contains("CartesianProduct") &&
+        (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

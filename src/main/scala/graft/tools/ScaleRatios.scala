@@ -94,7 +94,12 @@ object ScaleRatios {
       // r10 fourth batch: the two-nation star, the cohort-LTV matrix,
       // containment over LSH candidates, and the MMR control-plane loop
       "q7_volume_shipping", "events_cohort_ltv", "text_minhash_containment",
-      "sim_mmr_rerank")
+      "sim_mmr_rerank",
+      // r10 fifth batch: the disjunctive-predicate probe, the left-join
+      // histogram, the agg+max scalar subquery, the region market
+      // share, and the mutual-kNN filter
+      "q19_brand_quantity", "q13_custdist", "q15_top_supplier",
+      "q8_market_share", "sim_reciprocal_knn")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -350,6 +350,22 @@ class GraftConfSpec extends AnyFunSuite {
     }
   }
 
+  test("reciprocal kNN edges are exactly the mutual pairs of the kNN graph") {
+    val knn = SparkEntry.queries("sim_knn_graph")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val rec = SparkEntry.queries("sim_reciprocal_knn")(spark, dir).collect()
+    assert(rec.nonEmpty, "sf0.001 must yield some mutual pairs")
+    rec.foreach { r =>
+      val (s0, d0) = (r.getLong(0), r.getLong(1))
+      assert(s0 < d0)
+      assert(knn.contains((s0, d0)) && knn.contains((d0, s0)),
+        s"($s0,$d0) must be a kNN edge in BOTH directions")
+      assert(r.getInt(3) == knn((s0, d0)) && r.getInt(4) == knn((d0, s0)))
+    }
+    val mutual = knn.keys.filter { case (a, b) => a < b && knn.contains((b, a)) }
+    assert(mutual.size == rec.length, "no mutual pair missing")
+  }
+
   test("ensemble keep bits agree with the standalone battery queries") {
     def keepOf(name: String): Map[Long, Boolean] =
       SparkEntry.queries(name)(spark, dir).select("doc_id", "keep")
