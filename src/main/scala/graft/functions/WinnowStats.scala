@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -66,10 +67,11 @@ object WinnowStats {
     } else s.toString.codePoints().toArray
   }
 
-  def compute(s: UTF8String, k: Int, w: Int): InternalRow = {
+  /** Shared core: (n_kgrams, hashes, selected-position flags). */
+  private def core(s: UTF8String, k: Int, w: Int): (Int, Array[Long], Array[Boolean]) = {
     val cps = codepoints(s)
     val n = if (cps.length >= k) cps.length - k + 1 else 0
-    if (n == 0) return new GenericInternalRow(Array[Any](0, 0, null, null))
+    if (n == 0) return (0, Array.emptyLongArray, Array.emptyBooleanArray)
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
@@ -79,11 +81,11 @@ object WinnowStats {
       hs(i) = acc % MOD
       i += 1
     }
-    if (n < w) return new GenericInternalRow(Array[Any](n, 0, null, null))
+    val selected = new Array[Boolean](n)
+    if (n < w) return (n, hs, selected)
     // sliding-window minimum via monotonic deque; popping on >= keeps
     // the RIGHTMOST of equal minima — the robust-winnowing tie rule,
     // identical to the oracle's reverse + first-position formulation
-    val selected = new Array[Boolean](n)
     val dq = new Array[Int](n)
     var head = 0
     var tail = 0
@@ -96,6 +98,13 @@ object WinnowStats {
       if (p >= w - 1) selected(dq(head)) = true
       p += 1
     }
+    (n, hs, selected)
+  }
+
+  def compute(s: UTF8String, k: Int, w: Int): InternalRow = {
+    val (n, hs, selected) = core(s, k, w)
+    if (selected.isEmpty || !selected.exists(identity))
+      return new GenericInternalRow(Array[Any](n, 0, null, null))
     var cnt = 0
     var mn = Long.MaxValue
     var sm = 0L
@@ -106,4 +115,44 @@ object WinnowStats {
     }
     new GenericInternalRow(Array[Any](n, cnt, mn, sm))
   }
+
+  /** Distinct selected fingerprint VALUES, ascending — the claim-table
+    * keying for incremental near-dup (IncrementalWinnow). Distinct by
+    * value (two positions sharing a hash claim once). */
+  def fingerprints(s: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val (_, hs, selected) = core(s, k, w)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var q = 0
+    while (q < selected.length) {
+      if (selected(q)) set.add(hs(q))
+      q += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `winnow_fps(text, k, w)` — the distinct selected winnowing
+  * fingerprint values (ascending array<long>): the per-document key
+  * set an incremental near-dup index claims. Same core as
+  * [[WinnowStats]]. */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowStats.fingerprints(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowStats.fingerprints($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fps"
 }

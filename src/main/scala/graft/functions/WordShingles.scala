@@ -179,4 +179,7 @@ object functions {
 
   def winnow_stats(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowStats(ColumnBridge.expression(c), k, w))
+
+  def winnow_fps(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFps(ColumnBridge.expression(c), k, w))
 }

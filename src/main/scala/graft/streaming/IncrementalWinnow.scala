@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.GraftConf
+
+/** Streaming incremental winnowing near-dup index — the ingest twin of
+  * the batch `text_winnowing` fingerprints, same probe-and-claim shape
+  * as [[IncrementalSpanDedup]]: ONE query that, per micro-batch,
+  * PROBES the persisted fingerprint-claim index and CLAIMS the
+  * fingerprints that are new, so every arriving document surfaces its
+  * near-dup candidates against everything ingested before it (the MOSS
+  * guarantee: any shared run ≥ k+W−1 chars shares a fingerprint, so a
+  * containing/contained/overlapping document CANNOT slip past the
+  * probe).
+  *
+  * Reference analog: the cache-enrichment recipe (slipstream
+  * cookbook.rst:529-588) — a handler that reads AND writes a
+  * persistent cache per element; the cache here is the fingerprint
+  * claim [[StateTable]].
+  *
+  * Per micro-batch (all DataFrame plans, nothing per-row on the driver):
+  *  1. fingerprint with the batch op's OWN fused expression
+  *     (`winnow_fps`, identical hash/selection algebra by
+  *     construction; k and W from the same `graft.winnow.*` confs);
+  *  2. probe: fingerprint keys left-join the stored claims — a keyed
+  *     equi-join against a stats-pruned table (the 100 TB point:
+  *     batch × index, never corpus × corpus; the index is one long
+  *     key + owner per distinct fingerprint — O(corpus fingerprints),
+  *     ~2/(W+1) of the corpus k-grams by the winnowing density bound);
+  *  3. emit candidates: (doc, owner, n_shared) for every stored owner
+  *     the doc shares a fingerprint with, PLUS within-batch pairs
+  *     against the batch's own first claimant (doc_id order = arrival
+  *     order, mirroring [[IncrementalDedup]]'s admission semantics);
+  *  4. claim: unclaimed fingerprints upsert with the batch's minimum
+  *     doc_id as owner, through the StateTable's optimistic commit.
+  *
+  * Exactly-once across foreachBatch retries: the `__batch:<id>` marker
+  * commits atomically with the claims (one StateTable put) — the
+  * IncrementalSpanDedup discipline. Cross-batch duplicate DELIVERY of
+  * a doc re-emits pairs it already emitted (its fingerprints are
+  * claimed — by itself, so self-pairs are filtered; consumers key by
+  * (doc_id, owner_id)); it cannot corrupt the index.
+  */
+object IncrementalWinnow {
+
+  case class Doc(docId: Long, text: String)
+
+  private def K = GraftConf.int("graft.winnow.k", 8)
+  private def W = GraftConf.int("graft.winnow.window", 4)
+
+  /** One micro-batch of the probe-and-claim loop (batch-callable for
+    * specs; [[start]] wires it behind foreachBatch). `batch` needs
+    * (docId, text). */
+  def processBatch(
+      batch: DataFrame,
+      tablePath: String,
+      outDir: String,
+      batchId: Long)(implicit spark: SparkSession): Unit = {
+    import spark.implicits._
+    val table = new StateTable(spark, tablePath, "key")
+    val marker = s"__batch:$batchId"
+    val empty = table.currentSeq == 0L
+    if (!empty && table.get(marker).isDefined) return
+    val stored =
+      if (empty) Seq.empty[(String, Long)].toDF("key", "owner")
+      else table.snapshot().where(!col("key").startsWith("__batch:"))
+    val probed = batch
+      .select(col("docId").as("doc_id"),
+        explode(graft.functions.functions.winnow_fps(col("text"), K, W)).as("fp"))
+      .withColumn("key", concat(lit("fp:"), col("fp")))
+      .join(stored.select(col("key"), col("owner")), Seq("key"), "left")
+      .persist()
+    try {
+      val vsStored = probed
+        .where(col("owner").isNotNull && col("owner") =!= col("doc_id"))
+        .select(col("doc_id"), col("owner").as("owner_id"))
+      val wk = Window.partitionBy(col("key"))
+      val inBatch = probed.where(col("owner").isNull)
+        .withColumn("batch_owner", min(col("doc_id")).over(wk))
+        .where(col("doc_id") =!= col("batch_owner"))
+        .select(col("doc_id"), col("batch_owner").as("owner_id"))
+      vsStored.unionByName(inBatch)
+        .groupBy(col("doc_id"), col("owner_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      val claims = probed.where(col("owner").isNull)
+        .groupBy(col("key")).agg(min(col("doc_id")).as("owner"))
+        .unionByName(Seq((marker, -1L)).toDF("key", "owner"))
+      table.put(claims)
+      table.maintain()
+      BatchOutputs.retain(outDir, batchId)
+    } finally probed.unpersist()
+  }
+
+  /** Start the unified streaming query: probe + emit + claim per
+    * micro-batch. Candidate pairs land as parquet under `outDir`
+    * (one `batch_id=<n>` partition per micro-batch). */
+  def start(
+      docs: Dataset[Doc],
+      tablePath: String,
+      outDir: String,
+      checkpointDir: String)(implicit spark: SparkSession): StreamingQuery =
+    docs.toDF().writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch, tablePath, outDir, id)
+      }
+      .start()
+}

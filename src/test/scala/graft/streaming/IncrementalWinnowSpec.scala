@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming ingest twin of text_winnowing's fingerprint index:
+  * one query that probes AND claims the persisted fingerprint table
+  * per micro-batch. Proves stream-ingested candidate pairs ≡ the batch
+  * fp→min-owner truth on the cumulative corpus (batch-boundary
+  * independence), that an exact duplicate arriving in a LATER batch is
+  * surfaced from the persisted claims alone, that a foreachBatch retry
+  * is absorbed by the `__batch` marker, and that index state is one
+  * row per distinct fingerprint. */
+class IncrementalWinnowSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming probe+claim = batch fp-owner pairs; duplicate doc caught cross-batch; retry absorbed; state O(distinct fps)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+
+    // corpus = sf0.001 documents + exact copies of the first 3 with ids
+    // past the originals — a copy shares EVERY fingerprint with its
+    // partner and arrives in a later micro-batch, so the pair can only
+    // come from the persisted claims
+    val base = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val copies = base.take(3).map { case (id, t) => (10000L + id, t) }
+    val corpus = (base ++ copies).sortBy(_._1)
+
+    // batch truth: each fingerprint is owned by its minimum holder;
+    // every other holder pairs with that owner, counted per shared fp
+    val fpsDf = corpus.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.functions.functions.winnow_fps(col("text"), 8, 4)).as("fp"))
+      .persist()
+    val owners = fpsDf.groupBy("fp").agg(min("doc_id").as("owner_id"))
+    val expected = fpsDf.join(owners, "fp")
+      .where(col("doc_id") =!= col("owner_id"))
+      .groupBy("doc_id", "owner_id").agg(count(lit(1)).as("n_shared"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "the duplicated docs must produce pairs")
+    copies.foreach { case (cid, _) =>
+      assert(expected.exists { case (d, o, _) => d == cid && o == cid - 10000L },
+        s"copy $cid must pair with its original")
+    }
+
+    val tmp = Files.createTempDirectory("winnowstream").toFile.getAbsolutePath
+    val (tablePath, outDir, ckpt) = (s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
+    val src = MemoryStream[IncrementalWinnow.Doc]
+    val q = IncrementalWinnow.start(src.toDS(), tablePath, outDir, ckpt)
+    var lastBatch = 0L
+    try {
+      val docs = corpus.map { case (id, t) => IncrementalWinnow.Doc(id, t) }
+      val third = (docs.length + 2) / 3
+      val groups = docs.grouped(third).toSeq
+      lastBatch = groups.length - 1L
+      groups.foreach { b => src.addData(b.toIndexedSeq); q.processAllAvailable() }
+
+      val got = spark.read.parquet(outDir)
+        .select("doc_id", "owner_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, "stream candidates must equal the batch truth")
+
+      // index state: one claim row per distinct fingerprint + one
+      // marker per batch
+      val table = new StateTable(spark, tablePath, "key")
+      val claims = table.snapshot().where(!col("key").startsWith("__batch:"))
+      assert(claims.count() == fpsDf.select("fp").distinct().count())
+
+      // foreachBatch retry with a stable batchId is absorbed by the
+      // marker: claims, markers, and output bytes all unchanged
+      val before = claims.count()
+      IncrementalWinnow.processBatch(
+        groups.last.map(d => (d.docId, d.text)).toSeq.toDF("docId", "text"),
+        tablePath, outDir, lastBatch)
+      val after = new StateTable(spark, tablePath, "key").snapshot()
+        .where(!col("key").startsWith("__batch:")).count()
+      assert(after == before, "retry must not re-claim")
+      assert(spark.read.parquet(outDir)
+        .select("doc_id", "owner_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet == expected)
+    } finally {
+      q.stop()
+      fpsDf.unpersist()
+    }
+  }
+}
