@@ -998,6 +998,12 @@ object CorpusQueries {
             .cast("long") % 100L)
         .withColumn("split",
           when(col("bucket") < 80, "train").otherwise("test"))
+        // labeled feeds THREE consumers (the train subtree, the score
+        // pass, and the truth join) and unpinned Spark re-scans the
+        // corpus NINE times through them (measured with the plan
+        // sweep); one materialization beats nine scans at any scale —
+        // the PMI/stickiness pin discipline
+        .localCheckpoint()
       val train = labeled.where(col("split") === "train")
       // train + score factored through nbTrain/nbScore — the SAME
       // model and arithmetic the streaming ingest gate freezes

@@ -309,6 +309,48 @@ object EventsQueries {
         .limit(PATH_TOPN)
     }),
 
+    // A/B experiment readout (two-proportion z-test — the
+    // experimentation classic every product pipeline ends in): users
+    // deterministically bucketed by id parity, conversion = at least
+    // `graft.ab.minPurchases` purchases (a threshold that actually
+    // discriminates on this corpus — "any purchase" is degenerate,
+    // every user qualifies and the pooled variance is 0; the
+    // degenerate case still guards to NULL), per-variant conversion
+    // in exact micro-units, pooled z-statistic and the |z| > 1.96
+    // significance flag. ONE corpus shuffle (the per-user conversion
+    // agg); everything after is a 1-row control-plane projection.
+    // Parity: counts are exact longs; the z-statistic is computed
+    // from those integers in ONE fixed-order double expression and
+    // floored ONCE to µ-units (the rate-anomaly posture); the flag
+    // compares integers.
+    "events_ab_test" -> ((s, dir) => {
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          >= AB_MIN, 1).otherwise(0).as("conv"))
+        .withColumn("variant", col("user_id") % 2)
+      users.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .agg(
+          sum(when(col("variant") === 0, col("n"))).as("n0"),
+          sum(when(col("variant") === 0, col("c"))).as("c0"),
+          sum(when(col("variant") === 1, col("n"))).as("n1"),
+          sum(when(col("variant") === 1, col("c"))).as("c1"))
+        .withColumn("cvr0_micro", expr("(c0 * 1000000) div n0"))
+        .withColumn("cvr1_micro", expr("(c1 * 1000000) div n1"))
+        .withColumn("z_micro", expr(
+          """CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE
+            |CAST(FLOOR((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            | - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+            | / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+            |   * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+            |   * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+            | * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin))
+        .withColumn("significant",
+          when(col("z_micro").isNull, lit(null).cast("boolean"))
+            .otherwise(abs(col("z_micro")) > 1960000L))
+    }),
+
     // Kaplan-Meier survival over user lifetimes (the retention-curve
     // estimator behind every churn analysis): lifetime = days between
     // a user's first and last event; at each observed lifetime t the
@@ -439,6 +481,9 @@ object EventsQueries {
   /** Stickiness: trailing active window, days (7 = DAU/WAU). */
   private def STICKY_DAYS = graft.GraftConf.int("graft.stickiness.days", 7)
 
+  /** A/B test: purchases needed to count a user as converted. */
+  private def AB_MIN = graft.GraftConf.int("graft.ab.minPurchases", 15)
+
   // the SQL-textbook 3-stage form: same strict-inequality staged
   // minima, algebraically identical to the fold — and LITERALLY the
   // windowed twin's algorithm, so both catalog entries share it
@@ -562,6 +607,37 @@ object EventsQueries {
          |CAST(SUM(converted) AS BIGINT) AS n_converted
          |FROM sp GROUP BY 1
          |ORDER BY n_sessions DESC, path ASC LIMIT $PATH_TOPN""".stripMargin,
+
+    // same id-parity bucketing, same conversion threshold, same exact
+    // counts, same one-shot fixed-order z flooring
+    "events_ab_test" ->
+      s"""WITH u AS (SELECT user_id,
+         |CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |>= $AB_MIN THEN 1 ELSE 0 END AS conv
+         |FROM $oEvents GROUP BY 1),
+         |v AS (SELECT user_id % 2 AS variant, conv FROM u),
+         |a AS (SELECT
+         |CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+         |CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+         |FROM v)
+         |SELECT n0, c0, n1, c1,
+         |(c0 * 1000000) // n0 AS cvr0_micro,
+         |(c1 * 1000000) // n1 AS cvr1_micro,
+         |CAST(FLOOR((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+         | - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         | / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+         |   * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+         |   * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+         | * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
+         |abs(CAST(FLOOR((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+         | - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         | / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+         |   * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+         |   * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+         | * 1000000.0 + 0.5) AS BIGINT)) > 1960000 AS significant
+         |FROM a""".stripMargin,
 
     // same day-granular lifetimes, same µ-nat per-term flooring, same
     // exact long prefix sums; suffix-sum at-risk counts
