@@ -13,8 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics are EXACTLY the portable SQL formulation the DuckDB
   * oracle runs (text_winnowing): k-gram Horner hashes base 131 over
-  * codepoints with ONE mod 2³¹−1 at the end (the pre-mod sum stays
-  * < 2⁶³ for ASCII text by construction), each sliding window of W
+  * codepoints, reduced mod 2³¹−1 at EVERY Horner step (same value as
+  * one final mod, but overflow-free for any codepoint — CJK/astral —
+  * and any k; both engines use the per-step form), each window of W
   * hashes selecting its minimum with the paper's RIGHTMOST tie-break,
   * fingerprints = the distinct selected positions, summarized as
   * exact long count/min/sum.
@@ -77,8 +78,12 @@ object WinnowStats {
     while (i < n) {
       var acc = 0L
       var j = 0
-      while (j < k) { acc = acc * BASE + cps(i + j); j += 1 }
-      hs(i) = acc % MOD
+      // mod applied per Horner step: algebraically identical to one
+      // final mod, but the accumulator stays < MOD·BASE + 0x10FFFF
+      // (< 2⁶³) for ANY codepoint (CJK/astral) and ANY k — the
+      // one-mod-at-end form silently wrapped past k=8 non-Latin text
+      while (j < k) { acc = (acc * BASE + cps(i + j)) % MOD; j += 1 }
+      hs(i) = acc
       i += 1
     }
     val selected = new Array[Boolean](n)

@@ -12,7 +12,7 @@ import graft.{GraftConf, Tables}
   * document?), benchmark-contamination scanning (is my eval set in the
   * training corpus?), per-group cardinality sketches, and BM25 ranked
   * retrieval. Reference scope: slipstream has no batch curation story;
-  * these extend its pipe/aggregate vocabulary (slipstream/operations.py)
+  * these extend its pipe/aggregate vocabulary (slipstream/utils.py:19, core.py:244-255)
   * to the corpus jobs a training-data pipeline runs at 100 TB.
   *
   * Scale design:

@@ -11,7 +11,7 @@ import QueryPrimitives.oEvents
 /** Round-9 event-analytics batch: the session/funnel/cohort family a
   * production event pipeline runs downstream of ingestion — the
   * reference's windowed-aggregation vocabulary (cookbook.rst:225-356,
-  * slipstream/operations.py window helpers) extended to the three
+  * slipstream/utils.py:19 pipe helpers) extended to the three
   * classic product-analytics shapes.
   *
   * Scale posture:
@@ -46,23 +46,27 @@ object EventsQueries {
     // distribution discriminate — without it every active user
     // eventually converts. The per-user list is O(events/user) task
     // memory on ONE row, so a pathological user (a bot id, a null-ish
-    // default key) is guarded LOUDLY: past graft.funnel.maxEvents the
-    // row raises instead of silently OOMing an executor — the simhash
-    // 65535-token lane-guard posture.
+    // default key) is guarded LOUDLY and BEFORE any list materializes:
+    // a per-user window count (whose frame buffer spills to disk,
+    // unlike aggregation state) raises past graft.funnel.maxEvents, so
+    // the non-spillable collect_list for that key never accumulates a
+    // single row. The window and the groupBy share one exchange on
+    // user_id — the guard costs a sort, not a shuffle.
     "events_funnel" -> ((s, dir) => {
       val w = FUNNEL_W_US
       val maxEv = graft.GraftConf.long("graft.funnel.maxEvents", 1000000L)
+      val wUser = Window.partitionBy(col("user_id"))
       val evs = Tables.events(s, dir)
         .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_type"))
-      val nullT = lit(null).cast("long")
-      val folded = evs.groupBy(col("user_id"))
-        .agg(sort_array(collect_list(struct(col("tsu"), col("event_type")))).as("seq0"),
-          count(lit(1)).as("n_ev"))
-        .withColumn("seq", when(col("n_ev") <= maxEv, col("seq0"))
+        .withColumn("n_ev", count(lit(1)).over(wUser))
+        .withColumn("tsu", when(col("n_ev") <= maxEv, col("tsu"))
           .otherwise(expr(s"raise_error('events_funnel: a user exceeds " +
             s"graft.funnel.maxEvents = $maxEv events — bot/default-key " +
             s"skew; raise the cap or pre-filter the key')")
-            .cast("array<struct<tsu:bigint,event_type:string>>")))
+            .cast("long")))
+      val nullT = lit(null).cast("long")
+      val folded = evs.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("tsu"), col("event_type")))).as("seq"))
         .withColumn("st", aggregate(
           col("seq"),
           struct(nullT.as("t1"), nullT.as("t2"), nullT.as("t3")),
@@ -336,10 +340,13 @@ object EventsQueries {
           sum(when(col("variant") === 0, col("c"))).as("c0"),
           sum(when(col("variant") === 1, col("n"))).as("n1"),
           sum(when(col("variant") === 1, col("c"))).as("c1"))
-        .withColumn("cvr0_micro", expr("(c0 * 1000000) div n0"))
-        .withColumn("cvr1_micro", expr("(c1 * 1000000) div n1"))
+        .withColumn("cvr0_micro",
+          expr("CASE WHEN n0 = 0 THEN NULL ELSE (c0 * 1000000) div n0 END"))
+        .withColumn("cvr1_micro",
+          expr("CASE WHEN n1 = 0 THEN NULL ELSE (c1 * 1000000) div n1 END"))
         .withColumn("z_micro", expr(
-          """CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE
+          """CASE WHEN n0 = 0 OR n1 = 0
+            |  OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE
             |CAST(FLOOR((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
             | - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
             | / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
@@ -621,23 +628,23 @@ object EventsQueries {
          |CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
          |CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
          |CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
-         |FROM v)
+         |FROM v),
+         |zc AS (SELECT n0, c0, n1, c1,
+         |CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1
+         | THEN NULL ELSE CAST(FLOOR((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+         | - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+         | / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+         |   * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+         |   * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+         | * 1000000.0 + 0.5) AS BIGINT) END AS z_micro
+         |FROM a)
          |SELECT n0, c0, n1, c1,
-         |(c0 * 1000000) // n0 AS cvr0_micro,
-         |(c1 * 1000000) // n1 AS cvr1_micro,
-         |CAST(FLOOR((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-         | - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-         | / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-         |   * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-         |   * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
-         | * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
-         |abs(CAST(FLOOR((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-         | - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-         | / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-         |   * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-         |   * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
-         | * 1000000.0 + 0.5) AS BIGINT)) > 1960000 AS significant
-         |FROM a""".stripMargin,
+         |CASE WHEN n0 = 0 THEN NULL ELSE (c0 * 1000000) // n0 END AS cvr0_micro,
+         |CASE WHEN n1 = 0 THEN NULL ELSE (c1 * 1000000) // n1 END AS cvr1_micro,
+         |z_micro,
+         |CASE WHEN z_micro IS NULL THEN NULL
+         | ELSE abs(z_micro) > 1960000 END AS significant
+         |FROM zc""".stripMargin,
 
     // same day-granular lifetimes, same µ-nat per-term flooring, same
     // exact long prefix sums; suffix-sum at-risk counts

@@ -826,9 +826,10 @@ object LlmQueries {
     // monotonic-deque window minima, whose ≥-popping discipline IS the
     // rightmost-min rule; the interpreted HOF-lambda form of the same
     // math measured 19 s at sf0.1, the fusion sub-second — the
-    // ascii_counts posture). Integer-only parity: Horner sums stay
-    // < 2⁶³ by construction (ASCII codes, k=8 ⇒ < 3.5·10¹⁷) so both
-    // engines take ONE exact mod; the oracle expresses the rightmost
+    // ascii_counts posture). Integer-only parity: BOTH engines reduce
+    // mod 2³¹−1 per Horner step (identical algebra to one final mod,
+    // but overflow-free for any codepoint and any k — the one-mod form
+    // wrapped past k=8 CJK text); the oracle expresses the rightmost
     // tie-break as reverse + first-position; WinnowStatsSpec pins the
     // expression against an independent reference AND the HOF-SQL
     // formulation it replaced.
@@ -1183,11 +1184,14 @@ object LlmQueries {
     "text_winnowing" -> {
       val k = WIN_K
       val w = WIN_W
+      // mod per Horner step (same algebra as one final mod) so the
+      // oracle's BIGINT never overflows either — parity with the
+      // expression's per-step reduction for non-Latin text / large k
       val horner = (0 until k).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
-        s"($acc * 131 + ascii(text[i + $j]))")
+        s"(($acc * 131 + ascii(text[i + $j])) % 2147483647)")
       s"""WITH h AS (SELECT doc_id,
          |CASE WHEN length(text) >= $k THEN
-         |list_transform(range(1, length(text) - $k + 2), i -> $horner % 2147483647)
+         |list_transform(range(1, length(text) - $k + 2), i -> $horner)
          |ELSE []::BIGINT[] END AS hs FROM documents),
          |s AS (SELECT doc_id, hs,
          |CASE WHEN len(hs) >= $w THEN

@@ -13,7 +13,7 @@ import graft.{GraftConf, Tables}
   * (KL over hashed token buckets), embedding-space benchmark
   * decontamination, corpus-statistics diagnostics (Zipf fit,
   * readability), and pretraining sequence chunking. Reference scope:
-  * slipstream's pipe vocabulary (slipstream/operations.py) has no
+  * slipstream's pipe vocabulary (slipstream/utils.py:19, core.py:244-255) has no
   * corpus-QA story; these extend it with the published recipes
   * (Chung et al. 2023 UniMax; Xie et al. 2023 DSIR's hashed-bucket
   * feature space, reused here for drift; Kincaid 1975 readability;
@@ -266,9 +266,15 @@ object PipelineQueries {
     // r10 float-parity rule — a DECIMAL cast's half-tie rounding is
     // engine-version-dependent), so both engines fit identical lines.
     // Long-sum headroom: |ln| ≤ ~21 even at 10^9 words → products
-    // ≤ 4.4e14 micro², ×N=1000 rows ≈ 4.4e17 < 2^63.
+    // ≤ 4.4e14 micro², ×N rows < 2^63 only while N ≤ ~2·10⁴ — so the
+    // conf is VALIDATED against that derived bound (a larger top-N
+    // would wrap Spark's long sum silently where DuckDB raises).
     "text_word_zipf" -> ((s, dir) => {
       val n = ZIPF_N
+      require(n >= 2 && n <= 20000,
+        s"graft.zipf.topn = $n outside [2, 20000]: the exact-long OLS " +
+          "sums (micro² products up to ~4.4e14 per row) overflow int64 " +
+          "past ~2e4 rows — raise only with a wider accumulator")
       val wf = Tables.documents(s, dir)
         .select(explode(toks).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))

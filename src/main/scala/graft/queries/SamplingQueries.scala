@@ -11,7 +11,7 @@ import graft.{GraftConf, Tables}
   * WHICH rows of a 100 TB corpus ship, in a way that is deterministic,
   * re-runnable, and auditable — plus two corpus-diagnostic signals and
   * a set-operation sketch. Reference scope: slipstream's handler
-  * calculus (slipstream/operations.py) filters per-message but has no
+  * calculus (slipstream/utils.py:19, core.py:244-255) filters per-message but has no
   * corpus-level sampling story; these extend it with the published
   * recipes (GPT-3 appendix-A score-proportional rejection sampling,
   * Brown et al. 2020; language-balanced subsampling as run by every
@@ -556,7 +556,14 @@ object SamplingQueries {
               .withColumn("mmr_score",
                 lit(lam) * col("rel_micro") - lit(100 - lam) * maxsim)
           }
-        val top = scored.orderBy(col("mmr_score").desc, col("vec_id").asc).limit(1)
+        // round 1: order by relevance itself, not λ·rel — identical for
+        // λ>0 but at graft.mmr.lambdaPct=0 every λ·rel ties at 0 and
+        // the vec_id tiebreak would diverge from the oracle's
+        // rel-ordered c1 CTE
+        val ord =
+          if (selected.isEmpty) Seq(col("rel_micro").desc, col("vec_id").asc)
+          else Seq(col("mmr_score").desc, col("vec_id").asc)
+        val top = scored.orderBy(ord: _*).limit(1)
           .select(col("vec_id"), col("e"), col("nrm"), col("rel_micro"),
             col("mmr_score")).head()
         picks += ((r, top.getLong(0), top.getLong(3), top.getLong(4)))

@@ -13,7 +13,7 @@ import graft.queries.{CorpusQueries, LlmQueries, TextSignals}
   * offline sweep can never disagree.
   *
   * Reference analog: slipstream curates per-message inside async
-  * handlers (slipstream/operations.py pipes); here the curation is a
+  * handlers (slipstream/utils.py:19 pipes, core.py:244-255); here the curation is a
   * declarative projection, so it runs unchanged over a batch DataFrame
   * or a readStream — Spark's batch/stream unification doing the work.
   * Everything is stateless per-row (no watermark, no state store), so

@@ -28,7 +28,7 @@ import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
   * canonical heavy hitter.
   *
   * Reference scope: slipstream's fold/aggregate vocabulary
-  * (slipstream/operations.py) has no sketch story; this extends it
+  * (slipstream/utils.py:19, core.py:244-255) has no sketch story; this extends it
   * the same way the other four sketches do.
   */
 object SpaceSavingSketch {
