@@ -378,13 +378,22 @@ object SamplingQueries {
     // ln((N+1)/(df+1)) floored to integer NANO-units (the pagerank
     // pattern; the r9 DECIMAL-cast idf was a driver hash-fail),
     // score = tf · idf_nano in exact BIGINT, top-3 per doc by
-    // (score_nano, word). Shuffles: tokens
-    // by (doc, word), df by word on the ALREADY-aggregated table, the
-    // df join UNHINTED (AQE broadcasts the small-SF vocabulary and
-    // falls back to the co-partitioned shuffle when the vocabulary
-    // outgrows it — at web scale it always does), final window
-    // partitions by doc — no pairwise joins, cost O(corpus tokens).
+    // (score_nano, word). The df join-back is the scale story: the
+    // full-vocab shuffle-join (r10's form, the worst ship-path 30×
+    // ratio at 11.9×) is replaced by an EXACT head/tail split — the
+    // top-D words by df (graft.tfidf.dfcap, default 65536) broadcast
+    // with their exact df/idf, so the Zipf head (≳95% of token mass
+    // in natural text) joins broadcast-side with NO shuffle and the
+    // hottest sort-merge skew keys never cross the wire; only the
+    // rare-word residual (tail tf rows anti-joined out of the head)
+    // shuffle-joins the tail vocabulary. Unlike nbClassify's OOV
+    // floor this changes NO value — every word keeps its exact df —
+    // so the oracle is untouched. Broadcast is O(D) at ANY corpus
+    // size. Shuffles: tokens by (doc, word), df by word on the
+    // ALREADY-aggregated table, tail-residual join, final window by
+    // doc — no pairwise joins, cost O(corpus tokens).
     "text_tfidf_keyterms" -> ((s, dir) => {
+      val dCap = GraftConf.int("graft.tfidf.dfcap", 65536)
       val docs = Tables.documents(s, dir)
       val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
@@ -394,7 +403,14 @@ object SamplingQueries {
         .withColumn("idf_nano",
           floor(log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0))
             * lit(1e9) + lit(0.5)).cast("long"))
-      tf.join(df.select(col("word"), col("df"), col("idf_nano")), "word")
+        .select(col("word"), col("df"), col("idf_nano"))
+      val head = df.orderBy(col("df").desc, col("word").asc).limit(dCap)
+      val headScored = tf.join(broadcast(head), Seq("word"))
+      val tailScored = tf
+        .join(broadcast(head.select(col("word"))), Seq("word"), "left_anti")
+        .join(df.join(broadcast(head.select(col("word"))), Seq("word"), "left_anti"),
+          Seq("word"))
+      headScored.union(tailScored)
         .withColumn("score_nano", col("tf") * col("idf_nano"))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("doc_id"))

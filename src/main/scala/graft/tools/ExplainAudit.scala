@@ -533,6 +533,13 @@ object ExplainAudit {
       !p.contains("CartesianProduct") &&
         (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
     }
+    audit("text_tfidf_keyterms",
+      "Zipf-head df table (top-D by df) broadcast into the token-mass " +
+        "join — the bulk of tf rows never shuffle by word; only the " +
+        "rare-word residual may shuffle-join; no cartesian") { p =>
+      count(p, "BroadcastHashJoin") >= 2 &&
+        p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct")
+    }
 
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
