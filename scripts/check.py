@@ -3,8 +3,12 @@
 
 Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
 Mimics the driver's compare: sort columns by name, sort rows, compare values.
+
+Queries whose oracle is not SQL-expressible (DuckDB has no DEFLATE
+builtin) are oracled HERE in Python instead — see PY_ORACLES.
 """
-import sys, json, glob
+import sys, json, glob, zlib
+from decimal import Decimal, ROUND_HALF_UP
 import duckdb
 import pandas as pd
 import numpy as np
@@ -14,10 +18,35 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+
+def oracle_compress_ratio():
+    """text_compress_ratio: DEFLATE length via CPython zlib level 6.
+
+    CPython's zlib and the JRE's bundled zlib produce byte-identical
+    DEFLATE streams at the same level on every probed input (both wrap
+    canonical zlib; ZlibLen documents the caveat that a JDK upgrade
+    could legitimately shift lengths — if that ever happens this
+    oracle will fail loudly on zlib_bytes and should be relaxed to
+    ratio bands). ratio mirrors Spark's CAST(double AS DECIMAL(18,6)):
+    BigDecimal(double) == Decimal(float) exactly, then HALF_UP to 6dp.
+    """
+    rows = con.sql("SELECT doc_id, text FROM documents").fetchall()
+    data = []
+    for doc_id, text in rows:
+        b = text.encode("utf-8")
+        zb = len(zlib.compress(b, 6))
+        ratio = Decimal(zb / len(b)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        data.append((doc_id, len(b), zb, ratio))
+    return pd.DataFrame(data, columns=["doc_id", "n_bytes", "zlib_bytes", "ratio"])
+
+
+PY_ORACLES = {"text_compress_ratio": oracle_compress_ratio}
+
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+names = sorted(set(oracle) | set(PY_ORACLES))
 fails = []
-for name in sorted(oracle):
-    sql = oracle[name]
+for name in names:
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
         print(f"MISSING  {name}: no spark output"); fails.append(name); continue
@@ -26,7 +55,7 @@ for name in sorted(oracle):
     except Exception as e:
         print(f"READERR  {name}: {e}"); fails.append(name); continue
     try:
-        exp = con.sql(sql).df()
+        exp = PY_ORACLES[name]() if name in PY_ORACLES else con.sql(oracle[name]).df()
     except Exception as e:
         print(f"ORAERR   {name}: {e}"); fails.append(name); continue
     gc, ec = sorted(got.columns), sorted(exp.columns)
@@ -59,5 +88,5 @@ for name in sorted(oracle):
     else:
         print(f"OK       {name} ({len(g)} rows)")
 
-print(f"\n{len(oracle)-len(fails)}/{len(oracle)} OK")
+print(f"\n{len(names)-len(fails)}/{len(names)} OK")
 sys.exit(1 if fails else 0)

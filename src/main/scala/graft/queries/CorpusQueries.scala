@@ -1064,24 +1064,31 @@ object CorpusQueries {
     // Per-doc n-gram novelty — the memorization/duplication-risk
     // signal (the diagnostic RefinedWeb/Gopher-style curation reads
     // before deciding how hard to dedup): what fraction of a doc's
-    // distinct GRAM_N-grams appears in NO other document. Build the
-    // corpus gram DF table once (map-side-combined count shuffle over
-    // doc-distinct grams), then join it back to each doc's grams.
-    // The join is size-adaptive by design: Catalyst broadcasts the DF
-    // table while it fits (as at test SF) and falls back to a
-    // hash-partitioned shuffle join when both sides are corpus-sized
-    // — the correct 100 TB plan, with AQE absorbing the skewed
-    // boilerplate grams. novelty = integral-double division, exact
+    // distinct GRAM_N-grams appears in NO other document. The gram
+    // stream is hash-partitioned by g ONCE; the doc-distinct, the DF
+    // count, and the DF join-back all reuse that single exchange (see
+    // inline note — r11: 30× ratio 8.6 → 3.9, base 2.0 → 0.9 s).
+    // novelty = integral-double division, exact
     // in both engines. Docs shorter than GRAM_N words have no grams
     // and drop out (same as the oracle's empty range).
     "text_novelty" -> ((s, dir) => {
-      val dgrams = Tables.documents(s, dir)
+      // ONE explicit exchange by g feeds the doc-distinct, the df
+      // count, AND the join-back: hash(g) satisfies the clustering of
+      // all three, so the gram stream crosses the wire once instead of
+      // three times (r10's shape re-shuffled the dgram stream for the
+      // join and again for the df agg — and n-gram df is mostly 1, so
+      // the df agg's map-side combine shrank nothing; its exchange was
+      // token-scale too). At small SF AQE still converts the join to
+      // broadcast off the local shuffle files; at 30× the SMJ runs
+      // sort-only with zero extra exchanges, skew absorbed by AQE.
+      val byG = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(graft.functions.functions.word_grams(col("text"), GRAM_N))
             .as("g"))
-        .distinct()
-      val dfTab = dgrams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      dgrams.join(dfTab, Seq("g"))
+        .repartition(col("g"))
+        .dropDuplicates("g", "doc_id")
+      val dfTab = byG.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      byG.join(dfTab, Seq("g"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))

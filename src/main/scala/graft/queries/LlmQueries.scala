@@ -290,12 +290,30 @@ object LlmQueries {
     // jaccard misses a small doc quoted inside a big one, containment
     // doesn't). Exact intersection counted ONLY on the capped LSH
     // candidate pairs (the verified posture — never an all-pairs
-    // shingle join): the tiny pair table broadcasts into the shingle
-    // stream twice, so the corpus-sized side never shuffles. Both
+    // shingle join): the pair table broadcasts into the candidate-doc
+    // shingle stream, and the full corpus never joins or shuffles at
+    // all (broadcast-semi pruned up front). Both
     // directional containments are INTEGER division in micro-units.
     "text_minhash_containment" -> ((s, dir) => {
-      val cand = lshCandidatePairs(s, dir)
-      val sh = Tables.documents(s, dir).select(col("doc_id"), explode(shingles3).as("g"))
+      // r11 scale flattening (30× ratio was 7.3): (1) the candidate
+      // pair table is localCheckpoint-pinned (the LSH band pipeline
+      // otherwise recomputes for every downstream use — the pagerank
+      // edge-set posture); (2) the shingle stream is broadcast-semi
+      // PRUNED to docs that appear in some candidate pair before any
+      // heavy join — only candidate docs matter to inter/sizes (all
+      // joins inner on cand), so values are unchanged but the b-side
+      // shuffle join and the sizes agg carry the near-dup cohort
+      // instead of the whole corpus (the dedup_keep_canonical
+      // broadcast-doc-list posture). Measured: 30× ratio 7.3 → 2.1
+      // (9.6 → 4.9 s); pinning the pruned stream too was tried and
+      // LOST to recompute (local-disk write beats three cheap pruned
+      // explodes at neither scale).
+      val cand = lshCandidatePairs(s, dir).localCheckpoint()
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sh = Tables.documents(s, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(shingles3).as("g"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = cand.join(sh.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
       val inter = a.join(

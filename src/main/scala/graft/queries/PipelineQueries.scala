@@ -55,8 +55,13 @@ object PipelineQueries {
   /** Drift monitor: hashed feature buckets + train split percent. */
   private def KL_B = GraftConf.int("graft.drift.buckets", 256)
   private def TRAIN_PCT = GraftConf.int("graft.drift.trainPct", 80)
-  /** Embedding decontamination: eval-member rule + cosine floor. */
+  /** Embedding decontamination: eval-member rule + cosine floor.
+    * evalMax bounds eval membership to ids below it — production
+    * benchmark sets are FIXED while the corpus grows, so scale
+    * replicas set it to the base id range to keep the eval set
+    * constant (default unbounded = every mod-match is eval). */
   private def EVAL_MOD = GraftConf.int("graft.contam.evalMod", 97)
+  private def EVAL_MAX = GraftConf.long("graft.contam.evalMax", Long.MaxValue)
   private def CONTAM_COS = GraftConf.double("graft.contam.cosMin", 0.8)
   /** Zipf fit: how many head words enter the OLS regression. */
   private def ZIPF_N = GraftConf.int("graft.zipf.topn", 1000)
@@ -240,7 +245,8 @@ object PipelineQueries {
     "contaminate_embedding" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val eval = emb.where(col("vec_id") % EVAL_MOD === 0)
+      val eval = emb.where(col("vec_id") % EVAL_MOD === 0 &&
+        col("vec_id") < EVAL_MAX)
       val planted = eval.select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("e"), x => x + lit(0.05)).as("e"))
       val corpus = emb.unionByName(planted)
@@ -538,7 +544,7 @@ object PipelineQueries {
     // same planted near-copies, same cosine floor, same top-1 rule
     "contaminate_embedding" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |ev AS (SELECT * FROM emb WHERE vec_id % $EVAL_MOD = 0),
+         |ev AS (SELECT * FROM emb WHERE vec_id % $EVAL_MOD = 0 AND vec_id < $EVAL_MAX),
          |planted AS (SELECT vec_id + 1000000 AS vec_id,
          |list_transform(e, x -> x + 0.05) AS e FROM ev),
          |corpus AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm

@@ -657,9 +657,12 @@ object SamplingQueries {
          |NOT (f_blockword OR f_tld OR f_query OR f_long) AS keep FROM f""".stripMargin
     },
 
-    // text_compress_ratio: deliberately NO oracle — DEFLATE has no
-    // DuckDB builtin; correctness rides ZlibLenSpec (known-answer +
-    // golden parity) and the driver's rows-only check.
+    // text_compress_ratio: no SQL oracle — DEFLATE has no DuckDB
+    // builtin — so the check harness oracles it in PYTHON instead
+    // (scripts/check.py PY_ORACLES: CPython zlib level 6 is
+    // byte-identical to the JRE Deflater on every probed input; exact
+    // zlib_bytes + Decimal(18,6) ratio compare). ZlibLenSpec carries
+    // the known-answer + golden-parity spec.
 
     "dedup_url_canonical" ->
       s"""WITH u AS (SELECT doc_id,

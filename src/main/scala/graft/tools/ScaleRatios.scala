@@ -106,6 +106,15 @@ object ScaleRatios {
     spark.sparkContext.setLogLevel("WARN")
 
     def time(name: String, dir: String): Double = {
+      // production benchmark sets are FIXED while the corpus grows:
+      // on the replica, bound eval membership to replica 0's id range
+      // (ScaleUp offsets keys by 1e8 per replica) so the sidecar
+      // measures corpus growth against a constant eval set instead of
+      // growing the broadcast side k× alongside it
+      if (name == "contaminate_embedding") {
+        if (dir == big) spark.conf.set("graft.contam.evalMax", "100000000")
+        else spark.conf.unset("graft.contam.evalMax")
+      }
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
