@@ -99,7 +99,9 @@ object ScaleRatios {
       // histogram, the agg+max scalar subquery, the region market
       // share, and the mutual-kNN filter
       "q19_brand_quantity", "q13_custdist", "q15_top_supplier",
-      "q8_market_share", "sim_reciprocal_knn")
+      "q8_market_share", "sim_reciprocal_knn",
+      // r10 sixth: the z-test readout (two exchanges, O(1) output)
+      "events_ab_test")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -1,0 +1,276 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.operators.AsOfJoin
+import graft.sources.PushSource
+import graft.streaming.{CheckpointManager, Flow, RestartableQuery}
+import graft.streaming.Checkpointing._
+
+/** Measured end-to-end seek-back loop at volume — the flagship
+  * downtime→pause→seek-back→corrected-replay arc that SeekBackLoopSpec
+  * proves at 5 messages (reference
+  * tests/integration/test_kafka_integration.py:48-162), here driven at
+  * ~30× the sf0.1 event volume and TIMED per phase:
+  *
+  *   healthy  — activity chunks enriched as-of against a live weather
+  *              dependency whose readings lead the activities at 5-min
+  *              event-time cadence (rows/s);
+  *   stall    — weather stops; one more chunk escapes with STALE
+  *              enrichment before the checkpoint detects the lag and
+  *              stops the dependent query (detection wall-clock);
+  *   backlog  — activities keep arriving while the dependent is down
+  *              (they only buffer in the channel);
+  *   recovery — the weather stream comes back and BACKFILLS the missed
+  *              readings, overtaking the dependent; the manager
+  *              restarts the dependent from the saved offsets and the
+  *              whole stale-plus-backlog window replays CORRECTED in
+  *              one burst (replay rows/s — the number that bounds how
+  *              fast a recovered pipeline drains its downtime debt);
+  *   post     — healthy tail after recovery (rows/s).
+  *
+  * Batch-granular pulses: each micro-batch pulses ONE marker carrying
+  * the batch's MIN offset ("this batch is not yet safely enriched"),
+  * so a seek-back replays the whole in-flight batch — the honest
+  * at-least-once convention when checkpointing per batch instead of
+  * the reference's per-message `check_pulse`. Correctness is asserted,
+  * not assumed: offset coverage is gap-free, the replay covers the
+  * stale+backlog window with zero stale enrichment, and the lifecycle
+  * journal shows exactly one pause and one resume.
+  *
+  * Prints ONE JSON line (saved as the BENCH_stream sidecar).
+  * Usage: runMain graft.tools.SeekBackBench [mult] [chunkRows]
+  */
+object SeekBackBench {
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(30)
+    val chunkRows = args.drop(1).headOption.map(_.toInt).getOrElse(250000)
+    implicit val spark = GraftSession.getOrCreate()
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    val threshUs = 10L * 60 * 1000000 // the reference default, 10 min
+    val readingUs = 5L * 60 * 1000000 // weather cadence: half the threshold
+    val OFF = 100000000L
+
+    // ---- build the 30× activity stream (replicas at identical event
+    // times — higher event DENSITY over the same month, which is what
+    // "more volume" means to a downtime detector) ----
+    val base = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(unix_micros(col("ts")).as("tsu"), col("user_id"), col("value"))
+      .orderBy(col("tsu")).collect()
+    val n0 = base.length
+    val total = n0 * mult
+    val payloads = new Array[String](total)
+    var bi = 0
+    while (bi < n0) {
+      val tsu = base(bi).getLong(0)
+      val uid = base(bi).getLong(1)
+      val v = base(bi).getDouble(2)
+      var j = 0
+      while (j < mult) {
+        payloads(bi * mult + j) = s"$tsu|${uid + j * OFF}|$v"
+        j += 1
+      }
+      bi += 1
+    }
+    def tsOf(idx: Int): Long = payloads(idx).takeWhile(_ != '|').toLong
+    println(s"[seekback] $total events ($n0 × $mult), " +
+      s"chunk=$chunkRows, threshold=${threshUs / 1000000}s")
+
+    val ch = "seekbench"
+    PushSource.clear(ch)
+
+    // ---- the weather dependency cache (driver-side, as the reference
+    // keeps it in an in-process Cache) ----
+    val weather = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+
+    // ---- metrics ----
+    val outRows = new AtomicLong(0) // rows emitted across incarnations
+    val staleRows = new AtomicLong(0) // enrichment lag > threshold
+    val batchLog = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]()
+
+    val markers = MemoryStream[Marker]
+    val cfg = Config("seekbench", "activity", Seq("weather"),
+      downtimeThresholdUs = threshUs)
+
+    val dep = new RestartableQuery(offsets => {
+      val startAt = offsets.get("0").map(_.toLong).getOrElse(0L)
+      spark.readStream.format("graft-push")
+        .option("channel", ch)
+        .option("startingOffset", startAt)
+        .option("includeOffset", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val parsed = batch
+            .select(col("offset"), split(col("value"), "\\|").as("p"))
+            .select(col("offset"),
+              col("p").getItem(0).cast("long").as("tsu"),
+              col("p").getItem(1).cast("long").as("uid"),
+              col("p").getItem(2).cast("double").as("v"))
+            .withColumn("ts", (col("tsu") / lit(1000000.0)).cast("timestamp"))
+            .withColumn("k", lit("x"))
+          val wsnap = weather.synchronized(weather.toList)
+          val enriched =
+            if (wsnap.isEmpty) parsed.withColumn("wtsu", lit(0L))
+            else {
+              val w = wsnap.toDF("wtsu", "wval")
+                .withColumn("wts", (col("wtsu") / lit(1000000.0)).cast("timestamp"))
+                .withColumn("k", lit("x"))
+              AsOfJoin.asOf(parsed, w, "ts", "wts", Seq("k"), Seq("wtsu"))
+                .withColumn("wtsu", coalesce(col("r_wtsu"), lit(0L)))
+            }
+          val agg = enriched.agg(
+            count(lit(1)), min(col("offset")), max(col("offset")),
+            max(col("tsu")),
+            sum(when(col("tsu") - col("wtsu") > threshUs, 1L).otherwise(0L))
+          ).head()
+          val n = agg.getLong(0)
+          if (n > 0) {
+            outRows.addAndGet(n)
+            staleRows.addAndGet(agg.getLong(4))
+            batchLog.add((agg.getLong(1), agg.getLong(2)))
+            // one pulse per batch; seek-back target = batch START
+            markers.addData(Marker("seekbench", "activity",
+              isDependent = true, agg.getLong(3),
+              Map("0" -> agg.getLong(1).toString)))
+          }
+          ()
+        }
+        .start()
+    })
+
+    val arc = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val mgr: CheckpointManager = dep.manager(
+      onDowntime = t => arc.add(s"downtime(lag=${t.downtimeUs.get / 1000000}s)"),
+      onRecovery = t => arc.add(s"recovery(off=${t.savedState.getOrElse("0", "?")})"))
+    val Seq(Some(cpQ)) = Flow.from(transitions(cfg, markers.toDS())).to(mgr.sink)
+
+    // advance the weather stream to `toTs`: append every missed 5-min
+    // reading to the cache, heartbeat each as a marker (one batch)
+    var lastReading = tsOf(0) - 1
+    weather += ((lastReading, "w0"))
+    def advanceWeather(toTs: Long): Unit = {
+      val fresh = Iterator.iterate(lastReading + readingUs)(_ + readingUs)
+        .takeWhile(_ <= toTs).toVector :+ toTs
+      val dedup = fresh.filter(_ > lastReading).distinct
+      if (dedup.nonEmpty) {
+        weather.synchronized(weather ++= dedup.map(t => (t, s"w$t")))
+        lastReading = dedup.last
+        markers.addData(dedup.map(t =>
+          Marker("seekbench", "weather", isDependent = false, t)))
+        cpQ.processAllAvailable()
+      }
+    }
+    def pushChunk(from: Int, until: Int): Unit = {
+      PushSource.push(ch, payloads.slice(from, until).toIndexedSeq: _*)
+      dep.running.foreach(_.processAllAvailable())
+      cpQ.processAllAvailable()
+    }
+
+    // phase boundaries (indices): healthy 50%, stale 1 chunk, backlog
+    // 20%, post = rest
+    val endA = (total * 0.5).toInt
+    val endStale = math.min(endA + chunkRows, total)
+    val endB = math.min(endStale + (total * 0.2).toInt, total)
+
+    markers.addData(Marker("seekbench", "weather", isDependent = false, lastReading))
+    dep.launch()
+
+    // ---- phase A: healthy (weather leads each chunk) ----
+    val tA = System.nanoTime()
+    var pos = 0
+    while (pos < endA) {
+      val next = math.min(pos + chunkRows, endA)
+      advanceWeather(tsOf(next - 1))
+      pushChunk(pos, next)
+      pos = next
+    }
+    val dA = (System.nanoTime() - tA) / 1e9
+    require(dep.running.nonEmpty, "dependent must be up through phase A")
+    require(staleRows.get() == 0,
+      s"phase A must enrich fresh, got ${staleRows.get()} stale")
+
+    // ---- stall: weather stops; one chunk escapes stale, then pause ----
+    val tD = System.nanoTime()
+    pushChunk(pos, endStale)
+    val dDetect = (System.nanoTime() - tD) / 1e9
+    pos = endStale
+    require(dep.running.isEmpty, "downtime must stop the dependent")
+    val staleEscaped = staleRows.get()
+    require(staleEscaped > 0, "the stale chunk must have escaped pre-pause")
+    val rowsBeforePause = outRows.get()
+
+    // ---- backlog: activities arrive while down (buffer only) ----
+    while (pos < endB) {
+      val next = math.min(pos + chunkRows, endB)
+      pushChunk(pos, next)
+      pos = next
+    }
+    require(outRows.get() == rowsBeforePause, "no processing while down")
+
+    // ---- recovery: weather backfills past the backlog; the manager
+    // restarts from the saved offsets and the debt drains corrected ----
+    val tR = System.nanoTime()
+    advanceWeather(tsOf(endB - 1) + 1) // backfill + overtake → resume
+    require(dep.running.nonEmpty, "recovery must restart the dependent")
+    dep.running.get.processAllAvailable()
+    cpQ.processAllAvailable()
+    val dReplay = (System.nanoTime() - tR) / 1e9
+    val replayRows = outRows.get() - rowsBeforePause
+    require(staleRows.get() == staleEscaped,
+      "the corrected replay must carry NO stale enrichment")
+
+    // ---- phase C: healthy tail ----
+    val tC = System.nanoTime()
+    while (pos < total) {
+      val next = math.min(pos + chunkRows, total)
+      advanceWeather(tsOf(next - 1))
+      pushChunk(pos, next)
+      pos = next
+    }
+    val dC = (System.nanoTime() - tC) / 1e9
+    val journal = dep.journal // snapshot BEFORE the cleanup pause below
+    dep.pause()
+    cpQ.stop()
+
+    // ---- correctness: gap-free offset coverage, replay ≥ debt ----
+    val ranges = batchLog.asScala.toSeq.sortBy(_._1)
+    val covered = ranges.foldLeft(-1L) { case (hi, (a, b)) =>
+      require(a <= hi + 1, s"offset gap before $a (covered to $hi)")
+      math.max(hi, b)
+    }
+    require(covered == total - 1, s"coverage ends at $covered, want ${total - 1}")
+    require(replayRows >= (endB - endA).toLong,
+      s"replay ($replayRows) must cover the stale+backlog window (${endB - endA})")
+    require(journal.count(_ == "pause") == 1, s"journal=$journal")
+    require(journal.count(_.startsWith("resume")) == 1, s"journal=$journal")
+    require(staleRows.get() == staleEscaped && arc.size == 2, s"arc=$arc")
+
+    val dup = outRows.get() - total
+    println(s"[seekback] journal=${journal.mkString(", ")}  arc=$arc")
+    println(f"[seekback] healthy ${endA / dA}%.0f rows/s; " +
+      f"detect ${dDetect}%.2f s ($staleEscaped stale escaped); " +
+      f"replay ${replayRows / dReplay}%.0f rows/s ($replayRows rows); " +
+      f"post ${(total - endB) / dC}%.0f rows/s; dup=$dup")
+    println(s"""{"metric":"seekback_stream","events":$total,"mult":$mult,""" +
+      s""""healthy_rows_s":${(endA / dA).toLong},""" +
+      s""""detect_s":${f"$dDetect%.3f"},"stale_escaped":$staleEscaped,""" +
+      s""""replay_rows":$replayRows,"replay_rows_s":${(replayRows / dReplay).toLong},""" +
+      s""""post_rows_s":${((total - endB) / dC).toLong},""" +
+      s""""duplicates":$dup,"out_rows":${outRows.get()},""" +
+      s""""journal":"${journal.mkString(",")}"}""")
+    spark.stop()
+  }
+}
