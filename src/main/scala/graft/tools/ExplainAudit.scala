@@ -48,8 +48,13 @@ object ExplainAudit {
     // query and audit the FINAL adaptive plan for these
     def auditExecuted(name: String, what: String)(check: String => Boolean): Unit = {
       val df = SparkEntry.queries(name)(spark, dir)
-      df.count()
-      val p = df.queryExecution.executedPlan.toString
+      // execute THIS QueryExecution's plan (df.count() would wrap a new
+      // one and leave this AdaptiveSparkPlan un-finalized) so AQE's
+      // runtime decisions — reused shuffles, join demotions — are in
+      // the string we assert on
+      val plan = df.queryExecution.executedPlan
+      plan.execute().count()
+      val p = plan.toString
       val ok = check(p)
       if (!ok) failures += 1
       println(s"[audit] ${if (ok) "PASS" else "FAIL"}  $name: $what")
@@ -213,11 +218,15 @@ object ExplainAudit {
       p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
         p.contains("TakeOrderedAndProject") && count(p, "Window") == 0
     }
-    // gram df-table join is equi (broadcast while small, shuffle at
-    // scale) — never a cartesian; all aggs map-side combined
-    audit("text_novelty",
-      "df-table equi-join, map-side-combined counts, no cartesian") { p =>
-      !p.contains("CartesianProduct") && p.contains("partial_count") &&
+    // r11 shape: ONE explicit hash(g) exchange feeds the doc-distinct,
+    // the df count, and the df join-back (AQE dedups the copies via
+    // ReusedExchange/ReusedShuffle at runtime — audit the FINAL plan);
+    // never a cartesian
+    auditExecuted("text_novelty",
+      "single gram exchange reused across distinct/df/join; no cartesian") { p =>
+      !p.contains("CartesianProduct") &&
+        (p.contains("ReusedExchange") || p.contains("reused shuffle") ||
+          p.contains("ShuffleQueryStage")) &&
         (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
     }
     // the learned rules are literals compiled into one nested replace
@@ -494,9 +503,10 @@ object ExplainAudit {
         count(p, "Window") == 1 && !p.contains("CartesianProduct")
     }
     audit("text_minhash_containment",
-      "the capped candidate pair table broadcasts into the shingle " +
-        "stream (corpus side never shuffle-joins); never a cartesian") { p =>
-      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      "shingle stream broadcast-semi PRUNED to candidate docs before " +
+        "any heavy join; pair table broadcasts; never a cartesian") { p =>
+      p.contains("BroadcastHashJoin") && p.contains("LeftSemi") &&
+        !p.contains("CartesianProduct")
     }
 
     audit("q19_brand_quantity",

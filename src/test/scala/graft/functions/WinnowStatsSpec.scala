@@ -21,10 +21,13 @@ class WinnowStatsSpec extends AnyFunSuite {
     val cps = s.codePoints().toArray
     val n = math.max(0, cps.length - k + 1)
     if (n == 0) return (0, 0, None, None)
+    // per-step mod, same algebra as one final mod but overflow-free
+    // for any codepoint and any k (the r11 fix, mirrored in the
+    // expression AND the oracle SQL)
     val hs = Array.tabulate(n) { i =>
       var acc = 0L
-      (0 until k).foreach(j => acc = acc * 131L + cps(i + j))
-      acc % 2147483647L
+      (0 until k).foreach(j => acc = (acc * 131L + cps(i + j)) % 2147483647L)
+      acc
     }
     if (n < w) return (n, 0, None, None)
     val sel = scala.collection.mutable.SortedSet[Int]()
@@ -51,8 +54,13 @@ class WinnowStatsSpec extends AnyFunSuite {
       "abababababababab",               // period-2 ties
       "the quick brown fox jumps over the lazy dog",
       "xyxyxyxy zz xyxyxyxy zz",        // repeated block ⇒ shared fingerprints
-      "café au lait avec du café et encore")  // multibyte path
-    for (s <- cases; k <- Seq(3, 8); w <- Seq(2, 4)) {
+      "café au lait avec du café et encore",  // multibyte path
+      "汉字文本的指纹测试需要更长一些的输入内容",  // CJK: codepoints ≫ 255 —
+      // the r10 one-mod-at-end form wrapped int64 here at k=8
+      "mixed 漢字 and ascii 🎯 with an astral point")  // surrogate-pair path
+    for (s <- cases; k <- Seq(3, 8, 12); w <- Seq(2, 4)) {
+      // k=12 exceeds the old k≤8 headroom even for ASCII — the
+      // per-step reduction must stay exact at any k
       assert(fused(s, k, w) == reference(s, k, w), s"k=$k w=$w text='$s'")
     }
   }

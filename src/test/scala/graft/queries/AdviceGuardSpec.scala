@@ -1,0 +1,94 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** Round-11 advisor-finding regression specs — each pins the FIXED
+  * behavior of an edge the advisor showed could diverge between the
+  * engines or defeat its own guard:
+  *
+  *  - events_funnel's maxEvents guard must fire BEFORE any per-user
+  *    list materializes (the r10 form raised only after collect_list
+  *    had already built the oversized array in aggregation state);
+  *  - events_ab_test must yield NULL rates/z for an empty variant on
+  *    the Spark side (DuckDB's `//` would raise; both engines now
+  *    guard identically, so the Spark result must be NULL, not a
+  *    crash or a wrapped division);
+  *  - sim_mmr_rerank's round-1 pick must stay relevance-ordered at
+  *    graft.mmr.lambdaPct = 0, where every λ·rel score ties at 0;
+  *  - text_word_zipf must refuse a top-N beyond the derived int64
+  *    headroom instead of silently wrapping where DuckDB raises.
+  */
+class AdviceGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def eventsDir(rows: Seq[(Long, Timestamp, Long, String, Double)]): String = {
+    val dir = Files.createTempDirectory("advice").toFile.getAbsolutePath
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("events_funnel raises past graft.funnel.maxEvents before folding the user") {
+    val dir = eventsDir(
+      (1 to 20).map(i => (i.toLong, ts(i), 7L, "view", 1.0)) ++
+        Seq((100L, ts(1), 8L, "view", 1.0)))
+    spark.conf.set("graft.funnel.maxEvents", "10")
+    try {
+      val e = intercept[Exception] {
+        graft.SparkEntry.queries("events_funnel")(spark, dir).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("maxEvents")),
+        s"want the loud maxEvents error, got: ${messages(e)}")
+    } finally spark.conf.unset("graft.funnel.maxEvents")
+    // under the cap the same corpus folds fine
+    assert(graft.SparkEntry.queries("events_funnel")(spark, dir).count() == 2)
+  }
+
+  test("events_ab_test yields NULL rates and z for an empty variant (all-even user ids)") {
+    // every user_id is even → variant 1 is EMPTY (n1 = 0)
+    val dir = eventsDir((1 to 12).map(i =>
+      (i.toLong, ts(i), i.toLong * 2, "purchase", 5.0)))
+    val r = graft.SparkEntry.queries("events_ab_test")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n1") == 0L)
+    assert(row.isNullAt(row.fieldIndex("cvr1_micro")), "cvr1 must be NULL, not a crash")
+    assert(!row.isNullAt(row.fieldIndex("cvr0_micro")), "cvr0 is well-defined")
+    assert(row.isNullAt(row.fieldIndex("z_micro")), "z must be NULL with an empty variant")
+    assert(row.isNullAt(row.fieldIndex("significant")))
+  }
+
+  test("sim_mmr_rerank round 1 is relevance-ordered even at lambdaPct = 0") {
+    spark.conf.set("graft.mmr.lambdaPct", "0")
+    try {
+      val r = graft.SparkEntry.queries("sim_mmr_rerank")(spark, "/root/testdata/sf0.001")
+        .orderBy("round").collect()
+      // with λ=0 every mmr_score ties at (or below) 0; the first pick
+      // must still be the HIGHEST-relevance candidate, not the lowest
+      // vec_id — i.e. round 1's rel is the max rel of all picks
+      val rels = r.map(_.getAs[Long]("rel_micro"))
+      assert(rels.head == rels.max,
+        s"round-1 pick must be the most relevant candidate, got rels=${rels.toSeq}")
+      assert(r.head.getAs[Long]("mmr_score") == 0L)
+    } finally spark.conf.unset("graft.mmr.lambdaPct")
+  }
+
+  test("text_word_zipf validates graft.zipf.topn against the int64 headroom bound") {
+    spark.conf.set("graft.zipf.topn", "100000")
+    try {
+      val e = intercept[Exception] {
+        graft.SparkEntry.queries("text_word_zipf")(spark, "/root/testdata/sf0.001").collect()
+      }
+      assert(e.getMessage.contains("graft.zipf.topn"))
+    } finally spark.conf.unset("graft.zipf.topn")
+  }
+}
