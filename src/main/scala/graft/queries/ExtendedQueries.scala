@@ -1054,17 +1054,31 @@ object ExtendedQueries {
       // shuffle-hash join back onto the index (both sides hash(sh) —
       // the index exchange is reused; no sort anywhere)
       val rare = e.join(rareSh.hint("shuffle_hash"), "sh")
-      // doc sizes attach AFTER the pair aggregation: joining the small
-      // aggregated pair set against the sizes table measured 2.1×
-      // faster than a doc_id window at the 10× scale point
-      val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // pair generation WITHOUT a self-join: post-cap postings are
-      // ≤ maxDf docs, so collecting them per shingle is O(cap) memory
-      // and in-row combinatorics emit the doc_a < doc_b pairs directly
-      // (sorted list ⇒ ordered pairs). Kills the second full-index
-      // shuffle AND the join build side.
-      val pairs = rare.groupBy(col("sh"))
+      // Aggregate the capped postings per shingle ONCE, project away
+      // the shingle string, and localCheckpoint the id arrays: both
+      // downstream consumers (per-doc sizes, in-row pair
+      // combinatorics) read the pinned table, so the index join and
+      // the postings agg run once instead of once per branch (r11:
+      // the duplicated join was the 30× driver — big 19.7 s → 6.1 s).
+      // Postings are ≤ maxDf ids per row; dropping `sh` before the
+      // pin shrinks it to the id arrays alone.
+      // DISK_ONLY: the pinned postings are index-scale — default
+      // MEMORY_AND_DISK would squat on executor heap and starve the
+      // downstream joins' broadcast builds (observed OOM at 30×)
+      val post = rare.groupBy(col("sh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(col("ds"))
+        .localCheckpoint(eager = true,
+          storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // doc sizes = per-doc count of capped-universe shingles, straight
+      // off the pinned postings (no second pass over the index join)
+      val sizes = post.select(explode(col("ds")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // pair generation WITHOUT a self-join: post-cap postings are
+      // ≤ maxDf docs, so in-row combinatorics emit the doc_a < doc_b
+      // pairs directly (sorted list ⇒ ordered pairs). Kills the second
+      // full-index shuffle AND the join build side.
+      val pairs = post
         .select(explode(flatten(transform(col("ds"), (x, i) =>
           transform(slice(col("ds"), i + lit(2), size(col("ds"))),
             y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))

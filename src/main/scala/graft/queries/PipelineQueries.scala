@@ -65,6 +65,10 @@ object PipelineQueries {
   private def CONTAM_COS = GraftConf.double("graft.contam.cosMin", 0.8)
   /** Zipf fit: how many head words enter the OLS regression. */
   private def ZIPF_N = GraftConf.int("graft.zipf.topn", 1000)
+  /** Sequence packing: context-window width (tokens) and the doc-id
+    * bucket width of the two-level prefix sum. */
+  private def PACK_W = GraftConf.long("graft.pack.window", 2048L)
+  private def PACK_B = GraftConf.long("graft.pack.bucket", 4096L)
   /** PMI collocations: bigram support floor, candidate cap, output k. */
   private def PMI_MINC = GraftConf.int("graft.pmi.minCount", 5)
   private def PMI_CAND = GraftConf.int("graft.pmi.cand", 10000)
@@ -326,6 +330,44 @@ object PipelineQueries {
         .withColumn("chunk_text", array_join(slice(col("tk"), col("start"), lit(w)), " "))
         .select(col("doc_id"), col("chunk_id"), col("start"),
           col("chunk_len"), col("chunk_text"))
+    }),
+
+    // Concat-and-chunk sequence packing (the GPT/LLaMA pretraining
+    // layout: all documents concatenated in a deterministic order and
+    // cut every W tokens; docs may span cuts) — per doc, its exact
+    // global token offset and the context windows it lands in. The
+    // global EXCLUSIVE prefix sum is the whole operator, and a naive
+    // ORDER BY window is a single-task sort of the corpus — so it runs
+    // as the classic TWO-LEVEL distributed prefix sum instead: docs
+    // bucket by any monotone function of the sort key (doc_id div B),
+    // per-bucket totals aggregate map-side-combined to an O(buckets)
+    // control-plane table, bucket offsets come from ONE tiny
+    // single-partition window over that table (the zipf-OLS posture),
+    // broadcast back, and the intra-bucket cumsum runs per-bucket in
+    // parallel off a single corpus exchange. Exact long arithmetic
+    // throughout; empty docs occupy zero positions and stay in their
+    // start bin.
+    "curate_pack_chunks" -> ((s, dir) => {
+      val w = PACK_W
+      val b = PACK_B
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .withColumn("bkt", expr(s"doc_id div $b"))
+      val offs = d.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bsum"))
+        .withColumn("boff", coalesce(sum(col("bsum")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("boff"))
+      d.join(broadcast(offs), "bkt")
+        .withColumn("start_pos", col("boff") + coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("start_bin", expr(s"start_pos div $w"))
+        .withColumn("end_bin", expr(s"CASE WHEN n_tokens = 0 THEN start_pos div $w " +
+          s"ELSE (start_pos + n_tokens - 1) div $w END"))
+        .withColumn("n_bins", col("end_bin") - col("start_bin") + lit(1L))
+        .select(col("doc_id"), col("n_tokens"), col("start_pos"),
+          col("start_bin"), col("end_bin"), col("n_bins"))
     }),
 
     // Flesch–Kincaid readability (Kincaid et al. 1975) — the cheap
@@ -591,6 +633,26 @@ object PipelineQueries {
          |CAST(least($CHUNK_W, n - start + 1) AS INTEGER) AS chunk_len,
          |array_to_string(list_slice(tk, start, start + $CHUNK_W - 1), ' ') AS chunk_text
          |FROM st""".stripMargin,
+
+    // same deterministic doc order, same exclusive prefix sum (the
+    // oracle's one-window form IS the semantics the two-level
+    // distributed sum must reproduce exactly), same integer bin math
+    "curate_pack_chunks" -> {
+      val w = PACK_W
+      s"""WITH t AS (SELECT doc_id,
+         |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_pos
+         |FROM t)
+         |SELECT doc_id, n_tokens, start_pos,
+         |start_pos // $w AS start_bin,
+         |CASE WHEN n_tokens = 0 THEN start_pos // $w
+         |ELSE (start_pos + n_tokens - 1) // $w END AS end_bin,
+         |CASE WHEN n_tokens = 0 THEN start_pos // $w
+         |ELSE (start_pos + n_tokens - 1) // $w END - start_pos // $w + 1 AS n_bins
+         |FROM c""".stripMargin
+    },
 
     // same derived sentences, same vowel-group syllable proxy, same
     // FK/Flesch constants in the same evaluation order

@@ -543,6 +543,13 @@ object ExplainAudit {
       !p.contains("CartesianProduct") &&
         (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
     }
+    audit("curate_pack_chunks",
+      "two-level prefix sum: corpus shuffles ONCE by bucket; the only " +
+        "single-partition window runs on the O(buckets) offsets table; " +
+        "offsets broadcast back; no corpus-wide sort") { p =>
+      count(p, "Exchange") <= 3 && p.contains("SinglePartition") &&
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+    }
     audit("text_tfidf_keyterms",
       "Zipf-head df table (top-D by df) broadcast into the token-mass " +
         "join — the bulk of tf rows never shuffle by word; only the " +

@@ -44,3 +44,43 @@ object Profile {
     spark.stop()
   }
 }
+
+/** Stage decomposition of dedup_jaccard_dfcap at an arbitrary dir —
+  * which leg owns the 30× wall (r11 tuning aid). */
+object DfcapProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("localdata/sf3x30")
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[dfcap] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val e = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(graft.functions.functions.word_shingles(col("text"), 3)).as("sh"))
+    time("warm")(Tables.documents(spark, dir).count())
+    time("explode count")(e.count())
+    val rareSh = e.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 20).select(col("sh"))
+    time("df agg")(rareSh.count())
+    val rare = e.join(rareSh.hint("shuffle_hash"), "sh")
+    time("index join")(rare.count())
+    val post = rare.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds")).select(col("ds"))
+    time("postings agg")(post.count())
+    val pinned = time("pin DISK_ONLY")(post.localCheckpoint(eager = true,
+      storageLevel = org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    val sizes = pinned.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    time("sizes")(sizes.count())
+    val pairs = pinned
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    time("pair explode count")(pairs.count())
+    val agg = pairs.groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    time("pair agg")(agg.count())
+    spark.stop()
+  }
+}

@@ -101,7 +101,9 @@ object ScaleRatios {
       "q19_brand_quantity", "q13_custdist", "q15_top_supplier",
       "q8_market_share", "sim_reciprocal_knn",
       // r10 sixth: the z-test readout (two exchanges, O(1) output)
-      "events_ab_test")
+      "events_ab_test",
+      // r11: global concat-and-chunk layout via two-level prefix sum
+      "curate_pack_chunks")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -139,4 +139,26 @@ class PipelineQueriesSpec extends AnyFunSuite {
       assert(math.abs(ease - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-9)
     }
   }
+
+  test("curate_pack_chunks: two-level prefix sum is the exact global cumsum; bins tile the token stream") {
+    val rows = PipelineQueries.queries("curate_pack_chunks")(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // contiguity: each doc starts exactly where the previous ended —
+    // the property a broken bucket offset or a lost doc would violate
+    var expect = 0L
+    rows.foreach { case (id, n, start, sb, eb, nb) =>
+      assert(start == expect, s"doc $id starts at $start, want $expect")
+      assert(sb == start / 2048L)
+      val endBin = if (n == 0) sb else (start + n - 1) / 2048L
+      assert(eb == endBin && nb == endBin - sb + 1, s"doc $id bins")
+      expect = start + n
+    }
+    // the layout tiles [0, total): the last doc's end bin is the bin
+    // of the last token
+    val total = rows.map(_._2).sum
+    assert(rows.last._5 == (total - 1) / 2048L)
+  }
 }
