@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Measured single-node throughput of the REFERENCE engine itself.
+
+BASELINE.md records that the reference repo publishes no performance
+numbers, so this drives the reference's own machinery — `handle` +
+`stream` from /root/reference (PUBLIC reference code, measured as-is,
+nothing copied) — over the exact workload graft's StreamBench runs
+(sf0.1 events × repeat), through the same two legs:
+
+  stateless: filter value > 1.0, format a string     (StreamBench leg a)
+  stateful : per-user running count into a dict      (StreamBench leg b;
+             a plain dict is FASTER than the reference's rocksdict
+             Cache, so the comparison is conservative in its favor)
+
+Usage: python3 scripts/ref_bench.py [repeat]
+Prints one JSON line — saved as the BENCH_refstream sidecar.
+"""
+import asyncio
+import json
+import sys
+import time
+
+sys.path.insert(0, '/root/reference')
+import duckdb
+from slipstream import handle, stream
+from slipstream.core import Conf
+
+REPEAT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+rows = duckdb.sql(
+    "SELECT user_id, event_type, value FROM "
+    "'/root/testdata/sf0.1/events.parquet'").fetchall()
+total = len(rows) * REPEAT
+print(f"[refbench] feeding {total} rows ({len(rows)} x {REPEAT})",
+      file=sys.stderr)
+
+
+def run_leg(make_handler):
+    # fresh Conf registry per leg (the reference keeps global state)
+    Conf().iterables = {}
+    Conf().handlers = {}
+
+    async def source():
+        for _ in range(REPEAT):
+            for r in rows:
+                yield r
+
+    make_handler(source())
+    t0 = time.perf_counter()
+    asyncio.run(stream())
+    return total / (time.perf_counter() - t0)
+
+
+# --- leg a: stateless map+filter ---
+out_count = 0
+
+
+def stateless(src):
+    @handle(src, sink=[])
+    def handler(msg):
+        global out_count
+        user_id, event_type, value = msg
+        if value > 1.0:
+            out_count += 1
+            return f"{user_id}:{event_type}:{value * 1.1}"
+
+
+r_stateless = run_leg(stateless)
+assert out_count > 0
+
+# --- leg b: keyed stateful fold (dict count per user) ---
+counts = {}
+
+
+def stateful(src):
+    @handle(src, sink=[])
+    def handler(msg):
+        user_id = msg[0]
+        counts[user_id] = counts.get(user_id, 0) + 1
+        return user_id, counts[user_id]
+
+
+r_stateful = run_leg(stateful)
+assert sum(counts.values()) == total
+
+print(json.dumps({
+    "metric": "reference_stream_rows_s",
+    "engine": "slipstream-async (reference, in-memory source, no kafka)",
+    "events": total,
+    "stateless_rows_s": int(r_stateless),
+    "stateful_rows_s": int(r_stateful),
+}))
