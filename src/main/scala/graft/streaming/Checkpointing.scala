@@ -73,13 +73,45 @@ object Checkpointing {
       savedState: Map[String, String])
 
   /** Configuration of one checkpoint (reference
-    * checkpointing.py:225-260). */
+    * checkpointing.py:225-260).
+    *
+    * `downtimeCheck` / `recoveryCheck` are the reference's pluggable
+    * per-dependency check functions (checkpointing.py:54-66, defaults
+    * at :88-131; exercised by tests/test_checkpointing.py:273-321):
+    * None = the default marker-lag / strict-overtake semantics. Custom
+    * checks must be serializable (they ride into the stateful
+    * operator) and PURE functions of the passed state — the Spark
+    * shape of the reference's `(checkpoint, dependency)` closures. */
   case class Config(
       name: String,
       dependent: String,
       dependencies: Seq[String],
       downtimeThresholdUs: Long = 10L * 60 * 1000 * 1000,
-      pauseDependent: Boolean = true)
+      pauseDependent: Boolean = true,
+      downtimeCheck: Option[Config.DowntimeCheck] = None,
+      recoveryCheck: Option[Config.RecoveryCheck] = None)
+
+  object Config {
+    /** (config, dependency state, dependent markerUs) → Some(lagUs)
+      * when the dependency should be declared DOWN. Called on every
+      * dependent pulse for each not-down dependency — the reference's
+      * `downtime_check(c, d)` truthiness. */
+    type DowntimeCheck = (Config, DepState, Long) => Option[Long]
+    /** (config, dependency state with the fresh heartbeat marker,
+      * dependent markerUs) → true when the down dependency has
+      * RECOVERED — the reference's `recovery_check(c, d)`. */
+    type RecoveryCheck = (Config, DepState, Option[Long]) => Boolean
+
+    /** Default: lag beyond the threshold (checkpointing.py:88-112). */
+    val defaultDowntime: DowntimeCheck = (cfg, dep, markerUs) => {
+      val lagUs = markerUs - dep.markerUs.get
+      if (lagUs > cfg.downtimeThresholdUs) Some(lagUs) else None
+    }
+    /** Default: the heartbeat STRICTLY overtook the dependent
+      * (checkpointing.py:113-131). */
+    val defaultRecovery: RecoveryCheck = (_, dep, dependentUs) =>
+      dependentUs.forall(d => dep.markerUs.exists(_ > d))
+  }
 
   /** Pure transition function — one marker against the state. Exactly
     * mirrors check_pulse/heartbeat; unit-testable without a stream. */
@@ -95,9 +127,10 @@ object Checkpointing {
         // no heartbeat yet: initialize to first dependent marker
         // (checkpointing.py:338-343)
         val marked = if (dep.markerUs.isEmpty) dep.copy(markerUs = Some(m.markerUs)) else dep
-        val lagUs = m.markerUs - marked.markerUs.get
-        if (!marked.isDown && lagUs > cfg.downtimeThresholdUs) {
-          out += Transition(cfg.name, "downtime", name, m.markerUs, Some(lagUs), Map.empty)
+        val check = cfg.downtimeCheck.getOrElse(Config.defaultDowntime)
+        val lag = if (marked.isDown) None else check(cfg, marked, m.markerUs)
+        if (lag.isDefined) {
+          out += Transition(cfg.name, "downtime", name, m.markerUs, lag, Map.empty)
           anyNewDown = true
           name -> marked.copy(isDown = true, downSinceUs = Some(m.markerUs))
         } else name -> marked
@@ -110,9 +143,10 @@ object Checkpointing {
       state.deps.get(m.stream).foreach { dep =>
         val updated = dep.copy(markerUs = Some(m.markerUs), savedState = state.userState)
         val recovered = if (dep.isDown) {
-          // recovery check: dependency STRICTLY overtook the dependent
-          // (checkpointing.py:131: checkpoint_marker > state_marker)
-          val overtaken = state.dependentMarkerUs.forall(m.markerUs > _)
+          // recovery check (default: dependency STRICTLY overtook the
+          // dependent, checkpointing.py:131) — pluggable via Config
+          val check = cfg.recoveryCheck.getOrElse(Config.defaultRecovery)
+          val overtaken = check(cfg, updated, state.dependentMarkerUs)
           if (overtaken) {
             val up = updated.copy(isDown = false, downSinceUs = None)
             out += Transition(cfg.name, "recovery", m.stream, m.markerUs, None, up.savedState)

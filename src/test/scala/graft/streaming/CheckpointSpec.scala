@@ -148,4 +148,67 @@ class CheckpointSpec extends AnyFunSuite {
     all.foreach(mgr(_))
     assert(log == Seq("pause:activity", "resume:activity:offsets=(0,2)"))
   }
+
+  test("custom downtime/recovery checks are consulted (test_checkpointing.py:273-321)") {
+    // custom downtime: a 30-min bound, TIGHTER than the config's 1 h
+    // default — firing at 10:31..11:30 lag proves the custom check is
+    // the one consulted, not the threshold field
+    val downCalls = new java.util.concurrent.atomic.AtomicInteger
+    val recCalls = new java.util.concurrent.atomic.AtomicInteger
+    val custom = cfg.copy(
+      downtimeCheck = Some((c: Config, d: DepState, markerUs: Long) => {
+        downCalls.incrementAndGet()
+        val lag = markerUs - d.markerUs.get
+        if (lag > 1800L * 1000000L) Some(lag) else None
+      }),
+      // custom recovery: require the heartbeat to overtake by a FULL
+      // hour — the default strict-overtake would recover at 13:00,
+      // this one must wait for 13:31+
+      recoveryCheck = Some((c: Config, d: DepState, dep: Option[Long]) => {
+        recCalls.incrementAndGet()
+        dep.forall(t => d.markerUs.exists(_ > t + 3600L * 1000000L))
+      }))
+
+    // pulse at 11:00 with last heartbeat 10:00 → 1 h lag: over the
+    // CUSTOM 30-min bound though equal to the default threshold
+    val seq1 = Seq(hb(10), pulse(11, 0, 0))
+    val (st1, out1) = Checkpointing.run(custom, CheckpointState.empty(custom.dependencies), seq1)
+    assert(out1.map(_.kind) == Seq("downtime", "pause"))
+    assert(out1.head.downtimeUs.contains(3600L * 1000000L))
+    assert(downCalls.get() > 0)
+
+    // heartbeat at 11:30 strictly overtakes 11:00 (default would
+    // recover) but the custom check demands a 1-h margin → still down
+    val (st2, out2) = Checkpointing.run(custom, st1, Seq(hb(11, 30)))
+    assert(out2.isEmpty && st2.deps("weather").isDown)
+    assert(recCalls.get() > 0)
+
+    // 12:01 clears 11:00 + 1 h → recovery + resume
+    val (st3, out3) = Checkpointing.run(custom, st2, Seq(hb(12, 1)))
+    assert(out3.map(_.kind) == Seq("recovery", "resume"))
+    assert(!st3.deps("weather").isDown)
+  }
+
+  test("custom checks ride into the streaming operator (closure serialization smoke)") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tight = cfg.copy(name = "custom_stream",
+      downtimeCheck = Some((c: Config, d: DepState, markerUs: Long) => {
+        val lag = markerUs - d.markerUs.get
+        if (lag > 1800L * 1000000L) Some(lag) else None
+      }))
+    val markers = MemoryStream[Marker]
+    val q = transitions(tight, markers.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("custom_stream_out").start()
+    markers.addData(
+      Marker("custom_stream", "weather", isDependent = false, us(10)),
+      Marker("custom_stream", "activity", isDependent = true, us(10, 45), Map("0" -> "0")))
+    q.processAllAvailable()
+    q.stop()
+    val kinds = spark.table("custom_stream_out").collect().map(_.getAs[String]("kind")).toSeq
+    // 45-min lag: under the 1-h config threshold but over the custom
+    // 30-min bound -> the custom closure ran on the executor side
+    assert(kinds == Seq("downtime", "pause"))
+  }
 }
