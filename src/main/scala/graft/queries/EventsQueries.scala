@@ -327,36 +327,11 @@ object EventsQueries {
     // from those integers in ONE fixed-order double expression and
     // floored ONCE to µ-units (the rate-anomaly posture); the flag
     // compares integers.
-    "events_ab_test" -> ((s, dir) => {
-      val users = Tables.events(s, dir)
+    "events_ab_test" -> ((s, dir) =>
+      abTestBody(Tables.events(s, dir)
         .groupBy(col("user_id"))
-        .agg(when(sum(when(col("event_type") === "purchase", 1).otherwise(0))
-          >= AB_MIN, 1).otherwise(0).as("conv"))
-        .withColumn("variant", col("user_id") % 2)
-      users.groupBy(col("variant"))
-        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
-        .agg(
-          sum(when(col("variant") === 0, col("n"))).as("n0"),
-          sum(when(col("variant") === 0, col("c"))).as("c0"),
-          sum(when(col("variant") === 1, col("n"))).as("n1"),
-          sum(when(col("variant") === 1, col("c"))).as("c1"))
-        .withColumn("cvr0_micro",
-          expr("CASE WHEN n0 = 0 THEN NULL ELSE (c0 * 1000000) div n0 END"))
-        .withColumn("cvr1_micro",
-          expr("CASE WHEN n1 = 0 THEN NULL ELSE (c1 * 1000000) div n1 END"))
-        .withColumn("z_micro", expr(
-          """CASE WHEN n0 = 0 OR n1 = 0
-            |  OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE
-            |CAST(FLOOR((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-            | - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-            | / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-            |   * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-            |   * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
-            | * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin))
-        .withColumn("significant",
-          when(col("z_micro").isNull, lit(null).cast("boolean"))
-            .otherwise(abs(col("z_micro")) > 1960000L))
-    }),
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases")))),
 
     // Kaplan-Meier survival over user lifetimes (the retention-curve
     // estimator behind every churn analysis): lifetime = days between
@@ -490,6 +465,45 @@ object EventsQueries {
 
   /** A/B test: purchases needed to count a user as converted. */
   private def AB_MIN = graft.GraftConf.int("graft.ab.minPurchases", 15)
+
+  /** The two-proportion z readout over a per-user purchase-count table
+    * — one algebra, two ingestion modes (the anomalyBody posture): the
+    * batch catalog query aggregates events into (user_id, n_purchases);
+    * the streaming monitor (graft.streaming.AbMonitor) maintains the
+    * SAME counts incrementally in the state store, so a live
+    * experiment readout and the offline one can never disagree
+    * (AbMonitorSpec pins row-parity). Counts are exact longs; the
+    * z-statistic is one fixed-order double expression floored ONCE to
+    * µ-units; empty-variant and zero-variance cases guard to NULL. */
+  private[graft] def abTestBody(userPurchases: DataFrame): DataFrame = {
+    val users = userPurchases
+      .select(col("user_id"),
+        when(col("n_purchases") >= AB_MIN, 1).otherwise(0).as("conv"))
+      .withColumn("variant", col("user_id") % 2)
+    users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .agg(
+        sum(when(col("variant") === 0, col("n"))).as("n0"),
+        sum(when(col("variant") === 0, col("c"))).as("c0"),
+        sum(when(col("variant") === 1, col("n"))).as("n1"),
+        sum(when(col("variant") === 1, col("c"))).as("c1"))
+      .withColumn("cvr0_micro",
+        expr("CASE WHEN n0 = 0 THEN NULL ELSE (c0 * 1000000) div n0 END"))
+      .withColumn("cvr1_micro",
+        expr("CASE WHEN n1 = 0 THEN NULL ELSE (c1 * 1000000) div n1 END"))
+      .withColumn("z_micro", expr(
+        """CASE WHEN n0 = 0 OR n1 = 0
+          |  OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL ELSE
+          |CAST(FLOOR((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+          | - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          | / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+          |   * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+          |   * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+          | * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin))
+      .withColumn("significant",
+        when(col("z_micro").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z_micro")) > 1960000L))
+  }
 
   // the SQL-textbook 3-stage form: same strict-inequality staged
   // minima, algebraically identical to the fold — and LITERALLY the

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming leg of the A/B experiment readout: per-user purchase
+  * counts maintained incrementally in the state store — counts are the
+  * textbook mergeable summary, so [[Fold.applyPartial]] pre-combines
+  * per micro-batch partition and the shuffle moves O(distinct users)
+  * partials, never raw events. The two-proportion z readout itself is
+  * the FACTORED batch algebra
+  * ([[graft.queries.EventsQueries.abTestBody]]) applied over the
+  * streamed table — one algebra, two ingestion modes, so a live
+  * experiment dashboard and the oracle-checked offline query read the
+  * SAME numbers on the same events (AbMonitorSpec pins row-parity).
+  *
+  * Reference analog: slipstream computes per-message aggregates inside
+  * async handlers against an in-process cache (cookbook.rst:529-588);
+  * here the running counts live in the restart-safe streaming state
+  * store and the readout stays a declarative plan.
+  */
+object AbMonitor {
+
+  /** Incremental per-user purchase counts over a (user_id, event_type)
+    * stream (or batch frame — same fold). Emits (user_id, n) updates;
+    * non-purchase events still count the user as EXPOSED (n = 0), so
+    * the denominator matches the batch query's every-user grouping. */
+  def userPurchaseCounts(
+      ds: Dataset[(Long, String)])(
+      implicit spark: SparkSession): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    Fold.applyPartial[Long, (Long, String), Long](
+      ds,
+      _._1,
+      0L, (b, v) => if (v._2 == "purchase") b + 1L else b, _ + _)
+  }
+
+  /** The batch z readout over a streamed (user_id, n_purchases)
+    * snapshot. */
+  def readout(counts: DataFrame): DataFrame =
+    graft.queries.EventsQueries.abTestBody(
+      counts.select(col("user_id"), col("n_purchases")))
+}
