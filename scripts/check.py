@@ -28,15 +28,25 @@ def oracle_compress_ratio():
     could legitimately shift lengths — if that ever happens this
     oracle will fail loudly on zlib_bytes and should be relaxed to
     ratio bands). ratio mirrors Spark's CAST(double AS DECIMAL(18,6)):
-    BigDecimal(double) == Decimal(float) exactly, then HALF_UP to 6dp.
+    Spark routes the cast through BigDecimal(Double.toString(d)) — the
+    SHORTEST decimal repr — so we quantize Decimal(repr(x)), not the
+    exact binary expansion Decimal(x), then HALF_UP to 6dp.
     """
     rows = con.sql("SELECT doc_id, text FROM documents").fetchall()
     data = []
     for doc_id, text in rows:
         b = text.encode("utf-8")
         zb = len(zlib.compress(b, 6))
-        ratio = Decimal(zb / len(b)).quantize(
-            Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        if len(b) == 0:
+            # Spark: Infinity double -> NULL decimal
+            ratio = None
+        else:
+            # Decimal(repr(x)), not Decimal(x): Spark's decimal cast
+            # goes through Double.toString (shortest repr), so a
+            # 6dp-midpoint like 23/640 = "0.0359375" must round from
+            # the STRING, not the exact binary expansion below it
+            ratio = Decimal(repr(zb / len(b))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP)
         data.append((doc_id, len(b), zb, ratio))
     return pd.DataFrame(data, columns=["doc_id", "n_bytes", "zlib_bytes", "ratio"])
 

@@ -483,10 +483,12 @@ object EventsQueries {
     users.groupBy(col("variant"))
       .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
       .agg(
-        sum(when(col("variant") === 0, col("n"))).as("n0"),
-        sum(when(col("variant") === 0, col("c"))).as("c0"),
-        sum(when(col("variant") === 1, col("n"))).as("n1"),
-        sum(when(col("variant") === 1, col("c"))).as("c1"))
+        // otherwise(0): an EMPTY variant must read 0/0 like the
+        // oracle's ELSE 0, not an all-NULL sum (r11 review catch)
+        sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("c")).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("c")).otherwise(0L)).as("c1"))
       .withColumn("cvr0_micro",
         expr("CASE WHEN n0 = 0 THEN NULL ELSE (c0 * 1000000) div n0 END"))
       .withColumn("cvr1_micro",

@@ -16,9 +16,18 @@ private[queries] object QueryPrimitives {
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
   def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
 
-  /** DuckDB twins of dsum/dsum4. */
+  /** 6-decimal variant for THREE-factor money products (2dp·2dp·2dp =
+    * exactly 6dp, e.g. Q1's charge = price·(1-disc)·(1+tax)). At 4dp
+    * the cast would ROUND a true 6dp value — and Spark (shortest-
+    * string HALF_UP) vs DuckDB (binary-value rounding) disagree on
+    * midpoints; at 6dp the cast is exact on both engines, so parity
+    * is representational, not luck. */
+  def dsum6(c: Column): Column = sum(c.cast(DecimalType(24, 6))).cast("double")
+
+  /** DuckDB twins of dsum/dsum4/dsum6. */
   def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)"
   def oSum4(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  def oSum6(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(24,6))) AS DOUBLE)"
 
   /** Exact ⌊p·10⁶/t⌋ on BIGINT without the 64-bit product: quotient
     * ×10⁶ plus two ×10³ remainder steps. The naive (p·10⁶) div t wraps

@@ -1,0 +1,491 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** The remaining TPC-H classics (Q1/2/4/9/11/12/16/17/20/21/22),
+  * completing the 22-query suite started in RelationalQueries
+  * (Q3/5/6/7/8/10/13/14/15/18/19).
+  *
+  * The driver's testdata is a TPC-H *subset* — no `partsupp` table and
+  * no `l_commitdate`/`l_receiptdate`/`l_shipmode`/`p_container`
+  * columns — so, as with the earlier "Qn shape" queries, each keeps
+  * the canonical query's PLAN SHAPE (the thing that matters at 100 TB:
+  * which side broadcasts, where the fact shuffle lands, how the
+  * correlated subquery decorrelates) while substituting the closest
+  * available predicate:
+  *   - partsupp-derived cost/availability (Q2/Q9/Q11/Q16/Q20) is
+  *     reconstructed from observed lineitem economics (unit price =
+  *     extendedprice/quantity; supply volume = shipped quantity);
+  *   - commit-vs-receipt lateness (Q4/Q12/Q21) becomes
+  *     shipdate-vs-orderdate lag;
+  *   - the Q22 phone-prefix country filter becomes a nationkey set.
+  *
+  * Numeric discipline matches the house rule (RelationalQueries
+  * Scaladoc): money crosses the hash only as exact DECIMAL sums or
+  * scaled integers; averages/ratios are integer micro-units via
+  * QueryPrimitives.microShare* (overflow-free remainder division) —
+  * never a double division.
+  */
+object TpchQueries {
+  import QueryPrimitives._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 (pricing summary report) — the full report this time
+    // (a1_fold_agg carries the cookbook fold shape only). One pass
+    // over lineitem, map-side partial aggregation into a 6-row group
+    // set; the shipdate cutoff pushes to the scan. The three averages
+    // are exact integer micro-units: quantities are integral doubles
+    // (sum is exact well past 2^53 rows' worth at 50/row), money and
+    // discount sum as DECIMAL cents first.
+    "q1_pricing_summary" -> ((s, dir) => {
+      val cutoff = lit("2001-09-01").cast("timestamp")
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= cutoff)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          (sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+            .cast("long").as("price_cents"),
+          (sum(col("l_discount").cast(DecimalType(12, 2))) * 100)
+            .cast("long").as("disc_cents"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty_micro",
+          expr(microShareSpark("sum_qty", "count_order")))
+        .withColumn("avg_price_centimicro",
+          expr(microShareSpark("price_cents", "count_order")))
+        .withColumn("avg_disc_centimicro",
+          expr(microShareSpark("disc_cents", "count_order")))
+        .drop("price_cents", "disc_cents")
+    }),
+
+    // TPC-H Q2 shape (minimum-cost supplier): with no partsupp, the
+    // "supply cost" is the observed unit price (extendedprice/quantity,
+    // exact: cents are integral, so unit cost is an integer micro-unit
+    // division). The correlated MIN subquery decorrelates into a
+    // window-min over the part partition — one shuffle by partkey
+    // instead of TPC-H's textbook self-join; part/supplier/nation/
+    // region all broadcast into the lineitem scan.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val prt = Tables.part(s, dir)
+        .where(col("p_size") === 15 && col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_name"))
+      val natEur = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(natEur), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val offers = Tables.lineitem(s, dir)
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("cents", (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .withColumn("qty", col("l_quantity").cast("long"))
+        .withColumn("unit_micro", expr(microShareSpark("cents", "qty")))
+      val w = Window.partitionBy(col("p_partkey"))
+      offers
+        .withColumn("min_unit_micro", min(col("unit_micro")).over(w))
+        .where(col("unit_micro") === col("min_unit_micro"))
+        .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("min_unit_micro"))
+        .agg(count(lit(1)).as("n_offers"))
+    }),
+
+    // TPC-H Q4 (order priority checking): EXISTS becomes a left-semi
+    // join — the decorrelation Spark picks natively. Both filters push
+    // to their scans; the semi join is the one fact-fact shuffle; the
+    // output is the O(5) priority control plane. Lateness proxy:
+    // shipped more than 90 days after the order date.
+    "q4_priority_exists" -> ((s, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-04-01").cast("timestamp")
+      val ord = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q9 shape (product type profit): profit per supplier-nation
+    // per ship year. Supply cost proxy: 60% of the part's retail price
+    // per unit (partsupp.ps_supplycost is absent). The part-name
+    // filter prunes part before it broadcasts; supplier→nation
+    // broadcasts; lineitem never shuffles — the only exchange is the
+    // O(nations × years) group-by. Profit sums as DECIMAL(18,4) of an
+    // identically-evaluated double product on both engines.
+    "q9_profit_by_nation" -> ((s, dir) => {
+      val prt = Tables.part(s, dir)
+        .where(col("p_name").contains("gear"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - lit(0.6) * col("p_retailprice") * col("l_quantity"))
+        .cast(DecimalType(18, 4))
+      Tables.lineitem(s, dir)
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+    }),
+
+    // TPC-H Q11 shape (important stock): per-part traded value from
+    // the suppliers of ONE nation, kept where it exceeds a fixed
+    // fraction of that nation's total. The scalar subquery (the
+    // total) is a one-row aggregate broadcast back into the HAVING —
+    // the value table computes ONCE and feeds both sides, so the plan
+    // is: broadcast dim filter → one groupBy(partkey) shuffle → tiny
+    // global agg → broadcast-nested-loop the 1-row threshold in.
+    // Threshold compare is exact: cents vs cents·10⁴ (fraction 1/10⁴),
+    // no double division.
+    "q11_important_value" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val value = Tables.lineitem(s, dir)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("value_cents"))
+      val total = value.agg(sum(col("value_cents")).as("total_cents"))
+      value.join(broadcast(total))
+        .where(col("value_cents") * 10000L > col("total_cents"))
+        .select(col("l_partkey"), col("value_cents"))
+    }),
+
+    // TPC-H Q12 shape (shipping mode / priority classes): l_shipmode
+    // is absent, so the report pivots on l_returnflag instead — the
+    // same CASE-count-by-class over the orders⋈lineitem co-partitioned
+    // join, output O(flags).
+    "q12_priority_classes" -> ((s, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      val urgent = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    // count per (brand, type, size) bucket, excluding one brand/type
+    // and suppliers with "complaints" (negative balance — the comment
+    // LIKE filter is absent). partsupp is reconstructed as the
+    // DISTINCT (partkey, suppkey) pairs observed in lineitem; the
+    // anti-filter on suppliers broadcasts. count(DISTINCT) runs as
+    // the standard two-level expand — the only wide exchange.
+    "q16_supplier_variety" -> ((s, dir) => {
+      val badSup = Tables.supplier(s, dir)
+        .where(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      val prt = Tables.part(s, dir)
+        .where(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(badSup),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated
+    // avg-quantity subquery decorrelates into a pre-aggregate per
+    // part joined back — at these part counts it broadcasts; at 10⁹
+    // parts AQE falls back to the co-partitioned join, still never a
+    // per-row subquery. The 20%-of-average threshold compares in
+    // exact integer units: 5·sum(qty) vs count·qty (quantities are
+    // integral) — the textbook 0.2·avg without any division at all.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val prt = Tables.part(s, dir)
+        .where(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      val avgq = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty_sum"),
+          count(lit(1)).as("qty_n"))
+      li.join(broadcast(avgq), col("l_partkey") === col("a_partkey"))
+        .where(col("l_quantity").cast("long") * col("qty_n") * 5L <
+          col("qty_sum"))
+        .agg(dsum(col("l_extendedprice")).as("total_revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q20 shape (potential part promotion): suppliers who
+    // shipped more than half of a part's total traded volume in a
+    // year — the availqty>½·sold predicate reconstructed from
+    // observed volume (partsupp absent). Chain: part-name filter →
+    // per (part, supplier) year volume vs per part total (window sum
+    // over the part partition — no self-join), then a left-semi into
+    // supplier, nation-filtered. Output: the qualifying suppliers.
+    "q20_promotion_suppliers" -> ((s, dir) => {
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val prt = Tables.part(s, dir)
+        .where(col("p_name").startsWith("hot"))
+        .select(col("p_partkey"))
+      val vol = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("sup_qty"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val dominant = vol
+        .withColumn("part_qty", sum(col("sup_qty")).over(w))
+        .where(col("sup_qty") * 2L > col("part_qty"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dominant.hint("broadcast"),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // double-correlated EXISTS / NOT EXISTS over the same fact table —
+    // the hardest decorrelation in the suite. Spark shape: ONE
+    // pre-aggregate per order computing (suppliers present, suppliers
+    // late) as conditional distinct counts, joined back — replacing
+    // both textbook self-joins with a single groupBy, the plan you
+    // want when lineitem is 100 TB (each self-join would be a second
+    // full-fact shuffle). "Late" proxy: shipped >730 days after the
+    // order date (commit/receipt dates absent).
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 730 DAYS"))
+      val perOrder = li.groupBy(col("l_orderkey").as("g_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_sup"),
+          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_sup"))
+        .where(col("n_sup") > 1 && col("n_late_sup") === 1)
+      li.where(col("is_late"))
+        .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+            .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_12")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): well-funded
+    // customers from a nation set with no RECENT orders (the driver's
+    // order history is dense enough that the textbook "no orders at
+    // all" matches nobody, so lapsed = no orders in the trailing ~20
+    // months — the same anti-join shape). The scalar subquery
+    // (average positive balance) is a 1-row broadcast; the lapsed
+    // test is a left-anti join against the DISTINCT custkeys of the
+    // date-pruned orders scan — at 100 TB that distinct is the only
+    // wide exchange and is what the textbook NOT EXISTS decorrelates
+    // to anyway. The phone-prefix country filter is a nationkey set.
+    "q22_idle_customers" -> ((s, dir) => {
+      val keys = Seq(3, 8, 13, 18, 23)
+      val recent = lit("2000-01-01").cast("timestamp")
+      val cust = Tables.customer(s, dir)
+        .where(col("c_nationkey").isin(keys: _*))
+      val avgBal = cust.where(col("c_acctbal") > 0.0)
+        .agg(((sum(col("c_acctbal").cast(DecimalType(18, 2))) * 100).cast("long"))
+          .as("bal_cents"), count(lit(1)).as("bal_n"))
+      cust.join(broadcast(avgBal))
+        .where((col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+          * col("bal_n") > col("bal_cents"))
+        .join(Tables.orders(s, dir).where(col("o_orderdate") >= recent)
+            .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""WITH a AS (SELECT l_returnflag, l_linestatus,
+         |CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+         |${oSum("l_extendedprice")} AS sum_base_price,
+         |${oSum4("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |${oSum6("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
+         |CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) * 100 AS BIGINT) AS disc_cents,
+         |COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY 1, 2)
+         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+         |sum_disc_price, sum_charge, count_order,
+         |${microShareDuck("sum_qty", "count_order")} AS avg_qty_micro,
+         |${microShareDuck("price_cents", "count_order")} AS avg_price_centimicro,
+         |${microShareDuck("disc_cents", "count_order")} AS avg_disc_centimicro
+         |FROM a""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      s"""WITH offers AS (
+         |SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+         |${microShareDuck("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        "CAST(l_quantity AS BIGINT)")} AS unit_micro
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'),
+         |m AS (SELECT *, MIN(unit_micro) OVER (PARTITION BY p_partkey)
+         |AS min_unit_micro FROM offers)
+         |SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+         |min_unit_micro, COUNT(*) AS n_offers
+         |FROM m WHERE unit_micro = min_unit_micro
+         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |AND o_orderdate < TIMESTAMP '1997-04-01'
+        |AND EXISTS (SELECT 1 FROM lineitem
+        |WHERE l_orderkey = o_orderkey
+        |AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    "q9_profit_by_nation" ->
+      """SELECT n_name,
+        |CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |  - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_important_value" ->
+      """WITH v AS (
+        |SELECT l_partkey,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |AS value_cents
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |GROUP BY 1)
+        |SELECT l_partkey, value_cents FROM v
+        |WHERE value_cents * 10000 > (SELECT SUM(value_cents) FROM v)""".stripMargin,
+
+    "q12_priority_classes" ->
+      """SELECT l_returnflag,
+        |SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |THEN 1 ELSE 0 END) AS high_line_count,
+        |SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+        |AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |AND l_suppkey NOT IN
+        |(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      s"""WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'),
+         |a AS (SELECT l_partkey AS a_partkey,
+         |CAST(SUM(l_quantity) AS BIGINT) AS qty_sum,
+         |COUNT(*) AS qty_n FROM li GROUP BY 1)
+         |SELECT ${oSum("l_extendedprice")} AS total_revenue,
+         |COUNT(*) AS n_items
+         |FROM li JOIN a ON l_partkey = a_partkey
+         |WHERE CAST(l_quantity AS BIGINT) * qty_n * 5 < qty_sum""".stripMargin,
+
+    "q20_promotion_suppliers" ->
+      """WITH vol AS (
+        |SELECT l_partkey, l_suppkey,
+        |CAST(SUM(l_quantity) AS BIGINT) AS sup_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_name LIKE 'hot%'
+        |AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2),
+        |dom AS (SELECT DISTINCT l_suppkey FROM
+        |(SELECT *, SUM(sup_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        |FROM vol) WHERE sup_qty * 2 > part_qty)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |AND s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH li AS (
+        |SELECT l_orderkey, l_suppkey,
+        |l_shipdate > o_orderdate + INTERVAL 730 DAY AS is_late
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'),
+        |per_order AS (
+        |SELECT l_orderkey AS g_orderkey,
+        |COUNT(DISTINCT l_suppkey) AS n_sup,
+        |COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_sup
+        |FROM li GROUP BY 1
+        |HAVING COUNT(DISTINCT l_suppkey) > 1
+        |AND COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) = 1)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM li
+        |JOIN per_order ON l_orderkey = g_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE is_late AND n_name = 'NATION_12'
+        |GROUP BY 1""".stripMargin,
+
+    "q22_idle_customers" ->
+      s"""WITH cust AS (SELECT * FROM customer
+         |WHERE c_nationkey IN (3, 8, 13, 18, 23)),
+         |a AS (SELECT
+         |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS bal_cents,
+         |COUNT(*) AS bal_n FROM cust WHERE c_acctbal > 0)
+         |SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+         |COUNT(*) AS numcust,
+         |${oSum("c_acctbal")} AS totacctbal
+         |FROM cust, a
+         |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * bal_n
+         |  > bal_cents
+         |AND c_custkey NOT IN (SELECT o_custkey FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY 1""".stripMargin
+  )
+}

@@ -29,8 +29,11 @@ object ExplainAudit {
         println(s"\n===== $n =====")
         if (exec) {
           val df = SparkEntry.queries(n)(spark, dir)
-          df.count()
-          println(df.queryExecution.executedPlan.toString)
+          // execute THIS QueryExecution (df.count() would wrap a new
+          // one and leave this AdaptiveSparkPlan un-finalized)
+          val p = df.queryExecution.executedPlan
+          p.execute().count()
+          println(p.toString)
         } else println(plan(n))
       }
       spark.stop(); return
@@ -224,9 +227,10 @@ object ExplainAudit {
     // never a cartesian
     auditExecuted("text_novelty",
       "single gram exchange reused across distinct/df/join; no cartesian") { p =>
-      !p.contains("CartesianProduct") &&
-        (p.contains("ReusedExchange") || p.contains("reused shuffle") ||
-          p.contains("ShuffleQueryStage")) &&
+      // ReusedExchange must be PRESENT in the finalized AQE plan — a
+      // vacuous any-shuffle alternative here would let a revert to
+      // three independent gram shuffles pass (r11 review catch)
+      !p.contains("CartesianProduct") && p.contains("ReusedExchange") &&
         (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
     }
     // the learned rules are literals compiled into one nested replace
@@ -556,6 +560,76 @@ object ExplainAudit {
         "rare-word residual may shuffle-join; no cartesian") { p =>
       count(p, "BroadcastHashJoin") >= 2 &&
         p.contains("TakeOrderedAndProject") && !p.contains("CartesianProduct")
+    }
+
+    // ---- the round-11 TPC-H completions (Q1..Q22 now full) ----
+    audit("q1_pricing_summary",
+      "one lineitem pass: shipdate cutoff pushed to the scan, partial+final " +
+        "agg, no join, no extra exchange") { p =>
+      count(p, "Exchange") == 1 && count(p, "HashAggregate") == 2 &&
+        p.contains("LessThanOrEqual(l_shipdate") && !p.contains("Join")
+    }
+    audit("q2_min_cost_supplier",
+      "correlated MIN decorrelates to a window-min: part/supplier/nation/" +
+        "region all broadcast into the lineitem scan, ONE shuffle by partkey, " +
+        "no self-join of offers") { p =>
+      count(p, "BroadcastHashJoin") >= 2 && p.contains("Window") &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+    }
+    audit("q4_priority_exists",
+      "EXISTS lowers to a LeftSemi join; the order-date window is pushed " +
+        "to the orders scan") { p =>
+      p.contains("LeftSemi") && p.contains("GreaterThanOrEqual(o_orderdate")
+    }
+    audit("q9_profit_by_nation",
+      "part-name filter pushed; part and supplier⋈nation broadcast — " +
+        "lineitem never shuffles before the O(nations×years) group-by") { p =>
+      count(p, "BroadcastHashJoin") == 3 && !p.contains("SortMergeJoin") &&
+        p.contains("StringContains(p_name,gear)")
+    }
+    auditExecuted("q11_important_value",
+      "the per-part value table computes ONCE (AQE reuses its exchange " +
+        "for the 1-row total), which broadcasts back as the HAVING " +
+        "threshold — a BroadcastNestedLoopJoin of one row, not a cartesian") { p =>
+      p.contains("ReusedExchange") && p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")
+    }
+    audit("q12_priority_classes",
+      "shipdate year pushed to the lineitem scan; CASE-count classes " +
+        "fold into the single orders⋈lineitem join's aggregate") { p =>
+      p.contains("GreaterThanOrEqual(l_shipdate") &&
+        count(p, "HashAggregate") == 2 && !p.contains("CartesianProduct")
+    }
+    audit("q16_supplier_variety",
+      "reconstructed partsupp = DISTINCT pairs; complaint suppliers " +
+        "anti-broadcast; part filter broadcast; the distinct is the only " +
+        "wide exchange") { p =>
+      p.contains("LeftAnti") && count(p, "BroadcastHashJoin") >= 2 &&
+        !p.contains("SortMergeJoin")
+    }
+    audit("q17_small_qty_revenue",
+      "avg-quantity subquery decorrelates to a pre-aggregate joined back " +
+        "by broadcast — no per-row subquery, no shuffle join") { p =>
+      count(p, "BroadcastHashJoin") >= 2 && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct")
+    }
+    audit("q20_promotion_suppliers",
+      "per-part dominance via window-sum over the part partition (no " +
+        "volume self-join); qualifying suppliers semi-join in") { p =>
+      p.contains("Window") && p.contains("LeftSemi") &&
+        !p.contains("CartesianProduct")
+    }
+    audit("q21_waiting_suppliers",
+      "both textbook self-joins replaced by ONE per-order conditional " +
+        "distinct-count aggregate joined back; supplier⋈nation broadcasts") { p =>
+      p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        count(p, "Exchange") <= 4
+    }
+    audit("q22_idle_customers",
+      "lapsed = LeftAnti against the date-pruned DISTINCT custkeys; the " +
+        "avg-balance scalar broadcasts as one row") { p =>
+      p.contains("LeftAnti") && p.contains("GreaterThanOrEqual(o_orderdate") &&
+        p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
     }
 
     spark.stop()

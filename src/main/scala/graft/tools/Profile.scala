@@ -56,12 +56,15 @@ object DfcapProfile {
       val t0 = System.nanoTime(); val r = f
       println(f"[dfcap] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    // the SAME operating point as the catalog query — a profile of a
+    // different cap decomposes a different workload
+    val maxDf = graft.GraftConf.int("graft.dedup.maxDf", 20)
     val e = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(graft.functions.functions.word_shingles(col("text"), 3)).as("sh"))
     time("warm")(Tables.documents(spark, dir).count())
     time("explode count")(e.count())
     val rareSh = e.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= 20).select(col("sh"))
+      .where(col("df") <= maxDf).select(col("sh"))
     time("df agg")(rareSh.count())
     val rare = e.join(rareSh.hint("shuffle_hash"), "sh")
     time("index join")(rare.count())

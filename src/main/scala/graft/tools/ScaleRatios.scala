@@ -103,7 +103,17 @@ object ScaleRatios {
       // r10 sixth: the z-test readout (two exchanges, O(1) output)
       "events_ab_test",
       // r11: global concat-and-chunk layout via two-level prefix sum
-      "curate_pack_chunks")
+      "curate_pack_chunks",
+      // r11 TPC-H completion (Q1..Q22 now full). Replica caveat: ScaleUp
+      // offsets keys but keeps n_name/r_name, so name-filtered queries
+      // (q2/q9/q11/q20/q21) match the filter nation in EVERY replica —
+      // same computation shape per replica, thresholds become
+      // cross-replica control-plane; q22's nationKEY set matches only
+      // replica 0, so its ratio reads as scan-bound growth
+      "q1_pricing_summary", "q2_min_cost_supplier", "q4_priority_exists",
+      "q9_profit_by_nation", "q11_important_value", "q12_priority_classes",
+      "q16_supplier_variety", "q17_small_qty_revenue",
+      "q20_promotion_suppliers", "q21_waiting_suppliers", "q22_idle_customers")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

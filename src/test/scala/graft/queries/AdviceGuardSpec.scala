@@ -60,7 +60,12 @@ class AdviceGuardSpec extends AnyFunSuite {
     val r = graft.SparkEntry.queries("events_ab_test")(spark, dir).collect()
     assert(r.length == 1)
     val row = r.head
+    // n1/c1 must be a REAL 0, matching the oracle's ELSE 0 — not a
+    // SQL NULL that getAs[Long] would silently unbox to 0
+    assert(!row.isNullAt(row.fieldIndex("n1")), "n1 must be 0, not NULL")
     assert(row.getAs[Long]("n1") == 0L)
+    assert(!row.isNullAt(row.fieldIndex("c1")), "c1 must be 0, not NULL")
+    assert(row.getAs[Long]("c1") == 0L)
     assert(row.isNullAt(row.fieldIndex("cvr1_micro")), "cvr1 must be NULL, not a crash")
     assert(!row.isNullAt(row.fieldIndex("cvr0_micro")), "cvr0 is well-defined")
     assert(row.isNullAt(row.fieldIndex("z_micro")), "z must be NULL with an empty variant")
