@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `dot_long(a, b)` — exact integer dot product of two `array<long>`
+  * columns, as a fused Catalyst expression.
+  *
+  * Why an expression: the HOF form `aggregate(zip_with(a, b, *), 0, +)`
+  * is CodegenFallback — every element round-trips through boxed lambda
+  * evaluation, and when the dot feeds a join's residual condition the
+  * whole interpreted tree re-evaluates per reference (dedup_semantic's
+  * τ-test references it three times — measured seconds at 10⁵ pairs).
+  * This compiles to a tight primitive loop inside the surrounding
+  * codegen stage (the winnow_stats precedent: fusion beat the HOF form
+  * ~100×).
+  *
+  * No overflow handling: callers own the bound (dedup_semantic proves
+  * d·2⁴⁰ < 2⁶³ headroom for its 2²⁰-quantized vectors and guards the
+  * configured dimension loudly).
+  */
+case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_long needs two array<bigint> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotLong.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotLong.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_long"
+}
+
+object DotLong {
+  /** Σ a(i)·b(i) over the shared prefix (equal-width by contract). */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+}

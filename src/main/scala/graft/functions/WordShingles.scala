@@ -182,4 +182,7 @@ object functions {
 
   def winnow_fps(c: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFps(ColumnBridge.expression(c), k, w))
+
+  def dot_long(a: Column, b: Column): Column =
+    ColumnBridge.column(DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

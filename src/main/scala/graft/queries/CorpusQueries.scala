@@ -58,6 +58,18 @@ object CorpusQueries {
   private def KM_D = GraftConf.int("graft.kmeans.dim", 64)
   private def KM_MAX = GraftConf.int("graft.kmeans.maxIters", 48)
   private val KM_SCALE = 1048576.0 // 2^20 — float→int quantization
+  /** SemDeDup (Abbas et al. 2023): cluster count, per-cluster cohort
+    * cap (pairs only form inside a ≤cap cluster — the LSH_CAP posture;
+    * at web scale k grows ∝ corpus so cluster size stays bounded), and
+    * the duplicate threshold as integer percent (cos ≥ tauPct/100,
+    * compared in exact fixed-point — see the query). */
+  private def SEM_K = GraftConf.int("graft.semdedup.k", 8)
+  private def SEM_CAP = GraftConf.int("graft.semdedup.cap", 4096)
+  private def SEM_TAU = {
+    val p = GraftConf.int("graft.semdedup.tauPct", 40)
+    require(p >= 1 && p <= 99, s"graft.semdedup.tauPct must be 1..99, got $p")
+    p
+  }
   /** Domain mix: per-lang target shares and the target corpus size. */
   private def MIX_W = GraftConf.weights("graft.mix.weights",
     Seq("de" -> 0.2, "en" -> 0.3, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1))
@@ -660,6 +672,76 @@ object CorpusQueries {
         .select(col("vec_id"), col("cluster"))
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    // in embedding space — k-means clusters the corpus, candidate
+    // pairs form ONLY inside a cluster, and of any pair with cosine ≥
+    // τ the member FARTHER from its centroid survives (the paper
+    // keeps the lowest-centroid-similarity example to preserve
+    // diversity at the cluster edge). Distinct from the sign-LSH
+    // near-dup (sim_embedding_neardup): candidates come from the
+    // learned partition, not random hyperplanes, and the keep rule is
+    // geometric, not first-id. Scale: the trainer is the shared kmFit
+    // treeAggregate loop; assignment broadcasts k×d centroid
+    // integers; pairs are bounded by SEM_CAP·cluster_count (k grows ∝
+    // corpus at web scale so cluster size — and the per-cluster
+    // quadratic — stays constant); the cosine test is EXACT integer
+    // fixed-point (10⁴·dot² ≥ τ²·|a|²·|b|² over 2^20-quantized
+    // vectors in DECIMAL(38)/HUGEINT — no float order-dependence
+    // crosses the hash).
+    "dedup_semantic" -> ((s, dir) => {
+      import s.implicits._
+      val tau = SEM_TAU
+      val vecs = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"), v =>
+            floor(v * lit(KM_SCALE)).cast("long")).as("x"))
+        .localCheckpoint() // the trainer re-reads per round; see cluster_kmeans
+      val cents = kmFit(vecs, SEM_K, KM_D, KM_MAX, "dedup_semantic")(s)
+      val centsDf = cents.toSeq.zipWithIndex
+        .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toDF("j", "c")
+      val assigned = kmAssign(vecs, centsDf)
+        // cdist = the assigned (minimum) distance — the keep-rule key
+        .withColumn("cdist", array_min(col("dists")))
+        .withColumn("nrm2", graft.functions.functions.dot_long(col("x"), col("x")))
+        .select(col("vec_id"), col("x"), col("cluster"), col("cdist"), col("nrm2"))
+      val capped = assigned
+        .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .where(col("csize") <= SEM_CAP)
+        .drop("csize")
+      val dec = DecimalType(38, 0)
+      // directed pairs (both orders) so the per-vector neighbor fold is
+      // one groupBy; dot ≤ d·2^40 < 2^53 stays exact in long, squares
+      // move to 38-digit decimal (≤ 5·10³¹ — headroom proven at KM_D=64,
+      // guarded below for reconfigured dims)
+      require(KM_D.toLong * (1L << 20) * (1L << 20) <= (1L << 46),
+        s"dedup_semantic: dim=$KM_D overflows the fixed-point dot bound")
+      // dot via the codegen'd dot_long — the HOF form is CodegenFallback
+      // and the join residual re-evaluates it per reference (3×/pair):
+      // measured ~5 s of boxed lambda work at sf0.1 before the fusion
+      val pairs = capped.as("a").join(capped.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("dot",
+          graft.functions.functions.dot_long(col("a.x"), col("b.x")))
+        .where(col("dot") > 0L &&
+          lit(10000L).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec) >=
+            lit(tau.toLong * tau).cast(dec) *
+              col("a.nrm2").cast(dec) * col("b.nrm2").cast(dec))
+      val nbr = pairs.groupBy(col("a.vec_id").as("n_vec"))
+        .agg(count(lit(1)).as("n_dups"),
+          // beaten ⇔ some τ-neighbor is farther from the centroid (or
+          // equal-far with the higher id) — that neighbor is the kept
+          // representative of the pair
+          max(when(col("b.cdist") > col("a.cdist") ||
+              (col("b.cdist") === col("a.cdist") &&
+                col("b.vec_id") > col("a.vec_id")), 1).otherwise(0))
+            .as("beaten"))
+      assigned.join(nbr, col("vec_id") === col("n_vec"), "left")
+        .select(col("vec_id"), col("cluster"), col("cdist"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          when(coalesce(col("beaten"), lit(0)) === 1, 0).otherwise(1).as("kept"))
     }),
 
     // C4-style corpus-level span dedup (Raffel et al.: "we discard all
@@ -1361,6 +1443,42 @@ object CorpusQueries {
          |SELECT vec_id, cluster,
          |COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
          |FROM af""".stripMargin,
+
+    // identical trainer (shared recursive-kmeans CTE), identical
+    // assignment arithmetic, identical exact fixed-point cosine test
+    // (HUGEINT mirrors Spark's DECIMAL(38,0)), identical keep rule
+    "dedup_semantic" -> {
+      val sq = s"CAST(list_sum(list_transform(range(1, ${KM_D + 1}), " +
+        "i -> (x[i]-c[i])*(x[i]-c[i]))) AS BIGINT)"
+      s"""WITH RECURSIVE ${oKmeansCte(SEM_K, KM_D, KM_MAX)},
+         |axn AS (SELECT vec_id, x,
+         |CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cluster,
+         |CAST(list_min(dists) AS BIGINT) AS cdist,
+         |CAST(list_sum(list_transform(range(1, ${KM_D + 1}),
+         |  i -> x[i]*x[i])) AS BIGINT) AS nrm2
+         |FROM (SELECT vec_id, x, list_transform(cents, c -> $sq) AS dists
+         |FROM v CROSS JOIN final)),
+         |capped AS (SELECT * FROM axn
+         |QUALIFY COUNT(*) OVER (PARTITION BY cluster) <= $SEM_CAP),
+         |pr AS (SELECT a.vec_id AS va, a.cdist AS ca, b.vec_id AS vb,
+         |b.cdist AS cb, a.nrm2 AS na, b.nrm2 AS nb,
+         |CAST(list_sum(list_transform(range(1, ${KM_D + 1}),
+         |  i -> a.x[i]*b.x[i])) AS BIGINT) AS dot
+         |FROM capped a JOIN capped b
+         |ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+         |nbr AS (SELECT va AS vec_id, COUNT(*) AS n_dups,
+         |MAX(CASE WHEN cb > ca OR (cb = ca AND vb > va)
+         |THEN 1 ELSE 0 END) AS beaten
+         |FROM pr WHERE dot > 0
+         |AND 10000 * CAST(dot AS HUGEINT) * dot >=
+         |${SEM_TAU.toLong * SEM_TAU} * CAST(na AS HUGEINT) * nb
+         |GROUP BY 1)
+         |SELECT axn.vec_id, cluster, cdist,
+         |COALESCE(n_dups, 0) AS n_dups,
+         |CAST(CASE WHEN COALESCE(beaten, 0) = 1 THEN 0 ELSE 1 END
+         |  AS INTEGER) AS kept
+         |FROM axn LEFT JOIN nbr ON axn.vec_id = nbr.vec_id""".stripMargin
+    },
 
     // identical NB pipeline: same label rule, same md5 split, same
     // add-one arithmetic with DECIMAL(18,6) term rounding, same

@@ -333,6 +333,50 @@ object EventsQueries {
         .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("n_purchases")))),
 
+    // Bot detection over per-user event cadence — the web-log cleaning
+    // gate a training-data pipeline runs before any engagement-derived
+    // signal (bots poison dedup weights, quality priors, and session
+    // statistics alike). Per user: volume, type breadth, lifespan, and
+    // the median inter-event gap (exact interpolated median over long
+    // micros — values are x.0/x.5, exactly representable in both
+    // engines); the flag is POPULATION-RELATIVE — median gap below
+    // BOT_PCT% of the population's median-of-medians — because
+    // absolute cadence thresholds don't transfer across products.
+    // Scale: one fact shuffle on user_id (the lag window and the
+    // per-user agg share it), an O(users) stats table, and the global
+    // median as a 1-row broadcast back (the q11/q15 scalar posture);
+    // medians never cross the shuffle as floats — only the two final
+    // guarded compares read them.
+    "events_bot_detect" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val stats = Tables.events(s, dir)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          max(unix_micros(col("ts"))).as("max_us"),
+          min(unix_micros(col("ts"))).as("min_us"),
+          min(col("gap_us")).as("min_gap_us"),
+          expr("percentile(gap_us, 0.5)").as("median_gap_us"))
+        // exact integer floor-division — a double /1e6 would round
+        .withColumn("span_sec", expr("(max_us - min_us) div 1000000"))
+        .drop("max_us", "min_us")
+        // the O(users) table feeds itself AND its median — unpinned,
+        // the fact table scans and shuffles twice (the q15 posture)
+        .localCheckpoint()
+      val popMedian = stats.agg(
+        expr("percentile(median_gap_us, 0.5)").as("pop_median_us"))
+      stats.join(broadcast(popMedian))
+        .withColumn("is_bot",
+          when(col("n_events") >= BOT_MIN_N &&
+            col("median_gap_us") * 100.0 <= lit(BOT_PCT) * col("pop_median_us"),
+            1).otherwise(0))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          col("span_sec"), col("min_gap_us"), col("median_gap_us"),
+          col("is_bot"))
+    }),
+
     // Kaplan-Meier survival over user lifetimes (the retention-curve
     // estimator behind every churn analysis): lifetime = days between
     // a user's first and last event; at each observed lifetime t the
@@ -465,6 +509,13 @@ object EventsQueries {
 
   /** A/B test: purchases needed to count a user as converted. */
   private def AB_MIN = graft.GraftConf.int("graft.ab.minPurchases", 15)
+
+  /** Bot gate: volume floor and the population-relative cadence bound
+    * (flag when a user's median inter-event gap falls below pct% of
+    * the population's median-of-medians — absolute thresholds don't
+    * transfer across products, relative ones do). */
+  private def BOT_MIN_N = graft.GraftConf.int("graft.bot.minEvents", 20)
+  private def BOT_PCT = graft.GraftConf.int("graft.bot.pct", 70)
 
   /** The two-proportion z readout over a per-user purchase-count table
     * — one algebra, two ingestion modes (the anomalyBody posture): the
@@ -661,6 +712,30 @@ object EventsQueries {
          |CASE WHEN z_micro IS NULL THEN NULL
          | ELSE abs(z_micro) > 1960000 END AS significant
          |FROM zc""".stripMargin,
+
+    // identical lag-window gaps in exact long micros, identical
+    // interpolated medians (x.0/x.5 — exactly representable doubles on
+    // both engines), identical relative flag arithmetic
+    "events_bot_detect" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |CAST(epoch_us(ts) AS BIGINT) AS us FROM $oEvents),
+         |g AS (SELECT user_id, event_type, us,
+         |us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |AS gap_us FROM e),
+         |u AS (SELECT user_id,
+         |COUNT(*) AS n_events,
+         |COUNT(DISTINCT event_type) AS n_types,
+         |(MAX(us) - MIN(us)) // 1000000 AS span_sec,
+         |MIN(gap_us) AS min_gap_us,
+         |median(gap_us) AS median_gap_us
+         |FROM g GROUP BY 1),
+         |p AS (SELECT median(median_gap_us) AS pop_median_us FROM u)
+         |SELECT user_id, n_events, n_types, span_sec, min_gap_us,
+         |CAST(median_gap_us AS DOUBLE) AS median_gap_us,
+         |CAST(CASE WHEN n_events >= $BOT_MIN_N
+         |AND median_gap_us * 100.0 <= $BOT_PCT * pop_median_us
+         |THEN 1 ELSE 0 END AS INTEGER) AS is_bot
+         |FROM u, p""".stripMargin,
 
     // same day-granular lifetimes, same µ-nat per-term flooring, same
     // exact long prefix sums; suffix-sum at-risk counts

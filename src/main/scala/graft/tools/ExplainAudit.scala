@@ -152,6 +152,12 @@ object ExplainAudit {
     audit("cluster_kmeans", "centroid list broadcast to the corpus scan (no cross-shuffle)") { p =>
       p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
     }
+    audit("dedup_semantic",
+      "pairs form only inside a cohort-capped cluster equi-join; the " +
+        "neighbor fold is one aggregate; never a cartesian") { p =>
+      p.contains("Window") && !p.contains("CartesianProduct") &&
+        (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    }
     audit("curate_domain_mix", "per-language thresholds broadcast back onto the corpus") { p =>
       p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")
     }
@@ -390,6 +396,14 @@ object ExplainAudit {
         "stream; one raw-event shuffle") { p =>
       count(p, "Window") >= 1 && !p.contains("Join") &&
         count(p, "Exchange") <= 2
+    }
+    audit("events_bot_detect",
+      "one raw-event shuffle on user_id shared by the lag window and " +
+        "the per-user agg; the population median broadcasts back as one " +
+        "row, never a cartesian") { p =>
+      count(p, "Exchange hashpartitioning") <= 1 &&
+        p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("Scan parquet") // the pinned stats table, not the fact
     }
     audit("q3_shipping_priority",
       "date/segment filters pushed to the scans; dim broadcast; " +

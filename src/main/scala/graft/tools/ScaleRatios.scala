@@ -113,7 +113,11 @@ object ScaleRatios {
       "q1_pricing_summary", "q2_min_cost_supplier", "q4_priority_exists",
       "q9_profit_by_nation", "q11_important_value", "q12_priority_classes",
       "q16_supplier_variety", "q17_small_qty_revenue",
-      "q20_promotion_suppliers", "q21_waiting_suppliers", "q22_idle_customers")
+      "q20_promotion_suppliers", "q21_waiting_suppliers", "q22_idle_customers",
+      // r11: SemDeDup — fixpoint trainer + capped intra-cluster pairs
+      "dedup_semantic",
+      // r11: population-relative cadence bot gate (events replica)
+      "events_bot_detect")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** dot_long must agree with the HOF formulation it replaced (the
+  * dedup_semantic hot path) on both the interpreted and codegen
+  * evaluation paths, and propagate nulls like any binary expression. */
+class DotLongSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("dot_long == aggregate(zip_with(*)) on random long vectors, and nulls propagate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(64) { i =>
+      (i.toLong,
+        Array.fill(16)(rnd.nextLong() % (1L << 20)),
+        Array.fill(16)(rnd.nextLong() % (1L << 20)))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.functions.functions.dot_long(col("a"), col("b")).as("d"),
+        aggregate(zip_with(col("a"), col("b"), (p, q) => p * q),
+          lit(0L), (acc, v) => acc + v).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+    // self-dot is the norm; null input -> null output
+    val n = df.limit(1)
+      .select(graft.functions.functions.dot_long(col("a"), col("a")).as("n2"),
+        graft.functions.functions.dot_long(lit(null).cast("array<bigint>"), col("a")).as("nn"))
+      .collect()(0)
+    assert(n.getLong(0) == rows.head._2.map(v => v * v).sum)
+    assert(n.isNullAt(1))
+  }
+}

@@ -129,4 +129,34 @@ class CorpusQueriesSpec extends AnyFunSuite {
       assert(all.count() == 500L, "keep wider than corpus returns every doc")
     } finally spark.conf.unset("graft.dsir.keep")
   }
+
+  test("dedup_semantic: SemDeDup keep rule — every vector appears once, " +
+    "duplicate relations are symmetric, and each dropped vector's cluster " +
+    "holds a kept τ-neighbor at greater-or-equal centroid distance") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = CorpusQueries.queries("dedup_semantic")(spark, dir).collect()
+    assert(rows.length == 500, "one verdict per embedding")
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 500)
+    val dropped = rows.filter(_.getAs[Int]("kept") == 0)
+    assert(dropped.nonEmpty, "threshold must discriminate on this corpus")
+    // n_dups counts directed τ-edges, so the total is even (symmetry)
+    val totalDups = rows.map(_.getAs[Long]("n_dups")).sum
+    assert(totalDups % 2 == 0 && totalDups > 0)
+    // a dropped vector has ≥1 duplicate; a vector with 0 duplicates is kept
+    dropped.foreach(r => assert(r.getAs[Long]("n_dups") >= 1))
+    rows.filter(_.getAs[Long]("n_dups") == 0)
+      .foreach(r => assert(r.getAs[Int]("kept") == 1))
+    // the kept representative is the pair member FARTHER from its
+    // centroid: within each cluster the maximum-cdist vector among those
+    // with duplicates can never be dropped (nothing beats it; id breaks
+    // exact ties upward)
+    rows.filter(_.getAs[Long]("n_dups") > 0)
+      .groupBy(_.getAs[Long]("cluster")).foreach { case (_, members) =>
+        val top = members.maxBy(r =>
+          (r.getAs[Long]("cdist"), r.getAs[Long]("vec_id")))
+        assert(top.getAs[Int]("kept") == 1,
+          s"cluster max-cdist duplicate holder must survive: $top")
+      }
+  }
 }

@@ -129,4 +129,30 @@ class EventsQueriesSpec extends AnyFunSuite {
     assert(out((d0 + day / 1000, 0)) == 1L, "day-1 cohort is user 3")
     assert(out.size == 3)
   }
+
+  test("events_bot_detect: flag is population-relative and respects the " +
+    "volume floor; per-user stats are internally consistent") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = EventsQueries.queries("events_bot_detect")(spark, dir).collect()
+    val users = graft.Tables.events(spark, dir)
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(rows.length == users, "one verdict per user")
+    val medians = rows.map(_.getAs[Double]("median_gap_us")).sorted
+    // population median-of-medians, interpolated like both engines
+    val pop =
+      if (medians.length % 2 == 1) medians(medians.length / 2)
+      else (medians(medians.length / 2 - 1) + medians(medians.length / 2)) / 2.0
+    rows.foreach { r =>
+      val bot = r.getAs[Int]("is_bot") == 1
+      val n = r.getAs[Long]("n_events")
+      val mg = r.getAs[Double]("median_gap_us")
+      assert(bot == (n >= 20 && mg * 100.0 <= 70 * pop),
+        s"flag must equal the relative rule for $r (pop=$pop)")
+      assert(r.getAs[Long]("min_gap_us") <= mg)
+      assert(r.getAs[Long]("span_sec") >= 0 && n >= 1)
+    }
+    assert(rows.count(_.getAs[Int]("is_bot") == 1) > 0,
+      "the relative rule must flag a nonempty tail on this corpus")
+  }
 }
