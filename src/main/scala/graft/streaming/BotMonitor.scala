@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.streaming._
+
+/** Streaming leg of the bot gate: per-user cadence statistics
+  * maintained incrementally in the state store — the live-monitor
+  * twin of the oracle-checked batch `events_bot_detect`. State is one
+  * small record per user (count, first/last event time, minimum
+  * inter-event gap, late count, a capped distinct-type set); each
+  * micro-batch folds its rows in event-time order and emits the
+  * user's updated snapshot.
+  *
+  * Ordering contract (the SessionizeState discipline): rows sort by
+  * event time within each micro-batch, and micro-batches are assumed
+  * event-time-ordered per user. Under that contract the emitted
+  * (n_events, n_types, span_sec, min_gap_us) are row-identical to the
+  * batch query (BotMonitorSpec). Violations are OBSERVABLE, never
+  * silent: an event older than the committed last event time
+  * increments `n_late` and is excluded from the gap fold (its true
+  * adjacent gaps are unknowable online).
+  *
+  * The POPULATION-RELATIVE median flag is deliberately not emitted —
+  * a per-user median needs the full gap multiset and the population
+  * median needs every user; both are the batch job's retrospective
+  * readout (exactly as SessionizeState leaves session size to the
+  * batch view). A live dashboard joins these snapshots against the
+  * threshold the nightly batch publishes.
+  *
+  * Reference analog: slipstream keeps per-key aggregates in an
+  * in-process cache inside async handlers (cookbook.rst:529-588);
+  * here the cadence record lives in the restart-safe streaming state
+  * store.
+  */
+object BotMonitor {
+
+  /** Distinct-type set cap: beyond it n_types saturates (loudly
+    * bounded state, the funnel-guard posture — never an unbounded
+    * per-key list). */
+  val TYPES_CAP = 64
+
+  /** (n, firstUs, lastUs, minGapUs, nLate, types); -1 = none yet. */
+  case class St(n: Long, firstUs: Long, lastUs: Long, minGapUs: Long,
+      nLate: Long, types: Seq[String])
+  val empty: St = St(0L, -1L, -1L, -1L, 0L, Seq.empty)
+
+  def step(st: St, tsu: Long, tpe: String): St = {
+    val late = st.lastUs >= 0 && tsu < st.lastUs
+    val gap = if (st.lastUs >= 0 && !late) tsu - st.lastUs else -1L
+    St(
+      st.n + 1,
+      if (st.firstUs < 0) tsu else math.min(st.firstUs, tsu),
+      if (late) st.lastUs else tsu,
+      if (gap < 0) st.minGapUs
+      else if (st.minGapUs < 0) gap else math.min(st.minGapUs, gap),
+      st.nLate + (if (late) 1L else 0L),
+      if (tpe == null || st.types.contains(tpe) || st.types.length >= TYPES_CAP)
+        st.types
+      else st.types :+ tpe)
+  }
+
+  /** Snapshot row: (user_id, n_events, n_types, span_sec, min_gap_us,
+    * n_late). span is exact integer floor seconds, matching the batch
+    * query's `div 1000000`. */
+  def snapshot(key: Long, st: St): (Long, Long, Long, Long, Long, Long) =
+    (key, st.n, st.types.length.toLong,
+      if (st.firstUs < 0) 0L else (st.lastUs - st.firstUs) / 1000000L,
+      st.minGapUs, st.nLate)
+
+  class Proc(stEnc: Encoder[St])
+    extends StatefulProcessor[Long, (Long, Long, String, Long),
+      (Long, Long, Long, Long, Long, Long)] {
+
+    @transient private var state: ValueState[St] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[St]("cadence", stEnc, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, String, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long, Long)] = {
+      var st = if (state.exists()) state.get() else empty
+      // (event_id, tsu, type, user) sorted by event time, ties by id
+      rows.toArray.sortBy(r => (r._2, r._1))
+        .foreach(r => st = step(st, r._2, r._3))
+      state.update(st)
+      Iterator.single(snapshot(key, st))
+    }
+  }
+
+  /** Per-user cadence snapshots over an (event_id, tsu, event_type,
+    * user_id) stream (or batch frame — same fold). Emits one updated
+    * (user_id, n_events, n_types, span_sec, min_gap_us, n_late) row
+    * per user per micro-batch. */
+  def cadence(
+      ds: Dataset[(Long, Long, String, Long)])(
+      implicit spark: SparkSession): Dataset[(Long, Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val grouped = ds.groupByKey(_._4)
+    if (ds.isStreaming)
+      grouped.transformWithState(
+        new Proc(implicitly[Encoder[St]]),
+        TimeMode.None(), OutputMode.Update())
+    else
+      grouped.mapGroups { (k, it) =>
+        var st = empty
+        it.toArray.sortBy(r => (r._2, r._1))
+          .foreach(r => st = step(st, r._2, r._3))
+        snapshot(k, st)
+      }
+  }
+}

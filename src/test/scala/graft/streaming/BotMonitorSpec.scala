@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-maintained per-user cadence records ≡ the oracle-checked
+  * batch events_bot_detect stats on the same events —
+  * batch-boundary-independently under the ordering contract — with
+  * late arrivals observable, never silent. */
+class BotMonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def finalSnapshots(table: String) =
+    spark.table(table)
+      .withColumn("seq", monotonically_increasing_id())
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+      .map { case (u, rs) => u -> rs.maxBy(_._7) }
+
+  test("streamed cadence snapshots equal the batch bot-gate stats") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.EventsQueries.queries("events_bot_detect")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("span_sec"), r.getAs[Long]("min_gap_us")))
+      .toMap
+
+    // the ordering contract: event-time order across and within batches
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"), col("user_id"))
+      .as[(Long, Long, String, Long)].collect()
+      .sortBy(r => (r._2, r._1))
+
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Long, String, Long)]
+    val q = BotMonitor.cadence(src.toDS())
+      .toDF("user_id", "n_events", "n_types", "span_sec", "min_gap_us", "n_late")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("bot_stream").start()
+    val streamed =
+      try {
+        val (a, b) = (rows.length / 5, rows.length / 2)
+        src.addData(rows.take(a).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.slice(a, b).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.drop(b).toIndexedSeq); q.processAllAvailable()
+        finalSnapshots("bot_stream")
+      } finally q.stop()
+
+    assert(streamed.size == batch.size, "one record per user")
+    streamed.foreach { case (u, (_, n, t, span, mg, late, _)) =>
+      assert((n, t, span, mg) == batch(u), s"user $u")
+      assert(late == 0L, "ordered input commits no late events")
+    }
+  }
+
+  test("a late arrival is counted, excluded from the gap fold, and " +
+    "cannot rewind the committed span") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val M = 1000000L
+    val src = MemoryStream[(Long, Long, String, Long)]
+    val q = BotMonitor.cadence(src.toDS())
+      .toDF("user_id", "n_events", "n_types", "span_sec", "min_gap_us", "n_late")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("bot_late").start()
+    try {
+      src.addData((1L, 100L * M, "view", 7L), (2L, 160L * M, "view", 7L))
+      q.processAllAvailable()
+      // 40 s older than the committed frontier: late
+      src.addData((3L, 120L * M, "click", 7L))
+      q.processAllAvailable()
+      val (_, n, t, span, mg, late, _) = finalSnapshots("bot_late")(7L)
+      assert(n == 3L && late == 1L)
+      assert(mg == 60L * M, "the late event contributes no gap")
+      assert(span == 60L, "frontier unchanged by the late event")
+      assert(t == 2L, "the late event's type still counts")
+    } finally q.stop()
+  }
+
+  test("batch-frame fold is the same algebra") {
+    val dir = "/root/testdata/sf0.001"
+    implicit val s = spark
+    val ds = graft.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"), col("user_id"))
+      .as[(Long, Long, String, Long)]
+    val got = BotMonitor.cadence(ds).collect().map(r => r._1 -> r).toMap
+    val batch = graft.queries.EventsQueries.queries("events_bot_detect")(spark, dir)
+      .collect()
+    batch.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val (_, n, t, span, mg, late) = got(u)
+      assert(n == r.getAs[Long]("n_events") && t == r.getAs[Long]("n_types"))
+      assert(span == r.getAs[Long]("span_sec") && mg == r.getAs[Long]("min_gap_us"))
+      assert(late == 0L)
+    }
+  }
+}
