@@ -409,6 +409,38 @@ object ExtendedQueries {
           col("y.rnk").as("rank_rev"))
     }),
 
+    // Index-quality metric: recall@3 of the shipped IVF index — AND
+    // its multiprobe repair — against the shipped brute-force truth,
+    // all three reused verbatim (the metric grades the definitions
+    // the catalog runs, not a re-derivation; both engines compose the
+    // existing query/oracle bodies). Per probe query: hits =
+    // |index top-3 ∩ exact top-3|, recall in exact integer
+    // micro-units — the readout that justifies multiprobe's existence
+    // with a number (nprobe=1 sign cells measure ~20% here; flipping
+    // one bit per probe recovers most of it). Scale: the standard ANN
+    // eval — ground truth over a FIXED probe set (Q queries × corpus
+    // brute scan, embarrassingly parallel, run once per index build),
+    // then O(Q·k) joins; the metric table is control-plane sized.
+    "sim_ivf_recall" -> ((s, dir) => {
+      val truth = LlmQueries.queries("sim_cosine_topk")(s, dir)
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"))
+      def hitsOf(name: String, as: String) = {
+        val approx = ExtendedQueries.queries(name)(s, dir)
+          .select(col("qid"), col("vec_id"))
+        truth.join(approx, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as(as))
+      }
+      truth.select(col("qid")).distinct()
+        .join(hitsOf("sim_ivf_topk", "h_ivf"), Seq("qid"), "left")
+        .join(hitsOf("sim_ivf_multiprobe", "h_probe"), Seq("qid"), "left")
+        .withColumn("n_hits_ivf", coalesce(col("h_ivf"), lit(0L)))
+        .withColumn("n_hits_probe", coalesce(col("h_probe"), lit(0L)))
+        .withColumn("recall_ivf_micro", expr("(n_hits_ivf * 1000000) div 3"))
+        .withColumn("recall_probe_micro", expr("(n_hits_probe * 1000000) div 3"))
+        .drop("h_ivf", "h_probe")
+    }),
+
     // PageRank over the k-NN similarity graph — the graph-centrality
     // signal (central = prototypical, peripheral = outlier/noise) a
     // curation pipeline ranks cluster representatives with. Fixed
@@ -1134,6 +1166,50 @@ object ExtendedQueries {
   // def, not val: conf-driven parameters (graft.dedup.maxDf) must be
   // read at oracle BUILD time so a session conf change reaches the
   // emitted SQL (same contract as LlmQueries/CorpusQueries.oracles)
+  /** sim_ivf_topk's oracle, factored so sim_ivf_recall can embed the
+    * EXACT same definition as a CTE (the metric grades the definition
+    * the catalog ships, not a re-derivation). */
+  private def oIvfTopk: String = {
+    val cell = (1 to 4).map(i =>
+      s"CASE WHEN e[$i] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |FROM embeddings),
+       |cells AS (SELECT vec_id, e, nrm, $cell AS cell FROM emb),
+       |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, cell AS qcell
+       |FROM cells WHERE vec_id < 10),
+       |scored AS (SELECT qid, vec_id,
+       |list_dot_product(qe, e) / (qn * nrm) AS cos
+       |FROM cells JOIN q ON cell = qcell AND vec_id <> qid)
+       |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+       |ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
+       |FROM scored QUALIFY rnk <= 3""".stripMargin
+  }
+
+  /** sim_ivf_multiprobe's oracle, factored for the same reason. */
+  private def oIvfMultiprobe: String = {
+    def bit(j: Int, flip: Boolean) =
+      if (flip) s"CASE WHEN qe[$j] >= 0.0 THEN '0' ELSE '1' END"
+      else s"CASE WHEN qe[$j] >= 0.0 THEN '1' ELSE '0' END"
+    val probes = (0 to 4).map(f =>
+      (1 to 4).map(j => bit(j, f == j)).mkString(" || ")).mkString(", ")
+    val cell = (1 to 4).map(i =>
+      s"CASE WHEN e[$i] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |FROM embeddings),
+       |cells AS (SELECT vec_id, e, nrm, $cell AS cell FROM emb),
+       |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM emb WHERE vec_id < 10),
+       |probes AS (SELECT qid, qe, qn, unnest([$probes]) AS pcell FROM q),
+       |scored AS (SELECT qid, vec_id,
+       |list_dot_product(qe, e) / (qn * nrm) AS cos
+       |FROM cells JOIN probes ON cell = pcell AND vec_id <> qid)
+       |SELECT qid, CAST(row_number() OVER
+       |(PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
+       |FROM scored
+       |QUALIFY rnk <= 3""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "j_semi" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -1261,28 +1337,7 @@ object ExtendedQueries {
          |HAVING MIN(cnt) >= 100""".stripMargin
     },
 
-    "sim_ivf_multiprobe" -> {
-      def bit(j: Int, flip: Boolean) =
-        if (flip) s"CASE WHEN qe[$j] >= 0.0 THEN '0' ELSE '1' END"
-        else s"CASE WHEN qe[$j] >= 0.0 THEN '1' ELSE '0' END"
-      val probes = (0 to 4).map(f =>
-        (1 to 4).map(j => bit(j, f == j)).mkString(" || ")).mkString(", ")
-      val cell = (1 to 4).map(i =>
-        s"CASE WHEN e[$i] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |FROM embeddings),
-         |cells AS (SELECT vec_id, e, nrm, $cell AS cell FROM emb),
-         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM emb WHERE vec_id < 10),
-         |probes AS (SELECT qid, qe, qn, unnest([$probes]) AS pcell FROM q),
-         |scored AS (SELECT qid, vec_id,
-         |list_dot_product(qe, e) / (qn * nrm) AS cos
-         |FROM cells JOIN probes ON cell = pcell AND vec_id <> qid)
-         |SELECT qid, CAST(row_number() OVER
-         |(PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
-         |FROM scored
-         |QUALIFY rnk <= 3""".stripMargin
-    },
+    "sim_ivf_multiprobe" -> oIvfMultiprobe,
 
     "sim_knn_graph" ->
       s"""WITH $oKnnChain
@@ -1325,22 +1380,28 @@ object ExtendedQueries {
          |SELECT vec_id, rp AS pagerank_pico FROM r$PR_ITER""".stripMargin
     },
 
-    "sim_ivf_topk" -> {
-      val cell = (1 to 4).map(i =>
-        s"CASE WHEN e[$i] >= 0.0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |FROM embeddings),
-         |cells AS (SELECT vec_id, e, nrm, $cell AS cell FROM emb),
-         |q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, cell AS qcell
-         |FROM cells WHERE vec_id < 10),
-         |scored AS (SELECT qid, vec_id,
-         |list_dot_product(qe, e) / (qn * nrm) AS cos
-         |FROM cells JOIN q ON cell = qcell AND vec_id <> qid)
-         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
-         |ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
-         |FROM scored QUALIFY rnk <= 3""".stripMargin
-    },
+    "sim_ivf_topk" -> oIvfTopk,
+
+    // composes the three shipped definitions verbatim as CTE subqueries
+    "sim_ivf_recall" ->
+      s"""WITH brute AS (${LlmQueries.oracles("sim_cosine_topk")}),
+         |ivf AS ($oIvfTopk),
+         |probe AS ($oIvfMultiprobe),
+         |t AS (SELECT qid, vec_id FROM brute WHERE rank <= 3),
+         |hi AS (SELECT t.qid, COUNT(*) AS n_hits_ivf
+         |FROM t JOIN ivf ON t.qid = ivf.qid AND t.vec_id = ivf.vec_id
+         |GROUP BY 1),
+         |hp AS (SELECT t.qid, COUNT(*) AS n_hits_probe
+         |FROM t JOIN probe ON t.qid = probe.qid AND t.vec_id = probe.vec_id
+         |GROUP BY 1)
+         |SELECT q.qid,
+         |COALESCE(n_hits_ivf, 0) AS n_hits_ivf,
+         |COALESCE(n_hits_probe, 0) AS n_hits_probe,
+         |(COALESCE(n_hits_ivf, 0) * 1000000) // 3 AS recall_ivf_micro,
+         |(COALESCE(n_hits_probe, 0) * 1000000) // 3 AS recall_probe_micro
+         |FROM (SELECT DISTINCT qid FROM t) q
+         |LEFT JOIN hi ON q.qid = hi.qid
+         |LEFT JOIN hp ON q.qid = hp.qid""".stripMargin,
 
     // identical training recursion (shared CTE builder), then the
     // same cell join + exact cosine + rank

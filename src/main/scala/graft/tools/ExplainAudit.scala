@@ -397,6 +397,13 @@ object ExplainAudit {
       count(p, "Window") >= 1 && !p.contains("Join") &&
         count(p, "Exchange") <= 2
     }
+    audit("sim_ivf_recall",
+      "truth/index frames join on (qid, vec_id) as semi-joins; never a " +
+        "cartesian (the O(Q) metric join-backs may plan SMJ statically — " +
+        "AQE demotes them at runtime)") { p =>
+      "Join type: LeftSemi".r.findAllIn(p).length >= 2 &&
+        !p.contains("CartesianProduct")
+    }
     audit("events_bot_detect",
       "one raw-event shuffle on user_id shared by the lag window and " +
         "the per-user agg; the population median broadcasts back as one " +

@@ -117,7 +117,9 @@ object ScaleRatios {
       // r11: SemDeDup — fixpoint trainer + capped intra-cluster pairs
       "dedup_semantic",
       // r11: population-relative cadence bot gate (events replica)
-      "events_bot_detect")
+      "events_bot_detect",
+      // r11: the ANN index-quality readout (fixed probe set)
+      "sim_ivf_recall")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

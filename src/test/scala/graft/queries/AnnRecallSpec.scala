@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** sim_ivf_recall semantic invariants, beyond the driver's oracle
+  * hash-compare: the metric must equal the intersection of the shipped
+  * result frames it claims to grade, and multiprobe recall dominates
+  * single-probe recall per query (its candidate set is a superset —
+  * a global-top-3 member can never be displaced from the top-3 of a
+  * larger candidate pool by non-members). */
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("recall equals the shipped frames' intersection; multiprobe dominates") {
+    val rows = ExtendedQueries.queries("sim_ivf_recall")(spark, dir).collect()
+    assert(rows.length == 10, "one row per probe query")
+
+    def resultSet(name: String): Map[Long, Set[Long]] = {
+      val q = if (name == "sim_cosine_topk") LlmQueries.queries(name)
+        else ExtendedQueries.queries(name)
+      q(spark, dir).collect()
+        .filter(r => r.schema.fieldNames.contains("rank") == false ||
+          r.getAs[Int]("rank") <= 3)
+        .groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    }
+    val truth = resultSet("sim_cosine_topk")
+    val ivf = resultSet("sim_ivf_topk")
+    val probe = resultSet("sim_ivf_multiprobe")
+
+    rows.foreach { r =>
+      val q = r.getAs[Long]("qid")
+      val hIvf = r.getAs[Long]("n_hits_ivf")
+      val hProbe = r.getAs[Long]("n_hits_probe")
+      assert(hIvf == truth(q).intersect(ivf.getOrElse(q, Set.empty)).size.toLong)
+      assert(hProbe == truth(q).intersect(probe.getOrElse(q, Set.empty)).size.toLong)
+      assert(hProbe >= hIvf, s"superset candidates cannot lose recall: $q")
+      assert(r.getAs[Long]("recall_ivf_micro") == hIvf * 1000000L / 3)
+      assert(hIvf <= 3 && hProbe <= 3)
+    }
+    // the metric must justify multiprobe on this corpus, not vacuously
+    assert(rows.map(_.getAs[Long]("n_hits_probe")).sum >
+      rows.map(_.getAs[Long]("n_hits_ivf")).sum)
+  }
+}
