@@ -268,26 +268,28 @@ object TpchQueries {
 
     // TPC-H Q21 shape (suppliers who kept orders waiting): the
     // double-correlated EXISTS / NOT EXISTS over the same fact table —
-    // the hardest decorrelation in the suite. Spark shape: ONE
-    // pre-aggregate per order computing (suppliers present, suppliers
-    // late) as conditional distinct counts, joined back — replacing
-    // both textbook self-joins with a single groupBy, the plan you
-    // want when lineitem is 100 TB (each self-join would be a second
-    // full-fact shuffle). "Late" proxy: shipped >730 days after the
-    // order date (commit/receipt dates absent).
+    // the hardest decorrelation in the suite. Spark shape: the
+    // per-order (suppliers present, suppliers late) distinct sets as
+    // WINDOW aggregates over the orderkey partition the orders⋈lineitem
+    // join already produces — both textbook self-joins AND the
+    // aggregate-then-join-back (the first cut here, which scanned and
+    // joined the fact twice — caught by the scan-recompute audit)
+    // collapse into ONE fact pass with zero extra exchanges; the
+    // per-order supplier sets are bounded by suppliers-per-order.
+    // "Late" proxy: shipped >730 days after the order date
+    // (commit/receipt dates absent).
     "q21_waiting_suppliers" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      val w = Window.partitionBy(col("l_orderkey"))
+      Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F")
             .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .withColumn("is_late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 730 DAYS"))
-      val perOrder = li.groupBy(col("l_orderkey").as("g_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_sup"),
-          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_sup"))
-        .where(col("n_sup") > 1 && col("n_late_sup") === 1)
-      li.where(col("is_late"))
-        .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+        .withColumn("n_sup", size(collect_set(col("l_suppkey")).over(w)).cast("long"))
+        .withColumn("n_late_sup",
+          size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)).cast("long"))
+        .where(col("is_late") && col("n_sup") > 1 && col("n_late_sup") === 1)
         .join(broadcast(Tables.supplier(s, dir)
             .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_12")),
               col("s_nationkey") === col("n_nationkey"))

@@ -63,8 +63,11 @@ object ExplainAudit {
       println(s"[audit] ${if (ok) "PASS" else "FAIL"}  $name: $what")
       if (!ok) println(p)
     }
+    // trailing-space tolerance matters: FormattedMode prints leaf nodes
+    // as "(1) Scan parquet \n" — without it every Scan-count assertion
+    // counted zero and passed vacuously (r11 catch)
     def count(p: String, op: String): Int =
-      ("""\(\d+\) """ + op + "\n").r.findAllIn(p).length
+      ("""\(\d+\) """ + op + """ *\n""").r.findAllIn(p).length
 
     audit("j1_asof_join", "exactly one Exchange (one shuffle as-of)") { p =>
       count(p, "Exchange") == 1
@@ -641,10 +644,12 @@ object ExplainAudit {
         !p.contains("CartesianProduct")
     }
     audit("q21_waiting_suppliers",
-      "both textbook self-joins replaced by ONE per-order conditional " +
-        "distinct-count aggregate joined back; supplier⋈nation broadcasts") { p =>
+      "both textbook self-joins AND the agg-join-back collapse into " +
+        "windowed distinct sets over the join's own orderkey partition: " +
+        "the fact scans ONCE, ≤2 hash exchanges, supplier⋈nation broadcasts") { p =>
       p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
-        count(p, "Exchange") <= 4
+        count(p, "Scan parquet") == 4 && count(p, "Exchange") <= 2 &&
+        count(p, "Window") == 2
     }
     audit("q22_idle_customers",
       "lapsed = LeftAnti against the date-pruned DISTINCT custkeys; the " +
