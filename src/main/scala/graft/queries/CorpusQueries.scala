@@ -1382,7 +1382,8 @@ object CorpusQueries {
     * `it` (the recursion), `final` (fixpoint centroids), `af`
     * (per-vector cluster assignment). */
   private[queries] def oKmeansCte(
-      k: Int, d: Int, maxIters: Int, vSelect: String = ""): String = {
+      k: Int, d: Int, maxIters: Int, vSelect: String = "",
+      trainMax: Long = Long.MaxValue): String = {
     val sq = s"CAST(list_sum(list_transform(range(1, ${d + 1}), " +
       "i -> (x[i]-c[i])*(x[i]-c[i]))) AS BIGINT)"
     val sums = (0 until d).map(i => s"SUM(x[${i + 1}]) AS s$i").mkString(", ")
@@ -1398,6 +1399,14 @@ object CorpusQueries {
     val vBody = if (vSelect.nonEmpty) vSelect
       else s"""SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
        |e -> CAST(FLOOR(e * $KM_SCALE) AS BIGINT)) AS x FROM embeddings""".stripMargin
+    // trainMax samples the TRAINING recursion only (the FAISS sampled-
+    // training posture — constant trainer cost at any corpus size);
+    // assignment (`af`) always runs over the full vector set. The alias
+    // shadows the CTE inside the recursion's FROM, so the body is
+    // otherwise unchanged; callers without sampling emit identical SQL.
+    val trainV =
+      if (trainMax == Long.MaxValue) "v"
+      else s"(SELECT vec_id, x FROM v WHERE vec_id < $trainMax) v"
     s"""v AS ($vBody),
        |it(round, cents) AS (
        |SELECT 0, (SELECT list(x ORDER BY vec_id) FROM v WHERE vec_id < $k)
@@ -1416,7 +1425,7 @@ object CorpusQueries {
        |CAST(list_position(dists, list_min(dists)) AS BIGINT) AS cluster
        |FROM (SELECT it.round, it.cents, v.x,
        |list_transform(it.cents, c -> $sq) AS dists
-       |FROM it CROSS JOIN v)
+       |FROM it CROSS JOIN $trainV)
        |) GROUP BY round, cents, cluster
        |)
        |) GROUP BY round, cents

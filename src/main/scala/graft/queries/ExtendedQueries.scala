@@ -21,6 +21,17 @@ object ExtendedQueries {
   /** PageRank power iterations over the k-NN graph. */
   private def PR_ITER = GraftConf.int("graft.pagerank.iters", 3)
 
+  /** Trainer sample size for the LEARNED ANN indexes (trained IVF, PQ,
+    * IVF-PQ): codebooks/centroids fit on the first trainMax vectors —
+    * the FAISS sampled-training posture, which is what makes index
+    * training CONSTANT in corpus size (the full-corpus Lloyd fixpoint
+    * would be O(N·k·d) per round at 100 TB). Encoding/assignment always
+    * runs over the full corpus; both engines sample identically, so the
+    * hash-compare verifies the sampled-training algebra itself.
+    * cluster_kmeans and dedup_semantic deliberately stay full-corpus —
+    * there the clustering IS the operator's output. */
+  private def TRAIN_MAX = GraftConf.long("graft.ann.trainMax", 512L)
+
   /** The k-NN oracle CTE chain, ending in `knn` (src, rnk, dst, cos)
     * — shared by the sim_knn_graph and sim_graph_pagerank oracles. */
   private[queries] def oKnnChain: String = {
@@ -184,7 +195,14 @@ object ExtendedQueries {
     * `sim_pq_topk` oracle (src = the quantized vectors) and the
     * `sim_ivfpq_topk` oracle (src = coarse-cell residuals). */
   private[queries] def oPqCte(
-      m: Int, sub: Int, k: Int, maxIters: Int, src: String): String = {
+      m: Int, sub: Int, k: Int, maxIters: Int, src: String,
+      trainMax: Long = Long.MaxValue): String = {
+    // sampled training (the oKmeansCte trainMax discipline): the
+    // per-subspace recursion reads the first trainMax vectors only;
+    // `enc` always encodes the full source
+    val trainSrc =
+      if (trainMax == Long.MaxValue) src
+      else s"(SELECT vec_id, x FROM $src WHERE vec_id < $trainMax) $src"
     val dist = oPqDist(sub) _
     val sq = s"CAST(list_sum(list_transform(range(1, ${sub + 1}), " +
       "i -> (sx[i]-c[i])*(sx[i]-c[i]))) AS BIGINT)"
@@ -217,7 +235,7 @@ object ExtendedQueries {
        |FROM (SELECT pit.m, pit.round, pit.cents,
        |$src.x[pit.m*$sub+1 : pit.m*$sub+$sub] AS sx,
        |list_transform(pit.cents, c -> $sq) AS dists
-       |FROM pit CROSS JOIN $src)
+       |FROM pit CROSS JOIN $trainSrc)
        |) GROUP BY m, round, cents, cluster
        |)
        |) GROUP BY m, round, cents
@@ -349,7 +367,10 @@ object ExtendedQueries {
           transform(col("e"), v =>
             floor(v / col("nrm") * lit(1048576.0)).cast("long")).as("x"))
         .localCheckpoint() // re-read once per training round
-      val cbs = pqFit(quant, M, SUB, K, maxIters, "sim_pq_topk")(s)
+      // codebooks fit on a fixed-size sample (TRAIN_MAX) — constant
+      // trainer cost at any corpus size; the oracle samples identically
+      val cbs = pqFit(quant.where(col("vec_id") < TRAIN_MAX),
+        M, SUB, K, maxIters, "sim_pq_topk")(s)
       val cbLits = (0 until M).map(m => typedLit(cbs(m).map(_.toSeq).toSeq))
       def subDist(vec: Column, cw: Column, m: Int): Column =
         pqSubDist(vec, cw, m, SUB)
@@ -548,7 +569,10 @@ object ExtendedQueries {
           transform(col("embedding").cast("array<double>"), v =>
             floor(v * lit(1048576.0)).cast("long")).as("x"))
         .localCheckpoint()
-      val cents = CorpusQueries.kmFit(quant, k, d, maxIters, "sim_ivf_trained")(s)
+      // coarse quantizer fits on a fixed-size sample (TRAIN_MAX);
+      // assignment still runs over the full corpus
+      val cents = CorpusQueries.kmFit(quant.where(col("vec_id") < TRAIN_MAX),
+        k, d, maxIters, "sim_ivf_trained")(s)
       val centsDf = cents.toSeq.zipWithIndex
         .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toDF("j", "c")
       val cells = CorpusQueries.kmAssign(quant, centsDf)
@@ -608,7 +632,10 @@ object ExtendedQueries {
           transform(col("e"), v =>
             floor(v / col("nrm") * lit(1048576.0)).cast("long")).as("x"))
         .localCheckpoint() // scanned by BOTH trainers' fixpoint loops
-      val cents = CorpusQueries.kmFit(quant, nlist, d, kmMax, "sim_ivfpq_topk")(s)
+      // both trainers fit on fixed-size samples (TRAIN_MAX) — the
+      // composed index's training cost stays constant in corpus size
+      val cents = CorpusQueries.kmFit(quant.where(col("vec_id") < TRAIN_MAX),
+        nlist, d, kmMax, "sim_ivfpq_topk")(s)
       val centsLit = typedLit(cents.map(_.toSeq).toSeq)
       val centsDf = cents.toSeq.zipWithIndex
         .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toDF("j", "c")
@@ -619,7 +646,8 @@ object ExtendedQueries {
           zip_with(col("x"), element_at(centsLit, col("cell").cast("int")),
             (a, b) => a - b).as("x"))
         .localCheckpoint() // PQ training re-reads this every round
-      val cbs = pqFit(resid, M, SUB, K, pqMax, "sim_ivfpq_topk", cappedOk = true)(s)
+      val cbs = pqFit(resid.where(col("vec_id") < TRAIN_MAX),
+        M, SUB, K, pqMax, "sim_ivfpq_topk", cappedOk = true)(s)
       val cbLits = (0 until M).map(m => typedLit(cbs(m).map(_.toSeq).toSeq))
       val codeCols = (0 until M).map { m =>
         val dts = transform(cbLits(m), cw => pqSubDist(col("x"), cw, m, SUB))
@@ -1409,7 +1437,7 @@ object ExtendedQueries {
       val k = GraftConf.int("graft.ivf.nlist", 16)
       val d = GraftConf.int("graft.kmeans.dim", 64)
       val maxIters = GraftConf.int("graft.kmeans.maxIters", 48)
-      s"""WITH RECURSIVE ${CorpusQueries.oKmeansCte(k, d, maxIters)},
+      s"""WITH RECURSIVE ${CorpusQueries.oKmeansCte(k, d, maxIters, "", TRAIN_MAX)},
          |emb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
          |sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
          |af.cluster AS cell
@@ -1502,11 +1530,11 @@ object ExtendedQueries {
       val cellDist =
         s"CAST(list_sum(list_transform(range(1, ${d + 1}), " +
           "i -> (q.qx[i]-f.cents[t.j][i])*(q.qx[i]-f.cents[t.j][i]))) AS BIGINT)"
-      s"""WITH RECURSIVE ${CorpusQueries.oKmeansCte(nlist, d, kmMax, vNorm)},
+      s"""WITH RECURSIVE ${CorpusQueries.oKmeansCte(nlist, d, kmMax, vNorm, TRAIN_MAX)},
          |r AS (SELECT v.vec_id,
          |list_transform(range(1, ${d + 1}), i -> v.x[i] - f.cents[af.cluster][i]) AS x
          |FROM v JOIN af USING (vec_id) CROSS JOIN final f),
-         |${oPqCte(M, SUB, K, pqMax, "r")},
+         |${oPqCte(M, SUB, K, pqMax, "r", TRAIN_MAX)},
          |q AS (SELECT vec_id AS qid, x AS qx FROM v WHERE vec_id < 10),
          |probed AS (SELECT qid, qx, cell FROM (
          |SELECT qid, qx, j AS cell,
@@ -1581,7 +1609,7 @@ object ExtendedQueries {
          |FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
          |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
          |FROM embeddings)),
-         |${oPqCte(M, SUB, K, maxIters, "v")},
+         |${oPqCte(M, SUB, K, maxIters, "v", TRAIN_MAX)},
          |cand AS (SELECT qid, vec_id, x, qx,
          |row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk_adc
          |FROM (SELECT q.vec_id AS qid, e.vec_id, e.x, q.qx,

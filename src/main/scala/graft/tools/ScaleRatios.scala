@@ -119,7 +119,9 @@ object ScaleRatios {
       // r11: population-relative cadence bot gate (events replica)
       "events_bot_detect",
       // r11: the ANN index-quality readout (fixed probe set)
-      "sim_ivf_recall")
+      "sim_ivf_recall",
+      // r11: the trained coarse quantizer, post sampled-training
+      "sim_ivf_trained")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

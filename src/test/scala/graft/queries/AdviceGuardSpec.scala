@@ -96,4 +96,16 @@ class AdviceGuardSpec extends AnyFunSuite {
       assert(e.getMessage.contains("graft.zipf.topn"))
     } finally spark.conf.unset("graft.zipf.topn")
   }
+
+  test("sampled ANN training refuses loudly when the sample cannot seed the codebook") {
+    // trainMax below K starves the first-K init — the kmFit/pqFit
+    // requires must fire, never a silent prefix-trained index
+    spark.conf.set("graft.ann.trainMax", "4")
+    try {
+      val e = intercept[Exception] {
+        graft.SparkEntry.queries("sim_pq_topk")(spark, "/root/testdata/sf0.001").collect()
+      }
+      assert(e.getMessage.contains("sim_pq_topk"), e.getMessage)
+    } finally spark.conf.unset("graft.ann.trainMax")
+  }
 }
