@@ -455,11 +455,14 @@ object ExtendedQueries {
       truth.select(col("qid")).distinct()
         .join(hitsOf("sim_ivf_topk", "h_ivf"), Seq("qid"), "left")
         .join(hitsOf("sim_ivf_multiprobe", "h_probe"), Seq("qid"), "left")
+        .join(hitsOf("sim_ivf_trained", "h_trained"), Seq("qid"), "left")
         .withColumn("n_hits_ivf", coalesce(col("h_ivf"), lit(0L)))
         .withColumn("n_hits_probe", coalesce(col("h_probe"), lit(0L)))
+        .withColumn("n_hits_trained", coalesce(col("h_trained"), lit(0L)))
         .withColumn("recall_ivf_micro", expr("(n_hits_ivf * 1000000) div 3"))
         .withColumn("recall_probe_micro", expr("(n_hits_probe * 1000000) div 3"))
-        .drop("h_ivf", "h_probe")
+        .withColumn("recall_trained_micro", expr("(n_hits_trained * 1000000) div 3"))
+        .drop("h_ivf", "h_probe", "h_trained")
     }),
 
     // PageRank over the k-NN similarity graph — the graph-centrality
@@ -1214,6 +1217,27 @@ object ExtendedQueries {
        |FROM scored QUALIFY rnk <= 3""".stripMargin
   }
 
+  /** sim_ivf_trained's oracle, factored for the same reason. The inner
+    * WITH RECURSIVE scopes cleanly when embedded as a CTE subquery. */
+  private def oIvfTrained: String = {
+    val k = GraftConf.int("graft.ivf.nlist", 16)
+    val d = GraftConf.int("graft.kmeans.dim", 64)
+    val maxIters = GraftConf.int("graft.kmeans.maxIters", 48)
+    s"""WITH RECURSIVE ${CorpusQueries.oKmeansCte(k, d, maxIters, "", TRAIN_MAX)},
+       |emb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+       |sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+       |af.cluster AS cell
+       |FROM embeddings e JOIN af ON e.vec_id = af.vec_id),
+       |q AS (SELECT vec_id AS qid, ev AS qe, nrm AS qn, cell AS qcell
+       |FROM emb WHERE vec_id < 10),
+       |scored AS (SELECT qid, vec_id,
+       |list_dot_product(qe, ev) / (qn * nrm) AS cos
+       |FROM emb JOIN q ON cell = qcell AND vec_id <> qid)
+       |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+       |ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
+       |FROM scored QUALIFY rnk <= 3""".stripMargin
+  }
+
   /** sim_ivf_multiprobe's oracle, factored for the same reason. */
   private def oIvfMultiprobe: String = {
     def bit(j: Int, flip: Boolean) =
@@ -1410,47 +1434,37 @@ object ExtendedQueries {
 
     "sim_ivf_topk" -> oIvfTopk,
 
-    // composes the three shipped definitions verbatim as CTE subqueries
+    // composes the four shipped definitions verbatim as CTE subqueries
     "sim_ivf_recall" ->
       s"""WITH brute AS (${LlmQueries.oracles("sim_cosine_topk")}),
          |ivf AS ($oIvfTopk),
          |probe AS ($oIvfMultiprobe),
+         |trained AS ($oIvfTrained),
          |t AS (SELECT qid, vec_id FROM brute WHERE rank <= 3),
          |hi AS (SELECT t.qid, COUNT(*) AS n_hits_ivf
          |FROM t JOIN ivf ON t.qid = ivf.qid AND t.vec_id = ivf.vec_id
          |GROUP BY 1),
          |hp AS (SELECT t.qid, COUNT(*) AS n_hits_probe
          |FROM t JOIN probe ON t.qid = probe.qid AND t.vec_id = probe.vec_id
+         |GROUP BY 1),
+         |ht AS (SELECT t.qid, COUNT(*) AS n_hits_trained
+         |FROM t JOIN trained ON t.qid = trained.qid AND t.vec_id = trained.vec_id
          |GROUP BY 1)
          |SELECT q.qid,
          |COALESCE(n_hits_ivf, 0) AS n_hits_ivf,
          |COALESCE(n_hits_probe, 0) AS n_hits_probe,
+         |COALESCE(n_hits_trained, 0) AS n_hits_trained,
          |(COALESCE(n_hits_ivf, 0) * 1000000) // 3 AS recall_ivf_micro,
-         |(COALESCE(n_hits_probe, 0) * 1000000) // 3 AS recall_probe_micro
+         |(COALESCE(n_hits_probe, 0) * 1000000) // 3 AS recall_probe_micro,
+         |(COALESCE(n_hits_trained, 0) * 1000000) // 3 AS recall_trained_micro
          |FROM (SELECT DISTINCT qid FROM t) q
          |LEFT JOIN hi ON q.qid = hi.qid
-         |LEFT JOIN hp ON q.qid = hp.qid""".stripMargin,
+         |LEFT JOIN hp ON q.qid = hp.qid
+         |LEFT JOIN ht ON q.qid = ht.qid""".stripMargin,
 
     // identical training recursion (shared CTE builder), then the
     // same cell join + exact cosine + rank
-    "sim_ivf_trained" -> {
-      val k = GraftConf.int("graft.ivf.nlist", 16)
-      val d = GraftConf.int("graft.kmeans.dim", 64)
-      val maxIters = GraftConf.int("graft.kmeans.maxIters", 48)
-      s"""WITH RECURSIVE ${CorpusQueries.oKmeansCte(k, d, maxIters, "", TRAIN_MAX)},
-         |emb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
-         |sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
-         |af.cluster AS cell
-         |FROM embeddings e JOIN af ON e.vec_id = af.vec_id),
-         |q AS (SELECT vec_id AS qid, ev AS qe, nrm AS qn, cell AS qcell
-         |FROM emb WHERE vec_id < 10),
-         |scored AS (SELECT qid, vec_id,
-         |list_dot_product(qe, ev) / (qn * nrm) AS cos
-         |FROM emb JOIN q ON cell = qcell AND vec_id <> qid)
-         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
-         |ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk, vec_id, cos
-         |FROM scored QUALIFY rnk <= 3""".stripMargin
-    },
+    "sim_ivf_trained" -> oIvfTrained,
 
     // identical pipeline: same md5 bit positions, same distinct
     // set-bit filter, same all-d-present membership rule

@@ -30,16 +30,19 @@ class AnnRecallSpec extends AnyFunSuite {
     val truth = resultSet("sim_cosine_topk")
     val ivf = resultSet("sim_ivf_topk")
     val probe = resultSet("sim_ivf_multiprobe")
+    val trained = resultSet("sim_ivf_trained")
 
     rows.foreach { r =>
       val q = r.getAs[Long]("qid")
       val hIvf = r.getAs[Long]("n_hits_ivf")
       val hProbe = r.getAs[Long]("n_hits_probe")
+      val hTrained = r.getAs[Long]("n_hits_trained")
       assert(hIvf == truth(q).intersect(ivf.getOrElse(q, Set.empty)).size.toLong)
       assert(hProbe == truth(q).intersect(probe.getOrElse(q, Set.empty)).size.toLong)
+      assert(hTrained == truth(q).intersect(trained.getOrElse(q, Set.empty)).size.toLong)
       assert(hProbe >= hIvf, s"superset candidates cannot lose recall: $q")
       assert(r.getAs[Long]("recall_ivf_micro") == hIvf * 1000000L / 3)
-      assert(hIvf <= 3 && hProbe <= 3)
+      assert(hIvf <= 3 && hProbe <= 3 && hTrained <= 3)
     }
     // the metric must justify multiprobe on this corpus, not vacuously
     assert(rows.map(_.getAs[Long]("n_hits_probe")).sum >
