@@ -333,6 +333,48 @@ object EventsQueries {
         .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("n_purchases")))),
 
+    // Per-type event-volume trend — the drift monitor a pipeline runs
+    // over its own telemetry (is this event type growing or dying?):
+    // ordinary least squares over (day index, daily count), entirely in
+    // EXACT integer arithmetic. The OLS slope is shift-invariant, so x
+    // is the absolute epoch day (no per-type min pass); the numerator
+    // n·Σxy − Σx·Σy crosses 2⁶³ once daily counts reach 100 TB scale,
+    // so both engines compute it in DECIMAL(38)/HUGEINT; the slope is
+    // reported as sign + |slope| in micro-events/day via positive-only
+    // integer division (floor ≡ truncate for non-negatives on both
+    // engines — a signed div would diverge: Spark truncates toward
+    // zero, DuckDB floors). Scale: one (type, day) shuffle with
+    // map-side combine, then an O(types) control-plane aggregate.
+    "events_trend" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+          col("c"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("c")).as("total"),
+          sum(col("x")).as("sx"),
+          sum((col("x") * col("c")).cast(dec)).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("num",
+          col("n_days").cast(dec) * col("sxy") -
+            col("sx").cast(dec) * col("total").cast(dec))
+        .withColumn("den",
+          col("n_days") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("slope_sign",
+          when(col("den") === 0L, lit(null).cast("int"))
+            .otherwise(signum(col("num")).cast("int")))
+        .withColumn("slope_abs_micro",
+          when(col("den") === 0L, lit(null).cast("long"))
+            .otherwise(expr("(abs(num) * 1000000) div den")))
+        .select(col("event_type"), col("n_days"), col("total"),
+          col("slope_sign"), col("slope_abs_micro"))
+    }),
+
     // Bot detection over per-user event cadence — the web-log cleaning
     // gate a training-data pipeline runs before any engagement-derived
     // signal (bots poison dedup weights, quality priors, and session
@@ -712,6 +754,30 @@ object EventsQueries {
          |CASE WHEN z_micro IS NULL THEN NULL
          | ELSE abs(z_micro) > 1960000 END AS significant
          |FROM zc""".stripMargin,
+
+    // identical daily bucketing, identical HUGEINT numerator algebra,
+    // identical positive-only micro division
+    "events_trend" ->
+      s"""WITH daily AS (SELECT event_type,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |COUNT(*) AS c
+         |FROM $oEvents GROUP BY 1, 2),
+         |st AS (SELECT event_type,
+         |COUNT(*) AS n_days,
+         |CAST(SUM(c) AS BIGINT) AS total,
+         |CAST(SUM(x) AS BIGINT) AS sx,
+         |CAST(SUM(x * c) AS HUGEINT) AS sxy,
+         |CAST(SUM(x * x) AS BIGINT) AS sxx
+         |FROM daily GROUP BY 1)
+         |SELECT event_type, n_days, total,
+         |CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+         |ELSE CAST(sign(CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * total)
+         |  AS INTEGER) END AS slope_sign,
+         |CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+         |ELSE CAST((abs(CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * total)
+         |  * 1000000) // (n_days * sxx - sx * sx) AS BIGINT) END AS slope_abs_micro
+         |FROM st""".stripMargin,
 
     // identical lag-window gaps in exact long micros, identical
     // interpolated medians (x.0/x.5 — exactly representable doubles on

@@ -407,6 +407,12 @@ object ExplainAudit {
       "Join type: LeftSemi".r.findAllIn(p).length >= 2 &&
         !p.contains("CartesianProduct")
     }
+    audit("events_trend",
+      "one (type, day) shuffle with map-side combine, then the O(types) " +
+        "final agg rides the same exchange; no join, one scan") { p =>
+      count(p, "Exchange") <= 2 && !p.contains("Join") &&
+        count(p, "Scan parquet") == 1 && count(p, "HashAggregate") >= 3
+    }
     audit("events_bot_detect",
       "one raw-event shuffle on user_id shared by the lag window and " +
         "the per-user agg; the population median broadcasts back as one " +

@@ -121,7 +121,9 @@ object ScaleRatios {
       // r11: the ANN index-quality readout (fixed probe set)
       "sim_ivf_recall",
       // r11: the trained coarse quantizer, post sampled-training
-      "sim_ivf_trained")
+      "sim_ivf_trained",
+      // r11: per-type OLS volume trend (events replica)
+      "events_trend")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

