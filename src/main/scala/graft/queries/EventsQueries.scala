@@ -345,35 +345,14 @@ object EventsQueries {
     // engines — a signed div would diverge: Spark truncates toward
     // zero, DuckDB floors). Scale: one (type, day) shuffle with
     // map-side combine, then an O(types) control-plane aggregate.
-    "events_trend" -> ((s, dir) => {
-      val dec = DecimalType(38, 0)
-      val daily = Tables.events(s, dir)
+    "events_trend" -> ((s, dir) =>
+      trendBody(Tables.events(s, dir)
         .groupBy(col("event_type"),
           to_date(date_trunc("day", col("ts"))).as("d"))
         .agg(count(lit(1)).as("c"))
         .select(col("event_type"),
           datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
-          col("c"))
-      daily.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_days"),
-          sum(col("c")).as("total"),
-          sum(col("x")).as("sx"),
-          sum((col("x") * col("c")).cast(dec)).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
-        .withColumn("num",
-          col("n_days").cast(dec) * col("sxy") -
-            col("sx").cast(dec) * col("total").cast(dec))
-        .withColumn("den",
-          col("n_days") * col("sxx") - col("sx") * col("sx"))
-        .withColumn("slope_sign",
-          when(col("den") === 0L, lit(null).cast("int"))
-            .otherwise(signum(col("num")).cast("int")))
-        .withColumn("slope_abs_micro",
-          when(col("den") === 0L, lit(null).cast("long"))
-            .otherwise(expr("(abs(num) * 1000000) div den")))
-        .select(col("event_type"), col("n_days"), col("total"),
-          col("slope_sign"), col("slope_abs_micro"))
-    }),
+          col("c")))),
 
     // Bot detection over per-user event cadence — the web-log cleaning
     // gate a training-data pipeline runs before any engagement-derived
@@ -568,6 +547,36 @@ object EventsQueries {
     * (AbMonitorSpec pins row-parity). Counts are exact longs; the
     * z-statistic is one fixed-order double expression floored ONCE to
     * µ-units; empty-variant and zero-variance cases guard to NULL. */
+  /** The integer OLS trend readout over a (event_type, x = epoch day,
+    * c = daily count) table — one algebra, two ingestion modes (the
+    * abTestBody posture): the batch catalog query aggregates events
+    * into daily counts; the streaming monitor
+    * ([[graft.streaming.TrendMonitor]]) maintains the SAME counts
+    * incrementally in the state store, so a live drift dashboard and
+    * the oracle-checked offline query can never disagree. */
+  private[graft] def trendBody(daily: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("total"),
+        sum(col("x")).as("sx"),
+        sum((col("x") * col("c")).cast(dec)).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num",
+        col("n_days").cast(dec) * col("sxy") -
+          col("sx").cast(dec) * col("total").cast(dec))
+      .withColumn("den",
+        col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_sign",
+        when(col("den") === 0L, lit(null).cast("int"))
+          .otherwise(signum(col("num")).cast("int")))
+      .withColumn("slope_abs_micro",
+        when(col("den") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(abs(num) * 1000000) div den")))
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("slope_sign"), col("slope_abs_micro"))
+  }
+
   private[graft] def abTestBody(userPurchases: DataFrame): DataFrame = {
     val users = userPurchases
       .select(col("user_id"),

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming leg of the event-volume drift monitor: per (type, day)
+  * counts maintained incrementally in the state store — counts are the
+  * textbook mergeable summary, so [[Fold.applyPartial]] pre-combines
+  * per micro-batch partition and the shuffle moves O(distinct
+  * type-days) partials, never raw events. The integer OLS readout is
+  * the FACTORED batch algebra
+  * ([[graft.queries.EventsQueries.trendBody]]) over the streamed
+  * table — one algebra, two ingestion modes, so a live drift dashboard
+  * and the oracle-checked offline events_trend read the SAME numbers
+  * on the same events (TrendMonitorSpec pins row-parity).
+  *
+  * Reference analog: slipstream keeps per-key aggregates in an
+  * in-process cache inside async handlers (cookbook.rst:529-588);
+  * here the daily counters live in the restart-safe streaming state
+  * store and the readout stays a declarative plan.
+  */
+object TrendMonitor {
+
+  /** Incremental (event_type, epoch_day) → count over a (type,
+    * epochDay) stream (or batch frame — same fold). */
+  def dailyCounts(
+      ds: Dataset[(String, Long)])(
+      implicit spark: SparkSession): Dataset[((String, Long), Long)] = {
+    import spark.implicits._
+    Fold.applyPartial[(String, Long), (String, Long), Long](
+      ds,
+      v => v,
+      0L, (b, _) => b + 1L, _ + _)
+  }
+
+  /** The batch OLS readout over a streamed ((type, day), count)
+    * snapshot. */
+  def readout(counts: DataFrame): DataFrame =
+    graft.queries.EventsQueries.trendBody(
+      counts.select(col("event_type"), col("x"), col("c")))
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-maintained (type, day) counts + the factored integer OLS
+  * algebra ≡ the oracle-checked batch events_trend on the same
+  * events — batch-boundary-independently. */
+class TrendMonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed drift readout equals the batch trend query") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.EventsQueries.queries("events_trend")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r.toSeq).toMap
+    assert(batch.nonEmpty)
+
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        datediff(to_date(date_trunc("day", col("ts"))),
+          lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .as[(String, Long)].collect()
+
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(String, Long)]
+    val q = TrendMonitor.dailyCounts(src.toDS())
+      .map { case ((t, x), c) => (t, x, c) }
+      .toDF("event_type", "x", "c")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("trend_stream").start()
+    val counts =
+      try {
+        // three deliberately uneven batches — the state fold must be
+        // batch-boundary-independent
+        val (a, b) = (rows.length / 5, rows.length / 2)
+        src.addData(rows.take(a).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.slice(a, b).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.drop(b).toIndexedSeq); q.processAllAvailable()
+        // update mode: keep the LAST count per (type, day)
+        spark.table("trend_stream")
+          .withColumn("seq", monotonically_increasing_id())
+          .as[(String, Long, Long, Long)].collect()
+          .groupBy(r => (r._1, r._2))
+          .map { case ((t, x), rs) => (t, x, rs.maxBy(_._4)._3) }
+          .toSeq
+      } finally q.stop()
+
+    val streamed = TrendMonitor.readout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.toSeq).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (t, got) =>
+      assert(got == batch(t), s"type $t: stream $got vs batch ${batch(t)}")
+    }
+  }
+}
