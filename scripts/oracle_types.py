@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Sweep every oracle SQL's DuckDB output types for hash-divergence
+hazards vs Spark: HUGEINT/INT128 columns (DuckDB's integer-SUM widening;
+Spark emits BIGINT -> typed-hash mismatch even when values agree — the
+q12 class), plus UINTs and INT32-vs-BIGINT surprises.
+
+Usage: python3 scripts/oracle_types.py <oracle_sql.json> <sf_dir>
+"""
+import sys, json
+import duckdb
+
+oracle_path, sf = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(oracle_path))
+BAD = ("HUGEINT", "INT128", "UHUGEINT", "UINTEGER", "UBIGINT", "USMALLINT", "UTINYINT")
+hits, errs = [], []
+for name in sorted(oracle):
+    try:
+        rel = con.sql(f"SELECT * FROM ({oracle[name]}) LIMIT 0")
+        cols = list(zip(rel.columns, [str(t) for t in rel.types]))
+    except Exception as e:
+        errs.append((name, str(e)[:160])); continue
+    for c, ty in cols:
+        if any(b in ty.upper() for b in BAD):
+            hits.append((name, c, ty))
+
+for name, c, ty in hits:
+    print(f"TYPE   {name}: {c} -> {ty}")
+for name, e in errs:
+    print(f"ERR    {name}: {e}")
+print(f"\n{len(oracle)} oracles, {len(hits)} hazardous columns, {len(errs)} errors")
+sys.exit(1 if hits or errs else 0)

@@ -363,38 +363,52 @@ object EventsQueries {
     // engines); the flag is POPULATION-RELATIVE — median gap below
     // BOT_PCT% of the population's median-of-medians — because
     // absolute cadence thresholds don't transfer across products.
-    // Scale: one fact shuffle on user_id (the lag window and the
-    // per-user agg share it), an O(users) stats table, and the global
-    // median as a 1-row broadcast back (the q11/q15 scalar posture);
-    // medians never cross the shuffle as floats — only the two final
-    // guarded compares read them.
+    // The median is BOUNDED-STATE (the curate_winsorize posture):
+    // Spark's exact `percentile` buffers EVERY raw value per group,
+    // and the heavy key — a bot with millions of events — is exactly
+    // the row this query exists to find, so a hot key would OOM the
+    // aggregation buffer at 100×. Instead: a map-side-combined
+    // (user, gap) histogram, a spillable cumulative window, and the
+    // two order statistics v_⌈n/2⌉ + v_⌊n/2⌋₊₁ carried as
+    // med2x = 2·median (exact in long; /2.0 only at the output edge).
+    // Scale: one fact shuffle on user_id (the lag window, the per-user
+    // agg, the histogram agg, its window, and the stats⋈median join
+    // ALL reuse that partitioning — zero further exchanges), an
+    // O(users) stats table, and the population median-of-medians as a
+    // 1-row broadcast back (the q11/q15 scalar posture) computed the
+    // same histogram way over O(distinct medians) on the control plane.
     "events_bot_detect" -> ((s, dir) => {
-      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val stats = Tables.events(s, dir)
-        .withColumn("gap_us",
-          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd)))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("event_type")).as("n_types"),
-          max(unix_micros(col("ts"))).as("max_us"),
-          min(unix_micros(col("ts"))).as("min_us"),
-          min(col("gap_us")).as("min_gap_us"),
-          expr("percentile(gap_us, 0.5)").as("median_gap_us"))
-        // exact integer floor-division — a double /1e6 would round
-        .withColumn("span_sec", expr("(max_us - min_us) div 1000000"))
-        .drop("max_us", "min_us")
-        // the O(users) table feeds itself AND its median — unpinned,
-        // the fact table scans and shuffles twice (the q15 posture)
-        .localCheckpoint()
-      val popMedian = stats.agg(
-        expr("percentile(median_gap_us, 0.5)").as("pop_median_us"))
-      stats.join(broadcast(popMedian))
+      // the O(users) table feeds itself AND its population median —
+      // unpinned, the fact table scans and shuffles twice (the q15
+      // posture)
+      val userStats = botDetectUserStats(Tables.events(s, dir)).localCheckpoint()
+      // population median-of-medians, same histogram order statistics
+      // over the O(distinct med2x) control-plane table; pop4x = 4× the
+      // interpolated population median, still exact in long.
+      val ph = userStats.where(col("med2x").isNotNull)
+        .groupBy(col("med2x")).agg(count(lit(1)).as("c"))
+      val pCum = Window.orderBy(col("med2x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val pop = ph
+        .withColumn("cum", sum(col("c")).over(pCum))
+        .withColumn("n", sum(col("c")).over(pAll))
+        .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col("med2x"))) +
+          min(when(col("cum") >= expr("n div 2 + 1"), col("med2x")))).as("pop4x"))
+      // flag compare ×4 on both sides: median·100 ≤ PCT·pop_median
+      // ⇔ med2x·200 ≤ PCT·pop4x — pure long arithmetic (med2x ≤ 2·max
+      // gap ≈ 2⁴⁹ even over a 10-year span, ×200 ≪ 2⁶³), no floats in
+      // the decision path; median_gap_us = med2x/2.0 (x.0/x.5, exactly
+      // representable) only at the output edge.
+      userStats.join(broadcast(pop))
         .withColumn("is_bot",
           when(col("n_events") >= BOT_MIN_N &&
-            col("median_gap_us") * 100.0 <= lit(BOT_PCT) * col("pop_median_us"),
+            col("med2x") * 200L <= lit(BOT_PCT.toLong) * col("pop4x"),
             1).otherwise(0))
         .select(col("user_id"), col("n_events"), col("n_types"),
-          col("span_sec"), col("min_gap_us"), col("median_gap_us"),
+          col("span_sec"), col("min_gap_us"),
+          (col("med2x").cast("double") / 2.0).as("median_gap_us"),
           col("is_bot"))
     }),
 
@@ -554,6 +568,70 @@ object EventsQueries {
     * ([[graft.streaming.TrendMonitor]]) maintains the SAME counts
     * incrementally in the state store, so a live drift dashboard and
     * the oracle-checked offline query can never disagree. */
+  /** The pre-checkpoint leg of events_bot_detect: per-user cadence
+    * stats + the bounded-state exact median, factored out so
+    * ExplainAudit can assert its ONE-fact-shuffle shape directly (the
+    * query's localCheckpoint otherwise hides this plan from the
+    * audit). One Exchange hashpartitioning(user_id) feeds the lag
+    * window; the per-user agg, the (user, gap) histogram agg, its
+    * cumulative window, and the stats⋈median sort-merge join all
+    * reuse that partitioning — the histogram groupBy's
+    * ClusteredDistribution(user_id, gap_us) is satisfied by
+    * HashPartitioning(user_id), so EnsureRequirements inserts nothing
+    * (AQE reuses the one exchange across the two window consumers). */
+  private[graft] def botDetectUserStats(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // the explicit isnotnull matters for plan shape, not values: the
+    // final stats⋈median LEFT join infers isnotnull(user_id) on the
+    // median side ONLY — without the filter on both legs the two
+    // copies of the scan→exchange subtree canonicalize UNEQUAL and
+    // AQE cannot reuse the shuffle (the r12 fragment audit caught the
+    // fact table shuffling twice)
+    val gaps = events.where(col("user_id").isNotNull)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd)))
+    // ONE shared first-level reduction both legs read: per (user, gap,
+    // type) count + ts extrema. Keeping event_type in the key (summed
+    // away below) keeps the two legs' scan columns IDENTICAL — prune
+    // event_type from only one and the exchange subtrees diverge, and
+    // the fact table pays a second full shuffle. Rides the window's
+    // user_id partitioning: no exchange of its own.
+    val agg1 = gaps
+      .groupBy(col("user_id"), col("gap_us"), col("event_type"))
+      .agg(count(lit(1)).as("c"),
+        max(unix_micros(col("ts"))).as("max_us"),
+        min(unix_micros(col("ts"))).as("min_us"))
+    val stats = agg1
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        max(col("max_us")).as("max_us"),
+        min(col("min_us")).as("min_us"),
+        min(col("gap_us")).as("min_gap_us"))
+      // exact integer floor-division — a double /1e6 would round
+      .withColumn("span_sec", expr("(max_us - min_us) div 1000000"))
+      .drop("max_us", "min_us")
+    // per-user gap histogram → exact interpolated median as
+    // med2x = v_⌈(n+1)/2⌉ + v_⌊n/2⌋₊₁ (odd n: 2v_mid; even n: the
+    // two middle values). Per-group state is O(distinct gaps), the
+    // window sort spills — no value buffering anywhere.
+    val hist = agg1.where(col("gap_us").isNotNull)
+      .groupBy(col("user_id"), col("gap_us")).agg(sum(col("c")).as("c"))
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("gap_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("user_id"))
+      .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col("gap_us"))) +
+        min(when(col("cum") >= expr("n div 2 + 1"), col("gap_us")))).as("med2x"))
+    // single-event users have no gaps → med2x null (as percentile
+    // over an all-null group was)
+    stats.join(med, Seq("user_id"), "left")
+  }
+
   private[graft] def trendBody(daily: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
     daily.groupBy(col("event_type"))
@@ -565,8 +643,15 @@ object EventsQueries {
       .withColumn("num",
         col("n_days").cast(dec) * col("sxy") -
           col("sx").cast(dec) * col("total").cast(dec))
+      // den in DECIMAL(38,0) like num — in int64 Spark would WRAP
+      // silently on overflow where DuckDB raises on BIGINT (the
+      // silent-wrap-vs-raise divergence class the zipf topn require
+      // guards); sx² crosses 2⁶³ once Σ(epoch day) reaches ~3e9,
+      // i.e. ~150k tracked days — close enough to plausible at 100 TB
+      // that the wide type is the only safe posture
       .withColumn("den",
-        col("n_days") * col("sxx") - col("sx") * col("sx"))
+        col("n_days").cast(dec) * col("sxx").cast(dec) -
+          col("sx").cast(dec) * col("sx").cast(dec))
       .withColumn("slope_sign",
         when(col("den") === 0L, lit(null).cast("int"))
           .otherwise(signum(col("num")).cast("int")))
@@ -780,17 +865,21 @@ object EventsQueries {
          |CAST(SUM(x * x) AS BIGINT) AS sxx
          |FROM daily GROUP BY 1)
          |SELECT event_type, n_days, total,
-         |CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+         |CASE WHEN CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
          |ELSE CAST(sign(CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * total)
          |  AS INTEGER) END AS slope_sign,
-         |CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+         |CASE WHEN CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
          |ELSE CAST((abs(CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * total)
-         |  * 1000000) // (n_days * sxx - sx * sx) AS BIGINT) END AS slope_abs_micro
+         |  * 1000000) // (CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+         |  AS BIGINT) END AS slope_abs_micro
          |FROM st""".stripMargin,
 
     // identical lag-window gaps in exact long micros, identical
-    // interpolated medians (x.0/x.5 — exactly representable doubles on
-    // both engines), identical relative flag arithmetic
+    // cumulative-histogram order statistics (NOT DuckDB's median(),
+    // whose interpolation arithmetic is the engine's own — the
+    // curate_winsorize oracle posture): med2x = 2·median and
+    // pop4x = 4·population-median stay BIGINT-exact end to end, the
+    // /2.0 double conversion happens only at the output edge
     "events_bot_detect" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type,
          |CAST(epoch_us(ts) AS BIGINT) AS us FROM $oEvents),
@@ -801,16 +890,34 @@ object EventsQueries {
          |COUNT(*) AS n_events,
          |COUNT(DISTINCT event_type) AS n_types,
          |(MAX(us) - MIN(us)) // 1000000 AS span_sec,
-         |MIN(gap_us) AS min_gap_us,
-         |median(gap_us) AS median_gap_us
+         |MIN(gap_us) AS min_gap_us
          |FROM g GROUP BY 1),
-         |p AS (SELECT median(median_gap_us) AS pop_median_us FROM u)
+         |h AS (SELECT user_id, gap_us, COUNT(*) AS c FROM g
+         |WHERE gap_us IS NOT NULL GROUP BY 1, 2),
+         |w AS (SELECT user_id, gap_us,
+         |CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY gap_us
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM h),
+         |m AS (SELECT user_id,
+         |MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap_us END)
+         |+ MIN(CASE WHEN cum >= n // 2 + 1 THEN gap_us END) AS med2x
+         |FROM w GROUP BY 1),
+         |um AS (SELECT u.*, m.med2x FROM u LEFT JOIN m USING (user_id)),
+         |ph AS (SELECT med2x, COUNT(*) AS c FROM um
+         |WHERE med2x IS NOT NULL GROUP BY 1),
+         |pw AS (SELECT med2x,
+         |CAST(SUM(c) OVER (ORDER BY med2x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |CAST(SUM(c) OVER () AS BIGINT) AS n FROM ph),
+         |p AS (SELECT
+         |MIN(CASE WHEN cum >= (n + 1) // 2 THEN med2x END)
+         |+ MIN(CASE WHEN cum >= n // 2 + 1 THEN med2x END) AS pop4x
+         |FROM pw)
          |SELECT user_id, n_events, n_types, span_sec, min_gap_us,
-         |CAST(median_gap_us AS DOUBLE) AS median_gap_us,
+         |CAST(med2x AS DOUBLE) / 2.0 AS median_gap_us,
          |CAST(CASE WHEN n_events >= $BOT_MIN_N
-         |AND median_gap_us * 100.0 <= $BOT_PCT * pop_median_us
+         |AND med2x * 200 <= $BOT_PCT * pop4x
          |THEN 1 ELSE 0 END AS INTEGER) AS is_bot
-         |FROM u, p""".stripMargin,
+         |FROM um, p""".stripMargin,
 
     // same day-granular lifetimes, same µ-nat per-term flooring, same
     // exact long prefix sums; suffix-sum at-risk counts

@@ -60,16 +60,21 @@ object BotMonitor {
   }
 
   /** Snapshot row: (user_id, n_events, n_types, span_sec, min_gap_us,
-    * n_late). span is exact integer floor seconds, matching the batch
-    * query's `div 1000000`. */
-  def snapshot(key: Long, st: St): (Long, Long, Long, Long, Long, Long) =
+    * n_late, types_saturated). span is exact integer floor seconds,
+    * matching the batch query's `div 1000000`. types_saturated makes
+    * the TYPES_CAP bound OBSERVABLE (the n_late discipline): once the
+    * cap is hit, n_types stops tracking the batch countDistinct, so a
+    * dashboard comparing against the nightly events_bot_detect must
+    * treat a saturated row's n_types as a lower bound — without the
+    * flag that divergence would be silent. */
+  def snapshot(key: Long, st: St): (Long, Long, Long, Long, Long, Long, Boolean) =
     (key, st.n, st.types.length.toLong,
       if (st.firstUs < 0) 0L else (st.lastUs - st.firstUs) / 1000000L,
-      st.minGapUs, st.nLate)
+      st.minGapUs, st.nLate, st.types.length >= TYPES_CAP)
 
   class Proc(stEnc: Encoder[St])
     extends StatefulProcessor[Long, (Long, Long, String, Long),
-      (Long, Long, Long, Long, Long, Long)] {
+      (Long, Long, Long, Long, Long, Long, Boolean)] {
 
     @transient private var state: ValueState[St] = _
 
@@ -78,7 +83,7 @@ object BotMonitor {
 
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, Long, String, Long)],
-        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long, Long)] = {
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long, Long, Boolean)] = {
       var st = if (state.exists()) state.get() else empty
       // (event_id, tsu, type, user) sorted by event time, ties by id
       rows.toArray.sortBy(r => (r._2, r._1))
@@ -90,11 +95,11 @@ object BotMonitor {
 
   /** Per-user cadence snapshots over an (event_id, tsu, event_type,
     * user_id) stream (or batch frame — same fold). Emits one updated
-    * (user_id, n_events, n_types, span_sec, min_gap_us, n_late) row
-    * per user per micro-batch. */
+    * (user_id, n_events, n_types, span_sec, min_gap_us, n_late,
+    * types_saturated) row per user per micro-batch. */
   def cadence(
       ds: Dataset[(Long, Long, String, Long)])(
-      implicit spark: SparkSession): Dataset[(Long, Long, Long, Long, Long, Long)] = {
+      implicit spark: SparkSession): Dataset[(Long, Long, Long, Long, Long, Long, Boolean)] = {
     import spark.implicits._
     val grouped = ds.groupByKey(_._4)
     if (ds.isStreaming)

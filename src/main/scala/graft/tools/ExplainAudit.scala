@@ -414,12 +414,44 @@ object ExplainAudit {
         count(p, "Scan parquet") == 1 && count(p, "HashAggregate") >= 3
     }
     audit("events_bot_detect",
-      "one raw-event shuffle on user_id shared by the lag window and " +
-        "the per-user agg; the population median broadcasts back as one " +
-        "row, never a cartesian") { p =>
-      count(p, "Exchange hashpartitioning") <= 1 &&
+      "post-checkpoint leg: one med2x-histogram shuffle + the " +
+        "single-partition control-plane window; the population median " +
+        "broadcasts back as one row, never a cartesian " +
+        "(header-form Exchange count — the Arguments line carries " +
+        "hashpartitioning, so the old 'Exchange hashpartitioning' " +
+        "header regex counted zero and passed vacuously)") { p =>
+      count(p, "Exchange") <= 2 &&
+        "Arguments: hashpartitioning".r.findAllIn(p).length <= 1 &&
         p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
         !p.contains("Scan parquet") // the pinned stats table, not the fact
+    }
+    locally {
+      // the pre-checkpoint leg (hidden from the catalog audit by the
+      // eager localCheckpoint): ONE fact shuffle on user_id feeds the
+      // lag window; the per-user agg, the (user, gap) histogram agg,
+      // its cumulative window, and the stats⋈median join all reuse
+      // that partitioning. The two window consumers duplicate the
+      // exchange subtree statically — AQE's ReusedExchange collapses
+      // them — so execute and assert the FINAL plan.
+      val df = graft.queries.EventsQueries.botDetectUserStats(
+        graft.Tables.events(spark, dir))
+      val plan = df.queryExecution.executedPlan
+      plan.execute().count()
+      // assert on the Final Plan section only — AdaptiveSparkPlan's
+      // toString appends the pre-AQE Initial Plan, whose (unreused)
+      // exchanges would double the count
+      val p = plan.toString.split("== Initial Plan ==")(0)
+      // a ReusedExchange line echoes its target as
+      // "ReusedExchange [...], Exchange hashpartitioning(...)" — count
+      // only exchanges that EXECUTE (line-initial node headers)
+      val nEx = "(?m)\\+- Exchange hashpartitioning".r.findAllIn(p).length
+      val ok = nEx == 1 && p.contains("ReusedExchange") &&
+        !p.contains("CartesianProduct")
+      if (!ok) failures += 1
+      println(s"[audit] ${if (ok) "PASS" else "FAIL"}  events_bot_detect(user-stats leg): " +
+        "one executed fact shuffle on user_id, reused across both window " +
+        "consumers; median join adds no exchange")
+      if (!ok) println(p)
     }
     audit("q3_shipping_priority",
       "date/segment filters pushed to the scans; dim broadcast; " +

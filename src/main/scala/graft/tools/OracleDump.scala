@@ -1,0 +1,28 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Dump SparkEntry.oracleSql to a JSON file WITHOUT starting Spark —
+  * feeds scripts/oracle_types.py, the DuckDB output-type sweep that
+  * catches HUGEINT-vs-BIGINT hash divergences (the q12 class) before
+  * the driver does.
+  */
+object OracleDump {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("target/oracle_sql.json")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.createDirectories(Paths.get(out).toAbsolutePath.getParent)
+    Files.writeString(Paths.get(out), json)
+    println(s"wrote ${graft.SparkEntry.oracleSql.size} oracles to $out")
+  }
+}

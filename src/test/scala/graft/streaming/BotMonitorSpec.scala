@@ -15,9 +15,9 @@ class BotMonitorSpec extends AnyFunSuite {
   private def finalSnapshots(table: String) =
     spark.table(table)
       .withColumn("seq", monotonically_increasing_id())
-      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .as[(Long, Long, Long, Long, Long, Long, Boolean, Long)].collect()
       .groupBy(_._1)
-      .map { case (u, rs) => u -> rs.maxBy(_._7) }
+      .map { case (u, rs) => u -> rs.maxBy(_._8) }
 
   test("streamed cadence snapshots equal the batch bot-gate stats") {
     val dir = "/root/testdata/sf0.001"
@@ -39,7 +39,7 @@ class BotMonitorSpec extends AnyFunSuite {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[(Long, Long, String, Long)]
     val q = BotMonitor.cadence(src.toDS())
-      .toDF("user_id", "n_events", "n_types", "span_sec", "min_gap_us", "n_late")
+      .toDF("user_id", "n_events", "n_types", "span_sec", "min_gap_us", "n_late", "types_saturated")
       .writeStream.outputMode("update").format("memory")
       .queryName("bot_stream").start()
     val streamed =
@@ -52,9 +52,10 @@ class BotMonitorSpec extends AnyFunSuite {
       } finally q.stop()
 
     assert(streamed.size == batch.size, "one record per user")
-    streamed.foreach { case (u, (_, n, t, span, mg, late, _)) =>
+    streamed.foreach { case (u, (_, n, t, span, mg, late, sat, _)) =>
       assert((n, t, span, mg) == batch(u), s"user $u")
       assert(late == 0L, "ordered input commits no late events")
+      assert(!sat, "under TYPES_CAP distinct types, never saturated")
     }
   }
 
@@ -65,7 +66,7 @@ class BotMonitorSpec extends AnyFunSuite {
     val M = 1000000L
     val src = MemoryStream[(Long, Long, String, Long)]
     val q = BotMonitor.cadence(src.toDS())
-      .toDF("user_id", "n_events", "n_types", "span_sec", "min_gap_us", "n_late")
+      .toDF("user_id", "n_events", "n_types", "span_sec", "min_gap_us", "n_late", "types_saturated")
       .writeStream.outputMode("update").format("memory")
       .queryName("bot_late").start()
     try {
@@ -74,11 +75,40 @@ class BotMonitorSpec extends AnyFunSuite {
       // 40 s older than the committed frontier: late
       src.addData((3L, 120L * M, "click", 7L))
       q.processAllAvailable()
-      val (_, n, t, span, mg, late, _) = finalSnapshots("bot_late")(7L)
+      val (_, n, t, span, mg, late, _, _) = finalSnapshots("bot_late")(7L)
       assert(n == 3L && late == 1L)
       assert(mg == 60L * M, "the late event contributes no gap")
       assert(span == 60L, "frontier unchanged by the late event")
       assert(t == 2L, "the late event's type still counts")
+    } finally q.stop()
+  }
+
+  test("crossing TYPES_CAP saturates n_types LOUDLY via types_saturated") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val M = 1000000L
+    val cap = BotMonitor.TYPES_CAP
+    val src = MemoryStream[(Long, Long, String, Long)]
+    val q = BotMonitor.cadence(src.toDS())
+      .toDF("user_id", "n_events", "n_types", "span_sec", "min_gap_us", "n_late", "types_saturated")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("bot_sat").start()
+    try {
+      // cap-1 distinct types: under the bound, flag stays false
+      src.addData((0 until cap - 1).map(i =>
+        (i.toLong, i * M, s"t$i", 9L)): _*)
+      q.processAllAvailable()
+      val under = finalSnapshots("bot_sat")(9L)
+      assert(under._3 == (cap - 1).toLong && !under._7)
+      // two more distinct types: n_types pins at cap, flag flips —
+      // the batch countDistinct would say cap+1; divergence observable
+      src.addData((cap.toLong - 1, (cap - 1) * M, s"t${cap - 1}", 9L),
+        (cap.toLong, cap * M, s"t$cap", 9L))
+      q.processAllAvailable()
+      val over = finalSnapshots("bot_sat")(9L)
+      assert(over._2 == (cap + 1).toLong, "events still counted")
+      assert(over._3 == cap.toLong, "n_types pinned at the cap")
+      assert(over._7, "saturation is observable, never silent")
     } finally q.stop()
   }
 
@@ -94,10 +124,10 @@ class BotMonitorSpec extends AnyFunSuite {
       .collect()
     batch.foreach { r =>
       val u = r.getAs[Long]("user_id")
-      val (_, n, t, span, mg, late) = got(u)
+      val (_, n, t, span, mg, late, sat) = got(u)
       assert(n == r.getAs[Long]("n_events") && t == r.getAs[Long]("n_types"))
       assert(span == r.getAs[Long]("span_sec") && mg == r.getAs[Long]("min_gap_us"))
-      assert(late == 0L)
+      assert(late == 0L && !sat)
     }
   }
 }
