@@ -4,11 +4,10 @@
 Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
 Mimics the driver's compare: sort columns by name, sort rows, compare values.
 
-Queries whose oracle is not SQL-expressible (DuckDB has no DEFLATE
-builtin) are oracled HERE in Python instead — see PY_ORACLES.
+Queries whose oracle is not SQL-expressible can be oracled HERE in
+Python instead — see PY_ORACLES (empty since r12).
 """
-import sys, json, glob, zlib
-from decimal import Decimal, ROUND_HALF_UP
+import sys, json, glob
 import duckdb
 import pandas as pd
 import numpy as np
@@ -19,39 +18,10 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 
-def oracle_compress_ratio():
-    """text_compress_ratio: DEFLATE length via CPython zlib level 6.
-
-    CPython's zlib and the JRE's bundled zlib produce byte-identical
-    DEFLATE streams at the same level on every probed input (both wrap
-    canonical zlib; ZlibLen documents the caveat that a JDK upgrade
-    could legitimately shift lengths — if that ever happens this
-    oracle will fail loudly on zlib_bytes and should be relaxed to
-    ratio bands). ratio mirrors Spark's CAST(double AS DECIMAL(18,6)):
-    Spark routes the cast through BigDecimal(Double.toString(d)) — the
-    SHORTEST decimal repr — so we quantize Decimal(repr(x)), not the
-    exact binary expansion Decimal(x), then HALF_UP to 6dp.
-    """
-    rows = con.sql("SELECT doc_id, text FROM documents").fetchall()
-    data = []
-    for doc_id, text in rows:
-        b = text.encode("utf-8")
-        zb = len(zlib.compress(b, 6))
-        if len(b) == 0:
-            # Spark: Infinity double -> NULL decimal
-            ratio = None
-        else:
-            # Decimal(repr(x)), not Decimal(x): Spark's decimal cast
-            # goes through Double.toString (shortest repr), so a
-            # 6dp-midpoint like 23/640 = "0.0359375" must round from
-            # the STRING, not the exact binary expansion below it
-            ratio = Decimal(repr(zb / len(b))).quantize(
-                Decimal("0.000001"), rounding=ROUND_HALF_UP)
-        data.append((doc_id, len(b), zb, ratio))
-    return pd.DataFrame(data, columns=["doc_id", "n_bytes", "zlib_bytes", "ratio"])
-
-
-PY_ORACLES = {"text_compress_ratio": oracle_compress_ratio}
+# No Python oracles since r12: text_compress_ratio's hashed readout moved
+# to the engine-neutral unique-4-gram fraction (SQL-expressible); the true
+# DEFLATE lengths live in ZlibLenSpec goldens (JVM Deflater reference).
+PY_ORACLES = {}
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 names = sorted(set(oracle) | set(PY_ORACLES))

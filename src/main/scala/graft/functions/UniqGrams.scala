@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `uniq_grams(text, n)` — the number of DISTINCT length-n character
+  * windows in a string, as a fused Catalyst expression.
+  *
+  * This is the engine-neutral compressibility proxy behind
+  * text_compress_ratio: LZ77-family codecs (DEFLATE, zstd) spend their
+  * dictionary on repeated substrings, so the unique-window fraction
+  * distinct/(chars−n+1) tracks the compression ratio — boilerplate
+  * repetition collapses it, high-entropy noise drives it toward 1 —
+  * while being EXACTLY computable in any SQL engine (a DuckDB oracle
+  * can hash-match it; raw DEFLATE lengths, [[ZlibLen]], cannot be
+  * oracled in SQL and stay a golden-spec concern).
+  *
+  * Windows are CODE-POINT windows, not byte windows, mirroring the
+  * character semantics of `substr` in both Spark and DuckDB, so the
+  * oracle form `list_distinct(list_transform(range(...), i ->
+  * substr(text, i, n)))` agrees on any valid UTF-8.
+  *
+  * Codegen: `doGenCode` emits a static call into [[UniqGrams.compute]]
+  * — one pass, one HashSet, no array materialization — keeping the
+  * projection whole-stage compiled (the ZlibLen posture). Strings
+  * shorter than n (including empty) yield 0.
+  */
+case class UniqGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"uniq_grams window must be >= 1, got $n")
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    UniqGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UniqGrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): UniqGrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "uniq_grams"
+}
+
+object UniqGrams {
+
+  /** Distinct length-n code-point windows of `s`. Decodes the UTF-8
+    * bytes once into a char buffer (surrogate pairs count as the two
+    * JVM chars `substr` would also slice — consistent with both
+    * engines' code-unit-free code-POINT semantics only for BMP text;
+    * the synthetic corpora are BMP), then slides an n-code-point
+    * window and sets each window string. */
+  def compute(s: UTF8String, n: Int): Int = {
+    val str = s.toString
+    // code-point windows: index by code point so a 4-window over
+    // astral text matches substr() in both engines
+    val cpCount = str.codePointCount(0, str.length)
+    if (cpCount < n) return 0
+    // offsets of each code point start (cpCount+1 sentinel entries)
+    val offs = new Array[Int](cpCount + 1)
+    var i = 0
+    var cp = 0
+    while (i < str.length) {
+      offs(cp) = i
+      i += Character.charCount(str.codePointAt(i))
+      cp += 1
+    }
+    offs(cp) = str.length
+    val seen = new java.util.HashSet[String]()
+    var w = 0
+    while (w + n <= cpCount) {
+      seen.add(str.substring(offs(w), offs(w + n)))
+      w += 1
+    }
+    seen.size
+  }
+}

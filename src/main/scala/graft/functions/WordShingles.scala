@@ -174,6 +174,9 @@ object functions {
   def zlib_len(c: Column): Column =
     ColumnBridge.column(ZlibLen(ColumnBridge.expression(c)))
 
+  def uniq_grams(c: Column, n: Int): Column =
+    ColumnBridge.column(UniqGrams(ColumnBridge.expression(c), n))
+
   def ascii_counts(c: Column): Column =
     ColumnBridge.column(AsciiCounts(ColumnBridge.expression(c)))
 

@@ -1079,13 +1079,31 @@ object ExtendedQueries {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
     }),
 
-    // Exact median (interpolated percentile over integral doubles —
-    // midpoint arithmetic exact in both engines).
+    // Exact median (interpolated, over integral doubles — midpoint
+    // arithmetic exact in both engines), in the BOUNDED-STATE
+    // histogram form (the curate_winsorize / events_bot_detect
+    // posture): Spark's `percentile` buffers every raw value per
+    // group — O(rows) per aggregation buffer at 100 TB — while the
+    // (flag, qty) histogram map-side-combines to O(flags × distinct
+    // qty) and the cumulative window + two order statistics
+    // v_⌈(n+1)/2⌉, v_⌊n/2⌋₊₁ reproduce percentile(0.5) exactly.
     "a_median" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
+      val hist = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
         .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
-          count(lit(1)).as("n"))
+        .agg(
+          ((min(when(col("cum") >= expr("(n + 1) div 2"), col("l_quantity"))) +
+            min(when(col("cum") >= expr("n div 2 + 1"), col("l_quantity")))) / 2.0)
+            .as("median_qty"),
+          max(col("n")).as("n"))
     }),
 
     // Distinct aggregation (expand/partial-distinct plan).

@@ -171,12 +171,35 @@ object SamplingQueries {
         col("f_query"), col("f_long"), col("keep"))
   }
 
-  /** Compression-ratio signal over a (doc_id, text) frame. */
+  /** Engine-neutral compressibility signal over a (doc_id, text)
+    * frame: unique-4-char-gram fraction in exact integer micro-units
+    * (the LZ-dictionary-coverage proxy — see [[graft.functions.UniqGrams]]).
+    * NULL ratio for texts shorter than one window. */
   private[graft] def compressRatioBody(in: DataFrame): DataFrame =
+    in.withColumn("n_bytes", expr("CAST(octet_length(text) AS BIGINT)"))
+      .withColumn("n_windows",
+        expr("CAST(greatest(char_length(text) - 3, 0) AS BIGINT)"))
+      .withColumn("n_distinct",
+        graft.functions.functions.uniq_grams(col("text"), 4).cast("long"))
+      .withColumn("uniq_ratio_micro",
+        expr("CASE WHEN n_windows = 0 THEN NULL " +
+          "ELSE (n_distinct * 1000000) div n_windows END"))
+      .select(col("doc_id"), col("n_bytes"), col("n_windows"),
+        col("n_distinct"), col("uniq_ratio_micro"))
+
+  /** The TRUE zlib readout (DEFLATE byte length + Decimal(18,6)
+    * ratio): kept as a library signal with golden-spec coverage
+    * (ZlibLenSpec) rather than a catalog row — DEFLATE has no SQL
+    * builtin in any engine, so it can never hash-match a SQL oracle.
+    * Same shape the reference's quality filters consume. */
+  private[graft] def zlibRatioBody(in: DataFrame): DataFrame =
     in.withColumn("n_bytes", expr("octet_length(text)"))
       .withColumn("zlib_bytes", graft.functions.functions.zlib_len(col("text")))
+      // explicit NULL for empty text — under ANSI a 0-divisor double
+      // division raises rather than yielding Infinity
       .withColumn("ratio",
-        (col("zlib_bytes").cast("double") / col("n_bytes").cast("double"))
+        when(col("n_bytes") === 0, lit(null))
+          .otherwise(col("zlib_bytes").cast("double") / col("n_bytes").cast("double"))
           .cast(DecimalType(18, 6)))
       .select(col("doc_id"), col("n_bytes"), col("zlib_bytes"), col("ratio"))
 
@@ -288,13 +311,17 @@ object SamplingQueries {
     "curate_url_filters" -> ((s, dir) =>
       urlFiltersBody(Tables.documents(s, dir))),
 
-    // Compression-ratio quality signal (the Dolma / RedPajama-v2
-    // heuristic: boilerplate and repetition deflate far below prose;
-    // base64/noise barely compresses). zlib_len is a custom Catalyst
-    // Expression (graft.functions.ZlibLen) with doGenCode — neither
-    // engine has a SQL builtin, so this entry has NO DuckDB oracle
-    // (driver records the rows-only check); ZlibLenSpec pins known
-    // values, golden Deflater parity, and determinism instead.
+    // Compressibility quality signal (the Dolma / RedPajama-v2
+    // heuristic: boilerplate and repetition compress far below prose;
+    // base64/noise barely compresses). The hashed readout is the
+    // ENGINE-NEUTRAL unique-4-gram fraction — LZ77 spends its
+    // dictionary on repeated substrings, so distinct-window coverage
+    // tracks the DEFLATE ratio while being exactly expressible in
+    // DuckDB (raw DEFLATE lengths are not: zlibRatio + ZlibLenSpec
+    // keep the true zlib readout as a golden-spec concern; through
+    // r11 this row was the catalog's one permanent no_oracle).
+    // uniq_grams is a custom Catalyst Expression with doGenCode —
+    // one pass, one HashSet, no per-row array materialization.
     // Stateless per-row projection, zero shuffle.
     "text_compress_ratio" -> ((s, dir) =>
       compressRatioBody(Tables.documents(s, dir))),
@@ -657,12 +684,24 @@ object SamplingQueries {
          |NOT (f_blockword OR f_tld OR f_query OR f_long) AS keep FROM f""".stripMargin
     },
 
-    // text_compress_ratio: no SQL oracle — DEFLATE has no DuckDB
-    // builtin — so the check harness oracles it in PYTHON instead
-    // (scripts/check.py PY_ORACLES: CPython zlib level 6 is
-    // byte-identical to the JRE Deflater on every probed input; exact
-    // zlib_bytes + Decimal(18,6) ratio compare). ZlibLenSpec carries
-    // the known-answer + golden-parity spec.
+    // same char-window distinct count (DuckDB substr is code-point
+    // indexed like Spark's), same exact integer micro-ratio; strlen =
+    // BYTE length in DuckDB (length() is chars). Through r11 this row
+    // was the one no_oracle exception (raw DEFLATE lengths aren't
+    // SQL-expressible) — the zlib truth moved to ZlibLenSpec goldens.
+    "text_compress_ratio" ->
+      """WITH w AS (SELECT doc_id,
+        |CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |CAST(greatest(length(text) - 3, 0) AS BIGINT) AS n_windows,
+        |CASE WHEN length(text) >= 4 THEN
+        |CAST(len(list_distinct(list_transform(range(1, length(text) - 2),
+        |  i -> substr(text, CAST(i AS INTEGER), 4)))) AS BIGINT)
+        |ELSE 0 END AS n_distinct
+        |FROM documents)
+        |SELECT doc_id, n_bytes, n_windows, n_distinct,
+        |CASE WHEN n_windows = 0 THEN NULL
+        |ELSE (n_distinct * 1000000) // n_windows END AS uniq_ratio_micro
+        |FROM w""".stripMargin,
 
     "dedup_url_canonical" ->
       s"""WITH u AS (SELECT doc_id,

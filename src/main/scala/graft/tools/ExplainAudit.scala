@@ -91,6 +91,14 @@ object ExplainAudit {
     audit("a1_fold_agg", "partial + final hash aggregation") { p =>
       count(p, "HashAggregate") >= 2
     }
+    audit("a_median",
+      "bounded-state exact median: corpus shuffles ONCE into the " +
+        "(flag, qty) histogram; cumulative window + order statistics " +
+        "run on the O(flags × distinct qty) control-plane table; NO " +
+        "value-buffering percentile aggregate (ObjectHashAggregate)") { p =>
+      count(p, "Exchange") <= 2 && count(p, "Window") == 2 &&
+        !p.contains("percentile") && !p.contains("ObjectHashAggregate")
+    }
     audit("curate_repetition", "repetition stats are narrow HOFs: ZERO shuffles") { p =>
       count(p, "Exchange") == 0 && !p.contains("Generate")
     }
@@ -349,7 +357,7 @@ object ExplainAudit {
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
     }
     audit("text_compress_ratio",
-      "custom zlib_len expression rides whole-stage codegen (starred " +
+      "custom uniq_grams expression rides whole-stage codegen (starred " +
         "Project), ZERO shuffles") { p =>
       count(p, "Exchange") == 0 && p.contains("* Project")
     }

@@ -58,6 +58,61 @@ class ZlibLenSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("zlibRatioBody: the library zlib readout stays exact (since r12 " +
+    "the CATALOG row hashes the uniq-gram proxy instead — DEFLATE " +
+    "lengths can't hash-match a SQL oracle — so the true readout is " +
+    "pinned here)") {
+    val df = samples.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = SamplingQueries.zlibRatioBody(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_bytes"), r.getAs[Int]("zlib_bytes"),
+          Option(r.getAs[java.math.BigDecimal]("ratio")))).toMap
+    samples.zipWithIndex.foreach { case (t, i) =>
+      val nb = t.getBytes("UTF-8").length
+      val zb = ref(t)
+      val (gn, gz, gr) = got(i.toLong)
+      assert(gn == nb && gz == zb, s"doc $i byte/deflate lengths")
+      if (nb == 0) assert(gr.isEmpty, "empty text: Infinity double -> NULL decimal")
+      else assert(gr.get.doubleValue == new java.math.BigDecimal(
+        java.lang.Double.toString(zb.toDouble / nb))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue,
+        s"doc $i ratio quantization")
+    }
+  }
+
+  test("uniq_grams: known distinct-window counts, code-point windows, " +
+    "and the same repetition<prose<noise ordering the catalog row " +
+    "now hashes") {
+    import graft.functions.functions.uniq_grams
+    def u(s: String): Int = {
+      val r = Seq(s).toDF("text")
+        .select(uniq_grams(col("text"), 4).as("u")).head()
+      r.getInt(0)
+    }
+    assert(u("") == 0 && u("abc") == 0, "shorter than one window")
+    assert(u("abcd") == 1)
+    assert(u("aaaaaaa") == 1, "pure repetition: one distinct window")
+    assert(u("abcdefg") == 4, "all windows distinct: len-3")
+    assert(u("abcabcabc") == 3, "period-3 repetition: 3 distinct")
+    // non-ASCII BMP text: windows are code points, not bytes
+    assert(u("ééééé") == 1 && u("äöüßx") == 2)
+    def frac(s: String): Double = {
+      val w = s.codePointCount(0, s.length) - 3
+      u(s).toDouble / w
+    }
+    val rep = frac("boilerplate line here. " * 50)
+    val prose = frac("the cat sat on the mat while a river ran past the " +
+      "town and the wind blew over the quiet hills toward evening light")
+    val noise = frac((1 to 40).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString).mkString)
+    assert(rep < 0.05, s"boilerplate collapses (got $rep)")
+    assert(prose > 0.5, s"prose stays high-coverage (got $prose)")
+    assert(noise > 0.5 && rep < noise, s"noise stays high (got $noise)")
+  }
+
   test("ratio separates repetition from prose and noise (the filter signal)") {
     def ratio(s: String): Double = ref(s).toDouble / s.getBytes("UTF-8").length
     val rep = ratio("boilerplate line here. " * 50)
