@@ -142,8 +142,14 @@ object CorpusQueries {
     // label sum as DECIMAL(38,0): a long sum overflows once
     // node-count × id magnitude nears 2^63 (reachable at corpus scale),
     // and a wrapped sum could fake a fixpoint
+    // coalesce(0): sum over an EMPTY label table is NULL — zero pairs
+    // in the input (e.g. every cohort capped out) must converge to an
+    // empty component table on the first check, not NPE (r12 catch:
+    // the 100× replica's unsalted embeddings saturate the near-dup
+    // cohort caps and feed components() nothing)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).first()
+      df.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0)))).first()
         .getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0

@@ -354,6 +354,27 @@ object EventsQueries {
           datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
           col("c")))),
 
+    // Robust (median/MAD) daily-rate anomaly gate — the outlier-proof
+    // twin of events_rate_anomaly: a mean/σ z-score is dragged by the
+    // very spikes it should flag (one 100× bot day inflates σ and
+    // masks the rest), while median ± k·MAD is breakdown-50% robust —
+    // the form monitoring pipelines actually deploy for volume
+    // alarms. Entirely integer-exact via the round's histogram
+    // order-statistic machinery: med2 = 2·median of daily counts,
+    // dev2 = |2c − med2|, mad4 = 2·median of dev2 (= 4·MAD), flag ⇔
+    // 2·dev2 > k·mad4 — no floats anywhere in the decision path, the
+    // /2.0 and /4.0 happen only at the output edge. Scale: ONE corpus
+    // shuffle into the O(types×days) daily table (pinned — it feeds
+    // four readers), then ONE control-plane repartition(event_type)
+    // that every downstream histogram/window/agg reuses; medians
+    // broadcast back (plan-audited).
+    "events_anomaly_mad" -> ((s, dir) =>
+      madBody(Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"), col("c")))),
+
     // Bot detection over per-user event cadence — the web-log cleaning
     // gate a training-data pipeline runs before any engagement-derived
     // signal (bots poison dedup weights, quality priors, and session
@@ -552,6 +573,9 @@ object EventsQueries {
   private def BOT_MIN_N = graft.GraftConf.int("graft.bot.minEvents", 20)
   private def BOT_PCT = graft.GraftConf.int("graft.bot.pct", 70)
 
+  /** MAD gate: flag a period when |c − median| > k·MAD. */
+  private def MAD_K = graft.GraftConf.int("graft.mad.k", 3)
+
   /** The two-proportion z readout over a per-user purchase-count table
     * — one algebra, two ingestion modes (the anomalyBody posture): the
     * batch catalog query aggregates events into (user_id, n_purchases);
@@ -660,6 +684,53 @@ object EventsQueries {
           .otherwise(expr("(abs(num) * 1000000) div den")))
       .select(col("event_type"), col("n_days"), col("total"),
         col("slope_sign"), col("slope_abs_micro"))
+  }
+
+  /** The median/MAD robust anomaly readout over an (event_type, c =
+    * per-period count) table — one algebra, two ingestion modes (the
+    * trendBody posture): the batch catalog query aggregates events
+    * into daily counts; a streaming dashboard feeds the SAME readout
+    * from [[graft.streaming.TrendMonitor.dailyCounts]] snapshots
+    * (TrendMonitorSpec pins row-parity). All order statistics ride
+    * the cumulative-histogram form: per-group state is O(distinct
+    * counts), never O(rows). k is basis-point-free integer
+    * (graft.mad.k, default 3): flag ⇔ |c − median| > k·MAD
+    * ⇔ 2·dev2 > k·mad4 in exact longs. */
+  private[graft] def madBody(daily: DataFrame): DataFrame = {
+    val k = MAD_K
+    // the O(types×periods) table feeds the count histogram, the
+    // deviation pass, AND the final agg — pin it (the q15 posture),
+    // then ONE control-plane repartition(event_type) that every
+    // downstream groupBy/window reuses (hash(type) satisfies every
+    // later clustering: {type} is a subset of each key set)
+    val d = daily.select(col("event_type"), col("c"))
+      .localCheckpoint()
+      .repartition(col("event_type"))
+    def med2Of(in: DataFrame, v: String): DataFrame = {
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      in.groupBy(col("event_type"), col(v)).agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum(col("f")).over(wCum))
+        .withColumn("n", sum(col("f")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col(v))) +
+          min(when(col("cum") >= expr("n div 2 + 1"), col(v)))).as("m2"))
+    }
+    val med = med2Of(d, "c").withColumnRenamed("m2", "med2")
+    val dev = d.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs(col("c") * 2L - col("med2")))
+    val mad = med2Of(dev, "dev2").withColumnRenamed("m2", "mad4")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med2"), col("mad4"))
+      .agg(count(lit(1)).as("n_periods"),
+        sum(when(col("dev2") * 2L > lit(k.toLong) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_anomalies"))
+      .select(col("event_type"), col("n_periods"),
+        (col("med2").cast("double") / 2.0).as("median_c"),
+        (col("mad4").cast("double") / 4.0).as("mad_c"),
+        col("n_anomalies"))
   }
 
   private[graft] def abTestBody(userPurchases: DataFrame): DataFrame = {
@@ -873,6 +944,41 @@ object EventsQueries {
          |  * 1000000) // (CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
          |  AS BIGINT) END AS slope_abs_micro
          |FROM st""".stripMargin,
+
+    // same daily counts, same cumulative-histogram order statistics
+    // for BOTH medians (counts, then absolute deviations), same exact
+    // integer flag compare 2·dev2 > k·mad4
+    "events_anomaly_mad" ->
+      s"""WITH daily AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+         |FROM $oEvents
+         |GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)),
+         |h AS (SELECT event_type, c, COUNT(*) AS f FROM daily GROUP BY 1, 2),
+         |w AS (SELECT event_type, c,
+         |CAST(SUM(f) OVER (PARTITION BY event_type ORDER BY c
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |CAST(SUM(f) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h),
+         |m AS (SELECT event_type,
+         |MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END)
+         |+ MIN(CASE WHEN cum >= n // 2 + 1 THEN c END) AS med2
+         |FROM w GROUP BY 1),
+         |dv AS (SELECT daily.event_type, c, med2, abs(c * 2 - med2) AS dev2
+         |FROM daily JOIN m USING (event_type)),
+         |dh AS (SELECT event_type, dev2, COUNT(*) AS f FROM dv GROUP BY 1, 2),
+         |dw AS (SELECT event_type, dev2,
+         |CAST(SUM(f) OVER (PARTITION BY event_type ORDER BY dev2
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |CAST(SUM(f) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM dh),
+         |md AS (SELECT event_type,
+         |MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev2 END)
+         |+ MIN(CASE WHEN cum >= n // 2 + 1 THEN dev2 END) AS mad4
+         |FROM dw GROUP BY 1)
+         |SELECT dv.event_type,
+         |CAST(COUNT(*) AS BIGINT) AS n_periods,
+         |CAST(MIN(dv.med2) AS DOUBLE) / 2.0 AS median_c,
+         |CAST(MIN(md.mad4) AS DOUBLE) / 4.0 AS mad_c,
+         |CAST(SUM(CASE WHEN dev2 * 2 > $MAD_K * mad4 THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_anomalies
+         |FROM dv JOIN md USING (event_type) GROUP BY 1""".stripMargin,
 
     // identical lag-window gaps in exact long micros, identical
     // cumulative-histogram order statistics (NOT DuckDB's median(),

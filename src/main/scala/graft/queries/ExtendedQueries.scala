@@ -1106,6 +1106,34 @@ object ExtendedQueries {
           max(col("n")).as("n"))
     }),
 
+    // Multi-quantile report — p25/p50/p75/p90 per group in ONE pass
+    // over the same bounded histogram a_median uses: all four are
+    // type-1 order statistics (smallest value whose cumulative count
+    // reaches ceil(q·n) — the curate_winsorize convention, pure BIGINT,
+    // no interpolation for an engine to do differently), read off one
+    // cumulative scan. The value-buffering alternative (four
+    // percentile() calls) would buffer the corpus per group FOUR
+    // times; this is one map-side-combined agg + an O(groups×distinct)
+    // control-plane window regardless of how many quantiles you ask.
+    "a_percentiles" -> ((s, dir) => {
+      val hist = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      def q(bp: Int): org.apache.spark.sql.Column =
+        min(when(col("cum") >= expr(s"(n * $bp + 9999) div 10000"),
+          col("l_quantity")))
+      hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"), q(2500).as("p25"), q(5000).as("p50"),
+          q(7500).as("p75"), q(9000).as("p90"))
+    }),
+
     // Distinct aggregation (expand/partial-distinct plan).
     "a_count_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1701,6 +1729,22 @@ object ExtendedQueries {
     "a_median" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |COUNT(*) AS n FROM lineitem GROUP BY 1""".stripMargin,
+
+    // same ceil(q·n) type-1 order statistics off one cumulative
+    // histogram — the explicit form, never quantile_cont/_disc
+    "a_percentiles" ->
+      """WITH h AS (SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        |FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT l_returnflag, l_quantity,
+        |CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n FROM h)
+        |SELECT l_returnflag, MIN(n) AS n,
+        |MIN(CASE WHEN cum >= (n * 2500 + 9999) // 10000 THEN l_quantity END) AS p25,
+        |MIN(CASE WHEN cum >= (n * 5000 + 9999) // 10000 THEN l_quantity END) AS p50,
+        |MIN(CASE WHEN cum >= (n * 7500 + 9999) // 10000 THEN l_quantity END) AS p75,
+        |MIN(CASE WHEN cum >= (n * 9000 + 9999) // 10000 THEN l_quantity END) AS p90
+        |FROM w GROUP BY 1""".stripMargin,
 
     "a_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,

@@ -38,4 +38,12 @@ object TrendMonitor {
   def readout(counts: DataFrame): DataFrame =
     graft.queries.EventsQueries.trendBody(
       counts.select(col("event_type"), col("x"), col("c")))
+
+  /** The robust median/MAD anomaly readout over the same streamed
+    * daily-count snapshot — the factored events_anomaly_mad algebra
+    * ([[graft.queries.EventsQueries.madBody]]), so the live volume
+    * alarm and the oracle-checked batch gate flag identically. */
+  def madReadout(counts: DataFrame): DataFrame =
+    graft.queries.EventsQueries.madBody(
+      counts.select(col("event_type"), col("c")))
 }

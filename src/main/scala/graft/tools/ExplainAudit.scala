@@ -421,6 +421,37 @@ object ExplainAudit {
       count(p, "Exchange") <= 2 && !p.contains("Join") &&
         count(p, "Scan parquet") == 1 && count(p, "HashAggregate") >= 3
     }
+    audit("a_percentiles",
+      "four quantiles, still ONE histogram pass: same bounded shape as " +
+        "a_median — corpus shuffles once, the cumulative window runs " +
+        "on the control-plane table, no value-buffering percentile") { p =>
+      count(p, "Exchange") <= 2 && count(p, "Window") == 2 &&
+        !p.contains("percentile") && !p.contains("ObjectHashAggregate") &&
+        count(p, "Scan parquet") == 1
+    }
+    locally {
+      // post-checkpoint leg (the pinned O(types×days) daily table):
+      // ONE control-plane repartition(event_type) that every
+      // histogram/window/agg reuses. The four readers duplicate the
+      // exchange subtree statically — AQE's ReusedExchange collapses
+      // them — so execute and assert the FINAL plan (the bot_detect
+      // fragment-audit posture).
+      val df = SparkEntry.queries("events_anomaly_mad")(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      plan.execute().count()
+      val p = plan.toString.split("== Initial Plan ==")(0)
+      val nEx = "(?m)\\+- Exchange hashpartitioning".r.findAllIn(p).length
+      val ok = nEx == 1 && p.contains("ReusedExchange") &&
+        "BroadcastHashJoin".r.findAllIn(p).length >= 2 &&
+        !p.contains("CartesianProduct") && !p.contains("FileScan") &&
+        !p.contains("percentile") && !p.contains("ObjectHashAggregate")
+      if (!ok) failures += 1
+      println(s"[audit] ${if (ok) "PASS" else "FAIL"}  events_anomaly_mad: " +
+        "one EXECUTED control-plane repartition(event_type) reused by all " +
+        "four readers; medians broadcast back; no cartesian/parquet re-scan/" +
+        "value-buffering percentile")
+      if (!ok) println(p)
+    }
     audit("events_bot_detect",
       "post-checkpoint leg: one med2x-histogram shuffle + the " +
         "single-partition control-plane window; the population median " +

@@ -123,7 +123,13 @@ object ScaleRatios {
       // r11: the trained coarse quantizer, post sampled-training
       "sim_ivf_trained",
       // r11: per-type OLS volume trend (events replica)
-      "events_trend")
+      "events_trend",
+      // r12: the two top-cost ship-path queries that had no scale
+      // point (canonical-doc election over CC labels; embedding
+      // k-means over the vectors table)
+      "dedup_keep_canonical", "cluster_embeddings",
+      // r12: robust median/MAD volume alarm (events replica)
+      "events_anomaly_mad")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -28,6 +28,12 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("components: an EMPTY edge set converges to an empty table " +
+    "(zero pairs — e.g. every cohort capped — must not NPE)") {
+    val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(CorpusQueries.components(edges).count() == 0L)
+  }
+
   test("word_grams: positional, non-distinct, HOF-equivalent (incl. edge cases)") {
     import org.apache.spark.sql.functions._
     val texts = Seq("a b a b a", "x", "", "a  b", "uno dos tres cuatro", "日本 語 テスト")

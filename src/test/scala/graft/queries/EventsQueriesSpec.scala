@@ -156,6 +156,52 @@ class EventsQueriesSpec extends AnyFunSuite {
       "the relative rule must flag a nonempty tail on this corpus")
   }
 
+  test("events_anomaly_mad: known answers on a constructed series, and " +
+    "the corpus readout matches a scala re-derivation") {
+    import org.apache.spark.sql.functions._
+    // constructed: type A days [10,10,10,10,100] — median 10, MAD 0,
+    // the 100-day flags (a z-score with the spike INSIDE the window
+    // baseline would mask it); type B [1,2,3,4] — median 2.5, MAD 1,
+    // |c-med| values (1.5, .5, .5, 1.5) all <= 3·MAD, nothing flags
+    val daily = Seq(
+      ("A", 10L), ("A", 10L), ("A", 10L), ("A", 10L), ("A", 100L),
+      ("B", 1L), ("B", 2L), ("B", 3L), ("B", 4L))
+      .toDF("event_type", "c")
+    val got = EventsQueries.madBody(daily).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_periods"), r.getAs[Double]("median_c"),
+          r.getAs[Double]("mad_c"), r.getAs[Long]("n_anomalies"))).toMap
+    assert(got("A") == ((5L, 10.0, 0.0, 1L)), s"A: ${got("A")}")
+    assert(got("B") == ((4L, 2.5, 1.0, 0L)), s"B: ${got("B")}")
+
+    // corpus: re-derive medians/MAD/flags in plain scala
+    val dir = "/root/testdata/sf0.01"
+    val rows = EventsQueries.queries("events_anomaly_mad")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val cs = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("c")).sorted }
+    def med(v: Seq[Long]): Double =
+      if (v.length % 2 == 1) v(v.length / 2).toDouble
+      else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val v = cs(t)
+      val m = med(v)
+      val devs = v.map(c => math.abs(c - m))
+      // deviations are k/2-granular; 2× them to stay in longs
+      val mad = med(devs.map(d => (d * 2).toLong).sorted) / 2.0
+      assert(r.getAs[Long]("n_periods") == v.length, t)
+      assert(r.getAs[Double]("median_c") == m, t)
+      assert(r.getAs[Double]("mad_c") == mad, t)
+      assert(r.getAs[Long]("n_anomalies") ==
+        devs.count(_ > 3.0 * mad).toLong, t)
+    }
+  }
+
   test("events_trend: the integer OLS slope matches a double re-derivation " +
     "and responds to a constructed trend") {
     import org.apache.spark.sql.functions._

@@ -113,6 +113,30 @@ class ZlibLenSpec extends AnyFunSuite {
     assert(noise > 0.5 && rep < noise, s"noise stays high (got $noise)")
   }
 
+  test("uniq_grams: property — matches a brute-force sliding-window set " +
+    "on random strings (varied alphabet sizes force repetition rates)") {
+    import graft.functions.functions.uniq_grams
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("ab", "abcd", "abcdefgh", "abcdefghijklmnop", "aé∆")
+    val cases = for {
+      a <- alphabets; len <- Seq(0, 1, 3, 4, 5, 17, 256)
+    } yield (0 until len).map(_ => a(rnd.nextInt(a.length))).mkString
+    def brute(s: String, n: Int): Int =
+      if (s.codePointCount(0, s.length) < n) 0
+      else {
+        // code-point sliding windows
+        val cps = s.codePoints().toArray
+        cps.sliding(n).map(w => new String(w, 0, w.length)).toSet.size
+      }
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"), uniq_grams(col("text"), 4).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == brute(t, 4), s"case $i: '${t.take(40)}'")
+    }
+  }
+
   test("ratio separates repetition from prose and noise (the filter signal)") {
     def ratio(s: String): Double = ref(s).toDouble / s.getBytes("UTF-8").length
     val rep = ratio("boilerplate line here. " * 50)

@@ -54,5 +54,18 @@ class TrendMonitorSpec extends AnyFunSuite {
     streamed.foreach { case (t, got) =>
       assert(got == batch(t), s"type $t: stream $got vs batch ${batch(t)}")
     }
+
+    // the SAME streamed counts through the robust median/MAD readout
+    // ≡ the oracle-checked batch events_anomaly_mad — one state table,
+    // two alarms (OLS drift + MAD volume), both batch-exact
+    val madBatch = graft.queries.EventsQueries
+      .queries("events_anomaly_mad")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r.toSeq).toMap
+    val madStreamed = TrendMonitor.madReadout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.toSeq).toMap
+    assert(madStreamed.keySet == madBatch.keySet)
+    madStreamed.foreach { case (t, got) =>
+      assert(got == madBatch(t), s"type $t: stream $got vs batch ${madBatch(t)}")
+    }
   }
 }
