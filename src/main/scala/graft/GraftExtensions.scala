@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{WordGrams, WordShingles, ZlibLen}
+import graft.functions.{UniqGrams, WordGrams, WordShingles, ZlibLen}
 
 /** SQL surface for the engine's custom Catalyst pieces: registers
   * `word_shingles(text[, n])` so plain `spark.sql` queries reach the
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.wordShinglesFn)
     e.injectFunction(GraftExtensions.wordGramsFn)
     e.injectFunction(GraftExtensions.zlibLenFn)
+    e.injectFunction(GraftExtensions.uniqGramsFn)
     e.injectFunction(GraftExtensions.asOfMarkerFn)
     e.injectFunction(GraftExtensions.asOfStrictMarkerFn)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
@@ -68,6 +69,19 @@ object GraftExtensions {
     FunctionIdentifier("zlib_len"),
     new ExpressionInfo(classOf[ZlibLen].getName, "zlib_len"),
     buildZlib)
+
+  private def buildUniq(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(c) => UniqGrams(c, 4)
+    case Seq(c, Literal(n: Int, IntegerType)) => UniqGrams(c, n)
+    case other =>
+      throw new IllegalArgumentException(
+        s"uniq_grams(text[, n]) expects 1-2 args, got ${other.length}")
+  }
+
+  val uniqGramsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("uniq_grams"),
+    new ExpressionInfo(classOf[UniqGrams].getName, "uniq_grams"),
+    buildUniq)
 
   /** The ASOF match-condition marker `__graft_asof(greater, lesser)` —
     * emitted only by [[graft.plans.AsOfSqlParser]]'s rewrite, consumed

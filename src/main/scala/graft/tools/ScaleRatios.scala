@@ -129,7 +129,9 @@ object ScaleRatios {
       // k-means over the vectors table)
       "dedup_keep_canonical", "cluster_embeddings",
       // r12: robust median/MAD volume alarm (events replica)
-      "events_anomaly_mad")
+      "events_anomaly_mad",
+      // r12: the bounded-histogram order-statistic conversions
+      "a_median", "a_percentiles")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

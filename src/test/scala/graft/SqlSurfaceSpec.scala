@@ -45,6 +45,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sqlSide.except(colSide).isEmpty && colSide.except(sqlSide).isEmpty)
   }
 
+  test("uniq_grams is callable from SQL (default n=4, explicit n) and " +
+    "equals the Column API") {
+    import org.apache.spark.sql.functions._
+    assert(spark.sql("SELECT uniq_grams('abcabcabc') AS u")
+      .collect().head.getInt(0) == 3)
+    assert(spark.sql("SELECT uniq_grams('abcabcabc', 3) AS u")
+      .collect().head.getInt(0) == 3)
+    assert(spark.sql("SELECT uniq_grams('aaaa', 2) AS u")
+      .collect().head.getInt(0) == 1)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("docs_uniq")
+    val sqlSide = spark.sql("SELECT doc_id, uniq_grams(text) AS u FROM docs_uniq")
+    val colSide = docs.select(col("doc_id"),
+      graft.functions.functions.uniq_grams(col("text"), 4).as("u"))
+    assert(sqlSide.except(colSide).isEmpty && colSide.except(sqlSide).isEmpty)
+  }
+
   test("SQL expression equals the Column API on real documents") {
     import org.apache.spark.sql.functions._
     GraftExtensions.register(spark)
