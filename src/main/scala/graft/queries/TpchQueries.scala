@@ -278,26 +278,9 @@ object TpchQueries {
     // per-order supplier sets are bounded by suppliers-per-order.
     // "Late" proxy: shipped >730 days after the order date
     // (commit/receipt dates absent).
-    "q21_waiting_suppliers" -> ((s, dir) => {
-      val w = Window.partitionBy(col("l_orderkey"))
-      Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir).where(col("o_orderstatus") === "F")
-            .select(col("o_orderkey"), col("o_orderdate")),
-          col("l_orderkey") === col("o_orderkey"))
-        .withColumn("is_late",
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 730 DAYS"))
-        .withColumn("n_sup", size(collect_set(col("l_suppkey")).over(w)).cast("long"))
-        .withColumn("n_late_sup",
-          size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)).cast("long"))
-        .where(col("is_late") && col("n_sup") > 1 && col("n_late_sup") === 1)
-        .join(broadcast(Tables.supplier(s, dir)
-            .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_12")),
-              col("s_nationkey") === col("n_nationkey"))
-            .select(col("s_suppkey"), col("s_name"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
-    }),
+    "q21_waiting_suppliers" -> ((s, dir) =>
+      q21Body(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
 
     // TPC-H Q22 shape (global sales opportunity): well-funded
     // customers from a nation set with no RECENT orders (the driver's
@@ -328,6 +311,34 @@ object TpchQueries {
           dsum(col("c_acctbal")).as("totacctbal"))
     })
   )
+
+  /** Q21's post-scan body, factored so tools.BucketedJoinDemo can run
+    * the identical plan over BUCKETED lineitem/orders tables: the
+    * orders⋈lineitem join and BOTH orderkey windows require
+    * hashpartitioning(orderkey), which a bucketed scan already
+    * provides — the 38× fact shuffle measured at literal 100×
+    * (BENCH_scale100_r12) disappears from the plan entirely. */
+  private[graft] def q21Body(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+    lineitem
+      .join(orders.where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 730 DAYS"))
+      .withColumn("n_sup", size(collect_set(col("l_suppkey")).over(w)).cast("long"))
+      .withColumn("n_late_sup",
+        size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)).cast("long"))
+      .where(col("is_late") && col("n_sup") > 1 && col("n_late_sup") === 1)
+      .join(broadcast(supplier
+          .join(broadcast(nation.where(col("n_name") === "NATION_12")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -57,6 +57,30 @@ object BucketedJoinDemo {
     }
     time(plain); time(bucketed) // warm
     println(f"[bucket] plain=${time(plain)}%.2f s bucketed=${time(bucketed)}%.2f s")
+
+    // the q21 shape — the 38× worst case of the literal-100× sidecar
+    // (BENCH_scale100_r12): its orders⋈lineitem join AND both
+    // orderkey windows need hashpartitioning(l_orderkey), which the
+    // bucketed scans already provide, so the ENTIRE fact shuffle
+    // (the thing that scaled 38×) leaves the plan
+    val sup = graft.Tables.supplier(spark, dir)
+    val nat = graft.Tables.nation(spark, dir)
+    val q21Plain = graft.queries.TpchQueries.q21Body(
+      Tables.lineitem(spark, dir), Tables.orders(spark, dir), sup, nat)
+    val q21Bucketed = graft.queries.TpchQueries.q21Body(
+      spark.table("li_bucketed"), spark.table("ord_bucketed"), sup, nat)
+    val (qpn, qbn) = (exchanges(q21Plain), exchanges(q21Bucketed))
+    println(s"[bucket] q21 plain exchanges=$qpn, bucketed exchanges=$qbn")
+    assert(qbn < qpn, "bucketing must remove q21's fact shuffle")
+    assert(!q21Bucketed.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning(l_orderkey"),
+      "no orderkey exchange may remain over bucketed scans")
+    // same rows either way — the plan changed, the answer didn't
+    val a = q21Plain.collect().map(_.toSeq).toSet
+    val b = q21Bucketed.collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty, "bucketed q21 must return identical rows")
+    time(q21Plain); time(q21Bucketed) // warm
+    println(f"[bucket] q21 plain=${time(q21Plain)}%.2f s bucketed=${time(q21Bucketed)}%.2f s")
     spark.stop()
   }
 }
