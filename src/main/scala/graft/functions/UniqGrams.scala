@@ -47,25 +47,51 @@ case class UniqGrams(child: Expression, n: Int) extends UnaryExpression {
 
 object UniqGrams {
 
-  /** Distinct length-n code-point windows of `s`. Decodes the UTF-8
-    * bytes once into a char buffer (surrogate pairs count as the two
-    * JVM chars `substr` would also slice — consistent with both
-    * engines' code-unit-free code-POINT semantics only for BMP text;
-    * the synthetic corpora are BMP), then slides an n-code-point
-    * window and sets each window string. */
+  /** Distinct length-n code-point windows of `s`.
+    *
+    * Fast path (the ship configuration — n ≤ 4 over BMP text): a
+    * window of ≤4 UTF-16 code units packs EXACTLY into one long
+    * (16 bits each), deduplicated in a primitive open-addressed long
+    * set — 8 bytes per distinct window, zero per-window allocation.
+    * This matters because the expression runs per ROW over the whole
+    * corpus: the String-set form allocates O(len) window strings per
+    * document, which a 100 MB document turns into hundreds of MB of
+    * transient garbage per row. The packed path allocates one long
+    * array sized to the document's window count.
+    *
+    * General path (n > 4 or astral text): code-point-indexed window
+    * substrings in a HashSet — same values, exercised by the property
+    * spec. Both paths agree with `substr`'s code-point semantics in
+    * Spark and DuckDB. */
   def compute(s: UTF8String, n: Int): Int = {
     val str = s.toString
-    // code-point windows: index by code point so a 4-window over
-    // astral text matches substr() in both engines
+    // surrogate scan: BMP text has cp index == char index
+    var bmp = true
+    var i = 0
+    while (bmp && i < str.length) {
+      if (Character.isHighSurrogate(str.charAt(i))) bmp = false
+      i += 1
+    }
+    if (bmp) {
+      if (str.length < n) return 0
+      if (n <= 4) return computePacked(str, n)
+      val seen = new java.util.HashSet[String]()
+      var w = 0
+      while (w + n <= str.length) {
+        seen.add(str.substring(w, w + n))
+        w += 1
+      }
+      return seen.size
+    }
+    // astral fallback: code-point windows, window strings
     val cpCount = str.codePointCount(0, str.length)
     if (cpCount < n) return 0
-    // offsets of each code point start (cpCount+1 sentinel entries)
     val offs = new Array[Int](cpCount + 1)
-    var i = 0
+    var j = 0
     var cp = 0
-    while (i < str.length) {
-      offs(cp) = i
-      i += Character.charCount(str.codePointAt(i))
+    while (j < str.length) {
+      offs(cp) = j
+      j += Character.charCount(str.codePointAt(j))
       cp += 1
     }
     offs(cp) = str.length
@@ -76,5 +102,41 @@ object UniqGrams {
       w += 1
     }
     seen.size
+  }
+
+  /** n ≤ 4 BMP windows as packed longs in open addressing. The packed
+    * key is shifted +1 so 0 can stay the empty-slot sentinel (an
+    * all-NUL window would otherwise collide with it). */
+  private def computePacked(str: String, n: Int): Int = {
+    val wins = str.length - n + 1
+    // power-of-two capacity ≥ 2·windows keeps load factor ≤ 0.5
+    var cap = 16
+    while (cap < wins * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    var size = 0
+    // rolling pack: shift in one 16-bit unit per step
+    val keep = if (n == 4) -1L else (1L << (16 * n)) - 1
+    var key = 0L
+    var i = 0
+    while (i < n - 1) { key = (key << 16) | str.charAt(i); i += 1 }
+    var w = 0
+    while (w < wins) {
+      key = ((key << 16) | str.charAt(w + n - 1)) & keep
+      val k = key + 1 // 0 is the empty sentinel
+      // Murmur-style finalizer spreads the probe start
+      var h = k * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 32)
+      var idx = (h & mask).toInt
+      var done = false
+      while (!done) {
+        val cur = table(idx)
+        if (cur == 0L) { table(idx) = k; size += 1; done = true }
+        else if (cur == k) done = true
+        else idx = (idx + 1) & mask
+      }
+      w += 1
+    }
+    size
   }
 }

@@ -98,6 +98,11 @@ class ZlibLenSpec extends AnyFunSuite {
     assert(u("abcabcabc") == 3, "period-3 repetition: 3 distinct")
     // non-ASCII BMP text: windows are code points, not bytes
     assert(u("ééééé") == 1 && u("äöüßx") == 2)
+    // astral text (surrogate pairs) exercises the non-packed fallback:
+    // windows still count CODE POINTS, so five identical emoji = one
+    // distinct 4-window, and a😀b😀c = two distinct
+    assert(u("😀😀😀😀😀") == 1)
+    assert(u("a😀b😀c") == 2)
     def frac(s: String): Double = {
       val w = s.codePointCount(0, s.length) - 3
       u(s).toDouble / w
