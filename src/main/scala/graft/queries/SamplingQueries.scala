@@ -292,6 +292,38 @@ object SamplingQueries {
             col("n_chars") > col("p_hi")).as("is_clipped"))
     }),
 
+    // Token-mass-weighted length percentiles, per language — the
+    // sizing readout behind packing/chunking decisions: "the doc
+    // length below which X% of the corpus TOKEN MASS lies" (a doc-
+    // count median is dominated by short documents that carry almost
+    // no tokens; sequence-packing cares about mass, not headcount).
+    // The WEIGHTED generalization of the winsorize/a_median histogram
+    // machinery: the same cumulative-histogram order statistics with
+    // per-bucket token sums in place of row counts — k_q = ceil(q·W)
+    // over total token mass W, all BIGINT-exact, no interpolation.
+    // One (lang, n_chars) map-side-combined agg off the corpus; the
+    // cumulative window runs on the O(langs·distinct-lengths)
+    // control-plane table.
+    "curate_weighted_percentiles" -> ((s, dir) => {
+      val hist = Tables.documents(s, dir)
+        .withColumn("n_tokens", TextSignals.nTokens)
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("w"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      def wp(bp: Int): org.apache.spark.sql.Column =
+        min(when(col("cum") >= expr(s"(tw * $bp + 9999) div 10000"),
+          col("n_chars")))
+      hist
+        .withColumn("cum", sum(col("w")).over(wCum))
+        .withColumn("tw", sum(col("w")).over(wAll))
+        .groupBy(col("lang"))
+        .agg(sum(col("docs")).as("n_docs"), max(col("tw")).as("total_tokens"),
+          wp(5000).as("wp50"), wp(9000).as("wp90"), wp(9900).as("wp99"))
+    }),
+
     // Character-distribution entropy — the compression-ratio proxy in
     // the quality-filter family (a near-zero-entropy doc is boilerplate
     // or repetition; near-uniform is noise/base64). Counts come from
@@ -655,6 +687,25 @@ object SamplingQueries {
          |least(greatest(d.n_chars, b.p_lo), b.p_hi) AS n_chars_wins,
          |(d.n_chars < b.p_lo OR d.n_chars > b.p_hi) AS is_clipped
          |FROM documents d JOIN b USING (lang)""".stripMargin,
+
+    // same token-sum histogram, same ceil(q·W) weighted order
+    // statistics in pure BIGINT
+    "curate_weighted_percentiles" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |h AS (SELECT lang, n_chars, COUNT(*) AS docs,
+        |CAST(SUM(n_tokens) AS BIGINT) AS w FROM d GROUP BY 1, 2),
+        |cw AS (SELECT lang, n_chars, docs,
+        |CAST(SUM(w) OVER (PARTITION BY lang ORDER BY n_chars
+        |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS tw FROM h)
+        |SELECT lang, CAST(SUM(docs) AS BIGINT) AS n_docs,
+        |MIN(tw) AS total_tokens,
+        |MIN(CASE WHEN cum >= (tw * 5000 + 9999) // 10000 THEN n_chars END) AS wp50,
+        |MIN(CASE WHEN cum >= (tw * 9000 + 9999) // 10000 THEN n_chars END) AS wp90,
+        |MIN(CASE WHEN cum >= (tw * 9900 + 9999) // 10000 THEN n_chars END) AS wp99
+        |FROM cw GROUP BY 1""".stripMargin,
 
     "text_char_entropy" -> {
       val cnts = ALPHABET.zipWithIndex.map { case (c, i) =>

@@ -429,6 +429,14 @@ object ExplainAudit {
         !p.contains("percentile") && !p.contains("ObjectHashAggregate") &&
         count(p, "Scan parquet") == 1
     }
+    audit("curate_weighted_percentiles",
+      "weighted order statistics, same bounded shape: one corpus " +
+        "shuffle into the (lang, len) token-sum histogram, cumulative " +
+        "window on the control plane, no value buffering") { p =>
+      count(p, "Exchange") <= 2 && count(p, "Window") == 2 &&
+        !p.contains("percentile") && !p.contains("ObjectHashAggregate") &&
+        count(p, "Scan parquet") == 1
+    }
     locally {
       // post-checkpoint leg (the pinned O(types×days) daily table):
       // ONE control-plane repartition(event_type) that every

@@ -131,7 +131,7 @@ object ScaleRatios {
       // r12: robust median/MAD volume alarm (events replica)
       "events_anomaly_mad",
       // r12: the bounded-histogram order-statistic conversions
-      "a_median", "a_percentiles")
+      "a_median", "a_percentiles", "curate_weighted_percentiles")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
