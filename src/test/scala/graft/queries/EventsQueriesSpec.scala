@@ -156,6 +156,36 @@ class EventsQueriesSpec extends AnyFunSuite {
       "the relative rule must flag a nonempty tail on this corpus")
   }
 
+  test("events_bot_detect: a 2M-event hot user — exactly the bot the " +
+    "query exists to find — flows through the bounded histogram " +
+    "median with O(distinct gaps) state, exact answers intact") {
+    import org.apache.spark.sql.functions._
+    // hot user 1: 2M events at a metronomic 1 s cadence (1 distinct
+    // gap — the histogram holds ONE row where percentile() would have
+    // buffered 2M longs); plus two normal users for the join legs
+    val hot = spark.range(2000000)
+      .select(col("id").as("event_id"),
+        timestamp_seconds(lit(1000000000L) + col("id")).as("ts"),
+        lit(1L).as("user_id"),
+        concat(lit("t"), (col("id") % 3).cast("string")).as("event_type"))
+    val cold = spark.range(10)
+      .select((col("id") + 5000000L).as("event_id"),
+        timestamp_seconds(lit(1000000000L) + col("id") * 7L).as("ts"),
+        (col("id") % 2 + 2L).as("user_id"),
+        lit("view").as("event_type"))
+    val stats = EventsQueries.botDetectUserStats(hot.unionByName(cold))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    val h = stats(1L)
+    assert(h.getAs[Long]("n_events") == 2000000L)
+    assert(h.getAs[Long]("n_types") == 3L)
+    assert(h.getAs[Long]("min_gap_us") == 1000000L)
+    assert(h.getAs[Long]("med2x") == 2000000L, "2x the exact 1 s median")
+    assert(h.getAs[Long]("span_sec") == 1999999L)
+    // cold users: 7 s cadence, 5 events each
+    assert(stats(2L).getAs[Long]("n_events") == 5L)
+    assert(stats(2L).getAs[Long]("med2x") == 28000000L, "2x the 14 s gap")
+  }
+
   test("events_anomaly_mad: known answers on a constructed series, and " +
     "the corpus readout matches a scala re-derivation") {
     import org.apache.spark.sql.functions._
