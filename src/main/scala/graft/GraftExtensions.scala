@@ -73,6 +73,9 @@ object GraftExtensions {
   private def buildUniq(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(c) => UniqGrams(c, 4)
     case Seq(c, Literal(n: Int, IntegerType)) => UniqGrams(c, n)
+    case Seq(_, n) =>
+      throw new IllegalArgumentException(
+        s"uniq_grams(text, n): n must be an INT literal, got ${n.sql}")
     case other =>
       throw new IllegalArgumentException(
         s"uniq_grams(text[, n]) expects 1-2 args, got ${other.length}")

@@ -56,8 +56,9 @@ object UniqGrams {
     * This matters because the expression runs per ROW over the whole
     * corpus: the String-set form allocates O(len) window strings per
     * document, which a 100 MB document turns into hundreds of MB of
-    * transient garbage per row. The packed path allocates one long
-    * array sized to the document's window count.
+    * transient garbage per row. The packed path's table grows with the
+    * DISTINCT window count (doubling at load 1/2), so a repetitive
+    * 100 MB document costs a few KB, not gigabytes.
     *
     * General path (n > 4 or astral text): code-point-indexed window
     * substrings in a HashSet — same values, exercised by the property
@@ -104,27 +105,25 @@ object UniqGrams {
     seen.size
   }
 
-  /** n ≤ 4 BMP windows as packed longs in open addressing. The packed
-    * key is shifted +1 so 0 can stay the empty-slot sentinel (an
-    * all-NUL window would otherwise collide with it). */
+  /** n ≤ 4 BMP windows as packed longs in a GROWABLE open-addressed
+    * table: starts at 64 slots and doubles at load factor 1/2, so
+    * memory is proportional to the DISTINCT window count, not the
+    * document length (pre-sizing to the window count would allocate
+    * 16 bytes per input char — 2 GiB for one 100 MB boilerplate row —
+    * and its `wins * 2` Int sizing arithmetic would overflow into an
+    * infinite loop past 2³⁰ windows; r12 review catches).
+    *
+    * Sentinels: the stored value is key+1 so 0L marks an empty slot;
+    * key+1 itself is 0 only for the all-0xFFFF n=4 window (key = -1L),
+    * which is tracked in a dedicated flag instead of the table. */
   private def computePacked(str: String, n: Int): Int = {
     val wins = str.length - n + 1
-    // power-of-two capacity ≥ 2·windows keeps load factor ≤ 0.5
-    var cap = 16
-    while (cap < wins * 2) cap <<= 1
-    val table = new Array[Long](cap)
-    val mask = cap - 1
+    var cap = 64
+    var table = new Array[Long](cap)
+    var mask = cap - 1
     var size = 0
-    // rolling pack: shift in one 16-bit unit per step
-    val keep = if (n == 4) -1L else (1L << (16 * n)) - 1
-    var key = 0L
-    var i = 0
-    while (i < n - 1) { key = (key << 16) | str.charAt(i); i += 1 }
-    var w = 0
-    while (w < wins) {
-      key = ((key << 16) | str.charAt(w + n - 1)) & keep
-      val k = key + 1 // 0 is the empty sentinel
-      // Murmur-style finalizer spreads the probe start
+    var seenAllFFFF = false
+    def insert(k: Long): Unit = {
       var h = k * 0x9E3779B97F4A7C15L
       h ^= (h >>> 32)
       var idx = (h & mask).toInt
@@ -135,8 +134,34 @@ object UniqGrams {
         else if (cur == k) done = true
         else idx = (idx + 1) & mask
       }
+    }
+    def grow(): Unit = {
+      val old = table
+      cap <<= 1
+      mask = cap - 1
+      table = new Array[Long](cap)
+      size = 0
+      var i = 0
+      while (i < old.length) {
+        if (old(i) != 0L) insert(old(i))
+        i += 1
+      }
+    }
+    // rolling pack: shift in one 16-bit unit per step
+    val keep = if (n == 4) -1L else (1L << (16 * n)) - 1
+    var key = 0L
+    var i = 0
+    while (i < n - 1) { key = (key << 16) | str.charAt(i); i += 1 }
+    var w = 0
+    while (w < wins) {
+      key = ((key << 16) | str.charAt(w + n - 1)) & keep
+      if (key == -1L) seenAllFFFF = true // k would equal the sentinel
+      else {
+        if ((size + 1) * 2 > cap) grow()
+        insert(key + 1)
+      }
       w += 1
     }
-    size
+    size + (if (seenAllFFFF) 1 else 0)
   }
 }

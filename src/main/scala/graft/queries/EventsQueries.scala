@@ -576,22 +576,6 @@ object EventsQueries {
   /** MAD gate: flag a period when |c − median| > k·MAD. */
   private def MAD_K = graft.GraftConf.int("graft.mad.k", 3)
 
-  /** The two-proportion z readout over a per-user purchase-count table
-    * — one algebra, two ingestion modes (the anomalyBody posture): the
-    * batch catalog query aggregates events into (user_id, n_purchases);
-    * the streaming monitor (graft.streaming.AbMonitor) maintains the
-    * SAME counts incrementally in the state store, so a live
-    * experiment readout and the offline one can never disagree
-    * (AbMonitorSpec pins row-parity). Counts are exact longs; the
-    * z-statistic is one fixed-order double expression floored ONCE to
-    * µ-units; empty-variant and zero-variance cases guard to NULL. */
-  /** The integer OLS trend readout over a (event_type, x = epoch day,
-    * c = daily count) table — one algebra, two ingestion modes (the
-    * abTestBody posture): the batch catalog query aggregates events
-    * into daily counts; the streaming monitor
-    * ([[graft.streaming.TrendMonitor]]) maintains the SAME counts
-    * incrementally in the state store, so a live drift dashboard and
-    * the oracle-checked offline query can never disagree. */
   /** The pre-checkpoint leg of events_bot_detect: per-user cadence
     * stats + the bounded-state exact median, factored out so
     * ExplainAudit can assert its ONE-fact-shuffle shape directly (the
@@ -605,12 +589,16 @@ object EventsQueries {
     * (AQE reuses the one exchange across the two window consumers). */
   private[graft] def botDetectUserStats(events: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    // the explicit isnotnull matters for plan shape, not values: the
+    // the explicit isnotnull is load-bearing for PLAN SHAPE: the
     // final stats⋈median LEFT join infers isnotnull(user_id) on the
     // median side ONLY — without the filter on both legs the two
     // copies of the scan→exchange subtree canonicalize UNEQUAL and
     // AQE cannot reuse the shuffle (the r12 fragment audit caught the
-    // fact table shuffling twice)
+    // fact table shuffling twice). It also drops NULL-user events from
+    // the OUTPUT, so the oracle carries the same WHERE — a bot gate
+    // keyed on user identity has nothing to say about unattributed
+    // events (the driver corpus has none; the contract is explicit
+    // either way)
     val gaps = events.where(col("user_id").isNotNull)
       .withColumn("gap_us",
         unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd)))
@@ -656,6 +644,13 @@ object EventsQueries {
     stats.join(med, Seq("user_id"), "left")
   }
 
+  /** The integer OLS trend readout over a (event_type, x = epoch day,
+    * c = daily count) table — one algebra, two ingestion modes (the
+    * abTestBody posture): the batch catalog query aggregates events
+    * into daily counts; the streaming monitor
+    * ([[graft.streaming.TrendMonitor]]) maintains the SAME counts
+    * incrementally in the state store, so a live drift dashboard and
+    * the oracle-checked offline query can never disagree. */
   private[graft] def trendBody(daily: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
     daily.groupBy(col("event_type"))
@@ -733,6 +728,15 @@ object EventsQueries {
         col("n_anomalies"))
   }
 
+  /** The two-proportion z readout over a per-user purchase-count table
+    * — one algebra, two ingestion modes (the anomalyBody posture): the
+    * batch catalog query aggregates events into (user_id, n_purchases);
+    * the streaming monitor (graft.streaming.AbMonitor) maintains the
+    * SAME counts incrementally in the state store, so a live
+    * experiment readout and the offline one can never disagree
+    * (AbMonitorSpec pins row-parity). Counts are exact longs; the
+    * z-statistic is one fixed-order double expression floored ONCE to
+    * µ-units; empty-variant and zero-variance cases guard to NULL. */
   private[graft] def abTestBody(userPurchases: DataFrame): DataFrame = {
     val users = userPurchases
       .select(col("user_id"),
@@ -988,7 +992,8 @@ object EventsQueries {
     // /2.0 double conversion happens only at the output edge
     "events_bot_detect" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type,
-         |CAST(epoch_us(ts) AS BIGINT) AS us FROM $oEvents),
+         |CAST(epoch_us(ts) AS BIGINT) AS us FROM $oEvents
+         |WHERE user_id IS NOT NULL),
          |g AS (SELECT user_id, event_type, us,
          |us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
          |AS gap_us FROM e),

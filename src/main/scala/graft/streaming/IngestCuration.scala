@@ -96,11 +96,18 @@ object IngestCuration {
   def charEntropy(docs: DataFrame): DataFrame =
     graft.queries.SamplingQueries.charEntropyBody(docs)
 
-  /** zlib compression-ratio signal at ingest — the SAME custom
-    * ZlibLen expression, stateless per-row over a (doc_id, text)
-    * stream. */
+  /** Compressibility signal at ingest — the SAME engine-neutral
+    * unique-4-gram fraction the oracle-checked batch row hashes since
+    * r12 (doc_id, n_bytes, n_windows, n_distinct, uniq_ratio_micro),
+    * stateless per-row over a (doc_id, text) stream. For the TRUE
+    * DEFLATE readout (zlib_bytes + decimal ratio) use [[zlibRatio]]. */
   def compressRatio(docs: DataFrame): DataFrame =
     graft.queries.SamplingQueries.compressRatioBody(docs)
+
+  /** The true zlib readout (ZlibLen DEFLATE lengths; golden-spec
+    * coverage, not SQL-oracle-able) at ingest — stateless per-row. */
+  def zlibRatio(docs: DataFrame): DataFrame =
+    graft.queries.SamplingQueries.zlibRatioBody(docs)
 
   /** URL filter battery at ingest — the SAME derived-URL rule set,
     * stateless per-row over a (doc_id, source) stream. */

@@ -98,6 +98,11 @@ class ZlibLenSpec extends AnyFunSuite {
     assert(u("abcabcabc") == 3, "period-3 repetition: 3 distinct")
     // non-ASCII BMP text: windows are code points, not bytes
     assert(u("ééééé") == 1 && u("äöüßx") == 2)
+    // a run of U+FFFF: the n=4 packed key is -1L, whose +1 shift
+    // collides with the empty-slot sentinel — tracked via a dedicated
+    // flag (r12 review catch: the bug returned run-length−3, not 1)
+    assert(u("\uFFFF" * 7) == 1)
+    assert(u("\uFFFF\uFFFF\uFFFF\uFFFF" + "a") == 2)
     // astral text (surrogate pairs) exercises the non-packed fallback:
     // windows still count CODE POINTS, so five identical emoji = one
     // distinct 4-window, and a😀b😀c = two distinct
