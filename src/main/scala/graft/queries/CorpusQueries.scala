@@ -638,6 +638,40 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Corpus snapshot diff — the CDC pass an iterating pipeline runs
+    // between two corpus versions to re-process ONLY what changed
+    // (re-crawls, takedown deletions, in-place edits). The two
+    // versions are derived deterministically from `documents` (v1
+    // lacks the doc_id%10==9 docs — "added" in v2; v2 lacks
+    // doc_id%10==4 — "deleted"; doc_id%7==0 carries a v2 edit):
+    // everything here is the diff MECHANISM, which is the real part.
+    // Shape: each snapshot scan projects (key, md5 fingerprint, len)
+    // only — compare digests, never payloads — then ONE
+    // co-partitioned full-outer join on the key classifies every doc
+    // as added / deleted / modified; unchanged rows (the overwhelming
+    // majority in a real delta) are dropped before anything further
+    // touches them. At 100 TB: fingerprints are computed once at
+    // ingest and stored, both snapshots bucket by doc_id, and the
+    // full-outer becomes a zipper merge with NO shuffle at all —
+    // tools/BucketedJoinDemo is the recipe.
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def fp(df: DataFrame, h: String, l: String) = df.select(col("doc_id"),
+        md5(col("text")).as(h), length(col("text")).cast("long").as(l))
+      val v1 = fp(docs.where(col("doc_id") % 10 =!= 9), "h1", "len_v1")
+      val v2 = fp(docs.where(col("doc_id") % 10 =!= 4)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))),
+        "h2", "len_v2")
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("change",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "deleted")
+            .when(col("h1") =!= col("h2"), "modified"))
+        .where(col("change").isNotNull)
+        .select(col("doc_id"), col("change"), col("len_v1"), col("len_v2"))
+    }),
+
     // Deterministic k-means over the embeddings table: quantized Lloyd
     // iterations TO THE FIXPOINT (init = first KM_K vectors; stop when
     // the integer centroid table is unchanged — exact equality, no
@@ -1883,6 +1917,26 @@ object CorpusQueries {
          |CASE WHEN hi = lo THEN 0 ELSE
          |LEAST(${PPL_NB - 1}, CAST(FLOOR((lm_score - lo) * $PPL_NB /
          |(hi - lo)) AS INTEGER)) END AS bucket
-         |FROM scored CROSS JOIN mm)""".stripMargin
+         |FROM scored CROSS JOIN mm)""".stripMargin,
+
+    // same derived versions, same md5-fingerprint compare, same
+    // full-outer classification
+    "corpus_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1,
+        |CAST(length(text) AS BIGINT) AS len_v1
+        |FROM documents WHERE doc_id % 10 <> 9),
+        |v2 AS (SELECT doc_id,
+        |md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS h2,
+        |CAST(length(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS BIGINT) AS len_v2
+        |FROM documents WHERE doc_id % 10 <> 4)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |CASE WHEN h1 IS NULL THEN 'added'
+        |WHEN h2 IS NULL THEN 'deleted'
+        |WHEN h1 <> h2 THEN 'modified' END AS change,
+        |len_v1, len_v2
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE (CASE WHEN h1 IS NULL THEN 'added'
+        |WHEN h2 IS NULL THEN 'deleted'
+        |WHEN h1 <> h2 THEN 'modified' END) IS NOT NULL""".stripMargin
   )
 }

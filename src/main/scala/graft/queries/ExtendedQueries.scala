@@ -32,6 +32,28 @@ object ExtendedQueries {
     * there the clustering IS the operator's output. */
   private def TRAIN_MAX = GraftConf.long("graft.ann.trainMax", 512L)
 
+  /** Per-node degree / triangle count / local clustering coefficient
+    * over a canonical undirected edge set (u < v, distinct) — the
+    * sim_graph_triangles core, factored so TriangleSpec can pin the
+    * algebra on known graphs (clique → lcc 1e6, path → 0). */
+  private[queries] def triangleStats(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("vec_id"))
+      .unionAll(und.select(col("v").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+    val tri = und.as("e1").join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      .join(und.select(col("u").as("x"), col("v").as("z")),
+        Seq("x", "z"), "left_semi")
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("vec_id"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .withColumn("lcc_micro", when(col("deg") >= 2,
+        expr("(2000000 * tri) div (deg * (deg - 1))")).otherwise(lit(0L)))
+      .select(col("vec_id"), col("deg"), col("tri"), col("lcc_micro"))
+  }
+
   /** The k-NN oracle CTE chain, ending in `knn` (src, rnk, dst, cos)
     * — shared by the sim_knn_graph and sim_graph_pagerank oracles. */
   private[queries] def oKnnChain: String = {
@@ -429,6 +451,26 @@ object ExtendedQueries {
           col("x.cos").as("cos"), col("x.rnk").as("rank_fwd"),
           col("y.rnk").as("rank_rev"))
     }),
+
+    // Local clustering coefficient over the k-NN similarity graph —
+    // the manifold-quality readout next to pagerank's centrality: a
+    // node whose neighbors are also neighbors of each other sits in a
+    // dense semantic cluster (redundant, a dedup target); a node with
+    // tri = 0 bridges clusters or is noise. Triangles are enumerated
+    // once each on the UNDIRECTED canonical edge set (u < v): join
+    // E(x,y)⋈E(y,z) builds each x<y<z wedge exactly once, a LEFT SEMI
+    // probe against E(x,z) closes it — no triangle is ever counted
+    // from a second orientation, so no post-hoc /3. Scale: the kNN
+    // edge set is O(N·k); wedge volume is Σ deg² with deg ≤ 2k, so
+    // both joins move O(N·k²) short rows — never a corpus product —
+    // and the edge set is localCheckpoint-pinned so the LSH build
+    // runs once, not three times (the pagerank discipline). lcc is
+    // emitted in exact integer MICRO-units: 2·tri·1e6 div deg(deg−1).
+    "sim_graph_triangles" -> ((s, dir) =>
+      triangleStats(knnGraph(s, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct().localCheckpoint())),
 
     // Index-quality metric: recall@3 of the shipped IVF index — AND
     // its multiprobe repair — against the shipped brute-force truth,
@@ -1440,6 +1482,25 @@ object ExtendedQueries {
     "sim_knn_graph" ->
       s"""WITH $oKnnChain
          |SELECT src, rnk, dst, cos FROM knn""".stripMargin,
+
+    // same factored edge chain; same canonical-orientation wedge join
+    // + EXISTS closure, same integer micro-unit coefficient
+    "sim_graph_triangles" ->
+      s"""WITH $oKnnChain,
+         |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM knn),
+         |dg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |(SELECT u AS vec_id FROM und UNION ALL SELECT v FROM und) e GROUP BY 1),
+         |tr AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |FROM und e1 JOIN und e2 ON e1.v = e2.u
+         |WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.u = e1.u AND e3.v = e2.v)),
+         |pn AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS tri FROM
+         |(SELECT x AS vec_id FROM tr UNION ALL SELECT y FROM tr
+         |UNION ALL SELECT z FROM tr) t GROUP BY 1)
+         |SELECT dg.vec_id, dg.deg, COALESCE(pn.tri, 0) AS tri,
+         |CASE WHEN dg.deg >= 2
+         |THEN (2000000 * COALESCE(pn.tri, 0)) // (dg.deg * (dg.deg - 1))
+         |ELSE 0 END AS lcc_micro
+         |FROM dg LEFT JOIN pn ON dg.vec_id = pn.vec_id""".stripMargin,
 
     // same factored edge chain; mutual-pair self-join, one-side cosine
     "sim_reciprocal_knn" ->

@@ -65,6 +65,13 @@ object PipelineQueries {
   private def CONTAM_COS = GraftConf.double("graft.contam.cosMin", 0.8)
   /** Zipf fit: how many head words enter the OLS regression. */
   private def ZIPF_N = GraftConf.int("graft.zipf.topn", 1000)
+
+  /** Global-shuffle shard count and seed (training-order assignment).
+    * On a cluster the shard count scales with the corpus so each
+    * shard's window sort stays executor-sized — 8 is the sf-local
+    * operating point, not a design constant. */
+  private def SHUF_SHARDS = GraftConf.int("graft.shuffle.shards", 8)
+  private def SHUF_SEED = GraftConf.int("graft.shuffle.seed", 42)
   /** Sequence packing: context-window width (tokens) and the doc-id
     * bucket width of the two-level prefix sum. */
   private def PACK_W = GraftConf.long("graft.pack.window", 2048L)
@@ -146,6 +153,32 @@ object PipelineQueries {
     // this runs inside the ingest scan, never as its own pass.
     "curate_scrub_secrets" -> ((s, dir) =>
       scrubSecretsBody(Tables.documents(s, dir).withColumn("t2", secretText))),
+
+    // Deterministic seeded global shuffle — the reproducible
+    // training-order assignment every pretraining run needs: the same
+    // corpus + seed must yield the SAME shard files and within-shard
+    // order on any cluster size, any partitioning of the input. Key =
+    // md5(seed:doc_id); shard = top-32-bits mod S (md5-uniform, so
+    // shards balance without a global count); pos = rank within the
+    // shard by (key, doc_id). Scale: this is ONE hash shuffle into S
+    // shards + a per-shard sort — the terasort shape minus the global
+    // range exchange, because shard membership is hash-derived rather
+    // than rank-derived. Deliberately NOT a corpus-wide row_number():
+    // a single global window would serialize on one partition; the
+    // per-shard window parallelizes S-wide and S scales with the
+    // corpus (see SHUF_SHARDS).
+    "curate_global_shuffle" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat(lit(s"shuf$SHUF_SEED:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard",
+          (conv(substring(col("h"), 1, 8), 16, 10).cast("long")
+            % SHUF_SHARDS).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("h"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
 
     // UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     // More Effective Language Sampling"): give every language up to E
@@ -530,6 +563,18 @@ object PipelineQueries {
          |  '$R_AWS', '<AWS_KEY>', 'g'), '$R_TOK', '<TOKEN>', 'g'),
          |  '$R_HEX', '<HEX32>', 'g') AS text_clean
          |FROM t""".stripMargin,
+
+    // same seeded md5 key, same top-32-bit shard bucket, same
+    // per-shard rank
+    "curate_global_shuffle" ->
+      s"""WITH t AS (SELECT doc_id,
+         |md5('shuf$SHUF_SEED:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |b AS (SELECT doc_id, h,
+         |CAST((('0x' || substr(h, 1, 8))::BIGINT % $SHUF_SHARDS) AS INTEGER) AS shard
+         |FROM t)
+         |SELECT doc_id, shard,
+         |CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM b""".stripMargin,
 
     // same closed-form water-filling over the size-ascending order
     "curate_unimax_mix" ->

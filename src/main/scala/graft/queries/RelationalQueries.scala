@@ -601,8 +601,85 @@ object RelationalQueries {
           cnt("click").as("n_click"), cnt("view").as("n_view"),
           cnt("purchase").as("n_purchase"), cnt("signup").as("n_signup"),
           cnt("error").as("n_error"))
-    })
+    }),
+
+    // Fuzzy string self-join at edit distance ≤ 1 over the part-name
+    // vocabulary — the record-linkage / catalog-reconciliation join a
+    // pipeline runs to merge near-identical entity names. Candidate
+    // generation is the PassJoin pigeonhole (Li et al., VLDB 2011):
+    // split each name s into halves s1 = first ceil(|s|/2) chars,
+    // s2 = rest; ONE edit falls entirely in one half, so any t with
+    // edit(s,t) ≤ 1 must start with s1 or end with s2 verbatim. Each
+    // name therefore emits 2 signature rows, and probes with the
+    // prefix/suffix cut at each feasible source length |t|−1..|t|+1
+    // (≤ 6 rows) — candidates come from an EQUI-join on (segment,
+    // segno), then only candidates pay the levenshtein verify. The
+    // oracle is the all-pairs brute force, so the hash-compare proves
+    // the signature scheme COMPLETE, not just plausible. Scale: the
+    // vocabulary is distinct-deduped first (entity vocabularies are
+    // orders smaller than the fact tables that reference them); the
+    // signature join shuffles O(N) short strings — never an N²
+    // product; a pathological hot segment (shared prefix across
+    // millions of names) would need the dedup_jaccard_dfcap
+    // segment-frequency cap, which this vocabulary never approaches.
+    "j_fuzzy_edit" -> ((s, dir) =>
+      fuzzyPairs(Tables.part(s, dir).select(col("p_name").as("name"))
+        .distinct().localCheckpoint()))
   )
+
+  /** PassJoin candidate generation + levenshtein verify over a
+    * distinct `name` column — see the j_fuzzy_edit entry for the
+    * pigeonhole argument. Factored so FuzzyJoinSpec can drive the
+    * signature scheme through the boundary-edit adversarial cases
+    * (edit exactly at the half cut, length-1/2 names) against a
+    * brute-force truth. */
+  private[queries] def fuzzyPairs(names: DataFrame): DataFrame = {
+    // signature side: the two halves of each name, tagged 1/2, with
+    // empty segments dropped. Dropping the |s| = 1 empty half is safe
+    // against LONGER partners (an edit "in" the empty half is an
+    // append, and t then starts with s1 — segno 1 covers it; a 2-char
+    // t is caught from ITS side, whose halves are both non-empty) but
+    // NOT against other 1-char names: substituting the only char
+    // leaves no untouched half at all (FuzzyJoinSpec caught "a"/"b"
+    // vanishing). Those pairs get a dedicated segno-0 class: every
+    // 1-char name lands in one shared bucket, whose size is bounded
+    // by the ALPHABET, not the corpus — the one candidate class the
+    // pigeonhole cannot reach is also the one that cannot blow up.
+    val len1Entry =
+      "named_struct('seg', CASE WHEN length(name) = 1 THEN '*' ELSE '' END, 'segno', 0)"
+    val sigs = names
+      .select(col("name").as("a"), explode(expr(
+        s"""filter(array(
+           |  named_struct('seg', substring(name, 1, (length(name) + 1) div 2), 'segno', 1),
+           |  named_struct('seg', substring(name, ((length(name) + 1) div 2) + 1), 'segno', 2),
+           |  $len1Entry
+           |), p -> p.seg != '')""".stripMargin)).as("x"))
+      .select(col("a"), col("x.seg").as("seg"), col("x.segno").as("segno"))
+    // probe side: for each feasible source length ls ∈ {|t|−1,|t|,
+    // |t|+1}, the prefix of length ceil(ls/2) and the suffix of
+    // length floor(ls/2). A cut longer than t truncates and the
+    // equi-join fails on length alone — that can only drop FALSE
+    // candidates (for a true pair ls = |s| and |t| ≥ |s|−1 ≥ both
+    // cut lengths, so the true probe is never truncated).
+    val probeEntries = for (d <- Seq(-1, 0, 1); segno <- Seq(1, 2)) yield {
+      val ls = s"(length(name) + ($d))"
+      val h = s"(($ls + 1) div 2)"
+      if (segno == 1) s"named_struct('seg', substring(name, 1, $h), 'segno', 1)"
+      else s"named_struct('seg', right(name, $ls - $h), 'segno', 2)"
+    }
+    val probes = names
+      .select(col("name").as("b"), explode(expr(
+        s"""array_distinct(filter(array(${probeEntries.mkString(", ")}, $len1Entry),
+           |p -> p.seg != ''))""".stripMargin)).as("x"))
+      .select(col("b"), col("x.seg").as("seg"), col("x.segno").as("segno"))
+    sigs.join(probes, Seq("seg", "segno"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("name_a"),
+        greatest(col("a"), col("b")).as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= 1)
+  }
 
   val oracles: Map[String, String] = Map(
     "a1_fold_agg" ->
@@ -904,6 +981,15 @@ object RelationalQueries {
         |CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
         |CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
         |CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // deliberately the ALL-PAIRS brute force: hash-equality against it
+    // proves the engine's PassJoin signature scheme complete
+    "j_fuzzy_edit" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin
   )
 }

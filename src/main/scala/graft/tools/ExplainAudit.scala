@@ -743,6 +743,36 @@ object ExplainAudit {
         p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
     }
 
+    audit("j_fuzzy_edit",
+      "PassJoin candidates come from an EQUI-join on (segment, segno) " +
+        "— never an all-pairs product (the p_name-only parquet scan is " +
+        "hidden behind the vocabulary localCheckpoint); Catalyst fuses " +
+        "the levenshtein verify INTO the hash join as a residual " +
+        "condition with its own |len| pre-filter") { p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")) &&
+        p.contains("levenshtein")
+    }
+    audit("corpus_snapshot_diff",
+      "CDC shape: both snapshot scans prune to (doc_id, text), one " +
+        "co-partitioned FullOuter merge classifies — ≤2 exchanges total") { p =>
+      p.contains("FullOuter") && count(p, "Exchange") <= 2 &&
+        count(p, "Scan parquet") == 2 &&
+        p.contains("ReadSchema: struct<doc_id:bigint,text:string>")
+    }
+    audit("sim_graph_triangles",
+      "wedge join + LeftSemi closure over the pinned O(N·k) edge set " +
+        "(the LSH build runs once, not three times); never a cartesian") { p =>
+      p.contains("LeftSemi") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")
+    }
+    audit("curate_global_shuffle",
+      "ONE hash exchange into shards feeding a per-shard window sort — " +
+        "no corpus-wide SinglePartition window, doc_id-only scan") { p =>
+      count(p, "Exchange") == 1 && !p.contains("SinglePartition") &&
+        p.contains("ReadSchema: struct<doc_id:bigint>")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

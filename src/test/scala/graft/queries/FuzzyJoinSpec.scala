@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** The oracle row proves PassJoin-vs-brute-force parity on the driver
+  * corpus; this spec drives the signature scheme through the
+  * BOUNDARY adversarial cases the pigeonhole argument actually hangs
+  * on — edits exactly at the half cut, insertions that land between
+  * the halves, length-1/2 names whose second segment is empty — and
+  * re-proves completeness against an in-Spark brute force on that
+  * vocabulary. */
+class FuzzyJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pairs(vocab: Seq[String]): Set[(String, String, Int)] =
+    RelationalQueries.fuzzyPairs(
+      vocab.toDF("name").distinct())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  private def brute(vocab: Seq[String]): Set[(String, String, Int)] = {
+    val n = vocab.distinct.toDF("name")
+    n.as("a").join(n.as("b"), col("a.name") < col("b.name"))
+      .withColumn("d", levenshtein(col("a.name"), col("b.name")))
+      .where(col("d") <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+  }
+
+  test("boundary edits: substitution/deletion/insertion at the half cut") {
+    // "abcdef" halves are "abc"|"def": each case edits AT or AROUND
+    // index 3, the exact seam where a sloppy scheme loses pairs
+    val vocab = Seq(
+      "abcdef",
+      "abcxef", // substitution just after the cut -> prefix covers
+      "axcdef", // substitution in the first half  -> suffix covers
+      "abcef",  // deletion of the char right after the cut
+      "abdef",  // deletion of the char right before the cut
+      "abcXdef", // insertion exactly between the halves
+      "Xabcdef", // insertion at the front
+      "abcdefX", // append at the end
+      "aXcdXf") // distance 2 from "abcdef" -> must NOT match
+    val got = pairs(vocab)
+    assert(got == brute(vocab))
+    assert(got.contains(("abcXdef", "abcdef", 1)))
+    assert(!got.exists(p => p._1 == "aXcdXf" && p._2 == "abcdef"))
+  }
+
+  test("short names: empty second segment never matches everything") {
+    val vocab = Seq("a", "b", "ab", "ba", "aa", "aaa", "abc", "xyz")
+    assert(pairs(vocab) == brute(vocab))
+  }
+
+  test("odd/even length straddle: the ceil cut is taken from the source length") {
+    // |s|=7 vs |t|=8: the probe must cut t at ceil(7/2)=4 and
+    // floor(7/2)=3 — cutting at t's own halves would miss the pair
+    val vocab = Seq("abcdefg", "abcdXefg", "abcdefgh")
+    assert(pairs(vocab) == brute(vocab))
+    assert(pairs(vocab).contains(("abcdXefg", "abcdefg", 1)))
+  }
+
+  test("no false positives survive the verify") {
+    // shared prefix AND shared suffix but distance 2 in the middle
+    val vocab = Seq("prefixYYsuffix", "prefixZZsuffix")
+    assert(pairs(vocab).isEmpty)
+    assert(brute(vocab).isEmpty)
+  }
+}

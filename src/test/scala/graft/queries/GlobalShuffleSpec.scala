@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** curate_global_shuffle contract: a seeded shuffle must be a
+  * PERMUTATION (every doc exactly once, per-shard positions dense
+  * from 1) and BIT-DETERMINISTIC across runs — the property that
+  * makes a pretraining data order reproducible on any cluster. */
+class GlobalShuffleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("assignment is a permutation with dense per-shard positions") {
+    val got = PipelineQueries.queries("curate_global_shuffle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(got.length == nDocs)
+    assert(got.map(_._1).distinct.length == nDocs, "each doc exactly once")
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.sameElements(1L to rows.length.toLong),
+        s"shard $shard positions not dense from 1")
+    }
+    // md5-uniformity keeps shards balanced without a global count:
+    // no shard at 8x sf0.001 doc counts should be empty or dominant
+    val sizes = got.groupBy(_._2).values.map(_.length)
+    assert(sizes.min > 0 && sizes.max < nDocs / 2)
+  }
+
+  test("same seed, same order — run-to-run and independent of input partitioning") {
+    val a = PipelineQueries.queries("curate_global_shuffle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = PipelineQueries.queries("curate_global_shuffle")(spark, dir)
+      .repartition(7) // physical layout must not leak into the output
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("the seed actually feeds the key") {
+    spark.conf.set("graft.shuffle.seed", "43")
+    try {
+      val reseeded = PipelineQueries.queries("curate_global_shuffle")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      spark.conf.set("graft.shuffle.seed", "42")
+      val base = PipelineQueries.queries("curate_global_shuffle")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(reseeded != base, "changing the seed must change the order")
+    } finally spark.conf.unset("graft.shuffle.seed")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** corpus_snapshot_diff classification invariants on the sf0.001
+  * corpus (the oracle pins engine parity; this pins the CONTRACT):
+  * every derived-version doc lands in exactly the class its doc_id
+  * residues dictate, unchanged docs are absent, and the modified
+  * rows carry both versions' lengths. */
+class SnapshotDiffSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("diff classes match the residue rules exactly") {
+    val got = CorpusQueries.queries("corpus_snapshot_diff")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toList
+    val ids = graft.Tables.documents(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val expAdded = ids.filter(i => i % 10 == 9)
+    val expDeleted = ids.filter(i => i % 10 == 4)
+    val expModified = ids.filter(i => i % 7 == 0 && i % 10 != 9 && i % 10 != 4)
+    assert(got.filter(_._2 == "added").map(_._1).toSet == expAdded)
+    assert(got.filter(_._2 == "deleted").map(_._1).toSet == expDeleted)
+    assert(got.filter(_._2 == "modified").map(_._1).toSet == expModified)
+    // no fourth class, no unchanged rows
+    assert(got.size == expAdded.size + expDeleted.size + expModified.size)
+    // added rows have no v1 side, deleted no v2 side; a modified row
+    // carries both and the ' rev2' edit adds exactly 5 chars
+    got.foreach {
+      case (_, "added", l1, l2)    => assert(l1 == -1L && l2 >= 0L)
+      case (_, "deleted", l1, l2)  => assert(l1 >= 0L && l2 == -1L)
+      case (_, "modified", l1, l2) => assert(l2 == l1 + 5L)
+      case other                   => fail(s"unexpected row $other")
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** Pins the triangle/clustering algebra on known graphs (the oracle
+  * row checks engine parity on the kNN edge set; these check the
+  * MATH): a 4-clique closes every wedge, a path closes none, and a
+  * triangle with a pendant vertex exercises the deg≥2-but-open case
+  * and the canonical-orientation no-double-count claim. */
+class TriangleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def stats(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    ExtendedQueries.triangleStats(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("4-clique: every node deg 3, 3 triangles through it, lcc = 1.0") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val got = stats(k4)
+    assert(got.size == 4)
+    got.values.foreach { case (deg, tri, lcc) =>
+      assert((deg, tri, lcc) == ((3L, 3L, 1000000L)))
+    }
+  }
+
+  test("path graph: wedges exist but nothing closes") {
+    val got = stats(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    assert(got(1L) == ((2L, 0L, 0L)) && got(2L) == ((2L, 0L, 0L)))
+    assert(got(0L) == ((1L, 0L, 0L)) && got(3L) == ((1L, 0L, 0L)))
+  }
+
+  test("triangle + pendant: each triangle counted once per member node") {
+    // 0-1-2 triangle, 3 pendant off 2: node 2 has deg 3 but only the
+    // one closed wedge -> lcc = 2*1e6/(3*2) = 333333 (floored)
+    val got = stats(Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L)))
+    assert(got(0L) == ((2L, 1L, 1000000L)))
+    assert(got(1L) == ((2L, 1L, 1000000L)))
+    assert(got(2L) == ((3L, 1L, 333333L)))
+    assert(got(3L) == ((1L, 0L, 0L)))
+  }
+}
