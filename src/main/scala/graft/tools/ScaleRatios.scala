@@ -131,7 +131,14 @@ object ScaleRatios {
       // r12: robust median/MAD volume alarm (events replica)
       "events_anomaly_mad",
       // r12: the bounded-histogram order-statistic conversions
-      "a_median", "a_percentiles", "curate_weighted_percentiles")
+      "a_median", "a_percentiles", "curate_weighted_percentiles",
+      // r12 continuation: PassJoin fuzzy join (replica caveat: the
+      // name VOCABULARY dedups across replicas, so the ratio reads as
+      // scan+distinct growth over a constant dictionary — the real
+      // entity-resolution shape), snapshot CDC diff, kNN triangle
+      // closure, seeded global shuffle
+      "j_fuzzy_edit", "corpus_snapshot_diff", "sim_graph_triangles",
+      "curate_global_shuffle")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
