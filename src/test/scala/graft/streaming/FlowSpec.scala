@@ -119,6 +119,31 @@ class FlowSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("per-message lock-step: element i reaches every consumer before i+1 reaches anyone (utils.py:116-200)") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("lockstep_msg").toFile.getAbsolutePath
+    // (consumer, element) in global dispatch order; the slow consumer
+    // sleeps so any per-element run-ahead by the fast one WOULD surface
+    val log = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String)]())
+    val src = MemoryStream[String]
+    val q = Flow.from(src.toDS())
+      .toLockstepPerMessage(s"$tmp/ckpt", orderBy = Seq(col("value")))(
+        (e, _) => { Thread.sleep(20); log.add(("slow", e)); () },
+        (e, _) => { log.add(("fast", e)); () })
+    try {
+      val batches = Seq(Seq("a", "b", "c"), Seq("d", "e"))
+      batches.foreach { chunk => src.addData(chunk: _*); q.processAllAvailable() }
+      val entries = scala.jdk.CollectionConverters.ListHasAsScala(log).asScala.toList
+      // exact global sequence: for each element in sorted batch order,
+      // slow then fast, fully drained before the next element starts
+      val expected = batches.flatMap(_.sorted)
+        .flatMap(e => Seq(("slow", e), ("fast", e)))
+      assert(entries == expected, s"per-message pacing violated: $entries")
+    } finally q.stop()
+  }
+
   test("fold aggregation on a stream: emoji counts (getting_started.rst:84-145)") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions._
