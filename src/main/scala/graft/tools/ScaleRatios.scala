@@ -160,8 +160,10 @@ object ScaleRatios {
     }
     def median(xs: Seq[Double]): Double = graft.Stats.median(xs)
 
-    // warm both paths once
-    time("a3_dedup_exact", base); time("a3_dedup_exact", big)
+    // warm both paths once — with a query from the SELECTED set, so a
+    // table-subset replica (ScaleUp 4th arg) needn't carry tables the
+    // timed queries never read
+    time(names.head, base); time(names.head, big)
     val rows = names.map { n =>
       val b = median((1 to reps).map(_ => time(n, base)))
       val g = median((1 to reps).map(_ => time(n, big)))

@@ -31,8 +31,14 @@ object ScaleUp {
       "c_custkey", "o_custkey", "o_orderkey", "l_orderkey", "l_partkey", "l_suppkey",
       "s_suppkey", "p_partkey", "s_nationkey", "c_nationkey", "n_nationkey",
       "n_regionkey", "r_regionkey", "event_id", "user_id", "doc_id", "vec_id")
+    // optional 4th arg: comma-separated table subset — a literal-100×
+    // replica of just the tables a target query family reads is far
+    // cheaper than 60M lineitem rows nothing will scan
+    val onlyTables = args.drop(3).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+      .filter(t => onlyTables.forall(_.contains(t)))
 
     tables.foreach { t =>
       val base = spark.read.parquet(s"$src/$t.parquet")
