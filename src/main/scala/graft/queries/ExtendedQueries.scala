@@ -32,6 +32,30 @@ object ExtendedQueries {
     * there the clustering IS the operator's output. */
   private def TRAIN_MAX = GraftConf.long("graft.ann.trainMax", 512L)
 
+  /** The 16-round xy→d Hilbert walk over columns (hx, hy) — appends
+    * `hd` (and consumes 16-bit coords). Every round is pure integer
+    * CASE/xor/shift algebra rebinding (hx, hy, hd), so the whole walk
+    * is ONE codegen'd projection. Factored so HilbertSpec can pin the
+    * algebra against an independent reference implementation. */
+  private[queries] def hilbertWalk(in: DataFrame): DataFrame = {
+    var df = in.withColumn("hd", lit(0L))
+    for (i <- 15 to 0 by -1) {
+      val s2 = 1L << i
+      df = df
+        .withColumn("rx", expr(s"CASE WHEN (hx & $s2) > 0 THEN 1L ELSE 0L END"))
+        .withColumn("ry", expr(s"CASE WHEN (hy & $s2) > 0 THEN 1L ELSE 0L END"))
+        .withColumn("hd", expr(s"hd + $s2 * $s2 * ((3 * rx) ^ ry)"))
+        // rotate/reflect the quadrant frame: if ry=0 then (reflect
+        // when rx=1) and swap — both new coords read the OLD pair
+        .withColumn("hx2", expr(
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $s2 - 1 - hy ELSE hy END) ELSE hx END"))
+        .withColumn("hy2", expr(
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $s2 - 1 - hx ELSE hx END) ELSE hy END"))
+        .withColumn("hx", col("hx2")).withColumn("hy", col("hy2"))
+    }
+    df.drop("rx", "ry", "hx2", "hy2")
+  }
+
   /** Per-node degree / triangle count / local clustering coefficient
     * over a canonical undirected edge set (u < v, distinct) — the
     * sim_graph_triangles core, factored so TriangleSpec can pin the
@@ -1065,6 +1089,25 @@ object ExtendedQueries {
             min(dayofmonth(col("ts")) * 24 + hour(col("ts")))).cast("long").as("time_span"))
     }),
 
+    // Hilbert-curve layout — z-order's stronger sibling (the curve
+    // never jumps, so range queries touch fewer buckets; Delta/Iceberg
+    // offer exactly this pair of clustering choices). Identical
+    // readout to layout_zorder (per-bucket count + user/time spans) so
+    // the two locality profiles compare row-for-row. The xy→d walk is
+    // 16 unrolled rounds of pure integer CASE/xor/shift algebra — a
+    // single codegen'd projection, no UDF, no shuffle before the
+    // bucket agg; both engines run the same unrolled chain (Spark:
+    // chained column rebinds; DuckDB: 16 generated CTEs).
+    "layout_hilbert" -> ((s, dir) =>
+      hilbertWalk(Tables.events(s, dir)
+        .withColumn("hx", col("user_id").bitwiseAND(lit(0xFFFFL)))
+        .withColumn("th", (dayofmonth(col("ts")) * 24 + hour(col("ts"))).cast("long"))
+        .withColumn("hy", col("th").bitwiseAND(lit(0xFFFFL))))
+        .groupBy(floor(col("hd") / lit(65536L)).cast("long").as("hbucket"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("user_id")) - min(col("user_id"))).as("user_span"),
+          (max(col("th")) - min(col("th"))).as("time_span"))),
+
     // Full outer join: customers x orders union of match spaces.
     "j_full_outer" -> ((s, dir) => {
       val custTotals = Tables.orders(s, dir)
@@ -1390,6 +1433,32 @@ object ExtendedQueries {
          |MAX(user_id) - MIN(user_id) AS user_span,
          |CAST(MAX(th) - MIN(th) AS BIGINT) AS time_span
          |FROM zed GROUP BY 1""".stripMargin
+    },
+
+    // same 16 unrolled xy->d rounds (DuckDB xor() for Spark's ^)
+    "layout_hilbert" -> {
+      val rounds = (15 to 0 by -1).zipWithIndex.map { case (i, j) =>
+        val s2 = 1L << i
+        val prev = if (j == 0) "r0" else s"r$j"
+        s"""r${j + 1} AS (SELECT user_id, th,
+           |hd + CAST($s2 AS BIGINT) * $s2 * xor(3 * rx, ry) AS hd,
+           |CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $s2 - 1 - hy ELSE hy END) ELSE hx END AS hx,
+           |CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $s2 - 1 - hx ELSE hx END) ELSE hy END AS hy
+           |FROM (SELECT *,
+           |CASE WHEN (hx & $s2) > 0 THEN 1 ELSE 0 END AS rx,
+           |CASE WHEN (hy & $s2) > 0 THEN 1 ELSE 0 END AS ry FROM $prev) t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, ts FROM $oEvents),
+         |r0 AS (SELECT user_id, day(ts) * 24 + hour(ts) AS th,
+         |CAST(user_id & 65535 AS BIGINT) AS hx,
+         |CAST((day(ts) * 24 + hour(ts)) & 65535 AS BIGINT) AS hy,
+         |CAST(0 AS BIGINT) AS hd FROM e),
+         |$rounds
+         |SELECT CAST(FLOOR(hd / 65536) AS BIGINT) AS hbucket,
+         |COUNT(*) AS n,
+         |MAX(user_id) - MIN(user_id) AS user_span,
+         |CAST(MAX(th) - MIN(th) AS BIGINT) AS time_span
+         |FROM r16 GROUP BY 1""".stripMargin
     },
 
     "sketch_quantile" -> {

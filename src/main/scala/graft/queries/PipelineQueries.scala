@@ -66,6 +66,43 @@ object PipelineQueries {
   /** Zipf fit: how many head words enter the OLS regression. */
   private def ZIPF_N = GraftConf.int("graft.zipf.topn", 1000)
 
+  /** One FK edge of the qa_referential audit: child count + orphan
+    * count via a left join (dim side broadcasts). A NULL child key
+    * counts as an orphan DELIBERATELY: the audit measures "rows that
+    * vanish from an inner join downstream", and a null FK vanishes
+    * exactly like a dangling one (QaProfileSpec pins this). */
+  private[queries] def fkEdge(child: DataFrame, ck: String,
+      parent: DataFrame, pk: String, name: String): DataFrame = {
+    def nullCnt(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    child.select(col(ck))
+      .join(broadcast(parent.select(col(pk))), col(ck) === col(pk), "left")
+      .agg(count(lit(1)).as("n_child"), nullCnt(pk).as("n_orphans"))
+      .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+  }
+
+  /** One-pass per-column profile of `d` over `cols` (each must be an
+    * existing column) — the profile_table core, factored so
+    * QaProfileSpec can pin null/distinct/min-max semantics on a frame
+    * with known stats. */
+  private[queries] def profileCols(d: DataFrame, cols: Seq[String]): DataFrame = {
+    def nullCnt(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    def prof(c: String) = struct(
+      lit(c).as("col_name"), col("n_rows"),
+      col(s"null_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+      col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s"))
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      cols.flatMap(c => Seq(
+        nullCnt(c).as(s"null_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c")))
+    d.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(prof): _*)).as("r"))
+      .select(col("r.col_name").as("col_name"), col("r.n_rows").as("n_rows"),
+        col("r.n_null").as("n_null"), col("r.n_distinct").as("n_distinct"),
+        col("r.min_s").as("min_s"), col("r.max_s").as("max_s"))
+  }
+
   /** Global-shuffle shard count and seed (training-order assignment).
     * On a cluster the shard count scales with the corpus so each
     * shard's window sort stays executor-sized — 8 is the sf-local
@@ -153,6 +190,70 @@ object PipelineQueries {
     // this runs inside the ingest scan, never as its own pass.
     "curate_scrub_secrets" -> ((s, dir) =>
       scrubSecretsBody(Tables.documents(s, dir).withColumn("t2", secretText))),
+
+    // Referential-integrity audit over every FK edge of the star
+    // schema — the load-time QA gate a pipeline runs before trusting
+    // joins (an orphaned FK silently drops rows from every inner join
+    // downstream). One row per edge: child count + orphan count.
+    // Scale shape: each CHILD table scans ONCE no matter how many FKs
+    // it carries — lineitem's three edges ride one pass with three
+    // left joins (dims broadcast; orders is the q4-class fact-fact
+    // shuffle, bucketed at 100 TB) and one agg, fanned out to rows by
+    // a 3-element explode. Orphan counts are map-side-combinable
+    // sums; output is O(edges).
+    "qa_referential" -> ((s, dir) => {
+      def nullCnt(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val li = Tables.lineitem(s, dir)
+      val liPass = li
+        .join(Tables.orders(s, dir).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left")
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          nullCnt("o_orderkey").as("o1"), nullCnt("p_partkey").as("o2"),
+          nullCnt("s_suppkey").as("o3"))
+        .select(explode(array(
+          struct(lit("lineitem->orders").as("edge"), col("n_child"),
+            col("o1").as("n_orphans")),
+          struct(lit("lineitem->part").as("edge"), col("n_child"),
+            col("o2").as("n_orphans")),
+          struct(lit("lineitem->supplier").as("edge"), col("n_child"),
+            col("o3").as("n_orphans")))).as("r"))
+        .select(col("r.edge").as("edge"), col("r.n_child").as("n_child"),
+          col("r.n_orphans").as("n_orphans"))
+      liPass
+        .unionAll(fkEdge(Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey", "orders->customer"))
+        .unionAll(fkEdge(Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey", "customer->nation"))
+        .unionAll(fkEdge(Tables.supplier(s, dir), "s_nationkey",
+          Tables.nation(s, dir), "n_nationkey", "supplier->nation"))
+        .unionAll(fkEdge(Tables.nation(s, dir), "n_regionkey",
+          Tables.region(s, dir), "r_regionkey", "nation->region"))
+        .unionAll(fkEdge(Tables.events(s, dir), "user_id",
+          Tables.customer(s, dir), "c_custkey", "events->customer"))
+    }),
+
+    // Per-column table profiling — the ANALYZE-style readout (row
+    // count, null count, exact distinct, min/max) a pipeline snapshots
+    // per ingest to catch schema/content drift before training does.
+    // ONE corpus scan: all four profiled columns aggregate in a single
+    // pass and a 4-element explode fans the wide row into the long
+    // (col_name, stats) contract. The exact countDistinct costs an
+    // O(4×) Expand under the hood — the right local/audit form; at
+    // 100 TB swap exact distinct for the HLL register sketch
+    // (sketch_hll_grouped machinery, one pass, mergeable) and keep
+    // the rest of the row identical. min/max are emitted as strings
+    // so heterogeneous column types share one schema (numerics are
+    // cast AFTER the numeric min/max — "9" vs "10" string-compare
+    // never happens).
+    "profile_table" -> ((s, dir) =>
+      profileCols(
+        Tables.documents(s, dir)
+          .withColumn("text_len", length(col("text")).cast("long")),
+        Seq("lang", "source", "n_chars", "text_len"))),
 
     // Deterministic seeded global shuffle — the reproducible
     // training-order assignment every pretraining run needs: the same
@@ -563,6 +664,42 @@ object PipelineQueries {
          |  '$R_AWS', '<AWS_KEY>', 'g'), '$R_TOK', '<TOKEN>', 'g'),
          |  '$R_HEX', '<HEX32>', 'g') AS text_clean
          |FROM t""".stripMargin,
+
+    // same LEFT-join orphan counting per edge (the oracle scans per
+    // edge; the engine's one-pass-per-child-table fan-out must agree)
+    "qa_referential" -> {
+      def e(name: String, child: String, ck: String, parent: String,
+          pk: String) =
+        s"""SELECT '$name' AS edge, COUNT(*) AS n_child,
+           |CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           |FROM $child c LEFT JOIN $parent p ON c.$ck = p.$pk""".stripMargin
+      Seq(
+        e("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        e("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        e("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        e("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        e("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        e("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        e("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        e("events->customer", "events", "user_id", "customer", "c_custkey"))
+        .mkString("\nUNION ALL\n")
+    },
+
+    // same one-wide-row stats, unpivoted per column
+    "profile_table" -> {
+      def p(c: String, src: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |CAST(SUM(CASE WHEN $src IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |COUNT(DISTINCT $src) AS n_distinct,
+           |CAST(MIN($src) AS VARCHAR) AS min_s,
+           |CAST(MAX($src) AS VARCHAR) AS max_s
+           |FROM t""".stripMargin
+      s"""WITH t AS (SELECT lang, source, n_chars,
+         |CAST(length(text) AS BIGINT) AS text_len FROM documents)
+         |${Seq(p("lang", "lang"), p("source", "source"),
+          p("n_chars", "n_chars"), p("text_len", "text_len"))
+          .mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     // same seeded md5 key, same top-32-bit shard bucket, same
     // per-shard rank

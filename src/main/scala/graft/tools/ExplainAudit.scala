@@ -773,6 +773,27 @@ object ExplainAudit {
         p.contains("ReadSchema: struct<doc_id:bigint>")
     }
 
+    audit("layout_hilbert",
+      "the 16-round xy→d walk is a pure projection pipeline (one " +
+        "codegen stage) before ONE bucket-agg exchange — no join, no " +
+        "second shuffle (FormattedMode shows no codegen spans, so the " +
+        "assert is projections-only + exchange count)") { p =>
+      count(p, "Exchange") == 1 && !p.contains("Join") &&
+        count(p, "Project") >= 16 && count(p, "Scan parquet") == 1
+    }
+    audit("qa_referential",
+      "every dim-side edge broadcasts; the only shuffle joins are the " +
+        "lineitem→orders fact edge; never a cartesian") { p =>
+      count(p, "BroadcastHashJoin") >= 6 && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")
+    }
+    audit("profile_table",
+      "ONE pruned corpus scan feeds all four column profiles (the " +
+        "exact-distinct Expand is the documented local/audit form)") { p =>
+      count(p, "Scan parquet") == 1 && count(p, "Expand") >= 1 &&
+        p.contains("ReadSchema: struct<text:string,lang:string,source:string,n_chars:bigint>")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

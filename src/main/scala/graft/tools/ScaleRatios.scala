@@ -138,7 +138,12 @@ object ScaleRatios {
       // entity-resolution shape), snapshot CDC diff, kNN triangle
       // closure, seeded global shuffle
       "j_fuzzy_edit", "corpus_snapshot_diff", "sim_graph_triangles",
-      "curate_global_shuffle")
+      "curate_global_shuffle",
+      // r12 continuation, second batch: Hilbert layout (events), the
+      // FK-orphan audit (all-tables star; 30× only — its 100× story
+      // is the q4-class fact shuffle already characterized), and the
+      // one-pass column profiler (documents)
+      "layout_hilbert", "qa_referential", "profile_table")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** Pins the 16-round Hilbert xy→d walk against an independent Scala
+  * reference (the textbook iterative transform), plus the two
+  * properties that make the curve worth shipping next to z-order:
+  * it's a bijection on the grid, and consecutive d values are grid
+  * NEIGHBORS (|Δx|+|Δy| = 1) — the no-jump locality z-order lacks. */
+class HilbertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference xy2d for n=65536 (Wikipedia's iterative form). */
+  private def xy2d(x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 32768L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("matches the reference transform on deterministic sample points") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L),
+      (1L, 0L), (0L, 1L), (32768L, 32767L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("i", "hx", "hy")
+    val got = ExtendedQueries.hilbertWalk(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    pts.zipWithIndex.foreach { case ((x, y), i) =>
+      assert(got(i.toLong) == xy2d(x, y), s"($x,$y)")
+    }
+  }
+
+  test("consecutive curve positions are grid neighbors (the locality z-order lacks)") {
+    // invert a contiguous d-range by brute force over a small window:
+    // all points of the 256x256 corner of the grid whose d < 65536
+    // form the curve's own first 65536 steps (Hilbert fills subsquares
+    // completely); walking them in d-order must step |dx|+|dy| = 1
+    val pts = for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y)
+    val df = pts.map { case (x, y) => (x, y, x * 256 + y) }.toDF("hx", "hy", "i")
+    val byD = ExtendedQueries.hilbertWalk(df)
+      .collect().map(r => (r.getLong(3), r.getLong(2))) // (d, i)
+      .sortBy(_._1)
+    assert(byD.map(_._1).distinct.length == pts.length, "bijection on the subgrid")
+    byD.sliding(2).foreach { case Array((d1, i1), (d2, i2)) =>
+      assert(d2 == d1 + 1, "subsquare filled contiguously")
+      val (x1, y1) = (i1 / 256, i1 % 256)
+      val (x2, y2) = (i2 / 256, i2 % 256)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between d=$d1 ($x1,$y1) and d=$d2 ($x2,$y2)")
+    }
+  }
+}

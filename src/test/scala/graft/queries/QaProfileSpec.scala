@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** Pins the qa_referential orphan semantics and the profile_table
+  * stats algebra on frames with KNOWN defects (the driver corpus has
+  * no orphans and no nulls, so the oracle rows alone never exercise
+  * the detection paths these operators exist for). */
+class QaProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fkEdge counts dangling AND null child keys as orphans") {
+    val child = Seq(Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = PipelineQueries.fkEdge(child, "fk", parent, "pk", "c->p")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 99 dangles; the null FK ALSO vanishes from any inner join
+    // downstream, which is exactly what the audit measures
+    assert(got.toSeq == Seq(("c->p", 4L, 2L)))
+  }
+
+  test("fkEdge is clean on a coherent edge") {
+    val child = Seq(1L, 1L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val got = PipelineQueries.fkEdge(child, "fk", parent, "pk", "ok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("ok", 3L, 0L)))
+  }
+
+  test("profileCols: nulls, exact distinct, numeric-then-string min/max") {
+    val d = Seq(
+      (Some("en"), Some(9L)),
+      (Some("en"), Some(10L)),
+      (Some("de"), None),
+      (None, Some(2L)))
+      .toDF("lang", "n")
+    val got = PipelineQueries.profileCols(d, Seq("lang", "n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("lang") == ((4L, 1L, 2L, "de", "en")))
+    // min/max computed NUMERICALLY then stringified: max is "10",
+    // not the lexicographic "9"
+    assert(got("n") == ((4L, 1L, 3L, "2", "10")))
+  }
+}
