@@ -66,6 +66,25 @@ object PipelineQueries {
   /** Zipf fit: how many head words enter the OLS regression. */
   private def ZIPF_N = GraftConf.int("graft.zipf.topn", 1000)
 
+  /** Count of NULL values in column `c` (map-side-combinable). */
+  private def nullCnt(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+
+  /** The curate_global_shuffle body over any frame with a `doc_id`
+    * column — factored so GlobalShuffleSpec can vary the INPUT
+    * partitioning (the catalog query always reads the same parquet
+    * splits, which would make a layout-independence test vacuous). */
+  private[queries] def globalShuffle(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(concat(lit(s"shuf$SHUF_SEED:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("long")
+          % SHUF_SHARDS).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+
   /** One FK edge of the qa_referential audit: child count + orphan
     * count via a left join (dim side broadcasts). A NULL child key
     * counts as an orphan DELIBERATELY: the audit measures "rows that
@@ -73,7 +92,6 @@ object PipelineQueries {
     * exactly like a dangling one (QaProfileSpec pins this). */
   private[queries] def fkEdge(child: DataFrame, ck: String,
       parent: DataFrame, pk: String, name: String): DataFrame = {
-    def nullCnt(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
     child.select(col(ck))
       .join(broadcast(parent.select(col(pk))), col(ck) === col(pk), "left")
       .agg(count(lit(1)).as("n_child"), nullCnt(pk).as("n_orphans"))
@@ -85,7 +103,6 @@ object PipelineQueries {
     * QaProfileSpec can pin null/distinct/min-max semantics on a frame
     * with known stats. */
   private[queries] def profileCols(d: DataFrame, cols: Seq[String]): DataFrame = {
-    def nullCnt(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
     def prof(c: String) = struct(
       lit(c).as("col_name"), col("n_rows"),
       col(s"null_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
@@ -202,7 +219,6 @@ object PipelineQueries {
     // a 3-element explode. Orphan counts are map-side-combinable
     // sums; output is O(edges).
     "qa_referential" -> ((s, dir) => {
-      def nullCnt(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
       val li = Tables.lineitem(s, dir)
       val liPass = li
         .join(Tables.orders(s, dir).select(col("o_orderkey")),
@@ -268,18 +284,8 @@ object PipelineQueries {
     // a single global window would serialize on one partition; the
     // per-shard window parallelizes S-wide and S scales with the
     // corpus (see SHUF_SHARDS).
-    "curate_global_shuffle" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          md5(concat(lit(s"shuf$SHUF_SEED:"), col("doc_id").cast("string"))).as("h"))
-        .withColumn("shard",
-          (conv(substring(col("h"), 1, 8), 16, 10).cast("long")
-            % SHUF_SHARDS).cast("int"))
-        .withColumn("pos", row_number().over(
-          Window.partitionBy(col("shard"))
-            .orderBy(col("h"), col("doc_id"))).cast("long"))
-        .select(col("doc_id"), col("shard"), col("pos"))
-    }),
+    "curate_global_shuffle" -> ((s, dir) =>
+      globalShuffle(Tables.documents(s, dir))),
 
     // UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
     // More Effective Language Sampling"): give every language up to E

@@ -52,8 +52,9 @@ final class Flow[T] private (val ds: Dataset[T]) extends Serializable {
     * consumer can run ahead — backpressure included, since the next
     * batch's admission waits for the previous foreachBatch to return.
     * The batch is persisted once so N consumers don't recompute the
-    * lineage N times. Per-MESSAGE lock-step is intentionally not
-    * offered: micro-batch is Spark's admission unit (SURVEY §2.3).
+    * lineage N times. Micro-batch is Spark's admission unit (SURVEY
+    * §2.3) and this is the scale path; for the reference's EXACT
+    * per-element pacing, [[toLockstepPerMessage]] is the opt-in.
     *
     * Failure semantics: if ANY consumer throws (or the query restarts
     * mid-fan-out), the whole foreachBatch retries and EVERY consumer

@@ -167,7 +167,10 @@ object ScaleRatios {
 
     // warm both paths once — with a query from the SELECTED set, so a
     // table-subset replica (ScaleUp 4th arg) needn't carry tables the
-    // timed queries never read
+    // timed queries never read; a subset that matches nothing (typo'd
+    // query name) must fail with the names, not head-of-empty-list
+    require(names.nonEmpty,
+      s"no catalog query matches the subset ${only.getOrElse(Set())}")
     time(names.head, base); time(names.head, big)
     val rows = names.map { n =>
       val b = median((1 to reps).map(_ => time(n, base)))

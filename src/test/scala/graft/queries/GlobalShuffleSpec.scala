@@ -31,13 +31,25 @@ class GlobalShuffleSpec extends AnyFunSuite {
     assert(sizes.min > 0 && sizes.max < nDocs / 2)
   }
 
-  test("same seed, same order — run-to-run and independent of input partitioning") {
-    val a = PipelineQueries.queries("curate_global_shuffle")(spark, dir)
+  test("same seed, same order — run-to-run and independent of INPUT partitioning") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("doc_id")
+    // the assignment must be a pure function of (seed, doc_id): vary
+    // the physical layout of the INPUT before the shard/pos logic
+    // runs (a .repartition on the OUTPUT would test nothing)
+    val a = PipelineQueries.globalShuffle(ids.repartition(1))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    val b = PipelineQueries.queries("curate_global_shuffle")(spark, dir)
-      .repartition(7) // physical layout must not leak into the output
+    val b = PipelineQueries.globalShuffle(ids.repartition(7))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(a == b)
+    val c = PipelineQueries.globalShuffle(ids.orderBy(col("doc_id").desc))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b && b == c)
+    // and the catalog query over the same ids agrees with itself
+    val q1 = PipelineQueries.queries("curate_global_shuffle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val q2 = PipelineQueries.queries("curate_global_shuffle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(q1 == q2)
   }
 
   test("the seed actually feeds the key") {
