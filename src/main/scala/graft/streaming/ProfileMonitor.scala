@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Streaming twin of the batch `profile_table` query: per-column
+  * running (rows, nulls, distinct, min, max) maintained incrementally
+  * — the live ingest-health dashboard next to the nightly ANALYZE.
+  *
+  * Everything here is a commutative monoid (counts, min/max, HLL
+  * register max), so unlike BotMonitor there is NO ordering contract:
+  * any batch boundary, any within-batch order, any partitioning folds
+  * to the same state (ProfileMonitorSpec pins boundary independence).
+  * It rides [[Fold.applyPartial]] — each micro-batch partition folds
+  * locally to one accumulator per column, the shuffle moves O(columns)
+  * records, and the state store merges monoid-wise.
+  *
+  * Parity with the batch query, field by field:
+  *  - n_rows / n_null / min_s / max_s: EXACT — the numeric channel
+  *    compares numerically and stringifies only in the snapshot, and
+  *    the string channel compares UTF-8 BYTES unsigned (Spark's
+  *    UTF8String order), not Java's UTF-16 code units — so the
+  *    snapshot equals profile_table's row verbatim.
+  *  - n_distinct: the batch query's exact countDistinct needs the full
+  *    value multiset (the one thing a bounded-state stream cannot
+  *    hold); the monitor carries the 256-byte HyperLogLog register
+  *    array in the [[DistinctSketch]] algebra instead — identical
+  *    update/merge as the oracle-checked sketch_hll_distinct, so the
+  *    stream's estimate equals a batch fold of the same values
+  *    bit-for-bit, and a dashboard compares it against the nightly
+  *    exact count knowing the estimator's error envelope.
+  *
+  * Reference analog: slipstream keeps running aggregates in handler
+  * caches (cookbook.rst:529-588); here the per-column record is
+  * restart-safe state-store state.
+  */
+object ProfileMonitor {
+
+  /** One profiled value: the column name plus the value in the
+    * column's native channel (numeric or string); None = NULL. A
+    * corpus row fans out to one ColValue per profiled column. */
+  case class ColValue(col: String, s: Option[String], l: Option[Long],
+      numeric: Boolean)
+
+  /** Running accumulator: counts + HLL registers + both min/max
+    * channels (only the column's native one is ever populated). */
+  case class St(nRows: Long, nNull: Long, regs: Array[Byte],
+      minL: Option[Long], maxL: Option[Long],
+      minS: Option[String], maxS: Option[String], numeric: Boolean)
+
+  val empty: St = St(0L, 0L, new Array[Byte](DistinctSketch.M),
+    None, None, None, None, numeric = false)
+
+  /** Unsigned UTF-8 byte comparison — Spark's UTF8String (and so the
+    * batch min/max) orders strings this way; Java's String.compareTo
+    * orders UTF-16 code units, which DIVERGES above the BMP. */
+  private[streaming] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def minOptS(a: Option[String], b: Option[String]) = (a, b) match {
+    case (Some(x), Some(y)) => Some(if (utf8Less(x, y)) x else y)
+    case _                  => a.orElse(b)
+  }
+  private def maxOptS(a: Option[String], b: Option[String]) = (a, b) match {
+    case (Some(x), Some(y)) => Some(if (utf8Less(x, y)) y else x)
+    case _                  => a.orElse(b)
+  }
+
+  def fold(st: St, v: ColValue): St = {
+    val isNull = if (v.numeric) v.l.isEmpty else v.s.isEmpty
+    if (isNull) st.copy(nRows = st.nRows + 1, nNull = st.nNull + 1,
+      numeric = st.numeric || v.numeric)
+    else if (v.numeric) {
+      val x = v.l.get
+      st.copy(nRows = st.nRows + 1,
+        regs = DistinctSketch.update(st.regs, x.toString),
+        minL = Some(st.minL.fold(x)(math.min(_, x))),
+        maxL = Some(st.maxL.fold(x)(math.max(_, x))),
+        numeric = true)
+    } else {
+      val x = v.s.get
+      st.copy(nRows = st.nRows + 1,
+        regs = DistinctSketch.update(st.regs, x),
+        minS = minOptS(st.minS, Some(x)),
+        maxS = maxOptS(st.maxS, Some(x)))
+    }
+  }
+
+  def merge(a: St, b: St): St = St(
+    a.nRows + b.nRows, a.nNull + b.nNull,
+    DistinctSketch.merge(a.regs, b.regs),
+    (a.minL.toSeq ++ b.minL.toSeq).reduceOption(math.min(_, _)),
+    (a.maxL.toSeq ++ b.maxL.toSeq).reduceOption(math.max(_, _)),
+    minOptS(a.minS, b.minS), maxOptS(a.maxS, b.maxS),
+    a.numeric || b.numeric)
+
+  /** Snapshot row: (col_name, n_rows, n_null, n_distinct_est, min_s,
+    * max_s) — the profile_table contract with the HLL estimate in the
+    * distinct slot; min/max stringify from the native channel exactly
+    * like the batch query ("10" > "9", never lexicographic). */
+  def snapshot(col: String, st: St): (String, Long, Long, Double, String, String) = {
+    val (mn, mx) =
+      if (st.numeric) (st.minL.map(_.toString), st.maxL.map(_.toString))
+      else (st.minS, st.maxS)
+    (col, st.nRows, st.nNull, DistinctSketch.estimate(st.regs),
+      mn.orNull, mx.orNull)
+  }
+
+  /** Per-column profile snapshots over a ColValue stream (or batch
+    * frame — same fold); emits every column's updated row per
+    * micro-batch. */
+  def profile(ds: Dataset[ColValue])(
+      implicit spark: SparkSession): Dataset[(String, Long, Long, Double, String, String)] = {
+    import spark.implicits._
+    Fold.applyPartial[String, ColValue, St](ds, _.col, empty, fold, merge)
+      .map { case (c, st) => snapshot(c, st) }
+  }
+}

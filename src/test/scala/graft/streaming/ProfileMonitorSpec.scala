@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.PipelineQueries
+
+/** ProfileMonitor ≡ profile_table parity on the same corpus: exact
+  * fields (n_rows, n_null, min_s, max_s) must equal the batch query
+  * verbatim; n_distinct must equal a driver-side fold of the SAME
+  * HLL register algebra (the DistinctSketch batch≡stream discipline).
+  * Plus the monoid guarantees: batch-boundary independence and null
+  * handling. */
+class ProfileMonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import ProfileMonitor._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The documents corpus fanned out to ColValues, as rows. */
+  private def colValues(): Seq[ColValue] = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.documents(spark, dir)
+      .withColumn("text_len", length(col("text")).cast("long"))
+      .select(col("lang"), col("source"), col("n_chars"), col("text_len"))
+      .collect().flatMap { r =>
+        Seq(
+          ColValue("lang", Option(r.getString(0)), None, numeric = false),
+          ColValue("source", Option(r.getString(1)), None, numeric = false),
+          ColValue("n_chars", None,
+            if (r.isNullAt(2)) None else Some(r.getLong(2)), numeric = true),
+          ColValue("text_len", None,
+            if (r.isNullAt(3)) None else Some(r.getLong(3)), numeric = true))
+      }.toSeq
+  }
+
+  test("streamed snapshots equal the batch profile_table on exact fields, and the HLL algebra on distinct") {
+    implicit val sql = spark.sqlContext
+    implicit val sp = spark
+    val values = colValues()
+    val src = MemoryStream[ColValue]
+    val q = profile(src.toDS()).writeStream.outputMode("update")
+      .format("memory").queryName("profile_out").start()
+    values.grouped(values.size / 3 + 1).foreach { chunk =>
+      src.addData(chunk: _*); q.processAllAvailable()
+    }
+    // last emitted row per column is the final state
+    val streamed = spark.table("profile_out")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getString(5))))
+      .groupBy(_._1).map { case (c, rows) => c -> rows.last._2 }
+    q.stop()
+    val batch = PipelineQueries.queries("profile_table")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4), r.getString(5)))).toMap
+    // driver-side fold of the same register algebra = expected estimate
+    val expEst = values.filter(v => v.l.isDefined || v.s.isDefined)
+      .groupBy(_.col).map { case (c, vs) =>
+        c -> DistinctSketch.estimate(vs.foldLeft(new Array[Byte](DistinctSketch.M)) {
+          (regs, v) => DistinctSketch.update(regs,
+            if (v.numeric) v.l.get.toString else v.s.get)
+        })
+      }
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (c, (n, nn, est, mn, mx)) =>
+      assert((n, nn, mn, mx) == batch(c), s"exact fields for $c")
+      assert(est == expEst(c), s"register algebra for $c")
+    }
+  }
+
+  test("monoid: any chunking folds to the same final state") {
+    val values = colValues()
+    def run(chunks: Seq[Seq[ColValue]]): Map[String, St] =
+      chunks.foldLeft(Map.empty[String, St]) { (acc, chunk) =>
+        val local = chunk.groupBy(_.col).map { case (c, vs) =>
+          c -> vs.foldLeft(empty)(fold)
+        }
+        (acc.keySet ++ local.keySet).map { c =>
+          c -> merge(acc.getOrElse(c, empty), local.getOrElse(c, empty))
+        }.toMap
+      }
+    val a = run(Seq(values))
+    val b = run(values.grouped(7).toSeq)
+    val c = run(Seq(values.reverse))
+    a.keySet.foreach { k =>
+      assert(snapshot(k, a(k)) == snapshot(k, b(k)))
+      assert(snapshot(k, a(k)) == snapshot(k, c(k)))
+    }
+  }
+
+  test("nulls count but never touch min/max or the registers") {
+    val vs = Seq(
+      ColValue("x", None, Some(5L), numeric = true),
+      ColValue("x", None, None, numeric = true),
+      ColValue("x", None, Some(3L), numeric = true))
+    val st = vs.foldLeft(empty)(fold)
+    assert(snapshot("x", st) ==
+      (("x", 3L, 1L, DistinctSketch.estimate(
+        Seq("5", "3").foldLeft(new Array[Byte](DistinctSketch.M))(
+          DistinctSketch.update)), "3", "5")))
+  }
+
+  test("string channel orders by UTF-8 bytes, not UTF-16 code units") {
+    // U+10000 (surrogate pair, UTF-16 units d800 dc00) vs U+FFFD:
+    // UTF-16 compares the supplementary char SMALLER (d800 < fffd),
+    // UTF-8 compares it LARGER (f0 > ef) — the batch engine and this
+    // monitor must both say larger
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "�"
+    assert(supp.compareTo(bmp) < 0, "UTF-16 order (the trap)")
+    assert(utf8Less(bmp, supp), "UTF-8 order (the contract)")
+    val st = Seq(
+      ColValue("s", Some(supp), None, numeric = false),
+      ColValue("s", Some(bmp), None, numeric = false)).foldLeft(empty)(fold)
+    assert(st.maxS.contains(supp) && st.minS.contains(bmp))
+  }
+}
