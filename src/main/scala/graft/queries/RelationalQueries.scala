@@ -624,8 +624,86 @@ object RelationalQueries {
     // segment-frequency cap, which this vocabulary never approaches.
     "j_fuzzy_edit" -> ((s, dir) =>
       fuzzyPairs(Tables.part(s, dir).select(col("p_name").as("name"))
-        .distinct().localCheckpoint()))
+        .distinct().localCheckpoint())),
+
+    // The k = 2 member of the fuzzy-join family: full PassJoin (Li et
+    // al., VLDB 2011) with K = k+1 = 3 segments and position-bounded
+    // probes — the algorithm j_fuzzy_edit's halves trick specializes.
+    // Each name indexes its 3 balanced segments keyed by (segment,
+    // segno, |s|); a probe side emits every substring of t that could
+    // BE segment j of a length-ls source (ls within ±k of |t|,
+    // start shifted by at most ±k) — pigeonhole: 2 edits cannot touch
+    // all 3 segments, and the untouched one appears in t shifted by
+    // at most the net indel count before it. Candidates again come
+    // from a pure EQUI-join; only candidates pay the verify. Names
+    // shorter than K get the bounded class-0 bucket (both sides ≤ k
+    // chars — alphabet², the only pairs the pigeonhole can't reach;
+    // a short-vs-long pair is covered with the LONG side as source).
+    // Oracle = all-pairs brute force at ≤ 2, so the driver hash
+    // proves this candidate scheme complete too.
+    "j_fuzzy_edit2" -> ((s, dir) =>
+      fuzzyPairsK(Tables.part(s, dir).select(col("p_name").as("name"))
+        .distinct().localCheckpoint(), 2))
   )
+
+  /** General PassJoin at edit distance ≤ k over a distinct `name`
+    * column: K = k+1 balanced segments per indexed name (start_j =
+    * (j−1)·L div K + 1), probes for every feasible source length
+    * ls ∈ [|t|−k, |t|+k] and start shift δ ∈ [−k, k], candidate join
+    * keyed on (segment, segno, ls) — the segmentation is a function
+    * of ls, so both sides cut identically — then levenshtein verify.
+    * Names with L < K (no K nonempty segments possible) pair through
+    * the class-0 bucket only when BOTH sides are ≤ k chars (alphabet-
+    * bounded); a short-vs-(≥K) pair is reached with the long side as
+    * the pigeonhole source. FuzzyJoin2Spec re-proves completeness
+    * against brute force on boundary-edit vocabularies. */
+  private[queries] def fuzzyPairsK(names: DataFrame, k: Int): DataFrame = {
+    val kk = k + 1 // segment count
+    def start(j: Int, ls: String) = s"((${j - 1} * $ls) div $kk + 1)"
+    def segLen(j: Int, ls: String) = s"(($j * $ls) div $kk - (${j - 1} * $ls) div $kk)"
+    val class0 =
+      s"named_struct('seg', CASE WHEN length(name) <= $k THEN '*' ELSE '' END, " +
+        "'segno', 0, 'ls', 0)"
+    val sigEntries = (1 to kk).map { j =>
+      val L = "length(name)"
+      s"named_struct('seg', CASE WHEN $L >= $kk THEN " +
+        s"substring(name, ${start(j, L)}, ${segLen(j, L)}) ELSE '' END, " +
+        s"'segno', $j, 'ls', $L)"
+    } :+ class0
+    val sigs = names
+      .select(col("name").as("a"), explode(expr(
+        s"filter(array(${sigEntries.mkString(", ")}), p -> p.seg != '')")).as("x"))
+      .select(col("a"), col("x.seg").as("seg"), col("x.segno").as("segno"),
+        col("x.ls").as("ls"))
+    val probeEntries = (for {
+      d <- -k to k
+      j <- 1 to kk
+      shift <- -k to k
+    } yield {
+      val ls = s"(length(name) + ($d))"
+      val p = s"(${start(j, ls)} + ($shift))"
+      val len = segLen(j, ls)
+      // validity folds into the CASE: an out-of-range cut yields ''
+      // and is filtered; a true pair's cut is always in range (the
+      // surviving segment lies wholly inside t)
+      s"named_struct('seg', CASE WHEN $ls >= $kk AND $p >= 1 " +
+        s"AND $p + $len - 1 <= length(name) THEN " +
+        s"substring(name, $p, $len) ELSE '' END, 'segno', $j, 'ls', $ls)"
+    }) :+ class0
+    val probes = names
+      .select(col("name").as("b"), explode(expr(
+        s"array_distinct(filter(array(${probeEntries.mkString(", ")}), " +
+          "p -> p.seg != ''))")).as("x"))
+      .select(col("b"), col("x.seg").as("seg"), col("x.segno").as("segno"),
+        col("x.ls").as("ls"))
+    sigs.join(probes, Seq("seg", "segno", "ls"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("name_a"),
+        greatest(col("a"), col("b")).as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= k)
+  }
 
   /** PassJoin candidate generation + levenshtein verify over a
     * distinct `name` column — see the j_fuzzy_edit entry for the
@@ -990,6 +1068,15 @@ object RelationalQueries {
         |SELECT a.name AS name_a, b.name AS name_b,
         |CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
         |FROM n a JOIN n b ON a.name < b.name
-        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin
+        |WHERE levenshtein(a.name, b.name) <= 1""".stripMargin,
+
+    // all-pairs brute force at <= 2: hash-equality proves the
+    // 3-segment position-bounded scheme complete
+    "j_fuzzy_edit2" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin
   )
 }

@@ -753,6 +753,13 @@ object ExplainAudit {
         (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")) &&
         p.contains("levenshtein")
     }
+    audit("j_fuzzy_edit2",
+      "the k=2 PassJoin rides the same equi-join-on-signature shape " +
+        "(segment, segno, ls keys); never an all-pairs product") { p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")) &&
+        p.contains("levenshtein")
+    }
     audit("corpus_snapshot_diff",
       "CDC shape: both snapshot scans prune to (doc_id, text), one " +
         "co-partitioned FullOuter merge classifies — ≤2 exchanges total") { p =>

@@ -143,7 +143,10 @@ object ScaleRatios {
       // FK-orphan audit (all-tables star; 30× only — its 100× story
       // is the q4-class fact shuffle already characterized), and the
       // one-pass column profiler (documents)
-      "layout_hilbert", "qa_referential", "profile_table")
+      "layout_hilbert", "qa_referential", "profile_table",
+      // r12 continuation: the k=2 PassJoin (same constant-dictionary
+      // replica caveat as j_fuzzy_edit)
+      "j_fuzzy_edit2")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** Completeness of the general PassJoin (k = 2, 3 segments,
+  * position-bounded probes) against brute force on the vocabularies
+  * where the bounds are actually tight: edits clustered at segment
+  * seams, net indels that shift segment positions by the full ±k,
+  * short names below the K-segment floor, and distance-3 pairs that
+  * must NOT survive. Randomized corpora (fixed seed) sweep the edit
+  * space beyond what hand-picked cases cover. */
+class FuzzyJoin2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pairs(vocab: Seq[String], k: Int): Set[(String, String, Int)] =
+    RelationalQueries.fuzzyPairsK(vocab.toDF("name").distinct(), k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  private def brute(vocab: Seq[String], k: Int): Set[(String, String, Int)] = {
+    val n = vocab.distinct.toDF("name")
+    n.as("a").join(n.as("b"), col("a.name") < col("b.name"))
+      .withColumn("d", levenshtein(col("a.name"), col("b.name")))
+      .where(col("d") <= k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+  }
+
+  test("seam edits: two edits straddling both segment boundaries") {
+    // "abcdefghi" cuts at 3/6: place the two edits so that each
+    // candidate segment in turn is the untouched one
+    val base = "abcdefghi"
+    val vocab = Seq(base,
+      "aXcdefghY", // seg2 untouched, both outer segments hit
+      "XbcdeYghi", // seg3 untouched
+      "abcXefYhi", // seg1 untouched
+      "abcdefgXY", // both edits in seg3
+      "XYcdefghi", // both edits in seg1
+      "abXYdefghi", // two inserts inside seg1/2 seam -> +2 length
+      "abcdefg",   // two deletes at the tail
+      "aXcdeYgZi") // distance 3 -> must NOT match
+    val got = pairs(vocab, 2)
+    assert(got == brute(vocab, 2))
+    assert(got.contains(("aXcdefghY", base, 2)))
+    assert(!got.exists(p => p._1 == "aXcdeYgZi" && p._2 == base))
+  }
+
+  test("position shifts: leading indels displace every later segment by k") {
+    val vocab = Seq("mmabcdefgh", "abcdefgh", "XYabcdefgh", "bcdefgh")
+    assert(pairs(vocab, 2) == brute(vocab, 2))
+    // the ±k probe shift is what catches these: "XYabcdefgh" keeps
+    // "abcdefgh"'s segments verbatim but 2 positions later
+    assert(pairs(vocab, 2).contains(("XYabcdefgh", "abcdefgh", 2)))
+  }
+
+  test("short names: below the 3-segment floor, class-0 bucket") {
+    val vocab = Seq("a", "b", "ab", "xy", "abc", "abcd", "x", "xyz")
+    assert(pairs(vocab, 2) == brute(vocab, 2))
+    assert(pairs(vocab, 2).contains(("a", "b", 1))) // both short
+    assert(pairs(vocab, 2).contains(("ab", "abcd", 2))) // short vs long
+  }
+
+  test("randomized corpora: 60-name vocab, full edit-space sweep") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcde"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    // small alphabet + short lengths = dense distance-<=2 structure
+    val vocab = Seq.fill(60)(word(1 + rnd.nextInt(8))).distinct
+    assert(pairs(vocab, 2) == brute(vocab, 2))
+  }
+
+  test("k = 1 through the general path agrees with brute force too") {
+    val vocab = Seq("abcdef", "abcxef", "axcdef", "abcef", "abdef",
+      "abcXdef", "a", "b", "ab")
+    assert(pairs(vocab, 1) == brute(vocab, 1))
+  }
+}
