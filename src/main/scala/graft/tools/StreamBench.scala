@@ -61,7 +61,46 @@ object StreamBench {
     spark2.conf.set("spark.sql.shuffle.partitions",
       args.drop(1).headOption.getOrElse("8"))
     statefulLeg(spark2, base, repeat, total, "stateful fold (no row tracking)")
+
+    // (d) profile monitor: every event fans to 2 ColValues (string +
+    // numeric channel) through the commutative-monoid profile — the
+    // ingest-health capacity number. State is O(columns); the
+    // applyPartial pre-fold means the state op sees O(columns ×
+    // partitions) rows per batch no matter the input volume.
+    profileLeg(spark2, base, repeat, total)
     spark2.stop()
+  }
+
+  /** Profile-monitor capacity: every event fans to 2 ColValues
+    * (string + numeric channel) through the commutative-monoid
+    * profile — the ingest-health number. State is O(columns); the
+    * applyPartial pre-fold means the state op sees O(columns ×
+    * partitions) rows per batch no matter the input volume. */
+  private def profileLeg(
+      spark: org.apache.spark.sql.SparkSession,
+      base: Array[Ev], repeat: Int, total: Long): Unit = {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.ProfileMonitor
+    val src = MemoryStream[Ev]
+    val vals = src.toDS().flatMap(e => Seq(
+      ProfileMonitor.ColValue("event_type", Option(e.event_type), None, numeric = false),
+      ProfileMonitor.ColValue("value_cents", None,
+        Some((e.value * 100).toLong), numeric = true)))
+    val q = ProfileMonitor.profile(vals)
+      .writeStream.outputMode("update").format("noop").start()
+    val t0 = System.nanoTime()
+    (1 to repeat).foreach(_ => src.addData(base.toIndexedSeq))
+    q.processAllAvailable()
+    val dWarm = (System.nanoTime() - t0) / 1e9
+    val t = System.nanoTime()
+    (1 to repeat).foreach(_ => src.addData(base.toIndexedSeq))
+    q.processAllAvailable()
+    val d = (System.nanoTime() - t) / 1e9
+    q.stop()
+    println(f"[streambench] profile monitor (2 cols/event): " +
+      f"${total / d}%.0f events/s sustained ($d%.2f s; cold ${total / dWarm}%.0f)")
   }
 
   /** Warm-up pass (includes query start + first-batch planning), then a
