@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
@@ -31,11 +29,8 @@ object BloomSketch {
   /** d bit positions of a key — md5-hex algebra identical to the
     * Catalyst/DuckDB legs. */
   def positions(key: String, m: Int): Array[Int] = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(key.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-    Array.tabulate(D)(i =>
-      (java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % m).toInt)
+    val d = Md5.bytes(key)
+    Array.tabulate(D)(i => (Md5.slice32(d, i) % m).toInt)
   }
 
   /** Fold one key into the filter, copy-on-write. */

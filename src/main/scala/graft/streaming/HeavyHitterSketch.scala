@@ -1,8 +1,6 @@
 package graft.streaming
 
 import java.nio.ByteBuffer
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
@@ -57,11 +55,8 @@ object HeavyHitterSketch {
     * (`conv(substring(md5(k), 8*i+1, 8), 16, 10) % 256`), so streamed
     * estimates across micro-batches equal the batch query's exactly. */
   private def rowBuckets(key: String): Array[Int] = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(key.getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-    Array.tabulate(D)(r =>
-      (java.lang.Long.parseLong(hex.substring(8 * r, 8 * r + 8), 16) % W).toInt)
+    val d = Md5.bytes(key)
+    Array.tabulate(D)(r => (Md5.slice32(d, r) % W).toInt)
   }
 
   /** Fold one key occurrence in, copy-on-write. */

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Shared per-thread MD5 for the sketch family's per-VALUE hashing —
+  * MessageDigest.getInstance per value (provider lookup + allocation)
+  * was the streaming sketches' dominant per-row cost; reset()-reuse
+  * computes identical digests. Helpers extract the same integers the
+  * batch SQL legs parse out of md5 HEX substrings, directly from the
+  * digest bytes (hex chars 8i..8i+7 big-endian = bytes 4i..4i+3). */
+private[streaming] object Md5 {
+  private val TL = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  def bytes(s: String): Array[Byte] = {
+    val md = TL.get()
+    md.reset()
+    md.digest(s.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Unsigned 32-bit big-endian slice i (of 0..3) — equals
+    * `('0x' || substr(md5(s), 8i+1, 8))::BIGINT` / Spark
+    * `conv(substring(md5(s), 8i+1, 8), 16, 10)`. */
+  def slice32(d: Array[Byte], i: Int): Long =
+    ((d(4 * i) & 0xFFL) << 24) | ((d(4 * i + 1) & 0xFFL) << 16) |
+      ((d(4 * i + 2) & 0xFFL) << 8) | (d(4 * i + 3) & 0xFFL)
+
+  /** Hex nibble j (of 0..31) as parsed by Character.digit on the hex
+    * string — high nibble of byte j/2 when j is even. */
+  def nibble(d: Array[Byte], j: Int): Int =
+    if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xF else d(j >> 1) & 0xF
+}

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
@@ -34,10 +32,7 @@ object QuantileSketch {
   /** First 32 md5 bits of the row id — the same
     * `conv(substring(md5(id),1,8),16,10)` the batch query and its
     * DuckDB oracle compute. */
-  def hash32(id: String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(id.getBytes(StandardCharsets.UTF_8))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
+  def hash32(id: String): Long = Md5.slice32(Md5.bytes(id), 0)
 
   /** Smallest L with n ≤ Cap·2^L — the batch query's integer CASE
     * chain (capped at 12, matching its `otherwise`). */

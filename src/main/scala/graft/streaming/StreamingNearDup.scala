@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming._
@@ -41,17 +39,14 @@ object StreamingNearDup {
     * mapping, same single-space tokenization incl. empties). */
   def simhashChunks(text: String): Array[Long] = {
     val sums = new Array[Int](64)
-    val md = MessageDigest.getInstance("MD5")
     text.split(" ", -1).foreach { w =>
-      val hex = md.digest(w.getBytes(StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString
+      val d = Md5.bytes(w)
       var j = 0
       while (j < 64) {
-        val nibble = Character.digit(hex.charAt(j / 4), 16)
+        val nibble = Md5.nibble(d, j / 4)
         if (((nibble >> (j % 4)) & 1) == 1) sums(j) += 1 else sums(j) -= 1
         j += 1
       }
-      md.reset()
     }
     val chunks = new Array[Long](4)
     var c = 0
