@@ -485,8 +485,11 @@ object ExtendedQueries {
     // E(x,y)⋈E(y,z) builds each x<y<z wedge exactly once, a LEFT SEMI
     // probe against E(x,z) closes it — no triangle is ever counted
     // from a second orientation, so no post-hoc /3. Scale: the kNN
-    // edge set is O(N·k); wedge volume is Σ deg² with deg ≤ 2k, so
-    // both joins move O(N·k²) short rows — never a corpus product —
+    // edge set is O(N·k); a node's OUT-degree is k = 3 but its
+    // in-degree is bounded only by its LSH cell cohort (a hub can sit
+    // in many neighbors' top-k), so the honest wedge bound is
+    // Σ deg² ≤ N·(cap+k)² with cap = the 200-cohort skew backstop —
+    // linear in N with a cap² constant, never a corpus product —
     // and the edge set is localCheckpoint-pinned so the LSH build
     // runs once, not three times (the pagerank discipline). lcc is
     // emitted in exact integer MICRO-units: 2·tri·1e6 div deg(deg−1).
