@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
 
@@ -24,21 +22,13 @@ object DistinctSketch {
   val M = 256
   private val Alpha = 0.7213 / (1.0 + 1.079 / 256.0)
 
-  /** Per-thread digest — MessageDigest.getInstance per update was the
-    * profile-monitor hot path's dominant cost (provider lookup +
-    * allocation per VALUE); reset()-reuse computes the identical MD5. */
-  private val MD = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
-
   /** Fold one key into the registers, copy-on-write (md5 algebra
     * identical to the Catalyst/DuckDB legs: register = first hex
-    * byte, rank suffix = hex chars 2-9 = bytes 1-4). */
+    * byte = digest byte 0 unsigned; rank suffix = hex chars 2-9 =
+    * digest bytes 1-4 big-endian — same integers, no hex string,
+    * one shared thread-local digest via [[Md5]]). */
   def update(regs: Array[Byte], key: String): Array[Byte] = {
-    val md = MD.get()
-    md.reset()
-    val h = md.digest(key.getBytes(StandardCharsets.UTF_8))
-    // hex.substring(0,2) parsed base-16 IS byte 0 unsigned; chars 2-10
-    // are bytes 1..4 big-endian — same integers, no hex string built
+    val h = Md5.bytes(key)
     val reg = h(0) & 0xFF
     val suffix = ((h(1) & 0xFFL) << 24) | ((h(2) & 0xFFL) << 16) |
       ((h(3) & 0xFFL) << 8) | (h(4) & 0xFFL)

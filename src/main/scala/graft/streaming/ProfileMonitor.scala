@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 
@@ -52,20 +51,24 @@ object ProfileMonitor {
   val empty: St = St(0L, 0L, new Array[Byte](DistinctSketch.M),
     None, None, None, None, numeric = false)
 
-  /** Unsigned UTF-8 byte comparison — Spark's UTF8String (and so the
-    * batch min/max) orders strings this way; Java's String.compareTo
-    * orders UTF-16 code units, which DIVERGES above the BMP. */
+  /** UTF-8 byte order without encoding: UTF-8 was designed so that
+    * unsigned byte order EQUALS code point order, so walking code
+    * points compares exactly as Spark's UTF8String (the batch min/max)
+    * would — while Java's String.compareTo orders UTF-16 code units,
+    * which DIVERGES above the BMP. Zero allocation (the review caught
+    * the getBytes-per-comparison form re-encoding both operands on
+    * every fold). */
   private[streaming] def utf8Less(a: String, b: String): Boolean = {
-    val x = a.getBytes(StandardCharsets.UTF_8)
-    val y = b.getBytes(StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
     var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
-      if (c != 0) return c < 0
-      i += 1
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
     }
-    x.length < y.length
+    i >= a.length && j < b.length
   }
 
   private def minOptS(a: Option[String], b: Option[String]) = (a, b) match {

@@ -62,13 +62,27 @@ object StreamBench {
       args.drop(1).headOption.getOrElse("8"))
     statefulLeg(spark2, base, repeat, total, "stateful fold (no row tracking)")
 
-    // (d) profile monitor: every event fans to 2 ColValues (string +
-    // numeric channel) through the commutative-monoid profile — the
-    // ingest-health capacity number. State is O(columns); the
-    // applyPartial pre-fold means the state op sees O(columns ×
-    // partitions) rows per batch no matter the input volume.
+    // (d) profile monitor — see profileLeg
     profileLeg(spark2, base, repeat, total)
     spark2.stop()
+  }
+
+  /** The shared timing scaffold: a warm pass (query start +
+    * first-batch planning) then a timed sustained pass over the same
+    * volume — the number a long-lived job actually runs at. Returns
+    * (sustainedSec, coldSec); caller stops the query. */
+  private def twoPasses(
+      src: MemoryStream[Ev],
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      base: Array[Ev], repeat: Int): (Double, Double) = {
+    val t0 = System.nanoTime()
+    (1 to repeat).foreach(_ => src.addData(base.toIndexedSeq))
+    q.processAllAvailable()
+    val dWarm = (System.nanoTime() - t0) / 1e9
+    val t = System.nanoTime()
+    (1 to repeat).foreach(_ => src.addData(base.toIndexedSeq))
+    q.processAllAvailable()
+    ((System.nanoTime() - t) / 1e9, dWarm)
   }
 
   /** Profile-monitor capacity: every event fans to 2 ColValues
@@ -90,22 +104,12 @@ object StreamBench {
         Some((e.value * 100).toLong), numeric = true)))
     val q = ProfileMonitor.profile(vals)
       .writeStream.outputMode("update").format("noop").start()
-    val t0 = System.nanoTime()
-    (1 to repeat).foreach(_ => src.addData(base.toIndexedSeq))
-    q.processAllAvailable()
-    val dWarm = (System.nanoTime() - t0) / 1e9
-    val t = System.nanoTime()
-    (1 to repeat).foreach(_ => src.addData(base.toIndexedSeq))
-    q.processAllAvailable()
-    val d = (System.nanoTime() - t) / 1e9
+    val (d, dWarm) = twoPasses(src, q, base, repeat)
     q.stop()
     println(f"[streambench] profile monitor (2 cols/event): " +
       f"${total / d}%.0f events/s sustained ($d%.2f s; cold ${total / dWarm}%.0f)")
   }
 
-  /** Warm-up pass (includes query start + first-batch planning), then a
-    * timed sustained pass over the same volume — the number a long-lived
-    * streaming job actually runs at. */
   private def statefulLeg(
       spark: org.apache.spark.sql.SparkSession,
       base: Array[Ev], repeat: Int, total: Long, label: String): Unit = {
@@ -115,14 +119,7 @@ object StreamBench {
     val src = MemoryStream[Ev]
     val q = Fold.countCol(src.toDS().toDF(), col("user_id"))
       .toDF("k", "n").writeStream.outputMode("update").format("noop").start()
-    val t0 = System.nanoTime()
-    (1 to repeat).foreach(_ => src.addData(base.toIndexedSeq))
-    q.processAllAvailable()
-    val dWarm = (System.nanoTime() - t0) / 1e9
-    val t = System.nanoTime()
-    (1 to repeat).foreach(_ => src.addData(base.toIndexedSeq))
-    q.processAllAvailable()
-    val d = (System.nanoTime() - t) / 1e9
+    val (d, dWarm) = twoPasses(src, q, base, repeat)
     val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
     q.stop()
     println(f"[streambench] $label: ${total / d}%.0f rows/s sustained " +
