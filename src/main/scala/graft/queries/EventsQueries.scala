@@ -354,6 +354,47 @@ object EventsQueries {
           datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
           col("c")))),
 
+    // CUSUM changepoint detection over per-type daily volumes — the
+    // SEQUENTIAL-drift alarm that completes the anomaly family: the
+    // z-score (events_rate_anomaly) and MAD gates flag single outlier
+    // days, OLS (events_trend) fits one global slope, but a sustained
+    // small shift (traffic migrates, a bot farm ramps slowly) hides
+    // from all three; CUSUM accumulates excess-over-mean and alarms
+    // when the CUMULATIVE drift crosses a threshold (Page 1954). The
+    // recurrence S_d = max(0, S_{d-1} + y_d) looks inherently
+    // sequential, but has the exact prefix identity
+    //   S_d = P_d − min(0, min_{i≤d} P_i),   P = running sum of y —
+    // two window functions over one partition ordering, no recursion.
+    // Exact integer units (scaled by 100·n_days so the percent-of-
+    // mean parameters stay integral): y_d = 100·n·c_d − 100·total −
+    // kpct·total; flag when S > hpct·total (cumulative excess ≥
+    // hpct% of one mean day). Scale: one map-side-combined corpus
+    // shuffle into the O(types×days) daily table, then windows on
+    // the control-plane partitioning — the events_trend shape.
+    "events_cusum" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+          col("c"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("total", sum(col("c")).over(wAll))
+        .withColumn("n_days", count(lit(1)).over(wAll))
+        .withColumn("y",
+          lit(100L) * col("n_days") * col("c") - lit(100L) * col("total")
+            - lit(CUSUM_KPCT.toLong) * col("total"))
+        .withColumn("p", sum(col("y")).over(wOrd))
+        .withColumn("s_scaled", col("p") - least(lit(0L), min(col("p")).over(wOrd)))
+        .withColumn("is_change", col("s_scaled") > lit(CUSUM_HPCT.toLong) * col("total"))
+        .select(col("event_type"), col("x"), col("c"), col("s_scaled"),
+          col("is_change"))
+    }),
+
     // Robust (median/MAD) daily-rate anomaly gate — the outlier-proof
     // twin of events_rate_anomaly: a mean/σ z-score is dragged by the
     // very spikes it should flag (one 100× bot day inflates σ and
@@ -575,6 +616,12 @@ object EventsQueries {
 
   /** MAD gate: flag a period when |c − median| > k·MAD. */
   private def MAD_K = graft.GraftConf.int("graft.mad.k", 3)
+
+  /** CUSUM: per-day slack and alarm threshold, both as PERCENT of the
+    * mean daily volume (relative parameters transfer across products;
+    * absolute count thresholds don't — the BOT_PCT posture). */
+  private def CUSUM_KPCT = graft.GraftConf.int("graft.cusum.slackPct", 25)
+  private def CUSUM_HPCT = graft.GraftConf.int("graft.cusum.alarmPct", 100)
 
   /** The pre-checkpoint leg of events_bot_detect: per-user cadence
     * stats + the bounded-state exact median, factored out so
@@ -948,6 +995,31 @@ object EventsQueries {
          |  * 1000000) // (CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
          |  AS BIGINT) END AS slope_abs_micro
          |FROM st""".stripMargin,
+
+    // same daily buckets, same prefix-sum/running-min identity for
+    // the max(0, ·) recurrence, same 100·n-scaled integer units
+    "events_cusum" ->
+      s"""WITH daily AS (SELECT event_type,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(COUNT(*) AS BIGINT) AS c
+         |FROM $oEvents GROUP BY 1, 2),
+         |t AS (SELECT event_type, x, c,
+         |CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         |CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+         |FROM daily),
+         |p AS (SELECT event_type, x, c, total,
+         |CAST(SUM(100 * n_days * c - 100 * total - $CUSUM_KPCT * total)
+         |OVER (PARTITION BY event_type ORDER BY x
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+         |FROM t),
+         |sfin AS (SELECT event_type, x, c, total,
+         |pp - LEAST(CAST(0 AS BIGINT), CAST(MIN(pp) OVER (PARTITION BY event_type
+         |ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS s_scaled
+         |FROM p)
+         |SELECT event_type, x, c, s_scaled,
+         |s_scaled > $CUSUM_HPCT * total AS is_change
+         |FROM sfin""".stripMargin,
 
     // same daily counts, same cumulative-histogram order statistics
     // for BOTH medians (counts, then absolute deviations), same exact

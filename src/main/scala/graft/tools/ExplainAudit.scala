@@ -780,6 +780,13 @@ object ExplainAudit {
         p.contains("ReadSchema: struct<doc_id:bigint>")
     }
 
+    audit("events_cusum",
+      "the max(0,·) recurrence lowers to prefix-sum + running-min " +
+        "windows: ONE corpus shuffle into the daily table, windows on " +
+        "the control-plane partitioning, no join, no recursion") { p =>
+      count(p, "Exchange") <= 2 && !p.contains("Join") &&
+        count(p, "Window") >= 1 && count(p, "Scan parquet") == 1
+    }
     audit("layout_hilbert",
       "the 16-round xy→d walk is a pure projection pipeline (one " +
         "codegen stage) before ONE bucket-agg exchange — no join, no " +

@@ -145,8 +145,9 @@ object ScaleRatios {
       // one-pass column profiler (documents)
       "layout_hilbert", "qa_referential", "profile_table",
       // r12 continuation: the k=2 PassJoin (same constant-dictionary
-      // replica caveat as j_fuzzy_edit)
-      "j_fuzzy_edit2")
+      // replica caveat as j_fuzzy_edit), and the CUSUM changepoint
+      // gate (events_trend's daily-table shape)
+      "j_fuzzy_edit2", "events_cusum")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -1,0 +1,77 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** events_cusum's window-function form vs the textbook sequential
+  * recurrence S_d = max(0, S_{d-1} + y_d), computed independently
+  * here — plus the detection story: a sustained small shift that a
+  * per-day outlier gate can't see accumulates to an alarm. */
+class CusumSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val DAY_US = 86400L * 1000000L
+
+  /** Write events so that type `tpe` has exactly counts(i) events on
+    * day i (epoch days starting at base). */
+  private def eventsDir(counts: Seq[Int], tpe: String = "click"): String = {
+    val dir = Files.createTempDirectory("cusum").toString
+    var id = 0L
+    val rows = counts.zipWithIndex.flatMap { case (c, day) =>
+      (0 until c).map { i =>
+        id += 1
+        (id, new Timestamp((day * DAY_US + i * 1000000L) / 1000),
+          (i % 5).toLong, tpe, 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  /** The textbook recurrence in the query's exact integer units. */
+  private def reference(counts: Seq[Int], kpct: Long, hpct: Long): Seq[(Long, Boolean)] = {
+    val n = counts.length.toLong
+    val total = counts.map(_.toLong).sum
+    var s = 0L
+    counts.map { c =>
+      val y = 100L * n * c - 100L * total - kpct * total
+      s = math.max(0L, s + y)
+      (s, s > hpct * total)
+    }
+  }
+
+  test("window identity equals the sequential recurrence; a slow ramp alarms") {
+    // 10 quiet days then a sustained 3× shift. NOTE the self-raising
+    // baseline: the mean is IN-SAMPLE, so the shifted days inflate it
+    // (total 560/16 = 35) and the +25% slack puts the per-day
+    // trigger at 43.75 — each shifted day contributes only +16.25
+    // counts of drift, but six of them accumulate past the one-mean-
+    // day alarm while every quiet day stays hard at S = 0
+    val counts = Seq.fill(10)(20) ++ Seq.fill(6)(60)
+    val dir = eventsDir(counts)
+    val got = EventsQueries.queries("events_cusum")(spark, dir)
+      .orderBy("x").collect()
+      .map(r => (r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == reference(counts, 25L, 100L))
+    assert(got.last._2, "the sustained shift must eventually alarm")
+    assert(!got.take(10).exists(_._2), "quiet days must not alarm")
+  }
+
+  test("the max(0,·) floor actually engages: a dip resets, not debts") {
+    // deep dip then recovery: without the floor the dip's debt would
+    // mask the later genuine ramp
+    val counts = Seq(20, 20, 2, 2, 20, 20, 30, 30, 30, 30)
+    val dir = eventsDir(counts)
+    val got = EventsQueries.queries("events_cusum")(spark, dir)
+      .orderBy("x").collect()
+      .map(r => (r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == reference(counts, 25L, 100L))
+    assert(got.map(_._1).forall(_ >= 0L), "S is never negative")
+  }
+}
