@@ -371,29 +371,14 @@ object EventsQueries {
     // hpct% of one mean day). Scale: one map-side-combined corpus
     // shuffle into the O(types×days) daily table, then windows on
     // the control-plane partitioning — the events_trend shape.
-    "events_cusum" -> ((s, dir) => {
-      val daily = Tables.events(s, dir)
+    "events_cusum" -> ((s, dir) =>
+      cusumBody(Tables.events(s, dir)
         .groupBy(col("event_type"),
           to_date(date_trunc("day", col("ts"))).as("d"))
         .agg(count(lit(1)).as("c"))
         .select(col("event_type"),
           datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
-          col("c"))
-      val wAll = Window.partitionBy(col("event_type"))
-      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("x"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily
-        .withColumn("total", sum(col("c")).over(wAll))
-        .withColumn("n_days", count(lit(1)).over(wAll))
-        .withColumn("y",
-          lit(100L) * col("n_days") * col("c") - lit(100L) * col("total")
-            - lit(CUSUM_KPCT.toLong) * col("total"))
-        .withColumn("p", sum(col("y")).over(wOrd))
-        .withColumn("s_scaled", col("p") - least(lit(0L), min(col("p")).over(wOrd)))
-        .withColumn("is_change", col("s_scaled") > lit(CUSUM_HPCT.toLong) * col("total"))
-        .select(col("event_type"), col("x"), col("c"), col("s_scaled"),
-          col("is_change"))
-    }),
+          col("c")))),
 
     // Robust (median/MAD) daily-rate anomaly gate — the outlier-proof
     // twin of events_rate_anomaly: a mean/σ z-score is dragged by the
@@ -689,6 +674,30 @@ object EventsQueries {
     // single-event users have no gaps → med2x null (as percentile
     // over an all-null group was)
     stats.join(med, Seq("user_id"), "left")
+  }
+
+  /** The CUSUM readout over a (event_type, x = epoch day, c = daily
+    * count) table — the same one-algebra/two-ingestion-modes posture
+    * as trendBody/madBody: the batch query aggregates events into
+    * daily counts, [[graft.streaming.TrendMonitor]] maintains the
+    * SAME counts incrementally, and this readout runs over either.
+    * The max(0, S+y) recurrence lowers exactly to prefix-sum +
+    * running-min windows; see the events_cusum catalog entry. */
+  private[graft] def cusumBody(daily: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy(col("event_type"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("total", sum(col("c")).over(wAll))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("y",
+        lit(100L) * col("n_days") * col("c") - lit(100L) * col("total")
+          - lit(CUSUM_KPCT.toLong) * col("total"))
+      .withColumn("p", sum(col("y")).over(wOrd))
+      .withColumn("s_scaled", col("p") - least(lit(0L), min(col("p")).over(wOrd)))
+      .withColumn("is_change", col("s_scaled") > lit(CUSUM_HPCT.toLong) * col("total"))
+      .select(col("event_type"), col("x"), col("c"), col("s_scaled"),
+        col("is_change"))
   }
 
   /** The integer OLS trend readout over a (event_type, x = epoch day,

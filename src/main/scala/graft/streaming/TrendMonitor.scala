@@ -46,4 +46,14 @@ object TrendMonitor {
   def madReadout(counts: DataFrame): DataFrame =
     graft.queries.EventsQueries.madBody(
       counts.select(col("event_type"), col("c")))
+
+  /** The CUSUM changepoint readout over the same streamed daily-count
+    * snapshot — the factored events_cusum algebra
+    * ([[graft.queries.EventsQueries.cusumBody]]): the third alarm off
+    * ONE state-store table (OLS drift, MAD outliers, CUSUM sustained
+    * shift), so the live changepoint flag and the oracle-checked
+    * batch gate can never disagree on the same events. */
+  def cusumReadout(counts: DataFrame): DataFrame =
+    graft.queries.EventsQueries.cusumBody(
+      counts.select(col("event_type"), col("x"), col("c")))
 }

@@ -67,5 +67,18 @@ class TrendMonitorSpec extends AnyFunSuite {
     madStreamed.foreach { case (t, got) =>
       assert(got == madBatch(t), s"type $t: stream $got vs batch ${madBatch(t)}")
     }
+
+    // and the THIRD alarm off the same state table: the CUSUM
+    // changepoint readout ≡ the oracle-checked batch events_cusum —
+    // per (type, day) rows, exact integer S and flags
+    val cusumBatch = graft.queries.EventsQueries
+      .queries("events_cusum")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+    val cusumStreamed = TrendMonitor.cusumReadout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(cusumStreamed.keySet == cusumBatch.keySet && cusumBatch.nonEmpty)
+    cusumStreamed.foreach { case (k, got) =>
+      assert(got == cusumBatch(k), s"$k: stream $got vs batch ${cusumBatch(k)}")
+    }
   }
 }
