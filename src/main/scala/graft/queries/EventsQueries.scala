@@ -380,6 +380,38 @@ object EventsQueries {
           datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
           col("c")))),
 
+    // Day-of-week seasonal decomposition — the gate the raw-volume
+    // alarms need in front of them: event volumes are WEEKLY-seasonal
+    // (weekend dips, Monday spikes), so a raw mean/median gate either
+    // fires every weekend or widens its band until real anomalies
+    // hide inside the seasonal swing. Per (type, day): the day's
+    // count, its day-of-week, and the deseasonalized residual against
+    // that type's SAME-DOW mean — exact integers via cross-multiplied
+    // fractions (resid·n_dow = c·n_dow − sum_dow; the flag compare
+    // 100·|c·n_dow − sum_dow| > pct·sum_dow never divides). dow is
+    // epoch-day mod 7 (engine-neutral; 0 = Thursday). Scale: one
+    // map-side-combined corpus shuffle into the O(types×days) daily
+    // table, one window over (type, dow) — the events_trend shape.
+    "events_seasonality" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+          col("c"))
+      val wDow = Window.partitionBy(col("event_type"), col("dow"))
+      daily
+        .withColumn("dow", col("x") % 7)
+        .withColumn("n_dow", count(lit(1)).over(wDow))
+        .withColumn("sum_dow", sum(col("c")).over(wDow))
+        .withColumn("resid_scaled", col("c") * col("n_dow") - col("sum_dow"))
+        .withColumn("is_anomaly",
+          lit(100L) * abs(col("resid_scaled")) > lit(SEAS_PCT.toLong) * col("sum_dow"))
+        .select(col("event_type"), col("x"), col("dow"), col("c"),
+          col("resid_scaled"), col("is_anomaly"))
+    }),
+
     // Robust (median/MAD) daily-rate anomaly gate — the outlier-proof
     // twin of events_rate_anomaly: a mean/σ z-score is dragged by the
     // very spikes it should flag (one 100× bot day inflates σ and
@@ -607,6 +639,10 @@ object EventsQueries {
     * absolute count thresholds don't — the BOT_PCT posture). */
   private def CUSUM_KPCT = graft.GraftConf.int("graft.cusum.slackPct", 25)
   private def CUSUM_HPCT = graft.GraftConf.int("graft.cusum.alarmPct", 100)
+
+  /** Seasonality gate: flag a day when the deseasonalized residual
+    * exceeds pct% of the same-day-of-week mean. */
+  private def SEAS_PCT = graft.GraftConf.int("graft.seasonality.pct", 50)
 
   /** The pre-checkpoint leg of events_bot_detect: per-user cadence
     * stats + the bounded-state exact median, factored out so
@@ -1004,6 +1040,23 @@ object EventsQueries {
          |  * 1000000) // (CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
          |  AS BIGINT) END AS slope_abs_micro
          |FROM st""".stripMargin,
+
+    // same daily buckets, same cross-multiplied same-DOW residual,
+    // same divide-free flag compare
+    "events_seasonality" ->
+      s"""WITH daily AS (SELECT event_type,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(COUNT(*) AS BIGINT) AS c
+         |FROM $oEvents GROUP BY 1, 2),
+         |w AS (SELECT event_type, x, x % 7 AS dow, c,
+         |CAST(COUNT(*) OVER (PARTITION BY event_type, x % 7) AS BIGINT) AS n_dow,
+         |CAST(SUM(c) OVER (PARTITION BY event_type, x % 7) AS BIGINT) AS sum_dow
+         |FROM daily)
+         |SELECT event_type, x, dow, c,
+         |c * n_dow - sum_dow AS resid_scaled,
+         |100 * abs(c * n_dow - sum_dow) > $SEAS_PCT * sum_dow AS is_anomaly
+         |FROM w""".stripMargin,
 
     // same daily buckets, same prefix-sum/running-min identity for
     // the max(0, ·) recurrence, same 100·n-scaled integer units

@@ -780,6 +780,12 @@ object ExplainAudit {
         p.contains("ReadSchema: struct<doc_id:bigint>")
     }
 
+    audit("events_seasonality",
+      "one corpus shuffle into the daily table, one (type, dow) " +
+        "window on the control plane — no join, divide-free residual") { p =>
+      count(p, "Exchange") <= 2 && !p.contains("Join") &&
+        count(p, "Window") >= 1 && count(p, "Scan parquet") == 1
+    }
     audit("events_cusum",
       "the max(0,·) recurrence lowers to prefix-sum + running-min " +
         "windows: ONE corpus shuffle into the daily table, windows on " +

@@ -147,7 +147,7 @@ object ScaleRatios {
       // r12 continuation: the k=2 PassJoin (same constant-dictionary
       // replica caveat as j_fuzzy_edit), and the CUSUM changepoint
       // gate (events_trend's daily-table shape)
-      "j_fuzzy_edit2", "events_cusum")
+      "j_fuzzy_edit2", "events_cusum", "events_seasonality")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -1,0 +1,62 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** events_seasonality's defining property — the INVERSION a raw
+  * volume gate cannot express: a weekend dip at its usual level is
+  * normal, while weekday-level traffic ON a weekend is the anomaly.
+  * Exact residual algebra pinned against hand-computed values. */
+class SeasonalitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val DAY_US = 86400L * 1000000L
+
+  private def eventsDir(counts: Seq[Int]): String = {
+    val dir = Files.createTempDirectory("seas").toString
+    var id = 0L
+    val rows = counts.zipWithIndex.flatMap { case (c, day) =>
+      (0 until c).map { i =>
+        id += 1
+        (id, new Timestamp((day * DAY_US + i * 1000000L) / 1000),
+          (i % 5).toLong, "click", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("weekend dips are normal; weekday-level weekend traffic is the anomaly") {
+    // 4 full weeks starting at epoch day 0 (a Thursday; dow = x % 7,
+    // so dow 2 and 3 are Sat/Sun). Weekdays run at 100, weekends at
+    // 20 — except ONE weekend day in week 3 that runs at 100 (bot
+    // traffic ignoring the human weekly rhythm). A raw-mean gate
+    // centered at ~77 flags every normal weekend; this gate flags
+    // exactly the one rhythm-breaking day.
+    val week = Seq(100, 100, 20, 20, 100, 100, 100) // Thu Fri Sat Sun Mon Tue Wed
+    val counts = week ++ week ++ week.updated(2, 100) ++ week
+    val dir = eventsDir(counts)
+    val got = EventsQueries.queries("events_seasonality")(spark, dir)
+      .orderBy("x").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // hand-check the decomposition on the anomalous Saturday (x = 16,
+    // dow = 2): same-dow counts are (20, 20, 100, 20) -> n = 4,
+    // sum = 160; resid_scaled = 100*4 - 160 = 240; flag: 100*240 >
+    // 50*160
+    val sat3 = got.find(_._1 == 16L).get
+    assert(sat3 == ((16L, 2L, 100L, 240L, true)))
+    // every OTHER day is unflagged: normal weekends sit at their
+    // same-dow mean's neighborhood (|20*4-160| = 80 -> 8000 <= 8000
+    // boundary-exact NOT flagged), weekdays are dead on their mean
+    assert(got.filter(_._1 != 16L).forall(!_._5),
+      s"only the rhythm-breaking day flags: ${got.filter(_._5).toSeq}")
+    // the residual column is exact: normal Saturdays read 20*4-160
+    assert(got.filter(r => r._2 == 2L && r._1 != 16L).forall(_._4 == -80L))
+  }
+}
