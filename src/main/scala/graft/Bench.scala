@@ -55,8 +55,33 @@ object Bench {
     // warm-up: JIT the scan/agg/codegen paths once, untimed
     exec("a1_fold_agg")
 
+    // Calibration workload: CONSTANT plan over CONSTANT synthetic data
+    // (no parquet, no SF dependence) — a codegen'd range-sum plus one
+    // fixed 1024-key shuffle. Box-load inflation (the r12 drift class:
+    // driver artifact 150.8 s vs same-tree quiet-box pin 133.3 s,
+    // uniformly spread) moves THIS number by the same factor it moves
+    // the catalog, so a run's load multiplier is readable from the
+    // artifact alone: calibration_median / pinned-quiet-box
+    // calibration ≈ the expected uniform inflation of every query.
+    // Measured once per rep, interleaved with the catalog sweeps so it
+    // samples the same load the queries saw.
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus)
+        .select((col("id") % 1024L).as("k"), col("id"))
+        .groupBy(col("k")).agg(fsum(col("id")).as("s"))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calib() // untimed JIT warm-up of the calibration plan itself
+
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val samples = (1 to math.max(1, reps)).map(_ => names.map(n => n -> exec(n)).toMap)
+    val calAndSamples = (1 to math.max(1, reps)).map { _ =>
+      (calib(), names.map(n => n -> exec(n)).toMap)
+    }
+    val calSamples = calAndSamples.map(_._1)
+    val samples = calAndSamples.map(_._2)
     def ok(n: String) = samples.map(_(n)).filter(_ >= 0)
     val results = names.map(n => n -> Stats.median(ok(n)))
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -82,13 +107,14 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val failedJson = failures.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    val calJson = s"""{"min":${calSamples.min},"median":${Stats.median(calSamples)},"max":${calSamples.max}}"""
     val full =
       s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","reps":$reps,"cpus":$cpus,""" +
-      s""""queries":$qsFull,"stats":$statsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s""""calibration":$calJson,"queries":$qsFull,"stats":$statsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     Files.write(Paths.get(outPath), (full + "\n").getBytes(StandardCharsets.UTF_8))
 
     spark.stop()
     // last line of stdout, compact (ms precision) so a tail-capture parses it
-    println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","failed_n":${failures.size},"queries":$qsCompact,"sf":"$sfDir","statsFile":"$outPath"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","failed_n":${failures.size},"calibration":${r3(Stats.median(calSamples))},"queries":$qsCompact,"sf":"$sfDir","statsFile":"$outPath"}""")
   }
 }

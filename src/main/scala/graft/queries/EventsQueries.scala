@@ -284,28 +284,39 @@ object EventsQueries {
     // type paths users walk inside a session, with how many of those
     // sessions convert — the "what do users do before buying" table.
     // Reuses the sessionize gap rule verbatim; each session's path is
-    // the ORDERED event-type chain capped at the first PATH_CAP events
-    // (bounded per-group state — the funnel lane-guard posture; the
-    // conversion flag still reads the FULL session). Two exchanges
-    // (user window; path agg) + TakeOrdered top-N; path counting is
-    // map-side combined. Tie order (ts, event_id) makes every path
-    // string deterministic across engines and partitionings.
+    // the ORDERED event-type chain capped at the first PATH_CAP events.
+    // BOUNDED per-group state: events are ranked per (user, session)
+    // inside the already-paid user-window sort (the rank window's keys
+    // are a superset of user_id's clustering — no new exchange, and the
+    // rows are already in (ts, event_id) order so no new sort either),
+    // and collect_list sees ONLY rn <= PATH_CAP rows (NULL for the
+    // rest; collect_list drops NULLs) — so aggregation state is
+    // O(PATH_CAP) per session even for the gap-rule's worst case, a
+    // continuous bot stream whose session never breaks. The conversion
+    // flag still reads the FULL session as a plain max(when) — no list
+    // needed. Two exchanges (user window; path agg) + TakeOrdered
+    // top-N; path counting is map-side combined. Tie order
+    // (ts, event_id) makes every path string deterministic across
+    // engines and partitionings.
     "events_path_mining" -> ((s, dir) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val prev = lag(col("ts"), 1).over(wOrd)
       val brk = when(prev.isNull ||
         unix_micros(col("ts")) - unix_micros(prev) >= GAP_US, 1).otherwise(0)
+      val wSess = Window.partitionBy(col("user_id"), col("session_seq"))
+        .orderBy(col("ts"), col("event_id"))
       val sess = Tables.events(s, dir)
         .withColumn("brk", brk)
         .withColumn("session_seq", sum(col("brk"))
           .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(wSess))
       sess.groupBy(col("user_id"), col("session_seq"))
         .agg(
           array_join(
-            slice(transform(
-              sort_array(collect_list(struct(
-                unix_micros(col("ts")).as("tsu"), col("event_id"), col("event_type")))),
-              x => x.getField("event_type")), 1, PATH_CAP), ">").as("path"),
+            transform(
+              sort_array(collect_list(when(col("rn") <= PATH_CAP, struct(
+                unix_micros(col("ts")).as("tsu"), col("event_id"), col("event_type"))))),
+              x => x.getField("event_type")), ">").as("path"),
           max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
         .groupBy(col("path"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
@@ -392,25 +403,14 @@ object EventsQueries {
     // epoch-day mod 7 (engine-neutral; 0 = Thursday). Scale: one
     // map-side-combined corpus shuffle into the O(types×days) daily
     // table, one window over (type, dow) — the events_trend shape.
-    "events_seasonality" -> ((s, dir) => {
-      val daily = Tables.events(s, dir)
+    "events_seasonality" -> ((s, dir) =>
+      seasonalityBody(Tables.events(s, dir)
         .groupBy(col("event_type"),
           to_date(date_trunc("day", col("ts"))).as("d"))
         .agg(count(lit(1)).as("c"))
         .select(col("event_type"),
           datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
-          col("c"))
-      val wDow = Window.partitionBy(col("event_type"), col("dow"))
-      daily
-        .withColumn("dow", col("x") % 7)
-        .withColumn("n_dow", count(lit(1)).over(wDow))
-        .withColumn("sum_dow", sum(col("c")).over(wDow))
-        .withColumn("resid_scaled", col("c") * col("n_dow") - col("sum_dow"))
-        .withColumn("is_anomaly",
-          lit(100L) * abs(col("resid_scaled")) > lit(SEAS_PCT.toLong) * col("sum_dow"))
-        .select(col("event_type"), col("x"), col("dow"), col("c"),
-          col("resid_scaled"), col("is_anomaly"))
-    }),
+          col("c")))),
 
     // Robust (median/MAD) daily-rate anomaly gate — the outlier-proof
     // twin of events_rate_anomaly: a mean/σ z-score is dragged by the
@@ -734,6 +734,29 @@ object EventsQueries {
       .withColumn("is_change", col("s_scaled") > lit(CUSUM_HPCT.toLong) * col("total"))
       .select(col("event_type"), col("x"), col("c"), col("s_scaled"),
         col("is_change"))
+  }
+
+  /** The day-of-week seasonal decomposition over a (event_type,
+    * x = epoch day, c = daily count) table — one algebra, two
+    * ingestion modes (the trendBody posture): the batch catalog query
+    * aggregates events into daily counts; the streaming monitor
+    * ([[graft.streaming.TrendMonitor.seasonalityReadout]]) feeds the
+    * SAME readout from its state-store snapshot, so the live
+    * seasonality gate and the oracle-checked events_seasonality can
+    * never disagree on the same events. Exact integers via
+    * cross-multiplied fractions — never divides; dow = x mod 7
+    * (engine-neutral; 0 = Thursday). */
+  private[graft] def seasonalityBody(daily: DataFrame): DataFrame = {
+    val wDow = Window.partitionBy(col("event_type"), col("dow"))
+    daily
+      .withColumn("dow", col("x") % 7)
+      .withColumn("n_dow", count(lit(1)).over(wDow))
+      .withColumn("sum_dow", sum(col("c")).over(wDow))
+      .withColumn("resid_scaled", col("c") * col("n_dow") - col("sum_dow"))
+      .withColumn("is_anomaly",
+        lit(100L) * abs(col("resid_scaled")) > lit(SEAS_PCT.toLong) * col("sum_dow"))
+      .select(col("event_type"), col("x"), col("dow"), col("c"),
+        col("resid_scaled"), col("is_anomaly"))
   }
 
   /** The integer OLS trend readout over a (event_type, x = epoch day,

@@ -86,14 +86,22 @@ object PipelineQueries {
       .select(col("doc_id"), col("shard"), col("pos"))
 
   /** One FK edge of the qa_referential audit: child count + orphan
-    * count via a left join (dim side broadcasts). A NULL child key
-    * counts as an orphan DELIBERATELY: the audit measures "rows that
-    * vanish from an inner join downstream", and a null FK vanishes
-    * exactly like a dangling one (QaProfileSpec pins this). */
+    * count via a left join. A NULL child key counts as an orphan
+    * DELIBERATELY: the audit measures "rows that vanish from an inner
+    * join downstream", and a null FK vanishes exactly like a dangling
+    * one (QaProfileSpec pins this). `hintBroadcast` is set ONLY for
+    * dims of genuinely bounded cardinality (nation, region): a forced
+    * hint on a corpus-scaled parent (customer) would override Spark's
+    * size-based planning and blow the broadcast limit at 100 TB —
+    * those edges leave the choice to size estimates + AQE, with the
+    * qa_referential plan audit as the sf-local guard. */
   private[queries] def fkEdge(child: DataFrame, ck: String,
-      parent: DataFrame, pk: String, name: String): DataFrame = {
+      parent: DataFrame, pk: String, name: String,
+      hintBroadcast: Boolean = false): DataFrame = {
+    val dim = parent.select(col(pk))
     child.select(col(ck))
-      .join(broadcast(parent.select(col(pk))), col(ck) === col(pk), "left")
+      .join(if (hintBroadcast) broadcast(dim) else dim,
+        col(ck) === col(pk), "left")
       .agg(count(lit(1)).as("n_child"), nullCnt(pk).as("n_orphans"))
       .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
   }
@@ -243,11 +251,14 @@ object PipelineQueries {
         .unionAll(fkEdge(Tables.orders(s, dir), "o_custkey",
           Tables.customer(s, dir), "c_custkey", "orders->customer"))
         .unionAll(fkEdge(Tables.customer(s, dir), "c_nationkey",
-          Tables.nation(s, dir), "n_nationkey", "customer->nation"))
+          Tables.nation(s, dir), "n_nationkey", "customer->nation",
+          hintBroadcast = true))
         .unionAll(fkEdge(Tables.supplier(s, dir), "s_nationkey",
-          Tables.nation(s, dir), "n_nationkey", "supplier->nation"))
+          Tables.nation(s, dir), "n_nationkey", "supplier->nation",
+          hintBroadcast = true))
         .unionAll(fkEdge(Tables.nation(s, dir), "n_regionkey",
-          Tables.region(s, dir), "r_regionkey", "nation->region"))
+          Tables.region(s, dir), "r_regionkey", "nation->region",
+          hintBroadcast = true))
         .unionAll(fkEdge(Tables.events(s, dir), "user_id",
           Tables.customer(s, dir), "c_custkey", "events->customer"))
     }),

@@ -92,7 +92,16 @@ final class Flow[T] private (val ds: Dataset[T]) extends Serializable {
     *
     * Failure semantics match [[toLockstep]]: a consumer throw fails
     * the batch and every consumer re-sees it on restart —
-    * at-least-once, consumers must be idempotent. */
+    * at-least-once, consumers must be idempotent. CAUTION for the
+    * "strict cross-consumer causality" use: with `orderBy = Nil` the
+    * partition-major order is NOT stable across foreachBatch retries
+    * (Spark may recompute the batch with a different task layout), so
+    * a replayed batch can dispatch its elements in a different order
+    * than the failed attempt. Deterministic replay — causality that
+    * survives a retry — requires passing `orderBy` as a TOTAL ordering
+    * of the batch (e.g. `Seq(col("ts"), col("event_id"))`); Nil is
+    * only safe when consumers are order-insensitive as well as
+    * idempotent. */
   def toLockstepPerMessage(checkpoint: String,
       orderBy: Seq[org.apache.spark.sql.Column] = Nil)(
       consumers: ((T, Long) => Unit)*): StreamingQuery =

@@ -57,14 +57,30 @@ object ProfileMonitor {
     * would — while Java's String.compareTo orders UTF-16 code units,
     * which DIVERGES above the BMP. Zero allocation (the review caught
     * the getBytes-per-comparison form re-encoding both operands on
-    * every fold). */
+    * every fold). Ill-formed input: an UNPAIRED surrogate (possible
+    * from in-memory/non-parquet sources — parquet strings are
+    * well-formed) is what UTF8String encodes as the single
+    * replacement byte 0x3F ('?'), so this comparison maps lone
+    * surrogate code units to 0x3F too — without the remap a lone
+    * surrogate would order as U+D800+ (above every BMP character)
+    * here while ordering as '?' in the batch fold, breaking
+    * stream≡batch parity on exactly the malformed rows. */
   private[streaming] def utf8Less(a: String, b: String): Boolean = {
+    // codePointAt on a lone surrogate returns the surrogate unit
+    // itself (0xD800-0xDFFF); a PAIRED surrogate returns the
+    // supplementary code point (>= 0x10000), so this remap only ever
+    // fires on ill-formed input.
+    @inline def norm(cp: Int): Int =
+      if (cp >= Character.MIN_SURROGATE.toInt &&
+        cp <= Character.MAX_SURROGATE.toInt) 0x3F else cp
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {
       val ca = a.codePointAt(i)
       val cb = b.codePointAt(j)
-      if (ca != cb) return ca < cb
+      val na = norm(ca)
+      val nb = norm(cb)
+      if (na != nb) return na < nb
       i += Character.charCount(ca)
       j += Character.charCount(cb)
     }

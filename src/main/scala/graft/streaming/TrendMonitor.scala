@@ -56,4 +56,15 @@ object TrendMonitor {
   def cusumReadout(counts: DataFrame): DataFrame =
     graft.queries.EventsQueries.cusumBody(
       counts.select(col("event_type"), col("x"), col("c")))
+
+  /** The day-of-week seasonal-decomposition readout over the same
+    * streamed daily-count snapshot — the factored events_seasonality
+    * algebra ([[graft.queries.EventsQueries.seasonalityBody]]): the
+    * FOURTH alarm off the one (type, day) state table (OLS drift, MAD
+    * outliers, CUSUM sustained shift, seasonality-aware residual), so
+    * the live deseasonalized gate and the oracle-checked batch query
+    * flag identically on the same events. */
+  def seasonalityReadout(counts: DataFrame): DataFrame =
+    graft.queries.EventsQueries.seasonalityBody(
+      counts.select(col("event_type"), col("x"), col("c")))
 }

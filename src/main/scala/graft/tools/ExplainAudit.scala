@@ -556,10 +556,15 @@ object ExplainAudit {
 
     audit("events_path_mining",
       "session path agg REUSES the user-window partitioning (grouping " +
-        "keys are a superset): exactly two exchanges; top-N is " +
+        "keys are a superset): exactly two exchanges; the per-session " +
+        "rank window shares the user exchange (3 Window nodes — lag, " +
+        "running-sum, row_number — still 2 Exchanges); BOUNDED " +
+        "per-group state — collect_list aggregates a CASE WHEN " +
+        "(rn <= cap) guard, never the raw struct; top-N is " +
         "TakeOrderedAndProject; no join anywhere") { p =>
-      count(p, "Exchange") == 2 && p.contains("TakeOrderedAndProject") &&
-        !p.contains("Join")
+      count(p, "Exchange") == 2 && count(p, "Window") == 3 &&
+        p.contains("TakeOrderedAndProject") && !p.contains("Join") &&
+        """collect_list\(CASE WHEN \(rn#\d+ <= 20\)""".r.findFirstIn(p).isDefined
     }
 
     audit("q6_forecast_revenue",

@@ -47,4 +47,46 @@ class DistinctSketchSpec extends AnyFunSuite {
       assert(estimates.head._2 <= estimates.last._2 * 1.001)
     } finally q.stop()
   }
+
+  test("per-group streaming estimates equal the batch sketch_hll_grouped " +
+    "rows bit-for-bit, boundary- and order-independently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.CorpusQueries
+      .queries("sketch_hll_grouped")(spark, dir)
+      .select("event_type", "hll_estimate").as[(String, Double)]
+      .collect().toMap
+    assert(batch.size > 1, "needs several groups to be a grouped parity")
+
+    val rows = graft.Tables.events(spark, dir)
+      .select("event_type", "event_id").as[(String, Long)].collect()
+
+    def run(data: Seq[(String, Long)], chunk: Int): Map[String, Double] = {
+      val last = scala.collection.concurrent.TrieMap.empty[String, Double]
+      val src = MemoryStream[(String, Long)]
+      val q = DistinctSketch.estimates[(String, Long)](
+          src.toDS(), _._1, _._2.toString)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Double)], _: Long) =>
+          b.collect().foreach { case (g, e) => last(g) = e }
+        }.start()
+      try data.grouped(chunk).foreach { c =>
+        src.addData(c.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      last.toMap
+    }
+
+    // uneven micro-batches, then reversed arrival in different chunks:
+    // registers are a pure function of the key multiset, so every
+    // group's estimate must equal the batch query's DOUBLE bit-for-bit
+    val got = run(rows.toSeq, 701)
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (g, e) =>
+      assert(e == batch(g), s"group $g: stream $e != batch ${batch(g)}")
+    }
+    val got2 = run(rows.reverse.toSeq, 1337)
+    assert(got2 == got, "arrival order / batch boundaries leaked into registers")
+  }
 }

@@ -115,4 +115,44 @@ class ProfileMonitorSpec extends AnyFunSuite {
       ColValue("s", Some(bmp), None, numeric = false)).foldLeft(empty)(fold)
     assert(st.maxS.contains(supp) && st.minS.contains(bmp))
   }
+
+  test("lone surrogates order as the 0x3F replacement byte, matching " +
+    "UTF8String's malformed-input encoding") {
+    import java.nio.charset.StandardCharsets
+    // an UNPAIRED high surrogate: codePointAt returns 0xD800 (above
+    // every BMP char) but String.getBytes(UTF_8) — the UTF8String
+    // path the batch fold compares in — emits the single byte '?'
+    // (0x3F, below almost everything). Without the norm remap these
+    // two orders disagree on exactly this input.
+    val lone = new String(Array('\ud800'))
+    assert(lone.getBytes(StandardCharsets.UTF_8).toSeq == Seq('?'.toByte),
+      "JVM encodes the lone surrogate as the replacement byte (the premise)")
+    def byteLess(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes(StandardCharsets.UTF_8),
+        b.getBytes(StandardCharsets.UTF_8))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    // probe pairs straddling 0x3F in both directions, plus ties and
+    // a surrogate embedded mid-string
+    val probes = Seq(
+      (lone, "A"), ("A", lone), (lone, "!"), ("!", lone),
+      (lone, "?"), ("?", lone), (lone, lone),
+      ("ab" + lone + "c", "ab?c"), ("ab?c", "ab" + lone + "c"),
+      ("ab" + lone, "ab"), ("ab", "ab" + lone))
+    probes.foreach { case (a, b) =>
+      assert(utf8Less(a, b) == byteLess(a, b),
+        s"utf8Less(${a.map(_.toInt.toHexString)}, ${b.map(_.toInt.toHexString)})")
+    }
+    // and the remap never fires on well-formed pairs: U+10000 still
+    // orders above U+FFFD (the previous test's contract holds)
+    val supp = new String(Character.toChars(0x10000))
+    assert(utf8Less("�", supp) == byteLess("�", supp))
+  }
 }

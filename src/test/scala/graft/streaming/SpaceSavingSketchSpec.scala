@@ -90,4 +90,66 @@ class SpaceSavingSketchSpec extends AnyFunSuite {
         assert(summary._1.contains(w), s"batch heavy hitter $w untracked")
       }
   }
+
+  test("per-group stream summaries bracket exact counts and capture every " +
+    "grouped batch heavy hitter (bit-equality is impossible for MG — " +
+    "counter values are order-dependent; the invariant + capture set " +
+    "IS the sketch's contract)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the grouped batch query computes the MG guarantee EXACTLY
+    // (cnt − d where d = the (k+1)-th largest count per group) — the
+    // stream summary must bracket those exact counts and track every
+    // key above the per-group MG threshold n_g/(cap+1)
+    val batch = graft.queries.ExtendedQueries
+      .queries("sketch_spacesaving_grouped")(spark, dir)
+      .select("event_type", "user_id", "exact_count")
+      .as[(String, Long, Long)].collect()
+    assert(batch.map(_._1).distinct.length > 1, "needs several groups")
+
+    val rows = graft.Tables.events(spark, dir)
+      .select("event_type", "user_id").as[(String, Long)].collect()
+    val byGroup = rows.groupBy(_._1)
+
+    def run(data: Seq[(String, Long)], chunk: Int): Map[String, SpaceSavingSketch.Summary] = {
+      val last = scala.collection.concurrent.TrieMap.empty[String, SpaceSavingSketch.Summary]
+      val src = MemoryStream[(String, Long)]
+      val q = SpaceSavingSketch.summaries[(String, Long)](
+          src.toDS(), _._1, _._2.toString, CAP)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, SpaceSavingSketch.Summary)], _: Long) =>
+          b.collect().foreach { case (g, sum) => last(g) = sum }
+        }.start()
+      try data.grouped(chunk).foreach { c =>
+        src.addData(c.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      last.toMap
+    }
+
+    // two arrival orders, uneven micro-batches: the INVARIANT must
+    // hold for both (the counter values may differ — that's MG)
+    Seq(run(rows.toSeq, 997), run(rows.reverse.toSeq, 1511)).foreach { got =>
+      assert(got.keySet == byGroup.keySet)
+      got.foreach { case (g, (c, d)) =>
+        val f = byGroup(g).groupBy(_._2).view
+          .mapValues(_.length.toLong).toMap
+        assert(c.size <= CAP)
+        f.foreach { case (u, fx) =>
+          val cx = c.getOrElse(u.toString, 0L)
+          assert(cx <= fx && fx <= cx + d,
+            s"group $g key $u: counter $cx, true $fx, deficit $d")
+        }
+        val nG = byGroup(g).length.toLong
+        // capture: every grouped-batch row above the MG threshold for
+        // THIS cap must be tracked by the stream summary
+        batch.filter(r => r._1 == g && r._3 * (CAP + 1) > nG)
+          .foreach { case (_, u, fx) =>
+            assert(c.contains(u.toString),
+              s"group $g: batch heavy hitter $u (f=$fx) untracked")
+          }
+      }
+    }
+  }
 }

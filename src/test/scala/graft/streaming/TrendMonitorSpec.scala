@@ -80,5 +80,20 @@ class TrendMonitorSpec extends AnyFunSuite {
     cusumStreamed.foreach { case (k, got) =>
       assert(got == cusumBatch(k), s"$k: stream $got vs batch ${cusumBatch(k)}")
     }
+
+    // and the FOURTH alarm off the same state table: the day-of-week
+    // seasonal decomposition ≡ the oracle-checked batch
+    // events_seasonality — per (type, day) rows, exact integer
+    // residuals and flags
+    val seasBatch = graft.queries.EventsQueries
+      .queries("events_seasonality")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+    val seasStreamed = TrendMonitor
+      .seasonalityReadout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(seasStreamed.keySet == seasBatch.keySet && seasBatch.nonEmpty)
+    seasStreamed.foreach { case (k, got) =>
+      assert(got == seasBatch(k), s"$k: stream $got vs batch ${seasBatch(k)}")
+    }
   }
 }
