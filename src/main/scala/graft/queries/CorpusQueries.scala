@@ -1146,6 +1146,57 @@ object CorpusQueries {
         .orderBy(desc("score"), col("doc_id"))
         .limit(TOPK)),
 
+    // nDCG@k of the shipped BM25 ranking — the IR-eval readout that
+    // completes the retrieval family (sim_ivf_recall grades the ANN
+    // index against brute truth; this grades the LEXICAL ranker
+    // against a graded-relevance proxy): relevance = the doc's total
+    // query-term occurrences capped at 31 (0..31 integer grades — fine
+    // enough to DISCRIMINATE rankings, where a distinct-term grade
+    // saturates at |terms| and scores every reasonable ranking 1.0;
+    // BM25's length normalization + idf deliberately DISAGREE with a
+    // raw occurrence grade, so the metric is a real number < 1),
+    // DCG@k over the ranking text_bm25_topk ships
+    // verbatim, IDCG@k over the best-possible grade sequence. Float
+    // discipline: each (2^rel − 1)/log2(i+1) gain rounds through
+    // DECIMAL(18,6) before the EXACT decimal sum (the text_lm_score
+    // posture — a raw double sum's addition order diverges across
+    // engines), and the final ratio is ONE fixed-order double op
+    // floored to micro-units (the z-test posture). Scale: both
+    // rankings reduce via TakeOrdered top-k (never a global sort),
+    // the rank window runs on k control-plane rows, relevance is one
+    // filtered-token agg — O(corpus tokens) map-side combined.
+    "text_ndcg_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rel = docs.select(col("doc_id"), explode(toks).as("word"))
+        .where(col("word").isin(BM25_TERMS: _*))
+        .groupBy(col("doc_id"))
+        .agg(least(count(lit(1)), lit(31L)).as("rel"))
+      def gainDec(relC: Column, rnC: Column): Column =
+        ((expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT))") - lit(1L))
+          .cast("double") / log2(rnC.cast("double") + lit(1.0)))
+          .cast(DecimalType(18, 6))
+      val ranked = bm25Scored(docs)
+        .orderBy(desc("score"), col("doc_id")).limit(TOPK)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(desc("score"), col("doc_id"))))
+        .join(rel, Seq("doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .agg(sum(gainDec(col("rel"), col("rn"))).as("dcg_dec"))
+      val ideal = rel
+        .orderBy(desc("rel"), col("doc_id")).limit(TOPK)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(desc("rel"), col("doc_id"))))
+        .agg(sum(gainDec(col("rel"), col("rn"))).as("idcg_dec"))
+      ranked.crossJoin(ideal)
+        .select(lit(TOPK).as("k"),
+          col("dcg_dec").cast("double").as("dcg"),
+          col("idcg_dec").cast("double").as("idcg"),
+          when(col("idcg_dec") === 0, lit(null).cast("long"))
+            .otherwise(floor(col("dcg_dec").cast("double") /
+              col("idcg_dec").cast("double") * lit(1000000.0) + lit(0.5))
+              .cast("long")).as("ndcg_micro"))
+    }),
+
     // DSIR importance resampling (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling" — the public method
     // behind domain-targeted pretraining mixes): hash every token into
@@ -1780,6 +1831,37 @@ object CorpusQueries {
       s"""WITH $oBm25Cte
          |SELECT doc_id, score
          |FROM lexscore ORDER BY score DESC, doc_id LIMIT $TOPK""".stripMargin,
+
+    // same lexscore chain, same distinct-term grades, same
+    // DECIMAL(18,6)-rounded gains and exact decimal sums, same single
+    // micro-floored ratio
+    "text_ndcg_eval" -> {
+      val termList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+      s"""WITH $oBm25Cte,
+         |relv AS (SELECT doc_id, CAST(LEAST(COUNT(*), 31) AS BIGINT) AS rel
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |FROM documents) WHERE word IN ($termList) GROUP BY doc_id),
+         |ranked AS (SELECT doc_id,
+         |row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |FROM lexscore ORDER BY score DESC, doc_id LIMIT $TOPK),
+         |dcg AS (SELECT SUM(CAST(
+         |(CAST((1::BIGINT << CAST(COALESCE(r.rel, 0) AS INTEGER)) - 1 AS DOUBLE))
+         |/ log2(CAST(rn AS DOUBLE) + 1.0) AS DECIMAL(18,6))) AS dcg_dec
+         |FROM ranked LEFT JOIN relv r USING (doc_id)),
+         |ibest AS (SELECT rel,
+         |row_number() OVER (ORDER BY rel DESC, doc_id) AS rn
+         |FROM relv ORDER BY rel DESC, doc_id LIMIT $TOPK),
+         |idcg AS (SELECT SUM(CAST(
+         |(CAST((1::BIGINT << CAST(rel AS INTEGER)) - 1 AS DOUBLE))
+         |/ log2(CAST(rn AS DOUBLE) + 1.0) AS DECIMAL(18,6))) AS idcg_dec
+         |FROM ibest)
+         |SELECT $TOPK AS k, CAST(dcg_dec AS DOUBLE) AS dcg,
+         |CAST(idcg_dec AS DOUBLE) AS idcg,
+         |CASE WHEN idcg_dec = 0 THEN NULL
+         |ELSE CAST(FLOOR(CAST(dcg_dec AS DOUBLE) / CAST(idcg_dec AS DOUBLE)
+         |* 1000000.0 + 0.5) AS BIGINT) END AS ndcg_micro
+         |FROM dcg CROSS JOIN idcg""".stripMargin
+    },
 
     // identical hashed-bucket estimation, DECIMAL(18,6)-rounded ln
     // terms, exact decimal sums, and the same md5-derived Gumbel key —

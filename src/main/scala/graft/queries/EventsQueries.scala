@@ -181,6 +181,70 @@ object EventsQueries {
           coalesce(col("n_views"), lit(0L)).as("n_views"), col("first_view_ts"))
     }),
 
+    // Interval-OVERLAP join — the genuinely two-sided sibling of
+    // j_range_bucketed (there the probe side is a POINT in a
+    // fixed-width window; here BOTH sides are variable-length
+    // intervals): user sessions × global error-burst incidents, the
+    // "blast radius" readout (how many user sessions were active
+    // during each incident, and for how long). The two interval
+    // tables are both DERIVED (sessionize gap rule verbatim; incidents
+    // = runs of error-bearing MINUTES with < 10 empty minutes between
+    // them, detected over the O(minutes) per-minute error histogram —
+    // one map-side-combined shuffle, then a control-plane single-
+    // partition window over ≤ minutes-per-corpus rows: a year of
+    // 100 TB telemetry is 525k minutes, driver-trivial). The join
+    // itself is the 100 TB-survivable form of interval overlap:
+    //  - hour-bucket both sides (sequence-explode across the buckets
+    //    each interval covers; the session side is guarded LOUDLY at
+    //    graft.overlap.maxBuckets — a week-spanning session is the
+    //    same bot key every lane-guard in this file exists for);
+    //  - the incident side is O(incidents) → broadcast, so the
+    //    session side never shuffles for the join at all;
+    //  - equi-join on the bucket + residual overlap predicate, and
+    //    each overlapping pair is kept in EXACTLY one bucket — the
+    //    one containing max(session_start, incident_start) — so no
+    //    pair-level dedup is ever needed (the classic interval-join
+    //    exactly-once rule).
+    // The oracle runs the textbook non-equi join (DuckDB IEJoin) —
+    // same rows, plan worlds apart. Overlap micros are exact longs.
+    "j_interval_overlap" -> ((s, dir) => {
+      val wUs = OVERLAP_W_US
+      val maxBkt = graft.GraftConf.long("graft.overlap.maxBuckets", 168L)
+      // side 1: per-user gap sessions as [ss, se] unix-micro intervals
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(wOrd)
+      val brk = when(prev.isNull ||
+        unix_micros(col("ts")) - unix_micros(prev) >= GAP_US, 1).otherwise(0)
+      val sess = Tables.events(s, dir)
+        .withColumn("brk", brk)
+        .withColumn("session_seq", sum(col("brk"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(unix_micros(col("ts"))).as("ss"),
+          max(unix_micros(col("ts"))).as("se"))
+        .withColumn("b0", expr(s"ss div $wUs"))
+        .withColumn("b1", expr(s"se div $wUs"))
+        .withColumn("b1", when(col("b1") - col("b0") < maxBkt, col("b1"))
+          .otherwise(expr(s"raise_error('j_interval_overlap: a session " +
+            s"spans >= graft.overlap.maxBuckets = $maxBkt hour buckets " +
+            s"— bot/default-key skew; raise the cap or pre-filter the " +
+            s"key')").cast("long")))
+      val sessB = sess.withColumn("bkt", explode(expr("sequence(b0, b1)")))
+      // side 2: global incidents from the per-minute error histogram
+      val minutes = Tables.events(s, dir)
+        .where(col("event_type") === "error")
+        .select(unix_micros(col("ts")).as("us"))
+        .withColumn("m", expr("us div 60000000"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("cnt"), min(col("us")).as("mn"), max(col("us")).as("mx"))
+      val incidents = incidentsBody(minutes)
+        // O(incidents) rows feed BOTH the broadcast build and the final
+        // left join — pin (the q15 posture) so the 100 TB error scan
+        // and the minute histogram run ONCE, not twice
+        .localCheckpoint()
+      overlapJoin(sessB, incidents)
+    }),
+
     // Gap-based sessionization, per-EVENT output (w4_session emits the
     // per-session aggregate; this emits each event's session sequence
     // number and its session's size — the enrichment shape downstream
@@ -615,6 +679,64 @@ object EventsQueries {
     graft.GraftConf.long("graft.attr.windowHours", 24L) * 3600L * 1000000L
 
   /** Path mining: per-path event cap and top-N output size. */
+  /** Interval-overlap join: hour bucket width and the incident gap
+    * (empty minutes that close an error burst). */
+  private[queries] val OVERLAP_W_US = 3600L * 1000000L
+  private val INC_GAP_MIN = 10L
+
+  /** Incident detection over a per-minute error histogram (m = epoch
+    * minute, cnt, mn/mx = exact first/last error micros in that
+    * minute) — runs of error-bearing minutes with < INC_GAP_MIN empty
+    * minutes between them. Factored (the trendBody posture) so the
+    * batch j_interval_overlap and the streaming
+    * [[graft.streaming.IncidentMonitor]] detect IDENTICAL incidents
+    * from the same minute stats: the monitor maintains the (minute,
+    * cnt, mn, mx) table incrementally in the state store — counts and
+    * min/max are the textbook mergeable summary — and this readout
+    * runs over its snapshot. The single-partition window is
+    * control-plane BY SIZE: the input is O(distinct minutes), ~525k
+    * rows for a year of telemetry no matter the corpus bytes. */
+  private[graft] def incidentsBody(minutes: DataFrame): DataFrame = {
+    val wInc = Window.orderBy(col("m"))
+    minutes
+      .withColumn("ibrk", when(lag(col("m"), 1).over(wInc).isNull ||
+        col("m") - lag(col("m"), 1).over(wInc) >= INC_GAP_MIN, 1).otherwise(0))
+      .withColumn("iseq", sum(col("ibrk"))
+        .over(wInc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("iseq"))
+      .agg(min(col("m")).as("incident_id"), min(col("mn")).as("i_start_us"),
+        max(col("mx")).as("i_end_us"), sum(col("cnt")).as("n_errors"))
+      .drop("iseq")
+  }
+
+  /** The interval-overlap core, factored so OverlapJoinSpec can feed
+    * adversarial intervals: `sessB` is the bucket-exploded session
+    * side (ss, se, bkt — one row per hour bucket the session covers);
+    * `incidents` is the un-exploded incident table (incident_id,
+    * i_start_us, i_end_us, n_errors). The incident side explodes and
+    * BROADCASTS; the equi-join keeps each overlapping pair in exactly
+    * one bucket — the one containing max(ss, i_start_us) — so no
+    * pair-level dedup is needed; incidents with zero overlapping
+    * sessions survive via the final left join. */
+  private[queries] def overlapJoin(sessB: DataFrame, incidents: DataFrame): DataFrame = {
+    val wUs = OVERLAP_W_US
+    val incB = incidents
+      .withColumn("bkt", explode(expr(
+        s"sequence(i_start_us div $wUs, i_end_us div $wUs)")))
+    val matched = sessB.join(broadcast(incB), Seq("bkt"))
+      .where(col("ss") <= col("i_end_us") && col("i_start_us") <= col("se") &&
+        col("bkt") === expr(s"greatest(ss, i_start_us) div $wUs"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(least(col("se"), col("i_end_us")) -
+          greatest(col("ss"), col("i_start_us"))).as("overlap_us_sum"))
+    incidents.select(col("incident_id"), col("i_start_us"),
+        col("i_end_us"), col("n_errors"))
+      .join(matched, Seq("incident_id"), "left")
+      .select(col("incident_id"), col("i_start_us"), col("i_end_us"),
+        col("n_errors"), coalesce(col("n_sessions"), lit(0L)).as("n_sessions"),
+        coalesce(col("overlap_us_sum"), lit(0L)).as("overlap_us_sum"))
+  }
   private def PATH_CAP = graft.GraftConf.int("graft.path.maxEvents", 20)
   private def PATH_TOPN = graft.GraftConf.int("graft.path.topn", 50)
 
@@ -961,6 +1083,39 @@ object EventsQueries {
          |FROM e LEFT JOIN v ON v.user_id = e.user_id AND v.vts >= e.ets
          |AND v.vts < e.ets + INTERVAL 1 HOUR
          |GROUP BY 1, 2""".stripMargin,
+
+    // textbook non-equi overlap join (DuckDB IEJoin) over the same two
+    // derived interval tables — same rows as the bucketed broadcast
+    // equi-join + exactly-once residual
+    "j_interval_overlap" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts FROM $oEvents),
+         |b AS (SELECT user_id, event_id, ts,
+         |CASE WHEN lag(ts) OVER w IS NULL
+         |OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (SELECT user_id, ts,
+         |SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |ROWS UNBOUNDED PRECEDING) AS session_seq FROM b),
+         |sess AS (SELECT user_id, session_seq,
+         |MIN(epoch_us(ts)) AS ss, MAX(epoch_us(ts)) AS se FROM g GROUP BY 1, 2),
+         |em AS (SELECT epoch_us(ts) // 60000000 AS m, COUNT(*) AS cnt,
+         |MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+         |FROM $oEvents WHERE event_type = 'error' GROUP BY 1),
+         |ib AS (SELECT *, CASE WHEN lag(m) OVER (ORDER BY m) IS NULL
+         |OR m - lag(m) OVER (ORDER BY m) >= $INC_GAP_MIN THEN 1 ELSE 0 END AS ibrk
+         |FROM em),
+         |ig AS (SELECT *, SUM(ibrk) OVER (ORDER BY m
+         |ROWS UNBOUNDED PRECEDING) AS iseq FROM ib),
+         |inc AS (SELECT MIN(m) AS incident_id, MIN(mn) AS i_start_us,
+         |MAX(mx) AS i_end_us, CAST(SUM(cnt) AS BIGINT) AS n_errors
+         |FROM ig GROUP BY iseq)
+         |SELECT i.incident_id, i.i_start_us, i.i_end_us, i.n_errors,
+         |CAST(COUNT(s.ss) AS BIGINT) AS n_sessions,
+         |CAST(COALESCE(SUM(LEAST(s.se, i.i_end_us) - GREATEST(s.ss, i.i_start_us)), 0)
+         |AS BIGINT) AS overlap_us_sum
+         |FROM inc i LEFT JOIN sess s
+         |ON s.ss <= i.i_end_us AND i.i_start_us <= s.se
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "events_sessionize" ->
       s"""WITH e AS (SELECT event_id, user_id, ts FROM $oEvents),

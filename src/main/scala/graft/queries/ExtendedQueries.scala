@@ -20,6 +20,7 @@ object ExtendedQueries {
 
   /** PageRank power iterations over the k-NN graph. */
   private def PR_ITER = GraftConf.int("graft.pagerank.iters", 3)
+  private def LP_ITER = GraftConf.int("graft.lp.iters", 4)
 
   /** Trainer sample size for the LEARNED ANN indexes (trained IVF, PQ,
     * IVF-PQ): codebooks/centroids fit on the first trainMax vectors —
@@ -76,6 +77,45 @@ object ExtendedQueries {
       .withColumn("lcc_micro", when(col("deg") >= 2,
         expr("(2000000 * tri) div (deg * (deg - 1))")).otherwise(lit(0L)))
       .select(col("vec_id"), col("deg"), col("tri"), col("lcc_micro"))
+  }
+
+  /** Synchronous label propagation over a canonical undirected edge
+    * set (u < v, distinct) — the sim_graph_communities core, factored
+    * so LabelPropagationSpec can pin the vote/tie algebra on known
+    * graphs (two cliques + one bridge must NOT merge; the tie-break
+    * must pick the smaller label). LP_ITER fixed rounds; each node
+    * adopts its neighbors' majority label, ties to the SMALLEST label
+    * (deterministic — async LP's arrival-order dependence would never
+    * oracle-match). Edge set localCheckpoint-pinned (the pagerank
+    * discipline) so the upstream build runs once, not LP_ITER times. */
+  private[queries] def labelPropagation(und: DataFrame): DataFrame = {
+    // Round cost, honestly: at bench SF AQE broadcasts the O(N) label
+    // side and REUSES one edge BroadcastExchange across all rounds
+    // (executed-plan audited — 2 ReusedExchange nodes); at 100 TB the
+    // broadcast demotes to SMJ and each round pays an edges + labels
+    // exchange pair — the vanilla-Spark LP cost. The cluster recipe
+    // for iterated joins is the q21 one: pre-bucketed edge tables on
+    // dst make the edge side's exchange vanish from every round
+    // (tools/BucketedJoinDemo measures that class).
+    val dirE = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var labels = dirE.select(col("src").as("vec_id")).distinct()
+      .select(col("vec_id"), col("vec_id").as("lbl"))
+    for (_ <- 1 to LP_ITER) {
+      labels = dirE
+        .join(labels.withColumnRenamed("vec_id", "dst"), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("c").desc, col("lbl").asc)))
+        .where(col("rn") === 1)
+        .select(col("src").as("vec_id"), col("lbl"))
+    }
+    labels
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("lbl"))))
+      .select(col("vec_id"), col("lbl").as("community_id"),
+        col("community_size"))
   }
 
   /** The k-NN oracle CTE chain, ending in `knn` (src, rnk, dst, cos)
@@ -498,6 +538,26 @@ object ExtendedQueries {
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
         .distinct().localCheckpoint())),
+
+    // Label-propagation communities over the same kNN graph — the
+    // fourth graph readout (components finds CONNECTED groups,
+    // pagerank ranks, triangles measure local density; LP finds the
+    // DENSELY-INTERLINKED communities inside one component — the
+    // semantic neighborhoods a curation pipeline balances across).
+    // SYNCHRONOUS LP (Raghavan 2007), LP_ITER fixed rounds, each node
+    // adopts its neighbors' majority label with ties to the SMALLEST
+    // label — fully deterministic in both engines (async LP's arrival
+    // order dependence would never oracle-match). Scale: the edge set
+    // is O(N·k) and localCheckpoint-pinned (the pagerank discipline);
+    // each round is one edges⋈labels equi-join + one (src, lbl) agg
+    // + one per-src rank window — all clustered on src/dst hash
+    // partitioning, labels are O(N) rows; the plan is LP_ITER chained
+    // rounds, no recursion, no driver loop over data.
+    "sim_graph_communities" -> ((s, dir) =>
+      labelPropagation(knnGraph(s, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct())),
 
     // Index-quality metric: recall@3 of the shipped IVF index — AND
     // its multiprobe repair — against the shipped brute-force truth,
@@ -1222,6 +1282,91 @@ object ExtendedQueries {
           q(7500).as("p75"), q(9000).as("p90"))
     }),
 
+    // The SQL window-RANK battery (rank, dense_rank, percent_rank,
+    // cume_dist, quartile bucket) — the remaining window surface the
+    // catalog's analytic windows (lag/lead/row_number/frames) didn't
+    // cover. Partitioned by (nation, segment): rank windows
+    // intrinsically need a per-group total order, so the group key
+    // must bound partition size — 125 groups here, each
+    // executor-sized at any SF (when only quantiles are needed, the
+    // a_median histogram form replaces the sort entirely; ranks per
+    // ROW can't avoid it). Every emitted metric is EXACT integer:
+    // percent_rank = ((rank−1)·1e6) div (n−1), cume_dist =
+    // (peers_cum·1e6) div n, and the quartile is the DETERMINISTIC
+    // ((rn−1)·4) div n + 1 over a (value, key) row order — raw NTILE
+    // assigns tied rows by arrival order, which no two engines agree
+    // on (deliberately avoided).
+    "a_window_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      val wOrd = w.orderBy(col("c_acctbal"))
+      val wRn = w.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal"))
+        .withColumn("rnk", rank().over(wOrd).cast("long"))
+        .withColumn("drnk", dense_rank().over(wOrd).cast("long"))
+        .withColumn("rn", row_number().over(wRn).cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("cum", count(lit(1)).over(
+          wOrd.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("pr_micro", when(col("n") === 1L, lit(0L))
+          .otherwise(expr("((rnk - 1) * 1000000) div (n - 1)")))
+        .withColumn("cd_micro", expr("(cum * 1000000) div n"))
+        .withColumn("quartile", expr("((rn - 1) * 4) div n + 1").cast("int"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("rnk"), col("drnk"), col("pr_micro"), col("cd_micro"),
+          col("quartile"))
+    }),
+
+    // Exact higher-moment battery per event type — mean/variance/
+    // skewness/kurtosis of purchase values, the distribution-shape
+    // readout drift monitors compare across ingests (a mean gate
+    // misses a variance explosion; a z-gate misses a skew flip).
+    // Exactness discipline: values floor ONCE to integer cents (the
+    // attribution posture), the four power sums S1..S4 accumulate in
+    // DECIMAL(38,0) — cents⁴ crosses 2⁶³ at ~10⁶ rows, so an int64
+    // sum would WRAP silently where DuckDB raises (the trendBody den
+    // class) — and each shape metric is ONE fixed-order double
+    // expression over those exact sums, floored to micro (the z-test
+    // posture). Scale: one map-side-combined shuffle, O(types) rows.
+    "a_moments" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      Tables.events(s, dir)
+        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c")).as("s1"),
+          // per-row c² (≤1e10) and c³ (≤1e15) fit int64; c⁴ does NOT
+          // (cents ≤ 1e5 → c⁴ ≤ 1e20), so the 4th power multiplies in
+          // decimal BEFORE any sum
+          sum((col("c") * col("c")).cast(dec)).as("s2"),
+          sum((col("c") * col("c") * col("c")).cast(dec)).as("s3"),
+          sum(((col("c") * col("c")).cast(dec) *
+            (col("c") * col("c")).cast(dec))).as("s4"))
+        .withColumn("mean_c", col("s1").cast("double") / col("n").cast("double"))
+        .withColumn("m2", col("s2").cast("double") / col("n").cast("double")
+          - col("mean_c") * col("mean_c"))
+        .withColumn("m3", col("s3").cast("double") / col("n").cast("double")
+          - lit(3.0) * col("mean_c") * col("s2").cast("double") / col("n").cast("double")
+          + lit(2.0) * col("mean_c") * col("mean_c") * col("mean_c"))
+        .withColumn("m4", col("s4").cast("double") / col("n").cast("double")
+          - lit(4.0) * col("mean_c") * col("s3").cast("double") / col("n").cast("double")
+          + lit(6.0) * col("mean_c") * col("mean_c") * col("s2").cast("double") / col("n").cast("double")
+          - lit(3.0) * col("mean_c") * col("mean_c") * col("mean_c") * col("mean_c"))
+        .select(col("event_type"), col("n"), col("s1"), col("s2"),
+          col("s3"), col("s4"),
+          expr("(CAST(s1 AS DECIMAL(38,0)) * 10000) div n").as("mean_micro"),
+          floor(col("m2") * lit(1000000.0) + lit(0.5)).cast("long").as("var_micro"),
+          when(col("m2") <= 0.0, lit(null).cast("long"))
+            .otherwise(floor(col("m3") / sqrt(col("m2") * col("m2") * col("m2"))
+              * lit(1000000.0) + lit(0.5)).cast("long")).as("skew_micro"),
+          when(col("m2") <= 0.0, lit(null).cast("long"))
+            .otherwise(floor((col("m4") / (col("m2") * col("m2")) - lit(3.0))
+              * lit(1000000.0) + lit(0.5)).cast("long")).as("kurt_micro"))
+    }),
+
     // Distinct aggregation (expand/partial-distinct plan).
     "a_count_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1574,6 +1719,28 @@ object ExtendedQueries {
          |ELSE 0 END AS lcc_micro
          |FROM dg LEFT JOIN pn ON dg.vec_id = pn.vec_id""".stripMargin,
 
+    // same factored edge chain; LP_ITER synchronous majority-vote
+    // rounds with the identical min-label tie-break
+    "sim_graph_communities" -> {
+      val rounds = (1 to LP_ITER).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""v$i AS (SELECT d.src, l.lbl, COUNT(*) AS c
+           |FROM dirE d JOIN $prev l ON d.dst = l.vec_id GROUP BY 1, 2),
+           |l$i AS (SELECT src AS vec_id, lbl FROM v$i
+           |QUALIFY row_number() OVER (PARTITION BY src
+           |ORDER BY c DESC, lbl ASC) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $oKnnChain,
+         |und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM knn),
+         |dirE AS (SELECT u AS src, v AS dst FROM und
+         |UNION ALL SELECT v AS src, u AS dst FROM und),
+         |l0 AS (SELECT DISTINCT src AS vec_id, src AS lbl FROM dirE),
+         |$rounds
+         |SELECT vec_id, lbl AS community_id,
+         |COUNT(*) OVER (PARTITION BY lbl) AS community_size
+         |FROM l$LP_ITER""".stripMargin
+    },
+
     // same factored edge chain; mutual-pair self-join, one-side cosine
     "sim_reciprocal_knn" ->
       s"""WITH $oKnnChain
@@ -1882,6 +2049,67 @@ object ExtendedQueries {
     "a_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY 1""".stripMargin,
+
+    // same partitioned rank windows, same exact integer micro ratios,
+    // same deterministic quartile formula (raw NTILE's tie handling is
+    // engine-dependent — both sides avoid it)
+    "a_window_ranks" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
+        |FROM customer),
+        |w AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |CAST(rank() OVER wv AS BIGINT) AS rnk,
+        |CAST(dense_rank() OVER wv AS BIGINT) AS drnk,
+        |CAST(row_number() OVER wr AS BIGINT) AS rn,
+        |CAST(COUNT(*) OVER wp AS BIGINT) AS n,
+        |CAST(COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |ORDER BY c_acctbal RANGE UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |FROM c WINDOW
+        |wp AS (PARTITION BY c_nationkey, c_mktsegment),
+        |wv AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY c_acctbal),
+        |wr AS (PARTITION BY c_nationkey, c_mktsegment
+        |ORDER BY c_acctbal, c_custkey))
+        |SELECT c_custkey, c_nationkey, c_mktsegment, rnk, drnk,
+        |CASE WHEN n = 1 THEN 0 ELSE ((rnk - 1) * 1000000) // (n - 1) END AS pr_micro,
+        |(cum * 1000000) // n AS cd_micro,
+        |CAST(((rn - 1) * 4) // n + 1 AS INTEGER) AS quartile
+        |FROM w""".stripMargin,
+
+    // same once-floored cents, same DECIMAL(38)/HUGEINT power sums,
+    // same fixed-order double shape metrics floored once to micro
+    "a_moments" ->
+      """WITH v AS (SELECT event_type,
+        |CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
+        |WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(c) AS BIGINT) AS s1,
+        |CAST(SUM(CAST(c * c AS HUGEINT)) AS DECIMAL(38,0)) AS s2,
+        |CAST(SUM(CAST(c * c * c AS HUGEINT)) AS DECIMAL(38,0)) AS s3,
+        |CAST(SUM(CAST(c * c AS HUGEINT) * CAST(c * c AS HUGEINT))
+        |AS DECIMAL(38,0)) AS s4
+        |FROM v GROUP BY 1),
+        |d AS (SELECT *,
+        |CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |- (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |* (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2 FROM m),
+        |e AS (SELECT *,
+        |CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |- 3.0 * mean_c * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |+ 2.0 * mean_c * mean_c * mean_c AS m3,
+        |CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+        |- 4.0 * mean_c * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |+ 6.0 * mean_c * mean_c * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |- 3.0 * mean_c * mean_c * mean_c * mean_c AS m4 FROM d)
+        |SELECT event_type, n, s1, s2, s3, s4,
+        |(CAST(s1 AS DECIMAL(38,0)) * 10000) // n AS mean_micro,
+        |CAST(FLOOR(m2 * 1000000.0 + 0.5) AS BIGINT) AS var_micro,
+        |CASE WHEN m2 <= 0.0 THEN NULL
+        |ELSE CAST(FLOOR(m3 / sqrt(m2 * m2 * m2) * 1000000.0 + 0.5) AS BIGINT)
+        |END AS skew_micro,
+        |CASE WHEN m2 <= 0.0 THEN NULL
+        |ELSE CAST(FLOOR((m4 / (m2 * m2) - 3.0) * 1000000.0 + 0.5) AS BIGINT)
+        |END AS kurt_micro
+        |FROM e""".stripMargin,
 
     "dedup_jaccard_dfcap" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -282,6 +282,57 @@ object PipelineQueries {
           .withColumn("text_len", length(col("text")).cast("long")),
         Seq("lang", "source", "n_chars", "text_len"))),
 
+    // Per-column profile DRIFT between two corpus snapshots — the QA
+    // gate a pipeline runs between ingests: corpus_snapshot_diff lists
+    // WHICH rows changed; this says whether the DISTRIBUTION moved
+    // (row count, null rate, distinct cardinality, min/max bounds) —
+    // the schema/content-drift alarm that catches a broken upstream
+    // feed before training does. Snapshots are the CDC pair
+    // corpus_snapshot_diff defines (v1 = ids mod 10 ≠ 9; v2 = ids mod
+    // 10 ≠ 4 with every mod-7 doc's text revised — v2's text_len
+    // profile re-derives from the revised text, so the drift is
+    // real); each snapshot profiles in ONE pruned pass (the
+    // profile_table shape — in production the snapshots are distinct
+    // materialized tables, so two scans is the honest floor), joined
+    // on O(columns) rows. Decision arithmetic is exact-integer
+    // cross-multiplied: null-rate drift ⇔ |null2·rows1 − null1·rows2|
+    // ·100 > pct·rows1·rows2; distinct drift ⇔ |nd2 − nd1|·100 >
+    // pct·nd1 — never a float rate.
+    "qa_profile_drift" -> ((s, dir) => {
+      val pct = graft.GraftConf.int("graft.drift.pct", 5).toLong
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val cols = Seq("text_len", "lang", "source")
+      val v1 = docs.where(col("doc_id") % 10 =!= 9)
+        .withColumn("text_len", length(col("text")).cast("long"))
+      val v2 = docs.where(col("doc_id") % 10 =!= 4)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .withColumn("text_len", length(col("text")).cast("long"))
+      def side(df: DataFrame, sfx: String) =
+        profileCols(df, cols).select(col("col_name") +:
+          Seq("n_rows", "n_null", "n_distinct", "min_s", "max_s")
+            .map(c => col(c).as(s"${c}_$sfx")): _*)
+      side(v1, "v1").join(side(v2, "v2"), Seq("col_name"))
+        .withColumn("d_rows", col("n_rows_v2") - col("n_rows_v1"))
+        .withColumn("null_rate_drift",
+          abs(col("n_null_v2") * col("n_rows_v1") -
+            col("n_null_v1") * col("n_rows_v2")) * lit(100L) >
+            lit(pct) * col("n_rows_v1") * col("n_rows_v2"))
+        .withColumn("distinct_drift",
+          abs(col("n_distinct_v2") - col("n_distinct_v1")) * lit(100L) >
+            lit(pct) * col("n_distinct_v1"))
+        .withColumn("bounds_changed",
+          col("min_s_v1") =!= col("min_s_v2") ||
+            col("max_s_v1") =!= col("max_s_v2"))
+        .select(col("col_name"), col("n_rows_v1"), col("n_rows_v2"),
+          col("d_rows"), col("n_distinct_v1"), col("n_distinct_v2"),
+          col("null_rate_drift"), col("distinct_drift"),
+          col("bounds_changed"),
+          (col("null_rate_drift") || col("distinct_drift") ||
+            col("bounds_changed")).as("drift"))
+    }),
+
     // Deterministic seeded global shuffle — the reproducible
     // training-order assignment every pretraining run needs: the same
     // corpus + seed must yield the SAME shard files and within-shard
@@ -716,6 +767,42 @@ object PipelineQueries {
          |${Seq(p("lang", "lang"), p("source", "source"),
           p("n_chars", "n_chars"), p("text_len", "text_len"))
           .mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // same CDC snapshot pair, same one-pass per-snapshot profiles,
+    // same exact-integer cross-multiplied drift decisions
+    "qa_profile_drift" -> {
+      val pct = graft.GraftConf.int("graft.drift.pct", 5).toLong
+      def prof(c: String, src: String, from: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |CAST(SUM(CASE WHEN $src IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |COUNT(DISTINCT $src) AS n_distinct,
+           |CAST(MIN($src) AS VARCHAR) AS min_s,
+           |CAST(MAX($src) AS VARCHAR) AS max_s
+           |FROM $from""".stripMargin
+      def sideSql(from: String) =
+        Seq(prof("text_len", "text_len", from), prof("lang", "lang", from),
+          prof("source", "source", from)).mkString("\nUNION ALL\n")
+      s"""WITH v1 AS (SELECT CAST(length(text) AS BIGINT) AS text_len,
+         |lang, source FROM documents WHERE doc_id % 10 <> 9),
+         |v2 AS (SELECT CAST(length(CASE WHEN doc_id % 7 = 0
+         |THEN text || ' rev2' ELSE text END) AS BIGINT) AS text_len,
+         |lang, source FROM documents WHERE doc_id % 10 <> 4),
+         |p1 AS (${sideSql("v1")}),
+         |p2 AS (${sideSql("v2")})
+         |SELECT p1.col_name, p1.n_rows AS n_rows_v1, p2.n_rows AS n_rows_v2,
+         |p2.n_rows - p1.n_rows AS d_rows,
+         |p1.n_distinct AS n_distinct_v1, p2.n_distinct AS n_distinct_v2,
+         |abs(p2.n_null * p1.n_rows - p1.n_null * p2.n_rows) * 100
+         | > $pct * p1.n_rows * p2.n_rows AS null_rate_drift,
+         |abs(p2.n_distinct - p1.n_distinct) * 100
+         | > $pct * p1.n_distinct AS distinct_drift,
+         |p1.min_s <> p2.min_s OR p1.max_s <> p2.max_s AS bounds_changed,
+         |(abs(p2.n_null * p1.n_rows - p1.n_null * p2.n_rows) * 100
+         | > $pct * p1.n_rows * p2.n_rows)
+         |OR (abs(p2.n_distinct - p1.n_distinct) * 100 > $pct * p1.n_distinct)
+         |OR (p1.min_s <> p2.min_s OR p1.max_s <> p2.max_s) AS drift
+         |FROM p1 JOIN p2 USING (col_name)""".stripMargin
     },
 
     // same seeded md5 key, same top-32-bit shard bucket, same

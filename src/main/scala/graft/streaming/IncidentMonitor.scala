@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming leg of the incident detector: the per-minute error stats
+  * (count + exact first/last error micros) maintained incrementally in
+  * the state store — count/min/max are the textbook mergeable summary,
+  * so [[Fold.applyPartial]] pre-combines per micro-batch partition and
+  * the shuffle moves O(distinct minutes) partials, never raw events.
+  * The burst detection is the FACTORED batch algebra
+  * ([[graft.queries.EventsQueries.incidentsBody]]) over the streamed
+  * minute table — one algebra, two ingestion modes, so the live
+  * incident alarm and the oracle-checked j_interval_overlap's incident
+  * side can never disagree on the same events (IncidentMonitorSpec
+  * pins row-parity batch-boundary-independently).
+  *
+  * Reference analog: slipstream keeps per-key aggregates in an
+  * in-process cache inside async handlers (cookbook.rst:529-588); here
+  * the minute stats live in the restart-safe streaming state store and
+  * the readout stays a declarative plan.
+  */
+object IncidentMonitor {
+
+  /** Per-minute (count, first-us, last-us) over a stream (or batch
+    * frame — same fold) of error-event unix-micro timestamps. */
+  def minuteStats(
+      ds: Dataset[Long])(
+      implicit spark: SparkSession): Dataset[(Long, (Long, Long, Long))] = {
+    import spark.implicits._
+    Fold.applyPartial[Long, Long, (Long, Long, Long)](
+      ds,
+      us => us / 60000000L,
+      (0L, Long.MaxValue, Long.MinValue),
+      (b, us) => (b._1 + 1L, math.min(b._2, us), math.max(b._3, us)),
+      (a, b) => (a._1 + b._1, math.min(a._2, b._2), math.max(a._3, b._3)))
+  }
+
+  /** The batch incident readout over a streamed (m, cnt, mn, mx)
+    * snapshot. */
+  def readout(minutes: DataFrame): DataFrame =
+    graft.queries.EventsQueries.incidentsBody(
+      minutes.select(col("m"), col("cnt"), col("mn"), col("mx")))
+}

@@ -375,6 +375,18 @@ object ExplainAudit {
         "NEVER a nested-loop scan") { p =>
       !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
     }
+    audit("j_interval_overlap",
+      "two-sided interval overlap lowered to hour-bucket EQUI-join " +
+        "with the O(incidents) side BROADCAST (the session fact side " +
+        "never shuffles for the join) + exactly-once max-start residual" +
+        " — never a nested-loop/cartesian; both explodes are Generates; " +
+        "the incident side is localCheckpoint-pinned (one error scan, " +
+        "so its pushed filter is pre-materialized out of this plan) " +
+        "and the fact side pays only its user-window exchange") { p =>
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
+        p.contains("BroadcastHashJoin") && count(p, "Generate") >= 2 &&
+        count(p, "Exchange") <= 3
+    }
     audit("dedup_image_ahash",
       "synth+decode+hash is partition-local; ONE agg on the hash key") { p =>
       count(p, "Exchange") == 1 && !p.contains("Join")
@@ -708,6 +720,13 @@ object ExplainAudit {
       p.contains("ReusedExchange") && p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct")
     }
+    auditExecuted("sim_graph_communities",
+      "LP rounds are chained equi-joins over the ONE pinned edge set: " +
+        "AQE reuses the edge-side exchange across rounds (ReusedExchange " +
+        "present), never a cartesian/nested-loop") { p =>
+      p.contains("ReusedExchange") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin")
+    }
     audit("q12_priority_classes",
       "shipdate year pushed to the lineitem scan; CASE-count classes " +
         "fold into the single orders⋈lineitem join's aggregate") { p =>
@@ -817,6 +836,33 @@ object ExplainAudit {
         "exact-distinct Expand is the documented local/audit form)") { p =>
       count(p, "Scan parquet") == 1 && count(p, "Expand") >= 1 &&
         p.contains("ReadSchema: struct<text:string,lang:string,source:string,n_chars:bigint>")
+    }
+    audit("qa_profile_drift",
+      "each snapshot profiles in ONE pruned pass (two scans total — " +
+        "the honest floor when snapshots are distinct tables); the " +
+        "O(columns) join never shuffles a corpus row") { p =>
+      count(p, "Scan parquet") == 2 && count(p, "Expand") >= 2 &&
+        !p.contains("CartesianProduct") &&
+        p.linesIterator.count(_.contains(
+          "ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>")) == 2
+    }
+    audit("a_window_ranks",
+      "all five rank metrics share ONE (nation, segment) exchange — " +
+        "the sorts differ only in tiebreak, never re-shuffling; no join") { p =>
+      count(p, "Exchange") == 1 && !p.contains("Join")
+    }
+    audit("a_moments",
+      "one map-side-combined shuffle to O(types) rows; the power sums " +
+        "are partial-aggregated (two HashAggregates), no join, no window") { p =>
+      count(p, "Exchange") == 1 && !p.contains("Join") &&
+        count(p, "Window") == 0 && count(p, "HashAggregate") == 2 &&
+        p.contains("EqualTo(event_type,purchase)")
+    }
+    audit("text_ndcg_eval",
+      "both rankings reduce via TakeOrdered top-k (never a global " +
+        "sort-all); the rank windows run on k control-plane rows; " +
+        "the only nested-loop joins are 1-row scalar joins") { p =>
+      count(p, "TakeOrderedAndProject") == 2 && !p.contains("CartesianProduct")
     }
 
     spark.stop()

@@ -147,7 +147,15 @@ object ScaleRatios {
       // r12 continuation: the k=2 PassJoin (same constant-dictionary
       // replica caveat as j_fuzzy_edit), and the CUSUM changepoint
       // gate (events_trend's daily-table shape)
-      "j_fuzzy_edit2", "events_cusum", "events_seasonality")
+      "j_fuzzy_edit2", "events_cusum", "events_seasonality",
+      // r13: two-sided interval-overlap join (events), LP communities
+      // (embeddings), the nDCG ranking eval (documents), and the
+      // two-snapshot profile drift gate (documents)
+      "j_interval_overlap", "sim_graph_communities", "text_ndcg_eval",
+      "qa_profile_drift",
+      // r13: the rank-window battery (customer) and the exact-moment
+      // battery (events)
+      "a_window_ranks", "a_moments")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the synchronous-LP vote/tie algebra on hand-simulated graphs:
+  * two cliques joined by a bridge must NOT merge (the property that
+  * separates LP from connected components), a triangle absorbs its
+  * pendant, and the bipartite oscillation case is DETERMINISTIC at the
+  * fixed even round count — exactly what the oracle computes. */
+class LabelPropagationSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  private def lp(edges: (Long, Long)*): Map[Long, (Long, Long)] =
+    ExtendedQueries.labelPropagation(edges.toSeq.toDF("u", "v"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, c, sz) => n -> (c, sz) }.toMap
+
+  test("two 4-cliques + one bridge: each clique keeps its own " +
+    "community (components would merge them into one)") {
+    val cliqueA = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val cliqueB = Seq((11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L),
+      (12L, 14L), (13L, 14L))
+    val got = lp(cliqueA ++ cliqueB :+ ((4L, 11L)): _*)
+    // hand-simulated: A converges to label 1 by round 2, B to 11
+    assert(got == Map(
+      1L -> (1L, 4L), 2L -> (1L, 4L), 3L -> (1L, 4L), 4L -> (1L, 4L),
+      11L -> (11L, 4L), 12L -> (11L, 4L), 13L -> (11L, 4L), 14L -> (11L, 4L)))
+  }
+
+  test("triangle absorbs its pendant: one community, smallest label") {
+    val got = lp((7L, 8L), (7L, 9L), (8L, 9L), (9L, 10L))
+    assert(got == Map(7L -> (7L, 4L), 8L -> (7L, 4L),
+      9L -> (7L, 4L), 10L -> (7L, 4L)))
+  }
+
+  test("bipartite oscillation is deterministic at the fixed even " +
+    "round count: a single edge swaps labels each round and lands " +
+    "back on identity after 4") {
+    val got = lp((5L, 6L))
+    assert(got == Map(5L -> (5L, 1L), 6L -> (6L, 1L)))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The interval-overlap core's exactly-once rule and edge semantics,
+  * on adversarial hand-built intervals the corpus can't be trusted to
+  * contain: pairs sharing MANY buckets (must count once), touching
+  * endpoints (zero-length overlap counts, with 0 micros), disjoint
+  * pairs, empty incidents, and the loud session-span guard. */
+class OverlapJoinSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  private val W = EventsQueries.OVERLAP_W_US // 1h in micros
+  private def H(h: Long): Long = h * W
+
+  private def sessB(rows: (Long, Long)*) =
+    rows.toSeq.toDF("ss", "se")
+      .withColumn("bkt", explode(expr(s"sequence(ss div $W, se div $W)")))
+
+  private def inc(rows: (Long, Long, Long, Long)*) =
+    rows.toSeq.toDF("incident_id", "i_start_us", "i_end_us", "n_errors")
+
+  private def run(s: org.apache.spark.sql.DataFrame,
+      i: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+    EventsQueries.overlapJoin(s, i)
+      .select("incident_id", "n_sessions", "overlap_us_sum")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, o) => id -> (n, o) }.toMap
+
+  test("a pair sharing many buckets is counted exactly once, with the " +
+    "exact overlap micros") {
+    // session spans hours 0..10, incident spans hours 3..7 — they
+    // share 5 buckets; the max-start rule keeps only bucket 3
+    val got = run(sessB((H(0), H(10))), inc((1L, H(3), H(7), 9L)))
+    assert(got == Map(1L -> (1L, H(7) - H(3))))
+  }
+
+  test("touching endpoints is a zero-micro overlap, still counted; " +
+    "disjoint is not") {
+    // se == i_start_us: closed-interval touch -> 1 session, 0 micros
+    val touch = run(sessB((H(1), H(3))), inc((7L, H(3), H(4), 1L)))
+    assert(touch == Map(7L -> (1L, 0L)))
+    // 1 micro apart -> no overlap, incident survives with zero rows
+    val apart = run(sessB((H(1), H(3) - 1)), inc((7L, H(3), H(4), 1L)))
+    assert(apart == Map(7L -> (0L, 0L)))
+  }
+
+  test("each side's start/end asymmetry: containment both ways") {
+    // incident inside session, and session inside incident
+    val got = run(
+      sessB((H(0), H(10)), (H(4) + 5, H(4) + 11)),
+      inc((1L, H(4), H(5), 2L)))
+    assert(got == Map(1L -> (2L, (H(5) - H(4)) + 6L)))
+  }
+
+  test("multiple sessions x multiple incidents: every overlapping pair " +
+    "once, none twice (brute-force cross-check)") {
+    val ss = Seq.tabulate(40)(i => (H(i) / 2, H(i) / 2 + W * 3 / 2))
+    val is = Seq.tabulate(12)(j =>
+      (j.toLong, H(j) * 2 + W / 3, H(j) * 2 + W * 5 / 3, 1L))
+    val got = run(sessB(ss: _*), inc(is: _*))
+    val want = is.map { case (id, s0, e0, _) =>
+      val hits = ss.filter { case (a, b) => a <= e0 && s0 <= b }
+      val ov = hits.map { case (a, b) => math.min(b, e0) - math.max(a, s0) }.sum
+      id -> (hits.size.toLong, ov)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("the catalog query's session-span guard raises LOUDLY on a " +
+    "never-breaking bot session") {
+    val dir = java.nio.file.Files.createTempDirectory("ovguard").toString
+    // one user firing every 20 min for 9 days: the 30-min gap rule
+    // never breaks, the session spans > 168 hour buckets
+    // some events are errors so the incident side is NON-empty —
+    // otherwise AQE's empty-relation propagation prunes the whole
+    // session subtree and the guard never evaluates
+    val n = 9 * 24 * 3
+    spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(col("id") * 20L * 60000000L).as("ts"),
+        lit(1L).as("user_id"),
+        when(col("id") % 50 === 0, "error").otherwise("view").as("event_type"),
+        lit(1.0).as("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[Exception] {
+      EventsQueries.queries("j_interval_overlap")(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("graft.overlap.maxBuckets")),
+      s"wrong failure: ${e.getMessage}")
+  }
+}

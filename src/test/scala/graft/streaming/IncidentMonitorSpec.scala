@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-maintained per-minute error stats + the factored burst
+  * algebra ≡ the oracle-checked j_interval_overlap's incident table on
+  * the same events — batch-boundary- and order-independently. */
+class IncidentMonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed incident readout equals the batch catalog query's " +
+    "incident side") {
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the incident columns of the oracle-checked query
+    val batch = graft.queries.EventsQueries
+      .queries("j_interval_overlap")(spark, dir)
+      .select("incident_id", "i_start_us", "i_end_us", "n_errors")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val rows = graft.Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .select(unix_micros(col("ts"))).as[Long].collect()
+
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    def run(data: Seq[Long], chunk: Int): Set[(Long, Long, Long, Long)] = {
+      val last = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long, Long)]
+      val src = MemoryStream[Long]
+      val q = IncidentMonitor.minuteStats(src.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, (Long, Long, Long))], _: Long) =>
+          b.collect().foreach { case (m, st) => last(m) = st }
+        }.start()
+      try data.grouped(chunk).foreach { c =>
+        src.addData(c.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      val minutes = last.toSeq
+        .map { case (m, (cnt, mn, mx)) => (m, cnt, mn, mx) }
+        .toDF("m", "cnt", "mn", "mx")
+      IncidentMonitor.readout(minutes)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+
+    // uneven micro-batches, then reversed arrival: minute stats are a
+    // pure function of the event multiset, so the detected incidents
+    // must be IDENTICAL rows both times
+    assert(run(rows.toSeq, 149) == batch)
+    assert(run(rows.reverse.toSeq, 331) == batch)
+  }
+}
