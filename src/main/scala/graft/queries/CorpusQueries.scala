@@ -49,11 +49,18 @@ object CorpusQueries {
   /** Docs whose id is ≡ 0 mod EVAL_MOD play the held-out benchmark. */
   private def EVAL_MOD = GraftConf.int("graft.contam.evalMod", 97)
   /** k-means: clusters, dimensions, Lloyd round cap, fixed-point scale.
-    * Lloyd runs TO THE FIXPOINT (centroids unchanged), not a fixed round
-    * count; KM_MAX is the loud safety cap — quantized-integer means are
-    * not provably monotone, so a pathological oscillation must error,
-    * never loop forever (same posture as the CC loop's 64-round guard).
-    * sf0.01 converges in 18 rounds, sf0.1 in 30 (measured). */
+    * Lloyd runs to the FIXPOINT (centroids unchanged) or to KM_MAX
+    * rounds, whichever comes first — quantized-integer means are not
+    * provably monotone, and a real mixture CAN 2-cycle (first observed
+    * on the r13 isometry-rotated 30× replica: no fixpoint in 400
+    * rounds), so the cap is a TERMINATION rule, not an error: the
+    * capped state is returned, exactly as the oracle's recursive CTE
+    * terminates (`WHERE next <> cents AND round < max` keeps the
+    * round-max state) — fixed-round Lloyd is also what production
+    * trainers (FAISS) run at scale. The capped stop logs loudly; both
+    * engines return the IDENTICAL round-max state, so the hash check
+    * covers the capped regime too. sf0.01 converges in 18 rounds,
+    * sf0.1 in 30 (measured). */
   private def KM_K = GraftConf.int("graft.kmeans.k", 8)
   private def KM_D = GraftConf.int("graft.kmeans.dim", 64)
   private def KM_MAX = GraftConf.int("graft.kmeans.maxIters", 48)
@@ -392,14 +399,16 @@ object CorpusQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rounds = 0
     var converged = false
-    try while (!converged) {
+    try while (!converged && rounds < maxIters) {
+      // cap semantics MIRROR the oracle CTE: its recursion advances
+      // while `next <> cents AND round < maxIters`, so on an
+      // oscillating mixture both engines land on the identical
+      // round-maxIters state (the fixed-round regime production
+      // trainers run); the capped stop is logged loudly below, never
+      // thrown — a 2-cycle is a property of quantized means on real
+      // mixtures, not corrupt data (first hit: the r13 rotated 30×
+      // replica, no fixpoint in 400 rounds)
       rounds += 1
-      if (rounds > maxIters)
-        // quantized integer means are not provably monotone; a
-        // pathological oscillation must refuse loudly, never spin
-        throw new IllegalStateException(
-          s"$who: no fixpoint after $maxIters Lloyd rounds " +
-            "(raise the iteration cap or inspect the data)")
       val localCents = cents
       val (sums, counts) = xs.treeAggregate(
         (Array.fill(k, d)(0L), Array.fill(k)(0L)))(
@@ -435,8 +444,13 @@ object CorpusQueries {
       val next = kmUpdate(cents, sums, counts)
       converged = next.zip(cents).forall { case (a, b) => java.util.Arrays.equals(a, b) }
       cents = next
-    } finally xs.unpersist(blocking = false) // also on the cap throw — a leaked
+    } finally xs.unpersist(blocking = false) // also on error — a leaked
     // cached corpus would pin executor storage for the session lifetime
+    if (!converged)
+      System.err.println(s"[$who] NO FIXPOINT after $maxIters Lloyd " +
+        "rounds — returning the capped (round-max) state, identical to " +
+        "the oracle CTE's termination; raise graft.kmeans.maxIters to " +
+        "train longer")
     cents
   }
 
@@ -673,10 +687,12 @@ object CorpusQueries {
     }),
 
     // Deterministic k-means over the embeddings table: quantized Lloyd
-    // iterations TO THE FIXPOINT (init = first KM_K vectors; stop when
-    // the integer centroid table is unchanged — exact equality, no
-    // epsilon, so the round count is data-dependent and identical on
-    // both engines). The scale shape is the canonical one — centroids
+    // iterations to the FIXPOINT or the KM_MAX round cap (init = first
+    // KM_K vectors; stop when the integer centroid table is unchanged —
+    // exact equality, no epsilon — or at the cap, whose round-max state
+    // both engines define identically; the round count is
+    // data-dependent and identical on both engines either way). The
+    // scale shape is the canonical one — centroids
     // broadcast (k×d numbers), the corpus streams through codegen'd
     // distance expressions, and the update is a map-side-combining
     // groupBy of d integer sums; the corpus is never shuffled except by

@@ -180,15 +180,16 @@ object ExtendedQueries {
     * iteration is exact. Init = the first k vectors' subvectors;
     * floored integer means via [[CorpusQueries.kmUpdate]]; empty
     * codewords keep their previous value. Stop rule: fixpoint, or the
-    * round cap. `cappedOk = false` (sim_pq_topk) treats hitting the
-    * cap as an error — quantized integer means are not provably
-    * monotone; refuse loudly, never spin. `cappedOk = true`
-    * (sim_ivfpq_topk) accepts the codebook after exactly maxIters
-    * updates — the FAISS posture (ProductQuantizer trains a FIXED 25
-    * rounds): integer Lloyd on near-zero residuals measurably 2-cycles
-    * at sf0.1, and the capped run aligns round-for-round with the
-    * oracle recursion's own `round < maxIters` stop, so the engines
-    * still agree bit-for-bit. Returns codebooks[m][k][sub]. */
+    * round cap. Both PQ callers run `cappedOk = true` since r13 — the
+    * FAISS posture (ProductQuantizer trains a FIXED 25 rounds):
+    * quantized integer Lloyd is not provably monotone and real
+    * mixtures measurably 2-cycle (near-zero residuals at sf0.1; whole
+    * vectors on the rotated 30× replica), and the capped run aligns
+    * round-for-round with the oracle recursion's own
+    * `round < maxIters` stop, so the engines agree bit-for-bit in
+    * both regimes (same alignment as [[CorpusQueries.kmFit]]).
+    * `cappedOk = false` remains for callers that genuinely require a
+    * proven fixpoint. Returns codebooks[m][k][sub]. */
   private[queries] def pqFit(
       vecs: DataFrame, m: Int, sub: Int, k: Int, maxIters: Int, who: String,
       cappedOk: Boolean = false)(
@@ -455,8 +456,13 @@ object ExtendedQueries {
         .localCheckpoint() // re-read once per training round
       // codebooks fit on a fixed-size sample (TRAIN_MAX) — constant
       // trainer cost at any corpus size; the oracle samples identically
+      // cappedOk since r13: the capped state aligns round-for-round
+      // with the oracle recursion's `round < maxIters` stop (the
+      // kmFit posture — real mixtures, e.g. the rotated 30× replica,
+      // measurably 2-cycle), so the engines agree bit-for-bit in both
+      // regimes
       val cbs = pqFit(quant.where(col("vec_id") < TRAIN_MAX),
-        M, SUB, K, maxIters, "sim_pq_topk")(s)
+        M, SUB, K, maxIters, "sim_pq_topk", cappedOk = true)(s)
       val cbLits = (0 until M).map(m => typedLit(cbs(m).map(_.toSeq).toSeq))
       def subDist(vec: Column, cw: Column, m: Int): Column =
         pqSubDist(vec, cw, m, SUB)

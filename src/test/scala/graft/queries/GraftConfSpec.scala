@@ -240,13 +240,29 @@ class GraftConfSpec extends AnyFunSuite {
     }
   }
 
-  test("k-means refuses loudly at the round cap instead of spinning or returning unconverged") {
+  test("k-means terminates at the round cap with the oracle's round-max " +
+    "state (never spins, never throws — the capped regime is " +
+    "hash-checked at the same conf point)") {
+    // r13: the cap is a TERMINATION rule mirroring the oracle CTE's
+    // `round < max` (a real mixture can 2-cycle — observed on the
+    // rotated 30x replica), not an error. At cap 1 the query must run,
+    // return the 1-round assignment, and interpolate the same cap into
+    // the oracle SQL so DuckDB computes the identical capped state.
     withConf("graft.kmeans.maxIters" -> "1") {
-      val e = intercept[IllegalStateException] {
-        SparkEntry.queries("cluster_kmeans")(spark, dir).collect()
-      }
-      assert(e.getMessage.contains("no fixpoint"), e.getMessage)
+      val capped = SparkEntry.queries("cluster_kmeans")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(capped.nonEmpty)
+      assert(SparkEntry.oracleSql("cluster_kmeans").contains("round < 1"))
     }
+    // and the cap ENGAGED: the 1-round assignment differs from the
+    // converged one (18 rounds at this SF, default cap 48)
+    val converged = SparkEntry.queries("cluster_kmeans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = withConf("graft.kmeans.maxIters" -> "1") {
+      SparkEntry.queries("cluster_kmeans")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(capped != converged, "cap=1 must yield a different (earlier) state")
   }
 
   test("winnowing k/window flow to plan and oracle; the paper's coverage bound holds") {
