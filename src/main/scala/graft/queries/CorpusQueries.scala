@@ -1029,6 +1029,62 @@ object CorpusQueries {
         .withColumn("keep", col("vec_id") === col("cluster_id"))
     }),
 
+    // HLL register ROLLUP — the property that makes sketches the
+    // 100 TB answer, exercised in the query surface: ONE (type, day,
+    // register) table is built from the corpus, and the type-level and
+    // global distinct estimates are computed by MERGING REGISTERS
+    // (max) up the hierarchy — the corpus is scanned once no matter
+    // how many rollup levels read it (a naive per-level countDistinct
+    // scans it per level and shuffles raw ids). Register sums are sums
+    // of powers of two spanning < the 53-bit mantissa, so every
+    // estimate is EXACT and order-independent — hash-safe on both
+    // engines (the sketch_hll_grouped guarantee, now at three levels).
+    // Day keyed as epoch-day long (engine-neutral, the events_trend
+    // posture). Scale: one map-side-combined corpus shuffle to
+    // O(types×days×256) registers (pinned — three readers), then
+    // control-plane merges.
+    "sketch_hll_rollup" -> ((s, dir) => {
+      val h = md5(col("event_id").cast("string"))
+      val suffix = conv(substring(h, 3, 8), 16, 10).cast("long")
+      val rho = (lit(33) - length(bin(col("suffix")))).cast("int")
+      val dayRegs = Tables.events(s, dir)
+        .select(col("event_type"),
+          datediff(to_date(date_trunc("day", col("ts"))),
+            lit("1970-01-01").cast("date")).cast("long").as("x"),
+          conv(substring(h, 1, 2), 16, 10).cast("long").as("reg"),
+          suffix.as("suffix"))
+        .withColumn("rho", when(col("suffix") === 0L, lit(33)).otherwise(rho))
+        .groupBy(col("event_type"), col("x"), col("reg"))
+        .agg(max(col("rho")).as("r"))
+        .localCheckpoint()
+      val est = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+        lit(256.0) * lit(256.0) /
+        sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), r)").cast("double"))
+      def estOver(regs: DataFrame, keys: Seq[String]): DataFrame = {
+        val keyTab = regs.select(keys.map(col): _*).distinct()
+        keyTab.crossJoin(s.range(256).select(col("id").as("reg")))
+          .join(regs, keys :+ "reg", "left")
+          .select(keys.map(col) :+ coalesce(col("r"), lit(0)).as("r"): _*)
+          .groupBy(keys.map(col): _*).agg(est.as("hll_estimate"))
+      }
+      val dayLvl = estOver(dayRegs, Seq("event_type", "x"))
+        .select(lit("type_day").as("level"), col("event_type"), col("x"),
+          col("hll_estimate"))
+      val typeLvl = estOver(
+          dayRegs.groupBy(col("event_type"), col("reg")).agg(max(col("r")).as("r")),
+          Seq("event_type"))
+        .select(lit("type").as("level"), col("event_type"),
+          lit(null).cast("long").as("x"), col("hll_estimate"))
+      val globLvl = estOver(
+          dayRegs.groupBy(col("reg")).agg(max(col("r")).as("r"))
+            .withColumn("g", lit(1)),
+          Seq("g"))
+        .select(lit("global").as("level"),
+          lit(null).cast("string").as("event_type"),
+          lit(null).cast("long").as("x"), col("hll_estimate"))
+      dayLvl.unionByName(typeLvl).unionByName(globLvl)
+    }),
+
     // Benchmark-contamination scan: corpus docs sharing ≥ CONTAM_MIN
     // distinct 3-shingles with any eval-set doc. The eval side is
     // broadcast; shared counts are exact integers.
@@ -1842,6 +1898,49 @@ object CorpusQueries {
         |SELECT e.event_type, hll_estimate, CAST(exact_distinct AS BIGINT) AS exact_distinct,
         |hll_estimate / exact_distinct AS ratio
         |FROM e JOIN x ON e.event_type = x.event_type""".stripMargin,
+
+    // same register algebra at all three levels; merge = MAX in SQL
+    "sketch_hll_rollup" ->
+      """WITH ev AS (SELECT event_type,
+        |CAST(datediff('day', DATE '1970-01-01', date_trunc('day', ts)) AS BIGINT) AS x,
+        |md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+        |rows_ AS (SELECT event_type, x, ('0x' || substr(h, 1, 2))::BIGINT AS reg,
+        |('0x' || substr(h, 3, 8))::BIGINT AS suffix FROM ev),
+        |dayregs AS (SELECT event_type, x, reg,
+        |MAX(CASE WHEN suffix = 0 THEN 33
+        |ELSE 33 - length(bin(suffix)) END) AS r
+        |FROM rows_ GROUP BY 1, 2, 3),
+        |daykeys AS (SELECT DISTINCT event_type, x FROM dayregs),
+        |dayall AS (SELECT k.event_type, k.x, COALESCE(r, 0) AS r
+        |FROM daykeys k CROSS JOIN generate_series(0, 255) g(reg)
+        |LEFT JOIN dayregs d ON d.event_type = k.event_type
+        |AND d.x = k.x AND d.reg = g.reg),
+        |daylvl AS (SELECT 'type_day' AS level, event_type, x,
+        |(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |SUM(1.0 / CAST(1::BIGINT << r AS DOUBLE)) AS hll_estimate
+        |FROM dayall GROUP BY 1, 2, 3),
+        |typeregs AS (SELECT event_type, reg, MAX(r) AS r
+        |FROM dayregs GROUP BY 1, 2),
+        |typekeys AS (SELECT DISTINCT event_type FROM typeregs),
+        |typeall AS (SELECT k.event_type, COALESCE(r, 0) AS r
+        |FROM typekeys k CROSS JOIN generate_series(0, 255) g(reg)
+        |LEFT JOIN typeregs t ON t.event_type = k.event_type AND t.reg = g.reg),
+        |typelvl AS (SELECT 'type' AS level, event_type, CAST(NULL AS BIGINT) AS x,
+        |(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |SUM(1.0 / CAST(1::BIGINT << r AS DOUBLE)) AS hll_estimate
+        |FROM typeall GROUP BY 1, 2),
+        |globregs AS (SELECT reg, MAX(r) AS r FROM dayregs GROUP BY 1),
+        |globall AS (SELECT COALESCE(r, 0) AS r
+        |FROM generate_series(0, 255) g(reg)
+        |LEFT JOIN globregs ON globregs.reg = g.reg),
+        |globlvl AS (SELECT 'global' AS level, CAST(NULL AS VARCHAR) AS event_type,
+        |CAST(NULL AS BIGINT) AS x,
+        |(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 /
+        |SUM(1.0 / CAST(1::BIGINT << r AS DOUBLE)) AS hll_estimate
+        |FROM globall)
+        |SELECT * FROM daylvl UNION ALL
+        |SELECT * FROM typelvl UNION ALL
+        |SELECT * FROM globlvl""".stripMargin,
 
     "text_bm25_topk" ->
       s"""WITH $oBm25Cte

@@ -454,6 +454,33 @@ object LlmQueries {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     }),
 
+    // Recall of the MinHash/LSH candidate generator against the EXACT
+    // jaccard truth — the dedup-family twin of sim_ivf_recall (index
+    // quality graded as a number, composing the shipped definitions
+    // verbatim): truth = dedup_ngram_jaccard's ≥0.8 pairs (exact
+    // inverted-index jaccard), candidates = dedup_minhash_lsh's banded
+    // pairs. The readout justifies the LSH parameter choice (bands ×
+    // rows) with a measured recall instead of the textbook S-curve
+    // promise. Scale: the standard eval shape — both pair sets are
+    // already corpus-bounded; the intersection is a LEFT SEMI on the
+    // pair key; output is ONE control-plane row, recall in exact
+    // integer micro-units.
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val truth = queries("dedup_ngram_jaccard")(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint() // feeds n_truth AND the semi-join — one build
+      val cand = lshCandidatePairs(s, dir)
+        .localCheckpoint() // feeds n_candidates AND the semi-join
+      val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+          when(col("n_truth") === 0L, lit(null).cast("long"))
+            .otherwise(expr("(n_hit * 1000000) div n_truth"))
+            .as("recall_micro"))
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline): broadcast the small
     // query set, stream the corpus, rank per query.
     "sim_cosine_topk" -> ((s, dir) => {
@@ -1073,6 +1100,30 @@ object LlmQueries {
          |ON a.bi = b.bi AND a.chunk = b.chunk AND a.doc_id < b.doc_id
          |WHERE $ham <= 2""".stripMargin
     },
+
+    // composes the two shipped definitions verbatim as CTE subqueries
+    // (the sim_ivf_recall posture); CTE names disambiguated from
+    // oLshCand's internal e/m/bands/capped
+    "dedup_lsh_recall" ->
+      s"""$oShingles,
+         |$oLshCand,
+         |ej AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ej GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+         |FROM ej a JOIN ej b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM common
+         |JOIN (SELECT doc_id AS doc_a, n AS na FROM sizes) USING (doc_a)
+         |JOIN (SELECT doc_id AS doc_b, n AS nb FROM sizes) USING (doc_b)
+         |WHERE c / (na + nb - c) >= 0.8),
+         |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+         |nc AS (SELECT COUNT(*) AS n_candidates FROM cand),
+         |nh AS (SELECT COUNT(*) AS n_hit FROM truth t
+         |WHERE EXISTS (SELECT 1 FROM cand c
+         |WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+         |SELECT n_truth, n_candidates, n_hit,
+         |CASE WHEN n_truth = 0 THEN NULL
+         |ELSE (n_hit * 1000000) // n_truth END AS recall_micro
+         |FROM nt CROSS JOIN nc CROSS JOIN nh""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""$oShingles,

@@ -557,6 +557,58 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // Top-k PER GROUP — the companion to sort_topk's global TakeOrdered:
+    // "each customer's 3 largest orders", the enrichment-table shape
+    // recommendation/feature pipelines materialize. The plan property
+    // that makes it 100 TB-viable is Spark's WindowGroupLimit pushdown
+    // (plan-audited): the rank filter `rn <= k` is applied BOTH below
+    // the exchange (each map task keeps at most k rows per group
+    // before shuffling) and above it — so the shuffle moves O(groups·k)
+    // rows, never the full orders table, and no partition ever sorts
+    // more than its own groups' survivors. Deterministic tie order
+    // (o_totalprice desc, o_orderkey) makes the kept set identical on
+    // both engines.
+    "sort_topk_grouped" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
+
+    // Skew-salted equi-join — the EXPLICIT form of the technique AQE's
+    // skew-join applies adaptively, expressed in the plan so a
+    // deployment can force it where runtime stats arrive too late (the
+    // classic hot-key shape: one bot user carrying 10% of a fact
+    // table): the fact side salts its key with a DETERMINISTIC
+    // per-row shard (event_id mod S — no rand(), results and plans
+    // reproducible), the dim side replicates ×S via explode, and the
+    // join key becomes (user_id, salt) — a hot user's rows now spread
+    // across S reducers instead of one. S trades dim replication for
+    // fact balance; at 100 TB it scales with observed skew. The JOIN
+    // RESULT is salt-invariant — the oracle runs the PLAIN join (and
+    // SaltedJoinSpec proves equality on a synthetic hot key) — so the
+    // hash check verifies the technique's correctness, not just its
+    // shape. Output aggregates per segment (count + exact cents).
+    "j_skew_salted" -> ((s, dir) => {
+      val saltN = 8
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("salt", (col("event_id") % saltN).cast("int"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt", explode(array((0 until saltN).map(lit): _*)))
+      ev.join(cust,
+          ev("user_id") === cust("c_custkey") && ev("salt") === cust("salt"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+            .as("sum_cents"))
+    }),
+
     // Prefix/range scan analog of the Cache's key iteration
     // (reference caching.py:266-351): key-prefix filter + ordered page.
     "range_prefix_scan" -> ((s, dir) => {
@@ -1040,6 +1092,25 @@ object RelationalQueries {
     "range_prefix_scan" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE source LIKE 'src1%' ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    // same deterministic tie order; DuckDB's QUALIFY is the textbook
+    // form of the WindowGroupLimit plan
+    "sort_topk_grouped" ->
+      """SELECT o_custkey,
+        |CAST(row_number() OVER w AS BIGINT) AS rn, o_orderkey, o_totalprice
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY rn <= 3""".stripMargin,
+
+    // the PLAIN join — salting is plan-internal and salt-invariant, so
+    // the oracle checking the unsalted form verifies the technique
+    "j_skew_salted" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+         |COUNT(DISTINCT user_id) AS n_users,
+         |CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM $oEvents e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1""".stripMargin,
 
     "scalar_fns" ->
       s"""SELECT event_id, CAST(year(ts) AS INTEGER) AS y,
