@@ -557,9 +557,14 @@ object RelationalQueries {
         .limit(10)
     }),
 
-    // Top-k PER GROUP — the companion to sort_topk's global TakeOrdered:
-    // "each customer's 3 largest orders", the enrichment-table shape
-    // recommendation/feature pipelines materialize. The plan property
+    // Top-k PER GROUP over RAW fact rows — the companion to sort_topk's
+    // global TakeOrdered and the high-cardinality sibling of
+    // rank_window (which ranks pre-aggregated totals across 5 types —
+    // group count bounded, partition sort trivial): here the groups
+    // are customers (O(corpus) of them) and the ranked rows are the
+    // raw orders, so "each customer's 3 largest orders" — the
+    // enrichment-table shape recommendation/feature pipelines
+    // materialize. The plan property
     // that makes it 100 TB-viable is Spark's WindowGroupLimit pushdown
     // (plan-audited): the rank filter `rn <= k` is applied BOTH below
     // the exchange (each map task keeps at most k rows per group
@@ -578,9 +583,13 @@ object RelationalQueries {
           col("o_totalprice"))
     }),
 
-    // Skew-salted equi-join — the EXPLICIT form of the technique AQE's
-    // skew-join applies adaptively, expressed in the plan so a
-    // deployment can force it where runtime stats arrive too late (the
+    // Skew-salted equi-JOIN — completes the salting pair:
+    // salted_skew_agg fans a hot AGGREGATION key over partial groups
+    // (two-stage combine), while a hot JOIN key needs the other half
+    // of the trick — replicate the dim side so every salted fact shard
+    // still finds its match. The EXPLICIT form of what AQE's skew-join
+    // applies adaptively, expressed in the plan so a deployment can
+    // force it where runtime stats arrive too late (the
     // classic hot-key shape: one bot user carrying 10% of a fact
     // table): the fact side salts its key with a DETERMINISTIC
     // per-row shard (event_id mod S — no rand(), results and plans

@@ -846,6 +846,38 @@ object ExplainAudit {
         p.linesIterator.count(_.contains(
           "ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>")) == 2
     }
+    audit("sort_topk_grouped",
+      "WindowGroupLimit pushdown BOTH sides of the exchange (partial " +
+        "prune keeps <= k rows per group per map task before the " +
+        "shuffle): 2 WindowGroupLimit nodes, ONE exchange, no join") { p =>
+      count(p, "WindowGroupLimit") == 2 && count(p, "Exchange") == 1 &&
+        !p.contains("Join")
+    }
+    audit("j_skew_salted",
+      "the dim side replicates via ONE Generate and the join key " +
+        "carries the salt (hot fact keys spread across shards); " +
+        "never a cartesian/nested-loop") { p =>
+      count(p, "Generate") == 1 && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin"))
+    }
+    audit("dedup_lsh_recall",
+      "truth ∩ candidates is a LEFT SEMI on the pair key; both pair " +
+        "sets are pinned (zero parquet scans in this plan — built " +
+        "once at pin time); the only nested-loops are 1-row scalar " +
+        "count joins") { p =>
+      p.contains("LeftSemi") && !p.contains("CartesianProduct") &&
+        count(p, "Scan parquet") == 0
+    }
+    audit("sketch_hll_rollup",
+      "ONE corpus scan total (the register table pins at build time — " +
+        "zero parquet scans in this plan); all three rollup levels " +
+        "merge the SAME pinned registers; no cartesian beyond the " +
+        "256-row register fill") { p =>
+      count(p, "Scan parquet") == 0 &&
+        p.linesIterator.count(_.contains("Scan ExistingRDD")) >= 3
+    }
     audit("a_window_ranks",
       "all five rank metrics share ONE (nation, segment) exchange — " +
         "the sorts differ only in tiebreak, never re-shuffling; no join") { p =>

@@ -155,7 +155,12 @@ object ScaleRatios {
       "qa_profile_drift",
       // r13: the rank-window battery (customer) and the exact-moment
       // battery (events)
-      "a_window_ranks", "a_moments")
+      "a_window_ranks", "a_moments",
+      // r13 second batch: WindowGroupLimit top-k (orders), salted
+      // join (events+customer), LSH recall eval (documents), HLL
+      // register rollup (events)
+      "sort_topk_grouped", "j_skew_salted", "dedup_lsh_recall",
+      "sketch_hll_rollup")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
