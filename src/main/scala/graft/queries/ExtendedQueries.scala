@@ -1344,13 +1344,16 @@ object ExtendedQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("c")).as("s1"),
-          // per-row c² (≤1e10) and c³ (≤1e15) fit int64; c⁴ does NOT
-          // (cents ≤ 1e5 → c⁴ ≤ 1e20), so the 4th power multiplies in
-          // decimal BEFORE any sum
-          sum((col("c") * col("c")).cast(dec)).as("s2"),
-          sum((col("c") * col("c") * col("c")).cast(dec)).as("s3"),
-          sum(((col("c") * col("c")).cast(dec) *
-            (col("c") * col("c")).cast(dec))).as("s4"))
+          // widen to DECIMAL(38) BEFORE every multiply: an int64
+          // per-row power would WRAP SILENTLY for large cents (c³
+          // crosses 2⁶³ at c ≈ 2.1e6 — a $21k line item) where DuckDB
+          // raises — the silent-wrap-vs-raise divergence class; the
+          // oracle mirrors with HUGEINT-first products
+          sum((col("c").cast(dec) * col("c").cast(dec))).as("s2"),
+          sum((col("c").cast(dec) * col("c").cast(dec) *
+            col("c").cast(dec))).as("s3"),
+          sum((col("c").cast(dec) * col("c").cast(dec) *
+            col("c").cast(dec) * col("c").cast(dec))).as("s4"))
         .withColumn("mean_c", col("s1").cast("double") / col("n").cast("double"))
         .withColumn("m2", col("s2").cast("double") / col("n").cast("double")
           - col("mean_c") * col("mean_c"))
@@ -2088,10 +2091,9 @@ object ExtendedQueries {
         |WHERE event_type = 'purchase' AND value IS NOT NULL),
         |m AS (SELECT event_type, COUNT(*) AS n,
         |CAST(SUM(c) AS BIGINT) AS s1,
-        |CAST(SUM(CAST(c * c AS HUGEINT)) AS DECIMAL(38,0)) AS s2,
-        |CAST(SUM(CAST(c * c * c AS HUGEINT)) AS DECIMAL(38,0)) AS s3,
-        |CAST(SUM(CAST(c * c AS HUGEINT) * CAST(c * c AS HUGEINT))
-        |AS DECIMAL(38,0)) AS s4
+        |CAST(SUM(CAST(c AS HUGEINT) * c) AS DECIMAL(38,0)) AS s2,
+        |CAST(SUM(CAST(c AS HUGEINT) * c * c) AS DECIMAL(38,0)) AS s3,
+        |CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS DECIMAL(38,0)) AS s4
         |FROM v GROUP BY 1),
         |d AS (SELECT *,
         |CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
