@@ -600,6 +600,35 @@ object ExtendedQueries {
         .drop("h_ivf", "h_probe", "h_trained")
     }),
 
+    // Recall@3 of the PQ family against the same brute-force truth —
+    // completes the ANN eval battery (sim_ivf_recall grades the three
+    // IVF postures; this grades the two QUANTIZED-code scanners,
+    // whose loss comes from a different place: 8-byte ADC codes vs
+    // cell pruning). Same composition discipline: the shipped
+    // definitions are reused verbatim, the metric is O(Q·k)
+    // control-plane, recall in exact integer micro-units — the number
+    // that justifies the rerank parameter (ADC alone under-ranks;
+    // rerank R recovers it).
+    "sim_pq_recall" -> ((s, dir) => {
+      val truth = LlmQueries.queries("sim_cosine_topk")(s, dir)
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"))
+      def hitsOf(name: String, as: String) = {
+        val approx = ExtendedQueries.queries(name)(s, dir)
+          .select(col("qid"), col("vec_id"))
+        truth.join(approx, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as(as))
+      }
+      truth.select(col("qid")).distinct()
+        .join(hitsOf("sim_pq_topk", "h_pq"), Seq("qid"), "left")
+        .join(hitsOf("sim_ivfpq_topk", "h_ivfpq"), Seq("qid"), "left")
+        .withColumn("n_hits_pq", coalesce(col("h_pq"), lit(0L)))
+        .withColumn("n_hits_ivfpq", coalesce(col("h_ivfpq"), lit(0L)))
+        .withColumn("recall_pq_micro", expr("(n_hits_pq * 1000000) div 3"))
+        .withColumn("recall_ivfpq_micro", expr("(n_hits_ivfpq * 1000000) div 3"))
+        .drop("h_pq", "h_ivfpq")
+    }),
+
     // PageRank over the k-NN similarity graph — the graph-centrality
     // signal (central = prototypical, peripheral = outlier/noise) a
     // curation pipeline ranks cluster representatives with. Fixed
@@ -1550,6 +1579,93 @@ object ExtendedQueries {
        |QUALIFY rnk <= 3""".stripMargin
   }
 
+
+  /** The sim_pq_topk oracle SQL (full statement incl. its own WITH
+    * RECURSIVE) — factored so sim_pq_recall can embed it as a derived
+    * table (a `def oracles` self-reference would rebuild the whole
+    * map recursively). */
+  private def oPqTopkSql: String = {
+      val M = 8; val SUB = 8; val K = 16
+      val maxIters = GraftConf.int("graft.pq.maxIters", 64)
+      val R = GraftConf.int("graft.pq.rerank", 32)
+      val dist = oPqDist(SUB) _
+      s"""WITH RECURSIVE v AS (SELECT vec_id,
+         |list_transform(e, v -> CAST(FLOOR(v / nrm * 1048576.0) AS BIGINT)) AS x
+         |FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |FROM embeddings)),
+         |${oPqCte(M, SUB, K, maxIters, "v", TRAIN_MAX)},
+         |cand AS (SELECT qid, vec_id, x, qx,
+         |row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk_adc
+         |FROM (SELECT q.vec_id AS qid, e.vec_id, e.x, q.qx,
+         |CAST(list_sum(list_transform(range($M), m ->
+         |${dist("qx", "cbs[m+1][code[m+1]]")})) AS BIGINT) AS adc
+         |FROM enc e CROSS JOIN cb
+         |JOIN (SELECT vec_id, x AS qx FROM v WHERE vec_id < 10) q
+         |ON e.vec_id <> q.vec_id)),
+         |scored AS (SELECT qid, vec_id,
+         |CAST(list_sum(list_transform(range(1, ${M * SUB + 1}), i ->
+         |(qx[i]-x[i])*(qx[i]-x[i]))) AS BIGINT) AS score
+         |FROM cand WHERE rnk_adc <= $R)
+         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+         |ORDER BY score ASC, vec_id ASC) AS INTEGER) AS rnk, vec_id, score
+         |FROM scored QUALIFY rnk <= 3""".stripMargin
+    }
+
+  /** The sim_ivfpq_topk oracle SQL — factored for the same reason. */
+  private def oIvfpqTopkSql: String = {
+      val M = 8; val SUB = 8; val K = 16
+      val nlist = GraftConf.int("graft.ivf.nlist", 16)
+      val d = GraftConf.int("graft.kmeans.dim", 64)
+      val kmMax = GraftConf.int("graft.kmeans.maxIters", 48)
+      val pqMax = GraftConf.int("graft.ivfpq.maxIters", 25)
+      val nprobe = GraftConf.int("graft.ivf.nprobe", 4)
+      val R = GraftConf.int("graft.pq.rerank", 32)
+      val dist = oPqDist(SUB) _
+      val vNorm =
+        s"""SELECT vec_id, list_transform(ev,
+           |e -> CAST(FLOOR(e / nrm * 1048576.0) AS BIGINT)) AS x
+           |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+           |sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+           |CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)""".stripMargin
+      val cellDist =
+        s"CAST(list_sum(list_transform(range(1, ${d + 1}), " +
+          "i -> (q.qx[i]-f.cents[t.j][i])*(q.qx[i]-f.cents[t.j][i]))) AS BIGINT)"
+      s"""WITH RECURSIVE ${CorpusQueries.oKmeansCte(nlist, d, kmMax, vNorm, TRAIN_MAX)},
+         |r AS (SELECT v.vec_id,
+         |list_transform(range(1, ${d + 1}), i -> v.x[i] - f.cents[af.cluster][i]) AS x
+         |FROM v JOIN af USING (vec_id) CROSS JOIN final f),
+         |${oPqCte(M, SUB, K, pqMax, "r", TRAIN_MAX)},
+         |q AS (SELECT vec_id AS qid, x AS qx FROM v WHERE vec_id < 10),
+         |probed AS (SELECT qid, qx, cell FROM (
+         |SELECT qid, qx, j AS cell,
+         |row_number() OVER (PARTITION BY qid ORDER BY cd ASC, j ASC) AS prnk
+         |FROM (SELECT q.qid, q.qx, t.j, $cellDist AS cd
+         |FROM q CROSS JOIN final f, UNNEST(range(1, ${nlist + 1})) t(j)))
+         |WHERE prnk <= $nprobe),
+         |cand0 AS (SELECT p.qid, e.vec_id, e.code, p.qx, af.cluster AS cell
+         |FROM enc e JOIN af ON e.vec_id = af.vec_id
+         |JOIN probed p ON af.cluster = p.cell AND e.vec_id <> p.qid),
+         |cand1 AS (SELECT qid, vec_id, code,
+         |list_transform(range(1, ${d + 1}), i -> qx[i] - f.cents[cell][i]) AS qr
+         |FROM cand0 CROSS JOIN final f),
+         |cand AS (SELECT qid, vec_id,
+         |row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk_adc
+         |FROM (SELECT qid, vec_id,
+         |CAST(list_sum(list_transform(range($M), m ->
+         |${dist("qr", "cbs[m+1][code[m+1]]")})) AS BIGINT) AS adc
+         |FROM cand1 CROSS JOIN cb)),
+         |scored AS (SELECT c.qid, c.vec_id,
+         |CAST(list_sum(list_transform(range(1, ${d + 1}), i ->
+         |(qv.x[i]-cv.x[i])*(qv.x[i]-cv.x[i]))) AS BIGINT) AS score
+         |FROM cand c JOIN v qv ON qv.vec_id = c.qid
+         |JOIN v cv ON cv.vec_id = c.vec_id
+         |WHERE c.rnk_adc <= $R)
+         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+         |ORDER BY score ASC, vec_id ASC) AS INTEGER) AS rnk, vec_id, score
+         |FROM scored QUALIFY rnk <= 3""".stripMargin
+    }
+
   def oracles: Map[String, String] = Map(
     "j_semi" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -1817,6 +1933,29 @@ object ExtendedQueries {
          |LEFT JOIN hp ON q.qid = hp.qid
          |LEFT JOIN ht ON q.qid = ht.qid""".stripMargin,
 
+    // composes the shipped PQ definitions verbatim as derived tables
+    // (each carries its own WITH RECURSIVE), same truth, same
+    // integer micro recall
+    "sim_pq_recall" ->
+      s"""WITH brute AS (${LlmQueries.oracles("sim_cosine_topk")}),
+         |pq AS (SELECT * FROM ($oPqTopkSql) pq_sub),
+         |ivfpq AS (SELECT * FROM ($oIvfpqTopkSql) ivfpq_sub),
+         |t AS (SELECT qid, vec_id FROM brute WHERE rank <= 3),
+         |hq AS (SELECT t.qid, COUNT(*) AS n_hits_pq
+         |FROM t JOIN pq ON t.qid = pq.qid AND t.vec_id = pq.vec_id
+         |GROUP BY 1),
+         |hv AS (SELECT t.qid, COUNT(*) AS n_hits_ivfpq
+         |FROM t JOIN ivfpq ON t.qid = ivfpq.qid AND t.vec_id = ivfpq.vec_id
+         |GROUP BY 1)
+         |SELECT q.qid,
+         |COALESCE(n_hits_pq, 0) AS n_hits_pq,
+         |COALESCE(n_hits_ivfpq, 0) AS n_hits_ivfpq,
+         |(COALESCE(n_hits_pq, 0) * 1000000) // 3 AS recall_pq_micro,
+         |(COALESCE(n_hits_ivfpq, 0) * 1000000) // 3 AS recall_ivfpq_micro
+         |FROM (SELECT DISTINCT qid FROM t) q
+         |LEFT JOIN hq ON q.qid = hq.qid
+         |LEFT JOIN hv ON q.qid = hv.qid""".stripMargin,
+
     // identical training recursion (shared CTE builder), then the
     // same cell join + exact cosine + rank
     "sim_ivf_trained" -> oIvfTrained,
@@ -1881,58 +2020,7 @@ object ExtendedQueries {
     // the full composed recursion: coarse k-means over the NORMALIZED
     // quantized source, integer residuals, per-subspace PQ recursion
     // over the residuals, then the same probe + ADC + exact re-rank
-    "sim_ivfpq_topk" -> {
-      val M = 8; val SUB = 8; val K = 16
-      val nlist = GraftConf.int("graft.ivf.nlist", 16)
-      val d = GraftConf.int("graft.kmeans.dim", 64)
-      val kmMax = GraftConf.int("graft.kmeans.maxIters", 48)
-      val pqMax = GraftConf.int("graft.ivfpq.maxIters", 25)
-      val nprobe = GraftConf.int("graft.ivf.nprobe", 4)
-      val R = GraftConf.int("graft.pq.rerank", 32)
-      val dist = oPqDist(SUB) _
-      val vNorm =
-        s"""SELECT vec_id, list_transform(ev,
-           |e -> CAST(FLOOR(e / nrm * 1048576.0) AS BIGINT)) AS x
-           |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
-           |sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-           |CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)""".stripMargin
-      val cellDist =
-        s"CAST(list_sum(list_transform(range(1, ${d + 1}), " +
-          "i -> (q.qx[i]-f.cents[t.j][i])*(q.qx[i]-f.cents[t.j][i]))) AS BIGINT)"
-      s"""WITH RECURSIVE ${CorpusQueries.oKmeansCte(nlist, d, kmMax, vNorm, TRAIN_MAX)},
-         |r AS (SELECT v.vec_id,
-         |list_transform(range(1, ${d + 1}), i -> v.x[i] - f.cents[af.cluster][i]) AS x
-         |FROM v JOIN af USING (vec_id) CROSS JOIN final f),
-         |${oPqCte(M, SUB, K, pqMax, "r", TRAIN_MAX)},
-         |q AS (SELECT vec_id AS qid, x AS qx FROM v WHERE vec_id < 10),
-         |probed AS (SELECT qid, qx, cell FROM (
-         |SELECT qid, qx, j AS cell,
-         |row_number() OVER (PARTITION BY qid ORDER BY cd ASC, j ASC) AS prnk
-         |FROM (SELECT q.qid, q.qx, t.j, $cellDist AS cd
-         |FROM q CROSS JOIN final f, UNNEST(range(1, ${nlist + 1})) t(j)))
-         |WHERE prnk <= $nprobe),
-         |cand0 AS (SELECT p.qid, e.vec_id, e.code, p.qx, af.cluster AS cell
-         |FROM enc e JOIN af ON e.vec_id = af.vec_id
-         |JOIN probed p ON af.cluster = p.cell AND e.vec_id <> p.qid),
-         |cand1 AS (SELECT qid, vec_id, code,
-         |list_transform(range(1, ${d + 1}), i -> qx[i] - f.cents[cell][i]) AS qr
-         |FROM cand0 CROSS JOIN final f),
-         |cand AS (SELECT qid, vec_id,
-         |row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk_adc
-         |FROM (SELECT qid, vec_id,
-         |CAST(list_sum(list_transform(range($M), m ->
-         |${dist("qr", "cbs[m+1][code[m+1]]")})) AS BIGINT) AS adc
-         |FROM cand1 CROSS JOIN cb)),
-         |scored AS (SELECT c.qid, c.vec_id,
-         |CAST(list_sum(list_transform(range(1, ${d + 1}), i ->
-         |(qv.x[i]-cv.x[i])*(qv.x[i]-cv.x[i]))) AS BIGINT) AS score
-         |FROM cand c JOIN v qv ON qv.vec_id = c.qid
-         |JOIN v cv ON cv.vec_id = c.vec_id
-         |WHERE c.rnk_adc <= $R)
-         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
-         |ORDER BY score ASC, vec_id ASC) AS INTEGER) AS rnk, vec_id, score
-         |FROM scored QUALIFY rnk <= 3""".stripMargin
-    },
+    "sim_ivfpq_topk" -> oIvfpqTopkSql,
 
     // identical pipeline: same quantization, same md5 split, same
     // floored-mean centroids, same integer L2 + first-minimum argmin
@@ -1968,33 +2056,7 @@ object ExtendedQueries {
     // oracle discipline: floored double means, empty codewords keep
     // their previous value, first-minimum assignment) — then the same
     // integer encode and ADC lookup: every code and score exact
-    "sim_pq_topk" -> {
-      val M = 8; val SUB = 8; val K = 16
-      val maxIters = GraftConf.int("graft.pq.maxIters", 64)
-      val R = GraftConf.int("graft.pq.rerank", 32)
-      val dist = oPqDist(SUB) _
-      s"""WITH RECURSIVE v AS (SELECT vec_id,
-         |list_transform(e, v -> CAST(FLOOR(v / nrm * 1048576.0) AS BIGINT)) AS x
-         |FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
-         |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |FROM embeddings)),
-         |${oPqCte(M, SUB, K, maxIters, "v", TRAIN_MAX)},
-         |cand AS (SELECT qid, vec_id, x, qx,
-         |row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk_adc
-         |FROM (SELECT q.vec_id AS qid, e.vec_id, e.x, q.qx,
-         |CAST(list_sum(list_transform(range($M), m ->
-         |${dist("qx", "cbs[m+1][code[m+1]]")})) AS BIGINT) AS adc
-         |FROM enc e CROSS JOIN cb
-         |JOIN (SELECT vec_id, x AS qx FROM v WHERE vec_id < 10) q
-         |ON e.vec_id <> q.vec_id)),
-         |scored AS (SELECT qid, vec_id,
-         |CAST(list_sum(list_transform(range(1, ${M * SUB + 1}), i ->
-         |(qx[i]-x[i])*(qx[i]-x[i]))) AS BIGINT) AS score
-         |FROM cand WHERE rnk_adc <= $R)
-         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
-         |ORDER BY score ASC, vec_id ASC) AS INTEGER) AS rnk, vec_id, score
-         |FROM scored QUALIFY rnk <= 3""".stripMargin
-    },
+    "sim_pq_topk" -> oPqTopkSql,
 
     "j_full_outer" ->
       s"""WITH t AS (SELECT o_custkey, ${oSum("o_totalprice")} AS spent

@@ -277,8 +277,14 @@ object LlmQueries {
       cand.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_a"))
         .join(broadcast(ta), "doc_a").join(broadcast(tb), "doc_b")
         .where(abs(length(col("text_a")) - length(col("text_b"))) <= 116)
-        .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
-        .where(col("edit_dist") <= 116)
+        // thresholded levenshtein (Spark 3.5+): a banded O(k·n) DP
+        // with early exit instead of the full O(n²) matrix — the
+        // right verify shape at 100 TB where texts are long; returns
+        // -1 above the bound, so the keep-filter is >= 0 (a bare
+        // <= 116 would KEEP the -1 sentinel rows)
+        .withColumn("edit_dist",
+          levenshtein(col("text_a"), col("text_b"), 116).cast("long"))
+        .where(col("edit_dist") >= 0L && col("edit_dist") <= 116L)
         .withColumn("rel_dist",
           col("edit_dist") / greatest(length(col("text_a")), length(col("text_b"))))
         .where(col("rel_dist") <= 0.2)

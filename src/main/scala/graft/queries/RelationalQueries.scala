@@ -762,8 +762,10 @@ object RelationalQueries {
       .select(least(col("a"), col("b")).as("name_a"),
         greatest(col("a"), col("b")).as("name_b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= k)
+      // thresholded levenshtein (banded O(k·n) DP, early exit);
+      // returns -1 above the bound — the keep-filter needs >= 0
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), k))
+      .where(col("dist") >= 0 && col("dist") <= k)
   }
 
   /** PassJoin candidate generation + levenshtein verify over a
@@ -816,8 +818,10 @@ object RelationalQueries {
       .select(least(col("a"), col("b")).as("name_a"),
         greatest(col("a"), col("b")).as("name_b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= 1)
+      // thresholded levenshtein (banded O(k·n) DP, early exit);
+      // returns -1 above the bound — the keep-filter needs >= 0
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 1))
+      .where(col("dist") >= 0 && col("dist") <= 1)
   }
 
   val oracles: Map[String, String] = Map(

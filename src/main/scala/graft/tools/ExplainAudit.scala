@@ -846,6 +846,11 @@ object ExplainAudit {
         p.linesIterator.count(_.contains(
           "ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>")) == 2
     }
+    audit("sim_pq_recall",
+      "truth ∩ approx are LEFT SEMI joins on (qid, vec_id); the " +
+        "metric tail is O(Q·k) control-plane; never a cartesian") { p =>
+      p.contains("LeftSemi") && !p.contains("CartesianProduct")
+    }
     audit("sort_topk_grouped",
       "WindowGroupLimit pushdown BOTH sides of the exchange (partial " +
         "prune keeps <= k rows per group per map task before the " +

@@ -160,7 +160,9 @@ object ScaleRatios {
       // join (events+customer), LSH recall eval (documents), HLL
       // register rollup (events)
       "sort_topk_grouped", "j_skew_salted", "dedup_lsh_recall",
-      "sketch_hll_rollup")
+      "sketch_hll_rollup",
+      // r13 third batch: PQ-family recall eval (embeddings)
+      "sim_pq_recall")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
