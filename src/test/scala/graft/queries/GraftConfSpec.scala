@@ -248,20 +248,16 @@ class GraftConfSpec extends AnyFunSuite {
     // rotated 30x replica), not an error. At cap 1 the query must run,
     // return the 1-round assignment, and interpolate the same cap into
     // the oracle SQL so DuckDB computes the identical capped state.
-    withConf("graft.kmeans.maxIters" -> "1") {
-      val capped = SparkEntry.queries("cluster_kmeans")(spark, dir)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(capped.nonEmpty)
+    val capped = withConf("graft.kmeans.maxIters" -> "1") {
       assert(SparkEntry.oracleSql("cluster_kmeans").contains("round < 1"))
+      SparkEntry.queries("cluster_kmeans")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
+    assert(capped.nonEmpty)
     // and the cap ENGAGED: the 1-round assignment differs from the
     // converged one (18 rounds at this SF, default cap 48)
     val converged = SparkEntry.queries("cluster_kmeans")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val capped = withConf("graft.kmeans.maxIters" -> "1") {
-      SparkEntry.queries("cluster_kmeans")(spark, dir)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    }
     assert(capped != converged, "cap=1 must yield a different (earlier) state")
   }
 
