@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The rollup's defining invariant, ACROSS catalog queries: merging
+  * day-level registers up the hierarchy must reproduce — bit-for-bit,
+  * estimates being exact power-of-two sums — what the standalone HLL
+  * queries compute from scratch at each level: sketch_hll_grouped
+  * (per type) and sketch_hll_distinct (global). This is the
+  * mergeable-summary guarantee as a cross-query equality, not just an
+  * oracle match. */
+class HllRollupSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  test("type and global rollup estimates equal the standalone HLL " +
+    "queries bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val rollup = CorpusQueries.queries("sketch_hll_rollup")(spark, dir)
+      .collect()
+    val typeLvl = rollup.filter(_.getString(0) == "type")
+      .map(r => r.getString(1) -> r.getDouble(3)).toMap
+    val globLvl = rollup.filter(_.getString(0) == "global")
+    assert(globLvl.length == 1 && typeLvl.size > 1)
+
+    val grouped = CorpusQueries.queries("sketch_hll_grouped")(spark, dir)
+      .select("event_type", "hll_estimate").as[(String, Double)]
+      .collect().toMap
+    assert(typeLvl == grouped,
+      s"type-level merge drifted from sketch_hll_grouped: $typeLvl vs $grouped")
+
+    val global = ExtendedQueries.queries("sketch_hll_distinct")(spark, dir)
+      .select("hll_estimate").as[Double].collect().head
+    assert(globLvl.head.getDouble(3) == global,
+      "global merge drifted from sketch_hll_distinct")
+
+    // and the day level is a genuine refinement: every (type, day)
+    // estimate is at most its type's — register-wise max means the
+    // type register array dominates every day array, and the raw
+    // estimator is monotone in each register, so <= holds exactly
+    // (no tolerance needed beyond float-compare dust)
+    val dayLvl = rollup.filter(_.getString(0) == "type_day")
+    assert(dayLvl.nonEmpty)
+    dayLvl.foreach { r =>
+      val t = r.getString(1)
+      assert(r.getDouble(3) <= typeLvl(t) + 1e-9,
+        s"day estimate exceeds its type rollup for $t")
+    }
+  }
+}
