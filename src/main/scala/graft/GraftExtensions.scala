@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.wordGramsFn)
     e.injectFunction(GraftExtensions.zlibLenFn)
     e.injectFunction(GraftExtensions.uniqGramsFn)
+    e.injectFunction(GraftExtensions.jaroWinklerFn)
     e.injectFunction(GraftExtensions.asOfMarkerFn)
     e.injectFunction(GraftExtensions.asOfStrictMarkerFn)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
@@ -85,6 +86,19 @@ object GraftExtensions {
     FunctionIdentifier("uniq_grams"),
     new ExpressionInfo(classOf[UniqGrams].getName, "uniq_grams"),
     buildUniq)
+
+  private def buildJw(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(a, b) => graft.functions.JaroWinklerMicro(a, b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"jaro_winkler_micro(a, b) expects 2 args, got ${other.length}")
+  }
+
+  val jaroWinklerFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler_micro"),
+    new ExpressionInfo(classOf[graft.functions.JaroWinklerMicro].getName,
+      "jaro_winkler_micro"),
+    buildJw)
 
   /** The ASOF match-condition marker `__graft_asof(greater, lesser)` —
     * emitted only by [[graft.plans.AsOfSqlParser]]'s rewrite, consumed

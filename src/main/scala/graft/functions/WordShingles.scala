@@ -188,4 +188,8 @@ object functions {
 
   def dot_long(a: Column, b: Column): Column =
     ColumnBridge.column(DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def jaro_winkler_micro(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      JaroWinklerMicro(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -476,6 +476,23 @@ object EventsQueries {
           datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
           col("c")))),
 
+    // Recency-weighted volume baseline + spike gate (EWMA, α = 1/2,
+    // 30-day truncation) — see ewmaBody for the exactness discipline
+    // (integer shift weights in DECIMAL(38), densified calendar so
+    // gaps decay the baseline, cross-multiplied spike compare). The
+    // FIFTH readout off TrendMonitor's one (type, day) state table.
+    // Scale: one map-side-combined corpus shuffle into the
+    // O(types×days) daily table; the 30-way explode and the regroup
+    // touch control-plane rows only.
+    "events_ewma" -> ((s, dir) =>
+      ewmaBody(Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+          col("c")))),
+
     // Robust (median/MAD) daily-rate anomaly gate — the outlier-proof
     // twin of events_rate_anomaly: a mean/σ z-score is dragged by the
     // very spikes it should flag (one 100× bot day inflates σ and
@@ -766,6 +783,17 @@ object EventsQueries {
     * exceeds pct% of the same-day-of-week mean. */
   private def SEAS_PCT = graft.GraftConf.int("graft.seasonality.pct", 50)
 
+  /** EWMA gate: spike when the day's count exceeds (kx10/10)× the
+    * PREVIOUS day's smoothed baseline — relative, like the CUSUM/bot
+    * parameters. */
+  private def EWMA_KX10 = graft.GraftConf.int("graft.ewma.kx10", 30)
+  /** EWMA truncation window (days). α is FIXED at 1/2 — the weights
+    * 2^(W−1−j) make every smoothed value an exact integer ratio
+    * num/2^W, which is what keeps the readout hash-exact across
+    * engines; a tunable float α would put a float recurrence back in
+    * the decision path. */
+  private[queries] val EWMA_W = 30
+
   /** The pre-checkpoint leg of events_bot_detect: per-user cadence
     * stats + the bounded-state exact median, factored out so
     * ExplainAudit can assert its ONE-fact-shuffle shape directly (the
@@ -856,6 +884,70 @@ object EventsQueries {
       .withColumn("is_change", col("s_scaled") > lit(CUSUM_HPCT.toLong) * col("total"))
       .select(col("event_type"), col("x"), col("c"), col("s_scaled"),
         col("is_change"))
+  }
+
+  /** The exponentially-weighted moving-average volume baseline over a
+    * (event_type, x = epoch day, c = daily count) table — one algebra,
+    * two ingestion modes (the trendBody posture; the FIFTH alarm off
+    * TrendMonitor's one state table via
+    * [[graft.streaming.TrendMonitor.ewmaReadout]]). The MAD/CUSUM/
+    * seasonality gates weight all history equally; EWMA is the
+    * recency-weighted baseline ops dashboards actually draw, and its
+    * spike rule (today ≫ yesterday's smoothed level) reacts in one
+    * day where OLS needs a window.
+    *
+    * Exactness discipline: α is fixed at 1/2 and the recurrence is
+    * truncated at W = 30 days (the day-31 weight is 2⁻³¹ — beneath
+    * any plausible signal), so every smoothed value is the exact
+    * rational num/2³⁰ with num = Σⱼ c_{d−j}·2^(29−j) accumulated in
+    * DECIMAL(38,0) (counts up to ~10¹⁰/day stay exact — the a_moments
+    * silent-wrap posture). No float recurrence, no pow(): both
+    * engines shift integer weights. Missing days COUNT AS ZERO — the
+    * per-type calendar is densified from the observed [min, max] day
+    * span, because a gap must decay the baseline exactly as 30 quiet
+    * days would, not be skipped.
+    *
+    * Scale: the only corpus-sized pass is the daily-count aggregation
+    * the caller provides (map-side-combined); everything here —
+    * calendar densify, 30-way offset explode, per-day regroup, lag —
+    * runs on the O(types×days) control-plane table. */
+  private[graft] def ewmaBody(daily: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // pin the O(types×days) daily table (the madBody posture): span,
+    // the calendar left join, and the per-day count probe all read it
+    // — unpinned, the corpus-scale daily aggregation would re-scan the
+    // events table once per consumer
+    val d = daily.localCheckpoint(eager = true)
+    val span = d.groupBy(col("event_type"))
+      .agg(min(col("x")).as("x0"), max(col("x")).as("x1"))
+    val cal = span
+      .select(col("event_type"), col("x1"),
+        explode(expr("sequence(x0, x1)")).as("x"))
+      .join(d, Seq("event_type", "x"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val num = cal
+      .select(col("event_type"), col("x"), col("x1"), col("c"),
+        explode(expr(s"sequence(0, ${EWMA_W - 1})")).as("j"))
+      .where(col("x") + col("j") <= col("x1"))
+      .select(col("event_type"), (col("x") + col("j")).as("d"),
+        (col("c").cast(dec) *
+          expr(s"shiftleft(1L, ${EWMA_W - 1} - j)")).as("term"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("term")).cast(dec).as("num"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    num
+      .join(cal.select(col("event_type"), col("x").as("d"), col("c")),
+        Seq("event_type", "d"))
+      .withColumn("numprev", lag(col("num"), 1).over(wOrd))
+      .select(col("event_type"), col("d").as("x"), col("c"),
+        expr(s"(num * 1000000) div ${1L << EWMA_W}").as("ewma_micro"),
+        expr(s"(numprev * 1000000) div ${1L << EWMA_W}").as("prev_ewma_micro"),
+        // c > (kx10/10)·(numprev/2^W)  ⇔  c·10·2^W > kx10·numprev,
+        // cross-multiplied in DECIMAL — never divides
+        coalesce(
+          col("c").cast(dec) * lit(10L * (1L << EWMA_W)) >
+            lit(EWMA_KX10.toLong) * col("numprev"),
+          lit(false)).as("is_spike"))
   }
 
   /** The day-of-week seasonal decomposition over a (event_type,
@@ -1234,6 +1326,40 @@ object EventsQueries {
          |SELECT event_type, x, dow, c,
          |c * n_dow - sum_dow AS resid_scaled,
          |100 * abs(c * n_dow - sum_dow) > $SEAS_PCT * sum_dow AS is_anomaly
+         |FROM w""".stripMargin,
+
+    // same daily buckets, same densified per-type calendar, same
+    // integer shift weights accumulated HUGEINT-first, same
+    // cross-multiplied spike compare
+    "events_ewma" ->
+      s"""WITH daily AS (SELECT event_type,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(COUNT(*) AS BIGINT) AS c
+         |FROM $oEvents GROUP BY 1, 2),
+         |span AS (SELECT event_type, MIN(x) AS x0, MAX(x) AS x1
+         |FROM daily GROUP BY 1),
+         |cal AS (SELECT u.event_type, u.x1, CAST(u.x AS BIGINT) AS x,
+         |COALESCE(d.c, 0) AS c
+         |FROM (SELECT event_type, x1, unnest(range(x0, x1 + 1)) AS x
+         |FROM span) u
+         |LEFT JOIN daily d ON d.event_type = u.event_type AND d.x = u.x),
+         |t AS (SELECT event_type, x + j AS d,
+         |CAST(c AS HUGEINT) * (CAST(1 AS BIGINT) << (${EWMA_W - 1} - j)) AS term
+         |FROM cal, (SELECT unnest(range(0, $EWMA_W)) AS j) o
+         |WHERE x + j <= x1),
+         |e AS (SELECT event_type, d,
+         |CAST(SUM(term) AS HUGEINT) AS num FROM t GROUP BY 1, 2),
+         |w AS (SELECT e.event_type, e.d AS x, b.c, e.num,
+         |lag(e.num) OVER (PARTITION BY e.event_type ORDER BY e.d) AS numprev
+         |FROM e JOIN cal b ON b.event_type = e.event_type AND b.x = e.d)
+         |SELECT event_type, x, c,
+         |-- HUGEINT // stays exact where DECIMAL // would round through
+         |-- DOUBLE (num·10⁶ crosses 2⁵³ even at sf0.01)
+         |CAST((num * 1000000) // ${1L << EWMA_W} AS BIGINT) AS ewma_micro,
+         |CAST((numprev * 1000000) // ${1L << EWMA_W} AS BIGINT) AS prev_ewma_micro,
+         |COALESCE(CAST(c AS HUGEINT) * ${10L * (1L << EWMA_W)}
+         |  > $EWMA_KX10 * numprev, FALSE) AS is_spike
          |FROM w""".stripMargin,
 
     // same daily buckets, same prefix-sum/running-min identity for

@@ -1,0 +1,413 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{GraftConf, Tables}
+
+/** Round-13 pattern-mining / record-linkage batch: the discovery
+  * operators a training-data platform layers ON TOP of the dedup and
+  * quality core — association rules over co-occurrence baskets,
+  * mutual information between categorical columns, SCD2 dimension
+  * construction from a change stream, Jaro-Winkler linkage scoring,
+  * lossless prefix-filter set-similarity join (AllPairs), and k-hop
+  * neighborhood statistics over the kNN graph. Reference scope:
+  * slipstream's pipe vocabulary (slipstream/core.py:244-255) has no
+  * mining story; these extend it with the published recipes (Agrawal
+  * & Srikant 1994 support/confidence/lift; Kimball SCD type 2;
+  * Winkler 1990; Bayardo et al. WWW'07 AllPairs; Raghavan 2007's
+  * graph-neighborhood statistics family).
+  *
+  * Scale posture (every query):
+  * - a_assoc_rules: baskets aggregate IN-ROW (per-order brand sets are
+  *   bounded by lines-per-order), pair fan-out is C(b,2) per basket —
+  *   the corpus shuffles once into basket sets and once into the
+  *   O(brands²) pair table; item counts and the basket total
+  *   broadcast back.
+  * - a_mutual_info: ONE map-side-combined corpus shuffle into the
+  *   O(|X|·|Y|) cell table; margins derive from the cells
+  *   (control-plane) and broadcast — the corpus is never re-scanned.
+  * - cdc_scd2: one exchange on the entity key feeds the change-flag
+  *   window; islands aggregate map-side; the validity-interval lead
+  *   runs on the O(islands) table.
+  * - j_fuzzy_jw: the PassJoin k ≤ 2 equi-join candidates
+  *   (RelationalQueries.fuzzyPairsK — never N²) pay one codegen'd
+  *   jaro_winkler_micro each.
+  * - dedup_prefix_filter: candidates come from an equi-join on the
+  *   RAREST tokens of each doc (global df order), which is both the
+  *   completeness proof and the skew defense — hot tokens never enter
+  *   short prefixes. The verify re-joins the pinned per-doc token
+  *   arrays on the candidate set only.
+  * - sim_graph_khop: the kNN edge set is O(N·k) and pinned; the 2-hop
+  *   expansion is a self-equi-join with fan-out ≤ k², distinct-merged
+  *   per source.
+  */
+object MiningQueries {
+
+  /** Association rules: minimum co-occurrence count for a reported
+    * pair (absolute support floor — rules below it are noise at any
+    * corpus size because lift's variance explodes). */
+  private def BASKET_MIN = GraftConf.int("graft.basket.minPairs", 5)
+
+  /** Prefix-filter join threshold, as jaccard×10 (8 = 0.8) — integer
+    * so the cross-multiplied compares stay exact. */
+  private def PF_THETA10 = GraftConf.int("graft.dedup.prefixTheta10", 8)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Market-basket association rules (Agrawal & Srikant 1994) over
+    // per-order brand baskets: support, directional confidence, and
+    // lift for every brand pair above the support floor. All three
+    // metrics are exact-integer micro via cross-multiplication; lift's
+    // numerator pair·N·10⁶ crosses 2⁶³ once baskets reach ~10⁹, so it
+    // widens through DECIMAL(38)/HUGEINT (the a_moments posture).
+    // Scale: the basket build is ONE fact⋈dim join + one shuffle into
+    // (order, brand) sets aggregated in-row (bounded by lines/order);
+    // pair counts live in O(brands²); the totals broadcast.
+    "a_assoc_rules" -> ((s, dir) =>
+      assocRules(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("o"), col("p_brand").as("br")),
+        BASKET_MIN)),
+
+    // Mutual information between two categorical columns (market
+    // segment × nation) — the feature-dependence diagnostic a mixture
+    // designer runs before stratifying on correlated keys. Counts are
+    // exact integers off ONE map-side-combined corpus shuffle into the
+    // O(|X|·|Y|) cell table; margins and the total DERIVE from the
+    // cells (the corpus is never re-read). Each cell emits its
+    // pointwise MI and its contribution to the total MI; the density
+    // ratio widens HUGEINT/DECIMAL(38) before the double division
+    // (n_xy·N crosses 2⁶³ at N ≈ 3·10⁹ rows), and every float is ONE
+    // fixed-order expression floored once to micro (the
+    // text_char_entropy ln-parity posture).
+    "a_mutual_info" -> ((s, dir) =>
+      mutualInfo(Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat")))),
+
+    // SCD type-2 dimension build from a change stream (Kimball): the
+    // events table is the change log, the current event_type per user
+    // is the tracked attribute, and the output is one row per
+    // (entity, version) with [valid_from, valid_to) — the
+    // gaps-and-islands lowering (change flag → running island id →
+    // island agg → lead). Deterministic under the catalog's total
+    // (ts, event_id) event order. Scale: ONE exchange on user_id
+    // feeds both windows (the island-id sum reuses the change flag's
+    // sort); the island aggregation is map-side-combinable and its
+    // output — O(versions), not O(events) — is all the lead window
+    // ever sorts.
+    "cdc_scd2" -> ((s, dir) =>
+      scd2Body(Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))),
+
+    // Jaro-Winkler linkage scoring over the bounded-edit candidate
+    // pairs: PassJoin (k ≤ 2) generates candidates — provably
+    // complete for edit distance, never N² — and the codegen'd
+    // jaro_winkler_micro expression ranks them the way a record
+    // linker actually merges (Winkler's prefix boost: entity names
+    // diverge at the tail). The oracle recomputes the score with
+    // DuckDB's own jaro_winkler_similarity over the brute-force
+    // pair set, so the hash-compare proves BOTH the candidate
+    // completeness AND the bit-parity of the expression (see
+    // functions/JaroWinkler.scala for the fuzzed parity contract).
+    "j_fuzzy_jw" -> ((s, dir) =>
+      RelationalQueries.fuzzyPairsK(
+        Tables.part(s, dir).select(col("p_name").as("name"))
+          .distinct().localCheckpoint(), 2)
+        .withColumn("jw_micro", graft.functions.functions.jaro_winkler_micro(
+          col("name_a"), col("name_b")))
+        .select(col("name_a"), col("name_b"), col("dist"), col("jw_micro"))),
+
+    // Lossless set-similarity self-join via prefix filtering (AllPairs,
+    // Bayardo et al. WWW'07) — the EXACT counterpart of the MinHash
+    // candidate generator: for jaccard ≥ θ over per-doc word-bigram
+    // sets, any qualifying pair MUST share a token among each side's
+    // (n − ⌈θn⌉ + 1) globally-rarest tokens, so the candidate equi-join
+    // on prefix tokens misses nothing (the oracle is the full exact
+    // join — hash-equality IS the completeness proof, the PassJoin
+    // posture). Global order = (df asc, token), so prefixes hold each
+    // doc's RAREST tokens: the join is naturally skew-immune — a
+    // boilerplate bigram with huge df is exactly the token the prefix
+    // rule excludes. Per-doc token arrays are single-row-scale state
+    // (they re-aggregate the doc's own text) and pin once for the
+    // prefix explode + both verify probes; the length filter
+    // (10·min ≥ θ10·max) prunes candidates before the verify without
+    // touching completeness.
+    "dedup_prefix_filter" -> ((s, dir) =>
+      prefixFilterPairs(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.functions.functions.word_shingles(col("text"), 2)).as("tok")),
+        PF_THETA10)),
+
+    // k-hop neighborhood size over the kNN graph (k = 2 hops): how
+    // many distinct vectors each point reaches in ≤ 2 directed kNN
+    // steps — the expansion statistic that separates hub-and-spoke
+    // embedding regions (reach ≈ k²) from tight duplicate clusters
+    // (reach collapses toward k). Same factored edge builder as
+    // sim_knn_graph/pagerank/triangles, pinned once; the 2-hop
+    // expansion is one self-equi-join with fan-out ≤ k² per source,
+    // distinct-merged per (src, dst) before the per-source count.
+    "sim_graph_khop" -> ((s, dir) =>
+      khopBody(ExtendedQueries.knnGraph(s, dir)
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = true)))
+  )
+
+  /** Pointwise + total mutual information over a (seg, nat) row frame
+    * — see the a_mutual_info entry for the exactness discipline. */
+  private[queries] def mutualInfo(rows: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // pin the O(|X|·|Y|) cell table: margins, the total, and the final
+    // join all derive from it — unpinned, the corpus aggregation would
+    // re-scan its input once per consumer (four scans)
+    val cell = rows.groupBy(col("seg"), col("nat")).agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint(eager = true)
+    val mx = cell.groupBy(col("seg")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cell.groupBy(col("nat")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = cell.agg(sum(col("n_xy")).as("n_tot"))
+    val ln2 = 0.6931471805599453
+    cell
+      .join(broadcast(mx), "seg")
+      .join(broadcast(my), "nat")
+      .crossJoin(broadcast(tot))
+      .withColumn("r",
+        (col("n_xy").cast(dec) * col("n_tot")).cast("double") /
+          (col("n_x").cast(dec) * col("n_y")).cast("double"))
+      .select(col("seg"), col("nat"), col("n_xy"), col("n_x"), col("n_y"),
+        col("n_tot"),
+        floor(log(col("r")) / lit(ln2) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("pmi_micro"),
+        floor(col("n_xy").cast("double") / col("n_tot").cast("double") *
+          log(col("r")) / lit(ln2) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("contrib_micro"))
+  }
+
+  /** Association-rule mining over an (o = basket id, br = item) frame
+    * — see the a_assoc_rules entry for semantics and units. */
+  private[queries] def assocRules(items: DataFrame, minPairs: Int): DataFrame = {
+    // per-basket distinct item set, in-row (collect_set is bounded by
+    // the basket's own line count — single-row-scale state), pairs by
+    // in-row combinatorics over the sorted set
+    val baskets = items.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("br"))).as("bs"))
+      .localCheckpoint(eager = true) // feeds pairs, item counts, the total
+    val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = baskets
+      .select(explode(col("bs")).as("br"))
+      .groupBy(col("br")).agg(count(lit(1)).as("cnt"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("bs"), (x, i) =>
+        transform(slice(col("bs"), i + lit(2), size(col("bs"))),
+          y => struct(x.as("brand_a"), y.as("brand_b")))))).as("p"))
+      .groupBy(col("p.brand_a"), col("p.brand_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= minPairs)
+    pairs
+      .join(broadcast(itemCnt.select(col("br").as("brand_a"), col("cnt").as("cnt_a"))), "brand_a")
+      .join(broadcast(itemCnt.select(col("br").as("brand_b"), col("cnt").as("cnt_b"))), "brand_b")
+      .crossJoin(broadcast(nb))
+      .select(col("brand_a"), col("brand_b"), col("pair_cnt"),
+        col("cnt_a"), col("cnt_b"), col("n_baskets"),
+        expr("(pair_cnt * 1000000) div n_baskets").as("supp_micro"),
+        expr("(pair_cnt * 1000000) div cnt_a").as("conf_ab_micro"),
+        expr("(pair_cnt * 1000000) div cnt_b").as("conf_ba_micro"),
+        expr("(CAST(pair_cnt AS DECIMAL(38,0)) * n_baskets * 1000000)" +
+          " div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b)").as("lift_micro"))
+  }
+
+  /** SCD2 interval build over a (user_id, ts, event_id, event_type)
+    * change log — see the cdc_scd2 entry. */
+  private[queries] def scd2Body(ev: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("ver"))
+    ev
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(wOrd).isNull ||
+          lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum(col("chg")).over(wRun))
+      .groupBy(col("user_id"), col("ver"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .select(col("user_id"), col("ver"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("last_ts"),
+        col("n_events"), col("valid_to").isNull.as("is_current"))
+  }
+
+  /** AllPairs prefix-filter set-similarity self-join over a (doc_id,
+    * tok) frame with DISTINCT tokens per doc — see the
+    * dedup_prefix_filter entry for the completeness argument. */
+  private[queries] def prefixFilterPairs(toks: DataFrame, theta10: Int): DataFrame = {
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val arr = toks.join(dfreq.hint("shuffle_hash"), "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .withColumn("n", size(col("ts")).cast("long"))
+      .where(col("n") >= 1L)
+      .withColumn("toks", expr("transform(ts, s -> s.tok)"))
+      // ⌈θn⌉ = (θ10·n + 9) div 10 in exact integers
+      .withColumn("plen",
+        (col("n") - expr(s"($theta10 * n + 9) div 10") + lit(1L)).cast("int"))
+      .withColumn("prefix", expr("transform(slice(ts, 1, plen), s -> s.tok)"))
+      .select(col("doc_id"), col("n"), col("toks"), col("prefix"))
+      .localCheckpoint(eager = true)
+    val pre = arr.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 10 >= col("b.n") * theta10 &&
+          col("b.n") * 10 >= col("a.n") * theta10)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("n").as("na")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .where(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * theta10)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("inter"),
+        expr("(inter * 1000000) div (na + nb - inter)").as("jac_micro"))
+  }
+
+  /** ≤2-hop distinct reach per source over a directed (src, dst) edge
+    * frame — see the sim_graph_khop entry. */
+  private[queries] def khopBody(e: DataFrame): DataFrame = {
+    val two = e.as("a").join(e.as("b"), col("a.dst") === col("b.src"))
+      .where(col("b.dst") =!= col("a.src"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+    e.select(col("src"), col("dst"), lit(1L).as("h"))
+      .union(two.select(col("src"), col("dst"), lit(0L).as("h")))
+      .groupBy(col("src"), col("dst")).agg(max(col("h")).as("hop1"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reach2"), sum(col("hop1")).as("n_1hop"))
+      .select(col("src").as("vec_id"), col("n_reach2"), col("n_1hop"))
+  }
+
+  def oracles: Map[String, String] = Map(
+
+    // same in-row pair semantics via a plain self-join (the sets are
+    // identical), same HUGEINT-widened lift
+    "a_assoc_rules" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, p_brand AS br
+         |FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM b),
+         |ic AS (SELECT br, COUNT(*) AS cnt FROM b GROUP BY 1),
+         |pc AS (SELECT a.br AS brand_a, b2.br AS brand_b,
+         |COUNT(*) AS pair_cnt
+         |FROM b a JOIN b b2 ON a.o = b2.o AND a.br < b2.br
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $BASKET_MIN)
+         |SELECT brand_a, brand_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+         |CAST(ca.cnt AS BIGINT) AS cnt_a, CAST(cb.cnt AS BIGINT) AS cnt_b,
+         |CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+         |(pair_cnt * 1000000) // nb.n_baskets AS supp_micro,
+         |(pair_cnt * 1000000) // ca.cnt AS conf_ab_micro,
+         |(pair_cnt * 1000000) // cb.cnt AS conf_ba_micro,
+         |CAST((CAST(pair_cnt AS HUGEINT) * nb.n_baskets * 1000000)
+         |  // (CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) AS lift_micro
+         |FROM pc
+         |JOIN ic ca ON ca.br = brand_a
+         |JOIN ic cb ON cb.br = brand_b
+         |CROSS JOIN nb""".stripMargin,
+
+    // same single cell aggregation, margins derived from the cells,
+    // same HUGEINT-first density ratio, same fixed-order ln/ln2
+    // micro-floored terms
+    "a_mutual_info" ->
+      """WITH cell AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |COUNT(*) AS n_xy FROM customer GROUP BY 1, 2),
+        |mx AS (SELECT seg, SUM(n_xy) AS n_x FROM cell GROUP BY 1),
+        |my AS (SELECT nat, SUM(n_xy) AS n_y FROM cell GROUP BY 1),
+        |t AS (SELECT SUM(n_xy) AS n_tot FROM cell),
+        |j AS (SELECT seg, nat, n_xy, n_x, n_y, n_tot,
+        |CAST(CAST(n_xy AS HUGEINT) * n_tot AS DOUBLE) /
+        |CAST(CAST(n_x AS HUGEINT) * n_y AS DOUBLE) AS r
+        |FROM cell JOIN mx USING (seg) JOIN my USING (nat) CROSS JOIN t)
+        |SELECT seg, nat, CAST(n_xy AS BIGINT) AS n_xy,
+        |CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+        |CAST(n_tot AS BIGINT) AS n_tot,
+        |CAST(FLOOR(ln(r) / 0.6931471805599453 * 1000000.0 + 0.5) AS BIGINT)
+        |  AS pmi_micro,
+        |CAST(FLOOR(CAST(n_xy AS DOUBLE) / CAST(n_tot AS DOUBLE)
+        |  * ln(r) / 0.6931471805599453 * 1000000.0 + 0.5) AS BIGINT)
+        |  AS contrib_micro
+        |FROM j""".stripMargin,
+
+    // same change-flag window, same running island id, same island
+    // aggregation + lead
+    "cdc_scd2" ->
+      s"""WITH o AS (SELECT user_id, ts, event_id, event_type,
+         |CASE WHEN lag(event_type) OVER w IS NULL
+         |OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+         |FROM $oEventsRef
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |i AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+         |ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ver
+         |FROM o),
+         |g AS (SELECT user_id, ver, event_type, MIN(ts) AS valid_from,
+         |MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+         |FROM i GROUP BY 1, 2, 3)
+         |SELECT user_id, ver, event_type, valid_from,
+         |lead(valid_from) OVER wv AS valid_to, last_ts, n_events,
+         |lead(valid_from) OVER wv IS NULL AS is_current
+         |FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY ver)""".stripMargin,
+
+    // brute-force pairs at edit ≤ 2 (completeness, the j_fuzzy_edit2
+    // posture) + DuckDB's OWN jaro_winkler, micro-rounded the same
+    // way — parity of the custom expression is part of the hash
+    "j_fuzzy_jw" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+        |CAST(FLOOR(jaro_winkler_similarity(a.name, b.name) * 1000000.0
+        |  + 0.5) AS BIGINT) AS jw_micro
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+
+    // the FULL exact set-similarity join — hash-equality proves the
+    // prefix scheme lossless
+    "dedup_prefix_filter" -> {
+      val theta10 = PF_THETA10
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN
+         |list_distinct(list_transform(range(1, len(w)),
+         |i -> w[i] || ' ' || w[i+1]))
+         |ELSE []::VARCHAR[] END AS sh FROM d),
+         |e AS (SELECT doc_id, len(sh)::BIGINT AS n, unnest(sh) AS tok
+         |FROM s WHERE len(sh) >= 1)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |a.n AS na, b.n AS nb, COUNT(*) AS inter,
+         |(COUNT(*) * 1000000) // (a.n + b.n - COUNT(*)) AS jac_micro
+         |FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3, 4
+         |HAVING COUNT(*) * 10 >= (a.n + b.n - COUNT(*)) * $theta10""".stripMargin
+    },
+
+    // same factored kNN chain, same distinct-merged 2-hop expansion
+    "sim_graph_khop" ->
+      s"""WITH ${ExtendedQueries.oKnnChain},
+         |e AS (SELECT src, dst FROM knn),
+         |two AS (SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src
+         |WHERE b.dst <> a.src),
+         |r AS (SELECT src, dst, MAX(h) AS hop1 FROM
+         |(SELECT src, dst, 1 AS h FROM e
+         |UNION ALL SELECT src, dst, 0 FROM two) u GROUP BY 1, 2)
+         |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_reach2,
+         |CAST(SUM(hop1) AS BIGINT) AS n_1hop
+         |FROM r GROUP BY 1""".stripMargin
+  )
+
+  /** Spark-visible-microsecond events relation for oracles (the
+    * QueryPrimitives.oEvents body — referenced here under a local
+    * name to keep this file's oracles self-contained). */
+  private def oEventsRef: String = QueryPrimitives.oEvents
+}

@@ -67,4 +67,15 @@ object TrendMonitor {
   def seasonalityReadout(counts: DataFrame): DataFrame =
     graft.queries.EventsQueries.seasonalityBody(
       counts.select(col("event_type"), col("x"), col("c")))
+
+  /** The recency-weighted EWMA baseline + spike readout over the same
+    * streamed daily-count snapshot — the factored events_ewma algebra
+    * ([[graft.queries.EventsQueries.ewmaBody]]): the FIFTH alarm off
+    * the one (type, day) state table (OLS drift, MAD outliers, CUSUM
+    * sustained shift, seasonality-aware residual, EWMA recency
+    * spike), so the live smoothed dashboard and the oracle-checked
+    * batch gate read identical numbers on the same events. */
+  def ewmaReadout(counts: DataFrame): DataFrame =
+    graft.queries.EventsQueries.ewmaBody(
+      counts.select(col("event_type"), col("x"), col("c")))
 }

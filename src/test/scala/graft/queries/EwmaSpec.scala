@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The EWMA baseline's defining algebra on hand-built daily counts:
+  * geometric warm-up toward a constant level, exact halving decay
+  * through DENSIFIED zero-count gap days, the 30-day truncation, and
+  * the cross-multiplied spike rule (fires on a 4× jump at κ = 3,
+  * stays quiet at 2×, never fires on the history-less first day). */
+class EwmaSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  private val W = EventsQueries.EWMA_W // 30
+  private def run(rows: (String, Long, Long)*) =
+    EventsQueries.ewmaBody(rows.toSeq.toDF("event_type", "x", "c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("c"), r.getAs[Long]("ewma_micro"),
+          r.getAs[Boolean]("is_spike"))).toMap
+
+  test("constant series: ewma warms up geometrically toward the level " +
+    "— day d carries exactly c·(2^min(d+1,W) − 1)/2^min(d+1,W)") {
+    val got = run((0 until 40).map(d => ("t", d.toLong, 8L)): _*)
+    (0 until 40).foreach { d =>
+      val k = math.min(d + 1, W)
+      // num = 8·(2^W − 2^(W−k)); ewma_micro = num·1e6 div 2^W
+      val num = BigInt(8) * ((BigInt(1) << W) - (BigInt(1) << (W - k)))
+      val exp = (num * 1000000 / (BigInt(1) << W)).toLong
+      assert(got(("t", d.toLong))._2 == exp, s"day $d")
+    }
+    // steady state sits one ulp of 2^-W below the level, never at it
+    assert(got(("t", 39L))._2 == 7999999L)
+  }
+
+  test("a gap day counts as ZERO: the baseline halves through missing " +
+    "days exactly as through quiet ones") {
+    // one burst of 1024 on day 0, then nothing until day 10 — the
+    // calendar densifies days 1..9 with c = 0
+    val got = run(("t", 0L, 1024L), ("t", 10L, 0L))
+    (0 to 10).foreach { d =>
+      // num = 1024·2^(W−1−d) → ewma = 1024/2^(d+1): exact halving
+      val exp = (BigInt(1024) * 1000000 / (BigInt(1) << (d + 1))).toLong
+      assert(got(("t", d.toLong))._2 == exp, s"day $d")
+      assert(got.contains(("t", 5L))) // densified row exists
+    }
+  }
+
+  test("truncation: a count older than W days contributes nothing") {
+    val got = run(("t", 0L, 1L << 20), ("t", 40L, 0L))
+    assert(got(("t", 40L))._2 == 0L) // 40 > 29: fully aged out
+    assert(got(("t", 29L))._2 == ((BigInt(1) << 20) * 1000000 /
+      (BigInt(1) << 30)).toLong) // last contributing day
+  }
+
+  test("spike rule: 4x the settled baseline fires at kappa = 3, 2x " +
+    "does not, and the first day never fires") {
+    val base = (0 until 35).map(d => ("t", d.toLong, 100L))
+    val quiet = run((base :+ (("t", 35L, 200L))): _*)
+    assert(!quiet(("t", 35L))._3, "2x must stay quiet")
+    val loud = run((base :+ (("t", 35L, 400L))): _*)
+    assert(loud(("t", 35L))._3, "4x must fire")
+    assert(!loud(("t", 0L))._3, "no baseline on day 0")
+  }
+
+  test("types are independent: a spike in one type never flags the other") {
+    val rows = (0 until 35).flatMap(d =>
+      Seq(("a", d.toLong, 100L), ("b", d.toLong, 100L))) :+
+      (("a", 35L, 1000L)) :+ (("b", 35L, 100L))
+    val got = run(rows: _*)
+    assert(got(("a", 35L))._3 && !got(("b", 35L))._3)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computable cases for the round-13 mining batch: association
+  * rules (support/confidence/lift on engineered dependence and
+  * independence), mutual information (zero on a product distribution,
+  * log2|X| on a bijection), SCD2 islands (merge, reopen, tie-break,
+  * single-version entities), and 2-hop reach (chain, cycle,
+  * duplicate-path dedup). */
+class MiningQueriesSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  // --- association rules ------------------------------------------
+
+  private def rules(items: Seq[(Long, String)], minPairs: Int = 1) =
+    MiningQueries.assocRules(items.toDF("o", "br"), minPairs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+
+  test("assoc rules: perfectly correlated pair has conf 1.0 both ways " +
+    "and lift = n_baskets/cnt") {
+    // A and B always together (2 of 4 baskets); C alone in the others
+    val got = rules(Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "C"), (4L, "C")))
+    val ab = got(("A", "B"))
+    assert(ab.getAs[Long]("pair_cnt") == 2L)
+    assert(ab.getAs[Long]("supp_micro") == 500000L)     // 2/4
+    assert(ab.getAs[Long]("conf_ab_micro") == 1000000L) // 2/2
+    assert(ab.getAs[Long]("conf_ba_micro") == 1000000L)
+    assert(ab.getAs[Long]("lift_micro") == 2000000L)    // (2·4)/(2·2)
+    assert(!got.contains(("A", "C")))
+  }
+
+  test("assoc rules: independent items have lift 1.0") {
+    // A in every basket, B in every basket → P(AB) = P(A)P(B) = 1
+    val got = rules(Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (4L, "A"), (4L, "B")))
+    assert(got(("A", "B")).getAs[Long]("lift_micro") == 1000000L)
+  }
+
+  test("assoc rules: duplicate lines in one basket count once " +
+    "(set semantics) and the support floor filters") {
+    val got = rules(Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"), // dup A collapses
+      (2L, "A"), (2L, "B"), (3L, "A"), (3L, "C")), minPairs = 2)
+    assert(got(("A", "B")).getAs[Long]("pair_cnt") == 2L)
+    assert(got(("A", "B")).getAs[Long]("cnt_a") == 3L) // A in 3 baskets
+    assert(!got.contains(("A", "C"))) // pair_cnt 1 < floor 2
+  }
+
+  // --- mutual information -----------------------------------------
+
+  test("mutual information: a product distribution scores 0 " +
+    "everywhere (pmi and contribution)") {
+    val rows = for { s <- Seq("x", "y"); n <- Seq(1, 2); _ <- 1 to 3 }
+      yield (s, n)
+    val got = MiningQueries.mutualInfo(rows.toDF("seg", "nat")).collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getAs[Long]("pmi_micro") == 0L, r.toString)
+      assert(r.getAs[Long]("contrib_micro") == 0L, r.toString)
+    }
+  }
+
+  test("mutual information: a bijection scores pmi = log2|X| per cell") {
+    // seg x ↔ nat 1, seg y ↔ nat 2, equal mass: pmi = log2(2) = 1 bit
+    val rows = Seq(("x", 1), ("x", 1), ("y", 2), ("y", 2))
+    val got = MiningQueries.mutualInfo(rows.toDF("seg", "nat")).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("pmi_micro") == 1000000L, r.toString)
+      // each cell carries half the total 1-bit MI
+      assert(r.getAs[Long]("contrib_micro") == 500000L, r.toString)
+    }
+  }
+
+  test("mutual information: negative pmi on anti-correlated cells") {
+    // x strongly prefers 1, y strongly prefers 2; the cross cells
+    // (x,2)/(y,1) are rarer than independence predicts → pmi < 0
+    val rows = Seq.fill(9)(("x", 1)) ++ Seq(("x", 2)) ++
+      Seq.fill(9)(("y", 2)) ++ Seq(("y", 1))
+    val got = MiningQueries.mutualInfo(rows.toDF("seg", "nat"))
+      .collect()
+      .map(r => (r.getAs[String]("seg"), r.getAs[Int]("nat")) -> r).toMap
+    assert(got(("x", 2)).getAs[Long]("pmi_micro") < 0L)
+    assert(got(("x", 1)).getAs[Long]("pmi_micro") > 0L)
+  }
+
+  // --- SCD2 --------------------------------------------------------
+
+  private val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def ts(min: Int) =
+    new java.sql.Timestamp(T0.getTime + min * 60000L)
+
+  private def scd2(rows: (Long, java.sql.Timestamp, Long, String)*) =
+    MiningQueries.scd2Body(
+      rows.toSeq.toDF("user_id", "ts", "event_id", "event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+
+  test("scd2: consecutive equal values merge into one version; a " +
+    "reopened value is a NEW version (type-2, not type-1)") {
+    val got = scd2(
+      (1L, ts(0), 1L, "A"), (1L, ts(1), 2L, "A"), // island 1: A×2
+      (1L, ts(2), 3L, "B"),                       // island 2: B
+      (1L, ts(3), 4L, "A"))                       // island 3: A again
+    assert(got.size == 3)
+    val v1 = got((1L, 1L)); val v2 = got((1L, 2L)); val v3 = got((1L, 3L))
+    assert(v1.getAs[String]("event_type") == "A" && v1.getAs[Long]("n_events") == 2L)
+    assert(v1.getAs[java.sql.Timestamp]("valid_from") == ts(0))
+    // validity chains: each version closes exactly when the next opens
+    assert(v1.getAs[java.sql.Timestamp]("valid_to") == ts(2))
+    assert(v2.getAs[java.sql.Timestamp]("valid_to") == ts(3))
+    assert(v3.getAs[java.sql.Timestamp]("valid_to") == null)
+    assert(!v1.getAs[Boolean]("is_current") && v3.getAs[Boolean]("is_current"))
+  }
+
+  test("scd2: equal timestamps break by event_id (the catalog's total " +
+    "event order)") {
+    val got = scd2(
+      (1L, ts(0), 2L, "B"), (1L, ts(0), 1L, "A")) // same ts: A first
+    assert(got((1L, 1L)).getAs[String]("event_type") == "A")
+    assert(got((1L, 2L)).getAs[String]("event_type") == "B")
+  }
+
+  test("scd2: a single-event entity is one current version") {
+    val got = scd2((7L, ts(0), 1L, "Z"))
+    assert(got.size == 1 && got((7L, 1L)).getAs[Boolean]("is_current"))
+  }
+
+  // --- k-hop reach -------------------------------------------------
+
+  private def khop(edges: (Long, Long)*) =
+    MiningQueries.khopBody(edges.toSeq.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_reach2"),
+        r.getAs[Long]("n_1hop"))).toMap
+
+  test("khop: chain a→b→c reaches both; c's absence from sources " +
+    "means no row for c") {
+    val got = khop((1L, 2L), (2L, 3L))
+    assert(got(1L) == (2L, 1L)) // reaches {2, 3}, one direct
+    assert(got(2L) == (1L, 1L))
+    assert(!got.contains(3L))
+  }
+
+  test("khop: a 2-cycle does not count the source as its own reach") {
+    val got = khop((1L, 2L), (2L, 1L))
+    assert(got(1L) == (1L, 1L)) // reaches {2} only — not itself
+    assert(got(2L) == (1L, 1L))
+  }
+
+  test("khop: a node reached both directly and via 2 hops counts ONCE " +
+    "and keeps the 1-hop flag") {
+    // 1→2, 1→3, 2→3: node 3 is direct AND via 2
+    val got = khop((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(got(1L) == (2L, 2L)) // reach {2,3}, both direct
+  }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The AllPairs prefix-filter join against a brute-force truth on
+  * engineered token sets: pairs that meet the threshold EXACTLY,
+  * pairs whose only shared tokens are corpus-common (the prefix rule
+  * must still catch them when jaccard qualifies), length-filter
+  * boundary pairs, identical docs, and a randomized cross-check. */
+class PrefixFilterSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  private def run(docs: Map[Long, Set[String]], theta10: Int = 8) = {
+    val toks = docs.toSeq.flatMap { case (id, ts) => ts.map(id -> _) }
+    MiningQueries.prefixFilterPairs(toks.toDF("doc_id", "tok"), theta10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("jac_micro"))
+      .toMap
+  }
+
+  private def brute(docs: Map[Long, Set[String]], theta10: Int = 8) =
+    (for {
+      a <- docs.keys; b <- docs.keys if a < b
+      inter = (docs(a) & docs(b)).size
+      uni = (docs(a) | docs(b)).size
+      if inter * 10 >= uni * theta10
+    } yield (a, b) -> (inter.toLong * 1000000L / uni)).toMap
+
+  test("identical docs and an exactly-at-threshold pair are both found " +
+    "with exact micro jaccard") {
+    val docs = Map(
+      1L -> Set("a", "b", "c", "d"),
+      2L -> Set("a", "b", "c", "d"),          // J = 1 with 1
+      3L -> Set("a", "b", "c", "d", "e"),     // J(1,3) = 4/5 = 0.8 exactly
+      4L -> Set("x", "y", "z", "w"))          // J = 0 with all
+    val got = run(docs)
+    assert(got == brute(docs))
+    assert(got((1L, 2L)) == 1000000L)
+    assert(got((1L, 3L)) == 800000L)
+    assert(!got.contains((1L, 4L)))
+  }
+
+  test("a pair just BELOW the threshold is excluded (verify, not just " +
+    "candidates)") {
+    val docs = Map(
+      1L -> Set("a", "b", "c", "d", "e"),
+      2L -> Set("a", "b", "c", "d", "f"))     // J = 4/6 = 0.667 < 0.8
+    assert(run(docs).isEmpty && brute(docs).isEmpty)
+    // ...but qualifies at theta = 0.6
+    assert(run(docs, 6) == brute(docs, 6) && run(docs, 6).nonEmpty)
+  }
+
+  test("near-dup pair differing ONLY in each side's rarest token — the " +
+    "adversarial case for a rare-first prefix — is still complete") {
+    // 19 shared tokens + 1 unique each: J = 19/21 ≈ 0.905. The unique
+    // tokens have df = 1 (the global minimum) so each doc's prefix is
+    // EXACTLY its unique token... which the other side doesn't have.
+    // Completeness survives because prefix length is n − ⌈θn⌉ + 1 =
+    // 20 − 16 + 1 = 5: the prefix reaches 4 shared tokens too.
+    val shared = (1 to 19).map(i => s"s$i").toSet
+    val docs = Map(
+      1L -> (shared + "only1"),
+      2L -> (shared + "only2"),
+      3L -> Set("only3", "zq1", "zq2")) // unrelated noise
+    val got = run(docs)
+    assert(got == brute(docs))
+    assert(got.contains((1L, 2L)))
+  }
+
+  test("the length filter cannot drop a qualifying pair: sizes at the " +
+    "exact theta ratio still join") {
+    // |a| = 4, |b| = 5 with a ⊂ b: J = 4/5 = 0.8; the filter keeps
+    // 4·10 ≥ 5·8 (equality) — an off-by-one here would lose the pair
+    val docs = Map(
+      1L -> Set("a", "b", "c", "d"),
+      2L -> Set("a", "b", "c", "d", "e"))
+    assert(run(docs).contains((1L, 2L)))
+  }
+
+  test("randomized cross-check: 60 docs over a skewed vocabulary " +
+    "(hot boilerplate tokens + rare tails) matches brute force") {
+    val rnd = new scala.util.Random(13)
+    val hot = (1 to 5).map(i => s"hot$i")
+    val docs = (1L to 60L).map { id =>
+      val base = hot.filter(_ => rnd.nextInt(10) < 8).toSet ++
+        (1 to 3 + rnd.nextInt(5)).map(_ => s"r${rnd.nextInt(40)}").toSet
+      // plant near-dups: even ids clone the previous odd id's set
+      // with one token flipped
+      id -> base
+    }.toMap
+    val planted = docs.map { case (id, ts) =>
+      if (id % 2 == 0) id -> (docs(id - 1) - docs(id - 1).head + s"u$id")
+      else id -> ts
+    }
+    assert(run(planted) == brute(planted))
+    assert(brute(planted).nonEmpty, "the plant must create real pairs")
+  }
+}

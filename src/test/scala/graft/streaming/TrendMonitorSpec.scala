@@ -95,5 +95,21 @@ class TrendMonitorSpec extends AnyFunSuite {
     seasStreamed.foreach { case (k, got) =>
       assert(got == seasBatch(k), s"$k: stream $got vs batch ${seasBatch(k)}")
     }
+
+    // and the FIFTH alarm off the same state table: the EWMA
+    // recency-weighted baseline ≡ the oracle-checked batch
+    // events_ewma — per (type, day) rows including the densified
+    // zero-count calendar days, exact num/2^W micro baselines and
+    // cross-multiplied spike flags
+    val ewmaBatch = graft.queries.EventsQueries
+      .queries("events_ewma")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+    val ewmaStreamed = TrendMonitor
+      .ewmaReadout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(ewmaStreamed.keySet == ewmaBatch.keySet && ewmaBatch.nonEmpty)
+    ewmaStreamed.foreach { case (k, got) =>
+      assert(got == ewmaBatch(k), s"$k: stream $got vs batch ${ewmaBatch(k)}")
+    }
   }
 }
