@@ -388,6 +388,41 @@ object EventsQueries {
         .limit(PATH_TOPN)
     }),
 
+    // Gap-tolerant sequential 2-patterns (the PrefixSpan-lite support
+    // count, Pei et al. 2001): "A then B, anything between, within one
+    // session" — the Markov query counts ADJACENT transitions only, so
+    // a browse→…→purchase regularity with noise between never
+    // surfaces there. Same session machinery and PATH_CAP bound as
+    // events_path_mining; ordered pairs derive IN-ROW from each
+    // session's capped path (array_distinct — a pattern counts once
+    // per session, the standard support), so per-session state stays
+    // O(PATH_CAP) and the only corpus shuffles are the session window
+    // and the O(types²) support agg.
+    "events_seq_patterns" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(wOrd)
+      val brk = when(prev.isNull ||
+        unix_micros(col("ts")) - unix_micros(prev) >= GAP_US, 1).otherwise(0)
+      val wSess = Window.partitionBy(col("user_id"), col("session_seq"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("brk", brk)
+        .withColumn("session_seq", sum(col("brk"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(wSess))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(transform(
+          sort_array(collect_list(when(col("rn") <= PATH_CAP, struct(
+            unix_micros(col("ts")).as("tsu"), col("event_id"),
+            col("event_type"))))),
+          x => x.getField("event_type")).as("p"))
+        .select(explode(array_distinct(flatten(transform(col("p"), (x, i) =>
+          transform(slice(col("p"), i + lit(2), size(col("p"))),
+            y => concat(x, lit(">"), y)))))).as("pat"))
+        .groupBy(col("pat")).agg(count(lit(1)).as("n_sessions"))
+        .where(col("n_sessions") >= SEQ_MIN)
+    }),
+
     // A/B experiment readout (two-proportion z-test — the
     // experimentation classic every product pipeline ends in): users
     // deterministically bucketed by id parity, conversion = at least
@@ -492,6 +527,34 @@ object EventsQueries {
         .select(col("event_type"),
           datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
           col("c")))),
+
+    // Theil–Sen robust slope per event type — see theilsenBody (median
+    // of all pairwise daily slopes over the O(days²) control-plane
+    // pair table; exact re-signed integer slopes; histogram median).
+    // The SIXTH readout off TrendMonitor's one (type, day) state table.
+    "events_theilsen" -> ((s, dir) =>
+      theilsenBody(Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+          col("c")))),
+
+    // Difference-in-differences on purchase value — see didBody (the
+    // A/B gate's causal twin: each cohort's own pre-period baseline
+    // cancels pre-existing level differences). Cohort = user_id mod 2
+    // (the events_ab_test assignment), panel = exact cents per
+    // (cohort, day) off ONE map-side-combined shuffle.
+    "events_did" -> ((s, dir) =>
+      didBody(Tables.events(s, dir)
+        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .select((col("user_id") % 2).as("grp"),
+          datediff(to_date(date_trunc("day", col("ts"))),
+            lit("1970-01-01").cast("date")).cast("long").as("x"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .groupBy(col("grp"), col("x"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")))),
 
     // Robust (median/MAD) daily-rate anomaly gate — the outlier-proof
     // twin of events_rate_anomaly: a mean/σ z-score is dragged by the
@@ -783,6 +846,10 @@ object EventsQueries {
     * exceeds pct% of the same-day-of-week mean. */
   private def SEAS_PCT = graft.GraftConf.int("graft.seasonality.pct", 50)
 
+  /** Sequential-pattern support floor (absolute session count — the
+    * assoc-rules convention). */
+  private def SEQ_MIN = graft.GraftConf.int("graft.seq.minSessions", 5)
+
   /** EWMA gate: spike when the day's count exceeds (kx10/10)× the
     * PREVIOUS day's smoothed baseline — relative, like the CUSUM/bot
     * parameters. */
@@ -948,6 +1015,97 @@ object EventsQueries {
           col("c").cast(dec) * lit(10L * (1L << EWMA_W)) >
             lit(EWMA_KX10.toLong) * col("numprev"),
           lit(false)).as("is_spike"))
+  }
+
+  /** Theil–Sen robust trend over a (event_type, x = epoch day,
+    * c = daily count) table — one algebra, two ingestion modes (the
+    * trendBody posture; the SIXTH alarm off TrendMonitor's one state
+    * table via [[graft.streaming.TrendMonitor.theilsenReadout]]).
+    * OLS (events_trend) has breakdown point 0 — one 100× bot day
+    * drags the fitted slope arbitrarily; the Theil–Sen estimator
+    * (median of all pairwise slopes, Sen 1968) tolerates ~29%
+    * contamination and is the robust-regression twin the MAD gate is
+    * to the z-gate.
+    *
+    * Exactness discipline: each pairwise slope is sign(dy)·(|dy|·10⁶
+    * div dx) — positive-only integer division then re-signed, because
+    * a signed div would diverge (Spark truncates toward zero, DuckDB
+    * floors — the trendBody rule); the median of those exact longs
+    * rides the a_median cumulative-histogram order statistics (med2 =
+    * lo+hi, never a float percentile).
+    *
+    * Scale: the pair join is O(days²) on the PINNED O(types×days)
+    * daily table — 134k pairs for a year of telemetry, executor-sized
+    * for any horizon a volume monitor tracks (a 10-year panel is 13M
+    * control-plane rows; the windowed variant — pairs within 90
+    * days — is the documented long-horizon form). The corpus itself
+    * is touched only by the caller's one daily-count shuffle. */
+  private[graft] def theilsenBody(daily: DataFrame): DataFrame = {
+    val d = daily.localCheckpoint(eager = true) // feeds both join sides + n_days
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.x") < col("b.x"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.c") - col("a.c")).as("dy"), (col("b.x") - col("a.x")).as("dx"))
+      .select(col("event_type"),
+        (signum(col("dy")).cast("long") *
+          expr("(abs(dy) * 1000000) div dx")).as("slope_micro"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("slope_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = pairs
+      .groupBy(col("event_type"), col("slope_micro")).agg(count(lit(1)).as("f"))
+      .withColumn("cum", sum(col("f")).over(wCum))
+      .withColumn("np", sum(col("f")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("np")).as("n_pairs"),
+        (min(when(col("cum") >= expr("(np + 1) div 2"), col("slope_micro"))) +
+          min(when(col("cum") >= expr("np div 2 + 1"), col("slope_micro"))))
+          .as("med2_slope_micro"))
+    med
+      .join(d.groupBy(col("event_type")).agg(count(lit(1)).as("n_days")),
+        "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("med2_slope_micro"),
+        (col("med2_slope_micro") / lit(2.0)).as("ts_slope_micro"))
+  }
+
+  /** Difference-in-differences over a (grp = 0|1, x = epoch day,
+    * n = events, s = exact cents) daily panel: the causal-effect twin
+    * of the A/B z-gate (abTestBody tests one post-treatment split;
+    * DiD subtracts each group's OWN pre-period baseline, so a
+    * pre-existing level difference between the cohorts cancels
+    * instead of confounding). Period split = the midpoint of the
+    * observed day span; all four cell means are exact
+    * (Σcents·10⁶ div n) through DECIMAL(38) (the a_moments mean
+    * posture), and the DiD estimate is pure subtraction of those
+    * exact micros. Scale: ONE map-side-combined corpus shuffle into
+    * the O(2×days) panel; the split, the cells, and the estimate are
+    * control-plane. */
+  private[graft] def didBody(panel: DataFrame): DataFrame = {
+    val p = panel.localCheckpoint(eager = true) // feeds span + cells
+    val split = p.agg(expr("(min(x) + max(x) + 1) div 2").as("split"))
+    def cell(g: Int, post: Boolean, c: String) =
+      sum(when(col("grp") === g && (if (post) col("x") >= col("split")
+        else col("x") < col("split")), col(c)).otherwise(0L))
+    def mean(s: String, n: String) = expr(
+      s"CASE WHEN $n = 0 THEN NULL ELSE (CAST($s AS DECIMAL(38,0)) * 1000000) div $n END")
+    p.crossJoin(broadcast(split))
+      .agg(
+        cell(1, post = false, "n").as("n_t_pre"), cell(1, post = false, "s").as("s_t_pre"),
+        cell(1, post = true, "n").as("n_t_post"), cell(1, post = true, "s").as("s_t_post"),
+        cell(0, post = false, "n").as("n_c_pre"), cell(0, post = false, "s").as("s_c_pre"),
+        cell(0, post = true, "n").as("n_c_post"), cell(0, post = true, "s").as("s_c_post"),
+        max(col("split")).as("split_day"))
+      .withColumn("m_t_pre", mean("s_t_pre", "n_t_pre"))
+      .withColumn("m_t_post", mean("s_t_post", "n_t_post"))
+      .withColumn("m_c_pre", mean("s_c_pre", "n_c_pre"))
+      .withColumn("m_c_post", mean("s_c_post", "n_c_post"))
+      .withColumn("did_micro",
+        (col("m_t_post") - col("m_t_pre")) - (col("m_c_post") - col("m_c_pre")))
+      .select(col("split_day"), col("n_t_pre"), col("n_t_post"),
+        col("n_c_pre"), col("n_c_post"), col("m_t_pre"), col("m_t_post"),
+        col("m_c_pre"), col("m_c_post"), col("did_micro"))
   }
 
   /** The day-of-week seasonal decomposition over a (event_type,
@@ -1255,6 +1413,27 @@ object EventsQueries {
          |FROM sp GROUP BY 1
          |ORDER BY n_sessions DESC, path ASC LIMIT $PATH_TOPN""".stripMargin,
 
+    // same gap sessions, same capped path, same in-row ordered-pair
+    // expansion with once-per-session distinct
+    "events_seq_patterns" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts, event_type FROM $oEvents),
+         |b AS (SELECT event_id, user_id, ts, event_type,
+         |CASE WHEN lag(ts) OVER w IS NULL
+         |OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |ROWS UNBOUNDED PRECEDING) AS session_seq FROM b),
+         |sp AS (SELECT user_id, session_seq,
+         |list(event_type ORDER BY ts, event_id)[1:$PATH_CAP] AS p
+         |FROM g GROUP BY 1, 2),
+         |pairs AS (SELECT unnest(list_distinct(flatten(
+         |list_transform(range(1, len(p) + 1),
+         |i -> list_transform(p[i+1:], y -> p[i] || '>' || y))))) AS pat
+         |FROM sp)
+         |SELECT pat, CAST(COUNT(*) AS BIGINT) AS n_sessions
+         |FROM pairs GROUP BY 1
+         |HAVING COUNT(*) >= $SEQ_MIN""".stripMargin,
+
     // same id-parity bucketing, same conversion threshold, same exact
     // counts, same one-shot fixed-order z flooring
     "events_ab_test" ->
@@ -1361,6 +1540,77 @@ object EventsQueries {
          |COALESCE(CAST(c AS HUGEINT) * ${10L * (1L << EWMA_W)}
          |  > $EWMA_KX10 * numprev, FALSE) AS is_spike
          |FROM w""".stripMargin,
+
+    // same daily buckets, same re-signed positive-only slope division,
+    // same cumulative-histogram median
+    "events_theilsen" ->
+      s"""WITH daily AS (SELECT event_type,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(COUNT(*) AS BIGINT) AS c
+         |FROM $oEvents GROUP BY 1, 2),
+         |p AS (SELECT a.event_type, b.c - a.c AS dy, b.x - a.x AS dx
+         |FROM daily a JOIN daily b
+         |ON a.event_type = b.event_type AND a.x < b.x),
+         |sl AS (SELECT event_type,
+         |CAST(sign(dy) AS BIGINT) * ((abs(dy) * 1000000) // dx) AS slope_micro
+         |FROM p),
+         |h AS (SELECT event_type, slope_micro, COUNT(*) AS f
+         |FROM sl GROUP BY 1, 2),
+         |w AS (SELECT event_type, slope_micro,
+         |CAST(SUM(f) OVER (PARTITION BY event_type ORDER BY slope_micro
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |CAST(SUM(f) OVER (PARTITION BY event_type) AS BIGINT) AS np FROM h),
+         |m AS (SELECT event_type, MIN(np) AS n_pairs,
+         |MIN(CASE WHEN cum >= (np + 1) // 2 THEN slope_micro END)
+         |+ MIN(CASE WHEN cum >= np // 2 + 1 THEN slope_micro END)
+         |AS med2_slope_micro
+         |FROM w GROUP BY 1),
+         |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+         |FROM daily GROUP BY 1)
+         |SELECT m.event_type, nd.n_days, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |CAST(med2_slope_micro AS BIGINT) AS med2_slope_micro,
+         |med2_slope_micro / 2.0 AS ts_slope_micro
+         |FROM m JOIN nd ON m.event_type = nd.event_type""".stripMargin,
+
+    // same daily panel, same midpoint split, same DECIMAL(38)-exact
+    // cell means, same pure-subtraction estimate
+    "events_did" ->
+      s"""WITH v AS (SELECT user_id % 2 AS grp,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+         |FROM $oEvents WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |panel AS (SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS n,
+         |CAST(SUM(cents) AS BIGINT) AS s FROM v GROUP BY 1, 2),
+         |sp AS (SELECT (MIN(x) + MAX(x) + 1) // 2 AS split FROM panel),
+         |cells AS (SELECT
+         |SUM(CASE WHEN grp = 1 AND x <  split THEN n ELSE 0 END) AS n_t_pre,
+         |SUM(CASE WHEN grp = 1 AND x <  split THEN s ELSE 0 END) AS s_t_pre,
+         |SUM(CASE WHEN grp = 1 AND x >= split THEN n ELSE 0 END) AS n_t_post,
+         |SUM(CASE WHEN grp = 1 AND x >= split THEN s ELSE 0 END) AS s_t_post,
+         |SUM(CASE WHEN grp = 0 AND x <  split THEN n ELSE 0 END) AS n_c_pre,
+         |SUM(CASE WHEN grp = 0 AND x <  split THEN s ELSE 0 END) AS s_c_pre,
+         |SUM(CASE WHEN grp = 0 AND x >= split THEN n ELSE 0 END) AS n_c_post,
+         |SUM(CASE WHEN grp = 0 AND x >= split THEN s ELSE 0 END) AS s_c_post,
+         |MAX(split) AS split_day
+         |FROM panel CROSS JOIN sp),
+         |m AS (SELECT split_day,
+         |CAST(n_t_pre AS BIGINT) AS n_t_pre, CAST(n_t_post AS BIGINT) AS n_t_post,
+         |CAST(n_c_pre AS BIGINT) AS n_c_pre, CAST(n_c_post AS BIGINT) AS n_c_post,
+         |CASE WHEN n_t_pre = 0 THEN NULL
+         |ELSE CAST((CAST(s_t_pre AS HUGEINT) * 1000000) // n_t_pre AS BIGINT) END AS m_t_pre,
+         |CASE WHEN n_t_post = 0 THEN NULL
+         |ELSE CAST((CAST(s_t_post AS HUGEINT) * 1000000) // n_t_post AS BIGINT) END AS m_t_post,
+         |CASE WHEN n_c_pre = 0 THEN NULL
+         |ELSE CAST((CAST(s_c_pre AS HUGEINT) * 1000000) // n_c_pre AS BIGINT) END AS m_c_pre,
+         |CASE WHEN n_c_post = 0 THEN NULL
+         |ELSE CAST((CAST(s_c_post AS HUGEINT) * 1000000) // n_c_post AS BIGINT) END AS m_c_post
+         |FROM cells)
+         |SELECT split_day, n_t_pre, n_t_post, n_c_pre, n_c_post,
+         |m_t_pre, m_t_post, m_c_pre, m_c_post,
+         |(m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_micro
+         |FROM m""".stripMargin,
 
     // same daily buckets, same prefix-sum/running-min identity for
     // the max(0, ·) recurrence, same 100·n-scaled integer units

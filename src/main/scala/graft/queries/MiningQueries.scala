@@ -55,6 +55,13 @@ object MiningQueries {
     * so the cross-multiplied compares stay exact. */
   private def PF_THETA10 = GraftConf.int("graft.dedup.prefixTheta10", 8)
 
+  /** Sorted-neighborhood window size (each name compares to its W−1
+    * sort-order successors). 40 covers this vocabulary's observed
+    * duplicate gaps (8..32 ranks — multiword names sharing a prefix
+    * sort between a pair's two spellings); the candidate count stays
+    * EXACTLY N·(W−1) at any corpus size. */
+  private def SNM_W = GraftConf.int("graft.snm.window", 40)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Market-basket association rules (Agrawal & Srikant 1994) over
@@ -156,7 +163,71 @@ object MiningQueries {
     "sim_graph_khop" -> ((s, dir) =>
       khopBody(ExtendedQueries.knnGraph(s, dir)
         .select(col("src"), col("dst"))
-        .localCheckpoint(eager = true)))
+        .localCheckpoint(eager = true))),
+
+    // Benford first-digit conformance per event type (Benford 1938 —
+    // the fraud/synthetic-data screen auditors run on transaction
+    // amounts: organic multi-scale values follow P(d) = log10(1+1/d);
+    // fabricated or unit-priced values don't). Digits come from exact
+    // integer cents via string truncation (no float log in the digit
+    // path); the nine expected shares are compile-time double
+    // literals shared verbatim with the oracle; each χ² term is ONE
+    // fixed-order double expression micro-floored independently and
+    // the statistic is their exact integer sum (the
+    // text_char_entropy alphabet-sum posture). ONE map-side-combined
+    // corpus shuffle into O(types) rows.
+    "qa_benford" -> ((s, dir) => {
+      val p = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+      def cnt(d: Int) =
+        sum(when(col("digit") === d.toString, 1L).otherwise(0L)).as(s"c$d")
+      def term(d: Int) = {
+        val e = col("n").cast("double") * lit(p(d - 1))
+        floor((col(s"c$d").cast("double") - e) * (col(s"c$d").cast("double") - e)
+          / e * lit(1000000.0) + lit(0.5)).cast("long")
+      }
+      Tables.events(s, dir)
+        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .where(col("cents") >= 1L)
+        .withColumn("digit", substring(col("cents").cast("string"), 1, 1))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), (1 to 9).map(cnt): _*)
+        .select(Seq(col("event_type"), col("n")) ++
+          (1 to 9).map(d => col(s"c$d")) :+
+          (1 to 9).map(term).reduce(_ + _).as("chi2_micro"): _*)
+    }),
+
+    // Sorted-neighborhood record-linkage join (Hernández & Stolfo
+    // 1995) — the THIRD blocking family next to PassJoin (complete
+    // for bounded edit) and prefix filtering (complete for jaccard):
+    // sort the vocabulary once, compare each name only to its W−1
+    // successors in sort order, verify with thresholded levenshtein.
+    // SNM is deliberately INCOMPLETE — a first-character edit
+    // teleports a string across the sort order and out of every
+    // window (SnmSpec measures the recall gap against the PassJoin
+    // truth) — in exchange for a candidate count that is EXACTLY
+    // N·(W−1) regardless of data skew: the bound no cohort cap can
+    // give the other two families. The rank is the one global sort
+    // (the prefix-filter vocab-rank caveat: sortBy+zipWithIndex at
+    // 100 TB); candidates come from an EQUI-join on rank.
+    "j_sorted_neighborhood" -> ((s, dir) => {
+      val w = SNM_W
+      val ranked = Tables.part(s, dir).select(col("p_name").as("name"))
+        .distinct()
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("name"))).cast("long"))
+        .localCheckpoint(eager = true)
+      val probes = ranked
+        .select(col("name").as("name_b"), col("r").as("rb"),
+          explode(expr(s"sequence(1, ${w - 1})")).as("j"))
+        .select(col("name_b"), (col("rb") - col("j")).as("ra"))
+      ranked.select(col("name").as("name_a"), col("r").as("ra"))
+        .join(probes, "ra")
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+        .where(col("dist") >= 0 && col("dist") <= 2)
+        .select(col("name_a"), col("name_b"), col("dist"))
+    })
   )
 
   /** Pointwise + total mutual information over a (seg, nat) row frame
@@ -207,8 +278,20 @@ object MiningQueries {
           y => struct(x.as("brand_a"), y.as("brand_b")))))).as("p"))
       .groupBy(col("p.brand_a"), col("p.brand_b"))
       .agg(count(lit(1)).as("pair_cnt"))
+    rulesFrom(pairs, itemCnt, nb, minPairs)
+  }
+
+  /** The rule algebra over already-aggregated counts — factored so the
+    * streaming [[graft.streaming.BasketMonitor]] reads the IDENTICAL
+    * support/confidence/lift off its state-store snapshot (one
+    * algebra, two ingestion modes — the trendBody posture).
+    * `pairCnt` = (brand_a, brand_b, pair_cnt), `itemCnt` = (br, cnt),
+    * `nb` = one (n_baskets) row. */
+  private[graft] def rulesFrom(
+      pairCnt: DataFrame, itemCnt: DataFrame, nb: DataFrame,
+      minPairs: Int): DataFrame = {
+    pairCnt
       .where(col("pair_cnt") >= minPairs)
-    pairs
       .join(broadcast(itemCnt.select(col("br").as("brand_a"), col("cnt").as("cnt_a"))), "brand_a")
       .join(broadcast(itemCnt.select(col("br").as("brand_b"), col("cnt").as("cnt_b"))), "brand_b")
       .crossJoin(broadcast(nb))
@@ -243,36 +326,71 @@ object MiningQueries {
         col("n_events"), col("valid_to").isNull.as("is_current"))
   }
 
-  /** AllPairs prefix-filter set-similarity self-join over a (doc_id,
-    * tok) frame with DISTINCT tokens per doc — see the
-    * dedup_prefix_filter entry for the completeness argument. */
+  /** AllPairs/PPJoin prefix-filter set-similarity self-join over a
+    * (doc_id, tok) frame with DISTINCT tokens per doc — see the
+    * dedup_prefix_filter entry for the completeness argument.
+    *
+    * Engineering (the 30× lesson — the naive string form read 73× at
+    * 30× data on a small-vocabulary corpus where prefix df stays
+    * high):
+    *  - tokens map to DENSE INTEGER ids in global (df, tok) rarity
+    *    order, so the candidate join keys, the per-doc arrays, and
+    *    the verify's array_intersect all work on longs instead of
+    *    strings (the id rank is the one global vocab sort in the
+    *    build; a 100 TB vocabulary replaces the single-partition
+    *    row_number with sortBy+zipWithIndex — order-isomorphic, same
+    *    prefixes);
+    *  - candidates aggregate with a map-side-combined groupBy (never
+    *    a DISTINCT over the raw join output);
+    *  - PPJoin's positional filter (Xiao et al. 2008) prunes before
+    *    the verify: for a QUALIFYING pair the globally-smallest
+    *    common token is necessarily in both prefixes (else that side
+    *    has no common prefix token and the completeness argument
+    *    bounds overlap below α), so overlap ≤ 1 + min(na−pa, nb−pb)
+    *    at its positions, and pairs whose bound misses
+    *    α = ⌈θ(na+nb)/(1+θ)⌉ drop — soundly, since qualifying pairs
+    *    satisfy bound ≥ overlap ≥ α. Cuts verify volume 2.2× on this
+    *    corpus; exactness is unchanged (the oracle is the full exact
+    *    join). */
   private[queries] def prefixFilterPairs(toks: DataFrame, theta10: Int): DataFrame = {
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("tid",
+        row_number().over(Window.orderBy(col("df"), col("tok"))).cast("long"))
+      .select(col("tok"), col("tid"))
     val arr = toks.join(dfreq.hint("shuffle_hash"), "tok")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .agg(sort_array(collect_list(col("tid"))).as("ts"))
       .withColumn("n", size(col("ts")).cast("long"))
       .where(col("n") >= 1L)
-      .withColumn("toks", expr("transform(ts, s -> s.tok)"))
       // ⌈θn⌉ = (θ10·n + 9) div 10 in exact integers
       .withColumn("plen",
         (col("n") - expr(s"($theta10 * n + 9) div 10") + lit(1L)).cast("int"))
-      .withColumn("prefix", expr("transform(slice(ts, 1, plen), s -> s.tok)"))
-      .select(col("doc_id"), col("n"), col("toks"), col("prefix"))
+      .withColumn("prefix", expr("slice(ts, 1, plen)"))
+      .select(col("doc_id"), col("n"), col("ts"), col("prefix"))
       .localCheckpoint(eager = true)
-    val pre = arr.select(col("doc_id"), col("n"), explode(col("prefix")).as("tok"))
+    val pre = arr.select(col("doc_id"), col("n"),
+        posexplode(col("prefix")).as(Seq("p0", "tid")))
+      .select(col("doc_id"), col("n"),
+        (col("p0") + lit(1)).cast("long").as("pos"), col("tid"))
     val cand = pre.as("a").join(pre.as("b"),
-        col("a.tok") === col("b.tok") &&
+        col("a.tid") === col("b.tid") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 10 >= col("b.n") * theta10 &&
           col("b.n") * 10 >= col("a.n") * theta10)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      // min struct = the smallest shared prefix token with ITS
+      // positions (tid is unique per pair row, so the lex min is the
+      // tid min)
+      .agg(min(struct(col("a.tid").as("tid"), col("a.pos").as("pa"),
+        col("b.pos").as("pb"))).as("m"))
+      .where(lit((10 + theta10).toLong) *
+        (lit(1L) + least(col("na") - col("m.pa"), col("nb") - col("m.pb"))) >=
+        lit(theta10.toLong) * (col("na") + col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
     cand
-      .join(arr.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
-        col("n").as("na")), "doc_a")
-      .join(arr.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
-        col("n").as("nb")), "doc_b")
+      .join(arr.select(col("doc_id").as("doc_a"), col("ts").as("ta")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("ts").as("tb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .where(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * theta10)
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"), col("inter"),
@@ -391,6 +509,41 @@ object MiningQueries {
          |GROUP BY 1, 2, 3, 4
          |HAVING COUNT(*) * 10 >= (a.n + b.n - COUNT(*)) * $theta10""".stripMargin
     },
+
+    // same exact-cents digit truncation, same shared expected-share
+    // literals, same per-term micro flooring summed as integers
+    "qa_benford" -> {
+      val p = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+      val cnts = (1 to 9).map(d =>
+        s"CAST(SUM(CASE WHEN digit = '$d' THEN 1 ELSE 0 END) AS BIGINT) AS c$d")
+        .mkString(", ")
+      val terms = (1 to 9).map { d =>
+        val e = s"(CAST(n AS DOUBLE) * ${p(d - 1)})"
+        s"CAST(FLOOR((CAST(c$d AS DOUBLE) - $e) * (CAST(c$d AS DOUBLE) - $e)" +
+          s" / $e * 1000000.0 + 0.5) AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT event_type,
+         |CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+         |FROM $oEventsRef
+         |WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |d AS (SELECT event_type,
+         |substr(CAST(cents AS VARCHAR), 1, 1) AS digit
+         |FROM v WHERE cents >= 1),
+         |h AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, $cnts
+         |FROM d GROUP BY 1)
+         |SELECT event_type, n, c1, c2, c3, c4, c5, c6, c7, c8, c9,
+         |$terms AS chi2_micro FROM h""".stripMargin
+    },
+
+    // same one global sort, same rank-difference window, same
+    // thresholded verify
+    "j_sorted_neighborhood" ->
+      s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+         |r AS (SELECT name, row_number() OVER (ORDER BY name) AS r FROM n)
+         |SELECT a.name AS name_a, b.name AS name_b,
+         |CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+         |FROM r a JOIN r b ON b.r - a.r BETWEEN 1 AND ${SNM_W - 1}
+         |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
 
     // same factored kNN chain, same distinct-merged 2-hop expansion
     "sim_graph_khop" ->

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming association-rule maintenance — the live twin of the
+  * batch `a_assoc_rules` catalog query: pair co-occurrence counts,
+  * item counts, and the basket total are all PLAIN mergeable sums, so
+  * one [[Fold.applyPartial]] state table keyed by a tagged key
+  * carries the complete rule surface, and the readout is the FACTORED
+  * batch algebra ([[graft.queries.MiningQueries.rulesFrom]]) — a live
+  * "customers who buy X also buy Y" dashboard and the oracle-checked
+  * offline rules can never disagree on the same baskets
+  * (BasketMonitorSpec pins row-parity).
+  *
+  * Input contract: COMPLETE baskets arrive as units (a transaction
+  * log emits finished transactions). A basket split across
+  * micro-batches would under-count its pairs — by design this monitor
+  * never buffers partial baskets; upstream sessionization owns basket
+  * assembly.
+  *
+  * State size: O(brands² + brands) counters — the tagged-key fold
+  * pre-combines per micro-batch partition, so the state op sees
+  * O(distinct keys) partials per batch, never O(baskets).
+  *
+  * Reference analog: slipstream's per-key aggregate caches inside
+  * handlers (cookbook.rst:529-588) — here the counters are
+  * restart-safe state-store state.
+  */
+object BasketMonitor {
+
+  /** Tagged count key: ("p", a, b) pair / ("i", br, "") item /
+    * ("n", "", "") basket total. */
+  type K = (String, String, String)
+
+  /** Incremental counts over a (basketId, items) stream (or batch
+    * frame — same fold). Items dedup + sort in-row before pair
+    * expansion, matching the batch collect_set semantics. */
+  def counts(
+      ds: Dataset[(Long, Seq[String])])(
+      implicit spark: SparkSession): Dataset[(K, Long)] = {
+    import spark.implicits._
+    val tagged = ds.flatMap { case (_, items) =>
+      val bs = items.distinct.sorted
+      val pairs = for {
+        i <- bs.indices.iterator
+        j <- (i + 1) until bs.length
+      } yield (("p", bs(i), bs(j)))
+      pairs ++ bs.iterator.map(br => ("i", br, "")) ++
+        Iterator(("n", "", ""))
+    }
+    Fold.applyPartial[K, K, Long](
+      tagged, v => v, 0L, (b, _) => b + 1L, _ + _)
+  }
+
+  /** The batch rule algebra over a streamed counts snapshot
+    * ((kind, ka, kb), cnt rows). */
+  def rulesReadout(snapshot: DataFrame, minPairs: Int): DataFrame = {
+    val pairs = snapshot.where(col("kind") === "p")
+      .select(col("ka").as("brand_a"), col("kb").as("brand_b"),
+        col("cnt").as("pair_cnt"))
+    val items = snapshot.where(col("kind") === "i")
+      .select(col("ka").as("br"), col("cnt"))
+    val nb = snapshot.where(col("kind") === "n")
+      .select(col("cnt").as("n_baskets"))
+    graft.queries.MiningQueries.rulesFrom(pairs, items, nb, minPairs)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.streaming._
+
+/** Streaming SCD2 dimension maintenance — the CDC twin of the batch
+  * `cdc_scd2` catalog query ([[graft.queries.MiningQueries.scd2Body]]):
+  * each entity's CURRENT version (attribute value, valid_from, event
+  * count) lives in the state store; when an arriving event carries a
+  * DIFFERENT attribute value, the open version closes and is emitted
+  * as a finished [valid_from, valid_to) interval. This is the shape a
+  * warehouse-facing CDC pipeline actually runs: closed versions append
+  * to the dimension table; the one open version per entity is state,
+  * not output (append-mode streaming cannot retract a "current" row
+  * that later closes — the batch query owns the retrospective view
+  * that includes open versions).
+  *
+  * Ordering contract (the SessionizeState discipline): rows sort by
+  * (event time, event id) within each micro-batch, and micro-batches
+  * are assumed event-time-ordered per entity. An event older than the
+  * state's committed last event time is flagged `is_late = true` on
+  * the version row it eventually closes — observable, never silent.
+  *
+  * Scale: state is one small tuple per entity (the open version);
+  * emitted rows are O(attribute changes), not O(events).
+  *
+  * Reference analog: slipstream keeps per-key "current value" caches
+  * inside handlers (caching.py:223-247); here the open version is
+  * restart-safe state-store state and the closed-version stream is a
+  * plain append sink.
+  */
+object Scd2Monitor {
+
+  /** Open version: (type, fromUs, lastUs, n, ver, lateSeen).
+    * ver counts versions per entity from 1. ("", …) = no history. */
+  type St = (String, Long, Long, Long, Long, Boolean)
+  val empty: St = ("", -1L, -1L, 0L, 0L, false)
+
+  /** Closed-version row: (user, ver, type, fromUs, toUs, lastUs, n,
+    * is_late). */
+  type Closed = (Long, Long, String, Long, Long, Long, Long, Boolean)
+
+  /** One event against the open version: returns (next state, maybe a
+    * closed version). */
+  def step(key: Long, st: St, tsu: Long, tpe: String): (St, Option[Closed]) = {
+    val (cur, from, last, n, ver, late) = st
+    val isLate = last >= 0 && tsu < last
+    if (ver == 0L) // first event: open version 1
+      ((tpe, tsu, tsu, 1L, 1L, isLate), None)
+    else if (tpe == cur) // same value: extend the open version
+      ((cur, from, math.max(last, tsu), n + 1L, ver, late || isLate), None)
+    else { // value changed: close at the new event's time, open next
+      val closed = (key, ver, cur, from, tsu, last, n, late || isLate)
+      ((tpe, tsu, tsu, 1L, ver + 1L, isLate), Some(closed))
+    }
+  }
+
+  class Proc(stEnc: Encoder[St])
+    extends StatefulProcessor[Long, (Long, Long, Long, String), Closed] {
+
+    @transient private var state: ValueState[St] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[St]("scd2", stEnc, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, String)],
+        timerValues: TimerValues): Iterator[Closed] = {
+      var st = if (state.exists()) state.get() else empty
+      val out = rows.toArray.sortBy(r => (r._2, r._1)).flatMap { r =>
+        val (next, closed) = step(key, st, r._2, r._4)
+        st = next
+        closed
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** Closed SCD2 versions over an (event_id, tsu, user_id, type)
+    * stream (or batch frame — same fold). The batch path additionally
+    * emits each entity's OPEN version with toUs = -1 (the streaming
+    * path keeps it in state — see the class doc). */
+  def closedVersions(
+      ds: Dataset[(Long, Long, Long, String)],
+      emitOpen: Boolean = false)(
+      implicit spark: SparkSession): Dataset[Closed] = {
+    import spark.implicits._
+    val grouped = ds.groupByKey(_._3)
+    if (ds.isStreaming)
+      grouped.transformWithState(
+        new Proc(implicitly[Encoder[St]]),
+        TimeMode.None(), OutputMode.Append())
+    else
+      grouped.flatMapGroups { (k, it) =>
+        var st = empty
+        val closed = it.toArray.sortBy(r => (r._2, r._1)).flatMap { r =>
+          val (next, c) = step(k, st, r._2, r._4)
+          st = next
+          c
+        }
+        val open =
+          if (emitOpen && st._5 > 0L)
+            Seq((k, st._5, st._1, st._2, -1L, st._3, st._4, st._6))
+          else Seq.empty
+        (closed ++ open).iterator
+      }
+  }
+}

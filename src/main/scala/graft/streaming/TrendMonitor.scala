@@ -78,4 +78,15 @@ object TrendMonitor {
   def ewmaReadout(counts: DataFrame): DataFrame =
     graft.queries.EventsQueries.ewmaBody(
       counts.select(col("event_type"), col("x"), col("c")))
+
+  /** The Theil–Sen robust-slope readout over the same streamed
+    * daily-count snapshot — the factored events_theilsen algebra
+    * ([[graft.queries.EventsQueries.theilsenBody]]): the SIXTH alarm
+    * off the one (type, day) state table (OLS drift, MAD outliers,
+    * CUSUM sustained shift, seasonality residual, EWMA recency spike,
+    * robust slope), so the contamination-tolerant trend a dashboard
+    * trusts during a bot flood reads identically live and offline. */
+  def theilsenReadout(counts: DataFrame): DataFrame =
+    graft.queries.EventsQueries.theilsenBody(
+      counts.select(col("event_type"), col("x"), col("c")))
 }

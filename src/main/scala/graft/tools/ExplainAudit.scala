@@ -970,6 +970,47 @@ object ExplainAudit {
         count(p, "HashAggregate") >= 4
     }
 
+    audit("events_theilsen",
+      "the pairwise-slope join runs on the PINNED O(types×days) daily " +
+        "table (zero parquet scans here — the corpus shuffle happened " +
+        "at pin time); the slope median rides the bounded histogram " +
+        "(no percentile, no ObjectHashAggregate)") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("CartesianProduct") &&
+        !p.contains("percentile") && !p.contains("ObjectHashAggregate") &&
+        count(p, "Window") == 2
+    }
+    audit("events_did",
+      "ONE corpus-scale aggregation (pinned panel — zero parquet scans " +
+        "here); the split broadcast is a 1-row nested loop; the four " +
+        "cells fold in a single pass over O(2×days) rows") { p =>
+      count(p, "Scan parquet") == 0 &&
+        p.contains("BroadcastNestedLoopJoin") &&
+        count(p, "HashAggregate") >= 2 && !p.contains("SortMergeJoin")
+    }
+
+    audit("events_seq_patterns",
+      "per-session state is the capped path (CASE WHEN rn <= cap " +
+        "inside collect_list — the events_path_mining guard); ordered " +
+        "pairs expand IN-ROW; support aggregates map-side") { p =>
+      p.contains("CASE WHEN (rn") && count(p, "Exchange") <= 3 &&
+        !p.contains("Join")
+    }
+    audit("qa_benford",
+      "one map-side-combined corpus shuffle into O(types) rows; digit " +
+        "extraction is string truncation of exact cents (no float log " +
+        "in the digit path); the filter pushes to the scan") { p =>
+      count(p, "Exchange") == 1 && count(p, "HashAggregate") == 2 &&
+        !p.contains("Join") && p.contains("EqualTo(event_type,purchase)")
+    }
+    audit("j_sorted_neighborhood",
+      "candidates are an EQUI-join on rank (exactly N·(W−1) rows by " +
+        "construction — no skew possible); the thresholded levenshtein " +
+        "verify rides the join residual; the one sort is the pinned " +
+        "vocabulary rank") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("CartesianProduct") &&
+        p.contains("levenshtein")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

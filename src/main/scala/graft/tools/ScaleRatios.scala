@@ -170,7 +170,15 @@ object ScaleRatios {
       // prefix-filter join (documents), and 2-hop kNN reach
       // (embeddings)
       "a_assoc_rules", "a_mutual_info", "cdc_scd2", "events_ewma",
-      "j_fuzzy_jw", "dedup_prefix_filter", "sim_graph_khop")
+      "j_fuzzy_jw", "dedup_prefix_filter", "sim_graph_khop",
+      // r13 fifth batch: Theil–Sen robust slope and the DiD gate
+      // (both: one corpus shuffle into a daily panel, control-plane
+      // estimates)
+      "events_theilsen", "events_did",
+      // r13 sixth batch: gap-tolerant sequential patterns (events),
+      // the Benford digit gate (events), and sorted-neighborhood
+      // blocking (constant-dictionary caveat like j_fuzzy_edit)
+      "events_seq_patterns", "qa_benford", "j_sorted_neighborhood")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The second mining batch's defining properties: SNM's window
+  * semantics and its DESIGNED incompleteness (a head-edit escapes
+  * every window; a tail-edit pair sorts adjacent), Benford digit
+  * extraction + the χ² gate's direction on conforming vs uniform
+  * digits, and sequential-pattern gap tolerance vs the Markov
+  * adjacency it generalizes. */
+class MiningBatch2Spec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  // --- sorted-neighborhood ------------------------------------------
+
+  test("SNM on the part vocabulary at the default window recalls the " +
+    "FULL PassJoin k=2 truth (gaps 8..32 < 40), with identical dists") {
+    val dir = "/root/testdata/sf0.001"
+    val snm = MiningQueries.queries("j_sorted_neighborhood")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val truth = MiningQueries.queries("j_fuzzy_jw")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(truth.nonEmpty)
+    assert(snm == truth,
+      "on THIS vocabulary the window covers every true pair — recall 1.0")
+  }
+
+  test("SNM misses a head-edit pair by design: the first character " +
+    "teleports the string across the sort order") {
+    // vocabulary engineered so 'aaaa...'/'zaaa...' (edit 1!) have
+    // ~hundreds of names between them, while a tail-edit pair is
+    // adjacent
+    val pad = (1 to 300).map(i => f"m$i%03d-filler-name")
+    val names = (Seq("aaaa-name", "zaaa-name", "tail-name-x", "tail-name-y")
+      ++ pad).toDF("name")
+    // drive the same body shape through a temp view + the factored
+    // conf: reuse the catalog machinery by SQL-free local rebuild
+    val w = 40
+    val ranked = names.distinct()
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("name"))).cast("long"))
+    val probes = ranked
+      .select(col("name").as("name_b"), col("r").as("rb"),
+        explode(expr(s"sequence(1, ${w - 1})")).as("j"))
+      .select(col("name_b"), (col("rb") - col("j")).as("ra"))
+    val got = ranked.select(col("name").as("name_a"), col("r").as("ra"))
+      .join(probes, "ra")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .where(col("dist") >= 0 && col("dist") <= 2)
+      .select(col("name_a"), col("name_b"))
+      .as[(String, String)].collect().toSet
+    assert(got.contains(("tail-name-x", "tail-name-y")), "tail edit adjacent")
+    assert(!got.exists(p => p._1.contains("aaaa") && p._2.contains("zaaa")),
+      "head edit must escape the window — SNM's documented blind spot")
+  }
+
+  // --- Benford ------------------------------------------------------
+
+  test("Benford gate: log-uniform cents conform (small chi2), " +
+    "constant-leading-digit cents explode the statistic") {
+    def chi2(cents: Seq[Long]): Long = {
+      val p = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+      val digits = cents.map(_.toString.head.asDigit)
+      val n = cents.length.toDouble
+      (1 to 9).map { d =>
+        val e = n * p(d - 1)
+        val c = digits.count(_ == d).toDouble
+        math.floor((c - e) * (c - e) / e * 1e6 + 0.5).toLong
+      }.sum
+    }
+    // engine result on a hand frame via the same expression shape:
+    // compare the catalog body against this reference fold on sf0.001
+    val dir = "/root/testdata/sf0.001"
+    val got = MiningQueries.queries("qa_benford")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("chi2_micro")).toMap
+    val cents = graft.Tables.events(spark, dir)
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+      .as[Long].collect().filter(_ >= 1L)
+    assert(got.keySet == Set("purchase"))
+    assert(got("purchase") == chi2(cents.toSeq),
+      "engine chi2 equals the per-term-floored reference fold")
+  }
+
+  test("Benford digit extraction is exact-integer (no float log in " +
+    "the digit path): 999.995 rounds to cents 100000, digit 1") {
+    val df = Seq(("purchase", 999.995), ("purchase", 0.004), ("purchase", 0.005))
+      .toDF("event_type", "value")
+      .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .where(col("cents") >= 1L)
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1))
+      .as[(Long, String)].collect().toSet
+    assert(df == Set((100000L, "1"), (1L, "1")),
+      "0.004 → cents 0 excluded; boundary 0.005 → cents 1 kept")
+  }
+
+  // --- sequential patterns ------------------------------------------
+
+  test("seq patterns count a pattern once per session and tolerate " +
+    "gaps the Markov adjacency query cannot see") {
+    val dir = "/root/testdata/sf0.001"
+    // A>B support must be >= the adjacent-transition count of A>B:
+    // every adjacency is also a gap-pattern occurrence (per session
+    // dedup makes this >= only across sessions with repeats)
+    // sf0.001 sessions are short — drop the support floor to 1 for
+    // the shape assertions (the conf flows through GraftConf)
+    spark.conf.set("graft.seq.minSessions", "1")
+    val pats =
+      try EventsQueries.queries("events_seq_patterns")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("graft.seq.minSessions")
+    assert(pats.nonEmpty)
+    // sanity: all patterns are 'x>y' over the 5 known event types
+    val types = Set("click", "view", "purchase", "signup", "error")
+    pats.keys.foreach { k =>
+      val Array(a, b) = k.split(">")
+      assert(types(a) && types(b), k)
+    }
+    // gap tolerance: hand session C,A,C,B yields A>B even though
+    // never adjacent
+    val rows = Seq(
+      (1L, 1000L, 9L, "C"), (2L, 2000L, 9L, "A"),
+      (3L, 3000L, 9L, "C"), (4L, 4000L, 9L, "B"))
+      .toDF("event_id", "tsu", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(tsu)").as("ts"),
+        col("user_id"), col("event_type"))
+    val p = rows
+      .groupBy(col("user_id"))
+      .agg(transform(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("tsu"), col("event_id"),
+        col("event_type")))), x => x.getField("event_type")).as("p"))
+      .select(explode(array_distinct(flatten(transform(col("p"), (x, i) =>
+        transform(slice(col("p"), i + lit(2), size(col("p"))),
+          y => concat(x, lit(">"), y)))))).as("pat"))
+      .as[String].collect().toSet
+    assert(p.contains("A>B") && p.contains("C>B") && p.contains("A>C"))
+    assert(p.contains("C>C"), "repeat types pair with themselves")
+    assert(!p.contains("B>A"), "order matters")
+  }
+}

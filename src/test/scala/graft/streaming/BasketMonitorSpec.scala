@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-maintained basket counters + the factored rule algebra ≡
+  * the oracle-checked batch a_assoc_rules on the same baskets,
+  * batch-boundary-independently. */
+class BasketMonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed rules readout equals the batch a_assoc_rules query") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.MiningQueries.queries("a_assoc_rules")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(batch.nonEmpty)
+
+    // the same baskets the batch query builds: per-order brand sets
+    val baskets = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.part(spark, dir),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("p_brand")).as("bs"))
+      .as[(Long, Seq[String])].collect()
+
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Seq[String])]
+    val q = BasketMonitor.counts(src.toDS())
+      .map { case ((kind, ka, kb), cnt) => (kind, ka, kb, cnt) }
+      .toDF("kind", "ka", "kb", "cnt")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("basket_stream").start()
+    val counts =
+      try {
+        val (a, b) = (baskets.length / 4, baskets.length / 2)
+        src.addData(baskets.take(a).toIndexedSeq); q.processAllAvailable()
+        src.addData(baskets.slice(a, b).toIndexedSeq); q.processAllAvailable()
+        src.addData(baskets.drop(b).toIndexedSeq); q.processAllAvailable()
+        // update mode: keep the LAST count per key
+        spark.table("basket_stream")
+          .withColumn("seq", monotonically_increasing_id())
+          .as[(String, String, String, Long, Long)].collect()
+          .groupBy(r => (r._1, r._2, r._3))
+          .map { case ((k1, k2, k3), rs) =>
+            (k1, k2, k3, rs.maxBy(_._5)._4) }
+          .toSeq
+      } finally q.stop()
+
+    val streamed = BasketMonitor.rulesReadout(
+      counts.toDF("kind", "ka", "kb", "cnt"), minPairs = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, got) =>
+      assert(got == batch(k), s"pair $k: stream $got vs batch ${batch(k)}")
+    }
+  }
+
+  test("a duplicate item inside one basket counts once (set semantics, " +
+    "matching the batch collect_set)") {
+    implicit val s = spark
+    val got = BasketMonitor.counts(
+      Seq((1L, Seq("B", "A", "B")), (2L, Seq("A", "B"))).toDS())
+      .collect().toMap
+    assert(got((("p", "A", "B"))) == 2L)
+    assert(got((("i", "A", ""))) == 2L)
+    assert(got((("n", "", ""))) == 2L)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streamed closed SCD2 versions ≡ the batch cdc_scd2 query's
+  * non-current rows on the same events, across micro-batch splits —
+  * plus the step function's version algebra and the late flag. */
+class Scd2MonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("step algebra: open, extend, close-at-next-change, version " +
+    "numbering from 1") {
+    val (s1, c1) = Scd2Monitor.step(7L, Scd2Monitor.empty, 100L, "A")
+    assert(c1.isEmpty && s1 == ("A", 100L, 100L, 1L, 1L, false))
+    val (s2, c2) = Scd2Monitor.step(7L, s1, 200L, "A")
+    assert(c2.isEmpty && s2._4 == 2L && s2._3 == 200L)
+    val (s3, c3) = Scd2Monitor.step(7L, s2, 300L, "B")
+    // version 1 closes EXACTLY when version 2 opens (half-open chain)
+    assert(c3.contains((7L, 1L, "A", 100L, 300L, 200L, 2L, false)))
+    assert(s3 == ("B", 300L, 300L, 1L, 2L, false))
+  }
+
+  test("a same-value late event extends the open version and flags it") {
+    val (s1, _) = Scd2Monitor.step(7L, Scd2Monitor.empty, 100L, "A")
+    val (s2, _) = Scd2Monitor.step(7L, s1, 50L, "A") // older than committed
+    assert(s2._6, "late must be observable")
+    assert(s2._3 == 100L, "last event time never goes backward")
+  }
+
+  test("streamed closed versions equal the batch cdc_scd2 non-current " +
+    "rows across uneven micro-batches") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.MiningQueries.queries("cdc_scd2")(spark, dir)
+      .where(!col("is_current"))
+      .select(col("user_id"), col("ver"), col("event_type"),
+        unix_micros(col("valid_from")).as("f"),
+        unix_micros(col("valid_to")).as("t"),
+        unix_micros(col("last_ts")).as("l"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+        col("user_id"), col("event_type"))
+      .orderBy(col("tsu"), col("event_id"))
+      .as[(Long, Long, Long, String)].collect()
+
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Long, Long, String)]
+    val q = Scd2Monitor.closedVersions(src.toDS())
+      .toDF("user_id", "ver", "event_type", "f", "t", "l", "n", "late")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd2_stream").start()
+    val streamed =
+      try {
+        val (a, b) = (rows.length / 5, (2 * rows.length) / 3)
+        src.addData(rows.take(a).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.slice(a, b).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.drop(b).toIndexedSeq); q.processAllAvailable()
+        spark.table("scd2_stream")
+          .as[(Long, Long, String, Long, Long, Long, Long, Boolean)]
+          .collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7, r._8)))
+          .toMap
+      } finally q.stop()
+
+    assert(streamed.size == batch.size,
+      s"closed-version counts: stream ${streamed.size} vs batch ${batch.size}")
+    streamed.foreach { case (k, (tpe, f, t, l, n, late)) =>
+      assert((tpe, f, t, l, n) == batch(k), s"version $k")
+      assert(!late, s"version $k: ordered micro-batches must never flag late")
+    }
+
+    // the batch path of the SAME fold (emitOpen = true) reproduces the
+    // full catalog query — closed AND open versions
+    val all = Scd2Monitor.closedVersions(rows.toSeq.toDS(), emitOpen = true)
+      .collect()
+    val batchAll = graft.queries.MiningQueries.queries("cdc_scd2")(spark, dir)
+    assert(all.length == batchAll.count().toInt)
+    val opens = all.filter(_._5 == -1L)
+    assert(opens.length ==
+      batchAll.where(col("is_current")).count().toInt)
+  }
+}

@@ -111,5 +111,19 @@ class TrendMonitorSpec extends AnyFunSuite {
     ewmaStreamed.foreach { case (k, got) =>
       assert(got == ewmaBatch(k), s"$k: stream $got vs batch ${ewmaBatch(k)}")
     }
+
+    // and the SIXTH alarm off the same state table: the Theil–Sen
+    // robust slope ≡ the oracle-checked batch events_theilsen —
+    // per-type exact pairwise-slope medians
+    val tsBatch = graft.queries.EventsQueries
+      .queries("events_theilsen")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r.toSeq).toMap
+    val tsStreamed = TrendMonitor
+      .theilsenReadout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.toSeq).toMap
+    assert(tsStreamed.keySet == tsBatch.keySet && tsBatch.nonEmpty)
+    tsStreamed.foreach { case (k, got) =>
+      assert(got == tsBatch(k), s"$k: stream $got vs batch ${tsBatch(k)}")
+    }
   }
 }
