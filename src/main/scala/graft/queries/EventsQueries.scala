@@ -388,6 +388,19 @@ object EventsQueries {
         .limit(PATH_TOPN)
     }),
 
+    // Lead–lag cross-correlation between type daily series — see
+    // xcorrBody (densified global calendar, exact DECIMAL(38)
+    // sufficient statistics, one fixed-order Pearson r per (pair,
+    // lag) micro-floored once).
+    "events_xcorr" -> ((s, dir) =>
+      xcorrBody(Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+          col("c")))),
+
     // Gap-tolerant sequential 2-patterns (the PrefixSpan-lite support
     // count, Pei et al. 2001): "A then B, anything between, within one
     // session" — the Markov query counts ADJACENT transitions only, so
@@ -850,6 +863,9 @@ object EventsQueries {
     * assoc-rules convention). */
   private def SEQ_MIN = graft.GraftConf.int("graft.seq.minSessions", 5)
 
+  /** Cross-correlation: how many lead/lag offsets to scan. */
+  private def XCORR_LAGS = graft.GraftConf.int("graft.xcorr.lags", 8)
+
   /** EWMA gate: spike when the day's count exceeds (kx10/10)× the
     * PREVIOUS day's smoothed baseline — relative, like the CUSUM/bot
     * parameters. */
@@ -1106,6 +1122,56 @@ object EventsQueries {
       .select(col("split_day"), col("n_t_pre"), col("n_t_post"),
         col("n_c_pre"), col("n_c_post"), col("m_t_pre"), col("m_t_post"),
         col("m_c_pre"), col("m_c_post"), col("did_micro"))
+  }
+
+  /** Lead–lag cross-correlation between event-type daily series over
+    * a (event_type, x = epoch day, c) table: Pearson r at lags
+    * 0..XCORR_LAGS−1 for every ordered type pair — "errors lead
+    * purchases by two days" is the readout that turns five separate
+    * volume alarms into a causal hypothesis. Series densify over the
+    * GLOBAL day span with zero-count days (the ewmaBody convention —
+    * a gap is data, not a hole), so every pair aligns on the same
+    * calendar. All five sufficient statistics (n, Σa, Σb, Σab, Σa²,
+    * Σb²) are exact integers (products widened to DECIMAL(38) — the
+    * trendBody den class), and r is ONE fixed-order double expression
+    * micro-floored once. Scale: the caller's daily agg is the only
+    * corpus pass; the lag join runs on the pinned O(types×days)
+    * calendar — types²·lags·days control-plane rows. */
+  private[graft] def xcorrBody(daily: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val d = daily.localCheckpoint(eager = true)
+    val span = d.agg(min(col("x")).as("x0"), max(col("x")).as("x1"))
+    val cal = d.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(x0, x1)")).as("x"))
+      .join(d, Seq("event_type", "x"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .localCheckpoint(eager = true) // both sides of the lag join
+    val lags = XCORR_LAGS
+    val a = cal.select(col("event_type").as("ta"), col("x"), col("c").as("ca"))
+      .withColumn("lag", explode(expr(s"sequence(0, ${lags - 1})")))
+    val b = cal.select(col("event_type").as("tb"),
+      col("x").as("xb"), col("c").as("cb"))
+    a.join(b, col("xb") === col("x") + col("lag") && col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ca")).as("sa"), sum(col("cb")).as("sb"),
+        sum((col("ca").cast(dec) * col("cb"))).as("sab"),
+        sum((col("ca").cast(dec) * col("ca"))).as("saa"),
+        sum((col("cb").cast(dec) * col("cb"))).as("sbb"))
+      .withColumn("num", col("n").cast(dec) * col("sab") -
+        col("sa").cast(dec) * col("sb").cast(dec))
+      .withColumn("da", col("n").cast(dec) * col("saa") -
+        col("sa").cast(dec) * col("sa").cast(dec))
+      .withColumn("db", col("n").cast(dec) * col("sbb") -
+        col("sb").cast(dec) * col("sb").cast(dec))
+      .withColumn("r_micro",
+        when(col("da") === 0L || col("db") === 0L, lit(null).cast("long"))
+          .otherwise(floor(col("num").cast("double") /
+            sqrt(col("da").cast("double") * col("db").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("ta"), col("tb"), col("lag"), col("n"),
+        col("sa"), col("sb"), col("r_micro"))
   }
 
   /** The day-of-week seasonal decomposition over a (event_type,
@@ -1412,6 +1478,44 @@ object EventsQueries {
          |CAST(SUM(converted) AS BIGINT) AS n_converted
          |FROM sp GROUP BY 1
          |ORDER BY n_sessions DESC, path ASC LIMIT $PATH_TOPN""".stripMargin,
+
+    // same densified global calendar, same HUGEINT/DECIMAL sufficient
+    // statistics, same one-shot fixed-order r flooring
+    "events_xcorr" ->
+      s"""WITH daily AS (SELECT event_type,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(COUNT(*) AS BIGINT) AS c
+         |FROM $oEvents GROUP BY 1, 2),
+         |span AS (SELECT MIN(x) AS x0, MAX(x) AS x1 FROM daily),
+         |cal AS (SELECT t.event_type, CAST(u.x AS BIGINT) AS x,
+         |COALESCE(d.c, 0) AS c
+         |FROM (SELECT DISTINCT event_type FROM daily) t
+         |CROSS JOIN (SELECT unnest(range(x0, x1 + 1)) AS x FROM span) u
+         |LEFT JOIN daily d ON d.event_type = t.event_type AND d.x = u.x),
+         |j AS (SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+         |a.c AS ca, b.c AS cb
+         |FROM cal a
+         |CROSS JOIN (SELECT unnest(range(0, ${XCORR_LAGS})) AS lag) l
+         |JOIN cal b ON b.x = a.x + l.lag AND a.event_type < b.event_type),
+         |st AS (SELECT ta, tb, CAST(lag AS INTEGER) AS lag,
+         |CAST(COUNT(*) AS BIGINT) AS n,
+         |CAST(SUM(ca) AS BIGINT) AS sa, CAST(SUM(cb) AS BIGINT) AS sb,
+         |CAST(SUM(CAST(ca AS HUGEINT) * cb) AS DECIMAL(38,0)) AS sab,
+         |CAST(SUM(CAST(ca AS HUGEINT) * ca) AS DECIMAL(38,0)) AS saa,
+         |CAST(SUM(CAST(cb AS HUGEINT) * cb) AS DECIMAL(38,0)) AS sbb
+         |FROM j GROUP BY 1, 2, 3),
+         |fin AS (SELECT *,
+         |CAST(n AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb AS num,
+         |CAST(n AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa AS da,
+         |CAST(n AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb AS db
+         |FROM st)
+         |SELECT ta, tb, lag, n, sa, sb,
+         |CASE WHEN da = 0 OR db = 0 THEN NULL
+         |ELSE CAST(FLOOR(CAST(num AS DOUBLE)
+         |  / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE))
+         |  * 1000000.0 + 0.5) AS BIGINT) END AS r_micro
+         |FROM fin""".stripMargin,
 
     // same gap sessions, same capped path, same in-row ordered-pair
     // expansion with once-per-session distinct

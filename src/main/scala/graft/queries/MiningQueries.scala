@@ -165,6 +165,24 @@ object MiningQueries {
         .select(col("src"), col("dst"))
         .localCheckpoint(eager = true))),
 
+    // Embedding-drift gate: per-label centroid shift between two
+    // corpus snapshots (vec_id parity — the corpus_snapshot_diff
+    // derived-data convention). The ML-ops twin of qa_profile_drift:
+    // a retrained encoder or an upstream content shift moves class
+    // centroids in cosine space long before accuracy dashboards
+    // notice. Vectors quantize once to ⌊v/‖v‖·2²⁰⌋ (the dedup_semantic
+    // grid), so per-(label, snapshot, dim) sums are exact longs and
+    // the shift ‖c₀−c₁‖ cross-multiplies to exact DECIMAL(38)
+    // integers (d_dim = s₀·n₁ − s₁·n₀) with ONE terminal fixed-order
+    // double (sqrt of the exact sum of squares, scaled by the exact
+    // denominator) micro-floored once. Scale: the dim explode is a
+    // 64× row fan-out of ONE embeddings scan into a map-side-combined
+    // O(labels×dims) agg; counts broadcast back.
+    "sim_centroid_shift" -> ((s, dir) =>
+      centroidShift(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e")))),
+
     // Benford first-digit conformance per event type (Benford 1938 —
     // the fraud/synthetic-data screen auditors run on transaction
     // amounts: organic multi-scale values follow P(d) = log10(1+1/d);
@@ -229,6 +247,45 @@ object MiningQueries {
         .select(col("name_a"), col("name_b"), col("dist"))
     })
   )
+
+  /** Per-label centroid shift between vec_id-parity snapshots over a
+    * (vec_id, label, e: array<double>) frame — see the
+    * sim_centroid_shift entry for the exactness discipline. */
+  private[queries] def centroidShift(embIn: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val emb = embIn
+      .withColumn("nrm", sqrt(QueryPrimitives.dot(col("e"), col("e"))))
+      .withColumn("snap", (col("vec_id") % 2).cast("int"))
+    // snapshot sizes derive INSIDE the per-dim agg (each vector
+    // contributes exactly one row per dim, so the conditional count
+    // per (label, dim) IS the label's snapshot size) — a separate
+    // count agg would scan the embeddings a second time
+    val sums = emb
+      .select(col("label"), col("snap"),
+        posexplode(col("e")).as(Seq("d0", "v")),
+        col("nrm"))
+      .select(col("label"), col("snap"), (col("d0") + 1).as("dim"),
+        floor(col("v") / col("nrm") * lit(1048576.0)).cast("long").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(when(col("snap") === 0, col("q")).otherwise(0L)).as("s0"),
+        sum(when(col("snap") === 1, col("q")).otherwise(0L)).as("s1"),
+        sum(when(col("snap") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("n1"))
+    sums
+      .withColumn("d", col("s0").cast(dec) * col("n1") -
+        col("s1").cast(dec) * col("n0"))
+      .groupBy(col("label"))
+      .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+        sum(col("d") * col("d")).cast(dec).as("shift2"))
+      .withColumn("shift_micro",
+        when(col("n0") === 0L || col("n1") === 0L, lit(null).cast("long"))
+          .otherwise(floor(
+            sqrt(col("shift2").cast("double")) /
+              ((col("n0") * col("n1")).cast("double") * lit(1048576.0)) *
+              lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("label"), col("n0"), col("n1"), col("shift2"),
+        col("shift_micro"))
+  }
 
   /** Pointwise + total mutual information over a (seg, nat) row frame
     * — see the a_mutual_info entry for the exactness discipline. */
@@ -509,6 +566,37 @@ object MiningQueries {
          |GROUP BY 1, 2, 3, 4
          |HAVING COUNT(*) * 10 >= (a.n + b.n - COUNT(*)) * $theta10""".stripMargin
     },
+
+    // same ⌊v/‖v‖·2²⁰⌋ grid, same cross-multiplied exact d_dim, same
+    // one-shot sqrt scaling
+    "sim_centroid_shift" ->
+      """WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+        |sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+        |CAST(vec_id % 2 AS INTEGER) AS snap FROM embeddings),
+        |cnt AS (SELECT label,
+        |CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |FROM emb GROUP BY 1),
+        |q AS (SELECT label, snap, unnest(range(1, len(e) + 1)) AS dim,
+        |e, nrm FROM emb),
+        |qq AS (SELECT label, snap, CAST(dim AS BIGINT) AS dim,
+        |CAST(FLOOR(e[dim] / nrm * 1048576.0) AS BIGINT) AS qv FROM q),
+        |sums AS (SELECT label, dim,
+        |CAST(SUM(CASE WHEN snap = 0 THEN qv ELSE 0 END) AS BIGINT) AS s0,
+        |CAST(SUM(CASE WHEN snap = 1 THEN qv ELSE 0 END) AS BIGINT) AS s1
+        |FROM qq GROUP BY 1, 2),
+        |dd AS (SELECT s.label, cnt.n0, cnt.n1,
+        |CAST(s.s0 AS HUGEINT) * cnt.n1 - CAST(s.s1 AS HUGEINT) * cnt.n0 AS d
+        |FROM sums s JOIN cnt ON s.label = cnt.label),
+        |fin AS (SELECT label, MAX(n0) AS n0, MAX(n1) AS n1,
+        |CAST(SUM(d * d) AS DECIMAL(38,0)) AS shift2
+        |FROM dd GROUP BY 1)
+        |SELECT label, n0, n1, shift2,
+        |CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+        |ELSE CAST(FLOOR(sqrt(CAST(shift2 AS DOUBLE))
+        |  / (CAST(n0 * n1 AS DOUBLE) * 1048576.0)
+        |  * 1000000.0 + 0.5) AS BIGINT) END AS shift_micro
+        |FROM fin""".stripMargin,
 
     // same exact-cents digit truncation, same shared expected-share
     // literals, same per-term micro flooring summed as integers

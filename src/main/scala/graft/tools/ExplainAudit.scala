@@ -1011,6 +1011,23 @@ object ExplainAudit {
         p.contains("levenshtein")
     }
 
+    audit("events_xcorr",
+      "the lag join runs on the PINNED densified calendar (zero " +
+        "parquet scans — the corpus shuffle happened at pin time); " +
+        "sufficient statistics aggregate map-side; no product joins " +
+        "beyond the O(types)×O(days) calendar build") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "HashAggregate") >= 2 &&
+        !p.contains("CartesianProduct")
+    }
+    audit("sim_centroid_shift",
+      "ONE embeddings scan fans out 64× into a map-side-combined " +
+        "O(labels×dims) agg that carries the snapshot counts in-band " +
+        "(no second scan, no join at all); the final shift agg is " +
+        "control-plane") { p =>
+      count(p, "Scan parquet") == 1 && !p.contains("Join") &&
+        count(p, "Generate") == 1
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

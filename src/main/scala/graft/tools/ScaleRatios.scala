@@ -178,7 +178,10 @@ object ScaleRatios {
       // r13 sixth batch: gap-tolerant sequential patterns (events),
       // the Benford digit gate (events), and sorted-neighborhood
       // blocking (constant-dictionary caveat like j_fuzzy_edit)
-      "events_seq_patterns", "qa_benford", "j_sorted_neighborhood")
+      "events_seq_patterns", "qa_benford", "j_sorted_neighborhood",
+      // r13 seventh batch: lead–lag cross-correlation (events daily
+      // table) and the embedding-drift centroid gate (embeddings)
+      "events_xcorr", "sim_centroid_shift")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

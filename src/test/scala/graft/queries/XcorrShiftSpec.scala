@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computable cases for the correlation/drift pair: Pearson r at
+  * engineered lags (identical series → 1.0 at lag 0; a shifted copy
+  * peaks exactly at its shift; constant series → NULL) and centroid
+  * shift (identical snapshots → 0; a known displacement → the exact
+  * quantized distance; a missing snapshot → NULL). */
+class XcorrShiftSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  private def xc(rows: (String, Long, Long)*) =
+    EventsQueries.xcorrBody(rows.toSeq.toDF("event_type", "x", "c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        Option(r.get(6)).map(_.asInstanceOf[Long])).toMap
+
+  test("identical series read r = 1.0 at lag 0") {
+    val a = (0L to 20L).map(d => ("a", d, d % 7 + 1))
+    val b = (0L to 20L).map(d => ("b", d, d % 7 + 1))
+    val got = xc((a ++ b): _*)
+    assert(got(("a", "b", 0)).contains(1000000L))
+  }
+
+  test("a copy shifted by 3 days peaks exactly at lag 3 (b lags a)") {
+    // b(x) = a(x - 3): at lag 3 the join pairs a(x) with b(x+3) = a(x)
+    val base = (0L to 40L).map(d => (d, (d * d) % 11 + 1))
+    val a = base.map { case (d, v) => ("a", d, v) }
+    val b = base.map { case (d, v) => ("b", d + 3, v) }
+      .filter(_._2 <= 40L)
+    val got = xc((a ++ b): _*)
+    assert(got(("a", "b", 3)).contains(1000000L), got.toString)
+    assert(got(("a", "b", 0)).exists(_ < 1000000L))
+  }
+
+  test("a constant series has zero variance: r is NULL, never a " +
+    "divide-by-zero") {
+    val a = (0L to 10L).map(d => ("a", d, 5L))
+    val b = (0L to 10L).map(d => ("b", d, d + 1))
+    val got = xc((a ++ b): _*)
+    (0 to 7).foreach(l => assert(got(("a", "b", l)).isEmpty, s"lag $l"))
+  }
+
+  test("anti-correlated series read r = -1.0") {
+    val a = (0L to 20L).map(d => ("a", d, d + 1))
+    val b = (0L to 20L).map(d => ("b", d, 22L - d))
+    val got = xc((a ++ b): _*)
+    assert(got(("a", "b", 0)).contains(-1000000L))
+  }
+
+  test("identical snapshots shift 0; a known displacement reads the " +
+    "exact quantized distance; a missing snapshot is NULL") {
+    // label 1: both snapshots at the same point → shift 0
+    // label 2: snapshot 0 on +x, snapshot 1 on +y (unit vectors):
+    //   ||c0 - c1|| = sqrt(2) exactly on the 2^20 grid
+    // label 3: only even ids → n1 = 0 → NULL
+    val rows = Seq(
+      (0L, 1, Seq(1.0, 0.0)), (1L, 1, Seq(1.0, 0.0)),
+      (2L, 2, Seq(1.0, 0.0)), (3L, 2, Seq(0.0, 1.0)),
+      (4L, 3, Seq(0.5, 0.5)))
+    val got = MiningQueries.centroidShift(rows.toDF("vec_id", "label", "e"))
+      .collect().map(r => r.getAs[Int]("label") ->
+        Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    assert(got(1).contains(0L))
+    // sqrt(2)·1e6 with floor(+0.5) = 1414214
+    assert(got(2).contains(1414214L))
+    assert(got(3).isEmpty)
+  }
+}
