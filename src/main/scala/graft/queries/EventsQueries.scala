@@ -388,6 +388,18 @@ object EventsQueries {
         .limit(PATH_TOPN)
     }),
 
+    // Two-feature exact OLS: purchases ~ day + same-day errors — see
+    // ols2Body (integer normal equations, 2×2 Cramer in DECIMAL(38),
+    // two-step quotient/remainder micro division).
+    "events_ols2" -> ((s, dir) =>
+      ols2Body(Tables.events(s, dir)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+        .select(
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+          col("y"), col("e")))),
+
     // Lead–lag cross-correlation between type daily series — see
     // xcorrBody (densified global calendar, exact DECIMAL(38)
     // sufficient statistics, one fixed-order Pearson r per (pair,
@@ -1124,6 +1136,64 @@ object EventsQueries {
         col("m_c_pre"), col("m_c_post"), col("did_micro"))
   }
 
+  /** Two-feature OLS (y = β₀ + β₁·t + β₂·e) in EXACT integer normal
+    * equations over a (x = epoch day, y, e) daily panel — the
+    * multiple-regression step up from events_trend's single-feature
+    * slope: does purchase volume still grow once same-day error
+    * volume is controlled for? Exactness discipline: t centers to
+    * x − min(x) (an integer shift — slopes are shift-invariant, and
+    * centering keeps the moment magnitudes day-bounded instead of
+    * epoch-bounded); the five n-scaled central cross-moments
+    * (Ctt = n·Σt² − (Σt)², …) are DECIMAL(38)/HUGEINT-exact, the 2×2
+    * Cramer solve is three DECIMAL products (bounded ≈ 10³⁵ even at
+    * 10⁸-events/day scale — Ctt never grows with the corpus, only
+    * with the day span), and each slope reports sign + |β|-micro via
+    * the two-step quotient/remainder division (num·10⁶ would
+    * overflow; q·10⁶ + (r·10⁶) div den is exact and bounded).
+    * Collinear features (D = 0) read NULL. Scale: ONE
+    * map-side-combined corpus shuffle into the O(days) panel;
+    * everything after is a 1-row control-plane fold. */
+  private[graft] def ols2Body(panel: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val p = panel.localCheckpoint(eager = true) // feeds min(x) + the sums
+    val t0 = p.agg(min(col("x")).as("x0"))
+    def c(a: String, b: String) =
+      (col("n").cast(dec) * col(s"s_$a$b") -
+        col(s"s_$a").cast(dec) * col(s"s_$b").cast(dec))
+    val sums = p.crossJoin(broadcast(t0))
+      .withColumn("t", col("x") - col("x0"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("t")).as("s_t"), sum(col("e")).as("s_e"),
+        sum(col("y")).as("s_y"),
+        sum((col("t").cast(dec) * col("t"))).as("s_tt"),
+        sum((col("e").cast(dec) * col("e"))).as("s_ee"),
+        sum((col("t").cast(dec) * col("e"))).as("s_te"),
+        sum((col("t").cast(dec) * col("y"))).as("s_ty"),
+        sum((col("e").cast(dec) * col("y"))).as("s_ey"))
+      .withColumn("ctt", c("t", "t")).withColumn("cee", c("e", "e"))
+      .withColumn("cte", c("t", "e")).withColumn("cty", c("t", "y"))
+      .withColumn("cey", c("e", "y"))
+      .withColumn("den", col("ctt") * col("cee") - col("cte") * col("cte"))
+      .withColumn("num1", col("cee") * col("cty") - col("cte") * col("cey"))
+      .withColumn("num2", col("ctt") * col("cey") - col("cte") * col("cty"))
+    def slope(num: String, sign: String, micro: String) = (df: DataFrame) =>
+      df.withColumn(sign,
+          when(col("den") === 0L, lit(null).cast("int"))
+            .otherwise(signum(col(num)).cast("int")))
+        .withColumn(micro,
+          when(col("den") === 0L, lit(null).cast("long"))
+            // two-step exact ⌊|num|·10⁶/den⌋: |num|·10⁶ itself would
+            // cross DECIMAL(38)
+            .otherwise(expr(
+              s"CAST((abs($num) div den) * 1000000 " +
+                s"+ ((abs($num) % den) * 1000000) div den AS BIGINT)")))
+    slope("num2", "beta_err_sign", "beta_err_abs_micro")(
+      slope("num1", "beta_day_sign", "beta_day_abs_micro")(sums))
+      .select(col("n").as("n_days"), col("s_y").as("total_y"),
+        col("beta_day_sign"), col("beta_day_abs_micro"),
+        col("beta_err_sign"), col("beta_err_abs_micro"))
+  }
+
   /** Lead–lag cross-correlation between event-type daily series over
     * a (event_type, x = epoch day, c) table: Pearson r at lags
     * 0..XCORR_LAGS−1 for every ordered type pair — "errors lead
@@ -1478,6 +1548,53 @@ object EventsQueries {
          |CAST(SUM(converted) AS BIGINT) AS n_converted
          |FROM sp GROUP BY 1
          |ORDER BY n_sessions DESC, path ASC LIMIT $PATH_TOPN""".stripMargin,
+
+    // same centered integer moments, same 2×2 Cramer in HUGEINT, same
+    // two-step exact micro division
+    "events_ols2" ->
+      s"""WITH daily AS (SELECT
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         |CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+         |FROM $oEvents GROUP BY 1),
+         |t0 AS (SELECT MIN(x) AS x0 FROM daily),
+         |ctr AS (SELECT x - x0 AS t, y, e FROM daily CROSS JOIN t0),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |CAST(SUM(t) AS BIGINT) AS s_t, CAST(SUM(e) AS BIGINT) AS s_e,
+         |CAST(SUM(y) AS BIGINT) AS s_y,
+         |CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS s_tt,
+         |CAST(SUM(CAST(e AS HUGEINT) * e) AS HUGEINT) AS s_ee,
+         |CAST(SUM(CAST(t AS HUGEINT) * e) AS HUGEINT) AS s_te,
+         |CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS s_ty,
+         |CAST(SUM(CAST(e AS HUGEINT) * y) AS HUGEINT) AS s_ey
+         |FROM ctr),
+         |cm AS (SELECT n, s_y,
+         |CAST(n AS HUGEINT) * s_tt - CAST(s_t AS HUGEINT) * s_t AS ctt,
+         |CAST(n AS HUGEINT) * s_ee - CAST(s_e AS HUGEINT) * s_e AS cee,
+         |CAST(n AS HUGEINT) * s_te - CAST(s_t AS HUGEINT) * s_e AS cte,
+         |CAST(n AS HUGEINT) * s_ty - CAST(s_t AS HUGEINT) * s_y AS cty,
+         |CAST(n AS HUGEINT) * s_ey - CAST(s_e AS HUGEINT) * s_y AS cey
+         |FROM s),
+         |fin AS (SELECT n, s_y,
+         |ctt * cee - cte * cte AS den,
+         |cee * cty - cte * cey AS num1,
+         |ctt * cey - cte * cty AS num2
+         |FROM cm)
+         |SELECT n AS n_days, s_y AS total_y,
+         |CASE WHEN den = 0 THEN NULL
+         |ELSE CAST(sign(num1) AS INTEGER) END AS beta_day_sign,
+         |CASE WHEN den = 0 THEN NULL
+         |ELSE CAST((abs(num1) // den) * 1000000
+         |  + ((abs(num1) % den) * 1000000) // den AS BIGINT)
+         |END AS beta_day_abs_micro,
+         |CASE WHEN den = 0 THEN NULL
+         |ELSE CAST(sign(num2) AS INTEGER) END AS beta_err_sign,
+         |CASE WHEN den = 0 THEN NULL
+         |ELSE CAST((abs(num2) // den) * 1000000
+         |  + ((abs(num2) % den) * 1000000) // den AS BIGINT)
+         |END AS beta_err_abs_micro
+         |FROM fin""".stripMargin,
 
     // same densified global calendar, same HUGEINT/DECIMAL sufficient
     // statistics, same one-shot fixed-order r flooring

@@ -89,4 +89,14 @@ object TrendMonitor {
   def theilsenReadout(counts: DataFrame): DataFrame =
     graft.queries.EventsQueries.theilsenBody(
       counts.select(col("event_type"), col("x"), col("c")))
+
+  /** The lead–lag cross-correlation readout over the same streamed
+    * daily-count snapshot — the factored events_xcorr algebra
+    * ([[graft.queries.EventsQueries.xcorrBody]]): the SEVENTH readout
+    * off the one (type, day) state table, and the only one that reads
+    * RELATIONS between series instead of each series alone — the live
+    * "errors lead purchases" hypothesis board. */
+  def xcorrReadout(counts: DataFrame): DataFrame =
+    graft.queries.EventsQueries.xcorrBody(
+      counts.select(col("event_type"), col("x"), col("c")))
 }

@@ -1028,6 +1028,15 @@ object ExplainAudit {
         count(p, "Generate") == 1
     }
 
+    audit("events_ols2",
+      "one corpus-scale aggregation (pinned daily panel — zero " +
+        "parquet scans here); min(x) is a 1-row broadcast; the normal " +
+        "equations fold in a single control-plane pass (no window, no " +
+        "shuffle join)") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "Window") == 0 &&
+        !p.contains("SortMergeJoin") && p.contains("BroadcastNestedLoopJoin")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

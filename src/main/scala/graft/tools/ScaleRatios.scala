@@ -181,7 +181,9 @@ object ScaleRatios {
       "events_seq_patterns", "qa_benford", "j_sorted_neighborhood",
       // r13 seventh batch: lead–lag cross-correlation (events daily
       // table) and the embedding-drift centroid gate (embeddings)
-      "events_xcorr", "sim_centroid_shift")
+      "events_xcorr", "sim_centroid_shift",
+      // r13 eighth batch: exact 2-feature OLS (events daily panel)
+      "events_ols2")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

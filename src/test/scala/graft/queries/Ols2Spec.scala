@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The exact 2-feature OLS on noise-free panels: a plane y = β₀ +
+  * β₁t + β₂e is recovered EXACTLY (integer Cramer has no residual
+  * floor), a constant feature is collinear with the intercept and
+  * reads NULL, and a negative coefficient carries its sign
+  * separately from the positive-only micro division. */
+class Ols2Spec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  private def run(rows: (Long, Long, Long)*) =
+    EventsQueries.ols2Body(rows.toSeq.toDF("x", "y", "e")).collect().head
+
+  test("a noise-free plane y = 7 + 2t + 5e is recovered exactly") {
+    // e varies independently of t so the system is well-conditioned
+    val rows = (0L to 20L).map { t =>
+      val e = (t * 3 + 1) % 7
+      (1000L + t, 7L + 2L * t + 5L * e, e)
+    }
+    val r = run(rows: _*)
+    assert(r.getAs[Int]("beta_day_sign") == 1)
+    assert(r.getAs[Long]("beta_day_abs_micro") == 2000000L)
+    assert(r.getAs[Int]("beta_err_sign") == 1)
+    assert(r.getAs[Long]("beta_err_abs_micro") == 5000000L)
+  }
+
+  test("a negative error coefficient keeps sign apart from the " +
+    "positive-only division") {
+    val rows = (0L to 20L).map { t =>
+      val e = (t * 5 + 2) % 9
+      (t, 100L + 3L * t - 4L * e, e)
+    }
+    val r = run(rows: _*)
+    assert(r.getAs[Int]("beta_err_sign") == -1)
+    assert(r.getAs[Long]("beta_err_abs_micro") == 4000000L)
+    assert(r.getAs[Long]("beta_day_abs_micro") == 3000000L)
+  }
+
+  test("a constant feature is collinear with the intercept: NULL, " +
+    "never a divide-by-zero") {
+    val rows = (0L to 10L).map(t => (t, 2L * t, 5L))
+    val r = run(rows: _*)
+    assert(r.isNullAt(r.fieldIndex("beta_day_sign")))
+    assert(r.isNullAt(r.fieldIndex("beta_err_abs_micro")))
+  }
+
+  test("fractional betas floor at micro precision: y = t/2 reads " +
+    "500000 with e independent") {
+    val rows = (0L to 20L).map { t =>
+      val e = t % 5
+      // y = (t + e) / 2 is fractional per-row; build exact halves by
+      // doubling: y2 = t + 3e over doubled y-units is beta 0.5, 1.5
+      (t, t + 3L * e, 2L * e)
+    }
+    val r = run(rows: _*)
+    // y = 1.0*t + 1.5*(e/2)·... : with e' = 2e the fit is
+    // y = t + 1.5·e' exactly → beta_err 1500000
+    assert(r.getAs[Long]("beta_day_abs_micro") == 1000000L)
+    assert(r.getAs[Long]("beta_err_abs_micro") == 1500000L)
+  }
+}

@@ -125,5 +125,20 @@ class TrendMonitorSpec extends AnyFunSuite {
     tsStreamed.foreach { case (k, got) =>
       assert(got == tsBatch(k), s"$k: stream $got vs batch ${tsBatch(k)}")
     }
+
+    // and the SEVENTH readout — the cross-SERIES one: lead–lag
+    // correlation ≡ the oracle-checked batch events_xcorr
+    val xcBatch = graft.queries.EventsQueries
+      .queries("events_xcorr")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.toSeq).toMap
+    val xcStreamed = TrendMonitor
+      .xcorrReadout(counts.toDF("event_type", "x", "c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.toSeq).toMap
+    assert(xcStreamed.keySet == xcBatch.keySet && xcBatch.nonEmpty)
+    xcStreamed.foreach { case (k, got) =>
+      assert(got == xcBatch(k), s"$k: stream $got vs batch ${xcBatch(k)}")
+    }
   }
 }
