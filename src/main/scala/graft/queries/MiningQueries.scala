@@ -43,6 +43,15 @@ import graft.{GraftConf, Tables}
   * - sim_graph_khop: the kNN edge set is O(N·k) and pinned; the 2-hop
   *   expansion is a self-equi-join with fan-out ≤ k², distinct-merged
   *   per source.
+  * - sim_centroid_shift: ONE embeddings scan, 64× dim fan-out into a
+  *   map-side-combined O(labels×dims) agg carrying snapshot counts
+  *   in-band — no join anywhere.
+  * - qa_benford: one map-side-combined shuffle to O(types) rows;
+  *   exact-integer digit path.
+  * - j_sorted_neighborhood: candidates are EXACTLY N·(W−1) by
+  *   construction (rank equi-join over the pinned sorted vocabulary)
+  *   — the skew-immunity bound neither PassJoin nor prefix filtering
+  *   can promise.
   */
 object MiningQueries {
 
