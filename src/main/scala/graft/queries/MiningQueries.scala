@@ -238,24 +238,49 @@ object MiningQueries {
     // give the other two families. The rank is the one global sort
     // (the prefix-filter vocab-rank caveat: sortBy+zipWithIndex at
     // 100 TB); candidates come from an EQUI-join on rank.
-    "j_sorted_neighborhood" -> ((s, dir) => {
-      val w = SNM_W
-      val ranked = Tables.part(s, dir).select(col("p_name").as("name"))
-        .distinct()
-        .withColumn("r",
-          row_number().over(Window.orderBy(col("name"))).cast("long"))
-        .localCheckpoint(eager = true)
-      val probes = ranked
-        .select(col("name").as("name_b"), col("r").as("rb"),
-          explode(expr(s"sequence(1, ${w - 1})")).as("j"))
-        .select(col("name_b"), (col("rb") - col("j")).as("ra"))
-      ranked.select(col("name").as("name_a"), col("r").as("ra"))
-        .join(probes, "ra")
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
-        .where(col("dist") >= 0 && col("dist") <= 2)
-        .select(col("name_a"), col("name_b"), col("dist"))
+    "j_sorted_neighborhood" -> ((s, dir) =>
+      snmPairs(Tables.part(s, dir).select(col("p_name").as("name"))
+        .distinct().localCheckpoint(), SNM_W)),
+
+    // Blocking-quality eval completing the recall battery
+    // (dedup_lsh_recall : MinHash banding :: this : SNM): measured
+    // recall of the sorted-neighborhood heuristic against the
+    // PassJoin-complete edit-distance truth, composing both shipped
+    // operators verbatim. Every SNM survivor passes the same
+    // levenshtein ≤ 2 verify, so SNM ⊆ truth and the readout is two
+    // counts + an exact micro ratio (precision is 1 by construction —
+    // stated, not computed). The number quantifies the
+    // skew-immunity-for-recall trade the SNM scaladoc describes.
+    "linkage_snm_recall" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name").as("name"))
+        .distinct().localCheckpoint()
+      val truth = RelationalQueries.fuzzyPairsK(names, 2)
+        .agg(count(lit(1)).as("n_truth"))
+      val snm = snmPairs(names, SNM_W)
+        .agg(count(lit(1)).as("n_snm"))
+      truth.crossJoin(broadcast(snm))
+        .select(col("n_truth"), col("n_snm"),
+          expr("(n_snm * 1000000) div n_truth").as("recall_micro"))
     })
   )
+
+  /** Sorted-neighborhood candidate join + thresholded verify over a
+    * distinct `name` frame — see the j_sorted_neighborhood entry. */
+  private[queries] def snmPairs(names: DataFrame, w: Int): DataFrame = {
+    val ranked = names
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("name"))).cast("long"))
+      .localCheckpoint(eager = true)
+    val probes = ranked
+      .select(col("name").as("name_b"), col("r").as("rb"),
+        explode(expr(s"sequence(1, ${w - 1})")).as("j"))
+      .select(col("name_b"), (col("rb") - col("j")).as("ra"))
+    ranked.select(col("name").as("name_a"), col("r").as("ra"))
+      .join(probes, "ra")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+      .where(col("dist") >= 0 && col("dist") <= 2)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
 
   /** Per-label centroid shift between vec_id-parity snapshots over a
     * (vec_id, label, e: array<double>) frame — see the
@@ -631,6 +656,21 @@ object MiningQueries {
          |SELECT event_type, n, c1, c2, c3, c4, c5, c6, c7, c8, c9,
          |$terms AS chi2_micro FROM h""".stripMargin
     },
+
+    // both shipped definitions verbatim: the brute-force edit-≤2
+    // truth count vs the rank-window candidate count
+    "linkage_snm_recall" ->
+      s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+         |tr AS (SELECT COUNT(*) AS n_truth FROM n a JOIN n b
+         |ON a.name < b.name WHERE levenshtein(a.name, b.name) <= 2),
+         |r AS (SELECT name, row_number() OVER (ORDER BY name) AS r FROM n),
+         |sn AS (SELECT COUNT(*) AS n_snm FROM r a JOIN r b
+         |ON b.r - a.r BETWEEN 1 AND ${SNM_W - 1}
+         |WHERE levenshtein(a.name, b.name) <= 2)
+         |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+         |CAST(n_snm AS BIGINT) AS n_snm,
+         |(n_snm * 1000000) // n_truth AS recall_micro
+         |FROM tr CROSS JOIN sn""".stripMargin,
 
     // same one global sort, same rank-difference window, same
     // thresholded verify

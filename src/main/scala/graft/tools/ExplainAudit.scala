@@ -1028,6 +1028,13 @@ object ExplainAudit {
         count(p, "Generate") == 1
     }
 
+    audit("linkage_snm_recall",
+      "both sides compose the shipped operators: equi-joins only " +
+        "(PassJoin signatures + SNM rank window), the two counts " +
+        "cross-join as 1-row broadcasts") { p =>
+      !p.contains("CartesianProduct") && p.contains("levenshtein") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
     audit("events_ols2",
       "one corpus-scale aggregation (pinned daily panel — zero " +
         "parquet scans here); min(x) is a 1-row broadcast; the normal " +

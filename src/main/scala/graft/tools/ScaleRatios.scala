@@ -183,7 +183,9 @@ object ScaleRatios {
       // table) and the embedding-drift centroid gate (embeddings)
       "events_xcorr", "sim_centroid_shift",
       // r13 eighth batch: exact 2-feature OLS (events daily panel)
-      "events_ols2")
+      "events_ols2",
+      // r13 ninth: the SNM recall eval (constant-dictionary caveat)
+      "linkage_snm_recall")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
