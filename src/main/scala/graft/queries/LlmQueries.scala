@@ -626,6 +626,26 @@ object LlmQueries {
         .select(col("doc_id"), col("pred_lang"), col("s_en"))
     }),
 
+    // Language-ID eval: confusion matrix of the shipped lexicon
+    // classifier against the corpus's own lang labels, plus per-truth
+    // recall in exact micro — the text-family member of the recall
+    // battery (sim_ivf_recall / dedup_lsh_recall / linkage_snm_recall).
+    // ONE map-side-combined corpus shuffle into the O(langs²) cell
+    // table (pinned — the margin derives from it, never a re-scan).
+    "text_langid_eval" -> ((s, dir) => {
+      val scored = TextSignals.langScores.foldLeft(Tables.documents(s, dir)) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
+      val cell = scored.withColumn("pred_lang", TextSignals.predLang)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(eager = true)
+      val marg = cell.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+      cell.join(broadcast(marg), "lang")
+        .select(col("lang"), col("pred_lang"), col("n_docs"), col("n_lang"),
+          expr("(n_docs * 1000000) div n_lang").as("share_micro"))
+    }),
+
     // Quality scoring: length/stopword/token-shape heuristics.
     "text_quality" -> ((s, dir) => {
       // signals shared verbatim with streaming IngestCuration
@@ -1223,6 +1243,33 @@ object LlmQueries {
          |WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
          |WHEN s_es >= s_fr THEN 'es'
          |ELSE 'fr' END AS pred_lang, s_en FROM s""".stripMargin
+    },
+
+    // same lexicon scores and tie-break chain, grouped into the
+    // confusion cells with the margin derived from them
+    "text_langid_eval" -> {
+      def sc(ws: Seq[String]) =
+        "len(list_filter(string_split(text, ' '), t -> t IN (" +
+          ws.map(w => s"'$w'").mkString(", ") + ")))::BIGINT"
+      s"""WITH s AS (SELECT doc_id, lang,
+         |${sc(Seq("the", "a", "of", "and"))} AS s_en,
+         |${sc(Seq("der", "die", "das", "und"))} AS s_de,
+         |${sc(Seq("el", "la", "de", "y"))} AS s_es,
+         |${sc(Seq("le", "les", "des", "et"))} AS s_fr
+         |FROM documents),
+         |p AS (SELECT lang, CASE
+         |WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+         |WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |WHEN s_es >= s_fr THEN 'es'
+         |ELSE 'fr' END AS pred_lang FROM s),
+         |cell AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM p GROUP BY 1, 2),
+         |m AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+         |FROM cell GROUP BY 1)
+         |SELECT cell.lang, pred_lang, n_docs, n_lang,
+         |(n_docs * 1000000) // n_lang AS share_micro
+         |FROM cell JOIN m ON cell.lang = m.lang""".stripMargin
     },
 
     "text_quality" ->

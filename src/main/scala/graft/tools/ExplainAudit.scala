@@ -1035,6 +1035,13 @@ object ExplainAudit {
       !p.contains("CartesianProduct") && p.contains("levenshtein") &&
         p.contains("BroadcastNestedLoopJoin")
     }
+    audit("text_langid_eval",
+      "ONE corpus shuffle into the pinned O(langs²) confusion cells " +
+        "(zero parquet scans here); the margin derives from the cells " +
+        "and the join is control-plane") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastHashJoin")
+    }
     audit("events_ols2",
       "one corpus-scale aggregation (pinned daily panel — zero " +
         "parquet scans here); min(x) is a 1-row broadcast; the normal " +

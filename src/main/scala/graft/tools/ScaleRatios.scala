@@ -185,7 +185,9 @@ object ScaleRatios {
       // r13 eighth batch: exact 2-feature OLS (events daily panel)
       "events_ols2",
       // r13 ninth: the SNM recall eval (constant-dictionary caveat)
-      "linkage_snm_recall")
+      "linkage_snm_recall",
+      // r13 tenth: the language-ID confusion eval (documents)
+      "text_langid_eval")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
