@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.AsOfJoin
-import graft.queries.{CorpusQueries, EventsQueries, ExtendedQueries, LlmQueries, MiningQueries, PipelineQueries, RelationalQueries, SamplingQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, EventsQueries, ExtendedQueries, LlmQueries, MiningQueries, PipelineQueries, RelationalQueries, SamplingQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,10 +32,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ LlmQueries.queries ++ ExtendedQueries.queries ++
       CorpusQueries.queries ++ PipelineQueries.queries ++ SamplingQueries.queries ++
-      EventsQueries.queries ++ TpchQueries.queries ++ MiningQueries.queries
+      EventsQueries.queries ++ TpchQueries.queries ++ MiningQueries.queries ++
+      AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ LlmQueries.oracles ++ ExtendedQueries.oracles ++
       CorpusQueries.oracles ++ PipelineQueries.oracles ++ SamplingQueries.oracles ++
-      EventsQueries.oracles ++ TpchQueries.oracles ++ MiningQueries.oracles
+      EventsQueries.oracles ++ TpchQueries.oracles ++ MiningQueries.oracles ++
+      AnalyticsQueries.oracles
 }

@@ -1,0 +1,780 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{GraftConf, Tables}
+import QueryPrimitives.oEvents
+
+/** Round-13 analytics batch: forecasting, diagnostics, ranking-eval
+  * and recommendation primitives layered on the same corpus the
+  * monitoring family reads — Brown's double-exponential smoothing
+  * (level + trend forecast, the Holt-class upgrade of events_ewma),
+  * within-series autocorrelation (the periodicity diagnostic that
+  * justifies events_seasonality's dow model), rank-based ROC-AUC
+  * (Mann–Whitney U — the score-quality gate a training-data filter
+  * pipeline runs on every learned quality score), item–item cosine
+  * neighbor lists over co-occurrence baskets (Sarwar et al. WWW'01
+  * item-based collaborative filtering, the recommender twin of
+  * a_assoc_rules), and a nearest-temporal join (the bidirectional
+  * closest-event variant of the reference's as-of join,
+  * cookbook.rst:289-356 — as-of answers "latest state at or before",
+  * nearest answers "closest observation in either direction").
+  *
+  * Scale posture (every query):
+  * - events_holt / events_acf: ONE map-side-combined corpus shuffle
+  *   into the O(types×days) daily table (the trendBody posture); the
+  *   kernel explode / lag join touch control-plane rows only. Both
+  *   are TrendMonitor readouts — the EIGHTH and NINTH alarms off the
+  *   one (type, day) state table.
+  * - eval_auc: the a_median bounded-histogram posture — ONE corpus
+  *   shuffle into the O(types × distinct cents) histogram; the rank
+  *   accumulation is a window over that bounded table, never over
+  *   raw rows; U₂ widens through DECIMAL(38) (P·N crosses 2⁶³ at
+  *   ~3·10⁹ rows per class).
+  * - rec_item_cosine: baskets aggregate IN-ROW (per-order part sets
+  *   are schema-bounded by lines/order), pair fan-out is C(b,2) per
+  *   basket — linear in the corpus; item counts broadcast back; the
+  *   top-k window partitions by item over the already-thresholded
+  *   pair table.
+  * - j_asof_nearest: ONE exchange on user_id; both direction probes
+  *   are window passes over the SAME sort (prev = running last
+  *   non-null, next = reverse first non-null) — no join at all, the
+  *   merged-stream lowering the batch as-of join uses.
+  */
+object AnalyticsQueries {
+
+  /** Autocorrelation horizon (lags 1..L) — 10 covers the weekly cycle
+    * with margin on either side. */
+  private def ACF_LAGS = GraftConf.int("graft.acf.lags", 10)
+
+  /** Minimum co-occurrence count for a reported item pair (the
+    * a_assoc_rules support-floor rationale: cosine's variance explodes
+    * below it at any corpus size). */
+  private def REC_MIN = GraftConf.int("graft.rec.minPairs", 2)
+
+  /** Neighbor-list length per item. */
+  private def REC_TOPK = GraftConf.int("graft.rec.topk", 5)
+
+  private def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("1970-01-01").cast("date")).cast("long").as("x"),
+        col("c"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brown's double-exponential smoothing (Brown 1963; the α=β special
+    // case of Holt's linear method): level + trend + one-step forecast
+    // per (type, day), exact rationals over the 2^(W+2) denominator —
+    // the forecasting upgrade of events_ewma (which tracks level only
+    // and lags any trending series by design). See holtBody.
+    "events_holt" -> ((s, dir) => holtBody(dailyCounts(s, dir))),
+
+    // Within-series autocorrelation at lags 1..L — the periodicity
+    // diagnostic: a spike at lag 7 is the measured justification for
+    // events_seasonality's day-of-week model (and its absence is the
+    // measured justification for NOT deseasonalizing). See acfBody.
+    "events_acf" -> ((s, dir) => acfBody(dailyCounts(s, dir), ACF_LAGS)),
+
+    // Rank-based ROC-AUC (Mann–Whitney U with average-rank ties) of
+    // the purchase-value score against the user-parity cohort label,
+    // per event type — the eval primitive a filter pipeline runs on
+    // every learned quality score before trusting its threshold. The
+    // parity label is the catalog's A/B assignment (events_ab_test,
+    // events_did), so the expected reading is the null 0.5 — the
+    // operator under test is the exact tie-corrected rank machinery,
+    // not the signal. See aucBody.
+    "eval_auc" -> ((s, dir) =>
+      aucBody(Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"),
+          (col("user_id") % 2 === 1).as("y")))),
+
+    // Item–item cosine neighbor lists over per-order part baskets
+    // (Sarwar et al. WWW'01): sim(i,j) = c_ij/√(c_i·c_j) with
+    // co-occurrence counted once per basket, top-k neighbors per item
+    // by (cosine, support, key) — the recommender readout a_assoc_rules
+    // stops short of. See recCosineBody.
+    "rec_item_cosine" -> ((s, dir) =>
+      recCosineBody(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("it")),
+        REC_MIN, REC_TOPK)),
+
+    // Nearest-temporal join: for every click, the user's closest
+    // purchase in EITHER direction (as-of = backward only), ties to
+    // the earlier side, clicks with no purchase retained with NULLs —
+    // the merged-stream two-window lowering, no join operator at all.
+    // See nearestBody.
+    "j_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsu"),
+          when(col("event_type") === "purchase", lit(0)).otherwise(lit(1))
+            .as("kind"))
+      nearestBody(ev)
+    }),
+
+    // Weight-of-evidence / information-value per equal-width score bin
+    // (Siddiqi 2006, the credit-scoring companion of eval_auc): WOE =
+    // ln(pos-share/neg-share) per bin, IV contribution = (pos-share −
+    // neg-share)·WOE — the monotonicity/strength diagnostic run on a
+    // candidate feature BEFORE it enters a quality model. Same scored
+    // frame as eval_auc; exact-integer bin assignment off broadcast
+    // per-type extremes; the a_mutual_info ln-parity discipline on the
+    // two float readouts. See woeIvBody.
+    "eval_woe_iv" -> ((s, dir) =>
+      woeIvBody(Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"),
+          (col("user_id") % 2 === 1).as("y")))),
+
+    // Tukey IQR outlier fences per order priority (Tukey 1977): exact
+    // doubled quartiles off the bounded whole-dollar histogram (the
+    // a_median order-statistic machinery at positions n/4 and 3n/4),
+    // quadrupled fences lo4 = 5·q1₂ − 3·q3₂ / hi4 = 5·q3₂ − 3·q1₂ so
+    // the 1.5·IQR rule is integer-exact, and outlier counts from the
+    // SAME pinned histogram (never a corpus re-scan). The distribution
+    // twin of the time-series MAD gate. See iqrBody.
+    "qa_outlier_iqr" -> ((s, dir) =>
+      iqrBody(Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          // exact cents first, THEN integer-div to whole dollars — the
+          // histogram domain is the price universe, not the corpus
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) div 100")
+            .as("v")))),
+
+    // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    // are maximal non-stopword runs (≤ PHRASE_MAX tokens — the
+    // published cap against degenerate candidates), word score =
+    // degree/freq over candidate members, phrase score = Σ member
+    // word scores, global top-100 by (score, phrase). The stopword
+    // delimiter set is the shipped English lexicon
+    // (TextSignals.langScores s_en), so the extractor and the
+    // language-ID family read the same lexicon. See rakeBody.
+    "text_rake_keyterms" -> ((s, dir) =>
+      rakeBody(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")))))
+
+  /** Brown double-exponential smoothing over a (event_type, x = epoch
+    * day, c = daily count) table — one algebra, two ingestion modes
+    * (the trendBody posture; the EIGHTH readout off TrendMonitor's one
+    * (type, day) state table via
+    * [[graft.streaming.TrendMonitor.holtReadout]]).
+    *
+    * With α = 1/2 the two smoothing passes unroll into FINITE integer
+    * convolutions (the events_ewma shift-weight trick, taken one
+    * smoothing order higher): the first smooth s1 carries weight
+    * 2^(W−1−j)/2^W for the count j days back, and the smooth-of-smooth
+    * s2 carries (j+1)·2^(W−j)/2^(W+2) — the convolution of two
+    * geometric kernels. Brown's identities then give level = 2s1 − s2,
+    * trend = s1 − s2, forecast(+1) = level + trend, so the three
+    * outputs are exact integer numerators over ONE common denominator
+    * 2^(W+2): level = (8·num1 − num2)/2^(W+2), trend = (4·num1 −
+    * num2)/2^(W+2), forecast = (12·num1 − 2·num2)/2^(W+2). Counts
+    * older than W days age out exactly as in events_ewma (the
+    * truncated kernel ≡ zeroing data beyond the horizon), and the
+    * calendar DENSIFIES gap days to zero first. The numerators can be
+    * NEGATIVE (a declining series drives s2 above 2s1), so each micro
+    * division is re-signed positive-only (sign·(|n|·10⁶ div 2^(W+2)))
+    * — Spark `div` truncates while DuckDB `//` floors, and they agree
+    * only on non-negative operands (the theilsenBody rule).
+    *
+    * Scale: the corpus is touched ONCE by the caller's daily-count
+    * shuffle; the W-way kernel explode and regroup run on the
+    * O(types×days) control-plane table. */
+  private[graft] def holtBody(daily: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val W = EventsQueries.EWMA_W // 30: shared horizon with events_ewma
+    val denom = 1L << (W + 2)
+    val d = daily.localCheckpoint(eager = true) // feeds span + the term join
+    val span = d.groupBy(col("event_type"))
+      .agg(min(col("x")).as("x0"), max(col("x")).as("x1"))
+    val cal = span
+      .select(col("event_type"), col("x1"),
+        explode(expr("sequence(x0, x1)")).as("x"))
+      .join(d, Seq("event_type", "x"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val nums = cal
+      .select(col("event_type"), col("x"), col("x1"), col("c"),
+        explode(expr(s"sequence(0, ${W - 1})")).as("j"))
+      .where(col("x") + col("j") <= col("x1"))
+      .select(col("event_type"), (col("x") + col("j")).as("d"),
+        (col("c").cast(dec) *
+          expr(s"shiftleft(1L, ${W - 1} - j)")).as("t1"),
+        (col("c").cast(dec) * (col("j") + 1) *
+          expr(s"shiftleft(1L, $W - j)")).as("t2"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("t1")).cast(dec).as("num1"),
+        sum(col("t2")).cast(dec).as("num2"))
+    def sMicro(n: String) = expr(
+      s"CAST((CASE WHEN $n < 0 THEN -1 ELSE 1 END) * " +
+        s"((abs($n) * 1000000) div CAST($denom AS DECIMAL(38,0))) AS BIGINT)")
+    nums
+      .join(cal.select(col("event_type"), col("x").as("d"), col("c")),
+        Seq("event_type", "d"))
+      .withColumn("lvl", (col("num1") * 8 - col("num2")).cast(dec))
+      .withColumn("trd", (col("num1") * 4 - col("num2")).cast(dec))
+      .withColumn("fc", (col("num1") * 12 - col("num2") * 2).cast(dec))
+      .select(col("event_type"), col("d").as("x"), col("c"),
+        sMicro("lvl").as("level_micro"),
+        sMicro("trd").as("trend_micro"),
+        sMicro("fc").as("forecast_micro"))
+  }
+
+  /** Within-series autocorrelation over a (event_type, x, c) daily
+    * table at lags 1..L — the xcorrBody algebra turned inward (same
+    * densified calendar, same DECIMAL(38) sufficient statistics, same
+    * ONE fixed-order micro-floored r per cell), the NINTH TrendMonitor
+    * readout. Scale: the lag join is control-plane — O(types × days ×
+    * L) on the pinned calendar. */
+  private[graft] def acfBody(daily: DataFrame, lags: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val d = daily.localCheckpoint(eager = true)
+    val span = d.groupBy(col("event_type"))
+      .agg(min(col("x")).as("x0"), max(col("x")).as("x1"))
+    val cal = span
+      .select(col("event_type"), explode(expr("sequence(x0, x1)")).as("x"))
+      .join(d, Seq("event_type", "x"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .localCheckpoint(eager = true) // both sides of the lag join
+    val a = cal.select(col("event_type"), col("x"), col("c").as("ca"))
+      .withColumn("lag", explode(expr(s"sequence(1, $lags)")))
+    val b = cal.select(col("event_type"), col("x").as("xb"), col("c").as("cb"))
+    a.join(b, Seq("event_type"))
+      .where(col("xb") === col("x") + col("lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ca")).as("sa"), sum(col("cb")).as("sb"),
+        sum(col("ca").cast(dec) * col("cb")).as("sab"),
+        sum(col("ca").cast(dec) * col("ca")).as("saa"),
+        sum(col("cb").cast(dec) * col("cb")).as("sbb"))
+      .withColumn("num", col("n").cast(dec) * col("sab") -
+        col("sa").cast(dec) * col("sb").cast(dec))
+      .withColumn("da", col("n").cast(dec) * col("saa") -
+        col("sa").cast(dec) * col("sa").cast(dec))
+      .withColumn("db", col("n").cast(dec) * col("sbb") -
+        col("sb").cast(dec) * col("sb").cast(dec))
+      .withColumn("r_micro",
+        when(col("da") === 0L || col("db") === 0L, lit(null).cast("long"))
+          .otherwise(floor(col("num").cast("double") /
+            sqrt(col("da").cast("double") * col("db").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("event_type"), col("lag"), col("n"), col("sa"),
+        col("sb"), col("r_micro"))
+  }
+
+  /** Rank-based ROC-AUC with exact average-rank tie handling over a
+    * (event_type = g, v = integer score, y = positive flag) frame —
+    * the Mann–Whitney U identity AUC = (Σ_pos rank − P(P+1)/2)/(P·N),
+    * computed WITHOUT a global rank: bucket scores into the bounded
+    * (type, score) histogram, then U₂ = Σ_v pos_v·(2·negBelow_v +
+    * neg_v) accumulates doubled U (ties contribute the exact ½ via the
+    * +neg_v term), and AUC = U₂/(2·P·N) divides once in DECIMAL(38).
+    * The histogram window is the a_median posture: O(distinct scores)
+    * state, never O(rows). */
+  private[graft] def aucBody(scored: DataFrame): DataFrame =
+    aucFromHist(scored.groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("neg")))
+
+  /** The rank algebra over an already-aggregated (event_type, v, pos,
+    * neg) score histogram — factored so the streaming
+    * [[graft.streaming.AucMonitor]] reads the IDENTICAL tie-corrected
+    * AUC off its state-store snapshot (one algebra, two ingestion
+    * modes — the trendBody posture). */
+  private[graft] def aucFromHist(hist: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cumneg", sum(col("neg")).over(wCum))
+      .withColumn("u2", col("pos").cast(dec) *
+        (lit(2) * (col("cumneg") - col("neg")) + col("neg")))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("u2")).cast(dec).as("u2"))
+      .select(col("event_type"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("long"))
+          .otherwise(expr("CAST((u2 * 1000000) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)"))
+          .as("auc_micro"))
+  }
+
+  /** Item–item cosine neighbor lists over an (o = basket id,
+    * it = item key) frame — see the rec_item_cosine entry. The single
+    * sqrt is terminal and micro-floored once in a fixed order (the
+    * sim_centroid_shift discipline: √ of an exact integer is
+    * correctly-rounded IEEE on both engines, so parity is
+    * representational). */
+  private[graft] def recCosineBody(
+      items: DataFrame, minPairs: Int, topK: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val baskets = items.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("it"))).as("bs"))
+      .localCheckpoint(eager = true) // feeds pairs + item counts
+    val itemCnt = baskets
+      .select(explode(col("bs")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true) // both broadcast legs read it —
+      // unpinned, each leg re-explodes every basket row
+    val pairs = baskets
+      .select(explode(flatten(transform(col("bs"), (x, i) =>
+        transform(slice(col("bs"), i + lit(2), size(col("bs"))),
+          y => struct(x.as("ia"), y.as("ib")))))).as("p"))
+      .groupBy(col("p.ia"), col("p.ib"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= minPairs)
+    val scored = pairs
+      .join(broadcast(itemCnt.select(col("it").as("ia"), col("cnt").as("cnt_a"))), "ia")
+      .join(broadcast(itemCnt.select(col("it").as("ib"), col("cnt").as("cnt_b"))), "ib")
+      .withColumn("cosine_micro",
+        floor(col("pair_cnt").cast("double") /
+          sqrt((col("cnt_a").cast(dec) * col("cnt_b")).cast("double")) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+    // directed neighbor lists: each undirected pair feeds both items'
+    // lists via an IN-ROW 2-element explode (a union of two
+    // projections would duplicate the whole pair-aggregation pipeline
+    // in the plan — the expensive shuffle would run twice); the window
+    // partitions by item over the thresholded pair table (O(items)
+    // partitions, each its own neighbor count)
+    val directed = scored
+      .select(explode(array(
+        struct(col("ia").as("src"), col("ib").as("dst"), col("pair_cnt"),
+          col("cnt_a").as("cnt_src"), col("cnt_b").as("cnt_dst"),
+          col("cosine_micro")),
+        struct(col("ib").as("src"), col("ia").as("dst"), col("pair_cnt"),
+          col("cnt_b").as("cnt_src"), col("cnt_a").as("cnt_dst"),
+          col("cosine_micro")))).as("r"))
+      .select(col("r.*"))
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("cosine_micro").desc, col("pair_cnt").desc, col("dst"))
+    directed
+      .withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") <= topK)
+  }
+
+  /** Nearest-temporal join over a merged (event_id, user_id, tsu,
+    * kind 0=right/0-side, 1=left/probe) stream: per user, ONE sort by
+    * (tsu, kind, event_id) serves both direction probes — prev = the
+    * running last non-null right-timestamp (a right row at the SAME
+    * instant sorts before the probe via kind, so an exact-ts match
+    * reads as dist 0 on the prev side), next = the reverse-frame first
+    * non-null. Equidistant ties resolve to prev (the earlier
+    * observation); probes with no right row at all keep NULLs. */
+  private[graft] def nearestBody(merged: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("kind"), col("event_id"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged
+      .withColumn("pts",
+        when(col("kind") === 0, col("tsu")).otherwise(lit(null).cast("long")))
+      .withColumn("prev_p", last(col("pts"), ignoreNulls = true).over(wPrev))
+      .withColumn("next_p", first(col("pts"), ignoreNulls = true).over(wNext))
+      .where(col("kind") === 1)
+      .withColumn("nearest_p",
+        when(col("prev_p").isNull, col("next_p"))
+          .when(col("next_p").isNull, col("prev_p"))
+          .when(col("tsu") - col("prev_p") <= col("next_p") - col("tsu"),
+            col("prev_p"))
+          .otherwise(col("next_p")))
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("tsu")).as("ts"),
+        timestamp_micros(col("nearest_p")).as("nearest_purchase_ts"),
+        when(col("nearest_p").isNull, lit(null).cast("long"))
+          .otherwise(abs(col("tsu") - col("nearest_p"))).as("dist_us"),
+        when(col("nearest_p").isNull, lit(null).cast("string"))
+          .when(col("nearest_p") === col("prev_p"), lit("prev"))
+          .otherwise(lit("next")).as("side"))
+  }
+
+  /** WOE/IV per equal-width bin over a (event_type, v = integer score,
+    * y = positive flag) frame — see the eval_woe_iv entry. Bin edges
+    * derive from broadcast per-type extremes: bin = min(B−1,
+    * (v−mn)·B div (mx−mn+1)) — exact integers, no float edges. Zero
+    * cells read NULL (the honest unsmoothed convention: a bin one
+    * class never reaches has undefined evidence, and flagging that
+    * beats hiding it under a smoothing constant). */
+  private[graft] def woeIvBody(scored: DataFrame, bins: Int = 10): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ext = scored.groupBy(col("event_type"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val cell = scored
+      .join(broadcast(ext), "event_type")
+      .select(col("event_type"),
+        least(lit(bins - 1),
+          expr(s"((v - mn) * $bins) div (mx - mn + 1)")).as("bin"),
+        col("y"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
+      .localCheckpoint(eager = true) // margins derive from the cells
+    val marg = cell.groupBy(col("event_type"))
+      .agg(sum(col("pos")).as("p"), sum(col("neg")).as("n"))
+    cell
+      .join(broadcast(marg), "event_type")
+      // the density ratio is guarded AT THE DIVISION (not just at the
+      // readouts): ANSI double division raises on a single-class bin,
+      // and codegen CSE can hoist an unguarded subexpression out of
+      // the lazily-evaluated when-branches below
+      .withColumn("r",
+        when(col("pos") === 0L || col("neg") === 0L,
+          lit(null).cast("double"))
+          .otherwise((col("pos").cast(dec) * col("n")).cast("double") /
+            (col("neg").cast(dec) * col("p")).cast("double")))
+      .select(col("event_type"), col("bin"), col("pos"), col("neg"),
+        when(col("pos") === 0L || col("neg") === 0L, lit(null).cast("long"))
+          .otherwise(floor(log(col("r")) * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("woe_micro"),
+        when(col("pos") === 0L || col("neg") === 0L, lit(null).cast("long"))
+          .otherwise(floor(
+            (col("pos").cast(dec) * col("n") - col("neg").cast(dec) * col("p"))
+              .cast("double") /
+              (col("p").cast(dec) * col("n")).cast("double") *
+              log(col("r")) * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("iv_micro"))
+  }
+
+  /** Exact Tukey-fence outlier gate over a (grp, v = bounded integer)
+    * frame — see the qa_outlier_iqr entry. Doubled quartiles ride the
+    * a_median cumulative-histogram order statistics (q₂ = x⌈k⌉ + x⌊k⌋₊₁
+    * at k = n/4 and 3n/4); the quadrupled fences keep the 1.5·IQR rule
+    * in integers (4·v vs 5·q1₂ − 3·q3₂); outlier counts re-read the
+    * PINNED histogram, never the corpus. */
+  private[graft] def iqrBody(vals: DataFrame): DataFrame = {
+    val hist = vals.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(eager = true) // feeds the quartile window + the count
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quart = hist
+      .withColumn("cum", sum(col("f")).over(wCum))
+      .withColumn("n", sum(col("f")).over(wAll))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        (min(when(col("cum") >= expr("(n + 3) div 4"), col("v"))) +
+          min(when(col("cum") >= expr("n div 4 + 1"), col("v"))))
+          .as("q1_2"),
+        (min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("v"))) +
+          min(when(col("cum") >= expr("(3 * n) div 4 + 1"), col("v"))))
+          .as("q3_2"))
+      .withColumn("lo4", lit(5L) * col("q1_2") - lit(3L) * col("q3_2"))
+      .withColumn("hi4", lit(5L) * col("q3_2") - lit(3L) * col("q1_2"))
+    hist
+      .join(broadcast(quart), "grp")
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), max(col("q1_2")).as("q1_2"),
+        max(col("q3_2")).as("q3_2"), max(col("lo4")).as("lo4"),
+        max(col("hi4")).as("hi4"),
+        sum(when(col("v") * 4 < col("lo4"), col("f")).otherwise(0L))
+          .as("n_out_lo"),
+        sum(when(col("v") * 4 > col("hi4"), col("f")).otherwise(0L))
+          .as("n_out_hi"))
+  }
+
+  /** RAKE phrase cap — candidates longer than this are discarded
+    * (Rose et al. 2010's guard against degenerate runs), which is
+    * also what BOUNDS the phrase-assembly aggregation state. */
+  private def PHRASE_MAX = GraftConf.int("graft.rake.phraseMax", 4)
+  private def RAKE_TOPN = GraftConf.int("graft.rake.topn", 100)
+
+  /** The shipped English stopword lexicon (TextSignals s_en) as the
+    * RAKE delimiter set. */
+  private val RAKE_STOPS = Seq("the", "a", "of", "and")
+
+  /** RAKE keyphrase extraction over a (doc_id, text) frame — see the
+    * text_rake_keyterms entry. Lowering: posexplode → stopword flag →
+    * island id (running sum of flags — ONE exchange on doc_id) →
+    * run length per island (the exchange on (doc, island) is reused by
+    * the phrase assembly groupBy) → keep runs ≤ PHRASE_MAX (this
+    * filter is what bounds the collect_list state — the funnel
+    * lane-guard posture, enforced BEFORE aggregation) → corpus word
+    * stats (degree = Σ run_len, freq = count) broadcast back →
+    * phrase score = Σ member (degree·10⁶ div freq) — an exact integer
+    * sum, order-independent → global top-N via TakeOrderedAndProject
+    * (never a full sort). */
+  private[graft] def rakeBody(docs: DataFrame): DataFrame = {
+    val stops = RAKE_STOPS.map(s => s"'$s'").mkString(", ")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .withColumn("stop", expr(s"w IN ($stops)"))
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRun = Window.partitionBy(col("doc_id"), col("isl"))
+    val members = toks
+      .withColumn("isl", sum(when(col("stop"), 1L).otherwise(0L)).over(wIsl))
+      .where(!col("stop"))
+      .withColumn("run_len", count(lit(1)).over(wRun))
+      .where(col("run_len") <= PHRASE_MAX)
+      .localCheckpoint(eager = true) // feeds word stats + phrase assembly
+    val wordStats = members.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("run_len")).as("degree"))
+      .withColumn("wscore_micro", expr("(degree * 1000000) div freq"))
+    val phrases = members
+      .join(broadcast(wordStats.select(col("w"), col("wscore_micro"))), "w")
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          t => t.getField("w")), " ").as("phrase"),
+        sum(col("wscore_micro")).as("score_micro"))
+    phrases
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_phrase"), max(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(RAKE_TOPN)
+  }
+
+  private def oDaily: String =
+    s"""(SELECT event_type,
+       |CAST(date_diff('day', DATE '1970-01-01',
+       |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+       |CAST(COUNT(*) AS BIGINT) AS c
+       |FROM $oEvents GROUP BY 1, 2)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+
+    // same densified calendar, same integer shift-weight convolutions
+    // HUGEINT-first, same re-signed positive-only micro divisions
+    "events_holt" -> {
+      val w = EventsQueries.EWMA_W
+      val denom = 1L << (w + 2)
+      def sMicro(n: String) =
+        s"CAST((CASE WHEN $n < 0 THEN -1 ELSE 1 END) * ((abs($n) * 1000000) // $denom) AS BIGINT)"
+      s"""WITH daily AS (SELECT * FROM $oDaily),
+         |span AS (SELECT event_type, MIN(x) AS x0, MAX(x) AS x1
+         |FROM daily GROUP BY 1),
+         |cal AS (SELECT u.event_type, u.x1, CAST(u.x AS BIGINT) AS x,
+         |COALESCE(d.c, 0) AS c
+         |FROM (SELECT event_type, x1, unnest(range(x0, x1 + 1)) AS x
+         |FROM span) u
+         |LEFT JOIN daily d ON d.event_type = u.event_type AND d.x = u.x),
+         |t AS (SELECT event_type, x + j AS d,
+         |CAST(c AS HUGEINT) * (CAST(1 AS BIGINT) << (${w - 1} - j)) AS t1,
+         |CAST(c AS HUGEINT) * (j + 1) * (CAST(1 AS BIGINT) << ($w - j)) AS t2
+         |FROM cal, (SELECT unnest(range(0, $w)) AS j) o
+         |WHERE x + j <= x1),
+         |n AS (SELECT event_type, d, CAST(SUM(t1) AS HUGEINT) AS num1,
+         |CAST(SUM(t2) AS HUGEINT) AS num2 FROM t GROUP BY 1, 2),
+         |m AS (SELECT n.event_type, n.d AS x, b.c,
+         |8 * num1 - num2 AS lvl, 4 * num1 - num2 AS trd,
+         |12 * num1 - 2 * num2 AS fc
+         |FROM n JOIN cal b ON b.event_type = n.event_type AND b.x = n.d)
+         |SELECT event_type, x, c,
+         |${sMicro("lvl")} AS level_micro,
+         |${sMicro("trd")} AS trend_micro,
+         |${sMicro("fc")} AS forecast_micro
+         |FROM m""".stripMargin
+    },
+
+    // same calendar, same aligned-pair lag join, same DECIMAL-exact
+    // sufficient statistics, same ONE fixed-order micro-floored r
+    "events_acf" ->
+      s"""WITH daily AS (SELECT * FROM $oDaily),
+         |span AS (SELECT event_type, MIN(x) AS x0, MAX(x) AS x1
+         |FROM daily GROUP BY 1),
+         |cal AS (SELECT u.event_type, CAST(u.x AS BIGINT) AS x,
+         |COALESCE(d.c, 0) AS c
+         |FROM (SELECT event_type, unnest(range(x0, x1 + 1)) AS x
+         |FROM span) u
+         |LEFT JOIN daily d ON d.event_type = u.event_type AND d.x = u.x),
+         |p AS (SELECT a.event_type, l.lag, a.c AS ca, b.c AS cb
+         |FROM cal a
+         |CROSS JOIN (SELECT unnest(range(1, ${ACF_LAGS + 1})) AS lag) l
+         |JOIN cal b ON b.event_type = a.event_type AND b.x = a.x + l.lag),
+         |g AS (SELECT event_type, CAST(lag AS INTEGER) AS lag,
+         |CAST(COUNT(*) AS BIGINT) AS n,
+         |CAST(SUM(ca) AS BIGINT) AS sa, CAST(SUM(cb) AS BIGINT) AS sb,
+         |SUM(CAST(ca AS HUGEINT) * cb) AS sab,
+         |SUM(CAST(ca AS HUGEINT) * ca) AS saa,
+         |SUM(CAST(cb AS HUGEINT) * cb) AS sbb
+         |FROM p GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(n AS HUGEINT) * sab
+         |- CAST(sa AS HUGEINT) * sb AS num,
+         |CAST(n AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa AS da,
+         |CAST(n AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb AS db
+         |FROM g)
+         |SELECT event_type, lag, n, sa, sb,
+         |CASE WHEN da = 0 OR db = 0 THEN NULL
+         |ELSE CAST(FLOOR(CAST(num AS DOUBLE) /
+         |sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE))
+         |* 1000000.0 + 0.5) AS BIGINT) END AS r_micro
+         |FROM r""".stripMargin,
+
+    // same bounded histogram, same doubled-U tie identity, same single
+    // HUGEINT division
+    "eval_auc" ->
+      s"""WITH s AS (SELECT event_type,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+         |user_id % 2 = 1 AS y
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |h AS (SELECT event_type, v,
+         |CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+         |FROM s GROUP BY 1, 2),
+         |w AS (SELECT *, CAST(SUM(neg) OVER (PARTITION BY event_type
+         |ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumneg FROM h),
+         |u AS (SELECT event_type,
+         |CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+         |SUM(CAST(pos AS HUGEINT) * (2 * (cumneg - neg) + neg)) AS u2
+         |FROM w GROUP BY 1)
+         |SELECT event_type, n_pos, n_neg,
+         |CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |ELSE CAST((u2 * 1000000) // (CAST(2 AS HUGEINT) * n_pos * n_neg)
+         |AS BIGINT) END AS auc_micro
+         |FROM u""".stripMargin,
+
+    // same once-per-basket pair counting via a plain self-join, same
+    // terminal micro-floored sqrt, same (cosine, support, key) top-k
+    "rec_item_cosine" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS it
+         |FROM lineitem),
+         |ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+         |pc AS (SELECT a.it AS ia, b2.it AS ib, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+         |FROM b a JOIN b b2 ON a.o = b2.o AND a.it < b2.it
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $REC_MIN),
+         |sc AS (SELECT ia, ib, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+         |CAST(FLOOR(CAST(pair_cnt AS DOUBLE) /
+         |sqrt(CAST(CAST(ca.cnt AS HUGEINT) * cb.cnt AS DOUBLE))
+         |* 1000000.0 + 0.5) AS BIGINT) AS cosine_micro
+         |FROM pc JOIN ic ca ON ca.it = ia JOIN ic cb ON cb.it = ib),
+         |d AS (SELECT ia AS src, ib AS dst, pair_cnt,
+         |cnt_a AS cnt_src, cnt_b AS cnt_dst, cosine_micro FROM sc
+         |UNION ALL
+         |SELECT ib, ia, pair_cnt, cnt_b, cnt_a, cosine_micro FROM sc),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY src
+         |ORDER BY cosine_micro DESC, pair_cnt DESC, dst) AS INTEGER) AS rnk
+         |FROM d)
+         |SELECT src, dst, pair_cnt, cnt_src, cnt_dst, cosine_micro, rnk
+         |FROM r WHERE rnk <= $REC_TOPK""".stripMargin,
+
+    // same merged-stream sort, same two window probes (a same-instant
+    // purchase sorts before the click via kind, landing in the prev
+    // frame and out of the next frame), same tie-to-prev rule
+    "j_asof_nearest" ->
+      s"""WITH m AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+         |CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+         |CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pts
+         |FROM $oEvents WHERE event_type IN ('click', 'purchase')),
+         |w AS (SELECT *,
+         |last_value(pts IGNORE NULLS) OVER (PARTITION BY user_id
+         |ORDER BY tsu, kind, event_id
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+         |first_value(pts IGNORE NULLS) OVER (PARTITION BY user_id
+         |ORDER BY tsu, kind, event_id
+         |ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+         |FROM m),
+         |c AS (SELECT *, CASE WHEN prev_p IS NULL THEN next_p
+         |WHEN next_p IS NULL THEN prev_p
+         |WHEN tsu - prev_p <= next_p - tsu THEN prev_p
+         |ELSE next_p END AS nearest_p
+         |FROM w WHERE kind = 1)
+         |SELECT event_id, user_id, make_timestamp(tsu) AS ts,
+         |make_timestamp(nearest_p) AS nearest_purchase_ts,
+         |CASE WHEN nearest_p IS NULL THEN NULL
+         |ELSE abs(tsu - nearest_p) END AS dist_us,
+         |CASE WHEN nearest_p IS NULL THEN NULL
+         |WHEN nearest_p = prev_p THEN 'prev' ELSE 'next' END AS side
+         |FROM c""".stripMargin,
+
+    // same broadcast extremes, same exact-integer bin rule, same
+    // HUGEINT-first density ratio, same fixed-order ln micro floors
+    "eval_woe_iv" ->
+      s"""WITH s AS (SELECT event_type,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+         |user_id % 2 = 1 AS y
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |e AS (SELECT event_type, MIN(v) AS mn, MAX(v) AS mx
+         |FROM s GROUP BY 1),
+         |c AS (SELECT s.event_type,
+         |CAST(LEAST(9, ((v - mn) * 10) // (mx - mn + 1)) AS BIGINT) AS bin,
+         |CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+         |FROM s JOIN e ON e.event_type = s.event_type GROUP BY 1, 2),
+         |m AS (SELECT event_type, CAST(SUM(pos) AS BIGINT) AS p,
+         |CAST(SUM(neg) AS BIGINT) AS n FROM c GROUP BY 1),
+         |j AS (SELECT c.event_type, bin, pos, neg, p, n,
+         |CASE WHEN pos = 0 OR neg = 0 THEN NULL
+         |ELSE CAST(CAST(pos AS HUGEINT) * n AS DOUBLE) /
+         |CAST(CAST(neg AS HUGEINT) * p AS DOUBLE) END AS r
+         |FROM c JOIN m ON m.event_type = c.event_type)
+         |SELECT event_type, bin, pos, neg,
+         |CASE WHEN pos = 0 OR neg = 0 THEN NULL
+         |ELSE CAST(FLOOR(ln(r) * 1000000.0 + 0.5) AS BIGINT) END AS woe_micro,
+         |CASE WHEN pos = 0 OR neg = 0 THEN NULL
+         |ELSE CAST(FLOOR(
+         |CAST(CAST(pos AS HUGEINT) * n - CAST(neg AS HUGEINT) * p AS DOUBLE)
+         |/ CAST(CAST(p AS HUGEINT) * n AS DOUBLE)
+         |* ln(r) * 1000000.0 + 0.5) AS BIGINT) END AS iv_micro
+         |FROM j""".stripMargin,
+
+    // same whole-dollar quantization, same doubled order statistics at
+    // n/4 and 3n/4, same quadrupled integer fences, same
+    // histogram-side outlier counts
+    "qa_outlier_iqr" ->
+      """WITH s AS (SELECT o_orderpriority AS grp,
+        |CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) // 100 AS v
+        |FROM orders),
+        |h AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS f FROM s GROUP BY 1, 2),
+        |w AS (SELECT grp, v, f,
+        |CAST(SUM(f) OVER (PARTITION BY grp ORDER BY v
+        |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |CAST(SUM(f) OVER (PARTITION BY grp) AS BIGINT) AS n FROM h),
+        |q AS (SELECT grp, MAX(n) AS n,
+        |MIN(CASE WHEN cum >= (n + 3) // 4 THEN v END)
+        |+ MIN(CASE WHEN cum >= n // 4 + 1 THEN v END) AS q1_2,
+        |MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END)
+        |+ MIN(CASE WHEN cum >= (3 * n) // 4 + 1 THEN v END) AS q3_2
+        |FROM w GROUP BY 1),
+        |qq AS (SELECT grp, n, q1_2, q3_2, 5 * q1_2 - 3 * q3_2 AS lo4,
+        |5 * q3_2 - 3 * q1_2 AS hi4 FROM q)
+        |SELECT h.grp, MAX(n) AS n, MAX(q1_2) AS q1_2, MAX(q3_2) AS q3_2,
+        |MAX(lo4) AS lo4, MAX(hi4) AS hi4,
+        |CAST(SUM(CASE WHEN v * 4 < lo4 THEN f ELSE 0 END) AS BIGINT) AS n_out_lo,
+        |CAST(SUM(CASE WHEN v * 4 > hi4 THEN f ELSE 0 END) AS BIGINT) AS n_out_hi
+        |FROM h JOIN qq ON qq.grp = h.grp GROUP BY 1""".stripMargin,
+
+    // same stopword islands, same run-length cap, same integer word
+    // scores (degree·10⁶ div freq), same exact phrase sums, same
+    // (score, phrase) top-100
+    "text_rake_keyterms" -> {
+      val stops = RAKE_STOPS.map(s => s"'$s'").mkString(", ")
+      s"""WITH t0 AS (SELECT doc_id,
+         |unnest(list_transform(range(1, len(sp) + 1),
+         |i -> {'pos': i, 'w': sp[i]})) AS tk
+         |FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+         |t AS (SELECT doc_id, tk.pos AS pos, tk.w AS w FROM t0),
+         |f AS (SELECT doc_id, pos, w, w IN ($stops) AS stop FROM t),
+         |i AS (SELECT *, CAST(SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+         |OVER (PARTITION BY doc_id ORDER BY pos
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl FROM f),
+         |m AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY doc_id, isl)
+         |AS BIGINT) AS run_len
+         |FROM (SELECT doc_id, pos, w, isl FROM i WHERE NOT stop) m0),
+         |k AS (SELECT * FROM m WHERE run_len <= $PHRASE_MAX),
+         |ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         |CAST(SUM(run_len) AS BIGINT) AS degree FROM k GROUP BY 1),
+         |wsc AS (SELECT w, (degree * 1000000) // freq AS wscore FROM ws),
+         |ph AS (SELECT doc_id, isl,
+         |string_agg(k.w, ' ' ORDER BY pos) AS phrase,
+         |CAST(SUM(wscore) AS BIGINT) AS score_micro
+         |FROM k JOIN wsc ON wsc.w = k.w GROUP BY 1, 2)
+         |SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_phrase,
+         |MAX(score_micro) AS score_micro
+         |FROM ph GROUP BY 1
+         |ORDER BY score_micro DESC, phrase LIMIT $RAKE_TOPN""".stripMargin
+    })
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming ROC-AUC maintenance — the live twin of the batch
+  * `eval_auc` catalog query: the (group, score, label) histogram is a
+  * PLAIN mergeable count table, so one [[Fold.applyPartial]] state
+  * table carries the complete ranking-quality surface and the readout
+  * is the FACTORED batch algebra
+  * ([[graft.queries.AnalyticsQueries.aucFromHist]]) — a live
+  * score-quality dashboard (is the quality model still separating?)
+  * and the oracle-checked offline AUC can never disagree on the same
+  * events (AucMonitorSpec pins row-parity).
+  *
+  * State size: O(groups × distinct scores) counters — the a_median
+  * bounded-histogram argument: the state is bounded by the score
+  * DOMAIN (cents of a price universe, logit buckets of a model), not
+  * by the corpus. The fold pre-combines per micro-batch partition, so
+  * the state op sees O(distinct keys) partials per batch, never
+  * O(rows).
+  *
+  * Reference analog: slipstream's per-key aggregate caches inside
+  * handlers (cookbook.rst:529-588) — here the counters are
+  * restart-safe state-store state.
+  */
+object AucMonitor {
+
+  /** Histogram key: (group, score, isPositive). */
+  type K = (String, Long, Boolean)
+
+  /** Incremental (group, score, label) counts over a scored stream
+    * (or batch frame — same fold). */
+  def counts(
+      ds: Dataset[K])(
+      implicit spark: SparkSession): Dataset[(K, Long)] = {
+    import spark.implicits._
+    Fold.applyPartial[K, K, Long](
+      ds, v => v, 0L, (b, _) => b + 1L, _ + _)
+  }
+
+  /** The batch rank algebra over a streamed histogram snapshot
+    * ((event_type, v, y), cnt rows): pivot the label axis into
+    * pos/neg columns, then the factored tie-corrected AUC. */
+  def aucReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.AnalyticsQueries.aucFromHist(
+      snapshot.groupBy(col("event_type"), col("v"))
+        .agg(sum(when(col("y"), col("cnt")).otherwise(0L)).as("pos"),
+          sum(when(col("y"), 0L).otherwise(col("cnt"))).as("neg")))
+}

@@ -99,4 +99,24 @@ object TrendMonitor {
   def xcorrReadout(counts: DataFrame): DataFrame =
     graft.queries.EventsQueries.xcorrBody(
       counts.select(col("event_type"), col("x"), col("c")))
+
+  /** The Brown double-exponential level/trend/forecast readout over
+    * the same streamed daily-count snapshot — the factored events_holt
+    * algebra ([[graft.queries.AnalyticsQueries.holtBody]]): the EIGHTH
+    * readout off the one (type, day) state table, and the only one
+    * that PREDICTS — a live capacity dashboard reads tomorrow's
+    * expected volume from the identical numbers the oracle-checked
+    * batch query produces. */
+  def holtReadout(counts: DataFrame): DataFrame =
+    graft.queries.AnalyticsQueries.holtBody(
+      counts.select(col("event_type"), col("x"), col("c")))
+
+  /** The within-series autocorrelation readout over the same streamed
+    * daily-count snapshot — the factored events_acf algebra
+    * ([[graft.queries.AnalyticsQueries.acfBody]]): the NINTH readout,
+    * the live periodicity diagnostic that tells the dashboard whether
+    * the seasonality readout's day-of-week model is earning its keep. */
+  def acfReadout(counts: DataFrame, lags: Int = 10): DataFrame =
+    graft.queries.AnalyticsQueries.acfBody(
+      counts.select(col("event_type"), col("x"), col("c")), lags)
 }

@@ -1051,6 +1051,75 @@ object ExplainAudit {
         !p.contains("SortMergeJoin") && p.contains("BroadcastNestedLoopJoin")
     }
 
+    audit("events_holt",
+      "both smoothing convolutions run on the PINNED densified " +
+        "calendar (zero parquet scans — the corpus shuffle happened " +
+        "at pin time); the kernel terms aggregate map-side; no " +
+        "cartesian anywhere") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "HashAggregate") >= 2 &&
+        !p.contains("CartesianProduct")
+    }
+    audit("events_acf",
+      "the lag self-join is a pure equi-join — Catalyst folds the " +
+        "xb = x + lag predicate into the SortMergeJoin keys (join " +
+        "condition: none), so there is NO O(days²) post-filter blowup; " +
+        "zero parquet scans off the pinned calendar") { p =>
+      count(p, "Scan parquet") == 0 &&
+        p.contains("Left keys [2]") && !p.contains("Join condition: Some")
+    }
+    audit("eval_auc",
+      "the a_median bounded-histogram shape: ONE pushed-filter corpus " +
+        "scan into the O(types×scores) histogram, ONE window over the " +
+        "bounded table, no join at all") { p =>
+      count(p, "Scan parquet") == 1 && count(p, "Window") == 1 &&
+        !p.contains("Join") && p.contains("PushedFilters: [IsNotNull(value)]")
+    }
+    audit("rec_item_cosine",
+      "baskets pin once (zero parquet scans); the pair shuffle runs " +
+        "ONCE (the direction fan-out is an in-row explode, not a " +
+        "pipeline-duplicating union); item counts broadcast; the " +
+        "top-k window carries Spark's WindowGroupLimit pushdown") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("SortMergeJoin") &&
+        count(p, "BroadcastHashJoin") == 2 &&
+        count(p, "WindowGroupLimit") >= 1 && count(p, "Window") == 1
+    }
+    audit("eval_woe_iv",
+      "the readout runs entirely on the PINNED O(types×bins) cell " +
+        "table (zero parquet scans — the two-pass equal-width binning " +
+        "paid its corpus scans at pin time); margins derive from the " +
+        "cells and broadcast back; no window, no shuffle join") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "Window") == 0 &&
+        !p.contains("SortMergeJoin") && p.contains("BroadcastHashJoin")
+    }
+    audit("qa_outlier_iqr",
+      "ONE exchange + sort serves BOTH quartile windows off the " +
+        "pinned bounded histogram (zero parquet scans); fences " +
+        "broadcast back to the same histogram for the outlier counts " +
+        "— the corpus is never re-read") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "Window") == 2 &&
+        count(p, "Sort") == 1 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastHashJoin")
+    }
+    audit("text_rake_keyterms",
+      "word stats + phrase assembly both read the PINNED capped-run " +
+        "member table (zero parquet scans); word scores broadcast; " +
+        "the phrase collect_list is the guarded-bounded ObjectHash " +
+        "path (run_len ≤ cap enforced BEFORE aggregation); the global " +
+        "top-N is TakeOrderedAndProject, never a full sort") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastHashJoin") &&
+        count(p, "TakeOrderedAndProject") == 1
+    }
+    audit("j_asof_nearest",
+      "the merged-stream lowering: ONE scan with the event-type IN " +
+        "filter PUSHED, ONE exchange on user_id, ONE Window node " +
+        "serving BOTH direction probes (the frames fuse), no join " +
+        "operator at all") { p =>
+      count(p, "Scan parquet") == 1 && count(p, "Exchange") == 1 &&
+        count(p, "Window") == 1 && !p.contains("Join") &&
+        p.contains("In(event_type, [click,purchase])")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

@@ -187,7 +187,16 @@ object ScaleRatios {
       // r13 ninth: the SNM recall eval (constant-dictionary caveat)
       "linkage_snm_recall",
       // r13 tenth: the language-ID confusion eval (documents)
-      "text_langid_eval")
+      "text_langid_eval",
+      // r13 analytics batch: Brown smoothing + ACF (events daily
+      // table), rank-AUC (bounded histogram), item–item cosine
+      // (lineitem baskets), nearest-temporal join (one-exchange
+      // merged-stream windows)
+      "events_holt", "events_acf", "eval_auc", "rec_item_cosine",
+      "j_asof_nearest",
+      // r13 analytics batch 2: WOE/IV bins (events), Tukey IQR fences
+      // (orders histogram), RAKE keyphrases (documents)
+      "eval_woe_iv", "qa_outlier_iqr", "text_rake_keyterms")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Defining properties of the round-13 analytics batch on hand-built
+  * frames: Brown smoothing recovers a linear ramp's slope (and signs
+  * declines correctly through the re-signed division), ACF reads 1.0
+  * at the true period and nothing at a constant, the AUC identity on
+  * worked tie examples, cosine neighbor lists on a 3-basket corpus,
+  * and the nearest-join's direction/tie/missing cases. */
+class AnalyticsQueriesSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  private val W = EventsQueries.EWMA_W // 30
+
+  // independent exact reference: definitional kernel weights
+  // w1_j = 2^(W-1-j)/2^W, w2_j = (j+1)·2^(W-j)/2^(W+2), Brown
+  // identities in BigInt rationals, re-signed floor division
+  private def brownRef(cs: Seq[Long]): Seq[(Long, Long, Long)] = {
+    val denom = BigInt(1) << (W + 2)
+    def sMicro(n: BigInt): Long =
+      (n.signum * ((n.abs * 1000000) / denom)).toLong
+    cs.indices.map { t =>
+      var n1 = BigInt(0); var n2 = BigInt(0)
+      (0 until W).foreach { j =>
+        if (t - j >= 0) {
+          val c = BigInt(cs(t - j))
+          n1 += c * (BigInt(1) << (W - 1 - j))
+          n2 += c * (j + 1) * (BigInt(1) << (W - j))
+        }
+      }
+      (sMicro(8 * n1 - n2), sMicro(4 * n1 - n2), sMicro(12 * n1 - 2 * n2))
+    }
+  }
+
+  private def runHolt(rows: (String, Long, Long)*) =
+    AnalyticsQueries.holtBody(rows.toSeq.toDF("event_type", "x", "c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("level_micro"), r.getAs[Long]("trend_micro"),
+          r.getAs[Long]("forecast_micro"))).toMap
+
+  test("holt: exact BigInt parity on a ramp, and the settled trend " +
+    "reads the ramp's slope") {
+    val cs = (0 until 60).map(d => 100L + 5L * d)
+    val got = runHolt(cs.zipWithIndex.map { case (c, d) => ("t", d.toLong, c) }: _*)
+    val ref = brownRef(cs)
+    cs.indices.foreach { d =>
+      val (l, t, f) = ref(d)
+      assert(got(("t", d.toLong)) == ((l, t, f)), s"day $d")
+    }
+    // settled: the truncated-kernel trend sits within c·W²·2^-W of the
+    // true slope 5.0 (the dropped tail's weighted-mean shift — ~16
+    // micro here), and the one-step forecast likewise of 100 + 5·60
+    val (_, trd, fc) = got(("t", 59L))
+    assert(math.abs(trd - 5000000L) <= 16, s"trend $trd")
+    assert(math.abs(fc - 400000000L) <= 16, s"forecast $fc")
+  }
+
+  test("holt: a declining series signs the trend negative through the " +
+    "re-signed division (Spark div truncates, DuckDB // floors — they " +
+    "agree only on non-negatives)") {
+    val cs = (0 until 60).map(d => 2000L - 15L * d)
+    val got = runHolt(cs.zipWithIndex.map { case (c, d) => ("t", d.toLong, c) }: _*)
+    val (_, trd, fc) = got(("t", 59L))
+    assert(math.abs(trd - -15000000L) <= 64, s"trend $trd")
+    assert(math.abs(fc - (2000L - 15L * 60) * 1000000L) <= 64, s"forecast $fc")
+    // and exact BigInt parity still holds on the negative numerators
+    val ref = brownRef(cs)
+    cs.indices.foreach { d =>
+      assert(got(("t", d.toLong)) == ref(d), s"day $d")
+    }
+  }
+
+  test("holt: gap days densify to zero before smoothing — an isolated " +
+    "burst decays exactly as the BigInt reference says") {
+    // burst on day 0, nothing recorded until day 10: the calendar must
+    // insert c = 0 for days 1..9
+    val got = runHolt(("t", 0L, 1024L), ("t", 10L, 0L))
+    val ref = brownRef(1024L +: Seq.fill(10)(0L))
+    (0 to 10).foreach { d =>
+      assert(got(("t", d.toLong)) == ref(d), s"day $d")
+    }
+  }
+
+  private def runAcf(lags: Int, rows: (String, Long, Long)*) =
+    AnalyticsQueries.acfBody(rows.toSeq.toDF("event_type", "x", "c"), lags)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Long]("n"), Option(r.getAs[Any]("r_micro"))
+          .map(_.asInstanceOf[Long]))).toMap
+
+  test("acf: a 7-periodic series reads exactly 1.0 at lag 7 and " +
+    "strictly less at lags 1..6") {
+    val rows = (0 until 70).map(d =>
+      ("t", d.toLong, if (d % 7 == 0) 15L else 10L))
+    val got = runAcf(8, rows: _*)
+    assert(got(("t", 7))._2.contains(1000000L))
+    (1 to 6).foreach { l =>
+      assert(got(("t", l))._2.exists(_ < 1000000L), s"lag $l")
+    }
+    // aligned-pair count: span minus lag
+    assert(got(("t", 7))._1 == 63L)
+  }
+
+  test("acf: a constant series has zero variance — r is NULL, not NaN " +
+    "or a division error") {
+    val got = runAcf(3, (0 until 20).map(d => ("t", d.toLong, 5L)): _*)
+    (1 to 3).foreach(l => assert(got(("t", l))._2.isEmpty, s"lag $l"))
+  }
+
+  private def runAuc(rows: (String, Long, Boolean)*) =
+    AnalyticsQueries.aucBody(rows.toSeq.toDF("event_type", "v", "y"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          Option(r.getAs[Any]("auc_micro")).map(_.asInstanceOf[Long]))).toMap
+
+  test("auc: perfect separation reads 1.0, perfect inversion 0.0, " +
+    "full ties 0.5 — and the worked half-tie example reads 0.625") {
+    val got = runAuc(
+      // g1: pos {10, 11} all above neg {1, 2} → 1.0
+      ("g1", 10L, true), ("g1", 11L, true), ("g1", 1L, false), ("g1", 2L, false),
+      // g2: inverted → 0.0
+      ("g2", 1L, true), ("g2", 2L, true), ("g2", 10L, false), ("g2", 11L, false),
+      // g3: every score identical → exactly 0.5 via the tie term
+      ("g3", 5L, true), ("g3", 5L, true), ("g3", 5L, false), ("g3", 5L, false),
+      // g4: pos {2, 3}, neg {1, 3} → (1 + 0.5 + 1 + 0)/4 = 0.625
+      ("g4", 2L, true), ("g4", 3L, true), ("g4", 1L, false), ("g4", 3L, false))
+    assert(got("g1") == ((2L, 2L, Some(1000000L))))
+    assert(got("g2") == ((2L, 2L, Some(0L))))
+    assert(got("g3") == ((2L, 2L, Some(500000L))))
+    assert(got("g4") == ((2L, 2L, Some(625000L))))
+  }
+
+  test("auc: a single-class group reads NULL, never a division error") {
+    val got = runAuc(("g", 1L, true), ("g", 2L, true))
+    assert(got("g") == ((2L, 0L, None)))
+  }
+
+  private def runCosine(minPairs: Int, topK: Int, rows: (Long, Long)*) =
+    AnalyticsQueries.recCosineBody(
+      rows.toSeq.toDF("o", "it"), minPairs, topK)
+      .collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")) ->
+        (r.getAs[Long]("pair_cnt"), r.getAs[Long]("cosine_micro"),
+          r.getAs[Int]("rnk"))).toMap
+
+  test("cosine: the 3-basket worked example — counts once per basket, " +
+    "cos = c_ij/sqrt(c_i c_j) micro-floored, both directions ranked") {
+    // baskets: {1,2}, {1,2}, {1,3}; item 2 repeated in one basket must
+    // still count ONCE (set semantics)
+    val got = runCosine(1, 5,
+      (10L, 1L), (10L, 2L), (10L, 2L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L))
+    // c1=3, c2=2, c3=1; c12=2 → 2/√6 = 0.81649..., c13=1 → 1/√3 = 0.57735...
+    assert(got((1L, 2L)) == ((2L, 816497L, 1)))
+    assert(got((1L, 3L)) == ((1L, 577350L, 2)))
+    assert(got((2L, 1L)) == ((2L, 816497L, 1)))
+    assert(got((3L, 1L)) == ((1L, 577350L, 1)))
+    // support floor: minPairs = 2 drops the (1,3) pair from BOTH lists
+    val floored = runCosine(2, 5,
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 3L))
+    assert(floored.keySet == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("cosine: top-k truncates each item's list independently") {
+    // item 1 co-occurs with 2, 3, 4 at supports 3, 2, 1
+    val rows = Seq.tabulate(3)(i => Seq((100L + i, 1L), (100L + i, 2L))).flatten ++
+      Seq.tabulate(2)(i => Seq((200L + i, 1L), (200L + i, 3L))).flatten ++
+      Seq((300L, 1L), (300L, 4L))
+    val got = runCosine(1, 2, rows: _*)
+    val ofOne = got.keys.filter(_._1 == 1L).map(_._2).toSet
+    assert(ofOne == Set(2L, 3L)) // rank 3 (item 4) truncated
+    assert(got((1L, 2L))._3 == 1 && got((1L, 3L))._3 == 2)
+  }
+
+  private def runNearest(rows: (Long, Long, Long, Int)*) =
+    AnalyticsQueries.nearestBody(
+      rows.toSeq.toDF("event_id", "user_id", "tsu", "kind"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[Any]("dist_us")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[String]("side")))).toMap
+
+  test("nearest: direction choice, the equidistant tie to prev, the " +
+    "same-instant zero-distance prev, and NULLs when no right row") {
+    val got = runNearest(
+      // user 1: purchases at 100, 300; clicks at 150 (prev, 50),
+      // 250 (next, 50), 200 (tie 100/100 → prev)
+      (1L, 1L, 100L, 0), (2L, 1L, 300L, 0),
+      (3L, 1L, 150L, 1), (4L, 1L, 250L, 1), (5L, 1L, 200L, 1),
+      // user 2: click exactly AT a purchase instant → dist 0, side prev
+      (6L, 2L, 400L, 0), (7L, 2L, 400L, 1),
+      // user 3: click with no purchase anywhere → NULL row retained
+      (8L, 3L, 500L, 1))
+    assert(got(3L) == ((Some(50L), Some("prev"))))
+    assert(got(4L) == ((Some(50L), Some("next"))))
+    assert(got(5L) == ((Some(100L), Some("prev"))))
+    assert(got(7L) == ((Some(0L), Some("prev"))))
+    assert(got(8L) == ((None, None)))
+    // purchases never appear as output rows
+    assert(!got.contains(1L) && !got.contains(6L))
+  }
+
+  private def runWoe(rows: (String, Long, Boolean)*) =
+    AnalyticsQueries.woeIvBody(rows.toSeq.toDF("event_type", "v", "y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("pos"), r.getAs[Long]("neg"),
+          Option(r.getAs[Any]("woe_micro")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("iv_micro")).map(_.asInstanceOf[Long]))).toMap
+
+  test("woe/iv: the worked two-bin example matches independent ln " +
+    "arithmetic, and a single-class bin reads NULL evidence") {
+    // v in [0, 99] → bin = v div 10; bin 0: 1 pos / 3 neg, bin 9:
+    // 3 pos / 1 neg, bin 5: 2 pos ONLY (single-class → NULL)
+    val rows = Seq(
+      ("g", 5L, true), ("g", 6L, false), ("g", 7L, false), ("g", 8L, false),
+      ("g", 95L, true), ("g", 96L, true), ("g", 97L, true), ("g", 99L, false),
+      ("g", 55L, true), ("g", 56L, true))
+    val got = runWoe(rows: _*)
+    val (p, n) = (6.0, 4.0) // totals
+    def woe(pos: Long, neg: Long): Long =
+      math.floor(math.log((pos * n) / (neg * p)) * 1e6 + 0.5).toLong
+    def iv(pos: Long, neg: Long): Long =
+      math.floor((pos / p - neg / n) *
+        math.log((pos * n) / (neg * p)) * 1e6 + 0.5).toLong
+    // bin edges: mn=5, mx=99 → bin = (v-5)·10 div 95: v=5→0, v=99→9,
+    // v=55→5 (50·10 div 95 = 5)
+    assert(got(("g", 0L)) ==
+      ((1L, 3L, Some(woe(1, 3)), Some(iv(1, 3)))))
+    assert(got(("g", 9L)) ==
+      ((3L, 1L, Some(woe(3, 1)), Some(iv(3, 1)))))
+    assert(got(("g", 5L)) == ((2L, 0L, None, None)))
+  }
+
+  private def runIqr(rows: (String, Long)*) =
+    AnalyticsQueries.iqrBody(rows.toSeq.toDF("grp", "v"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("q1_2"), r.getAs[Long]("q3_2"),
+          r.getAs[Long]("lo4"), r.getAs[Long]("hi4"),
+          r.getAs[Long]("n_out_lo"), r.getAs[Long]("n_out_hi"))).toMap
+
+  test("iqr: exact doubled quartiles on 1..8, and a planted extreme " +
+    "value is the only point past the 1.5·IQR fence") {
+    // clean 1..8: q1₂ = x₂+x₃ = 5, q3₂ = x₆+x₇ = 13,
+    // lo4 = 25−39 = −14, hi4 = 65−15 = 50 → nothing outside
+    val clean = runIqr((1L to 8L).map(v => ("g", v)): _*)
+    assert(clean("g") == ((8L, 5L, 13L, -14L, 50L, 0L, 0L)))
+    // with 100 appended (n=9): q1₂ = x₃+x₃ = 6, q3₂ = x₇+x₇ = 14,
+    // lo4 = 30−42 = −12, hi4 = 70−18 = 52 → only 4·100 = 400 > 52
+    val dirty = runIqr(((1L to 8L) :+ 100L).map(v => ("g", v)): _*)
+    assert(dirty("g") == ((9L, 6L, 14L, -12L, 52L, 0L, 1L)))
+  }
+
+  private def runRake(rows: (Long, String)*) =
+    AnalyticsQueries.rakeBody(rows.toSeq.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_phrase"), r.getAs[Long]("score_micro")))
+
+  test("rake: degree/freq scores on the worked 2-doc corpus, ranked " +
+    "by phrase score") {
+    // doc 1: 'the [quick fox] and [lazy dog]'; doc 2: '[quick fox runs]'
+    // freq(quick)=2 degree(quick)=2+3=5 → 2.5; fox likewise 2.5;
+    // runs 3/1 → 3.0; lazy, dog 2/1 → 2.0 each
+    val got = runRake(
+      (1L, "the quick fox and lazy dog"),
+      (2L, "quick fox runs"))
+    assert(got.toSeq == Seq(
+      ("quick fox runs", (1L, 8000000L)),
+      ("quick fox", (1L, 5000000L)),
+      ("lazy dog", (1L, 4000000L))))
+  }
+
+  test("rake: a run longer than the cap is DISCARDED — it produces no " +
+    "phrase and its tokens never pollute the word statistics") {
+    // 'a' is a stopword; the 5-token run exceeds PHRASE_MAX = 4
+    val got = runRake(
+      (1L, "a alpha beta gamma delta epsilon"),
+      (2L, "alpha beta"))
+    // only doc 2's run survives; alpha/beta stats come from it alone
+    // (freq 1, degree 2 → wscore 2.0 each → phrase 4.0)
+    assert(got.toSeq == Seq(("alpha beta", (1L, 4000000L))))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-maintained (type, score, label) histogram + the factored
+  * tie-corrected rank algebra ≡ the oracle-checked batch eval_auc on
+  * the same events — batch-boundary-independently (the TrendMonitor
+  * parity posture for the ranking-eval lane). */
+class AucMonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed AUC readout equals the batch eval_auc query") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.AnalyticsQueries.queries("eval_auc")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r.toSeq).toMap
+    assert(batch.nonEmpty)
+
+    val rows = graft.Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"),
+        (col("user_id") % 2 === 1).as("y"))
+      .as[(String, Long, Boolean)].collect()
+
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(String, Long, Boolean)]
+    val q = AucMonitor.counts(src.toDS())
+      .map { case ((t, v, y), c) => (t, v, y, c) }
+      .toDF("event_type", "v", "y", "cnt")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("auc_stream").start()
+    val counts =
+      try {
+        // three deliberately uneven batches — the state fold must be
+        // batch-boundary-independent
+        val (a, b) = (rows.length / 7, rows.length / 2)
+        src.addData(rows.take(a).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.slice(a, b).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.drop(b).toIndexedSeq); q.processAllAvailable()
+        // update mode: keep the LAST count per (type, v, y)
+        spark.table("auc_stream")
+          .withColumn("seq", monotonically_increasing_id())
+          .as[(String, Long, Boolean, Long, Long)].collect()
+          .groupBy(r => (r._1, r._2, r._3))
+          .map { case ((t, v, y), rs) => (t, v, y, rs.maxBy(_._5)._4) }
+          .toSeq
+      } finally q.stop()
+
+    val streamed = AucMonitor.aucReadout(
+        counts.toDF("event_type", "v", "y", "cnt"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.toSeq).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (t, got) =>
+      assert(got == batch(t), s"type $t: stream $got vs batch ${batch(t)}")
+    }
+  }
+}

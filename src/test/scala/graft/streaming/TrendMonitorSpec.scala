@@ -140,5 +140,32 @@ class TrendMonitorSpec extends AnyFunSuite {
     xcStreamed.foreach { case (k, got) =>
       assert(got == xcBatch(k), s"$k: stream $got vs batch ${xcBatch(k)}")
     }
+
+    // and the EIGHTH readout — the predictive one: Brown double-
+    // exponential level/trend/forecast ≡ the oracle-checked batch
+    // events_holt — per (type, day) rows including densified gap days
+    val holtBatch = graft.queries.AnalyticsQueries
+      .queries("events_holt")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+    val holtStreamed = TrendMonitor
+      .holtReadout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(holtStreamed.keySet == holtBatch.keySet && holtBatch.nonEmpty)
+    holtStreamed.foreach { case (k, got) =>
+      assert(got == holtBatch(k), s"$k: stream $got vs batch ${holtBatch(k)}")
+    }
+
+    // and the NINTH — the periodicity diagnostic: within-series
+    // autocorrelation ≡ the oracle-checked batch events_acf
+    val acfBatch = graft.queries.AnalyticsQueries
+      .queries("events_acf")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.toSeq).toMap
+    val acfStreamed = TrendMonitor
+      .acfReadout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.toSeq).toMap
+    assert(acfStreamed.keySet == acfBatch.keySet && acfBatch.nonEmpty)
+    acfStreamed.foreach { case (k, got) =>
+      assert(got == acfBatch(k), s"$k: stream $got vs batch ${acfBatch(k)}")
+    }
   }
 }
