@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.jaroWinklerFn)
     e.injectFunction(GraftExtensions.asOfMarkerFn)
     e.injectFunction(GraftExtensions.asOfStrictMarkerFn)
+    e.injectFunction(GraftExtensions.asOfNearestMarkerFn)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinGuard)
     e.injectParser((session, delegate) => new graft.plans.AsOfSqlParser(session, delegate))
     e.injectResolutionRule(session => graft.plans.ResolveAsOfJoin(session))
@@ -110,6 +111,18 @@ object GraftExtensions {
       case es if es.length >= 2 => graft.plans.AsOfMatch(es)
       case other => throw new IllegalArgumentException(
         s"${graft.plans.AsOfSqlParser.MarkerFn} expects >= 2 args, got ${other.length}")
+    })
+
+  /** NEAREST variant — the closest right row in EITHER direction,
+    * equidistant ties to the earlier (prev) side. */
+  val asOfNearestMarkerFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(graft.plans.AsOfSqlParser.NearestMarkerFn),
+    new ExpressionInfo(classOf[graft.plans.AsOfMatch].getName,
+      graft.plans.AsOfSqlParser.NearestMarkerFn),
+    (exprs: Seq[Expression]) => exprs match {
+      case es if es.length >= 2 => graft.plans.AsOfMatch(es, nearest = true)
+      case other => throw new IllegalArgumentException(
+        s"${graft.plans.AsOfSqlParser.NearestMarkerFn} expects >= 2 args, got ${other.length}")
     })
 
   /** Strict (`>`/`<`) variant — equal timestamps do not match. */

@@ -77,6 +77,7 @@ object AsOfSqlParser {
 
   val MarkerFn = "__graft_asof"
   val StrictMarkerFn = "__graft_asof_strict"
+  val NearestMarkerFn = "__graft_asof_nearest"
 
   /** `sql` with every non-literal, non-comment character preserved and
     * the contents of '…'/"…"/`…` literals and comments blanked — the
@@ -222,16 +223,43 @@ object AsOfSqlParser {
     val (primMasked, prim) = stripOuterParens(parts.head._1, parts.head._2)
     val geIdx = primMasked.indexOf(">=")
     val leIdx = primMasked.indexOf("<=")
+    // NEAREST(a, b) = the bidirectional variant: closest right row in
+    // either direction, equidistant ties to the earlier side
+    val nearestM = """(?i)^\s*NEAREST\s*\(""".r.findFirstMatchIn(primMasked)
     // >=/<= checked first (a bare '>' search would also hit '>=');
     // bare >/< are the STRICT forms (exclude equal timestamps)
-    val (greater, lesser, strict) =
-      if (geIdx >= 0) (prim.substring(0, geIdx), prim.substring(geIdx + 2), false)
-      else if (leIdx >= 0) (prim.substring(leIdx + 2), prim.substring(0, leIdx), false)
+    val (greater, lesser, strict, nearestFlag) =
+      if (nearestM.nonEmpty) {
+        // balanced-paren extraction + top-level comma split, on the mask
+        val open = nearestM.get.end - 1
+        var d2 = 1
+        var j = open + 1
+        var commaAt = -1
+        while (j < primMasked.length && d2 > 0) {
+          primMasked(j) match {
+            case '(' => d2 += 1
+            case ')' => d2 -= 1
+            case ',' if d2 == 1 && commaAt < 0 => commaAt = j
+            case _ =>
+          }
+          j += 1
+        }
+        val close = j - 1
+        if (d2 != 0 || commaAt < 0) return None
+        // trailing text after NEAREST(...) would be silently dropped —
+        // bail to the delegate's native error instead
+        if (primMasked.substring(close + 1).trim.nonEmpty) return None
+        (prim.substring(open + 1, commaAt), prim.substring(commaAt + 1, close),
+          false, true)
+      } else if (geIdx >= 0)
+        (prim.substring(0, geIdx), prim.substring(geIdx + 2), false, false)
+      else if (leIdx >= 0)
+        (prim.substring(leIdx + 2), prim.substring(0, leIdx), false, false)
       else {
         val gIdx = primMasked.indexOf('>')
         val lIdx = primMasked.indexOf('<')
-        if (gIdx >= 0) (prim.substring(0, gIdx), prim.substring(gIdx + 1), true)
-        else if (lIdx >= 0) (prim.substring(lIdx + 1), prim.substring(0, lIdx), true)
+        if (gIdx >= 0) (prim.substring(0, gIdx), prim.substring(gIdx + 1), true, false)
+        else if (lIdx >= 0) (prim.substring(lIdx + 1), prim.substring(0, lIdx), true, false)
         else return None
       }
     val bounds = parts.tail.map(_._2.trim)
@@ -245,7 +273,10 @@ object AsOfSqlParser {
     if (intervening.nonEmpty) return None
     val onEnd = parenClose + 1 + onM.end
     val markerArgs = (Seq(greater.trim, lesser.trim) ++ bounds).mkString(", ")
-    val fn = if (strict) StrictMarkerFn else MarkerFn
+    val fn =
+      if (nearestFlag) NearestMarkerFn
+      else if (strict) StrictMarkerFn
+      else MarkerFn
     val marker = s" $fn($markerArgs) AND"
     val out = new StringBuilder
     out ++= sql.substring(0, asofStart)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.Last
+import org.apache.spark.sql.catalyst.expressions.aggregate.{First, Last}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructField, StructTyp
   * match, keep the left row), unlike extra ON conjuncts which filter
   * rows. Unevaluable — if a marked join ever escapes the rule,
   * execution fails loudly instead of silently mis-joining. */
-case class AsOfMatch(children: Seq[Expression], strict: Boolean = false)
+case class AsOfMatch(children: Seq[Expression], strict: Boolean = false,
+    nearest: Boolean = false)
   extends Expression with Unevaluable {
   def greater: Expression = children(0)
   def lesser: Expression = children(1)
@@ -25,8 +26,9 @@ case class AsOfMatch(children: Seq[Expression], strict: Boolean = false)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def sql: String =
-    (s"${greater.sql} ${if (strict) ">" else ">="} ${lesser.sql}" +: bounds.map(_.sql))
-      .mkString(" AND ")
+    ((if (nearest) s"NEAREST(${greater.sql}, ${lesser.sql})"
+    else s"${greater.sql} ${if (strict) ">" else ">="} ${lesser.sql}") +:
+      bounds.map(_.sql)).mkString(" AND ")
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
@@ -113,6 +115,9 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       if (probeTs.dataType == buildTs.dataType) (probeTs, buildTs)
       else (Cast(probeTs, TimestampType, tz), Cast(buildTs, TimestampType, tz))
 
+    if (marker.nearest)
+      return expandNearest(left, right, marker, keys, probeOrd, buildOrd, inner)
+
     // union schema: [left cols][__rval struct][keys][__ts][__side]
     val rvalType = StructType(right.output.map(a => StructField(a.name, a.dataType, a.nullable)))
     val leftTagged = Project(
@@ -195,6 +200,118 @@ case class ResolveAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       kept.output.take(nL).map(a => a: NamedExpression) ++
         right.output.zipWithIndex.map { case (a, j) =>
           Alias(GetStructField(asofAttr, j, Some(a.name)), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        },
+      kept)
+  }
+
+  /** NEAREST expansion: the same one-shuffle union, then ONE window
+    * sort serving BOTH direction probes as two frames over the same
+    * (ts, side) order — prev = running Last(ignoreNulls) over
+    * [unbounded, current] (a right row at the SAME instant sorts
+    * before the probe via side, so an exact-ts match reads as the
+    * dist-0 prev), next = First(ignoreNulls) over [current, unbounded]
+    * (same-instant rights sit BEFORE the frame and are excluded —
+    * exactly the batch `j_asof_nearest` lowering). The matched right
+    * row travels as a struct carrying its order value in a hidden
+    * trailing `__nts` field, so the distance compare works for
+    * arbitrary right-side ORDER expressions; equidistant ties take
+    * prev. */
+  private def expandNearest(
+      left: LogicalPlan, right: LogicalPlan, marker: AsOfMatch,
+      keys: Seq[(Expression, Expression)], probeOrd: Expression,
+      buildOrd: Expression, inner: Boolean): LogicalPlan = {
+    val nR = right.output.size
+    val rvalType = StructType(
+      right.output.map(a => StructField(a.name, a.dataType, a.nullable)) :+
+        StructField("__nts", buildOrd.dataType, nullable = true))
+    val leftTagged = Project(
+      left.output ++
+        Seq(Alias(Literal(null, rvalType), "__rval")()) ++
+        keys.zipWithIndex.map { case ((lk, _), i) => Alias(lk, s"__gk$i")() } ++
+        Seq(Alias(probeOrd, "__ts")(), Alias(Literal(1), "__side")()),
+      left)
+    // null keys / null order values match nothing (see the as-of
+    // expansion's filter rationale)
+    val rightNonNull = (keys.map(k => IsNotNull(k._2): Expression) :+ IsNotNull(buildOrd))
+      .reduce(And) match { case f => Filter(f, right) }
+    val rightTagged = Project(
+      left.output.map(a => Alias(Literal(null, a.dataType), a.name)()) ++
+        Seq(Alias(CreateStruct(right.output :+ Alias(buildOrd, "__nts")()), "__rval")()) ++
+        keys.zipWithIndex.map { case ((_, rk), i) => Alias(rk, s"__gk$i")() } ++
+        Seq(Alias(buildOrd, "__ts")(), Alias(Literal(0), "__side")()),
+      rightNonNull)
+    val union = Union(Seq(leftTagged, rightTagged))
+
+    val nL = left.output.size
+    val out = union.output
+    val rvalAttr = out(nL)
+    val gkAttrs: Seq[Expression] = (0 until keys.size).map(i => out(nL + 1 + i))
+    val tsAttr = out(nL + 1 + keys.size)
+    val sideAttr = out(nL + 2 + keys.size)
+
+    // ONE order serves both probes: right (side 0) before left at
+    // equal ts, so same-instant rights land in the prev frame and out
+    // of the next frame
+    val orderSpec = Seq(SortOrder(tsAttr, Ascending), SortOrder(sideAttr, Ascending))
+    val prevFrame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val nextFrame = SpecifiedWindowFrame(RowFrame, CurrentRow, UnboundedFollowing)
+    val prevAlias = Alias(
+      WindowExpression(Last(rvalAttr, ignoreNulls = true).toAggregateExpression(),
+        WindowSpecDefinition(gkAttrs, orderSpec, prevFrame)),
+      "__prev")()
+    val nextAlias = Alias(
+      WindowExpression(First(rvalAttr, ignoreNulls = true).toAggregateExpression(),
+        WindowSpecDefinition(gkAttrs, orderSpec, nextFrame)),
+      "__next")()
+    val win = Window(Seq(prevAlias, nextAlias), gkAttrs, orderSpec, union, None)
+    val probesOnly = Filter(EqualTo(sideAttr, Literal(1)), win)
+    val prevAttr = prevAlias.toAttribute
+    val nextAttr = nextAlias.toAttribute
+
+    // distances compare in micros for timestamps, natively otherwise
+    def num(e: Expression): Expression =
+      if (e.dataType == TimestampType) UnixMicros(e) else e
+    def nts(s: Expression): Expression = GetStructField(s, nR, Some("__nts"))
+    val pNum = num(tsAttr)
+    val chosen = Alias(
+      CaseWhen(Seq(
+        (IsNull(prevAttr), nextAttr),
+        (IsNull(nextAttr), prevAttr),
+        (LessThanOrEqual(
+          Subtract(pNum, num(nts(prevAttr))),
+          Subtract(num(nts(nextAttr)), pNum)), prevAttr)),
+        nextAttr),
+      "__near")()
+    val withChosen = Project(probesOnly.output :+ chosen, probesOnly)
+    val chosenAttr0 = chosen.toAttribute
+
+    // tolerance bounds evaluate against the CHOSEN row (field order of
+    // the packed struct matches right.output, so the as-of index map
+    // applies unchanged)
+    val rightIdx = right.output.zipWithIndex.map { case (a, j) => a.exprId -> (j, a.name) }.toMap
+    val (matchSrc, chosenAttr) =
+      if (marker.bounds.isEmpty) (withChosen: LogicalPlan, chosenAttr0)
+      else {
+        val cond = marker.bounds.map(_.transform {
+          case a: AttributeReference if rightIdx.contains(a.exprId) =>
+            val (j, nm) = rightIdx(a.exprId)
+            GetStructField(chosenAttr0, j, Some(nm))
+        }).reduce[Expression](And)
+        val guard = Alias(
+          If(And(IsNotNull(chosenAttr0), cond), chosenAttr0,
+            Literal(null, chosenAttr0.dataType)),
+          "__nearg")()
+        (Project(withChosen.output :+ guard, withChosen): LogicalPlan, guard.toAttribute)
+      }
+
+    val kept: LogicalPlan =
+      if (inner) Filter(IsNotNull(chosenAttr), matchSrc) else matchSrc
+
+    Project(
+      kept.output.take(nL).map(a => a: NamedExpression) ++
+        right.output.zipWithIndex.map { case (a, j) =>
+          Alias(GetStructField(chosenAttr, j, Some(a.name)), a.name)(
             exprId = a.exprId, qualifier = a.qualifier)
         },
       kept)

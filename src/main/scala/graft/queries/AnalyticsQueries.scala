@@ -123,6 +123,41 @@ object AnalyticsQueries {
       nearestBody(ev)
     }),
 
+    // The NEAREST join through the SQL surface: `ASOF JOIN ...
+    // MATCH_CONDITION (NEAREST(l.ts, r.ts)) ON ...` parses via the
+    // injected AsOfSqlParser and lowers through ResolveAsOfJoin onto
+    // the SAME one-exchange two-frame window plan as j_asof_nearest —
+    // proven by sharing that query's oracle verbatim. The SQL form
+    // additionally exposes the WHOLE matched right row (here we
+    // project back to the catalog shape).
+    "j1_nearest_sql" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("graft_nearest_clicks")
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+        .createOrReplaceTempView("graft_nearest_purchases")
+      s.sql("""SELECT l.event_id, l.user_id, l.ts,
+              |r.ts AS nearest_purchase_ts,
+              |CASE WHEN r.ts IS NULL THEN NULL
+              |ELSE abs(unix_micros(l.ts) - unix_micros(r.ts)) END AS dist_us,
+              |CASE WHEN r.ts IS NULL THEN NULL
+              |WHEN r.ts <= l.ts THEN 'prev' ELSE 'next' END AS side
+              |FROM graft_nearest_clicks l
+              |ASOF JOIN graft_nearest_purchases r
+              |MATCH_CONDITION (NEAREST(l.ts, r.ts))
+              |ON l.user_id = r.user_id""".stripMargin)
+    }),
+
+    // Forecast backtest: yesterday's Holt one-step forecast against
+    // today's actual, per type — the eval that closes the forecasting
+    // loop (events_holt predicts; this measures). MAE in exact micro
+    // off the same pinned daily table; one lag window over the
+    // control-plane smoothed series. See forecastEvalBody.
+    "events_forecast_eval" -> ((s, dir) =>
+      forecastEvalBody(dailyCounts(s, dir))),
+
     // Weight-of-evidence / information-value per equal-width score bin
     // (Siddiqi 2006, the credit-scoring companion of eval_auc): WOE =
     // ln(pos-share/neg-share) per bin, IV contribution = (pos-share −
@@ -163,7 +198,32 @@ object AnalyticsQueries {
     // language-ID family read the same lexicon. See rakeBody.
     "text_rake_keyterms" -> ((s, dir) =>
       rakeBody(Tables.documents(s, dir)
-        .select(col("doc_id"), col("text")))))
+        .select(col("doc_id"), col("text")))),
+
+    // 2-D Pareto skyline (Börzsönyi et al. ICDE'01) over the
+    // (length, lexical-diversity) plane — the multi-objective
+    // selection primitive a curation mixer uses where a weighted
+    // score would bake in an arbitrary trade-off: a document cell
+    // survives iff no other cell is ≥ in BOTH coordinates (and > in
+    // one). In 2-D the skyline lowers to ONE running-max window over
+    // the bounded cell table — never the O(n²) dominance join the
+    // general operator suggests. See skylineBody.
+    "curate_pareto_skyline" -> ((s, dir) =>
+      skylineBody(Tables.documents(s, dir)
+        .select(col("n_chars").as("x"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("y")))),
+
+    // Functional-dependency audit (the schema-contract twin of
+    // qa_referential): does l_partkey determine l_suppkey? Per LHS
+    // key: distinct-RHS count, the majority RHS under a total
+    // (count, key) tiebreak, and the violation mass (rows off the
+    // majority) — the profile a warehouse runs before declaring a
+    // column derivable. TPC-H seeds ~4 suppliers per part, so the
+    // violations are real, not vacuous. See fdBody.
+    "qa_fd_violations" -> ((s, dir) =>
+      fdBody(Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("a"), col("l_suppkey").as("b")))))
 
   /** Brown double-exponential smoothing over a (event_type, x = epoch
     * day, c = daily count) table — one algebra, two ingestion modes
@@ -319,7 +379,6 @@ object AnalyticsQueries {
     * representational). */
   private[graft] def recCosineBody(
       items: DataFrame, minPairs: Int, topK: Int): DataFrame = {
-    val dec = DecimalType(38, 0)
     val baskets = items.groupBy(col("o"))
       .agg(sort_array(collect_set(col("it"))).as("bs"))
       .localCheckpoint(eager = true) // feeds pairs + item counts
@@ -334,7 +393,22 @@ object AnalyticsQueries {
           y => struct(x.as("ia"), y.as("ib")))))).as("p"))
       .groupBy(col("p.ia"), col("p.ib"))
       .agg(count(lit(1)).as("pair_cnt"))
-      .where(col("pair_cnt") >= minPairs)
+    cosineFrom(pairs, itemCnt, minPairs, topK)
+  }
+
+  /** The cosine/top-k algebra over already-aggregated counts —
+    * factored so the streaming
+    * [[graft.streaming.BasketMonitor.cosineReadout]] reads IDENTICAL
+    * neighbor lists off its state-store snapshot (one algebra, two
+    * ingestion modes — the rulesFrom posture; item keys are generic:
+    * Long in the batch catalog, String in the monitor).
+    * `pairCnt` = (ia, ib, pair_cnt) canonical pairs, `itemCnt` =
+    * (it, cnt) basket-membership counts. */
+  private[graft] def cosineFrom(
+      pairCnt: DataFrame, itemCnt: DataFrame,
+      minPairs: Int, topK: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val pairs = pairCnt.where(col("pair_cnt") >= minPairs)
     val scored = pairs
       .join(broadcast(itemCnt.select(col("it").as("ia"), col("cnt").as("cnt_a"))), "ia")
       .join(broadcast(itemCnt.select(col("it").as("ib"), col("cnt").as("cnt_b"))), "ib")
@@ -397,6 +471,34 @@ object AnalyticsQueries {
         when(col("nearest_p").isNull, lit(null).cast("string"))
           .when(col("nearest_p") === col("prev_p"), lit("prev"))
           .otherwise(lit("next")).as("side"))
+  }
+
+  /** Forecast backtest over a (event_type, x, c) daily table — see the
+    * events_forecast_eval entry. Scores days 2.. of each series (the
+    * first day has no prior forecast); err = |forecast_micro(t−1) −
+    * c(t)·10⁶| is exact, MAE = Σerr div n, and MAPE-like share =
+    * Σerr·10⁶ div Σ(c·10⁶) guards the zero-actual day the textbook
+    * MAPE divides by. */
+  private[graft] def forecastEvalBody(daily: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    AnalyticsQueries.holtBody(daily)
+      .withColumn("fc_prev", lag(col("forecast_micro"), 1).over(wOrd))
+      .where(col("fc_prev").isNotNull)
+      .select(col("event_type"),
+        abs(col("fc_prev") - col("c") * lit(1000000L)).as("err"),
+        col("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("err").cast(dec)).as("sum_err"),
+        sum(col("c")).as("sum_c"))
+      .select(col("event_type"), col("n_days"),
+        expr("CAST((sum_err) div n_days AS BIGINT)").as("mae_micro"),
+        // share = Σerr/(Σc·10⁶); ×10⁶ for micro cancels to Σerr div Σc
+        when(col("sum_c") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(sum_err div CAST(sum_c AS DECIMAL(38,0)) AS BIGINT)"))
+          .as("err_share_micro"))
   }
 
   /** WOE/IV per equal-width bin over a (event_type, v = integer score,
@@ -538,6 +640,56 @@ object AnalyticsQueries {
       .limit(RAKE_TOPN)
   }
 
+  /** 2-D Pareto skyline over a (x, y) point frame — see the
+    * curate_pareto_skyline entry. Lowering: ONE corpus shuffle into
+    * the bounded (x, y) cell table; per x only the max-y cell can
+    * survive (a same-x lower-y cell is dominated by it), then a
+    * single running-max window over x-descending candidates keeps a
+    * cell iff its y strictly exceeds every y seen at greater x —
+    * exactly the dominance test, because after the per-x reduction
+    * all remaining comparisons have strictly different x. The final
+    * window runs unpartitioned BY DESIGN: its input is one row per
+    * distinct x — bounded by the x DOMAIN (a length histogram), not
+    * the corpus (the a_median boundedness argument). */
+  private[graft] def skylineBody(pts: DataFrame): DataFrame = {
+    val cell = pts.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_docs"))
+    val wX = Window.partitionBy(col("x"))
+    val cand = cell
+      .withColumn("ymax", max(col("y")).over(wX))
+      .where(col("y") === col("ymax"))
+      .drop("ymax")
+    val wDesc = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand
+      .withColumn("prev", max(col("y")).over(wDesc))
+      .where(col("prev").isNull || col("y") > col("prev"))
+      .select(col("x").as("n_chars"), col("y").as("n_distinct_words"),
+        col("n_docs"))
+  }
+
+  /** Functional-dependency audit over an (a, b) frame — see the
+    * qa_fd_violations entry. ONE corpus shuffle into the (a, b) cell
+    * table; the majority rank window partitions by a over that cell
+    * table (rows per partition = distinct b per a — the FD's own
+    * violation width, never the corpus); output is O(distinct a).
+    * The majority tiebreak is total — (cnt desc, b asc) — so the
+    * audit is deterministic under equal counts. */
+  private[graft] def fdBody(df: DataFrame): DataFrame = {
+    val cell = df.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+    val wRank = Window.partitionBy(col("a"))
+      .orderBy(col("cnt").desc, col("b"))
+    cell
+      .withColumn("rn", row_number().over(wRank))
+      .groupBy(col("a"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_distinct"),
+        max(when(col("rn") === 1, col("b"))).as("majority_b"),
+        max(when(col("rn") === 1, col("cnt"))).as("majority_cnt"))
+      .select(col("a"), col("n_rows"), col("n_distinct"),
+        col("majority_b"), col("majority_cnt"),
+        (col("n_rows") - col("majority_cnt")).as("viol_rows"),
+        (col("n_distinct") === 1).as("fd_holds"))
+  }
+
   private def oDaily: String =
     s"""(SELECT event_type,
        |CAST(date_diff('day', DATE '1970-01-01',
@@ -545,16 +697,44 @@ object AnalyticsQueries {
        |CAST(COUNT(*) AS BIGINT) AS c
        |FROM $oEvents GROUP BY 1, 2)""".stripMargin
 
-  def oracles: Map[String, String] = Map(
+  /** The nearest-join oracle SQL — shared verbatim by j_asof_nearest
+    * (the DataFrame catalog query) and j1_nearest_sql (the SQL
+    * surface): one oracle, two entry points, so a hash match on both
+    * proves the parser + resolver lower onto the identical plan. */
+  private def oNearestSql: String =
+    s"""WITH m AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+       |CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+       |CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pts
+       |FROM $oEvents WHERE event_type IN ('click', 'purchase')),
+       |w AS (SELECT *,
+       |last_value(pts IGNORE NULLS) OVER (PARTITION BY user_id
+       |ORDER BY tsu, kind, event_id
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+       |first_value(pts IGNORE NULLS) OVER (PARTITION BY user_id
+       |ORDER BY tsu, kind, event_id
+       |ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+       |FROM m),
+       |c AS (SELECT *, CASE WHEN prev_p IS NULL THEN next_p
+       |WHEN next_p IS NULL THEN prev_p
+       |WHEN tsu - prev_p <= next_p - tsu THEN prev_p
+       |ELSE next_p END AS nearest_p
+       |FROM w WHERE kind = 1)
+       |SELECT event_id, user_id, make_timestamp(tsu) AS ts,
+       |make_timestamp(nearest_p) AS nearest_purchase_ts,
+       |CASE WHEN nearest_p IS NULL THEN NULL
+       |ELSE abs(tsu - nearest_p) END AS dist_us,
+       |CASE WHEN nearest_p IS NULL THEN NULL
+       |WHEN nearest_p = prev_p THEN 'prev' ELSE 'next' END AS side
+       |FROM c""".stripMargin
 
-    // same densified calendar, same integer shift-weight convolutions
-    // HUGEINT-first, same re-signed positive-only micro divisions
-    "events_holt" -> {
-      val w = EventsQueries.EWMA_W
-      val denom = 1L << (w + 2)
-      def sMicro(n: String) =
-        s"CAST((CASE WHEN $n < 0 THEN -1 ELSE 1 END) * ((abs($n) * 1000000) // $denom) AS BIGINT)"
-      s"""WITH daily AS (SELECT * FROM $oDaily),
+  /** The Holt oracle SQL, shared by events_holt and the
+    * events_forecast_eval backtest built on top of it. */
+  private def oHoltSql: String = {
+    val w = EventsQueries.EWMA_W
+    val denom = 1L << (w + 2)
+    def sMicro(n: String) =
+      s"CAST((CASE WHEN $n < 0 THEN -1 ELSE 1 END) * ((abs($n) * 1000000) // $denom) AS BIGINT)"
+    s"""WITH daily AS (SELECT * FROM $oDaily),
          |span AS (SELECT event_type, MIN(x) AS x0, MAX(x) AS x1
          |FROM daily GROUP BY 1),
          |cal AS (SELECT u.event_type, u.x1, CAST(u.x AS BIGINT) AS x,
@@ -578,7 +758,28 @@ object AnalyticsQueries {
          |${sMicro("trd")} AS trend_micro,
          |${sMicro("fc")} AS forecast_micro
          |FROM m""".stripMargin
-    },
+  }
+
+  def oracles: Map[String, String] = Map(
+
+    // same densified calendar, same integer shift-weight convolutions
+    // HUGEINT-first, same re-signed positive-only micro divisions
+    "events_holt" -> oHoltSql,
+
+    // the Holt oracle's forecast lagged one day against the actual —
+    // same exact err integers, same Σerr div n / Σerr div Σc readouts
+    "events_forecast_eval" ->
+      s"""WITH h AS ($oHoltSql),
+         |f AS (SELECT event_type, x, c,
+         |lag(forecast_micro) OVER (PARTITION BY event_type ORDER BY x)
+         |  AS fc_prev FROM h)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |CAST(SUM(CAST(abs(fc_prev - c * 1000000) AS HUGEINT))
+         |  // COUNT(*) AS BIGINT) AS mae_micro,
+         |CASE WHEN SUM(c) = 0 THEN NULL
+         |ELSE CAST(SUM(CAST(abs(fc_prev - c * 1000000) AS HUGEINT))
+         |  // CAST(SUM(c) AS HUGEINT) AS BIGINT) END AS err_share_micro
+         |FROM f WHERE fc_prev IS NOT NULL GROUP BY 1""".stripMargin,
 
     // same calendar, same aligned-pair lag join, same DECIMAL-exact
     // sufficient statistics, same ONE fixed-order micro-floored r
@@ -664,31 +865,11 @@ object AnalyticsQueries {
     // same merged-stream sort, same two window probes (a same-instant
     // purchase sorts before the click via kind, landing in the prev
     // frame and out of the next frame), same tie-to-prev rule
-    "j_asof_nearest" ->
-      s"""WITH m AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
-         |CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
-         |CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pts
-         |FROM $oEvents WHERE event_type IN ('click', 'purchase')),
-         |w AS (SELECT *,
-         |last_value(pts IGNORE NULLS) OVER (PARTITION BY user_id
-         |ORDER BY tsu, kind, event_id
-         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
-         |first_value(pts IGNORE NULLS) OVER (PARTITION BY user_id
-         |ORDER BY tsu, kind, event_id
-         |ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
-         |FROM m),
-         |c AS (SELECT *, CASE WHEN prev_p IS NULL THEN next_p
-         |WHEN next_p IS NULL THEN prev_p
-         |WHEN tsu - prev_p <= next_p - tsu THEN prev_p
-         |ELSE next_p END AS nearest_p
-         |FROM w WHERE kind = 1)
-         |SELECT event_id, user_id, make_timestamp(tsu) AS ts,
-         |make_timestamp(nearest_p) AS nearest_purchase_ts,
-         |CASE WHEN nearest_p IS NULL THEN NULL
-         |ELSE abs(tsu - nearest_p) END AS dist_us,
-         |CASE WHEN nearest_p IS NULL THEN NULL
-         |WHEN nearest_p = prev_p THEN 'prev' ELSE 'next' END AS side
-         |FROM c""".stripMargin,
+    "j_asof_nearest" -> oNearestSql,
+
+    // the SQL surface lowers onto the SAME plan — the identical oracle
+    // is the proof (parser + resolver verified end-to-end by the hash)
+    "j1_nearest_sql" -> oNearestSql,
 
     // same broadcast extremes, same exact-integer bin rule, same
     // HUGEINT-first density ratio, same fixed-order ln micro floors
@@ -776,5 +957,37 @@ object AnalyticsQueries {
          |MAX(score_micro) AS score_micro
          |FROM ph GROUP BY 1
          |ORDER BY score_micro DESC, phrase LIMIT $RAKE_TOPN""".stripMargin
-    })
+    },
+
+    // same bounded cell table, same per-x max-y reduction, same single
+    // running-max dominance window
+    "curate_pareto_skyline" ->
+      """WITH p AS (SELECT n_chars AS x,
+        |CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+        |FROM documents),
+        |c AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM p GROUP BY 1, 2),
+        |mx AS (SELECT x, y, n_docs FROM
+        |(SELECT c.*, MAX(y) OVER (PARTITION BY x) AS ymax FROM c)
+        |WHERE y = ymax),
+        |s AS (SELECT x, y, n_docs, MAX(y) OVER (ORDER BY x DESC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev FROM mx)
+        |SELECT x AS n_chars, y AS n_distinct_words, n_docs
+        |FROM s WHERE prev IS NULL OR y > prev""".stripMargin,
+
+    // same cell aggregation, same total (cnt desc, b) majority
+    // tiebreak, same violation arithmetic
+    "qa_fd_violations" ->
+      """WITH c AS (SELECT l_partkey AS a, l_suppkey AS b,
+        |CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY a
+        |ORDER BY cnt DESC, b) AS rn FROM c)
+        |SELECT a, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |MAX(CASE WHEN rn = 1 THEN b END) AS majority_b,
+        |MAX(CASE WHEN rn = 1 THEN cnt END) AS majority_cnt,
+        |CAST(SUM(cnt) AS BIGINT) - MAX(CASE WHEN rn = 1 THEN cnt END)
+        |  AS viol_rows,
+        |COUNT(*) = 1 AS fd_holds
+        |FROM r GROUP BY 1""".stripMargin)
 }

@@ -65,4 +65,20 @@ object BasketMonitor {
       .select(col("cnt").as("n_baskets"))
     graft.queries.MiningQueries.rulesFrom(pairs, items, nb, minPairs)
   }
+
+  /** The SECOND readout off the same state table: item–item cosine
+    * neighbor lists — the factored rec_item_cosine algebra
+    * ([[graft.queries.AnalyticsQueries.cosineFrom]]) over the
+    * IDENTICAL pair/item counters the rule readout reads, so the live
+    * "similar items" surface and the oracle-checked batch
+    * rec_item_cosine can never disagree on the same baskets
+    * (BasketMonitorSpec pins row-parity via order-stable item keys). */
+  def cosineReadout(snapshot: DataFrame, minPairs: Int, topK: Int): DataFrame = {
+    val pairs = snapshot.where(col("kind") === "p")
+      .select(col("ka").as("ia"), col("kb").as("ib"),
+        col("cnt").as("pair_cnt"))
+    val items = snapshot.where(col("kind") === "i")
+      .select(col("ka").as("it"), col("cnt"))
+    graft.queries.AnalyticsQueries.cosineFrom(pairs, items, minPairs, topK)
+  }
 }

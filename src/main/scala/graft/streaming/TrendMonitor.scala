@@ -119,4 +119,14 @@ object TrendMonitor {
   def acfReadout(counts: DataFrame, lags: Int = 10): DataFrame =
     graft.queries.AnalyticsQueries.acfBody(
       counts.select(col("event_type"), col("x"), col("c")), lags)
+
+  /** The forecast-backtest readout over the same streamed daily-count
+    * snapshot — the factored events_forecast_eval algebra
+    * ([[graft.queries.AnalyticsQueries.forecastEvalBody]]): the TENTH
+    * readout, and the one that scores the eighth — a live MAE board
+    * for the Holt forecast, identical to the oracle-checked batch
+    * backtest on the same events. */
+  def forecastEvalReadout(counts: DataFrame): DataFrame =
+    graft.queries.AnalyticsQueries.forecastEvalBody(
+      counts.select(col("event_type"), col("x"), col("c")))
 }

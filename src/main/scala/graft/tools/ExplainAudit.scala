@@ -1120,6 +1120,41 @@ object ExplainAudit {
         p.contains("In(event_type, [click,purchase])")
     }
 
+    audit("j1_nearest_sql",
+      "the SQL NEAREST surface lowers onto the identical merged-stream " +
+        "plan: two pushed-filter scans (one per view), one Union, ONE " +
+        "exchange on the key, ONE Window node serving both direction " +
+        "frames, no join operator — and the null-key/null-ts guards " +
+        "push into the right-side scan") { p =>
+      count(p, "Scan parquet") == 2 && count(p, "Exchange") == 1 &&
+        count(p, "Window") == 1 && !p.contains("Join") &&
+        p.contains("EqualTo(event_type,purchase)")
+    }
+    audit("events_forecast_eval",
+      "the backtest reruns the Holt convolutions on the PINNED " +
+        "calendar (zero parquet scans) and adds one lag window + one " +
+        "per-type aggregation — control-plane all the way") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("CartesianProduct") &&
+        count(p, "Window") >= 1
+    }
+    audit("curate_pareto_skyline",
+      "ONE corpus scan into the bounded (x, y) cell table; the per-x " +
+        "reduction windows on x; the dominance pass is ONE running-max " +
+        "window whose SinglePartition input is one row per distinct x " +
+        "— domain-bounded by design, never corpus-sized; no join, no " +
+        "O(n²) dominance product") { p =>
+      count(p, "Scan parquet") == 1 && count(p, "Window") == 2 &&
+        !p.contains("Join") &&
+        "SinglePartition".r.findAllIn(p).length == 1
+    }
+    audit("qa_fd_violations",
+      "ONE corpus scan into the (a, b) cell table; the majority rank " +
+        "window partitions by a and the final per-a aggregation REUSES " +
+        "its exchange (two exchanges total); no join anywhere") { p =>
+      count(p, "Scan parquet") == 1 && count(p, "Exchange") == 2 &&
+        count(p, "Window") == 1 && !p.contains("Join")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

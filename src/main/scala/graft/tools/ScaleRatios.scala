@@ -196,7 +196,13 @@ object ScaleRatios {
       "j_asof_nearest",
       // r13 analytics batch 2: WOE/IV bins (events), Tukey IQR fences
       // (orders histogram), RAKE keyphrases (documents)
-      "eval_woe_iv", "qa_outlier_iqr", "text_rake_keyterms")
+      "eval_woe_iv", "qa_outlier_iqr", "text_rake_keyterms",
+      // r13 analytics batch 3: 2-D Pareto skyline (documents cell
+      // table) and the FD-violation audit (lineitem cell table)
+      "curate_pareto_skyline", "qa_fd_violations",
+      // r13 analytics batch 4: the SQL NEAREST surface (same plan as
+      // j_asof_nearest — same expected ratio) and the Holt backtest
+      "j1_nearest_sql", "events_forecast_eval")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -108,6 +108,54 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT 1 + 1 AS x").collect().head.getInt(0) == 2)
   }
 
+  test("ASOF JOIN NEAREST: direction choice, equidistant tie to prev, " +
+    "same-instant zero distance, NULL padding, INNER drop, tolerance " +
+    "bound, full right-row exposure") {
+    import spark.implicits._
+    Seq((1L, 150L, "p150"), (1L, 260L, "p260"), (1L, 200L, "p200"),
+      (1L, 100L, "p100"), (2L, 500L, "p500"))
+      .toDF("k", "ts", "tag").createOrReplaceTempView("near_probes")
+    Seq((1L, 100L, "r100"), (1L, 300L, "r300"))
+      .toDF("k", "ts", "rv").createOrReplaceTempView("near_rights")
+
+    val got = spark.sql(
+      """SELECT l.tag, r.ts AS rts, r.rv AS rv
+        |FROM near_probes l ASOF JOIN near_rights r
+        |MATCH_CONDITION (NEAREST(l.ts, r.ts))
+        |ON l.k = r.k""".stripMargin)
+      .collect()
+      .map(r => r.getString(0) ->
+        (Option(r.getAs[Any]("rts")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[String]("rv")))).toMap
+    assert(got("p150") == ((Some(100L), Some("r100")))) // prev by 50 vs 150
+    assert(got("p260") == ((Some(300L), Some("r300")))) // next by 40 vs 160
+    assert(got("p200") == ((Some(100L), Some("r100")))) // 100/100 tie → prev
+    assert(got("p100") == ((Some(100L), Some("r100")))) // same instant
+    assert(got("p500") == ((None, None)))               // no right rows for k=2
+
+    // INNER variant drops the unmatched probe
+    val inner = spark.sql(
+      """SELECT l.tag FROM near_probes l ASOF INNER JOIN near_rights r
+        |MATCH_CONDITION (NEAREST(l.ts, r.ts))
+        |ON l.k = r.k""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(inner == Set("p150", "p260", "p200", "p100"))
+
+    // tolerance: extra MATCH_CONDITION conjuncts null the CHOSEN match
+    // (left row kept) — p150's nearest (100) fails r.ts >= l.ts - 40,
+    // p260's (300) passes
+    val tol = spark.sql(
+      """SELECT l.tag, r.ts AS rts
+        |FROM near_probes l ASOF JOIN near_rights r
+        |MATCH_CONDITION (NEAREST(l.ts, r.ts) AND r.ts >= l.ts - 40)
+        |ON l.k = r.k""".stripMargin)
+      .collect()
+      .map(r => r.getString(0) ->
+        Option(r.getAs[Any]("rts")).map(_.asInstanceOf[Long])).toMap
+    assert(tol("p150").isEmpty && tol("p260").contains(300L))
+    assert(tol("p100").contains(100L) && tol("p500").isEmpty)
+  }
+
   test("ASOF JOIN composes: CTEs, string literals, extra predicates, forward matches") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, "/root/testdata/sf0.001")

@@ -287,4 +287,48 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     // (freq 1, degree 2 → wscore 2.0 each → phrase 4.0)
     assert(got.toSeq == Seq(("alpha beta", (1L, 4000000L))))
   }
+
+  private def runSkyline(rows: (Long, Long)*) =
+    AnalyticsQueries.skylineBody(rows.toSeq.toDF("x", "y"))
+      .collect()
+      .map(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("n_distinct_words")) ->
+        r.getAs[Long]("n_docs")).toMap
+
+  test("skyline: dominated interior points drop, same-x reduces to " +
+    "max-y, equal-y at greater x dominates (strict test), duplicate " +
+    "points merge into one cell") {
+    val got = runSkyline(
+      (5L, 1L), (4L, 3L), (4L, 3L), // duplicate cell → n_docs 2
+      (3L, 3L),                     // dominated by (4,3): x<, y=
+      (4L, 1L),                     // same-x, lower y → reduced away
+      (2L, 4L),                     // frontier: best y at small x
+      (1L, 2L))                     // dominated by (2,4)
+    assert(got == Map(
+      (5L, 1L) -> 1L, (4L, 3L) -> 2L, (2L, 4L) -> 1L))
+  }
+
+  test("skyline: a single point that maxes both axes is the whole " +
+    "frontier") {
+    assert(runSkyline((9L, 9L), (9L, 1L), (1L, 9L), (5L, 5L)) ==
+      Map((9L, 9L) -> 1L))
+  }
+
+  private def runFd(rows: (Long, Long)*) =
+    AnalyticsQueries.fdBody(rows.toSeq.toDF("a", "b"))
+      .collect()
+      .map(r => r.getAs[Long]("a") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("majority_b"), r.getAs[Long]("majority_cnt"),
+          r.getAs[Long]("viol_rows"), r.getAs[Boolean]("fd_holds"))).toMap
+
+  test("fd: violation mass counts rows off the majority, a clean key " +
+    "holds, and equal counts break ties toward the smaller value") {
+    val got = runFd(
+      (1L, 10L), (1L, 10L), (1L, 10L), (1L, 20L), // 3-1 split
+      (2L, 30L), (2L, 30L),                       // clean
+      (3L, 1L), (3L, 1L), (3L, 2L), (3L, 2L))     // 2-2 tie → b=1
+    assert(got(1L) == ((4L, 2L, 10L, 3L, 1L, false)))
+    assert(got(2L) == ((2L, 1L, 30L, 2L, 0L, true)))
+    assert(got(3L) == ((4L, 2L, 1L, 2L, 2L, false)))
+  }
 }

@@ -60,6 +60,58 @@ class BasketMonitorSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed cosine readout equals the batch cosine algebra on " +
+    "the same baskets — the SECOND readout off one state table") {
+    val dir = "/root/testdata/sf0.001"
+    // order-stable string keys: zero-pad partkeys so the monitor's
+    // string item order matches the batch catalog's numeric order
+    // (the top-k tiebreak sorts dst)
+    val items = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"),
+        format_string("%09d", col("l_partkey")).as("it"))
+    val batch = graft.queries.AnalyticsQueries
+      .recCosineBody(items, minPairs = 2, topK = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(batch.nonEmpty)
+
+    val baskets = items.groupBy(col("o"))
+      .agg(collect_set(col("it")).as("bs"))
+      .as[(Long, Seq[String])].collect()
+
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Seq[String])]
+    val q = BasketMonitor.counts(src.toDS())
+      .map { case ((kind, ka, kb), cnt) => (kind, ka, kb, cnt) }
+      .toDF("kind", "ka", "kb", "cnt")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("basket_cos_stream").start()
+    val counts =
+      try {
+        val (a, b) = (baskets.length / 3, 2 * baskets.length / 3)
+        src.addData(baskets.take(a).toIndexedSeq); q.processAllAvailable()
+        src.addData(baskets.slice(a, b).toIndexedSeq); q.processAllAvailable()
+        src.addData(baskets.drop(b).toIndexedSeq); q.processAllAvailable()
+        spark.table("basket_cos_stream")
+          .withColumn("seq", monotonically_increasing_id())
+          .as[(String, String, String, Long, Long)].collect()
+          .groupBy(r => (r._1, r._2, r._3))
+          .map { case ((k1, k2, k3), rs) =>
+            (k1, k2, k3, rs.maxBy(_._5)._4) }
+          .toSeq
+      } finally q.stop()
+
+    val streamed = BasketMonitor.cosineReadout(
+      counts.toDF("kind", "ka", "kb", "cnt"), minPairs = 2, topK = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, got) =>
+      assert(got == batch(k), s"pair $k: stream $got vs batch ${batch(k)}")
+    }
+  }
+
   test("a duplicate item inside one basket counts once (set semantics, " +
     "matching the batch collect_set)") {
     implicit val s = spark

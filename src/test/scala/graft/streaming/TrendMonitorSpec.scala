@@ -167,5 +167,18 @@ class TrendMonitorSpec extends AnyFunSuite {
     acfStreamed.foreach { case (k, got) =>
       assert(got == acfBatch(k), s"$k: stream $got vs batch ${acfBatch(k)}")
     }
+
+    // and the TENTH — the one that scores the eighth: the Holt
+    // forecast backtest ≡ the oracle-checked batch events_forecast_eval
+    val feBatch = graft.queries.AnalyticsQueries
+      .queries("events_forecast_eval")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val feStreamed = TrendMonitor
+      .forecastEvalReadout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(feStreamed.keySet == feBatch.keySet && feBatch.nonEmpty)
+    feStreamed.foreach { case (k, got) =>
+      assert(got == feBatch(k), s"$k: stream $got vs batch ${feBatch(k)}")
+    }
   }
 }
