@@ -158,6 +158,58 @@ object AnalyticsQueries {
     "events_forecast_eval" -> ((s, dir) =>
       forecastEvalBody(dailyCounts(s, dir))),
 
+    // Two-sample Kolmogorov–Smirnov test (the distribution-drift gate
+    // a pipeline runs before trusting that two splits came from the
+    // same population): D = sup|F̂₁ − F̂₂| computed EXACTLY — the sup
+    // runs over the cross-multiplied integer |cum1·N₂ − cum2·N₁| on
+    // the bounded whole-dollar histogram, divided once in DECIMAL(38);
+    // only the α = 0.05 threshold c(α)·√((N₁+N₂)/N₁N₂) takes the ONE
+    // fixed-order micro-floored sqrt (squaring the comparison instead
+    // would overflow DECIMAL(38) at warehouse N). Samples = order
+    // parity — the null is true, so the expected reading is
+    // no-rejection, and the operator under test is the exact sup
+    // machinery. See ksBody.
+    "qa_ks_test" -> ((s, dir) =>
+      ksBody(Tables.orders(s, dir)
+        .select(
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) div 100")
+            .as("v"),
+          (col("o_orderkey") % 2 === 0).as("g")))),
+
+    // Cohen's kappa (Cohen 1960) over the SAME lexicon-vs-truth
+    // confusion cells text_langid_eval reports: chance-corrected
+    // agreement po−pe/(1−pe) as ONE exact rational — kappa =
+    // (N·Σdiag − Σ rowsum·colsum) / (N² − Σ rowsum·colsum) in
+    // DECIMAL(38) (N² crosses 2⁶³ at ~3·10⁹ docs), re-signed division
+    // because kappa of a worse-than-chance classifier is negative.
+    // The eval-family member that reduces the whole confusion matrix
+    // to one decision number. See kappaBody.
+    "eval_cohen_kappa" -> ((s, dir) => {
+      val scored = TextSignals.langScores.foldLeft(Tables.documents(s, dir)) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
+      kappaBody(scored
+        .select(col("lang").as("a"), TextSignals.predLang.as("b")))
+    }),
+
+    // Per-state entropy rate of the session Markov chain — how
+    // predictable is the next event given the current one? The
+    // information-theoretic readout over events_markov_transitions'
+    // OWN bigram cells: H(from) = Σ (n/tot)·log2(tot/n), each cell
+    // term micro-floored once in a fixed order (the a_mutual_info
+    // ln-parity posture) so the per-state sum is an exact integer sum
+    // of deterministic longs. See entropyRateBody.
+    "events_entropy_rate" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      entropyRateBody(Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n")))
+    }),
+
     // Weight-of-evidence / information-value per equal-width score bin
     // (Siddiqi 2006, the credit-scoring companion of eval_auc): WOE =
     // ln(pos-share/neg-share) per bin, IV contribution = (pos-share −
@@ -471,6 +523,97 @@ object AnalyticsQueries {
         when(col("nearest_p").isNull, lit(null).cast("string"))
           .when(col("nearest_p") === col("prev_p"), lit("prev"))
           .otherwise(lit("next")).as("side"))
+  }
+
+  /** Exact two-sample KS over a (v = bounded integer, g = sample flag)
+    * frame — see the qa_ks_test entry. ONE corpus shuffle into the
+    * bounded per-value histogram; the cumulative window runs
+    * unpartitioned BY DESIGN over one row per distinct v (the skyline
+    * domain-boundedness argument); the sup and the decision are
+    * control-plane. */
+  private[graft] def ksBody(vals: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hist = vals.groupBy(col("v"))
+      .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g"), 0L).otherwise(1L)).as("c2"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    hist
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .groupBy()
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cum1").cast(dec) * col("n2") -
+          col("cum2").cast(dec) * col("n1"))).cast(dec).as("maxdiff"))
+      .select(col("n1"), col("n2"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("long"))
+          .otherwise(expr("CAST((maxdiff * 1000000) div " +
+            "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")).as("d_micro"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("long"))
+          .otherwise(floor(lit(1.358) *
+            sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1").cast(dec) * col("n2")).cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("threshold_micro"))
+      .withColumn("reject", col("d_micro") > col("threshold_micro"))
+  }
+
+  /** Cohen's kappa over an (a = truth, b = prediction) pair frame —
+    * see the eval_cohen_kappa entry. ONE corpus shuffle into the
+    * O(labels²) cell table (pinned — margins, the diagonal, and the
+    * total all derive from it); everything downstream is
+    * control-plane. Degenerate pe = 1 (both raters constant on one
+    * label) reads NULL, never a division error. */
+  private[graft] def kappaBody(pairs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cell = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
+    val rs = cell.groupBy(col("a")).agg(sum(col("n")).as("rsum"))
+    val cs = cell.groupBy(col("b")).agg(sum(col("n")).as("csum"))
+    val rc = rs.join(cs, col("a") === col("b"))
+      .agg(sum(col("rsum").cast(dec) * col("csum")).cast(dec).as("sum_rc"))
+    val base = cell.agg(sum(col("n")).as("n_total"),
+      sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("sum_diag"))
+    base.crossJoin(broadcast(rc))
+      .withColumn("sum_rc", coalesce(col("sum_rc"), lit(0).cast(dec)))
+      .withColumn("num",
+        (col("n_total").cast(dec) * col("sum_diag") - col("sum_rc")).cast(dec))
+      .withColumn("den",
+        (col("n_total").cast(dec) * col("n_total") - col("sum_rc")).cast(dec))
+      .select(col("n_total"),
+        expr("CAST((sum_diag * 1000000) div n_total AS BIGINT)").as("po_micro"),
+        expr("CAST((sum_rc * 1000000) div " +
+          "(CAST(n_total AS DECIMAL(38,0)) * n_total) AS BIGINT)").as("pe_micro"),
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
+              "((abs(num) * 1000000) div den) AS BIGINT)")).as("kappa_micro"))
+  }
+
+  /** Per-state Markov entropy rate over a (from_type, to_type, n)
+    * bigram cell frame — see the events_entropy_rate entry. Totals
+    * derive from the cells and broadcast back; each cell's
+    * (n/tot)·log2(tot/n) term is ONE fixed-order double micro-floored
+    * to a long, so the per-state entropy is an exact integer sum. */
+  private[graft] def entropyRateBody(cells: DataFrame): DataFrame = {
+    val ln2 = 0.6931471805599453
+    // pin the O(types²) cell table: totals AND the term join read it —
+    // unpinned, the corpus-scale bigram window would run twice
+    val cs = cells.localCheckpoint(eager = true)
+    val tot = cs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_out"))
+    cs
+      .join(broadcast(tot), "from_type")
+      .withColumn("term",
+        floor(col("n").cast("double") / col("tot").cast("double") *
+          log(col("tot").cast("double") / col("n").cast("double")) / lit(ln2) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("from_type"))
+      .agg(max(col("tot")).as("tot"), max(col("n_out")).as("n_out"),
+        sum(col("term")).as("h_bits_micro"))
   }
 
   /** Forecast backtest over a (event_type, x, c) daily table — see the
@@ -870,6 +1013,99 @@ object AnalyticsQueries {
     // the SQL surface lowers onto the SAME plan — the identical oracle
     // is the proof (parser + resolver verified end-to-end by the hash)
     "j1_nearest_sql" -> oNearestSql,
+
+    // same whole-dollar histogram, same exact cross-multiplied sup,
+    // same ONE fixed-order micro-floored threshold sqrt
+    "qa_ks_test" ->
+      """WITH s AS (SELECT
+        |CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) // 100 AS v,
+        |o_orderkey % 2 = 0 AS g FROM orders),
+        |h AS (SELECT v,
+        |CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |FROM s GROUP BY 1),
+        |w AS (SELECT v, c1, c2,
+        |CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |  AS cum1,
+        |CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |  AS cum2,
+        |CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+        |CAST(SUM(c2) OVER () AS BIGINT) AS n2 FROM h),
+        |a AS (SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+        |MAX(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1))
+        |  AS maxdiff FROM w),
+        |r AS (SELECT n1, n2,
+        |CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |ELSE CAST((maxdiff * 1000000) // (CAST(n1 AS HUGEINT) * n2)
+        |AS BIGINT) END AS d_micro,
+        |CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |ELSE CAST(FLOOR(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) /
+        |CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) * 1000000.0 + 0.5)
+        |AS BIGINT) END AS threshold_micro
+        |FROM a)
+        |SELECT n1, n2, d_micro, threshold_micro,
+        |d_micro > threshold_micro AS reject FROM r""".stripMargin,
+
+    // same lexicon scores and tie-break prediction as text_langid_eval,
+    // same cell margins, same exact rational kappa HUGEINT-first with
+    // the re-signed division
+    "eval_cohen_kappa" -> {
+      def sc(ws: Seq[String]) =
+        "len(list_filter(string_split(text, ' '), t -> t IN (" +
+          ws.map(w => s"'$w'").mkString(", ") + ")))::BIGINT"
+      s"""WITH scr AS (SELECT doc_id, lang,
+         |${sc(Seq("the", "a", "of", "and"))} AS s_en,
+         |${sc(Seq("der", "die", "das", "und"))} AS s_de,
+         |${sc(Seq("el", "la", "de", "y"))} AS s_es,
+         |${sc(Seq("le", "les", "des", "et"))} AS s_fr
+         |FROM documents),
+         |p AS (SELECT lang AS a, CASE
+         |WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+         |WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |WHEN s_es >= s_fr THEN 'es'
+         |ELSE 'fr' END AS b FROM scr),
+         |cell AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2),
+         |rs AS (SELECT a, CAST(SUM(n) AS BIGINT) AS rsum FROM cell GROUP BY 1),
+         |cs AS (SELECT b, CAST(SUM(n) AS BIGINT) AS csum FROM cell GROUP BY 1),
+         |rc AS (SELECT COALESCE(SUM(CAST(rsum AS HUGEINT) * csum),
+         |CAST(0 AS HUGEINT)) AS sum_rc FROM rs JOIN cs ON rs.a = cs.b),
+         |base AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         |CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS sum_diag
+         |FROM cell)
+         |SELECT n_total,
+         |CAST((sum_diag * 1000000) // n_total AS BIGINT) AS po_micro,
+         |CAST((sum_rc * 1000000) // (CAST(n_total AS HUGEINT) * n_total)
+         |  AS BIGINT) AS pe_micro,
+         |CASE WHEN CAST(n_total AS HUGEINT) * n_total - sum_rc = 0 THEN NULL
+         |ELSE CAST((CASE WHEN CAST(n_total AS HUGEINT) * sum_diag - sum_rc < 0
+         |THEN -1 ELSE 1 END) *
+         |((abs(CAST(n_total AS HUGEINT) * sum_diag - sum_rc) * 1000000)
+         |  // (CAST(n_total AS HUGEINT) * n_total - sum_rc)) AS BIGINT)
+         |END AS kappa_micro
+         |FROM base CROSS JOIN rc""".stripMargin
+    },
+
+    // same (ts, event_id)-ordered bigrams as events_markov_transitions,
+    // same derived totals, same fixed-order per-cell term micro floors
+    "events_entropy_rate" ->
+      s"""WITH o AS (SELECT user_id, ts, event_id, event_type,
+         |lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |  AS prev_type FROM $oEvents),
+         |c AS (SELECT prev_type AS from_type, event_type AS to_type,
+         |CAST(COUNT(*) AS BIGINT) AS n
+         |FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot,
+         |CAST(COUNT(*) AS BIGINT) AS n_out FROM c GROUP BY 1),
+         |j AS (SELECT c.from_type, tot, n_out,
+         |CAST(FLOOR(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+         |* ln(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)) / 0.6931471805599453
+         |* 1000000.0 + 0.5) AS BIGINT) AS term
+         |FROM c JOIN t ON t.from_type = c.from_type)
+         |SELECT from_type, MAX(tot) AS tot, MAX(n_out) AS n_out,
+         |CAST(SUM(term) AS BIGINT) AS h_bits_micro
+         |FROM j GROUP BY 1""".stripMargin,
 
     // same broadcast extremes, same exact-integer bin rule, same
     // HUGEINT-first density ratio, same fixed-order ln micro floors

@@ -1120,6 +1120,34 @@ object ExplainAudit {
         p.contains("In(event_type, [click,purchase])")
     }
 
+    audit("qa_ks_test",
+      "ONE corpus scan into the bounded per-value histogram; the " +
+        "cumulative window's SinglePartition input is one row per " +
+        "distinct dollar (domain-bounded, the skyline argument); the " +
+        "sup and the decision are a 1-row aggregate — no join") { p =>
+      // two Window nodes: the ordered cumulative and the frame-only
+      // totals (no shared order spec, so they cannot fuse) — both over
+      // the same SinglePartition bounded histogram
+      count(p, "Scan parquet") == 1 && count(p, "Window") == 2 &&
+        !p.contains("Join") &&
+        "SinglePartition".r.findAllIn(p).length >= 1
+    }
+    audit("eval_cohen_kappa",
+      "the whole kappa reduction runs on the PINNED O(labels²) " +
+        "confusion cells (zero parquet scans); margins/diagonal/total " +
+        "derive from the pin; the final combine is a 1-row broadcast " +
+        "cross") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("SortMergeJoin") &&
+        !p.contains("CartesianProduct")
+    }
+    audit("events_entropy_rate",
+      "the readout runs entirely on the PINNED O(types²) bigram cells " +
+        "(zero parquet scans, zero windows here — the corpus bigram " +
+        "window paid once at pin time); totals derive from the pin " +
+        "and broadcast back") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "Window") == 0 &&
+        !p.contains("SortMergeJoin") && p.contains("BroadcastHashJoin")
+    }
     audit("j1_nearest_sql",
       "the SQL NEAREST surface lowers onto the identical merged-stream " +
         "plan: two pushed-filter scans (one per view), one Union, ONE " +

@@ -202,7 +202,13 @@ object ScaleRatios {
       "curate_pareto_skyline", "qa_fd_violations",
       // r13 analytics batch 4: the SQL NEAREST surface (same plan as
       // j_asof_nearest — same expected ratio) and the Holt backtest
-      "j1_nearest_sql", "events_forecast_eval")
+      "j1_nearest_sql", "events_forecast_eval",
+      // r13 analytics batch 5: Cohen's kappa (documents confusion
+      // cells) and the Markov entropy rate (events bigram window)
+      "eval_cohen_kappa", "events_entropy_rate",
+      // r13 analytics batch 6: the exact two-sample KS drift gate
+      // (orders histogram)
+      "qa_ks_test")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -321,6 +321,65 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
           r.getAs[Long]("majority_b"), r.getAs[Long]("majority_cnt"),
           r.getAs[Long]("viol_rows"), r.getAs[Boolean]("fd_holds"))).toMap
 
+  private def runKs(rows: (Long, Boolean)*) =
+    AnalyticsQueries.ksBody(rows.toSeq.toDF("v", "g"))
+      .collect().map(r =>
+        (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+          Option(r.getAs[Any]("d_micro")).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("reject"))).head
+
+  test("ks: identical samples read D = 0, disjoint samples D = 1 and " +
+    "reject, and the worked half-overlap example reads exactly 0.5") {
+    val same = runKs((1L, true), (2L, true), (1L, false), (2L, false))
+    assert(same == ((2L, 2L, Some(0L), false)))
+    // {1,2} vs {10,11}: fully separated → D = 1, and 1.0 > the n=2,2
+    // threshold 1.358 is false... at tiny n the test cannot reject —
+    // use n=8 per side where threshold = 1.358·sqrt(16/64) = 0.679
+    val disj = runKs(((1L to 8L).map(v => (v, true)) ++
+      (11L to 18L).map(v => (v, false))): _*)
+    assert(disj == ((8L, 8L, Some(1000000L), true)))
+    // s1 = {1,2}, s2 = {2,3}: sup at v=1 (or 2) = |1/2 − 0| = 1/2
+    val half = runKs((1L, true), (2L, true), (2L, false), (3L, false))
+    assert(half == ((2L, 2L, Some(500000L), false)))
+  }
+
+  private def runKappa(rows: (String, String)*) =
+    AnalyticsQueries.kappaBody(rows.toSeq.toDF("a", "b"))
+      .collect().map(r =>
+        (r.getAs[Long]("n_total"), r.getAs[Long]("po_micro"),
+          r.getAs[Long]("pe_micro"),
+          Option(r.getAs[Any]("kappa_micro")).map(_.asInstanceOf[Long]))).head
+
+  test("kappa: perfect agreement reads 1, chance-level 0, perfect " +
+    "inversion -1, and a constant-label degenerate reads NULL") {
+    assert(runKappa(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")) ==
+      ((4L, 1000000L, 500000L, Some(1000000L))))
+    assert(runKappa(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")) ==
+      ((4L, 500000L, 500000L, Some(0L))))
+    assert(runKappa(("x", "y"), ("x", "y"), ("y", "x"), ("y", "x")) ==
+      ((4L, 0L, 500000L, Some(-1000000L))))
+    assert(runKappa(("x", "x"), ("x", "x")) == ((2L, 1000000L, 1000000L, None)))
+  }
+
+  private def runEntropy(rows: (String, String, Long)*) =
+    AnalyticsQueries.entropyRateBody(
+      rows.toSeq.toDF("from_type", "to_type", "n"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("tot"), r.getAs[Long]("n_out"),
+          r.getAs[Long]("h_bits_micro"))).toMap
+
+  test("entropy rate: a deterministic state reads 0 bits, a fair " +
+    "2-way split 1 bit, a fair 4-way split 2 bits") {
+    val got = runEntropy(
+      ("det", "b", 5L),
+      ("coin", "b", 2L), ("coin", "c", 2L),
+      ("u4", "a", 1L), ("u4", "b", 1L), ("u4", "c", 1L), ("u4", "d", 1L))
+    assert(got("det") == ((5L, 1L, 0L)))
+    assert(got("coin") == ((4L, 2L, 1000000L)))
+    assert(got("u4") == ((4L, 4L, 2000000L)))
+  }
+
   test("fd: violation mass counts rows off the majority, a clean key " +
     "holds, and equal counts break ties toward the smaller value") {
     val got = runFd(
