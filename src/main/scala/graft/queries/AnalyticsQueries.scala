@@ -176,6 +176,24 @@ object AnalyticsQueries {
             .as("v"),
           (col("o_orderkey") % 2 === 0).as("g")))),
 
+    // Per-type KS drift: the deployable form of qa_ks_test — for each
+    // event type, did the VALUE distribution drift between the first
+    // and second half of the observed day span (the events_did
+    // midpoint split)? Same exact cross-multiplied sup, windows
+    // partitioned by type over the bounded per-type cents histogram.
+    // See ksGroupedBody.
+    "qa_ks_by_type" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          datediff(to_date(date_trunc("day", col("ts"))),
+            lit("1970-01-01").cast("date")).cast("long").as("x"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"))
+      val split = ev.agg(expr("(min(x) + max(x) + 1) div 2").as("split"))
+      ksGroupedBody(ev.crossJoin(broadcast(split))
+        .select(col("grp"), col("v"), (col("x") < col("split")).as("g")))
+    }),
+
     // Cohen's kappa (Cohen 1960) over the SAME lexicon-vs-truth
     // confusion cells text_langid_eval reports: chance-corrected
     // agreement po−pe/(1−pe) as ONE exact rational — kappa =
@@ -550,6 +568,40 @@ object AnalyticsQueries {
         max(abs(col("cum1").cast(dec) * col("n2") -
           col("cum2").cast(dec) * col("n1"))).cast(dec).as("maxdiff"))
       .select(col("n1"), col("n2"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("long"))
+          .otherwise(expr("CAST((maxdiff * 1000000) div " +
+            "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")).as("d_micro"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("long"))
+          .otherwise(floor(lit(1.358) *
+            sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1").cast(dec) * col("n2")).cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("threshold_micro"))
+      .withColumn("reject", col("d_micro") > col("threshold_micro"))
+  }
+
+  /** Per-group exact two-sample KS over a (grp, v, g) frame — the
+    * qa_ks_by_type entry. Identical arithmetic to [[ksBody]] with
+    * every window partitioned by grp (each partition is that group's
+    * bounded value histogram, the a_median argument). */
+  private[graft] def ksGroupedBody(vals: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hist = vals.groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g"), 0L).otherwise(1L)).as("c2"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .groupBy(col("grp"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cum1").cast(dec) * col("n2") -
+          col("cum2").cast(dec) * col("n1"))).cast(dec).as("maxdiff"))
+      .select(col("grp"), col("n1"), col("n2"),
         when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("long"))
           .otherwise(expr("CAST((maxdiff * 1000000) div " +
             "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)")).as("d_micro"),
@@ -1045,6 +1097,42 @@ object AnalyticsQueries {
         |FROM a)
         |SELECT n1, n2, d_micro, threshold_micro,
         |d_micro > threshold_micro AS reject FROM r""".stripMargin,
+
+    // same midpoint split, same per-type histogram, same exact sup,
+    // same micro-floored threshold — windows partitioned by type
+    "qa_ks_by_type" ->
+      s"""WITH e AS (SELECT event_type AS grp,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |sp AS (SELECT (MIN(x) + MAX(x) + 1) // 2 AS split FROM e),
+         |s AS (SELECT grp, v, x < split AS g FROM e CROSS JOIN sp),
+         |h AS (SELECT grp, v,
+         |CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |FROM s GROUP BY 1, 2),
+         |w AS (SELECT grp, v, c1, c2,
+         |CAST(SUM(c1) OVER (PARTITION BY grp ORDER BY v
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+         |CAST(SUM(c2) OVER (PARTITION BY grp ORDER BY v
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+         |CAST(SUM(c1) OVER (PARTITION BY grp) AS BIGINT) AS n1,
+         |CAST(SUM(c2) OVER (PARTITION BY grp) AS BIGINT) AS n2 FROM h),
+         |a AS (SELECT grp, MAX(n1) AS n1, MAX(n2) AS n2,
+         |MAX(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1))
+         |  AS maxdiff FROM w GROUP BY 1),
+         |r AS (SELECT grp, n1, n2,
+         |CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+         |ELSE CAST((maxdiff * 1000000) // (CAST(n1 AS HUGEINT) * n2)
+         |AS BIGINT) END AS d_micro,
+         |CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+         |ELSE CAST(FLOOR(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) /
+         |CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) * 1000000.0 + 0.5)
+         |AS BIGINT) END AS threshold_micro
+         |FROM a)
+         |SELECT grp, n1, n2, d_micro, threshold_micro,
+         |d_micro > threshold_micro AS reject FROM r""".stripMargin,
 
     // same lexicon scores and tie-break prediction as text_langid_eval,
     // same cell margins, same exact rational kappa HUGEINT-first with

@@ -1132,6 +1132,17 @@ object ExplainAudit {
         !p.contains("Join") &&
         "SinglePartition".r.findAllIn(p).length >= 1
     }
+    audit("qa_ks_by_type",
+      "the grouped drift gate: the two-pass span split (min/max scan " +
+        "+ main scan — the eval_woe_iv extremes posture) then the " +
+        "per-type bounded histogram; the split is a 1-row broadcast " +
+        "cross (its SinglePartition is the 32-partial combine, not " +
+        "corpus data); both KS windows partition by type — no shuffle " +
+        "join") { p =>
+      count(p, "Scan parquet") == 2 && count(p, "Window") == 2 &&
+        !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
     audit("eval_cohen_kappa",
       "the whole kappa reduction runs on the PINNED O(labels²) " +
         "confusion cells (zero parquet scans); margins/diagonal/total " +

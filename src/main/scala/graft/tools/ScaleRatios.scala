@@ -208,7 +208,9 @@ object ScaleRatios {
       "eval_cohen_kappa", "events_entropy_rate",
       // r13 analytics batch 6: the exact two-sample KS drift gate
       // (orders histogram)
-      "qa_ks_test")
+      "qa_ks_test",
+      // r13 analytics batch 6b: per-type KS drift (events)
+      "qa_ks_by_type")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -343,6 +343,20 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(half == ((2L, 2L, Some(500000L), false)))
   }
 
+  test("ks grouped: each group gets its own sup and decision — a " +
+    "drifted group rejects while a stable one does not") {
+    val stable = (1L to 8L).flatMap(v => Seq(("s", v, true), ("s", v, false)))
+    val drifted = (1L to 8L).map(v => ("d", v, true)) ++
+      (11L to 18L).map(v => ("d", v, false))
+    val got = AnalyticsQueries.ksGroupedBody(
+      (stable ++ drifted).toDF("grp", "v", "g"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("d_micro"), r.getAs[Boolean]("reject"))).toMap
+    assert(got("s") == ((0L, false)))
+    assert(got("d") == ((1000000L, true)))
+  }
+
   private def runKappa(rows: (String, String)*) =
     AnalyticsQueries.kappaBody(rows.toSeq.toDF("a", "b"))
       .collect().map(r =>
