@@ -176,6 +176,37 @@ object AnalyticsQueries {
             .as("v"),
           (col("o_orderkey") % 2 === 0).as("g")))),
 
+    // Frequent 3-itemsets (the depth step past a_assoc_rules' pairs):
+    // per-order brand triples by in-row combinatorics (C(b,3) ≤ 35 for
+    // the schema-bounded 7-line order), support plus the directional
+    // confidence of the strongest pair→third rule (ab→c), its exact
+    // integer micro via the pair table both queries share the
+    // semantics of. See assocTriplesBody.
+    "a_assoc_triples" -> ((s, dir) =>
+      assocTriplesBody(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("o"), col("p_brand").as("br")),
+        TRIPLE_MIN)),
+
+    // Word burstiness (Church & Gale 1995): the variance-to-mean ratio
+    // of per-document counts separates topical words (bursty — VMR
+    // well above 1) from function words (Poisson-like — VMR near 1).
+    // Exact integer moments per word over the corpus-wide doc count
+    // (absent docs contribute zeros IN ALGEBRA, never materialized:
+    // Σ(x−μ)² over all N docs = Σx² − (Σx)²/N with the sum running
+    // only over PRESENT rows), VMR as one DECIMAL(38) cross-multiplied
+    // micro. See burstinessBody.
+    "text_burstiness" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("x"))
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      burstinessBody(toks, nDocs)
+    }),
+
     // Per-type KS drift: the deployable form of qa_ks_test — for each
     // event type, did the VALUE distribution drift between the first
     // and second half of the observed day span (the events_did
@@ -577,6 +608,67 @@ object AnalyticsQueries {
               (col("n1").cast(dec) * col("n2")).cast("double")) *
             lit(1000000.0) + lit(0.5)).cast("long")).as("threshold_micro"))
       .withColumn("reject", col("d_micro") > col("threshold_micro"))
+  }
+
+  /** Minimum triple co-occurrence count (the a_assoc_rules support
+    * floor, one level deeper). */
+  private def TRIPLE_MIN = GraftConf.int("graft.basket.minTriples", 3)
+
+  /** Frequent 3-itemsets over an (o = basket id, br = item) frame —
+    * see the a_assoc_triples entry. The triple expansion is IN-ROW
+    * C(b,3) over the sorted per-basket set (schema-bounded), the pair
+    * table needed for the ab→c confidence broadcasts (O(items²) —
+    * brand-bounded here; at an unbounded item universe the pair join
+    * falls back to the shuffle Catalyst picks). */
+  private[graft] def assocTriplesBody(
+      items: DataFrame, minCount: Int): DataFrame = {
+    val baskets = items.groupBy(col("o"))
+      .agg(sort_array(collect_set(col("br"))).as("bs"))
+      .localCheckpoint(eager = true) // feeds triples, pairs, the total
+    val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("bs"), (a, i) =>
+        transform(slice(col("bs"), i + lit(2), size(col("bs"))),
+          b => struct(a.as("brand_a"), b.as("brand_b")))))).as("p"))
+      .groupBy(col("p.brand_a"), col("p.brand_b"))
+      .agg(count(lit(1)).as("pair_ab_cnt"))
+    val triples = baskets
+      .select(explode(flatten(flatten(transform(col("bs"), (a, i) =>
+        transform(slice(col("bs"), i + lit(2), size(col("bs"))), (b, j) =>
+          transform(slice(col("bs"), i + j + lit(3), size(col("bs"))),
+            c => struct(a.as("brand_a"), b.as("brand_b"), c.as("brand_c"))))))))
+        .as("t"))
+      .groupBy(col("t.brand_a"), col("t.brand_b"), col("t.brand_c"))
+      .agg(count(lit(1)).as("triple_cnt"))
+      .where(col("triple_cnt") >= minCount)
+    triples
+      .join(broadcast(pairs), Seq("brand_a", "brand_b"))
+      .crossJoin(broadcast(nb))
+      .select(col("brand_a"), col("brand_b"), col("brand_c"),
+        col("triple_cnt"), col("pair_ab_cnt"), col("n_baskets"),
+        expr("(triple_cnt * 1000000) div n_baskets").as("supp_micro"),
+        expr("(triple_cnt * 1000000) div pair_ab_cnt").as("conf_ab_c_micro"))
+  }
+
+  /** Word burstiness over a (w, doc_id, x = in-doc count) frame plus
+    * the 1-row corpus doc count — see the text_burstiness entry.
+    * Absent docs enter the variance IN ALGEBRA: over all N docs,
+    * Σ(x−μ)²/N ÷ μ reduces to (N·Σx² − (Σx)²)/(N·Σx) — exact
+    * integers, non-negative by Cauchy–Schwarz, ONE DECIMAL(38)
+    * division. */
+  private[graft] def burstinessBody(
+      toks: DataFrame, nDocs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    toks
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_present"), sum(col("x")).as("sx"),
+        sum(col("x").cast(dec) * col("x")).cast(dec).as("sxx"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"), col("n_present"), col("sx"),
+        expr("CAST(((CAST(n_docs AS DECIMAL(38,0)) * sxx - " +
+          "CAST(sx AS DECIMAL(38,0)) * sx) * 1000000) div " +
+          "(CAST(n_docs AS DECIMAL(38,0)) * sx) AS BIGINT)")
+          .as("vmr_micro"))
   }
 
   /** Per-group exact two-sample KS over a (grp, v, g) frame — the
@@ -1097,6 +1189,45 @@ object AnalyticsQueries {
         |FROM a)
         |SELECT n1, n2, d_micro, threshold_micro,
         |d_micro > threshold_micro AS reject FROM r""".stripMargin,
+
+    // same in-row triple semantics via a plain 3-way self-join (sorted
+    // sets are identical), same pair-conditioned confidence
+    "a_assoc_triples" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, p_brand AS br
+         |FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM b),
+         |pc AS (SELECT x.br AS brand_a, y.br AS brand_b,
+         |CAST(COUNT(*) AS BIGINT) AS pair_ab_cnt
+         |FROM b x JOIN b y ON x.o = y.o AND x.br < y.br GROUP BY 1, 2),
+         |tc AS (SELECT x.br AS brand_a, y.br AS brand_b, z.br AS brand_c,
+         |CAST(COUNT(*) AS BIGINT) AS triple_cnt
+         |FROM b x JOIN b y ON x.o = y.o AND x.br < y.br
+         |JOIN b z ON y.o = z.o AND y.br < z.br
+         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= $TRIPLE_MIN)
+         |SELECT tc.brand_a, tc.brand_b, brand_c, triple_cnt, pair_ab_cnt,
+         |CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+         |(triple_cnt * 1000000) // nb.n_baskets AS supp_micro,
+         |(triple_cnt * 1000000) // pair_ab_cnt AS conf_ab_c_micro
+         |FROM tc JOIN pc ON pc.brand_a = tc.brand_a
+         |AND pc.brand_b = tc.brand_b
+         |CROSS JOIN nb""".stripMargin,
+
+    // same per-(word, doc) counts, same exact algebraic zero-doc
+    // variance, same single HUGEINT division
+    "text_burstiness" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |FROM documents),
+        |c AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+        |FROM t GROUP BY 1, 2),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |a AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_present,
+        |CAST(SUM(x) AS BIGINT) AS sx,
+        |SUM(CAST(x AS HUGEINT) * x) AS sxx FROM c GROUP BY 1)
+        |SELECT w, n_present, sx,
+        |CAST(((CAST(n_docs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+        |* 1000000) // (CAST(n_docs AS HUGEINT) * sx) AS BIGINT)
+        |  AS vmr_micro
+        |FROM a CROSS JOIN n""".stripMargin,
 
     // same midpoint split, same per-type histogram, same exact sup,
     // same micro-floored threshold — windows partitioned by type

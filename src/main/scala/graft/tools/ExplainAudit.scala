@@ -1132,6 +1132,23 @@ object ExplainAudit {
         !p.contains("Join") &&
         "SinglePartition".r.findAllIn(p).length >= 1
     }
+    audit("a_assoc_triples",
+      "triples, pairs, and the total all read the PINNED basket table " +
+        "(zero parquet scans); the C(b,3) expansion is IN-ROW " +
+        "(Generate, never a self-join); pair confidence and the " +
+        "basket total broadcast") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("SortMergeJoin") &&
+        count(p, "Generate") == 2 && p.contains("BroadcastHashJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
+    audit("text_burstiness",
+      "ONE corpus token scan into the (word, doc) cells then the " +
+        "per-word moment fold (map-side combined both); the doc total " +
+        "is a second cheap count scan broadcast as one row; no shuffle " +
+        "join, no window") { p =>
+      count(p, "Scan parquet") == 2 && count(p, "Window") == 0 &&
+        !p.contains("SortMergeJoin") && p.contains("BroadcastNestedLoopJoin")
+    }
     audit("qa_ks_by_type",
       "the grouped drift gate: the two-pass span split (min/max scan " +
         "+ main scan — the eval_woe_iv extremes posture) then the " +

@@ -210,7 +210,10 @@ object ScaleRatios {
       // (orders histogram)
       "qa_ks_test",
       // r13 analytics batch 6b: per-type KS drift (events)
-      "qa_ks_by_type")
+      "qa_ks_by_type",
+      // r13 analytics batch 7: frequent 3-itemsets (lineitem×part
+      // baskets) and word burstiness VMR (documents)
+      "a_assoc_triples", "text_burstiness")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.{col, count, explode, lit, split}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Defining properties of the round-13 analytics batch on hand-built
@@ -341,6 +342,48 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     // s1 = {1,2}, s2 = {2,3}: sup at v=1 (or 2) = |1/2 − 0| = 1/2
     val half = runKs((1L, true), (2L, true), (2L, false), (3L, false))
     assert(half == ((2L, 2L, Some(500000L), false)))
+  }
+
+  test("assoc triples: in-row C(b,3) counts once per basket, the " +
+    "support floor filters, and confidence conditions on the ab pair") {
+    // baskets: {A,B,C} ×3, {A,B}, {A,B,C,D} (with a duplicate C that
+    // must count once) → ABC appears 4×, every D-triple once
+    val rows = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (2L, "C"),
+      (3L, "A"), (3L, "B"), (3L, "C"),
+      (4L, "A"), (4L, "B"),
+      (5L, "A"), (5L, "B"), (5L, "C"), (5L, "C"), (5L, "D"))
+    val got = AnalyticsQueries.assocTriplesBody(rows.toDF("o", "br"), 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getAs[Long]("triple_cnt"), r.getAs[Long]("pair_ab_cnt"),
+          r.getAs[Long]("n_baskets"), r.getAs[Long]("supp_micro"),
+          r.getAs[Long]("conf_ab_c_micro"))).toMap
+    // only ABC clears the floor: 4 of 5 baskets, AB pair in all 5
+    assert(got.keySet == Set(("A", "B", "C")))
+    assert(got(("A", "B", "C"))
+      == ((4L, 5L, 5L, 800000L, 800000L)))
+  }
+
+  test("burstiness: a constant word reads VMR 0, a one-doc burst " +
+    "reads (N·x−x)/x·… above 1, a scattered word reads below 1") {
+    // 4 docs: 'f' once everywhere; 'b' 4× in doc 1 only; 'p' once in
+    // two docs
+    val docs = Seq(
+      (1L, "f b b b b p"), (2L, "f p"), (3L, "f"), (4L, "f"))
+    val toks = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("x"))
+    val n = docs.toDF("doc_id", "text").agg(count(lit(1)).as("n_docs"))
+    val got = AnalyticsQueries.burstinessBody(toks, n)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_present"), r.getAs[Long]("sx"),
+          r.getAs[Long]("vmr_micro"))).toMap
+    assert(got("f") == ((4L, 4L, 0L)))        // constant → Poisson floor
+    assert(got("b") == ((1L, 4L, 3000000L)))  // (4·16−16)/(4·4) = 3
+    assert(got("p") == ((2L, 2L, 500000L)))   // (4·2−4)/(4·2) = 0.5
   }
 
   test("ks grouped: each group gets its own sup and decision — a " +
