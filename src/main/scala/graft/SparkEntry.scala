@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.AsOfJoin
-import graft.queries.{AnalyticsQueries, CorpusQueries, EventsQueries, ExtendedQueries, LlmQueries, MiningQueries, PipelineQueries, RelationalQueries, SamplingQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, CorpusQueries, DiversityQueries, EventsQueries, ExtendedQueries, LlmQueries, MiningQueries, PipelineQueries, RelationalQueries, SamplingQueries, StatsQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,11 +33,13 @@ object SparkEntry {
     RelationalQueries.queries ++ LlmQueries.queries ++ ExtendedQueries.queries ++
       CorpusQueries.queries ++ PipelineQueries.queries ++ SamplingQueries.queries ++
       EventsQueries.queries ++ TpchQueries.queries ++ MiningQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++ StatsQueries.queries ++
+      DiversityQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ LlmQueries.oracles ++ ExtendedQueries.oracles ++
       CorpusQueries.oracles ++ PipelineQueries.oracles ++ SamplingQueries.oracles ++
       EventsQueries.oracles ++ TpchQueries.oracles ++ MiningQueries.oracles ++
-      AnalyticsQueries.oracles
+      AnalyticsQueries.oracles ++ StatsQueries.oracles ++
+      DiversityQueries.oracles
 }

@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-13 corpus-diversity batch: the lexical-statistics readouts an
+  * LLM-data curator runs per stratum before trusting a mix — Chao1
+  * vocabulary-richness estimation (how much vocabulary haven't we
+  * seen?), distinct-n generation-diversity ratios (Li et al. NAACL'16
+  * — the standard repetition metric, here applied per source), and
+  * per-source Jensen–Shannon divergence against the rest of the corpus
+  * (the bounded, symmetric sibling of curate_split_kl: KL explodes on
+  * disjoint support, JSD stays in [0,1] bits — exactly the "how
+  * different is this source?" number a mixer weighs). Reference scope:
+  * slipstream's pipe vocabulary (slipstream/core.py:244-255) has no
+  * corpus-statistics story; formulas follow Chao 1984 (bias-corrected
+  * form per Colwell 2012), Li et al. 2016, and Lin 1991.
+  *
+  * Scale posture (every query):
+  * - text_vocab_chao1: ONE token shuffle into (lang, word, count)
+  *   cells (map-side combined), then a per-lang fold over the cell
+  *   table — abundance classes (f₁, f₂) are exact integers, the Chao1
+  *   correction is ONE exact integer division.
+  * - text_distinct_ngrams: unigram and bigram cells build from the
+  *   same single tokenization pass (bigrams via an IN-ROW array HOF —
+  *   never a self-join); distinct/total reduce per source with
+  *   map-side combine; ratios are exact integer divisions.
+  * - text_js_divergence: ONE token shuffle into the pinned
+  *   (source, word) cells; corpus word totals re-aggregate FROM the
+  *   pin (one vocab-bounded shuffle on word — never a corpus re-scan)
+  *   and join back on word; per-source token totals broadcast. Each
+  *   word's two JSD terms are fixed-order micro-floored doubles (the
+  *   a_mutual_info ln-parity posture) over exact cross-multiplied
+  *   DECIMAL(38) ratios, so per-source JSD is an exact integer sum.
+  */
+object DiversityQueries {
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Chao1 species-richness estimate of each language's vocabulary
+    // (Chao 1984): observed vocabulary V plus the f₁(f₁−1)/(2(f₂+1))
+    // correction from the singleton/doubleton abundance classes — the
+    // bias-corrected form that stays defined at f₂ = 0. The number a
+    // curator reads as "this stratum's vocabulary is ~X% unseen" when
+    // sizing how much more of a source to crawl. Exact: V, f₁, f₂ are
+    // integers off one token shuffle; the correction is ONE integer
+    // division in micro. See chao1Body.
+    "text_vocab_chao1" -> ((s, dir) =>
+      chao1Body(tokens(s, dir).groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("c")))),
+
+    // Distinct-n diversity per source (Li et al. 2016): distinct
+    // unigrams / total unigrams and distinct bigrams / total bigrams —
+    // low distinct-2 is the canonical template/boilerplate signature
+    // that survives exact dedup. Bigrams build IN-ROW from the token
+    // array (a per-doc HOF — the corpus never self-joins); both ratios
+    // are exact integer micro divisions. See distinctNgramsBody.
+    "text_distinct_ngrams" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("toks"))
+      val uni = docs.select(col("source"), explode(col("toks")).as("g"))
+      val bi = docs
+        .select(col("source"), explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), " +
+            "(x, i) -> concat(x, ' ', toks[i + 1]))")).as("g"))
+      distinctNgramsBody(uni, bi)
+    }),
+
+    // Per-source Jensen–Shannon divergence (Lin 1991) between the
+    // source's unigram distribution and the REST of the corpus — the
+    // mixer's "how different is this source?" in [0,1] bits, immune to
+    // the disjoint-support blowup that makes raw KL unusable across
+    // real sources. Per word, both ratio arguments cross-multiply to
+    // exact DECIMAL(38) integer ratios (2aN_B/(aN_B+bN_A)); each of
+    // the two terms takes ONE fixed-order micro-floored double, so the
+    // per-source sum is exact. One-sided words: source-only words flow
+    // through the same formula (their q-term is 0); rest-only words —
+    // which per-source cells cannot see — contribute in closed form
+    // (each is exactly q/2·log₂2), ONE exact integer division. See
+    // jsdBody.
+    "text_js_divergence" -> ((s, dir) =>
+      jsdBody(tokens(s, dir).groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))))
+  )
+
+  /** Chao1 over (lang, w, c) vocabulary cells — see text_vocab_chao1.
+    * One fold: V = count, f₁/f₂ = abundance-class counts,
+    * chao1_micro = V·10⁶ + f₁(f₁−1)·10⁶ div 2(f₂+1). */
+  private[graft] def chao1Body(cells: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    cells
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("v_obs"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_micro",
+        col("v_obs").cast(dec) * lit(1000000) +
+          expr("CAST((CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000) div " +
+            "(2 * (f2 + 1)) AS DECIMAL(38,0))"))
+      .select(col("lang"), col("n_tokens"), col("v_obs"), col("f1"),
+        col("f2"), expr("CAST(chao1_micro AS BIGINT)").as("chao1_micro"))
+  }
+
+  /** Distinct-n ratios over per-source unigram and bigram streams
+    * (source, g) — see text_distinct_ngrams. Each stream shuffles once
+    * into (source, gram, count) cells; distinct = cell count, total =
+    * Σ count; ratios are exact micro divisions. A source with no
+    * bigrams (all single-token docs) reads NULL, not a zero-division.
+    */
+  private[graft] def distinctNgramsBody(
+      uni: DataFrame, bi: DataFrame): DataFrame = {
+    def stats(g: DataFrame, n: String) =
+      g.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as(s"distinct_$n"), sum(col("c")).as(s"total_$n"))
+    stats(uni, "1").join(stats(bi, "2"), Seq("source"), "left")
+      .select(col("source"), col("distinct_1"), col("total_1"),
+        coalesce(col("distinct_2"), lit(0L)).as("distinct_2"),
+        coalesce(col("total_2"), lit(0L)).as("total_2"),
+        expr("(distinct_1 * 1000000) div total_1").as("d1_micro"),
+        when(coalesce(col("total_2"), lit(0L)) === 0L,
+          lit(null).cast("long"))
+          .otherwise(expr("(distinct_2 * 1000000) div total_2"))
+          .as("d2_micro"))
+  }
+
+  /** Per-source JSD vs rest-of-corpus over (source, w, c) cells — see
+    * text_js_divergence. The pin feeds BOTH the per-word corpus totals
+    * (vocab-bounded shuffle) and the per-source token totals
+    * (broadcast); a source covering the whole corpus (rest empty)
+    * reads NULL. */
+  private[graft] def jsdBody(cellsIn: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ln2 = 0.6931471805599453
+    val cells = cellsIn.localCheckpoint(eager = true) // totals + terms
+    val wordTot = cells.groupBy(col("w")).agg(sum(col("c")).as("tot"))
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("c")).as("na"))
+    val allTot = cells.agg(sum(col("c")).as("nt"))
+    cells
+      .join(wordTot, "w")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(allTot))
+      .withColumn("b", col("tot") - col("c"))   // rest-of-corpus count
+      .withColumn("nb", col("nt") - col("na"))  // rest-of-corpus total
+      // exact cross-multiplied ratio arguments: pa/m = 2aN_B/(aN_B+bN_A),
+      // qb/m = 2bN_A/(aN_B+bN_A); the mix denominator is shared
+      .withColumn("mden", (col("c").cast(dec) * col("nb") +
+        col("b").cast(dec) * col("na")).cast(dec))
+      // nb = 0 (a source holding the whole corpus) zeroes both terms:
+      // the group reads NULL downstream anyway, and under ANSI even
+      // the DOUBLE division by its mden = 0 would throw
+      .withColumn("term_p",
+        when(col("nb") === 0L, lit(0L))
+          .otherwise(floor(col("c").cast("double") / col("na").cast("double") *
+            log((lit(2).cast(dec) * col("c") * col("nb")).cast("double") /
+              col("mden").cast("double")) / lit(ln2) *
+            lit(500000.0) + lit(0.5)).cast("long")))
+      .withColumn("term_q",
+        when(col("b") === 0L || col("nb") === 0L, lit(0L))
+          .otherwise(floor(col("b").cast("double") / col("nb").cast("double") *
+            log((lit(2).cast(dec) * col("b") * col("na")).cast("double") /
+              col("mden").cast("double")) / lit(ln2) *
+            lit(500000.0) + lit(0.5)).cast("long")))
+      .groupBy(col("source"))
+      .agg(max(col("na")).as("n_tokens"), max(col("nb")).as("n_rest"),
+        sum(col("b")).as("b_cov"),
+        sum(col("term_p") + col("term_q")).as("jsd_part"))
+      // words ABSENT from the source (a = 0, b > 0) contribute exactly
+      // ½·q·log₂2 = q/2 each — their total is the CLOSED FORM
+      // (N_B − Σ_present b)/(2·N_B), one exact integer division (the
+      // union-of-supports mass the per-cell sum cannot see)
+      .select(col("source"), col("n_tokens"),
+        when(col("n_rest") === 0L, lit(null).cast("long"))
+          .otherwise(col("jsd_part") +
+            // greatest() keeps ANSI div happy on the n_rest = 0 row the
+            // when() already routes to NULL (CaseWhen branch pruning is
+            // not guaranteed under codegen)
+            expr("((n_rest - b_cov) * 500000) div greatest(n_rest, 1)"))
+          .as("jsd_bits_micro"))
+  }
+
+  def oracles: Map[String, String] = Map(
+
+    // same vocabulary cells, same abundance classes, same exact
+    // correction division
+    "text_vocab_chao1" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |FROM documents),
+        |c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM t GROUP BY 1, 2),
+        |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS v_obs,
+        |CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |FROM c GROUP BY 1)
+        |SELECT lang, n_tokens, v_obs, f1, f2,
+        |CAST(CAST(v_obs AS HUGEINT) * 1000000 +
+        |(CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000) // (2 * (f2 + 1))
+        |AS BIGINT) AS chao1_micro
+        |FROM a""".stripMargin,
+
+    // same in-row bigram construction, same cell folds, same exact
+    // ratio divisions
+    "text_distinct_ngrams" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS toks
+        |FROM documents),
+        |u AS (SELECT source, unnest(toks) AS g FROM d),
+        |b AS (SELECT source, unnest(list_transform(
+        |range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS g
+        |FROM d),
+        |su AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS distinct_1,
+        |CAST(SUM(c) AS BIGINT) AS total_1 FROM
+        |(SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM u GROUP BY 1, 2) GROUP BY 1),
+        |sb AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS distinct_2,
+        |CAST(SUM(c) AS BIGINT) AS total_2 FROM
+        |(SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM b GROUP BY 1, 2) GROUP BY 1)
+        |SELECT su.source, distinct_1, total_1,
+        |COALESCE(distinct_2, 0) AS distinct_2,
+        |COALESCE(total_2, 0) AS total_2,
+        |(distinct_1 * 1000000) // total_1 AS d1_micro,
+        |CASE WHEN COALESCE(total_2, 0) = 0 THEN NULL
+        |ELSE (distinct_2 * 1000000) // total_2 END AS d2_micro
+        |FROM su LEFT JOIN sb ON sb.source = su.source""".stripMargin,
+
+    // same pinned cells, same derived totals, same cross-multiplied
+    // ratio arguments, same fixed-order half-weighted micro floors
+    "text_js_divergence" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |FROM documents),
+        |c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM t GROUP BY 1, 2),
+        |wt AS (SELECT w, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS na
+        |FROM c GROUP BY 1),
+        |at AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM c),
+        |j AS (SELECT c.source, c.c, tot - c.c AS b, na, nt - na AS nb,
+        |CAST(c.c AS HUGEINT) * (nt - na) + CAST(tot - c.c AS HUGEINT) * na
+        |  AS mden
+        |FROM c JOIN wt ON wt.w = c.w JOIN st ON st.source = c.source
+        |CROSS JOIN at),
+        |k AS (SELECT source, na, nb,
+        |CASE WHEN nb = 0 THEN 0
+        |ELSE CAST(FLOOR(CAST(c AS DOUBLE) / CAST(na AS DOUBLE) *
+        |ln(CAST(CAST(2 AS HUGEINT) * c * nb AS DOUBLE) /
+        |CAST(mden AS DOUBLE)) / 0.6931471805599453
+        |* 500000.0 + 0.5) AS BIGINT) END AS term_p,
+        |CASE WHEN b = 0 OR nb = 0 THEN 0
+        |ELSE CAST(FLOOR(CAST(b AS DOUBLE) / CAST(nb AS DOUBLE) *
+        |ln(CAST(CAST(2 AS HUGEINT) * b * na AS DOUBLE) /
+        |CAST(mden AS DOUBLE)) / 0.6931471805599453
+        |* 500000.0 + 0.5) AS BIGINT) END AS term_q,
+        |b FROM j)
+        |SELECT source, MAX(na) AS n_tokens,
+        |CASE WHEN MAX(nb) = 0 THEN NULL
+        |ELSE CAST(SUM(term_p + term_q)
+        |+ ((MAX(nb) - SUM(b)) * 500000) // MAX(nb) AS BIGINT)
+        |END AS jsd_bits_micro
+        |FROM k GROUP BY 1""".stripMargin)
+}

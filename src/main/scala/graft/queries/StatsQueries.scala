@@ -1,0 +1,743 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import QueryPrimitives.oEvents
+
+/** Round-13 statistical-test batch: the remaining members of the
+  * drift/quality decision family the KS gate (qa_ks_test) opened —
+  * Population Stability Index (the banking-standard binned drift
+  * score), chi-square independence with Cramér's V (the categorical
+  * dependence gate a_mutual_info measures in bits but never DECIDES
+  * on), the tie-corrected Mann–Whitney rank z-gate (the
+  * location-shift complement of KS's shape test, sharing eval_auc's
+  * exact doubled-rank machinery), and the exact Gini coefficient
+  * (the inequality readout a token-budget mixer runs per stratum
+  * before trusting a "balanced" mix). Reference scope: slipstream's
+  * pipe vocabulary (slipstream/core.py:244-255) has no statistics
+  * story; these follow the published formulas (PSI per Siddiqi 2006;
+  * Pearson 1900 / Cramér 1946; Mann & Whitney 1947 with the standard
+  * tie-corrected normal approximation; Gini via the rank identity
+  * G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)).
+  *
+  * Scale posture (every query):
+  * - qa_psi: the qa_ks_by_type two-pass shape — a 1-row global
+  *   midpoint split broadcast into the main scan, then ONE corpus
+  *   shuffle into the PINNED per-(type, cents) histogram; extremes,
+  *   bins, margins, and every PSI term derive from the pin
+  *   (control-plane — the corpus is never re-read).
+  * - qa_chi2_test: ONE map-side-combined corpus shuffle into the
+  *   pinned O(|X|·|Y|) cell table (the kappaBody posture); margins
+  *   and the FULL grid (absent cells carry expected counts too —
+  *   dropping them understates χ²) derive from the pin and broadcast.
+  * - qa_mwu_test: the ksBody posture — ONE corpus shuffle into the
+  *   bounded whole-dollar histogram; the rank window runs over one
+  *   row per distinct value (never raw rows); the z reduction is
+  *   control-plane.
+  * - a_gini: the a_median bounded-histogram posture per nation — the
+  *   rank identity needs each value's rank-sum, which the cents
+  *   histogram yields exactly as v·(2·f·cumBefore + f·(f+1)) without
+  *   ever materializing per-row ranks.
+  */
+object StatsQueries {
+
+  /** PSI bin count — 10 is the industry-standard decile binning
+    * (Siddiqi 2006), and the 0.2 alarm threshold below is calibrated
+    * to it. */
+  private val PSI_BINS = 10
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Population Stability Index per event type between the first and
+    // second half of the observed day span (the events_did midpoint
+    // split qa_ks_by_type uses): PSI = Σ_bins (p₁−p₂)·ln(p₁/p₂) over
+    // 10 equi-width value bins, each term ≥ 0 by construction (the
+    // difference and the log-ratio share sign). p₁−p₂ cross-multiplies
+    // to exact integers ((b₁·n₂ − b₂·n₁)/(n₁·n₂), DECIMAL(38) — b·n
+    // crosses 2⁶³ at ~3·10⁹ rows per side) and each bin term takes ONE
+    // fixed-order micro-floor (the a_mutual_info ln-parity posture),
+    // so the per-type PSI is an exact integer sum. Zero-count bins are
+    // REPORTED (n_degenerate), not ln(0)-crashed or ε-fudged: the
+    // textbook ε makes PSI depend on an arbitrary constant, and a bin
+    // emptying out entirely is itself the drift signal. Alarm at the
+    // standard 0.2. Under the true-null parity split the expected
+    // reading is no-alarm — the operator under test is the exact
+    // binned-divergence machinery. See psiBody.
+    "qa_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          datediff(to_date(date_trunc("day", col("ts"))),
+            lit("1970-01-01").cast("date")).cast("long").as("x"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"))
+      val split = ev.agg(expr("(min(x) + max(x) + 1) div 2").as("split"))
+      psiBody(ev.crossJoin(broadcast(split))
+        .select(col("grp"), col("v"), (col("x") < col("split")).as("g")),
+        PSI_BINS)
+    }),
+
+    // Chi-square test of independence (Pearson 1900) between market
+    // segment and nation, with Cramér's V (the [0,1] effect size that
+    // makes χ² comparable across table shapes): χ² = Σ (n−e)²/e over
+    // the FULL R×C grid — absent cells enter with n = 0 and their
+    // full expected count (dropping them understates χ²). Each cell's
+    // deviation n·N − r·c is exact DECIMAL(38) (n·N crosses 2⁶³ at
+    // ~3·10⁹ rows); the term's square/denominator take ONE fixed-order
+    // double micro-floor each (left-associated products — the
+    // denominator n·r·c crosses even DECIMAL(38) at warehouse N), so
+    // χ² is an exact integer sum of deterministic longs. The expected
+    // reading on the synthetic catalog is independence (V ≈ 0) — the
+    // operator under test is the exact grid/margin machinery.
+    // See chi2Body.
+    "qa_chi2_test" -> ((s, dir) =>
+      chi2Body(Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("a"), col("c_nationkey").as("b")))),
+
+    // Tie-corrected Mann–Whitney z-gate (Mann & Whitney 1947) on the
+    // SAME whole-dollar histogram and true-null parity split as
+    // qa_ks_test — KS rejects on any shape difference, MWU targets the
+    // location shift a drifting pipeline shows first. Doubled ranks
+    // keep the midrank algebra exact (2·R₁ = Σ b₁·(2·cumBefore + t + 1)
+    // — integers, no halves); the tie term Σ(t³−t) is exact DECIMAL(38)
+    // (crosses at ~7·10¹² rows on one value); only the terminal
+    // z = (2U − n₁n₂)/√Var(2U) takes the ONE fixed-order micro-floored
+    // sqrt. A single-valued corpus has zero variance and reads NULL,
+    // never a division error. Rejection at |z| > 1.96 (α = 0.05
+    // two-sided). See mwuBody.
+    "qa_mwu_test" -> ((s, dir) =>
+      mwuBody(Tables.orders(s, dir)
+        .select(
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) div 100")
+            .as("v"),
+          (col("o_orderkey") % 2 === 0).as("g")))),
+
+    // Kendall's tau-b (Kendall 1938, tau-b tie correction per Kendall
+    // 1945) between order quantity and line number — the rank
+    // correlation that never computes a rank: on the bounded
+    // (quantity, linenumber) cell grid, concordant/discordant pair
+    // counts are ONE strict-dominance self-join over O(cells²)
+    // control-plane rows (n_a·n_b products in DECIMAL(38) — exact),
+    // tie terms come off the marginals, and only the terminal
+    // tau = (C−D)/√((T₀−T_x)(T₀−T_y)) takes the ONE fixed-order
+    // micro-floored sqrt. The expected reading on independent columns
+    // is ≈ 0 — the operator under test is the exact dominance/tie
+    // machinery. See kendallBody.
+    "a_kendall_tau" -> ((s, dir) =>
+      kendallBody(Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("x"),
+          col("l_linenumber").cast("long").as("y")))),
+
+    // Spearman's rho over the same bounded pair grid — Pearson on
+    // midranks, with DOUBLED midranks off the marginal histograms
+    // (2·rank = 2·cumBefore + t + 1 — integers, no halves; the
+    // doubling cancels in the correlation). The moment sums are exact
+    // DECIMAL(38) (Σn·R²x crosses at ~3·10¹² rows — the a_moments
+    // crossing class, documented); the final correlation is the
+    // fixed-order double the events_xcorr posture uses. See
+    // spearmanBody.
+    "a_spearman" -> ((s, dir) =>
+      spearmanBody(Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("x"),
+          col("l_linenumber").cast("long").as("y")))),
+
+    // Average precision (the area under the precision-recall curve by
+    // the standard step convention) per event type, on the SAME scored
+    // frame as eval_auc — AUC answers "do positives outrank
+    // negatives?", AP answers the class-imbalance question "how pure
+    // is the top of the ranking?". Descending the bounded score
+    // histogram, each distinct score contributes
+    // (pos_v/P)·(cumPos/cumAll) — an exact rational, term-wise
+    // micro-floored (ONE integer division each, DECIMAL(38) — pos·cum
+    // crosses 2⁶³ at ~3·10⁹ rows per class), so AP is an exact integer
+    // sum. Ties: the whole tied block enters at the block's trailing
+    // precision (the conservative lower-step convention; the scaladoc
+    // on prAucBody states it). See prAucBody.
+    "eval_pr_auc" -> ((s, dir) =>
+      prAucBody(Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"),
+          (col("user_id") % 2 === 1).as("y")))),
+
+    // Expected Calibration Error (Naeini et al. AAAI'15) of the
+    // min-max-normalized value score against the parity label, per
+    // event type — the eval that asks not "does the score rank well?"
+    // (AUC) but "do its VALUES mean what they say?". Entirely exact
+    // integers: with s = (v−mn)/W the per-bin gap
+    // (n_b/N)·|acc_b − conf_b| reduces to |pos_b·W − Σ(v−mn)| ·10⁶
+    // div (N·W) — one integer division per bin (pos·W crosses 2⁶³ at
+    // ~10¹² rows·cents), no float anywhere. See eceBody.
+    "eval_ece" -> ((s, dir) =>
+      eceBody(Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"),
+          (col("user_id") % 2 === 1).as("y")), PSI_BINS)),
+
+    // Exact Gini coefficient of non-negative customer account balances
+    // per nation — the inequality readout behind every "is this mix
+    // balanced?" decision. The rank identity
+    // G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) never materializes per-row
+    // ranks: on the bounded cents histogram each value's doubled
+    // rank-sum is v·(2·f·cumBefore + f·(f+1)) — exact integers (tie
+    // order provably cancels: equal values contribute the same x at
+    // any rank permutation), ONE DECIMAL(38) division, numerator
+    // non-negative because the ranking sorts ascending. sum_cents
+    // reports through BIGINT (crosses 2⁶³ at ~9·10¹⁴ dollars a
+    // nation). See giniBody.
+    "a_gini" -> ((s, dir) =>
+      giniBody(Tables.customer(s, dir)
+        .where(col("c_acctbal") >= 0.0)
+        .select(col("c_nationkey").as("nat"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+            .as("v")))))
+
+  /** PSI over a (grp, v = bounded integer, g = first-half flag) frame
+    * — see the qa_psi entry. ONE corpus shuffle into the pinned
+    * per-(grp, v) histogram; extremes, equi-width bins, margins, and
+    * terms all derive from the pin (re-deriving extremes from raw rows
+    * would scan the corpus twice for no precision gain). */
+  private[graft] def psiBody(vals: DataFrame, nBins: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hist = vals.groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g"), 0L).otherwise(1L)).as("c2"))
+      .localCheckpoint(eager = true) // feeds extremes AND bins
+    val ext = hist.groupBy(col("grp"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val bins = hist.join(broadcast(ext), "grp")
+      .withColumn("bin", least(lit(nBins - 1).cast("long"),
+        expr(s"((v - mn) * $nBins) div (mx - mn + 1)")))
+      .groupBy(col("grp"), col("bin"))
+      .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bins
+      .withColumn("n1", sum(col("b1")).over(wAll))
+      .withColumn("n2", sum(col("b2")).over(wAll))
+      .withColumn("term",
+        when(col("b1") === 0L || col("b2") === 0L, lit(null).cast("long"))
+          .otherwise(floor(
+            (col("b1").cast(dec) * col("n2") - col("b2").cast(dec) * col("n1"))
+              .cast("double") /
+              (col("n1").cast(dec) * col("n2")).cast("double") *
+              log((col("b1").cast(dec) * col("n2")).cast("double") /
+                (col("b2").cast(dec) * col("n1")).cast("double")) *
+              lit(1000000.0) + lit(0.5)).cast("long")))
+      .groupBy(col("grp"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        count(lit(1)).as("n_bins"),
+        sum(when(col("term").isNull, 1L).otherwise(0L)).as("n_degenerate"),
+        sum(col("term")).as("psi_micro"))
+      .withColumn("alarm", col("psi_micro") > lit(200000L))
+  }
+
+  /** Chi-square independence + Cramér's V over an (a, b) categorical
+    * pair frame — see the qa_chi2_test entry. The corpus shuffles ONCE
+    * into the pinned O(|a|·|b|) cell table; margins cross-join into
+    * the FULL grid (absent cells score their whole expected count);
+    * the reduction is control-plane. */
+  private[graft] def chi2Body(pairs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cell = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // feeds margins, total, AND the grid
+    val rs = cell.groupBy(col("a")).agg(sum(col("n")).as("r"))
+    val cs = cell.groupBy(col("b")).agg(sum(col("n")).as("c"))
+    val tot = cell.agg(sum(col("n")).as("nt"))
+    rs.crossJoin(broadcast(cs))
+      .join(broadcast(cell), Seq("a", "b"), "left")
+      .withColumn("n0", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("d",
+        (col("n0").cast(dec) * col("nt") - col("r").cast(dec) * col("c"))
+          .cast(dec))
+      .withColumn("term",
+        floor(col("d").cast("double") * col("d").cast("double") /
+          (col("nt").cast("double") * col("r").cast("double") *
+            col("c").cast("double")) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy()
+      .agg(count_distinct(col("a")).as("r_levels"),
+        count_distinct(col("b")).as("c_levels"),
+        max(col("nt")).as("n_total"),
+        sum(col("term")).as("chi2_micro"))
+      .select(col("r_levels"), col("c_levels"), col("n_total"),
+        ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
+        col("chi2_micro"),
+        when(least(col("r_levels"), col("c_levels")) <= 1L,
+          lit(null).cast("long"))
+          .otherwise(floor(
+            sqrt(col("chi2_micro").cast("double") / lit(1000000.0) /
+              (col("n_total").cast("double") *
+                (least(col("r_levels"), col("c_levels")) - 1)
+                  .cast("double"))) *
+              lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("cramers_v_micro"))
+  }
+
+  /** Tie-corrected Mann–Whitney normal-approximation gate over a
+    * (v = bounded integer, g = sample flag) frame — see the
+    * qa_mwu_test entry. The ksBody posture: one corpus shuffle into
+    * the bounded histogram, the rank window over one row per distinct
+    * value, a control-plane z reduction. */
+  private[graft] def mwuBody(vals: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hist = vals.groupBy(col("v"))
+      .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g"), 0L).otherwise(1L)).as("c2"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("t", col("c1") + col("c2"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      // doubled rank-sum of sample 1 at this value: midranks are
+      // cumBefore + (t+1)/2, so 2·Σranks = b₁·(2·cumBefore + t + 1)
+      .withColumn("r2sum", col("c1").cast(dec) *
+        (lit(2) * (col("cum") - col("t")) + col("t") + 1))
+      .withColumn("tie",
+        (col("t").cast(dec) * col("t") * col("t") - col("t")).cast(dec))
+      .groupBy()
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        count(lit(1)).as("n_vals"),
+        sum(col("r2sum")).cast(dec).as("r2"),
+        sum(col("tie")).cast(dec).as("ties"))
+      .withColumn("n", col("n1") + col("n2"))
+      // 2U₁ = 2R₁ − n₁(n₁+1); E[2U₁] = n₁n₂ — dev2 is exact and signed
+      .withColumn("dev2",
+        (col("r2") - col("n1").cast(dec) * (col("n1") + 1) -
+          col("n1").cast(dec) * col("n2")).cast(dec))
+      // Var(2U) = n₁n₂/3 · [(n+1) − Σ(t³−t)/(n(n−1))] — fixed-order
+      // double (the exact rational crosses DECIMAL(38) at warehouse N)
+      .withColumn("var2",
+        col("n1").cast(dec).cast("double") * col("n2").cast("double") /
+          lit(3.0) *
+          ((col("n") + 1).cast("double") -
+            col("ties").cast("double") /
+              (col("n").cast(dec) * (col("n") - 1)).cast("double")))
+      .select(col("n1"), col("n2"),
+        when(col("n1") === 0L || col("n2") === 0L || col("n_vals") === 1L,
+          lit(null).cast("long"))
+          .otherwise(floor(col("dev2").cast("double") / sqrt(col("var2")) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("z_micro"))
+      .withColumn("reject", abs(col("z_micro")) > lit(1960000L))
+  }
+
+  /** Exact Gini per group over a (nat, v = non-negative integer)
+    * frame — see the a_gini entry. The bounded-histogram rank
+    * identity: at value v with frequency f and cumBefore rows below,
+    * the doubled rank-sum contribution is v·(2·f·cumBefore + f·(f+1)),
+    * so G = (S − (n+1)·Σx)/(n·Σx) with S = Σ of those terms — all
+    * exact DECIMAL(38), one division. Empty groups never reach the
+    * output; an all-zero group (Σx = 0) reads NULL (Gini of nothing
+    * owned is undefined, not 0). */
+  private[graft] def giniBody(vals: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hist = vals.groupBy(col("nat"), col("v")).agg(count(lit(1)).as("f"))
+    val wCum = Window.partitionBy(col("nat")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("f")).over(wCum))
+      .withColumn("s2", col("v").cast(dec) *
+        (lit(2) * col("f").cast(dec) * (col("cum") - col("f")) +
+          col("f").cast(dec) * (col("f") + 1)))
+      .withColumn("sx", (col("v").cast(dec) * col("f")).cast(dec))
+      .groupBy(col("nat"))
+      .agg(sum(col("f")).as("n"), sum(col("sx")).cast(dec).as("sumv"),
+        sum(col("s2")).cast(dec).as("s2"))
+      .select(col("nat"), col("n"),
+        expr("CAST(sumv AS BIGINT)").as("sum_cents"),
+        when(col("sumv") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(((s2 - (n + 1) * sumv) * 1000000) div " +
+            "(CAST(n AS DECIMAL(38,0)) * sumv) AS BIGINT)"))
+          .as("gini_micro"))
+  }
+
+  /** Kendall tau-b over an (x, y) bounded-domain integer pair frame —
+    * see the a_kendall_tau entry. ONE corpus shuffle into the pinned
+    * cell grid; the strict-dominance self-join runs on O(cells²)
+    * control-plane rows (never corpus pairs); tie terms come off the
+    * marginals of the pin. An all-tied axis (every pair tied on x or
+    * on y) has an empty denominator factor and reads NULL. */
+  private[graft] def kendallBody(pairs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cell = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // feeds dominance join + marginals
+    val a = cell.select(col("x").as("xa"), col("y").as("ya"),
+      col("n").as("na"))
+    val b = cell.select(col("x").as("xb"), col("y").as("yb"),
+      col("n").as("nb"))
+    val cd = a.join(broadcast(b),
+        col("xb") > col("xa") && col("yb") =!= col("ya"))
+      .agg(
+        coalesce(sum(when(col("yb") > col("ya"),
+          col("na").cast(dec) * col("nb"))), lit(0).cast(dec)).as("conc"),
+        coalesce(sum(when(col("yb") < col("ya"),
+          col("na").cast(dec) * col("nb"))), lit(0).cast(dec)).as("disc"))
+    val mx = cell.groupBy(col("x")).agg(sum(col("n")).as("t"))
+      .agg(sum(col("t").cast(dec) * (col("t") - 1)).cast(dec).as("dx"))
+    val my = cell.groupBy(col("y")).agg(sum(col("n")).as("t"))
+      .agg(sum(col("t").cast(dec) * (col("t") - 1)).cast(dec).as("dy"))
+    cell.agg(sum(col("n")).as("n"))
+      .crossJoin(broadcast(cd))
+      .crossJoin(broadcast(mx))
+      .crossJoin(broadcast(my))
+      .withColumn("d0", (col("n").cast(dec) * (col("n") - 1)).cast(dec))
+      .select(col("n"),
+        when(col("n") <= 1L || col("d0") === col("dx") ||
+          col("d0") === col("dy"), lit(null).cast("long"))
+          .otherwise(floor(
+            ((col("conc") - col("disc")) * 2).cast("double") /
+              sqrt((col("d0") - col("dx")).cast("double") *
+                (col("d0") - col("dy")).cast("double")) *
+              lit(1000000.0) + lit(0.5)).cast("long")).as("tau_micro"))
+  }
+
+  /** Spearman rho over the same (x, y) frame — see the a_spearman
+    * entry. Doubled midranks come off the two marginal histograms of
+    * the pinned cell grid (a window over O(distinct x) rows each); the
+    * five moment sums are one fold over the cells; the correlation is
+    * the events_xcorr fixed-order double. A constant axis (zero rank
+    * variance) reads NULL. */
+  private[graft] def spearmanBody(pairs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cell = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // feeds both marginals + the fold
+    def ranks(k: String) = {
+      val wCum = Window.orderBy(col(k))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cell.groupBy(col(k)).agg(sum(col("n")).as("t"))
+        .withColumn("cum", sum(col("t")).over(wCum))
+        .select(col(k),
+          (lit(2) * (col("cum") - col("t")) + col("t") + 1).as(s"r_$k"))
+    }
+    cell
+      .join(broadcast(ranks("x")), "x")
+      .join(broadcast(ranks("y")), "y")
+      .agg(sum(col("n")).as("nt"),
+        sum(col("n").cast(dec) * col("r_x")).cast(dec).as("sx"),
+        sum(col("n").cast(dec) * col("r_y")).cast(dec).as("sy"),
+        sum(col("n").cast(dec) * col("r_x") * col("r_x")).cast(dec).as("sxx"),
+        sum(col("n").cast(dec) * col("r_y") * col("r_y")).cast(dec).as("syy"),
+        sum(col("n").cast(dec) * col("r_x") * col("r_y")).cast(dec).as("sxy"))
+      .withColumn("num", (col("nt").cast(dec) * col("sxy") -
+        col("sx") * col("sy")).cast(dec))
+      .withColumn("da", (col("nt").cast(dec) * col("sxx") -
+        col("sx") * col("sx")).cast(dec))
+      .withColumn("db", (col("nt").cast(dec) * col("syy") -
+        col("sy") * col("sy")).cast(dec))
+      .select(col("nt").as("n"),
+        when(col("da") === 0 || col("db") === 0, lit(null).cast("long"))
+          .otherwise(floor(col("num").cast("double") /
+            sqrt(col("da").cast("double") * col("db").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("rho_micro"))
+  }
+
+  /** Average precision per group over a (event_type, v = integer
+    * score, y = positive flag) frame — see the eval_pr_auc entry.
+    * Lower-step tie convention: every row of a tied score block scores
+    * the block's TRAILING precision (cumPos/cumAll including the whole
+    * block) — the conservative choice, stated here because interp
+    * conventions differ across libraries. The descending window runs
+    * over the bounded histogram (the aucFromHist posture). */
+  private[graft] def prAucBody(scored: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hist = scored.groupBy(col("event_type"), col("v"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("neg"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cumpos", sum(col("pos")).over(wCum))
+      .withColumn("cumall", sum(col("pos") + col("neg")).over(wCum))
+      .withColumn("ptot", sum(col("pos")).over(wAll))
+      .withColumn("term",
+        when(col("ptot") === 0L || col("pos") === 0L, lit(0L))
+          .otherwise(expr("CAST((CAST(pos AS DECIMAL(38,0)) * cumpos " +
+            "* 1000000) div (CAST(ptot AS DECIMAL(38,0)) * cumall) " +
+            "AS BIGINT)")))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("term")).as("ap"))
+      .select(col("event_type"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L, lit(null).cast("long"))
+          .otherwise(col("ap")).as("ap_micro"))
+  }
+
+  /** Expected Calibration Error per group over a (event_type, v, y)
+    * frame with nBins equi-width bins — see the eval_ece entry. The
+    * qa_psi pin/derive shape; every per-bin gap is ONE exact integer
+    * division (no float anywhere in ECE itself). */
+  private[graft] def eceBody(scored: DataFrame, nBins: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hist = scored.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      .localCheckpoint(eager = true) // feeds extremes AND bins
+    val ext = hist.groupBy(col("event_type"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val bins = hist.join(broadcast(ext), "event_type")
+      .withColumn("w", col("mx") - col("mn") + 1)
+      .withColumn("bin", least(lit(nBins - 1).cast("long"),
+        expr(s"((v - mn) * $nBins) div w")))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("n")).as("nb"), sum(col("pos")).as("posb"),
+        sum((col("v") - col("mn")).cast(dec) * col("n")).cast(dec).as("sd"),
+        max(col("w")).as("w"))
+    val wAll = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bins
+      .withColumn("nt", sum(col("nb")).over(wAll))
+      .withColumn("term",
+        expr("CAST((abs(CAST(posb AS DECIMAL(38,0)) * w - sd) * 1000000) " +
+          "div (CAST(nt AS DECIMAL(38,0)) * w) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(max(col("nt")).as("n"), count(lit(1)).as("n_bins"),
+        sum(col("term")).as("ece_micro"))
+  }
+
+  def oracles: Map[String, String] = Map(
+
+    // same midpoint split, same pinned per-type histogram, same
+    // derived extremes/bins/margins, same fixed-order ln micro floors
+    "qa_psi" ->
+      s"""WITH e AS (SELECT event_type AS grp,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |sp AS (SELECT (MIN(x) + MAX(x) + 1) // 2 AS split FROM e),
+         |s AS (SELECT grp, v, x < split AS g FROM e CROSS JOIN sp),
+         |h AS (SELECT grp, v,
+         |CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |FROM s GROUP BY 1, 2),
+         |x AS (SELECT grp, MIN(v) AS mn, MAX(v) AS mx FROM h GROUP BY 1),
+         |b AS (SELECT h.grp,
+         |LEAST(CAST(${PSI_BINS - 1} AS BIGINT),
+         |((v - mn) * $PSI_BINS) // (mx - mn + 1)) AS bin,
+         |CAST(SUM(c1) AS BIGINT) AS b1, CAST(SUM(c2) AS BIGINT) AS b2
+         |FROM h JOIN x ON x.grp = h.grp GROUP BY 1, 2),
+         |m AS (SELECT *, CAST(SUM(b1) OVER (PARTITION BY grp) AS BIGINT) AS n1,
+         |CAST(SUM(b2) OVER (PARTITION BY grp) AS BIGINT) AS n2 FROM b),
+         |t AS (SELECT grp, n1, n2,
+         |CASE WHEN b1 = 0 OR b2 = 0 THEN NULL
+         |ELSE CAST(FLOOR(
+         |CAST(CAST(b1 AS HUGEINT) * n2 - CAST(b2 AS HUGEINT) * n1 AS DOUBLE)
+         |/ CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+         |* ln(CAST(CAST(b1 AS HUGEINT) * n2 AS DOUBLE)
+         |/ CAST(CAST(b2 AS HUGEINT) * n1 AS DOUBLE))
+         |* 1000000.0 + 0.5) AS BIGINT) END AS term FROM m)
+         |SELECT grp, MAX(n1) AS n1, MAX(n2) AS n2,
+         |CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |CAST(SUM(CASE WHEN term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_degenerate,
+         |CAST(SUM(term) AS BIGINT) AS psi_micro,
+         |CAST(SUM(term) AS BIGINT) > 200000 AS alarm
+         |FROM t GROUP BY 1""".stripMargin,
+
+    // same pinned cells, same FULL grid via the margin cross join,
+    // same exact DECIMAL deviation, same left-associated double
+    // denominator, same terminal sqrt for V
+    "qa_chi2_test" ->
+      """WITH cell AS (SELECT c_mktsegment AS a, c_nationkey AS b,
+        |CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2),
+        |rs AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cell GROUP BY 1),
+        |cs AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cell),
+        |g AS (SELECT rs.a, cs.b, r, c, COALESCE(cell.n, 0) AS n0, nt,
+        |CAST(COALESCE(cell.n, 0) AS HUGEINT) * nt
+        |- CAST(r AS HUGEINT) * c AS d
+        |FROM rs CROSS JOIN cs
+        |LEFT JOIN cell ON cell.a = rs.a AND cell.b = cs.b
+        |CROSS JOIN tot),
+        |t AS (SELECT a, b, nt,
+        |CAST(FLOOR(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) /
+        |(CAST(nt AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |* 1000000.0 + 0.5) AS BIGINT) AS term FROM g),
+        |f AS (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS r_levels,
+        |CAST(COUNT(DISTINCT b) AS BIGINT) AS c_levels,
+        |MAX(nt) AS n_total, CAST(SUM(term) AS BIGINT) AS chi2_micro FROM t)
+        |SELECT r_levels, c_levels, n_total,
+        |(r_levels - 1) * (c_levels - 1) AS dof, chi2_micro,
+        |CASE WHEN LEAST(r_levels, c_levels) <= 1 THEN NULL
+        |ELSE CAST(FLOOR(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0 /
+        |(CAST(n_total AS DOUBLE)
+        |* CAST(LEAST(r_levels, c_levels) - 1 AS DOUBLE)))
+        |* 1000000.0 + 0.5) AS BIGINT) END AS cramers_v_micro
+        |FROM f""".stripMargin,
+
+    // same whole-dollar histogram, same doubled midrank identity, same
+    // exact tie term, same ONE fixed-order z sqrt
+    "qa_mwu_test" ->
+      """WITH s AS (SELECT
+        |CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) // 100 AS v,
+        |o_orderkey % 2 = 0 AS g FROM orders),
+        |h AS (SELECT v,
+        |CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |FROM s GROUP BY 1),
+        |w AS (SELECT c1, c2, c1 + c2 AS t,
+        |CAST(SUM(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |AS BIGINT) AS cum FROM h),
+        |a AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |CAST(SUM(c2) AS BIGINT) AS n2,
+        |CAST(COUNT(*) AS BIGINT) AS n_vals,
+        |SUM(CAST(c1 AS HUGEINT) * (2 * (cum - t) + t + 1)) AS r2,
+        |SUM(CAST(t AS HUGEINT) * t * t - t) AS ties FROM w),
+        |z AS (SELECT n1, n2, n_vals, n1 + n2 AS n,
+        |r2 - CAST(n1 AS HUGEINT) * (n1 + 1) - CAST(n1 AS HUGEINT) * n2
+        |  AS dev2, ties FROM a),
+        |r AS (SELECT n1, n2,
+        |CASE WHEN n1 = 0 OR n2 = 0 OR n_vals = 1 THEN NULL
+        |ELSE CAST(FLOOR(CAST(dev2 AS DOUBLE) / sqrt(
+        |CAST(CAST(n1 AS HUGEINT) AS DOUBLE) * CAST(n2 AS DOUBLE) / 3.0 *
+        |(CAST(n + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+        |CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)))
+        |* 1000000.0 + 0.5) AS BIGINT) END AS z_micro FROM z)
+        |SELECT n1, n2, z_micro, abs(z_micro) > 1960000 AS reject
+        |FROM r""".stripMargin,
+
+    // same cents histogram, same doubled rank-sum identity, same
+    // single HUGEINT division
+    "a_gini" ->
+      """WITH s AS (SELECT c_nationkey AS nat,
+        |CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS v
+        |FROM customer WHERE c_acctbal >= 0.0),
+        |h AS (SELECT nat, v, CAST(COUNT(*) AS BIGINT) AS f
+        |FROM s GROUP BY 1, 2),
+        |w AS (SELECT nat, v, f,
+        |CAST(SUM(f) OVER (PARTITION BY nat ORDER BY v
+        |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+        |a AS (SELECT nat, CAST(SUM(f) AS BIGINT) AS n,
+        |SUM(CAST(v AS HUGEINT) * f) AS sumv,
+        |SUM(CAST(v AS HUGEINT) *
+        |(2 * CAST(f AS HUGEINT) * (cum - f) + CAST(f AS HUGEINT) * (f + 1)))
+        |  AS s2
+        |FROM w GROUP BY 1)
+        |SELECT nat, n, CAST(sumv AS BIGINT) AS sum_cents,
+        |CASE WHEN sumv = 0 THEN NULL
+        |ELSE CAST(((s2 - (n + 1) * sumv) * 1000000) //
+        |(CAST(n AS HUGEINT) * sumv) AS BIGINT) END AS gini_micro
+        |FROM a""".stripMargin,
+
+    // same pinned cell grid, same strict-dominance pair counting, same
+    // marginal tie terms, same ONE fixed-order sqrt
+    "a_kendall_tau" ->
+      """WITH p AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |CAST(l_linenumber AS BIGINT) AS y FROM lineitem),
+        |c AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2),
+        |cd AS (SELECT
+        |COALESCE(SUM(CASE WHEN b.y > a.y
+        |THEN CAST(a.n AS HUGEINT) * b.n END), CAST(0 AS HUGEINT)) AS conc,
+        |COALESCE(SUM(CASE WHEN b.y < a.y
+        |THEN CAST(a.n AS HUGEINT) * b.n END), CAST(0 AS HUGEINT)) AS disc
+        |FROM c a JOIN c b ON b.x > a.x AND b.y <> a.y),
+        |mx AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS dx
+        |FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY x)),
+        |my AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) AS dy
+        |FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY y)),
+        |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM c),
+        |f AS (SELECT n, conc, disc, dx, dy,
+        |CAST(n AS HUGEINT) * (n - 1) AS d0
+        |FROM nn CROSS JOIN cd CROSS JOIN mx CROSS JOIN my)
+        |SELECT n, CASE WHEN n <= 1 OR d0 = dx OR d0 = dy THEN NULL
+        |ELSE CAST(FLOOR(CAST((conc - disc) * 2 AS DOUBLE) /
+        |sqrt(CAST(d0 - dx AS DOUBLE) * CAST(d0 - dy AS DOUBLE))
+        |* 1000000.0 + 0.5) AS BIGINT) END AS tau_micro
+        |FROM f""".stripMargin,
+
+    // same doubled marginal midranks, same exact moment fold, same
+    // fixed-order correlation double
+    "a_spearman" ->
+      """WITH p AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |CAST(l_linenumber AS BIGINT) AS y FROM lineitem),
+        |c AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2),
+        |hx AS (SELECT x, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY 1),
+        |rx AS (SELECT x, 2 * (CAST(SUM(t) OVER (ORDER BY x
+        |ROWS UNBOUNDED PRECEDING) AS BIGINT) - t) + t + 1 AS r_x FROM hx),
+        |hy AS (SELECT y, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY 1),
+        |ry AS (SELECT y, 2 * (CAST(SUM(t) OVER (ORDER BY y
+        |ROWS UNBOUNDED PRECEDING) AS BIGINT) - t) + t + 1 AS r_y FROM hy),
+        |j AS (SELECT n, r_x, r_y FROM c
+        |JOIN rx ON rx.x = c.x JOIN ry ON ry.y = c.y),
+        |a AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |SUM(CAST(n AS HUGEINT) * r_x) AS sx,
+        |SUM(CAST(n AS HUGEINT) * r_y) AS sy,
+        |SUM(CAST(n AS HUGEINT) * r_x * r_x) AS sxx,
+        |SUM(CAST(n AS HUGEINT) * r_y * r_y) AS syy,
+        |SUM(CAST(n AS HUGEINT) * r_x * r_y) AS sxy FROM j),
+        |f AS (SELECT nt,
+        |CAST(nt AS HUGEINT) * sxy - sx * sy AS num,
+        |CAST(nt AS HUGEINT) * sxx - sx * sx AS da,
+        |CAST(nt AS HUGEINT) * syy - sy * sy AS db FROM a)
+        |SELECT nt AS n, CASE WHEN da = 0 OR db = 0 THEN NULL
+        |ELSE CAST(FLOOR(CAST(num AS DOUBLE) /
+        |sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE))
+        |* 1000000.0 + 0.5) AS BIGINT) END AS rho_micro
+        |FROM f""".stripMargin,
+
+    // same descending bounded histogram, same lower-step tie
+    // convention, same term-wise exact integer divisions
+    "eval_pr_auc" ->
+      s"""WITH s AS (SELECT event_type,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+         |user_id % 2 = 1 AS y
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |h AS (SELECT event_type, v,
+         |CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+         |FROM s GROUP BY 1, 2),
+         |w AS (SELECT *,
+         |CAST(SUM(pos) OVER (PARTITION BY event_type ORDER BY v DESC
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumpos,
+         |CAST(SUM(pos + neg) OVER (PARTITION BY event_type ORDER BY v DESC
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumall,
+         |CAST(SUM(pos) OVER (PARTITION BY event_type) AS BIGINT) AS ptot
+         |FROM h),
+         |t AS (SELECT event_type, pos, neg,
+         |CASE WHEN ptot = 0 OR pos = 0 THEN 0
+         |ELSE CAST((CAST(pos AS HUGEINT) * cumpos * 1000000) //
+         |(CAST(ptot AS HUGEINT) * cumall) AS BIGINT) END AS term FROM w)
+         |SELECT event_type, CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |CAST(SUM(neg) AS BIGINT) AS n_neg,
+         |CASE WHEN SUM(pos) = 0 THEN NULL
+         |ELSE CAST(SUM(term) AS BIGINT) END AS ap_micro
+         |FROM t GROUP BY 1""".stripMargin,
+
+    // same min-max normalization, same equi-width bins, same exact
+    // integer per-bin gap divisions
+    "eval_ece" ->
+      s"""WITH s AS (SELECT event_type,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+         |user_id % 2 = 1 AS y
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |h AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS n,
+         |CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |FROM s GROUP BY 1, 2),
+         |x AS (SELECT event_type, MIN(v) AS mn, MAX(v) AS mx
+         |FROM h GROUP BY 1),
+         |b AS (SELECT h.event_type,
+         |LEAST(CAST(${PSI_BINS - 1} AS BIGINT),
+         |((v - mn) * $PSI_BINS) // (mx - mn + 1)) AS bin,
+         |CAST(SUM(n) AS BIGINT) AS nb, CAST(SUM(pos) AS BIGINT) AS posb,
+         |SUM(CAST(v - mn AS HUGEINT) * n) AS sd,
+         |MAX(mx - mn + 1) AS w
+         |FROM h JOIN x ON x.event_type = h.event_type GROUP BY 1, 2),
+         |m AS (SELECT *, CAST(SUM(nb) OVER (PARTITION BY event_type)
+         |AS BIGINT) AS nt FROM b),
+         |t AS (SELECT event_type, nt,
+         |CAST((abs(CAST(posb AS HUGEINT) * w - sd) * 1000000) //
+         |(CAST(nt AS HUGEINT) * w) AS BIGINT) AS term FROM m)
+         |SELECT event_type, MAX(nt) AS n,
+         |CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |CAST(SUM(term) AS BIGINT) AS ece_micro
+         |FROM t GROUP BY 1""".stripMargin)
+}

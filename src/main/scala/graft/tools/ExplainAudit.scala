@@ -1211,6 +1211,105 @@ object ExplainAudit {
         count(p, "Window") == 1 && !p.contains("Join")
     }
 
+    audit("qa_psi",
+      "the PSI gate runs on the PINNED per-(type, cents) histogram " +
+        "(the two corpus scans — 1-row midpoint split + main scan, the " +
+        "qa_ks_by_type posture — are paid once at pin time and show as " +
+        "zero parquet scans here); extremes/bins/margins/terms all " +
+        "derive from the pin, the margin window partitions by type, " +
+        "the extremes join broadcasts") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "Window") == 1 &&
+        !p.contains("SortMergeJoin") && p.contains("BroadcastHashJoin")
+    }
+    audit("qa_chi2_test",
+      "the whole chi-square reduction runs on the PINNED O(|X|·|Y|) " +
+        "cell table (zero parquet scans — the kappaBody posture); " +
+        "margins/total derive from the pin; the full-grid cross and " +
+        "the cell re-join all broadcast; no sort-merge join, no " +
+        "corpus-sized window") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "Window") == 0 &&
+        !p.contains("SortMergeJoin") && p.contains("BroadcastHashJoin")
+    }
+    audit("qa_mwu_test",
+      "the rank z-gate is the ksBody shape: ONE corpus scan into the " +
+        "bounded whole-dollar histogram, the midrank window over one " +
+        "row per distinct value (its SinglePartition input is the " +
+        "bounded histogram, never corpus rows), a control-plane z " +
+        "reduction — no join anywhere") { p =>
+      count(p, "Scan parquet") == 1 && count(p, "Window") == 1 &&
+        !p.contains("Join")
+    }
+    audit("a_gini",
+      "exact Gini off the bounded per-nation cents histogram: ONE " +
+        "corpus scan, ONE exchange into the histogram (the cumulative " +
+        "window and the final per-nation fold reuse its partitioning " +
+        "or add only the bounded-table exchange); no join, no per-row " +
+        "rank materialization") { p =>
+      count(p, "Scan parquet") == 1 && count(p, "Window") == 1 &&
+        !p.contains("Join") && !p.contains("SinglePartition")
+    }
+
+    audit("a_kendall_tau",
+      "tau-b never ranks a row: the dominance pair-count is a " +
+        "broadcast non-equi self-join over the PINNED O(cells²) " +
+        "control-plane grid (zero parquet scans, zero windows); tie " +
+        "terms and the total derive from the pin") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "Window") == 0 &&
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
+    audit("a_spearman",
+      "rho's midranks come off the pinned grid's two marginals " +
+        "(bounded windows over O(distinct value) rows — their " +
+        "SinglePartition inputs are domain-bounded, never corpus rows) " +
+        "and broadcast back onto the cells; one moment fold; no " +
+        "sort-merge join") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "Window") == 2 &&
+        !p.contains("SortMergeJoin") && p.contains("BroadcastHashJoin")
+    }
+    audit("eval_pr_auc",
+      "AP is the aucFromHist shape: ONE corpus scan into the bounded " +
+        "per-type score histogram, the descending precision window " +
+        "partitioned by type over histogram rows (three Window nodes, " +
+        "all on the bounded table), a control-plane term sum — no " +
+        "join anywhere") { p =>
+      count(p, "Scan parquet") == 1 && count(p, "Window") == 3 &&
+        !p.contains("Join")
+    }
+    audit("eval_ece",
+      "ECE derives everything from the PINNED per-(type, cents) " +
+        "histogram (zero parquet scans past the pin): broadcast " +
+        "extremes join, per-bin integer gaps, one margin window " +
+        "partitioned by type") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "Window") == 1 &&
+        !p.contains("SortMergeJoin") && p.contains("BroadcastHashJoin")
+    }
+
+    audit("text_vocab_chao1",
+      "Chao1 is ONE token scan into the (lang, word) cells then the " +
+        "per-lang abundance fold — both map-side combined, no join, " +
+        "no window") { p =>
+      count(p, "Scan parquet") == 1 && count(p, "Window") == 0 &&
+        !p.contains("Join") && count(p, "HashAggregate") >= 4
+    }
+    audit("text_distinct_ngrams",
+      "distinct-n builds bigrams IN-ROW (two Generates off two scans " +
+        "of the doc table — never a self-join of the token stream); " +
+        "the per-source reductions are map-side-combined folds; the " +
+        "only join is the broadcast source-level stitch") { p =>
+      count(p, "Scan parquet") == 2 && count(p, "Generate") == 2 &&
+        !p.contains("SortMergeJoin") && p.contains("BroadcastHashJoin")
+    }
+    audit("text_js_divergence",
+      "JSD runs on the PINNED (source, word) cells: corpus word " +
+        "totals re-aggregate from the pin (vocab-bounded shuffle join " +
+        "on word — the one non-broadcast join, correctly so at open " +
+        "vocabulary), source totals broadcast, zero parquet re-scans") { p =>
+      count(p, "Scan parquet") == 0 &&
+        p.contains("BroadcastHashJoin") &&
+        count(p, "Generate") == 0
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Defining properties of the corpus-diversity batch on hand-built
+  * frames: Chao1's abundance arithmetic on the textbook singleton/
+  * doubleton cases, distinct-n ratios on a templated corpus (and the
+  * single-token bigram edge), and JSD's identical-is-0 /
+  * disjoint-is-1-bit boundary values including the rest-only-word
+  * mass the per-cell sum cannot see. */
+class DiversityQueriesSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  // -------------------------------------------------------------- chao1
+
+  private def runChao1(rows: (String, String, Long)*) =
+    DiversityQueries.chao1Body(rows.toSeq.toDF("lang", "w", "c"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("v_obs"),
+          r.getAs[Long]("f1"), r.getAs[Long]("f2"),
+          r.getAs[Long]("chao1_micro"))))
+      .toMap
+
+  test("chao1: the textbook abundance cases — correction 0 with no " +
+    "singletons, f1²-ish growth with many, defined at f2 = 0") {
+    val got = runChao1(
+      // a: {x:1, y:1, z:2, w:5} -> V=4 + 2*1/(2*2) = 4.5
+      ("a", "x", 1L), ("a", "y", 1L), ("a", "z", 2L), ("a", "w", 5L),
+      // b: {x:1, y:1} -> V=2 + 2*1/2 = 3 (f2=0 stays defined)
+      ("b", "x", 1L), ("b", "y", 1L),
+      // c: {z:2} -> V=1, no singletons -> correction 0
+      ("c", "z", 2L))
+    assert(got("a") == ((9L, 4L, 2L, 1L, 4500000L)))
+    assert(got("b") == ((2L, 2L, 2L, 0L, 3000000L)))
+    assert(got("c") == ((2L, 1L, 0L, 1L, 1000000L)))
+  }
+
+  // ---------------------------------------------------- distinct ngrams
+
+  test("distinct_ngrams: a templated source reads low distinct-2, and " +
+    "a single-token source reads NULL d2, not a zero-division") {
+    val uni = Seq(
+      ("s", "a"), ("s", "b"), ("s", "a"), ("s", "b"),
+      ("t", "hello")).toDF("source", "g")
+    val bi = Seq(
+      ("s", "a b"), ("s", "b a"), ("s", "a b")).toDF("source", "g")
+    val got = DiversityQueries.distinctNgramsBody(uni, bi).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("distinct_1"), r.getAs[Long]("total_1"),
+          r.getAs[Long]("distinct_2"), r.getAs[Long]("total_2"),
+          r.getAs[Long]("d1_micro"),
+          Option(r.getAs[Any]("d2_micro")).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got("s") == ((2L, 4L, 2L, 3L, 500000L, Some(666666L))))
+    assert(got("t") == ((1L, 1L, 0L, 0L, 1000000L, None)))
+  }
+
+  // ---------------------------------------------------------------- jsd
+
+  private def runJsd(rows: (String, String, Long)*) =
+    DiversityQueries.jsdBody(rows.toSeq.toDF("source", "w", "c"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_tokens"),
+          Option(r.getAs[Any]("jsd_bits_micro")).map(_.asInstanceOf[Long]))))
+      .toMap
+
+  test("jsd: a source identical to the rest reads 0, a disjoint " +
+    "source reads exactly 1 bit (half from its own words, half from " +
+    "the rest-only closed form)") {
+    // identical: A and B both {x:1, y:1}
+    val same = runJsd(("A", "x", 1L), ("A", "y", 1L),
+      ("B", "x", 1L), ("B", "y", 1L))
+    assert(same("A") == ((2L, Some(0L))))
+    assert(same("B") == ((2L, Some(0L))))
+    // disjoint: A = {x:2}, B = {y:2}
+    val disj = runJsd(("A", "x", 2L), ("B", "y", 2L))
+    assert(disj("A") == ((2L, Some(1000000L))))
+    assert(disj("B") == ((2L, Some(1000000L))))
+  }
+
+  test("jsd: a half-overlap worked example matches the definitional " +
+    "double computation, and a sole source reads NULL") {
+    // A = {x:2}, B = {x:1, y:1}: P = {x:1}, Q = {x:½, y:½},
+    // M = {x:¾, y:¼}. Shared x contributes BOTH sides:
+    // ½·1·log2(4/3) + ½·½·log2(2/3) (the q-term is negative);
+    // rest-only y enters via the closed form ½·½·log2(2) = ¼.
+    val got = runJsd(("A", "x", 2L), ("B", "x", 1L), ("B", "y", 1L))
+    val ln2 = math.log(2.0)
+    val termP = math.floor(1.0 * (math.log(4.0 / 3.0) / ln2) *
+      500000.0 + 0.5).toLong
+    val termQ = math.floor(0.5 * (math.log(2.0 / 3.0) / ln2) *
+      500000.0 + 0.5).toLong
+    val expectA = termP + termQ + 250000L
+    assert(got("A") == ((2L, Some(expectA))), s"${got("A")} vs $expectA")
+    // and the definitional double agrees to the micro floor:
+    // JSD = ½KL(P||M) + ½KL(Q||M) = 0.31128 bits
+    assert(math.abs(expectA - 311278L) <= 2)
+    val solo = runJsd(("A", "x", 3L))
+    assert(solo("A") == ((3L, None)))
+  }
+}

@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Defining properties of the statistical-test batch on hand-built
+  * frames: PSI reads 0 on identical halves and alarms on a
+  * wholesale shift, chi-square reads 0 on exact independence and
+  * V = 1 on a perfect association (absent cells entering with their
+  * full expected count), the MWU z matches an independently-computed
+  * worked example (and the all-ties corpus reads NULL, not a division
+  * error), and Gini reproduces the textbook 0 / 0.75 cases with ties
+  * provably order-invariant. */
+class StatsQueriesSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- psi
+
+  private def runPsi(bins: Int, rows: (String, Long, Boolean)*) =
+    StatsQueries.psiBody(rows.toSeq.toDF("grp", "v", "g"), bins)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+          r.getAs[Long]("n_bins"), r.getAs[Long]("n_degenerate"),
+          Option(r.getAs[Any]("psi_micro")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("alarm")).map(_.asInstanceOf[Boolean]))))
+      .toMap
+
+  test("psi: identical halves read exactly 0 and do not alarm") {
+    val rows = (0L until 100L).flatMap(v =>
+      Seq(("t", v, true), ("t", v, false)))
+    val got = runPsi(10, rows: _*)
+    val (n1, n2, nb, nd, psi, alarm) = got("t")
+    assert((n1, n2, nb, nd) == ((100L, 100L, 10L, 0L)))
+    assert(psi.contains(0L) && alarm.contains(false))
+  }
+
+  test("psi: a wholesale shift between halves alarms, and one-sided " +
+    "bins are reported degenerate (never ln(0))") {
+    // first half all in low bins, second half all in high bins:
+    // every bin is one-sided -> ALL terms degenerate, psi NULL
+    val rows = (0L until 50L).map(v => ("t", v, true)) ++
+      (100L until 150L).map(v => ("t", v, false))
+    val got = runPsi(10, rows: _*)
+    val (_, _, nb, nd, psi, _) = got("t")
+    assert(nb == nd && psi.isEmpty)
+    // partial shift: both sides present in 2 shared bins, the drift
+    // lives in the mass imbalance -> finite PSI above 0.2
+    // bins (width 10, span 0..99): half1 puts 90 rows in bin 0,
+    // 10 in bin 9; half2 inverts -> term per bin = 0.8*ln(9), twice
+    val rows2 =
+      (0L until 90L).map(i => ("u", i % 10, true)) ++
+        (0L until 10L).map(i => ("u", 90L + i, true)) ++
+        (0L until 10L).map(i => ("u", i % 10, false)) ++
+        (0L until 90L).map(i => ("u", 90L + (i % 10), false))
+    val got2 = runPsi(10, rows2: _*)
+    val (_, _, _, nd2, psi2, alarm2) = got2("u")
+    assert(nd2 == 0L)
+    val expect = math.floor(
+      0.8 * math.log(9.0) * 1000000.0 + 0.5).toLong * 2
+    assert(psi2.contains(expect), s"psi $psi2 vs $expect")
+    assert(alarm2.contains(true))
+  }
+
+  // --------------------------------------------------------------- chi2
+
+  private def runChi2(rows: (String, Int)*) =
+    StatsQueries.chi2Body(rows.toSeq.toDF("a", "b")).collect().map(r =>
+      (r.getAs[Long]("r_levels"), r.getAs[Long]("c_levels"),
+        r.getAs[Long]("n_total"), r.getAs[Long]("dof"),
+        r.getAs[Long]("chi2_micro"),
+        Option(r.getAs[Any]("cramers_v_micro")).map(_.asInstanceOf[Long])))
+      .head
+
+  test("chi2: exact independence reads 0 at dof 1") {
+    // 2x2 with n_ij = r_i*c_j/N exactly: rows (10,10), cols (10,10)
+    val rows = Seq.fill(5)(("x", 0)) ++ Seq.fill(5)(("x", 1)) ++
+      Seq.fill(5)(("y", 0)) ++ Seq.fill(5)(("y", 1))
+    val (rl, cl, nt, dof, chi2, v) = runChi2(rows: _*)
+    assert((rl, cl, nt, dof) == ((2L, 2L, 20L, 1L)))
+    assert(chi2 == 0L && v.contains(0L))
+  }
+
+  test("chi2: a perfect 2x2 association reads chi2 = N and V = 1, " +
+    "with the two ABSENT cells contributing their full expected count") {
+    val rows = Seq.fill(7)(("x", 0)) ++ Seq.fill(13)(("y", 1))
+    val (rl, cl, nt, dof, chi2, v) = runChi2(rows: _*)
+    assert((rl, cl, nt, dof) == ((2L, 2L, 20L, 1L)))
+    // chi2 = N exactly for a perfect 2x2; term-wise floors are exact
+    // because every term is rational with small denominators... assert
+    // against the independently-computed per-cell sum instead:
+    val n = 20.0
+    val cells = Seq((7.0, 7.0 * 7.0 / n), (0.0, 7.0 * 13.0 / n),
+      (0.0, 13.0 * 7.0 / n), (13.0, 13.0 * 13.0 / n))
+    val ref = cells.map { case (o, e) =>
+      math.floor((o * n - e * n) * (o * n - e * n) / (n * (e * n)) *
+        1000000.0 + 0.5).toLong // == (n0*N-r*c)^2/(N*r*c) = (o-e)^2/e
+    }.sum
+    assert(chi2 == ref, s"chi2 $chi2 vs $ref")
+    assert(math.abs(chi2 - 20000000L) <= 4) // ~ N in micro
+    assert(v.exists(x => math.abs(x - 1000000L) <= 1))
+  }
+
+  test("chi2: a single-level column has dof 0 and NULL V") {
+    val (_, _, _, dof, chi2, v) = runChi2(("x", 0), ("x", 0), ("y", 0))
+    assert(dof == 0L && chi2 == 0L && v.isEmpty)
+  }
+
+  // ---------------------------------------------------------------- mwu
+
+  private def runMwu(rows: (Long, Boolean)*) =
+    StatsQueries.mwuBody(rows.toSeq.toDF("v", "g")).collect().map(r =>
+      (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        Option(r.getAs[Any]("z_micro")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("reject")).map(_.asInstanceOf[Boolean]))).head
+
+  // independent reference: textbook midranks + tie-corrected variance
+  private def mwuRef(s1: Seq[Long], s2: Seq[Long]): Long = {
+    val all = (s1.map((_, true)) ++ s2.map((_, false))).sortBy(_._1)
+    val n = all.size
+    val rank = scala.collection.mutable.Map[Long, Double]()
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && all(j)._1 == all(i)._1) j += 1
+      rank(all(i)._1) = (i + 1 + j) / 2.0 // average of ranks i+1..j
+      i = j
+    }
+    val r1 = s1.map(rank).sum
+    val u1 = r1 - s1.size * (s1.size + 1) / 2.0
+    val ties = all.groupBy(_._1).values.map(_.size.toDouble)
+      .map(t => t * t * t - t).sum
+    val dev2 = 2.0 * u1 - s1.size.toDouble * s2.size
+    val var2 = s1.size.toDouble * s2.size / 3.0 *
+      ((n + 1) - ties / (n.toDouble * (n - 1)))
+    math.floor(dev2 / math.sqrt(var2) * 1000000.0 + 0.5).toLong
+  }
+
+  test("mwu: an even interleave matches the independent midrank " +
+    "reference (z = -0.27: evens sit one rank under the adjacent odd) " +
+    "and does not reject") {
+    val rows = (0L until 40L).map(v => (v, v % 2 == 0))
+    val (n1, n2, z, rej) = runMwu(rows: _*)
+    assert(n1 == 20L && n2 == 20L)
+    assert(z.contains(mwuRef((0L until 40L by 2).toSeq,
+      (1L until 40L by 2).toSeq)), s"z $z")
+    assert(z.exists(x => math.abs(x) < 300000), s"z $z")
+    assert(rej.contains(false))
+  }
+
+  test("mwu: worked tie example matches the independent midrank " +
+    "reference, and a clean shift rejects with the expected sign") {
+    val s1 = Seq(1L, 2L, 3L, 3L, 5L)
+    val s2 = Seq(3L, 4L, 5L, 6L, 7L)
+    val rows = s1.map((_, true)) ++ s2.map((_, false))
+    val (_, _, z, _) = runMwu(rows: _*)
+    assert(z.contains(mwuRef(s1, s2)), s"z $z vs ${mwuRef(s1, s2)}")
+    assert(z.exists(_ < 0)) // sample 1 sits lower
+    // a 30-vs-30 clean separation rejects decisively
+    val lo = (0L until 30L).map(v => (v, true))
+    val hi = (100L until 130L).map(v => (v, false))
+    val (_, _, z2, rej2) = runMwu(lo ++ hi: _*)
+    assert(rej2.contains(true) && z2.exists(_ < -1960000L))
+  }
+
+  test("mwu: an all-ties corpus has zero variance and reads NULL, " +
+    "never a division error") {
+    val rows = (0 until 10).map(_ => (5L, true)) ++
+      (0 until 10).map(_ => (5L, false))
+    val (_, _, z, rej) = runMwu(rows: _*)
+    assert(z.isEmpty && rej.isEmpty)
+  }
+
+  // --------------------------------------------------------------- gini
+
+  private def runGini(rows: (Int, Long)*) =
+    StatsQueries.giniBody(rows.toSeq.toDF("nat", "v")).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_cents"),
+          Option(r.getAs[Any]("gini_micro")).map(_.asInstanceOf[Long]))))
+      .toMap
+
+  test("gini: perfect equality reads 0, the textbook (0,0,0,100) " +
+    "concentration reads 0.75, and an all-zero group reads NULL") {
+    val got = runGini(
+      (1, 50L), (1, 50L), (1, 50L), (1, 50L),
+      (2, 0L), (2, 0L), (2, 0L), (2, 100L),
+      (3, 0L), (3, 0L))
+    assert(got(1) == ((4L, 200L, Some(0L))))
+    assert(got(2) == ((4L, 100L, Some(750000L))))
+    assert(got(3) == ((2L, 0L, None)))
+  }
+
+  // ------------------------------------------------------------ kendall
+
+  private def runKendall(rows: (Long, Long)*) =
+    StatsQueries.kendallBody(rows.toSeq.toDF("x", "y")).collect().map(r =>
+      (r.getAs[Long]("n"),
+        Option(r.getAs[Any]("tau_micro")).map(_.asInstanceOf[Long]))).head
+
+  test("kendall: perfect agreement reads 1.0, perfect reversal -1.0, " +
+    "and an all-tied axis reads NULL") {
+    val up = (1L to 10L).map(v => (v, v))
+    assert(runKendall(up: _*) == ((10L, Some(1000000L))))
+    val down = (1L to 10L).map(v => (v, 11L - v))
+    assert(runKendall(down: _*) == ((10L, Some(-1000000L))))
+    val flat = (1L to 10L).map(v => (v, 7L))
+    assert(runKendall(flat: _*) == ((10L, None)))
+  }
+
+  test("kendall: worked tie example matches the textbook tau-b") {
+    // x = (1,1,2,3), y = (1,2,2,3):
+    // pairs: (1,2): x tied; (1,3): C; (1,4): C; (2,3): y tied;
+    // (2,4): C; (3,4): C  -> C=4, D=0
+    // T0 = 6, Tx = 1, Ty = 1 -> tau = 4/sqrt(5*5) = 0.8
+    val got = runKendall((1L, 1L), (1L, 2L), (2L, 2L), (3L, 3L))
+    assert(got == ((4L, Some(800000L))), s"$got")
+  }
+
+  // ----------------------------------------------------------- spearman
+
+  private def runSpearman(rows: (Long, Long)*) =
+    StatsQueries.spearmanBody(rows.toSeq.toDF("x", "y")).collect().map(r =>
+      (r.getAs[Long]("n"),
+        Option(r.getAs[Any]("rho_micro")).map(_.asInstanceOf[Long]))).head
+
+  test("spearman: monotone agreement reads 1.0 even when nonlinear, " +
+    "reversal -1.0, constant axis NULL") {
+    val cube = (1L to 8L).map(v => (v, v * v * v))
+    assert(runSpearman(cube: _*) == ((8L, Some(1000000L))))
+    val rev = (1L to 8L).map(v => (v, -v))
+    assert(runSpearman(rev: _*) == ((8L, Some(-1000000L))))
+    val flat = (1L to 8L).map(v => (v, 0L))
+    assert(runSpearman(flat: _*) == ((8L, None)))
+  }
+
+  test("spearman: worked tie example matches Pearson-on-midranks " +
+    "computed independently") {
+    val xs = Seq(1L, 1L, 2L, 3L, 3L, 3L)
+    val ys = Seq(2L, 1L, 1L, 3L, 3L, 2L)
+    def midranks(v: Seq[Long]): Seq[Double] = {
+      val sorted = v.sorted
+      v.map(x => (sorted.indexOf(x) + 1 + sorted.lastIndexOf(x) + 1) / 2.0)
+    }
+    val rx = midranks(xs); val ry = midranks(ys)
+    val n = xs.size.toDouble
+    val num = n * rx.zip(ry).map { case (a, b) => a * b }.sum -
+      rx.sum * ry.sum
+    val da = n * rx.map(a => a * a).sum - rx.sum * rx.sum
+    val db = n * ry.map(b => b * b).sum - ry.sum * ry.sum
+    val ref = math.floor(num / math.sqrt(da * db) * 1000000.0 + 0.5).toLong
+    val got = runSpearman(xs.zip(ys): _*)
+    assert(got._2.contains(ref), s"$got vs $ref")
+  }
+
+  // ------------------------------------------------------------- pr_auc
+
+  private def runPrAuc(rows: (String, Long, Boolean)*) =
+    StatsQueries.prAucBody(rows.toSeq.toDF("event_type", "v", "y"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          Option(r.getAs[Any]("ap_micro")).map(_.asInstanceOf[Long]))))
+      .toMap
+
+  test("pr_auc: a perfect ranking reads 1.0, an all-negative-top " +
+    "ranking reads the textbook AP, no positives reads NULL") {
+    val got = runPrAuc(
+      // g1: positives at the top -> AP = 1
+      ("g1", 10L, true), ("g1", 9L, true), ("g1", 2L, false), ("g1", 1L, false),
+      // g2: neg, pos, neg, pos descending ->
+      // terms at the two positive scores: (1/2)*(1/2) + (1/2)*(2/4)
+      ("g2", 10L, false), ("g2", 9L, true), ("g2", 2L, false), ("g2", 1L, true),
+      // g3: no positives
+      ("g3", 5L, false), ("g3", 4L, false))
+    assert(got("g1") == ((2L, 2L, Some(1000000L))))
+    assert(got("g2") == ((2L, 2L, Some(500000L))))
+    assert(got("g3") == ((0L, 2L, None)))
+  }
+
+  test("pr_auc: a tied block scores its TRAILING precision (the " +
+    "lower-step convention)") {
+    // one positive and one negative share the top score:
+    // block precision = 1/2, recall step = 1 -> AP = 0.5
+    val got = runPrAuc(("t", 5L, true), ("t", 5L, false))
+    assert(got("t") == ((1L, 1L, Some(500000L))))
+  }
+
+  // ---------------------------------------------------------------- ece
+
+  private def runEce(bins: Int, rows: (String, Long, Boolean)*) =
+    StatsQueries.eceBody(rows.toSeq.toDF("event_type", "v", "y"), bins)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_bins"),
+          r.getAs[Long]("ece_micro"))))
+      .toMap
+
+  test("ece: a perfectly calibrated score reads (near) zero and a " +
+    "constant-label corpus reads the score's distance from 1") {
+    // cal: bin confidences equal the empirical accuracy by construction:
+    // score v in {0..9} maps bins 0..9 (mn=0, W=10), conf_b = v/10;
+    // at each v put 10 rows with v positives -> acc = v/10 = conf
+    val cal = for (v <- 0L until 10L; i <- 0 until 10)
+      yield ("c", v, i < v)
+    // allpos: every label true, all mass at v = 0 -> one bin,
+    // acc = 1, conf = 0 -> ECE = 1
+    val allpos = (0 until 8).map(_ => ("p", 0L, true))
+    val got = runEce(10, (cal ++ allpos): _*)
+    assert(got("c") == ((100L, 10L, 0L)))
+    assert(got("p") == ((8L, 1L, 1000000L)))
+  }
+
+  test("ece: worked two-bin example is the exact weighted gap sum") {
+    // type t, scores v in {0, 9}, W = 10, bins 0 and 9
+    // bin0: 4 rows (v=0), 3 positives: acc = 3/4, conf = 0 -> gap 3/4
+    // bin9: 4 rows (v=9), 1 positive: acc = 1/4, conf = 9/10 -> 13/20
+    // ECE = (4/8)*(3/4) + (4/8)*(13/20) = 0.375 + 0.325 = 0.7
+    val rows = Seq.fill(3)(("t", 0L, true)) ++ Seq(("t", 0L, false)) ++
+      Seq(("t", 9L, true)) ++ Seq.fill(3)(("t", 9L, false))
+    val got = runEce(10, rows: _*)
+    assert(got("t") == ((8L, 2L, 700000L)), s"$got")
+  }
+
+  test("gini: ties are order-invariant — the histogram identity " +
+    "matches the explicit sorted-rank formula on a mixed frame") {
+    val vals = Seq(3L, 7L, 7L, 7L, 12L, 12L, 40L, 0L, 5L, 5L)
+    val got = runGini(vals.map((9, _)): _*)
+    val sorted = vals.sorted
+    val n = sorted.size
+    val sx = sorted.sum
+    val si = sorted.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    val ref = ((2 * si - (n + 1).toLong * sx) * 1000000L) / (n.toLong * sx)
+    assert(got(9)._3.contains(ref), s"${got(9)._3} vs $ref")
+  }
+}
