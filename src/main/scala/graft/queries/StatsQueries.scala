@@ -178,6 +178,118 @@ object StatsQueries {
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"),
           (col("user_id") % 2 === 1).as("y")), PSI_BINS)),
 
+    // Herfindahl–Hirschman concentration index of supplier revenue
+    // within each nation — the market-concentration twin of a_gini
+    // (Gini reads inequality of a population, HHI reads how few firms
+    // hold the mass; both feed the same "is this stratum dominated?"
+    // decision). HHI = Σᵢ shareᵢ² reduces to (Σcᵢ²)·10⁶ div (Σc)² —
+    // exact integer cents all the way (cᵢ² crosses DECIMAL(38) at
+    // ~10¹⁹ cents a firm), ONE division. Also reports the
+    // effective-firm count 1/HHI (the interpretable form) as an
+    // integer division of the same exact operands. See hhiBody.
+    "a_hhi" -> ((s, dir) =>
+      hhiBody(Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nat"), col("l_suppkey").as("firm"),
+          expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+            .as("cents")))),
+
+    // Mann–Kendall trend test per event type over the daily-count
+    // series — events_theilsen estimates the SLOPE, this gates its
+    // SIGNIFICANCE: S = Σ_{i<j} sign(cⱼ−cᵢ) is an exact integer off
+    // the O(days²) per-type pair join (days are control-plane — the
+    // corpus shuffles once into the daily table), Var(S) =
+    // [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 exact with the tie correction,
+    // and z takes the textbook ±1 continuity correction and ONE
+    // terminal micro-floored sqrt. |z| > 1.96 rejects "no trend".
+    // See mannKendallBody.
+    "events_mann_kendall" -> ((s, dir) =>
+      mannKendallBody(Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long")
+            .as("x"),
+          col("c")))),
+
+    // Rank-biased overlap (Webber et al. TOIS'10) between two document
+    // orderings — here "longest" (n_chars) vs "lexically richest"
+    // (distinct words), the agreement diagnostic a curator runs before
+    // treating two quality signals as interchangeable. Top-k prefix
+    // RBO_min = (1−p)·Σ_{d≤k} p^(d−1)·|A_d∩B_d|/d with p = 0.9,
+    // k = 50: the overlap-at-depth curve comes from ONE cumulative
+    // window over max(rank_A, rank_B) (a doc enters every prefix from
+    // that depth on), and the geometric weights are a PRECOMPUTED
+    // exact table (BigDecimal in Scala, literal VALUES in the oracle)
+    // — cross-engine pow() parity is never trusted. Each depth term is
+    // ONE exact integer division. See rboBody.
+    "eval_rbo" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("dw"))
+      rboBody(docs, RBO_K)
+    }),
+
+    // Poisson-bootstrap percentile CI (Chamandy et al., Google 2012 —
+    // "Estimating uncertainty for massive data streams") for the mean
+    // purchase value per event type: B = 40 one-pass resamples where
+    // each row's weight in resample b is a Poisson(1) draw, decided by
+    // comparing the row's seeded 32-bit hash against PRECOMPUTED
+    // integer CDF thresholds (floor(CDF_k·2³²) literals shared with
+    // the oracle — no float, no RNG state, restart-safe and
+    // embarrassingly parallel, which is why this is THE bootstrap at
+    // warehouse scale: classical resampling would replay the corpus
+    // B times). Each resample mean is ONE exact integer division; the
+    // CI is the ⌈0.025B⌉/⌈0.975B⌉ order statistics of the B means
+    // (row_number over O(types×B) control-plane rows). See
+    // bootstrapBody.
+    "events_bootstrap_ci" -> ((s, dir) =>
+      bootstrapBody(Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v")),
+        BOOT_B)),
+
+    // Wilson score interval (Wilson 1927) for the purchase-conversion
+    // rate per A/B cohort — the closed-form sibling of
+    // events_bootstrap_ci for proportions (the Wald interval a
+    // dashboard naively computes collapses at p near 0/1 and small n;
+    // Wilson stays honest). With doubled operands kept exact:
+    // center = (k + z²/2)/(n + z²), halfwidth =
+    // z·√(k(n−k)/n + z²/4)/(n + z²) — z² = 3.8416 enters as the exact
+    // rational 24010/6250 so every term before the ONE terminal sqrt
+    // is an exact DECIMAL(38) cross-multiplication. See wilsonBody.
+    "events_rate_wilson" -> ((s, dir) =>
+      wilsonBody(Tables.events(s, dir)
+        .select((col("user_id") % 2 === 1).as("cohort"),
+          (col("event_type") === "purchase").as("hit")))),
+
+    // Pearson correlation MATRIX over the four lineitem measures in
+    // ONE corpus pass — the numeric-profile step a feature pipeline
+    // runs before trusting "independent" columns (the value-space
+    // complement of a_spearman's rank view). Correlation is
+    // scale-invariant, so each column takes its own exact integer
+    // encoding (quantity as-is, the three 2-dp measures in
+    // hundredths); all 14 moment sums accumulate exact DECIMAL(38)
+    // in the same aggregate (n·Σx² crosses at ~10¹² rows — the
+    // a_moments class, documented), the 6 pair correlations are the
+    // events_xcorr fixed-order double, and the matrix unpivots
+    // IN-ROW (one explode of a 6-struct array — never a self-join
+    // or a second scan). See corrMatrixBody.
+    "a_corr_matrix" -> ((s, dir) =>
+      corrMatrixBody(Tables.lineitem(s, dir)
+        .select(
+          col("l_quantity").cast("long").as("c0"),
+          expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+            .as("c1"),
+          expr("CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)").as("c2"),
+          expr("CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT)").as("c3")),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // Exact Gini coefficient of non-negative customer account balances
     // per nation — the inequality readout behind every "is this mix
     // balanced?" decision. The rank identity
@@ -201,12 +313,23 @@ object StatsQueries {
     * per-(grp, v) histogram; extremes, equi-width bins, margins, and
     * terms all derive from the pin (re-deriving extremes from raw rows
     * would scan the corpus twice for no precision gain). */
-  private[graft] def psiBody(vals: DataFrame, nBins: Int): DataFrame = {
+  private[graft] def psiBody(vals: DataFrame, nBins: Int): DataFrame =
+    psiFromHist(
+      vals.groupBy(col("grp"), col("v"))
+        .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g"), 0L).otherwise(1L)).as("c2"))
+        .localCheckpoint(eager = true), // feeds extremes AND bins
+      nBins)
+
+  /** The PSI algebra over an already-aggregated (grp, v, c1, c2)
+    * histogram — factored so the streaming
+    * [[graft.streaming.DriftMonitor]] reads the IDENTICAL binned
+    * divergence off its state-store snapshot (one algebra, two
+    * ingestion modes — the aucFromHist posture). Callers pass a
+    * PINNED or otherwise cheap frame: extremes and bins both read
+    * it. */
+  private[graft] def psiFromHist(hist: DataFrame, nBins: Int): DataFrame = {
     val dec = DecimalType(38, 0)
-    val hist = vals.groupBy(col("grp"), col("v"))
-      .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
-        sum(when(col("g"), 0L).otherwise(1L)).as("c2"))
-      .localCheckpoint(eager = true) // feeds extremes AND bins
     val ext = hist.groupBy(col("grp"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
     val bins = hist.join(broadcast(ext), "grp")
@@ -354,6 +477,243 @@ object StatsQueries {
           .otherwise(expr("CAST(((s2 - (n + 1) * sumv) * 1000000) div " +
             "(CAST(n AS DECIMAL(38,0)) * sumv) AS BIGINT)"))
           .as("gini_micro"))
+  }
+
+  /** RBO evaluation depth (top-k prefix) and persistence p = 0.9 —
+    * Webber et al.'s recommended operating point: the top ~10 ranks
+    * carry ~86% of the weight mass. */
+  private val RBO_K = 50
+
+  /** The exact geometric weight table (1−p)·p^(d−1) at p = 0.9,
+    * d = 1..k, floored to 1e-12 resolution — computed ONCE in
+    * BigDecimal and embedded as literals on BOTH engines (java.lang
+    * and libm pow() need not agree to the last ulp; a shared literal
+    * table cannot disagree). */
+  private[graft] def rboWeights(k: Int): Seq[(Int, Long)] = {
+    val p = BigDecimal("0.9")
+    val oneMinus = BigDecimal(1) - p
+    (1 to k).map { d =>
+      d -> (oneMinus * p.pow(d - 1) * BigDecimal(1000000000000L))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact
+    }
+  }
+
+  /** Herfindahl–Hirschman index per market over a (nat, firm, cents)
+    * revenue frame — see the a_hhi entry. ONE shuffle into per-firm
+    * revenue (map-side combined), one per-market fold; HHI and the
+    * effective-firm count are each ONE exact DECIMAL(38) division. */
+  private[graft] def hhiBody(rows: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    rows
+      .groupBy(col("nat"), col("firm")).agg(sum(col("cents")).as("rev"))
+      .groupBy(col("nat"))
+      .agg(count(lit(1)).as("n_firms"),
+        sum(col("rev")).cast(dec).as("tot"),
+        sum(col("rev").cast(dec) * col("rev")).cast(dec).as("sq"))
+      .select(col("nat"), col("n_firms"),
+        when(col("tot") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((sq * 1000000) div (tot * tot) AS BIGINT)"))
+          .as("hhi_micro"),
+        when(col("sq") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((tot * tot * 1000000) div sq AS BIGINT)"))
+          .as("eff_firms_micro"))
+  }
+
+  /** Mann–Kendall trend gate per series over an (event_type, x, c)
+    * daily panel — see the events_mann_kendall entry. The pair join
+    * and tie fold both run on the O(types×days) control-plane table
+    * (the events_theilsen posture); S is an exact signed integer, the
+    * variance is exact through the /18 (kept as var·18 in integers),
+    * z takes the ±1 continuity correction and ONE terminal sqrt. */
+  private[graft] def mannKendallBody(daily: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val d = daily.localCheckpoint(eager = true) // pairs + ties + n
+    val a = d.select(col("event_type"), col("x").as("xa"), col("c").as("ca"))
+    val b = d.select(col("event_type"), col("x").as("xb"), col("c").as("cb"))
+    val s = a.join(b, Seq("event_type")).where(col("xb") > col("xa"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum(col("cb") - col("ca")).cast("long")).as("s"))
+    val ties = d.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_vals"), sum(col("t")).as("n_days"),
+        sum(col("t").cast(dec) * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .cast(dec).as("tie_term"))
+    ties.join(s, Seq("event_type"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("var18",
+        (col("n_days").cast(dec) * (col("n_days") - 1) *
+          (lit(2) * col("n_days") + 5) - col("tie_term")).cast(dec))
+      .select(col("event_type"), col("n_days"), col("s"),
+        when(col("var18") === 0, lit(null).cast("long"))
+          .otherwise(floor(
+            (col("s") - signum(col("s")).cast("long")).cast("double") /
+              sqrt(col("var18").cast("double") / lit(18.0)) *
+              lit(1000000.0) + lit(0.5)).cast("long")).as("z_micro"))
+      .withColumn("reject", abs(col("z_micro")) > lit(1960000L))
+  }
+
+  /** Top-k prefix RBO between two orderings of a (doc_id, n_chars,
+    * dw) frame — see the eval_rbo entry. Each top-k comes from a
+    * distributed TakeOrdered (orderBy + limit — a per-partition heap,
+    * never a global sort); ranks assign AFTER the limit so the rank
+    * window's SinglePartition input is k rows. A doc in both lists
+    * enters every prefix from depth max(rank_A, rank_B), so the
+    * overlap curve is one cumulative count; each depth term is ONE
+    * exact integer division against the shared literal weight table.
+    */
+  private[graft] def rboBody(docs: DataFrame, k: Int): DataFrame = {
+    val byLen = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    val byDw = Window.orderBy(col("dw").desc, col("doc_id"))
+    val topA = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(k)
+      .withColumn("ra", row_number().over(byLen)).select("doc_id", "ra")
+    val topB = docs.orderBy(col("dw").desc, col("doc_id")).limit(k)
+      .withColumn("rb", row_number().over(byDw)).select("doc_id", "rb")
+    val m = topA.join(topB, "doc_id")
+      .select(greatest(col("ra"), col("rb")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val weights = rboWeights(k).toDF("d", "w12")
+    val terms = weights.join(broadcast(m), col("m") <= col("d"), "left")
+      .groupBy(col("d"), col("w12"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("overlap"))
+      .select(
+        expr("(w12 * overlap) div (CAST(d AS BIGINT) * 1000000)").as("term"),
+        col("overlap"), col("d"))
+    terms.agg(
+      max(lit(k)).as("k"),
+      max(when(col("d") === k, col("overlap"))).as("n_overlap"),
+      sum(col("term")).as("rbo_micro"))
+  }
+
+  /** Bootstrap resample count — 40 puts the 2.5th percentile exactly
+    * on the 1st order statistic (⌈0.025·40⌉ = 1, the textbook ⌈nα⌉
+    * convention). */
+  private val BOOT_B = 40
+
+  /** Poisson(1) CDF thresholds scaled to 2³² and floored — computed
+    * ONCE here and embedded as literals on BOTH engines (the rboWeights
+    * discipline: a shared literal table cannot disagree). A uniform
+    * 32-bit hash u maps to weight k = #{thresholds ≤ u}, capped at 5
+    * (P(X > 5) ≈ 6·10⁻⁵ — the tail cap biases the resample mass by
+    * less than the CI's own resolution). */
+  private[graft] def poissonThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val cdf = Seq(1.0, 2.0, 2.5, 2.0 + 0.5 + 1.0 / 6,
+      2.0 + 0.5 + 1.0 / 6 + 1.0 / 24).map(_ * e1)
+    cdf.map(c => math.floor(c * 4294967296.0).toLong)
+  }
+
+  /** Poisson-bootstrap CI over an (event_type, event_id, v = cents)
+    * frame — see the events_bootstrap_ci entry. The ×B fan-out is
+    * map-side (explode feeds a partially-combined aggregate, so the
+    * shuffle carries O(types×B) cells, not ×B corpus rows); the
+    * percentile pass runs on the O(types×B) mean table. */
+  private[graft] def bootstrapBody(rows: DataFrame, b: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val t = poissonThresholds
+    val wExpr = s"CASE WHEN u < ${t(0)} THEN 0 WHEN u < ${t(1)} THEN 1 " +
+      s"WHEN u < ${t(2)} THEN 2 WHEN u < ${t(3)} THEN 3 " +
+      s"WHEN u < ${t(4)} THEN 4 ELSE 5 END"
+    val full = rows.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast(dec).as("sv"))
+      .select(col("event_type"), col("n"),
+        expr("CAST((sv * 10000) div n AS BIGINT)").as("mean_micro"))
+    val means = rows
+      .select(col("event_type"), col("event_id"), col("v"),
+        explode(expr(s"sequence(1, $b)")).as("b"))
+      .withColumn("u", expr(
+        "conv(substring(md5(concat('bs7:', CAST(b AS STRING), ':', " +
+          "CAST(event_id AS STRING))), 1, 8), 16, 10)").cast("long"))
+      .withColumn("w", expr(wExpr))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w")).as("sw"),
+        sum(col("w").cast(dec) * col("v")).cast(dec).as("swv"))
+      .where(col("sw") > 0L)
+      .select(col("event_type"), col("b"),
+        expr("CAST((swv * 10000) div sw AS BIGINT)").as("m"))
+    // lo = ⌈0.025·B_eff⌉-th smallest, hi = the symmetric upper stat;
+    // the mean table is O(types×B) — pin it, the rank pass and the
+    // bound derivation both read it
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("m"))
+    val ranked = means.localCheckpoint(eager = true)
+      .withColumn("rnk", row_number().over(wRank))
+    val bounds = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("b_eff"))
+      .withColumn("lo_rank", expr("CAST((b_eff * 25 + 999) div 1000 AS INT)"))
+      .withColumn("hi_rank", (col("b_eff") + 1 - col("lo_rank")).cast("int"))
+    val lohi = ranked.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("b_eff")).as("b_eff"),
+        max(when(col("rnk") === col("lo_rank"), col("m"))).as("lo_micro"),
+        max(when(col("rnk") === col("hi_rank"), col("m"))).as("hi_micro"))
+    full.join(lohi, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"), col("b_eff"),
+        col("mean_micro"), col("lo_micro"), col("hi_micro"))
+  }
+
+  /** Exact-moment Pearson matrix over a frame with integer columns
+    * c0..c{k-1} (names supplies the output labels) — see the
+    * a_corr_matrix entry. One aggregate carries every Σx, Σx², Σxᵢxⱼ;
+    * the unpivot is an in-row explode of the O(k²) pair structs. */
+  private[graft] def corrMatrixBody(
+      ints: DataFrame, names: Seq[String]): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val k = names.size
+    val sums =
+      Seq(count(lit(1)).as("n")) ++
+        (0 until k).map(i => sum(col(s"c$i")).as(s"s$i")) ++
+        (0 until k).flatMap(i => (i until k).map(j =>
+          sum(col(s"c$i").cast(dec) * col(s"c$j")).cast(dec).as(s"s${i}_$j")))
+    val agg = ints.agg(sums.head, sums.tail: _*)
+    val pairs = for (i <- 0 until k; j <- i + 1 until k) yield {
+      val num = col("n").cast(dec) * col(s"s${i}_$j") -
+        col(s"s$i").cast(dec) * col(s"s$j")
+      val da = col("n").cast(dec) * col(s"s${i}_$i") -
+        col(s"s$i").cast(dec) * col(s"s$i")
+      val db = col("n").cast(dec) * col(s"s${j}_$j") -
+        col(s"s$j").cast(dec) * col(s"s$j")
+      struct(lit(names(i)).as("col_a"), lit(names(j)).as("col_b"),
+        when(da === 0 || db === 0, lit(null).cast("long"))
+          .otherwise(floor(num.cast("double") /
+            sqrt(da.cast("double") * db.cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("corr_micro"))
+    }
+    agg
+      .select(col("n"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("n"), col("p.corr_micro"))
+  }
+
+  /** Wilson 95% interval per cohort over a (cohort, hit) flag frame —
+    * see the events_rate_wilson entry. z² = 1.96² = 2401/625 exactly,
+    * so center = (1250k + 2401)/(2(625n + 2401)) is ONE exact integer
+    * division and the halfwidth takes the ONE terminal fixed-order
+    * sqrt of an exact integer ratio. At k = 0 the analytic lower
+    * bound is exactly 0 (center = halfwidth) — the floors may read it
+    * as −1 micro, which both engines do identically. */
+  private[graft] def wilsonBody(flags: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    flags
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("k"))
+      .withColumn("center_micro",
+        expr("CAST(((1250 * CAST(k AS DECIMAL(38,0)) + 2401) * 1000000) " +
+          "div (2 * (625 * CAST(n AS DECIMAL(38,0)) + 2401)) AS BIGINT)"))
+      .withColumn("half_micro",
+        floor(lit(1.96) *
+          sqrt((lit(2500).cast(dec) * col("k") * (col("n") - col("k")) +
+            lit(2401).cast(dec) * col("n")).cast("double") /
+            (lit(2500).cast(dec) * col("n")).cast("double")) *
+          lit(625.0) /
+          (lit(625).cast(dec) * col("n") + 2401).cast("double") *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("cohort"), col("n"), col("k"),
+        expr("CAST((CAST(k AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)")
+          .as("p_micro"),
+        (col("center_micro") - col("half_micro")).as("lo_micro"),
+        (col("center_micro") + col("half_micro")).as("hi_micro"))
   }
 
   /** Kendall tau-b over an (x, y) bounded-domain integer pair frame —
@@ -625,6 +985,176 @@ object StatsQueries {
         |ELSE CAST(((s2 - (n + 1) * sumv) * 1000000) //
         |(CAST(n AS HUGEINT) * sumv) AS BIGINT) END AS gini_micro
         |FROM a""".stripMargin,
+
+    // same seeded md5 per (resample, row), same shared literal Poisson
+    // thresholds, same exact resample-mean divisions, same ⌈nα⌉ order
+    // statistics
+    "events_bootstrap_ci" -> {
+      val t = poissonThresholds
+      s"""WITH s AS (SELECT event_type, event_id,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |f AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |CAST((SUM(CAST(v AS HUGEINT)) * 10000) // COUNT(*) AS BIGINT)
+         |AS mean_micro FROM s GROUP BY 1),
+         |x AS (SELECT event_type, event_id, v, b FROM s
+         |CROSS JOIN (SELECT unnest(range(1, ${BOOT_B + 1})) AS b)),
+         |u AS (SELECT event_type, b, v,
+         |('0x' || substr(md5('bs7:' || CAST(b AS VARCHAR) || ':' ||
+         |CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS u FROM x),
+         |w AS (SELECT event_type, b, v,
+         |CASE WHEN u < ${t(0)} THEN 0 WHEN u < ${t(1)} THEN 1
+         |WHEN u < ${t(2)} THEN 2 WHEN u < ${t(3)} THEN 3
+         |WHEN u < ${t(4)} THEN 4 ELSE 5 END AS w FROM u),
+         |m AS (SELECT event_type, b, CAST(SUM(w) AS BIGINT) AS sw,
+         |SUM(CAST(w AS HUGEINT) * v) AS swv FROM w GROUP BY 1, 2),
+         |mm AS (SELECT event_type,
+         |CAST((swv * 10000) // sw AS BIGINT) AS m FROM m WHERE sw > 0),
+         |r AS (SELECT event_type, m, CAST(row_number() OVER
+         |(PARTITION BY event_type ORDER BY m) AS INTEGER) AS rnk FROM mm),
+         |bb AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS b_eff,
+         |CAST((COUNT(*) * 25 + 999) // 1000 AS INTEGER) AS lo_rank
+         |FROM r GROUP BY 1),
+         |bd AS (SELECT event_type, b_eff, lo_rank,
+         |CAST(b_eff + 1 - lo_rank AS INTEGER) AS hi_rank FROM bb),
+         |ci AS (SELECT r.event_type, MAX(b_eff) AS b_eff,
+         |MAX(CASE WHEN rnk = lo_rank THEN m END) AS lo_micro,
+         |MAX(CASE WHEN rnk = hi_rank THEN m END) AS hi_micro
+         |FROM r JOIN bd ON bd.event_type = r.event_type GROUP BY 1)
+         |SELECT f.event_type, n, b_eff, mean_micro, lo_micro, hi_micro
+         |FROM f LEFT JOIN ci ON ci.event_type = f.event_type""".stripMargin
+    },
+
+    // same per-column integer encodings, same one-pass exact moment
+    // sums, same fixed-order pair correlations (generated from the
+    // same pair loop as the Spark side)
+    "a_corr_matrix" -> {
+      val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val k = names.size
+      val moms =
+        (0 until k).map(i => s"CAST(SUM(c$i) AS BIGINT) AS s$i") ++
+          (0 until k).flatMap(i => (i until k).map(j =>
+            s"SUM(CAST(c$i AS HUGEINT) * c$j) AS s${i}_$j"))
+      val rows = for (i <- 0 until k; j <- i + 1 until k) yield {
+        val (num, da, db) = (
+          s"(CAST(n AS HUGEINT) * s${i}_$j - CAST(s$i AS HUGEINT) * s$j)",
+          s"(CAST(n AS HUGEINT) * s${i}_$i - CAST(s$i AS HUGEINT) * s$i)",
+          s"(CAST(n AS HUGEINT) * s${j}_$j - CAST(s$j AS HUGEINT) * s$j)")
+        s"SELECT '${names(i)}' AS col_a, '${names(j)}' AS col_b, n, " +
+          s"CASE WHEN $da = 0 OR $db = 0 THEN NULL " +
+          s"ELSE CAST(FLOOR(CAST($num AS DOUBLE) / " +
+          s"sqrt(CAST($da AS DOUBLE) * CAST($db AS DOUBLE)) " +
+          s"* 1000000.0 + 0.5) AS BIGINT) END AS corr_micro FROM a"
+      }
+      s"""WITH p AS (SELECT CAST(l_quantity AS BIGINT) AS c0,
+         |CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c1,
+         |CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS c2,
+         |CAST(FLOOR(l_tax * 100.0 + 0.5) AS BIGINT) AS c3 FROM lineitem),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |${moms.mkString(",\n")}
+         |FROM p)
+         |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // same exact rational z² = 2401/625, same single center division,
+    // same ONE fixed-order halfwidth sqrt
+    "events_rate_wilson" ->
+      s"""WITH f AS (SELECT user_id % 2 = 1 AS cohort,
+         |event_type = 'purchase' AS hit FROM $oEvents),
+         |a AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+         |CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |FROM f GROUP BY 1),
+         |c AS (SELECT cohort, n, k,
+         |CAST(((1250 * CAST(k AS HUGEINT) + 2401) * 1000000) //
+         |(2 * (625 * CAST(n AS HUGEINT) + 2401)) AS BIGINT)
+         |AS center_micro,
+         |CAST(FLOOR(1.96 *
+         |sqrt(CAST(2500 * CAST(k AS HUGEINT) * (n - k)
+         |+ 2401 * CAST(n AS HUGEINT) AS DOUBLE) /
+         |CAST(2500 * CAST(n AS HUGEINT) AS DOUBLE)) *
+         |625.0 / CAST(625 * CAST(n AS HUGEINT) + 2401 AS DOUBLE)
+         |* 1000000.0 + 0.5) AS BIGINT) AS half_micro FROM a)
+         |SELECT cohort, n, k,
+         |CAST((CAST(k AS HUGEINT) * 1000000) // n AS BIGINT) AS p_micro,
+         |center_micro - half_micro AS lo_micro,
+         |center_micro + half_micro AS hi_micro
+         |FROM c""".stripMargin,
+
+    // same per-firm revenue fold, same exact square-sum, same single
+    // divisions for HHI and its inverse
+    "a_hhi" ->
+      """WITH r AS (SELECT s_nationkey AS nat, l_suppkey AS firm,
+        |CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |AS BIGINT) AS rev
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2),
+        |a AS (SELECT nat, CAST(COUNT(*) AS BIGINT) AS n_firms,
+        |SUM(CAST(rev AS HUGEINT)) AS tot,
+        |SUM(CAST(rev AS HUGEINT) * rev) AS sq FROM r GROUP BY 1)
+        |SELECT nat, n_firms,
+        |CASE WHEN tot = 0 THEN NULL
+        |ELSE CAST((sq * 1000000) // (tot * tot) AS BIGINT)
+        |END AS hhi_micro,
+        |CASE WHEN sq = 0 THEN NULL
+        |ELSE CAST((tot * tot * 1000000) // sq AS BIGINT)
+        |END AS eff_firms_micro
+        |FROM a""".stripMargin,
+
+    // same control-plane pair join, same exact tie-corrected variance
+    // (kept as var·18), same ±1 continuity correction and terminal sqrt
+    "events_mann_kendall" ->
+      s"""WITH d AS (SELECT event_type,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(COUNT(*) AS BIGINT) AS c FROM $oEvents GROUP BY 1, 2),
+         |s AS (SELECT a.event_type,
+         |CAST(SUM(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+         |ELSE 0 END) AS BIGINT) AS s
+         |FROM d a JOIN d b ON a.event_type = b.event_type AND b.x > a.x
+         |GROUP BY 1),
+         |t AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS t
+         |FROM d GROUP BY 1, 2),
+         |ti AS (SELECT event_type, CAST(SUM(t) AS BIGINT) AS n_days,
+         |SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tie_term
+         |FROM t GROUP BY 1),
+         |f AS (SELECT ti.event_type, n_days, COALESCE(s, 0) AS s,
+         |CAST(n_days AS HUGEINT) * (n_days - 1) * (2 * n_days + 5)
+         |- tie_term AS var18
+         |FROM ti LEFT JOIN s ON s.event_type = ti.event_type),
+         |z AS (SELECT event_type, n_days, s,
+         |CASE WHEN var18 = 0 THEN NULL
+         |ELSE CAST(FLOOR(CAST(s - CAST(sign(s) AS BIGINT) AS DOUBLE) /
+         |sqrt(CAST(var18 AS DOUBLE) / 18.0)
+         |* 1000000.0 + 0.5) AS BIGINT) END AS z_micro FROM f)
+         |SELECT event_type, n_days, s, z_micro,
+         |abs(z_micro) > 1960000 AS reject FROM z""".stripMargin,
+
+    // same TakeOrdered top-k semantics (identical total tiebreak),
+    // same max-rank overlap curve, same shared literal weight table
+    "eval_rbo" -> {
+      val vals = rboWeights(RBO_K)
+        .map { case (d, w) => s"($d, $w)" }.mkString(", ")
+      s"""WITH docs AS (SELECT doc_id, n_chars,
+         |CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS dw
+         |FROM documents),
+         |ta AS (SELECT doc_id, ra FROM (SELECT doc_id,
+         |CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+         |AS INTEGER) AS ra FROM docs) WHERE ra <= $RBO_K),
+         |tb AS (SELECT doc_id, rb FROM (SELECT doc_id,
+         |CAST(row_number() OVER (ORDER BY dw DESC, doc_id)
+         |AS INTEGER) AS rb FROM docs) WHERE rb <= $RBO_K),
+         |mm AS (SELECT GREATEST(ra, rb) AS m, CAST(COUNT(*) AS BIGINT)
+         |AS cnt FROM ta JOIN tb USING (doc_id) GROUP BY 1),
+         |tm AS (SELECT d, w12,
+         |CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS overlap
+         |FROM (VALUES $vals) w(d, w12) LEFT JOIN mm ON m <= d
+         |GROUP BY 1, 2)
+         |SELECT MAX($RBO_K) AS k,
+         |MAX(CASE WHEN d = $RBO_K THEN overlap END) AS n_overlap,
+         |CAST(SUM((w12 * overlap) // (CAST(d AS BIGINT) * 1000000))
+         |AS BIGINT) AS rbo_micro
+         |FROM tm""".stripMargin
+    },
 
     // same pinned cell grid, same strict-dominance pair counting, same
     // marginal tie terms, same ONE fixed-order sqrt

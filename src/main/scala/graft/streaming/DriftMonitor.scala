@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming distribution-drift maintenance — the live twin of the
+  * batch `qa_psi` catalog query: the (group, value, isReference)
+  * histogram is a PLAIN mergeable count table, so one
+  * [[Fold.applyPartial]] state table carries the complete
+  * reference-vs-live value surface and the readout is the FACTORED
+  * batch algebra ([[graft.queries.StatsQueries.psiFromHist]]) — a
+  * live drift dashboard (has the value distribution moved off the
+  * frozen baseline?) and the oracle-checked offline PSI can never
+  * disagree on the same events (DriftMonitorSpec pins row-parity).
+  *
+  * The reference flag is the deployment seam: in production the
+  * baseline histogram loads once (g = true rows) and the stream feeds
+  * only g = false rows — the fold is the same either way, which is
+  * what makes the batch query the monitor's oracle.
+  *
+  * State size: O(groups × distinct values) counters — the a_median
+  * bounded-histogram argument (cents of a price universe, not corpus
+  * rows); the fold pre-combines per micro-batch partition.
+  *
+  * Reference analog: slipstream's per-key aggregate caches inside
+  * handlers (cookbook.rst:529-588) — here the counters are
+  * restart-safe state-store state.
+  */
+object DriftMonitor {
+
+  /** Histogram key: (group, value, isReference). */
+  type K = (String, Long, Boolean)
+
+  /** Incremental (group, value, side) counts over a tagged stream
+    * (or batch frame — same fold). */
+  def counts(
+      ds: Dataset[K])(
+      implicit spark: SparkSession): Dataset[(K, Long)] = {
+    import spark.implicits._
+    Fold.applyPartial[K, K, Long](
+      ds, v => v, 0L, (b, _) => b + 1L, _ + _)
+  }
+
+  /** The batch PSI algebra over a streamed histogram snapshot
+    * ((grp, v, g), cnt rows): pivot the side axis into c1/c2 columns,
+    * then the factored binned divergence. 10 bins — the batch
+    * query's industry-standard decile binning, and the 0.2 alarm is
+    * calibrated to it. */
+  def psiReadout(snapshot: DataFrame, nBins: Int = 10): DataFrame =
+    graft.queries.StatsQueries.psiFromHist(
+      snapshot.groupBy(col("grp"), col("v"))
+        .agg(sum(when(col("g"), col("cnt")).otherwise(0L)).as("c1"),
+          sum(when(col("g"), 0L).otherwise(col("cnt"))).as("c2")),
+      nBins)
+}

@@ -1310,6 +1310,52 @@ object ExplainAudit {
         count(p, "Generate") == 0
     }
 
+    audit("a_hhi",
+      "HHI is one broadcast dim join + two map-side-combined folds " +
+        "(per-firm revenue, then per-market moments); no sort-merge " +
+        "join, no window") { p =>
+      count(p, "Window") == 0 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastHashJoin") && count(p, "HashAggregate") >= 4
+    }
+    audit("events_mann_kendall",
+      "the MK gate runs on the PINNED O(types×days) daily panel (zero " +
+        "parquet scans): the pair join and the tie fold both read the " +
+        "pin; S and the variance are control-plane") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "Window") == 0 &&
+        !p.contains("CartesianProduct")
+    }
+    audit("eval_rbo",
+      "both top-k lists come from distributed TakeOrdered heaps " +
+        "(never a global sort of the corpus); ranks assign after the " +
+        "limit so each rank window's SinglePartition input is k rows; " +
+        "the depth/overlap cross is the broadcast 50-row weight " +
+        "table") { p =>
+      count(p, "TakeOrderedAndProject") == 2 &&
+        count(p, "Window") == 2 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
+
+    audit("events_bootstrap_ci",
+      "the ×B resample fan-out is MAP-SIDE and paid ONCE at pin time " +
+        "(its Generate + partial combine live inside the checkpoint — " +
+        "the shuffle carries O(types×B) cells, never ×B corpus rows); " +
+        "the visible plan is the percentile pass over the pinned mean " +
+        "table (one rank window, broadcast bound joins) plus the " +
+        "full-sample mean's own single scan; no sort-merge join") { p =>
+      count(p, "Generate") == 0 && count(p, "Scan parquet") == 1 &&
+        count(p, "Window") == 1 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastHashJoin")
+    }
+
+    audit("a_corr_matrix",
+      "the whole matrix is ONE corpus scan into one partial+final " +
+        "aggregate (all 14 moment sums in the same fold) and an " +
+        "in-row pair explode — no join, no window, no second scan") { p =>
+      count(p, "Scan parquet") == 1 && count(p, "HashAggregate") == 2 &&
+        count(p, "Generate") == 1 && !p.contains("Join") &&
+        count(p, "Window") == 0
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

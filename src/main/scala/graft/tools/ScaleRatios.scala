@@ -213,7 +213,27 @@ object ScaleRatios {
       "qa_ks_by_type",
       // r13 analytics batch 7: frequent 3-itemsets (lineitem×part
       // baskets) and word burstiness VMR (documents)
-      "a_assoc_triples", "text_burstiness")
+      "a_assoc_triples", "text_burstiness",
+      // r13 fourth session: the statistical-gate batch — PSI/ECE/PR-AUC
+      // (events bounded histograms), chi-square (customer cells), MWU
+      // (orders histogram), Gini (customer cents histogram), tau-b +
+      // Spearman (lineitem bounded cell grid), and the diversity trio
+      // (documents token cells; jsd carries the vocab-bounded word
+      // shuffle)
+      "qa_psi", "qa_chi2_test", "qa_mwu_test", "a_gini",
+      "a_kendall_tau", "a_spearman", "eval_pr_auc", "eval_ece",
+      "text_vocab_chao1", "text_distinct_ngrams", "text_js_divergence",
+      // r13 fourth session, batch D: market concentration (lineitem×
+      // supplier), the MK trend gate (events daily panel), top-k RBO
+      // (documents TakeOrdered)
+      "a_hhi", "events_mann_kendall", "eval_rbo",
+      // r13 fourth session, batch E: Poisson-bootstrap CI (events ×B
+      // map-side fan-out into O(types×B) cells) and the closed-form
+      // Wilson rate interval (two-cell fold)
+      "events_bootstrap_ci", "events_rate_wilson",
+      // r13 fourth session, batch G: the one-pass Pearson matrix
+      // (lineitem, 14 moment sums in one fold)
+      "a_corr_matrix")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

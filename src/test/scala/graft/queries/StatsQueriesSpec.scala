@@ -191,6 +191,205 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(got(3) == ((2L, 0L, None)))
   }
 
+  // ---------------------------------------------------------- bootstrap
+
+  test("bootstrap: a constant column has EVERY resample mean equal to " +
+    "the value — lo = hi = mean exactly, and b_eff = B") {
+    val rows = (1L to 200L).map(i => ("t", i, 500L)) ++
+      (1L to 200L).map(i => ("u", 1000L + i, 700L))
+    val got = StatsQueries.bootstrapBody(
+      rows.toDF("event_type", "event_id", "v"), 40).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("b_eff"),
+          r.getAs[Long]("mean_micro"), r.getAs[Long]("lo_micro"),
+          r.getAs[Long]("hi_micro")))).toMap
+    assert(got("t") == ((200L, 40L, 5000000L, 5000000L, 5000000L)))
+    assert(got("u") == ((200L, 40L, 7000000L, 7000000L, 7000000L)))
+  }
+
+  test("bootstrap: on varied data the CI brackets the full-sample " +
+    "mean and tightens as n grows (the 1/sqrt(n) sanity)") {
+    def run(n: Long, tag: String) = {
+      val rows = (1L to n).map(i => (tag, i, (i % 100) * 10L))
+      StatsQueries.bootstrapBody(
+        rows.toDF("event_type", "event_id", "v"), 40).collect()
+        .map(r => (r.getAs[Long]("mean_micro"), r.getAs[Long]("lo_micro"),
+          r.getAs[Long]("hi_micro"))).head
+    }
+    val (m1, lo1, hi1) = run(400L, "a")
+    val (m2, lo2, hi2) = run(6400L, "b")
+    assert(lo1 <= m1 && m1 <= hi1, s"$lo1 $m1 $hi1")
+    assert(lo2 <= m2 && m2 <= hi2, s"$lo2 $m2 $hi2")
+    assert(hi2 - lo2 < hi1 - lo1, s"width ${hi2 - lo2} !< ${hi1 - lo1}")
+  }
+
+  test("bootstrap thresholds: the literal table IS the Poisson(1) CDF " +
+    "at 2^32 scale") {
+    val t = StatsQueries.poissonThresholds
+    val e1 = math.exp(-1.0)
+    val cdf = Seq(1.0, 2.0, 2.5, 2.0 + 0.5 + 1.0 / 6,
+      2.0 + 0.5 + 1.0 / 6 + 1.0 / 24).map(_ * e1)
+    t.zip(cdf).foreach { case (ti, ci) =>
+      assert(math.abs(ti / 4294967296.0 - ci) < 1e-9)
+    }
+    assert(t == t.sorted && t.last < 4294967296L)
+  }
+
+  // -------------------------------------------------------- corr matrix
+
+  test("corr matrix: linear pairs read ±1.0, a constant column reads " +
+    "NULL against everything, and a worked pair matches the " +
+    "independent moment computation") {
+    val xs = Seq(1L, 2L, 3L, 5L, 8L, 13L)
+    val ys = Seq(2L, 1L, 4L, 4L, 9L, 7L)
+    val rows = xs.zip(ys).map { case (x, y) => (x, 2 * x + 3, -x, 7L, y) }
+    val got = StatsQueries.corrMatrixBody(
+      rows.toDF("c0", "c1", "c2", "c3", "c4"),
+      Seq("x", "lin", "neg", "const", "y")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"),
+          Option(r.getAs[Any]("corr_micro")).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got.size == 10) // C(5,2) pairs
+    assert(got(("x", "lin")) == ((6L, Some(1000000L))))
+    assert(got(("x", "neg")) == ((6L, Some(-1000000L))))
+    assert(got(("x", "const")) == ((6L, None)))
+    assert(got(("lin", "const")) == ((6L, None)))
+    val n = xs.size.toDouble
+    val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum
+    val da = n * xs.map(a => a * a).sum - math.pow(xs.sum.toDouble, 2)
+    val db = n * ys.map(b => b * b).sum - math.pow(ys.sum.toDouble, 2)
+    val ref = math.floor(num / math.sqrt(da * db) * 1000000.0 + 0.5).toLong
+    assert(got(("x", "y"))._2.contains(ref), s"${got(("x", "y"))} vs $ref")
+  }
+
+  // ------------------------------------------------------------- wilson
+
+  private def wilsonRef(n: Long, k: Long): (Long, Long, Long) = {
+    val center = ((1250 * k + 2401) * 1000000L) / (2 * (625 * n + 2401))
+    val half = math.floor(1.96 *
+      math.sqrt((2500.0 * k * (n - k) + 2401.0 * n) / (2500.0 * n)) *
+      625.0 / (625.0 * n + 2401.0) * 1000000.0 + 0.5).toLong
+    (k * 1000000L / n, center - half, center + half)
+  }
+
+  test("wilson: worked n=40/k=10 matches the exact-rational center + " +
+    "fixed-order halfwidth, k=0 pins lo at (floored) zero, k=n is its " +
+    "mirror") {
+    val rows =
+      (1L to 40L).map(i => ("q", i <= 10)) ++
+        (1L to 25L).map(_ => ("z", false)) ++
+        (1L to 25L).map(_ => ("o", true))
+    val got = StatsQueries.wilsonBody(
+      rows.map { case (c, h) => (c, h) }.toDF("cohort", "hit")
+        .selectExpr("cohort", "hit"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("k"), r.getAs[Long]("p_micro"),
+          r.getAs[Long]("lo_micro"), r.getAs[Long]("hi_micro")))).toMap
+    val (p, lo, hi) = wilsonRef(40, 10)
+    assert(got("q") == ((40L, 10L, p, lo, hi)), s"${got("q")} vs $p $lo $hi")
+    // analytic zero at k=0 (center = halfwidth), floors within 1 micro
+    val (_, lo0, hi0) = wilsonRef(25, 0)
+    assert(got("z")._4 == lo0 && lo0 >= -1L && lo0 <= 0L)
+    assert(got("z")._5 == hi0 && hi0 > 100000L) // small-n interval is wide
+    // mirror: hi at k=n sits within a micro of 1 - lo at k=0
+    assert(math.abs(got("o")._5 - (1000000L - lo0)) <= 1)
+  }
+
+  // ---------------------------------------------------------------- hhi
+
+  private def runHhi(rows: (Int, Long, Long)*) =
+    StatsQueries.hhiBody(rows.toSeq.toDF("nat", "firm", "cents"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getAs[Long]("n_firms"),
+          Option(r.getAs[Any]("hhi_micro")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("eff_firms_micro")).map(_.asInstanceOf[Long]))))
+      .toMap
+
+  test("hhi: monopoly reads 1.0, an equal duopoly 0.5, four equal " +
+    "firms 0.25 — and the effective-firm count inverts each") {
+    val got = runHhi(
+      (1, 10L, 500L),
+      (2, 20L, 300L), (2, 21L, 300L),
+      (3, 30L, 100L), (3, 31L, 100L), (3, 32L, 100L), (3, 33L, 100L))
+    assert(got(1) == ((1L, Some(1000000L), Some(1000000L))))
+    assert(got(2) == ((2L, Some(500000L), Some(2000000L))))
+    assert(got(3) == ((4L, Some(250000L), Some(4000000L))))
+  }
+
+  // ------------------------------------------------------- mann-kendall
+
+  private def runMk(rows: (String, Long, Long)*) =
+    StatsQueries.mannKendallBody(rows.toSeq.toDF("event_type", "x", "c"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("s"),
+          Option(r.getAs[Any]("z_micro")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("reject")).map(_.asInstanceOf[Boolean]))))
+      .toMap
+
+  test("mann-kendall: a strict ramp reads S = n(n-1)/2 and rejects, " +
+    "its mirror is the exact negation, a constant series reads NULL") {
+    val up = (0L until 12L).map(d => ("u", d, 10L + d))
+    val down = (0L until 12L).map(d => ("d", d, 100L - d))
+    val flat = (0L until 12L).map(d => ("f", d, 5L))
+    val got = runMk((up ++ down ++ flat): _*)
+    assert(got("u")._2 == 66L && got("d")._2 == -66L)
+    assert(got("u")._3 == got("d")._3.map(-_))
+    assert(got("u")._4.contains(true) && got("d")._4.contains(true))
+    assert(got("f")._3.isEmpty && got("f")._4.isEmpty)
+    // independent z: no ties, var = n(n-1)(2n+5)/18 = 12*11*29/18
+    val z = math.floor(65.0 / math.sqrt(12.0 * 11 * 29 / 18.0) *
+      1000000.0 + 0.5).toLong
+    assert(got("u")._3.contains(z), s"${got("u")._3} vs $z")
+  }
+
+  test("mann-kendall: the tie correction removes tied-pair variance " +
+    "(worked 5-day example with one tied value)") {
+    // c = (3, 1, 1, 2, 4): S = sign-sum over 10 pairs = 3
+    // (-1-1-1+1 then 0+1+1, +1+1, +1)
+    // ties: value 1 twice -> tie_term = 2*1*9 = 18
+    // var18 = 5*4*15 - 18 = 282; z = (3-1)/sqrt(282/18)
+    val got = runMk(("t", 0L, 3L), ("t", 1L, 1L), ("t", 2L, 1L),
+      ("t", 3L, 2L), ("t", 4L, 4L))
+    val z = math.floor(2.0 / math.sqrt(282.0 / 18.0) * 1000000.0 + 0.5)
+      .toLong
+    assert(got("t") == ((5L, 3L, Some(z), Some(false))), s"${got("t")}")
+  }
+
+  // ---------------------------------------------------------------- rbo
+
+  private def runRbo(k: Int, rows: (Long, Long, Long)*) =
+    StatsQueries.rboBody(rows.toSeq.toDF("doc_id", "n_chars", "dw"), k)
+      .collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("n_overlap"),
+        r.getAs[Long]("rbo_micro"))).head
+
+  test("rbo: identical orderings read the saturated weight sum, " +
+    "disjoint-at-every-depth orderings read 0") {
+    // 3 docs; both orderings rank by the same key
+    val same = (1L to 3L).map(i => (i, 100L - i, 100L - i))
+    val (k1, ov1, rbo1) = runRbo(50, same: _*)
+    // reference: overlap_d = min(d, 3); term = (w*ov) div (d*1e6)
+    val ref = StatsQueries.rboWeights(50).map { case (d, w) =>
+      (w * math.min(d, 3)) / (d * 1000000L)
+    }.sum
+    assert((k1, ov1, rbo1) == ((50, 3L, ref)), s"$rbo1 vs $ref")
+    // opposite orderings, 4 docs: A = 1,2,3,4; B = 4,3,2,1 ->
+    // overlap at depth d is docs with max(ra, rb) <= d: max ranks are
+    // (1,4)->4, (2,3)->3, (3,2)->3, (4,1)->4 -> overlap 0,0,2,4,...
+    val opp = (1L to 4L).map(i => (i, 100L - i, 100L + i))
+    val (_, ov2, rbo2) = runRbo(50, opp: _*)
+    val ref2 = StatsQueries.rboWeights(50).map { case (d, w) =>
+      val ov = if (d >= 4) 4L else if (d >= 3) 2L else 0L
+      (w * ov) / (d * 1000000L)
+    }.sum
+    assert(ov2 == 4L && rbo2 == ref2, s"$rbo2 vs $ref2")
+  }
+
   // ------------------------------------------------------------ kendall
 
   private def runKendall(rows: (Long, Long)*) =

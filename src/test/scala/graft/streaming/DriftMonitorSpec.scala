@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-maintained (type, value, side) histogram + the factored
+  * binned-divergence algebra ≡ the oracle-checked batch qa_psi on the
+  * same events — batch-boundary-independently (the AucMonitor parity
+  * posture for the drift lane). */
+class DriftMonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed PSI readout equals the batch qa_psi query") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.StatsQueries.queries("qa_psi")(spark, dir)
+      .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    assert(batch.nonEmpty)
+
+    // the batch query's own midpoint split, re-derived here so the
+    // streamed rows carry the identical reference flag
+    val ev = graft.Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type").as("grp"),
+        datediff(to_date(date_trunc("day", col("ts"))),
+          lit("1970-01-01").cast("date")).cast("long").as("x"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"))
+    val split = ev.agg(expr("(min(x) + max(x) + 1) div 2").as("split"))
+    val rows = ev.crossJoin(broadcast(split))
+      .select(col("grp"), col("v"), (col("x") < col("split")).as("g"))
+      .as[(String, Long, Boolean)].collect()
+
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(String, Long, Boolean)]
+    val q = DriftMonitor.counts(src.toDS())
+      .map { case ((t, v, g), c) => (t, v, g, c) }
+      .toDF("grp", "v", "g", "cnt")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("drift_stream").start()
+    val counts =
+      try {
+        // three deliberately uneven batches — the state fold must be
+        // batch-boundary-independent
+        val (a, b) = (rows.length / 5, rows.length * 3 / 4)
+        src.addData(rows.take(a).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.slice(a, b).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.drop(b).toIndexedSeq); q.processAllAvailable()
+        // update mode: keep the LAST count per (grp, v, g)
+        spark.table("drift_stream")
+          .withColumn("seq", monotonically_increasing_id())
+          .as[(String, Long, Boolean, Long, Long)].collect()
+          .groupBy(r => (r._1, r._2, r._3))
+          .map { case ((t, v, g), rs) => (t, v, g, rs.maxBy(_._5)._4) }
+          .toSeq
+      } finally q.stop()
+
+    val streamed = DriftMonitor.psiReadout(
+        counts.toDF("grp", "v", "g", "cnt"))
+      .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (t, got) =>
+      assert(got == batch(t), s"grp $t: stream $got vs batch ${batch(t)}")
+    }
+  }
+}
