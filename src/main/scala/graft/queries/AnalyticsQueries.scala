@@ -675,11 +675,19 @@ object AnalyticsQueries {
     * qa_ks_by_type entry. Identical arithmetic to [[ksBody]] with
     * every window partitioned by grp (each partition is that group's
     * bounded value histogram, the a_median argument). */
-  private[graft] def ksGroupedBody(vals: DataFrame): DataFrame = {
-    val dec = DecimalType(38, 0)
-    val hist = vals.groupBy(col("grp"), col("v"))
+  private[graft] def ksGroupedBody(vals: DataFrame): DataFrame =
+    ksFromHist(vals.groupBy(col("grp"), col("v"))
       .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
-        sum(when(col("g"), 0L).otherwise(1L)).as("c2"))
+        sum(when(col("g"), 0L).otherwise(1L)).as("c2")))
+
+  /** The grouped-KS algebra over an already-aggregated (grp, v, c1,
+    * c2) histogram — factored so the streaming
+    * [[graft.streaming.DriftMonitor.ksReadout]] reads the IDENTICAL
+    * exact sup off its state-store snapshot (one algebra, two
+    * ingestion modes — the psiFromHist posture: ONE drift state
+    * table serves the PSI, KS, and MWU gates). */
+  private[graft] def ksFromHist(hist: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
     val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("grp"))

@@ -290,6 +290,30 @@ object StatsQueries {
           expr("CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT)").as("c3")),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // The deployable per-type form of qa_mwu_test on the SAME input
+    // and midpoint split as qa_ks_by_type — per event type, did the
+    // value distribution's LOCATION shift between the two halves of
+    // the day span? (KS fires on any shape change; MWU is the
+    // focused, higher-power gate for the median drift a degrading
+    // pipeline shows first.) Identical exact doubled-midrank algebra
+    // with every window partitioned by type; shares DriftMonitor's
+    // state histogram via mwuFromHist — one drift state table, three
+    // gates (PSI / KS / MWU). See mwuFromHist.
+    "qa_mwu_by_type" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          datediff(to_date(date_trunc("day", col("ts"))),
+            lit("1970-01-01").cast("date")).cast("long").as("x"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"))
+      val split = ev.agg(expr("(min(x) + max(x) + 1) div 2").as("split"))
+      mwuFromHist(ev.crossJoin(broadcast(split))
+        .select(col("grp"), col("v"), (col("x") < col("split")).as("g"))
+        .groupBy(col("grp"), col("v"))
+        .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g"), 0L).otherwise(1L)).as("c2")))
+    }),
+
     // Exact Gini coefficient of non-negative customer account balances
     // per nation — the inequality readout behind every "is this mix
     // balanced?" decision. The rank identity
@@ -442,6 +466,47 @@ object StatsQueries {
             col("ties").cast("double") /
               (col("n").cast(dec) * (col("n") - 1)).cast("double")))
       .select(col("n1"), col("n2"),
+        when(col("n1") === 0L || col("n2") === 0L || col("n_vals") === 1L,
+          lit(null).cast("long"))
+          .otherwise(floor(col("dev2").cast("double") / sqrt(col("var2")) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("z_micro"))
+      .withColumn("reject", abs(col("z_micro")) > lit(1960000L))
+  }
+
+  /** The grouped tie-corrected MWU algebra over an (grp, v, c1, c2)
+    * histogram — the qa_mwu_by_type entry, factored (the psiFromHist
+    * posture) so [[graft.streaming.DriftMonitor.mwuReadout]] reads
+    * the IDENTICAL z off its state-store snapshot. Same doubled
+    * midranks, tie term, and terminal sqrt as [[mwuBody]], with every
+    * window partitioned by grp. */
+  private[graft] def mwuFromHist(hist: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("t", col("c1") + col("c2"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      .withColumn("r2sum", col("c1").cast(dec) *
+        (lit(2) * (col("cum") - col("t")) + col("t") + 1))
+      .withColumn("tie",
+        (col("t").cast(dec) * col("t") * col("t") - col("t")).cast(dec))
+      .groupBy(col("grp"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        count(lit(1)).as("n_vals"),
+        sum(col("r2sum")).cast(dec).as("r2"),
+        sum(col("tie")).cast(dec).as("ties"))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("dev2",
+        (col("r2") - col("n1").cast(dec) * (col("n1") + 1) -
+          col("n1").cast(dec) * col("n2")).cast(dec))
+      .withColumn("var2",
+        col("n1").cast(dec).cast("double") * col("n2").cast("double") /
+          lit(3.0) *
+          ((col("n") + 1).cast("double") -
+            col("ties").cast("double") /
+              greatest(col("n").cast(dec) * (col("n") - 1), lit(1).cast(dec))
+                .cast("double")))
+      .select(col("grp"), col("n1"), col("n2"),
         when(col("n1") === 0L || col("n2") === 0L || col("n_vals") === 1L,
           lit(null).cast("long"))
           .otherwise(floor(col("dev2").cast("double") / sqrt(col("var2")) *
@@ -1079,6 +1144,42 @@ object StatsQueries {
          |center_micro - half_micro AS lo_micro,
          |center_micro + half_micro AS hi_micro
          |FROM c""".stripMargin,
+
+    // same midpoint split and per-type histogram as qa_ks_by_type,
+    // same doubled-midrank algebra as qa_mwu_test with every window
+    // partitioned by type
+    "qa_mwu_by_type" ->
+      s"""WITH e AS (SELECT event_type AS grp,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |sp AS (SELECT (MIN(x) + MAX(x) + 1) // 2 AS split FROM e),
+         |s AS (SELECT grp, v, x < split AS g FROM e CROSS JOIN sp),
+         |h AS (SELECT grp, v,
+         |CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |FROM s GROUP BY 1, 2),
+         |w AS (SELECT grp, c1, c2, c1 + c2 AS t,
+         |CAST(SUM(c1 + c2) OVER (PARTITION BY grp ORDER BY v
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+         |a AS (SELECT grp, CAST(SUM(c1) AS BIGINT) AS n1,
+         |CAST(SUM(c2) AS BIGINT) AS n2,
+         |CAST(COUNT(*) AS BIGINT) AS n_vals,
+         |SUM(CAST(c1 AS HUGEINT) * (2 * (cum - t) + t + 1)) AS r2,
+         |SUM(CAST(t AS HUGEINT) * t * t - t) AS ties FROM w GROUP BY 1),
+         |z AS (SELECT grp, n1, n2, n_vals, n1 + n2 AS n,
+         |r2 - CAST(n1 AS HUGEINT) * (n1 + 1) - CAST(n1 AS HUGEINT) * n2
+         |  AS dev2, ties FROM a),
+         |r AS (SELECT grp, n1, n2,
+         |CASE WHEN n1 = 0 OR n2 = 0 OR n_vals = 1 THEN NULL
+         |ELSE CAST(FLOOR(CAST(dev2 AS DOUBLE) / sqrt(
+         |CAST(CAST(n1 AS HUGEINT) AS DOUBLE) * CAST(n2 AS DOUBLE) / 3.0 *
+         |(CAST(n + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+         |CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)))
+         |* 1000000.0 + 0.5) AS BIGINT) END AS z_micro FROM z)
+         |SELECT grp, n1, n2, z_micro, abs(z_micro) > 1960000 AS reject
+         |FROM r""".stripMargin,
 
     // same per-firm revenue fold, same exact square-sum, same single
     // divisions for HHI and its inverse

@@ -47,9 +47,26 @@ object DriftMonitor {
     * query's industry-standard decile binning, and the 0.2 alarm is
     * calibrated to it. */
   def psiReadout(snapshot: DataFrame, nBins: Int = 10): DataFrame =
-    graft.queries.StatsQueries.psiFromHist(
-      snapshot.groupBy(col("grp"), col("v"))
-        .agg(sum(when(col("g"), col("cnt")).otherwise(0L)).as("c1"),
-          sum(when(col("g"), 0L).otherwise(col("cnt"))).as("c2")),
-      nBins)
+    graft.queries.StatsQueries.psiFromHist(pivot(snapshot), nBins)
+
+  /** The SECOND gate off the SAME state: exact two-sample KS per
+    * group (the qa_ks_by_type algebra via
+    * [[graft.queries.AnalyticsQueries.ksFromHist]]) — PSI reads the
+    * binned mass shift, KS the worst pointwise CDF gap. */
+  def ksReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.AnalyticsQueries.ksFromHist(pivot(snapshot))
+
+  /** The THIRD gate off the SAME state: tie-corrected Mann–Whitney z
+    * per group (the qa_mwu_by_type algebra via
+    * [[graft.queries.StatsQueries.mwuFromHist]]) — the focused
+    * location-shift test where KS is the broadband shape test. */
+  def mwuReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.StatsQueries.mwuFromHist(pivot(snapshot))
+
+  /** ((grp, v, g), cnt) snapshot → the (grp, v, c1, c2) histogram
+    * every gate's factored batch algebra consumes. */
+  private def pivot(snapshot: DataFrame): DataFrame =
+    snapshot.groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("g"), col("cnt")).otherwise(0L)).as("c1"),
+        sum(when(col("g"), 0L).otherwise(col("cnt"))).as("c2"))
 }

@@ -1356,6 +1356,17 @@ object ExplainAudit {
         count(p, "Window") == 0
     }
 
+    audit("qa_mwu_by_type",
+      "the grouped MWU gate is the qa_ks_by_type shape: the 1-row " +
+        "midpoint split broadcast into the main scan (two corpus " +
+        "scans), ONE shuffle into the per-type histogram, the midrank " +
+        "window partitioned by type, a control-plane z reduction — " +
+        "no shuffle join") { p =>
+      count(p, "Scan parquet") == 2 && count(p, "Window") == 1 &&
+        !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

@@ -233,7 +233,10 @@ object ScaleRatios {
       "events_bootstrap_ci", "events_rate_wilson",
       // r13 fourth session, batch G: the one-pass Pearson matrix
       // (lineitem, 14 moment sums in one fold)
-      "a_corr_matrix")
+      "a_corr_matrix",
+      // r13 fourth session, batch H: the grouped MWU drift gate
+      // (events per-type histogram — the qa_ks_by_type shape)
+      "qa_mwu_by_type")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

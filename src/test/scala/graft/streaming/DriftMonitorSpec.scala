@@ -56,12 +56,25 @@ class DriftMonitorSpec extends AnyFunSuite {
           .toSeq
       } finally q.stop()
 
-    val streamed = DriftMonitor.psiReadout(
-        counts.toDF("grp", "v", "g", "cnt"))
+    val snapshot = counts.toDF("grp", "v", "g", "cnt")
+    val streamed = DriftMonitor.psiReadout(snapshot)
       .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
     assert(streamed.keySet == batch.keySet)
     streamed.foreach { case (t, got) =>
       assert(got == batch(t), s"grp $t: stream $got vs batch ${batch(t)}")
     }
+
+    // the SECOND and THIRD gates off the SAME snapshot equal their
+    // oracle-checked batch queries on the same events
+    val ksBatch = graft.SparkEntry.queries("qa_ks_by_type")(
+      spark, dir).collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    val ksStream = DriftMonitor.ksReadout(snapshot)
+      .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    assert(ksStream == ksBatch)
+    val mwuBatch = graft.SparkEntry.queries("qa_mwu_by_type")(
+      spark, dir).collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    val mwuStream = DriftMonitor.mwuReadout(snapshot)
+      .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    assert(mwuStream == mwuBatch)
   }
 }
