@@ -47,6 +47,7 @@ object StreamBench {
     spark.conf.set("spark.sql.shuffle.partitions",
       args.drop(1).headOption.getOrElse("8"))
     statefulLeg(spark, base, repeat, total, "stateful fold")
+    driftLeg(spark, base, repeat, total)
     spark.stop()
 
     // (c) + no per-put row counting (trades the numRowsTotal metric for
@@ -107,6 +108,32 @@ object StreamBench {
     val (d, dWarm) = twoPasses(src, q, base, repeat)
     q.stop()
     println(f"[streambench] profile monitor (2 cols/event): " +
+      f"${total / d}%.0f events/s sustained ($d%.2f s; cold ${total / dWarm}%.0f)")
+  }
+
+  /** Drift-monitor capacity: every event keys into the
+    * (type, cents, parity-side) histogram behind the PSI/KS/MWU
+    * triple gate — state is O(types × distinct cents) and the
+    * applyPartial pre-fold keeps the state op at O(distinct keys)
+    * rows per batch; the readout itself is control-plane and runs
+    * off-path. */
+  private def driftLeg(
+      spark: org.apache.spark.sql.SparkSession,
+      base: Array[Ev], repeat: Int, total: Long): Unit = {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DriftMonitor
+    val src = MemoryStream[Ev]
+    val keyed = src.toDS().map(e =>
+      (e.event_type, math.floor(e.value * 100.0 + 0.5).toLong,
+        e.user_id % 2 == 1))
+    val q = DriftMonitor.counts(keyed)
+      .map { case ((t, v, g), c) => (t, v, g, c) }
+      .writeStream.outputMode("update").format("noop").start()
+    val (d, dWarm) = twoPasses(src, q, base, repeat)
+    q.stop()
+    println(f"[streambench] drift monitor (PSI/KS/MWU histogram): " +
       f"${total / d}%.0f events/s sustained ($d%.2f s; cold ${total / dWarm}%.0f)")
   }
 
