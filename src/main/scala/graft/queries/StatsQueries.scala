@@ -314,6 +314,27 @@ object StatsQueries {
           sum(when(col("g"), 0L).otherwise(1L)).as("c2")))
     }),
 
+    // Theil T index with its between/within decomposition by nation
+    // (Theil 1967) — the third leg of the inequality family: a_gini
+    // reads magnitude, a_hhi reads firm concentration, Theil is the
+    // ONLY one of the three that decomposes EXACTLY into
+    // between-group + Σ share·within-group — the number that answers
+    // "is the imbalance across nations or inside them?". Per nation:
+    // within-T off the bounded cents histogram (each value's
+    // f·(v/X_g)·ln(v·N_g/X_g) term is ONE fixed-order micro floor
+    // over exact cross-multiplied DECIMAL(38) ratios — the
+    // a_mutual_info posture; v = 0 contributes its x·ln x limit of
+    // 0), plus the nation's share and between-term
+    // (X_g/X)·ln(X_g·N/(X·N_g)). The decomposition identity is
+    // pinned in the spec to term-count micro tolerance. See
+    // theilBody.
+    "a_theil_decomp" -> ((s, dir) =>
+      theilBody(Tables.customer(s, dir)
+        .where(col("c_acctbal") >= 0.0)
+        .select(col("c_nationkey").as("nat"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+            .as("v")))),
+
     // Exact Gini coefficient of non-negative customer account balances
     // per nation — the inequality readout behind every "is this mix
     // balanced?" decision. The rank identity
@@ -512,6 +533,51 @@ object StatsQueries {
           .otherwise(floor(col("dev2").cast("double") / sqrt(col("var2")) *
             lit(1000000.0) + lit(0.5)).cast("long")).as("z_micro"))
       .withColumn("reject", abs(col("z_micro")) > lit(1960000L))
+  }
+
+  /** Theil decomposition over a (nat, v = non-negative integer
+    * cents) frame — see the a_theil_decomp entry. ONE corpus shuffle
+    * into the pinned per-(nat, v) histogram; group totals derive from
+    * the pin and broadcast; the corpus totals are a 1-row broadcast
+    * cross. A group with Σx = 0 has no defined within-T and reads
+    * NULL (its between term likewise — ln 0). */
+  private[graft] def theilBody(vals: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val hist = vals.groupBy(col("nat"), col("v")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(eager = true) // group totals AND terms read it
+    val gtot = hist.groupBy(col("nat"))
+      .agg(sum(col("f")).as("ng"),
+        sum(col("v").cast(dec) * col("f")).cast(dec).as("xg"))
+    val tot = gtot.agg(sum(col("ng")).as("n"), sum(col("xg")).cast(dec).as("x"))
+    hist
+      .join(broadcast(gtot), "nat")
+      .withColumn("term",
+        when(col("v") === 0L || col("xg") === 0, lit(0L))
+          .otherwise(floor(
+            (col("v").cast(dec) * col("f")).cast("double") /
+              col("xg").cast("double") *
+              log((col("v").cast(dec) * col("ng")).cast("double") /
+                col("xg").cast("double")) *
+              lit(1000000.0) + lit(0.5)).cast("long")))
+      .groupBy(col("nat"))
+      .agg(max(col("ng")).as("ng"), max(col("xg")).as("xg_dec"),
+        sum(col("term")).as("t_within"))
+      .crossJoin(broadcast(tot))
+      .select(col("nat"), col("ng").as("n"),
+        expr("CAST(xg_dec AS BIGINT)").as("sum_cents"),
+        when(col("x") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((xg_dec * 1000000) div x AS BIGINT)"))
+          .as("share_micro"),
+        when(col("xg_dec") === 0, lit(null).cast("long"))
+          .otherwise(col("t_within")).as("theil_g_micro"),
+        // between term (X_g/X)·ln(X_g·N/(X·N_g)) — both ratio factors
+        // exact DECIMAL(38) cross-multiplications, ONE micro floor
+        when(col("xg_dec") === 0 || col("x") === 0, lit(null).cast("long"))
+          .otherwise(floor(
+            col("xg_dec").cast("double") / col("x").cast("double") *
+              log((col("xg_dec") * col("n")).cast(dec).cast("double") /
+                (col("x") * col("ng")).cast(dec).cast("double")) *
+              lit(1000000.0) + lit(0.5)).cast("long")).as("between_micro"))
   }
 
   /** Exact Gini per group over a (nat, v = non-negative integer)
@@ -1180,6 +1246,36 @@ object StatsQueries {
          |* 1000000.0 + 0.5) AS BIGINT) END AS z_micro FROM z)
          |SELECT grp, n1, n2, z_micro, abs(z_micro) > 1960000 AS reject
          |FROM r""".stripMargin,
+
+    // same pinned per-(nation, cents) histogram, same derived totals,
+    // same fixed-order per-value and between-term ln micro floors
+    "a_theil_decomp" ->
+      """WITH s AS (SELECT c_nationkey AS nat,
+        |CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS v
+        |FROM customer WHERE c_acctbal >= 0.0),
+        |h AS (SELECT nat, v, CAST(COUNT(*) AS BIGINT) AS f
+        |FROM s GROUP BY 1, 2),
+        |g AS (SELECT nat, CAST(SUM(f) AS BIGINT) AS ng,
+        |SUM(CAST(v AS HUGEINT) * f) AS xg FROM h GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(ng) AS BIGINT) AS n_all, SUM(xg) AS x
+        |FROM g),
+        |t AS (SELECT h.nat, CASE WHEN v = 0 OR xg = 0 THEN 0
+        |ELSE CAST(FLOOR(CAST(CAST(v AS HUGEINT) * f AS DOUBLE) /
+        |CAST(xg AS DOUBLE) *
+        |ln(CAST(CAST(v AS HUGEINT) * ng AS DOUBLE) / CAST(xg AS DOUBLE))
+        |* 1000000.0 + 0.5) AS BIGINT) END AS term
+        |FROM h JOIN g ON g.nat = h.nat),
+        |w AS (SELECT nat, CAST(SUM(term) AS BIGINT) AS t_within
+        |FROM t GROUP BY 1)
+        |SELECT g.nat, ng AS n, CAST(xg AS BIGINT) AS sum_cents,
+        |CASE WHEN x = 0 THEN NULL
+        |ELSE CAST((xg * 1000000) // x AS BIGINT) END AS share_micro,
+        |CASE WHEN xg = 0 THEN NULL ELSE t_within END AS theil_g_micro,
+        |CASE WHEN xg = 0 OR x = 0 THEN NULL
+        |ELSE CAST(FLOOR(CAST(xg AS DOUBLE) / CAST(x AS DOUBLE) *
+        |ln(CAST(xg * n_all AS DOUBLE) / CAST(x * ng AS DOUBLE))
+        |* 1000000.0 + 0.5) AS BIGINT) END AS between_micro
+        |FROM g JOIN w ON w.nat = g.nat CROSS JOIN tt""".stripMargin,
 
     // same per-firm revenue fold, same exact square-sum, same single
     // divisions for HHI and its inverse

@@ -1367,6 +1367,16 @@ object ExplainAudit {
         p.contains("BroadcastNestedLoopJoin")
     }
 
+    audit("a_theil_decomp",
+      "Theil runs on the PINNED per-(nation, cents) histogram (zero " +
+        "parquet scans past the pin): group totals derive and " +
+        "broadcast back, corpus totals are a 1-row broadcast cross, " +
+        "no window, no sort-merge join") { p =>
+      count(p, "Scan parquet") == 0 && count(p, "Window") == 0 &&
+        !p.contains("SortMergeJoin") && p.contains("BroadcastHashJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

@@ -235,8 +235,9 @@ object ScaleRatios {
       // (lineitem, 14 moment sums in one fold)
       "a_corr_matrix",
       // r13 fourth session, batch H: the grouped MWU drift gate
-      // (events per-type histogram — the qa_ks_by_type shape)
-      "qa_mwu_by_type")
+      // (events per-type histogram — the qa_ks_by_type shape) and the
+      // Theil between/within decomposition (customer cents histogram)
+      "qa_mwu_by_type", "a_theil_decomp")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

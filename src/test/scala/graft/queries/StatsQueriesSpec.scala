@@ -235,6 +235,40 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(t == t.sorted && t.last < 4294967296L)
   }
 
+  // -------------------------------------------------------------- theil
+
+  test("theil: perfect equality reads zero everywhere, and the " +
+    "between/within decomposition reassembles the independently-" +
+    "computed total Theil to per-term floor tolerance") {
+    val equal = (1 to 4).flatMap(g => Seq.fill(5)((g, 100L)))
+    val got1 = StatsQueries.theilBody(equal.toDF("nat", "v")).collect()
+      .map(r => (r.getAs[Long]("theil_g_micro"), r.getAs[Long]("between_micro")))
+    got1.foreach { case (tg, bt) => assert(tg == 0L && bt == 0L) }
+
+    // skewed: nation 1 holds small uniform accounts, nation 2 one whale
+    val vals = Seq((1, 100L), (1, 100L), (1, 100L), (1, 100L),
+      (2, 50L), (2, 950L))
+    val rows = StatsQueries.theilBody(vals.toDF("nat", "v")).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_cents"),
+          r.getAs[Long]("share_micro"), r.getAs[Long]("theil_g_micro"),
+          r.getAs[Long]("between_micro")))).toMap
+    // independent doubles: T = sum (x/X)*ln(x*N/X) over all rows
+    val xs = vals.map(_._2.toDouble)
+    val X = xs.sum; val N = xs.size.toDouble
+    val tTotal = xs.map(x => x / X * math.log(x * N / X)).sum
+    val assembled = rows.values.map { case (_, _, sh, tg, bt) =>
+      sh.toDouble / 1e6 * tg.toDouble / 1e6 + bt.toDouble / 1e6
+    }.sum
+    assert(math.abs(assembled - tTotal) < 1e-4,
+      s"assembled $assembled vs total $tTotal")
+    // within nation 1 (all equal) is exactly 0
+    assert(rows(1)._4 == 0L)
+    // shares: 400/1400 and 1000/1400
+    assert(rows(1)._3 == 400L * 1000000L / 1400L)
+    assert(rows(2)._3 == 1000L * 1000000L / 1400L)
+  }
+
   // -------------------------------------------------------- corr matrix
 
   test("corr matrix: linear pairs read ±1.0, a constant column reads " +
