@@ -129,4 +129,14 @@ object TrendMonitor {
   def forecastEvalReadout(counts: DataFrame): DataFrame =
     graft.queries.AnalyticsQueries.forecastEvalBody(
       counts.select(col("event_type"), col("x"), col("c")))
+
+  /** The Mann–Kendall trend-SIGNIFICANCE gate over the same streamed
+    * daily-count snapshot — the factored events_mann_kendall algebra
+    * ([[graft.queries.StatsQueries.mannKendallBody]]): the ELEVENTH
+    * readout, and the decision-maker for the sixth — Theil–Sen says
+    * how steep, MK says whether to believe the trend at all
+    * (exact S, tie-corrected variance, |z| > 1.96). */
+  def mannKendallReadout(counts: DataFrame): DataFrame =
+    graft.queries.StatsQueries.mannKendallBody(
+      counts.select(col("event_type"), col("x"), col("c")))
 }

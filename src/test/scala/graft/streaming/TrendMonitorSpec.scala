@@ -180,5 +180,19 @@ class TrendMonitorSpec extends AnyFunSuite {
     feStreamed.foreach { case (k, got) =>
       assert(got == feBatch(k), s"$k: stream $got vs batch ${feBatch(k)}")
     }
+
+    // and the ELEVENTH — the decision-maker for the sixth: the
+    // Mann–Kendall significance gate ≡ the oracle-checked batch
+    // events_mann_kendall (exact S, tie-corrected variance)
+    val mkBatch = graft.queries.StatsQueries
+      .queries("events_mann_kendall")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val mkStreamed = TrendMonitor
+      .mannKendallReadout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(mkStreamed.keySet == mkBatch.keySet && mkBatch.nonEmpty)
+    mkStreamed.foreach { case (k, got) =>
+      assert(got == mkBatch(k), s"$k: stream $got vs batch ${mkBatch(k)}")
+    }
   }
 }
