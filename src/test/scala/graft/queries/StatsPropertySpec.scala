@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact algebraic invariants of the statistical-gate bodies on
+  * seeded pseudo-random frames — properties the worked examples in
+  * StatsQueriesSpec can't cover at breadth:
+  * - PSI is symmetric under swapping the two samples (every
+  *   (p−q)·ln(p/q) term is), and the micro floors preserve that
+  *   EXACTLY because the term algebra sees the same operands.
+  * - KS's D is invariant under the same swap (|a−b| = |b−a| on the
+  *   exact cross-multiplied integers).
+  * - MWU's z is exactly antisymmetric under the swap ONLY up to the
+  *   floor (dev2 negates; floor(x+.5) vs floor(−x+.5) differ by ≤ 1
+  *   micro) — pinned as |z₁ + z₂| ≤ 1.
+  * - Gini is EXACTLY scale-invariant on integer dilations (the rank
+  *   identity is homogeneous degree 0 before its single division).
+  * - Kendall and Spearman are EXACTLY invariant under strictly
+  *   monotone integer transforms of either axis (ranks and dominance
+  *   counts never see the values).
+  */
+class StatsPropertySpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  // deterministic LCG — no java.util.Random seeding ambiguity
+  private def stream(seed: Long, n: Int, mod: Int): Seq[Long] = {
+    var s = seed
+    (0 until n).map { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(s >>> 33, mod.toLong)
+    }
+  }
+
+  private def hist(vs: Seq[Long], gs: Seq[Boolean], grp: String = "t") =
+    vs.zip(gs).map { case (v, g) => (grp, v, g) }.toDF("grp", "v", "g")
+      .groupBy("grp", "v")
+      .agg(org.apache.spark.sql.functions.expr(
+        "sum(case when g then 1 else 0 end)").as("c1"),
+        org.apache.spark.sql.functions.expr(
+          "sum(case when g then 0 else 1 end)").as("c2"))
+
+  private def swapped(h: org.apache.spark.sql.DataFrame) =
+    h.selectExpr("grp", "v", "c2 as c1", "c1 as c2")
+
+  test("psi: exactly symmetric under sample swap on seeded frames") {
+    for (seed <- 1L to 3L) {
+      val vs = stream(seed, 400, 60)
+      val gs = stream(seed + 99, 400, 2).map(_ == 0L)
+      val h = hist(vs, gs).cache()
+      val a = StatsQueries.psiFromHist(h, 10).collect().head
+      val b = StatsQueries.psiFromHist(swapped(h), 10).collect().head
+      assert(a.getAs[Any]("psi_micro") == b.getAs[Any]("psi_micro") &&
+        a.getAs[Long]("n_degenerate") == b.getAs[Long]("n_degenerate"),
+        s"seed $seed: $a vs $b")
+    }
+  }
+
+  test("ks: D and the threshold are exactly swap-invariant") {
+    for (seed <- 4L to 6L) {
+      val vs = stream(seed, 500, 80)
+      val gs = stream(seed + 7, 500, 2).map(_ == 0L)
+      val h = hist(vs, gs).cache()
+      val a = AnalyticsQueries.ksFromHist(h).collect().head
+      val b = AnalyticsQueries.ksFromHist(swapped(h)).collect().head
+      assert(a.getAs[Long]("d_micro") == b.getAs[Long]("d_micro"))
+      assert(a.getAs[Long]("threshold_micro") == b.getAs[Long]("threshold_micro"))
+      assert(a.getAs[Boolean]("reject") == b.getAs[Boolean]("reject"))
+    }
+  }
+
+  test("mwu: z is antisymmetric under sample swap to the floor micro") {
+    for (seed <- 7L to 9L) {
+      val vs = stream(seed, 300, 40)
+      val gs = stream(seed + 13, 300, 2).map(_ == 0L)
+      val h = hist(vs, gs).cache()
+      val a = StatsQueries.mwuFromHist(h).collect().head
+      val b = StatsQueries.mwuFromHist(swapped(h)).collect().head
+      val za = a.getAs[Long]("z_micro"); val zb = b.getAs[Long]("z_micro")
+      assert(math.abs(za + zb) <= 1L, s"seed $seed: $za vs $zb")
+    }
+  }
+
+  test("gini: exactly invariant under integer dilation of all values") {
+    for (seed <- 10L to 12L; k <- Seq(3L, 17L)) {
+      val vs = stream(seed, 250, 500)
+      val base = StatsQueries.giniBody(
+        vs.map((1, _)).toDF("nat", "v")).collect().head
+      val scaled = StatsQueries.giniBody(
+        vs.map(v => (1, v * k)).toDF("nat", "v")).collect().head
+      assert(base.getAs[Any]("gini_micro") == scaled.getAs[Any]("gini_micro"),
+        s"seed $seed k $k")
+    }
+  }
+
+  test("kendall + spearman: exactly invariant under a strictly " +
+    "monotone transform of either axis") {
+    for (seed <- 13L to 14L) {
+      val xs = stream(seed, 300, 25)
+      val ys = stream(seed + 31, 300, 9)
+      def mono(v: Long) = v * v + 3 * v + 1 // strictly increasing on 0..
+      val plain = xs.zip(ys).toDF("x", "y")
+      val warped = xs.map(mono).zip(ys).toDF("x", "y")
+      val t1 = StatsQueries.kendallBody(plain).collect().head
+      val t2 = StatsQueries.kendallBody(warped).collect().head
+      assert(t1.getAs[Any]("tau_micro") == t2.getAs[Any]("tau_micro"))
+      val s1 = StatsQueries.spearmanBody(plain).collect().head
+      val s2 = StatsQueries.spearmanBody(warped).collect().head
+      assert(s1.getAs[Any]("rho_micro") == s2.getAs[Any]("rho_micro"))
+    }
+  }
+}
