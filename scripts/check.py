@@ -48,11 +48,15 @@ for name in names:
     bad = None
     for c in gc:
         gv, ev = g[c], e[c]
-        if gv.dtype != ev.dtype:
-            try:
-                ev = ev.astype(gv.dtype)
-            except Exception:
-                pass
+        # Driver-strict: NO coercion (r13: astype silently truncated the
+        # oracle's broken DOUBLE 48185648.66 to Spark's long and masked a
+        # real `//`-on-DECIMAL oracle bug). Differing numeric KINDS
+        # (int vs float vs bool vs object) are a hard dtype failure;
+        # same-kind width differences (int32 vs int64) compare exactly
+        # via the string path below.
+        if gv.dtype.kind != ev.dtype.kind:
+            bad = (c, f"dtype {gv.dtype}", f"dtype {ev.dtype}", len(g))
+            break
         if gv.dtype.kind == "f":
             eq = (gv.values == ev.values) | (pd.isna(gv.values) & pd.isna(ev.values))
         else:

@@ -4,6 +4,28 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  import org.apache.spark.sql.types._
+
+  /** Only driver-canonicalizable column types may reach a hashed
+    * readout: {string, long, int, double, boolean, date, timestamp}.
+    * DECIMAL beyond 2⁵³ collapses in pandas (float64 rendering) and
+    * binary has no stable text form — both hash-diverge even when the
+    * values are exactly right (the r13 a_moments/sim_centroid_shift
+    * class). Exercised per-catalog-entry by OutputTypeAuditSpec. */
+  def auditOutputTypes(name: String, schema: StructType): Unit = {
+    val allowed: DataType => Boolean = {
+      case StringType | LongType | IntegerType | DoubleType |
+           BooleanType | DateType | TimestampType |
+           TimestampNTZType => true // NTZ hashes stably (q3/q18, r13)
+      case _ => false
+    }
+    val bad = schema.fields.filterNot(f => allowed(f.dataType))
+    require(bad.isEmpty,
+      s"[type-audit] $name emits non-canonicalizable column(s): " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+        " — allowed: string/long/int/double/boolean/date/timestamp")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, confArgs @ _*) = args: @unchecked
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,9 +57,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          // hashed-output type audit (r13: the only two catalog queries
+          // exposing raw DECIMAL(38) were exactly the two hash failures —
+          // >2⁵³ decimals are not driver-canonicalizable). Fail LOUDLY
+          // before writing so the class can never silently re-enter.
+          Verify.auditOutputTypes(name, df.schema)
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           errors(name) = String.valueOf(e.getMessage).take(300)
         }

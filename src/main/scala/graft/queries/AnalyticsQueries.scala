@@ -685,7 +685,7 @@ object AnalyticsQueries {
     * [[graft.streaming.DriftMonitor.ksReadout]] reads the IDENTICAL
     * exact sup off its state-store snapshot (one algebra, two
     * ingestion modes — the psiFromHist posture: ONE drift state
-    * table serves the PSI, KS, and MWU gates). */
+    * table serves the PSI, KS, MWU, Cliff's δ, and CvM gates). */
   private[graft] def ksFromHist(hist: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
     val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))

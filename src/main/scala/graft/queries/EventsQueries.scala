@@ -694,6 +694,25 @@ object EventsQueries {
         .select(col("t"), col("n_death"), col("n_risk"), col("ln_s_micro"))
     }),
 
+    // Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) over
+    // the SAME lifetime histogram as events_survival_km — the
+    // additive twin every survival toolkit pairs with KM: H(t) =
+    // Σ_{tᵢ≤t} dᵢ/nᵢ estimates accumulated churn intensity, is
+    // defined AT the last death where KM's ln S(t) reads NULL (ln 0),
+    // and its per-term variance dᵢ/nᵢ² (Aalen) gives the CI width.
+    // ZERO floats anywhere: each term rounds to nearest micro as the
+    // pure integer (2d·10⁶ + n) div 2n — exact at any scale where a
+    // double d/n would round engine-dependently near ties — the
+    // variance likewise in pico units via DECIMAL(38) (n² crosses
+    // 2⁶³ at ~3·10⁹ at-risk users); both cumulate by exact long
+    // prefix sums. Same ONE corpus shuffle; the histogram and windows
+    // run on the O(days) control-plane table.
+    "events_hazard_na" -> ((s, dir) =>
+      hazardNaBody(Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n_death")))),
+
     // Cohort LTV (lifetime-value matrix — the monetization twin of
     // events_retention): users cohorted by first purchase day; per
     // (cohort, day-offset) cell, that day's revenue and the running
@@ -749,6 +768,33 @@ object EventsQueries {
         .withColumn("stickiness_micro", expr("(dau * 1000000) div wau"))
         .select(col("day"), col("dau"), col("wau"), col("stickiness_micro"))
     }))
+
+  /** Nelson–Aalen cumulative hazard over a (t, n_death) death
+    * histogram — see the events_hazard_na entry. At-risk counts are
+    * the suffix sums; each d/n term rounds to nearest micro as the
+    * PURE INTEGER (2d·10⁶ + n) div 2n (no doubles anywhere in this
+    * operator), the variance term d/n² likewise in pico units through
+    * DECIMAL(38); both readouts are exact long prefix sums. The
+    * single-partition windows run on the O(days) control-plane
+    * histogram (the survival_km posture). */
+  private[graft] def hazardNaBody(hist: DataFrame): DataFrame = {
+    val wOrd = Window.orderBy(col("t"))
+    hist
+      .withColumn("n_risk", sum(col("n_death"))
+        .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("term",
+        expr("(n_death * 2000000 + n_risk) div (n_risk * 2)"))
+      .withColumn("vterm", expr(
+        "CAST((CAST(n_death AS DECIMAL(38,0)) * 2000000000000 + " +
+          "CAST(n_risk AS DECIMAL(38,0)) * n_risk) div " +
+          "(CAST(n_risk AS DECIMAL(38,0)) * n_risk * 2) AS BIGINT)"))
+      .withColumn("h_micro", sum(col("term"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("var_pico", sum(col("vterm"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("t"), col("n_death"), col("n_risk"), col("h_micro"),
+        col("var_pico"))
+  }
 
   /** The trailing-24h z-score algebra over an (event_type, h, n)
     * hourly-count frame — factored so the batch catalog query and the
@@ -1958,6 +2004,28 @@ object EventsQueries {
          |CASE WHEN n_risk = n_death THEN NULL ELSE
          |CAST(SUM(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
          |END AS ln_s_micro FROM tm""".stripMargin,
+
+    // same lifetime histogram and suffix-sum at-risk counts, same
+    // all-integer nearest-micro terms ((2d·10⁶+n) // 2n — HUGEINT //
+    // floors, operands non-negative so it equals Spark's truncation),
+    // same exact long prefix sums
+    "events_hazard_na" ->
+      s"""WITH life AS (SELECT user_id,
+         |CAST(datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS INTEGER) AS t
+         |FROM $oEvents GROUP BY 1),
+         |h AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_death FROM life GROUP BY 1),
+         |r AS (SELECT t, n_death, CAST(SUM(n_death) OVER
+         |(ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+         |FROM h),
+         |tm AS (SELECT t, n_death, n_risk,
+         |CAST((n_death * 2000000 + n_risk) // (n_risk * 2) AS BIGINT) AS term,
+         |CAST((CAST(n_death AS HUGEINT) * 2000000000000 +
+         |CAST(n_risk AS HUGEINT) * n_risk) //
+         |(CAST(n_risk AS HUGEINT) * n_risk * 2) AS BIGINT) AS vterm FROM r)
+         |SELECT t, n_death, n_risk,
+         |CAST(SUM(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h_micro,
+         |CAST(SUM(vterm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS var_pico
+         |FROM tm""".stripMargin,
 
     // same exact-cents money, same day-offset arithmetic, same
     // integer micro-unit normalization

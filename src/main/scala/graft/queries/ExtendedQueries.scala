@@ -1366,8 +1366,12 @@ object ExtendedQueries {
     // posture). Scale: one map-side-combined shuffle, O(types) rows.
     "a_moments" -> ((s, dir) => {
       val dec = DecimalType(38, 0)
+      // value >= 0 pins the integer-division sign convention: Spark
+      // `div` truncates toward zero, DuckDB integer `//` floors — they
+      // agree only on non-negative dividends (ADVICE r13)
       Tables.events(s, dir)
-        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .where(col("event_type") === "purchase" && col("value").isNotNull &&
+          col("value") >= 0)
         .select(col("event_type"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
         .groupBy(col("event_type"))
@@ -1393,8 +1397,15 @@ object ExtendedQueries {
           - lit(4.0) * col("mean_c") * col("s3").cast("double") / col("n").cast("double")
           + lit(6.0) * col("mean_c") * col("mean_c") * col("s2").cast("double") / col("n").cast("double")
           - lit(3.0) * col("mean_c") * col("mean_c") * col("mean_c") * col("mean_c"))
-        .select(col("event_type"), col("n"), col("s1"), col("s2"),
-          col("s3"), col("s4"),
+        // s2..s4 exceed 2⁵³ — a raw DECIMAL(38) in a hashed readout is
+        // not driver-canonicalizable (pandas renders it float64 and the
+        // exact digits collapse: the r13 hash-miss class), so the exact
+        // integers ship as STRINGS; DECIMAL(38,0)→string is plain digits
+        // on both engines
+        .select(col("event_type"), col("n"), col("s1"),
+          col("s2").cast("string").as("s2"),
+          col("s3").cast("string").as("s3"),
+          col("s4").cast("string").as("s4"),
           expr("(CAST(s1 AS DECIMAL(38,0)) * 10000) div n").as("mean_micro"),
           floor(col("m2") * lit(1000000.0) + lit(0.5)).cast("long").as("var_micro"),
           when(col("m2") <= 0.0, lit(null).cast("long"))
@@ -2150,7 +2161,7 @@ object ExtendedQueries {
     "a_moments" ->
       """WITH v AS (SELECT event_type,
         |CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
-        |WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |WHERE event_type = 'purchase' AND value IS NOT NULL AND value >= 0),
         |m AS (SELECT event_type, COUNT(*) AS n,
         |CAST(SUM(c) AS BIGINT) AS s1,
         |CAST(SUM(CAST(c AS HUGEINT) * c) AS DECIMAL(38,0)) AS s2,
@@ -2170,8 +2181,10 @@ object ExtendedQueries {
         |- 4.0 * mean_c * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
         |+ 6.0 * mean_c * mean_c * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
         |- 3.0 * mean_c * mean_c * mean_c * mean_c AS m4 FROM d)
-        |SELECT event_type, n, s1, s2, s3, s4,
-        |(CAST(s1 AS DECIMAL(38,0)) * 10000) // n AS mean_micro,
+        |SELECT event_type, n, s1,
+        |CAST(s2 AS VARCHAR) AS s2, CAST(s3 AS VARCHAR) AS s3,
+        |CAST(s4 AS VARCHAR) AS s4,
+        |CAST((CAST(s1 AS HUGEINT) * 10000) // CAST(n AS HUGEINT) AS BIGINT) AS mean_micro,
         |CAST(FLOOR(m2 * 1000000.0 + 0.5) AS BIGINT) AS var_micro,
         |CASE WHEN m2 <= 0.0 THEN NULL
         |ELSE CAST(FLOOR(m3 / sqrt(m2 * m2 * m2) * 1000000.0 + 0.5) AS BIGINT)

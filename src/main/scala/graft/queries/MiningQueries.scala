@@ -317,7 +317,11 @@ object MiningQueries {
             sqrt(col("shift2").cast("double")) /
               ((col("n0") * col("n1")).cast("double") * lit(1048576.0)) *
               lit(1000000.0) + lit(0.5)).cast("long")))
-      .select(col("label"), col("n0"), col("n1"), col("shift2"),
+      // shift2 exceeds 2⁵³ — raw DECIMAL(38) in a hashed readout is not
+      // driver-canonicalizable (r13 hash-miss class): ship the exact
+      // integer as a STRING (plain digits on both engines)
+      .select(col("label"), col("n0"), col("n1"),
+        col("shift2").cast("string").as("shift2"),
         col("shift_micro"))
   }
 
@@ -625,7 +629,7 @@ object MiningQueries {
         |fin AS (SELECT label, MAX(n0) AS n0, MAX(n1) AS n1,
         |CAST(SUM(d * d) AS DECIMAL(38,0)) AS shift2
         |FROM dd GROUP BY 1)
-        |SELECT label, n0, n1, shift2,
+        |SELECT label, n0, n1, CAST(shift2 AS VARCHAR) AS shift2,
         |CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
         |ELSE CAST(FLOOR(sqrt(CAST(shift2 AS DOUBLE))
         |  / (CAST(n0 * n1 AS DOUBLE) * 1048576.0)

@@ -244,12 +244,15 @@ object StatsQueries {
     // embarrassingly parallel, which is why this is THE bootstrap at
     // warehouse scale: classical resampling would replay the corpus
     // B times). Each resample mean is ONE exact integer division; the
-    // CI is the ⌈0.025B⌉/⌈0.975B⌉ order statistics of the B means
-    // (row_number over O(types×B) control-plane rows). See
-    // bootstrapBody.
+    // CI bounds are the symmetric order statistics lo = ⌈0.025·B⌉,
+    // hi = B+1−lo of the B means (row_number over O(types×B)
+    // control-plane rows). See bootstrapBody. value >= 0 pins the
+    // integer-division sign convention (Spark div truncates, DuckDB
+    // integer // floors; they agree only on non-negative dividends —
+    // ADVICE r13).
     "events_bootstrap_ci" -> ((s, dir) =>
       bootstrapBody(Tables.events(s, dir)
-        .where(col("value").isNotNull)
+        .where(col("value").isNotNull && col("value") >= 0)
         .select(col("event_type"), col("event_id"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v")),
         BOOT_B)),
@@ -297,8 +300,8 @@ object StatsQueries {
     // focused, higher-power gate for the median drift a degrading
     // pipeline shows first.) Identical exact doubled-midrank algebra
     // with every window partitioned by type; shares DriftMonitor's
-    // state histogram via mwuFromHist — one drift state table, three
-    // gates (PSI / KS / MWU). See mwuFromHist.
+    // state histogram via mwuFromHist — one drift state table, five
+    // gates (PSI / KS / MWU / Cliff's δ / CvM). See mwuFromHist.
     "qa_mwu_by_type" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .where(col("value").isNotNull)
@@ -308,6 +311,58 @@ object StatsQueries {
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"))
       val split = ev.agg(expr("(min(x) + max(x) + 1) div 2").as("split"))
       mwuFromHist(ev.crossJoin(broadcast(split))
+        .select(col("grp"), col("v"), (col("x") < col("split")).as("g"))
+        .groupBy(col("grp"), col("v"))
+        .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g"), 0L).otherwise(1L)).as("c2")))
+    }),
+
+    // Cliff's delta (Cliff 1993) per event type on the SAME input and
+    // midpoint split — the EFFECT-SIZE companion the test family
+    // needs: MWU's z answers "is the location shift real?", δ =
+    // (#(x₁>x₂) − #(x₁<x₂))/(n₁·n₂) answers "is it big enough to
+    // care?" (a warehouse-scale n makes trivial shifts significant —
+    // the classic p-value trap). Entirely exact off the histogram:
+    // gt/lt are Σ c·cumBefore cross-products in DECIMAL(38), δ is one
+    // re-signed truncating division (the kappaBody posture), and the
+    // Romano et al. 2006 magnitude label (0.147/0.33/0.474) makes the
+    // readout operator-actionable. The FOURTH gate off DriftMonitor's
+    // one state table via cliffsFromHist.
+    "qa_cliffs_by_type" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          datediff(to_date(date_trunc("day", col("ts"))),
+            lit("1970-01-01").cast("date")).cast("long").as("x"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"))
+      val split = ev.agg(expr("(min(x) + max(x) + 1) div 2").as("split"))
+      cliffsFromHist(ev.crossJoin(broadcast(split))
+        .select(col("grp"), col("v"), (col("x") < col("split")).as("g"))
+        .groupBy(col("grp"), col("v"))
+        .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g"), 0L).otherwise(1L)).as("c2")))
+    }),
+
+    // Two-sample Cramér–von Mises criterion (Anderson 1962) per event
+    // type on the SAME input and midpoint split — the WHOLE-CDF
+    // distance where KS reads only the sup: a distribution that
+    // drifts a little everywhere (the quiet encoder-rot signature)
+    // moves T long before any single ECDF gap crosses the KS
+    // threshold. With ties the sum runs over distinct values weighted
+    // by combined counts; each term's numerator (cum₁n₂ − cum₂n₁)² is
+    // exact DECIMAL(38), one fixed-order double micro floor per value
+    // (the qa_psi term posture), integer sum; asymptotic 5% critical
+    // value 0.461. The FIFTH gate off DriftMonitor's one state table
+    // via cvmFromHist.
+    "qa_cvm_by_type" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          datediff(to_date(date_trunc("day", col("ts"))),
+            lit("1970-01-01").cast("date")).cast("long").as("x"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"))
+      val split = ev.agg(expr("(min(x) + max(x) + 1) div 2").as("split"))
+      cvmFromHist(ev.crossJoin(broadcast(split))
         .select(col("grp"), col("v"), (col("x") < col("split")).as("g"))
         .groupBy(col("grp"), col("v"))
         .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
@@ -401,7 +456,13 @@ object StatsQueries {
         count(lit(1)).as("n_bins"),
         sum(when(col("term").isNull, 1L).otherwise(0L)).as("n_degenerate"),
         sum(col("term")).as("psi_micro"))
-      .withColumn("alarm", col("psi_micro") > lit(200000L))
+      // degenerate (one-sided) bins are the STRONGEST drift signal —
+      // their true PSI contribution is infinite, so they must trip the
+      // alarm even when every finite term is NULL (psi_micro NULL on a
+      // wholesale shift previously read alarm = NULL: ADVICE r13)
+      .withColumn("alarm",
+        coalesce(col("psi_micro") > lit(200000L), lit(false)) ||
+          col("n_degenerate") > lit(0L))
   }
 
   /** Chi-square independence + Cramér's V over an (a, b) categorical
@@ -533,6 +594,82 @@ object StatsQueries {
           .otherwise(floor(col("dev2").cast("double") / sqrt(col("var2")) *
             lit(1000000.0) + lit(0.5)).cast("long")).as("z_micro"))
       .withColumn("reject", abs(col("z_micro")) > lit(1960000L))
+  }
+
+  /** Cliff's delta over an already-aggregated (grp, v, c1, c2)
+    * histogram — the qa_cliffs_by_type entry, factored (the
+    * psiFromHist posture) so
+    * [[graft.streaming.DriftMonitor.cliffsReadout]] reads the
+    * IDENTICAL effect size off its state-store snapshot. gt =
+    * Σ_v c1(v)·cum2(<v) and lt = Σ_v c2(v)·cum1(<v) are exact
+    * DECIMAL(38) (gt crosses 2⁶³ at n₁ ≈ n₂ ≈ 3·10⁹ rows per group);
+    * the division re-signs through abs so Spark div and DuckDB //
+    * agree (truncation toward zero on the non-negative |diff|). */
+  private[graft] def cliffsFromHist(hist: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wBefore = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum1b", coalesce(sum(col("c1")).over(wBefore), lit(0L)))
+      .withColumn("cum2b", coalesce(sum(col("c2")).over(wBefore), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1").cast(dec) * col("cum2b")).cast(dec).as("gt"),
+        sum(col("c2").cast(dec) * col("cum1b")).cast(dec).as("lt"))
+      .withColumn("diff", (col("gt") - col("lt")).cast(dec))
+      .withColumn("adiff", abs(col("diff")).cast(dec))
+      // greatest(…, 1) keeps the unguarded branch ANSI-safe; the n = 0
+      // case itself reads NULL through the outer when
+      .withColumn("q", expr("CAST((adiff * 1000000) div " +
+        "greatest(CAST(n1 AS DECIMAL(38,0)) * n2, CAST(1 AS DECIMAL(38,0)))" +
+        " AS BIGINT)"))
+      .select(col("grp"), col("n1"), col("n2"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("long"))
+          .otherwise(when(col("diff") >= 0, col("q")).otherwise(-col("q")))
+          .as("delta_micro"))
+      .withColumn("effect",
+        when(col("delta_micro").isNull, lit(null).cast("string"))
+          .when(abs(col("delta_micro")) < 147000L, lit("negligible"))
+          .when(abs(col("delta_micro")) < 330000L, lit("small"))
+          .when(abs(col("delta_micro")) < 474000L, lit("medium"))
+          .otherwise(lit("large")))
+  }
+
+  /** Two-sample Cramér–von Mises T over an already-aggregated (grp,
+    * v, c1, c2) histogram — the qa_cvm_by_type entry, factored (the
+    * psiFromHist posture) so
+    * [[graft.streaming.DriftMonitor.cvmReadout]] reads the IDENTICAL
+    * whole-CDF distance off its state-store snapshot. T =
+    * n₁n₂/N²·Σᵢ(F₁(xᵢ)−F₂(xᵢ))² over all N observations = per
+    * distinct value, (cum₁n₂ − cum₂n₁)²·(c1+c2)/(n₁n₂N²): exact
+    * DECIMAL(38) numerator, ONE fixed-order double micro floor per
+    * value, exact integer sum (the qa_psi term posture). */
+  private[graft] def cvmFromHist(hist: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("d", (col("cum1").cast(dec) * col("n2") -
+        col("cum2").cast(dec) * col("n1")).cast(dec))
+      .withColumn("term",
+        when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("long"))
+          .otherwise(floor(
+            col("d").cast("double") * col("d").cast("double") *
+              (col("c1") + col("c2")).cast("double") /
+              (col("n1").cast(dec) * col("n2")).cast("double") /
+              (col("n1") + col("n2")).cast("double") /
+              (col("n1") + col("n2")).cast("double") *
+              lit(1000000.0) + lit(0.5)).cast("long")))
+      .groupBy(col("grp"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("term")).as("t_micro"))
+      .withColumn("reject", col("t_micro") > lit(461000L))
   }
 
   /** Theil decomposition over a (nat, v = non-negative integer
@@ -1029,7 +1166,8 @@ object StatsQueries {
          |CAST(SUM(CASE WHEN term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |  AS n_degenerate,
          |CAST(SUM(term) AS BIGINT) AS psi_micro,
-         |CAST(SUM(term) AS BIGINT) > 200000 AS alarm
+         |(COALESCE(CAST(SUM(term) AS BIGINT) > 200000, FALSE)
+         | OR SUM(CASE WHEN term IS NULL THEN 1 ELSE 0 END) > 0) AS alarm
          |FROM t GROUP BY 1""".stripMargin,
 
     // same pinned cells, same FULL grid via the margin cross join,
@@ -1118,13 +1256,14 @@ object StatsQueries {
         |FROM a""".stripMargin,
 
     // same seeded md5 per (resample, row), same shared literal Poisson
-    // thresholds, same exact resample-mean divisions, same ⌈nα⌉ order
-    // statistics
+    // thresholds, same exact resample-mean divisions, same symmetric
+    // lo = ⌈0.025·B⌉ / hi = B+1−lo order statistics, same value >= 0
+    // sign-convention pin
     "events_bootstrap_ci" -> {
       val t = poissonThresholds
       s"""WITH s AS (SELECT event_type, event_id,
          |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
-         |FROM $oEvents WHERE value IS NOT NULL),
+         |FROM $oEvents WHERE value IS NOT NULL AND value >= 0),
          |f AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          |CAST((SUM(CAST(v AS HUGEINT)) * 10000) // COUNT(*) AS BIGINT)
          |AS mean_micro FROM s GROUP BY 1),
@@ -1246,6 +1385,86 @@ object StatsQueries {
          |* 1000000.0 + 0.5) AS BIGINT) END AS z_micro FROM z)
          |SELECT grp, n1, n2, z_micro, abs(z_micro) > 1960000 AS reject
          |FROM r""".stripMargin,
+
+    // same per-type histogram and split, same exact cumBefore
+    // cross-products, same re-signed truncating division, same Romano
+    // magnitude thresholds
+    "qa_cliffs_by_type" ->
+      s"""WITH e AS (SELECT event_type AS grp,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |sp AS (SELECT (MIN(x) + MAX(x) + 1) // 2 AS split FROM e),
+         |s AS (SELECT grp, v, x < split AS g FROM e CROSS JOIN sp),
+         |h AS (SELECT grp, v,
+         |CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |FROM s GROUP BY 1, 2),
+         |w AS (SELECT grp, c1, c2,
+         |COALESCE(CAST(SUM(c1) OVER (PARTITION BY grp ORDER BY v
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |  AS cum1b,
+         |COALESCE(CAST(SUM(c2) OVER (PARTITION BY grp ORDER BY v
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |  AS cum2b FROM h),
+         |a AS (SELECT grp, CAST(SUM(c1) AS BIGINT) AS n1,
+         |CAST(SUM(c2) AS BIGINT) AS n2,
+         |SUM(CAST(c1 AS HUGEINT) * cum2b) AS gt,
+         |SUM(CAST(c2 AS HUGEINT) * cum1b) AS lt FROM w GROUP BY 1),
+         |d AS (SELECT grp, n1, n2, gt - lt AS diff, abs(gt - lt) AS adiff
+         |FROM a),
+         |r AS (SELECT grp, n1, n2,
+         |CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+         |WHEN diff >= 0 THEN
+         |CAST((adiff * 1000000) // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+         |ELSE -CAST((adiff * 1000000) // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+         |END AS delta_micro FROM d)
+         |SELECT grp, n1, n2, delta_micro,
+         |CASE WHEN delta_micro IS NULL THEN NULL
+         |WHEN abs(delta_micro) < 147000 THEN 'negligible'
+         |WHEN abs(delta_micro) < 330000 THEN 'small'
+         |WHEN abs(delta_micro) < 474000 THEN 'medium'
+         |ELSE 'large' END AS effect
+         |FROM r""".stripMargin,
+
+    // same per-type histogram and split, same exact DECIMAL numerator
+    // per distinct value, same fixed-order double micro floor per
+    // term, same integer sum and 0.461 asymptotic gate
+    "qa_cvm_by_type" ->
+      s"""WITH e AS (SELECT event_type AS grp,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |sp AS (SELECT (MIN(x) + MAX(x) + 1) // 2 AS split FROM e),
+         |s AS (SELECT grp, v, x < split AS g FROM e CROSS JOIN sp),
+         |h AS (SELECT grp, v,
+         |CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |FROM s GROUP BY 1, 2),
+         |w AS (SELECT grp, v, c1, c2,
+         |CAST(SUM(c1) OVER (PARTITION BY grp ORDER BY v
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+         |CAST(SUM(c2) OVER (PARTITION BY grp ORDER BY v
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+         |CAST(SUM(c1) OVER (PARTITION BY grp) AS BIGINT) AS n1,
+         |CAST(SUM(c2) OVER (PARTITION BY grp) AS BIGINT) AS n2 FROM h),
+         |t AS (SELECT grp, n1, n2,
+         |CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+         |ELSE CAST(FLOOR(
+         |CAST(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1
+         |  AS DOUBLE)
+         |* CAST(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1
+         |  AS DOUBLE)
+         |* CAST(c1 + c2 AS DOUBLE)
+         |/ CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+         |/ CAST(n1 + n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+         |* 1000000.0 + 0.5) AS BIGINT) END AS term FROM w)
+         |SELECT grp, MAX(n1) AS n1, MAX(n2) AS n2,
+         |CAST(SUM(term) AS BIGINT) AS t_micro,
+         |CAST(SUM(term) AS BIGINT) > 461000 AS reject
+         |FROM t GROUP BY 1""".stripMargin,
 
     // same pinned per-(nation, cents) histogram, same derived totals,
     // same fixed-order per-value and between-term ln micro floors

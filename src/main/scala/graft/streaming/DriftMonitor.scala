@@ -4,14 +4,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming distribution-drift maintenance — the live twin of the
-  * batch `qa_psi` catalog query: the (group, value, isReference)
+  * batch drift-gate family: the (group, value, isReference)
   * histogram is a PLAIN mergeable count table, so one
   * [[Fold.applyPartial]] state table carries the complete
-  * reference-vs-live value surface and the readout is the FACTORED
-  * batch algebra ([[graft.queries.StatsQueries.psiFromHist]]) — a
-  * live drift dashboard (has the value distribution moved off the
-  * frozen baseline?) and the oracle-checked offline PSI can never
-  * disagree on the same events (DriftMonitorSpec pins row-parity).
+  * reference-vs-live value surface and every readout is a FACTORED
+  * batch algebra — FIVE gates (PSI binned mass / KS sup / MWU
+  * location / Cliff's δ effect size / Cramér–von Mises whole-CDF)
+  * off the SAME state, each the exact body of an oracle-checked
+  * catalog query, so a live drift dashboard and the offline gates
+  * can never disagree on the same events (DriftMonitorSpec pins
+  * row-parity for all five; DriftRestartSpec pins them across a
+  * kill-and-resume).
   *
   * The reference flag is the deployment seam: in production the
   * baseline histogram loads once (g = true rows) and the stream feeds
@@ -63,10 +66,32 @@ object DriftMonitor {
   def mwuReadout(snapshot: DataFrame): DataFrame =
     graft.queries.StatsQueries.mwuFromHist(pivot(snapshot))
 
+  /** The FOURTH gate off the SAME state: Cliff's delta effect size
+    * per group (the qa_cliffs_by_type algebra via
+    * [[graft.queries.StatsQueries.cliffsFromHist]]) — MWU says the
+    * shift is real, δ says whether it is big enough to act on (at
+    * stream volumes everything is "significant"). */
+  def cliffsReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.StatsQueries.cliffsFromHist(pivot(snapshot))
+
+  /** The FIFTH gate off the SAME state: two-sample Cramér–von Mises
+    * per group (the qa_cvm_by_type algebra via
+    * [[graft.queries.StatsQueries.cvmFromHist]]) — the whole-CDF
+    * distance that fires on diffuse everywhere-a-little drift KS's
+    * single sup misses. */
+  def cvmReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.StatsQueries.cvmFromHist(pivot(snapshot))
+
   /** ((grp, v, g), cnt) snapshot → the (grp, v, c1, c2) histogram
-    * every gate's factored batch algebra consumes. */
+    * every gate's factored batch algebra consumes. PINNED
+    * (localCheckpoint): the factored bodies read the histogram more
+    * than once (extremes/margins join + bins), and on a LIVE
+    * state-store snapshot two unpinned reads could observe different
+    * micro-batch states and emit inconsistent bins vs margins
+    * (ADVICE r13). O(groups × distinct values) rows — cheap to pin. */
   private def pivot(snapshot: DataFrame): DataFrame =
     snapshot.groupBy(col("grp"), col("v"))
       .agg(sum(when(col("g"), col("cnt")).otherwise(0L)).as("c1"),
         sum(when(col("g"), 0L).otherwise(col("cnt"))).as("c2"))
+      .localCheckpoint(eager = true)
 }

@@ -1,0 +1,134 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+
+/** Bucketing evidence for the USER-WINDOW family (VERDICT r13 #5):
+  * the three biggest honest 100× ratios in the events family
+  * (path_mining 10.8×, stickiness 8.25×, funnel_windowed 5.4× —
+  * BENCH_scale100_r13.json) all pay the same
+  * hashpartitioning(user_id) exchange in front of
+  * Window.partitionBy(user_id).orderBy(ts). Write events ONCE bucketed
+  * by user_id and sorted by (user_id, ts, event_id) — the layout a
+  * 100 TB events lake would maintain anyway — and that exchange leaves
+  * the EXECUTED plan of every query in the family: the fact-table
+  * shuffle that scaled 10.8× becomes a pre-placed scan. The demo
+  * drives the per-event sessionize window (the family's shared first
+  * stage) and the full path_mining pipeline, asserting the user_id
+  * exchange is gone from the bucketed executed plans, the rows are
+  * identical, and timing both. Prints ONE JSON line for the sidecar.
+  */
+object BucketedWindowDemo {
+
+  /** The family's shared stage: gap-rule sessionize, per-event output
+    * (= the events_sessionize catalog body over a supplied frame). */
+  private def sessionize(ev: DataFrame): DataFrame = {
+    val GAP_US = 30L * 60L * 1000000L
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(wOrd)
+    val brk = when(prev.isNull ||
+      unix_micros(col("ts")) - unix_micros(prev) >= GAP_US, 1).otherwise(0)
+    val wPeers = Window.partitionBy(col("user_id"))
+      .orderBy(col("session_seq")).rangeBetween(0, 0)
+    ev.withColumn("brk", brk)
+      .withColumn("session_seq", sum(col("brk"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_in_session", count(lit(1)).over(wPeers))
+      .select(col("event_id"), col("user_id"), col("session_seq"),
+        col("n_in_session"))
+  }
+
+  /** The heaviest family member end-to-end (= the events_path_mining
+    * catalog body over a supplied frame): session paths capped at 8
+    * events, top-25 by traffic. */
+  private def pathMining(ev: DataFrame): DataFrame = {
+    val GAP_US = 30L * 60L * 1000000L
+    val (cap, topn) = (8, 25)
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(wOrd)
+    val brk = when(prev.isNull ||
+      unix_micros(col("ts")) - unix_micros(prev) >= GAP_US, 1).otherwise(0)
+    val wSess = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("brk", brk)
+      .withColumn("session_seq", sum(col("brk"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(wSess))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(when(col("rn") <= cap, struct(
+            unix_micros(col("ts")).as("tsu"), col("event_id"), col("event_type"))))),
+          x => x.getField("event_type")), ">").as("path"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topn)
+  }
+
+  private def userExchanges(df: DataFrame): Int = {
+    df.collect() // executed plan (AQE-final), not the static one
+    df.queryExecution.executedPlan.toString.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id"))
+  }
+
+  private def time(df: DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val wh = Files.createTempDirectory("graft_wh_win").toFile.getAbsolutePath
+    val spark: SparkSession = GraftSession.builder()
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    // the 100 TB layout: bucket by the window's partition key, sort by
+    // the window's full (partition ++ order) key so the per-bucket file
+    // order matches the window's required ordering
+    Tables.events(spark, dir).write
+      .bucketBy(16, "user_id").sortBy("user_id", "ts", "event_id")
+      .mode("overwrite").saveAsTable("events_bucketed")
+    val plainEv = () => Tables.events(spark, dir)
+    val bucketEv = () => spark.table("events_bucketed")
+
+    // ---- per-event sessionize (the family's shared exchange) ----
+    val (sp, sb) = (sessionize(plainEv()), sessionize(bucketEv()))
+    val (spx, sbx) = (userExchanges(sp), userExchanges(sb))
+    println(s"[bucketwin] sessionize user_id exchanges: plain=$spx bucketed=$sbx")
+    assert(spx >= 1, "plain sessionize must pay the user_id exchange")
+    assert(sbx == 0, "bucketed sessionize must NOT pay the user_id exchange")
+    val sRows = sp.collect().map(_.toSeq).toSet
+    assert(sRows == sb.collect().map(_.toSeq).toSet && sRows.nonEmpty,
+      "bucketed sessionize must return identical rows")
+
+    // ---- path_mining end-to-end (the 10.8×@100× member) ----
+    val (pp, pb) = (pathMining(plainEv()), pathMining(bucketEv()))
+    val (ppx, pbx) = (userExchanges(pp), userExchanges(pb))
+    println(s"[bucketwin] path_mining user_id exchanges: plain=$ppx bucketed=$pbx")
+    assert(ppx >= 1 && pbx == 0,
+      "bucketing must remove path_mining's user_id exchange")
+    assert(pp.collect().map(_.toSeq).toSeq == pb.collect().map(_.toSeq).toSeq,
+      "bucketed path_mining must return the identical ordered top-N")
+
+    Seq(sp, sb, pp, pb).foreach(time) // warm
+    val (tsp, tsb, tpp, tpb) = (time(sp), time(sb), time(pp), time(pb))
+    println(f"[bucketwin] sessionize plain=$tsp%.2f s bucketed=$tsb%.2f s; " +
+      f"path_mining plain=$tpp%.2f s bucketed=$tpb%.2f s")
+    println(s"""{"metric":"bucketed_user_window","sf_dir":"$dir",""" +
+      s""""sessionize":{"plain_user_exchanges":$spx,"bucketed_user_exchanges":$sbx,""" +
+      f""""plain_sec":$tsp%.3f,"bucketed_sec":$tsb%.3f},""" +
+      s""""path_mining":{"plain_user_exchanges":$ppx,"bucketed_user_exchanges":$pbx,""" +
+      f""""plain_sec":$tpp%.3f,"bucketed_sec":$tpb%.3f},"rows_identical":true}""")
+    spark.stop()
+  }
+}

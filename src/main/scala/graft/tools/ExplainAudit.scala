@@ -1377,6 +1377,33 @@ object ExplainAudit {
         p.contains("BroadcastNestedLoopJoin")
     }
 
+    audit("qa_cliffs_by_type",
+      "the FOURTH drift gate is the qa_mwu_by_type shape: 1-row split " +
+        "broadcast (two corpus scans), ONE shuffle into the per-type " +
+        "histogram, the cumBefore window partitioned by type, a " +
+        "control-plane δ reduction — no shuffle join") { p =>
+      count(p, "Scan parquet") == 2 && count(p, "Window") == 1 &&
+        !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
+
+    audit("qa_cvm_by_type",
+      "the FIFTH drift gate likewise: 1-row split broadcast, ONE " +
+        "histogram shuffle, one window pass (both cumulative and " +
+        "whole-partition sums share the per-type partitioning), a " +
+        "control-plane T reduction — no shuffle join") { p =>
+      count(p, "Scan parquet") == 2 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
+
+    audit("events_hazard_na",
+      "Nelson–Aalen is the survival_km shape: ONE corpus shuffle " +
+        "(user lifetime agg), the death histogram and both prefix/" +
+        "suffix windows on the O(days) control-plane table, no join " +
+        "anywhere") { p =>
+      count(p, "Scan parquet") == 1 && !p.contains("Join")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog-wide hashed-output type audit (VERDICT r13 next-round #3):
+  * every `SparkEntry.queries` result may only emit driver-
+  * canonicalizable column types — {string, long, int, double, boolean,
+  * date, timestamp}. Raw DECIMAL(38) beyond 2⁵³ collapses to float64 in
+  * the driver's pandas canonicalization and binary has no stable text
+  * form; the only two r13 hash failures were exactly the two catalog
+  * queries exposing DECIMAL outputs. Analysis-only (schema resolution,
+  * no job runs), so the whole 249-entry sweep is cheap and `sbt test`
+  * gates the class forever. */
+class OutputTypeAuditSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every catalog query emits only canonicalizable output types") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { Verify.auditOutputTypes(name, fn(spark, dir).schema); None }
+        catch { case e: IllegalArgumentException => Some(e.getMessage) }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed Nelson–Aalen cases: H(t) and its Aalen variance over
+  * a tiny death histogram, exactness of the all-integer nearest-micro
+  * rounding (the 0.5-tie lands exactly where floor(x + 0.5) puts it),
+  * and the defined-at-the-last-death property KM lacks. */
+class HazardNaSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  private def run(rows: (Int, Long)*) =
+    EventsQueries.hazardNaBody(rows.toSeq.toDF("t", "n_death"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getAs[Long]("n_risk"),
+        r.getAs[Long]("h_micro"), r.getAs[Long]("var_pico")))).toMap
+
+  test("worked example: deaths {2,1,1} at t=0,1,2 read H = 0.5/1.0/2.0 " +
+    "and var = d/n² prefix sums exactly") {
+    val got = run((0, 2L), (1, 1L), (2, 1L))
+    // t=0: n=4, d=2 → h += 2/4;   var += 2/16 = 0.125
+    // t=1: n=2, d=1 → h += 1/2;   var += 1/4
+    // t=2: n=1, d=1 → h += 1/1;   var += 1  (defined where ln S is not)
+    assert(got(0) == ((4L, 500000L, 125000000000L)))
+    assert(got(1) == ((2L, 1000000L, 375000000000L)))
+    assert(got(2) == ((1L, 2000000L, 1375000000000L)))
+  }
+
+  test("thirds round to nearest micro via the integer identity") {
+    // single death among 3 at risk: 1/3 → 333333.33… µ → 333333
+    val got = run((0, 1L), (5, 2L))
+    assert(got(0)._1 == 3L && got(0)._2 == 333333L)
+    // and 2/3 at the tail: 333333 + 1000000 = cumulative of exact terms
+    assert(got(5) == ((2L, 333333L + 1000000L, 111111111111L + 500000000000L)))
+  }
+
+  test("the estimator is monotone nondecreasing in t") {
+    val got = run((0, 3L), (1, 1L), (2, 4L), (7, 2L)).toSeq.sortBy(_._1)
+    val hs = got.map(_._2._2)
+    assert(hs == hs.sorted)
+  }
+}

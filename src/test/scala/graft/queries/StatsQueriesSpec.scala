@@ -42,8 +42,11 @@ class StatsQueriesSpec extends AnyFunSuite {
     val rows = (0L until 50L).map(v => ("t", v, true)) ++
       (100L until 150L).map(v => ("t", v, false))
     val got = runPsi(10, rows: _*)
-    val (_, _, nb, nd, psi, _) = got("t")
+    val (_, _, nb, nd, psi, alarmFull) = got("t")
     assert(nb == nd && psi.isEmpty)
+    // one-sided bins = infinite true PSI: the alarm must fire even
+    // though every finite term (and thus psi_micro) is NULL
+    assert(alarmFull.contains(true))
     // partial shift: both sides present in 2 shared bins, the drift
     // lives in the mass imbalance -> finite PSI above 0.2
     // bins (width 10, span 0..99): half1 puts 90 rows in bin 0,
@@ -60,6 +63,60 @@ class StatsQueriesSpec extends AnyFunSuite {
       0.8 * math.log(9.0) * 1000000.0 + 0.5).toLong * 2
     assert(psi2.contains(expect), s"psi $psi2 vs $expect")
     assert(alarm2.contains(true))
+  }
+
+  // ------------------------------------------------------- cliffs / cvm
+
+  private def hist(rows: (String, Long, Boolean)*) = {
+    import org.apache.spark.sql.functions._
+    rows.toSeq.toDF("grp", "v", "g").groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("g"), 0L).otherwise(1L)).as("c2"))
+  }
+
+  private def runCliffs(rows: (String, Long, Boolean)*) =
+    StatsQueries.cliffsFromHist(hist(rows: _*)).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getAs[Any]("delta_micro")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("effect")).map(_.asInstanceOf[String]))))
+      .toMap
+
+  private def runCvm(rows: (String, Long, Boolean)*) =
+    StatsQueries.cvmFromHist(hist(rows: _*)).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getAs[Any]("t_micro")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("reject")).map(_.asInstanceOf[Boolean]))))
+      .toMap
+
+  test("cliffs: complete separation reads ±1, identity reads 0, a " +
+    "one-sided histogram reads NULL") {
+    // every x1 < x2 → δ = −1, "large"; reversed → +1
+    val lo = Seq(("t", 1L, true), ("t", 2L, true), ("t", 3L, false),
+      ("t", 4L, false))
+    assert(runCliffs(lo: _*)("t") == ((Some(-1000000L), Some("large"))))
+    val hi = lo.map { case (g, v, s) => (g, v, !s) }
+    assert(runCliffs(hi: _*)("t") == ((Some(1000000L), Some("large"))))
+    // identical samples → gt = lt → δ = 0, "negligible"
+    val same = Seq(("t", 1L, true), ("t", 2L, true),
+      ("t", 1L, false), ("t", 2L, false))
+    assert(runCliffs(same: _*)("t") == ((Some(0L), Some("negligible"))))
+    // all mass on one side → undefined, NULL (never a division error)
+    val one = Seq(("t", 1L, true), ("t", 2L, true))
+    assert(runCliffs(one: _*)("t") == ((None, None)))
+  }
+
+  test("cvm: worked two-point examples match T = n1·n2/N²·Σ(F1−F2)² " +
+    "exactly and the 0.461 gate fires on separation") {
+    // {1} vs {2}: T = (1/4)·(1² + 0²·…) summed over both obs = 0.25
+    val a = runCvm(("t", 1L, true), ("t", 2L, false))("t")
+    assert(a == ((Some(250000L), Some(false))))
+    // {1,1,1} vs {2,2,2}: T = (9/36)·(3·1²) = 0.75 > 0.461 → reject
+    val rows = Seq.fill(3)(("t", 1L, true)) ++ Seq.fill(3)(("t", 2L, false))
+    assert(runCvm(rows: _*)("t") == ((Some(750000L), Some(true))))
+    // identical halves → every d = 0 → T = 0
+    val same = Seq(("t", 1L, true), ("t", 2L, true),
+      ("t", 1L, false), ("t", 2L, false))
+    assert(runCvm(same: _*)("t") == ((Some(0L), Some(false))))
   }
 
   // --------------------------------------------------------------- chi2

@@ -47,12 +47,14 @@ class DriftMonitorSpec extends AnyFunSuite {
         src.addData(rows.take(a).toIndexedSeq); q.processAllAvailable()
         src.addData(rows.slice(a, b).toIndexedSeq); q.processAllAvailable()
         src.addData(rows.drop(b).toIndexedSeq); q.processAllAvailable()
-        // update mode: keep the LAST count per (grp, v, g)
+        // update mode: keep the LATEST count per (grp, v, g). Per-key
+        // counts are monotone nondecreasing, so the MAX count IS the
+        // latest — no reliance on memory-sink row ids tracking batch
+        // insertion order (ADVICE r13)
         spark.table("drift_stream")
-          .withColumn("seq", monotonically_increasing_id())
-          .as[(String, Long, Boolean, Long, Long)].collect()
+          .as[(String, Long, Boolean, Long)].collect()
           .groupBy(r => (r._1, r._2, r._3))
-          .map { case ((t, v, g), rs) => (t, v, g, rs.maxBy(_._5)._4) }
+          .map { case ((t, v, g), rs) => (t, v, g, rs.map(_._4).max) }
           .toSeq
       } finally q.stop()
 
@@ -76,5 +78,18 @@ class DriftMonitorSpec extends AnyFunSuite {
     val mwuStream = DriftMonitor.mwuReadout(snapshot)
       .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
     assert(mwuStream == mwuBatch)
+
+    // the FOURTH and FIFTH gates off the SAME snapshot likewise equal
+    // their oracle-checked batch queries
+    val clBatch = graft.SparkEntry.queries("qa_cliffs_by_type")(
+      spark, dir).collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    val clStream = DriftMonitor.cliffsReadout(snapshot)
+      .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    assert(clStream == clBatch)
+    val cvBatch = graft.SparkEntry.queries("qa_cvm_by_type")(
+      spark, dir).collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    val cvStream = DriftMonitor.cvmReadout(snapshot)
+      .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    assert(cvStream == cvBatch)
   }
 }

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DriftMonitor restart safety (VERDICT r13 next-round #6): the
+  * (group, value, side) histogram state must survive a full query
+  * kill-and-resume — run 1 folds a prefix of the corpus and STOPS; a
+  * brand-new query over the same checkpoint folds the remainder; the
+  * recovered state must equal the batch fold over ALL the rows, key
+  * for key, and the three gates (PSI/KS/MWU) read off it must equal
+  * the gates off the batch histogram. Values coarsen to whole dollars
+  * so (grp, v, g) keys STRADDLE the cut (asserted): a straddling key
+  * is the probative one — on a state loss its run-2 count restarts at
+  * the run-2 increments alone, c1+c2 collapses to max(c1, c2), the
+  * histogram diverges and the gates flip. Restart-safe endpoints
+  * throughout (file source → foreachBatch parquet sink); counts dedup
+  * by MAX per key, the latest because per-key counts are monotone. */
+class DriftRestartSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("histogram state and all three gates survive a query restart") {
+    val dir = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("drift_restart").toFile.getAbsolutePath
+    val srcDir = s"$root/rows"
+    val outDir = s"$root/counts"
+    val ckpt = s"$root/ckpt"
+
+    // the qa_psi midpoint split for the reference flag; values in
+    // whole dollars so histogram keys repeat across the cut
+    val ev = graft.Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type").as("grp"),
+        datediff(to_date(date_trunc("day", col("ts"))),
+          lit("1970-01-01").cast("date")).cast("long").as("x"),
+        floor(col("value")).cast("long").as("v"))
+    val split = ev.agg(expr("(min(x) + max(x) + 1) div 2").as("split"))
+    val rows = ev.crossJoin(broadcast(split))
+      .select(col("grp"), col("v"), (col("x") < col("split")).as("g"))
+      .as[(String, Long, Boolean)].collect()
+    val cut = rows.length * 3 / 5
+    // the restart is only probative if keys straddle the cut: those
+    // keys' counts collapse from c1+c2 to max(c1, c2) on a state loss
+    val straddle = rows.take(cut).toSet.intersect(rows.drop(cut).toSet)
+    assert(straddle.nonEmpty, "fixture must have keys spanning both runs")
+
+    def feed(part: Seq[(String, Long, Boolean)]): Unit =
+      part.toDS().toDF("grp", "v", "g")
+        .write.mode("append").parquet(srcDir)
+
+    def runOnce(): Unit = {
+      implicit val s = spark
+      val src = spark.readStream
+        .schema("grp STRING, v BIGINT, g BOOLEAN").parquet(srcDir)
+        .as[(String, Long, Boolean)]
+      val q = DriftMonitor.counts(src)
+        .map { case ((t, v, g), c) => (t, v, g, c) }
+        .toDF("grp", "v", "g", "cnt")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    feed(rows.take(cut).toIndexedSeq)
+    runOnce() // run 1: prefix folded, query killed
+    feed(rows.drop(cut).toIndexedSeq)
+    runOnce() // run 2: brand-new query, SAME checkpoint, remainder only
+
+    val streamedCounts = spark.read.parquet(outDir)
+      .groupBy(col("grp"), col("v"), col("g"))
+      .agg(max(col("cnt")).as("cnt")) // monotone ⇒ max = latest
+      .localCheckpoint(eager = true)
+
+    // the batch twin: the SAME fold over ALL rows in one pass (the
+    // non-streaming path of Fold.applyPartial)
+    implicit val s = spark
+    val batchCounts = DriftMonitor.counts(rows.toIndexedSeq.toDS())
+      .map { case ((t, v, g), c) => (t, v, g, c) }
+      .toDF("grp", "v", "g", "cnt")
+
+    // state survival, key for key: recovered histogram ≡ batch fold
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Boolean, Long)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val sc = keyed(streamedCounts)
+    val bc = keyed(batchCounts)
+    assert(sc == bc, "recovered histogram state diverged from the batch fold")
+    straddle.foreach { k =>
+      assert(sc(k) >= 2L, s"straddling key $k must have folded both runs")
+    }
+
+    // and no gate flips: all three readouts off the recovered state
+    // equal the same gates off the batch histogram
+    def byGrp(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    assert(byGrp(DriftMonitor.psiReadout(streamedCounts)) ==
+      byGrp(DriftMonitor.psiReadout(batchCounts)), "PSI gate flipped")
+    assert(byGrp(DriftMonitor.ksReadout(streamedCounts)) ==
+      byGrp(DriftMonitor.ksReadout(batchCounts)), "KS gate flipped")
+    assert(byGrp(DriftMonitor.mwuReadout(streamedCounts)) ==
+      byGrp(DriftMonitor.mwuReadout(batchCounts)), "MWU gate flipped")
+    assert(byGrp(DriftMonitor.cliffsReadout(streamedCounts)) ==
+      byGrp(DriftMonitor.cliffsReadout(batchCounts)), "Cliff's δ flipped")
+    assert(byGrp(DriftMonitor.cvmReadout(streamedCounts)) ==
+      byGrp(DriftMonitor.cvmReadout(batchCounts)), "CvM gate flipped")
+  }
+}
