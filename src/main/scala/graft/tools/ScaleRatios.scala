@@ -237,7 +237,12 @@ object ScaleRatios {
       // r13 fourth session, batch H: the grouped MWU drift gate
       // (events per-type histogram — the qa_ks_by_type shape) and the
       // Theil between/within decomposition (customer cents histogram)
-      "qa_mwu_by_type", "a_theil_decomp")
+      "qa_mwu_by_type", "a_theil_decomp",
+      // r14: the FOURTH and FIFTH drift gates (events per-type
+      // histogram — the qa_mwu_by_type shape) and the Nelson–Aalen
+      // hazard (events user-lifetime histogram — the survival_km
+      // shape)
+      "qa_cliffs_by_type", "qa_cvm_by_type", "events_hazard_na")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
