@@ -673,26 +673,11 @@ object EventsQueries {
     // single-partition window, the zipf-OLS posture). The final row
     // (n = d, survival 0) carries NULL — ln 0 is not a number in
     // either engine.
-    "events_survival_km" -> ((s, dir) => {
-      val life = Tables.events(s, dir)
+    "events_survival_km" -> ((s, dir) =>
+      survivalKmBody(Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("t"))
-      val hist = life.groupBy(col("t")).agg(count(lit(1)).as("n_death"))
-      val wOrd = Window.orderBy(col("t"))
-      def lnMicro(c: org.apache.spark.sql.Column) =
-        floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
-      hist
-        .withColumn("n_risk", sum(col("n_death"))
-          .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-        .withColumn("term",
-          when(col("n_risk") === col("n_death"), lit(null).cast("long"))
-            .otherwise(lnMicro(col("n_risk") - col("n_death")) - lnMicro(col("n_risk"))))
-        .withColumn("ln_s_micro",
-          when(col("n_risk") === col("n_death"), lit(null).cast("long"))
-            .otherwise(sum(col("term"))
-              .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-        .select(col("t"), col("n_death"), col("n_risk"), col("ln_s_micro"))
-    }),
+        .groupBy(col("t")).agg(count(lit(1)).as("n_death")))),
 
     // Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) over
     // the SAME lifetime histogram as events_survival_km — the
@@ -769,6 +754,29 @@ object EventsQueries {
         .select(col("day"), col("dau"), col("wau"), col("stickiness_micro"))
     }))
 
+  /** Kaplan–Meier ln-survival over a (t, n_death) death histogram —
+    * see the events_survival_km entry for the exactness discipline
+    * (per-count ln micro floors, exact long prefix sums, NULL at the
+    * final n = d row). Factored (the psiFromHist posture) so the
+    * streaming [[graft.streaming.SurvivalMonitor.kmReadout]] reads
+    * the IDENTICAL curve off its state-store lifetime snapshot. */
+  private[graft] def survivalKmBody(hist: DataFrame): DataFrame = {
+    val wOrd = Window.orderBy(col("t"))
+    def lnMicro(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+    hist
+      .withColumn("n_risk", sum(col("n_death"))
+        .over(wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("term",
+        when(col("n_risk") === col("n_death"), lit(null).cast("long"))
+          .otherwise(lnMicro(col("n_risk") - col("n_death")) - lnMicro(col("n_risk"))))
+      .withColumn("ln_s_micro",
+        when(col("n_risk") === col("n_death"), lit(null).cast("long"))
+          .otherwise(sum(col("term"))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .select(col("t"), col("n_death"), col("n_risk"), col("ln_s_micro"))
+  }
+
   /** Nelson–Aalen cumulative hazard over a (t, n_death) death
     * histogram — see the events_hazard_na entry. At-risk counts are
     * the suffix sums; each d/n term rounds to nearest micro as the
@@ -776,7 +784,9 @@ object EventsQueries {
     * operator), the variance term d/n² likewise in pico units through
     * DECIMAL(38); both readouts are exact long prefix sums. The
     * single-partition windows run on the O(days) control-plane
-    * histogram (the survival_km posture). */
+    * histogram (the survival_km posture). Factored so the streaming
+    * [[graft.streaming.SurvivalMonitor.naReadout]] reads the
+    * IDENTICAL hazard off its state-store lifetime snapshot. */
   private[graft] def hazardNaBody(hist: DataFrame): DataFrame = {
     val wOrd = Window.orderBy(col("t"))
     hist

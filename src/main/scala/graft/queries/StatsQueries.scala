@@ -369,6 +369,55 @@ object StatsQueries {
           sum(when(col("g"), 0L).otherwise(1L)).as("c2")))
     }),
 
+    // Two-sample Anderson–Darling per event type on the SAME input
+    // and midpoint split (Scholz & Stephens 1987 ties form; 5%
+    // critical value 2.492, Pettitt 1976) — the TAIL-WEIGHTED member
+    // of the gate family: the 1/(H(1−H)) weight amplifies ECDF gaps
+    // near the extremes, so a drift living in the p99 purchase values
+    // (the fraud/whale signature) trips AD while CvM's uniform weight
+    // and KS's central sup both sleep. Exact DECIMAL(38) numerators,
+    // one fixed-order double micro floor per value, exact integer
+    // sum; the last distinct value is skipped BY DEFINITION (its
+    // weight denominator is zero). The SIXTH gate off DriftMonitor's
+    // one state table via adFromHist.
+    "qa_ad_by_type" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          datediff(to_date(date_trunc("day", col("ts"))),
+            lit("1970-01-01").cast("date")).cast("long").as("x"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"))
+      val split = ev.agg(expr("(min(x) + max(x) + 1) div 2").as("split"))
+      adFromHist(ev.crossJoin(broadcast(split))
+        .select(col("grp"), col("v"), (col("x") < col("split")).as("g"))
+        .groupBy(col("grp"), col("v"))
+        .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g"), 0L).otherwise(1L)).as("c2")))
+    }),
+
+    // Total-variation distance per event type on the SAME input and
+    // midpoint split — the family's exactness anchor: TVD = ½Σ|p₁−p₂|
+    // needs NO floats anywhere (absolute DECIMAL(38) cross-
+    // differences, one truncating division), and it is the
+    // operationally interpretable one — TVD bounds the shift of EVERY
+    // event probability, so tvd = 0.03 certifies "no downstream rate
+    // moves by more than 3 points". The SEVENTH gate off
+    // DriftMonitor's one state table via tvdFromHist.
+    "qa_tvd_by_type" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          datediff(to_date(date_trunc("day", col("ts"))),
+            lit("1970-01-01").cast("date")).cast("long").as("x"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"))
+      val split = ev.agg(expr("(min(x) + max(x) + 1) div 2").as("split"))
+      tvdFromHist(ev.crossJoin(broadcast(split))
+        .select(col("grp"), col("v"), (col("x") < col("split")).as("g"))
+        .groupBy(col("grp"), col("v"))
+        .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g"), 0L).otherwise(1L)).as("c2")))
+    }),
+
     // Theil T index with its between/within decomposition by nation
     // (Theil 1967) — the third leg of the inequality family: a_gini
     // reads magnitude, a_hhi reads firm concentration, Theil is the
@@ -670,6 +719,79 @@ object StatsQueries {
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         sum(col("term")).as("t_micro"))
       .withColumn("reject", col("t_micro") > lit(461000L))
+  }
+
+  /** Two-sample Anderson–Darling A² over an already-aggregated (grp,
+    * v, c1, c2) histogram — the qa_ad_by_type entry, factored (the
+    * psiFromHist posture) so
+    * [[graft.streaming.DriftMonitor.adReadout]] reads the IDENTICAL
+    * statistic off its state-store snapshot. The Scholz–Stephens
+    * ties form: A² = Σ_v h_v·(A₁n₂−A₂n₁)² / (n₁n₂·C_v·(N−C_v)) over
+    * distinct values EXCEPT the last (C = N zeroes the weight's
+    * denominator — every engine must skip it, so the skip is the
+    * definition, not an epsilon). Numerators exact DECIMAL(38), ONE
+    * fixed-order double micro floor per value, exact integer sum;
+    * 5% critical value 2.492 (Pettitt 1976). */
+  private[graft] def adFromHist(hist: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("cc", col("cum1") + col("cum2"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("d", (col("cum1").cast(dec) * col("n2") -
+        col("cum2").cast(dec) * col("n1")).cast(dec))
+      .withColumn("term",
+        when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("long"))
+          .when(col("cc") === col("nn"), lit(0L)) // the defining skip
+          .otherwise(floor(
+            col("d").cast("double") * col("d").cast("double") *
+              (col("c1") + col("c2")).cast("double") /
+              (col("n1").cast(dec) * col("n2")).cast("double") /
+              (col("cc").cast(dec) * (col("nn") - col("cc"))).cast("double") *
+              lit(1000000.0) + lit(0.5)).cast("long")))
+      .groupBy(col("grp"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("term")).as("a2_micro"))
+      .withColumn("reject", col("a2_micro") > lit(2492000L))
+  }
+
+  /** Total-variation distance over an already-aggregated (grp, v,
+    * c1, c2) histogram — the qa_tvd_by_type entry, factored (the
+    * psiFromHist posture) so
+    * [[graft.streaming.DriftMonitor.tvdReadout]] reads the IDENTICAL
+    * distance off its state-store snapshot. TVD = ½·Σ_v |p₁−p₂| =
+    * Σ_v |c₁n₂−c₂n₁| / (2n₁n₂): the ONLY gate in the family with a
+    * ZERO-FLOAT path end-to-end — exact DECIMAL(38) absolute
+    * cross-differences, one truncating integer division — so its
+    * micro readout is exact at any corpus size, and it bounds every
+    * event-probability shift (|P₁(E)−P₂(E)| ≤ TVD for ALL E). 0.2
+    * alarm mirrors the PSI calibration. */
+  private[graft] def tvdFromHist(hist: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("ad", abs(col("c1").cast(dec) * col("n2") -
+        col("c2").cast(dec) * col("n1")).cast(dec))
+      .groupBy(col("grp"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        count(lit(1)).as("n_vals"),
+        sum(col("ad")).cast(dec).as("sad"))
+      .select(col("grp"), col("n1"), col("n2"), col("n_vals"),
+        when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("long"))
+          .otherwise(expr("CAST((sad * 1000000) div " +
+            "greatest(CAST(n1 AS DECIMAL(38,0)) * n2 * 2, " +
+            "CAST(1 AS DECIMAL(38,0))) AS BIGINT)")).as("tvd_micro"))
+      .withColumn("alarm", col("tvd_micro") > lit(200000L))
   }
 
   /** Theil decomposition over a (nat, v = non-negative integer
@@ -1465,6 +1587,79 @@ object StatsQueries {
          |CAST(SUM(term) AS BIGINT) AS t_micro,
          |CAST(SUM(term) AS BIGINT) > 461000 AS reject
          |FROM t GROUP BY 1""".stripMargin,
+
+    // same per-type histogram and split, same exact DECIMAL
+    // numerators, same fixed-order tail-weighted term floors, same
+    // defining last-value skip, same 2.492 gate
+    "qa_ad_by_type" ->
+      s"""WITH e AS (SELECT event_type AS grp,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |sp AS (SELECT (MIN(x) + MAX(x) + 1) // 2 AS split FROM e),
+         |s AS (SELECT grp, v, x < split AS g FROM e CROSS JOIN sp),
+         |h AS (SELECT grp, v,
+         |CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |FROM s GROUP BY 1, 2),
+         |w AS (SELECT grp, v, c1, c2,
+         |CAST(SUM(c1) OVER (PARTITION BY grp ORDER BY v
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+         |CAST(SUM(c2) OVER (PARTITION BY grp ORDER BY v
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+         |CAST(SUM(c1) OVER (PARTITION BY grp) AS BIGINT) AS n1,
+         |CAST(SUM(c2) OVER (PARTITION BY grp) AS BIGINT) AS n2 FROM h),
+         |t AS (SELECT grp, n1, n2,
+         |CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+         |WHEN cum1 + cum2 = n1 + n2 THEN 0
+         |ELSE CAST(FLOOR(
+         |CAST(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1
+         |  AS DOUBLE)
+         |* CAST(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1
+         |  AS DOUBLE)
+         |* CAST(c1 + c2 AS DOUBLE)
+         |/ CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+         |/ CAST(CAST(cum1 + cum2 AS HUGEINT) *
+         |  (n1 + n2 - cum1 - cum2) AS DOUBLE)
+         |* 1000000.0 + 0.5) AS BIGINT) END AS term FROM w)
+         |SELECT grp, MAX(n1) AS n1, MAX(n2) AS n2,
+         |CAST(SUM(term) AS BIGINT) AS a2_micro,
+         |CAST(SUM(term) AS BIGINT) > 2492000 AS reject
+         |FROM t GROUP BY 1""".stripMargin,
+
+    // same per-type histogram and split, same exact absolute
+    // cross-differences, same truncating integer division — no
+    // doubles anywhere on either engine
+    "qa_tvd_by_type" ->
+      s"""WITH e AS (SELECT event_type AS grp,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |sp AS (SELECT (MIN(x) + MAX(x) + 1) // 2 AS split FROM e),
+         |s AS (SELECT grp, v, x < split AS g FROM e CROSS JOIN sp),
+         |h AS (SELECT grp, v,
+         |CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |FROM s GROUP BY 1, 2),
+         |w AS (SELECT grp, c1, c2,
+         |CAST(SUM(c1) OVER (PARTITION BY grp) AS BIGINT) AS n1,
+         |CAST(SUM(c2) OVER (PARTITION BY grp) AS BIGINT) AS n2 FROM h),
+         |a AS (SELECT grp, MAX(n1) AS n1, MAX(n2) AS n2,
+         |CAST(COUNT(*) AS BIGINT) AS n_vals,
+         |SUM(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1))
+         |  AS sad FROM w GROUP BY 1)
+         |SELECT grp, n1, n2, n_vals,
+         |CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+         |ELSE CAST((sad * 1000000) //
+         |GREATEST(CAST(n1 AS HUGEINT) * n2 * 2, 1) AS BIGINT)
+         |END AS tvd_micro,
+         |CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+         |ELSE CAST((sad * 1000000) //
+         |GREATEST(CAST(n1 AS HUGEINT) * n2 * 2, 1) AS BIGINT) > 200000
+         |END AS alarm
+         |FROM a""".stripMargin,
 
     // same pinned per-(nation, cents) histogram, same derived totals,
     // same fixed-order per-value and between-term ln micro floors

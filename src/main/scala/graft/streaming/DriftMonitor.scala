@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * histogram is a PLAIN mergeable count table, so one
   * [[Fold.applyPartial]] state table carries the complete
   * reference-vs-live value surface and every readout is a FACTORED
-  * batch algebra — FIVE gates (PSI binned mass / KS sup / MWU
-  * location / Cliff's δ effect size / Cramér–von Mises whole-CDF)
+  * batch algebra — SEVEN gates (PSI binned mass / KS sup / MWU
+  * location / Cliff's δ effect size / Cramér–von Mises whole-CDF /
+  * Anderson–Darling tail-weighted / total-variation exact bound)
   * off the SAME state, each the exact body of an oracle-checked
   * catalog query, so a live drift dashboard and the offline gates
   * can never disagree on the same events (DriftMonitorSpec pins
-  * row-parity for all five; DriftRestartSpec pins them across a
+  * row-parity for all seven; DriftRestartSpec pins them across a
   * kill-and-resume).
   *
   * The reference flag is the deployment seam: in production the
@@ -81,6 +82,22 @@ object DriftMonitor {
     * single sup misses. */
   def cvmReadout(snapshot: DataFrame): DataFrame =
     graft.queries.StatsQueries.cvmFromHist(pivot(snapshot))
+
+  /** The SIXTH gate off the SAME state: two-sample Anderson–Darling
+    * per group (the qa_ad_by_type algebra via
+    * [[graft.queries.StatsQueries.adFromHist]]) — the tail-weighted
+    * test that fires on p99 drift (whales, fraud) while the
+    * uniformly-weighted CvM and the central-sup KS sleep. */
+  def adReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.StatsQueries.adFromHist(pivot(snapshot))
+
+  /** The SEVENTH gate off the SAME state: total-variation distance
+    * per group (the qa_tvd_by_type algebra via
+    * [[graft.queries.StatsQueries.tvdFromHist]]) — the zero-float
+    * exact distance whose value bounds every event-probability
+    * shift. */
+  def tvdReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.StatsQueries.tvdFromHist(pivot(snapshot))
 
   /** ((grp, v, g), cnt) snapshot → the (grp, v, c1, c2) histogram
     * every gate's factored batch algebra consumes. PINNED

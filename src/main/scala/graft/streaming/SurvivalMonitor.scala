@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming survival maintenance — the live twin of the
+  * events_survival_km / events_hazard_na catalog pair: the per-user
+  * (first day, last day) extent is a PLAIN mergeable (min, max) fold,
+  * so ONE [[Fold.applyPartial]] state table carries every user's
+  * lifetime and BOTH survival readouts are the FACTORED batch
+  * algebras off its snapshot — Kaplan–Meier ln S(t)
+  * ([[graft.queries.EventsQueries.survivalKmBody]]) and the
+  * Nelson–Aalen cumulative hazard + Aalen variance
+  * ([[graft.queries.EventsQueries.hazardNaBody]]) — a live churn
+  * dashboard and the oracle-checked offline curves can never disagree
+  * on the same events (SurvivalMonitorSpec pins row-parity for both).
+  *
+  * Day extraction happens BEFORE the fold (events carry their day as
+  * a long), so lifetime = maxDay − minDay equals the batch
+  * datediff(to_date(max ts), to_date(min ts)) exactly: to_date is
+  * monotone in ts, so the day of the max timestamp IS the max day.
+  *
+  * State size: O(users) × two longs — the smallest state any
+  * retention readout can carry; the fold pre-combines per micro-batch
+  * partition so the shuffle moves one (user, extent) pair per user
+  * per batch.
+  *
+  * Reference analog: slipstream's per-key aggregate caches
+  * (cookbook.rst:529-588) — here the extents are restart-safe
+  * state-store state, and the expensive curve math runs only at
+  * readout time, never per event.
+  */
+object SurvivalMonitor {
+
+  /** Incremental per-user (minDay, maxDay) extents over a
+    * (user_id, day) stream (or batch frame — same fold). */
+  def extents(
+      ds: Dataset[(Long, Long)])(
+      implicit spark: SparkSession): Dataset[(Long, (Long, Long))] = {
+    implicit val ke: Encoder[Long] = Encoders.scalaLong
+    implicit val be: Encoder[(Long, Long)] = Encoders.tuple(ke, ke)
+    implicit val kv: Encoder[(Long, (Long, Long))] = Encoders.tuple(ke, be)
+    Fold.applyPartial[Long, (Long, Long), (Long, Long)](
+      ds, _._1, (Long.MaxValue, Long.MinValue),
+      (b, r) => (math.min(b._1, r._2), math.max(b._2, r._2)),
+      (a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+  }
+
+  /** (user_id, d0, d1) extent snapshot → the (t, n_death) lifetime
+    * histogram both factored curve bodies consume. Latest extent per
+    * user wins (extents only widen, so min(d0)/max(d1) IS the
+    * latest); the histogram is O(days) — control-plane. */
+  private def hist(snapshot: DataFrame): DataFrame =
+    snapshot.groupBy(col("user_id"))
+      .agg(min(col("d0")).as("d0"), max(col("d1")).as("d1"))
+      .select((col("d1") - col("d0")).cast("int").as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_death"))
+      .localCheckpoint(eager = true) // both windows read it
+
+  /** Kaplan–Meier ln-survival off the extent snapshot — identical to
+    * the oracle-checked events_survival_km on the same events. */
+  def kmReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.EventsQueries.survivalKmBody(hist(snapshot))
+
+  /** Nelson–Aalen hazard + variance off the SAME snapshot — identical
+    * to the oracle-checked events_hazard_na on the same events. */
+  def naReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.EventsQueries.hazardNaBody(hist(snapshot))
+}

@@ -1396,6 +1396,22 @@ object ExplainAudit {
         p.contains("BroadcastNestedLoopJoin")
     }
 
+    audit("qa_ad_by_type",
+      "the SIXTH drift gate is the qa_mwu_by_type shape: 1-row split " +
+        "broadcast (two corpus scans), ONE histogram shuffle, one " +
+        "window pass, a control-plane A² reduction — no shuffle join") { p =>
+      count(p, "Scan parquet") == 2 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
+
+    audit("qa_tvd_by_type",
+      "the SEVENTH drift gate likewise — and with no Sort anywhere " +
+        "past the histogram: TVD needs only whole-partition totals, " +
+        "not cumulative order") { p =>
+      count(p, "Scan parquet") == 2 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
+
     audit("events_hazard_na",
       "Nelson–Aalen is the survival_km shape: ONE corpus shuffle " +
         "(user lifetime agg), the death histogram and both prefix/" +

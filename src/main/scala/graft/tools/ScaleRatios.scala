@@ -242,7 +242,10 @@ object ScaleRatios {
       // histogram — the qa_mwu_by_type shape) and the Nelson–Aalen
       // hazard (events user-lifetime histogram — the survival_km
       // shape)
-      "qa_cliffs_by_type", "qa_cvm_by_type", "events_hazard_na")
+      "qa_cliffs_by_type", "qa_cvm_by_type", "events_hazard_na",
+      // r14 second batch: the SIXTH/SEVENTH drift gates (same
+      // per-type histogram shape)
+      "qa_ad_by_type", "qa_tvd_by_type")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -119,6 +119,49 @@ class StatsQueriesSpec extends AnyFunSuite {
     assert(runCvm(same: _*)("t") == ((Some(0L), Some(false))))
   }
 
+  private def runAd(rows: (String, Long, Boolean)*) =
+    StatsQueries.adFromHist(hist(rows: _*)).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getAs[Any]("a2_micro")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("reject")).map(_.asInstanceOf[Boolean]))))
+      .toMap
+
+  private def runTvd(rows: (String, Long, Boolean)*) =
+    StatsQueries.tvdFromHist(hist(rows: _*)).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getAs[Any]("tvd_micro")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("alarm")).map(_.asInstanceOf[Boolean]))))
+      .toMap
+
+  test("anderson-darling: worked separations read A² = 1 and 3 " +
+    "exactly, identity reads 0, one-sided reads NULL") {
+    // {1} vs {2}: one summed value (the last is skipped BY
+    // DEFINITION), d = 1, weight C(N−C) = 1 → A² = 1/(n1·n2) = 1
+    assert(runAd(("t", 1L, true), ("t", 2L, false))("t") ==
+      ((Some(1000000L), Some(false))))
+    // {1,1,1} vs {2,2,2}: h=3, d=9, C(N−C)=9, n1n2=9 → A² = 3 > 2.492
+    val sep = Seq.fill(3)(("t", 1L, true)) ++ Seq.fill(3)(("t", 2L, false))
+    assert(runAd(sep: _*)("t") == ((Some(3000000L), Some(true))))
+    val same = Seq(("t", 1L, true), ("t", 2L, true),
+      ("t", 1L, false), ("t", 2L, false))
+    assert(runAd(same: _*)("t") == ((Some(0L), Some(false))))
+    assert(runAd(("t", 1L, true), ("t", 2L, true))("t") == ((None, None)))
+  }
+
+  test("tvd: exact integer distance — disjoint supports read 1, half " +
+    "overlap reads exactly 0.5, identity 0, one-sided NULL") {
+    val sep = Seq.fill(3)(("t", 1L, true)) ++ Seq.fill(3)(("t", 2L, false))
+    assert(runTvd(sep: _*)("t") == ((Some(1000000L), Some(true))))
+    // {1,2} vs {2,3}: Σ|c1n2−c2n1| = 2+0+2 = 4 over 2n1n2 = 8 → 0.5
+    val half = Seq(("t", 1L, true), ("t", 2L, true),
+      ("t", 2L, false), ("t", 3L, false))
+    assert(runTvd(half: _*)("t") == ((Some(500000L), Some(true))))
+    val same = Seq(("t", 1L, true), ("t", 2L, true),
+      ("t", 1L, false), ("t", 2L, false))
+    assert(runTvd(same: _*)("t") == ((Some(0L), Some(false))))
+    assert(runTvd(("t", 1L, true), ("t", 2L, true))("t") == ((None, None)))
+  }
+
   // --------------------------------------------------------------- chi2
 
   private def runChi2(rows: (String, Int)*) =

@@ -91,5 +91,17 @@ class DriftMonitorSpec extends AnyFunSuite {
     val cvStream = DriftMonitor.cvmReadout(snapshot)
       .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
     assert(cvStream == cvBatch)
+
+    // the SIXTH and SEVENTH gates off the SAME snapshot
+    val adBatch = graft.SparkEntry.queries("qa_ad_by_type")(
+      spark, dir).collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    val adStream = DriftMonitor.adReadout(snapshot)
+      .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    assert(adStream == adBatch)
+    val tvBatch = graft.SparkEntry.queries("qa_tvd_by_type")(
+      spark, dir).collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    val tvStream = DriftMonitor.tvdReadout(snapshot)
+      .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    assert(tvStream == tvBatch)
   }
 }

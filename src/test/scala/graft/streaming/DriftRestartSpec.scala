@@ -111,5 +111,9 @@ class DriftRestartSpec extends AnyFunSuite {
       byGrp(DriftMonitor.cliffsReadout(batchCounts)), "Cliff's δ flipped")
     assert(byGrp(DriftMonitor.cvmReadout(streamedCounts)) ==
       byGrp(DriftMonitor.cvmReadout(batchCounts)), "CvM gate flipped")
+    assert(byGrp(DriftMonitor.adReadout(streamedCounts)) ==
+      byGrp(DriftMonitor.adReadout(batchCounts)), "AD gate flipped")
+    assert(byGrp(DriftMonitor.tvdReadout(streamedCounts)) ==
+      byGrp(DriftMonitor.tvdReadout(batchCounts)), "TVD gate flipped")
   }
 }

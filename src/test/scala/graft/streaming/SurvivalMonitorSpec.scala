@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-maintained per-user lifetime extents + the factored
+  * survival algebras ≡ the oracle-checked batch events_survival_km
+  * AND events_hazard_na on the same events, batch-boundary-
+  * independently (the DriftMonitor parity posture for the survival
+  * lane: one state table, two curve readouts). */
+class SurvivalMonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed KM and Nelson–Aalen readouts equal the batch queries") {
+    val dir = "/root/testdata/sf0.001"
+    def byT(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Int]("t") -> r.toSeq).toMap
+    val kmBatch = byT(graft.SparkEntry.queries("events_survival_km")(spark, dir))
+    val naBatch = byT(graft.SparkEntry.queries("events_hazard_na")(spark, dir))
+    assert(kmBatch.nonEmpty && naBatch.nonEmpty)
+
+    // the batch queries' own day numbers, streamed as (user_id, day)
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .as[(Long, Long)].collect()
+
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Long)]
+    val q = SurvivalMonitor.extents(src.toDS())
+      .map { case (u, (d0, d1)) => (u, d0, d1) }
+      .toDF("user_id", "d0", "d1")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("survival_stream").start()
+    val snapshot =
+      try {
+        // three deliberately uneven batches — extents must merge
+        // batch-boundary-independently (a user's first and last event
+        // land in different batches)
+        val (a, b) = (rows.length / 4, rows.length * 2 / 3)
+        src.addData(rows.take(a).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.slice(a, b).toIndexedSeq); q.processAllAvailable()
+        src.addData(rows.drop(b).toIndexedSeq); q.processAllAvailable()
+        spark.table("survival_stream").collect()
+      } finally q.stop()
+
+    val snapDf = snapshot.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.toDF("user_id", "d0", "d1")
+    assert(byT(SurvivalMonitor.kmReadout(snapDf)) == kmBatch,
+      "KM curve diverged from the batch query")
+    assert(byT(SurvivalMonitor.naReadout(snapDf)) == naBatch,
+      "Nelson–Aalen hazard diverged from the batch query")
+  }
+}
