@@ -698,6 +698,34 @@ object EventsQueries {
         .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("n_death")))),
 
+    // Two-cohort log-rank test (Mantel 1966) over the SAME user
+    // lifetimes as events_survival_km, cohorted by the user_id parity
+    // hash (the canonical A/B assignment): at each lifetime t compare
+    // cohort A's observed deaths d₁ₜ against the pooled-hazard
+    // expectation dₜ·n₁ₜ/nₜ, with the hypergeometric variance
+    // dₜ·n₁ₜ·n₂ₜ·(nₜ−dₜ)/(nₜ²(nₜ−1)) — THE test "did cohort A churn
+    // differently?", and the one KM curves can't answer (eyeballing
+    // two curves has no α). Extents here are uncensored, so this is
+    // exactly the Savage exponential-scores rank test — the
+    // tail-of-lifetime-sensitive alternative to running MWU on
+    // lifetimes. Exactness: expectation terms round to micro as the
+    // PURE INTEGER (2·d·n₁·10⁶ + n) div 2n in DECIMAL(38) (the
+    // hazard_na posture); variance numerator/denominator are exact
+    // DECIMAL(38) (N⁴ — crosses 38 digits at ~3·10⁹ users at risk,
+    // the hazard n² class) with ONE fixed-order micro floor per
+    // lifetime (the qa_cvm posture); O₁−E₁ is an exact long in
+    // micro; one terminal sqrt. Scale: ONE corpus shuffle (user
+    // extent agg); the (t, d1, d2) histogram and its suffix windows
+    // run on the O(days) control-plane table. See logrankFromHist.
+    "events_logrank" -> ((s, dir) =>
+      logrankFromHist(Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("t"))
+        .withColumn("coh", col("user_id") % 2 === 0)
+        .groupBy(col("t"))
+        .agg(sum(when(col("coh"), 1L).otherwise(0L)).as("d1"),
+          sum(when(col("coh"), 0L).otherwise(1L)).as("d2")))),
+
     // Cohort LTV (lifetime-value matrix — the monetization twin of
     // events_retention): users cohorted by first purchase day; per
     // (cohort, day-offset) cell, that day's revenue and the running
@@ -804,6 +832,51 @@ object EventsQueries {
         .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("t"), col("n_death"), col("n_risk"), col("h_micro"),
         col("var_pico"))
+  }
+
+  /** Two-cohort log-rank reduction over a (t, d1, d2) death histogram
+    * — see the events_logrank entry. At-risk counts are per-cohort
+    * suffix sums over the shared lifetime axis; the expectation term
+    * is the hazard_na pure-integer micro rounding, the variance term
+    * one fixed-order double micro floor over exact DECIMAL(38)
+    * numerator/denominator; O₁·10⁶ − E₁_micro and ΣV_micro are exact
+    * long sums, the z one terminal sqrt. nₜ = 1 rows carry zero
+    * variance by definition (the hypergeometric is degenerate).
+    * Factored so the streaming
+    * [[graft.streaming.SurvivalMonitor.logrankReadout]] reads the
+    * IDENTICAL z off its state-store extent snapshot. */
+  private[graft] def logrankFromHist(hist: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wSuf = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hist
+      .withColumn("n1r", sum(col("d1")).over(wSuf))
+      .withColumn("n2r", sum(col("d2")).over(wSuf))
+      .withColumn("nr", col("n1r") + col("n2r"))
+      .withColumn("dt", col("d1") + col("d2"))
+      .withColumn("e1t", expr(
+        "CAST((CAST(dt AS DECIMAL(38,0)) * n1r * 2000000 + nr) div " +
+          "(CAST(nr AS DECIMAL(38,0)) * 2) AS BIGINT)"))
+      .withColumn("vnum",
+        (col("dt").cast(dec) * col("n1r") * col("n2r") *
+          (col("nr") - col("dt"))).cast(dec))
+      .withColumn("vden",
+        (col("nr").cast(dec) * col("nr") * (col("nr") - 1)).cast(dec))
+      .withColumn("vt",
+        when(col("nr") <= 1L || col("nr") === col("dt"), lit(0L))
+          .otherwise(floor(col("vnum").cast("double") /
+            col("vden").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long")))
+      .groupBy()
+      .agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"),
+        sum(col("e1t")).as("e1_micro"), sum(col("vt")).as("v_micro"))
+      .withColumn("dev_micro", col("n1") * lit(1000000L) - col("e1_micro"))
+      .select(col("n1"), col("n2"), col("e1_micro"), col("v_micro"),
+        when(col("v_micro") <= 0L, lit(null).cast("long"))
+          .otherwise(floor(col("dev_micro").cast("double") /
+            sqrt(col("v_micro").cast("double") * lit(1000000.0)) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("z_micro"))
+      .withColumn("reject", abs(col("z_micro")) > lit(1960000L))
   }
 
   /** The trailing-24h z-score algebra over an (event_type, h, n)
@@ -2036,6 +2109,48 @@ object EventsQueries {
          |CAST(SUM(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h_micro,
          |CAST(SUM(vterm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS var_pico
          |FROM tm""".stripMargin,
+
+    // same lifetimes and parity cohorts, same suffix-sum at-risk
+    // counts, same pure-integer expectation micro rounding (HUGEINT
+    // // floors; operands non-negative so it equals Spark's div),
+    // same exact variance ratio with one fixed-order micro floor,
+    // same terminal sqrt order
+    "events_logrank" ->
+      s"""WITH life AS (SELECT user_id,
+         |CAST(datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS INTEGER) AS t
+         |FROM $oEvents GROUP BY 1),
+         |h AS (SELECT t,
+         |CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS d2
+         |FROM life GROUP BY 1),
+         |r AS (SELECT t, d1, d2,
+         |CAST(SUM(d1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+         |UNBOUNDED FOLLOWING) AS BIGINT) AS n1r,
+         |CAST(SUM(d2) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+         |UNBOUNDED FOLLOWING) AS BIGINT) AS n2r FROM h),
+         |r2 AS (SELECT t, d1, d2, n1r, n2r, n1r + n2r AS nr,
+         |d1 + d2 AS dt FROM r),
+         |tm AS (SELECT d1, d2,
+         |CAST((CAST(dt AS HUGEINT) * n1r * 2000000 + nr) //
+         |(CAST(nr AS HUGEINT) * 2) AS BIGINT) AS e1t,
+         |CASE WHEN nr <= 1 OR nr = dt THEN 0
+         |ELSE CAST(FLOOR(CAST(CAST(dt AS HUGEINT) * n1r * n2r * (nr - dt)
+         |AS DOUBLE) / CAST(CAST(nr AS HUGEINT) * nr * (nr - 1) AS DOUBLE) *
+         |1000000.0 + 0.5) AS BIGINT) END AS vt FROM r2),
+         |a AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1,
+         |CAST(SUM(d2) AS BIGINT) AS n2,
+         |CAST(SUM(e1t) AS BIGINT) AS e1_micro,
+         |CAST(SUM(vt) AS BIGINT) AS v_micro FROM tm)
+         |SELECT n1, n2, e1_micro, v_micro,
+         |CASE WHEN v_micro <= 0 THEN NULL
+         |ELSE CAST(FLOOR(CAST(n1 * 1000000 - e1_micro AS DOUBLE) /
+         |sqrt(CAST(v_micro AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5)
+         |AS BIGINT) END AS z_micro,
+         |CASE WHEN v_micro <= 0 THEN NULL
+         |ELSE abs(CAST(FLOOR(CAST(n1 * 1000000 - e1_micro AS DOUBLE) /
+         |sqrt(CAST(v_micro AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5)
+         |AS BIGINT)) > 1960000 END AS reject
+         |FROM a""".stripMargin,
 
     // same exact-cents money, same day-offset arithmetic, same
     // integer micro-unit normalization

@@ -418,6 +418,66 @@ object StatsQueries {
           sum(when(col("g"), 0L).otherwise(1L)).as("c2")))
     }),
 
+    // Mood's squared-rank scale test (Mood 1954) per event type on
+    // the SAME input and midpoint split — the DISPERSION axis the
+    // rest of the family does not cover: PSI/TVD read mass, KS/CvM/AD
+    // read shape, MWU/Cliff read location — none of them answers "did
+    // the values get NOISIER?" (a payment pipeline emitting the same
+    // median with 3× the spread is drifting in the way that breaks
+    // downstream winsorization first). The statistic is the general
+    // tie-exact linear rank form with midrank scores aⱼ =
+    // (rⱼ−(N+1)/2)²: S = Σ_sample1 aⱼ, E[S] = n₁ā, Var(S) =
+    // n₁n₂σ²/(N−1) (simple-random-sampling exchangeability — the
+    // same theory that yields MWU's tie correction). Doubled midranks
+    // keep the score numerators exact: 4aᵥ = (2cum−t−N)², so
+    // S4 = Σc₁·q² and A4 = Σt·q² are exact DECIMAL(38) (N³ — the
+    // mwu ties class) and the deviation N·S4 − n₁·A4 is exact at N⁴
+    // (crosses 38 digits at ~3·10⁹ rows per type, the hazard n²
+    // class, documented); only Σt·u² (u = (q/N)² ∈ [0,1]) takes the
+    // per-value fixed-order micro floor (the CvM term posture) and
+    // the terminal z one fixed-order sqrt. Location-shift caveat
+    // documented: Mood assumes equal medians, so gate it BEHIND the
+    // MWU readout (location fires first). The EIGHTH gate off
+    // DriftMonitor's one state table via moodFromHist.
+    "qa_mood_by_type" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          datediff(to_date(date_trunc("day", col("ts"))),
+            lit("1970-01-01").cast("date")).cast("long").as("x"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("v"))
+      val split = ev.agg(expr("(min(x) + max(x) + 1) div 2").as("split"))
+      moodFromHist(ev.crossJoin(broadcast(split))
+        .select(col("grp"), col("v"), (col("x") < col("split")).as("g"))
+        .groupBy(col("grp"), col("v"))
+        .agg(sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g"), 0L).otherwise(1L)).as("c2")))
+    }),
+
+    // Kruskal–Wallis H (Kruskal & Wallis 1952, tie-corrected) across
+    // ALL event types at once — the k-SAMPLE member of the gate
+    // family: the two-sample gates each compare a type against
+    // itself over time; KW answers the orthogonal question "do the k
+    // types draw values from the same distribution AT ALL?" in one
+    // test instead of C(k,2) pairwise MWUs (whose α would need
+    // Bonferroni). Global midranks come off the O(distinct cents)
+    // value histogram (doubled: 2r = 2·cumBefore + t + 1 — exact),
+    // per-type doubled rank sums Σc·2r and deviations dev2_g =
+    // R2_g − n_g(N+1) are exact DECIMAL(38) (N² per type); H =
+    // 3/(N(N+1))·Σ dev2_g²/n_g takes ONE fixed-order micro floor per
+    // TYPE (k terms, control-plane), the exact Σ(t³−t) tie term
+    // divides once at the readout. Rejection against the χ²_{k−1}
+    // 5% critical value (fixed Abramowitz–Stegun table, df ≤ 10 —
+    // event-type cardinality, not data, bounds df). Scale: ONE
+    // corpus shuffle into the (grp, v) histogram; the value-axis
+    // window and every join run on control-plane tables.
+    "qa_kruskal" -> ((s, dir) =>
+      kruskalBody(Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+            .as("v")))),
+
     // Theil T index with its between/within decomposition by nation
     // (Theil 1967) — the third leg of the inequality family: a_gini
     // reads magnitude, a_hhi reads firm concentration, Theil is the
@@ -792,6 +852,135 @@ object StatsQueries {
             "greatest(CAST(n1 AS DECIMAL(38,0)) * n2 * 2, " +
             "CAST(1 AS DECIMAL(38,0))) AS BIGINT)")).as("tvd_micro"))
       .withColumn("alarm", col("tvd_micro") > lit(200000L))
+  }
+
+  /** Mood's squared-rank scale gate over an already-aggregated (grp,
+    * v, c1, c2) histogram — the qa_mood_by_type entry, factored (the
+    * psiFromHist posture) so
+    * [[graft.streaming.DriftMonitor.moodReadout]] reads the IDENTICAL
+    * dispersion z off its state-store snapshot. Exactness split:
+    * q = 2cum − t − N, S4 = Σc₁q² and A4 = Σtq² exact DECIMAL(38),
+    * deviation N·S4 − n₁·A4 exact at N⁴; the u² population moment
+    * takes one fixed-order micro floor per distinct value; one
+    * terminal sqrt. σ_u² ≤ 0 (e.g. two equal-count values — the
+    * scores are then constant) reads NULL, never a division error. */
+  private[graft] def moodFromHist(hist: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("t", col("c1") + col("c2"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("nn", col("n1") + col("n2"))
+      // doubled midrank deviation from the doubled mean rank N+1:
+      // q = 2r − (N+1) = 2·cumBefore + t + 1 − (N+1) = 2cum − t − N
+      .withColumn("q",
+        (lit(2) * col("cum").cast(dec) - col("t") - col("nn")).cast(dec))
+      .withColumn("qd", col("q").cast("double") / col("nn").cast("double"))
+      .withColumn("u", col("qd") * col("qd"))
+      .withColumn("s4t", (col("c1").cast(dec) * col("q") * col("q")).cast(dec))
+      .withColumn("a4t", (col("t").cast(dec) * col("q") * col("q")).cast(dec))
+      .withColumn("tu2_micro",
+        floor(col("t").cast("double") * col("u") * col("u") *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("grp"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        count(lit(1)).as("n_vals"),
+        sum(col("s4t")).cast(dec).as("s4"),
+        sum(col("a4t")).cast(dec).as("a4"),
+        sum(col("tu2_micro")).as("q4_micro"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("dev4n",
+        (col("nn").cast(dec) * col("s4") - col("n1").cast(dec) * col("a4"))
+          .cast(dec))
+      .withColumn("ubar", col("a4").cast("double") / col("nn") / col("nn") /
+        col("nn"))
+      .withColumn("sig2u",
+        col("q4_micro").cast("double") / lit(1000000.0) / col("nn") -
+          col("ubar") * col("ubar"))
+      .select(col("grp"), col("n1"), col("n2"),
+        when(col("n1") === 0L || col("n2") === 0L || col("n_vals") === 1L ||
+          col("sig2u") <= lit(0.0), lit(null).cast("long"))
+          .otherwise(floor(
+            col("dev4n").cast("double") / col("nn") / col("nn") / col("nn") /
+              sqrt(col("n1").cast("double") * col("n2").cast("double") /
+                (col("nn") - 1).cast("double") * col("sig2u")) *
+              lit(1000000.0) + lit(0.5)).cast("long")).as("z_micro"))
+      .withColumn("reject", abs(col("z_micro")) > lit(1960000L))
+  }
+
+  /** Kruskal–Wallis over a (grp, v = bounded integer) frame — see the
+    * qa_kruskal entry. ONE corpus shuffle into the pinned (grp, v)
+    * histogram; the global value axis (midranks + tie term) is its
+    * O(distinct v) projection, broadcast back; every reduction past
+    * the histogram is control-plane. χ² critical values at 5% for
+    * df 1..10 (Abramowitz & Stegun table 26.8). */
+  private[graft] def kruskalBody(vals: DataFrame): DataFrame =
+    kruskalFromHist(
+      vals.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = true)) // feeds the value axis AND terms
+
+  /** The KW algebra over an already-aggregated (grp, v, c) histogram
+    * — factored (the psiFromHist posture) so
+    * [[graft.streaming.DriftMonitor.kruskalReadout]] reads the
+    * IDENTICAL k-sample H off its state-store snapshot. Callers pass
+    * a PINNED or otherwise cheap frame: the value axis and the
+    * per-group terms both read it. */
+  private[graft] def kruskalFromHist(hist: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wCum = Window.orderBy(col("v")) // O(distinct cents) control-plane
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val axis = hist.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .withColumn("cum", sum(col("t")).over(wCum))
+      .withColumn("r2", lit(2) * (col("cum") - col("t")) + col("t") + 1)
+      .withColumn("tie",
+        (col("t").cast(dec) * col("t") * col("t") - col("t")).cast(dec))
+      .localCheckpoint(eager = true) // joined to terms AND tie-summed
+    val ties = axis.agg(sum(col("tie")).cast(dec).as("ties"))
+    val byGrp = hist.join(broadcast(axis.select(col("v"), col("r2"))), "v")
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("ng"),
+        sum(col("c").cast(dec) * col("r2")).cast(dec).as("r2sum"))
+    val tot = byGrp.agg(sum(col("ng")).as("n"))
+    byGrp.crossJoin(broadcast(tot))
+      .withColumn("dev2",
+        (col("r2sum") - col("ng").cast(dec) * (col("n") + 1)).cast(dec))
+      // n_g·(r̄_g − (N+1)/2)² = dev2²/(4n_g); H = 12/(N(N+1))·Σ of it
+      // = 3/(N(N+1))·Σ dev2²/n_g — one micro floor per GROUP
+      .withColumn("h_term_micro",
+        floor(col("dev2").cast("double") * col("dev2").cast("double") *
+          lit(3.0) / col("n") / (col("n") + 1).cast("double") /
+          col("ng").cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy()
+      .agg(count(lit(1)).as("k"), max(col("n")).as("n"),
+        sum(col("h_term_micro")).as("h_raw_micro"))
+      .crossJoin(broadcast(ties))
+      .withColumn("corr",
+        lit(1.0) - col("ties").cast("double") /
+          (col("n").cast(dec) * col("n") * col("n") - col("n"))
+            .cast("double"))
+      .select(col("k"), col("n"), (col("k") - 1).as("df"),
+        when(col("k") <= 1L || col("corr") <= lit(0.0),
+          lit(null).cast("long"))
+          .otherwise(floor(col("h_raw_micro").cast("double") / col("corr") +
+            lit(0.5)).cast("long")).as("h_micro"))
+      .withColumn("crit_micro",
+        when(col("df") === 1L, lit(3841000L))
+          .when(col("df") === 2L, lit(5991000L))
+          .when(col("df") === 3L, lit(7815000L))
+          .when(col("df") === 4L, lit(9488000L))
+          .when(col("df") === 5L, lit(11070000L))
+          .when(col("df") === 6L, lit(12592000L))
+          .when(col("df") === 7L, lit(14067000L))
+          .when(col("df") === 8L, lit(15507000L))
+          .when(col("df") === 9L, lit(16919000L))
+          .when(col("df") === 10L, lit(18307000L))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("reject", col("h_micro") > col("crit_micro"))
   }
 
   /** Theil decomposition over a (nat, v = non-negative integer
@@ -1660,6 +1849,95 @@ object StatsQueries {
          |GREATEST(CAST(n1 AS HUGEINT) * n2 * 2, 1) AS BIGINT) > 200000
          |END AS alarm
          |FROM a""".stripMargin,
+
+    // same per-type histogram and split, same exact doubled-midrank
+    // deviation q and HUGEINT S4/A4/dev4N, same per-value fixed-order
+    // u² micro floor, same terminal sqrt order
+    "qa_mood_by_type" ->
+      s"""WITH e AS (SELECT event_type AS grp,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |sp AS (SELECT (MIN(x) + MAX(x) + 1) // 2 AS split FROM e),
+         |s AS (SELECT grp, v, x < split AS g FROM e CROSS JOIN sp),
+         |h AS (SELECT grp, v,
+         |CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         |FROM s GROUP BY 1, 2),
+         |w AS (SELECT grp, c1, c2, c1 + c2 AS t,
+         |CAST(SUM(c1 + c2) OVER (PARTITION BY grp ORDER BY v
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |CAST(SUM(c1) OVER (PARTITION BY grp) AS BIGINT) AS n1,
+         |CAST(SUM(c2) OVER (PARTITION BY grp) AS BIGINT) AS n2 FROM h),
+         |w2 AS (SELECT grp, c1, c2, t, n1, n2, n1 + n2 AS nn,
+         |2 * CAST(cum AS HUGEINT) - t - (n1 + n2) AS q FROM w),
+         |w3 AS (SELECT grp, c1, t, n1, n2, nn, q,
+         |(CAST(q AS DOUBLE) / CAST(nn AS DOUBLE)) *
+         |(CAST(q AS DOUBLE) / CAST(nn AS DOUBLE)) AS u FROM w2),
+         |a AS (SELECT grp, MAX(n1) AS n1, MAX(n2) AS n2,
+         |CAST(COUNT(*) AS BIGINT) AS n_vals, MAX(nn) AS nn,
+         |SUM(CAST(c1 AS HUGEINT) * q * q) AS s4,
+         |SUM(CAST(t AS HUGEINT) * q * q) AS a4,
+         |CAST(SUM(CAST(FLOOR(CAST(t AS DOUBLE) * u * u * 1000000.0 + 0.5)
+         |AS BIGINT)) AS BIGINT) AS q4_micro FROM w3 GROUP BY 1),
+         |b AS (SELECT grp, n1, n2, n_vals, nn,
+         |CAST(nn AS HUGEINT) * s4 - CAST(n1 AS HUGEINT) * a4 AS dev4n,
+         |CAST(q4_micro AS DOUBLE) / 1000000.0 / nn -
+         |(CAST(a4 AS DOUBLE) / nn / nn / nn) *
+         |(CAST(a4 AS DOUBLE) / nn / nn / nn) AS sig2u FROM a),
+         |r AS (SELECT grp, n1, n2,
+         |CASE WHEN n1 = 0 OR n2 = 0 OR n_vals = 1 OR sig2u <= 0.0 THEN NULL
+         |ELSE CAST(FLOOR(CAST(dev4n AS DOUBLE) / nn / nn / nn /
+         |sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+         |CAST(nn - 1 AS DOUBLE) * sig2u) * 1000000.0 + 0.5) AS BIGINT)
+         |END AS z_micro FROM b)
+         |SELECT grp, n1, n2, z_micro, abs(z_micro) > 1960000 AS reject
+         |FROM r""".stripMargin,
+
+    // same (grp, v) histogram, same global doubled midranks off the
+    // value axis, same exact HUGEINT deviations, same one-per-group
+    // micro floor, same tie-corrected divide and χ² table
+    "qa_kruskal" ->
+      s"""WITH s AS (SELECT event_type AS grp,
+         |CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+         |FROM $oEvents WHERE value IS NOT NULL),
+         |h AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+         |FROM s GROUP BY 1, 2),
+         |ax AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM h GROUP BY 1),
+         |ax2 AS (SELECT v, t, CAST(SUM(t) OVER (ORDER BY v
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM ax),
+         |ax3 AS (SELECT v, 2 * (cum - t) + t + 1 AS r2,
+         |CAST(t AS HUGEINT) * t * t - t AS tie FROM ax2),
+         |ti AS (SELECT SUM(tie) AS ties FROM ax3),
+         |g AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS ng,
+         |SUM(CAST(c AS HUGEINT) * r2) AS r2sum
+         |FROM h JOIN ax3 USING (v) GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(ng) AS BIGINT) AS n FROM g),
+         |d AS (SELECT grp, ng, n,
+         |r2sum - CAST(ng AS HUGEINT) * (n + 1) AS dev2
+         |FROM g CROSS JOIN tt),
+         |ht AS (SELECT n, CAST(FLOOR(CAST(dev2 AS DOUBLE) *
+         |CAST(dev2 AS DOUBLE) * 3.0 / n / CAST(n + 1 AS DOUBLE) /
+         |CAST(ng AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS term FROM d),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(n) AS n,
+         |CAST(SUM(term) AS BIGINT) AS h_raw FROM ht),
+         |r AS (SELECT k, n, k - 1 AS df,
+         |CASE WHEN k <= 1 OR (1.0 - CAST(ties AS DOUBLE) /
+         |CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)) <= 0.0 THEN NULL
+         |ELSE CAST(FLOOR(CAST(h_raw AS DOUBLE) /
+         |(1.0 - CAST(ties AS DOUBLE) /
+         |CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE)) + 0.5) AS BIGINT)
+         |END AS h_micro FROM a CROSS JOIN ti),
+         |r2 AS (SELECT k, n, df, h_micro,
+         |CASE df WHEN 1 THEN 3841000 WHEN 2 THEN 5991000
+         |WHEN 3 THEN 7815000 WHEN 4 THEN 9488000 WHEN 5 THEN 11070000
+         |WHEN 6 THEN 12592000 WHEN 7 THEN 14067000 WHEN 8 THEN 15507000
+         |WHEN 9 THEN 16919000 WHEN 10 THEN 18307000
+         |ELSE NULL END AS crit_micro FROM r)
+         |SELECT k, n, df, h_micro, CAST(crit_micro AS BIGINT) AS crit_micro,
+         |h_micro > crit_micro AS reject
+         |FROM r2""".stripMargin,
 
     // same pinned per-(nation, cents) histogram, same derived totals,
     // same fixed-order per-value and between-term ln micro floors

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * histogram is a PLAIN mergeable count table, so one
   * [[Fold.applyPartial]] state table carries the complete
   * reference-vs-live value surface and every readout is a FACTORED
-  * batch algebra — SEVEN gates (PSI binned mass / KS sup / MWU
+  * batch algebra — EIGHT gates (PSI binned mass / KS sup / MWU
   * location / Cliff's δ effect size / Cramér–von Mises whole-CDF /
-  * Anderson–Darling tail-weighted / total-variation exact bound)
-  * off the SAME state, each the exact body of an oracle-checked
-  * catalog query, so a live drift dashboard and the offline gates
-  * can never disagree on the same events (DriftMonitorSpec pins
-  * row-parity for all seven; DriftRestartSpec pins them across a
-  * kill-and-resume).
+  * Anderson–Darling tail-weighted / total-variation exact bound /
+  * Mood squared-rank dispersion) off the SAME state, each the exact
+  * body of an oracle-checked catalog query, so a live drift
+  * dashboard and the offline gates can never disagree on the same
+  * events — plus a NINTH, structurally different readout: the
+  * k-sample Kruskal–Wallis cross-section over all groups at once
+  * (DriftMonitorSpec pins row-parity for all nine;
+  * DriftRestartSpec pins them across a kill-and-resume).
   *
   * The reference flag is the deployment seam: in production the
   * baseline histogram loads once (g = true rows) and the stream feeds
@@ -98,6 +100,30 @@ object DriftMonitor {
     * shift. */
   def tvdReadout(snapshot: DataFrame): DataFrame =
     graft.queries.StatsQueries.tvdFromHist(pivot(snapshot))
+
+  /** The EIGHTH gate off the SAME state: Mood's squared-rank scale z
+    * per group (the qa_mood_by_type algebra via
+    * [[graft.queries.StatsQueries.moodFromHist]]) — the DISPERSION
+    * axis none of the other seven reads: same median, 3× the spread
+    * is invisible to MWU/Cliff and weak for KS, but it is exactly
+    * the drift that breaks downstream winsorization/normalization
+    * first. Gate it behind the MWU readout (Mood assumes equal
+    * locations). */
+  def moodReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.StatsQueries.moodFromHist(pivot(snapshot))
+
+  /** The NINTH readout — structurally different from the eight
+    * two-sample gates: the k-SAMPLE Kruskal–Wallis cross-section over
+    * ALL groups at once (the qa_kruskal algebra via
+    * [[graft.queries.StatsQueries.kruskalFromHist]] on the side-summed
+    * histogram) — "do the k event types draw from the same value
+    * distribution AT ALL?", one α instead of C(k,2) Bonferroni'd
+    * pairwise tests. Side-summed (c1+c2) so the readout is the exact
+    * oracle-checked batch query over the whole stream. */
+  def kruskalReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.StatsQueries.kruskalFromHist(
+      pivot(snapshot).select(col("grp"), col("v"),
+        (col("c1") + col("c2")).as("c")))
 
   /** ((grp, v, g), cnt) snapshot → the (grp, v, c1, c2) histogram
     * every gate's factored batch algebra consumes. PINNED

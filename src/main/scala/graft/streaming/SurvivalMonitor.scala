@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * events_survival_km / events_hazard_na catalog pair: the per-user
   * (first day, last day) extent is a PLAIN mergeable (min, max) fold,
   * so ONE [[Fold.applyPartial]] state table carries every user's
-  * lifetime and BOTH survival readouts are the FACTORED batch
+  * lifetime and all THREE survival readouts are the FACTORED batch
   * algebras off its snapshot — Kaplan–Meier ln S(t)
-  * ([[graft.queries.EventsQueries.survivalKmBody]]) and the
+  * ([[graft.queries.EventsQueries.survivalKmBody]]), the
   * Nelson–Aalen cumulative hazard + Aalen variance
-  * ([[graft.queries.EventsQueries.hazardNaBody]]) — a live churn
+  * ([[graft.queries.EventsQueries.hazardNaBody]]), and the
+  * two-cohort log-rank test
+  * ([[graft.queries.EventsQueries.logrankFromHist]]) — a live churn
   * dashboard and the oracle-checked offline curves can never disagree
-  * on the same events (SurvivalMonitorSpec pins row-parity for both).
+  * on the same events (SurvivalMonitorSpec pins row-parity for all
+  * three).
   *
   * Day extraction happens BEFORE the fold (events carry their day as
   * a long), so lifetime = maxDay − minDay equals the batch
@@ -66,4 +69,22 @@ object SurvivalMonitor {
     * to the oracle-checked events_hazard_na on the same events. */
   def naReadout(snapshot: DataFrame): DataFrame =
     graft.queries.EventsQueries.hazardNaBody(hist(snapshot))
+
+  /** THIRD readout off the SAME extent state: the two-cohort log-rank
+    * z (the events_logrank algebra via
+    * [[graft.queries.EventsQueries.logrankFromHist]]) — KM/NA read
+    * each curve, log-rank answers "are cohort A and B the SAME
+    * curve?" with an α. The cohort is the user_id parity hash, so it
+    * derives from the snapshot KEY at readout time — the state table
+    * is unchanged (the same two longs per user serve all three
+    * readouts). */
+  def logrankReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.EventsQueries.logrankFromHist(
+      snapshot.groupBy(col("user_id"))
+        .agg(min(col("d0")).as("d0"), max(col("d1")).as("d1"))
+        .select(col("user_id"), (col("d1") - col("d0")).cast("int").as("t"))
+        .withColumn("coh", col("user_id") % 2 === 0)
+        .groupBy(col("t"))
+        .agg(sum(when(col("coh"), 1L).otherwise(0L)).as("d1"),
+          sum(when(col("coh"), 0L).otherwise(1L)).as("d2")))
 }

@@ -1412,11 +1412,40 @@ object ExplainAudit {
         p.contains("BroadcastNestedLoopJoin")
     }
 
+    audit("qa_mood_by_type",
+      "the EIGHTH drift gate (dispersion) is the qa_mwu_by_type " +
+        "shape: 1-row split broadcast (two corpus scans), ONE shuffle " +
+        "into the per-type histogram, one window pass (cumulative and " +
+        "whole-partition sums share the per-type partitioning), a " +
+        "control-plane z reduction — no shuffle join") { p =>
+      count(p, "Scan parquet") == 2 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
+
+    audit("qa_kruskal",
+      "the k-sample gate runs on the PINNED (type, cents) histogram " +
+        "(corpus scan paid once at pin time — zero parquet scans " +
+        "here); the global value axis is its O(distinct cents) " +
+        "projection with the deliberate single-partition midrank " +
+        "window, broadcast back; every reduction past the histogram " +
+        "is control-plane — no sort-merge join") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastHashJoin")
+    }
+
     audit("events_hazard_na",
       "Nelson–Aalen is the survival_km shape: ONE corpus shuffle " +
         "(user lifetime agg), the death histogram and both prefix/" +
         "suffix windows on the O(days) control-plane table, no join " +
         "anywhere") { p =>
+      count(p, "Scan parquet") == 1 && !p.contains("Join")
+    }
+
+    audit("events_logrank",
+      "log-rank is the survival_km shape too: ONE corpus shuffle " +
+        "(user extent agg), the (t, d1, d2) cohort histogram and its " +
+        "suffix windows + final reduction on the O(days) " +
+        "control-plane table, no join anywhere") { p =>
       count(p, "Scan parquet") == 1 && !p.contains("Join")
     }
 

@@ -245,7 +245,10 @@ object ScaleRatios {
       "qa_cliffs_by_type", "qa_cvm_by_type", "events_hazard_na",
       // r14 second batch: the SIXTH/SEVENTH drift gates (same
       // per-type histogram shape)
-      "qa_ad_by_type", "qa_tvd_by_type")
+      "qa_ad_by_type", "qa_tvd_by_type",
+      // r14 third batch: the dispersion gate, the k-sample gate, the
+      // two-cohort log-rank
+      "qa_mood_by_type", "qa_kruskal", "events_logrank")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

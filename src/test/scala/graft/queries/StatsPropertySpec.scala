@@ -109,4 +109,105 @@ class StatsPropertySpec extends AnyFunSuite {
       assert(s1.getAs[Any]("rho_micro") == s2.getAs[Any]("rho_micro"))
     }
   }
+
+  test("mood: z is antisymmetric under sample swap to the floor micro " +
+    "and exactly shift-invariant; matches a double reference") {
+    for (seed <- 15L to 17L) {
+      val vs = stream(seed, 350, 50)
+      val gs = stream(seed + 41, 350, 2).map(_ == 0L)
+      val h = hist(vs, gs).cache()
+      val a = StatsQueries.moodFromHist(h).collect().head
+      // swap: scores are rank-only, dev4N negates exactly, σ_u² is
+      // shared — z flips sign up to the terminal floor
+      val b = StatsQueries.moodFromHist(swapped(h)).collect().head
+      val za = a.getAs[Long]("z_micro"); val zb = b.getAs[Long]("z_micro")
+      assert(math.abs(za + zb) <= 1L, s"seed $seed: $za vs $zb")
+      // shift: ranks don't see the values — z is EXACTLY invariant
+      val sh = hist(vs.map(_ + 100000L), gs)
+      val c = StatsQueries.moodFromHist(sh).collect().head
+      assert(za == c.getAs[Long]("z_micro"), s"seed $seed shift")
+      // double-precision reference (midrank scores, finite-population
+      // variance) within 2 micro of the engine's fixed-order floors
+      val n = vs.length
+      val rank = {
+        val byV = vs.zipWithIndex.sortBy(_._1)
+        val r = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var j = i
+          while (j < n && byV(j)._1 == byV(i)._1) j += 1
+          val mid = (i + 1 + j).toDouble / 2.0
+          (i until j).foreach(k => r(byV(k)._2) = mid)
+          i = j
+        }
+        r
+      }
+      val sc = rank.map(r => (r - (n + 1) / 2.0) * (r - (n + 1) / 2.0))
+      val n1 = gs.count(identity); val n2 = n - n1
+      val s1 = sc.zip(gs).filter(_._2).map(_._1).sum
+      val abar = sc.sum / n
+      val varS = n1.toDouble * n2 / (n - 1) *
+        (sc.map(x => (x - abar) * (x - abar)).sum / n)
+      val zRef = (s1 - n1 * abar) / math.sqrt(varS)
+      assert(math.abs(za - math.round(zRef * 1e6)) <= 2L,
+        s"seed $seed: engine $za vs reference ${zRef * 1e6}")
+    }
+  }
+
+  test("kruskal: H is exactly invariant under a strictly monotone " +
+    "transform of the values and under group relabeling") {
+    for (seed <- 18L to 19L) {
+      val vs = stream(seed, 400, 30)
+      val gs = stream(seed + 53, 400, 4).map(g => s"g$g")
+      def mono(v: Long) = v * v * 2 + 5 * v + 3
+      val plain = gs.zip(vs).toDF("grp", "v")
+      val warped = gs.zip(vs.map(mono)).toDF("grp", "v")
+      val relab = gs.map(g => s"zz_$g").zip(vs).toDF("grp", "v")
+      val h1 = StatsQueries.kruskalBody(plain).collect().head
+      val h2 = StatsQueries.kruskalBody(warped).collect().head
+      val h3 = StatsQueries.kruskalBody(relab).collect().head
+      assert(h1.getAs[Any]("h_micro") == h2.getAs[Any]("h_micro"))
+      assert(h1.getAs[Any]("h_micro") == h3.getAs[Any]("h_micro"))
+      assert(h1.getAs[Long]("df") == 3L)
+    }
+  }
+
+  test("logrank: variance is exactly cohort-swap-invariant, the z " +
+    "flips sign to per-lifetime floor tolerance, and a two-point " +
+    "worked example matches by hand") {
+    for (seed <- 20L to 21L) {
+      val ts = stream(seed, 200, 25)
+      val cs = stream(seed + 67, 200, 2).map(_ == 0L)
+      val h = ts.zip(cs).toDF("t", "c")
+        .groupBy("t")
+        .agg(org.apache.spark.sql.functions.expr(
+          "sum(case when c then 1 else 0 end)").as("d1"),
+          org.apache.spark.sql.functions.expr(
+            "sum(case when c then 0 else 1 end)").as("d2"))
+        .cache()
+      val a = graft.queries.EventsQueries.logrankFromHist(h).collect().head
+      val b = graft.queries.EventsQueries.logrankFromHist(
+        h.selectExpr("t", "d2 as d1", "d1 as d2")).collect().head
+      assert(a.getAs[Long]("v_micro") == b.getAs[Long]("v_micro"),
+        "hypergeometric variance must not see cohort order")
+      // O₁−E₁ negates exactly in the un-floored algebra; each of the
+      // T per-lifetime expectation floors moves the sum ≤ 1 micro
+      val tCount = h.count()
+      val vm = a.getAs[Long]("v_micro").toDouble
+      val tol = math.ceil(tCount * 1e6 / math.sqrt(vm * 1e6)).toLong + 1
+      val za = a.getAs[Long]("z_micro"); val zb = b.getAs[Long]("z_micro")
+      assert(math.abs(za + zb) <= tol, s"seed $seed: $za vs $zb (tol $tol)")
+    }
+    // worked example: lifetimes t=0 {d1=2,d2=0}, t=1 {d1=0,d2=2}.
+    // t=0: n1=2,n2=2,n=4,d=2 → E₁ += 2·2/4 = 1, V += 2·2·2·2/(16·3)=1/3
+    // t=1: n1=0,n2=2,n=2,d=2 → E₁ += 0, V += 0 (n=d)
+    // O₁=2, dev=1, z = 1/√(1/3) = √3 ≈ 1.732051
+    val ex = graft.queries.EventsQueries.logrankFromHist(
+      Seq((0L, 2L, 0L), (1L, 0L, 2L)).toDF("t", "d1", "d2"))
+      .collect().head
+    assert(ex.getAs[Long]("e1_micro") == 1000000L)
+    assert(ex.getAs[Long]("v_micro") == 333333L)
+    val zEx = ex.getAs[Long]("z_micro")
+    assert(math.abs(zEx - 1732052L) <= 2L, s"worked example z $zEx")
+  }
 }

@@ -103,5 +103,20 @@ class DriftMonitorSpec extends AnyFunSuite {
     val tvStream = DriftMonitor.tvdReadout(snapshot)
       .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
     assert(tvStream == tvBatch)
+
+    // the EIGHTH gate (dispersion) off the SAME snapshot
+    val moBatch = graft.SparkEntry.queries("qa_mood_by_type")(
+      spark, dir).collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    val moStream = DriftMonitor.moodReadout(snapshot)
+      .collect().map(r => r.getAs[String]("grp") -> r.toSeq).toMap
+    assert(moStream == moBatch)
+
+    // the NINTH readout (k-sample cross-section) off the SAME
+    // snapshot: side-summed counts = the batch qa_kruskal corpus
+    val kwBatch = graft.SparkEntry.queries("qa_kruskal")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val kwStream = DriftMonitor.kruskalReadout(snapshot)
+      .collect().map(_.toSeq).toSeq
+    assert(kwStream == kwBatch)
   }
 }

@@ -115,5 +115,11 @@ class DriftRestartSpec extends AnyFunSuite {
       byGrp(DriftMonitor.adReadout(batchCounts)), "AD gate flipped")
     assert(byGrp(DriftMonitor.tvdReadout(streamedCounts)) ==
       byGrp(DriftMonitor.tvdReadout(batchCounts)), "TVD gate flipped")
+    assert(byGrp(DriftMonitor.moodReadout(streamedCounts)) ==
+      byGrp(DriftMonitor.moodReadout(batchCounts)), "Mood gate flipped")
+    assert(DriftMonitor.kruskalReadout(streamedCounts)
+      .collect().map(_.toSeq).toSeq ==
+      DriftMonitor.kruskalReadout(batchCounts)
+        .collect().map(_.toSeq).toSeq, "KW cross-section flipped")
   }
 }

@@ -54,5 +54,14 @@ class SurvivalMonitorSpec extends AnyFunSuite {
       "KM curve diverged from the batch query")
     assert(byT(SurvivalMonitor.naReadout(snapDf)) == naBatch,
       "Nelson–Aalen hazard diverged from the batch query")
+
+    // THIRD readout off the SAME extent state: the two-cohort
+    // log-rank z equals the oracle-checked batch events_logrank
+    val lrBatch = graft.SparkEntry.queries("events_logrank")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val lrStream = SurvivalMonitor.logrankReadout(snapDf)
+      .collect().map(_.toSeq).toSeq
+    assert(lrStream == lrBatch,
+      "log-rank readout diverged from the batch query")
   }
 }
