@@ -65,6 +65,7 @@ object PipelineQueries {
   private def CONTAM_COS = GraftConf.double("graft.contam.cosMin", 0.8)
   /** Zipf fit: how many head words enter the OLS regression. */
   private def ZIPF_N = GraftConf.int("graft.zipf.topn", 1000)
+  private def HEAPS_B = GraftConf.long("graft.heaps.bucket", 4096L)
 
   /** Count of NULL values in column `c` (map-side-combinable). */
   private def nullCnt(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
@@ -514,6 +515,82 @@ object PipelineQueries {
         .select(col("n_words"), col("slope"), col("intercept"))
     }),
 
+    // Heaps'-law vocabulary-growth fit (Heaps 1978): OLS of ln V(n)
+    // on ln n over the per-doc cumulative (tokens seen, distinct
+    // types seen) curve — Zipf's companion diagnostic: natural text
+    // runs β ≈ 0.4–0.6; a pipeline bug that duplicates documents
+    // flattens β toward 0, boilerplate injection bends it up. The
+    // curve needs a GLOBAL prefix sum over doc order, which runs as
+    // the curate_pack_chunks TWO-LEVEL distributed sum (per-bucket
+    // totals → O(buckets) exclusive offsets broadcast back → within-
+    // bucket window) — never a single-task corpus sort. Each token's
+    // first-occurrence doc is one map-side-combined min; per-point
+    // lns floor to integer micro (the zipf posture) and the OLS sums
+    // accumulate in exact DECIMAL(38) — unlike zipf's conf-bounded
+    // top-N, the point count here is ALL docs, and Σ(ln²-micro²)
+    // crosses 2⁶³ at ~2·10⁴ points (long) but not DECIMAL(38) until
+    // ~10²³ docs.
+    "text_heaps_law" -> ((s, dir) => {
+      val b = HEAPS_B
+      val dec = DecimalType(38, 0)
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("w"))
+      val tc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("tc"))
+      val nv = tok.groupBy(col("w")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nv"))
+      // pinned: the O(docs) per-doc frame feeds BOTH the bucket
+      // offsets and the final join — without the pin each branch
+      // re-runs the two token-stream aggregations (4 corpus scans)
+      val f = tc.join(nv, Seq("doc_id"), "left")
+        .withColumn("nv", coalesce(col("nv"), lit(0L)))
+        .withColumn("bkt", expr(s"doc_id div $b"))
+        .localCheckpoint(eager = true)
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = f.groupBy(col("bkt"))
+        .agg(sum(col("tc")).as("bt"), sum(col("nv")).as("bv"))
+        .withColumn("toff", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+        .withColumn("voff", coalesce(sum(col("bv")).over(wOff), lit(0L)))
+        .select(col("bkt"), col("toff"), col("voff"))
+      val wB = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = f.join(broadcast(offs), "bkt")
+        .withColumn("nd", col("toff") + sum(col("tc")).over(wB))
+        .withColumn("vd", col("voff") + sum(col("nv")).over(wB))
+        .where(col("nd") > 0L && col("vd") > 0L)
+        .withColumn("lxm",
+          floor(log(col("nd").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long"))
+        .withColumn("lym",
+          floor(log(col("vd").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long"))
+      pts.agg(
+        count(lit(1)).as("n_docs"),
+        max(col("nd")).as("n_tokens"),
+        max(col("vd")).as("vocab"),
+        sum(col("lxm").cast(dec)).cast(dec).as("sxm"),
+        sum(col("lym").cast(dec)).cast(dec).as("sym"),
+        sum((col("lxm") * col("lym")).cast(dec)).cast(dec).as("sxym"),
+        sum((col("lxm") * col("lxm")).cast(dec)).cast(dec).as("sxxm"))
+        .withColumn("sx", col("sxm").cast("double") / lit(1e6))
+        .withColumn("sy", col("sym").cast("double") / lit(1e6))
+        .withColumn("sxy", col("sxym").cast("double") / lit(1e12))
+        .withColumn("sxx", col("sxxm").cast("double") / lit(1e12))
+        .withColumn("den",
+          col("n_docs").cast("double") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("beta",
+          when(col("n_docs") <= 1L || col("den") === lit(0.0),
+            lit(null).cast("double"))
+            .otherwise((col("n_docs").cast("double") * col("sxy") -
+              col("sx") * col("sy")) / col("den")))
+        .withColumn("ln_k",
+          when(col("beta").isNull, lit(null).cast("double"))
+            .otherwise((col("sy") - col("beta") * col("sx")) /
+              col("n_docs").cast("double")))
+        .select(col("n_docs"), col("n_tokens"), col("vocab"),
+          col("beta"), col("ln_k"))
+    }),
+
     // Pretraining sequence chunking: fixed-width token windows with
     // overlap (width W, stride S — the context-window prep step every
     // LM pipeline runs between curation and tokenization). Pure
@@ -907,6 +984,52 @@ object PipelineQueries {
          |(sy - ((CAST(n_words AS DOUBLE) * sxy - sx * sy) / (CAST(n_words AS DOUBLE) * sxx - sx * sx)) * sx)
          | / CAST(n_words AS DOUBLE) AS intercept
          |FROM s""".stripMargin,
+
+    // same cumulative (tokens, types) curve in one-window form (the
+    // oracle need not distribute — the two-level sum must reproduce
+    // exactly this), same micro ln floors, same exact HUGEINT OLS
+    // sums, same closed form and degenerate guard
+    "text_heaps_law" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |FROM documents),
+         |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tc
+         |FROM tok GROUP BY 1),
+         |fo AS (SELECT MIN(doc_id) AS doc_id FROM tok GROUP BY w),
+         |nv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+         |FROM fo GROUP BY 1),
+         |f AS (SELECT tc.doc_id, tc.tc, COALESCE(nv.nv, 0) AS nv
+         |FROM tc LEFT JOIN nv ON nv.doc_id = tc.doc_id),
+         |cum AS (SELECT doc_id,
+         |CAST(SUM(tc) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |AS BIGINT) AS nd,
+         |CAST(SUM(nv) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |AS BIGINT) AS vd FROM f),
+         |pts AS (SELECT nd, vd,
+         |CAST(FLOOR(ln(CAST(nd AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |  AS lxm,
+         |CAST(FLOOR(ln(CAST(vd AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |  AS lym
+         |FROM cum WHERE nd > 0 AND vd > 0),
+         |s0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |MAX(nd) AS n_tokens, MAX(vd) AS vocab,
+         |SUM(CAST(lxm AS HUGEINT)) AS sxm, SUM(CAST(lym AS HUGEINT)) AS sym,
+         |SUM(CAST(lxm * lym AS HUGEINT)) AS sxym,
+         |SUM(CAST(lxm * lxm AS HUGEINT)) AS sxxm FROM pts),
+         |s AS (SELECT n_docs, n_tokens, vocab,
+         |CAST(sxm AS DOUBLE) / 1000000.0 AS sx,
+         |CAST(sym AS DOUBLE) / 1000000.0 AS sy,
+         |CAST(sxym AS DOUBLE) / 1000000000000.0 AS sxy,
+         |CAST(sxxm AS DOUBLE) / 1000000000000.0 AS sxx FROM s0),
+         |d AS (SELECT n_docs, n_tokens, vocab, sx, sy, sxy, sxx,
+         |CAST(n_docs AS DOUBLE) * sxx - sx * sx AS den FROM s),
+         |r AS (SELECT n_docs, n_tokens, vocab, sy, sx,
+         |CASE WHEN n_docs <= 1 OR den = 0.0 THEN NULL
+         |ELSE (CAST(n_docs AS DOUBLE) * sxy - sx * sy) / den END AS beta
+         |FROM d)
+         |SELECT n_docs, n_tokens, vocab, beta,
+         |CASE WHEN beta IS NULL THEN NULL
+         |ELSE (sy - beta * sx) / CAST(n_docs AS DOUBLE) END AS ln_k
+         |FROM r""".stripMargin,
 
     // same stride grid, same list slicing, same reassembly
     "curate_chunk_overlap" ->

@@ -215,6 +215,31 @@ object StatsQueries {
             .as("x"),
           col("c")))),
 
+    // Pettitt changepoint test (Pettitt 1979) per event type on the
+    // SAME daily panel as events_mann_kendall — the missing member of
+    // the changepoint trio: CUSUM needs a reference mean, MK asks "is
+    // there a monotone trend?", Pettitt asks the operational question
+    // "WHEN did the level shift?" distribution-free, with an α. The
+    // statistic is rank-exact with NO floats until the p-value:
+    // U_t = Σ_{i≤t}Σ_{j>t} sgn(cᵢ−cⱼ) telescopes to per-day
+    // Σ_{i≤t}(2rᵢ − n − 1) via midranks (2r − n − 1 = #less −
+    // #greater EXACTLY, ties included), so every U_t is an exact long
+    // prefix sum; K = max|U_t| over t < n, the changepoint is the
+    // FIRST argmax day (deterministic both engines), and only the
+    // closed-form p ≈ 2·exp(−6K²/(n³+n²)) takes one fixed-order
+    // double (the ln-parity posture, exp side). Scale: ONE corpus
+    // shuffle into the O(types×days) panel; all four windows run on
+    // the control-plane table. See pettittBody.
+    "events_pettitt" -> ((s, dir) =>
+      pettittBody(Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long")
+            .as("x"),
+          col("c")))),
+
     // Rank-biased overlap (Webber et al. TOIS'10) between two document
     // orderings — here "longest" (n_chars) vs "lexically richest"
     // (distinct words), the agreement diagnostic a curator runs before
@@ -1132,6 +1157,49 @@ object StatsQueries {
       .withColumn("reject", abs(col("z_micro")) > lit(1960000L))
   }
 
+  /** Pettitt changepoint reduction per series over an (event_type, x,
+    * c) daily panel — see the events_pettitt entry. Midranks via the
+    * rank window (2r = 2·(rank−1) + ties + 1, exact), U_t as exact
+    * long prefix sums over day order, K and the first-argmax day by a
+    * per-type max window + min(x) filter (deterministic — no
+    * arg_max tie ambiguity), one fixed-order exp at the p edge.
+    * Types with a single day have no interior split and emit no row
+    * (both engines). Factored so the streaming
+    * [[graft.streaming.TrendMonitor.pettittReadout]] reads the
+    * IDENTICAL changepoint off its state-store daily snapshot. */
+  private[graft] def pettittBody(daily: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("c"))
+    val wTie = Window.partitionBy(col("event_type"), col("c"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wX = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val u = daily
+      .withColumn("r2",
+        lit(2) * (rank().over(wRank).cast("long") - 1) +
+          count(lit(1)).over(wTie) + 1)
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wX).cast("long"))
+      .withColumn("uu",
+        sum(col("r2")).over(
+          wX.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+          col("rn") * (col("n") + 1))
+      .where(col("rn") <= col("n") - 1)
+      .withColumn("absu", abs(col("uu")))
+    u.withColumn("mx", max(col("absu")).over(wAll))
+      .where(col("absu") === col("mx"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"), max(col("absu")).as("k_stat"),
+        min(col("x")).as("cp_x"))
+      .withColumn("p_micro", least(
+        floor(lit(2000000.0) * exp(lit(-6.0) *
+          col("k_stat").cast("double") * col("k_stat").cast("double") /
+          (col("n_days").cast(dec) * col("n_days") * col("n_days") +
+            col("n_days").cast(dec) * col("n_days")).cast("double")) +
+          lit(0.5)).cast("long"),
+        lit(1000000L)))
+      .withColumn("reject", col("p_micro") < lit(50000L))
+  }
+
   /** Top-k prefix RBO between two orderings of a (doc_id, n_chars,
     * dw) frame — see the eval_rbo entry. Each top-k comes from a
     * distributed TakeOrdered (orderBy + limit — a per-partition heap,
@@ -2017,6 +2085,42 @@ object StatsQueries {
          |* 1000000.0 + 0.5) AS BIGINT) END AS z_micro FROM f)
          |SELECT event_type, n_days, s, z_micro,
          |abs(z_micro) > 1960000 AS reject FROM z""".stripMargin,
+
+    // same daily panel, same exact midrank prefix-sum U_t, same
+    // first-argmax changepoint, same fixed-order exp at the p edge
+    "events_pettitt" ->
+      s"""WITH d AS (SELECT event_type,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(COUNT(*) AS BIGINT) AS c FROM $oEvents GROUP BY 1, 2),
+         |r AS (SELECT event_type, x,
+         |2 * (CAST(RANK() OVER (PARTITION BY event_type ORDER BY c)
+         |AS BIGINT) - 1) +
+         |CAST(COUNT(*) OVER (PARTITION BY event_type, c) AS BIGINT) + 1
+         |  AS r2,
+         |CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |FROM d),
+         |u AS (SELECT event_type, x, n,
+         |CAST(SUM(r2) OVER (PARTITION BY event_type ORDER BY x
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) -
+         |CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+         |AS BIGINT) * (n + 1) AS uu,
+         |CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+         |AS BIGINT) AS rn FROM r),
+         |f AS (SELECT event_type, x, n, abs(uu) AS absu FROM u
+         |WHERE rn <= n - 1),
+         |m AS (SELECT event_type, x, n, absu,
+         |MAX(absu) OVER (PARTITION BY event_type) AS mx FROM f),
+         |g AS (SELECT event_type, MAX(n) AS n_days, MAX(absu) AS k_stat,
+         |MIN(x) AS cp_x FROM m WHERE absu = mx GROUP BY 1),
+         |p AS (SELECT event_type, n_days, k_stat, cp_x,
+         |LEAST(CAST(FLOOR(2000000.0 * exp(-6.0 *
+         |CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE) /
+         |CAST(CAST(n_days AS HUGEINT) * n_days * n_days +
+         |CAST(n_days AS HUGEINT) * n_days AS DOUBLE)) + 0.5) AS BIGINT),
+         |1000000) AS p_micro FROM g)
+         |SELECT event_type, n_days, k_stat, cp_x, p_micro,
+         |p_micro < 50000 AS reject FROM p""".stripMargin,
 
     // same TakeOrdered top-k semantics (identical total tiebreak),
     // same max-rank overlap curve, same shared literal weight table

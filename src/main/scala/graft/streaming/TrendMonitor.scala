@@ -139,4 +139,14 @@ object TrendMonitor {
   def mannKendallReadout(counts: DataFrame): DataFrame =
     graft.queries.StatsQueries.mannKendallBody(
       counts.select(col("event_type"), col("x"), col("c")))
+
+  /** The Pettitt changepoint test over the same streamed daily-count
+    * snapshot — the factored events_pettitt algebra
+    * ([[graft.queries.StatsQueries.pettittBody]]): the TWELFTH
+    * readout, and the WHEN to CUSUM's whether — a distribution-free
+    * "the level shifted at day X" with an α, off the same one
+    * (type, day) state table. */
+  def pettittReadout(counts: DataFrame): DataFrame =
+    graft.queries.StatsQueries.pettittBody(
+      counts.select(col("event_type"), col("x"), col("c")))
 }

@@ -1449,6 +1449,25 @@ object ExplainAudit {
       count(p, "Scan parquet") == 1 && !p.contains("Join")
     }
 
+    audit("events_pettitt",
+      "Pettitt is the mann_kendall input shape: ONE corpus scan into " +
+        "the O(types×days) daily panel; the rank/tie/prefix/argmax " +
+        "windows all run on the control-plane table partitioned by " +
+        "type, no join anywhere") { p =>
+      count(p, "Scan parquet") == 1 && !p.contains("Join")
+    }
+
+    audit("text_heaps_law",
+      "Heaps' fit runs on the PINNED O(docs) per-doc frame (the two " +
+        "token-stream aggregations — per-doc counts + first-occurrence " +
+        "mins — are paid once at pin time, zero parquet scans here); " +
+        "then the two-level distributed prefix sum: O(buckets) offsets " +
+        "broadcast back, within-bucket windows partitioned by bucket — " +
+        "no single-task corpus sort, no sort-merge join") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("SortMergeJoin") &&
+        p.contains("Window") && p.contains("BroadcastHashJoin")
+    }
+
     spark.stop()
     if (failures > 0) sys.error(s"$failures plan audit failures")
     println(s"[audit] all checks passed")

@@ -248,7 +248,9 @@ object ScaleRatios {
       "qa_ad_by_type", "qa_tvd_by_type",
       // r14 third batch: the dispersion gate, the k-sample gate, the
       // two-cohort log-rank
-      "qa_mood_by_type", "qa_kruskal", "events_logrank")
+      "qa_mood_by_type", "qa_kruskal", "events_logrank",
+      // r14 fourth batch: the Pettitt changepoint and the Heaps fit
+      "events_pettitt", "text_heaps_law")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

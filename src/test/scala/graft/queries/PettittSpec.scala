@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pettitt changepoint worked examples — the does-it-fire half the
+  * null-data oracle run can't show:
+  * - a planted level shift must reject with the changepoint at the
+  *   LAST pre-shift day (U_t peaks exactly there), and K must equal
+  *   the closed-form pre×post pair count;
+  * - a constant series has U_t ≡ 0 everywhere, p clips to 1, and the
+  *   gate stays quiet (the false-alarm floor);
+  * - the statistic is exactly invariant under a strictly monotone
+  *   transform of the counts (rank-based — sgn never sees values).
+  */
+class PettittSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  test("planted level shift: reject=true, cp at the shift, exact K") {
+    // days 0..29: c = 10 before day 15, c = 30 from day 15 on.
+    // Every (pre, post) pair contributes sgn(10−30) = −1, and pre-pre/
+    // post-post pairs cancel to 0 ⇒ |U_t| = (t+1)·(#post) peaks at
+    // t = 14 with K = 15·15 = 225.
+    val daily = (0L until 30L)
+      .map(d => ("s", d, if (d < 15) 10L else 30L))
+      .toDF("event_type", "x", "c")
+    val r = StatsQueries.pettittBody(daily).collect().head
+    assert(r.getAs[Long]("k_stat") == 225L)
+    assert(r.getAs[Long]("cp_x") == 14L)
+    assert(r.getAs[Boolean]("reject"),
+      s"planted shift must fire: $r")
+  }
+
+  test("constant series: K = 0, p clips to 1, no alarm") {
+    val daily = (0L until 20L).map(d => ("s", d, 7L))
+      .toDF("event_type", "x", "c")
+    val r = StatsQueries.pettittBody(daily).collect().head
+    assert(r.getAs[Long]("k_stat") == 0L)
+    assert(r.getAs[Long]("p_micro") == 1000000L)
+    assert(!r.getAs[Boolean]("reject"))
+  }
+
+  test("exactly invariant under a strictly monotone transform") {
+    val cs = Seq(3L, 9L, 1L, 4L, 4L, 7L, 2L, 8L, 8L, 5L, 6L, 1L)
+    def mono(v: Long) = v * v * 3 + 11
+    val plain = cs.zipWithIndex.map { case (c, d) => ("s", d.toLong, c) }
+      .toDF("event_type", "x", "c")
+    val warped = cs.zipWithIndex.map { case (c, d) => ("s", d.toLong, mono(c)) }
+      .toDF("event_type", "x", "c")
+    val a = StatsQueries.pettittBody(plain).collect().head
+    val b = StatsQueries.pettittBody(warped).collect().head
+    assert(a.toSeq == b.toSeq)
+  }
+}

@@ -194,5 +194,19 @@ class TrendMonitorSpec extends AnyFunSuite {
     mkStreamed.foreach { case (k, got) =>
       assert(got == mkBatch(k), s"$k: stream $got vs batch ${mkBatch(k)}")
     }
+
+    // and the TWELFTH — the WHEN to CUSUM's whether: the Pettitt
+    // changepoint ≡ the oracle-checked batch events_pettitt (exact
+    // midrank prefix sums, first-argmax day)
+    val ptBatch = graft.queries.StatsQueries
+      .queries("events_pettitt")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val ptStreamed = TrendMonitor
+      .pettittReadout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(ptStreamed.keySet == ptBatch.keySet && ptBatch.nonEmpty)
+    ptStreamed.foreach { case (k, got) =>
+      assert(got == ptBatch(k), s"$k: stream $got vs batch ${ptBatch(k)}")
+    }
   }
 }
