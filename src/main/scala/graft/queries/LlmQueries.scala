@@ -157,6 +157,84 @@ object LlmQueries {
         passThrough.map(col): _*)
   }
 
+  /** The quality-ensemble vote frame — the curate_quality_ensemble
+    * entry, factored so eval_fleiss_kappa scores the SAME three
+    * raters on the SAME derived pages (one battery, two readouts:
+    * the majority vote and whether the vote is meaningful). */
+  private def ensembleVotes(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .withColumn("page", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" and that have with of the"))
+          .otherwise(lit(""))))
+      .withColumn("raw", concat(col("text"), lit("."),
+        lit("\nthis synthetic line holds enough words to pass. indeed it clears the bar."),
+        when(col("doc_id") % 7 === 0, lit("\nlorem ipsum dolor sit.")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\nvar x = {javascript};")).otherwise(lit("")),
+        lit("\ntoo short.")))
+      .withColumn("fpage", concat(col("text"), lit("."),
+        lit("\nnav"),
+        when(col("doc_id") % 2 === 0,
+          lit("\ncopyright footer boilerplate repeated notice." +
+            "\ncopyright footer boilerplate repeated notice."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          lit("\nlink a\nlink b\nlink c\nlink d\nlink e\nlink f\nlink g"))
+          .otherwise(lit(""))))
+    val g = gopherRules(base, Seq("raw", "fpage"))
+      .select(col("doc_id"), col("keep").as("gopher_keep"), col("raw"), col("fpage"))
+    val c = c4Filters(g, Seq("gopher_keep", "fpage"))
+      .select(col("doc_id"), col("gopher_keep"), col("keep").as("c4_keep"),
+        col("fpage").as("page"))
+    finewebLines(c, Seq("gopher_keep", "c4_keep"))
+      .select(col("doc_id"), col("gopher_keep"), col("c4_keep"),
+        col("keep").as("fineweb_keep"))
+      .withColumn("votes", col("gopher_keep").cast("int") +
+        col("c4_keep").cast("int") + col("fineweb_keep").cast("int"))
+      .withColumn("keep", col("votes") >= 2)
+  }
+
+  /** Fleiss' kappa over a (votes ∈ 0..3) frame (3 raters, 2
+    * categories) — see the eval_fleiss_kappa entry. κ =
+    * (3N·A − 2(B₁²+B₀²)) / (2·(9N² − B₁² − B₀²)) with A the exact
+    * pair-agreement sum and B_j the category totals; re-signed
+    * truncating micro division (Spark div ≡ DuckDB // on the
+    * non-negative |num|), Landis–Koch labels. */
+  private[graft] def fleissBody(votes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    votes
+      .select(col("votes").cast("long").as("n1"))
+      .withColumn("n0", lit(3L) - col("n1"))
+      .withColumn("a",
+        col("n1") * (col("n1") - 1) + col("n0") * (col("n0") - 1))
+      .groupBy()
+      .agg(count(lit(1)).as("n_docs"), sum(col("a")).as("a_sum"),
+        sum(col("n1")).as("b1"), sum(col("n0")).as("b0"))
+      .withColumn("num",
+        (lit(3) * col("n_docs").cast(dec) * col("a_sum") -
+          lit(2) * (col("b1").cast(dec) * col("b1") +
+            col("b0").cast(dec) * col("b0"))).cast(dec))
+      .withColumn("den",
+        (lit(2) * (lit(9) * col("n_docs").cast(dec) * col("n_docs") -
+          col("b1").cast(dec) * col("b1") -
+          col("b0").cast(dec) * col("b0"))).cast(dec))
+      .withColumn("anum", abs(col("num")).cast(dec))
+      .withColumn("q", expr("CAST((anum * 1000000) div " +
+        "greatest(den, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"))
+      .select(col("n_docs"), col("b1"), col("b0"),
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(when(col("num") >= 0, col("q")).otherwise(-col("q")))
+          .as("kappa_micro"))
+      .withColumn("agreement",
+        when(col("kappa_micro").isNull, lit(null).cast("string"))
+          .when(col("kappa_micro") < 0L, lit("poor"))
+          .when(col("kappa_micro") < 200000L, lit("slight"))
+          .when(col("kappa_micro") < 400000L, lit("fair"))
+          .when(col("kappa_micro") < 600000L, lit("moderate"))
+          .when(col("kappa_micro") < 800000L, lit("substantial"))
+          .otherwise(lit("almost perfect")))
+  }
+
   // ---- DuckDB SQL fragments kept adjacent to their Spark twins ----
 
   private[queries] val oShingles =
@@ -762,37 +840,26 @@ object LlmQueries {
     // they CHAIN through pass-through columns instead of re-scanning
     // and joining (three scans + two corpus-sized shuffles saved;
     // zero exchanges in the whole plan).
-    "curate_quality_ensemble" -> ((s, dir) => {
-      val base = Tables.documents(s, dir)
-        .withColumn("page", concat(col("text"),
-          when(col("doc_id") % 3 === 0, lit(" and that have with of the"))
-            .otherwise(lit(""))))
-        .withColumn("raw", concat(col("text"), lit("."),
-          lit("\nthis synthetic line holds enough words to pass. indeed it clears the bar."),
-          when(col("doc_id") % 7 === 0, lit("\nlorem ipsum dolor sit.")).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0, lit("\nvar x = {javascript};")).otherwise(lit("")),
-          lit("\ntoo short.")))
-        .withColumn("fpage", concat(col("text"), lit("."),
-          lit("\nnav"),
-          when(col("doc_id") % 2 === 0,
-            lit("\ncopyright footer boilerplate repeated notice." +
-              "\ncopyright footer boilerplate repeated notice."))
-            .otherwise(lit("")),
-          when(col("doc_id") % 9 === 0,
-            lit("\nlink a\nlink b\nlink c\nlink d\nlink e\nlink f\nlink g"))
-            .otherwise(lit(""))))
-      val g = gopherRules(base, Seq("raw", "fpage"))
-        .select(col("doc_id"), col("keep").as("gopher_keep"), col("raw"), col("fpage"))
-      val c = c4Filters(g, Seq("gopher_keep", "fpage"))
-        .select(col("doc_id"), col("gopher_keep"), col("keep").as("c4_keep"),
-          col("fpage").as("page"))
-      finewebLines(c, Seq("gopher_keep", "c4_keep"))
-        .select(col("doc_id"), col("gopher_keep"), col("c4_keep"),
-          col("keep").as("fineweb_keep"))
-        .withColumn("votes", col("gopher_keep").cast("int") +
-          col("c4_keep").cast("int") + col("fineweb_keep").cast("int"))
-        .withColumn("keep", col("votes") >= 2)
-    }),
+    "curate_quality_ensemble" -> ((s, dir) => ensembleVotes(s, dir)),
+
+    // Fleiss' kappa (Fleiss 1971) over the quality ensemble's three
+    // raters — the missing readout ON the ensemble itself:
+    // curate_quality_ensemble takes a 2-of-3 vote, Fleiss' κ says
+    // whether that vote MEANS anything (three filters agreeing beyond
+    // chance) or the ensemble is three noisy coins whose majority is
+    // itself noise. Entirely exact: per doc the pair-agreement
+    // numerator n₁(n₁−1) + n₀(n₀−1) is a small integer, the κ
+    // closed form cross-multiplies to
+    // (3N·A − 2(B₁²+B₀²)) / (2·(9N² − B₁² − B₀²)) in DECIMAL(38)
+    // (B² ≈ 9N² crosses 38 digits at ~3·10¹⁸ docs), one re-signed
+    // truncating micro division (the eval_cohen_kappa posture), and
+    // the Landis–Koch label makes it operator-actionable. A
+    // degenerate panel (every rater always votes the same category)
+    // reads NULL, never a division error. Scale: the votes frame is
+    // the ensemble's own zero-shuffle per-row battery; κ is one
+    // map-side-combined aggregate over it. See fleissBody.
+    "eval_fleiss_kappa" -> ((s, dir) =>
+      fleissBody(ensembleVotes(s, dir).select(col("votes")))),
 
     // PII scrubbing: replace emails and URLs with sentinels and count
     // them (the redaction pass every crawl corpus goes through before
@@ -1051,6 +1118,66 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
     })
   )
+
+  /** The ensemble vote CTE chain (through `v`) shared by the
+    * curate_quality_ensemble and eval_fleiss_kappa oracles. */
+  private val oEnsembleCtes =
+    """WITH gp AS (SELECT doc_id,
+      |text || CASE WHEN doc_id % 3 = 0 THEN ' and that have with of the' ELSE '' END AS page
+      |FROM documents),
+      |gm AS (SELECT doc_id, page, string_split(page, ' ') AS w FROM gp),
+      |g AS (SELECT doc_id,
+      |(len(w)::BIGINT >= 50 AND len(w)::BIGINT <= 100000 AND
+      |(length(page) - (len(w)::BIGINT - 1)) / len(w)::BIGINT >= 3 AND
+      |(length(page) - (len(w)::BIGINT - 1)) / len(w)::BIGINT <= 10 AND
+      |len(regexp_extract_all(page, '#|\.\.\.'))::BIGINT / len(w)::BIGINT < 0.1 AND
+      |len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w)::BIGINT > 0.8 AND
+      |len(list_intersect(list_distinct(w),
+      |['the','be','to','of','and','that','have','with'])) >= 2) AS gopher_keep
+      |FROM gm),
+      |cr AS (SELECT doc_id,
+      |text || '.' ||
+      |chr(10) || 'this synthetic line holds enough words to pass. indeed it clears the bar.' ||
+      |CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END ||
+      |CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'var x = {javascript};' ELSE '' END ||
+      |chr(10) || 'too short.' AS raw
+      |FROM documents),
+      |cc AS (SELECT doc_id, raw,
+      |list_filter(string_split(raw, chr(10)),
+      |l -> len(string_split(l, ' ')) >= 5 AND regexp_matches(l, '[.!?]$')) AS kept
+      |FROM cr),
+      |c AS (SELECT doc_id,
+      |(NOT contains(raw, 'lorem ipsum') AND NOT contains(raw, '{') AND
+      |len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3) AS c4_keep
+      |FROM cc),
+      |fr AS (SELECT doc_id,
+      |text || '.' || chr(10) || 'nav' ||
+      |CASE WHEN doc_id % 2 = 0 THEN
+      |chr(10) || 'copyright footer boilerplate repeated notice.' ||
+      |chr(10) || 'copyright footer boilerplate repeated notice.' ELSE '' END ||
+      |CASE WHEN doc_id % 9 = 0 THEN
+      |chr(10) || 'link a' || chr(10) || 'link b' || chr(10) || 'link c' ||
+      |chr(10) || 'link d' || chr(10) || 'link e' || chr(10) || 'link f' ||
+      |chr(10) || 'link g' ELSE '' END AS page
+      |FROM documents),
+      |ff AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM fr),
+      |fm AS (SELECT doc_id,
+      |CAST(len(ls) AS INTEGER) AS n_lines,
+      |len(list_filter(ls, l -> regexp_matches(l, '[.!?]$'))) AS n_punct,
+      |CAST(list_sum(list_transform(ls, l -> length(l))) AS BIGINT) AS tot_chars,
+      |CAST(list_sum(list_transform(list_distinct(ls),
+      |l -> (len(list_filter(ls, x -> x = l)) - 1) * length(l))) AS BIGINT) AS dup_chars,
+      |len(list_filter(ls, l -> length(l) < 30)) AS n_short
+      |FROM ff),
+      |f AS (SELECT doc_id,
+      |(n_punct / n_lines > 0.12 AND dup_chars / tot_chars < 0.1 AND
+      |n_short / n_lines < 0.67) AS fineweb_keep
+      |FROM fm),
+      |v AS (SELECT g.doc_id, gopher_keep, c4_keep, fineweb_keep,
+      |CAST(gopher_keep AS INTEGER) + CAST(c4_keep AS INTEGER) +
+      |CAST(fineweb_keep AS INTEGER) AS votes
+      |FROM g JOIN c ON g.doc_id = c.doc_id JOIN f ON g.doc_id = f.doc_id)
+      """.stripMargin.trim
 
   def oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
@@ -1433,63 +1560,43 @@ object LlmQueries {
     // the three batteries verbatim (same derived pages, same rule
     // expressions as their standalone oracles), majority vote
     "curate_quality_ensemble" ->
-      """WITH gp AS (SELECT doc_id,
-        |text || CASE WHEN doc_id % 3 = 0 THEN ' and that have with of the' ELSE '' END AS page
-        |FROM documents),
-        |gm AS (SELECT doc_id, page, string_split(page, ' ') AS w FROM gp),
-        |g AS (SELECT doc_id,
-        |(len(w)::BIGINT >= 50 AND len(w)::BIGINT <= 100000 AND
-        |(length(page) - (len(w)::BIGINT - 1)) / len(w)::BIGINT >= 3 AND
-        |(length(page) - (len(w)::BIGINT - 1)) / len(w)::BIGINT <= 10 AND
-        |len(regexp_extract_all(page, '#|\.\.\.'))::BIGINT / len(w)::BIGINT < 0.1 AND
-        |len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) / len(w)::BIGINT > 0.8 AND
-        |len(list_intersect(list_distinct(w),
-        |['the','be','to','of','and','that','have','with'])) >= 2) AS gopher_keep
-        |FROM gm),
-        |cr AS (SELECT doc_id,
-        |text || '.' ||
-        |chr(10) || 'this synthetic line holds enough words to pass. indeed it clears the bar.' ||
-        |CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END ||
-        |CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'var x = {javascript};' ELSE '' END ||
-        |chr(10) || 'too short.' AS raw
-        |FROM documents),
-        |cc AS (SELECT doc_id, raw,
-        |list_filter(string_split(raw, chr(10)),
-        |l -> len(string_split(l, ' ')) >= 5 AND regexp_matches(l, '[.!?]$')) AS kept
-        |FROM cr),
-        |c AS (SELECT doc_id,
-        |(NOT contains(raw, 'lorem ipsum') AND NOT contains(raw, '{') AND
-        |len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3) AS c4_keep
-        |FROM cc),
-        |fr AS (SELECT doc_id,
-        |text || '.' || chr(10) || 'nav' ||
-        |CASE WHEN doc_id % 2 = 0 THEN
-        |chr(10) || 'copyright footer boilerplate repeated notice.' ||
-        |chr(10) || 'copyright footer boilerplate repeated notice.' ELSE '' END ||
-        |CASE WHEN doc_id % 9 = 0 THEN
-        |chr(10) || 'link a' || chr(10) || 'link b' || chr(10) || 'link c' ||
-        |chr(10) || 'link d' || chr(10) || 'link e' || chr(10) || 'link f' ||
-        |chr(10) || 'link g' ELSE '' END AS page
-        |FROM documents),
-        |ff AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM fr),
-        |fm AS (SELECT doc_id,
-        |CAST(len(ls) AS INTEGER) AS n_lines,
-        |len(list_filter(ls, l -> regexp_matches(l, '[.!?]$'))) AS n_punct,
-        |CAST(list_sum(list_transform(ls, l -> length(l))) AS BIGINT) AS tot_chars,
-        |CAST(list_sum(list_transform(list_distinct(ls),
-        |l -> (len(list_filter(ls, x -> x = l)) - 1) * length(l))) AS BIGINT) AS dup_chars,
-        |len(list_filter(ls, l -> length(l) < 30)) AS n_short
-        |FROM ff),
-        |f AS (SELECT doc_id,
-        |(n_punct / n_lines > 0.12 AND dup_chars / tot_chars < 0.1 AND
-        |n_short / n_lines < 0.67) AS fineweb_keep
-        |FROM fm),
-        |v AS (SELECT g.doc_id, gopher_keep, c4_keep, fineweb_keep,
-        |CAST(gopher_keep AS INTEGER) + CAST(c4_keep AS INTEGER) +
-        |CAST(fineweb_keep AS INTEGER) AS votes
-        |FROM g JOIN c ON g.doc_id = c.doc_id JOIN f ON g.doc_id = f.doc_id)
+      s"""$oEnsembleCtes
         |SELECT doc_id, gopher_keep, c4_keep, fineweb_keep, votes,
         |votes >= 2 AS keep FROM v""".stripMargin,
+
+    // the SAME vote CTE chain, then the exact cross-multiplied κ
+    // closed form with the same re-signed truncating micro division
+    // and Landis–Koch labels
+    "eval_fleiss_kappa" ->
+      s"""$oEnsembleCtes,
+        |k AS (SELECT CAST(votes AS BIGINT) AS n1,
+        |3 - CAST(votes AS BIGINT) AS n0 FROM v),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |CAST(SUM(n1 * (n1 - 1) + n0 * (n0 - 1)) AS BIGINT) AS a_sum,
+        |CAST(SUM(n1) AS BIGINT) AS b1, CAST(SUM(n0) AS BIGINT) AS b0
+        |FROM k),
+        |d AS (SELECT n_docs, b1, b0,
+        |3 * CAST(n_docs AS HUGEINT) * a_sum -
+        |2 * (CAST(b1 AS HUGEINT) * b1 + CAST(b0 AS HUGEINT) * b0) AS num,
+        |2 * (9 * CAST(n_docs AS HUGEINT) * n_docs -
+        |CAST(b1 AS HUGEINT) * b1 - CAST(b0 AS HUGEINT) * b0) AS den
+        |FROM a),
+        |r AS (SELECT n_docs, b1, b0,
+        |CASE WHEN den = 0 THEN NULL
+        |WHEN num >= 0 THEN
+        |CAST((abs(num) * 1000000) // GREATEST(den, 1) AS BIGINT)
+        |ELSE -CAST((abs(num) * 1000000) // GREATEST(den, 1) AS BIGINT)
+        |END AS kappa_micro FROM d)
+        |SELECT n_docs, b1, b0, kappa_micro,
+        |CASE WHEN kappa_micro IS NULL THEN NULL
+        |WHEN kappa_micro < 0 THEN 'poor'
+        |WHEN kappa_micro < 200000 THEN 'slight'
+        |WHEN kappa_micro < 400000 THEN 'fair'
+        |WHEN kappa_micro < 600000 THEN 'moderate'
+        |WHEN kappa_micro < 800000 THEN 'substantial'
+        |ELSE 'almost perfect' END AS agreement
+        |FROM r""".stripMargin,
+
 
     "curate_scrub_pii" ->
       """WITH r AS (SELECT doc_id,

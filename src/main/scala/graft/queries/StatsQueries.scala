@@ -240,6 +240,52 @@ object StatsQueries {
             .as("x"),
           col("c")))),
 
+    // Wald–Wolfowitz runs test (Wald & Wolfowitz 1940) per event type
+    // on the SAME daily panel — the RANDOMNESS gate the trend family
+    // assumes but never checks: OLS/Theil–Sen/MK all model
+    // independent-ish residuals, and a series that alternates or
+    // clusters (retry storms, thundering herds, batch jobs landing
+    // every other day) violates that silently. Above/below the exact
+    // doubled median (the a_median/bot_detect med2x posture — days AT
+    // the median drop, the textbook convention), runs count by one
+    // lag window over day order, and E[R] = 1 + 2n₁n₂/n, Var[R] =
+    // 2n₁n₂(2n₁n₂−n)/(n²(n−1)) stay exact rationals: the z numerator
+    // cross-multiplies to the exact integer (R−1)·n − 2n₁n₂ and only
+    // the terminal sqrt is a fixed-order double. Scale: ONE corpus
+    // shuffle into the O(types×days) panel; median histogram, lag,
+    // and reduction all control-plane. See runsBody.
+    "events_runs_test" -> ((s, dir) =>
+      runsBody(Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long")
+            .as("x"),
+          col("c")))),
+
+    // Benjamini–Hochberg FDR step-up (Benjamini & Hochberg 1995) over
+    // the per-type Pettitt changepoint p-values — multiple-testing
+    // hygiene for the gate family itself: a warehouse dashboard runs
+    // k types × many gates every day, and at α = 0.05 a 20-test board
+    // false-alarms weekly; BH is the standard correction that keeps
+    // the FALSE DISCOVERY RATE at α instead of the per-test rate.
+    // Entirely exact — the step-up compare cross-multiplies to
+    // p_micro·k ≤ 50000·rank (integer, no division), and "discovered"
+    // is rank ≤ the largest passing rank (one max window). The p
+    // source is events_pettitt's exp-based p (already oracle-exact);
+    // the k-row board is control-plane. See fdrBhBody.
+    "qa_fdr_bh" -> ((s, dir) =>
+      fdrBhBody(pettittBody(Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long")
+            .as("x"),
+          col("c")))
+        .select(col("event_type"), col("p_micro")))),
+
     // Rank-biased overlap (Webber et al. TOIS'10) between two document
     // orderings — here "longest" (n_chars) vs "lexically richest"
     // (distinct words), the agreement diagnostic a curator runs before
@@ -1200,6 +1246,83 @@ object StatsQueries {
       .withColumn("reject", col("p_micro") < lit(50000L))
   }
 
+  /** Wald–Wolfowitz runs reduction per series over an (event_type, x,
+    * c) daily panel — see the events_runs_test entry. The doubled
+    * median comes off the per-type count histogram (med2x = lower +
+    * upper order statistic, exact — the bot_detect posture); days at
+    * the median drop; runs count by one lag window; z =
+    * ((R−1)n − 2n₁n₂)/(n·√Var) with the exact-integer numerator and
+    * one fixed-order sqrt. One-sided panels (n₁ or n₂ = 0) and
+    * degenerate variance read NULL. Factored so the streaming
+    * [[graft.streaming.TrendMonitor.runsReadout]] reads the IDENTICAL
+    * gate off its state-store daily snapshot. */
+  private[graft] def runsBody(daily: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val d = daily.localCheckpoint(eager = true) // median + sequence legs
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val med = d.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(
+        wAll.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .groupBy(col("event_type"))
+      .agg((min(when(col("cum") >= expr("(n + 1) div 2"), col("c"))) +
+        min(when(col("cum") >= expr("n div 2 + 1"), col("c")))).as("med2x"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    d.join(broadcast(med), "event_type")
+      .where(col("c") * 2 =!= col("med2x"))
+      .withColumn("ab", col("c") * 2 > col("med2x"))
+      .withColumn("pb", lag(col("ab"), 1).over(wLag))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("ab"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ab"), 0L).otherwise(1L)).as("n2"),
+        (lit(1L) + sum(when(col("pb").isNotNull && col("ab") =!= col("pb"),
+          1L).otherwise(0L))).as("runs"))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("devn",
+        (col("runs") - 1) * col("n") - lit(2) * col("n1") * col("n2"))
+      .withColumn("vnum",
+        (lit(2) * col("n1").cast(dec) * col("n2") *
+          (lit(2) * col("n1").cast(dec) * col("n2") - col("n"))).cast(dec))
+      .withColumn("vden",
+        (col("n").cast(dec) * col("n") * (col("n") - 1)).cast(dec))
+      .select(col("event_type"), col("n1"), col("n2"), col("runs"),
+        when(col("n1") === 0L || col("n2") === 0L || col("n") < 2L ||
+          col("vnum") <= 0, lit(null).cast("long"))
+          .otherwise(floor(
+            col("devn").cast("double") / col("n") /
+              sqrt(col("vnum").cast("double") / col("vden").cast("double")) *
+              lit(1000000.0) + lit(0.5)).cast("long")).as("z_micro"))
+      .withColumn("reject", abs(col("z_micro")) > lit(1960000L))
+  }
+
+  /** Benjamini–Hochberg step-up over an (event_type, p_micro) board —
+    * see the qa_fdr_bh entry. Ascending p-rank with the event_type
+    * tiebreak (deterministic both engines), the exact cross-multiplied
+    * compare p·k ≤ α·rank, discoveries = every rank up to the largest
+    * passing one (the step-UP, not the naive per-row compare — BH
+    * admits earlier ranks that fail their own threshold). NULL
+    * p-values (degenerate gates) are excluded from the board before
+    * ranking. */
+  private[graft] def fdrBhBody(ps: DataFrame): DataFrame = {
+    val wOrd = Window.orderBy(col("p_micro"), col("event_type"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ps.where(col("p_micro").isNotNull)
+      .withColumn("rnk", row_number().over(wOrd).cast("long"))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("passes", col("p_micro") * col("k") <= lit(50000L) * col("rnk"))
+      .withColumn("max_pass",
+        max(when(col("passes"), col("rnk"))).over(wAll))
+      .withColumn("discovered",
+        coalesce(col("rnk") <= col("max_pass"), lit(false)))
+      .select(col("event_type"), col("p_micro"), col("rnk"), col("k"),
+        col("passes"), col("discovered"))
+  }
+
   /** Top-k prefix RBO between two orderings of a (doc_id, n_chars,
     * dw) frame — see the eval_rbo entry. Each top-k comes from a
     * distributed TakeOrdered (orderBy + limit — a per-partition heap,
@@ -1507,6 +1630,41 @@ object StatsQueries {
       .agg(max(col("nt")).as("n"), count(lit(1)).as("n_bins"),
         sum(col("term")).as("ece_micro"))
   }
+
+  /** The Pettitt changepoint CTE chain (through `p`, which carries
+    * event_type / n_days / k_stat / cp_x / p_micro) shared by the
+    * events_pettitt and qa_fdr_bh oracles. */
+  private def oPettittCtes: String =
+    s"""WITH d AS (SELECT event_type,
+       |CAST(date_diff('day', DATE '1970-01-01',
+       |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+       |CAST(COUNT(*) AS BIGINT) AS c FROM $oEvents GROUP BY 1, 2),
+       |r AS (SELECT event_type, x,
+       |2 * (CAST(RANK() OVER (PARTITION BY event_type ORDER BY c)
+       |AS BIGINT) - 1) +
+       |CAST(COUNT(*) OVER (PARTITION BY event_type, c) AS BIGINT) + 1
+       |  AS r2,
+       |CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |FROM d),
+       |u AS (SELECT event_type, x, n,
+       |CAST(SUM(r2) OVER (PARTITION BY event_type ORDER BY x
+       |ROWS UNBOUNDED PRECEDING) AS BIGINT) -
+       |CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+       |AS BIGINT) * (n + 1) AS uu,
+       |CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+       |AS BIGINT) AS rn FROM r),
+       |f AS (SELECT event_type, x, n, abs(uu) AS absu FROM u
+       |WHERE rn <= n - 1),
+       |m AS (SELECT event_type, x, n, absu,
+       |MAX(absu) OVER (PARTITION BY event_type) AS mx FROM f),
+       |g AS (SELECT event_type, MAX(n) AS n_days, MAX(absu) AS k_stat,
+       |MIN(x) AS cp_x FROM m WHERE absu = mx GROUP BY 1),
+       |p AS (SELECT event_type, n_days, k_stat, cp_x,
+       |LEAST(CAST(FLOOR(2000000.0 * exp(-6.0 *
+       |CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE) /
+       |CAST(CAST(n_days AS HUGEINT) * n_days * n_days +
+       |CAST(n_days AS HUGEINT) * n_days AS DOUBLE)) + 0.5) AS BIGINT),
+       |1000000) AS p_micro FROM g)""".stripMargin
 
   def oracles: Map[String, String] = Map(
 
@@ -2089,38 +2247,70 @@ object StatsQueries {
     // same daily panel, same exact midrank prefix-sum U_t, same
     // first-argmax changepoint, same fixed-order exp at the p edge
     "events_pettitt" ->
+      s"""$oPettittCtes
+         |SELECT event_type, n_days, k_stat, cp_x, p_micro,
+         |p_micro < 50000 AS reject FROM p""".stripMargin,
+
+    // same daily panel, same doubled-median drop rule, same lag-window
+    // runs count, same exact-integer z numerator and terminal sqrt
+    "events_runs_test" ->
       s"""WITH d AS (SELECT event_type,
          |CAST(date_diff('day', DATE '1970-01-01',
          |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
          |CAST(COUNT(*) AS BIGINT) AS c FROM $oEvents GROUP BY 1, 2),
-         |r AS (SELECT event_type, x,
-         |2 * (CAST(RANK() OVER (PARTITION BY event_type ORDER BY c)
-         |AS BIGINT) - 1) +
-         |CAST(COUNT(*) OVER (PARTITION BY event_type, c) AS BIGINT) + 1
-         |  AS r2,
-         |CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-         |FROM d),
-         |u AS (SELECT event_type, x, n,
-         |CAST(SUM(r2) OVER (PARTITION BY event_type ORDER BY x
-         |ROWS UNBOUNDED PRECEDING) AS BIGINT) -
-         |CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
-         |AS BIGINT) * (n + 1) AS uu,
-         |CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
-         |AS BIGINT) AS rn FROM r),
-         |f AS (SELECT event_type, x, n, abs(uu) AS absu FROM u
-         |WHERE rn <= n - 1),
-         |m AS (SELECT event_type, x, n, absu,
-         |MAX(absu) OVER (PARTITION BY event_type) AS mx FROM f),
-         |g AS (SELECT event_type, MAX(n) AS n_days, MAX(absu) AS k_stat,
-         |MIN(x) AS cp_x FROM m WHERE absu = mx GROUP BY 1),
-         |p AS (SELECT event_type, n_days, k_stat, cp_x,
-         |LEAST(CAST(FLOOR(2000000.0 * exp(-6.0 *
-         |CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE) /
-         |CAST(CAST(n_days AS HUGEINT) * n_days * n_days +
-         |CAST(n_days AS HUGEINT) * n_days AS DOUBLE)) + 0.5) AS BIGINT),
-         |1000000) AS p_micro FROM g)
-         |SELECT event_type, n_days, k_stat, cp_x, p_micro,
-         |p_micro < 50000 AS reject FROM p""".stripMargin,
+         |h AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM d GROUP BY 1, 2),
+         |hw AS (SELECT event_type, c,
+         |CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+         |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |FROM h),
+         |md AS (SELECT event_type,
+         |MIN(CASE WHEN cum >= (n + 1) // 2 THEN c END) +
+         |MIN(CASE WHEN cum >= n // 2 + 1 THEN c END) AS med2x
+         |FROM hw GROUP BY 1),
+         |s AS (SELECT d.event_type, x, c * 2 > med2x AS ab
+         |FROM d JOIN md ON md.event_type = d.event_type
+         |WHERE c * 2 <> med2x),
+         |q AS (SELECT event_type, ab,
+         |LAG(ab) OVER (PARTITION BY event_type ORDER BY x) AS pb FROM s),
+         |a AS (SELECT event_type,
+         |CAST(SUM(CASE WHEN ab THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |CAST(SUM(CASE WHEN ab THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         |CAST(1 + SUM(CASE WHEN pb IS NOT NULL AND ab <> pb THEN 1
+         |ELSE 0 END) AS BIGINT) AS runs FROM q GROUP BY 1),
+         |f AS (SELECT event_type, n1, n2, runs, n1 + n2 AS n,
+         |(runs - 1) * (n1 + n2) - 2 * n1 * n2 AS devn,
+         |2 * CAST(n1 AS HUGEINT) * n2 *
+         |(2 * CAST(n1 AS HUGEINT) * n2 - (n1 + n2)) AS vnum,
+         |CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1) AS vden
+         |FROM a),
+         |z AS (SELECT event_type, n1, n2, runs,
+         |CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 OR vnum <= 0 THEN NULL
+         |ELSE CAST(FLOOR(CAST(devn AS DOUBLE) / n /
+         |sqrt(CAST(vnum AS DOUBLE) / CAST(vden AS DOUBLE))
+         |* 1000000.0 + 0.5) AS BIGINT) END AS z_micro FROM f)
+         |SELECT event_type, n1, n2, runs, z_micro,
+         |abs(z_micro) > 1960000 AS reject FROM z""".stripMargin,
+
+    // the SAME Pettitt CTE chain, then the exact cross-multiplied
+    // step-up (p·k ≤ α·rank — no division) and the max-passing-rank
+    // discovery window
+    "qa_fdr_bh" ->
+      s"""$oPettittCtes,
+         |b AS (SELECT event_type, p_micro FROM p
+         |WHERE p_micro IS NOT NULL),
+         |w AS (SELECT event_type, p_micro,
+         |CAST(ROW_NUMBER() OVER (ORDER BY p_micro, event_type)
+         |AS BIGINT) AS rnk,
+         |CAST(COUNT(*) OVER () AS BIGINT) AS k FROM b),
+         |w2 AS (SELECT event_type, p_micro, rnk, k,
+         |p_micro * k <= 50000 * rnk AS passes FROM w),
+         |w3 AS (SELECT event_type, p_micro, rnk, k, passes,
+         |MAX(CASE WHEN passes THEN rnk END) OVER () AS max_pass FROM w2)
+         |SELECT event_type, p_micro, rnk, k, passes,
+         |COALESCE(rnk <= max_pass, false) AS discovered
+         |FROM w3""".stripMargin,
 
     // same TakeOrdered top-k semantics (identical total tiebreak),
     // same max-rank overlap curve, same shared literal weight table

@@ -149,4 +149,15 @@ object TrendMonitor {
   def pettittReadout(counts: DataFrame): DataFrame =
     graft.queries.StatsQueries.pettittBody(
       counts.select(col("event_type"), col("x"), col("c")))
+
+  /** The Wald–Wolfowitz runs test over the same streamed daily-count
+    * snapshot — the factored events_runs_test algebra
+    * ([[graft.queries.StatsQueries.runsBody]]): the THIRTEENTH
+    * readout, and the one that checks what the other twelve assume —
+    * that the residual sequence is RANDOM (alternation = retry
+    * storms/batch cadence, clustering = regime stickiness, both
+    * invisible to level/trend/changepoint gates). */
+  def runsReadout(counts: DataFrame): DataFrame =
+    graft.queries.StatsQueries.runsBody(
+      counts.select(col("event_type"), col("x"), col("c")))
 }

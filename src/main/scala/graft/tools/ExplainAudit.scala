@@ -1457,6 +1457,31 @@ object ExplainAudit {
       count(p, "Scan parquet") == 1 && !p.contains("Join")
     }
 
+    audit("events_runs_test",
+      "the runs gate reads the PINNED O(types×days) daily panel " +
+        "(corpus scan paid once at pin time — zero parquet scans " +
+        "here); the median histogram, lag window, and reduction are " +
+        "control-plane, the per-type med2x joins back as a broadcast") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastHashJoin")
+    }
+
+    audit("qa_fdr_bh",
+      "the BH board composes the Pettitt body (one corpus scan into " +
+        "the daily panel) and then ranks k control-plane rows — the " +
+        "step-up windows touch only the per-type p board, no join " +
+        "anywhere") { p =>
+      count(p, "Scan parquet") == 1 && !p.contains("Join")
+    }
+
+    audit("eval_fleiss_kappa",
+      "Fleiss' κ is ONE corpus scan through the ensemble's zero-" +
+        "shuffle per-row battery into one map-side-combined " +
+        "aggregate — no join, no window") { p =>
+      count(p, "Scan parquet") == 1 && !p.contains("Join") &&
+        count(p, "Window") == 0
+    }
+
     audit("text_heaps_law",
       "Heaps' fit runs on the PINNED O(docs) per-doc frame (the two " +
         "token-stream aggregations — per-doc counts + first-occurrence " +

@@ -250,7 +250,9 @@ object ScaleRatios {
       // two-cohort log-rank
       "qa_mood_by_type", "qa_kruskal", "events_logrank",
       // r14 fourth batch: the Pettitt changepoint and the Heaps fit
-      "events_pettitt", "text_heaps_law")
+      "events_pettitt", "text_heaps_law",
+      // r14 fifth batch: runs test, BH board, Fleiss' kappa
+      "events_runs_test", "qa_fdr_bh", "eval_fleiss_kappa")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

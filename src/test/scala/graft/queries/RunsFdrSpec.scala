@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Worked examples for the runs test and the BH step-up — the
+  * does-it-fire half the null-data oracle run can't show. */
+class RunsFdrSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+  import spark.implicits._
+
+  test("runs: a perfectly alternating series fires positive, a " +
+    "clustered one fires negative, both at the hand-computed z") {
+    // 20 days alternating 1, 9: med2x = 10, every day flips side ⇒
+    // R = 20, n1 = n2 = 10. E[R] = 11, Var = 36000/7600 ⇒
+    // z = 9/√4.7368… = 4.135215…
+    val alt = (0L until 20L).map(d => ("s", d, if (d % 2 == 0) 1L else 9L))
+      .toDF("event_type", "x", "c")
+    val a = StatsQueries.runsBody(alt).collect().head
+    assert(a.getAs[Long]("runs") == 20L)
+    assert(a.getAs[Long]("z_micro") == 4135215L, a.toString)
+    assert(a.getAs[Boolean]("reject"))
+    // same values clustered (ten 1s then ten 9s): R = 2 ⇒ z = −4.135…
+    val clu = (0L until 20L).map(d => ("s", d, if (d < 10) 1L else 9L))
+      .toDF("event_type", "x", "c")
+    val b = StatsQueries.runsBody(clu).collect().head
+    assert(b.getAs[Long]("runs") == 2L)
+    assert(b.getAs[Long]("z_micro") == -4135215L, b.toString)
+    assert(b.getAs[Boolean]("reject"))
+  }
+
+  test("runs: days at the exact median drop (the textbook convention)") {
+    // odd count with a literal median day: c = 1..5, median 3 drops
+    val d = Seq(("s", 0L, 1L), ("s", 1L, 2L), ("s", 2L, 3L),
+      ("s", 3L, 4L), ("s", 4L, 5L)).toDF("event_type", "x", "c")
+    val r = StatsQueries.runsBody(d).collect().head
+    assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") == 4L)
+  }
+
+  test("bh step-up: equality passes, and a failing earlier rank is " +
+    "still discovered when a later rank passes") {
+    // board 1: ranks 1-3 pass (rank 2 and 3 on exact equality:
+    // p·k = 50000·rank), ranks 4-5 fail ⇒ discoveries = {1, 2, 3}
+    val b1 = Seq(("a", 1000L), ("b", 20000L), ("c", 30000L),
+      ("d", 400000L), ("e", 900000L)).toDF("event_type", "p_micro")
+    val r1 = StatsQueries.fdrBhBody(b1).collect()
+      .map(r => r.getString(0) -> r.getAs[Boolean]("discovered")).toMap
+    assert(r1 == Map("a" -> true, "b" -> true, "c" -> true,
+      "d" -> false, "e" -> false))
+    // board 2: rank 1 fails its OWN threshold (40000·2 > 50000) but
+    // rank 2 passes (41000·2 ≤ 100000) ⇒ the step-UP discovers BOTH
+    val b2 = Seq(("a", 40000L), ("b", 41000L)).toDF("event_type", "p_micro")
+    val r2 = StatsQueries.fdrBhBody(b2).collect()
+      .map(r => (r.getString(0), r.getAs[Boolean]("passes"),
+        r.getAs[Boolean]("discovered"))).toSet
+    assert(r2 == Set(("a", false, true), ("b", true, true)))
+    // NULL p-values leave the board before ranking
+    val b3 = Seq(("a", Some(10000L)), ("x", None))
+      .toDF("event_type", "p_micro")
+    assert(StatsQueries.fdrBhBody(b3).collect().length == 1)
+  }
+}

@@ -208,5 +208,19 @@ class TrendMonitorSpec extends AnyFunSuite {
     ptStreamed.foreach { case (k, got) =>
       assert(got == ptBatch(k), s"$k: stream $got vs batch ${ptBatch(k)}")
     }
+
+    // and the THIRTEENTH — the randomness check the other twelve
+    // assume: the runs test ≡ the oracle-checked batch
+    // events_runs_test (exact doubled-median split, lag-window runs)
+    val rtBatch = graft.queries.StatsQueries
+      .queries("events_runs_test")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val rtStreamed = TrendMonitor
+      .runsReadout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(rtStreamed.keySet == rtBatch.keySet && rtBatch.nonEmpty)
+    rtStreamed.foreach { case (k, got) =>
+      assert(got == rtBatch(k), s"$k: stream $got vs batch ${rtBatch(k)}")
+    }
   }
 }
