@@ -698,6 +698,64 @@ object EventsQueries {
         .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("n_death")))),
 
+    // Goh–Barabási burstiness (Goh & Barabási 2008) of inter-event
+    // gaps per event type: B = (σ−μ)/(σ+μ) over each user's
+    // consecutive-event gaps — THE standard single-number answer to
+    // "is this traffic Poisson (B≈0), regular/bot-like (B→−1), or
+    // bursty/human (B→1)?", complementing events_bot_detect (per-user
+    // cadence gate) with a per-TYPE traffic characterization. Gaps
+    // are exact µs (lag over each user's event sequence, event_id
+    // tiebreak); Σg and Σg² accumulate exact DECIMAL(38) (g² ≈ 10²²
+    // for day-scale gaps — past 2⁶³, the a_moments armor); mean gap
+    // reports as exact integer division and only the terminal
+    // σ = √(Σg²/n − μ²) and the B ratio are fixed-order doubles.
+    // Scale: ONE corpus shuffle into (type, user) partitions (the
+    // bot_detect shape — thousands of users per type, no giant
+    // single partition), then an O(types) reduction.
+    "events_burstiness_gb" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val dec = DecimalType(38, 0)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+        .withColumn("ptsu", lag(unix_micros(col("ts")), 1).over(w))
+        .where(col("ptsu").isNotNull)
+        .withColumn("g", unix_micros(col("ts")) - col("ptsu"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("g").cast(dec)).cast(dec).as("sg"),
+          sum((col("g").cast(dec) * col("g")).cast(dec)).cast(dec).as("sgg"))
+        .withColumn("mu", col("sg").cast("double") / col("n_gaps"))
+        .withColumn("sig", sqrt(col("sgg").cast("double") / col("n_gaps") -
+          col("mu") * col("mu")))
+        .select(col("event_type"), col("n_gaps"),
+          expr("CAST(sg div n_gaps AS BIGINT)").as("mean_gap_us"),
+          when(col("n_gaps") < 2L || col("sig") + col("mu") <= lit(0.0),
+            lit(null).cast("long"))
+            .otherwise(floor((col("sig") - col("mu")) /
+              (col("sig") + col("mu")) * lit(1000000.0) + lit(0.5))
+              .cast("long")).as("b_micro"))
+        .withColumn("bursty", coalesce(col("b_micro") > 0L, lit(false)))
+    }),
+
+    // Kaplan–Meier with the Greenwood confidence band (Greenwood
+    // 1926) over the SAME lifetime histogram — the CI the bare KM
+    // curve lacks: Var(ln S(t)) ≈ Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ)), so a churn
+    // dashboard can say "retention at day 30 is 42% ± 3" instead of
+    // drawing an unqualified line. Each Greenwood term rounds to
+    // nearest PICO as the pure integer (2d·10¹² + n(n−d)) div
+    // 2n(n−d) in DECIMAL(38) (the hazard_na posture — zero doubles
+    // in the accumulation), the band half-width takes the ONE
+    // terminal 1.96·sqrt, and both bounds report in the same µ-nat
+    // units as ln S. Undefined at n = d (the last death) exactly
+    // where ln S is. Same ONE corpus shuffle; all windows on the
+    // O(days) control-plane table. See greenwoodBody.
+    "events_km_greenwood" -> ((s, dir) =>
+      greenwoodBody(Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n_death")))),
+
     // Two-cohort log-rank test (Mantel 1966) over the SAME user
     // lifetimes as events_survival_km, cohorted by the user_id parity
     // hash (the canonical A/B assignment): at each lifetime t compare
@@ -832,6 +890,37 @@ object EventsQueries {
         .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("t"), col("n_death"), col("n_risk"), col("h_micro"),
         col("var_pico"))
+  }
+
+  /** KM + Greenwood band over a (t, n_death) death histogram — see
+    * the events_km_greenwood entry. Builds on [[survivalKmBody]]'s
+    * output (same ln S µ-nats) and adds the pico-exact Greenwood
+    * variance prefix sum and the ±1.96σ band; factored so the
+    * streaming [[graft.streaming.SurvivalMonitor.greenwoodReadout]]
+    * reads the IDENTICAL band off its state-store extent snapshot. */
+  private[graft] def greenwoodBody(hist: DataFrame): DataFrame = {
+    val wOrd = Window.orderBy(col("t"))
+    survivalKmBody(hist)
+      .withColumn("gwterm",
+        when(col("n_risk") === col("n_death"), lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(n_death AS DECIMAL(38,0)) * 2000000000000 + " +
+              "CAST(n_risk AS DECIMAL(38,0)) * (n_risk - n_death)) div " +
+              "(CAST(n_risk AS DECIMAL(38,0)) * (n_risk - n_death) * 2) " +
+              "AS BIGINT)")))
+      .withColumn("gw_var_pico",
+        when(col("n_risk") === col("n_death"), lit(null).cast("long"))
+          .otherwise(sum(col("gwterm")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("half_micro",
+        when(col("gw_var_pico").isNull, lit(null).cast("long"))
+          .otherwise(floor(lit(1.96) *
+            sqrt(col("gw_var_pico").cast("double")) + lit(0.5))
+            .cast("long")))
+      .select(col("t"), col("n_death"), col("n_risk"), col("ln_s_micro"),
+        col("gw_var_pico"),
+        (col("ln_s_micro") - col("half_micro")).as("lo_micro"),
+        (col("ln_s_micro") + col("half_micro")).as("hi_micro"))
   }
 
   /** Two-cohort log-rank reduction over a (t, d1, d2) death histogram
@@ -2087,6 +2176,69 @@ object EventsQueries {
          |CASE WHEN n_risk = n_death THEN NULL ELSE
          |CAST(SUM(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
          |END AS ln_s_micro FROM tm""".stripMargin,
+
+    // same per-(type, user) gap extraction with the same event_id
+    // tiebreak, same exact HUGEINT moment sums, same fixed-order
+    // terminal σ and B ratio
+    "events_burstiness_gb" ->
+      s"""WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS tsu,
+         |LAG(epoch_us(ts)) OVER (PARTITION BY event_type, user_id
+         |ORDER BY ts, event_id) AS ptsu FROM $oEvents),
+         |g AS (SELECT event_type, tsu - ptsu AS g FROM e
+         |WHERE ptsu IS NOT NULL),
+         |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         |SUM(CAST(g AS HUGEINT)) AS sg,
+         |SUM(CAST(g AS HUGEINT) * g) AS sgg FROM g GROUP BY 1),
+         |m AS (SELECT event_type, n_gaps, sg, sgg,
+         |CAST(sg AS DOUBLE) / n_gaps AS mu,
+         |sqrt(CAST(sgg AS DOUBLE) / n_gaps -
+         |(CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps))
+         |  AS sig FROM a),
+         |r AS (SELECT event_type, n_gaps,
+         |CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+         |CASE WHEN n_gaps < 2 OR sig + mu <= 0.0 THEN NULL
+         |ELSE CAST(FLOOR((sig - mu) / (sig + mu) * 1000000.0 + 0.5)
+         |AS BIGINT) END AS b_micro FROM m)
+         |SELECT event_type, n_gaps, mean_gap_us, b_micro,
+         |COALESCE(b_micro > 0, false) AS bursty
+         |FROM r""".stripMargin,
+
+    // same KM chain, plus the pico-exact Greenwood terms ((2d·10¹² +
+    // n(n−d)) // 2n(n−d) — HUGEINT // floors, operands non-negative)
+    // and the one terminal 1.96·sqrt half-width
+    "events_km_greenwood" ->
+      s"""WITH life AS (SELECT user_id,
+         |CAST(datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS INTEGER) AS t
+         |FROM $oEvents GROUP BY 1),
+         |h AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_death FROM life GROUP BY 1),
+         |r AS (SELECT t, n_death, CAST(SUM(n_death) OVER
+         |(ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+         |FROM h),
+         |tm AS (SELECT t, n_death, n_risk,
+         |CASE WHEN n_risk = n_death THEN NULL ELSE
+         |CAST(FLOOR(ln(CAST(n_risk - n_death AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |- CAST(FLOOR(ln(CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |END AS term,
+         |CASE WHEN n_risk = n_death THEN NULL ELSE
+         |CAST((CAST(n_death AS HUGEINT) * 2000000000000 +
+         |CAST(n_risk AS HUGEINT) * (n_risk - n_death)) //
+         |(CAST(n_risk AS HUGEINT) * (n_risk - n_death) * 2) AS BIGINT)
+         |END AS gwterm FROM r),
+         |c AS (SELECT t, n_death, n_risk,
+         |CASE WHEN n_risk = n_death THEN NULL ELSE
+         |CAST(SUM(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |END AS ln_s_micro,
+         |CASE WHEN n_risk = n_death THEN NULL ELSE
+         |CAST(SUM(gwterm) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |END AS gw_var_pico FROM tm),
+         |b AS (SELECT t, n_death, n_risk, ln_s_micro, gw_var_pico,
+         |CASE WHEN gw_var_pico IS NULL THEN NULL ELSE
+         |CAST(FLOOR(1.96 * sqrt(CAST(gw_var_pico AS DOUBLE)) + 0.5) AS BIGINT)
+         |END AS half_micro FROM c)
+         |SELECT t, n_death, n_risk, ln_s_micro, gw_var_pico,
+         |ln_s_micro - half_micro AS lo_micro,
+         |ln_s_micro + half_micro AS hi_micro
+         |FROM b""".stripMargin,
 
     // same lifetime histogram and suffix-sum at-risk counts, same
     // all-integer nearest-micro terms ((2d·10⁶+n) // 2n — HUGEINT //

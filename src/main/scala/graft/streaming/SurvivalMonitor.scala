@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
   * events_survival_km / events_hazard_na catalog pair: the per-user
   * (first day, last day) extent is a PLAIN mergeable (min, max) fold,
   * so ONE [[Fold.applyPartial]] state table carries every user's
-  * lifetime and all THREE survival readouts are the FACTORED batch
+  * lifetime and all FOUR survival readouts are the FACTORED batch
   * algebras off its snapshot — Kaplan–Meier ln S(t)
   * ([[graft.queries.EventsQueries.survivalKmBody]]), the
   * Nelson–Aalen cumulative hazard + Aalen variance
-  * ([[graft.queries.EventsQueries.hazardNaBody]]), and the
+  * ([[graft.queries.EventsQueries.hazardNaBody]]), the KM Greenwood
+  * confidence band
+  * ([[graft.queries.EventsQueries.greenwoodBody]]), and the
   * two-cohort log-rank test
   * ([[graft.queries.EventsQueries.logrankFromHist]]) — a live churn
   * dashboard and the oracle-checked offline curves can never disagree
   * on the same events (SurvivalMonitorSpec pins row-parity for all
-  * three).
+  * four; SurvivalRestartSpec pins them across a kill-and-resume).
   *
   * Day extraction happens BEFORE the fold (events carry their day as
   * a long), so lifetime = maxDay − minDay equals the batch
@@ -78,6 +80,14 @@ object SurvivalMonitor {
     * derives from the snapshot KEY at readout time — the state table
     * is unchanged (the same two longs per user serve all three
     * readouts). */
+  /** FOURTH readout off the SAME extent state: KM with the Greenwood
+    * confidence band (the events_km_greenwood algebra via
+    * [[graft.queries.EventsQueries.greenwoodBody]]) — the live
+    * retention curve WITH its ±1.96σ band, so the dashboard says
+    * "42% ± 3" instead of drawing an unqualified line. */
+  def greenwoodReadout(snapshot: DataFrame): DataFrame =
+    graft.queries.EventsQueries.greenwoodBody(hist(snapshot))
+
   def logrankReadout(snapshot: DataFrame): DataFrame =
     graft.queries.EventsQueries.logrankFromHist(
       snapshot.groupBy(col("user_id"))

@@ -1441,6 +1441,21 @@ object ExplainAudit {
       count(p, "Scan parquet") == 1 && !p.contains("Join")
     }
 
+    audit("events_km_greenwood",
+      "the Greenwood band is the survival_km shape: ONE corpus " +
+        "shuffle (user lifetime agg), the death histogram and all " +
+        "prefix/suffix windows on the O(days) control-plane table, " +
+        "no join anywhere") { p =>
+      count(p, "Scan parquet") == 1 && !p.contains("Join")
+    }
+
+    audit("events_burstiness_gb",
+      "burstiness is the bot_detect shape: ONE corpus shuffle into " +
+        "(type, user) partitions for the gap lag, one " +
+        "map-side-combined O(types) moment reduction, no join") { p =>
+      count(p, "Scan parquet") == 1 && !p.contains("Join")
+    }
+
     audit("events_logrank",
       "log-rank is the survival_km shape too: ONE corpus shuffle " +
         "(user extent agg), the (t, d1, d2) cohort histogram and its " +

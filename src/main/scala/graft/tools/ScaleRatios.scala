@@ -252,7 +252,9 @@ object ScaleRatios {
       // r14 fourth batch: the Pettitt changepoint and the Heaps fit
       "events_pettitt", "text_heaps_law",
       // r14 fifth batch: runs test, BH board, Fleiss' kappa
-      "events_runs_test", "qa_fdr_bh", "eval_fleiss_kappa")
+      "events_runs_test", "qa_fdr_bh", "eval_fleiss_kappa",
+      // r14 sixth batch: Greenwood band, Goh-Barabási burstiness
+      "events_km_greenwood", "events_burstiness_gb")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -48,6 +48,7 @@ object StreamBench {
       args.drop(1).headOption.getOrElse("8"))
     statefulLeg(spark, base, repeat, total, "stateful fold")
     driftLeg(spark, base, repeat, total)
+    survivalLeg(spark, repeat)
     spark.stop()
 
     // (c) + no per-put row counting (trades the numRowsTotal metric for
@@ -72,10 +73,10 @@ object StreamBench {
     * first-batch planning) then a timed sustained pass over the same
     * volume — the number a long-lived job actually runs at. Returns
     * (sustainedSec, coldSec); caller stops the query. */
-  private def twoPasses(
-      src: MemoryStream[Ev],
+  private def twoPasses[T](
+      src: MemoryStream[T],
       q: org.apache.spark.sql.streaming.StreamingQuery,
-      base: Array[Ev], repeat: Int): (Double, Double) = {
+      base: Array[T], repeat: Int): (Double, Double) = {
     val t0 = System.nanoTime()
     (1 to repeat).foreach(_ => src.addData(base.toIndexedSeq))
     q.processAllAvailable()
@@ -134,6 +135,33 @@ object StreamBench {
     val (d, dWarm) = twoPasses(src, q, base, repeat)
     q.stop()
     println(f"[streambench] drift monitor (PSI/KS/MWU histogram): " +
+      f"${total / d}%.0f events/s sustained ($d%.2f s; cold ${total / dWarm}%.0f)")
+  }
+
+  /** Survival-monitor capacity: every event folds into its user's
+    * (minDay, maxDay) extent — the smallest state any retention
+    * readout can carry (O(users) × two longs); all four curve
+    * readouts (KM / Nelson–Aalen / Greenwood band / log-rank) are
+    * control-plane off the snapshot, never per-event. */
+  private def survivalLeg(
+      spark: org.apache.spark.sql.SparkSession, repeat: Int): Unit = {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.SurvivalMonitor
+    val rows = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long"))
+      .as[(Long, Long)].collect()
+    val total = rows.length.toLong * repeat
+    val src = MemoryStream[(Long, Long)]
+    val q = SurvivalMonitor.extents(src.toDS())
+      .map { case (u, (d0, d1)) => (u, d0, d1) }
+      .writeStream.outputMode("update").format("noop").start()
+    val (d, dWarm) = twoPasses(src, q, rows, repeat)
+    q.stop()
+    println(f"[streambench] survival monitor (per-user extents): " +
       f"${total / d}%.0f events/s sustained ($d%.2f s; cold ${total / dWarm}%.0f)")
   }
 

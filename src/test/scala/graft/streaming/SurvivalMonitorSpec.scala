@@ -55,6 +55,12 @@ class SurvivalMonitorSpec extends AnyFunSuite {
     assert(byT(SurvivalMonitor.naReadout(snapDf)) == naBatch,
       "Nelson–Aalen hazard diverged from the batch query")
 
+    // FOURTH readout off the SAME extent state: the Greenwood band
+    // equals the oracle-checked batch events_km_greenwood
+    val gwBatch = byT(graft.SparkEntry.queries("events_km_greenwood")(spark, dir))
+    assert(byT(SurvivalMonitor.greenwoodReadout(snapDf)) == gwBatch,
+      "Greenwood band diverged from the batch query")
+
     // THIRD readout off the SAME extent state: the two-cohort
     // log-rank z equals the oracle-checked batch events_logrank
     val lrBatch = graft.SparkEntry.queries("events_logrank")(spark, dir)

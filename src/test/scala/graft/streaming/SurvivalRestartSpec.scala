@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SurvivalMonitor restart safety (the DriftRestartSpec posture for
+  * the survival lane): the per-user (minDay, maxDay) extent state must
+  * survive a full query kill-and-resume — run 1 folds a prefix of the
+  * events and STOPS; a brand-new query over the same checkpoint folds
+  * the remainder; the recovered extents must equal the batch fold over
+  * ALL rows, user for user, and all four curve readouts (KM /
+  * Nelson–Aalen / Greenwood band / log-rank) off the recovered state
+  * must equal the same readouts off the batch extents. The probative
+  * case is a user whose first and last events land on OPPOSITE sides
+  * of the cut (asserted to exist): on a state loss their lifetime
+  * collapses to the run-2 span alone and every curve shifts. */
+class SurvivalRestartSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("extent state and all four survival readouts survive a restart") {
+    val dir = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("survival_restart").toFile.getAbsolutePath
+    val srcDir = s"$root/rows"
+    val outDir = s"$root/extents"
+    val ckpt = s"$root/ckpt"
+
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .as[(Long, Long)].collect()
+    val cut = rows.length * 3 / 5
+    // probative: some user's extent must span both runs with a WIDER
+    // lifetime than either run alone gives them
+    val spanning = rows.take(cut).map(_._1).toSet
+      .intersect(rows.drop(cut).map(_._1).toSet)
+    assert(spanning.nonEmpty, "fixture must have users spanning the cut")
+
+    def feed(part: Seq[(Long, Long)]): Unit =
+      part.toDS().toDF("user_id", "day")
+        .write.mode("append").parquet(srcDir)
+
+    def runOnce(): Unit = {
+      implicit val s = spark
+      val src = spark.readStream
+        .schema("user_id BIGINT, day BIGINT").parquet(srcDir)
+        .as[(Long, Long)]
+      val q = SurvivalMonitor.extents(src)
+        .map { case (u, (d0, d1)) => (u, d0, d1) }
+        .toDF("user_id", "d0", "d1")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    feed(rows.take(cut).toIndexedSeq)
+    runOnce() // run 1: prefix folded, query killed
+    feed(rows.drop(cut).toIndexedSeq)
+    runOnce() // run 2: brand-new query, SAME checkpoint, remainder only
+
+    // extents only widen, so min(d0)/max(d1) is the latest update
+    val streamed = spark.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(min(col("d0")).as("d0"), max(col("d1")).as("d1"))
+      .localCheckpoint(eager = true)
+
+    implicit val s = spark
+    val batch = SurvivalMonitor.extents(rows.toIndexedSeq.toDS())
+      .map { case (u, (d0, d1)) => (u, d0, d1) }
+      .toDF("user_id", "d0", "d1")
+      .localCheckpoint(eager = true)
+
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val sm = keyed(streamed)
+    val bm = keyed(batch)
+    assert(sm == bm, "recovered extent state diverged from the batch fold")
+
+    def byT(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Int]("t") -> r.toSeq).toMap
+    assert(byT(SurvivalMonitor.kmReadout(streamed)) ==
+      byT(SurvivalMonitor.kmReadout(batch)), "KM curve flipped")
+    assert(byT(SurvivalMonitor.naReadout(streamed)) ==
+      byT(SurvivalMonitor.naReadout(batch)), "NA hazard flipped")
+    assert(byT(SurvivalMonitor.greenwoodReadout(streamed)) ==
+      byT(SurvivalMonitor.greenwoodReadout(batch)), "Greenwood band flipped")
+    assert(SurvivalMonitor.logrankReadout(streamed)
+      .collect().map(_.toSeq).toSeq ==
+      SurvivalMonitor.logrankReadout(batch)
+        .collect().map(_.toSeq).toSeq, "log-rank flipped")
+  }
+}
