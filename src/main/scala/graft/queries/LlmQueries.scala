@@ -161,7 +161,7 @@ object LlmQueries {
     * entry, factored so eval_fleiss_kappa scores the SAME three
     * raters on the SAME derived pages (one battery, two readouts:
     * the majority vote and whether the vote is meaningful). */
-  private def ensembleVotes(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def ensembleVotes(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .withColumn("page", concat(col("text"),
         when(col("doc_id") % 3 === 0, lit(" and that have with of the"))
@@ -1121,7 +1121,7 @@ object LlmQueries {
 
   /** The ensemble vote CTE chain (through `v`) shared by the
     * curate_quality_ensemble and eval_fleiss_kappa oracles. */
-  private val oEnsembleCtes =
+  private[queries] val oEnsembleCtes =
     """WITH gp AS (SELECT doc_id,
       |text || CASE WHEN doc_id % 3 = 0 THEN ' and that have with of the' ELSE '' END AS page
       |FROM documents),

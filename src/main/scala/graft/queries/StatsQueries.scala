@@ -286,6 +286,45 @@ object StatsQueries {
           col("c")))
         .select(col("event_type"), col("p_micro")))),
 
+    // Cochran–Armitage trend-in-proportions (Cochran 1954, Armitage
+    // 1955) per event type over the daily panel — the MIX-SHIFT
+    // trend gate: Mann–Kendall asks "is this type's COUNT trending?",
+    // which confounds overall traffic growth; CA asks "is this
+    // type's SHARE of daily traffic trending?" — the question a
+    // corpus-mix dashboard actually needs (qa_profile_drift reads the
+    // level shift, CA reads the drift). Outcome = "event is of type
+    // g", ordered scores = epoch days: T = Σxᵢcᵢ, E[T] = R·Σmᵢxᵢ/N,
+    // Var = R(N−R)(N·Σmx² − (Σmx)²)/N³ — every sum and the deviation
+    // T·N − R·Σmx are exact DECIMAL(38) (N·Σmx² ≈ N²·4·10⁸ crosses
+    // 38 digits at ~10¹⁴ events), ONE terminal fixed-order sqrt.
+    // Scale: one corpus shuffle into the O(types×days) panel; the
+    // day-total leg and the 1-row score moments broadcast. See
+    // caBody.
+    "qa_cochran_armitage" -> ((s, dir) =>
+      caBody(Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long")
+            .as("x"),
+          col("c")))),
+
+    // Cochran's Q (Cochran 1950) over the quality ensemble's three
+    // raters — the significance companion eval_fleiss_kappa needs:
+    // κ measures AGREEMENT beyond chance, Q tests whether the
+    // raters' keep RATES even match (κ can read "poor" because the
+    // raters are noisy OR because one rater is systematically
+    // stricter — Q separates the two; Q rejecting says the three
+    // filters aren't exchangeable and the 2-of-3 vote has a
+    // built-in bias). Exact end-to-end: Q = (k−1)(k·ΣCⱼ² − T²) /
+    // (k·ΣRᵢ − ΣRᵢ²) cross-multiplies to one truncating micro
+    // division in DECIMAL(38); χ²₂ 5% gate at 5.991. A unanimous
+    // corpus (denominator 0) reads NULL. Same one-scan per-row
+    // battery as the ensemble. See cochranQBody.
+    "qa_cochran_q" -> ((s, dir) =>
+      cochranQBody(LlmQueries.ensembleVotes(s, dir))),
+
     // Rank-biased overlap (Webber et al. TOIS'10) between two document
     // orderings — here "longest" (n_chars) vs "lexically richest"
     // (distinct words), the agreement diagnostic a curator runs before
@@ -1297,6 +1336,75 @@ object StatsQueries {
               sqrt(col("vnum").cast("double") / col("vden").cast("double")) *
               lit(1000000.0) + lit(0.5)).cast("long")).as("z_micro"))
       .withColumn("reject", abs(col("z_micro")) > lit(1960000L))
+  }
+
+  /** Cochran–Armitage share-trend reduction over an (event_type, x,
+    * c) daily panel — see the qa_cochran_armitage entry. The day
+    * totals and the 1-row (N, Σmx, Σmx²) score moments derive from
+    * the panel and broadcast; per-type T and R are exact, the
+    * deviation T·N − R·Σmx is exact DECIMAL(38), the z one terminal
+    * sqrt. Degenerate types (R = 0 or R = N) and single-day panels
+    * read NULL. Factored so the streaming
+    * [[graft.streaming.TrendMonitor.caReadout]] reads the IDENTICAL
+    * gate off its state-store daily snapshot. */
+  private[graft] def caBody(daily: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val d = daily.localCheckpoint(eager = true) // totals + per-type legs
+    val tot = d.groupBy(col("x")).agg(sum(col("c")).as("m"))
+      .agg(sum(col("m")).as("n"), count(lit(1)).as("n_days"),
+        sum(col("m").cast(dec) * col("x")).cast(dec).as("sx"),
+        sum((col("m").cast(dec) * col("x") * col("x")).cast(dec))
+          .cast(dec).as("sxx"))
+    d.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("r"),
+        sum(col("c").cast(dec) * col("x")).cast(dec).as("t"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev",
+        (col("t") * col("n") - col("r").cast(dec) * col("sx")).cast(dec))
+      .withColumn("vx",
+        (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast(dec))
+      .withColumn("rn", (col("r").cast(dec) * (col("n") - col("r"))).cast(dec))
+      .select(col("event_type"), col("n_days"), col("r"), col("n"),
+        when(col("r") === 0L || col("r") === col("n") ||
+          col("n_days") <= 1L || col("vx") <= 0 || col("rn") <= 0,
+          lit(null).cast("long"))
+          .otherwise(floor(col("dev").cast("double") /
+            sqrt(col("rn").cast("double") * col("vx").cast("double") /
+              col("n").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("z_micro"))
+      .withColumn("reject", abs(col("z_micro")) > lit(1960000L))
+  }
+
+  /** Cochran's Q over the ensemble's (gopher_keep, c4_keep,
+    * fineweb_keep) rater frame — see the qa_cochran_q entry. k = 3
+    * raters, exact integer C_j / ΣR / ΣR² totals, one truncating
+    * micro division (numerator is non-negative by Cauchy–Schwarz:
+    * k·ΣC² ≥ (ΣC)²), χ²₂ gate. */
+  private[graft] def cochranQBody(raters: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    raters
+      .select(col("gopher_keep").cast("long").as("v1"),
+        col("c4_keep").cast("long").as("v2"),
+        col("fineweb_keep").cast("long").as("v3"))
+      .withColumn("ri", col("v1") + col("v2") + col("v3"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("v1")).as("c1"), sum(col("v2")).as("c2"),
+        sum(col("v3")).as("c3"),
+        sum(col("ri")).as("tt"), sum(col("ri") * col("ri")).as("rr"))
+      .withColumn("qnum",
+        (lit(2) * (lit(3) * (col("c1").cast(dec) * col("c1") +
+          col("c2").cast(dec) * col("c2") +
+          col("c3").cast(dec) * col("c3")) -
+          col("tt").cast(dec) * col("tt"))).cast(dec))
+      .withColumn("qden",
+        (lit(3) * col("tt").cast(dec) - col("rr")).cast(dec))
+      .select(col("n_docs"), col("c1"), col("c2"), col("c3"),
+        when(col("qden") <= 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((qnum * 1000000) div " +
+            "greatest(qden, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"))
+          .as("q_micro"))
+      .withColumn("reject", col("q_micro") > lit(5991000L))
   }
 
   /** Benjamini–Hochberg step-up over an (event_type, p_micro) board —
@@ -2311,6 +2419,59 @@ object StatsQueries {
          |SELECT event_type, p_micro, rnk, k, passes,
          |COALESCE(rnk <= max_pass, false) AS discovered
          |FROM w3""".stripMargin,
+
+    // same daily panel and day-total leg, same exact HUGEINT score
+    // moments and deviation, same terminal sqrt order
+    "qa_cochran_armitage" ->
+      s"""WITH d AS (SELECT event_type,
+         |CAST(date_diff('day', DATE '1970-01-01',
+         |CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         |CAST(COUNT(*) AS BIGINT) AS c FROM $oEvents GROUP BY 1, 2),
+         |dm AS (SELECT x, CAST(SUM(c) AS BIGINT) AS m FROM d GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+         |CAST(COUNT(*) AS BIGINT) AS n_days,
+         |SUM(CAST(m AS HUGEINT) * x) AS sx,
+         |SUM(CAST(m AS HUGEINT) * x * x) AS sxx FROM dm),
+         |g AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS r,
+         |SUM(CAST(c AS HUGEINT) * x) AS t FROM d GROUP BY 1),
+         |j AS (SELECT event_type, n_days, r, n,
+         |t * n - CAST(r AS HUGEINT) * sx AS dev,
+         |CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+         |CAST(r AS HUGEINT) * (n - r) AS rn FROM g CROSS JOIN tt),
+         |z AS (SELECT event_type, n_days, r, n,
+         |CASE WHEN r = 0 OR r = n OR n_days <= 1 OR vx <= 0 OR rn <= 0
+         |THEN NULL
+         |ELSE CAST(FLOOR(CAST(dev AS DOUBLE) /
+         |sqrt(CAST(rn AS DOUBLE) * CAST(vx AS DOUBLE) / CAST(n AS DOUBLE))
+         |* 1000000.0 + 0.5) AS BIGINT) END AS z_micro FROM j)
+         |SELECT event_type, n_days, r, n, z_micro,
+         |abs(z_micro) > 1960000 AS reject FROM z""".stripMargin,
+
+    // the SAME ensemble vote CTE chain as eval_fleiss_kappa, then the
+    // exact cross-multiplied Q with the same truncating micro division
+    "qa_cochran_q" ->
+      s"""${LlmQueries.oEnsembleCtes},
+         |k2 AS (SELECT CAST(gopher_keep AS BIGINT) AS v1,
+         |CAST(c4_keep AS BIGINT) AS v2,
+         |CAST(fineweb_keep AS BIGINT) AS v3 FROM v),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |CAST(SUM(v1) AS BIGINT) AS c1, CAST(SUM(v2) AS BIGINT) AS c2,
+         |CAST(SUM(v3) AS BIGINT) AS c3,
+         |CAST(SUM(v1 + v2 + v3) AS BIGINT) AS tt,
+         |CAST(SUM((v1 + v2 + v3) * (v1 + v2 + v3)) AS BIGINT) AS rr
+         |FROM k2),
+         |q AS (SELECT n_docs, c1, c2, c3,
+         |2 * (3 * (CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2 +
+         |CAST(c3 AS HUGEINT) * c3) - CAST(tt AS HUGEINT) * tt) AS qnum,
+         |3 * CAST(tt AS HUGEINT) - rr AS qden FROM a)
+         |SELECT n_docs, c1, c2, c3,
+         |CASE WHEN qden <= 0 THEN NULL
+         |ELSE CAST((qnum * 1000000) // GREATEST(qden, 1) AS BIGINT)
+         |END AS q_micro,
+         |CASE WHEN qden <= 0 THEN NULL
+         |ELSE CAST((qnum * 1000000) // GREATEST(qden, 1) AS BIGINT) > 5991000
+         |END AS reject
+         |FROM q""".stripMargin,
 
     // same TakeOrdered top-k semantics (identical total tiebreak),
     // same max-rank overlap curve, same shared literal weight table

@@ -160,4 +160,15 @@ object TrendMonitor {
   def runsReadout(counts: DataFrame): DataFrame =
     graft.queries.StatsQueries.runsBody(
       counts.select(col("event_type"), col("x"), col("c")))
+
+  /** The Cochran–Armitage share-trend gate over the same streamed
+    * daily-count snapshot — the factored qa_cochran_armitage algebra
+    * ([[graft.queries.StatsQueries.caBody]]): the FOURTEENTH readout,
+    * and the MIX gate — OLS/MK read each type's count trend (which
+    * confounds overall traffic growth); CA reads whether the type's
+    * SHARE of daily traffic is drifting, off the same one
+    * (type, day) state table (day totals derive from it). */
+  def caReadout(counts: DataFrame): DataFrame =
+    graft.queries.StatsQueries.caBody(
+      counts.select(col("event_type"), col("x"), col("c")))
 }

@@ -1489,6 +1489,23 @@ object ExplainAudit {
       count(p, "Scan parquet") == 1 && !p.contains("Join")
     }
 
+    audit("qa_cochran_armitage",
+      "the share-trend gate reads the PINNED O(types×days) daily " +
+        "panel (corpus scan paid once at pin time — zero parquet " +
+        "scans here); the day-total leg reduces to a 1-row score-" +
+        "moment broadcast cross, the per-type leg is control-plane") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("SortMergeJoin") &&
+        p.contains("BroadcastNestedLoopJoin")
+    }
+
+    audit("qa_cochran_q",
+      "Cochran's Q is the fleiss shape: ONE corpus scan through the " +
+        "ensemble's zero-shuffle per-row battery into one map-side-" +
+        "combined aggregate — no join, no window") { p =>
+      count(p, "Scan parquet") == 1 && !p.contains("Join") &&
+        count(p, "Window") == 0
+    }
+
     audit("eval_fleiss_kappa",
       "Fleiss' κ is ONE corpus scan through the ensemble's zero-" +
         "shuffle per-row battery into one map-side-combined " +

@@ -254,7 +254,9 @@ object ScaleRatios {
       // r14 fifth batch: runs test, BH board, Fleiss' kappa
       "events_runs_test", "qa_fdr_bh", "eval_fleiss_kappa",
       // r14 sixth batch: Greenwood band, Goh-Barabási burstiness
-      "events_km_greenwood", "events_burstiness_gb")
+      "events_km_greenwood", "events_burstiness_gb",
+      // r14 seventh batch: share-trend CA, Cochran's Q
+      "qa_cochran_armitage", "qa_cochran_q")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()

@@ -222,5 +222,19 @@ class TrendMonitorSpec extends AnyFunSuite {
     rtStreamed.foreach { case (k, got) =>
       assert(got == rtBatch(k), s"$k: stream $got vs batch ${rtBatch(k)}")
     }
+
+    // and the FOURTEENTH — the mix gate: the Cochran–Armitage
+    // share-trend ≡ the oracle-checked batch qa_cochran_armitage
+    // (day totals derived from the same state table)
+    val caBatch = graft.queries.StatsQueries
+      .queries("qa_cochran_armitage")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val caStreamed = TrendMonitor
+      .caReadout(counts.toDF("event_type", "x", "c"))
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(caStreamed.keySet == caBatch.keySet && caBatch.nonEmpty)
+    caStreamed.foreach { case (k, got) =>
+      assert(got == caBatch(k), s"$k: stream $got vs batch ${caBatch(k)}")
+    }
   }
 }
