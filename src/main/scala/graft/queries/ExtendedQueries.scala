@@ -609,6 +609,95 @@ object ExtendedQueries {
     // control-plane, recall in exact integer micro-units — the number
     // that justifies the rerank parameter (ADC alone under-ranks;
     // rerank R recovers it).
+    // Matryoshka truncation recall (Kusupati et al. 2022): recall@3
+    // of cosine top-k computed on the FIRST d dims (d = 8/16/32)
+    // against the full-64-dim truth — THE go/no-go number for the
+    // standard embedding-cost lever (truncate the vector, shrink the
+    // index 8×, pay how much recall?). Same composition discipline as
+    // sim_ivf_recall: the truth is the shipped sim_cosine_topk
+    // verbatim, each truncated ranking is the same broadcast-query
+    // scan on a slice() projection, the metric is O(Q·k)
+    // control-plane with recall in exact integer micro-units. At
+    // corpus scale each leg is one linear scan (the fixed 10-query
+    // set broadcasts; no all-pairs anywhere).
+    "sim_trunc_recall" -> ((s, dir) => {
+      import LlmQueries.{queries => llmQ}
+      val truth = llmQ("sim_cosine_topk")(s, dir)
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"))
+      def truncTopk(d: Int) = {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            slice(col("embedding").cast("array<double>"), 1, d).as("e"))
+          .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        val q = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("e").as("qe"),
+            col("nrm").as("qn"))
+        emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            dot(col("qe"), col("e")) / (col("qn") * col("nrm")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("cos").desc, col("vec_id").asc)))
+          .where(col("rank") <= 3)
+          .select(col("qid"), col("vec_id"))
+      }
+      def hitsOf(d: Int, as: String) =
+        truth.join(truncTopk(d), Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as(as))
+      truth.select(col("qid")).distinct()
+        .join(hitsOf(8, "h8"), Seq("qid"), "left")
+        .join(hitsOf(16, "h16"), Seq("qid"), "left")
+        .join(hitsOf(32, "h32"), Seq("qid"), "left")
+        .withColumn("recall8_micro",
+          expr("(coalesce(h8, 0) * 1000000) div 3"))
+        .withColumn("recall16_micro",
+          expr("(coalesce(h16, 0) * 1000000) div 3"))
+        .withColumn("recall32_micro",
+          expr("(coalesce(h32, 0) * 1000000) div 3"))
+        .drop("h8", "h16", "h32")
+    }),
+
+    // Binary-quantization recall: pack each embedding's 64 sign bits
+    // into two 32-bit lanes, rank by exact integer Hamming distance
+    // (bit_count of per-lane XOR — the 64×-compressed index every
+    // binary-quantized vector store scans first), recall@3 vs the
+    // full-precision truth. The whole ranking is integer-exact and
+    // codegen-friendly (two longs per vector, two XOR+popcount per
+    // pair); the 10-query set broadcasts, one linear corpus scan —
+    // the plan shape IS the production BQ scan.
+    "sim_binary_quant_recall" -> ((s, dir) => {
+      import LlmQueries.{queries => llmQ}
+      val truth = llmQ("sim_cosine_topk")(s, dir)
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"))
+      def lane(off: Int) = expr(
+        s"aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> " +
+          s"acc + IF(element_at(e, $off + i) >= 0.0D, " +
+          s"shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT)))")
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("l0", lane(0)).withColumn("l1", lane(32))
+        .drop("e")
+      val q = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("l0").as("q0"),
+          col("l1").as("q1"))
+      val bq = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("ham", expr("bit_count(l0 ^ q0) + bit_count(l1 ^ q1)"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("ham").asc, col("vec_id").asc)))
+        .where(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"))
+      truth.select(col("qid")).distinct()
+        .join(truth.join(bq, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("h")), Seq("qid"), "left")
+        .withColumn("recall_bq_micro",
+          expr("(coalesce(h, 0) * 1000000) div 3"))
+        .drop("h")
+    }),
+
     "sim_pq_recall" -> ((s, dir) => {
       val truth = LlmQueries.queries("sim_cosine_topk")(s, dir)
         .where(col("rank") <= 3)
@@ -1917,6 +2006,67 @@ object ExtendedQueries {
     "sim_ivf_topk" -> oIvfTopk,
 
     // composes the four shipped definitions verbatim as CTE subqueries
+    // same composed truth, same per-d slice projections with the
+    // identical dot/norm/tiebreak discipline, same exact micro recall
+    "sim_trunc_recall" -> {
+      def leg(d: Int) =
+        s"""e$d AS (SELECT vec_id,
+           |list_slice(embedding::DOUBLE[], 1, $d) AS e,
+           |sqrt(list_dot_product(list_slice(embedding::DOUBLE[], 1, $d),
+           |list_slice(embedding::DOUBLE[], 1, $d))) AS nrm FROM embeddings),
+           |q$d AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM e$d
+           |WHERE vec_id < 10),
+           |s$d AS (SELECT qid, vec_id,
+           |list_dot_product(qe, e) / (qn * nrm) AS cos
+           |FROM e$d JOIN q$d ON vec_id <> qid),
+           |k$d AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+           |row_number() OVER (PARTITION BY qid ORDER BY cos DESC,
+           |vec_id ASC) AS r FROM s$d) WHERE r <= 3),
+           |h$d AS (SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS h$d
+           |FROM t JOIN k$d USING (qid, vec_id) GROUP BY 1)"""
+      s"""WITH brute AS (${LlmQueries.oracles("sim_cosine_topk")}),
+         |t AS (SELECT qid, vec_id FROM brute WHERE rank <= 3),
+         |${leg(8)},
+         |${leg(16)},
+         |${leg(32)},
+         |qs AS (SELECT DISTINCT qid FROM t)
+         |SELECT qs.qid,
+         |(COALESCE(h8, 0) * 1000000) // 3 AS recall8_micro,
+         |(COALESCE(h16, 0) * 1000000) // 3 AS recall16_micro,
+         |(COALESCE(h32, 0) * 1000000) // 3 AS recall32_micro
+         |FROM qs LEFT JOIN h8 USING (qid) LEFT JOIN h16 USING (qid)
+         |LEFT JOIN h32 USING (qid)""".stripMargin
+    },
+
+    // same composed truth, same sign-bit lane packing (float vs
+    // double sign test is identical), same integer XOR+popcount
+    // Hamming ranking with the same tiebreak
+    "sim_binary_quant_recall" ->
+      s"""WITH brute AS (${LlmQueries.oracles("sim_cosine_topk")}),
+         |t AS (SELECT qid, vec_id FROM brute WHERE rank <= 3),
+         |lv AS (SELECT vec_id,
+         |CAST(list_sum(list_transform(range(1, 33), i ->
+         |CASE WHEN embedding[i] >= 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+         |ELSE 0 END)) AS BIGINT) AS l0,
+         |CAST(list_sum(list_transform(range(1, 33), i ->
+         |CASE WHEN embedding[32 + i] >= 0 THEN
+         |(CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT) AS l1
+         |FROM embeddings),
+         |q AS (SELECT vec_id AS qid, l0 AS q0, l1 AS q1 FROM lv
+         |WHERE vec_id < 10),
+         |sc AS (SELECT lv.vec_id, qid,
+         |bit_count(xor(l0, q0)) + bit_count(xor(l1, q1)) AS ham
+         |FROM lv JOIN q ON lv.vec_id <> qid),
+         |k AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |row_number() OVER (PARTITION BY qid ORDER BY ham ASC,
+         |vec_id ASC) AS r FROM sc) WHERE r <= 3),
+         |h AS (SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS h
+         |FROM t JOIN k USING (qid, vec_id) GROUP BY 1),
+         |qs AS (SELECT DISTINCT qid FROM t)
+         |SELECT qs.qid,
+         |(COALESCE(h, 0) * 1000000) // 3 AS recall_bq_micro
+         |FROM qs LEFT JOIN h USING (qid)""".stripMargin,
+
     "sim_ivf_recall" ->
       s"""WITH brute AS (${LlmQueries.oracles("sim_cosine_topk")}),
          |ivf AS ($oIvfTopk),

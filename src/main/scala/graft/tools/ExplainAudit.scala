@@ -1489,6 +1489,26 @@ object ExplainAudit {
       count(p, "Scan parquet") == 1 && !p.contains("Join")
     }
 
+    audit("sim_trunc_recall",
+      "truncation recall composes four broadcast-query linear scans " +
+        "(full-dim truth + three slice() projections); the metric " +
+        "tail is O(Q·k) LEFT SEMI joins (may plan SMJ statically — " +
+        "AQE demotes at runtime, the sim_ivf_recall adjudication); " +
+        "never a cartesian") { p =>
+      "Join type: LeftSemi".r.findAllIn(p).length >= 3 &&
+        p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")
+    }
+
+    audit("sim_binary_quant_recall",
+      "BQ recall is the production scan shape: two sign-bit lanes " +
+        "per vector, broadcast 10-query XOR+popcount ranking, one " +
+        "O(Q·k) LEFT SEMI metric join (SMJ statically, AQE-demoted); " +
+        "never a cartesian") { p =>
+      p.contains("LeftSemi") && p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")
+    }
+
     audit("qa_cochran_armitage",
       "the share-trend gate reads the PINNED O(types×days) daily " +
         "panel (corpus scan paid once at pin time — zero parquet " +

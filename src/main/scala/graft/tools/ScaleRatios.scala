@@ -256,7 +256,9 @@ object ScaleRatios {
       // r14 sixth batch: Greenwood band, Goh-Barabási burstiness
       "events_km_greenwood", "events_burstiness_gb",
       // r14 seventh batch: share-trend CA, Cochran's Q
-      "qa_cochran_armitage", "qa_cochran_q")
+      "qa_cochran_armitage", "qa_cochran_q",
+      // r14 eighth batch: truncation + binary-quantization recall
+      "sim_trunc_recall", "sim_binary_quant_recall")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
