@@ -49,6 +49,8 @@ object AnalyticsQueries {
   /** Autocorrelation horizon (lags 1..L) — 10 covers the weekly cycle
     * with margin on either side. */
   private def ACF_LAGS = GraftConf.int("graft.acf.lags", 10)
+  private def ANON_K = GraftConf.int("graft.anon.k", 5)
+  private def ANON_L = GraftConf.int("graft.anon.l", 3)
 
   /** Minimum co-occurrence count for a reported item pair (the
     * a_assoc_rules support-floor rationale: cosine's variance explodes
@@ -324,7 +326,69 @@ object AnalyticsQueries {
     // violations are real, not vacuous. See fdBody.
     "qa_fd_violations" -> ((s, dir) =>
       fdBody(Tables.lineitem(s, dir)
-        .select(col("l_partkey").as("a"), col("l_suppkey").as("b")))))
+        .select(col("l_partkey").as("a"), col("l_suppkey").as("b")))),
+
+    // k-anonymity release gate (Sweeney 2002): under the
+    // quasi-identifier (market segment, nation) — the columns a
+    // re-identification attacker joins on — how small is the
+    // smallest equivalence class, how many rows live in classes
+    // below k, and how many are population-UNIQUE (class size 1, the
+    // rows a single outside join re-identifies)? THE gate a curated
+    // dataset must pass before leaving the warehouse; every number
+    // is an exact integer off ONE map-side-combined groupBy (the
+    // equivalence classes), with risk shares as exact micro
+    // divisions. k = 5 (graft.anon.k) — the textbook floor.
+    "qa_k_anonymity" -> ((s, dir) => {
+      val k = ANON_K
+      Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("sz")).as("n_rows"),
+          min(col("sz")).as("k_min"),
+          sum(when(col("sz") < k, col("sz")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(when(col("sz") === 1L, 1L).otherwise(0L))
+            .as("n_unique_classes"))
+        .withColumn("risk_pct_micro",
+          expr("(rows_at_risk * 1000000) div n_rows"))
+        .withColumn("anonymous", col("k_min") >= k)
+    }),
+
+    // l-diversity companion (Machanavajjhala et al. 2007):
+    // k-anonymity alone fails the HOMOGENEITY attack — a class of 50
+    // rows that all share one sensitive value re-identifies the
+    // attribute without re-identifying the row. Per equivalence
+    // class, the count of DISTINCT sensitive values (account-balance
+    // hundred-dollar band); the release gate is min ℓ ≥ L (= 3,
+    // graft.anon.l). Two map-side-combined aggregations (class ×
+    // sensitive, then class), exact integers and micro shares
+    // throughout.
+    "qa_l_diversity" -> ((s, dir) => {
+      val l = ANON_L
+      Tables.customer(s, dir)
+        // hundred-dollar band via double floor — NOT an integer div:
+        // balances go negative, and Spark div truncates toward zero
+        // while DuckDB // floors (the r13 a_moments trap class)
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          expr("CAST(floor(c_acctbal / 100.0) AS BIGINT)").as("sv"))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"), col("sv"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("ldiv"), sum(col("c")).as("sz"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("sz")).as("n_rows"),
+          min(col("ldiv")).as("l_min"),
+          sum(when(col("ldiv") < l, 1L).otherwise(0L))
+            .as("groups_below_l"),
+          sum(when(col("ldiv") < l, col("sz")).otherwise(0L))
+            .as("rows_below_l"))
+        .withColumn("risk_pct_micro",
+          expr("(rows_below_l * 1000000) div n_rows"))
+        .withColumn("diverse", col("l_min") >= l)
+    }))
 
   /** Brown double-exponential smoothing over a (event_type, x = epoch
     * day, c = daily count) table — one algebra, two ingestion modes
@@ -1452,5 +1516,41 @@ object AnalyticsQueries {
         |CAST(SUM(cnt) AS BIGINT) - MAX(CASE WHEN rn = 1 THEN cnt END)
         |  AS viol_rows,
         |COUNT(*) = 1 AS fd_holds
-        |FROM r GROUP BY 1""".stripMargin)
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // same equivalence classes, same exact integer counts and micro
+    // risk share
+    "qa_k_anonymity" ->
+      s"""WITH g AS (SELECT c_mktsegment, c_nationkey,
+         |CAST(COUNT(*) AS BIGINT) AS sz FROM customer GROUP BY 1, 2),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |CAST(SUM(sz) AS BIGINT) AS n_rows, MIN(sz) AS k_min,
+         |CAST(SUM(CASE WHEN sz < $ANON_K THEN sz ELSE 0 END) AS BIGINT)
+         |  AS rows_at_risk,
+         |CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_unique_classes FROM g)
+         |SELECT n_groups, n_rows, k_min, rows_at_risk, n_unique_classes,
+         |(rows_at_risk * 1000000) // n_rows AS risk_pct_micro,
+         |k_min >= $ANON_K AS anonymous FROM a""".stripMargin,
+
+    // same double-floor sensitive band (negative balances — integer
+    // div/floor divergence documented in the Spark body), same two
+    // aggregations, same micro shares
+    "qa_l_diversity" ->
+      s"""WITH s AS (SELECT c_mktsegment, c_nationkey,
+         |CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS sv FROM customer),
+         |g AS (SELECT c_mktsegment, c_nationkey, sv,
+         |CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2, 3),
+         |d AS (SELECT c_mktsegment, c_nationkey,
+         |CAST(COUNT(*) AS BIGINT) AS ldiv, CAST(SUM(c) AS BIGINT) AS sz
+         |FROM g GROUP BY 1, 2),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |CAST(SUM(sz) AS BIGINT) AS n_rows, MIN(ldiv) AS l_min,
+         |CAST(SUM(CASE WHEN ldiv < $ANON_L THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS groups_below_l,
+         |CAST(SUM(CASE WHEN ldiv < $ANON_L THEN sz ELSE 0 END) AS BIGINT)
+         |  AS rows_below_l FROM d)
+         |SELECT n_groups, n_rows, l_min, groups_below_l, rows_below_l,
+         |(rows_below_l * 1000000) // n_rows AS risk_pct_micro,
+         |l_min >= $ANON_L AS diverse FROM a""".stripMargin)
 }

@@ -1489,6 +1489,22 @@ object ExplainAudit {
       count(p, "Scan parquet") == 1 && !p.contains("Join")
     }
 
+    audit("qa_k_anonymity",
+      "the release gate is ONE map-side-combined groupBy into the " +
+        "equivalence classes + a control-plane reduction — one scan, " +
+        "no join, no window") { p =>
+      count(p, "Scan parquet") == 1 && !p.contains("Join") &&
+        count(p, "Window") == 0
+    }
+
+    audit("qa_l_diversity",
+      "l-diversity is two map-side-combined aggregations (class × " +
+        "sensitive band, then class) + a control-plane reduction — " +
+        "one scan, no join, no window") { p =>
+      count(p, "Scan parquet") == 1 && !p.contains("Join") &&
+        count(p, "Window") == 0
+    }
+
     audit("sim_trunc_recall",
       "truncation recall composes four broadcast-query linear scans " +
         "(full-dim truth + three slice() projections); the metric " +

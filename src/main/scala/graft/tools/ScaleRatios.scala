@@ -258,7 +258,9 @@ object ScaleRatios {
       // r14 seventh batch: share-trend CA, Cochran's Q
       "qa_cochran_armitage", "qa_cochran_q",
       // r14 eighth batch: truncation + binary-quantization recall
-      "sim_trunc_recall", "sim_binary_quant_recall")
+      "sim_trunc_recall", "sim_binary_quant_recall",
+      // r14 ninth batch: privacy release gates
+      "qa_k_anonymity", "qa_l_diversity")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
