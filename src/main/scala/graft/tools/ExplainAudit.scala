@@ -1516,6 +1516,15 @@ object ExplainAudit {
         !p.contains("CartesianProduct")
     }
 
+    audit("sim_sq8_recall",
+      "SQ8 recall: the 64-row per-dim range table packs into a " +
+        "broadcast array pair, codes + integer dot ranking ride one " +
+        "linear scan with the broadcast query set; O(Q·k) LEFT SEMI " +
+        "metric (SMJ statically, AQE-demoted); never a cartesian") { p =>
+      p.contains("LeftSemi") && p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct")
+    }
+
     audit("sim_binary_quant_recall",
       "BQ recall is the production scan shape: two sign-bit lanes " +
         "per vector, broadcast 10-query XOR+popcount ranking, one " +

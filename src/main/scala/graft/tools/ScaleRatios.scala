@@ -260,7 +260,9 @@ object ScaleRatios {
       // r14 eighth batch: truncation + binary-quantization recall
       "sim_trunc_recall", "sim_binary_quant_recall",
       // r14 ninth batch: privacy release gates
-      "qa_k_anonymity", "qa_l_diversity")
+      "qa_k_anonymity", "qa_l_diversity",
+      // r14 tenth batch: int8 scalar-quantization recall
+      "sim_sq8_recall")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
