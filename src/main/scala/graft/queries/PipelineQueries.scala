@@ -66,6 +66,7 @@ object PipelineQueries {
   /** Zipf fit: how many head words enter the OLS regression. */
   private def ZIPF_N = GraftConf.int("graft.zipf.topn", 1000)
   private def HEAPS_B = GraftConf.long("graft.heaps.bucket", 4096L)
+  private def DUP_MAX = GraftConf.long("graft.release.dupMax", 200000L)
 
   /** Count of NULL values in column `c` (map-side-combinable). */
   private def nullCnt(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
@@ -513,6 +514,46 @@ object PipelineQueries {
         .withColumn("intercept",
           (col("sy") - col("slope") * col("sx")) / col("n_words").cast("double"))
         .select(col("n_words"), col("slope"), col("intercept"))
+    }),
+
+    // Release-readiness scorecard — the capstone composition a data
+    // release actually gates on, in ONE row: quality keep rate (the
+    // 2-of-3 ensemble), exact-duplicate rate, PII findings (the
+    // scrub pass's match count), k-anonymity and l-diversity
+    // verdicts, and the combined release_ok. Every leg reuses a
+    // shipped oracle-checked body VERBATIM (the sim_ivf_recall
+    // composition discipline) and reduces to a 1-row broadcast, so
+    // the scorecard can never disagree with the individual gates it
+    // summarizes. release_ok = anonymous ∧ diverse ∧ dup rate below
+    // graft.release.dupMax (default 20%).
+    "curate_release_scorecard" -> ((s, dir) => {
+      val ka = AnalyticsQueries.queries("qa_k_anonymity")(s, dir)
+        .select(col("anonymous"), col("risk_pct_micro").as("k_risk_micro"))
+      val ld = AnalyticsQueries.queries("qa_l_diversity")(s, dir)
+        .select(col("diverse"))
+      val qe = LlmQueries.queries("curate_quality_ensemble")(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .withColumn("quality_keep_micro",
+          expr("(n_keep * 1000000) div n_docs"))
+        .drop("n_keep")
+      val dup = Tables.documents(s, dir)
+        .agg(count(lit(1)).as("nd"),
+          count_distinct(md5(col("text"))).as("uniq"))
+        .withColumn("dup_rate_micro",
+          expr("((nd - uniq) * 1000000) div nd"))
+        .select(col("dup_rate_micro"))
+      val pii = LlmQueries.queries("curate_scrub_pii")(s, dir)
+        .agg(sum(col("n_emails").cast("long") + col("n_urls"))
+          .as("pii_found"))
+      qe.crossJoin(broadcast(ka)).crossJoin(broadcast(ld))
+        .crossJoin(broadcast(dup)).crossJoin(broadcast(pii))
+        .withColumn("release_ok",
+          col("anonymous") && col("diverse") &&
+            col("dup_rate_micro") < lit(DUP_MAX))
+        .select(col("n_docs"), col("quality_keep_micro"),
+          col("dup_rate_micro"), col("pii_found"), col("k_risk_micro"),
+          col("anonymous"), col("diverse"), col("release_ok"))
     }),
 
     // Heaps'-law vocabulary-growth fit (Heaps 1978): OLS of ln V(n)
@@ -984,6 +1025,30 @@ object PipelineQueries {
          |(sy - ((CAST(n_words AS DOUBLE) * sxy - sx * sy) / (CAST(n_words AS DOUBLE) * sxx - sx * sx)) * sx)
          | / CAST(n_words AS DOUBLE) AS intercept
          |FROM s""".stripMargin,
+
+    // the same four composed oracle bodies verbatim, the same 1-row
+    // reductions, the same exact micro divisions and release rule
+    "curate_release_scorecard" ->
+      s"""WITH ka0 AS (${AnalyticsQueries.oracles("qa_k_anonymity")}),
+         |ka AS (SELECT anonymous, risk_pct_micro AS k_risk_micro FROM ka0),
+         |ld0 AS (${AnalyticsQueries.oracles("qa_l_diversity")}),
+         |ld AS (SELECT diverse FROM ld0),
+         |qe0 AS (${LlmQueries.oracles("curate_quality_ensemble")}),
+         |qe AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         | * 1000000) // CAST(COUNT(*) AS BIGINT) AS quality_keep_micro
+         |FROM qe0),
+         |dup AS (SELECT ((CAST(COUNT(*) AS BIGINT) -
+         |CAST(COUNT(DISTINCT md5(text)) AS BIGINT)) * 1000000) //
+         |CAST(COUNT(*) AS BIGINT) AS dup_rate_micro FROM documents),
+         |pii0 AS (${LlmQueries.oracles("curate_scrub_pii")}),
+         |pii AS (SELECT CAST(SUM(CAST(n_emails AS BIGINT) + n_urls)
+         |AS BIGINT) AS pii_found FROM pii0)
+         |SELECT n_docs, quality_keep_micro, dup_rate_micro, pii_found,
+         |k_risk_micro, anonymous, diverse,
+         |anonymous AND diverse AND dup_rate_micro < $DUP_MAX AS release_ok
+         |FROM qe CROSS JOIN ka CROSS JOIN ld CROSS JOIN dup
+         |CROSS JOIN pii""".stripMargin,
 
     // same cumulative (tokens, types) curve in one-window form (the
     // oracle need not distribute — the two-level sum must reproduce

@@ -1489,6 +1489,15 @@ object ExplainAudit {
       count(p, "Scan parquet") == 1 && !p.contains("Join")
     }
 
+    audit("curate_release_scorecard",
+      "the scorecard composes five 1-row legs (quality agg, dup " +
+        "distinct, PII agg, two privacy gates) stitched by 1-row " +
+        "broadcast crosses — never a data-sized cartesian, no " +
+        "shuffle join") { p =>
+      p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
+    }
+
     audit("qa_k_anonymity",
       "the release gate is ONE map-side-combined groupBy into the " +
         "equivalence classes + a control-plane reduction — one scan, " +
