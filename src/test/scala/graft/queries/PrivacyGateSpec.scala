@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The does-it-fire half of the privacy release gates: at sf0.001 the
+  * 150-customer corpus spreads over 93 (segment, nation) classes, so
+  * 54 rows are population-UNIQUE — the gate MUST refuse release (the
+  * sf0.01 oracle run shows the green path: k_min exactly 5). Values
+  * cross-checked against DuckDB on the raw parquet. */
+class PrivacyGateSpec extends AnyFunSuite {
+  lazy val spark = graft.streaming.TestSpark.spark
+
+  test("k-anonymity refuses the small corpus (54 population-uniques)") {
+    val r = AnalyticsQueries.queries("qa_k_anonymity")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(r.getAs[Long]("k_min") == 1L)
+    assert(r.getAs[Long]("n_unique_classes") == 54L)
+    assert(!r.getAs[Boolean]("anonymous"))
+    assert(r.getAs[Long]("rows_at_risk") > 0L)
+  }
+
+  test("l-diversity refuses it too (homogeneous classes exist)") {
+    val r = AnalyticsQueries.queries("qa_l_diversity")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(r.getAs[Long]("l_min") == 1L)
+    assert(!r.getAs[Boolean]("diverse"))
+  }
+
+  test("the release scorecard turns release_ok off when a gate fails") {
+    val r = PipelineQueries.queries("curate_release_scorecard")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(!r.getAs[Boolean]("anonymous"))
+    assert(!r.getAs[Boolean]("release_ok"),
+      "a failed privacy gate must veto the release")
+  }
+}
