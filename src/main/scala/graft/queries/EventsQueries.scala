@@ -292,6 +292,56 @@ object EventsQueries {
             .cast("long").as("p_micro"))
     }),
 
+    // Stationary distribution of the behavior Markov chain — the
+    // third leg of the Markov family: events_markov_transitions gives
+    // the step kernel, events_entropy_rate its per-step surprise, π
+    // answers "where does user behavior SETTLE?" (the long-run state
+    // mix — what share of steady-state activity is purchases vs
+    // errors — the number a capacity model consumes). Twenty power
+    // iterations with ZERO floats: π lives in integer micro-units,
+    // each update term is the pure integer (π(i)·n(i,j)) div tot(i)
+    // over the EXACT bigram counts (never the floored p_micro — no
+    // compounding), so both engines walk bit-identical trajectories
+    // and the fixed iteration count is part of the operator's
+    // definition (mixing on a 5-state dense chain converges in far
+    // fewer). ONE corpus shuffle (the user-window bigrams, pinned
+    // O(types²)); all 20 iterations are broadcast joins on the
+    // O(types) control-plane vector.
+    "events_markov_stationary" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true) // 20 iterations read it
+      val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+        .localCheckpoint(eager = true)
+      val t = trans.join(broadcast(totals), "from_type")
+        .localCheckpoint(eager = true)
+      val states = trans.select(col("from_type").as("s"))
+        .union(trans.select(col("to_type").as("s"))).distinct()
+        .localCheckpoint(eager = true)
+      val k = states.agg(count(lit(1)).as("k"))
+      var pi = states.crossJoin(broadcast(k))
+        .select(col("s"), expr("1000000 div k").as("pi"))
+      for (_ <- 1 to 20) {
+        val step = t.join(broadcast(pi), col("s") === col("from_type"))
+          .select(col("to_type").as("s"),
+            expr("(pi * n) div tot").as("term"))
+          .groupBy(col("s")).agg(sum(col("term")).as("pi"))
+        // pin per iteration: O(types) rows, and without it the plan
+        // lineage grows 20 joins deep and Catalyst's analysis time
+        // dominates the control-plane arithmetic
+        pi = states.join(step, Seq("s"), "left")
+          .select(col("s"), coalesce(col("pi"), lit(0L)).as("pi"))
+          .localCheckpoint(eager = true)
+      }
+      pi.select(col("s").as("state"), col("pi").as("pi_micro"))
+    }),
+
     // Rate anomaly detection — the ops-analytics z-score monitor: per
     // (event_type, hour), how unusual is this hour's event count
     // against the trailing 24 closed hours? The anomaly VERDICT is
@@ -1657,6 +1707,34 @@ object EventsQueries {
          |SELECT c.from_type, c.to_type, c.n,
          |CAST(FLOOR(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS p_micro
          |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin,
+
+    // same bigram kernel, same exact-count integer power iteration
+    // ((π·n) // tot — BIGINT // floors, operands non-negative so it
+    // equals Spark's div), the same 20 unrolled steps
+    "events_markov_stationary" -> {
+      val steps = (1 to 20).map { i =>
+        s"""p$i AS (SELECT st.s, COALESCE(x.pi, 0) AS pi FROM states st
+           |LEFT JOIN (SELECT tt.to_type AS s,
+           |CAST(SUM((p.pi * tt.n) // tt.tot) AS BIGINT) AS pi
+           |FROM tt JOIN p${i - 1} p ON p.s = tt.from_type GROUP BY 1) x
+           |ON x.s = st.s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT event_id, user_id, ts, event_type FROM $oEvents),
+         |b AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+         |ORDER BY ts, event_id) AS from_type, event_type AS to_type FROM e),
+         |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM b WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+         |FROM c GROUP BY 1),
+         |tt AS (SELECT c.from_type, c.to_type, c.n, tot.tot FROM c
+         |JOIN tot ON c.from_type = tot.from_type),
+         |states AS (SELECT from_type AS s FROM c
+         |UNION SELECT to_type FROM c),
+         |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+         |p0 AS (SELECT s, 1000000 // k AS pi FROM states CROSS JOIN kk),
+         |$steps
+         |SELECT s AS state, pi AS pi_micro FROM p20""".stripMargin
+    },
 
     // identical integer verdict + micro-unit z over the same window frame
     "events_rate_anomaly" ->

@@ -1456,6 +1456,15 @@ object ExplainAudit {
       count(p, "Scan parquet") == 1 && !p.contains("Join")
     }
 
+    audit("events_markov_stationary",
+      "the stationary vector is fully control-plane at readout: the " +
+        "one corpus shuffle (user-window bigrams) and all 20 integer " +
+        "power iterations are paid at pin time — the final plan " +
+        "reads the O(types) pinned vector with zero parquet scans " +
+        "and no join") { p =>
+      count(p, "Scan parquet") == 0 && !p.contains("Join")
+    }
+
     audit("events_logrank",
       "log-rank is the survival_km shape too: ONE corpus shuffle " +
         "(user extent agg), the (t, d1, d2) cohort histogram and its " +

@@ -262,7 +262,9 @@ object ScaleRatios {
       // r14 ninth batch: privacy release gates
       "qa_k_anonymity", "qa_l_diversity",
       // r14 tenth batch: int8 scalar-quantization recall
-      "sim_sq8_recall")
+      "sim_sq8_recall",
+      // r14 twelfth batch: Markov stationary distribution
+      "events_markov_stationary")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
