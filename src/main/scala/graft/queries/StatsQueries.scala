@@ -625,7 +625,50 @@ object StatsQueries {
         .where(col("c_acctbal") >= 0.0)
         .select(col("c_nationkey").as("nat"),
           floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
-            .as("v")))))
+            .as("v")))),
+
+    // 10%-trimmed mean of account balances per nation — the robust
+    // LOCATION companion to the inequality family (a_median resists
+    // outliers but throws away 98% of the data; the mean is
+    // efficient but one whale moves it; the trimmed mean is the
+    // standard compromise every robust-statistics text leads with).
+    // Entirely exact off the bounded cents histogram: the trim cuts
+    // are integer order-statistic ranks lo = n div 10 (drop lo from
+    // each tail), each value keeps max(0, min(cum, n−lo) −
+    // max(cumBefore, lo)) of its multiplicity — pure interval
+    // overlap on exact prefix sums — and the mean is ONE integer
+    // micro division of the exact kept sum. The a_median/bot_detect
+    // posture: one corpus shuffle, the cum window on the per-nation
+    // cents histogram, a control-plane reduction.
+    "a_trimmed_mean" -> ((s, dir) => {
+      val dec = DecimalType(38, 0)
+      val wCum = Window.partitionBy(col("nat")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("nat"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, dir)
+        // non-negative like a_gini/a_theil_decomp: a negative kept
+        // sum would hit the truncate-vs-floor division divergence
+        .where(col("c_acctbal") >= 0.0)
+        .select(col("c_nationkey").as("nat"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+            .as("v"))
+        .groupBy(col("nat"), col("v")).agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum(col("f")).over(wCum))
+        .withColumn("n", sum(col("f")).over(wAll))
+        .withColumn("lo", expr("n div 10"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("n") - col("lo")) -
+            greatest(col("cum") - col("f"), col("lo"))))
+        .groupBy(col("nat"))
+        .agg(max(col("n")).as("n"), sum(col("kept")).as("n_kept"),
+          sum(col("v").cast(dec) * col("kept")).cast(dec).as("ks"))
+        .select(col("nat"), col("n"), col("n_kept"),
+          when(col("n_kept") === 0L, lit(null).cast("long"))
+            .otherwise(expr("CAST((ks * 1000000) div " +
+              "greatest(n_kept, 1) AS BIGINT)"))
+            .as("trimmed_mean_micro"))
+    }))
 
   /** PSI over a (grp, v = bounded integer, g = first-half flag) frame
     * — see the qa_psi entry. ONE corpus shuffle into the pinned
@@ -1898,6 +1941,32 @@ object StatsQueries {
         |CASE WHEN sumv = 0 THEN NULL
         |ELSE CAST(((s2 - (n + 1) * sumv) * 1000000) //
         |(CAST(n AS HUGEINT) * sumv) AS BIGINT) END AS gini_micro
+        |FROM a""".stripMargin,
+
+    // same non-negative cents histogram, same integer order-statistic
+    // trim cuts and interval-overlap kept counts, same exact micro
+    // division (kept sum non-negative — // equals Spark div)
+    "a_trimmed_mean" ->
+      """WITH s AS (SELECT c_nationkey AS nat,
+        |CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS v
+        |FROM customer WHERE c_acctbal >= 0.0),
+        |h AS (SELECT nat, v, CAST(COUNT(*) AS BIGINT) AS f
+        |FROM s GROUP BY 1, 2),
+        |w AS (SELECT nat, v, f,
+        |CAST(SUM(f) OVER (PARTITION BY nat ORDER BY v
+        |ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |CAST(SUM(f) OVER (PARTITION BY nat) AS BIGINT) AS n FROM h),
+        |k AS (SELECT nat, v, f, cum, n, n // 10 AS lo FROM w),
+        |kk AS (SELECT nat, n,
+        |GREATEST(0, LEAST(cum, n - lo) - GREATEST(cum - f, lo)) AS kept,
+        |v FROM k),
+        |a AS (SELECT nat, MAX(n) AS n, CAST(SUM(kept) AS BIGINT)
+        |  AS n_kept,
+        |SUM(CAST(v AS HUGEINT) * kept) AS ks FROM kk GROUP BY 1)
+        |SELECT nat, n, n_kept,
+        |CASE WHEN n_kept = 0 THEN NULL
+        |ELSE CAST((ks * 1000000) // GREATEST(n_kept, 1) AS BIGINT)
+        |END AS trimmed_mean_micro
         |FROM a""".stripMargin,
 
     // same seeded md5 per (resample, row), same shared literal Poisson

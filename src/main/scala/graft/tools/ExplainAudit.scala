@@ -1507,6 +1507,15 @@ object ExplainAudit {
         !p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
     }
 
+    audit("a_trimmed_mean",
+      "the trimmed mean is the a_median bounded-histogram shape: ONE " +
+        "corpus shuffle into the per-nation cents histogram, the cum " +
+        "window partitioned by nation, a control-plane reduction — " +
+        "no join, no value buffering") { p =>
+      count(p, "Scan parquet") == 1 && !p.contains("Join") &&
+        count(p, "Exchange") <= 2
+    }
+
     audit("qa_k_anonymity",
       "the release gate is ONE map-side-combined groupBy into the " +
         "equivalence classes + a control-plane reduction — one scan, " +

@@ -264,7 +264,9 @@ object ScaleRatios {
       // r14 tenth batch: int8 scalar-quantization recall
       "sim_sq8_recall",
       // r14 twelfth batch: Markov stationary distribution
-      "events_markov_stationary")
+      "events_markov_stationary",
+      // r14 thirteenth batch: exact trimmed mean
+      "a_trimmed_mean")
       .filter(n => only.forall(_.contains(n)))
 
     val spark = GraftSession.getOrCreate()
