@@ -1289,7 +1289,7 @@ object CorpusQueries {
     // partition heaps, never a global single-partition sort). The
     // corpus is never pairwise-joined: cost is O(corpus tokens).
     "curate_dsir" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir, fan = true)
       val (term, _) = dsirTrain(docs)
       val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long").cast("double") + 1.0) / 4294967296.0
@@ -1385,7 +1385,7 @@ object CorpusQueries {
     // of per doc — zero joins, one map-side-combined shuffle over
     // O(languages) groups. fertility = integral-double division.
     "text_bpe_fertility" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir, fan = true)
       val rules = bpeTrain(docs, BPE_MERGES)
         .orderBy("rank").select("sym_a", "sym_b")
         .collect().map(r => (r.getString(0), r.getString(1)))

@@ -1346,7 +1346,7 @@ object ExtendedQueries {
     // bucket agg; both engines run the same unrolled chain (Spark:
     // chained column rebinds; DuckDB: 16 generated CTEs).
     "layout_hilbert" -> ((s, dir) =>
-      hilbertWalk(Tables.events(s, dir)
+      hilbertWalk(Tables.events(s, dir, fan = true)
         .withColumn("hx", col("user_id").bitwiseAND(lit(0xFFFFL)))
         .withColumn("th", (dayofmonth(col("ts")) * 24 + hour(col("ts"))).cast("long"))
         .withColumn("hy", col("th").bitwiseAND(lit(0xFFFFL))))

@@ -270,7 +270,7 @@ object LlmQueries {
     * of dedup_minhash_lsh / dedup_minhash_verified / dedup_clusters.
     * One shuffle on band keys; cohorts over LSH_CAP dropped. */
   private[graft] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = lshBands(Tables.documents(s, dir))
+    val bands = lshBands(Tables.documents(s, dir, fan = true))
       .withColumn("cohort", count(lit(1)).over(Window.partitionBy(col("bi"), col("bk"))))
       .where(col("cohort") <= LSH_CAP)
       .drop("cohort")
@@ -395,7 +395,7 @@ object LlmQueries {
       val cand = lshCandidatePairs(s, dir).localCheckpoint()
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val sh = Tables.documents(s, dir)
+      val sh = Tables.documents(s, dir, fan = true)
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), explode(shingles3).as("g"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -420,7 +420,7 @@ object LlmQueries {
     "dedup_simhash" -> ((s, dir) => {
       // one md5 per word, hoisted ahead of the aggregate (the bit-sums
       // read substrings of the projected hash, not 16 fresh hashes)
-      val words = Tables.documents(s, dir)
+      val words = Tables.documents(s, dir, fan = true)
         .select(col("doc_id"), explode(toks).as("word"))
         .select(col("doc_id"), md5(col("word")).as("h"))
       // same lane-packing as the hamming variant: count ONES per bit in
@@ -463,7 +463,7 @@ object LlmQueries {
       // ahead of the aggregate — the 64 bit-sums then read cheap
       // pre-computed nibble columns instead of each re-hashing the word
       // (64 md5s per row was the query's dominant cost).
-      val words = Tables.documents(s, dir)
+      val words = Tables.documents(s, dir, fan = true)
         .select(col("doc_id"), explode(toks).as("word"))
         .withColumn("h", md5(col("word")))
         .select(col("doc_id") +: (0 until 16).map(i =>
@@ -524,7 +524,7 @@ object LlmQueries {
     // dedup_minhash_lsh. At 100 TB, boilerplate cohorts reach 10⁶ docs;
     // ship the df-capped or LSH form.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val e = Tables.documents(s, dir)
+      val e = Tables.documents(s, dir, fan = true)
         .select(col("doc_id"), explode(shingles3).as("sh"))
       val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       e.as("a")

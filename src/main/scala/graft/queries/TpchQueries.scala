@@ -44,7 +44,7 @@ object TpchQueries {
     // discount sum as DECIMAL cents first.
     "q1_pricing_summary" -> ((s, dir) => {
       val cutoff = lit("2001-09-01").cast("timestamp")
-      Tables.lineitem(s, dir)
+      Tables.lineitem(s, dir, fan = true)
         .where(col("l_shipdate") <= cutoff)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(

@@ -14,6 +14,10 @@ import graft.{GraftSession, SparkEntry}
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate()
+    // audit the AT-SCALE plan shape: the small-input scan fan-out
+    // (Tables.fanout) is size-gated off at any real deployment, so the
+    // exchange counts asserted here are the 100 TB ones
+    spark.conf.set("graft.scan.fanout", "false")
     val dir = "/root/testdata/sf0.01"
 
     def plan(n: String): String =

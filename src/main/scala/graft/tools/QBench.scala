@@ -1,0 +1,125 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.{GraftSession, SparkEntry, Stats}
+
+/** Focused per-query micro-bench + plan dump for the optimization
+  * rounds: time a named subset of the catalog through the noop sink
+  * (the Bench methodology — median of N reps after one untimed warm-up)
+  * and optionally write each query's `.explain("formatted")` to a file,
+  * so a single heavy query can be iterated on without paying the
+  * full-catalog sweep.
+  *
+  * Usage: runMain graft.tools.QBench <dir> <reps> <name>[,<name>...]
+  *        [--plans <outDir>] [--suffix <tag>]
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val names = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val planIdx = args.indexOf("--plans")
+    val planDir = if (planIdx >= 0) Some(args(planIdx + 1)) else None
+    val sufIdx = args.indexOf("--suffix")
+    val suffix = if (sufIdx >= 0) args(sufIdx + 1) else ""
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", shufflePartitions = cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // stage-level metrics (the sandbox has no UI): wall span, task time,
+    // shuffle bytes per stage, tagged with the current query name
+    val stages = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Int, Double, Double, Long, Long)]
+    @volatile var current = ""
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for {
+            a <- si.completionTime; b <- si.submissionTime
+          } yield (a - b) / 1e3).getOrElse(-1.0)
+          val m = si.taskMetrics
+          stages.synchronized {
+            stages += ((current, si.stageId, si.numTasks, wall,
+              m.executorRunTime / 1e3,
+              m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten))
+          }
+        }
+      })
+
+    def exec(name: String): Double = {
+      spark.sparkContext.setJobDescription(name)
+      current = name
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // one untimed warm-up of the whole subset (JIT + page cache)
+    names.foreach { n =>
+      try exec(n)
+      catch { case e: Throwable =>
+        println(s"[qbench] $n FAILED: ${e.getMessage}")
+      }
+    }
+
+    planDir.foreach { pd =>
+      Files.createDirectories(Paths.get(pd))
+      names.foreach { n =>
+        val df = SparkEntry.queries(n)(spark, dir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.write(Paths.get(pd, s"$n$suffix.txt"),
+          plan.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
+    // --ab key:v1:v2 — interleaved A/B of a session conf inside one JVM
+    // (reps per variant, alternating, so JIT/thermal drift cancels)
+    val abIdx = args.indexOf("--ab")
+    val ab = if (abIdx >= 0) {
+      val Array(k, v1, v2) = args(abIdx + 1).split(":")
+      Some((k, v1, v2))
+    } else None
+
+    val out = names.map { n =>
+      stages.synchronized(stages.clear())
+      ab match {
+        case Some((k, v1, v2)) =>
+          val (as, bs) = (1 to reps).map { _ =>
+            spark.conf.set(k, v1); val a = exec(n)
+            spark.conf.set(k, v2); val b = exec(n)
+            (a, b)
+          }.unzip
+          spark.conf.unset(k)
+          println(f"[qbench] $n%-28s A($v1) min=${as.min}%.3f med=${Stats.median(as)}%.3f | B($v2) min=${bs.min}%.3f med=${Stats.median(bs)}%.3f")
+          n -> (as.min, Stats.median(as))
+        case None =>
+          val ts = (1 to reps).map(_ => exec(n))
+          val med = Stats.median(ts)
+          println(f"[qbench] $n%-28s min=${ts.min}%.3f median=$med%.3f max=${ts.max}%.3f")
+          // top stages by wall span (all reps pooled; the ranking matters)
+          val top = stages.synchronized(stages.filter(_._1 == n).toList)
+            .sortBy(-_._4).take(12)
+          println(f"[qbench]   stages=${stages.size} (pooled over $reps reps)")
+          top.foreach { case (_, sid, nt, wall, run, sr, sw) =>
+            println(f"[qbench]   stage=$sid%-5d tasks=$nt%-4d wall=$wall%7.3f s run=$run%7.3f s shufR=${sr / 1024}%8d KiB shufW=${sw / 1024}%8d KiB")
+          }
+          n -> (ts.min, med)
+      }
+    }
+    val line = out.map { case (n, (mn, md)) =>
+      "\"" + n + "\":{\"min\":" + mn + ",\"median\":" + md + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"qbench":$line,"reps":$reps,"dir":"$dir"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** Pins the scale-adaptive scan fan-out contract (Tables.fanout,
+  * optimization r14): a table smaller than cores × openCost gains one
+  * round-robin Repartition so per-row compute downstream of the scan
+  * uses every core; the rewrite must NOT cost the scan its pushdown —
+  * filters still reach PushedFilters and column pruning still narrows
+  * ReadSchema through the exchange — and must vanish above the size
+  * gate and below the dimension-table floor. */
+class TablesFanoutSpec extends AnyFunSuite {
+  lazy implicit val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeDir(): String =
+    java.nio.file.Files.createTempDirectory("tables-fanout").toString
+
+  /** ~400 KB single-file parquet table — inside the [minBytes,
+    * par × openCost) fan-out window at any test core count ≥ 2. */
+  private def writeTable(dir: String, rows: Int = 20000): Unit =
+    (1 to rows).map { i =>
+      // high-entropy pad so the parquet file stays comfortably above
+      // the 256 KB fan-out floor after compression
+      val pad = java.util.UUID.nameUUIDFromBytes(
+        BigInt(i).toByteArray).toString * 2
+      (i.toLong, s"name_$i", pad)
+    }.toDF("id", "name", "pad")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("small scan fans out to defaultParallelism partitions") {
+    val dir = writeDir(); writeTable(dir)
+    val df = Tables.documents(spark, dir, fan = true)
+    assert(df.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+  }
+
+  test("filter pushdown and column pruning survive the fan-out exchange") {
+    val dir = writeDir(); writeTable(dir)
+    val q = Tables.documents(spark, dir, fan = true)
+      .where(col("id") > 100L)
+      .select(col("name"))
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("RoundRobinPartitioning"),
+      s"expected the fan-out round-robin exchange in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,100)]"),
+      s"filter must still reach the scan:\n$plan")
+    // pruning: the scan must not read the untouched `pad` column
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("pad"),
+      s"column pruning must push through Repartition:\n$plan")
+  }
+
+  test("fan-out is a no-op above the size gate and below the floor") {
+    val dir = writeDir(); writeTable(dir)
+    // above the gate: pretend openCost floor is 1 byte -> bytes >= par*1
+    spark.conf.set("graft.scan.fanoutFloorBytes", "1")
+    try {
+      val plan = Tables.documents(spark, dir, fan = true).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("RoundRobinPartitioning"), plan)
+    } finally spark.conf.unset("graft.scan.fanoutFloorBytes")
+    // below the dimension floor: raise minBytes past the file size
+    spark.conf.set("graft.scan.fanoutMinBytes", (1L << 30).toString)
+    try {
+      val plan = Tables.documents(spark, dir, fan = true).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("RoundRobinPartitioning"), plan)
+    } finally spark.conf.unset("graft.scan.fanoutMinBytes")
+    // kill switch
+    spark.conf.set("graft.scan.fanout", "false")
+    try {
+      val plan = Tables.documents(spark, dir, fan = true).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("RoundRobinPartitioning"), plan)
+    } finally spark.conf.unset("graft.scan.fanout")
+  }
+}
