@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** `dot_double(a, b)` — sequential-fold dot product of two
+  * `array<double>` columns, as a fused Catalyst expression.
+  *
+  * BIT-IDENTICAL to the HOF form it replaces
+  * (`aggregate(zip_with(a, b, *), 0.0, +)`, QueryPrimitives.dot): the
+  * fold is the same left-to-right IEEE sequence
+  * ((0.0 + a₀b₀) + a₁b₁) + …, so every oracle-parity double that flows
+  * through a cosine/norm is unchanged — only the evaluation engine
+  * moves from boxed-lambda interpretation (HOFs are CodegenFallback)
+  * to a primitive loop compiled into the surrounding codegen stage.
+  * The catalog evaluates this in its widest hot paths: every
+  * kNN/cosine self-join residual, the fixed-query ANN scans, and the
+  * normalize-then-quantize checkpoint of the PQ/IVF family.
+  *
+  * Equal-width inputs by contract (every caller dots same-dimension
+  * embeddings); the loop runs over the shorter length, matching
+  * DotLong.
+  */
+case class DotDouble(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_double needs two array<double> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotDouble.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotDouble.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotDouble =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_double"
+}
+
+object DotDouble {
+  /** ((0.0 + a₀b₀) + a₁b₁) + … — the exact HOF fold order. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** `sub_dist_long(vec, cw, off)` — exact integer squared L2 distance
+  * between the `cw.length`-wide subvector of `vec` starting at 0-based
+  * offset `off` and the codeword `cw`:
+  * Σᵢ (vec[off+i] − cw[i])², i < len(cw).
+  *
+  * Why an expression (the dot_long precedent, optimization r14): the
+  * HOF form `aggregate(zip_with(slice(vec, off+1, sub), cw, …))` is
+  * CodegenFallback — the PQ family evaluates it in its two hot paths
+  * (encode: corpus × M subspaces × K codewords; ADC: candidates × M),
+  * ~400k boxed-lambda tree walks per query at sf0.1 and
+  * corpus-proportional at scale. This compiles to one tight primitive
+  * loop inside the surrounding codegen stage.
+  *
+  * No overflow handling: callers own the bound (2²⁰-quantized inputs,
+  * sub·2⁴² ≪ 2⁶³ at sub = 8 — the pqFit contract).
+  */
+case class SubDistLong(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(first, second).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }) && third.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sub_dist_long needs (array<bigint>, array<bigint>, int), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(vec: Any, cw: Any, off: Any): Any =
+    SubDistLong.compute(vec.asInstanceOf[ArrayData],
+      cw.asInstanceOf[ArrayData], off.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, cw, off) =>
+      s"${ev.value} = graft.functions.SubDistLong.compute($vec, $cw, $off);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): SubDistLong =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "sub_dist_long"
+}
+
+object SubDistLong {
+  /** Σ (vec(off+i) − cw(i))² over i < cw.length. */
+  def compute(vec: ArrayData, cw: ArrayData, off: Int): Long = {
+    val n = cw.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = vec.getLong(off + i) - cw.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}

@@ -189,6 +189,13 @@ object functions {
   def dot_long(a: Column, b: Column): Column =
     ColumnBridge.column(DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def dot_double(a: Column, b: Column): Column =
+    ColumnBridge.column(DotDouble(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sub_dist_long(vec: Column, cw: Column, off: Column): Column =
+    ColumnBridge.column(SubDistLong(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cw), ColumnBridge.expression(off)))
+
   def jaro_winkler_micro(a: Column, b: Column): Column =
     ColumnBridge.column(
       JaroWinklerMicro(ColumnBridge.expression(a), ColumnBridge.expression(b)))

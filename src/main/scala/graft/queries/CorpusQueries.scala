@@ -193,8 +193,9 @@ object CorpusQueries {
 
   /** Exact integer squared distance between two quantized vectors. */
   private def sqdist(x: Column, c: Column): Column =
-    aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
+    // codegen'd (optimization r14): same exact-integer formula as the
+    // old aggregate(zip_with(…)) HOF, fused — see functions.SubDistLong
+    graft.functions.functions.sub_dist_long(x, c, lit(0))
 
   /** Collapse the (j, c) centroid table to one row holding the
     * centroid list in j order — the broadcast side of assignment. */
@@ -382,7 +383,8 @@ object CorpusQueries {
     * array_position(array_min) tie-break), [[kmUpdate]]'s IEEE
     * double-divide + floor means, exact-equality stop. */
   private[queries] def kmFit(
-      vecs: DataFrame, k: Int, d: Int, maxIters: Int, who: String)(
+      vecs: DataFrame, k: Int, d: Int, maxIters: Int, who: String,
+      sampleCap: Long = 0L)(
       s: SparkSession): Array[Array[Long]] = {
     import s.implicits._
     var cents: Array[Array[Long]] = new Array(k)
@@ -395,6 +397,55 @@ object CorpusQueries {
     // (too narrow, since the oracle runs the same prefix)
     require(cents.forall(_.length == d),
       s"$who: dim=$d but embeddings are ${cents.head.length}-wide")
+    // Bounded-sample fast path (optimization r14): when the caller
+    // trains on a FIXED-SIZE sample (the IVF/PQ trainMax posture —
+    // constant rows at ANY corpus size, the FAISS in-memory-trainer
+    // shape), collect it once and run the identical Lloyd loop on the
+    // driver: per-cluster integer sums are order-independent, the
+    // update is the shared kmUpdate, the stop rule is the same exact
+    // equality — bit-identical centroids, zero per-round Spark jobs
+    // (up to maxIters scheduled jobs at ~25 ms each were pure
+    // overhead on a ≤512-row sample). Full-corpus trainers
+    // (cluster_kmeans, dedup_semantic) keep the distributed loop.
+    if (sampleCap > 0L) {
+      val data = vecs.select(col("x")).as[Array[Long]].collect()
+      require(data.length <= sampleCap,
+        s"$who: trainer sample ${data.length} exceeds declared cap $sampleCap")
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < maxIters) {
+        rounds += 1
+        val localCents = cents
+        val sums = Array.fill(k, d)(0L)
+        val counts = Array.fill(k)(0L)
+        data.foreach { x =>
+          var best = 0
+          var bestDist = Long.MaxValue
+          var j = 0
+          while (j < k) {
+            val c = localCents(j)
+            var dist = 0L
+            var i = 0
+            while (i < d) { val t = x(i) - c(i); dist += t * t; i += 1 }
+            if (dist < bestDist) { bestDist = dist; best = j }
+            j += 1
+          }
+          val sBest = sums(best)
+          var i = 0
+          while (i < d) { sBest(i) += x(i); i += 1 }
+          counts(best) += 1
+        }
+        val next = kmUpdate(cents, sums, counts)
+        converged = next.zip(cents).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+        cents = next
+      }
+      if (!converged)
+        System.err.println(s"[$who] NO FIXPOINT after $maxIters Lloyd " +
+          "rounds — returning the capped (round-max) state, identical to " +
+          "the oracle CTE's termination; raise graft.kmeans.maxIters to " +
+          "train longer")
+      return cents
+    }
     val xs = vecs.select(col("x")).as[Array[Long]].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rounds = 0

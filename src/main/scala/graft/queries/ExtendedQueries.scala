@@ -192,7 +192,7 @@ object ExtendedQueries {
     * proven fixpoint. Returns codebooks[m][k][sub]. */
   private[queries] def pqFit(
       vecs: DataFrame, m: Int, sub: Int, k: Int, maxIters: Int, who: String,
-      cappedOk: Boolean = false)(
+      cappedOk: Boolean = false, sampleCap: Long = 0L)(
       s: SparkSession): Array[Array[Array[Long]]] = {
     import s.implicits._
     val init = vecs.where(col("vec_id") < k)
@@ -200,6 +200,55 @@ object ExtendedQueries {
     require(init.length == k, s"$who: need vec_ids 0..${k - 1} for codebook init")
     var cbs: Array[Array[Array[Long]]] =
       Array.tabulate(m, k)((mi, j) => init(j).slice(mi * sub, mi * sub + sub))
+    // Bounded-sample fast path (optimization r14, the kmFit twin):
+    // both PQ callers train on the fixed trainMax sample — collect it
+    // once, run the identical per-subspace Lloyd locally (integer
+    // sums are order-independent, same kmUpdate, same stop), zero
+    // per-round Spark jobs. Bit-identical codebooks by construction.
+    if (sampleCap > 0L) {
+      val data = vecs.select(col("x")).as[Array[Long]].collect()
+      require(data.length <= sampleCap,
+        s"$who: trainer sample ${data.length} exceeds declared cap $sampleCap")
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < maxIters) {
+        rounds += 1
+        val local = cbs
+        val sums = Array.fill(m, k, sub)(0L)
+        val counts = Array.fill(m, k)(0L)
+        data.foreach { x =>
+          var mi = 0
+          while (mi < m) {
+            val off = mi * sub
+            var best = 0
+            var bestDist = Long.MaxValue
+            var j = 0
+            while (j < k) {
+              val c = local(mi)(j)
+              var dist = 0L
+              var i = 0
+              while (i < sub) { val t = x(off + i) - c(i); dist += t * t; i += 1 }
+              if (dist < bestDist) { bestDist = dist; best = j }
+              j += 1
+            }
+            val sBest = sums(mi)(best)
+            var i = 0
+            while (i < sub) { sBest(i) += x(off + i); i += 1 }
+            counts(mi)(best) += 1
+            mi += 1
+          }
+        }
+        val next = Array.tabulate(m)(mi => CorpusQueries.kmUpdate(cbs(mi), sums(mi), counts(mi)))
+        converged = (0 until m).forall(mi =>
+          next(mi).zip(cbs(mi)).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+        cbs = next
+      }
+      if (!converged && !cappedOk)
+        throw new IllegalStateException(
+          s"$who: no codebook fixpoint after $maxIters Lloyd rounds " +
+            "(raise the iteration cap or inspect the data)")
+      return cbs
+    }
     val xs = vecs.select(col("x")).as[Array[Long]].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var rounds = 0
@@ -263,9 +312,10 @@ object ExtendedQueries {
     * a codeword column — the ADC/encode primitive shared by the PQ
     * family. */
   private[queries] def pqSubDist(vec: Column, cw: Column, m: Int, sub: Int): Column =
-    aggregate(zip_with(
-      slice(vec, m * sub + 1, sub), cw,
-      (p, q) => (p - q) * (p - q)), lit(0L), (acc, v) => acc + v)
+    // codegen'd (optimization r14): the aggregate(zip_with(slice(…)))
+    // HOF form is CodegenFallback and this is the PQ encode/ADC hot
+    // path — identical exact-integer formula, fused loop
+    graft.functions.functions.sub_dist_long(vec, cw, lit(m * sub))
 
   /** `sub`-dim codeword distance against subspace `m` (SQL lambda var
     * `m` in scope) of full vector `a` — oracle twin of [[pqSubDist]]. */
@@ -462,7 +512,8 @@ object ExtendedQueries {
       // measurably 2-cycle), so the engines agree bit-for-bit in both
       // regimes
       val cbs = pqFit(quant.where(col("vec_id") < TRAIN_MAX),
-        M, SUB, K, maxIters, "sim_pq_topk", cappedOk = true)(s)
+        M, SUB, K, maxIters, "sim_pq_topk", cappedOk = true,
+        sampleCap = TRAIN_MAX)(s)
       val cbLits = (0 until M).map(m => typedLit(cbs(m).map(_.toSeq).toSeq))
       def subDist(vec: Column, cw: Column, m: Int): Column =
         pqSubDist(vec, cw, m, SUB)
@@ -484,9 +535,7 @@ object ExtendedQueries {
           .orderBy(col("adc").asc, col("vec_id").asc)))
         .where(col("rnk_adc") <= R)
       cand
-        .withColumn("score", aggregate(
-          zip_with(col("qx"), col("x"), (p, v) => (p - v) * (p - v)),
-          lit(0L), (acc, v) => acc + v))
+        .withColumn("score", graft.functions.functions.sub_dist_long(col("qx"), col("x"), lit(0)))
         .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("score").asc, col("vec_id").asc)))
         .where(col("rnk") <= 3)
@@ -888,7 +937,7 @@ object ExtendedQueries {
       // coarse quantizer fits on a fixed-size sample (TRAIN_MAX);
       // assignment still runs over the full corpus
       val cents = CorpusQueries.kmFit(quant.where(col("vec_id") < TRAIN_MAX),
-        k, d, maxIters, "sim_ivf_trained")(s)
+        k, d, maxIters, "sim_ivf_trained", sampleCap = TRAIN_MAX)(s)
       val centsDf = cents.toSeq.zipWithIndex
         .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toDF("j", "c")
       val cells = CorpusQueries.kmAssign(quant, centsDf)
@@ -951,7 +1000,7 @@ object ExtendedQueries {
       // both trainers fit on fixed-size samples (TRAIN_MAX) — the
       // composed index's training cost stays constant in corpus size
       val cents = CorpusQueries.kmFit(quant.where(col("vec_id") < TRAIN_MAX),
-        nlist, d, kmMax, "sim_ivfpq_topk")(s)
+        nlist, d, kmMax, "sim_ivfpq_topk", sampleCap = TRAIN_MAX)(s)
       val centsLit = typedLit(cents.map(_.toSeq).toSeq)
       val centsDf = cents.toSeq.zipWithIndex
         .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toDF("j", "c")
@@ -963,7 +1012,8 @@ object ExtendedQueries {
             (a, b) => a - b).as("x"))
         .localCheckpoint() // PQ training re-reads this every round
       val cbs = pqFit(resid.where(col("vec_id") < TRAIN_MAX),
-        M, SUB, K, pqMax, "sim_ivfpq_topk", cappedOk = true)(s)
+        M, SUB, K, pqMax, "sim_ivfpq_topk", cappedOk = true,
+        sampleCap = TRAIN_MAX)(s)
       val cbLits = (0 until M).map(m => typedLit(cbs(m).map(_.toSeq).toSeq))
       val codeCols = (0 until M).map { m =>
         val dts = transform(cbLits(m), cw => pqSubDist(col("x"), cw, m, SUB))
@@ -975,8 +1025,7 @@ object ExtendedQueries {
       val q = quant.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("x").as("qx"))
       val cellDists = transform(centsLit, c =>
-        aggregate(zip_with(col("qx"), c, (p, cc) => (p - cc) * (p - cc)),
-          lit(0L), (acc, v2) => acc + v2))
+        graft.functions.functions.sub_dist_long(col("qx"), c, lit(0)))
       val probed = q
         .select(col("qid"), col("qx"), posexplode(cellDists).as(Seq("j0", "cd")))
         .withColumn("pcell", (col("j0") + 1).cast("long"))
@@ -1001,9 +1050,7 @@ object ExtendedQueries {
         .where(col("rnk_adc") <= R)
       cand.select(col("qid"), col("vec_id"), col("qx"))
         .join(quant.select(col("vec_id"), col("x").as("cx")), Seq("vec_id"))
-        .withColumn("score", aggregate(
-          zip_with(col("qx"), col("cx"), (p, v2) => (p - v2) * (p - v2)),
-          lit(0L), (acc, v2) => acc + v2))
+        .withColumn("score", graft.functions.functions.sub_dist_long(col("qx"), col("cx"), lit(0)))
         .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("score").asc, col("vec_id").asc)))
         .where(col("rnk") <= 3)
@@ -1053,8 +1100,7 @@ object ExtendedQueries {
       val labelsLit = typedLit(centRows.map(_.getInt(0)).toSeq)
       val centsLit = typedLit(centRows.map(_.getSeq[Long](1)).toSeq)
       val dists = transform(centsLit, c =>
-        aggregate(zip_with(col("x"), c, (p, q) => (p - q) * (p - q)),
-          lit(0L), (acc, d2) => acc + d2))
+        graft.functions.functions.sub_dist_long(col("x"), c, lit(0)))
       labeled
         .withColumn("dists", dists)
         .withColumn("best",

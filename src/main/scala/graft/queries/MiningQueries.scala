@@ -462,7 +462,10 @@ object MiningQueries {
         (col("n") - expr(s"($theta10 * n + 9) div 10") + lit(1L)).cast("int"))
       .withColumn("prefix", expr("slice(ts, 1, plen)"))
       .select(col("doc_id"), col("n"), col("ts"), col("prefix"))
-      .localCheckpoint(eager = true)
+      // pin at full parallelism: the 1-partition checkpoint AQE left
+      // here serialized the 32 MB prefix-explode map side (2.0–2.6 s
+      // single-task measured) — see QueryPrimitives.pinFanned
+      .transform(d => QueryPrimitives.pinFanned(d))
     val pre = arr.select(col("doc_id"), col("n"),
         posexplode(col("prefix")).as(Seq("p0", "tid")))
       .select(col("doc_id"), col("n"),

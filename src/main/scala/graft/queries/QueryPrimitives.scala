@@ -43,11 +43,40 @@ private[queries] object QueryPrimitives {
       s" + (((($p % $t) * 1000) % $t) * 1000) // $t"
 
   /** Sequential-fold dot product over double arrays — bit-identical to
-    * DuckDB's list_dot_product over ::DOUBLE[] casts. */
+    * DuckDB's list_dot_product over ::DOUBLE[] casts. Codegen'd since
+    * optimization r14 (functions.DotDouble): the HOF
+    * aggregate(zip_with(…)) form was CodegenFallback in every
+    * cosine/norm hot path; the fused loop folds in the identical IEEE
+    * order, so parity doubles are unchanged. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.functions.dot_double(a, b)
 
   /** events with Spark-visible (microsecond) timestamps, for oracles. */
   val oEvents: String =
     "(SELECT event_id, date_trunc('microseconds', ts) AS ts, user_id, event_type, value, props FROM events)"
+
+  /** Eager localCheckpoint that lands at FULL parallelism
+    * (optimization r14, guide §2.6): AQE's partition coalescing can
+    * shrink a small pinned frame to one partition, which then
+    * serializes every downstream fan-out stage that reads it —
+    * dedup_prefix_filter's prefix-explode map side was measured
+    * running 2.0–2.6 s single-task on a 32-core box against a 1-
+    * partition checkpoint. When the materialized checkpoint has fewer
+    * partitions than cores, redistribute once and re-pin (both
+    * materializations are of the SAME small frame — the branch is
+    * only reachable when AQE judged the data tiny); at scale the
+    * checkpoint already has ≥ cores partitions and this is exactly
+    * `localCheckpoint(eager = true)`. */
+  def pinFanned(
+      df: org.apache.spark.sql.DataFrame,
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : org.apache.spark.sql.DataFrame = {
+    val pinned = df.localCheckpoint(eager = true, storageLevel = storageLevel)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val on = graft.GraftConf.string("graft.scan.fanout", "true").toBoolean
+    if (on && pinned.rdd.getNumPartitions < par)
+      pinned.repartition(par).localCheckpoint(eager = true, storageLevel = storageLevel)
+    else pinned
+  }
 }

@@ -35,7 +35,7 @@ object QBench {
     // stage-level metrics (the sandbox has no UI): wall span, task time,
     // shuffle bytes per stage, tagged with the current query name
     val stages = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Int, Int, Double, Double, Long, Long)]
+      .empty[(String, Int, Int, Double, Double, Long, Long, String)]
     @volatile var current = ""
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -49,7 +49,8 @@ object QBench {
           stages.synchronized {
             stages += ((current, si.stageId, si.numTasks, wall,
               m.executorRunTime / 1e3,
-              m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten))
+              m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
+              si.name.take(80)))
           }
         }
       })
@@ -110,8 +111,8 @@ object QBench {
           val top = stages.synchronized(stages.filter(_._1 == n).toList)
             .sortBy(-_._4).take(12)
           println(f"[qbench]   stages=${stages.size} (pooled over $reps reps)")
-          top.foreach { case (_, sid, nt, wall, run, sr, sw) =>
-            println(f"[qbench]   stage=$sid%-5d tasks=$nt%-4d wall=$wall%7.3f s run=$run%7.3f s shufR=${sr / 1024}%8d KiB shufW=${sw / 1024}%8d KiB")
+          top.foreach { case (_, sid, nt, wall, run, sr, sw, nm) =>
+            println(f"[qbench]   stage=$sid%-5d tasks=$nt%-4d wall=$wall%7.3f s run=$run%7.3f s shufR=${sr / 1024}%8d KiB shufW=${sw / 1024}%8d KiB  $nm")
           }
           n -> (ts.min, med)
       }
