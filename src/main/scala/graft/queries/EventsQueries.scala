@@ -308,38 +308,38 @@ object EventsQueries {
     // O(types²)); all 20 iterations are broadcast joins on the
     // O(types) control-plane vector.
     "events_markov_stationary" -> ((s, dir) => {
+      import s.implicits._
       val wOrd = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
+      // ONE distributed pass: the user-window bigram counts. The
+      // kernel is O(types²) — control-plane by definition (the state
+      // space is the bounded event-type vocabulary), so the 20 exact
+      // integer power iterations run ON THE DRIVER over the collected
+      // kernel (optimization r14: the per-iteration broadcast-join +
+      // eager-checkpoint loop scheduled ~113 stages of O(5)-row work,
+      // pure overhead — the kmFit sampleCap posture). Identical
+      // arithmetic: init 10⁶ div k, term (π(i)·n) div tot(i) in Long
+      // (non-negative, so Spark div ≡ Java / ≡ floor), per-to_type
+      // integer sum, absent states 0 — bit-identical trajectory.
       val trans = Tables.events(s, dir)
         .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
         .where(col("prev_type").isNotNull)
         .groupBy(col("prev_type").as("from_type"),
           col("event_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(eager = true) // 20 iterations read it
-      val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
-        .localCheckpoint(eager = true)
-      val t = trans.join(broadcast(totals), "from_type")
-        .localCheckpoint(eager = true)
-      val states = trans.select(col("from_type").as("s"))
-        .union(trans.select(col("to_type").as("s"))).distinct()
-        .localCheckpoint(eager = true)
-      val k = states.agg(count(lit(1)).as("k"))
-      var pi = states.crossJoin(broadcast(k))
-        .select(col("s"), expr("1000000 div k").as("pi"))
+      val kernel = trans.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+      val tot = kernel.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+      val states = (kernel.map(_._1) ++ kernel.map(_._2)).distinct.sorted
+      val k = states.length.toLong
+      var pi: Map[String, Long] = states.map(_ -> 1000000L / k).toMap
       for (_ <- 1 to 20) {
-        val step = t.join(broadcast(pi), col("s") === col("from_type"))
-          .select(col("to_type").as("s"),
-            expr("(pi * n) div tot").as("term"))
-          .groupBy(col("s")).agg(sum(col("term")).as("pi"))
-        // pin per iteration: O(types) rows, and without it the plan
-        // lineage grows 20 joins deep and Catalyst's analysis time
-        // dominates the control-plane arithmetic
-        pi = states.join(step, Seq("s"), "left")
-          .select(col("s"), coalesce(col("pi"), lit(0L)).as("pi"))
-          .localCheckpoint(eager = true)
+        val step = kernel.groupBy(_._2).map { case (to, rs) =>
+          to -> rs.map { case (f, _, n) => pi(f) * n / tot(f) }.sum
+        }
+        pi = states.map(st => st -> step.getOrElse(st, 0L)).toMap
       }
-      pi.select(col("s").as("state"), col("pi").as("pi_micro"))
+      states.map(st => (st, pi(st))).toSeq.toDF("state", "pi_micro")
     }),
 
     // Rate anomaly detection — the ops-analytics z-score monitor: per
