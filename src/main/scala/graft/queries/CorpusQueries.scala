@@ -1207,7 +1207,10 @@ object CorpusQueries {
       // cannot drift
       val docs = Tables.documents(s, dir)
       val (cab, ca, v) = lmTrain(docs)
-      lmScore(docs, cab, ca, v)
+      // fan only the SCORE pass: its bigram explode + model joins ran
+      // single-task (0.6 s measured); the train legs are map-side aggs
+      // whose extra exchange measured as a loss (optimization r14)
+      lmScore(Tables.documents(s, dir, fan = true), cab, ca, v)
     }),
 
     // Trained multinomial Naive Bayes text classifier — the
@@ -1504,16 +1507,22 @@ object CorpusQueries {
     // exp(-lm_score) is monotone, so the bucket partition is identical
     // and no transcendental enters the hashed output. keep mirrors
     // CCNet's head/middle cut: buckets ≥ PPL_KEEP_FROM (lower ppl).
-    "curate_ppl_buckets" -> ((s, dir) => pplBuckets(Tables.documents(s, dir)))
+    "curate_ppl_buckets" -> ((s, dir) => pplBuckets(Tables.documents(s, dir),
+      Tables.documents(s, dir, fan = true)))
   )
 
   /** The curate_ppl_buckets body factored out so the streaming ingest
     * gate ([[graft.streaming.IngestCuration.pplBucket]]) and its parity
     * spec exercise the IDENTICAL batch algebra — the lmTrain/lmScore
     * one-algebra posture. */
-  private[graft] def pplBuckets(docs: DataFrame): DataFrame = {
+  private[graft] def pplBuckets(docs: DataFrame): DataFrame =
+    pplBuckets(docs, docs)
+
+  /** `scoreDocs` lets the catalog query hand the SCORE pass a fanned
+    * scan while the train legs keep the un-exchanged one (r14). */
+  private[graft] def pplBuckets(docs: DataFrame, scoreDocs: DataFrame): DataFrame = {
     val (cab, ca, v) = lmTrain(docs)
-    val scored = lmScore(docs, cab, ca, v)
+    val scored = lmScore(scoreDocs, cab, ca, v)
     val nb = PPL_NB
     val mm = scored.agg(min(col("lm_score")).as("lo"),
       max(col("lm_score")).as("hi"))
