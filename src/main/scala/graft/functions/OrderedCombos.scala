@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
+
+/** `ordered_pairs(arr)` — all index-ordered pairs (arr(i), arr(j)),
+  * i < j, as `array<struct<a, b>>` over any element type.
+  *
+  * Semantically identical to the HOF chain it replaces
+  * (`flatten(transform(arr, (x, i) => transform(slice(arr, i + 2,
+  * size(arr)), y => struct(x, y))))`, same element order), but that
+  * chain is CodegenFallback AND does an O(n) `slice` copy per element
+  * — O(n²) array copies with boxed-lambda dispatch per pair. The
+  * in-row basket combinatorics of the association/co-occurrence
+  * family (a_assoc_rules/triples, rec_item_cosine,
+  * dedup_jaccard_dfcap) pay it per basket row; this expression emits
+  * the pair array in one pass with two primitive loops.
+  */
+case class OrderedPairs(child: Expression) extends UnaryExpression {
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", elemType), StructField("b", elemType))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ordered_pairs needs an array input, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    OrderedCombos.pairs(input.asInstanceOf[ArrayData], elemType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("elemType", elemType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.OrderedCombos.pairs($c, $et);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedPairs =
+    copy(child = newChild)
+
+  override def prettyName: String = "ordered_pairs"
+}
+
+/** `ordered_triples(arr)` — all index-ordered triples, i < j < k, as
+  * `array<struct<a, b, c>>`. The C(n,3) sibling of [[OrderedPairs]]. */
+case class OrderedTriples(child: Expression) extends UnaryExpression {
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", elemType), StructField("b", elemType),
+      StructField("c", elemType))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ordered_triples needs an array input, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    OrderedCombos.triples(input.asInstanceOf[ArrayData], elemType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("elemType", elemType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.OrderedCombos.triples($c, $et);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedTriples =
+    copy(child = newChild)
+
+  override def prettyName: String = "ordered_triples"
+}
+
+object OrderedCombos {
+
+  def pairs(arr: ArrayData, elemType: DataType): ArrayData = {
+    val n = arr.numElements()
+    val m = n * (n - 1) / 2
+    val out = new Array[Any](m)
+    var p = 0
+    var i = 0
+    while (i < n - 1) {
+      val a = arr.get(i, elemType)
+      var j = i + 1
+      while (j < n) {
+        out(p) = InternalRow(a, arr.get(j, elemType))
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def triples(arr: ArrayData, elemType: DataType): ArrayData = {
+    val n = arr.numElements()
+    val m = if (n < 3) 0 else n * (n - 1) * (n - 2) / 6
+    val out = new Array[Any](m)
+    var p = 0
+    var i = 0
+    while (i < n - 2) {
+      val a = arr.get(i, elemType)
+      var j = i + 1
+      while (j < n - 1) {
+        val b = arr.get(j, elemType)
+        var k = j + 1
+        while (k < n) {
+          out(p) = InternalRow(a, b, arr.get(k, elemType))
+          p += 1
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

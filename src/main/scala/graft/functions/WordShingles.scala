@@ -192,6 +192,12 @@ object functions {
   def dot_double(a: Column, b: Column): Column =
     ColumnBridge.column(DotDouble(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def ordered_pairs(c: Column): Column =
+    ColumnBridge.column(OrderedPairs(ColumnBridge.expression(c)))
+
+  def ordered_triples(c: Column): Column =
+    ColumnBridge.column(OrderedTriples(ColumnBridge.expression(c)))
+
   def sub_dist_long(vec: Column, cw: Column, off: Column): Column =
     ColumnBridge.column(SubDistLong(ColumnBridge.expression(vec),
       ColumnBridge.expression(cw), ColumnBridge.expression(off)))

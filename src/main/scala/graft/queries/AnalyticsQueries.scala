@@ -552,11 +552,11 @@ object AnalyticsQueries {
       .groupBy(col("it")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(eager = true) // both broadcast legs read it —
       // unpinned, each leg re-explodes every basket row
+    // codegen'd ordered_pairs (r14): the HOF transform/slice/flatten
+    // chain was CodegenFallback with an O(n) slice copy per element
     val pairs = baskets
-      .select(explode(flatten(transform(col("bs"), (x, i) =>
-        transform(slice(col("bs"), i + lit(2), size(col("bs"))),
-          y => struct(x.as("ia"), y.as("ib")))))).as("p"))
-      .groupBy(col("p.ia"), col("p.ib"))
+      .select(explode(graft.functions.functions.ordered_pairs(col("bs"))).as("p"))
+      .groupBy(col("p.a").as("ia"), col("p.b").as("ib"))
       .agg(count(lit(1)).as("pair_cnt"))
     cosineFrom(pairs, itemCnt, minPairs, topK)
   }
@@ -690,19 +690,17 @@ object AnalyticsQueries {
       .agg(sort_array(collect_set(col("br"))).as("bs"))
       .localCheckpoint(eager = true) // feeds triples, pairs, the total
     val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+    // codegen'd ordered_pairs/triples (r14): the nested HOF
+    // transform/slice/flatten chains were CodegenFallback with O(n)
+    // slice copies per element — O(n²)/O(n³) copies per basket
     val pairs = baskets
-      .select(explode(flatten(transform(col("bs"), (a, i) =>
-        transform(slice(col("bs"), i + lit(2), size(col("bs"))),
-          b => struct(a.as("brand_a"), b.as("brand_b")))))).as("p"))
-      .groupBy(col("p.brand_a"), col("p.brand_b"))
+      .select(explode(graft.functions.functions.ordered_pairs(col("bs"))).as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
       .agg(count(lit(1)).as("pair_ab_cnt"))
     val triples = baskets
-      .select(explode(flatten(flatten(transform(col("bs"), (a, i) =>
-        transform(slice(col("bs"), i + lit(2), size(col("bs"))), (b, j) =>
-          transform(slice(col("bs"), i + j + lit(3), size(col("bs"))),
-            c => struct(a.as("brand_a"), b.as("brand_b"), c.as("brand_c"))))))))
-        .as("t"))
-      .groupBy(col("t.brand_a"), col("t.brand_b"), col("t.brand_c"))
+      .select(explode(graft.functions.functions.ordered_triples(col("bs"))).as("t"))
+      .groupBy(col("t.a").as("brand_a"), col("t.b").as("brand_b"),
+        col("t.c").as("brand_c"))
       .agg(count(lit(1)).as("triple_cnt"))
       .where(col("triple_cnt") >= minCount)
     triples

@@ -491,9 +491,8 @@ object EventsQueries {
             unix_micros(col("ts")).as("tsu"), col("event_id"),
             col("event_type"))))),
           x => x.getField("event_type")).as("p"))
-        .select(explode(array_distinct(flatten(transform(col("p"), (x, i) =>
-          transform(slice(col("p"), i + lit(2), size(col("p"))),
-            y => concat(x, lit(">"), y)))))).as("pat"))
+        .select(explode(array_distinct(transform(graft.functions.functions.ordered_pairs(col("p")),
+          st => concat(st.getField("a"), lit(">"), st.getField("b"))))).as("pat"))
         .groupBy(col("pat")).agg(count(lit(1)).as("n_sessions"))
         .where(col("n_sessions") >= SEQ_MIN)
     }),

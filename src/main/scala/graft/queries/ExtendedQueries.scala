@@ -1665,10 +1665,8 @@ object ExtendedQueries {
       // pairs directly (sorted list ⇒ ordered pairs). Kills the second
       // full-index shuffle AND the join build side.
       val pairs = post
-        .select(explode(flatten(transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
+        .select(explode(graft.functions.functions.ordered_pairs(col("ds"))).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       pairs
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("c"))

@@ -367,11 +367,10 @@ object MiningQueries {
     val itemCnt = baskets
       .select(explode(col("bs")).as("br"))
       .groupBy(col("br")).agg(count(lit(1)).as("cnt"))
+    // codegen'd ordered_pairs (r14) — see functions.OrderedCombos
     val pairs = baskets
-      .select(explode(flatten(transform(col("bs"), (x, i) =>
-        transform(slice(col("bs"), i + lit(2), size(col("bs"))),
-          y => struct(x.as("brand_a"), y.as("brand_b")))))).as("p"))
-      .groupBy(col("p.brand_a"), col("p.brand_b"))
+      .select(explode(graft.functions.functions.ordered_pairs(col("bs"))).as("p"))
+      .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
       .agg(count(lit(1)).as("pair_cnt"))
     rulesFrom(pairs, itemCnt, nb, minPairs)
   }
