@@ -24,6 +24,18 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing keeps parallelismFirst (default), so the target
+      // size is max(minPartitionSize, bytes / maxParallelism): the 1 MB
+      // default floor only bites when a post-shuffle stage is smaller
+      // than cores × 1 MB — exactly where it serialized the window/agg
+      // family onto 1–2 tasks of a 32-core box (events_bot_detect's
+      // user window: 1.7 MB shuffle → 1 partition → 0.67 s single-task
+      // stage). 64 KB keeps those stages at core-count parallelism;
+      // at any real data size bytes/maxParallelism dominates and the
+      // floor is irrelevant (optimization r14, A/B-verified: sessionize
+      // 0.30→0.19 s, cdc_scd2 0.39→0.24 s, no measured loser).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        GraftConf.string("graft.aqe.minPartitionSize", "64k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

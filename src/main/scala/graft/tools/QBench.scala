@@ -64,8 +64,9 @@ object QBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // one untimed warm-up of the whole subset (JIT + page cache)
-    names.foreach { n =>
+    // one untimed warm-up of the whole subset (JIT + page cache);
+    // reps == 0 → plans-only mode, no execution at all
+    if (reps > 0) names.foreach { n =>
       try exec(n)
       catch { case e: Throwable =>
         println(s"[qbench] $n FAILED: ${e.getMessage}")
@@ -91,7 +92,7 @@ object QBench {
       Some((k, v1, v2))
     } else None
 
-    val out = names.map { n =>
+    val out = if (reps == 0) Seq.empty else names.map { n =>
       stages.synchronized(stages.clear())
       ab match {
         case Some((k, v1, v2)) =>
