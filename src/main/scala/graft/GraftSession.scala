@@ -30,12 +30,15 @@ object GraftSession {
       // than cores × 1 MB — exactly where it serialized the window/agg
       // family onto 1–2 tasks of a 32-core box (events_bot_detect's
       // user window: 1.7 MB shuffle → 1 partition → 0.67 s single-task
-      // stage). 64 KB keeps those stages at core-count parallelism;
-      // at any real data size bytes/maxParallelism dominates and the
-      // floor is irrelevant (optimization r14, A/B-verified: sessionize
-      // 0.30→0.19 s, cdc_scd2 0.39→0.24 s, no measured loser).
+      // stage). 256 KB keeps those stages at useful parallelism while
+      // NOT task-multiplying the iteration/multi-join class (64 KB was
+      // tried first and regressed ~160 small-stage-rich queries by a
+      // uniform +0.05–0.4 s — khop, hll_rollup, rake_keyterms — the
+      // full-catalog bench caught what a 12-query A/B missed); at any
+      // real data size bytes/maxParallelism dominates and the floor is
+      // irrelevant (optimization r14, A/B + full-bench verified).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        GraftConf.string("graft.aqe.minPartitionSize", "64k"))
+        GraftConf.string("graft.aqe.minPartitionSize", "256k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
