@@ -114,7 +114,14 @@ object Bench {
     Files.write(Paths.get(outPath), (full + "\n").getBytes(StandardCharsets.UTF_8))
 
     spark.stop()
-    // last line of stdout, compact (ms precision) so a tail-capture parses it
+    // Stdout contract (optimization r15, VERDICT item #1): the full line
+    // with the 274-entry per-query map is ~7000 chars — two consecutive
+    // rounds of driver artifacts captured only a 2000-char tail of it and
+    // parsed NOTHING (BENCH_r13/BENCH_r14 both `parsed: None`). Print the
+    // full line FIRST (the declared `queries` map stays in stdout and,
+    // at full precision, in `statsFile`), then a <500-char totals-only
+    // line LAST so any bounded tail capture ends on a parseable record.
     println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","failed_n":${failures.size},"calibration":${r3(Stats.median(calSamples))},"queries":$qsCompact,"sf":"$sfDir","statsFile":"$outPath"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"value_min":${r3(totalMin)},"unit":"sec","reps":$reps,"cpus":$cpus,"failed_n":${failures.size},"calibration":${r3(Stats.median(calSamples))},"sf":"$sfDir","statsFile":"$outPath"}""")
   }
 }

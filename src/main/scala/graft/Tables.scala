@@ -12,14 +12,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val sizeCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** Byte-size metadata memo for the fan-out gate. Keyed on
+    * (path, directory mtime) — r14 ADVICE: a path-only key kept a
+    * stale byte count when a dataset was regenerated at the same path
+    * in-process, which could take the wrong fan-out branch. The mtime
+    * lookup is one cheap getFileStatus; the expensive recursive
+    * getContentSummary still runs once per generation. */
+  private val sizeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
 
-  private def inputBytes(spark: SparkSession, path: String): Long =
-    sizeCache.getOrElseUpdate(path, {
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sessionState.newHadoopConf())
-        .getContentSummary(p).getLength
-    })
+  private def inputBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val mtime = fs.getFileStatus(p).getModificationTime
+    sizeCache.getOrElseUpdate((path, mtime), fs.getContentSummary(p).getLength)
+  }
 
   /** Scale-adaptive scan fan-out (optimization guide §1.2 step 1 /
     * §2.2): the driver's parquet tables are single-row-group files, so

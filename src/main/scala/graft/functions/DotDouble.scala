@@ -54,9 +54,19 @@ case class DotDouble(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object DotDouble {
-  /** ((0.0 + a₀b₀) + a₁b₁) + … — the exact HOF fold order. */
+  /** ((0.0 + a₀b₀) + a₁b₁) + … — the exact HOF fold order.
+    *
+    * Equal widths enforced (r14 ADVICE): the zip_with HOF this
+    * replaces null-padded a length mismatch into a NULL result; a
+    * silent min-length partial dot would be a different answer, so a
+    * future caller that violates the same-dimension contract fails
+    * loudly instead. Null ELEMENTS stay out of contract (embeddings
+    * are containsNull=false end to end). */
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"dot_double: length mismatch ($n vs ${b.numElements()}) — " +
+        "callers must dot same-dimension vectors")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }

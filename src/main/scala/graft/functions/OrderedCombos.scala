@@ -92,9 +92,22 @@ case class OrderedTriples(child: Expression) extends UnaryExpression {
 
 object OrderedCombos {
 
+  /** Combination counts in Long (r14 ADVICE): the Int intermediate
+    * product wraps at n ≥ ~46341 (pairs) / ~1291 (triples), which
+    * would size the output array wrong or negative. Fail loudly at
+    * the Int.MaxValue output bound instead — the HOF chain this
+    * replaces was slow-but-correct there, never silently wrong. */
+  private def checkedCount(n: Int, nMax: Int, m: => Long, what: String): Int = {
+    // n ≤ nMax first so the Long count expression itself cannot wrap
+    require(n <= nMax && m <= Int.MaxValue,
+      s"ordered_$what: $n elements overflow the 2^31-1 single-array " +
+        "output bound; cap the basket upstream")
+    m.toInt
+  }
+
   def pairs(arr: ArrayData, elemType: DataType): ArrayData = {
     val n = arr.numElements()
-    val m = n * (n - 1) / 2
+    val m = checkedCount(n, 65536, n.toLong * (n - 1) / 2, "pairs")
     val out = new Array[Any](m)
     var p = 0
     var i = 0
@@ -113,7 +126,8 @@ object OrderedCombos {
 
   def triples(arr: ArrayData, elemType: DataType): ArrayData = {
     val n = arr.numElements()
-    val m = if (n < 3) 0 else n * (n - 1) * (n - 2) / 6
+    val m = if (n < 3) 0
+      else checkedCount(n, 4096, n.toLong * (n - 1) * (n - 2) / 6, "triples")
     val out = new Array[Any](m)
     var p = 0
     var i = 0

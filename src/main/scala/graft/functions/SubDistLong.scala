@@ -55,9 +55,17 @@ case class SubDistLong(first: Expression, second: Expression, third: Expression)
 }
 
 object SubDistLong {
-  /** Σ (vec(off+i) − cw(i))² over i < cw.length. */
+  /** Σ (vec(off+i) − cw(i))² over i < cw.length.
+    *
+    * Bounds enforced (r14 ADVICE): the slice/zip_with HOF this
+    * replaces NULL-padded an out-of-range slice; reading past the
+    * vector would instead return garbage, so the subspace window must
+    * lie inside the vector — fail loudly if a caller breaks it. */
   def compute(vec: ArrayData, cw: ArrayData, off: Int): Long = {
     val n = cw.numElements()
+    require(off >= 0 && off + n <= vec.numElements(),
+      s"sub_dist_long: window [$off, ${off + n}) outside vector of " +
+        s"${vec.numElements()} dims")
     var acc = 0L
     var i = 0
     while (i < n) {

@@ -168,11 +168,17 @@ object CorpusQueries {
         // contract broke upstream — refuse loudly, never loop forever
         throw new IllegalStateException(
           s"dedup_clusters: no fixpoint after 64 rounds (uncapped component?)")
-      val prop = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(prop, labels("node") === prop("src"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // One round = min over {own label} ∪ {neighbor labels} — the
+      // union+agg form (optimization r15): identical per-round label
+      // table to the old join+groupBy+left-join+least chain (least of
+      // own and the neighbor min IS the min of the union), with one
+      // join and one exchange fewer per round. ComponentsPropertySpec
+      // pins the fixpoint against a sequential union-find.
+      val next = labels
+        .union(edges.join(labels.withColumnRenamed("node", "dst")
+            .withColumnRenamed("label", "dlabel"), "dst")
+          .select(col("src").as("node"), col("dlabel").as("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
@@ -664,6 +670,67 @@ object CorpusQueries {
     * all r-1 previous merges in one codegen'd pass: no per-round
     * materialization of the word table. Stops early when no adjacent
     * pairs remain. */
+  /** The driver-side twin of bpeTrain's distributed merge loop, over
+    * the collected (enc, freq) histogram. Operates on the IDENTICAL
+    * encoded strings with the IDENTICAL string algebra — pair counting
+    * splits on RS and drops the US wrapper exactly like the
+    * `transform(filter(split(enc, RS), ...), substring(x, 2, ...))`
+    * expression; the argmax tiebreak compares UTF-8 bytes unsigned
+    * (UTF8String's binary order, what `orderBy(pf desc, a, b)` sorts
+    * by); the merge is java.lang.String.replace — the same
+    * leftmost-nonoverlapping literal scan as UTF8String.replace. So a
+    * round-r state here is character-equal to the distributed loop's,
+    * merge table included. */
+  private def bpeTrainKernel(
+      vocab: Array[(String, Long)], nMerges: Int,
+      s1: String, s2: String): Seq[(Long, String, String, Long)] = {
+    def syms(enc: String): Array[String] =
+      enc.split(s2, -1).filter(_.nonEmpty).map(_.substring(1))
+    def u8lt(a: String, b: String): Boolean = {
+      val xa = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val xb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(xa.length, xb.length)
+      var i = 0
+      while (i < n) {
+        val c = (xa(i) & 0xff) - (xb(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      xa.length < xb.length
+    }
+    var wf = vocab
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= nMerges && !done) {
+      val pc = new java.util.HashMap[(String, String), Long]()
+      wf.foreach { case (enc, f) =>
+        val sy = syms(enc)
+        var i = 0
+        while (i < sy.length - 1) {
+          pc.merge((sy(i), sy(i + 1)), f, (x, y) => x + y)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        var bk: (String, String) = null
+        var bf = 0L
+        pc.forEach { (k, f) =>
+          if (bk == null || f > bf || (f == bf &&
+              (u8lt(k._1, bk._1) || (k._1 == bk._1 && u8lt(k._2, bk._2)))))
+            { bk = k; bf = f }
+        }
+        merges += ((rank, bk._1, bk._2, bf))
+        val pat = s1 + bk._1 + s2 + s1 + bk._2 + s2
+        val rep = s1 + bk._1 + bk._2 + s2
+        wf = wf.map { case (enc, f) => (enc.replace(pat, rep), f) }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
   private[graft] def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -673,6 +740,23 @@ object CorpusQueries {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("enc", regexp_replace(col("w"), "(.)", s"$S1$$1$S2"))
       .localCheckpoint() // bounded: O(distinct words); persist() on a cluster
+    // Driver-side merge kernel (optimization r15, VERDICT item #3): the
+    // per-round state is the O(vocab) word-frequency histogram, NOT the
+    // corpus — when it fits a conf'd cap, collect it ONCE and run every
+    // merge round as driver arithmetic over the SAME encoded strings
+    // the distributed loop scans (java.util.regex / String.replace are
+    // the literal engines behind regexp_replace / replace here, so the
+    // trajectory is character-identical — BpePropertySpec pins both
+    // paths against the sequential model). The distributed loop below
+    // remains the unbounded-vocabulary path (one pair-count shuffle +
+    // 1-row argmax collect per round — ~BPE_MERGES scheduled jobs the
+    // kernel replaces with one collect). The kmFit sampleCap posture:
+    // probe with limit(cap+1) so an over-cap vocab is never collected.
+    val cap = graft.GraftConf.int("graft.bpe.vocabCap", 1 << 17)
+    val probe = wf.select(col("enc"), col("freq")).limit(cap + 1).collect()
+    if (probe.length <= cap)
+      return bpeTrainKernel(probe.map(r => (r.getString(0), r.getLong(1))),
+        nMerges, S1, S2).toDF("rank", "sym_a", "sym_b", "pair_freq")
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var enc: Column = col("enc")
     var done = false

@@ -327,7 +327,24 @@ object EventsQueries {
         .groupBy(col("prev_type").as("from_type"),
           col("event_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
-      val kernel = trans.collect().map(r =>
+      // Guard the collect (optimization r15, VERDICT item #7): the
+      // driver-side kernel is only legitimate while the state space is
+      // the bounded event-type vocabulary. An unbounded-cardinality
+      // event_type must fail LOUDLY here, not OOM the driver — the
+      // kmFit sampleCap posture. O(types²) rows ≤ maxStates² is the
+      // enforced contract; raise graft.markov.maxStates deliberately
+      // if a real vocabulary is bigger.
+      val maxStates = graft.GraftConf.int("graft.markov.maxStates", 10000)
+      val kernelDf = trans.localCheckpoint()
+      val nStates = kernelDf
+        .select(col("from_type").as("t"))
+        .union(kernelDf.select(col("to_type").as("t")))
+        .distinct().count()
+      require(nStates <= maxStates,
+        s"events_markov_stationary: $nStates event types exceed " +
+          s"graft.markov.maxStates=$maxStates — refusing to collect an " +
+          "unbounded transition kernel to the driver")
+      val kernel = kernelDf.collect().map(r =>
         (r.getString(0), r.getString(1), r.getLong(2)))
       val tot = kernel.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
       val states = (kernel.map(_._1) ++ kernel.map(_._2)).distinct.sorted

@@ -103,13 +103,18 @@ object ExtendedQueries {
     var labels = dirE.select(col("src").as("vec_id")).distinct()
       .select(col("vec_id"), col("vec_id").as("lbl"))
     for (_ <- 1 to LP_ITER) {
+      // majority vote as two hash aggregations (optimization r15,
+      // guide §2.4): the per-src winner is min(struct(-c, lbl)) —
+      // lexicographic struct order ⟺ (count desc, label asc), the
+      // EXACT tuple the old row_number window ranked first — so the
+      // per-round sort + WindowExec drop out of the plan and the
+      // (src, lbl) partial aggregation still combines map-side.
       labels = dirE
         .join(labels.withColumnRenamed("vec_id", "dst"), "dst")
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("src"))
-          .orderBy(col("c").desc, col("lbl").asc)))
-        .where(col("rn") === 1)
-        .select(col("src").as("vec_id"), col("lbl"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("src").as("vec_id"), col("m.l").as("lbl"))
     }
     labels
       .withColumn("community_size",
@@ -852,20 +857,29 @@ object ExtendedQueries {
       val nodes = edges.select(col("src").as("vec_id"))
         .union(edges.select(col("dst").as("vec_id"))).distinct()
         .localCheckpoint()
-      val nTab = nodes.agg(count(lit(1)).as("n"))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // n collects ONCE as a driver scalar (optimization r15, VERDICT
+      // item #5): it fed two broadcast crossJoins per power iteration —
+      // 2·PR_ITER BroadcastExchange stages for one control-plane Long.
+      // Identical arithmetic: lit(n).cast double ≡ the old
+      // col("n").cast("double").
+      val n = nodes.count().toDouble
+      // edges⋈deg is loop-invariant — hoist and pin it instead of
+      // re-joining every round (PR_ITER−1 fewer joins; the pin is the
+      // same localCheckpoint discipline as edges/nodes themselves).
+      val edgesDeg = edges
+        .join(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+        .localCheckpoint()
       // ranks live in integer PICO-units (1e12 = total mass 1.0):
       // every rounding is floor(x + 0.5) on doubles derived from exact
       // integers — bit-identical in both engines, unlike a decimal
       // cast whose half-tie rule differs (Spark HALF_UP vs DuckDB
       // half-even bit the DECIMAL(18,12) form at 46/500 rows)
-      var rank = nodes.crossJoin(broadcast(nTab))
+      var rank = nodes
         .select(col("vec_id"),
-          floor(lit(1e12) / col("n").cast("double") + lit(0.5))
+          floor(lit(1e12) / lit(n) + lit(0.5))
             .cast("long").as("rp"))
       for (_ <- 1 to PR_ITER) {
-        val contrib = edges
-          .join(deg, "src")
+        val contrib = edgesDeg
           .join(rank.withColumnRenamed("vec_id", "src"), "src")
           .withColumn("c",
             floor(col("rp").cast("double") / col("deg").cast("double") + lit(0.5))
@@ -873,9 +887,8 @@ object ExtendedQueries {
           .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
         rank = nodes
           .join(contrib, col("vec_id") === col("dst"), "left")
-          .crossJoin(broadcast(nTab))
           .select(col("vec_id"),
-            floor(lit(1.5e11) / col("n").cast("double") +
+            floor(lit(1.5e11) / lit(n) +
               lit(0.85) * coalesce(col("csum"), lit(0L)).cast("double") + lit(0.5))
               .cast("long").as("rp"))
       }

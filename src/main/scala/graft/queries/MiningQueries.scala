@@ -473,7 +473,20 @@ object MiningQueries {
         col("a.tid") === col("b.tid") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 10 >= col("b.n") * theta10 &&
-          col("b.n") * 10 >= col("a.n") * theta10)
+          col("b.n") * 10 >= col("a.n") * theta10 &&
+          // per-OCCURRENCE positional prune inside the join
+          // (optimization r15, guide §3 "pre-filter before the
+          // shuffle-heavy step"): the same ubound the post-agg filter
+          // applies to the min common token, applied to EVERY matching
+          // occurrence before it reaches the candidate aggregation. A
+          // qualifying pair's min common prefix token passes this test
+          // (bound ≥ overlap ≥ α — the completeness argument above),
+          // so its min struct below is unchanged and no qualifying
+          // pair is lost; non-qualifying occurrences stop inflating
+          // the groupBy. Result set identical — verify is exact.
+          lit((10 + theta10).toLong) *
+            (lit(1L) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))) >=
+            lit(theta10.toLong) * (col("a.n") + col("b.n")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       // min struct = the smallest shared prefix token with ITS

@@ -75,8 +75,20 @@ private[queries] object QueryPrimitives {
     val pinned = df.localCheckpoint(eager = true, storageLevel = storageLevel)
     val par = df.sparkSession.sparkContext.defaultParallelism
     val on = graft.GraftConf.string("graft.scan.fanout", "true").toBoolean
-    if (on && pinned.rdd.getNumPartitions < par)
-      pinned.repartition(par).localCheckpoint(eager = true, storageLevel = storageLevel)
-    else pinned
+    if (on && pinned.rdd.getNumPartitions < par) {
+      val repinned = pinned.repartition(par)
+        .localCheckpoint(eager = true, storageLevel = storageLevel)
+      // Drop the superseded first materialization (r14 ADVICE): the
+      // eager re-pin now holds the data; without this the 1-partition
+      // copy stays cached for the whole session. Safe here because the
+      // branch is only reachable for frames AQE judged tiny and the
+      // re-pin is already fully materialized.
+      pinned.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+      repinned
+    } else pinned
   }
 }

@@ -17,9 +17,22 @@ import graft.{GraftSession, SparkEntry, Stats}
   */
 object QBench {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
-    val names = args.drop(2).headOption
+    // positional args skip --flags and their values (r14 ADVICE: QBench
+    // with --plans but no names parsed '--plans' as a query name)
+    val flagsWithValue = Set("--plans", "--suffix", "--ab")
+    val positional = {
+      val b = Seq.newBuilder[String]
+      var i = 0
+      while (i < args.length) {
+        if (flagsWithValue(args(i))) i += 2
+        else if (args(i).startsWith("--")) i += 1
+        else { b += args(i); i += 1 }
+      }
+      b.result()
+    }
+    val dir = positional.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = positional.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val names = positional.drop(2).headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     val planIdx = args.indexOf("--plans")
@@ -103,7 +116,9 @@ object QBench {
           }.unzip
           spark.conf.unset(k)
           println(f"[qbench] $n%-28s A($v1) min=${as.min}%.3f med=${Stats.median(as)}%.3f | B($v2) min=${bs.min}%.3f med=${Stats.median(bs)}%.3f")
-          n -> (as.min, Stats.median(as))
+          // record BOTH variants in the JSON line (r14 ADVICE: B's
+          // numbers only existed in the human-readable println)
+          n -> ((as.min, Stats.median(as)), Some((bs.min, Stats.median(bs))))
         case None =>
           val ts = (1 to reps).map(_ => exec(n))
           val med = Stats.median(ts)
@@ -115,11 +130,13 @@ object QBench {
           top.foreach { case (_, sid, nt, wall, run, sr, sw, nm) =>
             println(f"[qbench]   stage=$sid%-5d tasks=$nt%-4d wall=$wall%7.3f s run=$run%7.3f s shufR=${sr / 1024}%8d KiB shufW=${sw / 1024}%8d KiB  $nm")
           }
-          n -> (ts.min, med)
+          n -> ((ts.min, med), None)
       }
     }
-    val line = out.map { case (n, (mn, md)) =>
-      "\"" + n + "\":{\"min\":" + mn + ",\"median\":" + md + "}"
+    val line = out.map { case (n, ((mn, md), bOpt)) =>
+      val b = bOpt.map { case (bmn, bmd) =>
+        ",\"min_b\":" + bmn + ",\"median_b\":" + bmd }.getOrElse("")
+      "\"" + n + "\":{\"min\":" + mn + ",\"median\":" + md + b + "}"
     }.mkString("{", ",", "}")
     println(s"""{"qbench":$line,"reps":$reps,"dir":"$dir"}""")
     spark.stop()

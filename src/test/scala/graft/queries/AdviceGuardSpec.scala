@@ -53,6 +53,25 @@ class AdviceGuardSpec extends AnyFunSuite {
     assert(graft.SparkEntry.queries("events_funnel")(spark, dir).count() == 2)
   }
 
+  test("events_markov_stationary refuses an over-cap state space before collecting") {
+    // 30 distinct event types in one user's stream — with the cap at 5
+    // the kernel collect must fail LOUDLY (r15 VERDICT item #7), not
+    // pull an unbounded O(types²) table onto the driver
+    val dir = eventsDir((1 to 60).map(i =>
+      (i.toLong, ts(i), 1L, s"type_${i % 30}", 1.0)))
+    spark.conf.set("graft.markov.maxStates", "5")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.SparkEntry.queries("events_markov_stationary")(spark, dir)
+      }
+      assert(e.getMessage.contains("maxStates"),
+        s"want the loud maxStates error, got: ${e.getMessage}")
+    } finally spark.conf.unset("graft.markov.maxStates")
+    // under the cap the same stream trains fine (30 states ≤ default 10k)
+    assert(graft.SparkEntry.queries("events_markov_stationary")(spark, dir)
+      .count() == 30)
+  }
+
   test("events_ab_test yields NULL rates and z for an empty variant (all-even user ids)") {
     // every user_id is even → variant 1 is EMPTY (n1 = 0)
     val dir = eventsDir((1 to 12).map(i =>

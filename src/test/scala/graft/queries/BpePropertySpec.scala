@@ -67,23 +67,37 @@ class BpePropertySpec extends AnyFunSuite {
     out.result()
   }
 
-  test("distributed merge training equals the sequential symbol-list model") {
-    forAll(genCorpus, n = 12) { words =>
-      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
-      val got = CorpusQueries.bpeTrain(docs, 6)
-        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
-      val want = model(words, 6)
-      assert(got == want, s"corpus=${words.mkString(" ")}")
+  /** Run `body` under both trainer paths: the r15 driver-side merge
+    * kernel (default — every test vocab is far below the cap) and the
+    * distributed replace-chain loop (vocabCap=0 forces the fallback). */
+  private def bothPaths(body: => Unit): Unit = {
+    body // driver kernel (default cap)
+    spark.conf.set("graft.bpe.vocabCap", "0")
+    try body // distributed loop
+    finally spark.conf.unset("graft.bpe.vocabCap")
+  }
+
+  test("merge training equals the sequential symbol-list model (both paths)") {
+    bothPaths {
+      forAll(genCorpus, n = 12) { words =>
+        val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+        val got = CorpusQueries.bpeTrain(docs, 6)
+          .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+        val want = model(words, 6)
+        assert(got == want, s"corpus=${words.mkString(" ")}")
+      }
     }
   }
 
-  test("multi-doc corpora: frequencies aggregate across documents") {
-    forAll(Gen.zip(genCorpus, genCorpus), n = 8) { case (w1, w2) =>
-      val docs = Seq((1L, w1.mkString(" ")), (2L, w2.mkString(" ")))
-        .toDF("doc_id", "text")
-      val got = CorpusQueries.bpeTrain(docs, 4)
-        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
-      assert(got == model(w1 ++ w2, 4))
+  test("multi-doc corpora: frequencies aggregate across documents (both paths)") {
+    bothPaths {
+      forAll(Gen.zip(genCorpus, genCorpus), n = 8) { case (w1, w2) =>
+        val docs = Seq((1L, w1.mkString(" ")), (2L, w2.mkString(" ")))
+          .toDF("doc_id", "text")
+        val got = CorpusQueries.bpeTrain(docs, 4)
+          .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+        assert(got == model(w1 ++ w2, 4))
+      }
     }
   }
 }
