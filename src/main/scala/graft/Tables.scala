@@ -67,6 +67,17 @@ object Tables {
     else df
   }
 
+  /** True when `name`'s bytes put it past the toy regime the fan-out
+    * gate targets (bytes ≥ cores × openCost — the complement of the
+    * fanout inequality, so the ONE size story is: below it, fan tiny
+    * scans out; above it, switch row-scale global ranks to the
+    * range-partitioned scale-out form). Cached metadata — free. */
+  def bigInput(spark: SparkSession, sfDir: String, name: String): Boolean = {
+    val par = spark.sparkContext.defaultParallelism
+    val openCost = GraftConf.long("graft.scan.fanoutFloorBytes", 4L * 1024 * 1024)
+    inputBytes(spark, s"$sfDir/$name.parquet") >= par.toLong * openCost
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     load(spark, sfDir, name, fan = false)
 

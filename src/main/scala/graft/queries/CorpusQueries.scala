@@ -174,10 +174,23 @@ object CorpusQueries {
       // own and the neighbor min IS the min of the union), with one
       // join and one exchange fewer per round. ComponentsPropertySpec
       // pins the fixpoint against a sequential union-find.
-      val next = labels
-        .union(edges.join(labels.withColumnRenamed("node", "dst")
-            .withColumnRenamed("label", "dlabel"), "dst")
-          .select(col("src").as("node"), col("dlabel").as("label")))
+      // graft.cc.doubling adds the pointer-doubling shortcut leg
+      // l(l(v)) to the same union — O(log d) rounds instead of O(d).
+      // Measured OFF at both sf0.1 and the 30× replica (the capped
+      // LSH components keep diameter ~3, so the extra per-round
+      // self-join buys nothing — r14 note re-verified r15); the knob
+      // stays for high-diameter graphs. Fixpoint (and output) are
+      // identical either way — labels decrease monotonically to the
+      // component min under any propagation order.
+      val shortcut =
+        if (!GraftConf.string("graft.cc.doubling", "false").toBoolean) None
+        else Some(labels.join(labels.select(col("node").as("label"),
+            col("label").as("l2")), Seq("label"), "left")
+          .select(col("node"), coalesce(col("l2"), col("label")).as("label")))
+      val next = shortcut.foldLeft(labels
+          .union(edges.join(labels.withColumnRenamed("node", "dst")
+              .withColumnRenamed("label", "dlabel"), "dst")
+            .select(col("src").as("node"), col("dlabel").as("label"))))(_ union _)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
       val s = labelSum(next)

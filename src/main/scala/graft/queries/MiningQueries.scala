@@ -159,7 +159,7 @@ object MiningQueries {
         Tables.documents(s, dir)
           .select(col("doc_id"),
             explode(graft.functions.functions.word_shingles(col("text"), 2)).as("tok")),
-        PF_THETA10)),
+        PF_THETA10, bigVocab = Tables.bigInput(s, dir, "documents"))),
 
     // k-hop neighborhood size over the kNN graph (k = 2 hops): how
     // many distinct vectors each point reaches in ≤ 2 directed kNN
@@ -240,7 +240,8 @@ object MiningQueries {
     // 100 TB); candidates come from an EQUI-join on rank.
     "j_sorted_neighborhood" -> ((s, dir) =>
       snmPairs(Tables.part(s, dir).select(col("p_name").as("name"))
-        .distinct().localCheckpoint(), SNM_W)),
+        .distinct().localCheckpoint(), SNM_W,
+        bigNames = Tables.bigInput(s, dir, "part"))),
 
     // Blocking-quality eval completing the recall battery
     // (dedup_lsh_recall : MinHash banding :: this : SNM): measured
@@ -256,7 +257,8 @@ object MiningQueries {
         .distinct().localCheckpoint()
       val truth = RelationalQueries.fuzzyPairsK(names, 2)
         .agg(count(lit(1)).as("n_truth"))
-      val snm = snmPairs(names, SNM_W)
+      val snm = snmPairs(names, SNM_W,
+          bigNames = Tables.bigInput(s, dir, "part"))
         .agg(count(lit(1)).as("n_snm"))
       truth.crossJoin(broadcast(snm))
         .select(col("n_truth"), col("n_snm"),
@@ -266,10 +268,15 @@ object MiningQueries {
 
   /** Sorted-neighborhood candidate join + thresholded verify over a
     * distinct `name` frame — see the j_sorted_neighborhood entry. */
-  private[queries] def snmPairs(names: DataFrame, w: Int): DataFrame = {
-    val ranked = names
-      .withColumn("r",
-        row_number().over(Window.orderBy(col("name"))).cast("long"))
+  private[queries] def snmPairs(
+      names: DataFrame, w: Int, bigNames: Boolean = false): DataFrame = {
+    // scale-out global rank (optimization r15): the bare
+    // Window.orderBy(name) sorted the whole distinct-name frame on one
+    // task — a row-scale frame at corpus size. Above the size gate,
+    // rankedBy range-partitions + ranks in parallel with identical
+    // values (name is unique here).
+    val ranked = QueryPrimitives
+      .rankedBy(names, Seq(col("name")), "r", scaleOut = bigNames)
       .localCheckpoint(eager = true)
     val probes = ranked
       .select(col("name").as("name_b"), col("r").as("rb"),
@@ -446,10 +453,16 @@ object MiningQueries {
     *    satisfy bound ≥ overlap ≥ α. Cuts verify volume 2.2× on this
     *    corpus; exactness is unchanged (the oracle is the full exact
     *    join). */
-  private[queries] def prefixFilterPairs(toks: DataFrame, theta10: Int): DataFrame = {
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .withColumn("tid",
-        row_number().over(Window.orderBy(col("df"), col("tok"))).cast("long"))
+  private[queries] def prefixFilterPairs(
+      toks: DataFrame, theta10: Int, bigVocab: Boolean = false): DataFrame = {
+    // scale-out global vocab rank (optimization r15): this was the
+    // documented "single-partition row_number; a 100 TB vocabulary
+    // replaces it with sortBy+zipWithIndex" — rankedBy IS that
+    // replacement (range partition + parallel rank + offsets), with
+    // values identical to the old window ((df, tok) is unique per tok).
+    val dfreq = QueryPrimitives.rankedBy(
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("df")),
+        Seq(col("df"), col("tok")), "tid", scaleOut = bigVocab)
       .select(col("tok"), col("tid"))
     val arr = toks.join(dfreq.hint("shuffle_hash"), "tok")
       .groupBy(col("doc_id"))

@@ -67,6 +67,51 @@ private[queries] object QueryPrimitives {
     * only reachable when AQE judged the data tiny); at scale the
     * checkpoint already has ≥ cores partitions and this is exactly
     * `localCheckpoint(eager = true)`. */
+  /** Global 1-based row_number by `sort` over a UNIQUE-sort-key frame,
+    * computed scale-out (optimization r15, VERDICT item #6): the two
+    * row-scale unpartitioned windows of the catalog (the SNM name rank
+    * and the prefix-filter vocabulary rank) sorted their whole frame
+    * on ONE task. Here: range-partition by the sort key (partition i
+    * holds strictly smaller keys than partition i+1), rank within each
+    * partition in parallel, then add the collected per-partition row
+    * counts as offsets — O(partitions) control-plane rows. With a
+    * unique sort key the result is value-identical to
+    * `row_number().over(Window.orderBy(sort))`. The range exchange is
+    * pinned (eager localCheckpoint) so the offsets stay consistent
+    * with the partition assignment they were collected from, and the
+    * pin doubles as the materialization point callers previously put
+    * AFTER the rank. */
+  def rankedBy(
+      df: org.apache.spark.sql.DataFrame,
+      sort: Seq[Column], rankCol: String,
+      scaleOut: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Size-gated like Tables.fanout, in the opposite direction
+    // (callers pass Tables.bigInput): below the gate the plain window
+    // wins outright — the range exchange + sampling pass + offset
+    // collect measured +0.3–0.7 s per query at sf0.1 for zero benefit
+    // on a frame that sorts in one small task. RankedBySpec pins both
+    // paths value-identical on unique keys.
+    if (!scaleOut)
+      return df.withColumn(rankCol,
+        row_number().over(Window.orderBy(sort: _*)).cast("long"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val parted = df.repartitionByRange(par, sort: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (p, c) => val o = acc; acc += c; (p, o) }
+    val offExpr = offs.foldLeft(lit(0L)) { case (e, (p, o)) =>
+      when(col("__pid") === p, lit(o)).otherwise(e)
+    }
+    parted.withColumn(rankCol,
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(sort: _*))
+        .cast("long") + offExpr)
+      .drop("__pid")
+  }
+
   def pinFanned(
       df: org.apache.spark.sql.DataFrame,
       storageLevel: org.apache.spark.storage.StorageLevel =

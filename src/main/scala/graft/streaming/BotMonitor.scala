@@ -84,7 +84,7 @@ object BotMonitor {
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, Long, String, Long)],
         timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long, Long, Boolean)] = {
-      var st = if (state.exists()) state.get() else empty
+      var st = StatefulOps.getOrDefault(state, empty)
       // (event_id, tsu, type, user) sorted by event time, ties by id
       rows.toArray.sortBy(r => (r._2, r._1))
         .foreach(r => st = step(st, r._2, r._3))

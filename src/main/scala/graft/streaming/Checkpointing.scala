@@ -188,7 +188,7 @@ object Checkpointing {
     override def handleInputRows(
         name: String, rows: Iterator[Marker], timerValues: TimerValues): Iterator[Transition] = {
       val cfg = byName(name)
-      val cur = if (st.exists()) st.get() else CheckpointState.empty(cfg.dependencies)
+      val cur = StatefulOps.getOrDefault(st, CheckpointState.empty(cfg.dependencies))
       val (next, out) = run(cfg, cur, rows.toSeq)
       st.update(next)
       out.iterator

@@ -35,7 +35,7 @@ object Fold {
 
     override def handleInputRows(
         key: K, rows: Iterator[V], timerValues: TimerValues): Iterator[(K, B)] = {
-      val start = if (state.exists()) state.get() else zero
+      val start = StatefulOps.getOrDefault(state, zero)
       val next = rows.foldLeft(start)(fold)
       state.update(next)
       Iterator.single((key, next))
@@ -80,12 +80,23 @@ object Fold {
       ttl: Option[Duration] = None)(
       implicit spark: SparkSession, kvEnc: Encoder[(K, B)]): Dataset[(K, B)] = {
     val partials = ds.mapPartitions { it =>
-      val acc = scala.collection.mutable.HashMap.empty[K, B]
+      // ONE hash probe per row (optimization r15): the old
+      // getOrElse+update pair cost two probes + two tuple/Some
+      // allocations per input row, and the progress metrics show this
+      // per-row loop — not RocksDB — is ~90% of a stateful batch
+      // (addBatch ≈ 3.3 µs/row vs ~350 ms commit over O(keys) rows).
+      // A 1-cell array per key makes the steady-state row a single
+      // get + in-place fold; put happens once per distinct key.
+      val acc = new java.util.HashMap[K, Array[Any]]()
       it.foreach { v =>
         val k = key(v)
-        acc.update(k, fold(acc.getOrElse(k, zero), v))
+        var cell = acc.get(k)
+        if (cell == null) { cell = Array[Any](zero); acc.put(k, cell) }
+        cell(0) = fold(cell(0).asInstanceOf[B], v)
       }
-      acc.iterator
+      import scala.jdk.CollectionConverters._
+      acc.entrySet().iterator().asScala
+        .map(e => (e.getKey, e.getValue()(0).asInstanceOf[B]))
     }
     val grouped = partials.groupByKey(_._1)
     if (ds.isStreaming)

@@ -69,7 +69,7 @@ object FunnelState {
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, Long, String)],
         timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Int, Long)] = {
-      val full = if (state.exists()) state.get() else emptyFull
+      val full = StatefulOps.getOrDefault(state, emptyFull)
       val start: St = (full._1, full._2, full._3)
       // micro-batch iterator order is unspecified — impose event-time
       // order (ties by type) before the order-sensitive fold

@@ -66,7 +66,7 @@ object Scd2Monitor {
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, Long, Long, String)],
         timerValues: TimerValues): Iterator[Closed] = {
-      var st = if (state.exists()) state.get() else empty
+      var st = StatefulOps.getOrDefault(state, empty)
       val out = rows.toArray.sortBy(r => (r._2, r._1)).flatMap { r =>
         val (next, closed) = step(key, st, r._2, r._4)
         st = next

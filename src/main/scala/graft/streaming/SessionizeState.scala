@@ -45,7 +45,7 @@ object SessionizeState {
     override def handleInputRows(
         key: Long, rows: Iterator[(Long, Long, Long)],
         timerValues: TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
-      var st = if (state.exists()) state.get() else empty
+      var st = StatefulOps.getOrDefault(state, empty)
       // anything older than the state's committed last event time
       // violates the cross-batch ordering contract — flag, don't hide
       val committed = st._1

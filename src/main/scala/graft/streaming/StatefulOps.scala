@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.reflect.ClassTag
 
-import org.apache.spark.sql.streaming.{ListState, MapState}
+import org.apache.spark.sql.streaming.{ListState, MapState, ValueState}
 
 /** Shared persistence for sorted-buffer state on the modern
   * `transformWithState` API (Spark 4 StatefulProcessor + RocksDB
@@ -26,6 +26,19 @@ import org.apache.spark.sql.streaming.{ListState, MapState}
   *    cost is O(changed buckets), flat in the buffer size.
   */
 object StatefulOps {
+
+  /** Read a ValueState once (optimization r15): the idiomatic
+    * `if (state.exists()) state.get() else default` costs TWO full
+    * RocksDB point reads per key per batch — ValueStateImpl.exists()
+    * is itself `get() != null`. One get + null check halves the read
+    * side of every per-key fold. Safe for primitive-valued states
+    * under erasure: a stored value can never BE null (it would not
+    * encode), so null ⟺ absent, and the generic S stays boxed here —
+    * no unboxing happens before the null test. */
+  def getOrDefault[S](state: ValueState[S], default: => S): S = {
+    val cur = state.get()
+    if (cur == null) default else cur
+  }
 
   /** Write `next` given the previously-read `prev`: append-only deltas
     * use `appendList`; anything else replaces the list. */

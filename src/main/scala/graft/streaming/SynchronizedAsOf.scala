@@ -143,7 +143,7 @@ object SynchronizedAsOf {
       val prevBuckets = rights.iterator().map(kv => kv._1 -> kv._2).toMap
       val prevR = StatefulOps.fromBuckets(prevBuckets.iterator)
       val prevP = pending.get().toVector
-      val m = if (meta.exists()) meta.get() else SyncMeta(None, None, isDown = false)
+      val m = StatefulOps.getOrDefault(meta, SyncMeta(None, None, isDown = false))
       val st = SyncState(prevR, prevP, m.maxRightUs, m.maxLeftUs, m.isDown)
       val (next, out) = step(st, rows.toSeq, thresholdUs, retentionUs)
       StatefulOps.persistTimeBuckets(rights, prevBuckets,

@@ -33,11 +33,11 @@ object TimedEmit {
         key: String,
         rows: Iterator[(String, Long)],
         timerValues: TimerValues): Iterator[Emitted] = {
-      var c = if (count.exists()) count.get() else 0L
+      var c = StatefulOps.getOrDefault(count, 0L)
       var maxTs = Long.MinValue
       rows.foreach { case (_, tsMs) => c += 1; if (tsMs > maxTs) maxTs = tsMs }
       count.update(c)
-      if (!(timerArmed.exists() && timerArmed.get())) {
+      if (!StatefulOps.getOrDefault(timerArmed, false)) {
         // arm the next interval boundary after the newest event
         val boundary = (maxTs / intervalMs + 1) * intervalMs
         getHandle.registerTimer(boundary)
@@ -51,7 +51,7 @@ object TimedEmit {
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Emitted] = {
       timerArmed.update(false)
-      val c = if (count.exists()) count.get() else 0L
+      val c = StatefulOps.getOrDefault(count, 0L)
       Iterator.single(Emitted(key, expiredTimerInfo.getExpiryTimeInMs, c))
     }
   }

@@ -176,6 +176,15 @@ object StreamBench {
       .toDF("k", "n").writeStream.outputMode("update").format("noop").start()
     val (d, dWarm) = twoPasses(src, q, base, repeat)
     val batches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(-1L)
+    // where a stateful batch spends its time (QBench-listener posture:
+    // the sandbox has no UI, so surface the progress metrics here)
+    q.recentProgress.takeRight(4).foreach { p =>
+      val dm = p.durationMs
+      val so = p.stateOperators.headOption
+      println(s"[streambench]   batch=${p.batchId} rows=${p.numInputRows} " +
+        s"addBatch=${dm.get("addBatch")}ms trigger=${dm.get("triggerExecution")}ms " +
+        so.map(o => s"stateRows=${o.numRowsUpdated} commit=${o.commitTimeMs}ms").getOrElse(""))
+    }
     q.stop()
     println(f"[streambench] $label: ${total / d}%.0f rows/s sustained " +
       f"($d%.2f s; cold ${total / dWarm}%.0f rows/s, $batches batches total)")

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TestSpark
+
+/** Pins QueryPrimitives.rankedBy (optimization r15): the scale-out
+  * path (range partition → per-partition rank → collected offsets)
+  * must assign the IDENTICAL global 1-based ranks as the plain
+  * single-partition window it replaces above the size gate, on unique
+  * sort keys — including multi-column sorts and frames smaller than
+  * the partition count. */
+class RankedBySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranksOf(df: org.apache.spark.sql.DataFrame,
+      sort: Seq[org.apache.spark.sql.Column], scaleOut: Boolean) =
+    QueryPrimitives.rankedBy(df, sort, "r", scaleOut)
+      .select(col("k"), col("r")).as[(String, Long)].collect().toMap
+
+  test("single-column unique keys: scale-out ranks equal the window ranks") {
+    val rnd = new scala.util.Random(7)
+    val keys = (1 to 500).map(_ => rnd.alphanumeric.take(8).mkString).distinct
+    val df = keys.toDF("k")
+    val plain = ranksOf(df, Seq(col("k")), scaleOut = false)
+    val scaled = ranksOf(df, Seq(col("k")), scaleOut = true)
+    assert(scaled == plain)
+    assert(plain.values.toSeq.sorted == (1L to keys.length.toLong))
+  }
+
+  test("two-column sort (df asc, tok asc) — the prefix-filter vocab shape") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map(i =>
+      (s"tok_$i", rnd.nextInt(20).toLong)).toDF("k", "df")
+    def both(scaleOut: Boolean) =
+      QueryPrimitives.rankedBy(rows, Seq(col("df"), col("k")), "r", scaleOut)
+        .select(col("k"), col("r")).as[(String, Long)].collect().toMap
+    assert(both(true) == both(false))
+  }
+
+  test("tiny frame (fewer rows than partitions) still ranks 1..n") {
+    val df = Seq("b", "a", "c").toDF("k")
+    val scaled = ranksOf(df, Seq(col("k")), scaleOut = true)
+    assert(scaled == Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+  }
+}
