@@ -524,8 +524,16 @@ object LlmQueries {
     // dedup_minhash_lsh. At 100 TB, boilerplate cohorts reach 10⁶ docs;
     // ship the df-capped or LSH form.
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      // pin the shingle explode (optimization r15): it feeds the size
+      // table AND both self-join sides — three evaluations of the
+      // heaviest scan in the query (3 × ~0.56 s stage wall measured at
+      // sf0.1; the two join sides' exchanges are identical but the
+      // size-table subtree is not, so ReuseExchange alone cannot
+      // collapse them). O(corpus shingles) rows — persist()/temp table
+      // on a cluster, the cluster_kmeans quantize-checkpoint posture.
       val e = Tables.documents(s, dir, fan = true)
         .select(col("doc_id"), explode(shingles3).as("sh"))
+        .localCheckpoint()
       val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       e.as("a")
         .join(e.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -1110,7 +1118,11 @@ object LlmQueries {
     "dedup_image_ahash" -> ((s, dir) => {
       import s.implicits._
       val mod = AHASH_MOD
-      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      // fan = true (optimization r15): ahashForId synthesizes + ImageIO-
+      // decodes a BMP per row — the heaviest per-row closure in the
+      // catalog — and the single-row-group scan ran it on ONE task
+      // (0.93–1.09 s single-task stage measured at sf0.1, §2.2)
+      Tables.documents(s, dir, fan = true).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id =>
           (id, graft.multimodal.Multimodal.ahashForId(id, mod))))
         .toDF("doc_id", "ahash")

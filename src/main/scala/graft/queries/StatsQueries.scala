@@ -397,7 +397,11 @@ object StatsQueries {
     // IN-ROW (one explode of a 6-struct array — never a self-join
     // or a second scan). See corrMatrixBody.
     "a_corr_matrix" -> ((s, dir) =>
-      corrMatrixBody(Tables.lineitem(s, dir)
+      // fan = true (optimization r15): the 14 DECIMAL(38) moment sums
+      // are heavy per-row compute and the single-row-group lineitem
+      // scan capped the stage at 3 tasks (0.93 s/rep single-stage wall
+      // measured — the §2.2 shape the r14 fan-out exists for)
+      corrMatrixBody(Tables.lineitem(s, dir, fan = true)
         .select(
           col("l_quantity").cast("long").as("c0"),
           expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")

@@ -534,10 +534,13 @@ object ExplainAudit {
     // iteration structure (3 equi-joins per round, 3 rounds), no
     // cartesian, and nested-loop only on the 1-row scalar sides
     audit("sim_graph_pagerank",
-      "power iterations are co-partitioned equi-joins (3 per round); " +
-        "never a cartesian") { p =>
+      "power iterations are co-partitioned equi-joins — TWO per round " +
+        "since the r15 hoist (edges⋈deg loop-invariant + pinned; the " +
+        "per-round 1-row nTab broadcast crossJoins replaced by a " +
+        "collected scalar); never a cartesian or 1-row nested loop") { p =>
       !p.contains("CartesianProduct") &&
-        "SortMergeJoin|BroadcastHashJoin".r.findAllIn(p).length >= 9
+        !p.contains("BroadcastNestedLoopJoin") &&
+        "SortMergeJoin|BroadcastHashJoin".r.findAllIn(p).length >= 6
     }
     audit("q10_returned_items",
       "R-flag + quarter filters pushed to the scans; top-20 is " +
